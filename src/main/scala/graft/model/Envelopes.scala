@@ -1,0 +1,271 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic envelope shapers over the driver testdata (FIXTURES.md §3).
+  *
+  * The reference consumes three JSON record envelopes (SURVEY.md §1.3):
+  * Maxwell CDC rows on Kafka `topic_db` (`util/SQLUtil.java:27-38`,
+  * `dim/app/DimAPP.java:198-205`), Debezium config rows
+  * (`dim/app/DimAPP.java:140-156`) and app-log records on `topic_log`
+  * (`...split/app/DwdBaseLog.java:81-121`). For the DuckDB-oracle correctness
+  * loop we shape the read-only parquet testdata into those envelopes with pure
+  * column expressions; each shaper has a *matching SQL CTE string* (the `*Cte`
+  * vals) that flattens the same derivation for DuckDB. KEEP THE TWO IN LOCKSTEP:
+  * every CASE arm here has a twin in the CTE.
+  *
+  * Scale note: shapers are narrow projections over the parquet scan — no shuffle,
+  * no UDFs, fully codegen'd; at 100 TB they stay embedded in the scan stage.
+  */
+object Envelopes {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) `ts` (unreadable by Spark's vectorized
+    * reader) normalized to a micros TimestampType. Requires the session config
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench/tests);
+    * ns→µs floor-division matches DuckDB's own ns→µs conversion. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  // ---------------------------------------------------------------------------
+  // Maxwell CDC envelope from `lineitem`
+  //   {database, table, type, data: map, old: map, ts: epoch-seconds}
+  //   `ts` is epoch SECONDS, matching the reference's `topic_db` rows
+  //   (×1000 on re-read at `DwdTradeOrderPaySucDetail.java:169`).
+  // ---------------------------------------------------------------------------
+
+  def maxwell(spark: SparkSession, sfDir: String): DataFrame = {
+    val li  = table(spark, sfDir, "lineitem")
+    val typ = when(col("l_orderkey") % 97 === 0, "bootstrap-start")
+      .when(col("l_orderkey") % 50 === 0, "bootstrap-insert")
+      .when(col("l_orderkey") % 17 === 0, "delete")
+      .when(col("l_linenumber") % 3 === 0, "update")
+      .otherwise("insert")
+    val qn        = floor(col("l_quantity")).cast("long")
+    val oldQn     = when(col("l_partkey") % 4 === 0, qn + 2).otherwise(qn - 1)
+    val emptyMap  = typedLit(Map.empty[String, String])
+    li.select(
+      when(col("l_orderkey") % 10 === 0, "other").otherwise("gmall").as("database"),
+      lit("cart_info").as("table"),
+      typ.as("type"),
+      when(typ === "bootstrap-start", lit(null).cast("map<string,string>")).otherwise(map(
+        lit("id"), (col("l_orderkey") * 10 + col("l_linenumber")).cast("string"),
+        lit("order_id"), col("l_orderkey").cast("string"),
+        lit("sku_id"), col("l_partkey").cast("string"),
+        lit("user_id"), col("l_suppkey").cast("string"),
+        lit("sku_num"), qn.cast("string"),
+        lit("payment_status"), when(col("l_returnflag") === "R", "1602").otherwise("1601"))
+      ).as("data"),
+      when(typ === "update", map_concat(
+        map(lit("sku_num"), oldQn.cast("string")),
+        when(col("l_returnflag") === "R", map(lit("payment_status"), lit("1601")))
+          .otherwise(emptyMap))
+      ).otherwise(lit(null).cast("map<string,string>")).as("old"),
+      expr("unix_millis(cast(l_shipdate as timestamp)) div 1000").as("ts"))
+  }
+
+  /** DuckDB twin of [[maxwell]], flattened (map entries become columns; the
+    * `data IS NULL` case of bootstrap-start becomes NULL columns). Use as
+    * `s"WITH $maxwellCte SELECT ... FROM mx"`. */
+  val maxwellCte: String =
+    """mx0 AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_shipdate,
+      |         CASE WHEN l_orderkey % 97 = 0 THEN 'bootstrap-start'
+      |              WHEN l_orderkey % 50 = 0 THEN 'bootstrap-insert'
+      |              WHEN l_orderkey % 17 = 0 THEN 'delete'
+      |              WHEN l_linenumber % 3 = 0 THEN 'update'
+      |              ELSE 'insert' END AS typ,
+      |         CAST(FLOOR(l_quantity) AS BIGINT) AS qn
+      |  FROM lineitem),
+      |mx AS (
+      |  SELECT CASE WHEN l_orderkey % 10 = 0 THEN 'other' ELSE 'gmall' END AS db,
+      |         'cart_info' AS tbl,
+      |         typ,
+      |         CASE WHEN typ <> 'bootstrap-start' THEN CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) END AS id,
+      |         CASE WHEN typ <> 'bootstrap-start' THEN CAST(l_orderkey AS VARCHAR) END AS order_id,
+      |         CASE WHEN typ <> 'bootstrap-start' THEN CAST(l_partkey AS VARCHAR) END AS sku_id,
+      |         CASE WHEN typ <> 'bootstrap-start' THEN CAST(l_suppkey AS VARCHAR) END AS user_id,
+      |         CASE WHEN typ <> 'bootstrap-start' THEN CAST(qn AS VARCHAR) END AS sku_num,
+      |         CASE WHEN typ <> 'bootstrap-start' THEN (CASE WHEN l_returnflag = 'R' THEN '1602' ELSE '1601' END) END AS payment_status,
+      |         CASE WHEN typ = 'update' THEN CAST(CASE WHEN l_partkey % 4 = 0 THEN qn + 2 ELSE qn - 1 END AS VARCHAR) END AS old_sku_num,
+      |         CASE WHEN typ = 'update' AND l_returnflag = 'R' THEN '1601' END AS old_payment_status,
+      |         epoch_ms(l_shipdate) // 1000 AS ts
+      |  FROM mx0)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Log envelope from `events`
+  //   {common:{mid,is_new,vc,ch,ar,uid}, page:{...}|start:{...}, err:{...},
+  //    displays:[...], actions:[...], ts: epoch-ms}
+  //   `ts` is epoch MILLISECONDS (reference: `DwdBaseLog.java:153`).
+  //   error-type events get neither page nor start (dirty, dropped by ETL);
+  //   user_id % 13 == 0 rows get a null mid (dirty).
+  // ---------------------------------------------------------------------------
+
+  def logRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev   = events(spark, sfDir)
+    val mid  = when(col("user_id") % 13 === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("mid_"), col("user_id")))
+    val isPage = col("event_type").isin("view", "click", "purchase")
+    ev.select(
+      col("event_id"),
+      struct(
+        mid.as("mid"),
+        when(col("user_id") % 2 === 0, "1").otherwise("0").as("is_new"),
+        concat(lit("v"), (col("user_id") % 3).cast("string")).as("vc"),
+        when(col("user_id") % 4 === 0, "xiaomi").when(col("user_id") % 4 === 1, "huawei")
+          .when(col("user_id") % 4 === 2, "iphone").otherwise("oppo").as("ch"),
+        (col("user_id") % 5).cast("string").as("ar"),
+        when(col("event_type") =!= "view", col("user_id").cast("string")).as("uid")
+      ).as("common"),
+      when(isPage, struct(
+        when(col("event_type") === "view", "home")
+          .when(col("event_type") === "click", "good_detail")
+          .otherwise("cart").as("page_id"),
+        when(col("event_id") % 4 === 0, lit(null).cast("string")).otherwise(lit("home")).as("last_page_id"),
+        (col("event_id") % 50).cast("string").as("item"),
+        lit("sku_id").as("item_type"),
+        floor(col("value") * 1000).cast("long").as("during_time")
+      )).as("page"),
+      when(col("event_type") === "signup", struct(
+        lit("icon").as("entry"),
+        (col("event_id") % 7).as("open_ad_id"),
+        floor(col("value") * 10).cast("long").as("loading_time")
+      )).as("start"),
+      when(col("value") > 400, struct(
+        (col("event_id") % 100).as("error_code"),
+        lit("boom").as("msg")
+      )).as("err"),
+      when(col("event_type") === "purchase", array(
+        struct((col("event_id") % 50).cast("string").as("item"), lit("sku_id").as("item_type"), lit(1).as("pos_id")),
+        struct(((col("event_id") + 1) % 50).cast("string").as("item"), lit("sku_id").as("item_type"), lit(2).as("pos_id"))
+      )).as("displays"),
+      when(col("event_type") === "click", array(
+        struct(lit("favor_add").as("action_id"), (col("event_id") % 50).cast("string").as("item"),
+          expr("unix_millis(ts)").as("ts"))
+      )).as("actions"),
+      expr("unix_millis(ts)").as("ts"))
+  }
+
+  /** DuckDB twin of [[logRecords]], flattened. */
+  val logCte: String =
+    """lg AS (
+      |  SELECT event_id,
+      |         CASE WHEN user_id % 13 = 0 THEN NULL ELSE 'mid_' || CAST(user_id AS VARCHAR) END AS mid,
+      |         CASE WHEN user_id % 2 = 0 THEN '1' ELSE '0' END AS is_new,
+      |         'v' || CAST(user_id % 3 AS VARCHAR) AS vc,
+      |         CASE user_id % 4 WHEN 0 THEN 'xiaomi' WHEN 1 THEN 'huawei' WHEN 2 THEN 'iphone' ELSE 'oppo' END AS ch,
+      |         CAST(user_id % 5 AS VARCHAR) AS ar,
+      |         CASE WHEN event_type <> 'view' THEN CAST(user_id AS VARCHAR) END AS uid,
+      |         CASE event_type WHEN 'view' THEN 'home' WHEN 'click' THEN 'good_detail' WHEN 'purchase' THEN 'cart' END AS page_id,
+      |         CASE WHEN event_type IN ('view','click','purchase') THEN (CASE WHEN event_id % 4 = 0 THEN NULL ELSE 'home' END) END AS last_page_id,
+      |         CASE WHEN event_type IN ('view','click','purchase') THEN CAST(event_id % 50 AS VARCHAR) END AS item,
+      |         CASE WHEN event_type IN ('view','click','purchase') THEN CAST(FLOOR(value * 1000) AS BIGINT) END AS during_time,
+      |         CASE WHEN event_type = 'signup' THEN 'icon' END AS entry,
+      |         CASE WHEN event_type = 'signup' THEN CAST(FLOOR(value * 10) AS BIGINT) END AS loading_time,
+      |         CASE WHEN value > 400 THEN event_id % 100 END AS error_code,
+      |         (event_type IN ('view','click','purchase')) AS has_page,
+      |         (event_type = 'signup') AS has_start,
+      |         (value > 400) AS has_err,
+      |         epoch_ms(ts) AS ts
+      |  FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Dim lookup table (HBase `gmall:dim_base_dic` stand-in) from `nation`
+  //   rowkey: String, dic_name: String — `base/BaseSQLAPP.java:65-75`.
+  // ---------------------------------------------------------------------------
+
+  def dimBaseDic(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("string").as("rowkey"), col("n_name").as("dic_name"))
+
+  val dimCte: String =
+    """dic AS (
+      |  SELECT CAST(n_nationkey AS VARCHAR) AS rowkey, n_name AS dic_name FROM nation)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Config fixture (MySQL `gmall2023_config.table_process_dim` stand-in)
+  // ---------------------------------------------------------------------------
+
+  val configRows: Seq[TableProcessDim] = Seq(
+    TableProcessDim("cart_info", "dim_cart_info", "id,sku_id,sku_num", "info", "id", "r"),
+    TableProcessDim("base_dic", "dim_base_dic", "dic_code,dic_name", "info", "dic_code", "r"),
+    TableProcessDim("user_info", "dim_user_info", "id,name", "info", "id", "r"))
+
+  def configDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    configRows.toDF()
+  }
+
+  // ---------------------------------------------------------------------------
+  // Order-detail relational family (DWD trade joins, `DwdTradeOrderDetail.java`)
+  // Keys stay BIGINT (vs the reference's strings) — at 100 TB a fixed-width join
+  // key shuffles and compares cheaper; semantics are identical.
+  // ---------------------------------------------------------------------------
+
+  /** order_detail rows from `lineitem` (`DwdTradeOrderDetail.filterOd:175-193`). */
+  def orderDetail(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      col("l_orderkey").as("order_id"),
+      col("l_partkey").as("sku_id"),
+      floor(col("l_quantity")).cast("long").as("sku_num"),
+      col("l_extendedprice").as("split_total_amount"),
+      expr("unix_millis(cast(l_shipdate as timestamp)) div 1000").as("ts"))
+
+  val odCte: String =
+    """od AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS id, l_orderkey AS order_id,
+      |         l_partkey AS sku_id, CAST(FLOOR(l_quantity) AS BIGINT) AS sku_num,
+      |         l_extendedprice AS split_total_amount,
+      |         epoch_ms(l_shipdate) // 1000 AS ts
+      |  FROM lineitem)""".stripMargin
+
+  /** order_info rows from `orders` (`DwdTradeOrderDetail.filterOi:158-169`). */
+  def orderInfo(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders").select(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("user_id"),
+      (col("o_custkey") % 34 + 1).as("province_id"),
+      col("o_orderstatus").as("order_status"),
+      expr("unix_millis(cast(o_orderdate as timestamp)) div 1000").as("order_ts"))
+
+  val oiCte: String =
+    """oi AS (
+      |  SELECT o_orderkey AS id, o_custkey AS user_id, o_custkey % 34 + 1 AS province_id,
+      |         o_orderstatus AS order_status, epoch_ms(o_orderdate) // 1000 AS order_ts
+      |  FROM orders)""".stripMargin
+
+  /** order_detail_activity subset (`DwdTradeOrderDetail.filterOda:142-152`). */
+  def orderDetailActivity(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").filter(col("l_partkey") % 7 === 0).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      (col("l_partkey") % 5).as("activity_id"),
+      (col("l_partkey") % 11).as("activity_rule_id"))
+
+  val odaCte: String =
+    """oda AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS id, l_partkey % 5 AS activity_id,
+      |         l_partkey % 11 AS activity_rule_id
+      |  FROM lineitem WHERE l_partkey % 7 = 0)""".stripMargin
+
+  /** order_detail_coupon subset (`DwdTradeOrderDetail.filterOdc:126-136`). */
+  def orderDetailCoupon(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem").filter(col("l_suppkey") % 3 === 0).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      (col("l_suppkey") % 4).as("coupon_id"))
+
+  val odcCte: String =
+    """odc AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS id, l_suppkey % 4 AS coupon_id
+      |  FROM lineitem WHERE l_suppkey % 3 = 0)""".stripMargin
+
+  /** Exact-decimal sum of a float money column, deterministic across engines:
+    * cast to DECIMAL(18,6) (no cross-engine tie risk at 6dp for IEEE doubles),
+    * sum exactly, surface as DOUBLE. DuckDB twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`. */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+}
