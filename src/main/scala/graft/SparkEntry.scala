@@ -17,8 +17,12 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.JoinQueries.queries ++
+      graft.queries.StateQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles
+    graft.queries.CoreQueries.oracles ++
+      graft.queries.JoinQueries.oracles ++
+      graft.queries.StateQueries.oracles
 }

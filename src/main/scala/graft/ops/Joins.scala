@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.4, J1–J6).
+  *
+  * Scale posture: dim/config sides are always `broadcast()` (they are small by
+  * construction — the reference point-reads them from HBase/MySQL per record);
+  * fact×fact joins shuffle on their equi-keys and rely on AQE for skew/plan
+  * fixes. Interval joins keep an equi-key so Spark plans a hash/SMJ with the
+  * range conjunct as a post-filter instead of a cartesian product.
+  */
+object Joins {
+
+  /** J1 — streaming inner equi-join (`DwdTradeOrderDetail.getJoinTable:95-120`,
+    * inner :113-115). Batch form: plain equi join; streaming form adds
+    * watermarks on both sides (see graft.streaming). */
+  def inner(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "inner")
+
+  /** J2 — left outer equi-join (`DwdTradeOrderDetail.java:116-119`). The
+    * reference emits retractions consumed by an upsert sink; parity is defined
+    * on final per-key state (SURVEY.md §7.3), which the batch left join
+    * produces directly. */
+  def leftOuter(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_outer")
+
+  /** J3 — interval join (`DwdTradeOrderPaySucDetail.intervalJoin:119-144`,
+    * range :141): `l.key = r.key AND l.ts BETWEEN r.ts - lower AND r.ts + upper`
+    * with epoch-ms columns. The equi-key keeps the plan a keyed join (shuffle by
+    * key), never a cartesian; in streaming the same bounds prune join state. */
+  def interval(
+      left: DataFrame, right: DataFrame,
+      eqKey: (Column, Column),
+      tsMs: (Column, Column),
+      lowerMs: Long, upperMs: Long): DataFrame =
+    left.join(right,
+      eqKey._1 === eqKey._2 &&
+        tsMs._1 >= tsMs._2 - lowerMs &&
+        tsMs._1 <= tsMs._2 + upperMs,
+      "inner")
+
+  /** J4/J5 — lookup (temporal) join against a dim snapshot
+    * (`DwdInteractionCommentInfo.lookUpJoin:64-80`,
+    * `DwdTradeOrderPaySucDetail.lookupJoin:90-113`). The dim side is
+    * re-resolved per micro-batch in streaming (`FOR SYSTEM_TIME AS OF proc_time`
+    * semantics); batch form is a broadcast hash join — the dim is forced to the
+    * build side so no shuffle ever hits the fact stream. */
+  def lookup(fact: DataFrame, dim: DataFrame, cond: Column,
+      leftOuter: Boolean = false): DataFrame =
+    fact.join(broadcast(dim), cond, if (leftOuter) "left_outer" else "inner")
+
+  /** J6 — broadcast config join (`DimAPP.connectionStream:104-110`,
+    * `DimBroadcastFunction.java:26-97`). The reference's MapState preload +
+    * broadcast-state dance collapses to re-reading the tiny config per
+    * micro-batch and broadcasting it. */
+  def broadcastConfig(main: DataFrame, config: DataFrame, cond: Column): DataFrame =
+    main.join(broadcast(config), cond, "inner")
+}

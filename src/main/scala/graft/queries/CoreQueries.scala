@@ -38,7 +38,7 @@ object CoreQueries {
     "q_etl_filter" -> { (s, dir) =>
       Project.etlFilter(Envelopes.maxwell(s, dir))
         .select(element_at(col("data"), "id").as("id"), col("type").as("typ"), col("ts"))
-        .orderBy(col("id").cast("long"))
+        .orderBy(col("id").cast("long"), col("ts"))
     },
 
     // P2 — log ETL filter.
@@ -56,14 +56,15 @@ object CoreQueries {
       Project.mapProject(routed,
         Seq("id", "order_id", "sku_id", "user_id", "sku_num", "payment_status"),
         Seq(col("ts")))
-        .orderBy(col("id").cast("long"))
+        .orderBy(col("id").cast("long"), col("sku_id"), col("user_id"), col("sku_num"),
+          col("payment_status"), col("ts"))
     },
 
     // P4 — source-table routing predicate.
     "q_route_filter" -> { (s, dir) =>
       Project.routeFilter(Envelopes.maxwell(s, dir), "cart_info", Seq("insert"))
         .select(element_at(col("data"), "id").as("id"), col("ts"))
-        .orderBy(col("id").cast("long"))
+        .orderBy(col("id").cast("long"), col("ts"))
     },
 
     // P5 — CDC update-transition (payment success) predicate.
@@ -76,7 +77,7 @@ object CoreQueries {
           element_at(col("data"), "payment_status").as("payment_status"),
           element_at(col("old"), "payment_status").as("old_status"),
           col("ts"))
-        .orderBy(col("id").cast("long"))
+        .orderBy(col("id").cast("long"), col("ts"))
     },
 
     // P6+P7 — cart-add increase-only delta (the minimum end-to-end DWD slice).
@@ -89,7 +90,7 @@ object CoreQueries {
           element_at(col("data"), "sku_id").as("sku_id"),
           Project.cartAddDelta.as("sku_num"),
           col("ts"))
-        .orderBy(col("id").cast("long"))
+        .orderBy(col("id").cast("long"), col("user_id"), col("sku_id"), col("sku_num"), col("ts"))
     },
 
     // P8 — config-driven dynamic column pruning (broadcast config join).
@@ -101,7 +102,7 @@ object CoreQueries {
         .select(element_at(col("data"), "id").as("id"),
           array_join(array_sort(map_keys(col("data"))), ",").as("kept_cols"),
           element_at(col("data"), "sku_num").as("sku_num"))
-        .orderBy(col("id").cast("long"))
+        .orderBy(col("id").cast("long"), col("sku_num"))
     },
 
     // P9 + T4 — date/time scalar functions (epoch-ms ↔ formatted ↔ partition key).
@@ -155,7 +156,7 @@ object CoreQueries {
       s"""WITH $MX
          |SELECT id, typ, ts FROM mx
          |WHERE db = 'gmall' AND typ NOT IN ('bootstrap-start','bootstrap-complete')
-         |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+         |ORDER BY CAST(id AS BIGINT), ts""".stripMargin,
 
     "q_log_etl" ->
       s"""WITH $LG
@@ -168,13 +169,13 @@ object CoreQueries {
          |SELECT id, order_id, sku_id, user_id, sku_num, payment_status, ts FROM mx
          |WHERE db = 'gmall' AND typ NOT IN ('bootstrap-start','bootstrap-complete')
          |  AND tbl = 'cart_info'
-         |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+         |ORDER BY CAST(id AS BIGINT), sku_id, user_id, sku_num, payment_status, ts""".stripMargin,
 
     "q_route_filter" ->
       s"""WITH $MX
          |SELECT id, ts FROM mx
          |WHERE db = 'gmall' AND tbl = 'cart_info' AND typ = 'insert'
-         |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+         |ORDER BY CAST(id AS BIGINT), ts""".stripMargin,
 
     "q_cdc_transition" ->
       s"""WITH $MX
@@ -182,7 +183,7 @@ object CoreQueries {
          |  SELECT id, order_id, payment_status, old_payment_status AS old_status, ts FROM mx
          |  WHERE db = 'gmall' AND tbl = 'cart_info' AND typ = 'update'
          |    AND old_payment_status IS NOT NULL AND payment_status = '1602')
-         |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+         |ORDER BY CAST(id AS BIGINT), ts""".stripMargin,
 
     "q_cart_add" ->
       s"""WITH $MX
@@ -194,14 +195,14 @@ object CoreQueries {
          |WHERE db = 'gmall' AND tbl = 'cart_info'
          |  AND (typ = 'insert' OR (typ = 'update' AND old_sku_num IS NOT NULL
          |       AND CAST(sku_num AS BIGINT) > CAST(old_sku_num AS BIGINT)))
-         |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+         |ORDER BY CAST(id AS BIGINT), user_id, sku_id, sku_num, ts""".stripMargin,
 
     "q_column_prune" ->
       s"""WITH $MX
          |SELECT id, 'id,sku_id,sku_num' AS kept_cols, sku_num FROM mx
          |WHERE db = 'gmall' AND typ NOT IN ('bootstrap-start','bootstrap-complete')
          |  AND tbl = 'cart_info'
-         |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+         |ORDER BY CAST(id AS BIGINT), sku_num""".stripMargin,
 
     "q_date_fns" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms,

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Envelopes
+import graft.ops.{Joins, Project}
+
+/** Verify queries for the join family (SURVEY.md §2.4, J1–J6). */
+object JoinQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // J1 — inner equi-join: order_detail ⋈ order_info on od.order_id = oi.id.
+    "q_join_inner" -> { (s, dir) =>
+      val od = Envelopes.orderDetail(s, dir)
+      val oi = Envelopes.orderInfo(s, dir)
+      Joins.inner(od, oi, od("order_id") === oi("id"))
+        .select(od("id"), od("order_id"), od("sku_id"), od("sku_num"),
+          oi("user_id"), oi("province_id"), oi("order_status"))
+        .orderBy(od("id"), od("sku_id"), od("sku_num"))
+    },
+
+    // J2 — double left outer join: od ⟕ activity ⟕ coupon on od.id.
+    "q_join_left" -> { (s, dir) =>
+      val od  = Envelopes.orderDetail(s, dir)
+      val oda = Envelopes.orderDetailActivity(s, dir)
+      val odc = Envelopes.orderDetailCoupon(s, dir)
+      Joins.leftOuter(Joins.leftOuter(od, oda, od("id") === oda("id")),
+          odc, od("id") === odc("id"))
+        .select(od("id"), od("order_id"), od("sku_id"),
+          oda("activity_id"), odc("coupon_id"))
+        .orderBy(od("id"), od("sku_id"), oda("activity_id"), odc("coupon_id"))
+    },
+
+    // J3 — interval join: purchase ⋈ view of the same user with
+    // purchase.ts ∈ [view.ts - 15 min, view.ts + 5 s] (epoch-ms arithmetic).
+    "q_join_interval" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_millis(ts)").as("ts_ms"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts_ms").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts_ms").as("v_ts"))
+      Joins.interval(p, v,
+          (col("p_user"), col("v_user")), (col("p_ts"), col("v_ts")),
+          lowerMs = 15 * 60 * 1000L, upperMs = 5000L)
+        .select(col("p_id"), col("v_id"), col("p_user").as("user_id"),
+          col("p_ts"), col("v_ts"))
+        .orderBy(col("p_id"), col("v_id"))
+    },
+
+    // J4 — lookup join (inner): comment.appraise → dim rowkey, broadcast dim.
+    "q_join_lookup" -> { (s, dir) =>
+      val c = Envelopes.table(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        (col("l_partkey") % 25).cast("string").as("appraise"))
+      val dim = Envelopes.dimBaseDic(s, dir)
+      Joins.lookup(c, dim, c("appraise") === dim("rowkey"))
+        .select(col("id"), col("appraise"), col("dic_name"))
+        .orderBy(col("id"), col("appraise"))
+    },
+
+    // J5 — lookup join (left): unknown payment_type keeps row, null dic_name.
+    "q_join_lookup_left" -> { (s, dir) =>
+      val p = Envelopes.table(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        (col("l_partkey") % 30).cast("string").as("payment_type"))
+      val dim = Envelopes.dimBaseDic(s, dir)
+      Joins.lookup(p, dim, p("payment_type") === dim("rowkey"), leftOuter = true)
+        .select(col("id"), col("payment_type"), col("dic_name"))
+        .orderBy(col("id"), col("payment_type"))
+    },
+
+    // J6 — broadcast config join: CDC stream ⋈ config on table = source_table.
+    "q_join_broadcast" -> { (s, dir) =>
+      val mx  = Project.etlFilter(Envelopes.maxwell(s, dir))
+      val cfg = Envelopes.configDim(s)
+      Joins.broadcastConfig(mx, cfg, mx("table") === cfg("sourceTable"))
+        .select(element_at(col("data"), "id").as("id"),
+          col("sinkTable").as("sink_table"), col("sinkRowKey").as("sink_row_key"))
+        .orderBy(col("id").cast("long"))
+    })
+
+  import Envelopes.{maxwellCte => MX, odCte, oiCte, odaCte, odcCte, dimCte}
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      s"""WITH $odCte, $oiCte
+         |SELECT od.id, od.order_id, od.sku_id, od.sku_num,
+         |       oi.user_id, oi.province_id, oi.order_status
+         |FROM od JOIN oi ON od.order_id = oi.id
+         |ORDER BY od.id, od.sku_id, od.sku_num""".stripMargin,
+
+    "q_join_left" ->
+      s"""WITH $odCte, $odaCte, $odcCte
+         |SELECT od.id, od.order_id, od.sku_id, oda.activity_id, odc.coupon_id
+         |FROM od LEFT JOIN oda ON od.id = oda.id LEFT JOIN odc ON od.id = odc.id
+         |ORDER BY od.id, od.sku_id, oda.activity_id, odc.coupon_id""".stripMargin,
+
+    "q_join_interval" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events)
+        |SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+        |       p.ts_ms AS p_ts, v.ts_ms AS v_ts
+        |FROM ev p JOIN ev v
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND p.ts_ms BETWEEN v.ts_ms - 900000 AND v.ts_ms + 5000
+        |ORDER BY p_id, v_id""".stripMargin,
+
+    "q_join_lookup" ->
+      s"""WITH $dimCte
+         |SELECT l_orderkey * 10 + l_linenumber AS id,
+         |       CAST(l_partkey % 25 AS VARCHAR) AS appraise, dic_name
+         |FROM lineitem JOIN dic ON CAST(l_partkey % 25 AS VARCHAR) = rowkey
+         |ORDER BY id, appraise""".stripMargin,
+
+    "q_join_lookup_left" ->
+      s"""WITH $dimCte
+         |SELECT l_orderkey * 10 + l_linenumber AS id,
+         |       CAST(l_partkey % 30 AS VARCHAR) AS payment_type, dic_name
+         |FROM lineitem LEFT JOIN dic ON CAST(l_partkey % 30 AS VARCHAR) = rowkey
+         |ORDER BY id, payment_type""".stripMargin,
+
+    "q_join_broadcast" ->
+      s"""WITH $MX
+         |SELECT id, 'dim_cart_info' AS sink_table, 'id' AS sink_row_key FROM mx
+         |WHERE db = 'gmall' AND typ NOT IN ('bootstrap-start','bootstrap-complete')
+         |  AND tbl = 'cart_info'
+         |ORDER BY CAST(id AS BIGINT)""".stripMargin)
+}
