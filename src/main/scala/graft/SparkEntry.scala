@@ -19,10 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.JoinQueries.queries ++
-      graft.queries.StateQueries.queries
+      graft.queries.StateQueries.queries ++
+      graft.queries.SplitQueries.queries ++
+      graft.queries.DwsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.JoinQueries.oracles ++
-      graft.queries.StateQueries.oracles
+      graft.queries.StateQueries.oracles ++
+      graft.queries.SplitQueries.oracles ++
+      graft.queries.DwsQueries.oracles
 }
