@@ -21,12 +21,14 @@ object SparkEntry {
       graft.queries.JoinQueries.queries ++
       graft.queries.StateQueries.queries ++
       graft.queries.SplitQueries.queries ++
-      graft.queries.DwsQueries.queries
+      graft.queries.DwsQueries.queries ++
+      graft.queries.ExtQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.JoinQueries.oracles ++
       graft.queries.StateQueries.oracles ++
       graft.queries.SplitQueries.oracles ++
-      graft.queries.DwsQueries.oracles
+      graft.queries.DwsQueries.oracles ++
+      graft.queries.ExtQueries.oracles
 }

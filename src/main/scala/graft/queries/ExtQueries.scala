@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.model.Envelopes
+
+/** Verify queries for the LLM-data-pipeline extensions: dedup, similarity
+  * search, text analysis, multimodal plumbing. */
+object ExtQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Envelopes.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Envelopes.table(s, dir, "embeddings")
+
+  val queries: Map[String, QFn] = Map(
+    // Exact dedup by content hash.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("text_hash"))
+    },
+
+    // Exhaustive 3-gram Jaccard ≥ 0.5 via inverted-index join.
+    "q_dedup_ngram" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // MinHash(32)+LSH(16 bands) candidates, exact-verified at Jaccard ≥ 0.5.
+    // Same result as q_dedup_ngram (recall ≈ 1−3e-12 for this corpus's ≥0.9
+    // near-dup pairs) at a fraction of the join fan-out.
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashLshPairs(
+          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // 32-bit weighted SimHash, Hamming ≤ 2 pairs.
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(
+          Dedup.simhash32(docs(s, dir), col("doc_id"), col("text")), 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Brute-force cosine top-5 for query vectors vec_id < 10.
+    "q_ann_cosine" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // IVF-style probed top-5 (label = coarse cluster, 2 probes). Float
+    // centroids are order-sensitive → no SQL oracle; recall is asserted
+    // against brute force in the test suite.
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Embedding near-dup pairs at cosine ≥ 0.45.
+    "q_embed_dup" -> { (s, dir) =>
+      Similarity.cosinePairs(embs(s, dir), 0.45)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Text quality scoring.
+    "q_text_quality" -> { (s, dir) =>
+      TextStats.quality(docs(s, dir), col("text"))
+        .select(col("doc_id"), col("n_chars_calc"), col("n_toks"),
+          col("stop_ratio"), col("alpha_ratio"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic.
+    "q_text_langid" -> { (s, dir) =>
+      TextStats.langId(docs(s, dir), col("text"))
+        .select(col("doc_id"), col("en_hits"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting (whitespace + BPE-ish regex).
+    "q_token_count" -> { (s, dir) =>
+      TextStats.tokenCounts(docs(s, dir), col("text"))
+        .select(col("doc_id"), col("ws_toks"), col("re_toks"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting.
+    "q_text_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal: binary column + partition-batched stub decode.
+    "q_mm_meta" -> { (s, dir) =>
+      Multimodal.decodeMeta(Multimodal.withFakeMedia(docs(s, dir)))
+        .toDF().orderBy(col("doc_id"))
+    })
+
+  /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
+    * verifyJaccard at threshold 1/2). */
+  private val JAC =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_ct
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |jac AS (SELECT a_id, b_id, inter_ct, za.n + zb.n - inter_ct AS union_ct
+      |        FROM cand JOIN sizes za ON a_id = za.doc_id
+      |                  JOIN sizes zb ON b_id = zb.doc_id)""".stripMargin
+
+  private val jacSelect =
+    s"""WITH $JAC
+       |SELECT a_id, b_id, inter_ct, union_ct FROM jac
+       |WHERE inter_ct * 2 >= union_ct * 1
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** DuckDB twin of Dedup.simhash32 (32 md5-digit bit sums). */
+  private val simhashSql: String = {
+    val sums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN ('0x' || substr(h, ${i + 1}, 1))::INT % 2 = 1 THEN cnt ELSE -cnt END) AS s$i")
+      .mkString(", ")
+    val fp = (0 until 32).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |tokh AS (SELECT doc_id, md5(tok) AS h, cnt FROM tok),
+       |sums AS (SELECT doc_id, $sums FROM tokh GROUP BY 1),
+       |fp AS (SELECT doc_id, $fp AS fp FROM sums)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.fp, b.fp)) AS ham
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 2
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_ngram" -> jacSelect,
+    "q_dedup_minhash" -> jacSelect,
+    "q_dedup_simhash" -> simhashSql,
+
+    "q_ann_cosine" ->
+      """SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q_embed_dup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+        |       CAST(len(list_filter(string_split(lower(text), ' '),
+        |              w -> w IN ('the','a','of','to','and'))) AS DOUBLE)
+        |         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_ratio,
+        |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |       0.5 * (CAST(len(list_filter(string_split(lower(text), ' '),
+        |                w -> w IN ('the','a','of','to','and'))) AS DOUBLE)
+        |              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+        |       + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE)) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(lower(text), ' '),
+        |              w -> w IN ('the','a','of'))) AS BIGINT) AS en_hits,
+        |       CASE WHEN len(list_filter(string_split(lower(text), ' '),
+        |              w -> w IN ('the','a','of'))) > 0 THEN 'en' ELSE 'unk' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_toks,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
+        |       64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height,
+        |       'fake/rgb8' AS fmt
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
