@@ -1,0 +1,69 @@
+package graft.dim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Joins, Project}
+import graft.streaming.KeyedStore
+
+/** §2.7 — the config-driven DIM routing engine, the reference's one composite
+  * operator (`DimAPP.handle:48-80`): CDC stream → ETL → broadcast config join
+  * (`DimBroadcastFunction.java:26-97`) → per-row column pruning
+  * (`DimAPP.filterColumn:82-95`) → keyed put/delete per sink table
+  * (`DimHBaseSinkFunction.java:39-75`).
+  *
+  * The reference's cold-start preload + MapState update dance collapses into
+  * "resolve the current config per micro-batch": the config is tiny (one row
+  * per dimension table), so re-reading and re-broadcasting it each batch is
+  * free and gives the same read-your-config-writes semantics. `op='d'` config
+  * rows drop the route (K5's DROP TABLE becomes store removal).
+  */
+object DimRouter {
+
+  /** Pure routing core: ETL-filtered CDC rows joined to active config routes,
+    * data map pruned to each route's `sinkColumns`, keyed by the route's
+    * `sinkRowKey`. */
+  def route(cdc: DataFrame, config: DataFrame): DataFrame = {
+    val active = config.filter(col("op") =!= "d")
+    val joined = Joins.broadcastConfig(Project.etlFilter(cdc), active,
+      col("table") === col("sourceTable"))
+    Project.pruneColumns(joined, col("sinkColumns"))
+      .select(
+        col("sinkTable").as("sink_table"),
+        expr("element_at(data, sinkRowKey)").as("row_key"),
+        col("type").as("op_type"),
+        col("data"),
+        col("ts"))
+  }
+
+  /** One micro-batch of the full DIM pipeline: route, then apply puts/deletes
+    * into one keyed store per sink table under `storeRoot`. Call from
+    * `foreachBatch` (streaming) or once (batch backfill). */
+  def applyBatch(cdc: DataFrame, config: DataFrame, storeRoot: String): Seq[String] = {
+    val spark = cdc.sparkSession
+    // K5 — DDL-on-stream (`DimAPP.createHBaseTable:117-182`): a config row with
+    // op='d' drops the sink table; 'u' is drop+create, i.e. the store is
+    // rebuilt by subsequent routed batches.
+    val dropped = config.filter(col("op") === "d")
+      .select("sinkTable").collect().map(_.getString(0))
+    if (dropped.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(storeRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      dropped.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$storeRoot/$t"), true))
+    }
+    val routed = route(cdc, config).cache()
+    try {
+      val tables = routed.select("sink_table").distinct().collect().map(_.getString(0))
+      tables.foreach { t =>
+        KeyedStore.merge(
+          routed.filter(col("sink_table") === t)
+            .select(col("row_key"), col("op_type"), col("data"), col("ts")),
+          s"$storeRoot/$t",
+          keys = Seq("row_key"),
+          seqCols = Seq("ts", "op_type"),
+          opCol = Some("op_type"))
+      }
+      tables.toSeq
+    } finally routed.unpersist()
+  }
+}

@@ -1,0 +1,44 @@
+package graft.dim
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Envelopes
+import graft.streaming.KeyedStore
+
+/** §2.7 composite: config-driven routing end-to-end over the envelope fixture,
+  * including column pruning, keyed merge, and op='d' table drop (K5). */
+class DimRouterSpec extends SparkSpec {
+
+  test("routes CDC rows into per-table keyed stores with pruned columns") {
+    val s = spark
+    val root = Files.createTempDirectory("dimstore").toString
+    val cdc = Envelopes.maxwell(s, sfDir())
+    val cfg = Envelopes.configDim(s)
+
+    val tables = DimRouter.applyBatch(cdc, cfg, root)
+    assert(tables == Seq("dim_cart_info")) // only cart_info rows exist in the fixture
+
+    val store = KeyedStoreCompat.read(s, s"$root/dim_cart_info")
+    // pruning: only the configured sink columns survive in the data map
+    val keys = store.select(explode(map_keys(col("data"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("id", "sku_id", "sku_num"))
+    // no tombstones in final state
+    assert(store.filter(col("op_type") === "delete").count() == 0)
+    // row_key is the configured sinkRowKey ('id') value
+    assert(store.filter(col("row_key") =!= element_at(col("data"), "id")).count() == 0)
+
+    // config update: op='d' drops the sink table
+    val dropCfg = cfg.withColumn("op",
+      when(col("sinkTable") === "dim_cart_info", "d").otherwise(col("op")))
+    DimRouter.applyBatch(cdc, dropCfg, root)
+    assert(KeyedStore.read(s, s"$root/dim_cart_info").isEmpty)
+  }
+}
+
+/** Small shim so the spec reads clearly. */
+object KeyedStoreCompat {
+  def read(s: org.apache.spark.sql.SparkSession, p: String): org.apache.spark.sql.DataFrame =
+    graft.streaming.KeyedStore.read(s, p).get
+}

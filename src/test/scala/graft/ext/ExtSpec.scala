@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Envelopes
+
+/** Dedup + similarity extension checks that the SQL oracle cannot express:
+  * LSH recall vs the exhaustive path, IVF recall vs brute force. */
+class ExtSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash+LSH finds exactly the exhaustive n-gram Jaccard pairs") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
+    val exact = pairs(Dedup.ngramJaccardPairs(sh, 1, 2))
+    val lsh = pairs(Dedup.minhashLshPairs(sh, 1, 2))
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("SimHash pairs contain the highest-Jaccard near-dups") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
+    // very-near dups (Jaccard >= 9/10): all within Hamming 8, most within 2
+    // (short docs amplify simhash bit noise — observed max is 5 on sf0.001)
+    val topJac = pairs(Dedup.ngramJaccardPairs(sh, 9, 10))
+    val fps = Dedup.simhash32(docs, col("doc_id"), col("text"))
+    val loose = pairs(Dedup.simhashPairs(fps, 8))
+    val tight = pairs(Dedup.simhashPairs(fps, 2))
+    assert(topJac.subsetOf(loose),
+      s"missing ${topJac.diff(loose).size} of ${topJac.size} near-dup pairs at ham<=8")
+    val frac = topJac.intersect(tight).size.toDouble / topJac.size
+    assert(frac >= 0.7, s"only $frac of near-dups within ham<=2")
+  }
+
+  test("IVF probed top-k recalls a reasonable share of brute-force neighbors") {
+    val e = Envelopes.table(spark, sfDir(), "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.bruteForceTopK(q, e, 5))
+    val ivf = topk(Similarity.ivfTopK(q, e, 5, nProbe = 2))
+    assert(ivf.keySet == brute.keySet)
+    ivf.foreach { case (_, ns) => assert(ns.size == 5) }
+    val recall = brute.map { case (k, bs) => ivf(k).intersect(bs).size.toDouble / bs.size }
+      .sum / brute.size
+    assert(recall >= 0.2, s"IVF recall@5 = $recall") // 2 of 10 random clusters probed
+  }
+}
