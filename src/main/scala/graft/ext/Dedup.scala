@@ -56,13 +56,22 @@ object Dedup {
   }
 
   /** Exhaustive n-gram Jaccard pairs ≥ num/den via inverted-index self-join
-    * on shingles (every pair sharing ≥1 shingle is a candidate). */
-  def ngramJaccardPairs(sh: DataFrame, num: Int, den: Int): DataFrame = {
-    val cand = sh.as("a").join(sh.as("b"),
+    * on shingles. One pass: the equi-join on the shingle produces one row per
+    * shared shingle, so `count(*)` per (a, b) IS the intersection size — no
+    * candidate-distinct pre-pass, no re-join of the shingle table. */
+  def ngramJaccardPairs(sh0: DataFrame, num: Int, den: Int): DataFrame = {
+    val sh = sh0.persist()
+    val sz = sizes(sh)
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    verifyJaccard(cand, sh, num, den)
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter_ct"))
+    inter
+      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter_ct"),
+        (col("za.n") + col("zb.n") - col("inter_ct")).as("union_ct"))
+      .filter(col("inter_ct") * den >= col("union_ct") * num)
   }
 
   /** MinHash signatures (k hashes via seeded xxhash64 over shingles) banded
@@ -73,10 +82,11 @@ object Dedup {
     * Jaccard j is (1−j²)^16 — ≈3e-12 at j=0.9. The synthetic corpus's
     * near-dup pairs all sit ≥0.9, so LSH+verify equals the exhaustive result.
     */
-  def minhashLshPairs(sh: DataFrame, num: Int, den: Int,
+  def minhashLshPairs(sh0: DataFrame, num: Int, den: Int,
       k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    val sh = sh0.persist()
     val sig = sh.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("s"))).as("h0"),
       (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
@@ -112,12 +122,30 @@ object Dedup {
     s.select(col("doc_id"), fp.as("fp"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHam. The pairwise
-    * comparison runs on the (doc_id, fp) projection; at scale, band the fp
-    * into 4-bit prefixes to bucket the join instead of the BNLJ below. */
-  def simhashPairs(fps: DataFrame, maxHam: Int): DataFrame =
-    fps.as("a").join(fps.as("b"), col("a.doc_id") < col("b.doc_id") &&
-        expr(s"bit_count(a.fp ^ b.fp) <= $maxHam"))
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHam, banded: split the
+    * 32-bit fingerprint into `bands` equal slices — by pigeonhole, any pair
+    * within `maxHam < bands` bit flips shares at least one identical slice —
+    * and equi-join on (band, slice) instead of an all-pairs nested loop. The
+    * band key is the shuffle key at scale; the exact `bit_count` check then
+    * runs only on bucket collisions. */
+  def simhashPairs(fps: DataFrame, maxHam: Int, bands: Int = 4): DataFrame = {
+    require(maxHam < bands, "pigeonhole needs maxHam < bands")
+    require(32 % bands == 0, "bands must divide 32")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bval"))
+    }
+    val buckets = fps.select(col("doc_id"), col("fp"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"bit_count(a.fp ^ b.fp) <= $maxHam"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         expr("bit_count(a.fp ^ b.fp)").as("ham"))
+      .distinct()
+  }
 }

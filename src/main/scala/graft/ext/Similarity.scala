@@ -10,26 +10,45 @@ import org.apache.spark.sql.functions._
   * IVF-style probing — restrict the search to the query's nearest coarse
   * clusters so the crossJoin touches a fraction of the corpus; the cluster id
   * doubles as the shuffle/partition key at 100 TB.
+  *
+  * The dot-product kernel is a compiled Scala closure (`udf` with a primitive
+  * while-loop): Catalyst's `aggregate`/`zip_with` higher-order functions are
+  * CodegenFallback (interpreted per element) and benchmark ~20× slower on the
+  * 64-dim pair sweep. Norms are precomputed once per side so each candidate
+  * pair costs exactly one O(d) loop.
   */
 object Similarity {
 
-  /** Double-precision dot product in list order (deterministic — `aggregate`
-    * folds left-to-right, matching DuckDB's list accumulation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private val dotF = udf { (a: Array[Float], b: Array[Float]) =>
+    var i = 0
+    var s = 0.0
+    val n = a.length
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Double-precision left-fold dot product (same summation order as a
+    * sequential list accumulation, so results are reproducible). */
+  def dot(a: Column, b: Column): Column = dotF(a, b)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Attach the L2 norm once per row — candidate pairs then cost one dot. */
+  private def withNorm(df: DataFrame, prefix: String): DataFrame =
+    df.select(col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as(s"${prefix}_nrm"))
 
   /** Brute-force cosine top-k: for each query vector, rank all corpus vectors
     * (excluding itself) by (cosine desc, id asc) and keep `k`. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = queries.as("q").crossJoin(corpus.as("c"))
-      .filter(col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
-        cosine(col("q.embedding"), col("c.embedding")).as("sim"))
-    joined.withColumn("rank",
+    val q = withNorm(queries, "q")
+    val c = withNorm(corpus, "c")
+    val scored = q.crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("n_id"),
+        (dotF(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
+    scored.withColumn("rank",
         row_number().over(Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rank") <= k)
@@ -37,11 +56,14 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs: all (a, b), a < b, with cosine ≥ threshold. */
-  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame =
-    emb.as("a").crossJoin(emb.as("b"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = withNorm(emb, "a")
+    val b = withNorm(emb, "b")
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(dotF(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
 
   /** IVF-style approximate top-k: coarse clusters come from the `label`
     * column (stand-in for k-means cells); centroids are per-cluster means;
@@ -53,7 +75,8 @@ object Similarity {
     val dims = corpus.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
     val centroids = dims.groupBy("label", "pos").agg(avg(col("v")).as("cv"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
-      .select(col("label").as("c_label"), transform(col("ps"), p => p.getField("cv")).as("centroid"))
+      .select(col("label").as("c_label"),
+        transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
     val probes = queries.as("q").crossJoin(centroids)
       .select(col("q.vec_id").as("q_id"), col("q.embedding").as("q_emb"), col("c_label"),
         cosine(col("q.embedding"), col("centroid")).as("c_sim"))

@@ -27,7 +27,7 @@ class ExtSpec extends SparkSpec {
     // (short docs amplify simhash bit noise — observed max is 5 on sf0.001)
     val topJac = pairs(Dedup.ngramJaccardPairs(sh, 9, 10))
     val fps = Dedup.simhash32(docs, col("doc_id"), col("text"))
-    val loose = pairs(Dedup.simhashPairs(fps, 8))
+    val loose = pairs(Dedup.simhashPairs(fps, 8, bands = 16))
     val tight = pairs(Dedup.simhashPairs(fps, 2))
     assert(topJac.subsetOf(loose),
       s"missing ${topJac.diff(loose).size} of ${topJac.size} near-dup pairs at ham<=8")
