@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.StateQueries.queries ++
       graft.queries.SplitQueries.queries ++
       graft.queries.DwsQueries.queries ++
-      graft.queries.ExtQueries.queries
+      graft.queries.ExtQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.StateQueries.oracles ++
       graft.queries.SplitQueries.oracles ++
       graft.queries.DwsQueries.oracles ++
-      graft.queries.ExtQueries.oracles
+      graft.queries.ExtQueries.oracles ++
+      graft.queries.SourceQueries.oracles
 }
