@@ -11,25 +11,21 @@ import org.apache.spark.sql.functions._
   * clusters so the crossJoin touches a fraction of the corpus; the cluster id
   * doubles as the shuffle/partition key at 100 TB.
   *
-  * The dot-product kernel is a compiled Scala closure (`udf` with a primitive
-  * while-loop): Catalyst's `aggregate`/`zip_with` higher-order functions are
-  * CodegenFallback (interpreted per element) and benchmark ~20× slower on the
-  * 64-dim pair sweep. Norms are precomputed once per side so each candidate
-  * pair costs exactly one O(d) loop.
+  * The dot-product kernel is a native codegen Catalyst expression
+  * ([[graft.functions.DotProduct]]): Catalyst's `aggregate`/`zip_with`
+  * higher-order functions are CodegenFallback (interpreted per element, ~20×
+  * slower on the 64-dim pair sweep) and a Scala UDF pays an array
+  * serialization copy per row. Norms are precomputed once per side so each
+  * candidate pair costs exactly one O(d) loop inside whole-stage codegen.
   */
 object Similarity {
 
-  private val dotF = udf { (a: Array[Float], b: Array[Float]) =>
-    var i = 0
-    var s = 0.0
-    val n = a.length
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
-
   /** Double-precision left-fold dot product (same summation order as a
-    * sequential list accumulation, so results are reproducible). */
-  def dot(a: Column, b: Column): Column = dotF(a, b)
+    * sequential list accumulation, so results are reproducible) — the native
+    * codegen expression [[graft.functions.DotProduct]]. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  private def dotF(a: Column, b: Column): Column = dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{graftbridge, Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: double-precision dot product of two
+  * `array<float>` columns, accumulated in list order (left fold — reproducible
+  * across engines and identical to the UDF/`aggregate` formulations).
+  *
+  * Rationale (SURVEY.md §4 extension): the embedding-similarity sweep is the
+  * one hot numeric kernel in the engine. Catalyst's `aggregate`/`zip_with`
+  * higher-order functions are CodegenFallback (interpreted per element) and a
+  * Scala UDF pays a serialization copy per row; this expression stays inside
+  * whole-stage codegen and reads the columnar `ArrayData` directly.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Expose as a Column — plan-level, works in any session, no registration. */
+  def apply(a: Column, b: Column): Column =
+    graftbridge.column(DotProduct(graftbridge.expression(a), graftbridge.expression(b)))
+}
+
+/** SQL-name registration for the engine's native expressions:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` →
+  * `SELECT graft_dot(a, b)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+}

@@ -1,0 +1,23 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Envelopes
+
+/** Salted aggregation equals the direct single-shuffle aggregation. */
+class ScaleSpec extends SparkSpec {
+
+  test("salted two-stage aggregation matches direct groupBy") {
+    val li = Envelopes.table(spark, sfDir(), "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+        count(lit(1)).as("n"), max(col("l_partkey")).as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2), r.getLong(3)))).toMap
+    val salted = Scale.saltedAggregate(li, Seq(col("l_returnflag")), Seq(
+        ("q", "sum", col("l_quantity").cast("decimal(18,2)")),
+        ("n", "count", lit(1)),
+        ("mx", "max", col("l_partkey"))), buckets = 8)
+      .collect().map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(salted == direct)
+  }
+}
