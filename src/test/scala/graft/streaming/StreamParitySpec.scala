@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.model.Envelopes
+import graft.ops.Project
+
+/** §7.2 step 9 — streaming parity: the SAME operator functions run under
+  * Structured Streaming (file source of raw envelope JSON → decode → DWD
+  * pipeline, Trigger.AvailableNow) and produce exactly the batch result. */
+class StreamParitySpec extends SparkSpec {
+
+  test("file-streamed Maxwell envelopes through cart-add equal the batch query") {
+    val s = spark
+    val dir = Files.createTempDirectory("mxstream").toString
+
+    // lay the envelope down as raw JSON lines (the Kafka `value` stand-in)
+    Envelopes.maxwell(s, sfDir()).select(to_json(struct(
+        col("database"), col("table"), col("type"), col("data"), col("old"), col("ts")))
+        .as("value"))
+      .coalesce(2).write.mode("overwrite").text(dir)
+
+    def cartAdd(mx: org.apache.spark.sql.DataFrame) =
+      Project.cartIncreaseOnly(
+          Project.routeFilter(mx, "cart_info", Seq("insert", "update")))
+        .select(element_at(col("data"), "id").as("id"),
+          element_at(col("data"), "user_id").as("user_id"),
+          element_at(col("data"), "sku_id").as("sku_id"),
+          Project.cartAddDelta.as("sku_num"), col("ts"))
+
+    val streamed = Streams.decodeMaxwell(s.readStream.text(dir))
+    val q = cartAdd(streamed).writeStream
+      .format("memory").queryName("cart_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+    val got = s.table("cart_stream").collect().map(key).sorted
+    val want = cartAdd(Envelopes.maxwell(s, sfDir())).collect().map(key).sorted
+    assert(got.length == want.length && got.sameElements(want))
+    assert(want.nonEmpty)
+  }
+}
