@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.SplitQueries.queries ++
       graft.queries.DwsQueries.queries ++
       graft.queries.ExtQueries.queries ++
-      graft.queries.SourceQueries.queries
+      graft.queries.SourceQueries.queries ++
+      graft.queries.AggQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.SplitQueries.oracles ++
       graft.queries.DwsQueries.oracles ++
       graft.queries.ExtQueries.oracles ++
-      graft.queries.SourceQueries.oracles
+      graft.queries.SourceQueries.oracles ++
+      graft.queries.AggQueries.oracles
 }
