@@ -49,6 +49,17 @@ object CoreQueries {
         .orderBy(col("event_id"))
     },
 
+    // P2 side branch — the dirty rows the reference counts/prints
+    // (`DwdBaseLog.java:229`), with the rejection reason.
+    "q_log_etl_dirty" -> { (s, dir) =>
+      Project.logEtlDirty(Envelopes.logRecords(s, dir))
+        .select(col("event_id"),
+          when(col("common.mid").isNull, "no_mid")
+            .when(col("page").isNull && col("start").isNull, "no_page_start")
+            .otherwise("other").as("reason"))
+        .orderBy(col("event_id"))
+    },
+
     // P3 — map-element projection over routed cart rows.
     "q_map_project" -> { (s, dir) =>
       val routed = Project.etlFilter(Envelopes.maxwell(s, dir))
@@ -162,6 +173,16 @@ object CoreQueries {
       s"""WITH $LG
          |SELECT event_id, mid, is_new, page_id, ts FROM lg
          |WHERE (has_page OR has_start) AND mid IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
+
+    "q_log_etl_dirty" ->
+      s"""WITH $LG
+         |SELECT event_id,
+         |       CASE WHEN mid IS NULL THEN 'no_mid'
+         |            WHEN NOT (has_page OR has_start) THEN 'no_page_start'
+         |            ELSE 'other' END AS reason
+         |FROM lg
+         |WHERE NOT ((has_page OR has_start) AND mid IS NOT NULL)
          |ORDER BY event_id""".stripMargin,
 
     "q_map_project" ->
