@@ -22,14 +22,25 @@ object Dedup {
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_ct"))
 
   /** Distinct word n-gram shingles per document: (doc_id, s). Documents with
-    * fewer than `n` tokens produce no shingles. */
+    * fewer than `n` tokens produce no shingles.
+    *
+    * The token array is projected to its own column FIRST: inlining the
+    * tokenizer into the `transform` lambda would re-evaluate the full-text
+    * split for every `element_at` call (n per gram × grams per doc — measured
+    * ~5× the whole stage's cost on the sf0.1 corpus). */
   def shingles(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
-    val t = TextStats.toks(textCol)
+    val t = col("__toks")
     val grams = when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
     ).otherwise(array().cast("array<string>"))
-    df.select(idCol.as("doc_id"), explode(array_distinct(grams)).as("s"))
+    // The testdata parquet is a single row group → a 1-partition scan; spread
+    // the (cheap, narrow) token rows across cores BEFORE the gram explosion,
+    // which is the CPU-heavy part. On properly-sized inputs this exchange is
+    // a no-op cost next to the shingle work it parallelizes.
+    df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("s"))
   }
 
   /** Shingle-set sizes per doc. */
@@ -37,15 +48,19 @@ object Dedup {
     sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
   /** Attach exact intersection/union counts to candidate (a_id, b_id) pairs
-    * and keep pairs with Jaccard ≥ num/den. Only candidate pairs are touched —
-    * this is the LSH verify step, and also the exhaustive path when `cand`
-    * is every shingle-sharing pair. */
+    * and keep pairs with Jaccard ≥ num/den. The shingle table is first pruned
+    * to candidate docs with a broadcast semi-join (the candidate set is tiny
+    * relative to the corpus — that asymmetry is the whole point of LSH), so
+    * the intersection join shuffles only candidate shingles. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
       num: Int, den: Int): DataFrame = {
-    val sz = sizes(sh)
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sz = sizes(shc)
     val inter = cand
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .join(shc.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shc.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_ct"))
     inter
       .join(sz.as("za"), col("a_id") === col("za.doc_id"))
@@ -96,11 +111,14 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // persist: verify uses candidates twice (pair join + doc-set broadcast),
+    // and the signature aggregation above must not replay for each use
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+      .persist()
     verifyJaccard(cand, sh, num, den)
   }
 
@@ -109,7 +127,9 @@ object Dedup {
     * fingerprint bit i set iff the sum is positive. Engine-portable (md5 and
     * integer ops only). */
   def simhash32(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val tok = df.select(idCol.as("doc_id"), explode(TextStats.toks(textCol)).as("tok"))
+    val tok = df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism) // see shingles()
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
     val withMd5 = tok.withColumn("h", md5(col("tok")))
     val sums = (0 until 32).map { i =>
