@@ -32,7 +32,10 @@ object DimRouter {
         expr("element_at(data, sinkRowKey)").as("row_key"),
         col("type").as("op_type"),
         col("data"),
-        col("ts"))
+        col("ts"),
+        // total-order tiebreak: (ts, op_type) can tie for a duplicated row key,
+        // and the winning VALUE must not depend on micro-batch boundaries
+        to_json(col("data")).as("payload"))
   }
 
   /** One micro-batch of the full DIM pipeline: route, then apply puts/deletes
@@ -57,10 +60,10 @@ object DimRouter {
       tables.foreach { t =>
         KeyedStore.merge(
           routed.filter(col("sink_table") === t)
-            .select(col("row_key"), col("op_type"), col("data"), col("ts")),
+            .select(col("row_key"), col("op_type"), col("data"), col("ts"), col("payload")),
           s"$storeRoot/$t",
           keys = Seq("row_key"),
-          seqCols = Seq("ts", "op_type"),
+          seqCols = Seq("ts", "op_type", "payload"),
           opCol = Some("op_type"))
       }
       tables.toSeq
