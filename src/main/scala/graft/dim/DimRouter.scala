@@ -51,8 +51,10 @@ object DimRouter {
     if (dropped.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(storeRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      dropped.foreach(t =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$storeRoot/$t"), true))
+      dropped.foreach { t =>
+        Seq("", "__bak", "__tmp").foreach(sfx =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$storeRoot/$t$sfx"), true))
+      }
     }
     val routed = route(cdc, config).cache()
     try {
@@ -63,8 +65,7 @@ object DimRouter {
             .select(col("row_key"), col("op_type"), col("data"), col("ts"), col("payload")),
           s"$storeRoot/$t",
           keys = Seq("row_key"),
-          seqCols = Seq("ts", "op_type", "payload"),
-          opCol = Some("op_type"))
+          seqCols = Seq("ts", "op_type", "payload"))
       }
       tables.toSeq
     } finally routed.unpersist()

@@ -74,8 +74,11 @@ object Dedup {
     * on shingles. One pass: the equi-join on the shingle produces one row per
     * shared shingle, so `count(*)` per (a, b) IS the intersection size — no
     * candidate-distinct pre-pass, no re-join of the shingle table. */
-  def ngramJaccardPairs(sh0: DataFrame, num: Int, den: Int): DataFrame = {
-    val sh = sh0.persist()
+  def ngramJaccardPairs(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    // sh is consumed twice (self-join + sizes); recomputing the narrow
+    // shingle lineage is cheaper than pinning it in cache for the session
+    // lifetime (these functions return lazy plans, so a persist here could
+    // never be paired with an unpersist).
     val sz = sizes(sh)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -97,11 +100,10 @@ object Dedup {
     * Jaccard j is (1−j²)^16 — ≈3e-12 at j=0.9. The synthetic corpus's
     * near-dup pairs all sit ≥0.9, so LSH+verify equals the exhaustive result.
     */
-  def minhashLshPairs(sh0: DataFrame, num: Int, den: Int,
+  def minhashLshPairs(sh: DataFrame, num: Int, den: Int,
       k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sh = sh0.persist()
     val sig = sh.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("s"))).as("h0"),
       (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
@@ -112,7 +114,9 @@ object Dedup {
     val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // persist: verify uses candidates twice (pair join + doc-set broadcast),
-    // and the signature aggregation above must not replay for each use
+    // and the signature aggregation above must not replay for each use.
+    // This is the one cache this module pins (small: LSH candidate pairs);
+    // the session owns its lifetime.
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

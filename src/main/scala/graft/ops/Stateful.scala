@@ -33,18 +33,24 @@ object Stateful {
     lastWriteWins(df, keys, seqDesc).filter(typeCol =!= deleteType)
 
   /** T5 — new-visitor repair (`DwdBaseLog.isNewFix:135-183`, rules :154-178).
-    * Batch equivalent over a complete log: the keyed `first_login_dt` state is
-    * the mid's earliest event date, so `is_new=1` stays 1 only on that date and
-    * is rewritten to 0 afterwards; `is_new=0` rows always stay 0 (the state
-    * backfill to "yesterday" only affects the unobservable state, never the
-    * emitted value). Streaming twin: graft.streaming.IsNewFix.
+    * Batch equivalent over a complete log, exactly mirroring the streaming
+    * `ValueState` rules: the state is set by the mid's FIRST event (in
+    * `orderCols` order) and never changes — to that event's date if it claimed
+    * `is_new=1`, else to the day BEFORE it (the reference's "old visitor"
+    * backfill). An `is_new=1` row keeps 1 iff its date equals that state; so
+    * a mid whose first event was `is_new=0` rewrites even same-day `is_new=1`
+    * claims to 0. Streaming twin: graft.streaming.IsNewFix (asserted equal in
+    * IsNewFixStreamSpec, including the mixed same-day case).
     *
-    * @param dtCol  `yyyy-MM-dd` event date column
-    * @param midCol device id column */
+    * @param dtCol     `yyyy-MM-dd` event date column
+    * @param midCol    device id column
+    * @param orderCols total arrival order within a mid (e.g. ts, event_id) */
   def isNewFixBatch(lg: DataFrame, midCol: Column, dtCol: Column,
-      isNewCol: Column): DataFrame = {
-    val firstDt = min(dtCol).over(Window.partitionBy(midCol))
+      isNewCol: Column, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(midCol).orderBy(orderCols: _*)
+    val stateDt = when(first(isNewCol).over(w) === "1", first(dtCol).over(w))
+      .otherwise(date_format(date_sub(to_date(first(dtCol).over(w)), 1), "yyyy-MM-dd"))
     lg.withColumn("is_new_fixed",
-      when(isNewCol === "1" && dtCol === firstDt, "1").otherwise("0"))
+      when(isNewCol === "1" && dtCol === stateDt, "1").otherwise("0"))
   }
 }

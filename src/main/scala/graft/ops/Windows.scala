@@ -25,10 +25,11 @@ object Windows {
       .withColumn("ws", expr("unix_millis(__w.start) div 1000"))
       .drop("__w")
 
-  /** Whitespace tokenizer (ikanalyzer stand-in for
+  /** Tokenizer (ikanalyzer stand-in for
     * `dws_traffic_source_keyword_page_view_window`, `pom.xml:205`): lowercase,
-    * split on whitespace runs, drop empties. Pure column expression (codegen'd),
-    * not a UDF. */
+    * split on single spaces (matching every other text operator and the
+    * DuckDB `string_split(lower(x), ' ')` oracles), drop empties. Pure column
+    * expression (codegen'd), not a UDF. */
   def tokenize(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    filter(split(lower(text), " ", -1), t => length(t) > 0)
 }

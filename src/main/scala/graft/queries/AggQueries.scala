@@ -28,9 +28,13 @@ object AggQueries {
         .orderBy(col("ws"), col("rk"))
     },
 
-    // Gap-based session windows (30 min) per user over events.
+    // Gap-based session windows (30 min) per user over events. The timestamp
+    // is truncated to milliseconds first: the oracle compares gaps on
+    // epoch_ms, and a micro-precision gap of 1799999.6 ms would merge in
+    // Spark but split in the floored-ms oracle.
     "q_session_window" -> { (s, dir) =>
       val ev = Envelopes.events(s, dir)
+        .withColumn("ts", timestamp_millis(expr("unix_millis(ts)")))
       val sessions = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("ev_ct"))
       sessions.groupBy(col("user_id"))

@@ -31,10 +31,12 @@ object ExtQueries {
 
     // MinHash(32)+LSH(16 bands) candidates, exact-verified at Jaccard ≥ 0.5.
     // Same result as q_dedup_ngram (recall ≈ 1−3e-12 for this corpus's ≥0.9
-    // near-dup pairs) at a fraction of the join fan-out.
+    // near-dup pairs) at a fraction of the join fan-out. The shingle table is
+    // consumed by three stages (signatures + both verify sides), so the query
+    // pins it — cache ownership sits with the pipeline, not the operator.
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashLshPairs(
-          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2)
+          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist(), 1, 2)
         .orderBy(col("a_id"), col("b_id"))
     },
 

@@ -10,20 +10,25 @@ import graft.ops.{Project, Stateful}
 object StateQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Shared typed Maxwell projection for K3/K4 (the Scala twin of the MXV
+    * oracle CTE below — keep them in lockstep). */
+  private def mxv(s: SparkSession, dir: String): DataFrame =
+    Project.etlFilter(Envelopes.maxwell(s, dir))
+      .select(element_at(col("data"), "order_id").cast("long").as("order_id"),
+        element_at(col("data"), "id").cast("long").as("id"),
+        col("type").as("typ"),
+        element_at(col("data"), "sku_num").as("sku_num"),
+        col("ts"))
+
+  /** Version order for K3/K4. (ts, id) is NOT unique in the synthetic data
+    * (duplicate (l_orderkey, l_linenumber) pairs exist) — the payload columns
+    * extend it to a total order so the winning VALUE is deterministic. */
+  private val versionOrder = Seq(col("ts"), col("id"), col("sku_num"), col("typ"))
+
   val queries: Map[String, QFn] = Map(
     // K3 — upsert (keyed compaction): last version per order_id wins.
     "q_upsert_dedup" -> { (s, dir) =>
-      val mx = Project.etlFilter(Envelopes.maxwell(s, dir))
-        .select(element_at(col("data"), "order_id").cast("long").as("order_id"),
-          element_at(col("data"), "id").cast("long").as("id"),
-          col("type").as("typ"),
-          element_at(col("data"), "sku_num").as("sku_num"),
-          col("ts"))
-      // (ts, id) is NOT unique in the synthetic data (duplicate
-      // (l_orderkey, l_linenumber) pairs exist) — extend the version order with
-      // the payload columns to make the winning VALUE deterministic.
-      Stateful.lastWriteWins(mx, Seq(col("order_id")),
-        Seq(col("ts"), col("id"), col("sku_num"), col("typ")))
+      Stateful.lastWriteWins(mxv(s, dir), Seq(col("order_id")), versionOrder)
         .select(col("order_id"), col("id").as("last_id"), col("typ").as("last_typ"),
           col("sku_num").as("last_sku_num"))
         .orderBy(col("order_id"))
@@ -31,14 +36,8 @@ object StateQueries {
 
     // K4 — keyed put/delete merge: final dim state after applying ops in order.
     "q_dim_merge" -> { (s, dir) =>
-      val mx = Project.etlFilter(Envelopes.maxwell(s, dir))
-        .select(element_at(col("data"), "order_id").cast("long").as("order_id"),
-          element_at(col("data"), "id").cast("long").as("id"),
-          col("type").as("typ"),
-          element_at(col("data"), "sku_num").as("sku_num"),
-          col("ts"))
-      Stateful.mergeFinalState(mx, Seq(col("order_id")),
-          Seq(col("ts"), col("id"), col("sku_num"), col("typ")), col("typ"))
+      Stateful.mergeFinalState(mxv(s, dir), Seq(col("order_id")),
+          versionOrder, col("typ"))
         .select(col("order_id"), col("sku_num").as("last_sku_num"))
         .orderBy(col("order_id"))
     },
@@ -47,9 +46,10 @@ object StateQueries {
     "q_isnew_fix" -> { (s, dir) =>
       val lg = Project.logEtl(Envelopes.logRecords(s, dir))
         .select(col("event_id"), col("common.mid").as("mid"),
-          col("common.is_new").as("is_new"),
+          col("common.is_new").as("is_new"), col("ts"),
           date_format(timestamp_millis(col("ts")), "yyyy-MM-dd").as("dt"))
-      Stateful.isNewFixBatch(lg, col("mid"), col("dt"), col("is_new"))
+      Stateful.isNewFixBatch(lg, col("mid"), col("dt"), col("is_new"),
+          Seq(col("ts"), col("event_id")))
         .select(col("event_id"), col("mid"), col("is_new"), col("dt"), col("is_new_fixed"))
         .orderBy(col("event_id"))
     })
@@ -84,12 +84,17 @@ object StateQueries {
     "q_isnew_fix" ->
       s"""WITH $LG,
          |v AS (
-         |  SELECT event_id, mid, is_new,
+         |  SELECT event_id, mid, is_new, ts,
          |         strftime(make_timestamp(ts * 1000), '%Y-%m-%d') AS dt
          |  FROM lg
          |  WHERE (has_page OR has_start) AND mid IS NOT NULL),
-         |m AS (SELECT *, MIN(dt) OVER (PARTITION BY mid) AS first_dt FROM v)
+         |m AS (SELECT *,
+         |        first_value(is_new) OVER (PARTITION BY mid ORDER BY ts, event_id) AS f_new,
+         |        first_value(dt) OVER (PARTITION BY mid ORDER BY ts, event_id) AS f_dt
+         |      FROM v)
          |SELECT event_id, mid, is_new, dt,
-         |       CASE WHEN is_new = '1' AND dt = first_dt THEN '1' ELSE '0' END AS is_new_fixed
+         |       CASE WHEN is_new = '1' AND dt = (CASE WHEN f_new = '1' THEN f_dt
+         |              ELSE strftime(CAST(f_dt AS DATE) - 1, '%Y-%m-%d') END)
+         |            THEN '1' ELSE '0' END AS is_new_fixed
          |FROM m ORDER BY event_id""".stripMargin)
 }

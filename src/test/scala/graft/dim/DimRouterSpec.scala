@@ -7,7 +7,8 @@ import graft.model.Envelopes
 import graft.streaming.KeyedStore
 
 /** §2.7 composite: config-driven routing end-to-end over the envelope fixture,
-  * including column pruning, keyed merge, and op='d' table drop (K5). */
+  * including column pruning, keyed merge with tombstone retention, and op='d'
+  * table drop (K5). */
 class DimRouterSpec extends SparkSpec {
 
   test("routes CDC rows into per-table keyed stores with pruned columns") {
@@ -19,15 +20,17 @@ class DimRouterSpec extends SparkSpec {
     val tables = DimRouter.applyBatch(cdc, cfg, root)
     assert(tables == Seq("dim_cart_info")) // only cart_info rows exist in the fixture
 
-    val store = KeyedStoreCompat.read(s, s"$root/dim_cart_info")
+    val raw = KeyedStore.read(s, s"$root/dim_cart_info").get
+    val active = KeyedStore.readActive(s, s"$root/dim_cart_info").get
     // pruning: only the configured sink columns survive in the data map
-    val keys = store.select(explode(map_keys(col("data"))).as("k"))
+    val keys = active.select(explode(map_keys(col("data"))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted
     assert(keys.toSeq == Seq("id", "sku_id", "sku_num"))
-    // no tombstones in final state
-    assert(store.filter(col("op_type") === "delete").count() == 0)
+    // tombstones are retained in storage but hidden from the live view
+    assert(raw.filter(col("op_type") === "delete").count() > 0)
+    assert(active.filter(col("op_type") === "delete").count() == 0)
     // row_key is the configured sinkRowKey ('id') value
-    assert(store.filter(col("row_key") =!= element_at(col("data"), "id")).count() == 0)
+    assert(active.filter(col("row_key") =!= element_at(col("data"), "id")).count() == 0)
 
     // config update: op='d' drops the sink table
     val dropCfg = cfg.withColumn("op",
@@ -35,10 +38,4 @@ class DimRouterSpec extends SparkSpec {
     DimRouter.applyBatch(cdc, dropCfg, root)
     assert(KeyedStore.read(s, s"$root/dim_cart_info").isEmpty)
   }
-}
-
-/** Small shim so the spec reads clearly. */
-object KeyedStoreCompat {
-  def read(s: org.apache.spark.sql.SparkSession, p: String): org.apache.spark.sql.DataFrame =
-    graft.streaming.KeyedStore.read(s, p).get
 }

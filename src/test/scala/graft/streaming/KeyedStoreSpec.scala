@@ -4,16 +4,17 @@ import java.nio.file.Files
 import graft.SparkSpec
 
 /** K3/K4 — keyed upsert store across micro-batches: last write wins, deletes
-  * tombstone keys, re-insert after delete resurrects. */
+  * tombstone keys, and final state is independent of batch boundaries (a
+  * late-arriving LOWER-seq put must not resurrect a deleted key). */
 class KeyedStoreSpec extends SparkSpec {
 
-  test("multi-batch merge applies put/delete semantics in sequence order") {
+  test("multi-batch merge applies put/delete semantics in version order") {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("keyedstore").toString + "/t"
 
-    def st(): Map[String, (String, Long)] =
-      KeyedStore.read(s, dir).get.collect()
+    def active(): Map[String, (String, Long)] =
+      KeyedStore.readActive(s, dir, opCol = "op").get.collect()
         .map(r => r.getAs[String]("k") -> ((r.getAs[String]("v"), r.getAs[Long]("seq"))))
         .toMap
 
@@ -21,19 +22,26 @@ class KeyedStoreSpec extends SparkSpec {
     KeyedStore.merge(
       Seq(("k1", "v1", 10L, "put"), ("k2", "v2", 10L, "put"), ("k1", "v0", 5L, "put"))
         .toDF("k", "v", "seq", "op"),
-      dir, keys = Seq("k"), seqCols = Seq("seq"), opCol = Some("op"))
-    assert(st() == Map("k1" -> (("v1", 10L)), "k2" -> (("v2", 10L))))
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    assert(active() == Map("k1" -> (("v1", 10L)), "k2" -> (("v2", 10L))))
 
     // batch 2: update k1, delete k2
     KeyedStore.merge(
       Seq(("k1", "v9", 20L, "put"), ("k2", "x", 20L, "delete")).toDF("k", "v", "seq", "op"),
-      dir, keys = Seq("k"), seqCols = Seq("seq"), opCol = Some("op"))
-    assert(st() == Map("k1" -> (("v9", 20L))))
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    assert(active() == Map("k1" -> (("v9", 20L))))
 
-    // batch 3: re-insert k2 after its delete
+    // batch 3: LATE put for k2 below the tombstone's seq — must stay deleted
+    // (would wrongly resurrect if tombstones were physically dropped)
+    KeyedStore.merge(
+      Seq(("k2", "late", 15L, "put")).toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    assert(active() == Map("k1" -> (("v9", 20L))))
+
+    // batch 4: re-insert k2 above the tombstone — resurrects
     KeyedStore.merge(
       Seq(("k2", "vNew", 30L, "put")).toDF("k", "v", "seq", "op"),
-      dir, keys = Seq("k"), seqCols = Seq("seq"), opCol = Some("op"))
-    assert(st() == Map("k1" -> (("v9", 20L)), "k2" -> (("vNew", 30L))))
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    assert(active() == Map("k1" -> (("v9", 20L)), "k2" -> (("vNew", 30L))))
   }
 }
