@@ -61,6 +61,43 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Signed-random-projection LSH near-dup pairs — the scale path for
+    * [[cosinePairs]]: sketch each vector with `bits` Rademacher hyperplane
+    * signs (deterministic from `seed`, materialized as literal arrays so the
+    * sketch is one native dot per bit inside codegen), band the sketch, and
+    * equi-join on (band, bandValue) instead of crossing the corpus. Bucket
+    * collisions are exact-verified at `threshold`, so precision is 1; recall
+    * at the threshold is 1−(1−p^g)^bands with p = 1−θ/π (≈0.9998 for the
+    * default 16×2 at cosine 0.45). The band key is the shuffle key at 100 TB.
+    *
+    * @param dim embedding dimensionality (hyperplanes are built driver-side) */
+  def srpPairs(emb: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 32, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    val g = bits / bands
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val bitCols = planes.map(p =>
+      when(dot(col("embedding"), typedLit(p.toSeq)) > 0, 1).otherwise(0))
+    val bandStructs = (0 until bands).map { b =>
+      val bval = (0 until g).map(j => bitCols(b * g + j) * (1 << j)).reduce(_ + _)
+      struct(lit(b).as("band"), bval.as("bval"))
+    }
+    val buckets = emb.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val a = withNorm(emb, "va")
+    val b = withNorm(emb, "vb")
+    cand.join(a, col("a_id") === col("va_id"))
+      .join(b, col("b_id") === col("vb_id"))
+      .filter(dotF(col("va_emb"), col("vb_emb")) / (col("va_nrm") * col("vb_nrm")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** IVF-style approximate top-k: coarse clusters come from the `label`
     * column (stand-in for k-means cells); centroids are per-cluster means;
     * each query probes its `nProbe` nearest centroids and ranks only those

@@ -69,6 +69,14 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // SRP-LSH scale path for the same pairs (banded hyperplane sketch join +
+    // exact verify). Probabilistic recall (≈1−1.6e-4 per boundary pair) →
+    // rows-only check here; precision/recall asserted in ExtSpec.
+    "q_embed_dup_lsh" -> { (s, dir) =>
+      Similarity.srpPairs(embs(s, dir), 0.45, dim = 64)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Text quality scoring.
     "q_text_quality" -> { (s, dir) =>
       TextStats.quality(docs(s, dir), col("text"))

@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties the engine promises
+  * (broadcast dims, pruned scans, partial aggregation, no cartesian joins on
+  * keyed paths) must survive refactors. String-level checks on the executed
+  * plan keep them cheap and intent-revealing. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir("sf0.001")).queryExecution.executedPlan.toString
+
+  test("lookup joins broadcast the dim side") {
+    assert(plan("q_join_lookup").contains("BroadcastHashJoin"))
+    assert(plan("q_dws_sku").contains("BroadcastHashJoin"))
+    // the config join's `table` column is a literal in the envelope fixture,
+    // so Catalyst folds the equi-condition into a right-side filter and the
+    // join degenerates to a broadcast of the (filtered, 1-row) config — a
+    // broadcast either way; it must never shuffle the stream side
+    val p = plan("q_join_broadcast")
+    assert(p.contains("Broadcast") && !p.contains("SortMergeJoin"))
+  }
+
+  test("scans are column-pruned") {
+    // envelope queries read lineitem: the scan must not include money columns
+    // it never uses
+    val p = plan("q_route_filter")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "unused column not pruned from scan")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan("q_dws_province")
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(500))
+  }
+
+  test("the interval join keeps an equi-key (no cartesian product)") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("CartesianProduct"), "interval join degraded to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "interval join lost its equi-key")
+  }
+}

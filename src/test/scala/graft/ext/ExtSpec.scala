@@ -35,6 +35,16 @@ class ExtSpec extends SparkSpec {
     assert(frac >= 0.7, s"only $frac of near-dups within ham<=2")
   }
 
+  test("SRP-LSH near-dup pairs: precision 1 and near-total recall vs brute force") {
+    val e = Envelopes.table(spark, sfDir(), "embeddings")
+    val brute = pairs(Similarity.cosinePairs(e, 0.45))
+    val lsh = pairs(Similarity.srpPairs(e, 0.45, dim = 64))
+    assert(lsh.subsetOf(brute), "exact verify must make precision 1")
+    assert(brute.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SRP recall = $recall")
+  }
+
   test("IVF probed top-k recalls a reasonable share of brute-force neighbors") {
     val e = Envelopes.table(spark, sfDir(), "embeddings")
     val q = e.filter(col("vec_id") < 10)
