@@ -38,4 +38,44 @@ object Multimodal {
         }
       }
   }
+
+  final case class ResizedMedia(doc_id: Long, width: Long, height: Long,
+      media: Array[Byte])
+
+  /** STUB resize to a bounding box: real code would decode → scale → re-encode
+    * per partition; the stub deterministically truncates/repeats bytes to the
+    * target "pixel" count so downstream schema/size contracts are exercised. */
+  def resize(df: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val (w0, h0) = (64L + n % 512, 64L + (n * 7) % 512)
+          val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+          val (w, h) = (math.max(1L, (w0 * scale).toLong), math.max(1L, (h0 * scale).toLong))
+          // STUB: a real implementation re-encodes; we size the buffer as w*h/64
+          val out = java.util.Arrays.copyOf(bytes, math.max(1, (w * h / 64).toInt))
+          ResizedMedia(id, w, h, out)
+        }
+      }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling for video-like media: every k-th "frame" (fixed-size
+    * byte window) becomes a row — the explode-shaped generator contract a real
+    * ffmpeg-backed sampler would keep. */
+  def sampleFrames(df: DataFrame, everyK: Int, frameBytes: Int = 16): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        // STUB: windows of the raw bytes stand in for decoded frames.
+        bytes.grouped(frameBytes).zipWithIndex
+          .filter { case (_, i) => i % everyK == 0 }
+          .map { case (chunk, i) => Frame(id, i, chunk) }
+      }
+  }
 }
