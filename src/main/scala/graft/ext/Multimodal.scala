@@ -22,6 +22,11 @@ object Multimodal {
   def withFakeMedia(df: DataFrame): DataFrame =
     df.withColumn("media", encode(col("text"), "UTF-8"))
 
+  /** STUB geometry shared by decode/resize (and mirrored by the q_mm_meta
+    * oracle): fake (width, height) as a deterministic function of the byte
+    * length. Single source — a real decoder replaces exactly this. */
+  private def fakeDims(n: Long): (Long, Long) = (64L + n % 512, 64L + (n * 7) % 512)
+
   /** STUB decode: derives deterministic fake metadata from the byte length.
     * Replace the body marked STUB with a real codec (e.g. javax.imageio /
     * JNI ffmpeg) — the partition-batched contract stays identical. */
@@ -34,7 +39,8 @@ object Multimodal {
         it.map { case (id, bytes) =>
           // STUB: pretend-decode; deterministic function of the bytes.
           val n = bytes.length.toLong
-          MediaMeta(id, n, 64L + n % 512, 64L + (n * 7) % 512, "fake/rgb8")
+          val (w, h) = fakeDims(n)
+          MediaMeta(id, n, w, h, "fake/rgb8")
         }
       }
   }
@@ -52,7 +58,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = bytes.length.toLong
-          val (w0, h0) = (64L + n % 512, 64L + (n * 7) % 512)
+          val (w0, h0) = fakeDims(n)
           val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
           val (w, h) = (math.max(1L, (w0 * scale).toLong), math.max(1L, (h0 * scale).toLong))
           // STUB: a real implementation re-encodes; we size the buffer as w*h/64
@@ -68,6 +74,8 @@ object Multimodal {
     * byte window) becomes a row — the explode-shaped generator contract a real
     * ffmpeg-backed sampler would keep. */
   def sampleFrames(df: DataFrame, everyK: Int, frameBytes: Int = 16): Dataset[Frame] = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]

@@ -72,9 +72,10 @@ object Similarity {
     *
     * @param dim embedding dimensionality (hyperplanes are built driver-side) */
   def srpPairs(emb: DataFrame, threshold: Double, dim: Int,
-      bits: Int = 32, bands: Int = 16, seed: Long = 42L): DataFrame = {
+      bits: Int = 36, bands: Int = 12, seed: Long = 42L): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
     val g = bits / bands
+    require(g <= 31, s"band width $g would overflow the Int band value")
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
     val bitCols = planes.map(p =>
@@ -83,19 +84,20 @@ object Similarity {
       val bval = (0 until g).map(j => bitCols(b * g + j) * (1 << j)).reduce(_ + _)
       struct(lit(b).as("band"), bval.as("bval"))
     }
-    val buckets = emb.select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // Buckets carry the vector and its norm so the exact verify runs INLINE as
+    // the bucket join's residual condition — no second pass over a materialized
+    // candidate set, and the only distinct() is over the (small) survivors.
+    val buckets = emb.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.vec_id") < col("y.vec_id"))
+          col("x.vec_id") < col("y.vec_id") &&
+          dotF(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm")) >= threshold)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val a = withNorm(emb, "va")
-    val b = withNorm(emb, "vb")
-    cand.join(a, col("a_id") === col("va_id"))
-      .join(b, col("b_id") === col("vb_id"))
-      .filter(dotF(col("va_emb"), col("vb_emb")) / (col("va_nrm") * col("vb_nrm")) >= threshold)
-      .select(col("a_id"), col("b_id"))
   }
 
   /** IVF-style approximate top-k: coarse clusters come from the `label`

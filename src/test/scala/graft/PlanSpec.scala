@@ -30,7 +30,7 @@ class PlanSpec extends SparkSpec {
 
   test("aggregations are partial (map-side combine) before the shuffle") {
     val p = plan("q_dws_province")
-    assert(p.contains("partial_count") || p.contains("partial"), p.take(500))
+    assert(p.contains("partial_count"), p.take(500))
   }
 
   test("the interval join keeps an equi-key (no cartesian product)") {

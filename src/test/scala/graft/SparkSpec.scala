@@ -17,5 +17,9 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // match the production sessions (Bench/Verify/GraftSession): plans the
+    // suite asserts on must be the plans the engine ships with
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
