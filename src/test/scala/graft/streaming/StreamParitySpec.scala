@@ -43,4 +43,38 @@ class StreamParitySpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
     assert(want.nonEmpty)
   }
+
+  test("watermarked streaming window aggregation equals batch on closed windows") {
+    val s = spark
+    val dir = Files.createTempDirectory("evstream").toString
+    // stream the events table (copied out so readStream sees one-table dir)
+    val ev = Envelopes.events(s, sfDir())
+    ev.write.mode("overwrite").parquet(dir)
+    val schema = ev.schema
+
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("ct"))
+        .select(col("window.start").as("ws"), col("event_type"), col("ct"))
+
+    val q = agg(s.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("win_parity")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = toMap(s.table("win_parity").collect())
+    val batch = toMap(agg(ev).collect())
+    // append mode emits a window only once the watermark passes its end; the
+    // final watermark stops 10 min short of max ts, so the last open window(s)
+    // stay unemitted — every emitted window must match batch exactly, and all
+    // provably-closed windows must have been emitted.
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch.get(k).contains(v), s"window $k") }
+    val maxTs = ev.agg(max(expr("unix_millis(ts)"))).head().getLong(0)
+    val closed = batch.filter { case ((ws, _), _) => ws + 3600000L <= maxTs - 600000L }
+    closed.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"missing closed window $k") }
+  }
 }
