@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.DwsQueries.queries ++
       graft.queries.ExtQueries.queries ++
       graft.queries.SourceQueries.queries ++
-      graft.queries.AggQueries.queries
+      graft.queries.AggQueries.queries ++
+      graft.queries.DwdComposite.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.DwsQueries.oracles ++
       graft.queries.ExtQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
-      graft.queries.AggQueries.oracles
+      graft.queries.AggQueries.oracles ++
+      graft.queries.DwdComposite.oracles
 }
