@@ -39,6 +39,16 @@ object SplitQueries {
         .orderBy(col("event_id"))
     },
 
+    // X2 — actions[] explode (the second exploded array, `DwdBaseLog.java:111`).
+    "q_explode_actions" -> { (s, dir) =>
+      Split.explodeWithParent(valid(s, dir), col("actions"),
+          Seq(col("event_id"), col("common.mid").as("mid")), "a")
+        .select(col("event_id"), col("mid"),
+          col("a.action_id").as("action_id"), col("a.item").as("item"),
+          col("a.ts").as("action_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // X2 — displays[] explode with parent enrichment.
     "q_explode" -> { (s, dir) =>
       Split.explodeWithParent(valid(s, dir), col("displays"),
@@ -71,6 +81,13 @@ object SplitQueries {
          |SELECT event_id, mid, event_id % 100 AS error_code,
          |       'boom' AS msg, ts FROM lg
          |WHERE $VALID AND has_err
+         |ORDER BY event_id""".stripMargin,
+
+    "q_explode_actions" ->
+      s"""WITH $LG
+         |SELECT event_id, mid, 'favor_add' AS action_id,
+         |       CAST(event_id % 50 AS VARCHAR) AS item, ts AS action_ts
+         |FROM lg WHERE $VALID AND page_id = 'good_detail'
          |ORDER BY event_id""".stripMargin,
 
     "q_explode" ->

@@ -20,4 +20,13 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2), r.getLong(3)))).toMap
     assert(salted == direct)
   }
+
+  test("colocate pre-partitions so the downstream aggregation adds no exchange") {
+    val li = Envelopes.table(spark, sfDir(), "lineitem")
+    val plan = Scale.colocate(li, Seq(col("l_returnflag")), 8)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the explicit repartition; the groupBy reuses it
+    assert(plan.split("Exchange").length - 1 == 1, plan.take(800))
+  }
 }
