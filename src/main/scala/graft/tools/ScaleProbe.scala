@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Scaling probe (dev tool, not part of the driver protocol): synthesizes an
+  * N× copy of the sf0.1 testdata under /tmp with shifted keys, properly
+  * partitioned parquet (the driver files are single row groups), and times a
+  * representative query per family — evidence for "does the plan survive a
+  * scale-up", not a benchmark.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [copies] [outDir]
+  */
+object ScaleProbe {
+
+  private val KeyShift = 100000000L
+
+  def replicate(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+    def li(c: Int) = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .withColumn("l_orderkey", col("l_orderkey") + lit(c * KeyShift))
+    def ord(c: Int) = spark.read.parquet(s"$srcDir/orders.parquet")
+      .withColumn("o_orderkey", col("o_orderkey") + lit(c * KeyShift))
+    def ev(c: Int) = spark.read.parquet(s"$srcDir/events.parquet")
+      .withColumn("event_id", col("event_id") + lit(c * KeyShift))
+      .withColumn("user_id", col("user_id") + lit(c * 1000L))
+    def doc(c: Int) = spark.read.parquet(s"$srcDir/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+      .withColumn("text", concat(col("text"), lit(s" copytoken$c a$c b$c")))
+    def emb(c: Int) = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + lit(c * KeyShift))
+
+    def unionN(f: Int => DataFrame, n: Int) = (0 until n).map(f).reduce(_ union _)
+    val parts = spark.sparkContext.defaultParallelism
+    unionN(li, copies).repartition(parts).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    unionN(ord, copies).repartition(parts).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    unionN(ev, copies).repartition(parts).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    unionN(doc, math.max(2, copies / 2)).repartition(parts).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    unionN(emb, math.max(2, copies / 2)).repartition(parts).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$srcDir/$t.parquet").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val outDir = args.lift(1).getOrElse("/tmp/graft_scale_probe")
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+
+    val probes = Seq("q1_agg", "q_join_inner", "q_upsert_dedup", "q_dws_vc_ch_ar",
+      "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash", "q_embed_dup_lsh",
+      "q_dwd_order_detail", "q_topk_sku")
+    val times = probes.map { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, outDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $name $sec%.2f s ($n rows)")
+      name -> sec
+    }
+    println("{" + times.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}")
+    spark.stop()
+  }
+}
