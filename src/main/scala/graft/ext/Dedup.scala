@@ -126,6 +126,39 @@ object Dedup {
     verifyJaccard(cand, sh, num, den)
   }
 
+  /** Connected components over near-dup pairs → keeper assignment: every doc
+    * in a duplicate cluster maps to the cluster's minimum doc_id (the row a
+    * pipeline keeps). Min-label propagation to fixpoint — each round joins the
+    * labels over the (small) edge set; lineage is cut per round with
+    * `localCheckpoint`. At 100 TB-scale graphs the same loop runs with
+    * large-star/small-star rewrites; near-dup clusters are tiny, so plain
+    * propagation converges in O(cluster diameter) rounds.
+    *
+    * @param pairs (a_id, b_id) undirected near-dup edges
+    * @return (doc_id, keeper_id) for every doc appearing in any pair */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("x").as("doc_id")).distinct()
+      .withColumn("keeper_id", col("doc_id")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val msgs = edges.join(labels, edges("y") === labels("doc_id"))
+        .groupBy(col("x").as("doc_id")).agg(min(col("keeper_id")).as("nbr_min"))
+      val next = labels.join(msgs, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("keeper_id"), coalesce(col("nbr_min"), col("keeper_id"))).as("keeper_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("keeper_id", "old"), Seq("doc_id"))
+        .filter(col("keeper_id") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit weighted SimHash from md5 hex digits: bit i of token t is
     * `parity(hexDigit_i(md5(t)))`; per-doc bit sums weighted by token count;
     * fingerprint bit i set iff the sum is positive. Engine-portable (md5 and

@@ -40,6 +40,15 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Near-dup clusters: connected components over the Jaccard≥0.5 pairs,
+    // every clustered doc mapped to its cluster's keeper (minimum doc_id).
+    "q_dedup_clusters" -> { (s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(
+            Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2))
+        .orderBy(col("doc_id"))
+    },
+
     // 32-bit weighted SimHash, Hamming ≤ 2 pairs.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(
@@ -161,6 +170,19 @@ object ExtQueries {
 
     "q_dedup_ngram" -> jacSelect,
     "q_dedup_minhash" -> jacSelect,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $JAC,
+         |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
+         |          UNION SELECT b_id, a_id FROM pairsx),
+         |verts AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id AS src, id AS node FROM verts
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x)
+         |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
+         |GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
 
     "q_ann_cosine" ->

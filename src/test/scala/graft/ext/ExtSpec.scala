@@ -35,6 +35,16 @@ class ExtSpec extends SparkSpec {
     assert(frac >= 0.7, s"only $frac of near-dups within ham<=2")
   }
 
+  test("connected components are transitive and pick the minimum keeper") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2, 2-3 (one cluster) plus isolated pair 10-11
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("SRP-LSH near-dup pairs: precision 1 and near-total recall vs brute force") {
     val e = Envelopes.table(spark, sfDir(), "embeddings")
     val brute = pairs(Similarity.cosinePairs(e, 0.45))
