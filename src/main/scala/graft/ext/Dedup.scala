@@ -135,8 +135,12 @@ object Dedup {
     * propagation converges in O(cluster diameter) rounds.
     *
     * @param pairs (a_id, b_id) undirected near-dup edges
-    * @return (doc_id, keeper_id) for every doc appearing in any pair */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * @return (doc_id, keeper_id) for every doc appearing in any pair
+    * @throws IllegalStateException if propagation hasn't converged after
+    *         maxIter rounds (min-label moves one hop per round, so maxIter
+    *         bounds the reachable cluster diameter — silently returning a
+    *         split cluster would corrupt keeper assignment) */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
       .distinct().localCheckpoint(true)
@@ -153,9 +157,16 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("keeper_id", "old"), Seq("doc_id"))
         .filter(col("keeper_id") =!= col("old")).count()
+      labels.unpersist() // bound cached generations at two
       labels = next
       iter += 1
     }
+    edges.unpersist() // labels is checkpointed; the edge cache is done
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(cluster diameter exceeds maxIter) — raise maxIter or switch to " +
+          "large-star/small-star rewrites for deep chains")
     labels
   }
 

@@ -23,7 +23,7 @@ object ScaleProbe {
       .withColumn("o_orderkey", col("o_orderkey") + lit(c * KeyShift))
     def ev(c: Int) = spark.read.parquet(s"$srcDir/events.parquet")
       .withColumn("event_id", col("event_id") + lit(c * KeyShift))
-      .withColumn("user_id", col("user_id") + lit(c * 1000L))
+      .withColumn("user_id", col("user_id") + lit(c * 10000L))
     def doc(c: Int) = spark.read.parquet(s"$srcDir/documents.parquet")
       .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
       .withColumn("text", concat(col("text"), lit(s" copytoken$c a$c b$c")))

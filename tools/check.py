@@ -24,10 +24,17 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    # queries without an oracle get the driver's weaker rows>0 check
     import os
     dumped = {d for d in os.listdir(outdir)
               if os.path.isdir(f"{outdir}/{d}")}
+    # a query that crashed before writing its directory must not vanish
+    try:
+        declared = set(json.load(open(f"{outdir}/queries.json")))
+    except FileNotFoundError:
+        declared = dumped | set(oracle)
+    for name in sorted(declared - dumped - set(oracle)):
+        print(f"FAIL {name}: declared but no output dumped"); n_fail += 1
+    # queries without an oracle get the driver's weaker rows>0 check
     for name in sorted(dumped - set(oracle)):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
