@@ -45,6 +45,19 @@ class ExtSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components fail loudly when the diameter exceeds maxIter") {
+    val s = spark
+    import s.implicits._
+    val chain = (1L to 6L).sliding(2).map(w => (w.head, w.last)).toSeq.toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    // and converge fine when given room
+    val ok = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("SRP-LSH near-dup pairs: precision 1 and near-total recall vs brute force") {
     val e = Envelopes.table(spark, sfDir(), "embeddings")
     val brute = pairs(Similarity.cosinePairs(e, 0.45))
