@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.ExtQueries.queries ++
       graft.queries.SourceQueries.queries ++
       graft.queries.AggQueries.queries ++
-      graft.queries.DwdComposite.queries
+      graft.queries.DwdComposite.queries ++
+      graft.queries.RelQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.ExtQueries.oracles ++
       graft.queries.SourceQueries.oracles ++
       graft.queries.AggQueries.oracles ++
-      graft.queries.DwdComposite.oracles
+      graft.queries.DwdComposite.oracles ++
+      graft.queries.RelQueries.oracles
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Envelopes
+
+/** Relational completeness beyond the reference's own surface (a user
+  * switching engines expects the standard algebra to be there): semi/anti
+  * joins, set operations, deterministic order-limit, scalar subquery. */
+object RelQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // EXISTS — orders that have at least one R-flagged lineitem.
+    "q_join_semi" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val li = Envelopes.table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // NOT EXISTS — customers with no orders.
+    "q_join_anti" -> { (s, dir) =>
+      val c = Envelopes.table(s, dir, "customer")
+      val o = Envelopes.table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // UNION/INTERSECT/EXCEPT over supplier vs customer nation keys.
+    "q_set_ops" -> { (s, dir) =>
+      val cn = Envelopes.table(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sn = Envelopes.table(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+      val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+      val e = cn.distinct().except(sn).withColumn("op", lit("except"))
+      u.union(i).union(e).orderBy(col("op"), col("nk"))
+    },
+
+    // deterministic ORDER BY ... LIMIT (top-20 orders, total order).
+    "q_order_limit" -> { (s, dir) =>
+      Envelopes.table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // scalar subquery — orders above 1.5x the exact-decimal average price.
+    "q_scalar_subq" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val avgRow = o.agg((sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("avg_price"))
+      o.crossJoin(avgRow)
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+        |     sn AS (SELECT s_nationkey AS nk FROM supplier)
+        |SELECT nk, op FROM (
+        |  SELECT nk, 'union' AS op FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+        |  UNION ALL
+        |  SELECT nk, 'intersect' AS op FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        |  UNION ALL
+        |  SELECT nk, 'except' AS op FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn))
+        |ORDER BY op, nk""".stripMargin,
+
+    "q_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_scalar_subq" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |                             / COUNT(*) FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin)
+}
