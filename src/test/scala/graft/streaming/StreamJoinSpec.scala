@@ -45,6 +45,37 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream left outer join null-pads unmatched rows after watermark expiry") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val ord = MemoryStream[(Long, Long, Timestamp)]
+    val pay = MemoryStream[(Long, Long, Timestamp)]
+    val o = ord.toDF().toDF("o_id", "o_key", "o_time").withWatermark("o_time", "5 seconds")
+    val p = pay.toDF().toDF("p_id", "p_key", "p_time").withWatermark("p_time", "5 seconds")
+    val joined = o.join(p, expr(
+        "o_key = p_key AND p_time BETWEEN o_time AND o_time + interval 10 seconds"),
+        "left_outer")
+      .select(col("o_id"), col("p_id"))
+
+    val q = joined.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").start()
+    try {
+      ord.addData((1L, 100L, ts(base)), (2L, 200L, ts(base)))
+      pay.addData((10L, 100L, ts(base + 3000)))            // matches order 1
+      q.processAllAvailable()
+      // advance both watermarks far past order 2's join window
+      ord.addData((9L, 999L, ts(base + 60000)))
+      pay.addData((99L, 998L, ts(base + 60000)))
+      q.processAllAvailable()
+      val got = s.table("loj_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((1L, 10L)), s"matched pair missing: $got")
+      assert(got.contains((2L, -1L)), s"unmatched left row not null-padded: $got")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregation closes windows as time advances") {
     val s = spark
     import s.implicits._
