@@ -38,7 +38,34 @@ object DwdComposite {
         .orderBy(col("id"))
     })
 
-  import Envelopes.{odCte, oiCte, odaCte, odcCte}
+  /** Second composite: the interaction-comment app
+    * (`DwdInteractionCommentInfo.java:22-103`) — route → map-project → lookup
+    * join against the dim snapshot, end-to-end. */
+  val commentQueries: Map[String, QFn] = Map(
+    "q_dwd_comment" -> { (s, dir) =>
+      val routed = graft.ops.Project.routeFilter(
+        Envelopes.maxwell(s, dir), "cart_info", Seq("insert"))
+      val c = graft.ops.Project.mapProject(routed, Seq("id", "user_id", "sku_id"),
+          Seq(col("ts")))
+        .withColumn("appraise",
+          (col("sku_id").cast("long") % 25).cast("string"))
+      val dim = Envelopes.dimBaseDic(s, dir)
+      Joins.lookup(c, dim, col("appraise") === col("rowkey"))
+        .select(col("id"), col("user_id"), col("sku_id"), col("appraise"),
+          col("dic_name"), col("ts"))
+        .orderBy(col("id").cast("long"), col("sku_id"), col("ts"))
+    })
+
+  import Envelopes.{maxwellCte => MX, odCte, oiCte, odaCte, odcCte, dimCte}
+
+  val commentOracles: Map[String, String] = Map(
+    "q_dwd_comment" ->
+      s"""WITH $MX, $dimCte
+         |SELECT id, user_id, sku_id, CAST(CAST(sku_id AS BIGINT) % 25 AS VARCHAR) AS appraise,
+         |       dic_name, ts
+         |FROM mx JOIN dic ON CAST(CAST(sku_id AS BIGINT) % 25 AS VARCHAR) = rowkey
+         |WHERE db = 'gmall' AND tbl = 'cart_info' AND typ = 'insert'
+         |ORDER BY CAST(id AS BIGINT), sku_id, ts""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q_dwd_order_detail" ->

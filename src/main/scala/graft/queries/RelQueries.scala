@@ -47,6 +47,26 @@ object RelQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
     },
 
+    // pivot — events per user by type, as explicit CASE-sum columns (the
+    // portable form of .pivot; Spark's pivot emits the same plan for an
+    // explicit value list).
+    "q_pivot" -> { (s, dir) =>
+      Envelopes.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
+    // exact interpolated median per returnflag (percentile ↔ quantile_cont).
+    "q_median" -> { (s, dir) =>
+      Envelopes.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // scalar subquery — orders above 1.5x the exact-decimal average price.
     "q_scalar_subq" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
@@ -84,6 +104,19 @@ object RelQueries {
     "q_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_scalar_subq" ->
       """SELECT o_orderkey, o_totalprice FROM orders
