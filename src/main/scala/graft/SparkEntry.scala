@@ -26,7 +26,6 @@ object SparkEntry {
       graft.queries.SourceQueries.queries ++
       graft.queries.AggQueries.queries ++
       graft.queries.DwdComposite.queries ++
-      graft.queries.DwdComposite.commentQueries ++
       graft.queries.RelQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -39,6 +38,5 @@ object SparkEntry {
       graft.queries.SourceQueries.oracles ++
       graft.queries.AggQueries.oracles ++
       graft.queries.DwdComposite.oracles ++
-      graft.queries.DwdComposite.commentOracles ++
       graft.queries.RelQueries.oracles
 }

@@ -13,7 +13,9 @@ import graft.ops.{Joins, Stateful}
 object DwdComposite {
   type QFn = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, QFn] = Map(
+  // lazy: commentQueries is defined below (single registration point for the
+  // whole composite family — SparkEntry wires only queries/oracles)
+  lazy val queries: Map[String, QFn] = commentQueries ++ Map(
     "q_dwd_order_detail" -> { (s, dir) =>
       val od  = Envelopes.orderDetail(s, dir)
       val oi  = Envelopes.orderInfo(s, dir)
@@ -41,7 +43,7 @@ object DwdComposite {
   /** Second composite: the interaction-comment app
     * (`DwdInteractionCommentInfo.java:22-103`) — route → map-project → lookup
     * join against the dim snapshot, end-to-end. */
-  val commentQueries: Map[String, QFn] = Map(
+  private val commentQueries: Map[String, QFn] = Map(
     "q_dwd_comment" -> { (s, dir) =>
       val routed = graft.ops.Project.routeFilter(
         Envelopes.maxwell(s, dir), "cart_info", Seq("insert"))
@@ -53,21 +55,23 @@ object DwdComposite {
       Joins.lookup(c, dim, col("appraise") === col("rowkey"))
         .select(col("id"), col("user_id"), col("sku_id"), col("appraise"),
           col("dic_name"), col("ts"))
-        .orderBy(col("id").cast("long"), col("sku_id"), col("ts"))
+        // duplicate (l_orderkey, l_linenumber) ids exist in the synthetic
+        // data: user_id extends the sort to a provably total order
+        .orderBy(col("id").cast("long"), col("sku_id"), col("user_id"), col("ts"))
     })
 
   import Envelopes.{maxwellCte => MX, odCte, oiCte, odaCte, odcCte, dimCte}
 
-  val commentOracles: Map[String, String] = Map(
+  private val commentOracles: Map[String, String] = Map(
     "q_dwd_comment" ->
       s"""WITH $MX, $dimCte
          |SELECT id, user_id, sku_id, CAST(CAST(sku_id AS BIGINT) % 25 AS VARCHAR) AS appraise,
          |       dic_name, ts
          |FROM mx JOIN dic ON CAST(CAST(sku_id AS BIGINT) % 25 AS VARCHAR) = rowkey
          |WHERE db = 'gmall' AND tbl = 'cart_info' AND typ = 'insert'
-         |ORDER BY CAST(id AS BIGINT), sku_id, ts""".stripMargin)
+         |ORDER BY CAST(id AS BIGINT), sku_id, user_id, ts""".stripMargin)
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = commentOracles ++ Map(
     "q_dwd_order_detail" ->
       s"""WITH $odCte, $oiCte, $odaCte, $odcCte
          |SELECT id, order_id, user_id, province_id, sku_id, sku_num,

@@ -47,9 +47,9 @@ object RelQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
     },
 
-    // pivot — events per user by type, as explicit CASE-sum columns (the
-    // portable form of .pivot; Spark's pivot emits the same plan for an
-    // explicit value list).
+    // pivot — events per user by type via Dataset.pivot with an explicit
+    // value list (plans as one aggregation pass; the oracle spells the same
+    // result with FILTER-clause counts).
     "q_pivot" -> { (s, dir) =>
       Envelopes.events(s, dir)
         .groupBy(col("user_id"))
