@@ -42,6 +42,17 @@ object AggQueries {
         .orderBy(col("user_id"))
     },
 
+    // Hopping (sliding) windows: 1-hour windows every 30 min — each event
+    // lands in exactly two windows; pv per (window, event_type).
+    "q_dws_sliding" -> { (s, dir) =>
+      Envelopes.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("pv"))
+        .select(expr("unix_millis(window.start) div 1000").as("ws"),
+          col("event_type"), col("pv"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
     // Province × month rollup (subtotals + grand total).
     "q_rollup_province" -> { (s, dir) =>
       Envelopes.orderInfo(s, dir)
@@ -77,6 +88,16 @@ object AggQueries {
         |  FROM ev)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS session_ct, COUNT(*) AS event_ct
         |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_dws_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ms(ts) // 1000 AS ts_s FROM events),
+        |hopped AS (
+        |  SELECT event_type,
+        |         unnest([ (ts_s // 1800) * 1800, (ts_s // 1800) * 1800 - 1800 ]) AS ws
+        |  FROM ev)
+        |SELECT ws, event_type, COUNT(*) AS pv
+        |FROM hopped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rollup_province" ->
       s"""WITH $oiCte
