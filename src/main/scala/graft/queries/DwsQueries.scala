@@ -118,7 +118,8 @@ object DwsQueries {
     "q_dws_vc_ch_ar" ->
       s"""WITH $LG
          |SELECT (ts // 3600000) * 3600 AS ws, vc, ch, ar, is_new,
-         |       COUNT(*) AS pv, COUNT(DISTINCT mid) AS uv, SUM(during_time) AS dur_sum
+         |       COUNT(*) AS pv, COUNT(DISTINCT mid) AS uv,
+         |       CAST(SUM(during_time) AS BIGINT) AS dur_sum
          |FROM lg WHERE $VALID AND has_page
          |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
