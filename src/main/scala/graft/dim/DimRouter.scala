@@ -44,9 +44,11 @@ object DimRouter {
   def applyBatch(cdc: DataFrame, config: DataFrame, storeRoot: String): Seq[String] = {
     val spark = cdc.sparkSession
     // K5 — DDL-on-stream (`DimAPP.createHBaseTable:117-182`): a config row with
-    // op='d' drops the sink table; 'u' is drop+create, i.e. the store is
-    // rebuilt by subsequent routed batches.
-    val dropped = config.filter(col("op") === "d")
+    // op='d' drops the sink table; op='u' is drop+CREATE (`:152-156` deletes
+    // the old table before recreating it) — the store is wiped here so a
+    // narrowed sinkColumns cannot leave stale wide rows, then THIS batch's
+    // routed rows rebuild it ('u' routes stay active in route()).
+    val dropped = config.filter(col("op").isin("d", "u"))
       .select("sinkTable").collect().map(_.getString(0))
     if (dropped.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(storeRoot)

@@ -11,6 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 /** Native Catalyst expression: double-precision dot product of two
   * `array<float>` columns, accumulated in list order (left fold — reproducible
   * across engines and identical to the UDF/`aggregate` formulations).
+  * Mismatched lengths yield NULL, matching the `zip_with`+`aggregate` HOF
+  * formulation (zip_with null-pads the shorter side and the sum of a null
+  * product is null) — a silently truncated dot product would be plausible but
+  * wrong.
   *
   * Rationale (SURVEY.md §4 extension): the embedding-similarity sweep is the
   * one hot numeric kernel in the engine. Catalyst's `aggregate`/`zip_with`
@@ -35,10 +39,14 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
 
+  // nullable even with non-null children: length mismatch returns NULL
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var i = 0
     var s = 0.0
     while (i < n) {
@@ -54,12 +62,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -163,6 +163,24 @@ object ExtQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /* FIXTURE ASSUMPTIONS (a corpus change can break these oracles without any
+   * code being wrong — check here first if a verify failure looks mysterious):
+   *
+   * - q_dedup_minhash uses the EXHAUSTIVE-Jaccard result as its oracle; the
+   *   equality holds because the synthetic corpus's true pairs all sit at
+   *   Jaccard ≥ 0.9 (LSH miss probability (1−j²)^16 ≈ 3e-12 there). A corpus
+   *   with a true pair near the 0.5 threshold has ~1 % miss probability per
+   *   pair and would surface as a rows_match failure.
+   * - q_ann_cosine compares row_number ranks computed from doubles produced
+   *   by DIFFERENT expression shapes (Spark: dot/(norm·norm); DuckDB:
+   *   list_cosine_similarity). Near-tied similarities can differ in the last
+   *   ulp and flip adjacent ranks; the fixture has no such ties today. If a
+   *   regenerated corpus introduces one, prefer loosening this to a
+   *   top-k-set (rank-insensitive) comparison over chasing ulps.
+   * - q_embed_dup's 0.45 threshold was placed against the measured corpus
+   *   (max pairwise cosine ≈ 0.51 — see FIXTURES.md); it is deliberately
+   *   below every planted pair and above the random-pair noise floor, and a
+   *   regenerated corpus needs that margin re-measured. */
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Stateful
 
@@ -9,31 +9,89 @@ import graft.ops.Stateful
   * keyed sinks — HBase point put/delete (K4, `DimHBaseSinkFunction.invoke:
   * 39-75`) and upsert-Kafka compaction (K3, `SQLUtil.getUpsertKafkaSQL:55-63`).
   *
-  * Each `merge` applies one micro-batch: union with current state,
-  * last-write-wins per key, swap the parquet directory. Delete tombstones are
-  * RETAINED in the stored state (hidden by [[readActive]]): physically
-  * dropping them would let a late-arriving lower-seq put resurrect a deleted
-  * key in one micro-batch split but not another — final state must be a pure
-  * function of the row multiset, independent of batch boundaries.
+  * State is hash-partitioned into `__b=<i>` bucket directories under the store
+  * root. Each `merge` applies one micro-batch: derive the batch's touched
+  * buckets, read ONLY those buckets' state, last-write-wins per key, rewrite
+  * ONLY those buckets — merge cost is proportional to the batch plus the state
+  * it collides with, not to total store size (the reference's HBase point
+  * writes have the same asymptotics). Delete tombstones are RETAINED in the
+  * stored state (hidden by [[readActive]]): physically dropping them would let
+  * a late-arriving lower-seq put resurrect a deleted key in one micro-batch
+  * split but not another — final state must be a pure function of the row
+  * multiset, independent of batch boundaries.
   *
-  * The swap is rename-based with a backup generation: crash between renames
-  * leaves either the old or the new directory recoverable (see [[read]]).
-  * (On a real deployment this is a Delta/Iceberg MERGE or an HBase client —
-  * the dedup logic is identical; only the swap differs.)
+  * Each bucket swap is rename-based with a backup generation, so a crash
+  * leaves every bucket with either its old or its new committed directory
+  * (see [[read]]); [[merge]] first promotes any bak-only bucket back to
+  * committed before touching anything, so a committed copy exists at all
+  * times. Cross-bucket atomicity (all buckets flip together) is the one gap
+  * vs a transactional table format — on a real deployment this is a
+  * Delta/Iceberg MERGE or an HBase client; the dedup logic is identical.
   */
 object KeyedStore {
 
-  private def fs(spark: SparkSession, path: String) =
+  private val BucketPrefix = "__b="
+  private val BakSuffix = "__bak"
+  private val MetaFile = "_graft_buckets"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def bucketOf(keys: Seq[String], n: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(n))
+
+  /** Bucket count the store was created with; later merges reuse it so the
+    * key→bucket mapping never drifts (a param change would strand state). */
+  private def readBucketCount(f: FileSystem, root: Path): Option[Int] = {
+    val p = new Path(root, MetaFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketCount(f: FileSystem, root: Path, n: Int): Unit = {
+    val out = f.create(new Path(root, MetaFile), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Roll forward from any crash point so every bucket has exactly one
+    * committed directory: a bak-ONLY bucket (crashed between the two renames)
+    * is promoted back to committed; a bak beside a committed dir (crashed
+    * before the final cleanup) is stale and dropped. Never deletes the last
+    * copy of a bucket. */
+  private def repair(f: FileSystem, root: Path): Unit =
+    if (f.exists(root))
+      f.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(BucketPrefix) && p.getName.endsWith(BakSuffix))
+        .foreach { bak =>
+          val dst = new Path(root, bak.getName.stripSuffix(BakSuffix))
+          if (f.exists(dst)) f.delete(bak, true)
+          else if (!f.rename(bak, dst))
+            throw new java.io.IOException(s"recovery rename $bak -> $dst failed")
+        }
+
+  /** Committed bucket directories (after logically applying [[repair]]'s
+    * bak-only fallback, without mutating the store). */
+  private def bucketDirs(f: FileSystem, root: Path): Seq[Path] = {
+    if (!f.exists(root)) return Nil
+    val children = f.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(BucketPrefix))
+    val (baks, dsts) = children.partition(_.getName.endsWith(BakSuffix))
+    val committed = dsts.toSeq
+    val recovered = baks.toSeq.filter(b =>
+      !dsts.exists(_.getName == b.getName.stripSuffix(BakSuffix)))
+    committed ++ recovered
+  }
+
   /** Full stored state, tombstones included. Recovers from an interrupted
-    * swap by falling back to the backup generation. */
+    * bucket swap by falling back to that bucket's backup generation. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
-    val f = fs(spark, path)
-    if (f.exists(new Path(path))) Some(spark.read.parquet(path))
-    else if (f.exists(new Path(path + "__bak")))
-      Some(spark.read.parquet(path + "__bak"))
-    else None
+    val dirs = bucketDirs(fs(spark, path), new Path(path))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
   }
 
   /** Live state: winning non-delete rows only. */
@@ -46,22 +104,50 @@ object KeyedStore {
     * @param seqCols version order (newest wins); must be a TOTAL order over
     *                duplicate keys (extend with payload columns otherwise).
     *                Rows whose winning op is a delete stay stored as
-    *                tombstones and are hidden by readActive. */
+    *                tombstones and are hidden by readActive.
+    * @param numBuckets bucket count used when CREATING the store; an existing
+    *                store keeps the count it was created with. */
   def merge(batch: DataFrame, path: String, keys: Seq[String],
-      seqCols: Seq[String]): Unit = {
+      seqCols: Seq[String], numBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val all = read(spark, path).map(_.unionByName(batch)).getOrElse(batch)
-    val won = Stateful.lastWriteWins(all, keys.map(col), seqCols.map(col))
-    val tmp = new Path(path + "__tmp")
-    val bak = new Path(path + "__bak")
-    val dst = new Path(path)
-    won.write.mode("overwrite").parquet(tmp.toString)
     val f = fs(spark, path)
-    f.delete(bak, true)
-    if (f.exists(dst) && !f.rename(dst, bak))
-      throw new java.io.IOException(s"backup rename $dst -> $bak failed")
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
-    f.delete(bak, true)
+    val root = new Path(path)
+    f.mkdirs(root)
+    repair(f, root)
+    val n = readBucketCount(f, root).getOrElse {
+      writeBucketCount(f, root, numBuckets); numBuckets
+    }
+    val wb = batch.withColumn("__b", bucketOf(keys, n))
+    // Touched-bucket ids: bounded by n (metadata-sized, like the reference's
+    // config cardinality) — NOT a data-sized collect.
+    val touched = wb.select("__b").distinct().collect().map(_.getInt(0)).sorted
+    val existing = touched.map(i => new Path(root, BucketPrefix + i)).filter(f.exists)
+    // Bucket files don't store __b (it's derivable); re-derive on read.
+    val state = existing.headOption.map(_ =>
+      spark.read.parquet(existing.map(_.toString).toIndexedSeq: _*)
+        .withColumn("__b", bucketOf(keys, n)))
+    val all = state.map(wb.unionByName(_)).getOrElse(wb)
+    // repartition by __b: each bucket hashes wholly into one task → one file
+    // per touched bucket per merge (no small-file creep); AQE coalesces the
+    // empty partitions.
+    val won = Stateful.lastWriteWins(all, keys.map(col), seqCols.map(col))
+      .repartition(col("__b"))
+    val tmpRoot = new Path(path + "__tmp")
+    f.delete(tmpRoot, true)
+    won.write.mode("overwrite").partitionBy("__b").parquet(tmpRoot.toString)
+    touched.foreach { i =>
+      val tmp = new Path(tmpRoot, BucketPrefix + i)
+      val dst = new Path(root, BucketPrefix + i)
+      val bak = new Path(root, BucketPrefix + i + BakSuffix)
+      // repair() ran above, so if dst exists it is committed and bak is
+      // disposable; if dst is absent no bak exists either.
+      f.delete(bak, true)
+      if (f.exists(dst) && !f.rename(dst, bak))
+        throw new java.io.IOException(s"backup rename $dst -> $bak failed")
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      f.delete(bak, true)
+    }
+    f.delete(tmpRoot, true)
   }
 }

@@ -38,4 +38,35 @@ class DimRouterSpec extends SparkSpec {
     DimRouter.applyBatch(cdc, dropCfg, root)
     assert(KeyedStore.read(s, s"$root/dim_cart_info").isEmpty)
   }
+
+  test("op='u' is drop+create: narrowed sinkColumns leave no stale wide rows") {
+    val s = spark
+    val root = Files.createTempDirectory("dimstore_u").toString
+    val cdc = Envelopes.maxwell(s, sfDir())
+    val cfg = Envelopes.configDim(s)
+
+    // batch 1: initial config writes the wide (id, sku_id, sku_num) rows
+    DimRouter.applyBatch(cdc, cfg, root)
+
+    // batch 2: 'u' narrows sinkColumns to (id, sku_id). The reference drops
+    // and recreates the HBase table (`DimAPP.createHBaseTable:152-156`), so
+    // rows written under the old config must NOT survive — not even for keys
+    // this batch doesn't touch.
+    val narrowCfg = cfg
+      .withColumn("op", when(col("sinkTable") === "dim_cart_info", "u").otherwise(col("op")))
+      .withColumn("sinkColumns",
+        when(col("sinkTable") === "dim_cart_info", "id,sku_id").otherwise(col("sinkColumns")))
+    // batch 2 touches only a SUBSET of keys — the stale rows at risk are the
+    // ones this batch never rewrites
+    val partialCdc = cdc.filter(element_at(col("data"), "order_id").cast("long") % 2 === 0)
+    val tables = DimRouter.applyBatch(partialCdc, narrowCfg, root)
+    assert(tables == Seq("dim_cart_info"))
+
+    val active = KeyedStore.readActive(s, s"$root/dim_cart_info").get
+    val keys = active.select(explode(map_keys(col("data"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("id", "sku_id"), s"stale wide rows survived: $keys")
+    // and the untouched keys are gone with the dropped table, like HBase
+    assert(active.filter(element_at(col("data"), "order_id").cast("long") % 2 =!= 0).count() == 0)
+  }
 }

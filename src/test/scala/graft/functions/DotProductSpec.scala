@@ -36,4 +36,23 @@ class DotProductSpec extends SparkSpec {
         Array(3.0f, 4.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     assert(one.eval(null) == 11.0)
   }
+
+  test("mismatched lengths yield null (matches zip_with null-pad semantics)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    // codegen path
+    assert(df.select(DotProduct(col("a"), col("b"))).head().isNullAt(0))
+    // the HOF twin agrees: zip_with pads with null, so the sum is null
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)")
+    assert(df.select(hof).head().isNullAt(0))
+    // interpreted path
+    val mism = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(mism.eval(null) == null)
+  }
 }

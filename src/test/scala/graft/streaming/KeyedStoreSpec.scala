@@ -44,4 +44,70 @@ class KeyedStoreSpec extends SparkSpec {
       dir, keys = Seq("k"), seqCols = Seq("seq"))
     assert(active() == Map("k1" -> (("v9", 20L)), "k2" -> (("vNew", 30L))))
   }
+
+  test("incremental merge rewrites only the buckets the batch touches") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_bkt").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    def bucketDirs(): Map[String, Long] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("__b="))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+
+    // seed enough keys to populate several of the 8 buckets
+    val seed = (1 to 64).map(i => (s"k$i", s"v$i", 10L, "put"))
+    KeyedStore.merge(seed.toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
+    val before = bucketDirs()
+    assert(before.size > 1, "seed should span multiple buckets")
+
+    // single-key batch: exactly one bucket directory may change
+    Thread.sleep(1100) // HDFS-style mtime granularity is 1 s
+    KeyedStore.merge(Seq(("k1", "v1b", 20L, "put")).toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    val after = bucketDirs()
+    assert(after.keySet == before.keySet ||
+      after.keySet.subsetOf(before.keySet + "__b=0"),
+      "bucket layout must stay stable")
+    val changed = before.keySet.filter(b => after.get(b) != before.get(b))
+    assert(changed.size <= 1, s"only k1's bucket may be rewritten, got $changed")
+
+    // the merged value won, everything else survived untouched
+    val got = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(got("k1") == "v1b" && got.size == 64)
+  }
+
+  test("merge recovers a bak-only store without a window of total loss") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_rec").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    KeyedStore.merge(Seq(("k1", "v1", 10L, "put")).toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4)
+
+    // simulate a crash between "dst renamed to bak" and "tmp renamed to dst"
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("__b=")).head
+    val bak = new org.apache.hadoop.fs.Path(dir, bucket.getName + "__bak")
+    assert(fs.rename(bucket, bak))
+
+    // read() must fall back to the backup generation
+    val rec = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
+    assert(rec.map(_.getAs[String]("k")).toSet == Set("k1"))
+
+    // the next merge must repair (promote bak) and then apply the batch —
+    // never deleting the only committed copy first
+    KeyedStore.merge(Seq(("k2", "v2", 20L, "put")).toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    val got = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(got == Map("k1" -> "v1", "k2" -> "v2"))
+    assert(!fs.exists(bak), "stale bak must be cleaned up")
+  }
 }
