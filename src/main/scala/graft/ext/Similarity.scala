@@ -101,14 +101,19 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: coarse clusters come from the `label`
-    * column (stand-in for k-means cells); centroids are per-cluster means;
-    * each query probes its `nProbe` nearest centroids and ranks only those
-    * clusters' vectors. Float centroid averaging is order-sensitive, so this
-    * operator is verified by a recall unit test against [[bruteForceTopK]]
-    * rather than a SQL oracle. */
+    * column (stand-in for k-means cells); each query probes its `nProbe`
+    * nearest centroids and ranks only those clusters' vectors.
+    *
+    * Centroids are per-dimension exact DECIMAL SUMS, not float means: cosine
+    * is scale-invariant, so the un-divided sum ranks identically to the mean,
+    * and an exact decimal sum is independent of partition/row order — the
+    * same value on every run and in every engine, which is what lets this
+    * operator carry a full SQL hash oracle (`q_ann_ivf`) instead of the
+    * rows-only check a float-averaged centroid would force. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     val dims = corpus.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    val centroids = dims.groupBy("label", "pos").agg(avg(col("v")).as("cv"))
+    val centroids = dims.groupBy("label", "pos")
+      .agg(sum(col("v").cast("decimal(27,10)")).as("cv"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
       .select(col("label").as("c_label"),
         transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))

@@ -63,9 +63,11 @@ object ExtQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // IVF-style probed top-5 (label = coarse cluster, 2 probes). Float
-    // centroids are order-sensitive → no SQL oracle; recall is asserted
-    // against brute force in the test suite.
+    // IVF-style probed top-5 (label = coarse cluster, 2 probes). Centroids
+    // are exact decimal per-dimension sums (order-insensitive, engine-
+    // portable — cosine is scale-invariant so the sum ranks like the mean),
+    // which makes this fully hash-oracle-checkable; recall vs brute force is
+    // additionally asserted in the test suite.
     "q_ann_ivf" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, 5)
@@ -202,6 +204,32 @@ object ExtQueries {
          |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
          |GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
+
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT label, i AS pos,
+        |         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+        |  FROM embeddings CROSS JOIN (
+        |    SELECT unnest(generate_series(1,
+        |             (SELECT MAX(len(embedding)) FROM embeddings))) AS i) t
+        |  GROUP BY 1, 2),
+        |centv AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY 1),
+        |probes AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS q_id, c.label,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(q.embedding, c.centroid) DESC, c.label) AS c_rank
+        |    FROM embeddings q CROSS JOIN centv c WHERE q.vec_id < 10)
+        |  WHERE c_rank <= 2),
+        |scored AS (
+        |  SELECT p.q_id, e.vec_id AS n_id,
+        |         row_number() OVER (PARTITION BY p.q_id
+        |           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+        |  FROM probes p
+        |  JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.q_id
+        |  JOIN embeddings q ON q.vec_id = p.q_id)
+        |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (
