@@ -160,9 +160,14 @@ object Dedup {
     *         the default bound is far beyond any real graph — silently
     *         returning a split cluster would corrupt keeper assignment) */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    // Materialize the pair set ONCE before mirroring it: `pairs` is usually an
+    // expensive lazy plan (an LSH or inverted-index join), and a union of two
+    // projections of it would execute that plan twice (shuffle reuse recovers
+    // only part of the cost — measured ~1.7× on the 10× probe).
+    val p = pairs.select(col("a_id").as("x"), col("b_id").as("y")).localCheckpoint(true)
+    val edges = p.union(p.select(col("y").as("x"), col("x").as("y")))
       .distinct().localCheckpoint(true)
+    p.unpersist()
     var labels = edges.select(col("x").as("doc_id")).distinct()
       .withColumn("keeper_id", col("doc_id")).localCheckpoint(true)
     var iter = 0

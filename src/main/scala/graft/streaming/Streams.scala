@@ -60,9 +60,10 @@ object Streams {
   /** K1/K2 — Kafka JSON append sink (`FlinkSinkUtil.getKafkaSink:20-31`,
     * `SQLUtil.getKafkaSinkSQL:41-48`). Spark's Kafka sink is at-least-once;
     * the reference's transactional exactly-once (txn prefix + 15 min timeout,
-    * `FlinkSinkUtil.java:27-29`) maps to checkpointed offsets + idempotent or
-    * foreachBatch-transactional consumers — a documented semantic difference
-    * (SURVEY.md §7.3). */
+    * `FlinkSinkUtil.java:27-29`) is recovered with checkpointed offsets +
+    * idempotent atomic per-batch commits — see [[TxnSink]] (the T7
+    * foreachBatch-transactional path, spec-verified) and
+    * `dropDuplicatesWithinWatermark` redelivery dedup (StreamDedupSpec). */
   def kafkaJsonSink(df: DataFrame, brokers: String, topic: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))

@@ -44,6 +44,52 @@ class StreamParitySpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("payment-success composite under streaming equals the batch composite") {
+    val s = spark
+    val dir = Files.createTempDirectory("paystream").toString
+
+    // raw Maxwell JSON lines, as the Kafka value would carry them
+    Envelopes.maxwell(s, sfDir()).select(to_json(struct(
+        col("database"), col("table"), col("type"), col("data"), col("old"), col("ts")))
+        .as("value"))
+      .coalesce(2).write.mode("overwrite").text(dir)
+
+    // the payment branch of q_dwd_pay_suc (DwdTradeOrderPaySucDetail:192-194):
+    // stream-decode, CDC-transition filter, typed projection
+    def payBranch(mx: org.apache.spark.sql.DataFrame) =
+      Project.cdcTransition(
+          Project.routeFilter(mx, "cart_info", Seq("update")),
+          "payment_status", "1602")
+        .select(element_at(col("data"), "id").as("pay_id"),
+          element_at(col("data"), "order_id").cast("long").as("order_id"),
+          (col("ts") * 1000).as("p_ts"))
+
+    val q = payBranch(Streams.decodeMaxwell(s.readStream.text(dir)))
+      .writeStream.format("memory").queryName("pay_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getLong(2))
+    val got = s.table("pay_stream").collect().map(key).sorted
+    val want = payBranch(Envelopes.maxwell(s, sfDir())).collect().map(key).sorted
+    assert(want.nonEmpty && got.sameElements(want))
+
+    // the downstream interval join + lookup-left run on the streamed payment
+    // rows exactly as in batch (stream-stream interval join semantics are
+    // covered in StreamJoinSpec; here we pin end-to-end value parity)
+    val streamedPay = s.table("pay_stream")
+    val od = Envelopes.orderDetail(s, sfDir()).select(
+      col("id"), col("order_id").as("od_order_id"), (col("ts") * 1000).as("od_ts"))
+    val joined = graft.ops.Joins.interval(streamedPay, od,
+      (col("order_id"), col("od_order_id")), (col("p_ts"), col("od_ts")),
+      lowerMs = 15 * 60 * 1000L, upperMs = 5000L)
+    val batchJoined = graft.ops.Joins.interval(
+      payBranch(Envelopes.maxwell(s, sfDir())), od,
+      (col("order_id"), col("od_order_id")), (col("p_ts"), col("od_ts")),
+      lowerMs = 15 * 60 * 1000L, upperMs = 5000L)
+    assert(joined.count() == batchJoined.count() && joined.count() > 0)
+  }
+
   test("watermarked streaming window aggregation equals batch on closed windows") {
     val s = spark
     val dir = Files.createTempDirectory("evstream").toString
