@@ -38,4 +38,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "interval join degraded to cartesian")
     assert(!p.contains("BroadcastNestedLoopJoin"), "interval join lost its equi-key")
   }
+
+  test("pay-suc composite: keyed interval join + broadcast dim, fact shuffled once") {
+    val p = plan("q_dwd_pay_suc")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "payment interval join must stay keyed on order_id")
+    assert(p.contains("BroadcastHashJoin"), "dic lookup must broadcast the dim side")
+  }
+
+  test("base-log composite: one keyed window, no join machinery") {
+    val p = plan("q_dwd_base_log")
+    assert(p.contains("Window"), "is_new repair must be a keyed window")
+    assert(!p.contains("Join"), "the log pipeline must not introduce joins")
+  }
 }
