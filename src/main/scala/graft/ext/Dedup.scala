@@ -213,12 +213,21 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism) // see shingles()
       .select(col("doc_id"), explode(col("__toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    // Parse the 32 hex digits in FOUR 8-digit conv() calls instead of 32
+    // substring+conv pairs; each digit's parity is then one shift+mask on the
+    // decoded long. Same bit definition as the oracle's per-digit
+    // ('0x'||substr)::INT % 2 — digit i (1-based) lives in group i/8 at
+    // nibble 7-(i-1)%8.
     val withMd5 = tok.withColumn("h", md5(col("tok")))
+    val groups = (0 until 4).map(k =>
+      conv(substring(col("h"), k * 8 + 1, 8), 16, 10).cast("long").as(s"g$k"))
+    val withG = withMd5.select(Seq(col("doc_id"), col("cnt")) ++ groups: _*)
     val sums = (0 until 32).map { i =>
-      sum(when(conv(substring(col("h"), i + 1, 1), 16, 10).cast("int") % 2 === 1,
+      val (k, j) = (i / 8, i % 8)
+      sum(when(shiftright(col(s"g$k"), 4 * (7 - j)).bitwiseAND(lit(1L)) === 1,
         col("cnt")).otherwise(-col("cnt"))).as(s"s$i")
     }
-    val s = withMd5.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val s = withG.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     val fp = (0 until 32).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     s.select(col("doc_id"), fp.as("fp"))
