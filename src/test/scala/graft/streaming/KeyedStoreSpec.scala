@@ -81,6 +81,54 @@ class KeyedStoreSpec extends SparkSpec {
     assert(got("k1") == "v1b" && got.size == 64)
   }
 
+  test("final state is independent of micro-batch boundaries") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // random put/delete history over a few keys; seq is globally unique so
+    // the version order is total
+    val rows = rnd.shuffle((1 to 40).map { seq =>
+      (s"k${rnd.nextInt(6)}", s"v$seq", seq.toLong,
+        if (rnd.nextInt(4) == 0) "delete" else "put")
+    })
+
+    def finalState(batches: Seq[Seq[(String, String, Long, String)]]): Map[String, String] = {
+      val dir = Files.createTempDirectory("keyedstore_prop").toString + "/t"
+      batches.foreach(b => KeyedStore.merge(b.toDF("k", "v", "seq", "op"),
+        dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4))
+      KeyedStore.readActive(s, dir, opCol = "op").get.collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    }
+
+    val single = finalState(Seq(rows))
+    val even = finalState(rows.grouped(10).toSeq)
+    val ragged = finalState(Seq(rows.take(3), rows.slice(3, 4), rows.drop(4)))
+    assert(even == single, "10-row batches diverged from single batch")
+    assert(ragged == single, "ragged batches diverged from single batch")
+  }
+
+  test("an existing store keeps its bucket count even if merge is called with another") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_meta").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    KeyedStore.merge(Seq(("k1", "v1", 1L, "put")).toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4)
+    // a different numBuckets on a later merge must NOT re-bucket (the key→
+    // bucket mapping would drift and strand existing state)
+    KeyedStore.merge(Seq(("k1", "v2", 2L, "put")).toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 16)
+    val got = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(got == Map("k1" -> "v2"), s"stranded state: $got")
+    // exactly one committed bucket dir for k1 — no drifted duplicate
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("__b="))
+    assert(buckets.size == 1, s"bucket drift: $buckets")
+  }
+
   test("merge recovers a bak-only store without a window of total loss") {
     val s = spark
     import s.implicits._
