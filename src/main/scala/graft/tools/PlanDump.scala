@@ -1,0 +1,17 @@
+package graft.tools
+import graft.SparkEntry
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.builder(Some("local[4]"), Some(4))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- Seq("q1_agg", "q_dws_sku", "q_dwd_pay_suc", "q_dwd_base_log",
+        "q_dedup_minhash", "q_ann_ivf")) {
+      println(s"===== $q =====")
+      println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
