@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling / split assignment and quantile bucketing.
+  *
+  * Scale posture: sampling and split assignment are stateless row-local
+  * predicates on a content hash — no shuffle, reproducible across runs,
+  * engines and partitionings (md5 of the id, NOT rand(): a reshuffled rerun
+  * must keep the same rows). Quantile bucketing deliberately avoids
+  * `ntile(n) OVER (ORDER BY ...)`, whose empty-partition global window would
+  * funnel 100 TB through one task; instead it aggregates the (bounded-domain)
+  * length histogram, ranks THAT small table, and broadcast-joins bucket ids
+  * back — the classic scale-safe histogram method. Ties share a bucket, which
+  * is what makes the result independent of row order. */
+object Curation {
+
+  /** Uniform hash bucket 0..99 from the row id — md5-based so every engine
+    * agrees (same trick as the SimHash oracle). */
+  private def pctBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Deterministic `pct`% sample: keep rows whose id-hash bucket falls below
+    * the rate. Rerunning (or re-partitioning, or re-ingesting) selects the
+    * SAME rows — the property curation pipelines need from a sample. */
+  def deterministicSample(df: DataFrame, idCol: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be 0..100")
+    df.filter(pctBucket(idCol) < pct)
+  }
+
+  /** Deterministic train/validation/test assignment from cumulative
+    * percentage cuts, e.g. `Seq("train" -> 80, "val" -> 90, "test" -> 100)`.
+    * Row-local, no shuffle, stable under re-ingestion. */
+  def hashSplit(df: DataFrame, idCol: Column,
+      cuts: Seq[(String, Int)], as: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100, "last cut must reach 100")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be ascending")
+    val b = pctBucket(idCol)
+    val expr = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), rest) => when(b < cut, name).otherwise(rest)
+    }
+    df.withColumn(as, expr)
+  }
+
+  /** Exact `n`-quantile bucket (1-based) of `length(textCol)` per row,
+    * computed scale-safe: histogram of distinct lengths (bounded domain) →
+    * cumulative counts over that SMALL table → broadcast the length→bucket
+    * map back onto the corpus. `bucket = floor(n · rows_before / total) + 1`,
+    * so ties (equal lengths) always share a bucket and the assignment is
+    * independent of row order — unlike `ntile`, which splits ties by
+    * partition-arrival order AND needs a global single-task sort. */
+  def lengthBuckets(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val lens = df.select(idCol.as("doc_id"), length(textCol).cast("long").as("n_chars"))
+    val hist = lens.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("n_chars")) // small table: one row per distinct length
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("n_chars"),
+        (floor(lit(n) * col("cum_before") / col("total")) + 1).as("bucket"))
+    lens.join(broadcast(cum), Seq("n_chars"))
+      .select(col("doc_id"), col("n_chars"), col("bucket"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.model.Envelopes
 
 /** Verify queries for the LLM-data-pipeline extensions: dedup, similarity
@@ -121,6 +121,27 @@ object ExtQueries {
     "q_mm_meta" -> { (s, dir) =>
       Multimodal.decodeMeta(Multimodal.withFakeMedia(docs(s, dir)))
         .toDF().orderBy(col("doc_id"))
+    },
+
+    // Deterministic 10% sample — same rows on every rerun/repartition.
+    "q_sample_det" -> { (s, dir) =>
+      Curation.deterministicSample(docs(s, dir), col("doc_id"), 10)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // Deterministic train/val/test split counts (80/10/10 by id hash).
+    "q_hash_split" -> { (s, dir) =>
+      Curation.hashSplit(docs(s, dir), col("doc_id"),
+          Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .groupBy(col("split")).agg(count(lit(1)).as("ct"))
+        .orderBy(col("split"))
+    },
+
+    // Exact quartile bucket of document length, histogram method (no global
+    // row sort — see Curation.lengthBuckets scaladoc).
+    "q_length_buckets" -> { (s, dir) =>
+      Curation.lengthBuckets(docs(s, dir), col("doc_id"), col("text"), 4)
+        .orderBy(col("doc_id"))
     })
 
   /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
@@ -279,6 +300,32 @@ object ExtQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_det" ->
+      """SELECT doc_id FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       COUNT(*) AS ct FROM (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+        |hist AS (SELECT n_chars, COUNT(*) AS cnt FROM lens GROUP BY 1),
+        |cum AS (
+        |  SELECT n_chars,
+        |         CAST(FLOOR(4 * COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              / (SUM(cnt) OVER ())) + 1 AS BIGINT) AS bucket
+        |  FROM hist)
+        |SELECT l.doc_id, l.n_chars, c.bucket
+        |FROM lens l JOIN cum c ON l.n_chars = c.n_chars
+        |ORDER BY l.doc_id""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Envelopes
+
+/** Curation operators: the load-bearing property is DETERMINISM — the same
+  * rows must be selected regardless of partitioning, run, or ingestion
+  * order (rand()-based sampling fails all three). */
+class CurationSpec extends SparkSpec {
+
+  test("deterministic sample picks identical rows under any partitioning") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Curation.deterministicSample(df, col("doc_id"), 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(17, col("text"))) // unrelated partitioning
+    assert(a == b && a.nonEmpty)
+    // rate lands near 10% (hash uniformity, loose bound)
+    val total = docs.count()
+    assert(a.size > total / 20 && a.size < total / 5, s"${a.size} of $total")
+  }
+
+  test("hash split is a partition of the corpus with stable assignment") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    val split = Curation.hashSplit(docs, col("doc_id"),
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val"), s"$counts")
+    // the same doc never changes split across runs
+    val again = Curation.hashSplit(docs.repartition(7), col("doc_id"),
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    split.select("doc_id", "split").collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("length buckets are monotone in length, tie-stable, and near-equal sized") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    val got = Curation.lengthBuckets(docs, col("doc_id"), col("text"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // monotone: longer docs never land in a lower bucket
+    val byLen = got.sortBy(t => (t._2, t._1))
+    byLen.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"bucket regressed: $a -> $b"); case _ => }
+    // ties share a bucket
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1) }
+    // near-equal sizes (exact split impossible with ties; loose bound)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size)
+    assert(sizes.keys.toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    sizes.values.foreach(sz =>
+      assert(sz > got.length / 8 && sz < got.length / 2, s"skewed: ${sizes.toMap}"))
+  }
+}
