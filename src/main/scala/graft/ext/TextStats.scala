@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -51,8 +52,41 @@ object TextStats {
         size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
-    * (A content-defined rolling hash is the richer variant; md5-of-normalized
-    * is the engine-portable batch form.) */
+    * (See [[winnow]] for the rolling-hash variant.) */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every character k-gram, slide a w-wide window over
+    * the hash sequence, keep each window's minimum, emit the distinct
+    * survivors. Guarantee: two documents sharing any substring of at least
+    * w+k−1 characters share at least one fingerprint — the partial-overlap
+    * detector exact/MinHash dedup doesn't provide.
+    *
+    * Engine-portable hashing (md5-prefix → int, the SimHash trick), and
+    * scale-shaped: one explode, one keyed window on doc_id (a doc's grams
+    * stay in one partition), one distinct — no cross-document work at all;
+    * matching docs later is an equi-join on `fp`.
+    *
+    * @return (doc_id, fp) — distinct selected fingerprints per document;
+    *         documents shorter than k+w−1 chars yield no rows. */
+  def winnow(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val t = col("__txt")
+    // guard: sequence(1, n) flips to a DESCENDING sequence when n < 1
+    val grams = when(length(t) >= k + w - 1,
+      transform(sequence(lit(1), length(t) - (k - 1)),
+        i => conv(substring(md5(t.substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
+    ).otherwise(array().cast("array<long>"))
+    val hashed = df.select(idCol.as("doc_id"), textCol.as("__txt"))
+      .select(col("doc_id"), grams.as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).as("__n"),
+        posexplode(col("__hs")).as(Seq("pos", "h")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed.withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("__n") - w) // only full windows select
+      .select(col("doc_id"), col("fp")).distinct()
+  }
 }

@@ -142,6 +142,12 @@ object ExtQueries {
     "q_length_buckets" -> { (s, dir) =>
       Curation.lengthBuckets(docs(s, dir), col("doc_id"), col("text"), 4)
         .orderBy(col("doc_id"))
+    },
+
+    // Rolling-hash (winnowing) fingerprints: char 8-grams, window 4.
+    "q_winnow" -> { (s, dir) =>
+      TextStats.winnow(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("fp"))
     })
 
   /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
@@ -326,6 +332,23 @@ object ExtQueries {
         |SELECT l.doc_id, l.n_chars, c.bucket
         |FROM lens l JOIN cum c ON l.n_chars = c.n_chars
         |ORDER BY l.doc_id""".stripMargin,
+
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |         ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT AS h,
+        |         length(text) - 7 AS ng
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(1,
+        |                (SELECT MAX(length(text)) FROM documents))) AS i) t
+        |  WHERE length(text) >= 11 AND i <= length(text) - 7),
+        |w AS (
+        |  SELECT doc_id, pos, ng,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - 3
+        |ORDER BY doc_id, fp""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id,

@@ -39,6 +39,28 @@ class CurationSpec extends SparkSpec {
       .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
   }
 
+  test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val common = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX one"),
+      (2L, s"totally different opening words $common and another tail"),
+      (3L, "no overlap here at all zzz qqq xxx vvv kkk mmm nnn ppp rrr www")
+    ).toDF("doc_id", "text")
+    val fps = TextStats.winnow(docs, col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: the 60+ char shared substring (>= 8+4-1) forces a shared fp
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared substring must share a fingerprint")
+    // doc 3 shares no 11-char substring with doc 1 → (almost surely) disjoint
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs should not collide")
+    // short docs yield nothing
+    val short = TextStats.winnow(Seq((9L, "tiny")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).count()
+    assert(short == 0)
+  }
+
   test("length buckets are monotone in length, tie-stable, and near-equal sized") {
     val docs = Envelopes.table(spark, sfDir(), "documents")
     val got = Curation.lengthBuckets(docs, col("doc_id"), col("text"), 4)
