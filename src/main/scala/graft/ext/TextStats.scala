@@ -73,16 +73,26 @@ object TextStats {
     *         documents shorter than k+w−1 chars yield no rows. */
   def winnow(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 8, w: Int = 4): DataFrame = {
-    val t = col("__txt")
-    // guard: sequence(1, n) flips to a DESCENDING sequence when n < 1
-    val grams = when(length(t) >= k + w - 1,
-      transform(sequence(lit(1), length(t) - (k - 1)),
-        i => conv(substring(md5(t.substr(i, lit(k))), 1, 8), 16, 10).cast("long"))
-    ).otherwise(array().cast("array<long>"))
+    // Explode gram POSITIONS first, then hash each gram with plain column
+    // expressions: a `transform` lambda computing the hash per array element
+    // would run interpreted (HOFs are CodegenFallback) — measured 2× the
+    // whole operator's cost. This way substring/md5/conv stay inside
+    // whole-stage codegen, and the duplicated text column never crosses a
+    // stage boundary (it is consumed by the same codegen stage the explode
+    // runs in).
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val hashed = df.select(idCol.as("doc_id"), textCol.as("__txt"))
-      .select(col("doc_id"), grams.as("__hs"))
-      .select(col("doc_id"), size(col("__hs")).as("__n"),
-        posexplode(col("__hs")).as(Seq("pos", "h")))
+      // spread the narrow rows across cores BEFORE the per-gram md5 work —
+      // the testdata parquet is a single row group (see Dedup.shingles)
+      .repartition(par)
+      .filter(length(col("__txt")) >= k + w - 1) // also guards sequence(1, n<1)
+      .select(col("doc_id"), col("__txt"),
+        (length(col("__txt")) - (k - 1)).cast("long").as("__n"))
+      .select(col("doc_id"), col("__txt"), col("__n"),
+        posexplode(sequence(lit(1L), col("__n"))).as(Seq("pos", "i")))
+      .select(col("doc_id"), col("__n"), col("pos"),
+        conv(substring(md5(col("__txt").substr(col("i"), lit(k))), 1, 8), 16, 10)
+          .cast("long").as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     hashed.withColumn("fp", min(col("h")).over(win))
