@@ -23,7 +23,7 @@ class TtlStateSpec extends SparkSpec {
 
     val left = MemoryStream[(Long, String)]
     val right = MemoryStream[(Long, String)]
-    val joined = TtlState.ttlJoin(left.toDS(), right.toDS(), ttl = 4.seconds)
+    val joined = TtlState.ttlJoin(left.toDS(), right.toDS(), ttl = 8.seconds)
 
     val q = joined.toDF("k", "l", "r").writeStream
       .format("memory").queryName("ttl_join_out")
@@ -46,9 +46,10 @@ class TtlStateSpec extends SparkSpec {
       right.addData((1L, "x"))
       awaitRows(Set((1L, "a", "x")), "live-key join")
 
-      // idle k1 well past the 4 s TTL: the polling batches fire the timeout
-      // and evict its buffers
-      Thread.sleep(8000)
+      // idle k1 well past the 8 s TTL: the polling batches fire the timeout
+      // and evict its buffers (TTL is sized generously so a loaded box can
+      // never evict DURING the live-join phase above)
+      Thread.sleep(12000)
 
       // probe k1 again: with watermark semantics "a" would still be there —
       // under idle-state TTL the buffer is gone, so no pair may be emitted
