@@ -117,17 +117,24 @@ object Similarity {
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
       .select(col("label").as("c_label"),
         transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
-    val probes = queries.as("q").crossJoin(centroids)
-      .select(col("q.vec_id").as("q_id"), col("q.embedding").as("q_emb"), col("c_label"),
-        cosine(col("q.embedding"), col("centroid")).as("c_sim"))
+    // Precompute each side's norm ONCE (cosine() inline would re-derive
+    // sqrt(dot(q,q)) for every candidate pair — |q|·cluster_size redundant
+    // O(d) loops at scale). Same doubles, same ranks: the norm value is
+    // identical whether computed once or per pair.
+    val q = withNorm(queries, "q")
+    val probes = q.crossJoin(centroids)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
+        cosine(col("q_emb"), col("centroid")).as("c_sim"))
       .withColumn("c_rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_label"))))
       .filter(col("c_rank") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("c_label"))
-    val scored = probes.join(corpus.as("c"), col("c_label") === col("c.label"))
-      .filter(col("q_id") =!= col("c.vec_id"))
-      .select(col("q_id"), col("c.vec_id").as("n_id"),
-        cosine(col("q_emb"), col("c.embedding")).as("sim"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"))
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("c_nrm"), col("label"))
+    val scored = probes.join(c, col("c_label") === col("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("n_id"),
+        (dotF(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rank") <= k)

@@ -1,0 +1,32 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration: temp views over the envelope shapers so a
+  * `spark.sql(...)` user gets the same tables the reference's Flink SQL apps
+  * see (`topic_db`, the log stream, the DWD order family, the dic dim) plus
+  * the raw corpus tables. Views are lazy plans — registering costs nothing
+  * until queried, and every view inherits the shapers' scan-embedded,
+  * pushdown-friendly projections. */
+object Views {
+
+  /** Register every envelope + raw table as `graft_<name>` temp views.
+    * @return the registered view names */
+  def register(spark: SparkSession, sfDir: String): Seq[String] = {
+    val views = Map(
+      // reference SQL surface
+      "graft_topic_db" -> Envelopes.maxwell(spark, sfDir),       // SQLUtil.getKafkaTopicDb
+      "graft_log" -> Envelopes.logRecords(spark, sfDir),         // DwdBaseLog source
+      "graft_base_dic" -> Envelopes.dimBaseDic(spark, sfDir),    // BaseSQLAPP.createBaseDic
+      "graft_order_detail" -> Envelopes.orderDetail(spark, sfDir),
+      "graft_order_info" -> Envelopes.orderInfo(spark, sfDir),
+      "graft_order_detail_activity" -> Envelopes.orderDetailActivity(spark, sfDir),
+      "graft_order_detail_coupon" -> Envelopes.orderDetailCoupon(spark, sfDir),
+      "graft_config_dim" -> Envelopes.configDim(spark),
+      // corpus tables for the LLM-pipeline extensions
+      "graft_documents" -> Envelopes.table(spark, sfDir, "documents"),
+      "graft_embeddings" -> Envelopes.table(spark, sfDir, "embeddings"))
+    views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    views.keys.toSeq.sorted
+  }
+}
