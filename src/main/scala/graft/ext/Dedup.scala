@@ -168,8 +168,13 @@ object Dedup {
     val edges = p.union(p.select(col("y").as("x"), col("x").as("y")))
       .distinct().localCheckpoint(true)
     p.unpersist()
-    var labels = edges.select(col("x").as("doc_id")).distinct()
-      .withColumn("keeper_id", col("doc_id")).localCheckpoint(true)
+    // Initialize labels with the first hop already applied — min(self, direct
+    // neighbors) — instead of the identity: same single shuffle as a
+    // distinct-vertices init, but it does round 1's work for free.
+    var labels = edges.groupBy(col("x").as("doc_id"))
+      .agg(min(col("y")).as("__nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("__nbr_min")).as("keeper_id"))
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
