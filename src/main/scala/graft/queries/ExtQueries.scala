@@ -49,6 +49,18 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The PRODUCTION cluster path: connected components over the MinHash+LSH
+    // pairs instead of the exhaustive inverted-index pairs — the composition
+    // a 100 TB dedup actually runs (candidates ∝ true pairs). Same oracle as
+    // q_dedup_clusters because LSH+verify equals the exhaustive pair set on
+    // this corpus (≥0.9 near-dups; see the fixture-assumptions note below).
+    "q_dedup_clusters_lsh" -> { (s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.minhashLshPairs(
+            Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist(), 1, 2))
+        .orderBy(col("doc_id"))
+    },
+
     // 32-bit weighted SimHash, Hamming ≤ 2 pairs.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(
@@ -231,6 +243,20 @@ object ExtQueries {
          |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
          |GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
+
+    // identical keeper assignment: the LSH pair set equals the exhaustive one
+    "q_dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE $JAC,
+         |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
+         |          UNION SELECT b_id, a_id FROM pairsx),
+         |verts AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id AS src, id AS node FROM verts
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x)
+         |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
+         |GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH cent AS (

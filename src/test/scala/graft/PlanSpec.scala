@@ -51,4 +51,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "is_new repair must be a keyed window")
     assert(!p.contains("Join"), "the log pipeline must not introduce joins")
   }
+
+  test("winnowing: one keyed window, no cross-document join") {
+    val p = plan("q_winnow")
+    assert(p.contains("Window"), "window-min selection must be a keyed window")
+    assert(!p.contains("Join"), "fingerprinting must not join documents")
+  }
 }
