@@ -33,11 +33,14 @@ object ExtQueries {
     // Same result as q_dedup_ngram (recall ≈ 1−3e-12 for this corpus's ≥0.9
     // near-dup pairs) at a fraction of the join fan-out. The shingle table is
     // consumed by three stages (signatures + both verify sides), so the query
-    // pins it — cache ownership sits with the pipeline, not the operator.
+    // pins it for the operator's EAGER construction (the verified pairs are
+    // checkpointed inside minhashLshPairs) and releases it before returning —
+    // no cached blocks outlive the call.
     "q_dedup_minhash" -> { (s, dir) =>
-      Dedup.minhashLshPairs(
-          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist(), 1, 2)
-        .orderBy(col("a_id"), col("b_id"))
+      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist()
+      val out = Dedup.minhashLshPairs(sh, 1, 2).orderBy(col("a_id"), col("b_id"))
+      sh.unpersist()
+      out
     },
 
     // Near-dup clusters: connected components over the Jaccard≥0.5 pairs,
@@ -55,10 +58,13 @@ object ExtQueries {
     // q_dedup_clusters because LSH+verify equals the exhaustive pair set on
     // this corpus (≥0.9 near-dups; see the fixture-assumptions note below).
     "q_dedup_clusters_lsh" -> { (s, dir) =>
-      Dedup.connectedComponents(
-          Dedup.minhashLshPairs(
-            Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist(), 1, 2))
+      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist()
+      // both operators materialize eagerly (checkpointed pairs / labels), so
+      // the shingle cache is fully consumed before the unpersist
+      val out = Dedup.connectedComponents(Dedup.minhashLshPairs(sh, 1, 2))
         .orderBy(col("doc_id"))
+      sh.unpersist()
+      out
     },
 
     // 32-bit weighted SimHash, Hamming ≤ 2 pairs.
