@@ -41,20 +41,36 @@ object KeyedStore {
     pmod(hash(keys.map(col): _*), lit(n))
 
   /** Bucket count the store was created with; later merges reuse it so the
-    * key→bucket mapping never drifts (a param change would strand state). */
+    * key→bucket mapping never drifts (a param change would strand state).
+    * A present-but-unparseable meta file (a crash inside a pre-atomic
+    * writer) is recoverable only if no buckets exist yet — with state on
+    * disk the key→bucket mapping is unknown, so fail loudly rather than
+    * re-bucket silently. */
   private def readBucketCount(f: FileSystem, root: Path): Option[Int] = {
     val p = new Path(root, MetaFile)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
+      txt.toIntOption match {
+        case some @ Some(_) => some
+        case None if bucketDirs(f, root).isEmpty => None // fresh store, rewrite
+        case None => throw new java.io.IOException(
+          s"corrupt $p ('$txt') with existing buckets — bucket count unrecoverable")
+      }
     }
   }
 
+  /** Crash-atomic: write to a temp name, then one rename. */
   private def writeBucketCount(f: FileSystem, root: Path, n: Int): Unit = {
-    val out = f.create(new Path(root, MetaFile), true)
+    val tmp = new Path(root, MetaFile + "__tmp")
+    val out = f.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(root, MetaFile)
+    f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"meta rename $tmp -> $dst failed")
   }
 
   /** Roll forward from any crash point so every bucket has exactly one
@@ -74,12 +90,23 @@ object KeyedStore {
         }
 
   /** Committed bucket directories (after logically applying [[repair]]'s
-    * bak-only fallback, without mutating the store). */
+    * bak-only fallback, without mutating the store). Refuses a root holding
+    * non-bucket data files (e.g. a store written by a flat-layout version):
+    * silently reading none of it — or starting a fresh bucketed store beside
+    * it — would be invisible state loss. */
   private def bucketDirs(f: FileSystem, root: Path): Seq[Path] = {
     if (!f.exists(root)) return Nil
     val children = f.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(BucketPrefix))
-    val (baks, dsts) = children.partition(_.getName.endsWith(BakSuffix))
+    val stray = children.filter { p =>
+      val n = p.getName
+      !n.startsWith(BucketPrefix) && !n.startsWith(MetaFile) && !n.startsWith("_")
+    }
+    if (stray.nonEmpty)
+      throw new IllegalStateException(
+        s"$root holds non-bucket entries (${stray.take(3).mkString(", ")}) — " +
+          "not a bucketed KeyedStore layout; migrate or point at a fresh root")
+    val bucketChildren = children.filter(_.getName.startsWith(BucketPrefix))
+    val (baks, dsts) = bucketChildren.partition(_.getName.endsWith(BakSuffix))
     val committed = dsts.toSeq
     val recovered = baks.toSeq.filter(b =>
       !dsts.exists(_.getName == b.getName.stripSuffix(BakSuffix)))
@@ -113,41 +140,49 @@ object KeyedStore {
     val f = fs(spark, path)
     val root = new Path(path)
     f.mkdirs(root)
+    bucketDirs(f, root) // layout guard: refuse a non-bucketed (legacy) root
     repair(f, root)
     val n = readBucketCount(f, root).getOrElse {
       writeBucketCount(f, root, numBuckets); numBuckets
     }
-    val wb = batch.withColumn("__b", bucketOf(keys, n))
-    // Touched-bucket ids: bounded by n (metadata-sized, like the reference's
-    // config cardinality) — NOT a data-sized collect.
-    val touched = wb.select("__b").distinct().collect().map(_.getInt(0)).sorted
-    val existing = touched.map(i => new Path(root, BucketPrefix + i)).filter(f.exists)
-    // Bucket files don't store __b (it's derivable); re-derive on read.
-    val state = existing.headOption.map(_ =>
-      spark.read.parquet(existing.map(_.toString).toIndexedSeq: _*)
-        .withColumn("__b", bucketOf(keys, n)))
-    val all = state.map(wb.unionByName(_)).getOrElse(wb)
-    // repartition by __b: each bucket hashes wholly into one task → one file
-    // per touched bucket per merge (no small-file creep); AQE coalesces the
-    // empty partitions.
-    val won = Stateful.lastWriteWins(all, keys.map(col), seqCols.map(col))
-      .repartition(col("__b"))
-    val tmpRoot = new Path(path + "__tmp")
-    f.delete(tmpRoot, true)
-    won.write.mode("overwrite").partitionBy("__b").parquet(tmpRoot.toString)
-    touched.foreach { i =>
-      val tmp = new Path(tmpRoot, BucketPrefix + i)
-      val dst = new Path(root, BucketPrefix + i)
-      val bak = new Path(root, BucketPrefix + i + BakSuffix)
-      // repair() ran above, so if dst exists it is committed and bak is
-      // disposable; if dst is absent no bak exists either.
-      f.delete(bak, true)
-      if (f.exists(dst) && !f.rename(dst, bak))
-        throw new java.io.IOException(s"backup rename $dst -> $bak failed")
-      if (!f.rename(tmp, dst))
-        throw new java.io.IOException(s"rename $tmp -> $dst failed")
-      f.delete(bak, true)
-    }
-    f.delete(tmpRoot, true)
+    // Pin the batch for the merge's TWO actions (touched-bucket collect +
+    // the write): without it a non-deterministic or source-shifting batch
+    // plan could hash rows into buckets absent from the first-pass touched
+    // set — those rows would reach tmpRoot but never be renamed in, a silent
+    // drop. Caching makes both actions see one materialization.
+    val wb = batch.withColumn("__b", bucketOf(keys, n)).persist()
+    try {
+      // Touched-bucket ids: bounded by n (metadata-sized, like the
+      // reference's config cardinality) — NOT a data-sized collect.
+      val touched = wb.select("__b").distinct().collect().map(_.getInt(0)).sorted
+      val existing = touched.map(i => new Path(root, BucketPrefix + i)).filter(f.exists)
+      // Bucket files don't store __b (it's derivable); re-derive on read.
+      val state = existing.headOption.map(_ =>
+        spark.read.parquet(existing.map(_.toString).toIndexedSeq: _*)
+          .withColumn("__b", bucketOf(keys, n)))
+      val all = state.map(wb.unionByName(_)).getOrElse(wb)
+      // repartition by __b: each bucket hashes wholly into one task → one
+      // file per touched bucket per merge (no small-file creep); AQE
+      // coalesces the empty partitions.
+      val won = Stateful.lastWriteWins(all, keys.map(col), seqCols.map(col))
+        .repartition(col("__b"))
+      val tmpRoot = new Path(path + "__tmp")
+      f.delete(tmpRoot, true)
+      won.write.mode("overwrite").partitionBy("__b").parquet(tmpRoot.toString)
+      touched.foreach { i =>
+        val tmp = new Path(tmpRoot, BucketPrefix + i)
+        val dst = new Path(root, BucketPrefix + i)
+        val bak = new Path(root, BucketPrefix + i + BakSuffix)
+        // repair() ran above, so if dst exists it is committed and bak is
+        // disposable; if dst is absent no bak exists either.
+        f.delete(bak, true)
+        if (f.exists(dst) && !f.rename(dst, bak))
+          throw new java.io.IOException(s"backup rename $dst -> $bak failed")
+        if (!f.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        f.delete(bak, true)
+      }
+      f.delete(tmpRoot, true)
+    } finally wb.unpersist()
   }
 }

@@ -129,6 +129,21 @@ class KeyedStoreSpec extends SparkSpec {
     assert(buckets.size == 1, s"bucket drift: $buckets")
   }
 
+  test("a root holding non-bucket data files is refused, not silently ignored") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_flat").toString + "/t"
+    // a legacy flat-layout store: parquet files directly under the root
+    Seq(("k1", "v1")).toDF("k", "v").write.parquet(dir)
+    intercept[IllegalStateException] {
+      KeyedStore.read(s, dir)
+    }
+    intercept[IllegalStateException] {
+      KeyedStore.merge(Seq(("k2", "v2", 1L, "put")).toDF("k", "v", "seq", "op"),
+        dir, keys = Seq("k"), seqCols = Seq("seq"))
+    }
+  }
+
   test("merge recovers a bak-only store without a window of total loss") {
     val s = spark
     import s.implicits._
