@@ -10,23 +10,26 @@ import org.apache.spark.sql.SparkSession
   * pushdown-friendly projections. */
 object Views {
 
-  /** Register every envelope + raw table as `graft_<name>` temp views.
+  /** Register every envelope + raw table as `graft_<name>` temp views. A
+    * table missing from `sfDir` (e.g. a deployment without the extension
+    * corpus) skips just that view instead of aborting the whole surface.
     * @return the registered view names */
   def register(spark: SparkSession, sfDir: String): Seq[String] = {
-    val views = Map(
+    val views = Map[String, () => org.apache.spark.sql.DataFrame](
       // reference SQL surface
-      "graft_topic_db" -> Envelopes.maxwell(spark, sfDir),       // SQLUtil.getKafkaTopicDb
-      "graft_log" -> Envelopes.logRecords(spark, sfDir),         // DwdBaseLog source
-      "graft_base_dic" -> Envelopes.dimBaseDic(spark, sfDir),    // BaseSQLAPP.createBaseDic
-      "graft_order_detail" -> Envelopes.orderDetail(spark, sfDir),
-      "graft_order_info" -> Envelopes.orderInfo(spark, sfDir),
-      "graft_order_detail_activity" -> Envelopes.orderDetailActivity(spark, sfDir),
-      "graft_order_detail_coupon" -> Envelopes.orderDetailCoupon(spark, sfDir),
-      "graft_config_dim" -> Envelopes.configDim(spark),
+      "graft_topic_db" -> (() => Envelopes.maxwell(spark, sfDir)), // SQLUtil.getKafkaTopicDb
+      "graft_log" -> (() => Envelopes.logRecords(spark, sfDir)),   // DwdBaseLog source
+      "graft_base_dic" -> (() => Envelopes.dimBaseDic(spark, sfDir)), // BaseSQLAPP.createBaseDic
+      "graft_order_detail" -> (() => Envelopes.orderDetail(spark, sfDir)),
+      "graft_order_info" -> (() => Envelopes.orderInfo(spark, sfDir)),
+      "graft_order_detail_activity" -> (() => Envelopes.orderDetailActivity(spark, sfDir)),
+      "graft_order_detail_coupon" -> (() => Envelopes.orderDetailCoupon(spark, sfDir)),
+      "graft_config_dim" -> (() => Envelopes.configDim(spark)),
       // corpus tables for the LLM-pipeline extensions
-      "graft_documents" -> Envelopes.table(spark, sfDir, "documents"),
-      "graft_embeddings" -> Envelopes.table(spark, sfDir, "embeddings"))
-    views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    views.keys.toSeq.sorted
+      "graft_documents" -> (() => Envelopes.table(spark, sfDir, "documents")),
+      "graft_embeddings" -> (() => Envelopes.table(spark, sfDir, "embeddings")))
+    views.toSeq.sortBy(_._1).flatMap { case (name, mk) =>
+      scala.util.Try(mk().createOrReplaceTempView(name)).toOption.map(_ => name)
+    }
   }
 }

@@ -21,18 +21,19 @@ object Project {
         !col("type").isin("bootstrap-start", "bootstrap-complete") &&
         col("data").isNotNull && size(col("data")) > 0)
 
+  /** P2 validity predicate — ONE definition so the valid and dirty branches
+    * can never drift: every row is in exactly one of them. */
+  private def validLog: Column =
+    (col("page").isNotNull || col("start").isNotNull) &&
+      col("common.mid").isNotNull && col("ts").isNotNull
+
   /** P2 — log ETL (`DwdBaseLog.etl:212-233`): valid rows carry `page` or `start`,
     * a non-null `common.mid` and a non-null `ts`. */
-  def logEtl(lg: DataFrame): DataFrame =
-    lg.filter(
-      (col("page").isNotNull || col("start").isNotNull) &&
-        col("common.mid").isNotNull && col("ts").isNotNull)
+  def logEtl(lg: DataFrame): DataFrame = lg.filter(validLog)
 
   /** P2 side branch — the dirty rows the reference counts/prints
     * (`DwdBaseLog.java:229`). */
-  def logEtlDirty(lg: DataFrame): DataFrame =
-    lg.filter(!((col("page").isNotNull || col("start").isNotNull) &&
-      col("common.mid").isNotNull && col("ts").isNotNull))
+  def logEtlDirty(lg: DataFrame): DataFrame = lg.filter(!validLog)
 
   /** P4 — per-DWD-table CDC routing predicate
     * (`DwdInteractionCommentInfo.java:97-99`, `DwdTradeOrderDetail.java:188-191`). */

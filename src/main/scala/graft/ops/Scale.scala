@@ -26,6 +26,18 @@ object Scale {
 
   /** Two-stage salted aggregation: groupBy(keys + salt) → groupBy(keys).
     *
+    * The salt is a DETERMINISTIC hash of the whole row, never
+    * `rand()`/`monotonically_increasing_id()`: a nondeterministic salt can
+    * change on task recomputation after a shuffle-fetch failure, landing
+    * recomputed rows in different stage-1 buckets than the partials a reducer
+    * already fetched (the SPARK-23207 correctness class). Rows identical in
+    * EVERY column share a salt and stay together — the realistic hot key
+    * (one id, varying payload) still fans out.
+    *
+    * Keys may be arbitrary expressions: stage 1 aliases each key to its
+    * resolved name and stage 2 re-groups by those names, so `col("ts") % 3600`
+    * works as a key, not just plain column references.
+    *
     * @param aggs (outputName, fn, inputColumn); fn ∈ sum|count|min|max.
     *             Use decimal-cast inputs for float sums if cross-run bitwise
     *             stability matters (salting reorders float addition).
@@ -33,11 +45,13 @@ object Scale {
   def saltedAggregate(df: DataFrame, keys: Seq[Column],
       aggs: Seq[(String, String, Column)], buckets: Int = 64): DataFrame = {
     val pm = aggs.map { case (out, fn, c) => partialMerge(fn, c, out) }
+    val keyNames = keys.map(k => df.select(k).columns.head)
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
-    val stage1 = salted.groupBy(keys :+ col("__salt"): _*)
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+    val stage1 = salted
+      .groupBy(keys.zip(keyNames).map { case (k, n) => k.as(n) } :+ col("__salt"): _*)
       .agg(pm.head._1, pm.tail.map(_._1): _*)
-    stage1.groupBy(keys: _*).agg(pm.head._2, pm.tail.map(_._2): _*)
+    stage1.groupBy(keyNames.map(col): _*).agg(pm.head._2, pm.tail.map(_._2): _*)
   }
 
   /** Co-locate a DataFrame on join/agg keys ahead of several consumers so the

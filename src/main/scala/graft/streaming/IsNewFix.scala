@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.time.{Instant, ZoneOffset}
+import java.time.{Instant, ZoneId, ZoneOffset}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -28,25 +28,35 @@ object IsNewFix {
   final case class FixedEvent(mid: String, is_new: String, ts: Long,
       event_id: Long, is_new_fixed: String)
 
-  private def day(tsMs: Long): String =
-    Instant.ofEpochMilli(tsMs).atZone(ZoneOffset.UTC).toLocalDate.toString
+  private def day(tsMs: Long, zone: ZoneId): String =
+    Instant.ofEpochMilli(tsMs).atZone(zone).toLocalDate.toString
 
-  private def yesterday(tsMs: Long): String =
-    Instant.ofEpochMilli(tsMs).atZone(ZoneOffset.UTC).toLocalDate.minusDays(1).toString
+  private def yesterday(tsMs: Long, zone: ZoneId): String =
+    Instant.ofEpochMilli(tsMs).atZone(zone).toLocalDate.minusDays(1).toString
 
-  def fixGroup(mid: String, events: Iterator[LogEvent],
+  /** One micro-batch group. The group is buffered and sorted by
+    * (ts, event_id) because every event's output depends on the state the
+    * group's FIRST event establishes — a single forward pass cannot know the
+    * minimum before emitting. Per-group memory is therefore bounded by the
+    * hottest mid's events per micro-batch; a bot-grade hot device id needs a
+    * pre-filter or shorter trigger interval (the reference's per-record
+    * ValueState pays the same total work but streams it).
+    *
+    * @param zone the SESSION timezone — must match the `date_format` zone the
+    *             batch twin uses, or the two forms disagree near midnight. */
+  def fixGroup(zone: ZoneId)(mid: String, events: Iterator[LogEvent],
       state: GroupState[String]): Iterator[FixedEvent] = {
     val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
     var st = state.getOption.orNull
     val out = sorted.map { e =>
-      val today = day(e.ts)
+      val today = day(e.ts, zone)
       val fixed =
         if (e.is_new == "1") {
           if (st == null) { st = today; "1" }
           else if (st == today) "1"
           else "0"
         } else {
-          if (st == null) st = yesterday(e.ts)
+          if (st == null) st = yesterday(e.ts, zone)
           "0"
         }
       FixedEvent(e.mid, e.is_new, e.ts, e.event_id, fixed)
@@ -55,10 +65,16 @@ object IsNewFix {
     out.iterator
   }
 
-  /** Apply the repair to a (possibly streaming) Dataset of log events. */
+  /** Apply the repair to a (possibly streaming) Dataset of log events. The
+    * day boundary follows `spark.sql.session.timeZone`, matching the batch
+    * twin's `date_format` — the two forms stay equal on any session zone,
+    * not just UTC. */
   def apply(events: Dataset[LogEvent])(implicit spark: SparkSession): Dataset[FixedEvent] = {
     import spark.implicits._
+    val zone = ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", ZoneOffset.UTC.getId))
     events.groupByKey(_.mid)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fixGroup)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fixGroup(zone))
   }
 }

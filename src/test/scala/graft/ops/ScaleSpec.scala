@@ -21,6 +21,17 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted aggregation accepts expression keys, not just column refs") {
+    val li = Envelopes.table(spark, sfDir(), "lineitem")
+    val key = col("l_linenumber") % 3
+    val direct = li.groupBy(key).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedAggregate(li, Seq(key),
+        Seq(("n", "count", lit(1))), buckets = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
   test("colocate pre-partitions so the downstream aggregation adds no exchange") {
     val li = Envelopes.table(spark, sfDir(), "lineitem")
     val plan = Scale.colocate(li, Seq(col("l_returnflag")), 8)

@@ -25,10 +25,10 @@ class LogFanoutSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
-    // the err branch is legitimately empty at sf0.001 (no value>400 rows) and
-    // writes no parquet — parity then means the batch count is also 0
-    def n(p: String) =
-      try s.read.parquet(s"$out/$p").count() catch { case _: Throwable => 0L }
+    // branches commit through TxnSink (batch=<id> dirs); an empty branch
+    // still commits an empty batch dir with the branch schema
+    def branch(p: String) = TxnSink.read(s, s"$out/$p")
+    def n(p: String) = branch(p).map(_.count()).getOrElse(0L)
     assert(n("page") == Split.pageBranch(valid).count())
     assert(n("start") == Split.startBranch(valid).count())
     assert(n("err") == Split.errBranch(valid).count())
@@ -37,5 +37,14 @@ class LogFanoutSpec extends SparkSpec {
     assert(n("action") == Split.explodeWithParent(valid, col("actions"),
       Seq(col("event_id")), "a").count())
     assert(n("page") > 0 && n("start") > 0 && n("display") > 0 && n("action") > 0)
+
+    // reference payload parity: display/action rows carry the parent page
+    // context (DwdBaseLog.java:98-121) and the start branch keeps the whole
+    // record minus err (:90-96 runs after the err removal)
+    assert(branch("display").get.columns.contains("page"))
+    assert(branch("action").get.columns.contains("page"))
+    val startCols = branch("start").get.columns.toSet
+    assert(startCols.contains("start") && startCols.contains("page") &&
+      !startCols.contains("err"), s"start branch columns: $startCols")
   }
 }
