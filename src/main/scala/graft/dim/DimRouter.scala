@@ -26,10 +26,19 @@ object DimRouter {
     val active = config.filter(col("op") =!= "d")
     val joined = Joins.broadcastConfig(Project.etlFilter(cdc), active,
       col("table") === col("sourceTable"))
+    // row_key resolves AFTER pruning, like the reference (the HBase sink
+    // reads the pruned map, `DimHBaseSinkFunction.java:44-48`) — and like the
+    // reference, a config whose sinkColumns csv omits its own sinkRowKey is a
+    // LOUD error (HBase Put(null) throws there; silently last-write-winning
+    // every row into one NULL key would lose the whole table here).
     Project.pruneColumns(joined, col("sinkColumns"))
       .select(
         col("sinkTable").as("sink_table"),
-        expr("element_at(data, sinkRowKey)").as("row_key"),
+        when(expr("element_at(data, sinkRowKey)").isNull,
+          raise_error(concat(lit("DimRouter: sinkRowKey '"), col("sinkRowKey"),
+            lit("' missing from pruned data of "), col("sinkTable"),
+            lit(" — sinkColumns must include the row key"))))
+          .otherwise(expr("element_at(data, sinkRowKey)")).as("row_key"),
         col("type").as("op_type"),
         col("data"),
         col("ts"),

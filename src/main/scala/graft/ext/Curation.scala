@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Uniform hash bucket 0..99 from the row id — md5-based so every engine
-    * agrees (same trick as the SimHash oracle). */
+    * agrees (same trick as the SimHash oracle). Eight hex digits: a 32-bit
+    * value mod 100 carries ~4e-8 relative bias (a 16-bit one would be a very
+    * real ~0.1 %). */
   private def pctBucket(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
   /** Deterministic `pct`% sample: keep rows whose id-hash bucket falls below
     * the rate. Rerunning (or re-partitioning, or re-ingesting) selects the

@@ -47,6 +47,19 @@ object Dedup {
   private def sizes(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
+  /** Shared Jaccard tail: join per-doc set sizes onto (a_id, b_id, inter_ct)
+    * rows, derive the union size, keep pairs ≥ num/den by integer
+    * cross-multiplication (`den·I ≥ num·(|A|+|B|−I)`). ONE definition — the
+    * exhaustive and LSH paths must apply the identical threshold contract. */
+  private def attachJaccard(inter: DataFrame, sz: DataFrame,
+      num: Int, den: Int): DataFrame =
+    inter
+      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter_ct"),
+        (col("za.n") + col("zb.n") - col("inter_ct")).as("union_ct"))
+      .filter(col("inter_ct") * den >= col("union_ct") * num)
+
   /** Attach exact intersection/union counts to candidate (a_id, b_id) pairs
     * and keep pairs with Jaccard ≥ num/den. The shingle table is first pruned
     * to candidate docs with a broadcast semi-join (the candidate set is tiny
@@ -57,17 +70,11 @@ object Dedup {
     val candDocs = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sz = sizes(shc)
     val inter = cand
       .join(shc.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(shc.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_ct"))
-    inter
-      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
-      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
-      .select(col("a_id"), col("b_id"), col("inter_ct"),
-        (col("za.n") + col("zb.n") - col("inter_ct")).as("union_ct"))
-      .filter(col("inter_ct") * den >= (col("union_ct")) * num)
+    attachJaccard(inter, sizes(shc), num, den)
   }
 
   /** Exhaustive n-gram Jaccard pairs ≥ num/den via inverted-index self-join
@@ -79,17 +86,11 @@ object Dedup {
     // shingle lineage is cheaper than pinning it in cache for the session
     // lifetime (these functions return lazy plans, so a persist here could
     // never be paired with an unpersist).
-    val sz = sizes(sh)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter_ct"))
-    inter
-      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
-      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
-      .select(col("a_id"), col("b_id"), col("inter_ct"),
-        (col("za.n") + col("zb.n") - col("inter_ct")).as("union_ct"))
-      .filter(col("inter_ct") * den >= col("union_ct") * num)
+    attachJaccard(inter, sizes(sh), num, den)
   }
 
   /** MinHash signatures (k hashes via seeded xxhash64 over shingles) banded

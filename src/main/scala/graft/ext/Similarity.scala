@@ -78,7 +78,17 @@ object Similarity {
     require(g <= 31, s"band width $g would overflow the Int band value")
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
-    val bitCols = planes.map(p =>
+    // A dim mismatch makes every plane dot NULL (DotProduct's length
+    // contract); silently mapping that to bit 0 would collapse ALL vectors
+    // into one bucket and degrade the join to n²/2 with correct-looking
+    // output. Fail loudly instead — checked once on plane 0 (all planes
+    // share the length condition).
+    val d0 = dot(col("embedding"), typedLit(planes(0).toSeq))
+    val bit0 = when(d0.isNull,
+        raise_error(concat(lit(s"srpPairs dim=$dim does not match embedding length "),
+          size(col("embedding")).cast("string"))))
+      .otherwise(when(d0 > 0, 1).otherwise(0))
+    val bitCols = bit0 +: planes.tail.map(p =>
       when(dot(col("embedding"), typedLit(p.toSeq)) > 0, 1).otherwise(0))
     val bandStructs = (0 until bands).map { b =>
       val bval = (0 until g).map(j => bitCols(b * g + j) * (1 << j)).reduce(_ + _)
@@ -120,11 +130,16 @@ object Similarity {
     // Precompute each side's norm ONCE (cosine() inline would re-derive
     // sqrt(dot(q,q)) for every candidate pair — |q|·cluster_size redundant
     // O(d) loops at scale). Same doubles, same ranks: the norm value is
-    // identical whether computed once or per pair.
+    // identical whether computed once or per pair. Applies to BOTH stages:
+    // probe selection divides by q_nrm × a centroid norm attached once to
+    // the (tiny) centroid table.
     val q = withNorm(queries, "q")
-    val probes = q.crossJoin(centroids)
+    val cent = centroids.withColumn("cent_nrm",
+      sqrt(dotF(col("centroid"), col("centroid"))))
+    val probes = q.crossJoin(cent)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
-        cosine(col("q_emb"), col("centroid")).as("c_sim"))
+        (dotF(col("q_emb"), col("centroid")) / (col("q_nrm") * col("cent_nrm")))
+          .as("c_sim"))
       .withColumn("c_rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_label"))))
       .filter(col("c_rank") <= nProbe)

@@ -49,7 +49,8 @@ object TextStats {
   def tokenCounts(df: DataFrame, text: Column): DataFrame =
     df.withColumn("ws_toks", size(split(text, " ")).cast("long"))
       .withColumn("re_toks",
-        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
+        size(regexp_extract_all(lower(text),
+          lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * (See [[winnow]] for the rolling-hash variant.) */

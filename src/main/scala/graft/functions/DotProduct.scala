@@ -39,17 +39,30 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
 
-  // nullable even with non-null children: length mismatch returns NULL
+  // nullable even with non-null children: length mismatch or a null array
+  // element returns NULL
   override def nullable: Boolean = true
+
+  // element-null checks are only emitted when the input TYPE admits null
+  // elements — parquet-read arrays usually do — keeping the common dense
+  // loop branch-free when the schema proves elements non-null
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val checkNulls = mayHaveNullElements
     var i = 0
     var s = 0.0
     while (i < n) {
+      // a null element makes the product NULL, matching the zip_with/
+      // aggregate HOF form — getFloat on a null slot would read 0.0 silently
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,6 +74,9 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (mayHaveNullElements)
+        s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -68,9 +84,12 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })

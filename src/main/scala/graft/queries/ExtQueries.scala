@@ -190,6 +190,22 @@ object ExtQueries {
        |WHERE inter_ct * 2 >= union_ct * 1
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Shared recursive-CTE keeper oracle — q_dedup_clusters and its LSH twin
+    * must stay literally identical (the LSH pair set equals the exhaustive
+    * one on this corpus, so the keeper assignment must too). */
+  private val clustersSql =
+    s"""WITH RECURSIVE $JAC,
+       |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
+       |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
+       |          UNION SELECT b_id, a_id FROM pairsx),
+       |verts AS (SELECT DISTINCT x AS id FROM edges),
+       |reach AS (
+       |  SELECT id AS src, id AS node FROM verts
+       |  UNION
+       |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x)
+       |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
+       |GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of Dedup.simhash32 (32 md5-digit bit sums). */
   private val simhashSql: String = {
     val sums = (0 until 32).map(i =>
@@ -236,33 +252,9 @@ object ExtQueries {
     "q_dedup_ngram" -> jacSelect,
     "q_dedup_minhash" -> jacSelect,
 
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $JAC,
-         |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
-         |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
-         |          UNION SELECT b_id, a_id FROM pairsx),
-         |verts AS (SELECT DISTINCT x AS id FROM edges),
-         |reach AS (
-         |  SELECT id AS src, id AS node FROM verts
-         |  UNION
-         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x)
-         |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
-         |GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,
-
-    // identical keeper assignment: the LSH pair set equals the exhaustive one
-    "q_dedup_clusters_lsh" ->
-      s"""WITH RECURSIVE $JAC,
-         |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
-         |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
-         |          UNION SELECT b_id, a_id FROM pairsx),
-         |verts AS (SELECT DISTINCT x AS id FROM edges),
-         |reach AS (
-         |  SELECT id AS src, id AS node FROM verts
-         |  UNION
-         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x)
-         |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
-         |GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters_lsh" -> clustersSql,
 
     "q_ann_ivf" ->
       """WITH cent AS (
@@ -341,13 +333,13 @@ object ExtQueries {
 
     "q_sample_det" ->
       """SELECT doc_id FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 10
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
         |       COUNT(*) AS ct FROM (
-        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
         |  FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
