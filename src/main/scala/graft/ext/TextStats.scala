@@ -52,6 +52,27 @@ object TextStats {
         size(regexp_extract_all(lower(text),
           lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
 
+  /** Repetition signal (the Gopher-rules duplicate-n-gram fraction, Rae et
+    * al. 2021 §A1.1): per document, the share of word n-grams that are
+    * repeats — `1 − distinct/total`. High values flag boilerplate/spam for
+    * quality filtering. Documents with fewer than `n` tokens are excluded
+    * (no n-grams to judge). Pure per-row column work: no shuffle, no
+    * cross-document state — embeds in the scan stage at any scale. */
+  def repetition(df: DataFrame, idCol: Column, textCol: Column, n: Int = 2): DataFrame = {
+    val t = col("__toks")
+    val grams = transform(sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+    df.select(idCol.as("doc_id"), toks(textCol).as("__toks"))
+      .filter(size(t) >= n)
+      .select(col("doc_id"), grams.as("__g"))
+      .select(col("doc_id"),
+        size(col("__g")).cast("long").as("total_ngrams"),
+        size(array_distinct(col("__g"))).cast("long").as("distinct_ngrams"))
+      .withColumn("dup_ratio",
+        (col("total_ngrams") - col("distinct_ngrams")).cast("double") /
+          col("total_ngrams").cast("double"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * (See [[winnow]] for the rolling-hash variant.) */
   def fingerprint(text: Column): Column =

@@ -166,6 +166,12 @@ object ExtQueries {
     "q_winnow" -> { (s, dir) =>
       TextStats.winnow(docs(s, dir), col("doc_id"), col("text"))
         .orderBy(col("doc_id"), col("fp"))
+    },
+
+    // Gopher-style duplicate-2-gram repetition signal.
+    "q_repetition" -> { (s, dir) =>
+      TextStats.repetition(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
     })
 
   /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
@@ -356,6 +362,18 @@ object ExtQueries {
         |SELECT l.doc_id, l.n_chars, c.bucket
         |FROM lens l JOIN cum c ON l.n_chars = c.n_chars
         |ORDER BY l.doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS gs
+        |      FROM toks WHERE len(t) >= 2)
+        |SELECT doc_id,
+        |       CAST(len(gs) AS BIGINT) AS total_ngrams,
+        |       CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_ngrams,
+        |       CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+        |         AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_winnow" ->
       """WITH g AS (
