@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.4, J1–J6).
@@ -57,4 +58,40 @@ object Joins {
     * micro-batch and broadcasting it. */
   def broadcastConfig(main: DataFrame, config: DataFrame, cond: Column): DataFrame =
     main.join(broadcast(config), cond, "inner")
+
+  /** As-of join (point-in-time lookup, left outer): each left row picks THE
+    * latest right row with `right.ts ≤ left.ts` on the same key; left rows
+    * with no prior right row keep nulls. Spark has no built-in as-of join,
+    * and the naive formulation (equi+range join, then rank) multiplies every
+    * left row by its full right-side history before pruning — quadratic in
+    * versions per key. This is the union-sort formulation instead: tag both
+    * sides, ONE shuffle on the key, a running `last(_, ignoreNulls)` window
+    * carries the latest right payload forward in (ts, side) order, keep the
+    * left rows — O(|L|+|R|) rows through one exchange, the shape a 100 TB
+    * point-in-time dim lookup needs. (DuckDB's native ASOF JOIN is the
+    * oracle twin — see `q_asof_touch`.)
+    *
+    * Both inputs must expose `key` and `ts` columns under the same names.
+    * Right rows MUST be unique per (key, ts) — compact versions first
+    * ([[graft.ops.Stateful.lastWriteWins]]) so "the latest row" is
+    * well-defined; ties between a left and right row at the SAME ts resolve
+    * to the right row being visible (the ≤ bound is inclusive).
+    *
+    * @param rightPayload right columns carried onto matching left rows */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val rp = struct(rightPayload.map(col): _*)
+    val rpType = right.select(rp.as("__rp")).schema("__rp").dataType
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rp", lit(null).cast(rpType))
+    val r = right.select(col(key), col(ts), lit(0).as("__side"), rp.as("__rp"))
+    // right rows miss the left-only columns → null-padded by unionByName
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__last", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightPayload.map(p => col(s"__last.$p").as(p)): _*)
+  }
 }

@@ -72,6 +72,25 @@ object JoinQueries {
         .orderBy(col("id"), col("payment_type"))
     },
 
+    // As-of join — last-touch attribution: each purchase picks the user's
+    // latest view at or before the purchase time (none → nulls). The view
+    // side is pre-compacted to one row per (user, ts) so "the latest" is
+    // well-defined. Union-sort formulation: one shuffle, no pair explosion.
+    "q_asof_touch" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("unix_millis(ts)").as("ts_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_ms"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_ms"))
+        .agg(max(col("event_id")).as("v_id"))
+        .select(col("user_id"), col("ts_ms"), col("v_id"), col("ts_ms").as("v_ts"))
+      Joins.asof(purchases, views, key = "user_id", ts = "ts_ms",
+          rightPayload = Seq("v_id", "v_ts"))
+        .orderBy(col("p_id"))
+    },
+
     // J6 — broadcast config join: CDC stream ⋈ config on table = source_table.
     "q_join_broadcast" -> { (s, dir) =>
       val mx  = Project.etlFilter(Envelopes.maxwell(s, dir))
@@ -121,6 +140,18 @@ object JoinQueries {
          |       CAST(l_partkey % 30 AS VARCHAR) AS payment_type, dic_name
          |FROM lineitem LEFT JOIN dic ON CAST(l_partkey % 30 AS VARCHAR) = rowkey
          |ORDER BY id, payment_type""".stripMargin,
+
+    "q_asof_touch" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_ms FROM ev
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts_ms AS v_ts, MAX(event_id) AS v_id FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.p_id, p.user_id, p.ts_ms, v.v_id, v.v_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_ms >= v.v_ts
+        |ORDER BY p.p_id""".stripMargin,
 
     "q_join_broadcast" ->
       s"""WITH $MX
