@@ -59,6 +59,28 @@ object Joins {
   def broadcastConfig(main: DataFrame, config: DataFrame, cond: Column): DataFrame =
     main.join(broadcast(config), cond, "inner")
 
+  /** Pure range join (no equi key): `left.value ∈ [right.lo, right.hi]`.
+    * Without an equi condition Spark plans a broadcast-nested-loop (or
+    * cartesian) — O(|L|·|R|) comparisons. Bin bucketing restores a hash
+    * join: left rows key on their value's bin, each right range explodes to
+    * every bin it overlaps, the equi-join runs on the bin, and the BETWEEN
+    * residual filters inside the join. A value lies in exactly ONE bin, so
+    * no post-join dedup is needed; right-side fan-out is
+    * ceil(rangeWidth/binWidth) rows per range — pick `binWidth` near the
+    * typical range width.
+    *
+    * Column names across the two inputs must be distinct (the residual
+    * references them unqualified post-join). */
+  def rangeBin(left: DataFrame, right: DataFrame, valueCol: Column,
+      loCol: Column, hiCol: Column, binWidth: Double): DataFrame = {
+    val lb = left.withColumn("__bin", floor(valueCol / binWidth))
+    val rb = right.withColumn("__bin",
+      explode(sequence(floor(loCol / binWidth), floor(hiCol / binWidth))))
+    lb.join(rb, Seq("__bin"))
+      .filter(valueCol.between(loCol, hiCol))
+      .drop("__bin")
+  }
+
   /** As-of join (point-in-time lookup, left outer): each left row picks THE
     * latest right row with `right.ts ≤ left.ts` on the same key; left rows
     * with no prior right row keep nulls. Spark has no built-in as-of join,

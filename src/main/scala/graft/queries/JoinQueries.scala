@@ -72,6 +72,20 @@ object JoinQueries {
         .orderBy(col("id"), col("payment_type"))
     },
 
+    // Pure range join (no equi key) via bin bucketing: events priced into
+    // part bands, value ∈ [lo, lo+9]. The bin is the hash-join key; the
+    // BETWEEN is the residual — never a nested loop.
+    "q_range_join" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir).select(col("event_id"), col("value"))
+      val bands = Envelopes.table(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("band_part"),
+          ((col("p_partkey") % 50) * 10).cast("double").as("lo"),
+          ((col("p_partkey") % 50) * 10 + 9).cast("double").as("hi"))
+      Joins.rangeBin(ev, bands, col("value"), col("lo"), col("hi"), binWidth = 10.0)
+        .select(col("event_id"), col("band_part"), col("lo"), col("value"))
+        .orderBy(col("event_id"), col("band_part"))
+    },
+
     // As-of join — last-touch attribution: each purchase picks the user's
     // latest view at or before the purchase time (none → nulls). The view
     // side is pre-compacted to one row per (user, ts) so "the latest" is
@@ -140,6 +154,16 @@ object JoinQueries {
          |       CAST(l_partkey % 30 AS VARCHAR) AS payment_type, dic_name
          |FROM lineitem LEFT JOIN dic ON CAST(l_partkey % 30 AS VARCHAR) = rowkey
          |ORDER BY id, payment_type""".stripMargin,
+
+    "q_range_join" ->
+      """WITH b AS (
+        |  SELECT p_partkey AS band_part,
+        |         CAST((p_partkey % 50) * 10 AS DOUBLE) AS lo,
+        |         CAST((p_partkey % 50) * 10 + 9 AS DOUBLE) AS hi
+        |  FROM part WHERE p_partkey < 200)
+        |SELECT e.event_id, b.band_part, b.lo, e.value
+        |FROM events e JOIN b ON e.value BETWEEN b.lo AND b.hi
+        |ORDER BY e.event_id, b.band_part""".stripMargin,
 
     "q_asof_touch" ->
       """WITH ev AS (

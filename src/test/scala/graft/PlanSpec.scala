@@ -52,6 +52,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "the log pipeline must not introduce joins")
   }
 
+  test("pure range join stays a hash join on the bin key (no nested loop)") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested loop")
+    assert(p.contains("Join"), "bin bucketing must still join")
+  }
+
   test("winnowing: one keyed window, no cross-document join") {
     val p = plan("q_winnow")
     assert(p.contains("Window"), "window-min selection must be a keyed window")

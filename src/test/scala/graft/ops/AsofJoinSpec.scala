@@ -25,6 +25,26 @@ class AsofJoinSpec extends SparkSpec {
     ))
   }
 
+  test("range-bin join: inclusive at both bounds, one row per match, cross-bin ranges work") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq((1L, 5.0), (2L, 10.0), (3L, 19.0), (4L, 19.5), (5L, 25.0))
+      .toDF("id", "value")
+    // range [10, 19] spans bins 1..1 at width 10; [8, 22] spans bins 0..2
+    val ranges = Seq(("r1", 10.0, 19.0), ("r2", 8.0, 22.0)).toDF("name", "lo", "hi")
+    val got = Joins.rangeBin(vals, ranges, col("value"), col("lo"), col("hi"), 10.0)
+      .select(col("id"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // exactly one output row per (value, containing range): no bin-overlap dups
+    assert(got.length == got.distinct.length)
+    val set = got.toSet
+    assert(set == Set(
+      (2L, "r1"), (3L, "r1"),             // 10 and 19: inclusive bounds
+      (2L, "r2"), (3L, "r2"), (4L, "r2")  // 8..22 crosses three bins
+      // 5.0 below both ranges; 25.0 above both
+    ), s"got $set")
+  }
+
   test("union-sort formulation shuffles exactly once (no pair explosion)") {
     val s = spark
     import s.implicits._
