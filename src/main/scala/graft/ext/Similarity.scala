@@ -67,8 +67,12 @@ object Similarity {
     * sketch is one native dot per bit inside codegen), band the sketch, and
     * equi-join on (band, bandValue) instead of crossing the corpus. Bucket
     * collisions are exact-verified at `threshold`, so precision is 1; recall
-    * at the threshold is 1−(1−p^g)^bands with p = 1−θ/π (≈0.9998 for the
-    * default 16×2 at cosine 0.45). The band key is the shuffle key at 100 TB.
+    * at the threshold is 1−(1−p^g)^bands with p = 1−θ/π (≈0.98 for the
+    * default 36 bits × 12 bands at cosine 0.45). Pruning power is the other
+    * side of that dial: at a WEAK threshold like 0.45 (p≈0.65, vs ≈0.86 at
+    * cosine 0.9) the defaults favor recall and admit a large candidate
+    * fraction — raise g/lower bands when the threshold is high and you want
+    * candidates ∝ true pairs. The band key is the shuffle key at 100 TB.
     *
     * @param dim embedding dimensionality (hyperplanes are built driver-side) */
   def srpPairs(emb: DataFrame, threshold: Double, dim: Int,
