@@ -18,12 +18,28 @@ object Bench {
     // dominant term, measured ~2.5× on the first heavy query — C2 JIT of the
     // shared scan/shuffle/hash-agg loops. The envelope count and the small
     // aggregation below exercise exactly those paths, untimed.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    graft.model.Envelopes.maxwell(spark, sfDir)
-      .filter("database = 'gmall'").groupBy("type").count().collect()
-    graft.ops.Project.logEtl(graft.model.Envelopes.logRecords(spark, sfDir))
-      .select("event_id").count()
+    // Warm-up is best-effort: if the environment is broken the per-query loop
+    // below reports every failure loudly rather than dying here silently.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+      graft.model.Envelopes.maxwell(spark, sfDir)
+        .filter("database = 'gmall'").groupBy("type").count().collect()
+      graft.ops.Project.logEtl(graft.model.Envelopes.logRecords(spark, sfDir))
+        .select("event_id").count()
+      // Window-exec warm-up: several headline queries (dim merge, pay-success,
+      // order detail) are WindowExec-dominated, and the scan/agg warm-up above
+      // leaves that operator's codegen + sort paths cold — measured as 2-7×
+      // first-use penalties landing on whichever window query runs first.
+      spark.range(100000)
+        .selectExpr("id % 97 as k", "id as v")
+        .selectExpr("k", "row_number() over (partition by k order by v desc) as rn",
+          "sum(v) over (partition by k order by v rows between 3 preceding and current row) as s")
+        .filter("rn <= 2").count()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH WARM-UP FAILURE: ${e.getClass.getName}: ${e.getMessage}")
+    }
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_dedup_clusters,q_dwd_comment
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -37,15 +53,25 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    // A failed query must be LOUD: a silent catch would record a fast wall
+    // time and make a regression read as a speedup. Failures print name +
+    // exception to stderr and are counted in the summary line.
+    var failures = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures ::= name
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -36,11 +36,18 @@ object Dedup {
     ).otherwise(array().cast("array<string>"))
     // The testdata parquet is a single row group → a 1-partition scan; spread
     // the (cheap, narrow) token rows across cores BEFORE the gram explosion,
-    // which is the CPU-heavy part. On properly-sized inputs this exchange is
-    // a no-op cost next to the shingle work it parallelizes.
-    df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // which is the CPU-heavy part. Gated: a properly-partitioned input skips
+    // the exchange entirely.
+    spread(df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks")))
       .select(col("doc_id"), explode(array_distinct(grams)).as("s"))
+  }
+
+  /** Repartition `df` across the cluster only when it arrives narrower than
+    * the available parallelism (e.g. a single-row-group local file). A wide
+    * input passes through untouched — no unconditional shuffle baked in. */
+  private[ext] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   /** Shingle-set sizes per doc. */
@@ -141,73 +148,107 @@ object Dedup {
 
   /** Connected components over near-dup pairs → keeper assignment: every doc
     * in a duplicate cluster maps to the cluster's minimum doc_id (the row a
-    * pipeline keeps). Min-label propagation with pointer jumping (path
-    * halving): each round takes the min label over neighbors, then rewrites
-    * `keeper := keeper(keeper)` — pointer chains halve every round, so the
-    * fixpoint arrives in O(log diameter) rounds instead of O(diameter), the
-    * same shortcutting idea as large-star/small-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond").
+    * pipeline keeps). Min-label propagation with DOUBLE pointer jumping: each
+    * round takes the min label over neighbors, then rewrites
+    * `keeper := keeper(keeper)` twice in the same plan — reach roughly
+    * triples per materialized round, so the fixpoint arrives in O(log
+    * diameter) barriers, the same shortcutting idea as large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
     *
-    * Exactly ONE data-sized action runs per round: the `localCheckpoint` that
-    * materializes the new labels. The convergence check rides along as a
-    * precomputed `chg` column summed off the already-cached blocks — no extra
-    * join job per round (that join was the measured driver-sequencing
-    * bottleneck: ~3 jobs × O(diameter) rounds).
+    * Driver-sequencing cost (the measured bottleneck — the barrier count,
+    * not the row count, dominated on small graphs) is held down three ways:
+    * (1) both jumps ride in ONE plan per round, halving barriers vs
+    * jump-per-action; (2) every in-loop shuffle is sized to the edge count —
+    * ~1M edge rows per partition, so a test-scale graph collapses to one
+    * partition and a 100 TB graph still gets full width — instead of paying
+    * the session's shuffle width per round on a table that shrinks to a few
+    * hundred rows after round 1; (3) convergence is read off the label SUM
+    * (labels only ever decrease, so the sum is strictly smaller iff any doc
+    * changed) — a cached-block scan, no extra join and no change-flag column.
     *
     * @param pairs (a_id, b_id) undirected near-dup edges
     * @return (doc_id, keeper_id) for every doc appearing in any pair
     * @throws IllegalStateException if propagation hasn't converged after
-    *         maxIter rounds (pointer jumping needs ~log2(diameter) rounds, so
-    *         the default bound is far beyond any real graph — silently
-    *         returning a split cluster would corrupt keeper assignment) */
+    *         maxIter rounds (double pointer jumping needs ~log3(diameter)
+    *         rounds, so the default bound is far beyond any real graph —
+    *         silently returning a split cluster would corrupt keeper
+    *         assignment) */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     // Materialize the pair set ONCE before mirroring it: `pairs` is usually an
     // expensive lazy plan (an LSH or inverted-index join), and a union of two
     // projections of it would execute that plan twice (shuffle reuse recovers
     // only part of the cost — measured ~1.7× on the 10× probe).
     val p = pairs.select(col("a_id").as("x"), col("b_id").as("y")).localCheckpoint(true)
-    val edges = p.union(p.select(col("y").as("x"), col("x").as("y")))
+    val edges0 = p.union(p.select(col("y").as("x"), col("x").as("y")))
       .distinct().localCheckpoint(true)
     p.unpersist()
-    // Initialize labels with the first hop already applied — min(self, direct
-    // neighbors) — instead of the identity: same single shuffle as a
-    // distinct-vertices init, but it does round 1's work for free.
-    var labels = edges.groupBy(col("x").as("doc_id"))
-      .agg(min(col("y")).as("__nbr_min"))
-      .select(col("doc_id"), least(col("doc_id"), col("__nbr_min")).as("keeper_id"))
-      .localCheckpoint(true)
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // Min label among direct neighbors (one hop).
-      val msgs = edges.join(labels, edges("y") === labels("doc_id"))
-        .groupBy(col("x").as("doc_id")).agg(min(col("keeper_id")).as("nbr_min"))
-      val hop = labels.join(msgs, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("keeper_id").as("old"),
-          least(col("keeper_id"), coalesce(col("nbr_min"), col("keeper_id"))).as("k1"))
-      // Pointer jump: follow the new keeper to ITS keeper. Labels only ever
-      // hold doc_ids present in the label table, so the left_outer+coalesce
-      // is defensive, not load-bearing.
-      val next = hop.as("h")
-        .join(labels.as("l"), col("h.k1") === col("l.doc_id"), "left_outer")
-        .select(col("h.doc_id").as("doc_id"),
-          least(col("h.k1"), coalesce(col("l.keeper_id"), col("h.k1"))).as("keeper_id"),
-          (col("h.k1") =!= col("h.old") ||
-            coalesce(col("l.keeper_id"), col("h.k1")) < col("h.k1")).cast("long").as("chg"))
-        .localCheckpoint(true) // the single data-sized action this round
-      changed = next.agg(coalesce(sum(col("chg")), lit(0L)).as("c"))
-        .first().getLong(0) // cached-block scan, no shuffle-sized job
-      labels.unpersist() // bound cached generations at two
-      labels = next
-      iter += 1
-    }
-    edges.unpersist() // labels is checkpointed; the edge cache is done
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(pointer-jumping rounds exceeded ~log2 of the cluster diameter) — " +
-          "raise maxIter")
-    labels.select(col("doc_id"), col("keeper_id"))
+    val edgeCt = edges0.count() // cached-block scan, no shuffle
+    // Loop shuffle width ∝ data: ~1M narrow edge rows (two longs) per
+    // partition stays far under executor memory at any scale while collapsing
+    // a near-dup graph at test scale to a single partition, where per-round
+    // scheduling overhead would otherwise dwarf the work.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts =
+      math.max(1L, math.min(sessionParts.toLong, (edgeCt >> 20) + 1)).toInt
+    val edges =
+      if (loopParts < edges0.rdd.getNumPartitions) edges0.coalesce(loopParts)
+      else edges0
+    // Narrow the session's shuffle width for the loop's internal stages only:
+    // everything below is materialized via localCheckpoint before the conf is
+    // restored, and the returned frame is a pure projection of cached blocks.
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      // Initialize labels with the first hop already applied — min(self,
+      // direct neighbors) — instead of the identity: same single shuffle as a
+      // distinct-vertices init, but it does round 1's work for free.
+      var labels = edges.groupBy(col("x").as("doc_id"))
+        .agg(min(col("y")).as("__nbr_min"))
+        .select(col("doc_id"), least(col("doc_id"), col("__nbr_min")).as("keeper_id"))
+        .localCheckpoint(true)
+      // Decimal, not long: at 1e12 docs × 1e9-scale ids the long sum overflows.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("keeper_id").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")))
+          .first().getDecimal(0)
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // Min label among direct neighbors (one hop).
+        val msgs = edges.as("e").join(labels.as("m"), col("e.y") === col("m.doc_id"))
+          .groupBy(col("e.x").as("doc_id")).agg(min(col("m.keeper_id")).as("nbr_min"))
+        val hop = labels.join(msgs, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("keeper_id"), coalesce(col("nbr_min"), col("keeper_id"))).as("k1"))
+        // Double pointer jump through the (checkpointed, leaf) label table:
+        // follow the new keeper to ITS keeper, twice. Labels only ever hold
+        // doc_ids present in the label table, so the left_outer+coalesce is
+        // defensive, not load-bearing.
+        val j1 = hop.as("h")
+          .join(labels.as("l1"), col("h.k1") === col("l1.doc_id"), "left_outer")
+          .select(col("h.doc_id").as("doc_id"),
+            least(col("h.k1"), coalesce(col("l1.keeper_id"), col("h.k1"))).as("k2"))
+        val next = j1.as("j")
+          .join(labels.as("l2"), col("j.k2") === col("l2.doc_id"), "left_outer")
+          .select(col("j.doc_id").as("doc_id"),
+            least(col("j.k2"), coalesce(col("l2.keeper_id"), col("j.k2"))).as("keeper_id"))
+          .localCheckpoint(true) // the single data-sized action this round
+        val curSum = labelSum(next) // cached-block scan
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+        labels.unpersist() // bound cached generations at two
+        labels = next
+        iter += 1
+      }
+      edges0.unpersist() // labels is checkpointed; the edge cache is done
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(pointer-jumping rounds exceeded ~log of the cluster diameter) — " +
+            "raise maxIter")
+      labels.select(col("doc_id"), col("keeper_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
   /** 32-bit weighted SimHash from md5 hex digits: bit i of token t is
@@ -215,8 +256,7 @@ object Dedup {
     * fingerprint bit i set iff the sum is positive. Engine-portable (md5 and
     * integer ops only). */
   def simhash32(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val tok = df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism) // see shingles()
+    val tok = spread(df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks")))
       .select(col("doc_id"), explode(col("__toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
     // Parse the 32 hex digits in FOUR 8-digit conv() calls instead of 32

@@ -102,11 +102,9 @@ object TextStats {
     // whole-stage codegen, and the duplicated text column never crosses a
     // stage boundary (it is consumed by the same codegen stage the explode
     // runs in).
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val hashed = df.select(idCol.as("doc_id"), textCol.as("__txt"))
-      // spread the narrow rows across cores BEFORE the per-gram md5 work —
-      // the testdata parquet is a single row group (see Dedup.shingles)
-      .repartition(par)
+    val hashed = Dedup.spread(df.select(idCol.as("doc_id"), textCol.as("__txt")))
+      // spread gated on input width (see Dedup.spread): the testdata parquet
+      // is a single row group; a wide input skips the exchange
       .filter(length(col("__txt")) >= k + w - 1) // also guards sequence(1, n<1)
       .select(col("doc_id"), col("__txt"),
         (length(col("__txt")) - (k - 1)).cast("long").as("__n"))
