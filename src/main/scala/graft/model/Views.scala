@@ -29,7 +29,14 @@ object Views {
       "graft_documents" -> (() => Envelopes.table(spark, sfDir, "documents")),
       "graft_embeddings" -> (() => Envelopes.table(spark, sfDir, "embeddings")))
     views.toSeq.sortBy(_._1).flatMap { case (name, mk) =>
-      scala.util.Try(mk().createOrReplaceTempView(name)).toOption.map(_ => name)
+      // Only a missing table skips its view; any OTHER failure (schema
+      // mismatch, corrupt parquet) propagates — swallowing it would silently
+      // shrink the SQL surface.
+      try { mk().createOrReplaceTempView(name); Some(name) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") => None
+      }
     }
   }
 }

@@ -46,8 +46,26 @@ object Scale {
       aggs: Seq[(String, String, Column)], buckets: Int = 64): DataFrame = {
     val pm = aggs.map { case (out, fn, c) => partialMerge(fn, c, out) }
     val keyNames = keys.map(k => df.select(k).columns.head)
+    require(keyNames.distinct.size == keyNames.size,
+      s"salted-aggregate keys resolve to duplicate names (${keyNames.mkString(", ")}) — " +
+        "stage 2 would silently merge them; alias the expressions distinctly")
+    // hash() rejects MapType inputs (and a map has no canonical order anyway):
+    // route any map-bearing column through its string rendering, which is
+    // deterministic per value — the CDC envelope's `data: map<string,string>`
+    // column stays salt-eligible instead of throwing.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType        => false
+        case ArrayType(e, _)   => hashable(e)
+        case StructType(flds)  => flds.forall(f => hashable(f.dataType))
+        case _                 => true
+      }
+    }
+    val saltInputs = df.schema.fields.map(fld =>
+      if (hashable(fld.dataType)) col(fld.name) else col(fld.name).cast("string"))
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(saltInputs.toIndexedSeq: _*), lit(buckets)))
     val stage1 = salted
       .groupBy(keys.zip(keyNames).map { case (k, n) => k.as(n) } :+ col("__salt"): _*)
       .agg(pm.head._1, pm.tail.map(_._1): _*)

@@ -9,30 +9,39 @@ import graft.ops.Stateful
   * keyed sinks — HBase point put/delete (K4, `DimHBaseSinkFunction.invoke:
   * 39-75`) and upsert-Kafka compaction (K3, `SQLUtil.getUpsertKafkaSQL:55-63`).
   *
-  * State is hash-partitioned into `__b=<i>` bucket directories under the store
-  * root. Each `merge` applies one micro-batch: derive the batch's touched
-  * buckets, read ONLY those buckets' state, last-write-wins per key, rewrite
-  * ONLY those buckets — merge cost is proportional to the batch plus the state
-  * it collides with, not to total store size (the reference's HBase point
-  * writes have the same asymptotics). Delete tombstones are RETAINED in the
-  * stored state (hidden by [[readActive]]): physically dropping them would let
-  * a late-arriving lower-seq put resurrect a deleted key in one micro-batch
-  * split but not another — final state must be a pure function of the row
-  * multiset, independent of batch boundaries.
+  * State is hash-partitioned into immutable `__b=<i>__g<gen>` bucket
+  * directories under the store root; the committed view is a single manifest
+  * file `_graft_commit_g<gen>` listing every bucket's current directory. Each
+  * `merge` applies one micro-batch: derive the batch's touched buckets, read
+  * ONLY those buckets' state, last-write-wins per key, stage new directories
+  * for ONLY those buckets, then publish ONE new manifest — merge cost is
+  * proportional to the batch plus the state it collides with, not to total
+  * store size (the reference's HBase point writes have the same asymptotics).
+  * Delete tombstones are RETAINED in the stored state (hidden by
+  * [[readActive]]): physically dropping them would let a late-arriving
+  * lower-seq put resurrect a deleted key in one micro-batch split but not
+  * another — final state must be a pure function of the row multiset,
+  * independent of batch boundaries.
   *
-  * Each bucket swap is rename-based with a backup generation, so a crash
-  * leaves every bucket with either its old or its new committed directory
-  * (see [[read]]); [[merge]] first promotes any bak-only bucket back to
-  * committed before touching anything, so a committed copy exists at all
-  * times. Cross-bucket atomicity (all buckets flip together) is the one gap
-  * vs a transactional table format — on a real deployment this is a
-  * Delta/Iceberg MERGE or an HBase client; the dedup logic is identical.
+  * Commit protocol (the Delta/Iceberg-style manifest swap, minus the formats'
+  * metadata layers): staged directories are invisible until the manifest that
+  * references them appears, and a manifest file only ever appears complete —
+  * it is written to a temp name and renamed into place, and a rename to a
+  * fresh name is atomic on HDFS-like filesystems. A crash at ANY point
+  * therefore leaves readers on the previous manifest — per-merge visibility
+  * is all-or-nothing across buckets (the cross-bucket tearing the earlier
+  * per-bucket rename scheme allowed is closed). Leftover staged directories
+  * and superseded manifests are garbage-collected by the next merge.
+  * Single writer assumed (one streaming query owns a store path); concurrent
+  * readers may transiently race GC of a superseded generation and should
+  * retry, exactly as with any snapshot store without a lock service.
   */
 object KeyedStore {
 
   private val BucketPrefix = "__b="
-  private val BakSuffix = "__bak"
   private val MetaFile = "_graft_buckets"
+  private val CommitPrefix = "_graft_commit_g"
+  private val BucketDirRe = """^__b=(\d+)__g(\d+)$""".r
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -40,85 +49,103 @@ object KeyedStore {
   private def bucketOf(keys: Seq[String], n: Int): Column =
     pmod(hash(keys.map(col): _*), lit(n))
 
-  /** Bucket count the store was created with; later merges reuse it so the
-    * key→bucket mapping never drifts (a param change would strand state).
-    * A present-but-unparseable meta file (a crash inside a pre-atomic
-    * writer) is recoverable only if no buckets exist yet — with state on
-    * disk the key→bucket mapping is unknown, so fail loudly rather than
-    * re-bucket silently. */
-  private def readBucketCount(f: FileSystem, root: Path): Option[Int] = {
-    val p = new Path(root, MetaFile)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      txt.toIntOption match {
-        case some @ Some(_) => some
-        case None if bucketDirs(f, root).isEmpty => None // fresh store, rewrite
-        case None => throw new java.io.IOException(
-          s"corrupt $p ('$txt') with existing buckets — bucket count unrecoverable")
-      }
-    }
+  private def readTextFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
-  /** Crash-atomic: write to a temp name, then one rename. */
-  private def writeBucketCount(f: FileSystem, root: Path, n: Int): Unit = {
-    val tmp = new Path(root, MetaFile + "__tmp")
+  /** Write `content` crash-atomically to `dst` (which must not exist):
+    * temp file + rename. The temp name never matches a reader pattern. */
+  private def writeAtomic(f: FileSystem, root: Path, dst: Path, content: String): Unit = {
+    val tmp = new Path(root, dst.getName + "__tmp")
+    f.delete(tmp, false) // a crashed previous attempt
     val out = f.create(tmp, true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(root, MetaFile)
-    f.delete(dst, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    f.delete(dst, true) // same-generation leftover from a crashed attempt
     if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"meta rename $tmp -> $dst failed")
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
   }
 
-  /** Roll forward from any crash point so every bucket has exactly one
-    * committed directory: a bak-ONLY bucket (crashed between the two renames)
-    * is promoted back to committed; a bak beside a committed dir (crashed
-    * before the final cleanup) is stale and dropped. Never deletes the last
-    * copy of a bucket. */
-  private def repair(f: FileSystem, root: Path): Unit =
-    if (f.exists(root))
-      f.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith(BucketPrefix) && p.getName.endsWith(BakSuffix))
-        .foreach { bak =>
-          val dst = new Path(root, bak.getName.stripSuffix(BakSuffix))
-          if (f.exists(dst)) f.delete(bak, true)
-          else if (!f.rename(bak, dst))
-            throw new java.io.IOException(s"recovery rename $bak -> $dst failed")
-        }
-
-  /** Committed bucket directories (after logically applying [[repair]]'s
-    * bak-only fallback, without mutating the store). Refuses a root holding
-    * non-bucket data files (e.g. a store written by a flat-layout version):
-    * silently reading none of it — or starting a fresh bucketed store beside
-    * it — would be invisible state loss. */
-  private def bucketDirs(f: FileSystem, root: Path): Seq[Path] = {
-    if (!f.exists(root)) return Nil
-    val children = f.listStatus(root).map(_.getPath)
-    val stray = children.filter { p =>
-      val n = p.getName
-      !n.startsWith(BucketPrefix) && !n.startsWith(MetaFile) && !n.startsWith("_")
-    }
+  /** Refuse roots holding foreign data (a flat-layout parquet dir) or
+    * pre-manifest bucket directories (`__b=<i>` without a generation): both
+    * would otherwise be silently invisible — i.e. silent state loss. */
+  private def layoutGuard(f: FileSystem, root: Path): Unit = {
+    if (!f.exists(root)) return
+    val names = f.listStatus(root).map(_.getPath.getName)
+    val stray = names.filter(n => !n.startsWith(BucketPrefix) && !n.startsWith("_"))
     if (stray.nonEmpty)
       throw new IllegalStateException(
         s"$root holds non-bucket entries (${stray.take(3).mkString(", ")}) — " +
           "not a bucketed KeyedStore layout; migrate or point at a fresh root")
-    val bucketChildren = children.filter(_.getName.startsWith(BucketPrefix))
-    val (baks, dsts) = bucketChildren.partition(_.getName.endsWith(BakSuffix))
-    val committed = dsts.toSeq
-    val recovered = baks.toSeq.filter(b =>
-      !dsts.exists(_.getName == b.getName.stripSuffix(BakSuffix)))
-    committed ++ recovered
+    val legacy = names.filter(n =>
+      n.startsWith(BucketPrefix) && !BucketDirRe.matches(n))
+    if (legacy.nonEmpty)
+      throw new IllegalStateException(
+        s"$root holds pre-manifest bucket directories (${legacy.take(3).mkString(", ")}) — " +
+          "rewrite the store (read old layout, merge into a fresh root)")
   }
 
-  /** Full stored state, tombstones included. Recovers from an interrupted
-    * bucket swap by falling back to that bucket's backup generation. */
+  /** Highest committed manifest: (generation, bucket → directory name).
+    * Superseded manifests may transiently coexist (crash before GC) — the
+    * highest generation wins. A manifest can only exist complete (rename
+    * protocol), so a parse failure is corruption and fails loudly. */
+  private def readCommit(f: FileSystem, root: Path): Option[(Long, Map[Int, String])] = {
+    if (!f.exists(root)) return None
+    val commits = f.listStatus(root).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(CommitPrefix) && n.drop(CommitPrefix.length).forall(_.isDigit) &&
+          n.length > CommitPrefix.length
+      }
+    if (commits.isEmpty) None
+    else {
+      val latest = commits.maxBy(_.getName.drop(CommitPrefix.length).toLong)
+      val gen = latest.getName.drop(CommitPrefix.length).toLong
+      val entries = readTextFile(f, latest).split("\n").filter(_.nonEmpty).map { line =>
+        line.split(" ", 2) match {
+          case Array(i, dir) if i.forall(_.isDigit) && dir.startsWith(BucketPrefix) =>
+            i.toInt -> dir
+          case _ => throw new java.io.IOException(
+            s"corrupt manifest $latest: unparseable line '$line'")
+        }
+      }
+      Some((gen, entries.toMap))
+    }
+  }
+
+  /** Bucket count the store was created with; later merges reuse it so the
+    * key→bucket mapping never drifts (a param change would strand state).
+    * Missing or unparseable meta beside existing state fails loudly: with
+    * state on disk the key→bucket mapping is unknown, and silently adopting
+    * the caller's numBuckets would re-bucket new rows away from old winners. */
+  private def readBucketCount(f: FileSystem, root: Path): Option[Int] = {
+    val p = new Path(root, MetaFile)
+    def hasState = readCommit(f, root).isDefined ||
+      f.exists(root) && f.listStatus(root).exists(_.getPath.getName.startsWith(BucketPrefix))
+    if (!f.exists(p)) {
+      if (hasState)
+        throw new java.io.IOException(
+          s"$p is missing but $root holds state — bucket count unrecoverable " +
+            "(out-of-band deletion?); restore the meta file or rewrite the store")
+      None
+    } else readTextFile(f, p).trim.toIntOption match {
+      case some @ Some(_) => some
+      case None if !hasState => None // fresh store, rewrite
+      case None => throw new java.io.IOException(
+        s"corrupt $p with existing state — bucket count unrecoverable")
+    }
+  }
+
+  /** Full stored state, tombstones included — the latest committed manifest's
+    * view. Staged-but-uncommitted directories are invisible by construction. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dirs = bucketDirs(fs(spark, path), new Path(path))
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+    val f = fs(spark, path)
+    val root = new Path(path)
+    layoutGuard(f, root)
+    readCommit(f, root).map { case (_, dirs) =>
+      spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
+    }
   }
 
   /** Live state: winning non-delete rows only. */
@@ -140,22 +167,23 @@ object KeyedStore {
     val f = fs(spark, path)
     val root = new Path(path)
     f.mkdirs(root)
-    bucketDirs(f, root) // layout guard: refuse a non-bucketed (legacy) root
-    repair(f, root)
+    layoutGuard(f, root)
     val n = readBucketCount(f, root).getOrElse {
-      writeBucketCount(f, root, numBuckets); numBuckets
+      writeAtomic(f, root, new Path(root, MetaFile), numBuckets.toString); numBuckets
     }
+    val (gen, committed) = readCommit(f, root).getOrElse((0L, Map.empty[Int, String]))
+    val newGen = gen + 1
     // Pin the batch for the merge's TWO actions (touched-bucket collect +
     // the write): without it a non-deterministic or source-shifting batch
     // plan could hash rows into buckets absent from the first-pass touched
-    // set — those rows would reach tmpRoot but never be renamed in, a silent
-    // drop. Caching makes both actions see one materialization.
+    // set — those rows would reach the staging dir but never be published, a
+    // silent drop. Caching makes both actions see one materialization.
     val wb = batch.withColumn("__b", bucketOf(keys, n)).persist()
     try {
       // Touched-bucket ids: bounded by n (metadata-sized, like the
       // reference's config cardinality) — NOT a data-sized collect.
       val touched = wb.select("__b").distinct().collect().map(_.getInt(0)).sorted
-      val existing = touched.map(i => new Path(root, BucketPrefix + i)).filter(f.exists)
+      val existing = touched.flatMap(committed.get).map(new Path(root, _))
       // Bucket files don't store __b (it's derivable); re-derive on read.
       val state = existing.headOption.map(_ =>
         spark.read.parquet(existing.map(_.toString).toIndexedSeq: _*)
@@ -169,20 +197,35 @@ object KeyedStore {
       val tmpRoot = new Path(path + "__tmp")
       f.delete(tmpRoot, true)
       won.write.mode("overwrite").partitionBy("__b").parquet(tmpRoot.toString)
+      // Stage this generation's directories. Invisible until the manifest
+      // lands; a same-generation leftover from a crashed attempt is
+      // uncommitted garbage, safe to replace.
       touched.foreach { i =>
-        val tmp = new Path(tmpRoot, BucketPrefix + i)
-        val dst = new Path(root, BucketPrefix + i)
-        val bak = new Path(root, BucketPrefix + i + BakSuffix)
-        // repair() ran above, so if dst exists it is committed and bak is
-        // disposable; if dst is absent no bak exists either.
-        f.delete(bak, true)
-        if (f.exists(dst) && !f.rename(dst, bak))
-          throw new java.io.IOException(s"backup rename $dst -> $bak failed")
-        if (!f.rename(tmp, dst))
-          throw new java.io.IOException(s"rename $tmp -> $dst failed")
-        f.delete(bak, true)
+        val dst = new Path(root, s"$BucketPrefix${i}__g$newGen")
+        f.delete(dst, true)
+        if (!f.rename(new Path(tmpRoot, BucketPrefix + i), dst))
+          throw new java.io.IOException(s"stage rename -> $dst failed")
       }
       f.delete(tmpRoot, true)
+      // Publish: ONE atomic manifest rename flips every touched bucket
+      // together. Crash before this line → readers stay on generation `gen`
+      // for ALL buckets; crash after → they see generation `newGen` for all.
+      val newMap = committed ++
+        touched.map(i => i -> s"$BucketPrefix${i}__g$newGen").toMap
+      val manifest = newMap.toSeq.sortBy(_._1)
+        .map { case (i, d) => s"$i $d" }.mkString("\n")
+      writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
+      // GC: superseded manifests and directories no manifest references
+      // (old generations + staged leftovers). A crash mid-GC just leaves
+      // garbage for the next merge's GC — never state.
+      val live = newMap.values.toSet
+      f.listStatus(root).map(_.getPath).foreach { p =>
+        val name = p.getName
+        val oldCommit = name.startsWith(CommitPrefix) && name != CommitPrefix + newGen &&
+          name.drop(CommitPrefix.length).forall(_.isDigit)
+        val deadDir = name.startsWith(BucketPrefix) && !live.contains(name)
+        if (oldCommit || deadDir) f.delete(p, true)
+      }
     } finally wb.unpersist()
   }
 }

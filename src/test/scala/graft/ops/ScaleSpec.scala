@@ -32,6 +32,27 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salting a frame carrying a map column works (CDC envelope shape)") {
+    // hash() rejects MapType — the salt must route map columns through a
+    // deterministic string rendering instead of throwing
+    val env = Envelopes.maxwell(spark, sfDir()) // data: map<string,string>
+    val direct = env.groupBy(col("table")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedAggregate(env, Seq(col("table")),
+        Seq(("n", "count", lit(1))), buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("keys resolving to duplicate names are rejected, not silently merged") {
+    val li = Envelopes.table(spark, sfDir(), "lineitem")
+    intercept[IllegalArgumentException] {
+      Scale.saltedAggregate(li,
+        Seq(col("l_linenumber").as("k"), col("l_returnflag").as("k")),
+        Seq(("n", "count", lit(1))))
+    }
+  }
+
   test("colocate pre-partitions so the downstream aggregation adds no exchange") {
     val li = Envelopes.table(spark, sfDir(), "lineitem")
     val plan = Scale.colocate(li, Seq(col("l_returnflag")), 8)

@@ -52,28 +52,27 @@ class KeyedStoreSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-    def bucketDirs(): Map[String, Long] = fs
+    // bucket index -> generation, parsed from the immutable dir names
+    val re = """__b=(\d+)__g(\d+)""".r
+    def bucketGens(): Map[Int, Long] = fs
       .listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
-      .filter(_.getPath.getName.startsWith("__b="))
-      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+      .map(_.getPath.getName)
+      .collect { case re(i, g) => i.toInt -> g.toLong }.toMap
 
     // seed enough keys to populate several of the 8 buckets
     val seed = (1 to 64).map(i => (s"k$i", s"v$i", 10L, "put"))
     KeyedStore.merge(seed.toDF("k", "v", "seq", "op"),
       dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
-    val before = bucketDirs()
+    val before = bucketGens()
     assert(before.size > 1, "seed should span multiple buckets")
 
-    // single-key batch: exactly one bucket directory may change
-    Thread.sleep(1100) // HDFS-style mtime granularity is 1 s
+    // single-key batch: exactly one bucket may move to the new generation
     KeyedStore.merge(Seq(("k1", "v1b", 20L, "put")).toDF("k", "v", "seq", "op"),
       dir, keys = Seq("k"), seqCols = Seq("seq"))
-    val after = bucketDirs()
-    assert(after.keySet == before.keySet ||
-      after.keySet.subsetOf(before.keySet + "__b=0"),
-      "bucket layout must stay stable")
-    val changed = before.keySet.filter(b => after.get(b) != before.get(b))
-    assert(changed.size <= 1, s"only k1's bucket may be rewritten, got $changed")
+    val after = bucketGens()
+    assert(after.keySet == before.keySet, "bucket layout must stay stable")
+    val changed = before.keySet.filter(b => after(b) != before(b))
+    assert(changed.size == 1, s"only k1's bucket may be rewritten, got $changed")
 
     // the merged value won, everything else survived untouched
     val got = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
@@ -144,33 +143,59 @@ class KeyedStoreSpec extends SparkSpec {
     }
   }
 
-  test("merge recovers a bak-only store without a window of total loss") {
+  test("a crash after staging but before manifest publish is invisible — all-or-nothing") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("keyedstore_rec").toString + "/t"
+    val dir = Files.createTempDirectory("keyedstore_crash").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-    KeyedStore.merge(Seq(("k1", "v1", 10L, "put")).toDF("k", "v", "seq", "op"),
+    // committed generation 1: keys spanning several of the 4 buckets
+    val seed = (1 to 32).map(i => (s"k$i", s"v$i", 10L, "put"))
+    KeyedStore.merge(seed.toDF("k", "v", "seq", "op"),
       dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4)
+    def state(): Map[String, String] =
+      KeyedStore.readActive(s, dir, opCol = "op").get.collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    val committed = state()
 
-    // simulate a crash between "dst renamed to bak" and "tmp renamed to dst"
-    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
-      .map(_.getPath).filter(_.getName.startsWith("__b=")).head
-    val bak = new org.apache.hadoop.fs.Path(dir, bucket.getName + "__bak")
-    assert(fs.rename(bucket, bak))
+    // simulate a merge that crashed after staging EVERY bucket's next
+    // generation but before publishing the manifest: poisoned generation-2
+    // dirs exist for all four buckets, no manifest references them
+    for (i <- 0 until 4)
+      Seq((s"POISON$i", "POISON", 99L, "put")).toDF("k", "v", "seq", "op")
+        .write.parquet(s"$dir/__b=${i}__g2")
 
-    // read() must fall back to the backup generation
-    val rec = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
-    assert(rec.map(_.getAs[String]("k")).toSet == Set("k1"))
+    // readers stay on generation 1 for ALL buckets — no torn view, no poison
+    assert(state() == committed, "uncommitted staging leaked into reads")
 
-    // the next merge must repair (promote bak) and then apply the batch —
-    // never deleting the only committed copy first
-    KeyedStore.merge(Seq(("k2", "v2", 20L, "put")).toDF("k", "v", "seq", "op"),
+    // the next merge reuses generation 2: it must replace the stale staged
+    // dirs it touches, GC the rest, and publish only real data
+    KeyedStore.merge(Seq(("k1", "v1b", 20L, "put")).toDF("k", "v", "seq", "op"),
       dir, keys = Seq("k"), seqCols = Seq("seq"))
-    val got = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
-      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
-    assert(got == Map("k1" -> "v1", "k2" -> "v2"))
-    assert(!fs.exists(bak), "stale bak must be cleaned up")
+    val got = state()
+    assert(got("k1") == "v1b" && got.size == 32 &&
+      !got.valuesIterator.contains("POISON"), s"stale staging survived: $got")
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("__b=")).sorted
+    assert(leftovers.count(_.endsWith("__g2")) <= 1,
+      s"unreferenced staged dirs must be GC'd: $leftovers")
+  }
+
+  test("a store whose meta file was deleted out-of-band fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_meta_gone").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    KeyedStore.merge(Seq(("k1", "v1", 1L, "put")).toDF("k", "v", "seq", "op"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_buckets"), false))
+    // adopting the caller's numBuckets here would silently re-bucket new rows
+    // away from existing winners
+    intercept[java.io.IOException] {
+      KeyedStore.merge(Seq(("k2", "v2", 2L, "put")).toDF("k", "v", "seq", "op"),
+        dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
+    }
   }
 }
