@@ -6,13 +6,56 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata extracted by a batched per-partition decode.
   *
-  * The decode itself is a STUB — the real image/audio libraries are not in
-  * this container — but the Spark-side plumbing is real and tested: schema,
-  * binary column handling, `mapPartitions` batch shape (the Scala analogue of
-  * `mapInPandas`: one iterator per partition so a real decoder could load its
-  * model/codec once per partition, not per row).
+  * The decode is REAL for BMP (a pure-JVM header+pixel parse of the public
+  * BITMAPINFOHEADER layout — no codec library needed); other formats fall
+  * back to a documented deterministic STUB, since the general image/audio
+  * libraries are not in this container. Either way the Spark-side plumbing is
+  * real and tested: schema, binary column handling, `mapPartitions` batch
+  * shape (the Scala analogue of `mapInPandas`: one iterator per partition so
+  * a real decoder can set up its codec once per partition, not per row).
   */
 object Multimodal {
+
+  /** Encode a real 24-bit bottom-up BMP (54-byte header + BGR rows padded to
+    * 4 bytes). `pixel(x, y)` returns 0xRRGGBB. Public format: the 14-byte
+    * file header then BITMAPINFOHEADER. */
+  def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = (width * 3 + 3) & ~3
+    val size = 54 + stride * height
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = pixel(x, y)
+        b.put((p & 0xff).toByte).put(((p >> 8) & 0xff).toByte).put(((p >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** Real BMP header parse: (width, |height|, bits-per-pixel) for any byte
+    * array carrying the 'BM' magic and a full BITMAPINFOHEADER (height is
+    * negative for top-down files — magnitude is the pixel height). */
+  def decodeBmpDims(bytes: Array[Byte]): Option[(Long, Long, Int)] =
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) None
+    else {
+      val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val (w, h, bpp) = (b.getInt(18), b.getInt(22), b.getShort(28).toInt)
+      // magic alone is two printable letters — validate the full header shape
+      // so arbitrary text bytes can't masquerade as an image
+      val valid = b.getInt(2) == bytes.length && b.getInt(14) == 40 &&
+        w > 0 && h != 0 && Set(1, 4, 8, 16, 24, 32).contains(bpp)
+      if (valid) Some((w.toLong, math.abs(h).toLong, bpp)) else None
+    }
 
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
       height: Long, fmt: String)
@@ -27,20 +70,26 @@ object Multimodal {
     * length. Single source — a real decoder replaces exactly this. */
   private def fakeDims(n: Long): (Long, Long) = (64L + n % 512, 64L + (n * 7) % 512)
 
-  /** STUB decode: derives deterministic fake metadata from the byte length.
-    * Replace the body marked STUB with a real codec (e.g. javax.imageio /
-    * JNI ffmpeg) — the partition-batched contract stays identical. */
+  /** Partition-batched metadata decode. BMP bytes are decoded for REAL
+    * (header parse, `fmt = image/bmp`); anything else takes the deterministic
+    * STUB path (`fmt = fake/rgb8`). Extending to more formats (e.g. a
+    * javax.imageio or JNI-ffmpeg branch) changes only the per-row match —
+    * the partition-batched contract stays identical. */
   def decodeMeta(df: DataFrame): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // A real decoder would initialize its codec HERE, once per partition.
+        // A heavier decoder would initialize its codec HERE, once per partition.
         it.map { case (id, bytes) =>
-          // STUB: pretend-decode; deterministic function of the bytes.
           val n = bytes.length.toLong
-          val (w, h) = fakeDims(n)
-          MediaMeta(id, n, w, h, "fake/rgb8")
+          decodeBmpDims(bytes) match {
+            case Some((w, h, _)) => MediaMeta(id, n, w, h, "image/bmp")
+            case None =>
+              // STUB: pretend-decode; deterministic function of the bytes.
+              val (w, h) = fakeDims(n)
+              MediaMeta(id, n, w, h, "fake/rgb8")
+          }
         }
       }
   }

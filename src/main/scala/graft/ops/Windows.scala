@@ -26,10 +26,25 @@ object Windows {
       .drop("__w")
 
   /** Tokenizer (ikanalyzer stand-in for
-    * `dws_traffic_source_keyword_page_view_window`, `pom.xml:205`): lowercase,
-    * split on single spaces (matching every other text operator and the
-    * DuckDB `string_split(lower(x), ' ')` oracles), drop empties. Pure column
-    * expression (codegen'd), not a UDF. */
-  def tokenize(text: Column): Column =
-    filter(split(lower(text), " ", -1), t => length(t) > 0)
+    * `dws_traffic_source_keyword_page_view_window`, `pom.xml:205`). The
+    * reference reserves a CJK analyzer because gmall search keywords are
+    * Chinese — where words are not space-delimited. Public-knowledge
+    * fallback, the same scheme as Lucene's classic CJK analysis: lowercase,
+    * isolate contiguous Han runs, emit latin tokens on whitespace and Han
+    * runs as overlapping character BIGRAMS (a length-1 run stays a unigram).
+    * "big data 大数据" → [big, data, 大数, 数据].
+    *
+    * Pure column expressions, no UDF. The array lambdas here are
+    * CodegenFallback (HOFs) — fine for the keyword dimension this feeds; do
+    * NOT reuse on a per-token hot path (see TextStats.toks for that). */
+  def tokenize(text: Column): Column = {
+    // space out each maximal Han run, then split on whitespace: a mixed
+    // string can only yield pure-latin or pure-Han tokens
+    val spaced = regexp_replace(lower(text), "(\\p{IsHan}+)", " $1 ")
+    val toks = filter(split(spaced, " ", -1), t => length(t) > 0)
+    flatten(transform(toks, t =>
+      when(t.rlike("^\\p{IsHan}{2,}$"),
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+        .otherwise(array(t))))
+  }
 }

@@ -14,14 +14,45 @@ import graft.ops.{Joins, Project, Windows}
 object DwsQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** 40 common hanzi used to derive a deterministic CJK fixture string from
+    * doc_id in BOTH engines (`substr` is character-based in Spark and
+    * DuckDB; Spark's `char()` wraps at 256, so codepoint building is out). */
+  private val CjkAlphabet =
+    "一二三四五六七八九十百千万上下左右中大小天地人口日月水火山石田土木金竹虫鱼鸟风云"
+
   private def pages(s: SparkSession, dir: String): DataFrame =
     Project.logEtl(Envelopes.logRecords(s, dir)).filter(col("page").isNotNull)
 
   val queries: Map[String, QFn] = Map(
-    // dws_traffic_source_keyword_page_view_window — tokenizer + keyword counts.
+    // dws_traffic_source_keyword_page_view_window — tokenizer + WINDOWED
+    // keyword counts (the *_window contract of Constant.java:40). The
+    // documents fixture has no ts column; event time is derived
+    // deterministically as one doc per minute, so each 1-hour window spans
+    // 60 doc_ids.
     "q_dws_keyword" -> { (s, dir) =>
+      val timed = Envelopes.table(s, dir, "documents")
+        .withColumn("__ts_ms", col("doc_id") * 60000)
+      Windows.withTumbleWs(timed, col("__ts_ms"), "1 hour")
+        .select(col("ws"), explode(Windows.tokenize(col("text"))).as("keyword"))
+        .groupBy(col("ws"), col("keyword")).agg(count(lit(1)).as("kw_ct"))
+        .orderBy(col("ws"), col("keyword"))
+    },
+
+    // The CJK capability behind the same table (ikanalyzer, pom.xml:205):
+    // gmall search keywords are Chinese, where words are not space-delimited.
+    // The fixture derives a deterministic mixed latin+hanzi keyword string
+    // per doc by indexing a 40-hanzi alphabet with doc_id arithmetic — both
+    // engines build the identical string, so the bigram tokenization is
+    // fully hash-checkable.
+    "q_dws_keyword_cjk" -> { (s, dir) =>
+      val a = lit(CjkAlphabet)
+      val one = lit(1)
+      val kw = concat(lit("kw"), (col("doc_id") % 7).cast("string"), lit(" "),
+        a.substr((one + col("doc_id") % 40).cast("int"), one),
+        a.substr((one + expr("doc_id div 5") % 40).cast("int"), one),
+        a.substr((one + expr("doc_id div 25") % 40).cast("int"), one))
       Envelopes.table(s, dir, "documents")
-        .select(explode(Windows.tokenize(col("text"))).as("keyword"))
+        .select(explode(Windows.tokenize(kw)).as("keyword"))
         .groupBy(col("keyword")).agg(count(lit(1)).as("kw_ct"))
         .orderBy(col("keyword"))
     },
@@ -110,10 +141,28 @@ object DwsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dws_keyword" ->
-      """SELECT keyword, COUNT(*) AS kw_ct FROM (
-        |  SELECT unnest(string_split(lower(text), ' ')) AS keyword FROM documents)
+      """SELECT ws, keyword, COUNT(*) AS kw_ct FROM (
+        |  SELECT (doc_id // 60) * 3600 AS ws,
+        |         unnest(string_split(lower(text), ' ')) AS keyword
+        |  FROM documents)
         |WHERE keyword <> ''
-        |GROUP BY keyword ORDER BY keyword""".stripMargin,
+        |GROUP BY ws, keyword ORDER BY ws, keyword""".stripMargin,
+
+    "q_dws_keyword_cjk" -> {
+      val a = s"'$CjkAlphabet'"
+      s"""WITH f AS (
+         |  SELECT 'kw' || (doc_id % 7) AS w,
+         |         substr($a, CAST(1 + doc_id % 40 AS INT), 1)
+         |         || substr($a, CAST(1 + (doc_id // 5) % 40 AS INT), 1)
+         |         || substr($a, CAST(1 + (doc_id // 25) % 40 AS INT), 1) AS cjk
+         |  FROM documents),
+         |t AS (
+         |  SELECT w AS keyword FROM f
+         |  UNION ALL SELECT substr(cjk, 1, 2) FROM f
+         |  UNION ALL SELECT substr(cjk, 2, 2) FROM f)
+         |SELECT keyword, COUNT(*) AS kw_ct FROM t
+         |GROUP BY keyword ORDER BY keyword""".stripMargin
+    },
 
     "q_dws_vc_ch_ar" ->
       s"""WITH $LG

@@ -141,6 +141,22 @@ object ExtQueries {
         .toDF().orderBy(col("doc_id"))
     },
 
+    // REAL image decode round-trip: genuine BMP bytes built per doc (dims
+    // derived from doc_id), then header+pixel-layout parsed back by the
+    // partition-batched decoder. The oracle mirrors the dims/byte-size
+    // arithmetic — any header-layout bug breaks the hash.
+    "q_mm_bmp" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (16 + (id % 10).toInt, 8 + (id % 5).toInt)
+        (id, Multimodal.encodeBmp(w, h, (x, y) => (x * 31 + y * 7 + id.toInt) & 0xffffff))
+      }.toDF("doc_id", "media")
+      Multimodal.decodeMeta(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("fmt"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic 10% sample — same rows on every rerun/repartition.
     "q_sample_det" -> { (s, dir) =>
       Curation.deterministicSample(docs(s, dir), col("doc_id"), 10)
@@ -398,5 +414,15 @@ object ExtQueries {
         |       64 + CAST(octet_length(encode(text)) AS BIGINT) % 512 AS width,
         |       64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height,
         |       'fake/rgb8' AS fmt
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_bmp" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 10 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       'image/bmp' AS fmt
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -22,6 +22,33 @@ class MultimodalSpec extends SparkSpec {
     assert(cols == Seq("doc_id", "n_bytes", "width", "height", "fmt"))
   }
 
+  test("BMP media decodes for REAL: exact dimensions from the pixel bytes") {
+    val s = spark
+    import s.implicits._
+    // genuine BMP bytes with dims derived from doc_id; pixels from the id too
+    val docs = (0L until 24L).toDF("doc_id")
+      .as[Long].map { id =>
+        val (w, h) = (16 + (id % 10).toInt, 8 + (id % 5).toInt)
+        (id, Multimodal.encodeBmp(w, h, (x, y) => (x * 31 + y * 7 + id.toInt) & 0xffffff))
+      }.toDF("doc_id", "media")
+    val meta = Multimodal.decodeMeta(docs).collect()
+    assert(meta.length == 24)
+    meta.foreach { m =>
+      assert(m.fmt == "image/bmp", s"doc ${m.doc_id} fell back to the stub")
+      assert(m.width == 16 + m.doc_id % 10, s"doc ${m.doc_id} width ${m.width}")
+      assert(m.height == 8 + m.doc_id % 5, s"doc ${m.doc_id} height ${m.height}")
+      // byte size matches the real layout: 54-byte header + padded BGR rows
+      val stride = (m.width.toInt * 3 + 3) & ~3
+      assert(m.n_bytes == 54 + stride * m.height)
+    }
+    // round-trip sanity at the parser level, including 4-byte row padding
+    val enc = Multimodal.encodeBmp(3, 2, (_, _) => 0xabcdef)
+    assert(Multimodal.decodeBmpDims(enc).contains((3L, 2L, 24)))
+    // arbitrary text starting with "BM" must NOT be mistaken for an image
+    val fake = ("BM" + "x" * 100).getBytes("UTF-8")
+    assert(Multimodal.decodeBmpDims(fake).isEmpty)
+  }
+
   test("resize respects the bounding box; frame sampling keeps every k-th frame") {
     val docs = Multimodal.withFakeMedia(
       graft.model.Envelopes.table(spark, sfDir(), "documents").limit(20))
