@@ -251,6 +251,43 @@ object Dedup {
     } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
+  /** C4-style cross-document span duplication: for each doc, how many of its
+    * distinct n-gram shingles also appear in at least one OTHER document, and
+    * a keep/drop verdict at `num/den` (drop when dup_span_ct·den ≥
+    * span_ct·num). Complements the per-doc repetition signal
+    * ([[TextStats.repetition]]) with the cross-corpus signal C4/RefinedWeb
+    * filter on.
+    *
+    * One shuffle on the shingle: the per-shingle doc count and the join back
+    * to (doc_id, s) share the same key, so the exchange is reused; the final
+    * per-doc rollup shuffles only (doc_id, counts) rows. No pairwise work —
+    * cost is linear in total shingles at any corpus size. */
+  def crossDocDupStats(sh: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
+    // sh is distinct per (doc_id, s), so count(*) per s IS the doc frequency
+    val docCt = sh.groupBy("s").agg(count(lit(1)).as("doc_ct"))
+    sh.join(docCt, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("span_ct"),
+        sum(when(col("doc_ct") > 1, 1L).otherwise(0L)).as("dup_span_ct"))
+      .withColumn("keep", col("dup_span_ct") * den < col("span_ct") * num)
+  }
+
+  /** Benchmark-contamination screen: (train doc, eval doc) pairs sharing at
+    * least `minOverlap` n-gram shingles — the decontamination pass a training
+    * pipeline runs against its eval suites before training.
+    *
+    * The eval side is broadcast: benchmark suites are metadata-sized next to
+    * a 100 TB corpus, so the train shingles NEVER shuffle — the screen is one
+    * map-side join over the corpus scan plus a rollup of the (tiny) hit set. */
+  def contamination(trainSh: DataFrame, evalSh: DataFrame,
+      minOverlap: Int = 3): DataFrame =
+    trainSh.as("t")
+      .join(broadcast(evalSh.as("e")),
+        col("t.s") === col("e.s") && col("t.doc_id") =!= col("e.doc_id"))
+      .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("overlap_ct"))
+      .filter(col("overlap_ct") >= minOverlap)
+
   /** 32-bit weighted SimHash from md5 hex digits: bit i of token t is
     * `parity(hexDigit_i(md5(t)))`; per-doc bit sums weighted by token count;
     * fingerprint bit i set iff the sum is positive. Engine-portable (md5 and

@@ -66,7 +66,8 @@ object Similarity {
     * signs (deterministic from `seed`, materialized as literal arrays so the
     * sketch is one native dot per bit inside codegen), band the sketch, and
     * equi-join on (band, bandValue) instead of crossing the corpus. Bucket
-    * collisions are exact-verified at `threshold`, so precision is 1; recall
+    * collisions are deduped, then exact-verified at `threshold`, so precision
+    * is 1; recall
     * at the threshold is 1−(1−p^g)^bands with p = 1−θ/π (≈0.98 for the
     * default 36 bits × 12 bands at cosine 0.45). Pruning power is the other
     * side of that dial: at a WEAK threshold like 0.45 (p≈0.65, vs ≈0.86 at
@@ -98,20 +99,77 @@ object Similarity {
       val bval = (0 until g).map(j => bitCols(b * g + j) * (1 << j)).reduce(_ + _)
       struct(lit(b).as("band"), bval.as("bval"))
     }
-    // Buckets carry the vector and its norm so the exact verify runs INLINE as
-    // the bucket join's residual condition — no second pass over a materialized
-    // candidate set, and the only distinct() is over the (small) survivors.
-    val buckets = emb.select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+    // Buckets carry ONLY (vec_id, band, bval): the band explode must not
+    // duplicate the vector payload `bands`× through the bucket-join shuffle
+    // (at 100 TB that is bands× the embedding table's bytes). Candidates are
+    // deduped BEFORE the exact verify, so a pair sharing k bands pays one
+    // O(d) dot, not k; the verify then joins the vectors back on vec_id —
+    // each side's embeddings cross the wire exactly once.
+    val buckets = emb.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bk.band").as("band"), col("bk.bval").as("bval"))
-    buckets.as("x").join(buckets.as("y"),
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.vec_id") < col("y.vec_id") &&
-          dotF(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm")) >= threshold)
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
+    val v = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    cand.join(v.as("va"), col("a_id") === col("va.vec_id"))
+      .join(v.as("vb"), col("b_id") === col("vb.vec_id"))
+      .filter(dotF(col("va.embedding"), col("vb.embedding")) /
+        (col("va.nrm") * col("vb.nrm")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Spherical k-means cluster labels — builds the coarse cells [[ivfTopK]]
+    * probes when no `label` column ships with the data (the index-build half
+    * of an IVF ANN system). Lloyd iterations with cosine assignment:
+    * centroids are per-dimension exact DECIMAL SUMS of the assigned vectors
+    * (cosine is scale-invariant, so the un-divided sum assigns identically to
+    * the mean and is independent of partition/row order — every run produces
+    * the SAME labels, which is what makes the composed IVF query testable).
+    * Init is the deterministic `vec_id % k` partition.
+    *
+    * Scale shape per iteration: one shuffle to build k·dim centroid cells
+    * (partial sums map-side), then assignment as a broadcast of the k-row
+    * centroid table against the corpus scan with a map-side partial argmax —
+    * the corpus never shuffles on the assignment path. Iterations are
+    * driver-sequenced like any Lloyd loop; `iters` is fixed (no convergence
+    * read) so the job count is known up front. */
+  def kmeansLabels(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    var labels = v.select(col("vec_id"), (col("vec_id") % k).cast("int").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val cent = v.join(labels, "vec_id")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(sum(col("x").cast("decimal(27,10)")).as("cv"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+        .select(col("label").as("c_label"),
+          transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
+      val centN = cent.withColumn("cent_nrm",
+        sqrt(dotF(col("centroid"), col("centroid"))))
+      // argmax by (sim desc, label asc) via a partial-aggregating max over a
+      // (sim, -label) struct — no n×k window shuffle. A degenerate all-zero
+      // centroid yields NULL sim → coalesce to below cosine's floor so a
+      // real centroid always wins.
+      val next = v.crossJoin(broadcast(centN))
+        .select(col("vec_id"), struct(
+          coalesce(dotF(col("embedding"), col("centroid")) /
+            (col("nrm") * col("cent_nrm")), lit(-2.0)).as("sim"),
+          (-col("c_label")).as("nl")).as("sc"))
+        .groupBy("vec_id").agg(max(col("sc")).as("m"))
+        .select(col("vec_id"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+    }
+    labels
   }
 
   /** IVF-style approximate top-k: coarse clusters come from the `label`

@@ -78,6 +78,21 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** PII redaction: replace e-mail addresses, IPv4 addresses, and phone-like
+    * digit runs with typed sentinels. Pure regexp_replace chain (codegen'd,
+    * embeds in the scan stage — the shape every at-scale scrubber needs); the
+    * patterns deliberately stick to syntax shared by Java regex and RE2 so an
+    * engine-portable oracle can replay them. Order matters: e-mails first
+    * (their local parts may contain digits), then IPs (dots exclude them from
+    * the phone pattern, but not vice versa), then phones. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "[IP]")
+    regexp_replace(ip, "\\+?[0-9][0-9() -]{6,}[0-9]", "[PHONE]")
+  }
+
   /** Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,
     * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash every character k-gram, slide a w-wide window over

@@ -188,6 +188,47 @@ object ExtQueries {
     "q_repetition" -> { (s, dir) =>
       TextStats.repetition(docs(s, dir), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+    },
+
+    // C4-style cross-document span duplication + keep/drop at dup_frac < 1/2
+    // (keep cast to int for the dump — dtype-stable across engines).
+    "q_span_dup" -> { (s, dir) =>
+      Dedup.crossDocDupStats(
+          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2)
+        .select(col("doc_id"), col("span_ct"), col("dup_span_ct"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination screen: docs with doc_id % 97 == 0 stand in
+    // for the eval suite; (train, eval) pairs sharing ≥ 3 shingles.
+    "q_contamination" -> { (s, dir) =>
+      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text"))
+      val isEval = col("doc_id") % 97 === 0
+      Dedup.contamination(sh.filter(!isEval), sh.filter(isEval), minOverlap = 3)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+
+    // PII redaction over deterministically injected e-mail/phone/IP text.
+    "q_pii_scrub" -> { (s, dir) =>
+      val dirty = concat(col("text"),
+        lit(" contact user"), (col("doc_id") % 50).cast("string"),
+        lit("@example.com or +1-555-01"), (col("doc_id") % 10).cast("string"),
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+      docs(s, dir).select(col("doc_id"), TextStats.scrubPii(dirty).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // IVF over SELF-BUILT coarse cells: k-means labels replace the shipped
+    // `label` column — the full index-build + probe path. Rows-only here
+    // (iterative float clustering has no tractable SQL twin); determinism,
+    // self-consistency and recall-vs-brute-force are pinned in ExtSpec.
+    "q_ann_ivf_kmeans" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val relabeled = e.drop("label")
+        .join(Similarity.kmeansLabels(e, k = 8, iters = 3), "vec_id")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), relabeled, 5)
+        .orderBy(col("q_id"), col("rank"))
     })
 
   /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
@@ -424,5 +465,37 @@ object ExtQueries {
         |       CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |       'image/bmp' AS fmt
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_span_dup" ->
+      s"""WITH $JAC,
+         |docct AS (SELECT s, COUNT(*) AS doc_ct FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, COUNT(*) AS span_ct,
+         |       CAST(SUM(CASE WHEN doc_ct > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_span_ct,
+         |       CAST(CAST(SUM(CASE WHEN doc_ct > 1 THEN 1 ELSE 0 END) AS BIGINT) * 2
+         |            < COUNT(*) * 1 AS INT) AS keep
+         |FROM sh JOIN docct USING (s)
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $JAC,
+         |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         |ev AS (SELECT * FROM sh WHERE doc_id % 97 = 0)
+         |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS overlap_ct
+         |FROM tr JOIN ev ON tr.s = ev.s AND tr.doc_id <> ev.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || (doc_id % 50)
+        |             || '@example.com or +1-555-01' || (doc_id % 10)
+        |             || ' at 10.0.' || (doc_id % 256) || '.1',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -82,4 +82,28 @@ class ExtSpec extends SparkSpec {
       .sum / brute.size
     assert(recall >= 0.2, s"IVF recall@5 = $recall") // 2 of 10 random clusters probed
   }
+
+  test("k-means labels are deterministic, in range, and drive a working IVF index") {
+    val e = Envelopes.table(spark, sfDir(), "embeddings")
+    def run(): Map[Long, Int] =
+      Similarity.kmeansLabels(e, k = 8, iters = 3).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val l1 = run()
+    val l2 = run()
+    assert(l1 == l2, "two identical fits diverged — centroid math is not order-free")
+    assert(l1.nonEmpty && l1.values.forall(l => l >= 0 && l < 8))
+    assert(l1.values.toSet.size > 1, "all vectors collapsed into one cell")
+    // composed index-build + probe path: recall vs brute force stays usable
+    val q = e.filter(col("vec_id") < 10)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.bruteForceTopK(q, e, 5))
+    val relabeled = e.drop("label")
+      .join(Similarity.kmeansLabels(e, k = 8, iters = 3), "vec_id")
+    val ivf = topk(Similarity.ivfTopK(q, relabeled, 5, nProbe = 2))
+    val recall = brute.map { case (k, bs) => ivf(k).intersect(bs).size.toDouble / bs.size }
+      .sum / brute.size
+    assert(recall >= 0.2, s"IVF-over-kmeans recall@5 = $recall")
+  }
 }
