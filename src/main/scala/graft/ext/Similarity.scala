@@ -95,24 +95,33 @@ object Similarity {
       .otherwise(when(d0 > 0, 1).otherwise(0))
     val bitCols = bit0 +: planes.tail.map(p =>
       when(dot(col("embedding"), typedLit(p.toSeq)) > 0, 1).otherwise(0))
-    val bandStructs = (0 until bands).map { b =>
-      val bval = (0 until g).map(j => bitCols(b * g + j) * (1 << j)).reduce(_ + _)
-      struct(lit(b).as("band"), bval.as("bval"))
-    }
-    // Buckets carry ONLY (vec_id, band, bval): the band explode must not
-    // duplicate the vector payload `bands`× through the bucket-join shuffle
-    // (at 100 TB that is bands× the embedding table's bytes). Candidates are
-    // deduped BEFORE the exact verify, so a pair sharing k bands pays one
-    // O(d) dot, not k; the verify then joins the vectors back on vec_id —
-    // each side's embeddings cross the wire exactly once.
-    val buckets = emb.select(col("vec_id"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    // The whole sketch packs into one long; per-band values are bit slices.
+    val sketch = (0 until bits).map(i => bitCols(i).cast("long") * (1L << i))
+      .reduce(_ + _)
+    val mask = (1L << g) - 1
+    def bval(sk: Column, b: Int): Column =
+      shiftright(sk, b * g).bitwiseAND(lit(mask))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bval(col("sk"), b).as("bval")))
+    // Buckets carry ONLY (vec_id, sketch, band, bval): the band explode must
+    // not duplicate the vector payload `bands`× through the bucket-join
+    // shuffle (at 100 TB that is bands× the embedding table's bytes). A pair
+    // colliding in k bands is kept ONLY in its first matching band — a pure
+    // bit-op residual on the two sketches — so the candidate set is unique by
+    // construction: no distinct() shuffle over the collision volume. The
+    // exact verify then joins the vectors back on vec_id, each side's
+    // embeddings crossing the wire exactly once, one O(d) dot per pair.
+    val buckets = emb.select(col("vec_id"), sketch.as("sk"))
+      .select(col("vec_id"), col("sk"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("sk"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val diff = col("x.sk").bitwiseXOR(col("y.sk"))
+    val firstMatchBand = (1 until bands).foldLeft(
+      when(bval(diff, 0) === 0, 0)) { (w, b) => w.when(bval(diff, b) === 0, b) }
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.vec_id") < col("y.vec_id"))
+          col("x.vec_id") < col("y.vec_id") &&
+          col("x.band") === firstMatchBand)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
     val v = emb.select(col("vec_id"), col("embedding"),
       sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
     cand.join(v.as("va"), col("a_id") === col("va.vec_id"))

@@ -76,6 +76,30 @@ object RelQueries {
         .filter(col("o_totalprice") > col("avg_price") * 1.5)
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // CUBE — all four grouping combinations in one aggregation pass.
+    "q_cube" -> { (s, dir) =>
+      Envelopes.table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_ct"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Navigation window functions: lag/lead/first_value/ntile over a total
+    // per-customer order (ntile cast to long — DuckDB's is BIGINT).
+    "q_lead_lag" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Envelopes.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          ntile(4).over(w).cast("long").as("q4"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +146,21 @@ object RelQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |                             / COUNT(*) FROM orders) * 1.5
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_ct,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       ntile(4) OVER w AS q4
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }

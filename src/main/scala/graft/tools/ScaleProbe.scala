@@ -53,7 +53,9 @@ object ScaleProbe {
     val probes = Seq("q1_agg", "q_join_inner", "q_upsert_dedup", "q_dws_vc_ch_ar",
       "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash", "q_embed_dup_lsh",
       "q_dwd_order_detail", "q_topk_sku",
-      "q_dedup_clusters", "q_dwd_pay_suc", "q_dwd_base_log", "q_ann_ivf")
+      "q_dedup_clusters", "q_dedup_clusters_lsh", "q_dwd_pay_suc",
+      "q_dwd_base_log", "q_ann_ivf", "q_ann_ivf_kmeans",
+      "q_span_dup", "q_contamination", "q_pii_scrub", "q_dws_keyword_cjk")
     val times = probes.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, outDir).count()
