@@ -64,4 +64,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "window-min selection must be a keyed window")
     assert(!p.contains("Join"), "fingerprinting must not join documents")
   }
+
+  test("contamination screen broadcasts the eval side — the corpus never shuffles for the join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), "eval shingles must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the train corpus must not shuffle into the screen join")
+  }
+
+  test("PII scrub is scan-stage work: no shuffle beyond the dump sort, no join") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Join"), "redaction must not join")
+    // exactly one exchange: the verify-protocol ORDER BY's range partitioning
+    assert(p.split("Exchange").length - 1 <= 1, p.take(600))
+  }
+
+  test("span-dup stats never form pairs: aggregations only, no pairwise join fan-out") {
+    val p = plan("q_span_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cross-doc span stats degraded to pairwise work")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "doc-frequency rollup must aggregate, not enumerate pairs")
+  }
 }
