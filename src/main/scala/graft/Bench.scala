@@ -36,6 +36,18 @@ object Bench {
         .selectExpr("k", "row_number() over (partition by k order by v desc) as rn",
           "sum(v) over (partition by k order by v rows between 3 preceding and current row) as s")
         .filter("rn <= 2").count()
+      // Higher-order-function warm-up: the dedup/text family runs
+      // transform/filter lambdas (interpreted evaluators), array_distinct,
+      // explode and seeded xxhash64 — all cold after the scan/agg/window
+      // passes above. Measured ~2 s of first-use JIT landing on whichever
+      // shingle-based query the Map iteration order puts first.
+      spark.range(20000)
+        .selectExpr("array(cast(id as string), 'w', 'x', 'y', 'z') as t")
+        .selectExpr("explode(array_distinct(transform(sequence(1, 3), " +
+          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+          "element_at(t, i + 2))))) as s")
+        .selectExpr("xxhash64(s) as hb")
+        .selectExpr("min(xxhash64(0, hb))", "min(xxhash64(1, hb))").count()
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH WARM-UP FAILURE: ${e.getClass.getName}: ${e.getMessage}")
