@@ -219,9 +219,19 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ONE Lloyd iteration, fully hash-checked: init labels vec_id % 8,
+    // exact-decimal centroid sums, argmax-cosine reassignment — the
+    // per-iteration building block of the k-means index build, provable
+    // against a SQL twin even though the multi-iteration loop is not.
+    "q_kmeans_assign" -> { (s, dir) =>
+      Similarity.kmeansLabels(embs(s, dir), k = 8, iters = 1)
+        .orderBy(col("vec_id"))
+    },
+
     // IVF over SELF-BUILT coarse cells: k-means labels replace the shipped
     // `label` column — the full index-build + probe path. Rows-only here
-    // (iterative float clustering has no tractable SQL twin); determinism,
+    // (the multi-iteration loop has no tractable SQL twin; its single
+    // iteration is hash-proven by q_kmeans_assign); determinism,
     // self-consistency and recall-vs-brute-force are pinned in ExtSpec.
     "q_ann_ivf_kmeans" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -344,6 +354,26 @@ object ExtQueries {
         |  JOIN embeddings q ON q.vec_id = p.q_id)
         |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_kmeans_assign" ->
+      """WITH l0 AS (SELECT vec_id, vec_id % 8 AS label, embedding FROM embeddings),
+        |cent AS (
+        |  SELECT label, i AS pos,
+        |         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+        |  FROM l0 CROSS JOIN (
+        |    SELECT unnest(generate_series(1,
+        |             (SELECT MAX(len(embedding)) FROM embeddings))) AS i) t
+        |  GROUP BY 1, 2),
+        |centv AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
+        |          FROM cent GROUP BY 1),
+        |assign AS (
+        |  SELECT e.vec_id, c.c_label,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+        |                    c.c_label) AS rk
+        |  FROM embeddings e CROSS JOIN centv c)
+        |SELECT vec_id, CAST(c_label AS INT) AS label FROM assign WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (
