@@ -190,6 +190,30 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // FLAGSHIP curation pipeline — the nightly composite an LLM-data team
+    // runs end-to-end: quality gate (score ≥ 0.43, bit-exact int/int double
+    // arithmetic) → exact-dedup keepers only → cross-doc span gate at
+    // dup_frac < 0.9 (the tiny synthetic vocabulary makes trigram collisions
+    // common, so 0.9 isolates genuine near-dup containment; docs with no
+    // shingles pass vacuously) → deterministic 50 % sample. Every stage is
+    // individually hash-proven; this pins the COMPOSITION.
+    "q_pipeline_curate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val q = TextStats.quality(d, col("text"))
+        .filter(col("quality_score") >= 0.43)
+      val keepers = Dedup.exact(d, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = q.join(keepers, Seq("doc_id"), "left_semi")
+      val spanStats = Dedup.crossDocDupStats(
+        Dedup.shingles(d, col("doc_id"), col("text")), 9, 10)
+      val curated = deduped
+        .join(spanStats.select(col("doc_id"), col("keep")), Seq("doc_id"), "left_outer")
+        .filter(coalesce(col("keep"), lit(true)))
+      Curation.deterministicSample(curated, col("doc_id"), 50)
+        .select(col("doc_id"), col("n_toks"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
     // C4-style cross-document span duplication + keep/drop at dup_frac < 1/2
     // (keep cast to int for the dump — dtype-stable across engines).
     "q_span_dup" -> { (s, dir) =>
@@ -354,6 +378,34 @@ object ExtQueries {
         |  JOIN embeddings q ON q.vec_id = p.q_id)
         |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_pipeline_curate" ->
+      s"""WITH $JAC,
+         |docct AS (SELECT s, COUNT(*) AS doc_ct FROM sh GROUP BY 1),
+         |span AS (
+         |  SELECT sh.doc_id,
+         |         CAST(CAST(SUM(CASE WHEN doc_ct > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10
+         |              < COUNT(*) * 9 AS BOOLEAN) AS keep
+         |  FROM sh JOIN docct USING (s) GROUP BY sh.doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+         |         0.5 * (CAST(len(list_filter(string_split(lower(text), ' '),
+         |                  w -> w IN ('the','a','of','to','and'))) AS DOUBLE)
+         |                / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+         |         + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |                  / CAST(length(text) AS DOUBLE)) AS quality_score,
+         |         text
+         |  FROM documents),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT q.doc_id, n_toks, quality_score
+         |FROM q
+         |JOIN keepers ON q.doc_id = keepers.doc_id
+         |LEFT JOIN span ON q.doc_id = span.doc_id
+         |WHERE quality_score >= 0.43
+         |  AND COALESCE(span.keep, TRUE)
+         |  AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+         |ORDER BY q.doc_id""".stripMargin,
 
     "q_kmeans_assign" ->
       """WITH l0 AS (SELECT vec_id, vec_id % 8 AS label, embedding FROM embeddings),
