@@ -18,40 +18,41 @@ object Bench {
     // dominant term, measured ~2.5× on the first heavy query — C2 JIT of the
     // shared scan/shuffle/hash-agg loops. The envelope count and the small
     // aggregation below exercise exactly those paths, untimed.
-    // Warm-up is best-effort: if the environment is broken the per-query loop
-    // below reports every failure loudly rather than dying here silently.
-    try {
-      spark.range(1000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-      graft.model.Envelopes.maxwell(spark, sfDir)
-        .filter("database = 'gmall'").groupBy("type").count().collect()
-      graft.ops.Project.logEtl(graft.model.Envelopes.logRecords(spark, sfDir))
-        .select("event_id").count()
-      // Window-exec warm-up: several headline queries (dim merge, pay-success,
-      // order detail) are WindowExec-dominated, and the scan/agg warm-up above
-      // leaves that operator's codegen + sort paths cold — measured as 2-7×
-      // first-use penalties landing on whichever window query runs first.
-      spark.range(100000)
-        .selectExpr("id % 97 as k", "id as v")
-        .selectExpr("k", "row_number() over (partition by k order by v desc) as rn",
-          "sum(v) over (partition by k order by v rows between 3 preceding and current row) as s")
-        .filter("rn <= 2").count()
-      // Higher-order-function warm-up: the dedup/text family runs
-      // transform/filter lambdas (interpreted evaluators), array_distinct,
-      // explode and seeded xxhash64 — all cold after the scan/agg/window
-      // passes above. Measured ~2 s of first-use JIT landing on whichever
-      // shingle-based query the Map iteration order puts first.
-      spark.range(20000)
-        .selectExpr("array(cast(id as string), 'w', 'x', 'y', 'z') as t")
-        .selectExpr("explode(array_distinct(transform(sequence(1, 3), " +
-          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
-          "element_at(t, i + 2))))) as s")
-        .selectExpr("xxhash64(s) as hb")
-        .selectExpr("min(xxhash64(0, hb))", "min(xxhash64(1, hb))").count()
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"BENCH WARM-UP FAILURE: ${e.getClass.getName}: ${e.getMessage}")
-    }
+    // Warm-up is best-effort AND per-statement: if one pass fails (e.g. the
+    // fixture dir is broken) the remaining input-free passes still run, and
+    // the per-query loop below reports real failures loudly.
+    def warm(name: String)(f: => Unit): Unit =
+      try f catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH WARM-UP FAILURE ($name): ${e.getClass.getName}: ${e.getMessage}")
+      }
+    warm("range-agg")(spark.range(1000).selectExpr("sum(id)").collect())
+    warm("parquet-footer")(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect())
+    warm("envelope")(graft.model.Envelopes.maxwell(spark, sfDir)
+      .filter("database = 'gmall'").groupBy("type").count().collect())
+    warm("log-etl")(graft.ops.Project.logEtl(graft.model.Envelopes.logRecords(spark, sfDir))
+      .select("event_id").count())
+    // Window-exec warm-up: several headline queries (dim merge, pay-success,
+    // order detail) are WindowExec-dominated, and the scan/agg warm-up above
+    // leaves that operator's codegen + sort paths cold — measured as 2-7×
+    // first-use penalties landing on whichever window query runs first.
+    warm("window-exec")(spark.range(100000)
+      .selectExpr("id % 97 as k", "id as v")
+      .selectExpr("k", "row_number() over (partition by k order by v desc) as rn",
+        "sum(v) over (partition by k order by v rows between 3 preceding and current row) as s")
+      .filter("rn <= 2").count())
+    // Higher-order-function warm-up: the dedup/text family runs
+    // transform/filter lambdas (interpreted evaluators), array_distinct,
+    // explode and seeded xxhash64 — all cold after the scan/agg/window
+    // passes above. Measured ~2 s of first-use JIT landing on whichever
+    // shingle-based query the Map iteration order puts first.
+    warm("hof-lambdas")(spark.range(20000)
+      .selectExpr("array(cast(id as string), 'w', 'x', 'y', 'z') as t")
+      .selectExpr("explode(array_distinct(transform(sequence(1, 3), " +
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+        "element_at(t, i + 2))))) as s")
+      .selectExpr("xxhash64(s) as hb")
+      .selectExpr("min(xxhash64(0, hb))", "min(xxhash64(1, hb))").count())
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_dedup_clusters,q_dwd_comment
     val only = sys.env.get("SPARK_GRAFT_ONLY")

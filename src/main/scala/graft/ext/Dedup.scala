@@ -197,6 +197,13 @@ object Dedup {
     // Narrow the session's shuffle width for the loop's internal stages only:
     // everything below is materialized via localCheckpoint before the conf is
     // restored, and the returned frame is a pure projection of cached blocks.
+    // The conf is SESSION-GLOBAL, so the mutation is serialized across
+    // concurrent connectedComponents calls (two racing calls could otherwise
+    // read each other's narrowed value as the "restore" target and leave the
+    // session permanently single-partition); any UNRELATED query planned on
+    // the same session while a loop runs still sees the narrowed width —
+    // callers running a parallel workload should pass a dedicated session.
+    connectedComponentsLock.synchronized {
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
       // Initialize labels with the first hop already applied — min(self,
@@ -249,7 +256,12 @@ object Dedup {
             "raise maxIter")
       labels.select(col("doc_id"), col("keeper_id"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
   }
+
+  /** Serializes the shuffle-width conf mutation in [[connectedComponents]]
+    * (driver-side, single JVM — an in-process lock suffices). */
+  private val connectedComponentsLock = new Object
 
   /** C4-style cross-document span duplication: for each doc, how many of its
     * distinct n-gram shingles also appear in at least one OTHER document, and

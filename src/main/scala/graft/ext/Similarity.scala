@@ -79,6 +79,8 @@ object Similarity {
   def srpPairs(emb: DataFrame, threshold: Double, dim: Int,
       bits: Int = 36, bands: Int = 12, seed: Long = 42L): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
+    require(bits <= 63, s"bits=$bits overflows the packed long sketch " +
+      "(1L << i wraps mod 64 — high bits would silently alias onto low bands)")
     val g = bits / bands
     require(g <= 31, s"band width $g would overflow the Int band value")
     val rnd = new scala.util.Random(seed)

@@ -7,6 +7,23 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sfDir(sf: String = "sf0.001"): String = s"/root/testdata/$sf"
+
+  /** Poll a memory-sink streaming query until `table` holds at least
+    * `atLeast` rows or the deadline passes: watermark-driven emission lands
+    * in the batch AFTER the watermark advances, so a single
+    * processAllAvailable is not enough. */
+  def drainSink(q: org.apache.spark.sql.streaming.StreamingQuery,
+      table: String, atLeast: Int,
+      timeoutMs: Long = 30000): Array[org.apache.spark.sql.Row] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var got = spark.table(table).collect()
+    while (got.length < atLeast && System.currentTimeMillis() < deadline) {
+      q.processAllAvailable()
+      got = spark.table(table).collect()
+      if (got.length < atLeast) Thread.sleep(100)
+    }
+    got
+  }
 }
 
 object SparkSpec {

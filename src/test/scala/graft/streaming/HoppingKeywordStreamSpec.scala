@@ -16,18 +16,6 @@ class HoppingKeywordStreamSpec extends SparkSpec {
   private val base = 1700000000000L
   private val Min = 60 * 1000L
 
-  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
-      table: String, atLeast: Int): Array[org.apache.spark.sql.Row] = {
-    val deadline = System.currentTimeMillis() + 30000
-    var got = spark.table(table).collect()
-    while (got.length < atLeast && System.currentTimeMillis() < deadline) {
-      q.processAllAvailable()
-      got = spark.table(table).collect()
-      if (got.length < atLeast) Thread.sleep(100)
-    }
-    got
-  }
-
   test("hopping windows emit each event into both overlapping windows, equal to batch") {
     val s = spark
     import s.implicits._
@@ -52,7 +40,7 @@ class HoppingKeywordStreamSpec extends SparkSpec {
         .agg(count(lit(1)).as("pv"))
         .select(col("window.start").as("ws"), col("et"), col("pv"))
         .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
-      val got = drain(q, "hop_out", batch.size)
+      val got = drainSink(q, "hop_out", batch.size)
         .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
       assert(got == batch, s"stream $got != batch $batch")
       // each event must appear in exactly two hops: total pv = 2 × events
@@ -87,7 +75,7 @@ class HoppingKeywordStreamSpec extends SparkSpec {
         .agg(count(lit(1)).as("kw_ct"))
         .select(col("window.start").as("ws"), col("keyword"), col("kw_ct"))
         .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
-      val got = drain(q, "kw_out", batch.size)
+      val got = drainSink(q, "kw_out", batch.size)
         .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
       assert(got == batch, s"stream $got != batch $batch")
       // the CJK bigrams came through the streaming path too

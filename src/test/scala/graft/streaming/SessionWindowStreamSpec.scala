@@ -48,14 +48,8 @@ class SessionWindowStreamSpec extends SparkSpec {
       in.addData(flusher)
       // emission happens in the batch AFTER the watermark advances; poll with
       // a deadline instead of assuming processAllAvailable lands it
-      val deadline = System.currentTimeMillis() + 30000
-      var got = Array.empty[(Long, Long, Long, Long)]
-      while (got.length < 3 && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable()
-        got = s.table("sw_out").collect().map(r => (r.getLong(0),
-          r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
-        if (got.length < 3) Thread.sleep(100)
-      }
+      val got = drainSink(q, "sw_out", 3).map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
 
       // batch twin over the same events (flusher excluded — its session is
       // still open in the stream, so append mode must not have emitted it)
