@@ -60,6 +60,45 @@ object AggQueries {
         .rollup(col("province_id"), col("mon"))
         .agg(count(lit(1)).as("order_ct"))
         .orderBy(col("province_id").asc_nulls_first, col("mon").asc_nulls_first)
+    },
+
+    // Ordered funnel (view → click → purchase): stage N counts users whose
+    // earliest stage-N event strictly follows their stage-(N−1) entry time.
+    // Scale shape: three keyed aggregations + two equi-joins on user_id —
+    // every stage shares the user_id shuffle key, no window over raw events.
+    "q_funnel" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(col("user_id"), col("event_type"), expr("unix_millis(ts)").as("tms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tms")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("tms") > col("t_view"))
+        .groupBy("user_id").agg(min(col("tms")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("tms") > col("t_click"))
+        .groupBy("user_id").agg(min(col("tms")).as("t_buy"))
+      v.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_view"))
+        .unionByName(c.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("2_click_after_view")))
+        .unionByName(p.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("3_purchase_after_click")))
+        .select(col("stage"), col("users"))
+        .orderBy(col("stage"))
+    },
+
+    // Day-N retention cohorts: users cohorted by first-activity day, counted
+    // on each of the next 7 days they return. One shuffle to find cohorts,
+    // one co-keyed join back, one (cohort, offset) rollup.
+    "q_retention" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("day_n", col("day") - col("cohort_day"))
+        .filter(col("day_n") <= 7)
+        .groupBy(col("cohort_day"), col("day_n"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy(col("cohort_day"), col("day_n"))
     })
 
   import Envelopes.{odCte, oiCte}
@@ -104,5 +143,27 @@ object AggQueries {
          |SELECT province_id, strftime(make_timestamp(order_ts * 1000000), '%Y-%m') AS mon,
          |       COUNT(*) AS order_ct
          |FROM oi GROUP BY ROLLUP (province_id, mon)
-         |ORDER BY province_id NULLS FIRST, mon NULLS FIRST""".stripMargin)
+         |ORDER BY province_id NULLS FIRST, mon NULLS FIRST""".stripMargin,
+
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |v AS (SELECT user_id, MIN(tms) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, MIN(tms) AS t_click FROM ev JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND tms > t_view GROUP BY 1),
+        |p AS (SELECT ev.user_id, MIN(tms) AS t_buy FROM ev JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tms > t_click GROUP BY 1)
+        |SELECT stage, users FROM (
+        |  SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+        |  UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+        |  UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_n, COUNT(DISTINCT ev.user_id) AS users
+        |FROM ev JOIN f USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin)
 }
