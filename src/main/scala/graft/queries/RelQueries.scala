@@ -88,6 +88,18 @@ object RelQueries {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS — the two single-dimension rollups in one pass
+    // (completes the CUBE/ROLLUP grouping family).
+    "q_grouping_sets" -> { (s, dir) =>
+      Envelopes.table(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_ct"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // Navigation window functions: lag/lead/first_value/ntile over a total
     // per-customer order (ntile cast to long — DuckDB's is BIGINT).
     "q_lead_lag" -> { (s, dir) =>
@@ -152,6 +164,12 @@ object RelQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_ct,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_ct
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_lead_lag" ->
