@@ -86,31 +86,39 @@ object KeyedStore {
           "rewrite the store (read old layout, merge into a fresh root)")
   }
 
-  /** Highest committed manifest: (generation, bucket → directory name).
-    * Superseded manifests may transiently coexist (crash before GC) — the
-    * highest generation wins. A manifest can only exist complete (rename
-    * protocol), so a parse failure is corruption and fails loudly. */
-  private def readCommit(f: FileSystem, root: Path): Option[(Long, Map[Int, String])] = {
-    if (!f.exists(root)) return None
-    val commits = f.listStatus(root).map(_.getPath)
+  /** All committed manifest files as (generation, path), unsorted. */
+  private def commitFiles(f: FileSystem, root: Path): Seq[(Long, Path)] = {
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).map(_.getPath).toSeq
       .filter { p =>
         val n = p.getName
         n.startsWith(CommitPrefix) && n.drop(CommitPrefix.length).forall(_.isDigit) &&
           n.length > CommitPrefix.length
       }
+      .map(p => p.getName.drop(CommitPrefix.length).toLong -> p)
+  }
+
+  /** Parse one manifest. A manifest can only exist complete (rename
+    * protocol), so a parse failure is corruption and fails loudly. */
+  private def parseManifest(f: FileSystem, p: Path): Map[Int, String] =
+    readTextFile(f, p).split("\n").filter(_.nonEmpty).map { line =>
+      line.split(" ", 2) match {
+        case Array(i, dir) if i.forall(_.isDigit) && dir.startsWith(BucketPrefix) =>
+          i.toInt -> dir
+        case _ => throw new java.io.IOException(
+          s"corrupt manifest $p: unparseable line '$line'")
+      }
+    }.toMap
+
+  /** Highest committed manifest: (generation, bucket → directory name).
+    * Superseded manifests may coexist (retained snapshots, or a crash before
+    * GC) — the highest generation wins. */
+  private def readCommit(f: FileSystem, root: Path): Option[(Long, Map[Int, String])] = {
+    val commits = commitFiles(f, root)
     if (commits.isEmpty) None
     else {
-      val latest = commits.maxBy(_.getName.drop(CommitPrefix.length).toLong)
-      val gen = latest.getName.drop(CommitPrefix.length).toLong
-      val entries = readTextFile(f, latest).split("\n").filter(_.nonEmpty).map { line =>
-        line.split(" ", 2) match {
-          case Array(i, dir) if i.forall(_.isDigit) && dir.startsWith(BucketPrefix) =>
-            i.toInt -> dir
-          case _ => throw new java.io.IOException(
-            s"corrupt manifest $latest: unparseable line '$line'")
-        }
-      }
-      Some((gen, entries.toMap))
+      val (gen, latest) = commits.maxBy(_._1)
+      Some((gen, parseManifest(f, latest)))
     }
   }
 
@@ -153,6 +161,26 @@ object KeyedStore {
       opCol: String = "op_type", deleteOp: String = "delete"): Option[DataFrame] =
     read(spark, path).map(_.filter(col(opCol) =!= deleteOp))
 
+  /** Committed generations still on disk, ascending. With
+    * `merge(keepGenerations = k)` the last k stay readable — each retained
+    * generation is a full consistent snapshot (its manifest pins every
+    * bucket's directory), giving time-travel reads and a GC grace window for
+    * concurrent readers. */
+  def generations(spark: SparkSession, path: String): Seq[Long] =
+    commitFiles(fs(spark, path), new Path(path)).map(_._1).sorted
+
+  /** Snapshot read at a specific retained generation; None if that
+    * generation was never committed or has been GC'd. */
+  def readSnapshot(spark: SparkSession, path: String, generation: Long): Option[DataFrame] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    layoutGuard(f, root)
+    commitFiles(f, root).find(_._1 == generation).map { case (_, p) =>
+      val dirs = parseManifest(f, p)
+      spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
+    }
+  }
+
   /** Merge one batch of versioned rows into the store at `path`.
     *
     * @param seqCols version order (newest wins); must be a TOTAL order over
@@ -160,9 +188,14 @@ object KeyedStore {
     *                Rows whose winning op is a delete stay stored as
     *                tombstones and are hidden by readActive.
     * @param numBuckets bucket count used when CREATING the store; an existing
-    *                store keeps the count it was created with. */
+    *                store keeps the count it was created with.
+    * @param keepGenerations how many committed generations survive GC (≥ 1).
+    *                Each retained generation is a full consistent snapshot
+    *                readable via [[readSnapshot]]; values > 1 also give
+    *                concurrent readers a grace window against GC. */
   def merge(batch: DataFrame, path: String, keys: Seq[String],
-      seqCols: Seq[String], numBuckets: Int = 16): Unit = {
+      seqCols: Seq[String], numBuckets: Int = 16, keepGenerations: Int = 1): Unit = {
+    require(keepGenerations >= 1, s"keepGenerations must be >= 1, got $keepGenerations")
     val spark = batch.sparkSession
     val f = fs(spark, path)
     val root = new Path(path)
@@ -215,13 +248,16 @@ object KeyedStore {
       val manifest = newMap.toSeq.sortBy(_._1)
         .map { case (i, d) => s"$i $d" }.mkString("\n")
       writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
-      // GC: superseded manifests and directories no manifest references
-      // (old generations + staged leftovers). A crash mid-GC just leaves
-      // garbage for the next merge's GC — never state.
-      val live = newMap.values.toSet
+      // GC: keep the newest `keepGenerations` manifests and every directory
+      // ANY retained manifest references; drop the rest (older generations +
+      // staged leftovers). A crash mid-GC just leaves garbage for the next
+      // merge's GC — never state.
+      val retained = commitFiles(f, root).sortBy(-_._1).take(keepGenerations)
+      val keepCommits = retained.map(_._2.getName).toSet
+      val live = retained.flatMap { case (_, p) => parseManifest(f, p).values }.toSet
       f.listStatus(root).map(_.getPath).foreach { p =>
         val name = p.getName
-        val oldCommit = name.startsWith(CommitPrefix) && name != CommitPrefix + newGen &&
+        val oldCommit = name.startsWith(CommitPrefix) && !keepCommits.contains(name) &&
           name.drop(CommitPrefix.length).forall(_.isDigit)
         val deadDir = name.startsWith(BucketPrefix) && !live.contains(name)
         if (oldCommit || deadDir) f.delete(p, true)

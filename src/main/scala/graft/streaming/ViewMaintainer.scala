@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized view of the reference's flagship
+  * 4-way DWD join (`DwdTradeOrderDetail.java:24-120`): order_detail ⋈
+  * order_info (inner) ⋈ activity ⋈ coupon (left), final state per detail id.
+  *
+  * Strategy: recompute-affected-keys. Each micro-batch (any interleaving and
+  * any split of the four CDC streams) is upserted into its table's
+  * [[KeyedStore]]; the set of detail ids the batch could possibly have
+  * changed is derived (od/oda/odc ids directly; oi ids fan out to the
+  * current od rows of those orders); the join is recomputed for ONLY those
+  * ids from current store state; and the recomputed rows — or delete
+  * tombstones where no joined row survives — are published into the result
+  * store. After EVERY batch the view equals the batch join over all rows
+  * seen so far, which makes the J2→K3 retract-stream parity CONSTRUCTIVE
+  * (per-batch observable), not just a final-state claim (SURVEY §7.3).
+  *
+  * Version semantics: table stores order by the NATURAL version columns (the
+  * same total order the batch composite uses), not by arrival batch — so any
+  * batch split of the same row multiset converges to the identical view.
+  * Delete rows must carry version columns that win over the put they delete
+  * (standard CDC: the delete bears the latest version).
+  *
+  * Scale shape per batch: each store merge touches only the batch's hash
+  * buckets; the affected-id set is batch-proportional, so the recompute join
+  * probes store state with a batch-sized semi-join — cost tracks the batch,
+  * never the accumulated view.
+  */
+class OrderDetailView(root: String) {
+
+  private val odP = s"$root/od"
+  private val oiP = s"$root/oi"
+  private val odaP = s"$root/oda"
+  private val odcP = s"$root/odc"
+  private val resP = s"$root/result"
+
+  private def active(spark: SparkSession, path: String, fallback: DataFrame): DataFrame =
+    KeyedStore.readActive(spark, path, opCol = "op").getOrElse(fallback.limit(0))
+
+  /** Apply one micro-batch. Every input must carry its natural columns plus
+    * an `op` column (put | delete); pass empty frames for quiet streams.
+    * @param batchId strictly increasing; versions the RESULT rows (a later
+    *                recompute of the same id supersedes an earlier one). */
+  def applyBatch(batchId: Long, od: DataFrame, oi: DataFrame,
+      oda: DataFrame, odc: DataFrame): Unit = {
+    val spark = od.sparkSession
+    // 1. fold each batch into its table store (natural version order — the
+    //    same total order the batch composite's lastWriteWins uses)
+    if (!od.isEmpty)
+      KeyedStore.merge(od, odP, keys = Seq("id"),
+        seqCols = Seq("ts", "sku_num", "sku_id", "split_total_amount"))
+    if (!oi.isEmpty)
+      KeyedStore.merge(oi, oiP, keys = Seq("id"),
+        seqCols = Seq("order_ts", "user_id", "province_id", "order_status"))
+    if (!oda.isEmpty)
+      KeyedStore.merge(oda, odaP, keys = Seq("id"),
+        seqCols = Seq("activity_id", "activity_rule_id"))
+    if (!odc.isEmpty)
+      KeyedStore.merge(odc, odcP, keys = Seq("id"), seqCols = Seq("coupon_id"))
+
+    val odS = active(spark, odP, od)
+    val oiS = active(spark, oiP, oi)
+    val odaS = active(spark, odaP, oda)
+    val odcS = active(spark, odcP, odc)
+
+    // 2. detail ids this batch could have changed: od/oda/odc rows name them
+    //    directly; an order_info row affects every CURRENT od row of that
+    //    order (the inner-join side flips rows in and out of the view)
+    val affected = od.select(col("id"))
+      .unionByName(oda.select(col("id")))
+      .unionByName(odc.select(col("id")))
+      .unionByName(odS.join(broadcast(oi.select(col("id").as("order_id"))),
+        Seq("order_id"), "left_semi").select(col("id")))
+      .distinct()
+
+    // 3. recompute the join for ONLY the affected ids from current state
+    val odA = odS.join(broadcast(affected), Seq("id"), "left_semi")
+    val joined = odA.as("od")
+      .join(oiS.as("oi"), col("od.order_id") === col("oi.id"))
+      .join(odaS.as("oda"), col("od.id") === col("oda.id"), "left_outer")
+      .join(odcS.as("odc"), col("od.id") === col("odc.id"), "left_outer")
+      .select(col("od.id").as("id"), col("od.order_id").as("order_id"),
+        col("oi.user_id").as("user_id"), col("oi.province_id").as("province_id"),
+        col("od.sku_id").as("sku_id"), col("od.sku_num").as("sku_num"),
+        col("od.split_total_amount").as("split_total_amount"),
+        coalesce(col("oda.activity_id"), lit(-1L)).as("activity_id"),
+        coalesce(col("odc.coupon_id"), lit(-1L)).as("coupon_id"),
+        col("od.ts").as("ts"))
+      .withColumn("op", lit("put"))
+    // affected ids with no surviving joined row (od deleted, or its order
+    // unseen/deleted) leave the view via tombstones
+    val tomb = affected.join(joined.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id") +: joined.schema.fields.filter(_.name != "id").map {
+        case f if f.name == "op" => lit("delete").as("op")
+        case f => lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    KeyedStore.merge(
+      joined.unionByName(tomb).withColumn("batch_id", lit(batchId)),
+      resP, keys = Seq("id"), seqCols = Seq("batch_id"))
+  }
+
+  /** The maintained view — equal to the batch 4-way join over every row
+    * applied so far. */
+  def current(spark: SparkSession): DataFrame =
+    KeyedStore.readActive(spark, resP, opCol = "op")
+      .map(_.drop("op", "batch_id"))
+      .getOrElse(spark.emptyDataFrame)
+}

@@ -182,6 +182,36 @@ class KeyedStoreSpec extends SparkSpec {
       s"unreferenced staged dirs must be GC'd: $leftovers")
   }
 
+  test("retained generations give consistent time-travel snapshots; GC honors the window") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_snap").toString + "/t"
+
+    def mergeB(rows: Seq[(String, String, Long, String)]): Unit =
+      KeyedStore.merge(rows.toDF("k", "v", "seq", "op"), dir,
+        keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4, keepGenerations = 2)
+    def snap(g: Long): Option[Map[String, String]] =
+      KeyedStore.readSnapshot(s, dir, g).map(
+        _.filter(org.apache.spark.sql.functions.col("op") =!= "delete")
+          .collect().map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap)
+
+    mergeB(Seq(("k1", "v1", 10L, "put"), ("k2", "v2", 10L, "put")))   // gen 1
+    mergeB(Seq(("k1", "v1b", 20L, "put")))                            // gen 2
+    mergeB(Seq(("k2", "x", 30L, "delete"), ("k3", "v3", 30L, "put"))) // gen 3
+
+    assert(KeyedStore.generations(s, dir) == Seq(2L, 3L),
+      "keepGenerations=2 must retain exactly the last two snapshots")
+    // gen 2 is the FULL pre-delete state — including buckets merge 2 never
+    // touched (its manifest pins gen-1 dirs for those)
+    assert(snap(2L).contains(Map("k1" -> "v1b", "k2" -> "v2")))
+    assert(snap(3L).contains(Map("k1" -> "v1b", "k3" -> "v3")))
+    assert(snap(1L).isEmpty, "GC'd generation must read as absent, not wrong")
+    // the default read is the latest generation
+    val latest = KeyedStore.readActive(s, dir, opCol = "op").get.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(latest == Map("k1" -> "v1b", "k3" -> "v3"))
+  }
+
   test("a store whose meta file was deleted out-of-band fails loudly, not silently") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Envelopes
+import graft.queries.DwdComposite
+
+/** Incremental materialized view of the flagship 4-way DWD join: after EVERY
+  * micro-batch — arbitrary interleavings and splits of the four CDC inputs —
+  * the maintained view equals the batch join over all rows seen so far, and
+  * a CDC delete retracts its row from the view. */
+class ViewMaintainerSpec extends SparkSpec {
+
+  private def put(df: DataFrame): DataFrame = df.withColumn("op", lit("put"))
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.select("id", "order_id", "user_id", "activity_id", "coupon_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("per-batch view equals the batch composite; deletes retract") {
+    val s = spark
+    val dir = sfDir()
+    val root = Files.createTempDirectory("odview").toString + "/v"
+    val view = new OrderDetailView(root)
+
+    val od = put(Envelopes.orderDetail(s, dir))
+    val oi = put(Envelopes.orderInfo(s, dir))
+    val oda = put(Envelopes.orderDetailActivity(s, dir))
+    val odc = put(Envelopes.orderDetailCoupon(s, dir))
+
+    // batch 1: half of od (odd order ids), NO order_info yet, all activity
+    view.applyBatch(1L,
+      od.filter(col("order_id") % 2 === 1), oi.limit(0), oda, odc.limit(0))
+    assert(view.current(s).isEmpty,
+      "without order_info the inner join must keep the view empty")
+
+    // batch 2: all order_info arrives + the coupons — the oi fan-out must
+    // pull batch-1's od rows into the view
+    view.applyBatch(2L, od.limit(0), oi, oda.limit(0), odc)
+    val afterB2 = rows(view.current(s))
+    val expectB2 = rows(DwdComposite.queries("q_dwd_order_detail")(s, dir)
+      .filter(col("order_id") % 2 === 1))
+    assert(afterB2 == expectB2, s"batch-2 view diverged: ${afterB2.size} vs ${expectB2.size}")
+
+    // batch 3: the remaining od rows
+    view.applyBatch(3L, od.filter(col("order_id") % 2 === 0),
+      oi.limit(0), oda.limit(0), odc.limit(0))
+    val afterB3 = rows(view.current(s))
+    val expectAll = rows(DwdComposite.queries("q_dwd_order_detail")(s, dir))
+    assert(afterB3 == expectAll, s"batch-3 view diverged: ${afterB3.size} vs ${expectAll.size}")
+
+    // batch 4: CDC delete of one detail id (delete carries a winning version)
+    val victim = afterB3.head._1
+    val del = od.filter(col("id") === victim).limit(1)
+      .withColumn("ts", lit(4102444800L)) // far-future version wins
+      .withColumn("op", lit("delete"))
+    view.applyBatch(4L, del, oi.limit(0), oda.limit(0), odc.limit(0))
+    val afterB4 = rows(view.current(s))
+    assert(!afterB4.exists(_._1 == victim), "deleted id must leave the view")
+    assert(afterB4 == expectAll.filterNot(_._1 == victim),
+      "delete must retract exactly the victim's row")
+  }
+}
