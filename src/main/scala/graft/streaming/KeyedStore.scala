@@ -166,8 +166,12 @@ object KeyedStore {
     * generation is a full consistent snapshot (its manifest pins every
     * bucket's directory), giving time-travel reads and a GC grace window for
     * concurrent readers. */
-  def generations(spark: SparkSession, path: String): Seq[Long] =
-    commitFiles(fs(spark, path), new Path(path)).map(_._1).sorted
+  def generations(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    layoutGuard(f, root) // a foreign/legacy root must not read as "no store"
+    commitFiles(f, root).map(_._1).sorted
+  }
 
   /** Snapshot read at a specific retained generation; None if that
     * generation was never committed or has been GC'd. */
@@ -260,7 +264,12 @@ object KeyedStore {
         val oldCommit = name.startsWith(CommitPrefix) && !keepCommits.contains(name) &&
           name.drop(CommitPrefix.length).forall(_.isDigit)
         val deadDir = name.startsWith(BucketPrefix) && !live.contains(name)
-        if (oldCommit || deadDir) f.delete(p, true)
+        // a writeAtomic crashed between create and rename leaves a __tmp
+        // file whose generation is never retried — collect it here so crash
+        // garbage really is bounded by one merge
+        val deadTmp = name.startsWith("_") && name.endsWith("__tmp") &&
+          name != MetaFile + "__tmp"
+        if (oldCommit || deadDir || deadTmp) f.delete(p, true)
       }
     } finally wb.unpersist()
   }

@@ -18,16 +18,23 @@ import org.apache.spark.sql.functions._
   * seen so far, which makes the J2→K3 retract-stream parity CONSTRUCTIVE
   * (per-batch observable), not just a final-state claim (SURVEY §7.3).
   *
-  * Version semantics: table stores order by the NATURAL version columns (the
-  * same total order the batch composite uses), not by arrival batch — so any
-  * batch split of the same row multiset converges to the identical view.
-  * Delete rows must carry version columns that win over the put they delete
-  * (standard CDC: the delete bears the latest version).
+  * Version semantics (the CDC contract): a row's version is (arrival batch,
+  * natural tie-break within the batch) — a later batch's put or delete for a
+  * key wins over an earlier batch's, with no fabricated version columns
+  * needed on deletes, and a still-later put re-inserts the key. Within one
+  * batch, duplicate keys resolve by the same natural total order the batch
+  * composite uses. Parity with the batch join over the full row multiset
+  * therefore holds whenever each key's versions arrive in order — true of
+  * any CDC stream by construction.
   *
-  * Scale shape per batch: each store merge touches only the batch's hash
-  * buckets; the affected-id set is batch-proportional, so the recompute join
-  * probes store state with a batch-sized semi-join — cost tracks the batch,
-  * never the accumulated view.
+  * Scale shape per batch: store merges rewrite only the batch's hash
+  * buckets; the recompute SHUFFLES only batch-proportional data (affected-id
+  * semi-join before the joins). Store reads are full column-pruned scans of
+  * accumulated state — the honest cost of MV maintenance without point
+  * lookups; a production variant would push the affected-id set into bucket
+  * pruning on the KeyedStore read. Join strategies are left to AQE (no
+  * forced broadcasts): a bootstrap-sized batch degrades to shuffled joins
+  * instead of a driver-sized broadcast.
   */
 class OrderDetailView(root: String) {
 
@@ -44,40 +51,49 @@ class OrderDetailView(root: String) {
     * an `op` column (put | delete); pass empty frames for quiet streams.
     * @param batchId strictly increasing; versions the RESULT rows (a later
     *                recompute of the same id supersedes an earlier one). */
-  def applyBatch(batchId: Long, od: DataFrame, oi: DataFrame,
-      oda: DataFrame, odc: DataFrame): Unit = {
-    val spark = od.sparkSession
-    // 1. fold each batch into its table store (natural version order — the
-    //    same total order the batch composite's lastWriteWins uses)
-    if (!od.isEmpty)
-      KeyedStore.merge(od, odP, keys = Seq("id"),
-        seqCols = Seq("ts", "sku_num", "sku_id", "split_total_amount"))
-    if (!oi.isEmpty)
-      KeyedStore.merge(oi, oiP, keys = Seq("id"),
-        seqCols = Seq("order_ts", "user_id", "province_id", "order_status"))
-    if (!oda.isEmpty)
-      KeyedStore.merge(oda, odaP, keys = Seq("id"),
-        seqCols = Seq("activity_id", "activity_rule_id"))
-    if (!odc.isEmpty)
-      KeyedStore.merge(odc, odcP, keys = Seq("id"), seqCols = Seq("coupon_id"))
+  def applyBatch(batchId: Long, odIn: DataFrame, oiIn: DataFrame,
+      odaIn: DataFrame, odcIn: DataFrame): Unit = {
+    val spark = odIn.sparkSession
+    // Pin every input for the batch's MULTIPLE actions (emptiness probe,
+    // store merge, affected-id derivation): a non-deterministic or
+    // source-shifting batch plan could otherwise merge a row whose id never
+    // reaches the affected set — the same hazard KeyedStore.merge pins
+    // against internally, here spanning two stores.
+    val ins @ Seq(od, oi, oda, odc) = Seq(odIn, oiIn, odaIn, odcIn).map(_.persist())
+    try {
+      val v = lit(batchId).as("__v")
+      // 1. fold each batch into its table store. Version = (arrival batch,
+      //    natural tie-break) — see the class doc's CDC contract.
+      if (!od.isEmpty)
+        KeyedStore.merge(od.withColumn("__v", v), odP, keys = Seq("id"),
+          seqCols = Seq("__v", "ts", "sku_num", "sku_id", "split_total_amount"))
+      if (!oi.isEmpty)
+        KeyedStore.merge(oi.withColumn("__v", v), oiP, keys = Seq("id"),
+          seqCols = Seq("__v", "order_ts", "user_id", "province_id", "order_status"))
+      if (!oda.isEmpty)
+        KeyedStore.merge(oda.withColumn("__v", v), odaP, keys = Seq("id"),
+          seqCols = Seq("__v", "activity_id", "activity_rule_id"))
+      if (!odc.isEmpty)
+        KeyedStore.merge(odc.withColumn("__v", v), odcP, keys = Seq("id"),
+          seqCols = Seq("__v", "coupon_id"))
 
-    val odS = active(spark, odP, od)
-    val oiS = active(spark, oiP, oi)
-    val odaS = active(spark, odaP, oda)
-    val odcS = active(spark, odcP, odc)
+      val odS = active(spark, odP, od)
+      val oiS = active(spark, oiP, oi)
+      val odaS = active(spark, odaP, oda)
+      val odcS = active(spark, odcP, odc)
 
-    // 2. detail ids this batch could have changed: od/oda/odc rows name them
-    //    directly; an order_info row affects every CURRENT od row of that
-    //    order (the inner-join side flips rows in and out of the view)
-    val affected = od.select(col("id"))
-      .unionByName(oda.select(col("id")))
-      .unionByName(odc.select(col("id")))
-      .unionByName(odS.join(broadcast(oi.select(col("id").as("order_id"))),
-        Seq("order_id"), "left_semi").select(col("id")))
-      .distinct()
+      // 2. detail ids this batch could have changed: od/oda/odc rows name
+      //    them directly; an order_info row affects every CURRENT od row of
+      //    that order (the inner-join side flips rows in and out of the view)
+      val affected = od.select(col("id"))
+        .unionByName(oda.select(col("id")))
+        .unionByName(odc.select(col("id")))
+        .unionByName(odS.join(oi.select(col("id").as("order_id")),
+          Seq("order_id"), "left_semi").select(col("id")))
+        .distinct()
 
-    // 3. recompute the join for ONLY the affected ids from current state
-    val odA = odS.join(broadcast(affected), Seq("id"), "left_semi")
+      // 3. recompute the join for ONLY the affected ids from current state
+      val odA = odS.join(affected, Seq("id"), "left_semi")
     val joined = odA.as("od")
       .join(oiS.as("oi"), col("od.order_id") === col("oi.id"))
       .join(odaS.as("oda"), col("od.id") === col("oda.id"), "left_outer")
@@ -100,12 +116,29 @@ class OrderDetailView(root: String) {
     KeyedStore.merge(
       joined.unionByName(tomb).withColumn("batch_id", lit(batchId)),
       resP, keys = Seq("id"), seqCols = Seq("batch_id"))
+    } finally ins.foreach(_.unpersist())
   }
 
   /** The maintained view — equal to the batch 4-way join over every row
-    * applied so far. */
+    * applied so far. Total before the first batch too: the empty frame
+    * carries the real view schema, so downstream column selection never
+    * flips shape on timing. */
   def current(spark: SparkSession): DataFrame =
     KeyedStore.readActive(spark, resP, opCol = "op")
       .map(_.drop("op", "batch_id"))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        OrderDetailView.ViewSchema))
+}
+
+object OrderDetailView {
+  import org.apache.spark.sql.types._
+  /** The maintained view's columns (matches the batch composite's output). */
+  val ViewSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("order_id", LongType),
+    StructField("user_id", LongType), StructField("province_id", LongType),
+    StructField("sku_id", LongType), StructField("sku_num", LongType),
+    StructField("split_total_amount", DoubleType),
+    StructField("activity_id", LongType), StructField("coupon_id", LongType),
+    StructField("ts", LongType)))
 }

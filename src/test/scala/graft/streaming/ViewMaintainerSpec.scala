@@ -52,15 +52,42 @@ class ViewMaintainerSpec extends SparkSpec {
     val expectAll = rows(DwdComposite.queries("q_dwd_order_detail")(s, dir))
     assert(afterB3 == expectAll, s"batch-3 view diverged: ${afterB3.size} vs ${expectAll.size}")
 
-    // batch 4: CDC delete of one detail id (delete carries a winning version)
+    // batch 4: CDC delete of one detail id — the delete carries the SAME
+    // payload as the put it retracts (standard Maxwell/Debezium); winning is
+    // by arrival batch, no fabricated version columns
     val victim = afterB3.head._1
-    val del = od.filter(col("id") === victim).limit(1)
-      .withColumn("ts", lit(4102444800L)) // far-future version wins
-      .withColumn("op", lit("delete"))
+    val del = od.filter(col("id") === victim).limit(1).withColumn("op", lit("delete"))
     view.applyBatch(4L, del, oi.limit(0), oda.limit(0), odc.limit(0))
     val afterB4 = rows(view.current(s))
     assert(!afterB4.exists(_._1 == victim), "deleted id must leave the view")
     assert(afterB4 == expectAll.filterNot(_._1 == victim),
       "delete must retract exactly the victim's row")
+
+    // batch 5/6: delete an ACTIVITY association (same-payload tombstone) —
+    // the view row reverts to activity_id = -1 — then re-insert it and the
+    // association must come back (a tombstone must not block later puts)
+    val actVictim = afterB4.find(_._4 >= 0).get._1
+    val actDel = oda.filter(col("id") === actVictim).limit(1)
+      .withColumn("op", lit("delete"))
+    view.applyBatch(5L, od.limit(0), oi.limit(0), actDel, odc.limit(0))
+    val afterB5 = rows(view.current(s))
+    assert(afterB5.find(_._1 == actVictim).get._4 == -1L,
+      "deleted activity association must revert its view row to -1")
+    assert(afterB5.map(_._1) == afterB4.map(_._1), "only the association changes")
+    view.applyBatch(6L, od.limit(0), oi.limit(0),
+      put(Envelopes.orderDetailActivity(s, dir)).filter(col("id") === actVictim).limit(1),
+      odc.limit(0))
+    val afterB6 = rows(view.current(s))
+    assert(afterB6 == afterB4, "re-inserted association must restore the view")
+  }
+
+  test("current() is total before the first batch: real schema, zero rows") {
+    val s = spark
+    val view = new OrderDetailView(
+      Files.createTempDirectory("odview_empty").toString + "/v")
+    val c = view.current(s)
+    assert(c.isEmpty)
+    // column selection must not flip shape on timing
+    assert(c.select("id", "order_id", "activity_id").isEmpty)
   }
 }
