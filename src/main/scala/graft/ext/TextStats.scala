@@ -78,6 +78,34 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Sliding-window token chunking — context-window preparation for training
+    * examples / RAG ingestion: each document yields chunks of up to `size`
+    * tokens starting every `stride` tokens (overlap = size − stride), the
+    * final chunk keeping whatever tail remains. Pure per-row explode
+    * arithmetic (`slice` over the token array inside codegen): no shuffle,
+    * no cross-document state — embeds in the scan stage at any corpus size.
+    *
+    * @return (doc_id, chunk_idx, n_chunk_toks, chunk) */
+  def chunk(df: DataFrame, idCol: Column, textCol: Column,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got $stride")
+    val t = col("__toks")
+    val n = org.apache.spark.sql.functions.size(t)
+    // starts 1, 1+stride, ...; a start past n yields nothing; a start whose
+    // chunk is fully inside the previous one is excluded by construction
+    // (stride >= 1 ⇒ each chunk begins on a fresh token)
+    val starts = sequence(lit(1), n, lit(stride))
+    df.select(idCol.as("doc_id"), toks(textCol).as("__toks"))
+      .filter(n >= 1)
+      .select(col("doc_id"), t, explode(starts).as("s"))
+      .select(col("doc_id"),
+        ((col("s") - 1) / stride).cast("long").as("chunk_idx"),
+        least(lit(size), n - col("s") + 1).cast("long").as("n_chunk_toks"),
+        concat_ws(" ", slice(t, col("s"), lit(size))).as("chunk"))
+  }
+
   /** PII redaction: replace e-mail addresses, IPv4 addresses, and phone-like
     * digit runs with typed sentinels. Pure regexp_replace chain (codegen'd,
     * embeds in the scan stage — the shape every at-scale scrubber needs); the

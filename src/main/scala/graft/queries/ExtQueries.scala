@@ -190,6 +190,13 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Sliding-window token chunking (context windows of 32 tokens, stride 24
+    // → 8-token overlap) — training-example / RAG ingestion prep.
+    "q_chunk" -> { (s, dir) =>
+      TextStats.chunk(docs(s, dir), col("doc_id"), col("text"), size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // FLAGSHIP curation pipeline — the nightly composite an LLM-data team
     // runs end-to-end: quality gate (score ≥ 0.43, bit-exact int/int double
     // arithmetic) → exact-dedup keepers only → cross-doc span gate at
@@ -378,6 +385,18 @@ object ExtQueries {
         |  JOIN embeddings q ON q.vec_id = p.q_id)
         |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |st AS (SELECT unnest(generate_series(1,
+        |         (SELECT MAX(len(t)) FROM toks), 24)) AS s)
+        |SELECT doc_id,
+        |       CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(LEAST(32, len(t) - s + 1) AS BIGINT) AS n_chunk_toks,
+        |       array_to_string(t[s : s + 31], ' ') AS chunk
+        |FROM toks CROSS JOIN st
+        |WHERE s <= len(t)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_pipeline_curate" ->
       s"""WITH $JAC,
