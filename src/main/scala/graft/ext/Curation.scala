@@ -47,6 +47,33 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** Deterministic cumulative bin packing — the "documents → fixed-budget
+    * training sequences" grouping step: docs are spread across `groups`
+    * hash groups (the parallel unit — packing is inherently sequential, so
+    * the sequential scan runs per group, never globally), ordered by id
+    * within the group, and assigned `bin = floor(tokens_before / budget)`.
+    * A doc straddling a boundary goes wholly to the bin its cumulative
+    * offset lands in, so a bin overfills by at most one doc — the standard
+    * approximate-packing contract (exact first-fit would need a sequential
+    * pass; this keeps one keyed window per group and nothing else).
+    * Deterministic across runs/partitionings/engines (md5 group, id order).
+    *
+    * @return input + (pack_group, bin) */
+  def packBins(df: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Int, groups: Int = 32): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(groups >= 1, s"groups must be >= 1, got $groups")
+    val grp = (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % groups).as("pack_group")
+    val w = Window.partitionBy(col("pack_group")).orderBy(idCol)
+    df.withColumn("pack_group", grp)
+      .withColumn("__before",
+        coalesce(sum(tokensCol).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin", floor(col("__before") / budget))
+      .drop("__before")
+  }
+
   /** Exact `n`-quantile bucket (1-based) of `length(textCol)` per row,
     * computed scale-safe: histogram of distinct lengths (bounded domain) →
     * cumulative counts over that SMALL table → broadcast the length→bucket

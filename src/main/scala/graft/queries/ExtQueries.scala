@@ -190,6 +190,15 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Cumulative bin packing into 256-token budgets over 8 hash groups.
+    "q_pack" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+      Curation.packBins(d, col("doc_id"), col("n_toks"), budget = 256, groups = 8)
+        .select(col("doc_id"), col("n_toks"), col("pack_group"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sliding-window token chunking (context windows of 32 tokens, stride 24
     // → 8-token overlap) — training-example / RAG ingestion prep.
     "q_chunk" -> { (s, dir) =>
@@ -385,6 +394,18 @@ object ExtQueries {
         |  JOIN embeddings q ON q.vec_id = p.q_id)
         |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS pack_group
+        |  FROM documents)
+        |SELECT doc_id, n_toks, pack_group,
+        |       CAST(FLOOR(COALESCE(SUM(n_toks) OVER (PARTITION BY pack_group
+        |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            / 256) AS BIGINT) AS bin
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_chunk" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
