@@ -39,6 +39,43 @@ class CurationSpec extends SparkSpec {
       .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
   }
 
+  test("bin packing is repartition-stable, covers every doc, and bounds overfill") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n"))
+    def pack(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Curation.packBins(df, col("doc_id"), col("n"), budget = 256, groups = 8)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("pack_group"), r.getAs[Long]("bin")))).toMap
+    val a = pack(docs)
+    val b = pack(docs.repartition(13, col("n"))) // unrelated partitioning
+    assert(a == b && a.nonEmpty, "assignment must not depend on partitioning")
+    assert(a.size == docs.count(), "every doc packed exactly once")
+    // overfill bound: every bin's total <= budget + its largest doc
+    val tok = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.groupBy(_._2).foreach { case (bin, ds) =>
+      val sizes = ds.keys.map(tok)
+      assert(sizes.sum <= 256 + sizes.max, s"bin $bin overfilled: ${sizes.sum}")
+    }
+  }
+
+  test("chunking is repartition-stable and reconstructs each document at stride boundaries") {
+    val docs = Envelopes.table(spark, sfDir(), "documents").limit(50)
+    def chunks(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      TextStats.chunk(df, col("doc_id"), col("text"), size = 32, stride = 32)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[String]("chunk"))).toSet
+    val a = chunks(docs)
+    assert(a == chunks(docs.repartition(7, col("text"))) && a.nonEmpty)
+    // stride == size → zero overlap → concatenating a doc's chunks in
+    // chunk_idx order restores its full lowercased text
+    val rebuilt = a.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.toSeq.sortBy(_._2).map(_._3).mkString(" ")
+    }
+    val expected = docs.select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == expected, "lossless at stride == size")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 substring share a fingerprint") {
     val s = spark
     import s.implicits._
