@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * is what makes the result independent of row order. */
 object Curation {
 
-  /** Uniform hash bucket 0..99 from the row id — md5-based so every engine
-    * agrees (same trick as the SimHash oracle). Eight hex digits: a 32-bit
-    * value mod 100 carries ~4e-8 relative bias (a 16-bit one would be a very
-    * real ~0.1 %). */
-  private def pctBucket(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
+  /** Uniform hash bucket 0..mod−1 from the row id — md5-based so every
+    * engine agrees (same trick as the SimHash oracle). Eight hex digits: a
+    * 32-bit value mod 100 carries ~4e-8 relative bias (a 16-bit one would be
+    * a very real ~0.1 %). ONE definition — pctBucket and packBins must never
+    * drift apart on the engine-portability-critical expression. */
+  private def hashBucket(idCol: Column, mod: Int): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long") % mod
+
+  private def pctBucket(idCol: Column): Column = hashBucket(idCol, 100)
 
   /** Deterministic `pct`% sample: keep rows whose id-hash bucket falls below
     * the rate. Rerunning (or re-partitioning, or re-ingesting) selects the
@@ -63,8 +66,7 @@ object Curation {
       budget: Int, groups: Int = 32): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(groups >= 1, s"groups must be >= 1, got $groups")
-    val grp = (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-      .cast("long") % groups).as("pack_group")
+    val grp = hashBucket(idCol, groups).as("pack_group")
     val w = Window.partitionBy(col("pack_group")).orderBy(idCol)
     df.withColumn("pack_group", grp)
       .withColumn("__before",

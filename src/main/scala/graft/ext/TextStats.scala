@@ -93,10 +93,12 @@ object TextStats {
       s"stride must be in [1, size], got $stride")
     val t = col("__toks")
     val n = org.apache.spark.sql.functions.size(t)
-    // starts 1, 1+stride, ...; a start past n yields nothing; a start whose
-    // chunk is fully inside the previous one is excluded by construction
-    // (stride >= 1 ⇒ each chunk begins on a fresh token)
-    val starts = sequence(lit(1), n, lit(stride))
+    // starts 1, 1+stride, ... capped at n − (size − stride): a tail start
+    // beyond that cap would yield a chunk fully contained in the previous
+    // window (pure duplicate data for training/RAG prep), so it is
+    // suppressed; the cap floor of 1 keeps short docs emitting their single
+    // chunk
+    val starts = sequence(lit(1), greatest(lit(1), n - lit(size - stride)), lit(stride))
     df.select(idCol.as("doc_id"), toks(textCol).as("__toks"))
       .filter(n >= 1)
       .select(col("doc_id"), t, explode(starts).as("s"))

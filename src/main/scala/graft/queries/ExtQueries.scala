@@ -193,7 +193,7 @@ object ExtQueries {
     // Cumulative bin packing into 256-token budgets over 8 hash groups.
     "q_pack" -> { (s, dir) =>
       val d = docs(s, dir)
-        .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+        .select(col("doc_id"), size(TextStats.toks(col("text"))).cast("long").as("n_toks"))
       Curation.packBins(d, col("doc_id"), col("n_toks"), budget = 256, groups = 8)
         .select(col("doc_id"), col("n_toks"), col("pack_group"), col("bin"))
         .orderBy(col("doc_id"))
@@ -416,7 +416,7 @@ object ExtQueries {
         |       CAST(LEAST(32, len(t) - s + 1) AS BIGINT) AS n_chunk_toks,
         |       array_to_string(t[s : s + 31], ' ') AS chunk
         |FROM toks CROSS JOIN st
-        |WHERE s <= len(t)
+        |WHERE s <= GREATEST(1, len(t) - 8)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_pipeline_curate" ->
