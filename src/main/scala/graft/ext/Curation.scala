@@ -36,6 +36,18 @@ object Curation {
     df.filter(pctBucket(idCol) < pct)
   }
 
+  /** Deterministic WEIGHTED sample: keep each row with probability equal to
+    * its `weightCol` (in [0, 1]) — e.g. quality-weighted data selection,
+    * where high-quality docs are kept preferentially. The coin flip is the
+    * row's 32-bit id hash scaled to [0, 1) compared against the weight:
+    * row-local, shuffle-free, and the SAME rows survive on every run,
+    * partitioning, and engine (the identical double arithmetic on both
+    * sides of the oracle). */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column): DataFrame =
+    df.filter(
+      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long")
+        .cast("double") / lit(4294967296.0) < weightCol)
+
   /** Deterministic train/validation/test assignment from cumulative
     * percentage cuts, e.g. `Seq("train" -> 80, "val" -> 90, "test" -> 100)`.
     * Row-local, no shuffle, stable under re-ingestion. */

@@ -190,6 +190,15 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-weighted deterministic sampling: keep probability = the doc's
+    // quality score (bit-exact int/int double arithmetic on both engines).
+    "q_weighted_sample" -> { (s, dir) =>
+      val q = TextStats.quality(docs(s, dir), col("text"))
+      Curation.weightedSample(q, col("doc_id"), col("quality_score"))
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
     // Cumulative bin packing into 256-token budgets over 8 hash groups.
     "q_pack" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -394,6 +403,20 @@ object ExtQueries {
         |  JOIN embeddings q ON q.vec_id = p.q_id)
         |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         0.5 * (CAST(len(list_filter(string_split(lower(text), ' '),
+        |                  w -> w IN ('the','a','of','to','and'))) AS DOUBLE)
+        |                / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+        |         + 0.5 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        |                  / CAST(length(text) AS DOUBLE)) AS quality_score
+        |  FROM documents)
+        |SELECT doc_id, quality_score FROM q
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |        / 4294967296.0 < quality_score
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pack" ->
       """WITH d AS (
