@@ -300,6 +300,20 @@ object Dedup {
       .agg(count(lit(1)).as("overlap_ct"))
       .filter(col("overlap_ct") >= minOverlap)
 
+  /** Capped cluster dedup — keep up to `k` exemplars per near-dup cluster
+    * (the C4-style per-group cap, generalizing keep-one): rank docs within
+    * their [[connectedComponents]] cluster by doc_id and keep the first `k`.
+    * The window is keyed on the cluster label, so the ranking shuffles the
+    * (pairs-sized) label table only — never the corpus. */
+  def keepPerCluster(labels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    labels.withColumn("rk", row_number().over(
+        Window.partitionBy(col("keeper_id")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("keeper_id"), col("rk").cast("long").as("rk"))
+  }
+
   /** 32-bit weighted SimHash from md5 hex digits: bit i of token t is
     * `parity(hexDigit_i(md5(t)))`; per-doc bit sums weighted by token count;
     * fingerprint bit i set iff the sum is positive. Engine-portable (md5 and

@@ -67,6 +67,17 @@ object ExtQueries {
       out
     },
 
+    // Capped cluster dedup: keep up to 2 exemplars per near-dup cluster
+    // (the per-group cap generalizing keep-one keeper assignment).
+    "q_dedup_keep2" -> { (s, dir) =>
+      Dedup.keepPerCluster(
+          Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(
+              Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2)),
+          k = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // 32-bit weighted SimHash, Hamming ≤ 2 pairs.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(
@@ -377,6 +388,22 @@ object ExtQueries {
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_clusters_lsh" -> clustersSql,
+
+    "q_dedup_keep2" ->
+      s"""WITH RECURSIVE $JAC,
+         |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
+         |          UNION SELECT b_id, a_id FROM pairsx),
+         |verts AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id AS src, id AS node FROM verts
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x)
+         |SELECT doc_id, keeper_id, rk FROM (
+         |  SELECT src AS doc_id, MIN(node) AS keeper_id,
+         |         row_number() OVER (PARTITION BY MIN(node) ORDER BY src) AS rk
+         |  FROM reach GROUP BY src)
+         |WHERE rk <= 2 ORDER BY doc_id""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH cent AS (
