@@ -188,80 +188,75 @@ object Dedup {
     // partition stays far under executor memory at any scale while collapsing
     // a near-dup graph at test scale to a single partition, where per-round
     // scheduling overhead would otherwise dwarf the work.
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toLong
     val loopParts =
-      math.max(1L, math.min(sessionParts.toLong, (edgeCt >> 20) + 1)).toInt
+      math.max(1L, math.min(sessionParts, (edgeCt >> 20) + 1)).toInt
     val edges =
       if (loopParts < edges0.rdd.getNumPartitions) edges0.coalesce(loopParts)
       else edges0
-    // Narrow the session's shuffle width for the loop's internal stages only:
-    // everything below is materialized via localCheckpoint before the conf is
-    // restored, and the returned frame is a pure projection of cached blocks.
-    // The conf is SESSION-GLOBAL, so the mutation is serialized across
-    // concurrent connectedComponents calls (two racing calls could otherwise
-    // read each other's narrowed value as the "restore" target and leave the
-    // session permanently single-partition); any UNRELATED query planned on
-    // the same session while a loop runs still sees the narrowed width —
-    // callers running a parallel workload should pass a dedicated session.
-    connectedComponentsLock.synchronized {
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
-      // Initialize labels with the first hop already applied — min(self,
-      // direct neighbors) — instead of the identity: same single shuffle as a
-      // distinct-vertices init, but it does round 1's work for free.
-      var labels = edges.groupBy(col("x").as("doc_id"))
-        .agg(min(col("y")).as("__nbr_min"))
-        .select(col("doc_id"), least(col("doc_id"), col("__nbr_min")).as("keeper_id"))
-        .localCheckpoint(true)
-      // Decimal, not long: at 1e12 docs × 1e9-scale ids the long sum overflows.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(coalesce(sum(col("keeper_id").cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")))
-          .first().getDecimal(0)
-      var prevSum = labelSum(labels)
-      var iter = 0
-      var converged = false
-      while (!converged && iter < maxIter) {
-        // Min label among direct neighbors (one hop).
-        val msgs = edges.as("e").join(labels.as("m"), col("e.y") === col("m.doc_id"))
-          .groupBy(col("e.x").as("doc_id")).agg(min(col("m.keeper_id")).as("nbr_min"))
-        val hop = labels.join(msgs, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            least(col("keeper_id"), coalesce(col("nbr_min"), col("keeper_id"))).as("k1"))
-        // Double pointer jump through the (checkpointed, leaf) label table:
-        // follow the new keeper to ITS keeper, twice. Labels only ever hold
-        // doc_ids present in the label table, so the left_outer+coalesce is
-        // defensive, not load-bearing.
-        val j1 = hop.as("h")
-          .join(labels.as("l1"), col("h.k1") === col("l1.doc_id"), "left_outer")
-          .select(col("h.doc_id").as("doc_id"),
-            least(col("h.k1"), coalesce(col("l1.keeper_id"), col("h.k1"))).as("k2"))
-        val next = j1.as("j")
-          .join(labels.as("l2"), col("j.k2") === col("l2.doc_id"), "left_outer")
-          .select(col("j.doc_id").as("doc_id"),
-            least(col("j.k2"), coalesce(col("l2.keeper_id"), col("j.k2"))).as("keeper_id"))
-          .localCheckpoint(true) // the single data-sized action this round
-        val curSum = labelSum(next) // cached-block scan
-        converged = curSum.compareTo(prevSum) == 0
-        prevSum = curSum
-        labels.unpersist() // bound cached generations at two
-        labels = next
-        iter += 1
-      }
-      edges0.unpersist() // labels is checkpointed; the edge cache is done
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds " +
-            "(pointer-jumping rounds exceeded ~log of the cluster diameter) — " +
-            "raise maxIter")
-      labels.select(col("doc_id"), col("keeper_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    // Width control is PLAN-LOCAL: every in-loop shuffle is an explicit
+    // repartition(loopParts, key) whose HashPartitioning satisfies the
+    // required distribution of the op that follows (same key, same count), so
+    // Catalyst inserts no session-width exchange on top of it and NOTHING
+    // session-global is mutated — a concurrent unrelated query planned
+    // mid-loop keeps full session width (asserted by CcConcurrencySpec), and
+    // no lock is needed.
+    def byKey(df: DataFrame, k: Column): DataFrame = df.repartition(loopParts, k)
+    // Initialize labels with the first hop already applied — min(self,
+    // direct neighbors) — instead of the identity: same single shuffle as a
+    // distinct-vertices init, but it does round 1's work for free.
+    var labels = byKey(edges, col("x")).groupBy(col("x").as("doc_id"))
+      .agg(min(col("y")).as("__nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("__nbr_min")).as("keeper_id"))
+      .localCheckpoint(true)
+    // Decimal, not long: at 1e12 docs × 1e9-scale ids the long sum overflows.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("keeper_id").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
+        .first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Min label among direct neighbors (one hop). The edge side is
+      // pre-partitioned on the join key; labels comes out of its checkpoint
+      // already hash-partitioned on doc_id at loopParts (LogicalRDD preserves
+      // the physical partitioning), so the join adds no exchange, and the
+      // rollup's width is set by the explicit repartition on e.x.
+      val msgs = byKey(byKey(edges, col("y")).as("e")
+          .join(labels.as("m"), col("e.y") === col("m.doc_id")), col("e.x"))
+        .groupBy(col("e.x").as("doc_id")).agg(min(col("m.keeper_id")).as("nbr_min"))
+      val hop = labels.join(msgs, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("keeper_id"), coalesce(col("nbr_min"), col("keeper_id"))).as("k1"))
+      // Double pointer jump through the (checkpointed, leaf) label table:
+      // follow the new keeper to ITS keeper, twice. Labels only ever hold
+      // doc_ids present in the label table, so the left_outer+coalesce is
+      // defensive, not load-bearing.
+      val j1 = byKey(hop, col("k1")).as("h")
+        .join(labels.as("l1"), col("h.k1") === col("l1.doc_id"), "left_outer")
+        .select(col("h.doc_id").as("doc_id"),
+          least(col("h.k1"), coalesce(col("l1.keeper_id"), col("h.k1"))).as("k2"))
+      val next = byKey(j1, col("k2")).as("j")
+        .join(labels.as("l2"), col("j.k2") === col("l2.doc_id"), "left_outer")
+        .select(col("j.doc_id").as("doc_id"),
+          least(col("j.k2"), coalesce(col("l2.keeper_id"), col("j.k2"))).as("keeper_id"))
+        .localCheckpoint(true) // the single data-sized action this round
+      val curSum = labelSum(next) // cached-block scan
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
+      labels.unpersist() // bound cached generations at two
+      labels = next
+      iter += 1
     }
+    edges0.unpersist() // labels is checkpointed; the edge cache is done
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(pointer-jumping rounds exceeded ~log of the cluster diameter) — " +
+          "raise maxIter")
+    labels.select(col("doc_id"), col("keeper_id"))
   }
-
-  /** Serializes the shuffle-width conf mutation in [[connectedComponents]]
-    * (driver-side, single JVM — an in-process lock suffices). */
-  private val connectedComponentsLock = new Object
 
   /** C4-style cross-document span duplication: for each doc, how many of its
     * distinct n-gram shingles also appear in at least one OTHER document, and
@@ -290,15 +285,26 @@ object Dedup {
     *
     * The eval side is broadcast: benchmark suites are metadata-sized next to
     * a 100 TB corpus, so the train shingles NEVER shuffle — the screen is one
-    * map-side join over the corpus scan plus a rollup of the (tiny) hit set. */
+    * map-side join over the corpus scan plus a rollup of the (tiny) hit set.
+    *
+    * The broadcast assumption is GUARDED, not hoped: an eval side above
+    * `maxEvalShingles` rows fails fast with a named error instead of an
+    * opaque broadcast-size/driver-OOM failure deep in execution. The guard is
+    * a bounded `limit(n+1).count()` — it never scans more than n+1 rows. */
   def contamination(trainSh: DataFrame, evalSh: DataFrame,
-      minOverlap: Int = 3): DataFrame =
+      minOverlap: Int = 3, maxEvalShingles: Long = 50L * 1000 * 1000): DataFrame = {
+    val probed = evalSh.limit((maxEvalShingles + 1).min(Int.MaxValue).toInt).count()
+    require(probed <= maxEvalShingles,
+      s"contamination: eval shingle set exceeds $maxEvalShingles rows — too " +
+        "large to broadcast. Shrink the eval suite, raise maxEvalShingles " +
+        "(with executor memory to match), or use a shuffle join variant.")
     trainSh.as("t")
       .join(broadcast(evalSh.as("e")),
         col("t.s") === col("e.s") && col("t.doc_id") =!= col("e.doc_id"))
       .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
       .agg(count(lit(1)).as("overlap_ct"))
       .filter(col("overlap_ct") >= minOverlap)
+  }
 
   /** Capped cluster dedup — keep up to `k` exemplars per near-dup cluster
     * (the C4-style per-group cap, generalizing keep-one): rank docs within

@@ -51,10 +51,18 @@ object Multimodal {
       val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val (w, h, bpp) = (b.getInt(18), b.getInt(22), b.getShort(28).toInt)
       // magic alone is two printable letters — validate the full header shape
-      // so arbitrary text bytes can't masquerade as an image
-      val valid = b.getInt(2) == bytes.length && b.getInt(14) == 40 &&
-        w > 0 && h != 0 && Set(1, 4, 8, 16, 24, 32).contains(bpp)
-      if (valid) Some((w.toLong, math.abs(h).toLong, bpp)) else None
+      // so arbitrary text bytes can't masquerade as an image. Real-world BMPs
+      // commonly carry 0 (or a stale value) in bfSize, so the size field is
+      // advisory; the load-bearing bound is that the buffer actually holds
+      // offBits + rowStride(w, bpp) × |h| pixel bytes.
+      val sizeField = b.getInt(2)
+      val offBits = b.getInt(10)
+      val stride = ((w.toLong * bpp + 31) / 32) * 4 // rows pad to 4 bytes
+      val shapeOk = b.getInt(14) == 40 && w > 0 && h != 0 &&
+        Set(1, 4, 8, 16, 24, 32).contains(bpp) && offBits >= 54
+      val sizeOk = (sizeField == bytes.length || sizeField == 0) &&
+        bytes.length.toLong >= offBits.toLong + stride * math.abs(h.toLong)
+      if (shapeOk && sizeOk) Some((w.toLong, math.abs(h).toLong, bpp)) else None
     }
 
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,

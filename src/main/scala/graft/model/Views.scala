@@ -34,8 +34,11 @@ object Views {
       // shrink the SQL surface.
       try { mk().createOrReplaceTempView(name); Some(name) }
       catch {
+        // Match the structured error condition, not the rendered message —
+        // wording changes across Spark versions; the condition name is the
+        // stable contract.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") => None
+            if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) => None
       }
     }
   }

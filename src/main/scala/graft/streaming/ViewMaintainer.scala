@@ -113,16 +113,26 @@ class OrderDetailView(root: String) {
         case f if f.name == "op" => lit("delete").as("op")
         case f => lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
+    // keepGenerations=2: a reader of current() racing this merge resolves
+    // the PREVIOUS generation's manifest; retaining one superseded
+    // generation gives that scan a GC grace window instead of a
+    // FileNotFound when the merge's cleanup lands mid-read.
     KeyedStore.merge(
       joined.unionByName(tomb).withColumn("batch_id", lit(batchId)),
-      resP, keys = Seq("id"), seqCols = Seq("batch_id"))
+      resP, keys = Seq("id"), seqCols = Seq("batch_id"), keepGenerations = 2)
     } finally ins.foreach(_.unpersist())
   }
 
   /** The maintained view — equal to the batch 4-way join over every row
     * applied so far. Total before the first batch too: the empty frame
     * carries the real view schema, so downstream column selection never
-    * flips shape on timing. */
+    * flips shape on timing.
+    *
+    * Concurrency: the result store retains one superseded generation
+    * (keepGenerations=2 on its merges), so a scan that resolved its manifest
+    * just before a concurrent [[applyBatch]] commit still finds its files —
+    * only a reader that lags a FULL batch behind (two commits inside one
+    * scan) can hit GC and should retry. */
   def current(spark: SparkSession): DataFrame =
     KeyedStore.readActive(spark, resP, opCol = "op")
       .map(_.drop("op", "batch_id"))
