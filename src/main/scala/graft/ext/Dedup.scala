@@ -68,15 +68,13 @@ object Dedup {
       .filter(col("inter_ct") * den >= col("union_ct") * num)
 
   /** Attach exact intersection/union counts to candidate (a_id, b_id) pairs
-    * and keep pairs with Jaccard ≥ num/den. The shingle table is first pruned
-    * to candidate docs with a broadcast semi-join (the candidate set is tiny
-    * relative to the corpus — that asymmetry is the whole point of LSH), so
-    * the intersection join shuffles only candidate shingles. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+    * and keep pairs with Jaccard ≥ num/den. `shc` must already be pruned to
+    * the candidate docs (see [[minhashLshPairs]]) AND pinned by the caller:
+    * it is walked three times here (both sides of the intersection join plus
+    * the size rollup), so an unpersisted full-corpus lineage would replay
+    * the shingle scan three times over. */
+  private def verifyJaccard(cand: DataFrame, shc: DataFrame,
       num: Int, den: Int): DataFrame = {
-    val candDocs = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val inter = cand
       .join(shc.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(shc.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
@@ -118,31 +116,45 @@ object Dedup {
     // the base digest — independent permutations up to 2^-64 digest
     // collisions — but the string bytes are only walked once, which cuts the
     // CPU of the signature stage (its dominant cost) by ~k/2×.
+    // The shingle lineage (tokenize → gram transform → explode) is the most
+    // expensive recomputable plan in this function and is needed TWICE — the
+    // signature aggregation here and the candidate-pruned verify below. Every
+    // other consumer reads a materialized derivative instead of replaying it:
+    //  * `sig` is eagerly checkpointed, so the band self-join's two sides and
+    //    the bucket explode read #docs × (8 + 8k)-byte cached rows rather
+    //    than re-running the shingle scan + 32-way min-agg per side (measured
+    //    2× the whole stage at sf0.1);
+    //  * `shc` (candidate shingles only — tiny next to the corpus, that
+    //    asymmetry is the point of LSH) is pinned across verify's three
+    //    walks and released before return.
+    // All pinned state is bounded: sig is O(#docs), cand/shc are
+    // candidate-sized; the verified pairs are localCheckpointed so the
+    // returned plan is detached from every cache before the unpersists.
     val base = xxhash64(col("s"))
     val sig = sh.select(col("doc_id"), base.as("hb"))
       .groupBy("doc_id").agg(
         min(xxhash64(lit(0), col("hb"))).as("h0"),
         (1 until k).map(i => min(xxhash64(lit(i), col("hb"))).as(s"h$i")): _*)
+      .localCheckpoint(true)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bkey"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // persist: verify uses candidates twice (pair join + doc-set broadcast),
-    // and the signature aggregation above must not replay for each use. The
-    // cache is released before returning: the verified pairs (small — true
-    // near-dups only) are eagerly materialized via localCheckpoint, which
-    // detaches the returned plan from the candidate cache so repeated calls
-    // in a long-lived session don't accumulate pinned blocks.
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
       .persist()
-    val verified = verifyJaccard(cand, sh, num, den).localCheckpoint(true)
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").persist()
+    val verified = verifyJaccard(cand, shc, num, den).localCheckpoint(true)
+    shc.unpersist()
     cand.unpersist()
+    sig.unpersist()
     verified
   }
 
