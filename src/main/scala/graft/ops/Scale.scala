@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 /** Scale helpers: skew-salted aggregation and co-location
@@ -76,4 +76,38 @@ object Scale {
     * exchange happens once and is reused across stages. */
   def colocate(df: DataFrame, keys: Seq[Column], partitions: Int): DataFrame =
     df.repartition(partitions, keys: _*)
+
+  /** Two-stage salted fold for TYPED per-group processing — the regime where
+    * key skew actually bites. For the algebraic aggregates above, Spark's
+    * map-side partial aggregation already neutralizes a hot key (each reducer
+    * receives at most one partial per key per map task — measured at parity
+    * in `tools/SkewProbe`); but `groupByKey(...).mapGroups` has NO partial
+    * aggregation: every raw row of the hot key lands in ONE reducer task,
+    * which then processes 90% of the data single-threaded while the rest of
+    * the cluster idles. When the per-group logic is an associative fold,
+    * stage 1 folds each (key, salt) sub-group in parallel and stage 2 merges
+    * the `buckets` partials per key — the hot key fans out over `buckets`
+    * tasks (measured ≥5× on the engineered skew fixture; see SCALING.md).
+    *
+    * The salt is the value's own `hashCode` — deterministic per value for
+    * case classes / tuples / primitives (Scala value-based hashing), so task
+    * retries re-bucket identically (the SPARK-23207 correctness class; same
+    * rationale as [[saltedAggregate]]'s whole-row hash). Don't pass types
+    * with identity hashCodes (plain classes, arrays).
+    *
+    * @param key     group key extractor
+    * @param fold    per-(key, salt-bucket) fold — must be associative-merge
+    *                compatible with `merge`
+    * @param merge   combines two bucket partials of the same key
+    * @param buckets hot-key fan-out (≈ cluster parallelism) */
+  def saltedFoldGroups[V, K, S](ds: Dataset[V], key: V => K, buckets: Int = 64)(
+      fold: (K, Iterator[V]) => S)(merge: (S, S) => S)(
+      implicit ksalt: Encoder[(K, Int)], kEnc: Encoder[K],
+      ks: Encoder[(K, S)]): Dataset[(K, S)] = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    ds.groupByKey(v => (key(v), math.floorMod(v.hashCode, buckets)))
+      .mapGroups((ks: (K, Int), it: Iterator[V]) => (ks._1, fold(ks._1, it)))
+      .groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.map(_._2).reduce(merge)))
+  }
 }

@@ -53,6 +53,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("saltedFoldGroups equals the unsalted mapGroups fold on a skewed key") {
+    import spark.implicits._
+    // 80% of rows on key 0 — the shape the operator exists for.
+    val ds = spark.range(20000).select(
+        when(pmod(col("id"), lit(5)) < 4, 0L).otherwise(pmod(col("id"), lit(97L)) + 1L).as("k"),
+        col("id").as("v")).as[(Long, Long)]
+    val naive = ds.groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.map(_._2).foldLeft((0L, Long.MinValue)) {
+        case ((n, mx), v) => (n + 1, math.max(mx, v)) }))
+      .collect().toMap
+    val salted = Scale.saltedFoldGroups(ds, (r: (Long, Long)) => r._1, buckets = 8) {
+        (_, it) => it.map(_._2).foldLeft((0L, Long.MinValue)) {
+          case ((n, mx), v) => (n + 1, math.max(mx, v)) }
+      } { case ((n1, m1), (n2, m2)) => (n1 + n2, math.max(m1, m2)) }
+      .collect().toMap
+    assert(salted == naive)
+    assert(naive(0L)._1 == 16000L) // the hot key really is hot
+  }
+
+  test("saltedFoldGroups bucketing is deterministic per value") {
+    import spark.implicits._
+    val ds = spark.range(5000).select(lit(7L).as("k"), pmod(col("id"), lit(100L)).as("v"))
+      .as[(Long, Long)]
+    // identical input → identical partials regardless of physical layout
+    val a = Scale.saltedFoldGroups(ds, (r: (Long, Long)) => r._1, buckets = 16)(
+      (_, it) => it.size.toLong)(_ + _).collect().toMap
+    val b = Scale.saltedFoldGroups(ds.repartition(13), (r: (Long, Long)) => r._1,
+      buckets = 16)((_, it) => it.size.toLong)(_ + _).collect().toMap
+    assert(a == b && a(7L) == 5000L)
+  }
+
   test("colocate pre-partitions so the downstream aggregation adds no exchange") {
     val li = Envelopes.table(spark, sfDir(), "lineitem")
     val plan = Scale.colocate(li, Seq(col("l_returnflag")), 8)
