@@ -9,7 +9,39 @@ import graft.ops.{Joins, Project}
 object JoinQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Customer dim served through [[graft.streaming.DimCache]] — built once
+    * per (session, corpus): wipe any previous JVM's store, one
+    * KeyedStore.merge, then a cache instance whose pinned buckets all later
+    * lookups in the session share (the second call is the cache-hit path —
+    * exactly the steady-state of a micro-batch stream). */
+  private val dimCacheMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.streaming.DimCache]
+  private def customerCache(s: SparkSession, dir: String): graft.streaming.DimCache =
+    dimCacheMemo.computeIfAbsent((s, dir), { case (s, dir) =>
+      val path = s"/tmp/graft_dimstore_${math.abs(dir.hashCode)}_customer"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.streaming.KeyedStore.merge(
+        Envelopes.table(s, dir, "customer").withColumn("op_type", lit("put")),
+        path, keys = Seq("c_custkey"), seqCols = Seq("c_custkey"))
+      new graft.streaming.DimCache(path, Seq("c_custkey"))
+    })
+
   val queries: Map[String, QFn] = Map(
+    // J4/J5 at scale — lookup join against a dim TOO LARGE TO BROADCAST:
+    // the dim lives in a bucketed KeyedStore; the batch scans only the
+    // buckets its keys hash to, pinned executor-local with generation
+    // invalidation (DimCache — the reference's Redis-cached HBase lookup).
+    // The join is SHUFFLE_MERGE by construction; PlanSpec pins the
+    // no-broadcast plan shape.
+    "q_join_lookup_big" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      customerCache(s, dir).lookupJoin(o, Seq(col("o_custkey")))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // J1 — inner equi-join: order_detail ⋈ order_info on od.order_id = oi.id.
     "q_join_inner" -> { (s, dir) =>
       val od = Envelopes.orderDetail(s, dir)
@@ -118,6 +150,11 @@ object JoinQueries {
   import Envelopes.{maxwellCte => MX, odCte, oiCte, odaCte, odcCte, dimCte}
 
   val oracles: Map[String, String] = Map(
+    "q_join_lookup_big" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_join_inner" ->
       s"""WITH $odCte, $oiCte
          |SELECT od.id, od.order_id, od.sku_id, od.sku_num,

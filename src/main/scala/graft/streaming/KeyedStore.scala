@@ -43,10 +43,10 @@ object KeyedStore {
   private val CommitPrefix = "_graft_commit_g"
   private val BucketDirRe = """^__b=(\d+)__g(\d+)$""".r
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[streaming] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def bucketOf(keys: Seq[String], n: Int): Column =
+  private[streaming] def bucketOf(keys: Seq[String], n: Int): Column =
     pmod(hash(keys.map(col): _*), lit(n))
 
   private def readTextFile(f: FileSystem, p: Path): String = {
@@ -113,7 +113,7 @@ object KeyedStore {
   /** Highest committed manifest: (generation, bucket → directory name).
     * Superseded manifests may coexist (retained snapshots, or a crash before
     * GC) — the highest generation wins. */
-  private def readCommit(f: FileSystem, root: Path): Option[(Long, Map[Int, String])] = {
+  private[streaming] def readCommit(f: FileSystem, root: Path): Option[(Long, Map[Int, String])] = {
     val commits = commitFiles(f, root)
     if (commits.isEmpty) None
     else {
@@ -127,7 +127,7 @@ object KeyedStore {
     * Missing or unparseable meta beside existing state fails loudly: with
     * state on disk the key→bucket mapping is unknown, and silently adopting
     * the caller's numBuckets would re-bucket new rows away from old winners. */
-  private def readBucketCount(f: FileSystem, root: Path): Option[Int] = {
+  private[streaming] def readBucketCount(f: FileSystem, root: Path): Option[Int] = {
     val p = new Path(root, MetaFile)
     def hasState = readCommit(f, root).isDefined ||
       f.exists(root) && f.listStatus(root).exists(_.getPath.getName.startsWith(BucketPrefix))

@@ -20,6 +20,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast") && !p.contains("SortMergeJoin"))
   }
 
+  test("the big-dim lookup never broadcasts: shuffle-merge join by construction") {
+    val p = plan("q_join_lookup_big")
+    assert(!p.contains("BroadcastExchange"),
+      "DimCache dim side must stay shuffle-side (the dim is 'too big to broadcast')")
+    assert(p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("scans are column-pruned") {
     // envelope queries read lineitem: the scan must not include money columns
     // it never uses
