@@ -41,7 +41,53 @@ object ScaleProbe {
       spark.read.parquet(s"$srcDir/$t.parquet").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
   }
 
+  /** 100× probe for the two flagship composites only: does the plan keep its
+    * shape when the data outgrows every broadcast threshold? Captures the
+    * FINAL (AQE-decided) physical plan at 1× and N× and summarizes the join
+    * strategy mix — the broadcast→shuffle flip is the property under test:
+    * it must happen (no OOM-prone forced broadcast) and nothing may degrade
+    * to a nested loop. Full plans land in `<outDir>/plans/` for the record.
+    *
+    * Usage: runMain graft.tools.ScaleProbe flagship [copies] [outDir] */
+  def flagship(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = Seq("q_dwd_order_detail", "q_pipeline_curate")
+    def run(name: String, dir: String): (Double, Long, String) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n, df.queryExecution.executedPlan.toString)
+    }
+    def mix(plan: String): String = Seq(
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(k => s"$k=${plan.sliding(k.length).count(_ == k)}").mkString(", ")
+    val base = qs.map(q => q -> run(q, "/root/testdata/sf0.1")).toMap
+    replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+    val scaled = qs.map(q => q -> run(q, outDir)).toMap
+    val planDir = new java.io.File(s"$outDir/plans"); planDir.mkdirs()
+    qs.foreach { q =>
+      val (t1, n1, p1) = base(q)
+      val (t2, n2, p2) = scaled(q)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$planDir/${q}_1x.txt"), p1)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$planDir/${q}_${copies}x.txt"), p2)
+      println(f"FLAGSHIP $q 1x: $t1%.1f s ($n1 rows) [${mix(p1)}]")
+      println(f"FLAGSHIP $q ${copies}x: $t2%.1f s ($n2 rows) [${mix(p2)}]")
+      println(f"FLAGSHIP $q growth ${t2 / t1}%.1fx wall at ${copies}x data")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("flagship")) {
+      flagship(args.lift(1).map(_.toInt).getOrElse(100),
+        args.lift(2).getOrElse("/tmp/graft_scale100"))
+      return
+    }
     val copies = args.headOption.map(_.toInt).getOrElse(10)
     val outDir = args.lift(1).getOrElse("/tmp/graft_scale_probe")
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
