@@ -23,7 +23,7 @@ object JoinQueries {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       graft.streaming.KeyedStore.merge(
         Envelopes.table(s, dir, "customer").withColumn("op_type", lit("put")),
-        path, keys = Seq("c_custkey"), seqCols = Seq("c_custkey"))
+        path, keys = Seq("c_custkey"), seqCols = Seq("c_custkey"), numBuckets = 8)
       new graft.streaming.DimCache(path, Seq("c_custkey"))
     })
 
