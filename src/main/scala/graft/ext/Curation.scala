@@ -88,6 +88,38 @@ object Curation {
       .drop("__before")
   }
 
+  /** Per-group quota cap — the C4/RefinedWeb "at most k documents per
+    * domain/source" curation step: rank rows within `group` by `order` and
+    * keep the first `k`. The rank-filter shape triggers Spark's
+    * WindowGroupLimit: each map task pre-prunes to its local top-k BEFORE
+    * the shuffle, so a hot group (one domain dominating the crawl) ships
+    * k·#maps rows, not its full row count — the skew protection is in the
+    * plan, not a salt (`PlanSpec` pins the operator).
+    *
+    * @param order must be a deterministic total order within a group
+    *              (extend with the id column for ties) */
+  def quotaCap(df: DataFrame, group: Column, k: Int, order: Seq[Column]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("rk",
+        row_number().over(Window.partitionBy(group).orderBy(order: _*)).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic STRATIFIED sample: per-stratum keep rates (percent), e.g.
+    * rebalancing a multilingual corpus (`en` → 60%, `zh` → 40%, rest 20%).
+    * Same md5 bucket as [[deterministicSample]], so the kept set is stable
+    * under reruns/repartitioning/re-ingestion AND nested samples compose:
+    * a 10% sample is a subset of the 60% sample of the same stratum. */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratum: Column,
+      rates: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    require((defaultPct +: rates.map(_._2)).forall(p => p >= 0 && p <= 100),
+      "rates must be 0..100")
+    val rate = rates.foldRight(lit(defaultPct): Column) {
+      case ((value, pct), rest) => when(stratum === value, pct).otherwise(rest)
+    }
+    df.filter(pctBucket(idCol) < rate)
+  }
+
   /** Exact `n`-quantile bucket (1-based) of `length(textCol)` per row,
     * computed scale-safe: histogram of distinct lengths (bounded domain) →
     * cumulative counts over that SMALL table → broadcast the length→bucket

@@ -34,6 +34,32 @@ object TextStats {
           lit(0.5) * (nAlpha.cast("double") / nChars.cast("double")))
   }
 
+  /** Corpus-level token-frequency statistics per document — the
+    * document-frequency half of a KenLM-style quality signal, kept in EXACT
+    * integer arithmetic (no float log-probs, so the result is bit-identical
+    * on every engine): for each doc, its token count, distinct-token count,
+    * how many of its distinct tokens are corpus-RARE (document frequency ≤
+    * `rareDf` — a high rare ratio flags gibberish/OCR noise, the
+    * Gopher-style signal), and the sum of its distinct tokens' document
+    * frequencies (high mean df = boilerplate vocabulary).
+    *
+    * Two shuffles, both linear: token document-frequency aggregates on the
+    * token (map-side combine), then the per-doc rollup re-joins on the same
+    * token key (exchange reuse) and aggregates on doc_id. No pairwise work —
+    * the same shape as [[Dedup.crossDocDupStats]]. */
+  def corpusTokenStats(df: DataFrame, idCol: Column, textCol: Column,
+      rareDf: Int = 2): DataFrame = {
+    val base = Dedup.spread(df.select(idCol.as("doc_id"), toks(textCol).as("__toks")))
+    val nt = base.select(col("doc_id"), size(col("__toks")).cast("long").as("n_toks"))
+    val td = base.select(col("doc_id"), explode(array_distinct(col("__toks"))).as("t"))
+    val dfq = td.groupBy("t").agg(count(lit(1)).as("df"))
+    val per = td.join(dfq, "t").groupBy("doc_id").agg(
+      count(lit(1)).as("n_distinct_toks"),
+      sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("rare_tok_ct"),
+      sum(col("df")).as("tok_df_sum"))
+    nt.join(per, Seq("doc_id"))
+  }
+
   /** Language-ID n-gram/marker heuristic (deterministic, intentionally
     * simple — the synthetic corpus shares one vocabulary, so this documents
     * the operator shape rather than real discrimination power). */

@@ -157,6 +157,31 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source quota cap: at most 10 docs per source, longest first
+    // (C4-style per-domain capping; rank filter → WindowGroupLimit).
+    "q_source_cap" -> { (s, dir) =>
+      Curation.quotaCap(docs(s, dir), col("source"), 10,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // Stratified per-language sampling: rebalance the corpus to 60% en /
+    // 40% zh / 20% everything else, deterministically by id hash.
+    "q_stratified_sample" -> { (s, dir) =>
+      Curation.stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
+          Seq("en" -> 60, "zh" -> 40), defaultPct = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus token-frequency stats per doc (exact-integer KenLM-style
+    // signal: rare-token count + document-frequency mass).
+    "q_tok_stats" -> { (s, dir) =>
+      TextStats.corpusTokenStats(docs(s, dir), col("doc_id"), col("text"), rareDf = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting.
     "q_text_fingerprint" -> { (s, dir) =>
       docs(s, dir)
@@ -579,6 +604,39 @@ object ExtQueries {
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_toks,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_toks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < (CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 40 ELSE 20 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_tok_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |td AS (SELECT DISTINCT doc_id, t FROM tok),
+        |dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM td GROUP BY 1),
+        |per AS (
+        |  SELECT td.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct_toks,
+        |         CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tok_ct,
+        |         CAST(SUM(df) AS BIGINT) AS tok_df_sum
+        |  FROM td JOIN dfq USING (t) GROUP BY 1),
+        |nt AS (
+        |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT nt.doc_id, nt.n_toks, per.n_distinct_toks, per.rare_tok_ct, per.tok_df_sum
+        |FROM nt JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

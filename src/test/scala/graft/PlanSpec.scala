@@ -27,6 +27,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("per-source quota cap pre-prunes map-side (WindowGroupLimit)") {
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k filter must push a partial top-k below the shuffle:\n" + p.take(800))
+  }
+
   test("scans are column-pruned") {
     // envelope queries read lineitem: the scan must not include money columns
     // it never uses

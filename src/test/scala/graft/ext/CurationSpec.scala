@@ -116,4 +116,48 @@ class CurationSpec extends SparkSpec {
     sizes.values.foreach(sz =>
       assert(sz > got.length / 8 && sz < got.length / 2, s"skewed: ${sizes.toMap}"))
   }
+
+  test("quotaCap keeps exactly the top-k per group in order, stable under repartitioning") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    def capped(df: org.apache.spark.sql.DataFrame) =
+      Curation.quotaCap(df, col("source"), 3, Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "rk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = capped(docs)
+    val again = capped(docs.repartition(13, col("text")))
+    assert(got == again, "cap is not deterministic under repartitioning")
+    // every group ≤ 3 rows, ranks are 1..k contiguous
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.size <= 3, s"$src over cap")
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq, s"$src ranks")
+    }
+    // the kept rows really are the longest per group (spot-check one group)
+    val bySrc = docs.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val want = rows.sortBy(t => (-t._3, t._1)).take(3).map(_._1).toSet
+      val have = got.filter(_._2 == src).map(_._1)
+      assert(have == want, s"$src kept $have, want $want")
+    }
+  }
+
+  test("stratified sample composes: lower rate is a subset of higher rate per stratum") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    def ids(rates: Seq[(String, Int)], dflt: Int): Set[Long] =
+      Curation.stratifiedSample(docs, col("doc_id"), col("lang"), rates, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wide = ids(Seq("en" -> 60, "zh" -> 40), 20)
+    val narrow = ids(Seq("en" -> 30, "zh" -> 10), 5)
+    assert(narrow.subsetOf(wide), "nested rates must nest the kept sets")
+    assert(wide.nonEmpty && narrow.nonEmpty && narrow.size < wide.size)
+    // per-stratum rates actually differ: en keeps more than the default strata
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = wide.groupBy(langOf)
+    val total = langOf.groupBy(_._2).view.mapValues(_.size).toMap
+    val enRate = byLang("en").size.toDouble / total("en")
+    val deRate = byLang.getOrElse("de", Set.empty[Long]).size.toDouble / total("de")
+    assert(enRate > deRate, s"en rate $enRate should exceed default-lang rate $deRate")
+  }
 }
