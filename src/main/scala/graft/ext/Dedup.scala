@@ -44,10 +44,19 @@ object Dedup {
 
   /** Repartition `df` across the cluster only when it arrives narrower than
     * the available parallelism (e.g. a single-row-group local file). A wide
-    * input passes through untouched — no unconditional shuffle baked in. */
+    * input passes through untouched — no unconditional shuffle baked in.
+    *
+    * The width check is tiered to stay cheap at scale: a file-backed frame
+    * with ≥ parallelism files skips on METADATA alone (`inputFiles` walks the
+    * logical plan, no physical planning); only a few-file or non-file input
+    * pays the `.rdd` physical-planning probe for the accurate split count
+    * (where it is also test-sized). The probe sits outside AQE either way —
+    * acceptable for a gate whose false-positive cost is one narrow exchange. */
   private[ext] def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    if (df.inputFiles.length >= want) df
+    else if (df.rdd.getNumPartitions < want) df.repartition(want)
+    else df
   }
 
   /** Shingle-set sizes per doc. */

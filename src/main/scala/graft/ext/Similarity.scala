@@ -151,8 +151,15 @@ object Similarity {
   def kmeansLabels(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Pin the normed vectors for the loop: every iteration reads v twice
+    // (centroid build + assignment), so an unpersisted lineage would rescan
+    // the embedding source and re-derive 2·iters norms — the standard
+    // cache-the-input practice of any Lloyd loop (MLlib does the same).
+    // Released before return; labels are checkpointed, so nothing in the
+    // returned plan references the cache.
     val v = emb.select(col("vec_id"), col("embedding"),
-      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+      .persist()
     var labels = v.select(col("vec_id"), (col("vec_id") % k).cast("int").as("label"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -180,6 +187,7 @@ object Similarity {
       labels.unpersist()
       labels = next
     }
+    v.unpersist()
     labels
   }
 

@@ -19,6 +19,18 @@ object TextStats {
   /** Quality metrics: length, token count, stopword ratio, alpha-char ratio
     * and a composite score. Ratios are int/int double divisions (bit-exact
     * across engines). */
+  /** The composite quality score as a single column expression — shared by
+    * [[quality]] and the `graft_quality` SQL function so the DataFrame and
+    * SQL surfaces can never drift apart. */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nToks = size(t)
+    val nStop = size(filter(t, w => w.isInCollection(Stopwords)))
+    lit(0.5) * (nStop.cast("double") / nToks.cast("double")) +
+      lit(0.5) * (length(regexp_replace(text, "[^a-z]", "")).cast("double") /
+        length(text).cast("double"))
+  }
+
   def quality(df: DataFrame, text: Column): DataFrame = {
     val t = toks(text)
     val nToks = size(t)
@@ -29,9 +41,7 @@ object TextStats {
       .withColumn("n_toks", nToks.cast("long"))
       .withColumn("stop_ratio", nStop.cast("double") / nToks.cast("double"))
       .withColumn("alpha_ratio", nAlpha.cast("double") / nChars.cast("double"))
-      .withColumn("quality_score",
-        lit(0.5) * (nStop.cast("double") / nToks.cast("double")) +
-          lit(0.5) * (nAlpha.cast("double") / nChars.cast("double")))
+      .withColumn("quality_score", qualityScore(text))
   }
 
   /** Corpus-level token-frequency statistics per document — the

@@ -104,17 +104,57 @@ object DotProduct {
     graftbridge.column(DotProduct(graftbridge.expression(a), graftbridge.expression(b)))
 }
 
-/** SQL-name registration for the engine's native expressions:
-  * `spark.sql.extensions=graft.functions.GraftExtensions` →
-  * `SELECT graft_dot(a, b)`. */
+/** SQL-name registration for the engine's function surface:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` gives `spark.sql`
+  * users the same kernels the DataFrame API composes — the native codegen
+  * dot product plus the column-composed text/similarity functions (each
+  * built from the SAME shared Column definition as its DataFrame twin, so
+  * the two surfaces cannot drift):
+  *
+  *  - `graft_dot(a, b)`       — double dot product of two array<float>
+  *  - `graft_cosine(a, b)`    — cosine similarity of two array<float>
+  *  - `graft_token_count(t)`  — whitespace token count (BIGINT)
+  *  - `graft_quality(t)`      — composite quality score (DOUBLE)
+  *  - `graft_fingerprint(t)`  — whitespace-normalized md5 fingerprint
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(a, b) => DotProduct(a, b)
-        case _ => throw new IllegalArgumentException(
-          s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
-      }))
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == n,
+          s"$name requires exactly $n argument(s), got ${exprs.length}")
+        build(exprs)
+      })
+
+  /** Compose a registered function from Column-level definitions: wrap the
+    * argument expressions as Columns, build with the shared definition, and
+    * EAGERLY convert the result to a catalyst tree (a lazy column-node
+    * wrapper would reach codegen unresolved — see graftbridge.expressionNow). */
+  private def viaColumns(build: Seq[Column] => Column)(
+      exprs: Seq[Expression]): Expression =
+    graftbridge.expressionNow(build(exprs.map(graftbridge.column)))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.functions.{size, sqrt}
+    e.injectFunction(arity("graft_dot", 2) {
+      case Seq(a, b) => DotProduct(a, b)
+    })
+    e.injectFunction(arity("graft_cosine", 2)(viaColumns {
+      case Seq(a, b) =>
+        DotProduct(a, b) / (sqrt(DotProduct(a, a)) * sqrt(DotProduct(b, b)))
+    }))
+    e.injectFunction(arity("graft_token_count", 1)(viaColumns {
+      case Seq(t) => size(graft.ext.TextStats.toks(t)).cast("long")
+    }))
+    e.injectFunction(arity("graft_quality", 1)(viaColumns {
+      case Seq(t) => graft.ext.TextStats.qualityScore(t)
+    }))
+    e.injectFunction(arity("graft_fingerprint", 1)(viaColumns {
+      case Seq(t) => graft.ext.TextStats.fingerprint(t)
+    }))
+  }
 }

@@ -13,4 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** EAGER column-node → catalyst conversion. [[expression]] wraps the
+    * Column's node in a lazy `ColumnNodeExpression`, which only converts
+    * when the analyzer meets it at a Dataset plan boundary — returned from a
+    * registered FUNCTION BUILDER it would survive into the physical plan
+    * unresolved (Unevaluable → INTERNAL_ERROR at codegen). This converts
+    * immediately; any `UnresolvedFunction`s inside the result are ordinary
+    * catalyst nodes the analyzer's fixpoint then resolves. */
+  def expressionNow(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
