@@ -120,6 +120,122 @@ object Curation {
     df.filter(pctBucket(idCol) < rate)
   }
 
+  /** Temperature-flattened mixture sampling — the multi-source rebalancing
+    * step of LLM pretraining mixes (the `p_s ∝ n_s^α` rule): a source's
+    * share of the kept corpus is proportional to its size raised to
+    * `alpha < 1`, which up-weights small sources relative to raw
+    * proportional sampling. `targetPct` sets the overall keep budget; the
+    * per-source keep rate is `min(1, budget · p_s / n_s)`.
+    *
+    * Scale posture: one metadata-sized per-source aggregate (sources are a
+    * bounded domain), rates broadcast back, then the same row-local md5
+    * coin flip as [[weightedSample]] — the corpus itself never shuffles and
+    * the kept set is stable under reruns/repartitioning/re-ingestion.
+    *
+    * Determinism across engines: counts stay integral; the α-weight uses
+    * `sqrt` when `alpha == 0.5` (IEEE-exact in every engine, unlike `pow`);
+    * the weight sum goes through DECIMAL(38,18) so its value cannot depend
+    * on float addition order; the rate expression is left-associated
+    * exact-rounded ops only. An oracle can therefore reproduce the kept set
+    * bit-for-bit. */
+  def temperatureMix(df: DataFrame, idCol: Column, sourceCol: Column,
+      alpha: Double, targetPct: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetPct >= 0 && targetPct <= 100, "targetPct must be 0..100")
+    val spark = df.sparkSession
+    val stats = df.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val aw = if (alpha == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), alpha)
+    val weights = stats.withColumn("__w", aw)
+    val tot = weights.agg(sum(col("__n")).as("__tot"),
+      sum(col("__w").cast("decimal(38,18)")).cast("double").as("__wsum"))
+    val rates = weights.crossJoin(broadcast(tot))
+      .select(col("__src"),
+        least(lit(1.0),
+          lit(targetPct).cast("double") / lit(100.0) * col("__tot").cast("double")
+            / col("__wsum") * col("__w") / col("__n").cast("double")).as("__rate"))
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .filter(
+        conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long")
+          .cast("double") / lit(4294967296.0) < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
+  /** Global ordered running total WITHOUT a global single-task window — the
+    * distributed prefix-sum: deterministic arithmetic id ranges give each
+    * task a contiguous chunk (phase 1: per-chunk running sums in parallel),
+    * the per-chunk totals — `parts` rows — are prefix-summed on one tiny
+    * table (phase 2), and the offsets broadcast back (phase 3). The result
+    * equals `SUM(v) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING ... 1
+    * PRECEDING)` but the corpus-sized data only ever moves through ONE
+    * range shuffle, never a single task. Chunk ranges come from (min, max)
+    * of the id — a 1-row metadata aggregate — so the assignment is
+    * deterministic (no sampled range boundaries to pin).
+    *
+    * Skew note: arithmetic ranges assume ids are roughly uniform over
+    * [min, max] (true for ingestion-assigned ids). Pathologically clustered
+    * ids concentrate chunks; raise `parts` or pre-map ids if so.
+    *
+    * @return (id, v, cum_before) with `cum_before` = sum of `v` over all
+    *         rows with smaller id */
+  def globalPrefix(df: DataFrame, idCol: Column, valCol: Column,
+      parts: Int = 64): DataFrame = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    val base = df.select(idCol.cast("long").as("id"), valCol.cast("long").as("v"))
+    val mm = base.agg(min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    if (mm.isNullAt(0)) return base.withColumn("cum_before", lit(0L))
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (mx - mn) / parts + 1)
+    val withPid = base.withColumn("pid", ((col("id") - mn) / span).cast("int"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("id"))
+    val offs = withPid.groupBy("pid").agg(sum(col("v")).as("psum"))
+    val wOff = Window.orderBy(col("pid")) // parts rows — single-task is fine HERE
+    val offsets = offs
+      .withColumn("offset",
+        coalesce(sum(col("psum")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("offset"))
+    withPid
+      .withColumn("__run", sum(col("v")).over(wIn)) // inclusive, within chunk
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("id"), col("v"),
+        (col("__run") + col("offset") - col("v")).as("cum_before"))
+  }
+
+  /** Cut a corpus to a global token budget: keep the prefix of docs in
+    * ascending-id order whose cumulative token offset starts inside the
+    * budget (the doc straddling the boundary is kept whole — same
+    * approximate contract as [[packBins]]). Built on [[globalPrefix]], so
+    * the cut is exact, deterministic, and never funnels the corpus through
+    * one task. */
+  def tokenBudget(df: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Long, parts: Int = 64): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    globalPrefix(df, idCol, tokensCol, parts).filter(col("cum_before") < budget)
+  }
+
+  /** Deterministic global shuffle for training-order export: seed-keyed md5
+    * assigns each row a shard and a position within it — the "shuffle 100 TB
+    * reproducibly into N output shards" step before sequence packing.
+    * Position ranks run per shard (parallel unit = shard; no global
+    * order-by), and the whole layout is a pure function of (id, seed): a
+    * rerun, a different partitioning, or a different engine lays out the
+    * corpus identically. Re-shuffling is changing `seed`, not re-rolling.
+    *
+    * @return input + (shard, pos) — pos is 1-based within shard */
+  def shardShuffle(df: DataFrame, idCol: Column, seed: Long,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val key = md5(concat_ws(":", lit(seed), idCol.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), idCol)
+    df.withColumn("__key", key)
+      .withColumn("shard",
+        conv(substring(col("__key"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   /** Exact `n`-quantile bucket (1-based) of `length(textCol)` per row,
     * computed scale-safe: histogram of distinct lengths (bounded domain) →
     * cumulative counts over that SMALL table → broadcast the length→bucket

@@ -236,4 +236,27 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4× storage /
+    * bandwidth compression step of a 100 TB ANN index build: per vector,
+    * `scale = 127 / max|x|` and each element becomes
+    * `floor(x · scale + 0.5)` in [−127, 127] (round-half-up written as an
+    * explicit floor so every engine agrees on ties; `round()` half-away vs
+    * half-even varies). Zero vectors quantize to scale 0 / all-zero codes.
+    *
+    * Row-local (no shuffle), whole-stage-codegen array expressions, and
+    * bit-deterministic: float→double promotion, the division, multiply and
+    * floor are all IEEE-exact operations, so an oracle reproduces codes AND
+    * scales exactly.
+    *
+    * @return (vec_id, dim, scale, q) with q : array<int> */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x)))
+    emb
+      .withColumn("scale",
+        when(mx === lit(0.0f), lit(0.0)).otherwise(lit(127.0) / mx))
+      .select(col("vec_id"), size(col("embedding")).as("dim"), col("scale"),
+        transform(col("embedding"),
+          x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
+  }
 }

@@ -253,6 +253,52 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-flattened mixture sampling (p_s ∝ n_s^0.5, 30 % budget):
+    // the multi-source rebalance step of a pretraining mix — small sources
+    // up-weighted, per-source rates broadcast, row-local md5 coin flip.
+    // The fixture's natural sources are equal-sized (flattening would be a
+    // no-op), so the mix runs over a skewed 60/30/10 head/torso/tail
+    // grouping derived from the id — the tail's keep rate then provably
+    // exceeds the head's.
+    "q_temp_mix" -> { (s, dir) =>
+      val grp = when(col("doc_id") % 10 < 6, "head")
+        .when(col("doc_id") % 10 < 9, "torso").otherwise("tail")
+      Curation.temperatureMix(docs(s, dir).withColumn("src_grp", grp),
+          col("doc_id"), col("src_grp"), alpha = 0.5, targetPct = 30)
+        .select(col("doc_id"), col("src_grp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Global token-budget prefix via the distributed prefix-sum (no global
+    // single-task window): keep docs whose cumulative token offset starts
+    // inside the budget.
+    "q_token_budget" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), size(TextStats.toks(col("text"))).cast("long").as("n_toks"))
+      Curation.tokenBudget(d, col("doc_id"), col("n_toks"), budget = 20000, parts = 16)
+        .select(col("id").as("doc_id"), col("v").as("n_toks"), col("cum_before"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic seed-keyed global shuffle into 8 training shards with
+    // within-shard positions — reproducible corpus export order.
+    "q_shard_shuffle" -> { (s, dir) =>
+      Curation.shardShuffle(docs(s, dir), col("doc_id"), seed = 42L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
+    // Symmetric int8 embedding quantization (4x ANN-index compression);
+    // codes dumped as an md5 content digest (arrays don't survive the
+    // oracle's pandas sort), scale exact by IEEE-exact ops only.
+    "q_embed_quant" -> { (s, dir) =>
+      Similarity.quantizeInt8(embs(s, dir))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("scale"),
+          md5(concat_ws(",", transform(col("q"), x => x.cast("string")))).as("q_fp"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
+        .orderBy(col("vec_id"))
+    },
+
     // Cumulative bin packing into 256-token budgets over 8 hash groups.
     "q_pack" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -487,6 +533,61 @@ object ExtQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |        / 4294967296.0 < quality_score
         |ORDER BY doc_id""".stripMargin,
+
+    "q_temp_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 < 6 THEN 'head'
+        |              WHEN doc_id % 10 < 9 THEN 'torso' ELSE 'tail' END AS src_grp
+        |  FROM documents),
+        |st AS (SELECT src_grp, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tot,
+        |         CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS wsum
+        |  FROM st),
+        |rates AS (
+        |  SELECT src_grp,
+        |         least(1.0, CAST(30 AS DOUBLE) / 100.0 * CAST(tot AS DOUBLE) / wsum
+        |               * sqrt(CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS rate
+        |  FROM st, tot)
+        |SELECT doc_id, src_grp FROM d JOIN rates USING (src_grp)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |        / 4294967296.0 < rate
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """SELECT doc_id, n_toks, cum_before FROM (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         COALESCE(CAST(SUM(len(string_split(text, ' ')))
+        |             OVER (ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum_before
+        |  FROM documents)
+        |WHERE cum_before < 20000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_shard_shuffle" ->
+      """SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+        |             ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+        |      FROM documents)
+        |ORDER BY shard, pos""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+        |              ELSE CAST(127 AS DOUBLE) / CAST(mx AS DOUBLE) END AS scale
+        |  FROM (SELECT vec_id, embedding,
+        |               list_aggregate(list_transform(embedding, y -> abs(y)), 'max') AS mx
+        |        FROM embeddings))
+        |SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, scale,
+        |       md5(array_to_string(list_transform(embedding,
+        |             x -> CAST(CAST(floor(x * scale + 0.5) AS INTEGER) AS VARCHAR)), ',')) AS q_fp,
+        |       CAST(list_aggregate(list_transform(embedding,
+        |             x -> CAST(floor(x * scale + 0.5) AS INTEGER)), 'sum') AS BIGINT) AS q_sum
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_pack" ->
       """WITH d AS (

@@ -101,7 +101,8 @@ object ScaleProbe {
       "q_dwd_order_detail", "q_topk_sku",
       "q_dedup_clusters", "q_dedup_clusters_lsh", "q_dwd_pay_suc",
       "q_dwd_base_log", "q_ann_ivf", "q_ann_ivf_kmeans",
-      "q_span_dup", "q_contamination", "q_pii_scrub", "q_dws_keyword_cjk")
+      "q_span_dup", "q_contamination", "q_pii_scrub", "q_dws_keyword_cjk",
+      "q_token_budget", "q_temp_mix", "q_shard_shuffle", "q_embed_quant")
     val times = probes.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, outDir).count()

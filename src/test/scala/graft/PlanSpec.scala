@@ -99,4 +99,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       "doc-frequency rollup must aggregate, not enumerate pairs")
   }
+
+  test("global prefix-sum: corpus window is chunk-keyed, offsets broadcast back") {
+    val p = plan("q_token_budget")
+    // the corpus-sized running sum must be partitioned by the chunk id —
+    // an empty partition spec here would funnel 100 TB through one task
+    assert("""Window \[[^\]]*windowspecdefinition\(pid#""".r.findFirstIn(p).isDefined,
+      "corpus running sum lost its chunk partitioning:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "chunk offsets must broadcast, not shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle for the offset join")
+  }
+
+  test("temperature mix: per-source rates broadcast — the corpus never shuffles") {
+    val p = plan("q_temp_mix")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle into the rate join")
+  }
+
+  test("shard shuffle: position ranks run per shard, never globally") {
+    val p = plan("q_shard_shuffle")
+    assert("""windowspecdefinition\(shard#""".r.findFirstIn(p).isDefined,
+      "shard positions lost their per-shard partitioning:\n" + p.take(800))
+  }
+
+  test("int8 quantization is scan-stage work: no shuffle beyond the dump sort, no join") {
+    val p = plan("q_embed_quant")
+    assert(!p.contains("Join"), "quantization must not join")
+    assert(p.split("Exchange").length - 1 <= 1, p.take(600))
+  }
 }

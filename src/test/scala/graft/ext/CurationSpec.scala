@@ -160,4 +160,88 @@ class CurationSpec extends SparkSpec {
     val deRate = byLang.getOrElse("de", Set.empty[Long]).size.toDouble / total("de")
     assert(enRate > deRate, s"en rate $enRate should exceed default-lang rate $deRate")
   }
+
+  test("temperature mix flattens source shares, nests in budget, and is repartition-stable") {
+    // the fixture's natural sources are equal-sized, so flatten a skewed
+    // 60/30/10 grouping derived from the id (same shape as q_temp_mix)
+    val grp = when(col("doc_id") % 10 < 6, "head")
+      .when(col("doc_id") % 10 < 9, "torso").otherwise("tail")
+    val docs = Envelopes.table(spark, sfDir(), "documents").withColumn("src_grp", grp)
+    def ids(df: org.apache.spark.sql.DataFrame, pct: Int): Set[Long] =
+      Curation.temperatureMix(df, col("doc_id"), col("src_grp"), alpha = 0.5, targetPct = pct)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = ids(docs, 30)
+    assert(kept == ids(docs.repartition(13, col("text")), 30), "partitioning must not matter")
+    assert(ids(docs, 15).subsetOf(kept), "smaller budget must nest inside larger")
+    // flattening: the smallest group keeps a strictly higher FRACTION of
+    // itself than the largest (that is the point of alpha < 1): expected
+    // rates here are ~0.19 (head) vs ~0.47 (tail)
+    val sizes = docs.groupBy("src_grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcOf = docs.select("doc_id", "src_grp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fracOf = kept.groupBy(srcOf).view.mapValues(_.size).toMap
+    val fTail = fracOf.getOrElse("tail", 0).toDouble / sizes("tail")
+    val fHead = fracOf.getOrElse("head", 0).toDouble / sizes("head")
+    assert(fTail > fHead,
+      s"tail keep rate $fTail must exceed head keep rate $fHead")
+    // overall budget lands near 30% (loose hash-uniformity bound)
+    val total = docs.count()
+    assert(kept.size > total * 15 / 100 && kept.size < total * 45 / 100,
+      s"${kept.size} of $total")
+  }
+
+  test("globalPrefix equals the single-task global window cumsum exactly") {
+    val d = Envelopes.table(spark, sfDir(), "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val got = Curation.globalPrefix(d, col("doc_id"), col("n_chars"), parts = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = d.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val want = rows.map { case (id, v) => val before = acc; acc += v; id -> before }.toMap
+    assert(got == want && got.nonEmpty)
+    // stable under an adversarial input partitioning
+    val got2 = Curation.globalPrefix(
+      d.repartition(11, col("n_chars")), col("doc_id"), col("n_chars"), parts = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2 == want)
+  }
+
+  test("tokenBudget keeps exactly the prefix whose offsets start inside the budget") {
+    val d = Envelopes.table(spark, sfDir(), "documents")
+      .select(col("doc_id"), (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long").as("n_toks"))
+    val budget = 5000L
+    val kept = Curation.tokenBudget(d, col("doc_id"), col("n_toks"), budget, parts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.nonEmpty && kept.forall(_._3 < budget))
+    // the kept set is a PREFIX in id order: every doc before the last kept id
+    // is kept, every doc after is dropped
+    val lastKept = kept.map(_._1).max
+    val all = d.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(all.filter(_._1 <= lastKept).map(_._1).toSet == kept.map(_._1).toSet)
+    // at most one straddler: all kept docs except possibly the last END
+    // within the budget
+    val straddlers = kept.filter(k => k._3 + k._2 > budget)
+    assert(straddlers.size <= 1 && straddlers.forall(_._1 == lastKept))
+  }
+
+  test("shardShuffle is a seed-keyed bijective layout, stable under repartitioning") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    def layout(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Curation.shardShuffle(df, col("doc_id"), seed, shards = 8)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val a = layout(docs, 42L)
+    assert(a == layout(docs.repartition(9, col("text")), 42L), "layout must be partition-independent")
+    // positions within each shard are contiguous 1..n
+    a.values.groupBy(_._1).foreach { case (shard, slots) =>
+      val ps = slots.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size), s"shard $shard positions not contiguous: $ps")
+    }
+    // every doc is placed exactly once, and a different seed moves documents
+    assert(a.keySet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val b = layout(docs, 43L)
+    assert(a != b, "a new seed must produce a different layout")
+  }
 }

@@ -106,4 +106,33 @@ class ExtSpec extends SparkSpec {
       .sum / brute.size
     assert(recall >= 0.2, s"IVF-over-kmeans recall@5 = $recall")
   }
+
+  test("int8 quantization bounds codes, reconstructs within half a step, zero-vector safe") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),         // zero vector: scale 0, all-zero codes
+      (3L, Array(-3.75f, 3.75f, 1.875f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getSeq[Int](3)))).toMap
+    assert(rows(2) == ((0.0, Seq(0, 0, 0))))
+    // max|x| maps to ±127 exactly; every code is in [-127, 127]
+    assert(rows(3)._2 == Seq(-127, 127, 64))
+    assert(rows.values.forall(_._2.forall(q => q >= -127 && q <= 127)))
+    // reconstruction: |q/scale - x| <= 0.5/scale elementwise (real corpus)
+    val e = Envelopes.table(spark, sfDir(), "embeddings")
+    val worst = Similarity.quantizeInt8(e)
+      .join(e, "vec_id")
+      .select(greatest((for (i <- 0 until 4) yield
+        abs(col("q").getItem(i) - col("embedding").getItem(i) * col("scale"))): _*).as("err"))
+      .agg(max(col("err"))).collect()(0).getDouble(0)
+    assert(worst <= 0.5 + 1e-9, s"worst rounding residual $worst exceeds half a step")
+    // determinism under repartitioning
+    val a = Similarity.quantizeInt8(e).select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.quantizeInt8(e.repartition(7, col("label"))).select("vec_id", "q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
