@@ -112,6 +112,35 @@ object RelQueries {
           first(col("o_totalprice")).over(w).as("first_price"),
           ntile(4).over(w).cast("long").as("q4"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // unpivot / melt — wide measure columns to long form in one pass (the
+    // oracle spells the same relation as a UNION ALL).
+    "q_unpivot" -> { (s, dir) =>
+      Envelopes.table(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
+
+    // Distribution window functions: percent_rank/cume_dist (exact int/int
+    // double ratios), nth_value on the default running frame, last_value on
+    // an explicit full frame.
+    "q_window_fns" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Envelopes.table(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
+          last_value(col("o_totalprice")).over(wFull).as("top_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +209,26 @@ object RelQueries {
         |       ntile(4) OVER w AS q4
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_window_fns" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(o_totalprice, 3) OVER w AS third_price,
+        |       last_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+        |         ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
 }

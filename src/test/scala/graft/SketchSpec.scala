@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Envelopes
+
+/** Sketch aggregates for 100 TB cardinality work: HyperLogLog++ distinct
+  * counting runs in fixed memory per group (vs the exact distinct's full
+  * shuffle of the key set) and its register-max merge is commutative, so
+  * the estimate is independent of partitioning and merge order — safe to
+  * use in deterministic pipelines. No DuckDB oracle (different sketch
+  * algorithms give different estimates by design); the contract pinned here
+  * is relative error and partition-independence against the exact count. */
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct: bounded error, partition- and order-independent") {
+    val li = Envelopes.table(spark, sfDir("sf0.01"), "lineitem")
+    val exact = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(approx_count_distinct(col("l_orderkey"), 0.02)).collect()(0).getLong(0)
+    val e1 = est(li)
+    assert(math.abs(e1 - exact).toDouble / exact < 0.05,
+      s"estimate $e1 vs exact $exact drifted past 5%")
+    // register-max merge is commutative: any partitioning, same estimate
+    assert(est(li.repartition(17, col("l_shipdate"))) == e1)
+    assert(est(li.orderBy(col("l_quantity"))) == e1)
+  }
+
+  test("grouped HLL matches grouped exact within tolerance for every group") {
+    val li = Envelopes.table(spark, sfDir("sf0.01"), "lineitem")
+    val rows = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"group ${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+}
