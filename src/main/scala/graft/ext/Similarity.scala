@@ -259,4 +259,56 @@ object Similarity {
         transform(col("embedding"),
           x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
   }
+
+  /** Per-label centroid as SCALED-INTEGER per-dimension sums: each component
+    * contributes `floor(x · 10⁶)` (float→double promotion, one multiply and
+    * `floor` — all IEEE-exact, and floor has no rounding-mode ambiguity the
+    * way `round`'s half-up/half-even split does), summed as plain BIGINTs
+    * (order-independent, overflow-safe to ~9·10¹² vectors per cell). The
+    * class-profile table of a labeled embedding set — the input to drift
+    * monitoring, per-class balance reports, and [[labelOutliers]].
+    *
+    * One shuffle on (label, pos) with map-side partial sums; output is
+    * k·dim rows — metadata-sized next to any corpus.
+    *
+    * @return (label, pos, s_sum, n) — 1-based pos, n = vectors in label */
+  def labelCentroidSums(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("label"), (col("p0") + 1).cast("long").as("pos"),
+        floor(col("x").cast("double") * lit(1e6)).as("sx"))
+      .groupBy("label", "pos")
+      .agg(sum(col("sx")).as("s_sum"), count(lit(1)).as("n"))
+
+  /** Centroid-distance outliers — the embedding-space pruning pass of a
+    * curation pipeline (mislabeled / noisy examples sit far from their
+    * class centroid): rank each label's members by cosine similarity to the
+    * label centroid ASCENDING and keep the `k` least similar.
+    *
+    * The centroid is the exact DECIMAL per-dimension sum (cosine is
+    * scale-invariant, so the un-divided sum ranks identically to the mean
+    * and is partition-order-independent — the same idiom [[ivfTopK]] proves
+    * against its hash oracle). Centroids (label-count rows) broadcast onto
+    * the corpus scan: the embedding table NEVER shuffles on the similarity
+    * path; the only corpus-sized exchange is the per-label rank window.
+    *
+    * @return (label, rk, vec_id) for the k most-outlying members per label */
+  def labelOutliers(emb: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cent = emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast("decimal(27,10)")).as("cv"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+      .select(col("label").as("c_label"),
+        transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
+    val centN = cent.withColumn("cent_nrm",
+      sqrt(dotF(col("centroid"), col("centroid"))))
+    emb.join(broadcast(centN), col("label") === col("c_label"))
+      .select(col("label"), col("vec_id"),
+        (dotF(col("embedding"), col("centroid")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) * col("cent_nrm"))).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("sim").asc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"))
+  }
 }

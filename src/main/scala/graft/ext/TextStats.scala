@@ -109,6 +109,37 @@ object TextStats {
           col("total_ngrams").cast("double"))
   }
 
+  /** Gopher-style document-filter verdict (Rae et al. 2021 §A1.1): the
+    * rule-based quality gate a pretraining pipeline runs before any
+    * model-based scoring. Each rule is kept in EXACT integer arithmetic —
+    * mean-word-length bounds become cross-multiplications
+    * (`lo·n ≤ Σlen ≤ hi·n`), the alpha-token fraction becomes
+    * `5·alpha_ct ≥ 4·n` — so the verdict is bit-identical on every engine.
+    * Pure per-row column work (array folds inside codegen): no shuffle, the
+    * gate embeds in the scan stage at any corpus size.
+    *
+    * Rules (documents table is a clean word soup, so symbol/ellipsis rules
+    * collapse to the alpha check): token count in [minToks, maxToks]; mean
+    * word length in [3, 10]; ≥ 2 stopword hits; ≥ 80 % alphabetic tokens.
+    *
+    * @return (doc_id, n_toks, sum_tok_len, stop_ct, alpha_ct, pass) */
+  def gopherFilter(df: DataFrame, idCol: Column, textCol: Column,
+      minToks: Int = 50, maxToks: Int = 100000): DataFrame = {
+    val t = toks(textCol)
+    val nToks = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("long")
+    val stopCt = size(filter(t, w => w.isInCollection(Stopwords))).cast("long")
+    val alphaCt = size(filter(t, w => w.rlike("^[a-z]+$"))).cast("long")
+    df.select(idCol.as("doc_id"), nToks.as("n_toks"), sumLen.as("sum_tok_len"),
+        stopCt.as("stop_ct"), alphaCt.as("alpha_ct"))
+      .withColumn("pass",
+        col("n_toks").between(minToks, maxToks) &&
+          lit(3) * col("n_toks") <= col("sum_tok_len") &&
+          col("sum_tok_len") <= lit(10) * col("n_toks") &&
+          col("stop_ct") >= 2 &&
+          lit(5) * col("alpha_ct") >= lit(4) * col("n_toks"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * (See [[winnow]] for the rolling-hash variant.) */
   def fingerprint(text: Column): Column =

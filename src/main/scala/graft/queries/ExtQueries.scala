@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, TextStats}
 import graft.model.Envelopes
 
 /** Verify queries for the LLM-data-pipeline extensions: dedup, similarity
@@ -388,6 +388,41 @@ object ExtQueries {
         .join(Similarity.kmeansLabels(e, k = 8, iters = 3), "vec_id")
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), relabeled, 5)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Top-3 TF-IDF terms per document (reciprocal-df idf — IEEE-exact ops
+    // only; see Ranking's scaladoc).
+    "q_tfidf_top" -> { (s, dir) =>
+      Ranking.tfIdfTop(docs(s, dir), col("doc_id"), col("text"), topK = 3)
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // BM25 (raw-idf variant) top-20 documents for the two-term query
+    // {spark, window}; constants chosen binary-exact (k1=1.25, b=0.75).
+    "q_bm25" -> { (s, dir) =>
+      Ranking.bm25(docs(s, dir), col("doc_id"), col("text"),
+          terms = Seq("spark", "window"), topK = 20)
+        .orderBy(col("rk"))
+    },
+
+    // Gopher-style rule gate (integer cross-multiplication rules only).
+    "q_gopher_filter" -> { (s, dir) =>
+      TextStats.gopherFilter(docs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_toks"), col("sum_tok_len"),
+          col("stop_ct"), col("alpha_ct"), col("pass").cast("int").as("pass"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-label centroid profile as scaled-integer per-dimension sums.
+    "q_label_centroid" -> { (s, dir) =>
+      Similarity.labelCentroidSums(embs(s, dir))
+        .orderBy(col("label"), col("pos"))
+    },
+
+    // 5 least-central members per label (embedding-space pruning pass).
+    "q_label_outlier" -> { (s, dir) =>
+      Similarity.labelOutliers(embs(s, dir), k = 5)
+        .orderBy(col("label"), col("rk"))
     })
 
   /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
@@ -846,5 +881,87 @@ object ExtQueries {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |    '\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, rk, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.term) AS rk
+        |  FROM tf JOIN dfq USING (term))
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // Mirrors Ranking.bm25's expression tree token-for-token (every op is
+    // IEEE-exact and evaluated in the same order, so scores are bit-identical
+    // and the rank compare is safe; constants are binary-exact).
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |        CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf_0,
+        |        CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf_1 FROM d),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |        CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+        |        CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1 FROM b),
+        |sc AS (SELECT b.doc_id, b.dl, b.tf_0, b.tf_1,
+        |        ((CAST(st.n AS DOUBLE) / st.df_0) * (b.tf_0 * CAST(2.25 AS DOUBLE)))
+        |          / (b.tf_0 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE)
+        |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
+        |      + ((CAST(st.n AS DOUBLE) / st.df_1) * (b.tf_1 * CAST(2.25 AS DOUBLE)))
+        |          / (b.tf_1 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE)
+        |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
+        |          AS score
+        |       FROM b, st WHERE b.tf_0 > 0 OR b.tf_1 > 0)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+        |       doc_id, dl, tf_0, tf_1
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_gopher_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(t) AS BIGINT) AS n_toks,
+        |        CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_tok_len,
+        |        CAST(len(list_filter(t, x -> x IN ('the','a','of','to','and'))) AS BIGINT)
+        |          AS stop_ct,
+        |        CAST(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT)
+        |          AS alpha_ct
+        |      FROM d)
+        |SELECT doc_id, n_toks, sum_tok_len, stop_ct, alpha_ct,
+        |       CAST((n_toks BETWEEN 50 AND 100000)
+        |            AND 3 * n_toks <= sum_tok_len AND sum_tok_len <= 10 * n_toks
+        |            AND stop_ct >= 2 AND 5 * alpha_ct >= 4 * n_toks AS INT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_label_centroid" ->
+      """SELECT label, i AS pos,
+        |       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |            AS BIGINT) AS s_sum,
+        |       COUNT(*) AS n
+        |FROM embeddings CROSS JOIN (
+        |  SELECT unnest(generate_series(1,
+        |           (SELECT MAX(len(embedding)) FROM embeddings))) AS i) t
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    "q_label_outlier" ->
+      """WITH cent AS (
+        |  SELECT label, i AS pos,
+        |         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10)))
+        |              AS FLOAT) AS cv
+        |  FROM embeddings CROSS JOIN (
+        |    SELECT unnest(generate_series(1,
+        |             (SELECT MAX(len(embedding)) FROM embeddings))) AS i) t
+        |  GROUP BY 1, 2),
+        |centv AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent GROUP BY 1)
+        |SELECT label, rk, vec_id FROM (
+        |  SELECT e.label, e.vec_id,
+        |         row_number() OVER (PARTITION BY e.label
+        |           ORDER BY list_cosine_similarity(e.embedding, c.centroid) ASC, e.vec_id)
+        |           AS rk
+        |  FROM embeddings e JOIN centv c USING (label))
+        |WHERE rk <= 5 ORDER BY label, rk""".stripMargin)
 }

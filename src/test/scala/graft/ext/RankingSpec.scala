@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.Envelopes
+
+/** Ranking operators (TF-IDF, BM25) + the Gopher gate and label-centroid
+  * ops: the load-bearing properties are rank determinism under
+  * repartitioning (float scores must be built from IEEE-exact ops in a
+  * fixed order) and agreement with a row-at-a-time reference computation.
+  */
+class RankingSpec extends SparkSpec {
+
+  private def docs = Envelopes.table(spark, sfDir(), "documents")
+  private def embs = Envelopes.table(spark, sfDir(), "embeddings")
+
+  test("tfIdfTop ranks rarest-heavy terms first and is partition-stable") {
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, String)] =
+      Ranking.tfIdfTop(df, col("doc_id"), col("text"), topK = 3)
+        .orderBy(col("doc_id"), col("rk"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(13, col("source")))
+    assert(a == b && a.nonEmpty)
+    // every doc yields at most topK rows, ranks are 1..k contiguous
+    a.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted == (1 to rows.size))
+    }
+    // spot-check one document against a local reference computation
+    val docId = a.head._1
+    val text = docs.filter(col("doc_id") === docId)
+      .select("text").collect().head.getString(0)
+    val tf = text.toLowerCase.split(" ").groupBy(identity).view.mapValues(_.length)
+    val dfMap = Ranking.tfIdfTop(docs, col("doc_id"), col("text"), topK = 3)
+      .filter(col("doc_id") === docId)
+      .select("term", "tf", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    dfMap.foreach { case (term, t, _) => assert(tf(term).toLong == t, term) }
+  }
+
+  test("bm25 top-k is deterministic and favors term-dense short docs") {
+    val terms = Seq("spark", "window")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      Ranking.bm25(df, col("doc_id"), col("text"), terms, topK = 10)
+        .select("rk", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    val a = run(docs)
+    assert(a.map(_._1) == (1 to 10))
+    assert(a == run(docs.repartition(7, col("doc_id"))))
+    // every returned doc contains at least one query term
+    val hits = Ranking.bm25(docs, col("doc_id"), col("text"), terms, topK = 10)
+    hits.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("tf_0")) + r.getLong(r.fieldIndex("tf_1")) > 0)
+    }
+  }
+
+  test("gopherFilter verdict matches a row-local reference") {
+    val out = TextStats.gopherFilter(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val ref = docs.select("doc_id", "text").collect()
+    assert(ref.nonEmpty)
+    ref.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1).toLowerCase)
+      val t = text.split(" ", -1)
+      val stops = Set("the", "a", "of", "to", "and")
+      val (n, sumLen) = (t.length.toLong, t.map(_.length.toLong).sum)
+      val stopCt = t.count(stops).toLong
+      val alphaCt = t.count(_.matches("[a-z]+")).toLong
+      val pass = n >= 50 && n <= 100000 && 3 * n <= sumLen &&
+        sumLen <= 10 * n && stopCt >= 2 && 5 * alphaCt >= 4 * n
+      assert(out(id) == ((n, sumLen, stopCt, alphaCt, pass)), s"doc $id")
+    }
+    // the gate must actually discriminate on this corpus (not all-true/false)
+    val verdicts = out.values.map(_._5).toSet
+    assert(verdicts == Set(true, false))
+  }
+
+  test("labelCentroidSums is exact and partition-order-independent") {
+    val a = Similarity.labelCentroidSums(embs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val b = Similarity.labelCentroidSums(embs.repartition(11, col("vec_id")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(a == b && a.nonEmpty)
+    // reference: per-label dim-1 sum computed row-at-a-time on the driver
+    val ref = embs.select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).head))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.map(v => math.floor(v._2.toDouble * 1e6).toLong).sum,
+        vs.size.toLong))
+    ref.foreach { case (label, expect) => assert(a((label, 1L)) == expect, s"label $label") }
+  }
+
+  test("labelOutliers picks the least-central members, k per label") {
+    val out = Similarity.labelOutliers(embs, k = 5).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val perLabel = out.groupBy(_._1)
+    val nLabels = embs.select("label").distinct().count()
+    assert(perLabel.size.toLong == nLabels)
+    perLabel.values.foreach { rows => assert(rows.map(_._2).sorted.toSeq == (1 to 5)) }
+    // determinism under repartitioning (decimal centroid sums are exact)
+    val again = Similarity.labelOutliers(embs.repartition(9, col("vec_id")), k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+}
