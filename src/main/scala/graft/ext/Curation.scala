@@ -257,4 +257,42 @@ object Curation {
     lens.join(broadcast(cum), Seq("n_chars"))
       .select(col("doc_id"), col("n_chars"), col("bucket"))
   }
+
+  /** Deterministic negative-pair sampling — contrastive-training data prep
+    * (each anchor needs `m` "random" non-matching partners, and a rerun /
+    * re-partition / re-ingest must produce the SAME pairs so training is
+    * reproducible).
+    *
+    * Ring construction: rows land in `buckets` hash buckets, are ranked
+    * inside their bucket by (id-hash, id) — a pseudo-random but deterministic
+    * ring order — and anchor rank r pairs with ranks r+1..r+m (mod bucket
+    * size). Within-bucket windows and a (bucket, rank) equi self-join: no
+    * global rank, no cross-bucket traffic, no rand(). Partner j = the j-th
+    * successor on a hash-shuffled ring, so partners are uniform over the
+    * bucket and never repeat while m < bucket size (anchors in smaller
+    * buckets just yield fewer pairs — the self/duplicate guard filters them).
+    * Size `buckets` ≈ shuffle width at the target scale: each bucket's rank
+    * window sorts one bucket, so buckets bound the per-task sort exactly like
+    * shuffle partitions bound a join.
+    *
+    * @return (a_id, j, b_id) — j in 1..m, b_id the j-th ring successor */
+  def negativePairs(df: DataFrame, idCol: Column, m: Int = 1,
+      buckets: Int = 16): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    val ring = df.select(idCol.as("id"))
+      .withColumn("b", h(col("id")) % buckets)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("b")).orderBy(h(col("id")), col("id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("b"))))
+    val anchors = ring.select(col("b"), col("id").as("a_id"), col("n"), col("rk"),
+        explode(sequence(lit(1L), lit(m.toLong))).as("j"))
+      .filter(col("j") < col("n")) // ring smaller than m: stop before wrapping to self
+      .withColumn("p_rk", (col("rk") - 1 + col("j")) % col("n") + 1)
+    anchors.join(ring.select(col("b"), col("rk").as("p_rk"), col("id").as("b_id")),
+        Seq("b", "p_rk"))
+      .select(col("a_id"), col("j"), col("b_id"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -298,6 +299,42 @@ object Dedup {
       .agg(count(lit(1)).as("span_ct"),
         sum(when(col("doc_ct") > 1, 1L).otherwise(0L)).as("dup_span_ct"))
       .withColumn("keep", col("dup_span_ct") * den < col("span_ct") * num)
+  }
+
+  /** C4-style duplicated-span REMOVAL: partition each document into
+    * non-overlapping `w`-token spans, keep only the globally FIRST occurrence
+    * of every distinct span text (ordered by doc_id, then position), and
+    * reassemble the surviving spans — the pass C4 runs with three-sentence
+    * spans to strip boilerplate repeated across pages while keeping one copy.
+    * Complements [[crossDocDupStats]] (which only scores) by producing the
+    * cleaned text.
+    *
+    * Two shuffles, both linear in total spans: the first-occurrence rank on
+    * the span key, and the per-doc reassembly rollup. The rank is a window
+    * rather than a min-struct + self-join because both hit the same span-key
+    * skew on a pathological single-span corpus, and the window does it in
+    * one exchange. Reassembly sorts each doc's kept spans by position inside
+    * an `array_sort` (doc-sized arrays), never a global sort.
+    *
+    * @return (doc_id, span_ct, kept_ct, new_text) — new_text is "" when
+    *         every span of the doc occurred earlier elsewhere */
+  def stripDupSpans(df: DataFrame, idCol: Column, textCol: Column, w: Int = 5): DataFrame = {
+    require(w >= 1, s"span width must be >= 1, got $w")
+    val t = col("__toks")
+    val n = size(t)
+    val spans = spread(df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks")))
+      .filter(n >= 1)
+      .select(col("doc_id"), t, explode(sequence(lit(1), n, lit(w))).as("s"))
+      .select(col("doc_id"), ((col("s") - 1) / w).cast("long").as("pos"),
+        concat_ws(" ", slice(t, col("s"), lit(w))).as("span"))
+    val ranked = spans.withColumn("rk", row_number().over(
+      Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
+    ranked.groupBy("doc_id").agg(
+      count(lit(1)).as("span_ct"),
+      sum(when(col("rk") === 1, 1L).otherwise(0L)).as("kept_ct"),
+      array_join(transform(
+        array_sort(collect_list(when(col("rk") === 1, struct(col("pos"), col("span"))))),
+        p => p.getField("span")), " ").as("new_text"))
   }
 
   /** Benchmark-contamination screen: (train doc, eval doc) pairs sharing at

@@ -143,4 +143,83 @@ object Multimodal {
           .map { case (chunk, i) => Frame(id, i, chunk) }
       }
   }
+
+  /** Encode a real canonical PCM WAV: 44-byte RIFF header (RIFF/WAVE, 16-byte
+    * `fmt ` chunk with audioFormat=1, then the `data` chunk) followed by
+    * interleaved little-endian 16-bit samples — the public layout every
+    * audio tool reads. `sample(i, ch)` returns sample i of channel ch. */
+  def encodeWav(channels: Int, sampleRate: Int, nSamples: Int,
+      sample: (Int, Int) => Short): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && nSamples >= 0,
+      s"bad wav shape: $channels ch, $sampleRate Hz, $nSamples samples")
+    val dataSize = nSamples * channels * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      var c = 0
+      while (c < channels) { b.putShort(sample(i, c)); c += 1 }
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Real canonical-WAV header parse: (channels, sampleRate, bitsPerSample,
+    * nSamples). Canonical layout only (fmt chunk first, data chunk at offset
+    * 36) — WAVs with extra chunks (LIST/fact) fall back to the stub path, the
+    * same honest posture as non-BMP images. The data-size field is validated
+    * against the actual buffer so arbitrary bytes can't masquerade as audio. */
+  def decodeWavMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    if (bytes.length < 44) None
+    else {
+      val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int, s: String): Boolean =
+        (0 until 4).forall(i => bytes(off + i) == s.charAt(i).toByte)
+      val shapeOk = tag(0, "RIFF") && tag(8, "WAVE") && tag(12, "fmt ") &&
+        b.getInt(16) == 16 && b.getShort(20) == 1 && tag(36, "data")
+      if (!shapeOk) None
+      else {
+        val channels = b.getShort(22).toInt
+        val rate = b.getInt(24)
+        val bits = b.getShort(34).toInt
+        val dataSize = b.getInt(40)
+        val blockAlign = channels * bits / 8
+        val ok = channels > 0 && rate > 0 && bits % 8 == 0 && bits > 0 &&
+          dataSize >= 0 && 44L + dataSize <= bytes.length && blockAlign > 0 &&
+          dataSize % blockAlign == 0
+        if (ok) Some((channels, rate, bits, dataSize.toLong / blockAlign)) else None
+      }
+    }
+
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, channels: Int,
+      sample_rate: Int, bits: Int, n_samples: Long, duration_ms: Long,
+      fmt: String)
+
+  /** Partition-batched audio metadata decode — the audio twin of
+    * [[decodeMeta]]: canonical PCM WAV parses for REAL (`audio/wav`);
+    * anything else takes the deterministic stub (`fake/pcm8`: 1×8 kHz×8-bit,
+    * every byte a sample). */
+  def decodeAudioMeta(df: DataFrame): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          decodeWavMeta(bytes) match {
+            case Some((ch, rate, bits, ns)) =>
+              AudioMeta(id, n, ch, rate, bits, ns, ns * 1000L / rate, "audio/wav")
+            case None =>
+              AudioMeta(id, n, 1, 8000, 8, n, n * 1000L / 8000, "fake/pcm8")
+          }
+        }
+      }
+  }
 }

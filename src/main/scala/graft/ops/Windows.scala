@@ -25,6 +25,32 @@ object Windows {
       .withColumn("ws", expr("unix_millis(__w.start) div 1000"))
       .drop("__w")
 
+  /** Gap-based session journey paths — the user-behavior sequence rollup a
+    * DWS layer derives funnels and path analysis from: events are grouped
+    * into `session_window(gap)` sessions per user, and each session emits its
+    * ordered event-type path as one `>`-joined string.
+    *
+    * One shuffle (the session-window aggregation on the user key); the path
+    * ordering happens inside an `array_sort` over the session's own events
+    * (session-sized arrays), never a global or per-user sort. Ties on the
+    * timestamp are broken by `ordCol` so the path is deterministic under any
+    * partitioning. The same code streams under a watermark — `session_window`
+    * is the Structured-Streaming-native session operator.
+    *
+    * @return (user, sess_start epoch-ms, ev_ct, path) */
+  def sessionPaths(df: DataFrame, userCol: Column, tsMsCol: Column,
+      typeCol: Column, ordCol: Column, gap: String = "30 minutes"): DataFrame =
+    df.select(userCol.as("user_id"), tsMsCol.as("__tms"),
+        typeCol.as("__t"), ordCol.as("__o"))
+      .groupBy(session_window(timestamp_millis(col("__tms")), gap), col("user_id"))
+      .agg(count(lit(1)).as("ev_ct"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__tms"), col("__o"), col("__t")))),
+          e => e.getField("__t")), ">").as("path"))
+      .select(col("user_id"),
+        expr("unix_millis(session_window.start)").as("sess_start"),
+        col("ev_ct"), col("path"))
+
   /** Tokenizer (ikanalyzer stand-in for
     * `dws_traffic_source_keyword_page_view_window`, `pom.xml:205`). The
     * reference reserves a CJK analyzer because gmall search keywords are

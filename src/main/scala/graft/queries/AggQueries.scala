@@ -99,6 +99,15 @@ object AggQueries {
         .groupBy(col("cohort_day"), col("day_n"))
         .agg(countDistinct(col("user_id")).as("users"))
         .orderBy(col("cohort_day"), col("day_n"))
+    },
+
+    // Session journey paths: 30-min gap sessions per user, each emitting its
+    // ordered event-type path ("view>click>purchase") — the path-analysis
+    // rollup funnels are mined from.
+    "q_journey" -> { (s, dir) =>
+      Windows.sessionPaths(Envelopes.events(s, dir), col("user_id"),
+          expr("unix_millis(ts)"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("sess_start"))
     })
 
   import Envelopes.{odCte, oiCte}
@@ -165,5 +174,25 @@ object AggQueries {
         |SELECT cohort_day, day - cohort_day AS day_n, COUNT(DISTINCT ev.user_id) AS users
         |FROM ev JOIN f USING (user_id)
         |WHERE day - cohort_day <= 7
-        |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_n""".stripMargin,
+
+    "q_journey" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, event_type, tms,
+        |         CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |                IS NULL
+        |              OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+        |                >= 1800000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, tms,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(tms) AS sess_start, COUNT(*) AS ev_ct,
+        |       string_agg(event_type, '>' ORDER BY tms, event_id) AS path
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)
 }

@@ -211,6 +211,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Real PCM-WAV round-trip (audio twin of q_mm_bmp): encode canonical
+    // RIFF/WAVE bytes per doc, parse the header back, derive duration.
+    "q_mm_wav" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val ch = 1 + (id % 2).toInt
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val ns = 100 + (id % 50).toInt
+        (id, Multimodal.encodeWav(ch, rate, ns,
+          (i, c) => ((i * ch + c + id) % 32768).toShort))
+      }.toDF("doc_id", "media")
+      Multimodal.decodeAudioMeta(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("channels"),
+          col("sample_rate"), col("bits"), col("n_samples"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic 10% sample — same rows on every rerun/repartition.
     "q_sample_det" -> { (s, dir) =>
       Curation.deterministicSample(docs(s, dir), col("doc_id"), 10)
@@ -423,6 +441,27 @@ object ExtQueries {
     "q_label_outlier" -> { (s, dir) =>
       Similarity.labelOutliers(embs(s, dir), k = 5)
         .orderBy(col("label"), col("rk"))
+    },
+
+    // C4-style duplicated-span removal (5-token spans, global first
+    // occurrence kept) with text reassembly.
+    "q_strip_spans" -> { (s, dir) =>
+      Dedup.stripDupSpans(docs(s, dir), col("doc_id"), col("text"), w = 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // One-pass table profile (ANALYZE-style stats) over four orders columns.
+    "q_profile" -> { (s, dir) =>
+      graft.ext.Profile.profile(Envelopes.table(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    },
+
+    // Deterministic ring negative-pair sampling (2 partners per anchor over
+    // 8 hash buckets) — contrastive-training pair prep.
+    "q_neg_pairs" -> { (s, dir) =>
+      Curation.negativePairs(docs(s, dir), col("doc_id"), m = 2, buckets = 8)
+        .orderBy(col("a_id"), col("j"))
     })
 
   /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
@@ -851,6 +890,20 @@ object ExtQueries {
         |       'image/bmp' AS fmt
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    "q_mm_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS rate,
+        |         100 + doc_id % 50 AS ns
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(44 + ns * ch * 2 AS BIGINT) AS n_bytes,
+        |       CAST(ch AS INT) AS channels,
+        |       CAST(rate AS INT) AS sample_rate,
+        |       16 AS bits,
+        |       CAST(ns AS BIGINT) AS n_samples,
+        |       CAST(ns * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     "q_span_dup" ->
       s"""WITH $JAC,
          |docct AS (SELECT s, COUNT(*) AS doc_ct FROM sh GROUP BY 1)
@@ -963,5 +1016,54 @@ object ExtQueries {
         |           ORDER BY list_cosine_similarity(e.embedding, c.centroid) ASC, e.vec_id)
         |           AS rk
         |  FROM embeddings e JOIN centv c USING (label))
-        |WHERE rk <= 5 ORDER BY label, rk""".stripMargin)
+        |WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
+
+    "q_strip_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |st AS (SELECT unnest(generate_series(1, (SELECT MAX(len(t)) FROM tok), 5)) AS s),
+        |sp AS (SELECT doc_id, CAST((s - 1) // 5 AS BIGINT) AS pos,
+        |              array_to_string(t[s : s + 4], ' ') AS span
+        |       FROM tok CROSS JOIN st WHERE s <= len(t)),
+        |rk AS (SELECT doc_id, pos, span,
+        |              row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rk
+        |       FROM sp)
+        |SELECT doc_id, COUNT(*) AS span_ct,
+        |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_ct,
+        |       COALESCE(string_agg(CASE WHEN rk = 1 THEN span END, ' ' ORDER BY pos), '')
+        |         AS new_text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n_nonnull,
+        |         COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |         MIN(CAST(o_orderkey AS VARCHAR)) AS min_s,
+        |         MAX(CAST(o_orderkey AS VARCHAR)) AS max_s FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |         MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |         MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+        |         MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
+        |ORDER BY col_name""".stripMargin,
+
+    "q_neg_pairs" ->
+      """WITH h AS (SELECT doc_id AS id,
+        |                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |           FROM documents),
+        |ring AS (SELECT id, hv % 8 AS b,
+        |                row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, id) AS rk,
+        |                COUNT(*) OVER (PARTITION BY hv % 8) AS n
+        |         FROM h),
+        |anch AS (SELECT b, id AS a_id, rk, n, unnest(generate_series(1, 2)) AS j
+        |         FROM ring),
+        |flt AS (SELECT b, a_id, j, ((rk - 1 + j) % n) + 1 AS p_rk
+        |        FROM anch WHERE j < n)
+        |SELECT f.a_id, f.j, r.id AS b_id
+        |FROM flt f JOIN ring r ON f.b = r.b AND f.p_rk = r.rk
+        |ORDER BY a_id, j""".stripMargin)
 }

@@ -38,4 +38,33 @@ class SketchSpec extends SparkSpec {
         s"group ${r.getString(0)}: est $est vs exact $exact")
     }
   }
+
+  test("count-min sketch: never undercounts, εN overcount bound, exact merge determinism") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.CountMin
+    val toks = Envelopes.table(spark, sfDir(), "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok")).as[String]
+    val total = toks.count()
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = toks.select(CountMin.stringFreq.toColumn).collect()(0)
+    // counter additions are exact integer ops: ANY partitioning yields the
+    // bitwise-identical sketch, not just a close one
+    val sketch2 = toks.repartition(17).select(CountMin.stringFreq.toColumn).collect()(0)
+    assert(java.util.Arrays.equals(sketch, sketch2))
+    val eps = math.E / CountMin.W
+    exact.foreach { case (tok, ct) =>
+      val est = CountMin.estimate(sketch, tok)
+      assert(est >= ct, s"$tok: undercount $est < $ct")
+      assert(est <= ct + math.max(1L, math.ceil(2 * eps * total).toLong),
+        s"$tok: overcount $est vs $ct (N=$total)")
+    }
+    // element-wise union of two half-corpus sketches == whole-corpus sketch
+    val half1 = toks.filter(length(col("tok")) % 2 === 0)
+      .select(CountMin.stringFreq.toColumn).collect()(0)
+    val half2 = toks.filter(length(col("tok")) % 2 === 1)
+      .select(CountMin.stringFreq.toColumn).collect()(0)
+    assert(java.util.Arrays.equals(CountMin.add(half1, half2), sketch))
+  }
 }

@@ -66,4 +66,41 @@ class MultimodalSpec extends SparkSpec {
       (r.getAs[Array[Byte]]("media").length + 15) / 16).sum
     assert(frames.length <= total / 4 + 20)
   }
+
+  test("WAV media decodes for REAL; non-WAV bytes take the stub path") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 24L).toDF("doc_id").as[Long].map { id =>
+      val ch = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val ns = 100 + (id % 50).toInt
+      (id, Multimodal.encodeWav(ch, rate, ns, (i, c) => ((i + c + id) % 100).toShort))
+    }.toDF("doc_id", "media")
+    val meta = Multimodal.decodeAudioMeta(docs).collect()
+    assert(meta.length == 24)
+    meta.foreach { m =>
+      assert(m.fmt == "audio/wav", s"doc ${m.doc_id} fell back to the stub")
+      assert(m.channels == 1 + m.doc_id % 2)
+      assert(m.sample_rate == 8000 * (1 + m.doc_id % 3))
+      assert(m.bits == 16)
+      assert(m.n_samples == 100 + m.doc_id % 50)
+      assert(m.n_bytes == 44 + m.n_samples * m.channels * 2)
+      assert(m.duration_ms == m.n_samples * 1000 / m.sample_rate)
+    }
+    // parser-level: exact round trip, and hostile bytes must not parse
+    val enc = Multimodal.encodeWav(2, 44100, 7, (_, _) => 5)
+    assert(Multimodal.decodeWavMeta(enc).contains((2, 44100, 16, 7L)))
+    // truncated data section: header promises more bytes than exist
+    assert(Multimodal.decodeWavMeta(enc.take(50)).isEmpty)
+    // text that merely starts with RIFF
+    assert(Multimodal.decodeWavMeta(("RIFF" + "x" * 60).getBytes("UTF-8")).isEmpty)
+    // stub path: fake media bytes are pretend 8-bit mono PCM
+    val stub = Multimodal.decodeAudioMeta(
+      Multimodal.withFakeMedia(Envelopes.table(spark, sfDir(), "documents").limit(5)))
+      .collect()
+    stub.foreach { m =>
+      assert(m.fmt == "fake/pcm8" && m.channels == 1 && m.sample_rate == 8000
+        && m.n_samples == m.n_bytes)
+    }
+  }
 }

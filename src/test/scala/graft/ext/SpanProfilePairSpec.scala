@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-4 additions: duplicated-span removal, table profiling, and
+  * deterministic negative-pair sampling. */
+class SpanProfilePairSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stripDupSpans keeps the global first occurrence and reassembles text") {
+    // w=2 spans: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [x y][x y]
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "x y x y")).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(df, col("doc_id"), col("text"), w = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("span_ct"), r.getAs[Long]("kept_ct"),
+          r.getAs[String]("new_text")))).toMap
+    // doc 1 owns both its spans (first occurrences)
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    // doc 2's "a b" was first seen in doc 1; "x y" is doc 2's own first
+    assert(out(2L) == ((2L, 1L, "x y")))
+    // doc 3: both "x y" copies lose to doc 2's
+    assert(out(3L) == ((2L, 0L, "")))
+  }
+
+  test("stripDupSpans on an all-unique corpus is the identity on text") {
+    val docs = graft.model.Envelopes.table(spark, sfDir(), "documents")
+      .limit(50).select(col("doc_id"), col("text"))
+    // make every span globally unique by prefixing tokens with the doc id
+    val uniq = docs.select(col("doc_id"),
+      concat_ws(" ", transform(split(lower(col("text")), " "),
+        t => concat(col("doc_id").cast("string"), lit("_"), t))).as("text"))
+    val out = Dedup.stripDupSpans(uniq, col("doc_id"), col("text"), w = 5)
+    assert(out.filter(col("kept_ct") =!= col("span_ct")).count() == 0)
+    val bad = out.join(uniq, "doc_id")
+      .filter(col("new_text") =!= lower(col("text"))).count()
+    assert(bad == 0, "reassembly must reproduce the original text")
+  }
+
+  test("profile counts nulls, distincts, and string-rendered extremes") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None), (None, Some("a")),
+      (Some(2L), Some("c"))).toDF("k", "s")
+    val p = Profile.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_nonnull"), r.getAs[Long]("n_distinct"),
+          r.getAs[String]("min_s"), r.getAs[String]("max_s")))).toMap
+    assert(p("k") == ((3L, 2L, "1", "2")))
+    assert(p("s") == ((3L, 3L, "a", "c")))
+  }
+
+  test("negativePairs: m distinct non-self partners, stable under repartition") {
+    val docs = graft.model.Envelopes.table(spark, sfDir(), "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      Curation.negativePairs(df, col("doc_id"), m = 2, buckets = 8)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("j"),
+          r.getAs[Long]("b_id"))).toSet
+    val a = pairs(docs)
+    assert(a == pairs(docs.repartition(13, col("text"))))
+    val byAnchor = a.groupBy(_._1)
+    // 500 docs over 8 buckets: every bucket is far larger than m, so every
+    // anchor gets exactly m pairwise-distinct partners, none itself
+    assert(byAnchor.size == docs.count())
+    byAnchor.foreach { case (anchor, ps) =>
+      assert(ps.size == 2)
+      val partners = ps.map(_._3)
+      assert(partners.size == 2 && !partners.contains(anchor))
+    }
+  }
+
+  test("sessionPaths emits gap-split ordered paths per user") {
+    val ev = Seq(
+      // user 1: two sessions (40-min gap between the pairs)
+      (1L, 1L, 0L, "view"), (1L, 2L, 60000L, "click"),
+      (1L, 3L, 60000L + 40 * 60000L, "view"),
+      (1L, 4L, 61000L + 40 * 60000L, "purchase"),
+      // user 2: one event
+      (2L, 5L, 500L, "error")).toDF("user_id", "event_id", "tms", "event_type")
+    val out = graft.ops.Windows.sessionPaths(ev, col("user_id"), col("tms"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start")) ->
+        ((r.getAs[Long]("ev_ct"), r.getAs[String]("path")))).toMap
+    assert(out.size == 3)
+    assert(out((1L, 0L)) == ((2L, "view>click")))
+    assert(out((1L, 2460000L)) == ((2L, "view>purchase")))
+    assert(out((2L, 500L)) == ((1L, "error")))
+  }
+}
