@@ -22,6 +22,22 @@ object Dedup {
     df.groupBy(md5(textCol).as("text_hash"))
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_ct"))
 
+  /** Exact dedup keeping the BEST duplicate rather than the lowest id — the
+    * keeper policy real pipelines want (among byte-identical re-crawls, keep
+    * the copy with the richest metadata / best provenance score). Keeper =
+    * max by (priority, id): `max(struct(priority, id))` is one algebraic
+    * aggregate — same single map-side-combining shuffle as [[exact]], no
+    * window, no second pass. Ties break to the higher id deterministically.
+    *
+    * @return (text_hash, keeper_id, keeper_priority, dup_ct) */
+  def exactBest(df: DataFrame, idCol: Column, textCol: Column,
+      priorityCol: Column): DataFrame =
+    df.groupBy(md5(textCol).as("text_hash"))
+      .agg(max(struct(priorityCol.as("p"), idCol.as("id"))).as("__best"),
+        count(lit(1)).as("dup_ct"))
+      .select(col("text_hash"), col("__best.id").as("keeper_id"),
+        col("__best.p").as("keeper_priority"), col("dup_ct"))
+
   /** Distinct word n-gram shingles per document: (doc_id, s). Documents with
     * fewer than `n` tokens produce no shingles.
     *

@@ -45,6 +45,13 @@ object ExtQueries {
         .orderBy(col("text_hash"))
     },
 
+    // Best-copy exact dedup: keeper = the longest duplicate (n_chars as the
+    // provenance/quality priority), one max-struct aggregate — no window.
+    "q_dedup_best" -> { (s, dir) =>
+      Dedup.exactBest(docs(s, dir), col("doc_id"), col("text"), col("n_chars"))
+        .orderBy(col("text_hash"))
+    },
+
     // Exhaustive 3-gram Jaccard ≥ 0.5 via inverted-index join.
     "q_dedup_ngram" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -544,6 +551,17 @@ object ExtQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_best" ->
+      """WITH r AS (
+        |  SELECT md5(text) AS text_hash, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text)
+        |           ORDER BY n_chars DESC, doc_id DESC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY md5(text)) AS dup_ct
+        |  FROM documents)
+        |SELECT text_hash, doc_id AS keeper_id, n_chars AS keeper_priority,
+        |       CAST(dup_ct AS BIGINT) AS dup_ct
+        |FROM r WHERE rk = 1 ORDER BY text_hash""".stripMargin,
 
     "q_dedup_ngram" -> jacSelect,
     "q_dedup_minhash" -> jacSelect,

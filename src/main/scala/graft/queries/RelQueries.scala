@@ -141,6 +141,18 @@ object RelQueries {
           nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
           last_value(col("o_totalprice")).over(wFull).as("top_price"))
         .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+
+    // Z-order (Morton) layout key over (partkey, suppkey) — the multi-column
+    // clustering value behind OPTIMIZE ZORDER; 10-bit interleave, pure
+    // shift/mask arithmetic (codegen, engine-portable).
+    "q_zorder" -> { (s, dir) =>
+      import graft.ops.Scale
+      Envelopes.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Scale.zorderValue(pmod(col("l_partkey"), lit(1024)),
+            pmod(col("l_suppkey"), lit(1024)), bits = 10).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -230,5 +242,11 @@ object RelQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |       CAST(${graft.ops.Scale.zorderSql("(l_partkey % 1024)", "(l_suppkey % 1024)", bits = 10)}
+         |            AS BIGINT) AS zval
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

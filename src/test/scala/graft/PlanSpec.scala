@@ -129,4 +129,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "quantization must not join")
     assert(p.split("Exchange").length - 1 <= 1, p.take(600))
   }
+
+  test("span removal: linear aggregations, never a pairwise or nested-loop join") {
+    val p = plan("q_strip_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "span removal is window+rollup only — a join means the shape regressed")
+  }
+
+  test("bm25: corpus stats broadcast; top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row stats must broadcast onto the scan")
+  }
+
+  test("profile: one pass — a single scan of the table feeds every column's stats") {
+    val p = plan("q_profile")
+    assert(p.split("FileScan").length - 1 == 1,
+      "profile must scan the table exactly once:\n" + p.take(800))
+  }
+
+  test("negative pairs: bucket-local windows + one equi self-join, no cartesian") {
+    val p = plan("q_neg_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(600))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "ring pairing must stay an equi join")
+  }
+
+  test("zorder value is scan-stage arithmetic: no shuffle beyond the dump sort") {
+    val p = plan("q_zorder")
+    assert(!p.contains("Join"), "zorder must not join")
+    assert(p.split("Exchange").length - 1 <= 1, p.take(600))
+  }
 }

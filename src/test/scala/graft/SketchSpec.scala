@@ -39,6 +39,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile: rank error within accuracy bound, deterministic") {
+    val li = Envelopes.table(spark, sfDir("sf0.01"), "lineitem")
+    val n = li.count()
+    // accuracy 1000 → rank error ≤ n/1000; verify via the exact rank of the
+    // returned value (the guarantee is on RANK, not on the value distance)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = li.select(approx_percentile(col("l_extendedprice"),
+        array(qs.map(lit): _*), lit(1000))).collect()(0).getSeq[Double](0)
+    qs.zip(est).foreach { case (q, v) =>
+      val rank = li.filter(col("l_extendedprice") <= v).count()
+      assert(math.abs(rank - q * n) <= n / 1000.0 + 1,
+        s"p$q: value $v has rank $rank, want ${q * n} ± ${n / 1000.0}")
+    }
+    // the GK-style sketch is deterministic for a fixed partitioning; and any
+    // partitioning stays within the rank bound
+    val est2 = li.repartition(17, col("l_orderkey"))
+      .select(approx_percentile(col("l_extendedprice"),
+        array(qs.map(lit): _*), lit(1000))).collect()(0).getSeq[Double](0)
+    qs.zip(est2).foreach { case (q, v) =>
+      val rank = li.filter(col("l_extendedprice") <= v).count()
+      assert(math.abs(rank - q * n) <= n / 1000.0 + 1)
+    }
+  }
+
   test("count-min sketch: never undercounts, εN overcount bound, exact merge determinism") {
     val s = spark
     import s.implicits._

@@ -40,6 +40,16 @@ class SpanProfilePairSpec extends SparkSpec {
     assert(bad == 0, "reassembly must reproduce the original text")
   }
 
+  test("exactBest keeps the highest-priority duplicate, ties to higher id") {
+    val df = Seq(
+      (1L, "dup", 10L), (2L, "dup", 99L), (3L, "dup", 99L), // best: p=99, id 3
+      (4L, "uniq", 1L)).toDF("doc_id", "text", "prio")
+    val out = Dedup.exactBest(df, col("doc_id"), col("text"), col("prio"))
+      .collect().map(r => r.getAs[Long]("keeper_id") ->
+        ((r.getAs[Long]("keeper_priority"), r.getAs[Long]("dup_ct")))).toMap
+    assert(out == Map(3L -> ((99L, 3L)), 4L -> ((1L, 1L))))
+  }
+
   test("profile counts nulls, distincts, and string-rendered extremes") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None), (None, Some("a")),

@@ -92,4 +92,45 @@ class ScaleSpec extends SparkSpec {
     // exactly one exchange: the explicit repartition; the groupBy reuses it
     assert(plan.split("Exchange").length - 1 == 1, plan.take(800))
   }
+
+  test("zorder: locality beats single-column sort; layout yields disjoint z-ranges") {
+    import spark.implicits._
+    val li = Envelopes.table(spark, sfDir(), "lineitem")
+      .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+        pmod(col("l_suppkey"), lit(1024)).as("y"))
+    // interleave round-trips: de-interleaving the z-value recovers (x, y)
+    val z = Scale.zorderValue(col("x"), col("y"), bits = 10)
+    def unshuffle(zc: org.apache.spark.sql.Column, off: Int) =
+      (0 until 10).map(i => shiftright(zc, 2 * i + off).bitwiseAND(lit(1L)) * lit(1L << i))
+        .reduce(_ + _)
+    assert(li.withColumn("z", z)
+      .filter(unshuffle(col("z"), 0) =!= col("x") ||
+        unshuffle(col("z"), 1) =!= col("y")).count() == 0)
+    // layout over a full 256×256 grid: per-partition z-ranges are disjoint
+    // (what min/max skipping needs), and a box predicate on BOTH dims prunes
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val zg = Scale.zorderValue(col("x"), col("y"), bits = 8)
+    // materialize the layout (as a table write would): without pinning,
+    // Catalyst pushes the box filter BELOW the range exchange and the
+    // boundaries get re-sampled from the filtered rows — not a layout test
+    val laid = Scale.zorderLayout(grid, col("x"), col("y"), partitions = 16, bits = 8)
+      .persist()
+    laid.count()
+    val ranges = laid
+      .select(spark_partition_id().as("p"), zg.as("z"))
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // the payoff: a 32×32 box is 1/64 of the grid but one compact z-range —
+    // it must NOT touch most of the 16 partitions (an x-sorted layout would
+    // touch every partition: y<32 filters nothing per x-range)
+    val boxed = laid.filter(col("x") < 32 && col("y") < 32)
+      .select(spark_partition_id()).distinct().count()
+    assert(boxed <= 2, s"box query touched $boxed of 16 partitions")
+  }
 }
