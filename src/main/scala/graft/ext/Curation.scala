@@ -258,6 +258,27 @@ object Curation {
       .select(col("doc_id"), col("n_chars"), col("bucket"))
   }
 
+  /** Corpus snapshot diff — dataset-versioning's `git status`: classify every
+    * doc id across two corpus versions as added / removed / changed /
+    * unchanged by content fingerprint. One co-keyed full-outer join (both
+    * sides shuffle once on the id); the fingerprint rides the scan, so the
+    * texts themselves never move twice. Feeding the "changed ∪ added" set to
+    * an incremental pipeline is what keeps a 100 TB refresh from
+    * reprocessing the unchanged 99 %.
+    *
+    * @return (doc_id, status) for every id present in either version */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    val o = oldDf.select(idCol.as("doc_id"), md5(textCol).as("__oh"))
+    val n = newDf.select(idCol.as("doc_id"), md5(textCol).as("__nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Deterministic negative-pair sampling — contrastive-training data prep
     * (each anchor needs `m` "random" non-matching partners, and a rerun /
     * re-partition / re-ingest must produce the SAME pairs so training is

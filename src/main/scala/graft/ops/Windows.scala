@@ -34,22 +34,60 @@ object Windows {
     * ordering happens inside an `array_sort` over the session's own events
     * (session-sized arrays), never a global or per-user sort. Ties on the
     * timestamp are broken by `ordCol` so the path is deterministic under any
-    * partitioning. The same code streams under a watermark — `session_window`
-    * is the Structured-Streaming-native session operator.
+    * partitioning. `tsCol` is used AS GIVEN in the session window, so a
+    * watermarked stream column keeps its watermark and the same code streams
+    * in append mode (`SessionPathsStreamSpec`) — `session_window` is the
+    * Structured-Streaming-native session operator.
     *
+    * @param tsCol TIMESTAMP column (pre-truncate to ms if an oracle compares
+    *              on epoch-ms gaps); pass the watermarked column on a stream
     * @return (user, sess_start epoch-ms, ev_ct, path) */
-  def sessionPaths(df: DataFrame, userCol: Column, tsMsCol: Column,
+  def sessionPaths(df: DataFrame, userCol: Column, tsCol: Column,
       typeCol: Column, ordCol: Column, gap: String = "30 minutes"): DataFrame =
-    df.select(userCol.as("user_id"), tsMsCol.as("__tms"),
-        typeCol.as("__t"), ordCol.as("__o"))
-      .groupBy(session_window(timestamp_millis(col("__tms")), gap), col("user_id"))
+    df.groupBy(session_window(tsCol, gap), userCol.as("user_id"))
       .agg(count(lit(1)).as("ev_ct"),
         array_join(transform(
-          array_sort(collect_list(struct(col("__tms"), col("__o"), col("__t")))),
+          array_sort(collect_list(struct(unix_millis(tsCol).as("__tms"),
+            ordCol.as("__o"), typeCol.as("__t")))),
           e => e.getField("__t")), ">").as("path"))
       .select(col("user_id"),
         expr("unix_millis(session_window.start)").as("sess_start"),
         col("ev_ct"), col("path"))
+
+  /** Time-series resampling with forward fill — the gap-filling pass that
+    * turns an irregular event stream into a fixed-step grid (feature
+    * engineering, monitoring rollups): per key, one grid point every
+    * `stepMs` between the key's first and last event, each carrying the
+    * payload of the latest event at or before it.
+    *
+    * Composition of existing scale-safe pieces: per-key bounds (one keyed
+    * aggregation), a row-local `sequence` explode for the grid, and
+    * [[graft.ops.Joins.asof]] — the union-sort single-shuffle as-of join —
+    * to fill values. No per-key loop, no driver-side time math; cost is
+    * linear in events + grid points. Events sharing (key, ts) are collapsed
+    * to the `ordCol`-max row first so the fill is deterministic (an as-of
+    * tie must not depend on partition order).
+    *
+    * @return grid rows (key, ts, payload...) */
+  def resampleFfill(df: DataFrame, keyName: String, tsName: String,
+      payload: Seq[String], stepMs: Long, ordCol: Column): DataFrame = {
+    require(stepMs >= 1, s"stepMs must be >= 1, got $stepMs")
+    val dedup = df
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyName), col(tsName)).orderBy(ordCol.desc)))
+      .filter(col("__rk") === 1).drop("__rk")
+    val grid = dedup.groupBy(col(keyName))
+      .agg(min(col(tsName)).as("__lo"), max(col(tsName)).as("__hi"))
+      .select(col(keyName),
+        expr(s"((__lo + ${stepMs - 1}) div $stepMs) * $stepMs").as("__start"),
+        expr(s"(__hi div $stepMs) * $stepMs").as("__stop"))
+      .filter(col("__start") <= col("__stop"))
+      .select(col(keyName),
+        explode(sequence(col("__start"), col("__stop"), lit(stepMs))).as(tsName))
+    graft.ops.Joins.asof(grid, dedup.select((keyName +: tsName +: payload).map(col): _*),
+      keyName, tsName, payload)
+  }
 
   /** Tokenizer (ikanalyzer stand-in for
     * `dws_traffic_source_keyword_page_view_window`, `pom.xml:205`). The

@@ -106,8 +106,20 @@ object AggQueries {
     // rollup funnels are mined from.
     "q_journey" -> { (s, dir) =>
       Windows.sessionPaths(Envelopes.events(s, dir), col("user_id"),
-          expr("unix_millis(ts)"), col("event_type"), col("event_id"))
+          timestamp_millis(expr("unix_millis(ts)")), col("event_type"),
+          col("event_id"))
         .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    // Hourly forward-fill resample per user (gap filling onto a fixed grid,
+    // composed from the single-shuffle as-of join).
+    "q_resample" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(col("user_id"), expr("unix_millis(ts)").as("tms"),
+          col("value"), col("event_id"))
+      Windows.resampleFfill(ev, "user_id", "tms", Seq("value"),
+          stepMs = 3600000L, ordCol = col("event_id"))
+        .orderBy(col("user_id"), col("tms"))
     })
 
   import Envelopes.{odCte, oiCte}
@@ -194,5 +206,26 @@ object AggQueries {
         |  FROM marked)
         |SELECT user_id, MIN(tms) AS sess_start, COUNT(*) AS ev_ct,
         |       string_agg(event_type, '>' ORDER BY tms, event_id) AS path
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_resample" ->
+      """WITH ev0 AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, value, event_id FROM events),
+        |ev AS (
+        |  SELECT user_id, tms, value FROM (
+        |    SELECT user_id, tms, value,
+        |           row_number() OVER (PARTITION BY user_id, tms
+        |             ORDER BY event_id DESC) AS rk
+        |    FROM ev0) WHERE rk = 1),
+        |b AS (
+        |  SELECT user_id,
+        |         ((MIN(tms) + 3599999) // 3600000) * 3600000 AS lo,
+        |         (MAX(tms) // 3600000) * 3600000 AS hi
+        |  FROM ev GROUP BY 1),
+        |g AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 3600000)) AS tms
+        |  FROM b WHERE lo <= hi)
+        |SELECT g.user_id, g.tms, ev.value
+        |FROM g ASOF LEFT JOIN ev ON g.user_id = ev.user_id AND g.tms >= ev.tms
+        |ORDER BY g.user_id, g.tms""".stripMargin)
 }

@@ -469,6 +469,21 @@ object ExtQueries {
     "q_neg_pairs" -> { (s, dir) =>
       Curation.negativePairs(docs(s, dir), col("doc_id"), m = 2, buckets = 8)
         .orderBy(col("a_id"), col("j"))
+    },
+
+    // Corpus snapshot diff: v2 derived deterministically (÷11 removed,
+    // ÷7 text-mutated, ÷13 re-added under shifted ids) — the
+    // dataset-versioning classification an incremental refresh keys off.
+    "q_corpus_diff" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = d.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Curation.corpusDiff(d, v2, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
     })
 
   /** Shared shingle/Jaccard CTE (DuckDB twin of Dedup.shingles +
@@ -1068,6 +1083,23 @@ object ExtQueries {
         |  SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
         |         MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
         |ORDER BY col_name""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH newv AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS nh FROM newv)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN oh = nh THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_neg_pairs" ->
       """WITH h AS (SELECT doc_id AS id,

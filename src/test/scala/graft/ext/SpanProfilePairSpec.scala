@@ -81,6 +81,33 @@ class SpanProfilePairSpec extends SparkSpec {
     }
   }
 
+  test("resampleFfill grids each key and forward-fills the latest value") {
+    val ev = Seq(
+      ("u", 65000L, 1.0, 1L), ("u", 130000L, 2.0, 2L),
+      ("w", 60000L, 5.0, 3L),
+      // duplicate (key, ts): the higher event_id must win deterministically
+      ("x", 59000L, 7.0, 4L), ("x", 59000L, 8.0, 5L), ("x", 61000L, 9.0, 6L))
+      .toDF("user_id", "tms", "value", "event_id")
+    val out = graft.ops.Windows.resampleFfill(ev, "user_id", "tms",
+        Seq("value"), stepMs = 60000L, ordCol = col("event_id"))
+      .collect().map(r => (r.getAs[String]("user_id"), r.getAs[Long]("tms")) ->
+        r.getAs[Double]("value")).toMap
+    // u: grid ceil(65000)→120000 .. floor(130000)→120000: one point, ffill 1.0
+    // w: a grid point exactly at the event includes it
+    // x: grid point 60000 sees the id-5 duplicate (8.0), not id-4
+    assert(out == Map(("u", 120000L) -> 1.0, ("w", 60000L) -> 5.0,
+      ("x", 60000L) -> 8.0))
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged by fingerprint") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(oldV, newV, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+  }
+
   test("sessionPaths emits gap-split ordered paths per user") {
     val ev = Seq(
       // user 1: two sessions (40-min gap between the pairs)
@@ -89,8 +116,8 @@ class SpanProfilePairSpec extends SparkSpec {
       (1L, 4L, 61000L + 40 * 60000L, "purchase"),
       // user 2: one event
       (2L, 5L, 500L, "error")).toDF("user_id", "event_id", "tms", "event_type")
-    val out = graft.ops.Windows.sessionPaths(ev, col("user_id"), col("tms"),
-        col("event_type"), col("event_id"))
+    val out = graft.ops.Windows.sessionPaths(ev, col("user_id"),
+        timestamp_millis(col("tms")), col("event_type"), col("event_id"))
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start")) ->
         ((r.getAs[Long]("ev_ct"), r.getAs[String]("path")))).toMap
     assert(out.size == 3)
