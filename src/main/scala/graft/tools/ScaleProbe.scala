@@ -102,7 +102,9 @@ object ScaleProbe {
       "q_dedup_clusters", "q_dedup_clusters_lsh", "q_dwd_pay_suc",
       "q_dwd_base_log", "q_ann_ivf", "q_ann_ivf_kmeans",
       "q_span_dup", "q_contamination", "q_pii_scrub", "q_dws_keyword_cjk",
-      "q_token_budget", "q_temp_mix", "q_shard_shuffle", "q_embed_quant")
+      "q_token_budget", "q_temp_mix", "q_shard_shuffle", "q_embed_quant",
+      "q_strip_spans", "q_tfidf_top", "q_bm25", "q_neg_pairs", "q_journey",
+      "q_resample", "q_corpus_diff", "q_zorder", "q_dedup_best", "q_profile")
     val times = probes.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, outDir).count()
