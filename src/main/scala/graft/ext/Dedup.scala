@@ -317,6 +317,39 @@ object Dedup {
       .withColumn("keep", col("dup_span_ct") * den < col("span_ct") * num)
   }
 
+  /** Fuzzy vocabulary pairs — record-linkage / typo-clustering over a token
+    * vocabulary: all unordered token pairs within Levenshtein distance
+    * `maxDist`, found by LENGTH-BAND blocking + exact verify. The blocking
+    * is lossless, not approximate: edit distance ≤ d forces |len(a) −
+    * len(b)| ≤ d, so banding by length drops no true pair — candidates
+    * shrink from vocab² to Σ per-band products while recall stays exact
+    * (unlike first-letter blocking, which silently loses "cat"≈"bat").
+    *
+    * Shape at scale: vocabulary extraction is one distinct agg (vocab-sized
+    * output — tokens, not corpus rows); each token emits `2·maxDist + 1`
+    * band keys on ONE side only (the lexicographically-smaller token of a
+    * pair can be either the longer or the shorter one, so the band must
+    * span ±maxDist), and every candidate pair meets on exactly one equi key
+    * — len(a) — so no post-join distinct is needed; the `a < b` guard takes
+    * each unordered pair once. Candidate verify is codegen `levenshtein`.
+    * For a web-scale vocabulary add a prefix-bucket term to the band key —
+    * same equi-join shape, smaller bands.
+    *
+    * @param vocab one `tok` string column, assumed distinct
+    * @return (a_tok, b_tok, dist) with a_tok < b_tok, dist ≤ maxDist */
+  def fuzzyVocabPairs(vocab: DataFrame, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val a = vocab.select(col("tok").as("a_tok"), length(col("tok")).as("__l"))
+    val b = vocab.select(col("tok").as("b_tok"),
+        explode(sequence(length(col("tok")) - maxDist,
+          length(col("tok")) + maxDist)).as("__l"))
+    a.join(b, Seq("__l"))
+      .filter(col("a_tok") < col("b_tok"))
+      .withColumn("dist", levenshtein(col("a_tok"), col("b_tok")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_tok"), col("b_tok"), col("dist"))
+  }
+
   /** C4-style duplicated-span REMOVAL: partition each document into
     * non-overlapping `w`-token spans, keep only the globally FIRST occurrence
     * of every distinct span text (ordered by doc_id, then position), and

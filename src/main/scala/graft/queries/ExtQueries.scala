@@ -471,6 +471,21 @@ object ExtQueries {
         .orderBy(col("a_id"), col("j"))
     },
 
+    // Fuzzy vocabulary pairs (edit distance ≤ 2, lossless length-band
+    // blocking + levenshtein verify) — typo clustering / record linkage.
+    // The vocab is enriched with deterministic beheaded variants so the
+    // fixture actually contains near-matches.
+    "q_fuzzy_vocab" -> { (s, dir) =>
+      val t = docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("tok")).distinct()
+      val vocab = t.unionByName(
+          t.filter(length(col("tok")) >= 4)
+            .select(col("tok").substr(lit(2), lit(1000)).as("tok")))
+        .distinct()
+      Dedup.fuzzyVocabPairs(vocab, maxDist = 2)
+        .orderBy(col("a_tok"), col("b_tok"))
+    },
+
     // Corpus snapshot diff: v2 derived deterministically (÷11 removed,
     // ÷7 text-mutated, ÷13 re-added under shifted ids) — the
     // dataset-versioning classification an incremental refresh keys off.
@@ -1083,6 +1098,19 @@ object ExtQueries {
         |  SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
         |         MIN(o_orderpriority), MAX(o_orderpriority) FROM orders)
         |ORDER BY col_name""".stripMargin,
+
+    "q_fuzzy_vocab" ->
+      """WITH t AS (
+        |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT DISTINCT tok FROM (
+        |  SELECT tok FROM t
+        |  UNION ALL SELECT substr(tok, 2) FROM t WHERE len(tok) >= 4))
+        |SELECT x.tok AS a_tok, y.tok AS b_tok,
+        |       CAST(levenshtein(x.tok, y.tok) AS BIGINT) AS dist
+        |FROM v x JOIN v y ON x.tok < y.tok
+        |WHERE levenshtein(x.tok, y.tok) <= 2
+        |ORDER BY a_tok, b_tok""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH newv AS (

@@ -99,6 +99,31 @@ class SpanProfilePairSpec extends SparkSpec {
       ("x", 60000L) -> 8.0))
   }
 
+  test("fuzzyVocabPairs equals brute force — including longer-but-lex-smaller tokens") {
+    // "abcd" < "bcd" lexicographically but is LONGER: a one-sided length
+    // band would miss this deletion pair
+    val vocab = Seq("abcd", "bcd", "cat", "bat", "cart", "dog", "dug", "zebra")
+      .toDF("tok")
+    def setOf(d: Int): Set[(String, String, Long)] =
+      Dedup.fuzzyVocabPairs(vocab, maxDist = d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val toks = vocab.collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for (d <- Seq(1, 2)) {
+      val brute = (for (a <- toks; b <- toks if a < b && lev(a, b) <= d)
+        yield (a, b, lev(a, b).toLong)).toSet
+      assert(setOf(d) == brute, s"maxDist=$d")
+    }
+    assert(setOf(1).contains(("abcd", "bcd", 1L)))
+    assert(setOf(1).contains(("bat", "cat", 1L)))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged by fingerprint") {
     val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newV = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")
