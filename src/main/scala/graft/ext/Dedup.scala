@@ -132,10 +132,35 @@ object Dedup {
     * Jaccard j is (1−j²)^16 — ≈3e-12 at j=0.9. The synthetic corpus's
     * near-dup pairs all sit ≥0.9, so LSH+verify equals the exhaustive result.
     */
+  /** MinHash signature per document: k per-permutation minima as columns
+    * h0..h{k−1}. The variable-length shingle string is hashed ONCE
+    * (`xxhash64(s)`), each permutation re-hashes the fixed 8-byte digest
+    * with its index as seed — independent up to 2^-64 digest collisions,
+    * string bytes walked once. Docs with no shingles yield no row. */
+  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    sh.select(col("doc_id"), xxhash64(col("s")).as("hb"))
+      .groupBy("doc_id").agg(
+        min(xxhash64(lit(0), col("hb"))).as("h0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("hb"))).as(s"h$i")): _*)
+  }
+
+  /** LSH band keys from a signature table: (doc_id, band, bkey) — one row
+    * per band, bkey = hash of the band's r = k/bands signature rows. */
+  def bandBuckets(sig: DataFrame, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
   def minhashLshPairs(sh: DataFrame, num: Int, den: Int,
       k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     // Hash the (variable-length) shingle string ONCE, then derive the k
     // per-permutation hashes by re-hashing the fixed 8-byte digest with the
     // permutation index as seed. Each derived hash is a full avalanche mix of
@@ -156,18 +181,8 @@ object Dedup {
     // All pinned state is bounded: sig is O(#docs), cand/shc are
     // candidate-sized; the verified pairs are localCheckpointed so the
     // returned plan is detached from every cache before the unpersists.
-    val base = xxhash64(col("s"))
-    val sig = sh.select(col("doc_id"), base.as("hb"))
-      .groupBy("doc_id").agg(
-        min(xxhash64(lit(0), col("hb"))).as("h0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("hb"))).as(s"h$i")): _*)
-      .localCheckpoint(true)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((0 until r).map(j => col(s"h${b * r + j}")): _*).as("bkey"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val sig = minhashSignatures(sh, k).localCheckpoint(true)
+    val buckets = bandBuckets(sig, k, bands)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Cross-batch NEAR-duplicate rejection for continuous ingest — the
+  * MinHash-LSH twin of [[IncrementalDedup]] (which only catches
+  * byte-identical re-arrivals): the accepted corpus is represented by a
+  * persistent KeyedStore of (band, bkey) → (doc_id, 32-long signature)
+  * rows, so an incoming document is rejected when it shares an LSH band
+  * bucket with an accepted document AND the signature match fraction (the
+  * standard unbiased MinHash estimate of Jaccard similarity) clears the
+  * threshold. Exactly how production crawlers run near-dup: the index is
+  * signatures — ~`8·k + 16` bytes per accepted doc per band — never the
+  * texts.
+  *
+  * Per-batch cost tracks the batch: batch-side shingle/signature compute,
+  * a (band, bkey) equi-join against the store (at scale: bucket-pruned to
+  * the keys the batch hashes into — the store side never scans whole), a
+  * candidate-sized verify, and a within-batch LSH+connected-components
+  * pass over the store-survivors only (batch-sized graph). False-positive
+  * band collisions are killed by the signature verify; misses are the
+  * standard LSH recall tradeoff, tuned by (k, bands, threshold).
+  */
+object IncrementalLsh {
+
+  /** Dedup one micro-batch of (doc_id, text) against the signature store:
+    * returns accepted rows, appends their band/signature rows to the store.
+    *
+    * Order of screens: (1) cross-batch — any band-bucket hit whose
+    * signature match fraction ≥ simNum/simDen rejects the doc; (2)
+    * within-batch — LSH pairs + connected components over the survivors,
+    * cluster minimum wins. Docs too short to shingle carry no signature;
+    * they pass the near-dup screens (compose [[IncrementalDedup]] upstream
+    * for exact dedup of shorts) and are not stored.
+    *
+    * @param simNum/simDen signature match-fraction threshold (of k) */
+  def dedupBatch(batch: DataFrame, storePath: String, idCol: Column,
+      textCol: Column, batchId: Long, k: Int = 32, bands: Int = 16,
+      simNum: Int = 1, simDen: Int = 2, numBuckets: Int = 16): DataFrame = {
+    require(simNum >= 0 && simDen >= 1, s"bad threshold $simNum/$simDen")
+    val spark = batch.sparkSession
+    val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
+    val sh = Dedup.shingles(docs, col("doc_id"), col("__text"))
+    val sig = Dedup.minhashSignatures(sh, k).localCheckpoint(true)
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val buckets = Dedup.bandBuckets(sig, k, bands)
+
+    // (1) cross-batch screen against the stored index
+    val crossDups = KeyedStore.read(spark, storePath) match {
+      case Some(stored) =>
+        val hits = buckets.join(
+          stored.select(col("band"), col("bkey"), col("sig").as("__ssig")),
+          Seq("band", "bkey"))
+        hits.join(sigArr, Seq("doc_id"))
+          .withColumn("__matches",
+            aggregate(zip_with(col("sig"), col("__ssig"),
+              (a, b) => when(a === b, 1).otherwise(0)), lit(0),
+              (acc, x) => acc + x))
+          .filter(col("__matches") * simDen >= lit(simNum) * k)
+          .select(col("doc_id")).distinct()
+      case None => docs.select(col("doc_id")).limit(0)
+    }
+    val survivors = docs.join(crossDups, Seq("doc_id"), "left_anti")
+
+    // (2) within-batch near-dup clustering over the survivors (batch-sized)
+    val shS = sh.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .persist()
+    val pairs = Dedup.minhashLshPairs(shS, simNum, simDen, k, bands)
+    val losers =
+      if (pairs.isEmpty) shS.select(col("doc_id")).limit(0)
+      else Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+    val accepted = survivors.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    shS.unpersist()
+
+    // (3) index the accepted docs' signatures
+    val newRows = Dedup.bandBuckets(
+        sig.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        k, bands)
+      .join(sigArr, Seq("doc_id"))
+      .withColumn("batch_id", lit(batchId))
+    if (!newRows.isEmpty)
+      KeyedStore.merge(newRows, storePath,
+        keys = Seq("band", "bkey", "doc_id"), seqCols = Seq("batch_id"),
+        numBuckets = numBuckets)
+    accepted.select(col("doc_id"), col("__text").as("text"))
+  }
+}
