@@ -80,4 +80,5 @@ object CountMin {
 private object ExpressionEncoderHelper {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  val stringLongMap: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
 }

@@ -91,4 +91,28 @@ class SketchSpec extends SparkSpec {
       .select(CountMin.stringFreq.toColumn).collect()(0)
     assert(java.util.Arrays.equals(CountMin.add(half1, half2), sketch))
   }
+
+  test("Misra-Gries: every heavy key present, undercount bounded, any partitioning") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.MisraGries
+    val toks = Envelopes.table(spark, sfDir(), "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok")).as[String]
+    val n = toks.count()
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / (MisraGries.K + 1) // deterministic εn, no probability
+    for (df <- Seq(toks, toks.repartition(17), toks.repartition(3))) {
+      val mg = df.select(MisraGries.stringHeavyHitters.toColumn).collect()(0)
+      assert(mg.size <= MisraGries.K)
+      exact.foreach { case (tok, ct) =>
+        if (ct > bound)
+          assert(mg.contains(tok), s"heavy key $tok ($ct > $bound) missing")
+        mg.get(tok).foreach { est =>
+          assert(est <= ct && est >= ct - bound,
+            s"$tok: reported $est outside [${ct - bound}, $ct]")
+        }
+      }
+    }
+  }
 }
