@@ -48,8 +48,10 @@ object IncrementalLsh {
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
     val buckets = Dedup.bandBuckets(sig, k, bands)
 
-    // (1) cross-batch screen against the stored index
-    val crossDups = KeyedStore.read(spark, storePath) match {
+    // (1) cross-batch screen against the stored index — a PRUNED read: only
+    // the store buckets the batch's (band, bkey) probes hash into are
+    // opened, so the screen is O(batch) file IO at any index size
+    val crossDups = KeyedStore.readPruned(spark, storePath, buckets) match {
       case Some(stored) =>
         val hits = buckets.join(
           stored.select(col("band"), col("bkey"), col("sig").as("__ssig")),
@@ -86,7 +88,10 @@ object IncrementalLsh {
     if (!newRows.isEmpty)
       KeyedStore.merge(newRows, storePath,
         keys = Seq("band", "bkey", "doc_id"), seqCols = Seq("batch_id"),
-        numBuckets = numBuckets)
+        numBuckets = numBuckets,
+        // bucket by the PROBE key prefix (not the full identity key) so
+        // readPruned can map (band, bkey) probes to buckets
+        bucketCols = Seq("band", "bkey"))
     accepted.select(col("doc_id"), col("__text").as("text"))
   }
 }

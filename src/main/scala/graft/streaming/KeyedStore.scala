@@ -137,11 +137,50 @@ object KeyedStore {
           s"$p is missing but $root holds state — bucket count unrecoverable " +
             "(out-of-band deletion?); restore the meta file or rewrite the store")
       None
-    } else readTextFile(f, p).trim.toIntOption match {
+    } else readTextFile(f, p).trim.linesIterator.next().trim.toIntOption match {
       case some @ Some(_) => some
       case None if !hasState => None // fresh store, rewrite
       case None => throw new java.io.IOException(
         s"corrupt $p with existing state — bucket count unrecoverable")
+    }
+  }
+
+  /** Bucket-derivation columns persisted at creation (line 2 of the meta,
+    * `cols:a,b`) — present only for stores created with an explicit
+    * `bucketCols`; absent means buckets derive from the full key list. */
+  private[streaming] def readBucketColsMeta(f: FileSystem, root: Path): Option[Seq[String]] = {
+    val p = new Path(root, MetaFile)
+    if (!f.exists(p)) None
+    else readTextFile(f, p).trim.linesIterator.toSeq.drop(1)
+      .find(_.startsWith("cols:"))
+      .map(_.stripPrefix("cols:").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** Read ONLY the buckets that `probe`'s bucket-column values hash into —
+    * O(probe-touched buckets) file reads regardless of store size, the scale
+    * path for probing a corpus-sized index with a batch-sized key set. The
+    * store must have been created with an explicit `bucketCols` (persisted
+    * in the meta) whose columns all exist in `probe`. None = no committed
+    * state. A probe key that hashes to a bucket with no state reads
+    * nothing — correct for a probe (it matches no stored row). */
+  def readPruned(spark: SparkSession, path: String, probe: DataFrame): Option[DataFrame] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    layoutGuard(f, root)
+    readCommit(f, root).map { case (_, dirs) =>
+      val n = readBucketCount(f, root).getOrElse(
+        throw new IllegalStateException(s"$path: committed state but no bucket count"))
+      val bcols = readBucketColsMeta(f, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path was not created with explicit bucketCols — pruned reads " +
+            "need the persisted derivation; use read() or recreate the store"))
+      val needed = probe.select(bucketOf(bcols, n).as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted.filter(dirs.contains)
+      if (needed.isEmpty)
+        spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
+          .filter(lit(false))
+      else
+        spark.read.parquet(needed.map(b => new Path(root, dirs(b)).toString): _*)
     }
   }
 
@@ -198,16 +237,34 @@ object KeyedStore {
     *                readable via [[readSnapshot]]; values > 1 also give
     *                concurrent readers a grace window against GC. */
   def merge(batch: DataFrame, path: String, keys: Seq[String],
-      seqCols: Seq[String], numBuckets: Int = 16, keepGenerations: Int = 1): Unit = {
+      seqCols: Seq[String], numBuckets: Int = 16, keepGenerations: Int = 1,
+      bucketCols: Seq[String] = Seq.empty): Unit = {
     require(keepGenerations >= 1, s"keepGenerations must be >= 1, got $keepGenerations")
+    require(bucketCols.forall(keys.contains),
+      // bucket cols outside the key would let two versions of one key land
+      // in different buckets — last-write-wins would then be per bucket
+      s"bucketCols must be a subset of keys, got ${bucketCols.mkString(",")}")
     val spark = batch.sparkSession
     val f = fs(spark, path)
     val root = new Path(path)
     f.mkdirs(root)
     layoutGuard(f, root)
+    val storedCols = readBucketColsMeta(f, root)
     val n = readBucketCount(f, root).getOrElse {
-      writeAtomic(f, root, new Path(root, MetaFile), numBuckets.toString); numBuckets
+      val meta = numBuckets.toString +
+        (if (bucketCols.nonEmpty) "\ncols:" + bucketCols.mkString(",") else "")
+      writeAtomic(f, root, new Path(root, MetaFile), meta); numBuckets
     }
+    // the persisted derivation wins; a caller-supplied derivation on an
+    // existing store must MATCH it (anything else re-buckets new rows away
+    // from committed winners)
+    storedCols match {
+      case Some(cs) => require(bucketCols.isEmpty || bucketCols == cs,
+        s"bucketCols ${bucketCols.mkString(",")} != store's ${cs.mkString(",")}")
+      case None => require(bucketCols.isEmpty || readCommit(f, root).isEmpty,
+        "cannot add bucketCols to a store that already has keys-bucketed state")
+    }
+    val bcols = storedCols.getOrElse(if (bucketCols.nonEmpty) bucketCols else keys)
     val (gen, committed) = readCommit(f, root).getOrElse((0L, Map.empty[Int, String]))
     val newGen = gen + 1
     // Pin the batch for the merge's TWO actions (touched-bucket collect +
@@ -215,7 +272,7 @@ object KeyedStore {
     // plan could hash rows into buckets absent from the first-pass touched
     // set — those rows would reach the staging dir but never be published, a
     // silent drop. Caching makes both actions see one materialization.
-    val wb = batch.withColumn("__b", bucketOf(keys, n)).persist()
+    val wb = batch.withColumn("__b", bucketOf(bcols, n)).persist()
     try {
       // Touched-bucket ids: bounded by n (metadata-sized, like the
       // reference's config cardinality) — NOT a data-sized collect.
@@ -224,7 +281,7 @@ object KeyedStore {
       // Bucket files don't store __b (it's derivable); re-derive on read.
       val state = existing.headOption.map(_ =>
         spark.read.parquet(existing.map(_.toString).toIndexedSeq: _*)
-          .withColumn("__b", bucketOf(keys, n)))
+          .withColumn("__b", bucketOf(bcols, n)))
       val all = state.map(wb.unionByName(_)).getOrElse(wb)
       // repartition by __b: each bucket hashes wholly into one task → one
       // file per touched bucket per merge (no small-file creep); AQE

@@ -228,4 +228,41 @@ class KeyedStoreSpec extends SparkSpec {
         dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
     }
   }
+
+  test("prefix bucketCols enable pruned probe reads equal to a full-read join") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_bc").toString + "/t"
+    val rows = (0L until 200L).map(i => (i % 10, s"g${i % 10}_m$i", i, i))
+      .toDF("grp", "member", "payload", "seq")
+    KeyedStore.merge(rows, dir, keys = Seq("grp", "member"),
+      seqCols = Seq("seq"), numBuckets = 8, bucketCols = Seq("grp"))
+
+    // probe two groups: pruned read returns exactly the full-read subset
+    val probe = Seq(3L, 7L).toDF("grp")
+    val pruned = KeyedStore.readPruned(s, dir, probe).get
+      .join(probe, Seq("grp")).select("member").collect().map(_.getString(0)).toSet
+    val full = KeyedStore.read(s, dir).get
+      .join(probe, Seq("grp")).select("member").collect().map(_.getString(0)).toSet
+    assert(pruned == full && pruned.size == 40)
+
+    // and it really pruned: the frame reads fewer bucket dirs than the store has
+    val prunedFiles = KeyedStore.readPruned(s, dir, probe).get.inputFiles
+      .map(_.replaceAll("/[^/]*$", "")).toSet
+    val allFiles = KeyedStore.read(s, dir).get.inputFiles
+      .map(_.replaceAll("/[^/]*$", "")).toSet
+    assert(prunedFiles.size < allFiles.size,
+      s"pruned ${prunedFiles.size} vs ${allFiles.size} bucket dirs")
+
+    // a later merge must keep the persisted derivation (and reject drift)
+    KeyedStore.merge(Seq((3L, "g3_new", 999L, 999L)).toDF("grp", "member", "payload", "seq"),
+      dir, keys = Seq("grp", "member"), seqCols = Seq("seq"))
+    assert(KeyedStore.readPruned(s, dir, Seq(3L).toDF("grp")).get
+      .filter($"member" === "g3_new").count() == 1)
+    intercept[IllegalArgumentException] {
+      KeyedStore.merge(Seq((1L, "x", 1L, 1L)).toDF("grp", "member", "payload", "seq"),
+        dir, keys = Seq("grp", "member"), seqCols = Seq("seq"),
+        bucketCols = Seq("member"))
+    }
+  }
 }
