@@ -167,7 +167,7 @@ object KeyedStore {
     val f = fs(spark, path)
     val root = new Path(path)
     layoutGuard(f, root)
-    readCommit(f, root).map { case (_, dirs) =>
+    readCommit(f, root).filter(_._2.nonEmpty).map { case (_, dirs) =>
       val n = readBucketCount(f, root).getOrElse(
         throw new IllegalStateException(s"$path: committed state but no bucket count"))
       val bcols = readBucketColsMeta(f, root).getOrElse(
@@ -184,13 +184,85 @@ object KeyedStore {
     }
   }
 
+  /** GC: keep the newest `keepGenerations` manifests and every directory
+    * ANY retained manifest references; drop the rest (older generations +
+    * staged leftovers). A crash mid-GC just leaves garbage for the next
+    * writer's GC — never state. */
+  private def gc(f: FileSystem, root: Path, keepGenerations: Int): Unit = {
+    val retained = commitFiles(f, root).sortBy(-_._1).take(keepGenerations)
+    val keepCommits = retained.map(_._2.getName).toSet
+    val live = retained.flatMap { case (_, p) => parseManifest(f, p).values }.toSet
+    f.listStatus(root).map(_.getPath).foreach { p =>
+      val name = p.getName
+      val oldCommit = name.startsWith(CommitPrefix) && !keepCommits.contains(name) &&
+        name.drop(CommitPrefix.length).forall(_.isDigit)
+      val deadDir = name.startsWith(BucketPrefix) && !live.contains(name)
+      // a writeAtomic crashed between create and rename leaves a __tmp
+      // file whose generation is never retried — collect it here so crash
+      // garbage really is bounded by one writer pass
+      val deadTmp = name.startsWith("_") && name.endsWith("__tmp") &&
+        name != MetaFile + "__tmp"
+      if (oldCommit || deadDir || deadTmp) f.delete(p, true)
+    }
+  }
+
+  /** Compaction — the OPTIMIZE-style maintenance pass (single writer, like
+    * merge): rewrite every committed bucket at one fresh generation, folding
+    * accumulated per-merge files into one file per bucket, and optionally
+    * dropping delete tombstones. Tombstones are RETAINED by default — the
+    * store keeps them so a late lower-seq put cannot resurrect a deleted key
+    * (see the class doc); pass `dropTombstones = true` only when the caller
+    * can assert no straggler below the stored versions can still arrive
+    * (e.g. the upstream's watermark has passed). A bucket left empty by the
+    * drop leaves the new manifest entirely — readers treat an absent bucket
+    * as empty. Same crash protocol as merge: staged directories are
+    * invisible until the single manifest rename publishes all of them.
+    *
+    * No-op (and no new generation) on a store with no committed state. */
+  def compact(spark: SparkSession, path: String, dropTombstones: Boolean = false,
+      opCol: String = "op_type", deleteOp: String = "delete",
+      keepGenerations: Int = 1): Unit = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    layoutGuard(f, root)
+    readCommit(f, root).foreach { case (gen, dirs) =>
+      val newGen = gen + 1
+      val staged = dirs.toSeq.sortBy(_._1).flatMap { case (b, dirName) =>
+        val df0 = spark.read.parquet(new Path(root, dirName).toString)
+        val df = if (dropTombstones && df0.columns.contains(opCol))
+          df0.filter(col(opCol) =!= deleteOp) else df0
+        if (df.isEmpty) None // tombstone-only bucket: absent = empty to readers
+        else {
+          // buckets are rewritten in place-by-name — no re-hash: a committed
+          // row's bucket is already correct under the persisted derivation.
+          // The tmp name starts with "_" (layoutGuard-invisible) and ends
+          // with "__tmp" (collected by gc if a crash strands it).
+          val dst = new Path(root, s"$BucketPrefix${b}__g$newGen")
+          f.delete(dst, true) // crashed same-generation leftover
+          val tmp = new Path(root, s"_compact_b${b}__tmp")
+          f.delete(tmp, true)
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          if (!f.rename(tmp, dst))
+            throw new java.io.IOException(s"compact rename -> $dst failed")
+          Some(b -> dst.getName)
+        }
+      }
+      val manifest = staged.sortBy(_._1)
+        .map { case (i, d) => s"$i $d" }.mkString("\n")
+      writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
+      gc(f, root, keepGenerations)
+    }
+  }
+
   /** Full stored state, tombstones included — the latest committed manifest's
     * view. Staged-but-uncommitted directories are invisible by construction. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val f = fs(spark, path)
     val root = new Path(path)
     layoutGuard(f, root)
-    readCommit(f, root).map { case (_, dirs) =>
+    // a store compacted down to nothing (every bucket tombstone-only,
+    // dropTombstones) has a committed-but-empty manifest: no state to read
+    readCommit(f, root).filter(_._2.nonEmpty).map { case (_, dirs) =>
       spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
     }
   }
@@ -309,25 +381,7 @@ object KeyedStore {
       val manifest = newMap.toSeq.sortBy(_._1)
         .map { case (i, d) => s"$i $d" }.mkString("\n")
       writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
-      // GC: keep the newest `keepGenerations` manifests and every directory
-      // ANY retained manifest references; drop the rest (older generations +
-      // staged leftovers). A crash mid-GC just leaves garbage for the next
-      // merge's GC — never state.
-      val retained = commitFiles(f, root).sortBy(-_._1).take(keepGenerations)
-      val keepCommits = retained.map(_._2.getName).toSet
-      val live = retained.flatMap { case (_, p) => parseManifest(f, p).values }.toSet
-      f.listStatus(root).map(_.getPath).foreach { p =>
-        val name = p.getName
-        val oldCommit = name.startsWith(CommitPrefix) && !keepCommits.contains(name) &&
-          name.drop(CommitPrefix.length).forall(_.isDigit)
-        val deadDir = name.startsWith(BucketPrefix) && !live.contains(name)
-        // a writeAtomic crashed between create and rename leaves a __tmp
-        // file whose generation is never retried — collect it here so crash
-        // garbage really is bounded by one merge
-        val deadTmp = name.startsWith("_") && name.endsWith("__tmp") &&
-          name != MetaFile + "__tmp"
-        if (oldCommit || deadDir || deadTmp) f.delete(p, true)
-      }
+      gc(f, root, keepGenerations)
     } finally wb.unpersist()
   }
 }

@@ -229,6 +229,45 @@ class KeyedStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds generations, preserves state, drops tombstones only on request") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_cp").toString + "/t"
+    def merge(rows: Seq[(String, String, Long, String)]): Unit =
+      KeyedStore.merge(rows.toDF("k", "v", "seq", "op"), dir,
+        keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4, keepGenerations = 3)
+    merge(Seq(("a", "v1", 1L, "put"), ("b", "v1", 1L, "put"), ("c", "v1", 1L, "put")))
+    merge(Seq(("a", "v2", 2L, "put"), ("b", "", 2L, "delete")))
+    merge(Seq(("d", "v1", 3L, "put")))
+    assert(KeyedStore.generations(s, dir).size == 3)
+
+    def state(): Set[(String, String, Long, String)] =
+      KeyedStore.read(s, dir).get.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val before = state()
+    assert(before.exists(_._4 == "delete")) // the tombstone is stored
+
+    KeyedStore.compact(s, dir, opCol = "op", deleteOp = "delete")
+    // identical state (tombstone RETAINED), history folded to one generation
+    assert(state() == before)
+    assert(KeyedStore.generations(s, dir).size == 1)
+    // one file per bucket after the fold
+    val files = KeyedStore.read(s, dir).get.inputFiles
+    assert(files.length == files.map(_.replaceAll("/[^/]*$", "")).distinct.length)
+
+    // a merge on the compacted store keeps working
+    merge(Seq(("e", "v1", 4L, "put")))
+    assert(state().exists(_._1 == "e"))
+
+    // explicit tombstone drop: the delete row disappears, actives unchanged
+    val activeBefore = KeyedStore.readActive(s, dir, opCol = "op").get
+      .select("k").collect().map(_.getString(0)).toSet
+    KeyedStore.compact(s, dir, dropTombstones = true, opCol = "op", deleteOp = "delete")
+    assert(!state().exists(_._4 == "delete"))
+    assert(KeyedStore.readActive(s, dir, opCol = "op").get
+      .select("k").collect().map(_.getString(0)).toSet == activeBefore)
+  }
+
   test("prefix bucketCols enable pruned probe reads equal to a full-read join") {
     val s = spark
     import s.implicits._
