@@ -202,6 +202,17 @@ object ExtQueries {
         .toDF().orderBy(col("doc_id"))
     },
 
+    // Frame sampling (every 3rd 16-byte window): the explode-shaped
+    // generator contract of a video frame sampler, hash-checked on the
+    // (doc, frame index, frame size) layout.
+    "q_mm_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.withFakeMedia(docs(s, dir)), everyK = 3)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // REAL image decode round-trip: genuine BMP bytes built per doc (dims
     // derived from doc_id), then header+pixel-layout parsed back by the
     // partition-batched decoder. The oracle mirrors the dims/byte-size
@@ -927,6 +938,18 @@ object ExtQueries {
         |       64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 512 AS height,
         |       'fake/rgb8' AS fmt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0, ((n + 15) // 16) - 1, 3)) AS fi
+        |  FROM d)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |       CAST(LEAST(16, n - fi * 16) AS BIGINT) AS n_frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_mm_bmp" ->
       """WITH d AS (
