@@ -77,11 +77,17 @@ object Windows {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyName), col(tsName)).orderBy(ordCol.desc)))
       .filter(col("__rk") === 1).drop("__rk")
+    // Grid bounds via pmod (always non-negative for a positive step), not
+    // `div`: `div` truncates toward zero, so a ceil/floor idiom built on it
+    // breaks for negative (pre-1970 epoch-ms) timestamps. __start is the
+    // smallest step-multiple >= __lo, __stop the largest <= __hi — exact
+    // integer math, engine-agnostic (the DuckDB oracle mirrors it with a
+    // sign-adjusted `%`).
     val grid = dedup.groupBy(col(keyName))
       .agg(min(col(tsName)).as("__lo"), max(col(tsName)).as("__hi"))
       .select(col(keyName),
-        expr(s"((__lo + ${stepMs - 1}) div $stepMs) * $stepMs").as("__start"),
-        expr(s"(__hi div $stepMs) * $stepMs").as("__stop"))
+        (col("__lo") + pmod(-col("__lo"), lit(stepMs))).as("__start"),
+        (col("__hi") - pmod(col("__hi"), lit(stepMs))).as("__stop"))
       .filter(col("__start") <= col("__stop"))
       .select(col(keyName),
         explode(sequence(col("__start"), col("__stop"), lit(stepMs))).as(tsName))

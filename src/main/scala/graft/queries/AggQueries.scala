@@ -219,8 +219,8 @@ object AggQueries {
         |    FROM ev0) WHERE rk = 1),
         |b AS (
         |  SELECT user_id,
-        |         ((MIN(tms) + 3599999) // 3600000) * 3600000 AS lo,
-        |         (MAX(tms) // 3600000) * 3600000 AS hi
+        |         MIN(tms) + (((-MIN(tms)) % 3600000) + 3600000) % 3600000 AS lo,
+        |         MAX(tms) - (((MAX(tms)) % 3600000) + 3600000) % 3600000 AS hi
         |  FROM ev GROUP BY 1),
         |g AS (
         |  SELECT user_id, unnest(generate_series(lo, hi, 3600000)) AS tms

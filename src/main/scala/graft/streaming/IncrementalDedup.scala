@@ -41,7 +41,11 @@ object IncrementalDedup {
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("__fp")).orderBy(ordCol)))
       .filter(col("__rk") === 1).drop("__rk")
-    val fresh = (KeyedStore.read(spark, storePath) match {
+    // PRUNED read: only the store buckets the batch's fingerprints hash
+    // into are opened (the store is created with bucketCols = fp below), so
+    // the screen is O(batch) file IO at any index size.
+    val fresh = (KeyedStore.readPruned(spark, storePath,
+        firsts.select(col("__fp").as("fp"))) match {
       case Some(seen) => firsts.join(seen.select(col("fp").as("__fp")),
         Seq("__fp"), "left_anti")
       case None => firsts
@@ -50,7 +54,8 @@ object IncrementalDedup {
       .withColumn("batch_id", lit(batchId))
     if (!newFps.isEmpty)
       KeyedStore.merge(newFps, storePath, keys = Seq("fp"),
-        seqCols = Seq("batch_id"), numBuckets = numBuckets)
+        seqCols = Seq("batch_id"), numBuckets = numBuckets,
+        bucketCols = Seq("fp"))
     fresh.drop("__fp")
   }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 import graft.ops.Stateful
 
 /** Engine-local keyed upsert store: the batch-side half of the reference's
@@ -46,8 +47,19 @@ object KeyedStore {
   private[streaming] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private[streaming] def bucketOf(keys: Seq[String], n: Int): Column =
-    pmod(hash(keys.map(col): _*), lit(n))
+  /** Bucket id of a row. Spark's `hash()` is TYPE-sensitive (an INT 3 and a
+    * BIGINT 3 hash differently), so when the store persisted its bucket
+    * columns' types every derivation — batch, stored-state re-read, probe —
+    * casts to those types first; otherwise a probe frame whose column type
+    * drifted from the stored rows' would silently miss its buckets. */
+  private[streaming] def bucketOf(keys: Seq[String], n: Int,
+      types: Option[Seq[DataType]] = None): Column = {
+    val cs = types match {
+      case Some(ts) => keys.zip(ts).map { case (k, t) => col(k).cast(t) }
+      case None => keys.map(col)
+    }
+    pmod(hash(cs: _*), lit(n))
+  }
 
   private def readTextFile(f: FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -156,6 +168,23 @@ object KeyedStore {
       .map(_.stripPrefix("cols:").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
   }
 
+  /** Bucket columns' data types persisted at creation (`types:` meta line,
+    * `;`-separated catalog strings — `,` would split array/map types).
+    * Absent on stores written before types were recorded: those keep the
+    * uncast derivation they were created with. */
+  private[streaming] def readBucketTypesMeta(f: FileSystem, root: Path): Option[Seq[DataType]] = {
+    val p = new Path(root, MetaFile)
+    if (!f.exists(p)) None
+    else readTextFile(f, p).trim.linesIterator.toSeq.drop(1)
+      .find(_.startsWith("types:"))
+      .map(_.stripPrefix("types:").split(";").toSeq.map(s => DataType.fromDDL(s.trim)))
+  }
+
+  private def colsMetaContent(n: Int, bucketCols: Seq[String],
+      types: Seq[DataType]): String =
+    n.toString + "\ncols:" + bucketCols.mkString(",") +
+      "\ntypes:" + types.map(_.catalogString).mkString(";")
+
   /** Read ONLY the buckets that `probe`'s bucket-column values hash into —
     * O(probe-touched buckets) file reads regardless of store size, the scale
     * path for probing a corpus-sized index with a batch-sized key set. The
@@ -174,7 +203,7 @@ object KeyedStore {
         throw new IllegalArgumentException(
           s"$path was not created with explicit bucketCols — pruned reads " +
             "need the persisted derivation; use read() or recreate the store"))
-      val needed = probe.select(bucketOf(bcols, n).as("__b")).distinct()
+      val needed = probe.select(bucketOf(bcols, n, readBucketTypesMeta(f, root)).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted.filter(dirs.contains)
       if (needed.isEmpty)
         spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
@@ -322,9 +351,11 @@ object KeyedStore {
     f.mkdirs(root)
     layoutGuard(f, root)
     val storedCols = readBucketColsMeta(f, root)
+    val batchTypes = (cs: Seq[String]) => cs.map(c => batch.schema(c).dataType)
     val n = readBucketCount(f, root).getOrElse {
-      val meta = numBuckets.toString +
-        (if (bucketCols.nonEmpty) "\ncols:" + bucketCols.mkString(",") else "")
+      val meta =
+        if (bucketCols.nonEmpty) colsMetaContent(numBuckets, bucketCols, batchTypes(bucketCols))
+        else numBuckets.toString
       writeAtomic(f, root, new Path(root, MetaFile), meta); numBuckets
     }
     // the persisted derivation wins; a caller-supplied derivation on an
@@ -333,10 +364,21 @@ object KeyedStore {
     storedCols match {
       case Some(cs) => require(bucketCols.isEmpty || bucketCols == cs,
         s"bucketCols ${bucketCols.mkString(",")} != store's ${cs.mkString(",")}")
-      case None => require(bucketCols.isEmpty || readCommit(f, root).isEmpty,
-        "cannot add bucketCols to a store that already has keys-bucketed state")
+      case None if bucketCols.nonEmpty =>
+        require(readCommit(f, root).isEmpty,
+          "cannot add bucketCols to a store that already has keys-bucketed state")
+        // Heal the crash window where a prior merge persisted the bucket
+        // count but died before its first commit: with no committed state
+        // the derivation is still ours to set — rewrite the meta so the
+        // `cols:`/`types:` lines exist BEFORE any rows are bucketed by them
+        // (otherwise later merges would derive buckets from the full keys,
+        // mis-bucketing relative to this merge's committed rows).
+        writeAtomic(f, root, new Path(root, MetaFile),
+          colsMetaContent(n, bucketCols, batchTypes(bucketCols)))
+      case None => ()
     }
     val bcols = storedCols.getOrElse(if (bucketCols.nonEmpty) bucketCols else keys)
+    val btypes = readBucketTypesMeta(f, root)
     val (gen, committed) = readCommit(f, root).getOrElse((0L, Map.empty[Int, String]))
     val newGen = gen + 1
     // Pin the batch for the merge's TWO actions (touched-bucket collect +
@@ -344,7 +386,7 @@ object KeyedStore {
     // plan could hash rows into buckets absent from the first-pass touched
     // set — those rows would reach the staging dir but never be published, a
     // silent drop. Caching makes both actions see one materialization.
-    val wb = batch.withColumn("__b", bucketOf(bcols, n)).persist()
+    val wb = batch.withColumn("__b", bucketOf(bcols, n, btypes)).persist()
     try {
       // Touched-bucket ids: bounded by n (metadata-sized, like the
       // reference's config cardinality) — NOT a data-sized collect.
@@ -353,7 +395,7 @@ object KeyedStore {
       // Bucket files don't store __b (it's derivable); re-derive on read.
       val state = existing.headOption.map(_ =>
         spark.read.parquet(existing.map(_.toString).toIndexedSeq: _*)
-          .withColumn("__b", bucketOf(bcols, n)))
+          .withColumn("__b", bucketOf(bcols, n, btypes)))
       val all = state.map(wb.unionByName(_)).getOrElse(wb)
       // repartition by __b: each bucket hashes wholly into one task → one
       // file per touched bucket per merge (no small-file creep); AQE

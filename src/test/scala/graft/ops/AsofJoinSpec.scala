@@ -45,6 +45,24 @@ class AsofJoinSpec extends SparkSpec {
     ), s"got $set")
   }
 
+  test("resampleFfill grid uses floor semantics for negative (pre-1970) timestamps") {
+    val s = spark
+    import s.implicits._
+    // key n spans -7500..-500 ms: at step 1000 the grid must be the
+    // step-multiples inside the span, -7000..-1000 — a truncate-toward-zero
+    // `div` idiom would misplace both bounds by one step
+    val ev = Seq(("n", -7500L, 1.0, 1L), ("n", -500L, 2.0, 2L),
+        ("p", 1500L, 3.0, 3L), ("p", 3200L, 4.0, 4L))
+      .toDF("k", "tms", "value", "event_id")
+    val got = Windows.resampleFfill(ev, "k", "tms", Seq("value"),
+        stepMs = 1000L, ordCol = col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(t => (t._2, t._3)).sorted.toSeq }
+    assert(got("n") == (-7L to -1L).map(i => (i * 1000L, 1.0)),
+      s"negative-span grid wrong: ${got("n")}")
+    assert(got("p") == Seq((2000L, 3.0), (3000L, 3.0)))
+  }
+
   test("union-sort formulation shuffles exactly once (no pair explosion)") {
     val s = spark
     import s.implicits._

@@ -304,4 +304,54 @@ class KeyedStoreSpec extends SparkSpec {
         bucketCols = Seq("member"))
     }
   }
+
+  test("pruned probe is type-robust: an INT probe against BIGINT bucket cols still hits") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_ty").toString + "/t"
+    // grp is BIGINT in the stored rows
+    val rows = (0L until 100L).map(i => (i % 10, s"m$i", i)).toDF("grp", "member", "seq")
+    KeyedStore.merge(rows, dir, keys = Seq("grp", "member"), seqCols = Seq("seq"),
+      numBuckets = 8, bucketCols = Seq("grp"))
+    // the probe arrives as INT: hash(int 3) != hash(bigint 3), so without
+    // the persisted-type cast this would open the WRONG buckets and silently
+    // miss every match
+    val probe = Seq(3, 7).toDF("grp") // IntegerType
+    val hit = KeyedStore.readPruned(s, dir, probe).get
+      .filter($"grp".isin(3L, 7L)).select("member")
+      .collect().map(_.getString(0)).toSet
+    val want = KeyedStore.read(s, dir).get
+      .filter($"grp".isin(3L, 7L)).select("member")
+      .collect().map(_.getString(0)).toSet
+    assert(hit == want && hit.size == 20, s"pruned probe missed: ${hit.size}")
+  }
+
+  test("meta-upgrade crash window: count-only meta with no commit heals to a bucketCols store") {
+    val s = spark
+    import s.implicits._
+    // Simulate a merge that crashed after writing the meta (count only, no
+    // cols line) but before its first commit: a later bucketCols merge must
+    // persist the cols/types lines, or every subsequent merge would bucket
+    // by the full keys while this one bucketed by bucketCols.
+    val root = Files.createTempDirectory("keyedstore_heal").toString + "/t"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = KeyedStore.fs(s, root)
+    f.mkdirs(rootPath)
+    val out = f.create(new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets"), true)
+    out.write("8".getBytes("UTF-8")); out.close()
+
+    val rows = (0L until 100L).map(i => (i % 10, s"m$i", i)).toDF("grp", "member", "seq")
+    KeyedStore.merge(rows, root, keys = Seq("grp", "member"), seqCols = Seq("seq"),
+      numBuckets = 999 /* must be ignored: the crashed meta's 8 wins */,
+      bucketCols = Seq("grp"))
+    assert(KeyedStore.readBucketColsMeta(f, rootPath).contains(Seq("grp")))
+
+    // a follow-up merge WITHOUT bucketCols adopts the healed derivation, and
+    // pruned reads see both generations' rows
+    KeyedStore.merge(Seq((3L, "m_new", 999L)).toDF("grp", "member", "seq"),
+      root, keys = Seq("grp", "member"), seqCols = Seq("seq"))
+    val got = KeyedStore.readPruned(s, root, Seq(3L).toDF("grp")).get
+      .filter($"grp" === 3L).select("member").collect().map(_.getString(0)).toSet
+    assert(got == ((3L until 100L by 10L).map(i => s"m$i").toSet + "m_new"), s"got $got")
+  }
 }
