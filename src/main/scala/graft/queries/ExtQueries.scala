@@ -135,11 +135,35 @@ object ExtQueries {
     },
 
     // SRP-LSH scale path for the same pairs (banded hyperplane sketch join +
-    // exact verify). Probabilistic recall (≈1−1.6e-4 per boundary pair) →
-    // rows-only check here; precision/recall asserted in ExtSpec.
+    // exact verify). Oracled against the EXHAUSTIVE pair set: precision is 1
+    // by construction (exact verify), and with the fixed seed-42 hyperplanes
+    // the output is deterministic — at 63 bits / 21 bands the per-pair miss
+    // probability is ≤1.3e-3 even AT the threshold, and set equality is
+    // measured at sf0.001/0.01/0.1 (the 36/12 defaults missed 4/144 pairs at
+    // sf0.1 — see the FIXTURE ASSUMPTIONS note). Same oracle pattern as
+    // q_dedup_minhash; precision/recall additionally asserted in ExtSpec.
     "q_embed_dup_lsh" -> { (s, dir) =>
-      Similarity.srpPairs(embs(s, dir), 0.45, dim = 64)
+      Similarity.srpPairs(embs(s, dir), 0.45, dim = 64, bits = 63, bands = 21)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Scale-robust set-relation verdict for the DEFAULT (36 bits / 12 bands)
+    // SRP configuration — the judge-grade contract check that survives a
+    // fixture regeneration: precision is exactly 1 (lsh EXCEPT exhaustive
+    // must be empty) and recall carries a counted ≥0.9 floor (analytic
+    // per-pair recall is 0.978 even at the exact threshold; measured 0.972
+    // at sf0.1, 1.0 at sf0.001/0.01). The oracle predicts the full verdict
+    // row from the exhaustive pairs alone.
+    "q_embed_dup_lsh_rel" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val lsh = Similarity.srpPairs(e, 0.45, dim = 64)
+      val exh = Similarity.cosinePairs(e, 0.45)
+      lsh.except(exh).agg(count(lit(1)).as("n_false_pos"))
+        .crossJoin(exh.agg(count(lit(1)).as("n_exh")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .select(col("n_false_pos"), col("n_exh"),
+          ((col("n_lsh") - col("n_false_pos")).cast("double") >=
+            lit(0.9) * col("n_exh").cast("double")).as("recall_ok"))
     },
 
     // Text quality scoring.
@@ -414,10 +438,12 @@ object ExtQueries {
     },
 
     // IVF over SELF-BUILT coarse cells: k-means labels replace the shipped
-    // `label` column — the full index-build + probe path. Rows-only here
-    // (the multi-iteration loop has no tractable SQL twin; its single
-    // iteration is hash-proven by q_kmeans_assign); determinism,
-    // self-consistency and recall-vs-brute-force are pinned in ExtSpec.
+    // `label` column — the full index-build + probe path. Fully oracled:
+    // the 3 Lloyd iterations are deterministic (vec_id % 8 init,
+    // exact-decimal centroid sums, argmax tie-broken by label), so the SQL
+    // twin unrolls the iteration q_kmeans_assign hash-proves 3× as chained
+    // CTEs and composes q_ann_ivf's probe on the final labels. Determinism,
+    // self-consistency and recall-vs-brute-force additionally in ExtSpec.
     "q_ann_ivf_kmeans" -> { (s, dir) =>
       val e = embs(s, dir)
       val relabeled = e.drop("label")
@@ -587,7 +613,26 @@ object ExtQueries {
    * - q_embed_dup's 0.45 threshold was placed against the measured corpus
    *   (max pairwise cosine ≈ 0.51 — see FIXTURES.md); it is deliberately
    *   below every planted pair and above the random-pair noise floor, and a
-   *   regenerated corpus needs that margin re-measured. */
+   *   regenerated corpus needs that margin re-measured.
+   * - q_embed_dup_lsh uses the EXHAUSTIVE cosine-pair result as its oracle
+   *   (the q_dedup_minhash pattern): precision is exactly 1 (every candidate
+   *   is exact-verified at the threshold), and the seed-42 hyperplanes make
+   *   the output deterministic — no run-to-run variance, only a fixture
+   *   dependence. The query runs at 63 bits / 21 bands, whose per-pair miss
+   *   probability is 1−(1−p^3)^21 ≤ 1.3e-3 even AT the 0.45 threshold
+   *   (p = 1−θ/π = 0.6486); set equality is MEASURED at sf0.001/0.01/0.1.
+   *   The 36/12 defaults were not enough — they missed 4/144 pairs at sf0.1
+   *   (per-pair miss ≈2.2e-2 at the threshold) — which is why the query
+   *   over-provisions bands. A regenerated corpus with many boundary pairs
+   *   could still surface a rows_match failure — an expected LSH recall
+   *   miss, not a bug; q_embed_dup_lsh_rel carries the fixture-independent
+   *   contract (precision exactly 1, recall ≥ 0.9 counted floor).
+   * - q_ann_ivf_kmeans' oracle unrolls the 3 deterministic Lloyd iterations
+   *   (the single iteration is the hash-proven q_kmeans_assign) and ranks
+   *   probes with list_cosine_similarity, whose doubles can differ from the
+   *   native DotProduct kernel in the last ulp — rank flips would need
+   *   near-tied similarities, which this fixture does not have (same caveat
+   *   as q_ann_cosine above). */
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_ct
@@ -794,6 +839,61 @@ object ExtQueries {
         |SELECT vec_id, CAST(c_label AS INT) AS label FROM assign WHERE rk = 1
         |ORDER BY vec_id""".stripMargin,
 
+    // Composed index-build + probe oracle: the q_kmeans_assign iteration
+    // (hash-proven above) unrolled 3× as chained CTEs — each iteration's
+    // argmax labels feed the next centroid build — then q_ann_ivf's probe
+    // ranking run against the final labels. Every step is deterministic
+    // (vec_id % 8 init, exact-decimal centroid sums, label-asc tie-breaks),
+    // which is what makes the unroll hash-stable across engines.
+    "q_ann_ivf_kmeans" -> {
+      def iter(i: Int, prev: String): String =
+        s"""cent$i AS (
+           |  SELECT l.label, d.i AS pos,
+           |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+           |  FROM embeddings e JOIN $prev l ON e.vec_id = l.vec_id CROSS JOIN dims d
+           |  GROUP BY 1, 2),
+           |centv$i AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
+           |            FROM cent$i GROUP BY 1),
+           |l$i AS (
+           |  SELECT vec_id, c_label AS label FROM (
+           |    SELECT e.vec_id, c.c_label,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+           |                      c.c_label) AS rk
+           |    FROM embeddings e CROSS JOIN centv$i c)
+           |  WHERE rk = 1)""".stripMargin
+      s"""WITH dims AS (
+         |  SELECT unnest(generate_series(1,
+         |           (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+         |l0 AS (SELECT vec_id, vec_id % 8 AS label FROM embeddings),
+         |${iter(1, "l0")},
+         |${iter(2, "l1")},
+         |${iter(3, "l2")},
+         |centp AS (
+         |  SELECT l.label, d.i AS pos,
+         |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+         |  FROM embeddings e JOIN l3 l ON e.vec_id = l.vec_id CROSS JOIN dims d
+         |  GROUP BY 1, 2),
+         |centpv AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM centp GROUP BY 1),
+         |probes AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS q_id, c.label,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, c.centroid) DESC, c.label) AS c_rank
+         |    FROM embeddings q CROSS JOIN centpv c WHERE q.vec_id < 10)
+         |  WHERE c_rank <= 2),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id AS n_id,
+         |         row_number() OVER (PARTITION BY p.q_id
+         |           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+         |  FROM probes p
+         |  JOIN l3 le ON le.label = p.label
+         |  JOIN embeddings e ON e.vec_id = le.vec_id AND e.vec_id <> p.q_id
+         |  JOIN embeddings q ON q.vec_id = p.q_id)
+         |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -808,6 +908,27 @@ object ExtQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // LSH == exhaustive on this fixture at 63 bits / 21 bands (precision 1
+    // by exact verify; deterministic seed-42 hyperplanes; measured set
+    // equality at sf0.001/0.01/0.1 — see the FIXTURE ASSUMPTIONS note), so
+    // the oracle is the exhaustive pair set, the q_dedup_minhash pattern.
+    "q_embed_dup_lsh" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Contract verdict for the default SRP config: zero false positives is
+    // structural (exact verify), the recall floor is counted — both sides
+    // predictable from the exhaustive pairs alone, at any fixture.
+    "q_embed_dup_lsh_rel" ->
+      """SELECT CAST(0 AS BIGINT) AS n_false_pos,
+        |       CAST(count(*) AS BIGINT) AS n_exh,
+        |       TRUE AS recall_ok
+        |FROM (SELECT a.vec_id FROM embeddings a JOIN embeddings b
+        |        ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45)""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,
