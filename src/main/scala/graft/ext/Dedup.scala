@@ -63,17 +63,37 @@ object Dedup {
     * the available parallelism (e.g. a single-row-group local file). A wide
     * input passes through untouched — no unconditional shuffle baked in.
     *
-    * The width check is tiered to stay cheap at scale: a file-backed frame
-    * with ≥ parallelism files skips on METADATA alone (`inputFiles` walks the
-    * logical plan, no physical planning); only a few-file or non-file input
-    * pays the `.rdd` physical-planning probe for the accurate split count
-    * (where it is also test-sized). The probe sits outside AQE either way —
-    * acceptable for a gate whose false-positive cost is one narrow exchange. */
+    * Any FILE-BACKED frame decides on metadata alone (`inputFiles` walks the
+    * logical plan — no physical planning): ≥ parallelism files pass through,
+    * fewer files repartition. The trade in the few-file case is explicit: a
+    * handful of giant files might have split wide enough anyway, and the
+    * gate then pays one narrow exchange — cheap, bounded, and AQE-coalesced
+    * — instead of the unbounded `.rdd` cost of physically planning a 100 TB
+    * lineage on the driver, outside AQE. Only a NON-file input (in-memory
+    * test data, post-exchange views) still pays the `.rdd` probe for an
+    * accurate split count, and `spark.graft.spread.probe=false` turns even
+    * that into a pass-through for callers whose non-file lineage is too
+    * large to plan twice. [[SpreadProbe]] counts probe hits so tests can
+    * assert file inputs NEVER physically plan. */
   private[ext] def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= want) df
-    else if (df.rdd.getNumPartitions < want) df.repartition(want)
-    else df
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0) {
+      if (nFiles >= want) df else df.repartition(want)
+    } else if (!spark.conf.get("spark.graft.spread.probe", "true").toBoolean) {
+      df
+    } else {
+      SpreadProbe.hits.incrementAndGet()
+      if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    }
+  }
+
+  /** Driver-side counter of `.rdd` physical-planning probes taken by
+    * [[spread]] — instrumentation for the scale guard, asserted by
+    * `SpreadSpec` (a file-backed input must never plan physically). */
+  private[ext] object SpreadProbe {
+    val hits = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
   /** Shingle-set sizes per doc. */
