@@ -20,15 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Per-column profile of `cols`: non-null count, exact distinct count, and
-    * lexicographic min/max of the string rendering.
+  /** Per-column profile of `cols`: non-null count, distinct count (exact by
+    * default), and lexicographic min/max of the string rendering.
     *
+    * @param approx estimate distinct counts with HLL++
+    *               (`approx_count_distinct`, `rsd` relative error) instead of
+    *               exactly. The exact plan Expands the input ×(k+1) for k
+    *               distinct columns (measured ~7× wall at 10× rows —
+    *               SCALING.md); the approx plan keeps the scan single-width
+    *               (one fixed-size sketch per column, map-side combined), the
+    *               right trade at 100 TB when ~2 % error is acceptable.
+    * @param rsd    maximum estimation error of HLL++ (default 0.02); only
+    *               read when `approx` is set
     * @return one row per column: (col_name, n_nonnull, n_distinct, min_s, max_s) */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false,
+      rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
+      val nd = if (approx) approx_count_distinct(col(c), rsd)
+               else countDistinct(col(c))
       Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        nd.as(s"__nd_$c"),
         min(col(c).cast("string")).as(s"__mn_$c"),
         max(col(c).cast("string")).as(s"__mx_$c"))
     }

@@ -62,6 +62,32 @@ class SpanProfilePairSpec extends SparkSpec {
     assert(p("s") == ((3L, 3L, "a", "c")))
   }
 
+  test("approx profile: exact nn/extremes, distincts within rsd, no Expand") {
+    val df = graft.model.Envelopes.table(spark, sfDir(), "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_nonnull"), r.getAs[Long]("n_distinct"),
+          r.getAs[String]("min_s"), r.getAs[String]("max_s")))).toMap
+    val exact = Profile.profile(df, cols)
+    val approx = Profile.profile(df, cols, approx = true)
+    val (ex, ap) = (asMap(exact.collect()), asMap(approx.collect()))
+    cols.foreach { c =>
+      val ((nn, nd, mn, mx), (nnA, ndA, mnA, mxA)) = (ex(c), ap(c))
+      // everything but the distinct count is computed identically
+      assert((nnA, mnA, mxA) == ((nn, mn, mx)), s"$c non-distinct stats differ")
+      // HLL++ rsd=0.02: allow 3 sigma plus small-cardinality slack
+      val tol = math.max(4.0, 3 * 0.02 * nd)
+      assert(math.abs(ndA - nd) <= tol, s"$c: approx $ndA vs exact $nd (tol $tol)")
+    }
+    // the plan property the mode exists for: exact multi-distinct Expands
+    // the scan ×(k+1); the sketch plan must not Expand at all
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-distinct should plan an Expand")
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must keep the scan single-width")
+  }
+
   test("negativePairs: m distinct non-self partners, stable under repartition") {
     val docs = graft.model.Envelopes.table(spark, sfDir(), "documents")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
