@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.SparkEntry
+import graft.ext.Dedup
 
 /** Scaling probe (dev tool, not part of the driver protocol): synthesizes an
   * N× copy of the sf0.1 testdata under /tmp with shifted keys, properly
@@ -24,9 +25,28 @@ object ScaleProbe {
     def ev(c: Int) = spark.read.parquet(s"$srcDir/events.parquet")
       .withColumn("event_id", col("event_id") + lit(c * KeyShift))
       .withColumn("user_id", col("user_id") + lit(c * 10000L))
-    def doc(c: Int) = spark.read.parquet(s"$srcDir/documents.parquet")
-      .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
-      .withColumn("text", concat(col("text"), lit(s" copytoken$c a$c b$c")))
+    // A real corpus's vocabulary grows with its size; naive text replication
+    // instead multiplies cross-doc shingle collisions until the C4-style
+    // span screen drops everything (round-4 fixture note in SCALING.md). So
+    // each copy rewrites CONTENT tokens with a copy-specific letters-only
+    // suffix: within-copy token structure is a bijection of the base (every
+    // shingle/Jaccard/cluster relation is preserved per copy — true dup
+    // pairs grow linearly with copies, the realistic shape), while
+    // cross-copy 3-gram collisions need 3 consecutive stopwords. Stopwords
+    // stay verbatim (stop_ratio unchanged) and tags are lowercase letters
+    // (alpha_ratio undamaged), so the quality screen keeps its 1× behavior.
+    def doc(c: Int) = {
+      val base = spark.read.parquet(s"$srcDir/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+      if (c == 0) base
+      else {
+        val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
+        base.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => when(t.isin("the", "a", "of", "to", "and"), t)
+              .otherwise(concat(t, lit(tag)))), " "))
+      }
+    }
     def emb(c: Int) = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .withColumn("vec_id", col("vec_id") + lit(c * KeyShift))
 
@@ -82,7 +102,110 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Exact-vs-approx profile probe: times `Profile.profile` in both modes on
+    * the N×-replicated orders table and reports the per-column distinct-count
+    * error — the measured side of the Expand-×(k+1) vs HLL-sketch trade.
+    *
+    * Usage: runMain graft.tools.ScaleProbe profile [copies] [outDir] */
+  def profileProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/orders.parquet").exists())
+      replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val df = spark.read.parquet(s"$outDir/orders.parquet")
+    df.count() // footer/JIT warm
+    def time(approx: Boolean): (Double, Map[String, Long]) = {
+      val t0 = System.nanoTime()
+      val rows = graft.ext.Profile.profile(df, cols, approx = approx).collect()
+      ((System.nanoTime() - t0) / 1e9,
+        rows.map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap)
+    }
+    val (tExact, ndExact) = time(approx = false)
+    val (tApprox, ndApprox) = time(approx = true)
+    println(f"PROFILE exact  ${copies}x: $tExact%.2f s")
+    println(f"PROFILE approx ${copies}x: $tApprox%.2f s (${tExact / tApprox}%.1fx faster)")
+    cols.foreach { c =>
+      val (e, a) = (ndExact(c), ndApprox(c))
+      val err = if (e == 0) 0.0 else math.abs(a - e).toDouble / e
+      println(f"PROFILE $c exact=$e approx=$a err=${err * 100}%.2f%%")
+    }
+    spark.stop()
+  }
+
+  /** 100×-class probe for the LSH dedup family — the most scale-critical
+    * LLM operator. Measures, at 1× (sf0.1) and N× replicated documents:
+    * the LSH CANDIDATE count (band-bucket collisions before verify), the
+    * verified true-pair count, their ratio (the candidates-∝-true-pairs
+    * property — a fixed-vocabulary replicator degrades it quadratically;
+    * the vocabulary-growing replicator keeps both linear in copies), and
+    * the full `q_dedup_clusters_lsh` wall + final AQE plan (dumped under
+    * `<outDir>/plans/`).
+    *
+    * Usage: runMain graft.tools.ScaleProbe dedup [copies] [outDir] */
+  def dedup(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/documents.parquet").exists())
+      replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+    def mix(plan: String): String = Seq(
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(k => s"$k=${plan.sliding(k.length).count(_ == k)}").mkString(", ")
+    val planDir = new java.io.File(s"$outDir/plans"); planDir.mkdirs()
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
+        (outDir, s"${copies}x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val sh = Dedup.shingles(docs, col("doc_id"), col("text")).persist()
+      val sig = Dedup.minhashSignatures(sh)
+      val buckets = Dedup.bandBuckets(sig)
+      val t0 = System.nanoTime()
+      val candDf = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      val candidates = candDf.count()
+      val tCand = (System.nanoTime() - t0) / 1e9
+      // the band-bucket self-join IS the scale-critical plan (the cluster
+      // query's own executedPlan is a post-checkpoint scan — useless here)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$planDir/lsh_band_join_$label.txt"),
+        candDf.queryExecution.executedPlan.toString)
+      println(s"DEDUP $label band-join plan: " +
+        mix(candDf.queryExecution.executedPlan.toString))
+      val t1 = System.nanoTime()
+      val truePairs = Dedup.minhashLshPairs(sh, 1, 2).count()
+      val tPairs = (System.nanoTime() - t1) / 1e9
+      sh.unpersist()
+      val t2 = System.nanoTime()
+      val q = SparkEntry.queries("q_dedup_clusters_lsh")(spark, dir)
+      val nClustered = q.count()
+      val tFull = (System.nanoTime() - t2) / 1e9
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$planDir/q_dedup_clusters_lsh_$label.txt"),
+        q.queryExecution.executedPlan.toString)
+      println(f"DEDUP $label: docs=$nDocs candidates=$candidates " +
+        f"truePairs=$truePairs ratio=${candidates.toDouble / math.max(1, truePairs)}%.2f " +
+        f"candWall=$tCand%.1f s pairsWall=$tPairs%.1f s clustersWall=$tFull%.1f s " +
+        f"(${nClustered} clustered docs) [${mix(q.queryExecution.executedPlan.toString)}]")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup")) {
+      dedup(args.lift(1).map(_.toInt).getOrElse(100),
+        args.lift(2).getOrElse("/tmp/graft_scale100"))
+      return
+    }
+    if (args.headOption.contains("profile")) {
+      profileProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_probe"))
+      return
+    }
     if (args.headOption.contains("flagship")) {
       flagship(args.lift(1).map(_.toInt).getOrElse(100),
         args.lift(2).getOrElse("/tmp/graft_scale100"))
