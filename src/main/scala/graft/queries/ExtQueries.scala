@@ -26,16 +26,41 @@ object ExtQueries {
     * duplicate set, never the corpus). Entries live for the session; results
     * are order-independent because any consumer that arrives first computes
     * the identical deterministic table. */
+  /** The verified MinHash+LSH pair table at Jaccard ≥ 1/2, computed ONCE per
+    * (session, corpus dir): `q_dedup_minhash` reports it directly and
+    * [[lshClusterLabels]] clusters over it — one LSH run feeding both, the
+    * same share-the-intermediate shape as the label memo below. The value is
+    * the eagerly-checkpointed pair table `minhashLshPairs` returns
+    * (pairs-sized, detached from every cache). */
+  private val lshPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsMemo.computeIfAbsent((s, dir), { case (s, dir) =>
+      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist()
+      // the operator materializes eagerly (checkpointed pairs), so the
+      // shingle cache is fully consumed before the unpersist
+      val out = Dedup.minhashLshPairs(sh, 1, 2)
+      sh.unpersist()
+      out
+    })
+
+  /** Exhaustive cosine-pair table at threshold 0.45, computed once per
+    * (session, corpus dir) and shared by `q_embed_dup` (reports it) and
+    * `q_embed_dup_lsh_rel` (uses it as the set-relation reference) — the
+    * deliberate oracle-baseline crossJoin runs once, not per consumer. */
+  private val cosPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def cosinePairs045(s: SparkSession, dir: String): DataFrame =
+    cosPairsMemo.computeIfAbsent((s, dir), { case (s, dir) =>
+      Similarity.cosinePairs(embs(s, dir), 0.45).localCheckpoint(true)
+    })
+
   private val lshLabelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def lshClusterLabels(s: SparkSession, dir: String): DataFrame =
     lshLabelsMemo.computeIfAbsent((s, dir), { case (s, dir) =>
-      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist()
-      // both operators materialize eagerly (checkpointed pairs / labels), so
-      // the shingle cache is fully consumed before the unpersist
-      val out = Dedup.connectedComponents(Dedup.minhashLshPairs(sh, 1, 2))
-      sh.unpersist()
-      out
+      // connectedComponents materializes eagerly (checkpointed labels)
+      Dedup.connectedComponents(lshPairs(s, dir))
     })
 
   val queries: Map[String, QFn] = Map(
@@ -61,16 +86,11 @@ object ExtQueries {
 
     // MinHash(32)+LSH(16 bands) candidates, exact-verified at Jaccard ≥ 0.5.
     // Same result as q_dedup_ngram (recall ≈ 1−3e-12 for this corpus's ≥0.9
-    // near-dup pairs) at a fraction of the join fan-out. The shingle table is
-    // consumed by three stages (signatures + both verify sides), so the query
-    // pins it for the operator's EAGER construction (the verified pairs are
-    // checkpointed inside minhashLshPairs) and releases it before returning —
-    // no cached blocks outlive the call.
+    // near-dup pairs) at a fraction of the join fan-out. Served from the
+    // shared [[lshPairs]] intermediate — the cluster path consumes the same
+    // table, and a pipeline runs LSH once for both.
     "q_dedup_minhash" -> { (s, dir) =>
-      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist()
-      val out = Dedup.minhashLshPairs(sh, 1, 2).orderBy(col("a_id"), col("b_id"))
-      sh.unpersist()
-      out
+      lshPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
     // Near-dup clusters: connected components over the Jaccard≥0.5 pairs,
@@ -128,10 +148,10 @@ object ExtQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
-    // Embedding near-dup pairs at cosine ≥ 0.45.
+    // Embedding near-dup pairs at cosine ≥ 0.45 (shared [[cosinePairs045]]
+    // intermediate — the LSH set-relation check reads the same table).
     "q_embed_dup" -> { (s, dir) =>
-      Similarity.cosinePairs(embs(s, dir), 0.45)
-        .orderBy(col("a_id"), col("b_id"))
+      cosinePairs045(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
     // SRP-LSH scale path for the same pairs (banded hyperplane sketch join +
@@ -156,8 +176,11 @@ object ExtQueries {
     // row from the exhaustive pairs alone.
     "q_embed_dup_lsh_rel" -> { (s, dir) =>
       val e = embs(s, dir)
-      val lsh = Similarity.srpPairs(e, 0.45, dim = 64)
-      val exh = Similarity.cosinePairs(e, 0.45)
+      // both pair sets are consumed twice (except + their own counts) and
+      // are tiny (≈#true pairs); the LSH side is pinned here, the exhaustive
+      // side is the shared memoized table
+      val lsh = Similarity.srpPairs(e, 0.45, dim = 64).localCheckpoint(true)
+      val exh = cosinePairs045(s, dir)
       lsh.except(exh).agg(count(lit(1)).as("n_false_pos"))
         .crossJoin(exh.agg(count(lit(1)).as("n_exh")))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
