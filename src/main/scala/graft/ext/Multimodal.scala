@@ -105,22 +105,94 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, width: Long, height: Long,
       media: Array[Byte])
 
-  /** STUB resize to a bounding box: real code would decode → scale → re-encode
-    * per partition; the stub deterministically truncates/repeats bytes to the
-    * target "pixel" count so downstream schema/size contracts are exercised. */
+  /** Decode a 24-bit bottom-up BMP (the layout [[encodeBmp]] writes) into
+    * (width, height, pixel accessor returning 0xRRGGBB). Builds on
+    * [[decodeBmpDims]]' full header validation; None for anything that
+    * isn't the positive-height 24-bit layout. */
+  def decodeBmp24(bytes: Array[Byte]): Option[(Int, Int, (Int, Int) => Int)] =
+    decodeBmpDims(bytes) match {
+      case Some((w, h, 24)) =>
+        val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        if (b.getInt(22) <= 0) None // top-down: not the encodeBmp layout
+        else {
+          val offBits = b.getInt(10)
+          val (wi, hi) = (w.toInt, h.toInt)
+          val stride = (wi * 3 + 3) & ~3
+          Some((wi, hi, (x: Int, y: Int) => {
+            val off = offBits + (hi - 1 - y) * stride + x * 3 // bottom-up rows
+            (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+              ((bytes(off + 2) & 0xff) << 16)
+          }))
+        }
+      case _ => None
+    }
+
+  /** Aspect-preserving fit of (w0, h0) into (maxW, maxH) in EXACT integer
+    * arithmetic (cross-multiplied ratio compare, floor division) — no float
+    * scale factor, so any engine reproduces the target dims bit-for-bit. */
+  private[ext] def fitBox(w0: Int, h0: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w0 <= maxW && h0 <= maxH) (w0, h0)
+    else if (w0.toLong * maxH <= maxW.toLong * h0) // height-bound
+      (math.max(1, (w0.toLong * maxH / h0).toInt), maxH)
+    else
+      (maxW, math.max(1, (h0.toLong * maxW / w0).toInt))
+
+  /** Resize media to fit a bounding box. REAL for 24-bit BMP — decode →
+    * nearest-neighbor remap (source index `x·w0/w` in integer floor
+    * division) → re-encode, all exact integer arithmetic, so the full
+    * decode→resize→re-encode round trip is oracle-checkable — and a
+    * documented deterministic STUB for other formats (truncate/repeat bytes
+    * to the target "pixel" count; real code would hand the partition
+    * iterator to a codec, set up once per partition). */
   def resize(df: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    require(maxW >= 1 && maxH >= 1, s"bad box ${maxW}x$maxH")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val n = bytes.length.toLong
-          val (w0, h0) = fakeDims(n)
-          val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
-          val (w, h) = (math.max(1L, (w0 * scale).toLong), math.max(1L, (h0 * scale).toLong))
-          // STUB: a real implementation re-encodes; we size the buffer as w*h/64
-          val out = java.util.Arrays.copyOf(bytes, math.max(1, (w * h / 64).toInt))
-          ResizedMedia(id, w, h, out)
+          decodeBmp24(bytes) match {
+            case Some((w0, h0, px)) =>
+              val (w, h) = fitBox(w0, h0, maxW, maxH)
+              val out = encodeBmp(w, h,
+                (x, y) => px((x * w0) / w, (y * h0) / h))
+              ResizedMedia(id, w.toLong, h.toLong, out)
+            case None =>
+              val n = bytes.length.toLong
+              val (w0, h0) = fakeDims(n)
+              val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+              val (w, h) = (math.max(1L, (w0 * scale).toLong), math.max(1L, (h0 * scale).toLong))
+              // STUB: a real implementation re-encodes; buffer sized w*h/64
+              val out = java.util.Arrays.copyOf(bytes, math.max(1, (w * h / 64).toInt))
+              ResizedMedia(id, w, h, out)
+          }
+        }
+      }
+  }
+
+  final case class BmpStats(doc_id: Long, width: Long, height: Long,
+      n_bytes: Long, px_sum: Long)
+
+  /** Exact pixel checksum of a 24-bit BMP column: decode every pixel and sum
+    * the 0xRRGGBB values — the verification tail that proves a
+    * decode→transform→re-encode pipeline preserved actual pixel data, not
+    * just headers. Non-BMP rows are dropped (this is a BMP verifier). */
+  def bmpPixelStats(df: DataFrame): Dataset[BmpStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeBmp24(bytes).map { case (w, h, px) =>
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += px(x, y); x += 1 }
+              y += 1
+            }
+            BmpStats(id, w.toLong, h.toLong, bytes.length.toLong, s)
+          }
         }
       }
   }

@@ -276,6 +276,25 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Real BMP resize round trip: synthesize per-doc BMPs (q_mm_bmp's pixel
+    // formula), nearest-neighbor resize into a 12×6 box — integer-exact
+    // target dims (cross-multiplied fit) and integer-floor source mapping —
+    // re-encode, then DECODE THE RESIZED BYTES and checksum every pixel.
+    // The oracle replays dims, byte size, and the full pixel sum
+    // arithmetically: header-only parity could not fake this.
+    "q_mm_resize" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (16 + (id % 10).toInt, 8 + (id % 5).toInt)
+        (id, Multimodal.encodeBmp(w, h, (x, y) => (x * 31 + y * 7 + id.toInt) & 0xffffff))
+      }.toDF("doc_id", "media")
+      Multimodal.bmpPixelStats(Multimodal.resize(media, 12, 6).toDF()).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          col("px_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // Real PCM-WAV round-trip (audio twin of q_mm_bmp): encode canonical
     // RIFF/WAVE bytes per doc, parse the header back, derive duration.
     "q_mm_wav" -> { (s, dir) =>
@@ -1104,6 +1123,33 @@ object ExtQueries {
         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |       'image/bmp' AS fmt
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Dims from the integer cross-multiplied box fit; px_sum replays the
+    // synthesized pixel formula through the integer-floor NN source mapping.
+    "q_mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + doc_id % 10 AS w0, 8 + doc_id % 5 AS h0
+        |  FROM documents),
+        |dim AS (
+        |  SELECT doc_id, w0, h0,
+        |    CASE WHEN w0 * 6 <= 12 * h0
+        |         THEN greatest(1, (w0 * 6) // h0) ELSE 12 END AS w,
+        |    CASE WHEN w0 * 6 <= 12 * h0
+        |         THEN 6 ELSE greatest(1, (h0 * 12) // w0) END AS h
+        |  FROM d),
+        |xs AS (SELECT unnest(generate_series(0, 11)) AS xx),
+        |ys AS (SELECT unnest(generate_series(0, 5)) AS yy),
+        |sums AS (
+        |  SELECT m.doc_id,
+        |    CAST(SUM((((xx * w0) // w) * 31 + ((yy * h0) // h) * 7 + m.doc_id)
+        |             & 16777215) AS BIGINT) AS px_sum
+        |  FROM dim m JOIN xs ON xx < m.w JOIN ys ON yy < m.h
+        |  GROUP BY 1)
+        |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+        |       CAST(54 + ((m.w * 3 + 3) // 4) * 4 * m.h AS BIGINT) AS n_bytes,
+        |       s.px_sum
+        |FROM dim m JOIN sums s ON m.doc_id = s.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     "q_mm_wav" ->
       """WITH d AS (

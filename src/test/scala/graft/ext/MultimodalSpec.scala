@@ -49,6 +49,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmpDims(fake).isEmpty)
   }
 
+  test("BMP resize is REAL: NN-remapped pixels survive the re-encode round trip") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 24L).toDF("doc_id")
+      .as[Long].map { id =>
+        val (w, h) = (16 + (id % 10).toInt, 8 + (id % 5).toInt)
+        (id, Multimodal.encodeBmp(w, h, (x, y) => (x * 31 + y * 7 + id.toInt) & 0xffffff))
+      }.toDF("doc_id", "media")
+    val out = Multimodal.resize(docs, 12, 6).collect()
+    assert(out.length == 24)
+    out.foreach { r =>
+      val id = r.doc_id
+      val (w0, h0) = (16 + (id % 10).toInt, 8 + (id % 5).toInt)
+      val (w, h) = Multimodal.fitBox(w0, h0, 12, 6)
+      assert((r.width, r.height) == ((w.toLong, h.toLong)))
+      // decode the RESIZED bytes: every pixel must equal the source pixel
+      // at the integer-floor NN index — real pixels, not just headers
+      val Some((dw, dh, px)) = Multimodal.decodeBmp24(r.media)
+      assert((dw, dh) == ((w, h)))
+      for (x <- 0 until w; y <- 0 until h)
+        assert(px(x, y) ==
+          ((((x * w0) / w) * 31 + ((y * h0) / h) * 7 + id.toInt) & 0xffffff))
+    }
+    // aspect preserved within integer floor: a tall box binds on height
+    assert(Multimodal.fitBox(16, 8, 12, 6) == ((12, 6)))
+    assert(Multimodal.fitBox(25, 8, 12, 6) == ((12, 3)))
+    assert(Multimodal.fitBox(4, 4, 12, 6) == ((4, 4))) // already fits: no-op
+  }
+
   test("resize respects the bounding box; frame sampling keeps every k-th frame") {
     val docs = Multimodal.withFakeMedia(
       graft.model.Envelopes.table(spark, sfDir(), "documents").limit(20))
