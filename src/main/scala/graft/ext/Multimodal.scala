@@ -270,6 +270,72 @@ object Multimodal {
       }
     }
 
+  final case class DecimatedAudio(doc_id: Long, channels: Int,
+      sample_rate: Int, n_samples: Long, media: Array[Byte])
+
+  /** Every-k-th-frame decimation — the audio twin of [[resize]]'s real
+    * path: canonical 16-bit PCM WAV decodes for REAL (sample frames at
+    * indexes 0, k, 2k, … survive, all channels interleaved; the output is a
+    * re-encoded canonical WAV at rate/k), everything else takes a
+    * deterministic STUB (every k-th byte). Pure integer arithmetic
+    * end-to-end: kept-frame count is ceil(n/k) by integer division and
+    * samples are copied bit-for-bit, so the full decode→decimate→re-encode
+    * round trip is oracle-checkable. (Naive decimation aliases above the new
+    * Nyquist rate — a production resampler low-passes first; the frame
+    * selection and re-encode plumbing here is what the operator contract
+    * pins, and a filter would slot into the same per-partition loop.) */
+  def decimateWav(df: DataFrame, k: Int): Dataset[DecimatedAudio] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavMeta(bytes) match {
+            case Some((ch, rate, 16, ns)) =>
+              val b = java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nk = ((ns + k - 1) / k).toInt
+              val outRate = math.max(1, rate / k)
+              val out = encodeWav(ch, outRate, nk,
+                (j, c) => b.getShort(44 + ((j.toLong * k * ch + c) * 2).toInt))
+              DecimatedAudio(id, ch, outRate, nk.toLong, out)
+            case _ =>
+              // STUB: every k-th raw byte; metadata mirrors the fake/pcm8
+              // posture of decodeAudioMeta
+              val kept = Array.tabulate((bytes.length + k - 1) / k)(i => bytes(i * k))
+              DecimatedAudio(id, 1, math.max(1, 8000 / k), kept.length.toLong, kept)
+          }
+        }
+      }
+  }
+
+  final case class WavStats(doc_id: Long, channels: Int, sample_rate: Int,
+      n_samples: Long, n_bytes: Long, smp_sum: Long)
+
+  /** Exact sample checksum of a canonical 16-bit PCM WAV column: decode
+    * every sample of every channel and sum — the verification tail proving
+    * an audio transform preserved actual sample data, not just headers.
+    * Non-WAV rows are dropped (this is a WAV verifier). */
+  def wavSampleStats(df: DataFrame): Dataset[WavStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWavMeta(bytes).collect { case (ch, rate, 16, ns) =>
+            val b = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var s = 0L
+            var i = 0
+            val total = (ns * ch).toInt
+            while (i < total) { s += b.getShort(44 + i * 2); i += 1 }
+            WavStats(id, ch, rate, ns, bytes.length.toLong, s)
+          }
+        }
+      }
+  }
+
   final case class AudioMeta(doc_id: Long, n_bytes: Long, channels: Int,
       sample_rate: Int, bits: Int, n_samples: Long, duration_ms: Long,
       fmt: String)

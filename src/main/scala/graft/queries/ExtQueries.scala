@@ -313,6 +313,27 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Real WAV decimation round trip (audio twin of q_mm_resize): encode
+    // per-doc canonical PCM WAVs, keep every 4th sample frame, re-encode at
+    // rate/4, then DECODE THE DECIMATED BYTES and checksum every sample —
+    // the oracle replays frame count, byte size, rate, and the complete
+    // sample sum arithmetically.
+    "q_mm_decimate" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val ch = 1 + (id % 2).toInt
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val ns = 100 + (id % 50).toInt
+        (id, Multimodal.encodeWav(ch, rate, ns,
+          (i, c) => ((i * ch + c + id) % 32768).toShort))
+      }.toDF("doc_id", "media")
+      Multimodal.wavSampleStats(Multimodal.decimateWav(media, 4).toDF()).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), col("n_bytes"), col("smp_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic 10% sample — same rows on every rerun/repartition.
     "q_sample_det" -> { (s, dir) =>
       Curation.deterministicSample(docs(s, dir), col("doc_id"), 10)
@@ -1149,6 +1170,28 @@ object ExtQueries {
         |       CAST(54 + ((m.w * 3 + 3) // 4) * 4 * m.h AS BIGINT) AS n_bytes,
         |       s.px_sum
         |FROM dim m JOIN sums s ON m.doc_id = s.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
+    // Decimated-frame count, rate and byte size by integer division; smp_sum
+    // replays the synthesized sample formula at the kept frame indexes.
+    "q_mm_decimate" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch, 8000 * (1 + doc_id % 3) AS rate0,
+        |         100 + doc_id % 50 AS ns
+        |  FROM documents),
+        |m AS (SELECT doc_id, ch, rate0 // 4 AS rate, (ns + 3) // 4 AS nk FROM d),
+        |js AS (SELECT unnest(generate_series(0, 37)) AS j),
+        |cs AS (SELECT unnest(generate_series(0, 1)) AS c),
+        |sums AS (
+        |  SELECT m.doc_id,
+        |         CAST(SUM((j * 4 * m.ch + c + m.doc_id) % 32768) AS BIGINT) AS smp_sum
+        |  FROM m JOIN js ON j < m.nk JOIN cs ON c < m.ch
+        |  GROUP BY 1)
+        |SELECT m.doc_id, CAST(m.ch AS INT) AS channels,
+        |       CAST(m.rate AS INT) AS sample_rate,
+        |       CAST(m.nk AS BIGINT) AS n_samples,
+        |       CAST(44 + m.nk * m.ch * 2 AS BIGINT) AS n_bytes, s.smp_sum
+        |FROM m JOIN sums s ON m.doc_id = s.doc_id
         |ORDER BY m.doc_id""".stripMargin,
 
     "q_mm_wav" ->

@@ -96,6 +96,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length <= total / 4 + 20)
   }
 
+  test("WAV decimation is REAL: kept frames survive the re-encode bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 24L).toDF("doc_id").as[Long].map { id =>
+      val ch = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val ns = 100 + (id % 50).toInt
+      (id, Multimodal.encodeWav(ch, rate, ns,
+        (i, c) => ((i * ch + c + id) % 32768).toShort))
+    }.toDF("doc_id", "media")
+    val out = Multimodal.decimateWav(docs, 4).collect()
+    assert(out.length == 24)
+    out.foreach { r =>
+      val id = r.doc_id
+      val ch = 1 + (id % 2).toInt
+      val ns = 100 + (id % 50).toInt
+      assert(r.channels == ch)
+      assert(r.sample_rate == 8000 * (1 + (id % 3).toInt) / 4)
+      assert(r.n_samples == (ns + 3) / 4)
+      // decode the DECIMATED bytes: frame j must equal source frame 4j on
+      // every channel — real samples, not just a rewritten header
+      val Some((dch, drate, 16, dns)) = Multimodal.decodeWavMeta(r.media)
+      assert((dch, drate, dns) == ((r.channels, r.sample_rate, r.n_samples)))
+      val b = java.nio.ByteBuffer.wrap(r.media)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (j <- 0 until dns.toInt; c <- 0 until ch)
+        assert(b.getShort(44 + (j * ch + c) * 2) ==
+          ((j * 4 * ch + c + id) % 32768).toShort)
+    }
+    // stub path: non-WAV bytes keep every 4th byte
+    val stubIn = Multimodal.withFakeMedia(
+      Envelopes.table(spark, sfDir(), "documents").limit(3))
+    Multimodal.decimateWav(stubIn, 4).collect().zip(stubIn.collect()).foreach {
+      case (dec, src) =>
+        val raw = src.getAs[Array[Byte]]("media")
+        assert(dec.media.toSeq == raw.indices.collect {
+          case i if i % 4 == 0 => raw(i) }.toSeq)
+    }
+  }
+
   test("WAV media decodes for REAL; non-WAV bytes take the stub path") {
     val s = spark
     import s.implicits._
