@@ -237,6 +237,32 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
+  /** Matryoshka truncation: keep the first `k` dimensions and L2-renormalize
+    * — the MRL-style (Kusupati et al., "Matryoshka Representation Learning")
+    * index-shrink step of an embedding pipeline: a 4× dim cut is a 4× cut in
+    * ANN index bytes and dot-product cost at a small recall trade, provided
+    * the prefix is re-normalized so cosine stays a dot product.
+    *
+    * Row-local (no shuffle) and bit-deterministic: the prefix norm is the
+    * same double left-fold [[dot]] runs (native codegen), each element is
+    * divided in double and cast back to float — float→double promotion,
+    * divide, sqrt and the float cast are all IEEE correctly-rounded, so an
+    * oracle reproduces every component exactly. Zero-prefix vectors (all
+    * first-k components 0) yield an all-zero prefix rather than NaNs.
+    *
+    * @return (vec_id, emb_k : array<float>) */
+  def matryoshka(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pre = slice(col("embedding"), 1, k)
+    val nrm = sqrt(dotF(col("__pre"), col("__pre")))
+    emb.select(col("vec_id"), pre.as("__pre"))
+      .select(col("vec_id"),
+        when(nrm === lit(0.0), transform(col("__pre"), _ => lit(0.0f)))
+          .otherwise(transform(col("__pre"),
+            x => (x.cast("double") / nrm).cast("float")))
+          .as("emb_k"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4× storage /
     * bandwidth compression step of a 100 TB ANN index build: per vector,
     * `scale = 127 / max|x|` and each element becomes

@@ -189,6 +189,18 @@ object ExtQueries {
             lit(0.9) * col("n_exh").cast("double")).as("recall_ok"))
     },
 
+    // Matryoshka 64→16-dim truncation + L2 renorm (IEEE-exact per
+    // component). Output exploded to (vec_id, pos, comp) scalars — the
+    // checker's column sort cannot order raw arrays (the q_embed_quant
+    // fingerprint precedent), and per-component doubles compare exactly.
+    "q_embed_matryoshka" -> { (s, dir) =>
+      Similarity.matryoshka(embs(s, dir), 16)
+        .select(col("vec_id"), posexplode(col("emb_k")).as(Seq("pos", "comp")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("comp").cast("double").as("comp"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
     // Text quality scoring.
     "q_text_quality" -> { (s, dir) =>
       TextStats.quality(docs(s, dir), col("text"))
@@ -992,6 +1004,25 @@ object ExtQueries {
         |FROM (SELECT a.vec_id FROM embeddings a JOIN embeddings b
         |        ON a.vec_id < b.vec_id
         |      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45)""".stripMargin,
+
+    // Prefix norm UNROLLED as 16 left-associative double multiply-adds —
+    // the exact summation order of the native dot kernel's left fold
+    // (list_dot_product accumulates differently and came out one float ulp
+    // off); divide + float cast are correctly-rounded IEEE ops, so every
+    // component then matches bit-for-bit.
+    "q_embed_matryoshka" -> {
+      val terms = (1 to 16)
+        .map(i => s"CAST(pre[$i] AS DOUBLE) * CAST(pre[$i] AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT vec_id, embedding[1:16] AS pre FROM embeddings),
+         |n AS (SELECT vec_id, pre, sqrt($terms) AS nrm FROM p)
+         |SELECT vec_id, CAST(i AS BIGINT) AS pos,
+         |       CASE WHEN nrm = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(CAST(CAST(pre[i] AS DOUBLE) / nrm AS FLOAT) AS DOUBLE)
+         |       END AS comp
+         |FROM n CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) t
+         |ORDER BY vec_id, pos""".stripMargin
+    },
 
     "q_text_quality" ->
       """SELECT doc_id,

@@ -107,6 +107,25 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF-over-kmeans recall@5 = $recall")
   }
 
+  test("matryoshka truncation keeps k dims at unit norm; zero prefix stays zero") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, Array(3.0f, 4.0f, 9.9f, -2.0f)),       // prefix (3,4): norm 5
+      (2L, Array(0.0f, 0.0f, 7.5f, 1.0f)),        // zero PREFIX, nonzero tail
+      (3L, Array(-1.5f, 0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshka(fixture, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1) == Seq(0.6f, 0.8f)) // exact: 3/5, 4/5
+    assert(out(2) == Seq(0.0f, 0.0f)) // zero prefix: no NaNs
+    // real corpus: every truncated vector is unit-norm within float rounding
+    val e = Envelopes.table(spark, sfDir(), "embeddings")
+    val worst = Similarity.matryoshka(e, 16)
+      .select(abs(Similarity.dot(col("emb_k"), col("emb_k")) - lit(1.0)).as("err"))
+      .agg(max(col("err"))).collect()(0).getDouble(0)
+    assert(worst <= 1e-6, s"renormalized norm drifts by $worst")
+  }
+
   test("int8 quantization bounds codes, reconstructs within half a step, zero-vector safe") {
     import spark.implicits._
     val fixture = Seq(
