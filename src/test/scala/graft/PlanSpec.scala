@@ -162,4 +162,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "zorder must not join")
     assert(p.split("Exchange").length - 1 <= 1, p.take(600))
   }
+
+  test("SRP-LSH pairs: band-bucket equi joins only — never a cartesian") {
+    // the exhaustive twin (q_embed_dup) IS a cartesian by design; the scale
+    // path must never degrade to one, or LSH buys nothing at 100 TB
+    val p = plan("q_embed_dup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SRP candidate generation must stay an equi join on (band, bval):\n" + p.take(800))
+  }
+
+  test("matryoshka truncation is scan-stage work: no shuffle beyond the dump sort, no join") {
+    val p = plan("q_embed_matryoshka")
+    assert(!p.contains("Join"), "matryoshka must not join")
+    assert(p.split("Exchange").length - 1 <= 1, p.take(600))
+  }
 }
