@@ -65,14 +65,30 @@ class DimCache(path: String, dimKeys: Seq[String],
     val spark = facts.sparkSession
     val f = KeyedStore.fs(spark, path)
     val root = new Path(path)
-    val n = KeyedStore.readBucketCount(f, root).getOrElse(
+    val meta = KeyedStore.readMeta(f, root).getOrElse(
       throw new IllegalStateException(s"$path is not an initialized KeyedStore"))
+    val n = meta.n
     val (gen, manifest) = KeyedStore.readCommit(f, root).getOrElse(
       throw new IllegalStateException(s"$path has no committed state"))
-    // Batch's touched buckets: the fact keys hashed exactly as the store
-    // hashes its dim keys. Bounded by n — metadata, not data.
+    // Batch's touched buckets: the fact keys hashed EXACTLY as the store
+    // hashes its dim keys — through the PERSISTED derivation: the store's
+    // bucket columns (possibly a subset of the keys) mapped positionally to
+    // their fact-side columns, each cast to the persisted type. A raw
+    // hash(factKeys) here would silently read the wrong buckets whenever the
+    // store has bucketCols ⊂ keys or the fact column's type drifted from the
+    // dim's (hash() is type-sensitive) — missing matches with no error.
+    // Bounded by n — metadata, not data.
+    val bcols = meta.cols.getOrElse(dimKeys)
+    val bucketExprs = bcols.zipWithIndex.map { case (c, i) =>
+      val di = dimKeys.indexOf(c)
+      require(di >= 0, s"store bucket column $c is not one of dimKeys $dimKeys")
+      meta.types match {
+        case Some(ts) => factKeys(di).cast(ts(i))
+        case None => factKeys(di)
+      }
+    }
     val needed = facts
-      .select(pmod(hash(factKeys: _*), lit(n)).as("__b")).distinct()
+      .select(pmod(hash(bucketExprs: _*), lit(n)).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
       .filter(manifest.contains) // a bucket with no dim state joins empty
     val dims = needed.map(b => bucketFrame(spark, root, manifest, gen, b))

@@ -134,13 +134,27 @@ object KeyedStore {
     }
   }
 
-  /** Bucket count the store was created with; later merges reuse it so the
-    * key→bucket mapping never drifts (a param change would strand state).
+  /** The store's persisted bucket metadata: count, derivation columns and
+    * their types. `cols`/`types` are absent only on LEGACY stores written
+    * before they were recorded — those derive buckets from the full key
+    * list, uncast, until a merge heals the meta (see [[merge]]). */
+  private[streaming] final case class StoreMeta(n: Int,
+      cols: Option[Seq[String]], types: Option[Seq[DataType]])
+
+  private def metaNewPath(root: Path) = new Path(root, MetaFile + "__new")
+
+  /** Parse the meta file ONCE into [[StoreMeta]] (readers used to re-open it
+    * per field — three metadata RPCs per micro-batch on object stores).
     * Missing or unparseable meta beside existing state fails loudly: with
     * state on disk the key→bucket mapping is unknown, and silently adopting
-    * the caller's numBuckets would re-bucket new rows away from old winners. */
-  private[streaming] def readBucketCount(f: FileSystem, root: Path): Option[Int] = {
+    * a caller's numBuckets would re-bucket new rows away from old winners.
+    * Recovers a [[replaceMeta]] crash first: a complete `__new` beside a
+    * missing meta file is the replaced content — promote it. */
+  private[streaming] def readMeta(f: FileSystem, root: Path): Option[StoreMeta] = {
     val p = new Path(root, MetaFile)
+    val pNew = metaNewPath(root)
+    if (!f.exists(p) && f.exists(pNew) && !f.rename(pNew, p))
+      throw new java.io.IOException(s"meta recovery rename $pNew -> $p failed")
     def hasState = readCommit(f, root).isDefined ||
       f.exists(root) && f.listStatus(root).exists(_.getPath.getName.startsWith(BucketPrefix))
     if (!f.exists(p)) {
@@ -149,35 +163,48 @@ object KeyedStore {
           s"$p is missing but $root holds state — bucket count unrecoverable " +
             "(out-of-band deletion?); restore the meta file or rewrite the store")
       None
-    } else readTextFile(f, p).trim.linesIterator.next().trim.toIntOption match {
-      case some @ Some(_) => some
-      case None if !hasState => None // fresh store, rewrite
-      case None => throw new java.io.IOException(
-        s"corrupt $p with existing state — bucket count unrecoverable")
+    } else {
+      val lines = readTextFile(f, p).trim.linesIterator.toSeq
+      lines.head.trim.toIntOption match {
+        case Some(n) =>
+          val cols = lines.drop(1).find(_.startsWith("cols:"))
+            .map(_.stripPrefix("cols:").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          // types are `;`-separated catalog strings — `,` would split
+          // array/map types
+          val types = lines.drop(1).find(_.startsWith("types:"))
+            .map(_.stripPrefix("types:").split(";").toSeq.map(s => DataType.fromDDL(s.trim)))
+          Some(StoreMeta(n, cols, types))
+        case None if !hasState => None // fresh store, rewrite
+        case None => throw new java.io.IOException(
+          s"corrupt $p with existing state — bucket count unrecoverable")
+      }
     }
   }
 
-  /** Bucket-derivation columns persisted at creation (line 2 of the meta,
-    * `cols:a,b`) — present only for stores created with an explicit
-    * `bucketCols`; absent means buckets derive from the full key list. */
-  private[streaming] def readBucketColsMeta(f: FileSystem, root: Path): Option[Seq[String]] = {
-    val p = new Path(root, MetaFile)
-    if (!f.exists(p)) None
-    else readTextFile(f, p).trim.linesIterator.toSeq.drop(1)
-      .find(_.startsWith("cols:"))
-      .map(_.stripPrefix("cols:").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-  }
+  private[streaming] def readBucketCount(f: FileSystem, root: Path): Option[Int] =
+    readMeta(f, root).map(_.n)
 
-  /** Bucket columns' data types persisted at creation (`types:` meta line,
-    * `;`-separated catalog strings — `,` would split array/map types).
-    * Absent on stores written before types were recorded: those keep the
-    * uncast derivation they were created with. */
-  private[streaming] def readBucketTypesMeta(f: FileSystem, root: Path): Option[Seq[DataType]] = {
+  private[streaming] def readBucketColsMeta(f: FileSystem, root: Path): Option[Seq[String]] =
+    readMeta(f, root).flatMap(_.cols)
+
+  private[streaming] def readBucketTypesMeta(f: FileSystem, root: Path): Option[Seq[DataType]] =
+    readMeta(f, root).flatMap(_.types)
+
+  /** Replace the EXISTING meta file crash-safely. `writeAtomic` alone cannot
+    * overwrite (its delete-then-rename leaves a window where the meta is
+    * simply gone — permanently unreadable store). Protocol: stage the new
+    * content at `__new` (itself via temp+rename, so it only ever exists
+    * complete), delete the old meta, rename `__new` into place. A crash
+    * after the delete is recovered by [[readMeta]] promoting `__new`; a
+    * crash before it leaves the old meta intact and `__new` as stale
+    * garbage that the next replace overwrites. */
+  private def replaceMeta(f: FileSystem, root: Path, content: String): Unit = {
     val p = new Path(root, MetaFile)
-    if (!f.exists(p)) None
-    else readTextFile(f, p).trim.linesIterator.toSeq.drop(1)
-      .find(_.startsWith("types:"))
-      .map(_.stripPrefix("types:").split(";").toSeq.map(s => DataType.fromDDL(s.trim)))
+    val pNew = metaNewPath(root)
+    writeAtomic(f, root, pNew, content)
+    f.delete(p, false)
+    if (!f.rename(pNew, p))
+      throw new java.io.IOException(s"meta replace rename $pNew -> $p failed")
   }
 
   private def colsMetaContent(n: Int, bucketCols: Seq[String],
@@ -197,19 +224,25 @@ object KeyedStore {
     val root = new Path(path)
     layoutGuard(f, root)
     readCommit(f, root).filter(_._2.nonEmpty).map { case (_, dirs) =>
-      val n = readBucketCount(f, root).getOrElse(
+      val meta = readMeta(f, root).getOrElse(
         throw new IllegalStateException(s"$path: committed state but no bucket count"))
-      val bcols = readBucketColsMeta(f, root).getOrElse(
-        throw new IllegalArgumentException(
-          s"$path was not created with explicit bucketCols — pruned reads " +
-            "need the persisted derivation; use read() or recreate the store"))
-      val needed = probe.select(bucketOf(bcols, n, readBucketTypesMeta(f, root)).as("__b")).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted.filter(dirs.contains)
-      if (needed.isEmpty)
-        spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
-          .filter(lit(false))
-      else
-        spark.read.parquet(needed.map(b => new Path(root, dirs(b)).toString): _*)
+      meta.cols match {
+        case Some(bcols) =>
+          val needed = probe.select(bucketOf(bcols, meta.n, meta.types).as("__b"))
+            .distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted.filter(dirs.contains)
+          if (needed.isEmpty)
+            spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
+              .filter(lit(false))
+          else
+            spark.read.parquet(needed.map(b => new Path(root, dirs(b)).toString): _*)
+        case None =>
+          // LEGACY store (no persisted derivation): degrade to the full
+          // committed view — correct, just unpruned — rather than crash a
+          // stream that predates the cols/types meta. The next merge heals
+          // the meta (see merge), after which pruning applies.
+          spark.read.parquet(dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
+      }
     }
   }
 
@@ -350,35 +383,53 @@ object KeyedStore {
     val root = new Path(path)
     f.mkdirs(root)
     layoutGuard(f, root)
-    val storedCols = readBucketColsMeta(f, root)
     val batchTypes = (cs: Seq[String]) => cs.map(c => batch.schema(c).dataType)
-    val n = readBucketCount(f, root).getOrElse {
-      val meta =
-        if (bucketCols.nonEmpty) colsMetaContent(numBuckets, bucketCols, batchTypes(bucketCols))
-        else numBuckets.toString
-      writeAtomic(f, root, new Path(root, MetaFile), meta); numBuckets
-    }
-    // the persisted derivation wins; a caller-supplied derivation on an
-    // existing store must MATCH it (anything else re-buckets new rows away
-    // from committed winners)
-    storedCols match {
-      case Some(cs) => require(bucketCols.isEmpty || bucketCols == cs,
-        s"bucketCols ${bucketCols.mkString(",")} != store's ${cs.mkString(",")}")
-      case None if bucketCols.nonEmpty =>
-        require(readCommit(f, root).isEmpty,
-          "cannot add bucketCols to a store that already has keys-bucketed state")
-        // Heal the crash window where a prior merge persisted the bucket
-        // count but died before its first commit: with no committed state
-        // the derivation is still ours to set — rewrite the meta so the
-        // `cols:`/`types:` lines exist BEFORE any rows are bucketed by them
-        // (otherwise later merges would derive buckets from the full keys,
-        // mis-bucketing relative to this merge's committed rows).
+    // ONE meta read per merge; the persisted derivation wins — a
+    // caller-supplied derivation on an existing store must MATCH it
+    // (anything else re-buckets new rows away from committed winners).
+    val meta: StoreMeta = readMeta(f, root) match {
+      case None =>
+        // fresh store: ALWAYS persist cols + types (cols = keys when no
+        // explicit bucketCols), so every store gets the type-cast
+        // derivation and pruned reads — count-only meta is legacy-read only
+        val cols = if (bucketCols.nonEmpty) bucketCols else keys
+        val ts = batchTypes(cols)
         writeAtomic(f, root, new Path(root, MetaFile),
-          colsMetaContent(n, bucketCols, batchTypes(bucketCols)))
-      case None => ()
+          colsMetaContent(numBuckets, cols, ts))
+        StoreMeta(numBuckets, Some(cols), Some(ts))
+      case Some(m @ StoreMeta(_, Some(cs), _)) =>
+        require(bucketCols.isEmpty || bucketCols == cs,
+          s"bucketCols ${bucketCols.mkString(",")} != store's ${cs.mkString(",")}")
+        m
+      case Some(StoreMeta(n, None, _)) =>
+        // LEGACY count-only meta (or the crash window where a prior merge
+        // persisted the count but died before its first commit). Heal it:
+        val committedDirs = readCommit(f, root).map(_._2).getOrElse(Map.empty)
+        if (committedDirs.isEmpty) {
+          // no committed rows — the derivation is still ours to set
+          val cols = if (bucketCols.nonEmpty) bucketCols else keys
+          val ts = batchTypes(cols)
+          replaceMeta(f, root, colsMetaContent(n, cols, ts))
+          StoreMeta(n, Some(cols), Some(ts))
+        } else {
+          // committed rows were bucketed by the FULL key list: adopting a
+          // narrower derivation would mis-bucket relative to the committed
+          // winners, so only cols == keys is heal-able. Types come from the
+          // committed parquet schema — the types the stored rows actually
+          // hashed with — so future drifted batches cast back to them.
+          require(bucketCols.isEmpty || bucketCols == keys,
+            s"cannot adopt bucketCols ${bucketCols.mkString(",")} on a " +
+              "store that already has keys-bucketed state")
+          val sch = spark.read.parquet(
+            committedDirs.values.map(d => new Path(root, d).toString).toSeq: _*).schema
+          val ts = keys.map(k => sch(k).dataType)
+          replaceMeta(f, root, colsMetaContent(n, keys, ts))
+          StoreMeta(n, Some(keys), Some(ts))
+        }
     }
-    val bcols = storedCols.getOrElse(if (bucketCols.nonEmpty) bucketCols else keys)
-    val btypes = readBucketTypesMeta(f, root)
+    val n = meta.n
+    val bcols = meta.cols.get
+    val btypes = meta.types
     val (gen, committed) = readCommit(f, root).getOrElse((0L, Map.empty[Int, String]))
     val newGen = gen + 1
     // Pin the batch for the merge's TWO actions (touched-bucket collect +

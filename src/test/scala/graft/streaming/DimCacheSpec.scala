@@ -105,6 +105,24 @@ class DimCacheSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("fact-key type drift still reads the right buckets (persisted-type cast)") {
+    val root = freshRoot("drift")
+    // dim keys are BIGINT; the store persists that type at creation
+    KeyedStore.merge(dimBatch((1L to 200L).map(i => (i, s"n$i")), 1L),
+      root, keys = Seq("k"), seqCols = Seq("__v"), numBuckets = 8)
+    val cache = new DimCache(root, Seq("k"))
+    // facts arrive with the join key as INT: hash(int) != hash(bigint), so
+    // an uncast bucket derivation would open the wrong buckets and silently
+    // drop matching facts
+    val facts = (1L to 100L).map(i => (i, (i % 200 + 1).toInt))
+      .toDF("fact_id", "fk")
+      .withColumn("fk", col("fk").cast("int"))
+    val got = cache.lookupJoin(facts, Seq(col("fk")))
+      .select(col("fact_id"), col("name")).collect()
+    assert(got.length == 100, s"drifted fact keys dropped: ${got.length}/100 matched")
+    cache.invalidateAll()
+  }
+
   test("the plan never broadcasts the dim side") {
     val root = freshRoot("plan")
     KeyedStore.merge(dimBatch((1L to 50L).map(i => (i, s"n$i")), 1L),

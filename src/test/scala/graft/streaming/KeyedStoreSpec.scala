@@ -354,4 +354,85 @@ class KeyedStoreSpec extends SparkSpec {
       .filter($"grp" === 3L).select("member").collect().map(_.getString(0)).toSet
     assert(got == ((3L until 100L by 10L).map(i => s"m$i").toSet + "m_new"), s"got $got")
   }
+
+  test("LEGACY count-only store with committed state: reads degrade, merge heals") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("keyedstore_legacy").toString + "/t"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = KeyedStore.fs(s, root)
+
+    // build a store with committed state, then strip the meta back to the
+    // legacy count-only form (what stores written before cols/types existed
+    // look like on disk)
+    val rows = (0L until 40L).map(i => (i, s"v$i", 0L)).toDF("k", "v", "seq")
+    KeyedStore.merge(rows, root, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
+    val metaPath = new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets")
+    f.delete(metaPath, false)
+    val out = f.create(metaPath, true)
+    out.write("8".getBytes("UTF-8")); out.close()
+
+    // 1. the pruned read DEGRADES to the full committed view instead of
+    //    crashing the stream (the pre-change behavior was a hard throw)
+    val pruned = KeyedStore.readPruned(s, root, Seq(3L).toDF("k")).get
+    assert(pruned.count() == 40, "legacy store must serve the full view")
+
+    // 2. the next merge HEALS the meta (cols = keys is derivation-identical
+    //    to the legacy full-key bucketing; types from the committed schema)
+    KeyedStore.merge(Seq((100L, "v100", 1L)).toDF("k", "v", "seq"),
+      root, keys = Seq("k"), seqCols = Seq("seq"))
+    assert(KeyedStore.readBucketColsMeta(f, rootPath).contains(Seq("k")))
+    assert(KeyedStore.readBucketTypesMeta(f, rootPath).nonEmpty)
+
+    // 3. healed store prunes again, and legacy + new rows coexist correctly
+    val got = KeyedStore.readPruned(s, root, Seq(3L, 100L).toDF("k")).get
+      .filter($"k".isin(3L, 100L)).select("v").collect().map(_.getString(0)).toSet
+    assert(got == Set("v3", "v100"), s"got $got")
+    // an explicit narrower derivation is still refused (would mis-bucket)
+    intercept[IllegalArgumentException] {
+      KeyedStore.merge(Seq((1L, "x", 2L)).toDF("k", "v", "seq"),
+        root, keys = Seq("k"), seqCols = Seq("seq"), bucketCols = Seq("v"))
+    }
+  }
+
+  test("DEFAULT (keys-bucketed) store casts drifted key types: no split-brain winners") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("keyedstore_drift").toString + "/t"
+    // created with a BIGINT key — types persisted even without bucketCols
+    KeyedStore.merge(Seq((3L, "old", 0L)).toDF("k", "v", "seq"),
+      root, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
+    // a later batch arrives with the key as INT (upstream schema drift):
+    // hash(int 3) != hash(bigint 3), so an uncast derivation would write
+    // key 3 into a DIFFERENT bucket and read() would return two winners
+    KeyedStore.merge(
+      Seq((3, "new", 1L)).toDF("k", "v", "seq")
+        .withColumn("k", $"k".cast("int")),
+      root, keys = Seq("k"), seqCols = Seq("seq"))
+    val winners = KeyedStore.read(s, root).get
+      .filter($"k" === 3L).select("v").collect().map(_.getString(0)).toSeq
+    assert(winners == Seq("new"), s"split-brain winners: $winners")
+  }
+
+  test("meta replace survives a crash between delete and rename (__new recovery)") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("keyedstore_metarec").toString + "/t"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = KeyedStore.fs(s, root)
+    KeyedStore.merge(Seq((1L, "v", 0L)).toDF("k", "v", "seq"),
+      root, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
+    // simulate the replaceMeta crash window: stage the new content at
+    // __new, delete the live meta, crash before the final rename
+    val metaPath = new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets")
+    val content = "8\ncols:k\ntypes:bigint"
+    val out = f.create(new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets__new"), true)
+    out.write(content.getBytes("UTF-8")); out.close()
+    f.delete(metaPath, false)
+    // the next reader promotes __new instead of declaring the store dead
+    assert(KeyedStore.readBucketCount(f, rootPath).contains(8))
+    assert(KeyedStore.readBucketColsMeta(f, rootPath).contains(Seq("k")))
+    assert(f.exists(metaPath) &&
+      !f.exists(new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets__new")))
+  }
 }
