@@ -153,8 +153,13 @@ object KeyedStore {
   private[streaming] def readMeta(f: FileSystem, root: Path): Option[StoreMeta] = {
     val p = new Path(root, MetaFile)
     val pNew = metaNewPath(root)
-    if (!f.exists(p) && f.exists(pNew) && !f.rename(pNew, p))
-      throw new java.io.IOException(s"meta recovery rename $pNew -> $p failed")
+    if (!f.exists(p) && f.exists(pNew)) {
+      // promote the stranded replacement; a CONCURRENT reader may win the
+      // same rename — success is "the meta exists afterwards", not "my
+      // rename succeeded"
+      if (!f.rename(pNew, p) && !f.exists(p))
+        throw new java.io.IOException(s"meta recovery rename $pNew -> $p failed")
+    }
     def hasState = readCommit(f, root).isDefined ||
       f.exists(root) && f.listStatus(root).exists(_.getPath.getName.startsWith(BucketPrefix))
     if (!f.exists(p)) {
