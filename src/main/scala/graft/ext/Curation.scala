@@ -62,6 +62,31 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** Leakage-safe (cluster-aware) train/val/test split: every near-dup
+    * CLUSTER lands wholly in one split. Hashing per DOCUMENT would let a
+    * training example's near-duplicate fall into test — the classic
+    * contamination that silently inflates eval scores; hashing the cluster
+    * KEEPER instead moves the whole clique together. `labels` is a
+    * (doc_id, keeper_id) table (e.g. connected components over near-dup
+    * pairs); docs absent from it are their own cluster (keeper = doc_id).
+    * The split itself is [[hashSplit]]'s deterministic md5 percentile,
+    * applied to the keeper id.
+    *
+    * Scale: one left join on the doc id (labels are duplicate-set-sized, so
+    * AQE broadcasts them until they outgrow the threshold) plus the
+    * row-local hash — no other shuffle.
+    *
+    * @return df + (keeper_id, split) */
+  def leakageSafeSplit(df: DataFrame, idCol: Column, labels: DataFrame,
+      cuts: Seq[(String, Int)], as: String = "split"): DataFrame = {
+    val keyed = df.withColumn("__lss_id", idCol)
+      .join(labels.select(col("doc_id").as("__lss_id"), col("keeper_id")),
+        Seq("__lss_id"), "left_outer")
+      .withColumn("keeper_id", coalesce(col("keeper_id"), col("__lss_id")))
+      .drop("__lss_id")
+    hashSplit(keyed, col("keeper_id"), cuts, as)
+  }
+
   /** Deterministic cumulative bin packing — the "documents → fixed-budget
     * training sequences" grouping step: docs are spread across `groups`
     * hash groups (the parallel unit — packing is inherently sequential, so

@@ -360,6 +360,18 @@ object ExtQueries {
         .orderBy(col("split"))
     },
 
+    // Leakage-safe split: the hash percentile runs on the near-dup cluster
+    // KEEPER (shared lshClusterLabels intermediate), so a train doc's
+    // near-duplicate can never land in test. Composition of two
+    // hash-proven parts (cluster labels + md5 split predicate).
+    "q_split_leakage" -> { (s, dir) =>
+      val labels = lshClusterLabels(s, dir).select(col("doc_id"), col("keeper_id"))
+      Curation.leakageSafeSplit(docs(s, dir), col("doc_id"), labels,
+          Seq("train" -> 80, "val" -> 90, "test" -> 100))
+        .select(col("doc_id"), col("keeper_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact quartile bucket of document length, histogram method (no global
     // row sort — see Curation.lengthBuckets scaladoc).
     "q_length_buckets" -> { (s, dir) =>
@@ -730,6 +742,31 @@ object ExtQueries {
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_clusters_lsh" -> clustersSql,
+
+    // Cluster labels (the clustersSql CC) left-joined onto all docs
+    // (keeper = self when unclustered), split by the md5 percentile of the
+    // KEEPER — the q_hash_split predicate moved one level up.
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $JAC,
+         |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
+         |          UNION SELECT b_id, a_id FROM pairsx),
+         |verts AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id AS src, id AS node FROM verts
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x),
+         |lbl AS (SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach GROUP BY src),
+         |keyed AS (
+         |  SELECT d.doc_id, COALESCE(l.keeper_id, d.doc_id) AS keeper_id
+         |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, keeper_id,
+         |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, keeper_id,
+         |        ('0x' || substr(md5(CAST(keeper_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+         |      FROM keyed)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_keep2" ->
       s"""WITH RECURSIVE $JAC,

@@ -226,6 +226,37 @@ class CurationSpec extends SparkSpec {
     assert(straddlers.size <= 1 && straddlers.forall(_._1 == lastKept))
   }
 
+  test("leakageSafeSplit keeps every cluster wholly in one split") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 100L).toDF("doc_id")
+    // clusters: {1,2,3} -> keeper 1, {10,20} -> keeper 10; rest unclustered
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (20L, 10L))
+      .toDF("doc_id", "keeper_id")
+    val out = Curation.leakageSafeSplit(docs, col("doc_id"), labels,
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .select("doc_id", "keeper_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 100)
+    val byDoc = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    // cluster members share the keeper's split — no near-dup straddles
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(10L) == byDoc(20L))
+    // unclustered docs are their own cluster and split on their own id
+    assert(byDoc(50L)._1 == 50L)
+    // per-keeper split count is exactly 1 across the whole frame
+    assert(out.groupBy(_._2).forall { case (_, g) => g.map(_._3).distinct.length == 1 })
+    // and a per-DOC hash split would NOT have this property for cluster
+    // members (the defect this operator exists to prevent): doc 2 and 3
+    // hash to different percentiles than keeper 1 in general — pin one
+    // concrete divergence so the test fails if the keeper hash is dropped
+    val perDoc = Curation.hashSplit(docs, col("doc_id"),
+        Seq("train" -> 80, "val" -> 90, "test" -> 100))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(1L, 2L, 3L, 10L, 20L).exists(i => perDoc(i) != byDoc(i)._2),
+      "fixture too lucky: every cluster member hashed to its keeper's split anyway")
+  }
+
   test("shardShuffle is a seed-keyed bijective layout, stable under repartitioning") {
     val docs = Envelopes.table(spark, sfDir(), "documents")
     def layout(df: org.apache.spark.sql.DataFrame, seed: Long) =
