@@ -79,8 +79,16 @@ object Curation {
     * @return df + (keeper_id, split) */
   def leakageSafeSplit(df: DataFrame, idCol: Column, labels: DataFrame,
       cuts: Seq[(String, Int)], as: String = "split"): DataFrame = {
+    // loud contracts: a pre-existing keeper_id would make the coalesce
+    // ambiguous, and the output column must not silently shadow an input
+    require(!df.columns.contains("keeper_id"),
+      "df already has a keeper_id column — drop/rename it, or pass it as labels")
+    require(!df.columns.contains(as), s"df already has a '$as' column")
+    // exact duplicate label rows are harmless upstream noise — fold them;
+    // conflicting keepers for one doc would still be malformed input, and
+    // surface as duplicated doc rows in the output
     val keyed = df.withColumn("__lss_id", idCol)
-      .join(labels.select(col("doc_id").as("__lss_id"), col("keeper_id")),
+      .join(labels.select(col("doc_id").as("__lss_id"), col("keeper_id")).distinct(),
         Seq("__lss_id"), "left_outer")
       .withColumn("keeper_id", coalesce(col("keeper_id"), col("__lss_id")))
       .drop("__lss_id")

@@ -68,8 +68,14 @@ class DimCache(path: String, dimKeys: Seq[String],
     val meta = KeyedStore.readMeta(f, root).getOrElse(
       throw new IllegalStateException(s"$path is not an initialized KeyedStore"))
     val n = meta.n
-    val (gen, manifest) = KeyedStore.readCommit(f, root).getOrElse(
-      throw new IllegalStateException(s"$path has no committed state"))
+    // an EMPTY committed manifest (tombstone-only compact) is as unusable as
+    // no commit: with zero bucket files there is no dim schema to shape even
+    // the empty/left-null join result — fail with the real reason instead of
+    // a NoSuchElementException downstream
+    val (gen, manifest) = KeyedStore.readCommit(f, root).filter(_._2.nonEmpty).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no committed state (never merged, or compacted to empty " +
+          "with dropTombstones) — an empty dim has no readable schema"))
     // Batch's touched buckets: the fact keys hashed EXACTLY as the store
     // hashes its dim keys — through the PERSISTED derivation: the store's
     // bucket columns (possibly a subset of the keys) mapped positionally to
@@ -88,7 +94,7 @@ class DimCache(path: String, dimKeys: Seq[String],
       }
     }
     val needed = facts
-      .select(pmod(hash(bucketExprs: _*), lit(n)).as("__b")).distinct()
+      .select(KeyedStore.bucketOfExprs(bucketExprs, n).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
       .filter(manifest.contains) // a bucket with no dim state joins empty
     val dims = needed.map(b => bucketFrame(spark, root, manifest, gen, b))

@@ -58,8 +58,15 @@ object KeyedStore {
       case Some(ts) => keys.zip(ts).map { case (k, t) => col(k).cast(t) }
       case None => keys.map(col)
     }
-    pmod(hash(cs: _*), lit(n))
+    bucketOfExprs(cs, n)
   }
+
+  /** THE bucket-hash definition — every derivation site (store-side keys,
+    * probe frames, DimCache fact columns) must route through this one
+    * expression; a second hand-written `pmod(hash(...))` that drifted (salt,
+    * null handling, hash fn) would silently read the wrong buckets. */
+  private[streaming] def bucketOfExprs(cols: Seq[Column], n: Int): Column =
+    pmod(hash(cols: _*), lit(n))
 
   private def readTextFile(f: FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -170,7 +177,9 @@ object KeyedStore {
       None
     } else {
       val lines = readTextFile(f, p).trim.linesIterator.toSeq
-      lines.head.trim.toIntOption match {
+      // headOption: a zero-byte (out-of-band-truncated) meta must reach the
+      // corrupt-meta diagnostic, not a NoSuchElementException
+      lines.headOption.getOrElse("").trim.toIntOption match {
         case Some(n) =>
           val cols = lines.drop(1).find(_.startsWith("cols:"))
             .map(_.stripPrefix("cols:").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
@@ -208,7 +217,10 @@ object KeyedStore {
     val pNew = metaNewPath(root)
     writeAtomic(f, root, pNew, content)
     f.delete(p, false)
-    if (!f.rename(pNew, p))
+    // a concurrent reader's readMeta may win the promotion rename in the
+    // delete→rename window — the meta it installed IS this replacement, so
+    // success is "p exists afterwards"
+    if (!f.rename(pNew, p) && !f.exists(p))
       throw new java.io.IOException(s"meta replace rename $pNew -> $p failed")
   }
 
@@ -402,10 +414,28 @@ object KeyedStore {
         writeAtomic(f, root, new Path(root, MetaFile),
           colsMetaContent(numBuckets, cols, ts))
         StoreMeta(numBuckets, Some(cols), Some(ts))
-      case Some(m @ StoreMeta(_, Some(cs), _)) =>
+      case Some(m @ StoreMeta(n0, Some(cs), ts0)) =>
         require(bucketCols.isEmpty || bucketCols == cs,
           s"bucketCols ${bucketCols.mkString(",")} != store's ${cs.mkString(",")}")
-        m
+        ts0 match {
+          case Some(_) => m
+          case None =>
+            // heal the types line too (stores written by the intermediate
+            // version persisted cols only): committed rows hashed uncast
+            // with their write-time types, which ARE the committed parquet
+            // schema's — cast future batches back to them, same argument as
+            // the legacy heal below
+            val committedDirs = readCommit(f, root).map(_._2).getOrElse(Map.empty)
+            val ts =
+              if (committedDirs.isEmpty) batchTypes(cs)
+              else {
+                val sch = spark.read.parquet(
+                  committedDirs.values.map(d => new Path(root, d).toString).toSeq: _*).schema
+                cs.map(c => sch(c).dataType)
+              }
+            replaceMeta(f, root, colsMetaContent(n0, cs, ts))
+            StoreMeta(n0, Some(cs), Some(ts))
+        }
       case Some(StoreMeta(n, None, _)) =>
         // LEGACY count-only meta (or the crash window where a prior merge
         // persisted the count but died before its first commit). Heal it:

@@ -255,6 +255,16 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(Seq(1L, 2L, 3L, 10L, 20L).exists(i => perDoc(i) != byDoc(i)._2),
       "fixture too lucky: every cluster member hashed to its keeper's split anyway")
+    // loud contracts: pre-existing keeper_id/split columns are refused
+    // (ambiguous coalesce / silent shadowing), duplicate label rows fold
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(labels /* has keeper_id */, col("doc_id"), labels,
+        Seq("train" -> 100))
+    }
+    val dupLabels = labels.union(labels)
+    val dedup = Curation.leakageSafeSplit(docs, col("doc_id"), dupLabels,
+      Seq("train" -> 80, "val" -> 90, "test" -> 100))
+    assert(dedup.count() == 100, "duplicate label rows must not multiply the corpus")
   }
 
   test("shardShuffle is a seed-keyed bijective layout, stable under repartitioning") {

@@ -105,6 +105,25 @@ class DimCacheSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("a store compacted to empty fails loudly, not with NoSuchElementException") {
+    val root = freshRoot("empty")
+    KeyedStore.merge(dimBatch(Seq((1L, "a"), (2L, "b")), 1L),
+      root, keys = Seq("k"), seqCols = Seq("__v"), numBuckets = 4)
+    // delete every key, then drop the tombstones: the committed manifest is
+    // now empty — no bucket files, no schema to shape even an empty join
+    KeyedStore.merge(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+        .withColumn("op_type", lit("delete")).withColumn("__v", lit(2L)),
+      root, keys = Seq("k"), seqCols = Seq("__v"))
+    KeyedStore.compact(spark, root, dropTombstones = true)
+    val cache = new DimCache(root, Seq("k"))
+    val facts = Seq((1L, 1L)).toDF("fact_id", "fk")
+    val e = intercept[IllegalStateException] {
+      cache.lookupJoin(facts, Seq(col("fk")))
+    }
+    assert(e.getMessage.contains("compacted to empty"), e.getMessage)
+  }
+
   test("fact-key type drift still reads the right buckets (persisted-type cast)") {
     val root = freshRoot("drift")
     // dim keys are BIGINT; the store persists that type at creation

@@ -414,6 +414,41 @@ class KeyedStoreSpec extends SparkSpec {
     assert(winners == Seq("new"), s"split-brain winners: $winners")
   }
 
+  test("cols-persisted store WITHOUT types heals on merge; empty meta is corrupt, loudly") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("keyedstore_colsonly").toString + "/t"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = KeyedStore.fs(s, root)
+    KeyedStore.merge((0L until 40L).map(i => (i, s"v$i", 0L)).toDF("k", "v", "seq"),
+      root, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
+    // strip the meta to the intermediate cols-only form (no types line)
+    val metaPath = new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets")
+    f.delete(metaPath, false)
+    val out = f.create(metaPath, true)
+    out.write("8\ncols:k".getBytes("UTF-8")); out.close()
+    assert(KeyedStore.readBucketTypesMeta(f, rootPath).isEmpty)
+
+    // merge heals the types from the committed schema…
+    KeyedStore.merge(Seq((100L, "v100", 1L)).toDF("k", "v", "seq"),
+      root, keys = Seq("k"), seqCols = Seq("seq"))
+    assert(KeyedStore.readBucketTypesMeta(f, rootPath).nonEmpty)
+    // …so a subsequently DRIFTED batch casts back and wins in place
+    KeyedStore.merge(
+      Seq((3, "drifted", 2L)).toDF("k", "v", "seq").withColumn("k", $"k".cast("int")),
+      root, keys = Seq("k"), seqCols = Seq("seq"))
+    val winners = KeyedStore.read(s, root).get
+      .filter($"k" === 3L).select("v").collect().map(_.getString(0)).toSeq
+    assert(winners == Seq("drifted"), s"split-brain winners: $winners")
+
+    // a zero-byte meta beside committed state is corruption — IOException
+    // with the diagnostic, not a NoSuchElementException
+    f.delete(metaPath, false)
+    f.create(metaPath, true).close()
+    val e = intercept[java.io.IOException] { KeyedStore.readBucketCount(f, rootPath) }
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+  }
+
   test("meta replace survives a crash between delete and rename (__new recovery)") {
     val s = spark
     import s.implicits._
