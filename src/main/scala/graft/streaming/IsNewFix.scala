@@ -65,6 +65,13 @@ object IsNewFix {
     out.iterator
   }
 
+  /** ENGINE-DEFAULT entry point: dispatch to the `transformWithState` twin
+    * ([[IsNewFixTws]]) when [[StateImpl.useTws]] says the session supports
+    * it, else this legacy form — the two are record-for-record equal
+    * (`IsNewFixTwsSpec`), so the choice is purely a state-backend one. */
+  def auto(events: Dataset[LogEvent])(implicit spark: SparkSession): Dataset[FixedEvent] =
+    if (StateImpl.useTws(spark)) IsNewFixTws(events) else apply(events)
+
   /** Apply the repair to a (possibly streaming) Dataset of log events. The
     * day boundary follows `spark.sql.session.timeZone`, matching the batch
     * twin's `date_format` — the two forms stay equal on any session zone,
