@@ -148,8 +148,28 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$outDir/documents.parquet").exists())
-      replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+    // documents at EXACTLY `copies`× (the full replicate() halves document
+    // copies because the flagship probes' pathological growth mode is pair
+    // formation): replicate only what this probe reads
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      val srcDir = "/root/testdata/sf0.1"
+      def doc(c: Int) = {
+        val base = spark.read.parquet(s"$srcDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+        if (c == 0) base
+        else {
+          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
+          base.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => when(t.isin("the", "a", "of", "to", "and"), t)
+                .otherwise(concat(t, lit(tag)))), " "))
+        }
+      }
+      val parts = spark.sparkContext.defaultParallelism
+      (0 until copies).map(doc).reduce(_ union _)
+        .repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+    }
     def mix(plan: String): String = Seq(
         "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct")
