@@ -144,6 +144,32 @@ object Dedup {
     attachJaccard(inter, sizes(sh), num, den)
   }
 
+  /** DF-capped exhaustive n-gram Jaccard: [[ngramJaccardPairs]] with
+    * shingles appearing in more than `maxDf` documents dropped BEFORE the
+    * self-join — the standard inverted-index guard against ultra-common
+    * shingles (stop-phrases, boilerplate) whose posting lists drive the
+    * join's quadratic term: a shingle in d docs contributes d·(d−1)/2 join
+    * rows, so capping d bounds the per-shingle fan-out at maxDf²/2
+    * regardless of corpus size. The measured motivation is the 100×
+    * replication probe (SCALING.md): uncapped, stopword-only shingles grow
+    * candidates quadratically in copies.
+    *
+    * Deterministic — the cap is a pure function of the corpus — so the
+    * result carries a full SQL oracle, unlike a sampling-based guard.
+    * Semantics are the Jaccard over the CAPPED shingle sets (both
+    * intersection and sizes derive from the same filtered table, keeping
+    * the ratio internally consistent); pairs whose overlap rode only on
+    * ultra-common shingles drop out, which is the point. */
+  def ngramJaccardPairsCapped(sh: DataFrame, num: Int, den: Int,
+      maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val kept = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("s"),
+      Seq("s"), "left_semi")
+    ngramJaccardPairs(kept, num, den)
+  }
+
   /** MinHash signatures (k hashes via seeded xxhash64 over shingles) banded
     * into `bands` buckets of r = k/bands rows; docs sharing a band bucket are
     * LSH candidates, then exact-verified at Jaccard ≥ num/den.

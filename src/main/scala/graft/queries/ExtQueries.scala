@@ -84,6 +84,17 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // DF-capped exhaustive pairs (shingles in >32 docs dropped before the
+    // self-join): bounds each posting list's quadratic fan-out at any
+    // corpus size — see ngramJaccardPairsCapped's scaladoc and the 100×
+    // probe analysis in SCALING.md.
+    "q_dedup_ngram_capped" -> { (s, dir) =>
+      Dedup.ngramJaccardPairsCapped(
+          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2,
+          maxDf = 32)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // MinHash(32)+LSH(16 bands) candidates, exact-verified at Jaccard ≥ 0.5.
     // Same result as q_dedup_ngram (recall ≈ 1−3e-12 for this corpus's ≥0.9
     // near-dup pairs) at a fraction of the join fan-out. Served from the
@@ -738,6 +749,28 @@ object ExtQueries {
 
     "q_dedup_ngram" -> jacSelect,
     "q_dedup_minhash" -> jacSelect,
+
+    // JAC with the DF cap applied before the self-join: intersection AND
+    // sizes derive from the same capped shingle table, mirroring
+    // ngramJaccardPairsCapped's internal consistency.
+    "q_dedup_ngram_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(generate_series(1, len(t) - 2),
+        |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |        FROM toks WHERE len(t) >= 3),
+        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 32),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_ct
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |jac AS (SELECT a_id, b_id, inter_ct, za.n + zb.n - inter_ct AS union_ct
+        |        FROM cand JOIN sizes za ON a_id = za.doc_id
+        |                  JOIN sizes zb ON b_id = zb.doc_id)
+        |SELECT a_id, b_id, inter_ct, union_ct FROM jac
+        |WHERE inter_ct * 2 >= union_ct * 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,

@@ -107,6 +107,27 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF-over-kmeans recall@5 = $recall")
   }
 
+  test("DF cap kills boilerplate-only pairs, keeps rare-shingle near-dups") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    // 40 docs whose ONLY mutual overlap is the shared boilerplate phrase
+    // (each ends in a doc-unique token), plus one genuine near-dup pair on
+    // rare content shingles
+    val docs = ((1L to 40L).map(i => (i, s"$boiler u$i")) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"))).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
+    // uncapped: the boilerplate drives C(40,2) = 780 quadratic pairs
+    val uncapped = Dedup.ngramJaccardPairs(sh, 1, 2).count()
+    assert(uncapped >= 780L, s"fixture should blow up uncapped, got $uncapped")
+    // capped at 8 docs: every boilerplate shingle (df = 40) is dropped, the
+    // doc-unique bridge shingles can't intersect, and only the genuine
+    // rare-shingle pair survives
+    val capped = Dedup.ngramJaccardPairsCapped(sh, 1, 2, maxDf = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"capped pairs: $capped")
+  }
+
   test("matryoshka truncation keeps k dims at unit norm; zero prefix stays zero") {
     import spark.implicits._
     val fixture = Seq(
