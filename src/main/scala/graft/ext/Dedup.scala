@@ -170,6 +170,43 @@ object Dedup {
     ngramJaccardPairs(kept, num, den)
   }
 
+  /** Shingle-set containment pairs — Broder's containment measure
+    * C(A,B) = |A∩B| / min(|A|,|B|): keep pairs where at least `num/den` of
+    * the SMALLER doc's shingles appear in the larger's. At num = den this is
+    * exact sub-document detection (one doc's shingle set fully inside
+    * another's — quoted articles, page-plus-boilerplate wrappers, partial
+    * crawls), the duplicate class Jaccard systematically misses: a 100-line
+    * doc embedded in a 10 000-line doc has Jaccard ≈ 0.01 but containment 1.
+    *
+    * Same inverted-index self-join shape (and the same quadratic posting-
+    * list exposure — compose with the DF-cap screen of
+    * [[ngramJaccardPairsCapped]] at scale) followed by the integer
+    * cross-multiplied threshold, so the whole result is exact and carries a
+    * full SQL oracle. Output row per kept pair: `inner_id` (the smaller
+    * shingle set; ties broken toward the smaller doc_id), `outer_id`,
+    * `inter_ct`, `n_inner`, `n_outer`. */
+  def containmentPairs(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"containment threshold must satisfy 0 < num/den <= 1, got $num/$den")
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter_ct"))
+    val sz = sizes(sh)
+    // a_id < b_id by the join, so an equal-size tie resolves to a as inner
+    val aInner = col("za.n") <= col("zb.n")
+    inter
+      .join(sz.as("za"), col("a_id") === col("za.doc_id"))
+      .join(sz.as("zb"), col("b_id") === col("zb.doc_id"))
+      .filter(col("inter_ct") * den >= least(col("za.n"), col("zb.n")) * num)
+      .select(
+        when(aInner, col("a_id")).otherwise(col("b_id")).as("inner_id"),
+        when(aInner, col("b_id")).otherwise(col("a_id")).as("outer_id"),
+        col("inter_ct"),
+        least(col("za.n"), col("zb.n")).as("n_inner"),
+        greatest(col("za.n"), col("zb.n")).as("n_outer"))
+  }
+
   /** MinHash signatures (k hashes via seeded xxhash64 over shingles) banded
     * into `bands` buckets of r = k/bands rows; docs sharing a band bucket are
     * LSH candidates, then exact-verified at Jaccard ≥ num/den.

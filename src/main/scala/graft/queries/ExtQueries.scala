@@ -95,6 +95,16 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Shingle-set containment at ≥ 9/10 of the smaller doc: catches
+    // sub-document duplicates (quoted/embedded articles) whose Jaccard is
+    // tiny because the outer doc dwarfs the inner — see
+    // containmentPairs's scaladoc.
+    "q_dedup_contain" -> { (s, dir) =>
+      Dedup.containmentPairs(
+          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 9, 10)
+        .orderBy(col("inner_id"), col("outer_id"))
+    },
+
     // MinHash(32)+LSH(16 bands) candidates, exact-verified at Jaccard ≥ 0.5.
     // Same result as q_dedup_ngram (recall ≈ 1−3e-12 for this corpus's ≥0.9
     // near-dup pairs) at a fraction of the join fan-out. Served from the
@@ -771,6 +781,30 @@ object ExtQueries {
         |SELECT a_id, b_id, inter_ct, union_ct FROM jac
         |WHERE inter_ct * 2 >= union_ct * 1
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Containment over the same shingle CTEs: threshold is on the SMALLER
+    // set (integer cross-multiplication), inner = smaller set with ties to
+    // the smaller doc_id (a_id < b_id in cand makes CASE za.n <= zb.n that
+    // tie-break).
+    "q_dedup_contain" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_ct
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT CASE WHEN za.n <= zb.n THEN a_id ELSE b_id END AS inner_id,
+        |       CASE WHEN za.n <= zb.n THEN b_id ELSE a_id END AS outer_id,
+        |       inter_ct,
+        |       least(za.n, zb.n) AS n_inner,
+        |       greatest(za.n, zb.n) AS n_outer
+        |FROM cand JOIN sizes za ON a_id = za.doc_id
+        |          JOIN sizes zb ON b_id = zb.doc_id
+        |WHERE inter_ct * 10 >= least(za.n, zb.n) * 9
+        |ORDER BY inner_id, outer_id""".stripMargin,
 
     "q_dedup_clusters" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,

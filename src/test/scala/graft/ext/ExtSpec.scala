@@ -128,6 +128,29 @@ class ExtSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)), s"capped pairs: $capped")
   }
 
+  test("containment finds the embedded doc Jaccard misses; ties pick the smaller id") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, core),                                       // inner: 3 shingles
+      (2L, s"intro words here $core closing words here"), // outer: embeds core
+      (3L, "totally unrelated content stream of words"),
+      (10L, "mirror twin text payload body"),            // identical pair →
+      (11L, "mirror twin text payload body")             // tie on set size
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
+    val got = Dedup.containmentPairs(sh, 1, 1)
+      .select("inner_id", "outer_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1 in 2): full embedding; (10, 11): identical sets, inner = smaller id.
+    // Jaccard(1,2) = 3/11 — far below any dedup threshold, yet doc 1 is a
+    // pure sub-document of doc 2.
+    assert(got == Set((1L, 2L), (10L, 11L)), s"pairs: $got")
+    val jac = Dedup.ngramJaccardPairs(sh, 1, 2)
+      .filter(col("a_id") === 1L && col("b_id") === 2L).count()
+    assert(jac == 0L, "fixture must be a Jaccard miss for the claim to hold")
+  }
+
   test("matryoshka truncation keeps k dims at unit norm; zero prefix stays zero") {
     import spark.implicits._
     val fixture = Seq(
