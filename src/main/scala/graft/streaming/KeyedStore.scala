@@ -13,11 +13,15 @@ import graft.ops.Stateful
   * State is hash-partitioned into immutable `__b=<i>__g<gen>` bucket
   * directories under the store root; the committed view is a single manifest
   * file `_graft_commit_g<gen>` listing every bucket's current directory. Each
-  * `merge` applies one micro-batch: derive the batch's touched buckets, read
-  * ONLY those buckets' state, last-write-wins per key, stage new directories
-  * for ONLY those buckets, then publish ONE new manifest — merge cost is
-  * proportional to the batch plus the state it collides with, not to total
-  * store size (the reference's HBase point writes have the same asymptotics).
+  * `merge` applies one micro-batch WRITE-FIRST: one job writes the batch's
+  * own winners bucket-partitioned into a staging root (whose listing IS the
+  * touched-bucket set — no separate pass over the batch, no batch-wide
+  * persist), then a second job — only if some staged bucket collides with
+  * committed state — folds those buckets' staged and stored rows, and ONE
+  * new manifest publishes the result. Merge cost is proportional to the
+  * batch plus the state it collides with, not to total store size (the
+  * reference's HBase point writes have the same asymptotics); a bulk load
+  * into a fresh store is a single pass over the batch.
   * Delete tombstones are RETAINED in the stored state (hidden by
   * [[readActive]]): physically dropping them would let a late-arriving
   * lower-seq put resurrect a deleted key in one micro-batch split but not
@@ -155,43 +159,59 @@ object KeyedStore {
     * Missing or unparseable meta beside existing state fails loudly: with
     * state on disk the key→bucket mapping is unknown, and silently adopting
     * a caller's numBuckets would re-bucket new rows away from old winners.
-    * Recovers a [[replaceMeta]] crash first: a complete `__new` beside a
-    * missing meta file is the replaced content — promote it. */
+    * READ-ONLY: a [[replaceMeta]] crash (complete `__new` beside a missing
+    * meta) is read THROUGH — the `__new` content IS the replacement — but
+    * promotion (the rename) is left to the next writer ([[promoteMeta]]):
+    * readers must not need write permission on the store, and on
+    * non-atomic-rename filesystems a reader-side rename widens the
+    * concurrent-interleaving surface for no benefit. */
   private[streaming] def readMeta(f: FileSystem, root: Path): Option[StoreMeta] = {
     val p = new Path(root, MetaFile)
     val pNew = metaNewPath(root)
-    if (!f.exists(p) && f.exists(pNew)) {
-      // promote the stranded replacement; a CONCURRENT reader may win the
-      // same rename — success is "the meta exists afterwards", not "my
-      // rename succeeded"
-      if (!f.rename(pNew, p) && !f.exists(p))
-        throw new java.io.IOException(s"meta recovery rename $pNew -> $p failed")
-    }
     def hasState = readCommit(f, root).isDefined ||
       f.exists(root) && f.listStatus(root).exists(_.getPath.getName.startsWith(BucketPrefix))
-    if (!f.exists(p)) {
-      if (hasState)
-        throw new java.io.IOException(
-          s"$p is missing but $root holds state — bucket count unrecoverable " +
-            "(out-of-band deletion?); restore the meta file or rewrite the store")
-      None
-    } else {
-      val lines = readTextFile(f, p).trim.linesIterator.toSeq
-      // headOption: a zero-byte (out-of-band-truncated) meta must reach the
-      // corrupt-meta diagnostic, not a NoSuchElementException
-      lines.headOption.getOrElse("").trim.toIntOption match {
-        case Some(n) =>
-          val cols = lines.drop(1).find(_.startsWith("cols:"))
-            .map(_.stripPrefix("cols:").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-          // types are `;`-separated catalog strings — `,` would split
-          // array/map types
-          val types = lines.drop(1).find(_.startsWith("types:"))
-            .map(_.stripPrefix("types:").split(";").toSeq.map(s => DataType.fromDDL(s.trim)))
-          Some(StoreMeta(n, cols, types))
-        case None if !hasState => None // fresh store, rewrite
-        case None => throw new java.io.IOException(
-          s"corrupt $p with existing state — bucket count unrecoverable")
-      }
+    val src = if (f.exists(p)) Some(p)
+      else if (f.exists(pNew)) Some(pNew) // mid-replace crash: read the replacement
+      else None
+    src match {
+      case None =>
+        if (hasState)
+          throw new java.io.IOException(
+            s"$p is missing but $root holds state — bucket count unrecoverable " +
+              "(out-of-band deletion?); restore the meta file or rewrite the store")
+        None
+      case Some(metaSrc) =>
+        val lines = readTextFile(f, metaSrc).trim.linesIterator.toSeq
+        // headOption: a zero-byte (out-of-band-truncated) meta must reach the
+        // corrupt-meta diagnostic, not a NoSuchElementException
+        lines.headOption.getOrElse("").trim.toIntOption match {
+          case Some(n) =>
+            val cols = lines.drop(1).find(_.startsWith("cols:"))
+              .map(_.stripPrefix("cols:").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            // types are `;`-separated catalog strings — `,` would split
+            // array/map types
+            val types = lines.drop(1).find(_.startsWith("types:"))
+              .map(_.stripPrefix("types:").split(";").toSeq.map(s => DataType.fromDDL(s.trim)))
+            Some(StoreMeta(n, cols, types))
+          case None if !hasState => None // fresh store, rewrite
+          case None => throw new java.io.IOException(
+            s"corrupt $metaSrc with existing state — bucket count unrecoverable")
+        }
+    }
+  }
+
+  /** Writer-side recovery of a crashed [[replaceMeta]]: a complete `__new`
+    * beside a missing meta file is the replaced content — rename it into
+    * place. Only writers call this ([[merge]]); readers read through the
+    * `__new` file without renaming (see [[readMeta]]). */
+  private def promoteMeta(f: FileSystem, root: Path): Unit = {
+    val p = new Path(root, MetaFile)
+    val pNew = metaNewPath(root)
+    if (!f.exists(p) && f.exists(pNew)) {
+      // a CONCURRENT writer may win the same rename — success is "the meta
+      // exists afterwards", not "my rename succeeded"
+      if (!f.rename(pNew, p) && !f.exists(p))
+        throw new java.io.IOException(s"meta recovery rename $pNew -> $p failed")
     }
   }
 
@@ -400,6 +420,7 @@ object KeyedStore {
     val root = new Path(path)
     f.mkdirs(root)
     layoutGuard(f, root)
+    promoteMeta(f, root) // writer-side recovery of a crashed replaceMeta
     val batchTypes = (cs: Seq[String]) => cs.map(c => batch.schema(c).dataType)
     // ONE meta read per merge; the persisted derivation wins — a
     // caller-supplied derivation on an existing store must MATCH it
@@ -467,49 +488,87 @@ object KeyedStore {
     val btypes = meta.types
     val (gen, committed) = readCommit(f, root).getOrElse((0L, Map.empty[Int, String]))
     val newGen = gen + 1
-    // Pin the batch for the merge's TWO actions (touched-bucket collect +
-    // the write): without it a non-deterministic or source-shifting batch
-    // plan could hash rows into buckets absent from the first-pass touched
-    // set — those rows would reach the staging dir but never be published, a
-    // silent drop. Caching makes both actions see one materialization.
-    val wb = batch.withColumn("__b", bucketOf(bcols, n, btypes)).persist()
-    try {
-      // Touched-bucket ids: bounded by n (metadata-sized, like the
-      // reference's config cardinality) — NOT a data-sized collect.
-      val touched = wb.select("__b").distinct().collect().map(_.getInt(0)).sorted
-      val existing = touched.flatMap(committed.get).map(new Path(root, _))
-      // Bucket files don't store __b (it's derivable); re-derive on read.
-      val state = existing.headOption.map(_ =>
-        spark.read.parquet(existing.map(_.toString).toIndexedSeq: _*)
-          .withColumn("__b", bucketOf(bcols, n, btypes)))
-      val all = state.map(wb.unionByName(_)).getOrElse(wb)
-      // repartition by __b: each bucket hashes wholly into one task → one
-      // file per touched bucket per merge (no small-file creep); AQE
-      // coalesces the empty partitions.
-      val won = Stateful.lastWriteWins(all, keys.map(col), seqCols.map(col))
+    // Canonicalize the batch's bucket columns to the persisted types BEFORE
+    // both hashing and writing: hashing needs it for correct bucket ids
+    // (hash() is type-sensitive), and writing needs it so every bucket file
+    // carries ONE physical schema — a type-drifted batch landing in a bucket
+    // with no existing state would otherwise write files whose parquet
+    // column types differ from the store's, making later multi-file reads
+    // depend on reader-side type widening.
+    val canon = btypes match {
+      case Some(ts) => bcols.zip(ts).foldLeft(batch) { case (df, (c, t)) =>
+        if (df.schema(c).dataType == t) df else df.withColumn(c, col(c).cast(t)) }
+      case None => batch
+    }
+    val wb = canon.withColumn("__b", bucketOfExprs(bcols.map(col), n))
+    // WRITE-FIRST protocol, job 1: the batch's own winners, one file per
+    // bucket, land in a staging root outside the committed view. The listing
+    // of what got written IS the touched-bucket set — no separate
+    // distinct+collect pass over the batch, and no persist() pinning a
+    // bulk-load-sized batch in cluster memory (the previous shape's two
+    // actions needed the pin for determinism; one action needs nothing).
+    // repartition by __b: each bucket hashes wholly into one task → one file
+    // per touched bucket per merge (no small-file creep); AQE coalesces the
+    // empty partitions.
+    val tmpRoot = new Path(path + "__tmp")
+    f.delete(tmpRoot, true)
+    Stateful.lastWriteWins(wb, keys.map(col), seqCols.map(col))
+      .repartition(col("__b"))
+      .write.mode("overwrite").partitionBy("__b").parquet(tmpRoot.toString)
+    // Touched buckets from the staging listing — bounded by n, driver-side
+    // metadata, and consistent with the written rows BY CONSTRUCTION (they
+    // are the written rows; a non-deterministic batch plan cannot diverge
+    // from a listing of its own single materialization).
+    val touched = f.listStatus(tmpRoot).map(_.getPath.getName)
+      .collect { case d if d.startsWith(BucketPrefix) =>
+        d.drop(BucketPrefix.length).toInt }
+      .sorted
+    // Job 2 — ONLY for buckets where the batch collides with committed
+    // state: fold the staged batch winners into the stored rows. Reads are
+    // bounded by the collision set on BOTH sides (staged files + committed
+    // bucket dirs), so an incremental merge whose batch misses most of the
+    // store never rereads it. Bucket files don't store __b (it's
+    // derivable); re-derive on read — through the SAME persisted
+    // derivation, so staged (already-cast) rows re-hash identically.
+    val collide = touched.filter(committed.contains)
+    val tmp2 = new Path(path + "__tmp2")
+    f.delete(tmp2, true) // a no-collision crash could strand a previous one
+    if (collide.nonEmpty) {
+      val staged = spark.read.parquet(
+        collide.map(b => new Path(tmpRoot, BucketPrefix + b).toString): _*)
+      val stored = spark.read.parquet(
+        collide.map(b => new Path(root, committed(b)).toString): _*)
+      val all = staged.unionByName(stored)
+        .withColumn("__b", bucketOf(bcols, n, btypes))
+      f.delete(tmp2, true)
+      // LWW is associative given the required total order: batch-local
+      // winners (job 1) vs stored winners fold to the global winner here.
+      Stateful.lastWriteWins(all, keys.map(col), seqCols.map(col))
         .repartition(col("__b"))
-      val tmpRoot = new Path(path + "__tmp")
-      f.delete(tmpRoot, true)
-      won.write.mode("overwrite").partitionBy("__b").parquet(tmpRoot.toString)
-      // Stage this generation's directories. Invisible until the manifest
-      // lands; a same-generation leftover from a crashed attempt is
-      // uncommitted garbage, safe to replace.
-      touched.foreach { i =>
-        val dst = new Path(root, s"$BucketPrefix${i}__g$newGen")
-        f.delete(dst, true)
-        if (!f.rename(new Path(tmpRoot, BucketPrefix + i), dst))
-          throw new java.io.IOException(s"stage rename -> $dst failed")
-      }
-      f.delete(tmpRoot, true)
-      // Publish: ONE atomic manifest rename flips every touched bucket
-      // together. Crash before this line → readers stay on generation `gen`
-      // for ALL buckets; crash after → they see generation `newGen` for all.
-      val newMap = committed ++
-        touched.map(i => i -> s"$BucketPrefix${i}__g$newGen").toMap
-      val manifest = newMap.toSeq.sortBy(_._1)
-        .map { case (i, d) => s"$i $d" }.mkString("\n")
-      writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
-      gc(f, root, keepGenerations)
-    } finally wb.unpersist()
+        .write.mode("overwrite").partitionBy("__b").parquet(tmp2.toString)
+    }
+    // Stage this generation's directories: collision buckets from the
+    // folded write, the rest straight from the batch staging. Invisible
+    // until the manifest lands; a same-generation leftover from a crashed
+    // attempt is uncommitted garbage, safe to replace.
+    val collideSet = collide.toSet
+    touched.foreach { i =>
+      val src = new Path(if (collideSet(i)) tmp2 else tmpRoot, BucketPrefix + i)
+      val dst = new Path(root, s"$BucketPrefix${i}__g$newGen")
+      f.delete(dst, true)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"stage rename $src -> $dst failed")
+    }
+    f.delete(tmpRoot, true)
+    f.delete(tmp2, true)
+    // Publish: ONE atomic manifest rename flips every touched bucket
+    // together. Crash before this line → readers stay on generation `gen`
+    // for ALL buckets; crash after → they see generation `newGen` for all.
+    val newMap = committed ++
+      touched.map(i => i -> s"$BucketPrefix${i}__g$newGen").toMap
+    val manifest = newMap.toSeq.sortBy(_._1)
+      .map { case (i, d) => s"$i $d" }.mkString("\n")
+    writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
+    gc(f, root, keepGenerations)
   }
 }

@@ -464,10 +464,19 @@ class KeyedStoreSpec extends SparkSpec {
     val out = f.create(new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets__new"), true)
     out.write(content.getBytes("UTF-8")); out.close()
     f.delete(metaPath, false)
-    // the next reader promotes __new instead of declaring the store dead
+    // a READER resolves the store through __new WITHOUT promoting it — the
+    // read path must not need write permission on the store directory
     assert(KeyedStore.readBucketCount(f, rootPath).contains(8))
     assert(KeyedStore.readBucketColsMeta(f, rootPath).contains(Seq("k")))
+    assert(!f.exists(metaPath) &&
+      f.exists(new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets__new")))
+    // the next WRITER promotes __new back to the live meta name
+    KeyedStore.merge(Seq((2L, "w", 1L)).toDF("k", "v", "seq"),
+      root, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 8)
     assert(f.exists(metaPath) &&
       !f.exists(new org.apache.hadoop.fs.Path(rootPath, "_graft_buckets__new")))
+    assert(KeyedStore.readBucketCount(f, rootPath).contains(8))
+    import org.apache.spark.sql.functions.col
+    assert(KeyedStore.read(s, root).get.count() == 2)
   }
 }
