@@ -104,9 +104,13 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failed = failures.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val p2Field = pass2.map(rs =>
-      s""","total_p2":${rs.map(_._2).sum},"queries_p2":${toJson(rs)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failed,"queries":${toJson(results)}$p2Field,"sf":"$sfDir"}""")
+    val p2Total = pass2.map(rs => s""","total_p2":${rs.map(_._2).sum}""").getOrElse("")
+    val p2Field = pass2.map(rs => s""","queries_p2":${toJson(rs)}""").getOrElse("")
+    // TOTALS FIRST in the JSON line, and a short totals-only line BEFORE the
+    // full one: the driver captures the output tail, and a truncation must
+    // lose per-query detail, never the headline numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"failures":$failed$p2Total,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"failures":$failed$p2Total,"queries":${toJson(results)}$p2Field,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
