@@ -63,6 +63,35 @@ object Bench {
         .repartition(4).write.mode("overwrite").parquet(d.toString)
       spark.read.parquet(d.toString).count()
     }
+    // KeyedStore/DimCache warm-up: the dim-store build inside
+    // q_join_lookup_big runs plan shapes nothing above compiles — the
+    // window-lag winners pass feeding a dynamic-partition parquet write, and
+    // the pruned-bucket lookup (InMemoryRelation + SHUFFLE_MERGE join).
+    // MergeProbe (two fresh builds, one JVM) puts their first-use codegen/JIT
+    // at ~2.5 s merge + ~2.8 s lookup; a 2k-row store compiles the same code,
+    // untimed, so the measured query pays only the real per-build cost.
+    warm("keyed-store") {
+      val d = "/tmp/graft_bench_warm_store"
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      // mirror the real dim's column-type mix (bigint key, string/int/double
+      // payload), bucket count, AND source (a parquet scan, not an in-memory
+      // range — scan+window+write fuse into different codegen units)
+      val src = "/tmp/graft_bench_warm_store_src"
+      spark.range(2000)
+        .selectExpr("id as k", "cast(id as string) as v",
+          "cast(id % 25 as int) as n", "cast(id as double) as b",
+          "'put' as op_type")
+        .write.mode("overwrite").parquet(src)
+      graft.streaming.KeyedStore.merge(spark.read.parquet(src), d,
+        keys = Seq("k"), seqCols = Seq("k"), numBuckets = 8)
+      val cache = new graft.streaming.DimCache(d, Seq("k"))
+      val facts = spark.read.parquet(src)
+        .selectExpr("k as fid", "k % 2000 as fk", "b as fv")
+      cache.lookupJoin(facts, Seq(org.apache.spark.sql.functions.col("fk")))
+        .select("fid", "fk", "v", "b").orderBy("fid").count()
+      cache.invalidateAll()
+    }
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q_dedup_clusters,q_dwd_comment
     val only = sys.env.get("SPARK_GRAFT_ONLY")

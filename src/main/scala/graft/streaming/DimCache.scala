@@ -47,6 +47,14 @@ class DimCache(path: String, dimKeys: Seq[String],
   /** accessOrder=true: iteration order is least-recently-used first. */
   private val cached = new java.util.LinkedHashMap[Int, (Long, DataFrame)](16, 0.75f, true)
 
+  /** Dim schema, inferred ONCE per cache instance: every bucket file of a
+    * store carries the same schema (merge canonicalizes types before the
+    * write), so per-bucket `spark.read.parquet` inference would pay one
+    * footer-reading Spark job PER BUCKET PER GENERATION — measured ~40 ms
+    * each, the bulk of a cold lookup's driver overhead. Inferred from the
+    * first bucket touched; later reads pass it explicitly. */
+  @volatile private var dimSchema: org.apache.spark.sql.types.StructType = _
+
   // observability for specs and ops: how often the cache actually worked
   val hits = new AtomicLong
   val misses = new AtomicLong
@@ -125,7 +133,9 @@ class DimCache(path: String, dimKeys: Seq[String],
       case stale =>
         if (stale.isDefined) { refreshes.incrementAndGet(); stale.get._2.unpersist() }
         else misses.incrementAndGet()
-        val df = spark.read.parquet(new Path(root, manifest(b)).toString)
+        val dir = new Path(root, manifest(b)).toString
+        if (dimSchema == null) dimSchema = spark.read.parquet(dir).schema
+        val df = spark.read.schema(dimSchema).parquet(dir)
           .persist(StorageLevel.MEMORY_AND_DISK)
         cached.put(b, (gen, df))
         evictOverCap()

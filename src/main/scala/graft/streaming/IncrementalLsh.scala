@@ -25,6 +25,25 @@ import graft.ext.Dedup
   */
 object IncrementalLsh {
 
+  /** Stored index rows with SATURATED band buckets removed: a (band, bkey)
+    * bucket holding more than `maxBandDf` accepted docs is dominated by a
+    * stop-phrase / boilerplate band (the cross-batch twin of
+    * [[Dedup.ngramJaccardPairsCapped]]'s posting-list cap) and is excluded
+    * from the verify join — uncapped, one hot bucket makes the candidate
+    * set `bucket_width × probes_in_bucket`, which grows with INDEX age
+    * instead of batch size. The width count runs over the pruned store
+    * subset only (O(batch-touched buckets)). Recall cost is the standard
+    * DF-cap dial: a true near-dup pair screened ONLY by saturated bands
+    * slips through cross-batch (each doc still has `bands − 1` other
+    * chances, and the within-batch pass is uncapped). */
+  private[graft] def cappedStored(stored: DataFrame, maxBandDf: Int): DataFrame = {
+    require(maxBandDf >= 1, s"maxBandDf must be >= 1, got $maxBandDf")
+    stored.join(
+      stored.groupBy("band", "bkey").agg(count(lit(1)).as("__bw"))
+        .filter(col("__bw") <= maxBandDf).select("band", "bkey"),
+      Seq("band", "bkey"), "left_semi")
+  }
+
   /** Dedup one micro-batch of (doc_id, text) against the signature store:
     * returns accepted rows, appends their band/signature rows to the store.
     *
@@ -35,10 +54,13 @@ object IncrementalLsh {
     * they pass the near-dup screens (compose [[IncrementalDedup]] upstream
     * for exact dedup of shorts) and are not stored.
     *
-    * @param simNum/simDen signature match-fraction threshold (of k) */
+    * @param simNum/simDen signature match-fraction threshold (of k)
+    * @param maxBandDf verify-stage cap: stored band buckets wider than this
+    *                  are skipped (see [[cappedStored]]) */
   def dedupBatch(batch: DataFrame, storePath: String, idCol: Column,
       textCol: Column, batchId: Long, k: Int = 32, bands: Int = 16,
-      simNum: Int = 1, simDen: Int = 2, numBuckets: Int = 16): DataFrame = {
+      simNum: Int = 1, simDen: Int = 2, numBuckets: Int = 16,
+      maxBandDf: Int = 256): DataFrame = {
     require(simNum >= 0 && simDen >= 1, s"bad threshold $simNum/$simDen")
     val spark = batch.sparkSession
     val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
@@ -54,7 +76,9 @@ object IncrementalLsh {
     val crossDups = KeyedStore.readPruned(spark, storePath, buckets) match {
       case Some(stored) =>
         val hits = buckets.join(
-          stored.select(col("band"), col("bkey"), col("sig").as("__ssig")),
+          cappedStored(
+            stored.select(col("band"), col("bkey"), col("sig").as("__ssig")),
+            maxBandDf),
           Seq("band", "bkey"))
         hits.join(sigArr, Seq("doc_id"))
           .withColumn("__matches",

@@ -395,6 +395,31 @@ object KeyedStore {
     }
   }
 
+  /** Per-key last-write-wins winners of `df` (which carries a `__b` bucket
+    * column), written bucket-partitioned to `dst` — in ONE shuffle.
+    *
+    * A per-key `row_number` window followed by `repartition(__b)` would cost
+    * two exchanges (hash by keys, then hash by bucket). But the bucket is a
+    * function of a SUBSET of the keys, so hash-partitioning by `__b` already
+    * co-locates every version of a key; within that one exchange, a
+    * partition-wide sort by (keys asc, seq desc) makes each key's versions a
+    * contiguous run with the winner first, and the winner test is a lag
+    * comparison on the key struct (struct comparison is null-safe per field).
+    * At store scale the saving is the whole key-hash exchange — merge's
+    * shuffle volume halves. Each bucket still hashes wholly into one task,
+    * so the `partitionBy` write emits one file per touched bucket (no
+    * small-file creep), sorted by key — a free read-side bonus. */
+  private def writeWinners(df: DataFrame, keys: Seq[String],
+      seqCols: Seq[String], dst: Path): Unit = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+      .orderBy(keys.map(col(_).asc) ++ seqCols.map(col(_).desc): _*)
+    df.withColumn("__pk_src", struct(keys.map(col): _*))
+      .withColumn("__pk", lag(col("__pk_src"), 1).over(w))
+      .filter(col("__pk").isNull || col("__pk") =!= col("__pk_src"))
+      .drop("__pk", "__pk_src")
+      .write.mode("overwrite").partitionBy("__b").parquet(dst.toString)
+  }
+
   /** Merge one batch of versioned rows into the store at `path`.
     *
     * @param seqCols version order (newest wins); must be a TOTAL order over
@@ -507,14 +532,9 @@ object KeyedStore {
     // distinct+collect pass over the batch, and no persist() pinning a
     // bulk-load-sized batch in cluster memory (the previous shape's two
     // actions needed the pin for determinism; one action needs nothing).
-    // repartition by __b: each bucket hashes wholly into one task → one file
-    // per touched bucket per merge (no small-file creep); AQE coalesces the
-    // empty partitions.
     val tmpRoot = new Path(path + "__tmp")
     f.delete(tmpRoot, true)
-    Stateful.lastWriteWins(wb, keys.map(col), seqCols.map(col))
-      .repartition(col("__b"))
-      .write.mode("overwrite").partitionBy("__b").parquet(tmpRoot.toString)
+    writeWinners(wb, keys, seqCols, tmpRoot)
     // Touched buckets from the staging listing — bounded by n, driver-side
     // metadata, and consistent with the written rows BY CONSTRUCTION (they
     // are the written rows; a non-deterministic batch plan cannot diverge
@@ -543,9 +563,7 @@ object KeyedStore {
       f.delete(tmp2, true)
       // LWW is associative given the required total order: batch-local
       // winners (job 1) vs stored winners fold to the global winner here.
-      Stateful.lastWriteWins(all, keys.map(col), seqCols.map(col))
-        .repartition(col("__b"))
-        .write.mode("overwrite").partitionBy("__b").parquet(tmp2.toString)
+      writeWinners(all, keys, seqCols, tmp2)
     }
     // Stage this generation's directories: collision buckets from the
     // folded write, the rest straight from the batch staging. Invisible

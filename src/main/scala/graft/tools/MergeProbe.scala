@@ -11,6 +11,21 @@ object MergeProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(j.jobId, (System.nanoTime(),
+          Option(j.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, site) = Option(jobStarts.get(j.jobId)).getOrElse((0L, "?"))
+        println(f"  JOB ${j.jobId}: ${(System.nanoTime() - t0) / 1e9}%.3f s  [$site]")
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val ms = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
+        println(f"    STAGE ${i.stageId} (${i.numTasks}t ${ms.getOrElse(-1L)}ms): ${i.name.take(110)}")
+      }
+    })
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"PHASE $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
@@ -24,22 +39,26 @@ object MergeProbe {
         .repartition(4).write.mode("overwrite").parquet(d.toString)
       spark.read.parquet(d.toString).count()
     }
-    val path = "/tmp/graft_mergeprobe_customer"
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    val batch = t("read-customer")(
-      Envelopes.table(spark, dir, "customer").withColumn("op_type", lit("put")))
-    t("merge")(KeyedStore.merge(batch, path,
-      keys = Seq("c_custkey"), seqCols = Seq("c_custkey"), numBuckets = 8))
-    val cache = new DimCache(path, Seq("c_custkey"))
-    val o = Envelopes.table(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    t("lookup-1")(cache.lookupJoin(o, Seq(col("o_custkey")))
-      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("o_orderkey")).count())
-    t("lookup-2")(cache.lookupJoin(o, Seq(col("o_custkey")))
-      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("o_orderkey")).count())
+    // two full rounds into fresh stores: round 1 pays first-use codegen/JIT
+    // for the merge+lookup plan shapes, round 2 is the true per-build cost
+    for (round <- 1 to 2) {
+      val path = s"/tmp/graft_mergeprobe_customer_$round"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val batch = t(s"r$round-read-customer")(
+        Envelopes.table(spark, dir, "customer").withColumn("op_type", lit("put")))
+      t(s"r$round-merge")(KeyedStore.merge(batch, path,
+        keys = Seq("c_custkey"), seqCols = Seq("c_custkey"), numBuckets = 8))
+      val cache = new DimCache(path, Seq("c_custkey"))
+      val o = Envelopes.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      t(s"r$round-lookup-1")(cache.lookupJoin(o, Seq(col("o_custkey")))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("o_orderkey")).count())
+      t(s"r$round-lookup-2")(cache.lookupJoin(o, Seq(col("o_custkey")))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("o_orderkey")).count())
+    }
     spark.stop()
   }
 }

@@ -29,6 +29,46 @@ import graft.streaming.KeyedStore
   *
   * Usage: runMain graft.tools.StoreProbe [rows] [buckets] [outDir]
   */
+/** Verify-stage DF-cap probe (dev tool): does the cross-batch near-dup
+  * screen's candidate count stay bounded as a HOT band bucket ages?
+  *
+  * Uncapped, a (band, bkey) bucket holding w stored signatures contributes
+  * `w × probes_in_bucket` verify candidates — w grows with index AGE (every
+  * accepted boilerplate-ish doc adds rows), so probe cost degrades
+  * quadratically over a stream's lifetime. [[graft.streaming.IncrementalLsh
+  * .cappedStored]] drops buckets wider than maxBandDf from the verify join.
+  * This probe synthesizes one hot bucket at growing widths and prints the
+  * candidate count with and without the cap: uncapped must grow linearly
+  * with width, capped must stay flat.
+  *
+  * Usage: runMain graft.tools.LshCapProbe [probes] [maxBandDf]
+  */
+object LshCapProbe {
+  def main(args: Array[String]): Unit = {
+    val probes = args.headOption.map(_.toInt).getOrElse(100)
+    val cap = args.lift(1).map(_.toInt).getOrElse(256)
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // one hot (band, bkey) bucket plus a healthy one-entry bucket per probe
+    val probe = spark.range(probes).select(
+      (col("id") % 2).cast("int").as("band"),
+      when(col("id") % 2 === 0, lit(777L)).otherwise(col("id")).as("bkey"))
+    for (w <- Seq(100L, 1000L, 10000L)) {
+      val stored = spark.range(w).select(lit(0).as("band"), lit(777L).as("bkey"),
+          array((0 until 32).map(i => lit(i.toLong)): _*).as("__ssig"))
+        .union(spark.range(probes).select(lit(1).as("band"), col("id").as("bkey"),
+          array((0 until 32).map(i => lit(i.toLong)): _*).as("__ssig")))
+      val un = probe.join(stored, Seq("band", "bkey")).count()
+      val cp = probe.join(graft.streaming.IncrementalLsh.cappedStored(stored, cap),
+        Seq("band", "bkey")).count()
+      println(s"LSHCAP width=$w probes=$probes cap=$cap uncapped=$un capped=$cp")
+    }
+    spark.stop()
+  }
+}
+
 object StoreProbe {
 
   private def fps(spark: SparkSession, from: Long, n: Long) =

@@ -54,4 +54,57 @@ class IncrementalLshSpec extends SparkSpec {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 3L, 5L))
   }
+
+  test("saturated band buckets are DF-capped out of the verify join") {
+    val s = spark
+    import s.implicits._
+    import graft.ext.Dedup
+    val cap = 8
+    val doc = Seq((1L, text("stop", "stop_w12"))).toDF("doc_id", "text")
+    // the doc's real band buckets and signature, via the same helpers
+    // dedupBatch uses — the synthetic store rows below are schema-exact
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingles(doc, col("doc_id"), col("text")))
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until 32).map(i => col(s"h$i")): _*).as("sig"))
+    val oneBucket = Dedup.bandBuckets(sig).limit(1)
+    // saturate that ONE bucket: cap+1 stored docs, each a perfect signature
+    // match (uncapped, any of them would reject the probe)
+    def saturatedRows = oneBucket.join(sigArr.select(col("sig")))
+      .crossJoin(s.range(100, 100 + cap + 1))
+      .select(col("band"), col("bkey"), col("id").as("doc_id"),
+        col("sig"), lit(0L).as("batch_id"))
+
+    // capped: the hot bucket is excluded, every other band misses (empty
+    // store there) — the doc is ACCEPTED
+    val storeA = Files.createTempDirectory("inc_lsh_cap").toString + "/a"
+    KeyedStore.merge(saturatedRows, storeA,
+      keys = Seq("band", "bkey", "doc_id"), seqCols = Seq("batch_id"),
+      bucketCols = Seq("band", "bkey"))
+    val outA = IncrementalLsh.dedupBatch(doc, storeA, col("doc_id"),
+        col("text"), 1L, maxBandDf = cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outA == Set(1L), s"capped screen must skip the saturated bucket, got $outA")
+
+    // same store, cap wide enough to keep the bucket: the doc is REJECTED
+    val storeB = Files.createTempDirectory("inc_lsh_cap").toString + "/b"
+    KeyedStore.merge(saturatedRows, storeB,
+      keys = Seq("band", "bkey", "doc_id"), seqCols = Seq("batch_id"),
+      bucketCols = Seq("band", "bkey"))
+    val outB = IncrementalLsh.dedupBatch(doc, storeB, col("doc_id"),
+        col("text"), 1L, maxBandDf = cap + 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outB == Set.empty[Long], s"uncapped-width screen must reject, got $outB")
+
+    // the cap bounds the verify candidate set itself: the saturated bucket
+    // contributes 0 candidate rows capped vs cap+1 uncapped
+    val stored = KeyedStore.read(s, storeB).get
+      .select(col("band"), col("bkey"), col("sig").as("__ssig"))
+    val probes = Dedup.bandBuckets(sig)
+    val uncapped = probes.join(stored, Seq("band", "bkey")).count()
+    val capped = probes.join(
+      IncrementalLsh.cappedStored(stored, cap), Seq("band", "bkey")).count()
+    assert(uncapped >= cap + 1 && capped <= uncapped - (cap + 1),
+      s"expected the saturated bucket's $uncapped candidates capped away, got $capped")
+  }
 }
