@@ -84,6 +84,8 @@ object Curation {
     require(!df.columns.contains("keeper_id"),
       "df already has a keeper_id column — drop/rename it, or pass it as labels")
     require(!df.columns.contains(as), s"df already has a '$as' column")
+    require(!df.columns.contains("__lss_id"),
+      "df already has a __lss_id column (internal working name) — drop/rename it")
     // exact duplicate label rows are harmless upstream noise — fold them;
     // conflicting keepers for one doc would still be malformed input, and
     // surface as duplicated doc rows in the output

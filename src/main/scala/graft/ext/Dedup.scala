@@ -430,22 +430,80 @@ object Dedup {
     * span ±maxDist), and every candidate pair meets on exactly one equi key
     * — len(a) — so no post-join distinct is needed; the `a < b` guard takes
     * each unordered pair once. Candidate verify is codegen `levenshtein`.
-    * For a web-scale vocabulary add a prefix-bucket term to the band key —
-    * same equi-join shape, smaller bands.
+    *
+    * For a WEB-SCALE vocabulary the length bands themselves get hot (every
+    * 7-letter token in one band): `segmentBand = true` extends the key with
+    * a PassJoin-style segment term — still lossless. Pigeonhole: partition
+    * the a-side token into `maxDist + 1` even segments; ≤ maxDist edits
+    * touch ≤ maxDist segments, so at least one survives untouched and
+    * appears VERBATIM in the other token, shifted by at most ±maxDist (net
+    * prefix insertions/deletions are bounded by the distance). The key
+    * becomes (len(a), segIdx, segment); the b-side emits each substring
+    * that could be a surviving segment (lengths ±maxDist × segIdx × shift
+    * ±maxDist ⇒ ≤ (2d+1)²(d+1) keys per token, 18 at d=1 — constant), and
+    * bands shrink from |len-class| to |len-class sharing an exact
+    * substring|. Tokens shorter than maxDist+1 (no non-empty segments) keep
+    * the plain length key. A pair can now meet under several segment keys,
+    * so the verified output is deduped — a distinct over TRUE pairs only,
+    * not candidates.
     *
     * @param vocab one `tok` string column, assumed distinct
     * @return (a_tok, b_tok, dist) with a_tok < b_tok, dist ≤ maxDist */
-  def fuzzyVocabPairs(vocab: DataFrame, maxDist: Int = 1): DataFrame = {
+  def fuzzyVocabPairs(vocab: DataFrame, maxDist: Int = 1,
+      segmentBand: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val a = vocab.select(col("tok").as("a_tok"), length(col("tok")).as("__l"))
-    val b = vocab.select(col("tok").as("b_tok"),
-        explode(sequence(length(col("tok")) - maxDist,
-          length(col("tok")) + maxDist)).as("__l"))
-    a.join(b, Seq("__l"))
-      .filter(col("a_tok") < col("b_tok"))
-      .withColumn("dist", levenshtein(col("a_tok"), col("b_tok")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("a_tok"), col("b_tok"), col("dist"))
+    if (!segmentBand || maxDist == 0) {
+      val a = vocab.select(col("tok").as("a_tok"), length(col("tok")).as("__l"))
+      val b = vocab.select(col("tok").as("b_tok"),
+          explode(sequence(length(col("tok")) - maxDist,
+            length(col("tok")) + maxDist)).as("__l"))
+      a.join(b, Seq("__l"))
+        .filter(col("a_tok") < col("b_tok"))
+        .withColumn("dist", levenshtein(col("a_tok"), col("b_tok")).cast("long"))
+        .filter(col("dist") <= maxDist)
+        .select(col("a_tok"), col("b_tok"), col("dist"))
+    } else {
+      val d = maxDist
+      val s = d + 1
+      def segStart(l: Column, i: Column) = floor(i * l / s)
+      def segLen(l: Column, i: Column) = segStart(l, i + 1) - segStart(l, i)
+      val aBase = vocab.select(col("tok").as("a_tok"), length(col("tok")).as("__l"))
+      val aKeys = aBase.filter(col("__l") < s)
+        .select(col("a_tok"), col("__l"), lit(-1L).as("__i"), lit("").as("__seg"))
+        .unionByName(aBase.filter(col("__l") >= s)
+          .select(col("a_tok"), col("__l"),
+            explode(sequence(lit(0L), lit(d.toLong))).as("__i"))
+          .select(col("a_tok"), col("__l"), col("__i"),
+            col("a_tok").substr(
+              (segStart(col("__l"), col("__i")) + 1).cast("int"),
+              segLen(col("__l"), col("__i")).cast("int")).as("__seg")))
+      val bL = vocab.select(col("tok").as("b_tok"), length(col("tok")).as("__bl"))
+        .select(col("b_tok"), col("__bl"),
+          explode(sequence(greatest(col("__bl") - d, lit(1)),
+            col("__bl") + d)).as("__l"))
+      val bKeys = bL.filter(col("__l") < s)
+        .select(col("b_tok"), col("__l"), lit(-1L).as("__i"), lit("").as("__seg"))
+        .unionByName(bL.filter(col("__l") >= s)
+          .select(col("b_tok"), col("__bl"), col("__l"),
+            explode(sequence(lit(0L), lit(d.toLong))).as("__i"))
+          .withColumn("__sl", segLen(col("__l"), col("__i")))
+          .select(col("b_tok"), col("__bl"), col("__l"), col("__i"), col("__sl"),
+            explode(sequence(segStart(col("__l"), col("__i")) - d,
+              segStart(col("__l"), col("__i")) + d)).as("__p"))
+          .filter(col("__p") >= 0 && col("__p") + col("__sl") <= col("__bl"))
+          .select(col("b_tok"), col("__l"), col("__i"),
+            col("b_tok").substr((col("__p") + 1).cast("int"),
+              col("__sl").cast("int")).as("__seg")))
+        // one token can yield the same substring at several shifts
+        // ("aaaa"): fold before the join rather than fan the band out
+        .distinct()
+      aKeys.join(bKeys, Seq("__l", "__i", "__seg"))
+        .filter(col("a_tok") < col("b_tok"))
+        .withColumn("dist", levenshtein(col("a_tok"), col("b_tok")).cast("long"))
+        .filter(col("dist") <= d)
+        .select(col("a_tok"), col("b_tok"), col("dist"))
+        .distinct()
+    }
   }
 
   /** C4-style duplicated-span REMOVAL: partition each document into

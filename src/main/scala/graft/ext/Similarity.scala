@@ -61,6 +61,58 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** SRP parameters (bits, bands) derived from the collision algebra instead
+    * of hand-tuning: for signed random projections the per-bit agreement
+    * probability of a pair at cosine θ is p = 1 − acos(θ)/π, a g-bit band
+    * matches with p^g, and b bands recall 1 − (1 − p^g)^b. Pruning power
+    * rises with the band width g (candidate selectivity per band ~ p_bg^g for
+    * background pairs), so this picks the LARGEST g whose minimal
+    * recall-meeting band count still fits the packed-long bit budget
+    * (g·b ≤ maxBits ≤ 63), then that minimal b. Monotone in both dials:
+    * a higher threshold (larger p) affords wider bands; a higher recall
+    * floor forces more bands and narrower ones.
+    *
+    * If even 1-bit bands cannot reach the floor within the budget (pathology:
+    * threshold ≈ −1 or floor ≈ 1), falls back loudly to (maxBits, maxBits) —
+    * callers wanting guaranteed recall there should use [[cosinePairs]].
+    *
+    * @return (bits, bands) ready to pass to [[srpPairs]] */
+  def srpParams(threshold: Double, recallFloor: Double = 0.99,
+      maxBits: Int = 63): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be in (-1, 1), got $threshold")
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor must be in (0, 1), got $recallFloor")
+    require(maxBits >= 1 && maxBits <= 63, s"maxBits must be in [1, 63], got $maxBits")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val feasible = (1 to math.min(31, maxBits)).reverse.iterator.map { g =>
+      val pg = math.pow(p, g)
+      // minimal b with (1 - p^g)^b <= 1 - recallFloor
+      val b = math.ceil(math.log1p(-recallFloor) / math.log1p(-pg)).toLong
+      (g, b)
+    }.collectFirst { case (g, b) if b >= 1 && g.toLong * b <= maxBits =>
+      (g * b.toInt, b.toInt)
+    }
+    feasible.getOrElse((maxBits, maxBits))
+  }
+
+  /** Algebraic recall of (bits, bands) at `threshold` — the 1−(1−p^g)^b
+    * curve [[srpParams]] inverts; exposed so specs and capacity planning can
+    * read the achieved floor rather than re-deriving it. */
+  def srpRecall(threshold: Double, bits: Int, bands: Int): Double = {
+    require(bands >= 1 && bits % bands == 0, s"bad ($bits, $bands)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits / bands), bands)
+  }
+
+  /** [[srpPairs]] with (bits, bands) derived by [[srpParams]] from the
+    * threshold and a target recall floor. */
+  def srpPairsAuto(emb: DataFrame, threshold: Double, dim: Int,
+      recallFloor: Double = 0.99, seed: Long = 42L): DataFrame = {
+    val (bits, bands) = srpParams(threshold, recallFloor)
+    srpPairs(emb, threshold, dim, bits, bands, seed)
+  }
+
   /** Signed-random-projection LSH near-dup pairs — the scale path for
     * [[cosinePairs]]: sketch each vector with `bits` Rademacher hyperplane
     * signs (deterministic from `seed`, materialized as literal arrays so the

@@ -52,9 +52,17 @@ object CountMin {
 
   val stringFreq: Aggregator[String, Array[Long], Array[Long]] =
     new Aggregator[String, Array[Long], Array[Long]] {
-      override def zero: Array[Long] = new Array[Long](D * W)
+      // Same copy-on-first-touch protocol as [[Hll.stringDistinct]]: sort-
+      // based typed aggregation shares ONE zero() instance across groups, so
+      // the sentinel is never mutated and reduce/merge take ownership by
+      // copying when handed it.
+      private val Empty = new Array[Long](D * W)
+      override def zero: Array[Long] = Empty
+      private def owned(buf: Array[Long]): Array[Long] =
+        if (buf eq Empty) new Array[Long](D * W) else buf
 
-      override def reduce(buf: Array[Long], in: String): Array[Long] = {
+      override def reduce(buf0: Array[Long], in: String): Array[Long] = {
+        val buf = owned(buf0)
         if (in != null) {
           var r = 0
           while (r < D) { buf(r * W + idx(in, r)) += 1; r += 1 }
@@ -62,7 +70,8 @@ object CountMin {
         buf
       }
 
-      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      override def merge(a0: Array[Long], b: Array[Long]): Array[Long] = {
+        val a = owned(a0)
         var i = 0
         while (i < a.length) { a(i) += b(i); i += 1 }
         a

@@ -30,9 +30,21 @@ object Hll {
 
   val stringDistinct: Aggregator[String, Array[Byte], Long] =
     new Aggregator[String, Array[Byte], Long] {
-      override def zero: Array[Byte] = new Array[Byte](M)
+      // Canonical NEVER-MUTATED empty buffer. Spark's sort-based typed
+      // aggregation calls zero() ONCE per operator and re-points every
+      // group's buffer at that one instance, so an aggregator that mutates
+      // the buffer in place would accumulate state ACROSS GROUPS (group N's
+      // estimate includes groups 1..N−1 — observed, not hypothetical).
+      // zero therefore returns this sentinel, and reduce/merge copy on
+      // first touch (`eq` check): one extra M-byte copy per group, after
+      // which the owned buffer mutates freely.
+      private val Empty = new Array[Byte](M)
+      override def zero: Array[Byte] = Empty
+      private def owned(buf: Array[Byte]): Array[Byte] =
+        if (buf eq Empty) new Array[Byte](M) else buf
 
-      override def reduce(buf: Array[Byte], in: String): Array[Byte] = {
+      override def reduce(buf0: Array[Byte], in: String): Array[Byte] = {
+        val buf = owned(buf0)
         if (in != null) {
           val h = hash64(in)
           val idx = (h >>> (64 - P)).toInt
@@ -43,7 +55,8 @@ object Hll {
         buf
       }
 
-      override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      override def merge(a0: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        val a = owned(a0)
         var i = 0
         while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
         a

@@ -265,6 +265,12 @@ class CurationSpec extends SparkSpec {
     val dedup = Curation.leakageSafeSplit(docs, col("doc_id"), dupLabels,
       Seq("train" -> 80, "val" -> 90, "test" -> 100))
     assert(dedup.count() == 100, "duplicate label rows must not multiply the corpus")
+    // the internal working column is refused too — an input that already
+    // has __lss_id would otherwise produce a duplicate/ambiguous column
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs.withColumn("__lss_id", col("doc_id")),
+        col("doc_id"), labels, Seq("train" -> 100))
+    }
   }
 
   test("shardShuffle is a seed-keyed bijective layout, stable under repartitioning") {

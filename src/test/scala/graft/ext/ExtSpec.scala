@@ -68,6 +68,42 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.9, s"SRP recall = $recall")
   }
 
+  test("srpParams picks max-width bands meeting the recall floor in budget") {
+    // weak threshold 0.45 (p ≈ 0.648): widest feasible band is 3 bits —
+    // 15 bands reach 0.99; 4-bit bands would need 24 bands (96 bits > 63)
+    assert(Similarity.srpParams(0.45, 0.99) == (45, 15))
+    // high threshold 0.9 (p ≈ 0.856): 6-bit bands, 10 of them (60 bits)
+    assert(Similarity.srpParams(0.9, 0.99) == (60, 10))
+    // every computed pair satisfies its own contract: algebraic recall at or
+    // above the floor, bit budget respected, band width divides the bits
+    for (t <- Seq(0.3, 0.45, 0.6, 0.75, 0.9); f <- Seq(0.95, 0.99)) {
+      val (bits, bands) = Similarity.srpParams(t, f)
+      assert(bits <= 63 && bits % bands == 0, s"($bits, $bands) at $t/$f")
+      val r = Similarity.srpRecall(t, bits, bands)
+      assert(r >= f, s"recall $r < floor $f at threshold $t")
+      // and maximality: one more bit per band cannot still meet the floor
+      // within the budget (otherwise srpParams left pruning power unused)
+      val g = bits / bands
+      if (g < 31) {
+        val p = 1.0 - math.acos(t) / math.Pi
+        val bNeeded = math.ceil(math.log1p(-f) / math.log1p(-math.pow(p, g + 1)))
+        assert((g + 1) * bNeeded > 63, s"wider band was feasible at $t/$f")
+      }
+    }
+    // the round-5 hand-derived 63/21 sits above the same floor the auto
+    // params target — the function would have found a cheaper equivalent
+    assert(Similarity.srpRecall(0.45, 63, 21) >= 0.99)
+  }
+
+  test("srpPairsAuto keeps precision 1 and the target recall on real data") {
+    val e = Envelopes.table(spark, sfDir(), "embeddings")
+    val brute = pairs(Similarity.cosinePairs(e, 0.45))
+    val auto = pairs(Similarity.srpPairsAuto(e, 0.45, dim = 64))
+    assert(auto.subsetOf(brute), "exact verify must make precision 1")
+    val recall = auto.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"auto-param SRP recall = $recall")
+  }
+
   test("IVF probed top-k recalls a reasonable share of brute-force neighbors") {
     val e = Envelopes.table(spark, sfDir(), "embeddings")
     val q = e.filter(col("vec_id") < 10)

@@ -150,6 +150,32 @@ class SpanProfilePairSpec extends SparkSpec {
     assert(setOf(1).contains(("bat", "cat", 1L)))
   }
 
+  test("segment band is lossless: same pairs as the plain length band") {
+    // real vocabulary (the q_fuzzy_vocab construction at sf0.001) plus the
+    // adversarial cases: first-letter edits (the pair first-letter blocking
+    // loses), deletions that shift every later segment, repeated-char
+    // tokens (same substring at several shifts), and short tokens below
+    // the segment threshold
+    val docsVocab = graft.model.Envelopes.table(spark, sfDir(), "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok")).distinct()
+    val s = spark
+    import s.implicits._
+    val edge = Seq("abcd", "bcd", "cat", "bat", "aaaa", "aaab", "ab", "b", "a")
+      .toDF("tok")
+    val vocab = docsVocab.unionByName(edge).distinct()
+    for (d <- Seq(1, 2)) {
+      def run(seg: Boolean): Set[(String, String, Long)] =
+        Dedup.fuzzyVocabPairs(vocab, maxDist = d, segmentBand = seg).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val plain = run(seg = false)
+      val banded = run(seg = true)
+      assert(banded == plain,
+        s"maxDist=$d: segment band lost ${(plain -- banded).take(5)} " +
+          s"/ invented ${(banded -- plain).take(5)}")
+      assert(plain.nonEmpty)
+    }
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged by fingerprint") {
     val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newV = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")

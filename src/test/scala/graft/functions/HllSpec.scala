@@ -21,6 +21,33 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("multi-group typed aggregation keeps groups independent") {
+    // Regression: Spark's sort-based typed aggregation calls zero() once per
+    // operator and re-points every group at that instance — an in-place-
+    // mutating aggregator then leaks state across groups (group N's estimate
+    // absorbed groups 1..N−1). The copy-on-first-touch protocol fixes it;
+    // this pins the fix for BOTH mutating sketches, single- and multi-
+    // partition (the single-partition sort path is where sharing bites).
+    val s = spark
+    import s.implicits._
+    for (parts <- Seq(1, 8)) {
+      val ds = s.range(999).selectExpr("cast(id as string) AS v", "id % 3 AS g")
+        .repartition(parts).as[(String, Long)]
+      val hll = ds.groupByKey(_._2).mapValues(_._1)
+        .agg(Hll.stringDistinct.toColumn).collect().toMap
+      hll.foreach { case (g, est) =>
+        assert(math.abs(est - 333).toDouble / 333 < 0.05,
+          s"parts=$parts group $g est=$est (cross-group leak?)")
+      }
+      val cm = ds.groupByKey(_._2).mapValues(_._1)
+        .agg(CountMin.stringFreq.toColumn).collect().toMap
+      cm.foreach { case (g, sk) =>
+        assert(sk.sum == 333L * CountMin.D,
+          s"parts=$parts group $g total=${sk.sum} (cross-group leak?)")
+      }
+    }
+  }
+
   test("sketches real key columns close to exact") {
     val s = spark
     import s.implicits._

@@ -46,6 +46,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlSide == dfSide && sqlSide.nonEmpty)
   }
 
+  test("sketch aggregators are callable from SQL and equal their typed twins") {
+    Views.register(spark, sfDir())
+    // HLL distinct + Misra-Gries heavy hitters + a count-min point estimate,
+    // all grouped by language over the documents view — the group-by makes
+    // partial aggregation (map-side combine) part of what's exercised
+    val sql = spark.sql(
+      """SELECT lang, graft_hll(text) AS dist,
+        |       graft_heavy_hitters(substring(text, 1, 8)) AS hh,
+        |       graft_cm_est(graft_cm_sketch(substring(text, 1, 8)),
+        |                    'the quic') AS est
+        |FROM graft_documents GROUP BY lang""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Map[String, Long]](2), r.getLong(3)))).toMap
+    assert(sql.nonEmpty)
+    // typed twins over the same grouping
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    import spark.implicits._
+    val typedHll = docs.select(col("lang"), col("text")).as[(String, String)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.Hll.stringDistinct.toColumn)
+      .collect().toMap
+    val typedHh = docs.selectExpr("lang", "substring(text, 1, 8) AS p")
+      .as[(String, String)].groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.MisraGries.stringHeavyHitters.toColumn)
+      .collect().toMap
+    sql.foreach { case (lang, (dist, hh, est)) =>
+      assert(dist == typedHll(lang), s"HLL mismatch for $lang")
+      assert(hh == typedHh(lang), s"MG mismatch for $lang")
+      assert(est >= 0L) // count-min never undercounts; 0 only if absent
+    }
+  }
+
   test("wrong arity fails at analysis with the function's own message") {
     val e = intercept[Exception](spark.sql("SELECT graft_cosine(1)").collect())
     assert(e.getMessage.contains("graft_cosine"))
