@@ -117,13 +117,38 @@ object Scale {
     * co-locates rows that are close in BOTH dimensions, so per-file min/max
     * stats prune scans filtered on either column (a sort by (x, y) prunes
     * only on x). Pure shift/mask/add arithmetic — whole-stage codegen, no
-    * UDF, and the identical expression is replayable in any engine. */
+    * UDF, and the identical expression is replayable in any engine.
+    *
+    * The dimensions must occupy COMPARABLE ranges: bits of one dimension
+    * above the other's range interleave with constant zeros, so the wider
+    * dimension alone decides the curve's coarse order and the narrower one
+    * degrades toward a secondary sort key (measured in
+    * `tools/ScaleProbe zorder`: a 20-bit price against a 14-bit custkey
+    * pruned price-only scans 8× but custkey-only scans not at all).
+    * Pre-scale with [[normalizeDim]] unless the domains already match. */
   def zorderValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
     (0 until bits).map { i =>
       shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+  }
+
+  /** Linear domain normalization for a z-order dimension: map `[lo, hi]`
+    * onto `[0, 2^bits)` so both interleaved dimensions occupy the same bit
+    * width (see the [[zorderValue]] range caveat). Values outside `[lo, hi]`
+    * clamp — out-of-profile stragglers land in the curve's edge cells rather
+    * than corrupting high bits. `lo`/`hi` come from profile stats (min/max
+    * or quantiles); rank-based normalization (Delta's OPTIMIZE approach) is
+    * `percent_rank() * ((1 << bits) - 1)` over a window when the
+    * distribution is too skewed for a linear map. */
+  def normalizeDim(c: Column, lo: Long, hi: Long, bits: Int = 16): Column = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    val span = hi - lo
+    val top = (1L << bits) - 1
+    least(greatest((c.cast("long") - lit(lo)) * lit(top) / lit(span), lit(0L)),
+      lit(top)).cast("long")
   }
 
   /** The DuckDB/SQL twin of [[zorderValue]] — generated from the same loop so

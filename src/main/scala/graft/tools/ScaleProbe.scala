@@ -215,7 +215,158 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Containment-pairs scale probe: containment shares the inverted-index
+    * posting-list exposure (`Dedup.containmentPairs` scaladoc), so the
+    * guard is the same DF cap — this measures whether the composition holds
+    * candidate growth linear in corpus size. The uncapped join volume is
+    * priced EXACTLY from the shingle-DF histogram (a shingle in d docs
+    * contributes d·(d−1)/2 join rows) without running the quadratic join;
+    * the capped path then runs end-to-end: kept-shingle fraction, capped
+    * join volume, verified containment pairs, wall.
+    *
+    * Usage: runMain graft.tools.ScaleProbe contain [copies] [outDir] [maxDf] */
+  def containProbe(copies: Int, outDir: String, maxDf: Int): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      val srcDir = "/root/testdata/sf0.1"
+      def doc(c: Int) = {
+        val base = spark.read.parquet(s"$srcDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+        if (c == 0) base
+        else {
+          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
+          base.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => when(t.isin("the", "a", "of", "to", "and"), t)
+                .otherwise(concat(t, lit(tag)))), " "))
+        }
+      }
+      val parts = spark.sparkContext.defaultParallelism
+      (0 until copies).map(doc).reduce(_ union _)
+        .repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+    }
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val sh = Dedup.shingles(docs, col("doc_id"), col("text")).persist()
+      // exact join-volume pricing from the DF histogram — no quadratic join
+      val hist = sh.groupBy("s").agg(count(lit(1)).as("d"))
+      val Array(nShingles, uncappedRows, cappedRows, keptShingles) =
+        hist.agg(
+          count(lit(1)),
+          sum(col("d") * (col("d") - 1) / 2),
+          sum(when(col("d") <= maxDf, col("d") * (col("d") - 1) / 2).otherwise(0L)),
+          sum(when(col("d") <= maxDf, col("d")).otherwise(0L)))
+        .collect().head.toSeq.map(v => BigDecimal(v.toString).toLong).toArray
+      // the capped containment path, end-to-end
+      val kept = sh.join(hist.filter(col("d") <= maxDf).select("s"),
+        Seq("s"), "left_semi")
+      val t0 = System.nanoTime()
+      val pairs = Dedup.containmentPairs(kept, 9, 10).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      sh.unpersist()
+      println(f"CONTAIN $label: docs=$nDocs distinctShingles=$nShingles " +
+        f"uncappedJoinRows=$uncappedRows cappedJoinRows=$cappedRows " +
+        f"keptPostings=$keptShingles pairs>=0.9=$pairs cappedWall=$wall%.1f s")
+    }
+    spark.stop()
+  }
+
+  /** Z-order WRITE-path probe: `q_zorder`/`ScaleSpec` pin the layout key's
+    * algebra and partition-range disjointness; this measures the payoff on
+    * disk — writes the (replicated) orders table at three physical layouts:
+    *
+    *   unrelated — range/sorted by o_orderkey (no correlation with the box)
+    *   single    — range/sorted by o_custkey only (the classic sort layout)
+    *   zorder    — `Scale.zorderLayout` on (o_custkey, int(o_totalprice))
+    *
+    * then runs the same ~2%×~40% box query against each and reports rows and
+    * bytes DECODED (task inputMetrics — what parquet row-group min/max
+    * skipping actually let through) and the distinct files holding matches
+    * (how well the layout clusters the box). Expectation: `single` prunes
+    * the custkey half only; `zorder` prunes on both dimensions and
+    * concentrates matches in few files; `unrelated` reads everything.
+    *
+    * Usage: runMain graft.tools.ScaleProbe zorder [copies] [outDir] */
+  def zorderProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false")
+      // one row group per ~1 MiB so min/max skipping has sub-file granularity
+      .config("parquet.block.size", (1 << 20).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach { m =>
+          rowsRead.addAndGet(m.inputMetrics.recordsRead)
+          bytesRead.addAndGet(m.inputMetrics.bytesRead)
+        }
+    })
+    val src = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val orders = (0 until copies).map(c => src.withColumn("o_orderkey",
+        col("o_orderkey") + lit(c * KeyShift))).reduce(_ union _)
+      .withColumn("__price", col("o_totalprice").cast("int"))
+    val files = 64
+    val layouts = Map(
+      "unrelated" -> orders.repartitionByRange(files, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      "single" -> orders.repartitionByRange(files, col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey")),
+      // both dims normalized onto 14 bits (custkey 1..15000, price ~850..560k
+      // from the table profile) — see the zorderValue range caveat
+      "zorder" -> graft.ops.Scale.zorderLayout(orders,
+        graft.ops.Scale.normalizeDim(col("o_custkey"), 1, 15000, 14),
+        graft.ops.Scale.normalizeDim(col("__price"), 850, 560000, 14),
+        files, bits = 14))
+    layouts.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    // ~10% on each dimension: selective enough that pruning matters on both,
+    // so the single-column sort's blind spot (the price-only predicate, and
+    // the price half of the box) is visible next to z-order's two-sided skip
+    val preds = Seq(
+      "custkey-only" -> col("o_custkey").between(1000, 2500),
+      "price-only" -> col("__price").between(50000, 105000),
+      "box-both" -> (col("o_custkey").between(1000, 2500) &&
+        col("__price").between(50000, 105000)))
+    val total = orders.count()
+    for ((name, _) <- layouts.toSeq.sortBy(_._1); (pname, pred) <- preds) {
+      val df = spark.read.parquet(s"$outDir/$name")
+      df.count() // footer warm so the measured pass is data IO
+      rowsRead.set(0); bytesRead.set(0)
+      val t0 = System.nanoTime()
+      val matches = df.filter(pred).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener-bus drain (waitUntilEmpty is private[spark])
+      val decoded = rowsRead.get; val mb = bytesRead.get / 1e6
+      // match-file clustering is measured AFTER the counters are snapshotted
+      // (this query decodes data too and must not pollute the IO numbers)
+      val matchFiles = df.filter(pred).select(input_file_name()).distinct().count()
+      println(f"ZORDER $name%-9s $pname%-12s: decodedRows=$decoded " +
+        f"(${decoded * 100.0 / total}%.1f%% of $total) " +
+        f"decodedMB=$mb%.1f matches=$matches " +
+        f"matchFiles=$matchFiles/$files wall=$wall%.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("zorder")) {
+      zorderProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_zorder"))
+      return
+    }
+    if (args.headOption.contains("contain")) {
+      containProbe(args.lift(1).map(_.toInt).getOrElse(50),
+        args.lift(2).getOrElse("/tmp/graft_scale_contain"),
+        args.lift(3).map(_.toInt).getOrElse(64))
+      return
+    }
     if (args.headOption.contains("dedup")) {
       dedup(args.lift(1).map(_.toInt).getOrElse(100),
         args.lift(2).getOrElse("/tmp/graft_scale100"))

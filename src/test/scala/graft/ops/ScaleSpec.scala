@@ -132,5 +132,35 @@ class ScaleSpec extends SparkSpec {
     val boxed = laid.filter(col("x") < 32 && col("y") < 32)
       .select(spark_partition_id()).distinct().count()
     assert(boxed <= 2, s"box query touched $boxed of 16 partitions")
+    laid.unpersist()
+  }
+
+  test("normalizeDim maps the domain onto [0, 2^bits) with clamping") {
+    import spark.implicits._
+    val df = Seq(-50L, 0L, 100L, 500L, 1000L, 4000L).toDF("v")
+      .withColumn("n", Scale.normalizeDim(col("v"), 0L, 1000L, bits = 8))
+    val out = df.orderBy("v").select("n").as[Long].collect().toSeq
+    // below-lo clamps to 0, above-hi clamps to top; endpoints hit 0 and 255;
+    // interior is the linear map, monotone
+    assert(out == Seq(0L, 0L, 25L, 127L, 255L, 255L), s"got $out")
+    // the probe-measured property: equal-width domains → both dimensions
+    // prune (the unnormalized 20-vs-14-bit mix let price dominate the curve)
+    val two = spark.range(4096).select(
+      (col("id") % 64).as("small"), (col("id") * 137 % 1048576).as("wide"))
+    val zn = Scale.zorderValue(
+      Scale.normalizeDim(col("small"), 0, 63, 10),
+      Scale.normalizeDim(col("wide"), 0, 1048575, 10), bits = 10)
+    // structural check: the two highest z bits are one bit from EACH dim —
+    // bit 19 is the wide dim's (normalized) top bit, bit 18 the small dim's.
+    // Unnormalized, the small dim contributes nothing above bit 11 and the
+    // curve's coarse order is wide-only.
+    val bad = two.withColumn("z", zn).filter(
+      shiftright(col("z"), 19).bitwiseAND(lit(1L)) =!=
+        shiftright(Scale.normalizeDim(col("wide"), 0, 1048575, 10), 9)
+          .bitwiseAND(lit(1L)) ||
+      shiftright(col("z"), 18).bitwiseAND(lit(1L)) =!=
+        shiftright(Scale.normalizeDim(col("small"), 0, 63, 10), 9)
+          .bitwiseAND(lit(1L))).count()
+    assert(bad == 0, s"$bad rows whose z high bits don't come from both dims")
   }
 }
