@@ -289,6 +289,62 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with [[kmeansLabels]], then WITHIN each cluster drop
+    * every vector that has a cosine-≥-threshold neighbor of higher
+    * keep-priority. Keep-priority follows the paper: the copy LEAST similar
+    * to its cluster centroid survives (pruning prototypical duplicates
+    * preserves diversity at the cluster edge), ties broken toward the lower
+    * vec_id.
+    *
+    * This is the scale design of the paper itself: the k-way cluster
+    * partition bounds the pair space at k·(n/k)² — the within-cluster join
+    * is an equi-join on `label` (hash-shuffle co-location, no crossJoin),
+    * centroids broadcast, and each candidate pair costs one codegen dot.
+    * Exact-decimal centroid sums + argmax tie-breaks keep the whole
+    * pipeline deterministic, so the result carries a full SQL hash oracle
+    * (`q_semdedup`) with the Lloyd iteration unrolled as CTEs.
+    *
+    * @return (vec_id, label, kept) — kept = 0 marks semantic duplicates */
+  def semDedup(emb: DataFrame, k: Int, threshold: Double,
+      iters: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // project to the operator's contract columns — a pre-existing `label`
+    // (e.g. a supervised tag) must not collide with the cluster label
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val labeled = base.join(kmeansLabels(base, k, iters), "vec_id")
+    // final centroids from the final labels — the same exact-decimal build
+    // the Lloyd loop uses, so the oracle's unrolled CTEs reproduce it
+    val cent = labeled
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum(col("x").cast("decimal(27,10)")).as("cv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+      .select(col("label").as("c_label"),
+        transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
+      .withColumn("cent_nrm", sqrt(dotF(col("centroid"), col("centroid"))))
+    val scored = labeled.join(broadcast(cent), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"),
+        (dotF(col("embedding"), col("centroid")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) * col("cent_nrm")))
+          .as("c_sim"))
+    def side(p: String) = scored.select(col("label"),
+      col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"),
+      col("nrm").as(s"${p}_nrm"), col("c_sim").as(s"${p}_sim"))
+    val dominated = side("a").join(side("b"), Seq("label"))
+      .filter(col("a_sim") < col("b_sim") ||
+        (col("a_sim") === col("b_sim") && col("a_id") < col("b_id")))
+      .filter(dotF(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    scored.join(dominated.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        when(col("__dup").isNull, 1).otherwise(0).as("kept"))
+  }
+
   /** Matryoshka truncation: keep the first `k` dimensions and L2-renormalize
     * — the MRL-style (Kusupati et al., "Matryoshka Representation Learning")
     * index-shrink step of an embedding pipeline: a 4× dim cut is a 4× cut in

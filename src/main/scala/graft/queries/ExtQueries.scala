@@ -545,6 +545,15 @@ object ExtQueries {
         .orderBy(col("vec_id"))
     },
 
+    // SemDeDup semantic dedup: one hash-proven Lloyd iteration, final
+    // exact-decimal centroids, then a within-cluster dominance drop at
+    // cosine ≥ 0.45 (the fixture corpus's planted-near-dup band) — the copy least similar to its centroid survives
+    // (the paper's diversity-preserving keep rule), ties to lower vec_id.
+    "q_semdedup" -> { (s, dir) =>
+      Similarity.semDedup(embs(s, dir), k = 8, threshold = 0.45, iters = 1)
+        .orderBy(col("vec_id"))
+    },
+
     // IVF over SELF-BUILT coarse cells: k-means labels replace the shipped
     // `label` column — the full index-build + probe path. Fully oracled:
     // the 3 Lloyd iterations are deterministic (vec_id % 8 init,
@@ -1017,6 +1026,52 @@ object ExtQueries {
         |  FROM embeddings e CROSS JOIN centv c)
         |SELECT vec_id, CAST(c_label AS INT) AS label FROM assign WHERE rk = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // The q_kmeans_assign iteration (hash-proven above) as l1, final
+    // centroids rebuilt from l1, then the SemDeDup dominance drop: b is a
+    // duplicate iff some same-cluster a with (c_sim, vec_id) strictly
+    // earlier in keep order sits at cosine ≥ 0.45.
+    "q_semdedup" ->
+      """WITH dims AS (
+        |  SELECT unnest(generate_series(1,
+        |           (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+        |l0 AS (SELECT vec_id, vec_id % 8 AS label FROM embeddings),
+        |cent1 AS (
+        |  SELECT l.label, d.i AS pos,
+        |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+        |  FROM embeddings e JOIN l0 l ON e.vec_id = l.vec_id CROSS JOIN dims d
+        |  GROUP BY 1, 2),
+        |centv1 AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
+        |           FROM cent1 GROUP BY 1),
+        |l1 AS (
+        |  SELECT vec_id, CAST(c_label AS INT) AS label FROM (
+        |    SELECT e.vec_id, c.c_label,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+        |                      c.c_label) AS rk
+        |    FROM embeddings e CROSS JOIN centv1 c)
+        |  WHERE rk = 1),
+        |fcent AS (
+        |  SELECT l.label, d.i AS pos,
+        |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+        |  FROM embeddings e JOIN l1 l ON e.vec_id = l.vec_id CROSS JOIN dims d
+        |  GROUP BY 1, 2),
+        |fcentv AS (SELECT label, list(cv ORDER BY pos) AS centroid
+        |           FROM fcent GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, l.label, e.embedding,
+        |         list_cosine_similarity(e.embedding, c.centroid) AS c_sim
+        |  FROM embeddings e JOIN l1 l ON e.vec_id = l.vec_id
+        |  JOIN fcentv c ON l.label = c.label),
+        |dominated AS (
+        |  SELECT DISTINCT b.vec_id FROM scored a JOIN scored b
+        |    ON a.label = b.label
+        |   AND (a.c_sim < b.c_sim OR (a.c_sim = b.c_sim AND a.vec_id < b.vec_id))
+        |   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45)
+        |SELECT s.vec_id, s.label,
+        |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM scored s LEFT JOIN dominated d ON s.vec_id = d.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
 
     // Composed index-build + probe oracle: the q_kmeans_assign iteration
     // (hash-proven above) unrolled 3× as chained CTEs — each iteration's

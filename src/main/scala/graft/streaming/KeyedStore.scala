@@ -317,6 +317,15 @@ object KeyedStore {
     * as empty. Same crash protocol as merge: staged directories are
     * invisible until the single manifest rename publishes all of them.
     *
+    * ONE Spark job regardless of bucket count: all committed directories are
+    * read in a single multi-path scan, each row's bucket recovered from its
+    * FILE PATH (rewrite-in-place-by-name — no re-hash, so legacy stores
+    * whose derivation predates the persisted meta compact correctly too),
+    * and one hash-exchange + `partitionBy` write emits one file per bucket
+    * into a staging root. The earlier shape looped buckets on the driver
+    * with a `coalesce(1)` write each — O(buckets) sequential jobs, a
+    * driver-throughput ceiling at production bucket counts.
+    *
     * No-op (and no new generation) on a store with no committed state. */
   def compact(spark: SparkSession, path: String, dropTombstones: Boolean = false,
       opCol: String = "op_type", deleteOp: String = "delete",
@@ -325,31 +334,36 @@ object KeyedStore {
     val root = new Path(path)
     layoutGuard(f, root)
     readCommit(f, root).foreach { case (gen, dirs) =>
-      val newGen = gen + 1
-      val staged = dirs.toSeq.sortBy(_._1).flatMap { case (b, dirName) =>
-        val df0 = spark.read.parquet(new Path(root, dirName).toString)
+      if (dirs.nonEmpty) {
+        val newGen = gen + 1
+        val df0 = spark.read.parquet(
+            dirs.toSeq.sortBy(_._1).map { case (_, d) => new Path(root, d).toString }: _*)
+          .withColumn("__b", regexp_extract(input_file_name(),
+            """__b=(\d+)__g""", 1).cast("int"))
         val df = if (dropTombstones && df0.columns.contains(opCol))
           df0.filter(col(opCol) =!= deleteOp) else df0
-        if (df.isEmpty) None // tombstone-only bucket: absent = empty to readers
-        else {
-          // buckets are rewritten in place-by-name — no re-hash: a committed
-          // row's bucket is already correct under the persisted derivation.
-          // The tmp name starts with "_" (layoutGuard-invisible) and ends
-          // with "__tmp" (collected by gc if a crash strands it).
+        val tmpRoot = new Path(path + "__ctmp")
+        f.delete(tmpRoot, true) // a crashed previous compact
+        // hash exchange on __b puts each bucket wholly in one task, so the
+        // dynamic-partition write emits exactly one file per surviving
+        // bucket; a bucket emptied by the tombstone drop writes no dir
+        df.repartition(col("__b")).write.partitionBy("__b").parquet(tmpRoot.toString)
+        val staged = f.listStatus(tmpRoot).map(_.getPath.getName)
+          .collect { case d if d.startsWith(BucketPrefix) =>
+            d.drop(BucketPrefix.length).toInt }
+          .sorted
+        staged.foreach { b =>
           val dst = new Path(root, s"$BucketPrefix${b}__g$newGen")
           f.delete(dst, true) // crashed same-generation leftover
-          val tmp = new Path(root, s"_compact_b${b}__tmp")
-          f.delete(tmp, true)
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          if (!f.rename(tmp, dst))
-            throw new java.io.IOException(s"compact rename -> $dst failed")
-          Some(b -> dst.getName)
+          if (!f.rename(new Path(tmpRoot, BucketPrefix + b), dst))
+            throw new java.io.IOException(s"compact stage rename -> $dst failed")
         }
+        f.delete(tmpRoot, true)
+        val manifest = staged
+          .map(b => s"$b $BucketPrefix${b}__g$newGen").mkString("\n")
+        writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
+        gc(f, root, keepGenerations)
       }
-      val manifest = staged.sortBy(_._1)
-        .map { case (i, d) => s"$i $d" }.mkString("\n")
-      writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
-      gc(f, root, keepGenerations)
     }
   }
 

@@ -78,6 +78,36 @@ class MetaIoSpec extends SparkSpec {
     }
   }
 
+  test("compact job count is constant in the bucket count") {
+    val s = spark
+    import s.implicits._
+    // the pre-round-6 shape looped buckets on the driver (one coalesce(1)
+    // job per bucket); the one-job rewrite must not regress back
+    val jobs = new AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def compactJobs(buckets: Int): Int = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cjob$buckets")
+        .toString + "/t"
+      KeyedStore.merge((0L until 256L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "seq"),
+        dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = buckets)
+      s.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try {
+        KeyedStore.compact(s, dir)
+        Thread.sleep(500) // listener-bus drain (waitUntilEmpty is private[spark])
+      } finally s.sparkContext.removeSparkListener(listener)
+      assert(KeyedStore.read(s, dir).get.count() == 256)
+      jobs.get()
+    }
+    val at4 = compactJobs(4)
+    val at32 = compactJobs(32)
+    assert(at32 == at4, s"compact ran $at32 jobs at 32 buckets vs $at4 at 4")
+    assert(at4 <= 3, s"compact should be ~one job, ran $at4")
+  }
+
   test("pruned read performs one meta read and no meta writes") {
     val s = spark
     import s.implicits._
