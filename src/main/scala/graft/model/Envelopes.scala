@@ -23,13 +23,26 @@ object Envelopes {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) `ts` (unreadable by Spark's vectorized
-    * reader) normalized to a micros TimestampType. Requires the session config
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench/tests);
-    * ns→µs floor-division matches DuckDB's own ns→µs conversion. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events` with `ts` normalized to a micros TimestampType, whatever the
+    * physical parquet type of the generated data:
+    *   - TIMESTAMP(NANOS) (early driver drops; unreadable by Spark's
+    *     vectorized reader) arrives as a nanos LONG under the session config
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *     Verify/Bench/tests) — ns→µs floor-division matches DuckDB's own
+    *     ns→µs conversion;
+    *   - TIMESTAMP(MICROS) without tz metadata (current drops) arrives as
+    *     TIMESTAMP_NTZ — cast to TimestampType under the UTC session clock,
+    *     the same naive-as-UTC reading DuckDB applies.
+    * Downstream code sees one schema: `ts TIMESTAMP` (micros, UTC). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   // ---------------------------------------------------------------------------
   // Maxwell CDC envelope from `lineitem`
