@@ -32,16 +32,28 @@ object ExtQueries {
     * same share-the-intermediate shape as the label memo below. The value is
     * the eagerly-checkpointed pair table `minhashLshPairs` returns
     * (pairs-sized, detached from every cache). */
+  /** The (doc_id, shingle) inverted-index base table, computed ONCE per
+    * (session, corpus dir) and shared by every shingle consumer (Jaccard /
+    * capped / containment / span-dup / contamination / LSH signatures) — a
+    * real pipeline materializes its shingle index once and feeds every
+    * dedup screen from it, instead of re-tokenizing the corpus per screen.
+    * Eagerly checkpointed so consumers re-scan a corpus-linear table, not
+    * the tokenize/explode lineage. */
+  private val shinglesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    shinglesMemo.computeIfAbsent((s, dir), { case (s, dir) =>
+      Dedup.shingles(docs(s, dir), col("doc_id"), col("text"))
+        .localCheckpoint(true)
+    })
+
   private val lshPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsMemo.computeIfAbsent((s, dir), { case (s, dir) =>
-      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text")).persist()
-      // the operator materializes eagerly (checkpointed pairs), so the
-      // shingle cache is fully consumed before the unpersist
-      val out = Dedup.minhashLshPairs(sh, 1, 2)
-      sh.unpersist()
-      out
+      // the operator materializes eagerly (checkpointed pairs) over the
+      // shared checkpointed shingle table
+      Dedup.minhashLshPairs(shingleTable(s, dir), 1, 2)
     })
 
   /** Exhaustive cosine-pair table at threshold 0.45, computed once per
@@ -79,8 +91,7 @@ object ExtQueries {
 
     // Exhaustive 3-gram Jaccard ≥ 0.5 via inverted-index join.
     "q_dedup_ngram" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(
-          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2)
+      Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -89,8 +100,7 @@ object ExtQueries {
     // corpus size — see ngramJaccardPairsCapped's scaladoc and the 100×
     // probe analysis in SCALING.md.
     "q_dedup_ngram_capped" -> { (s, dir) =>
-      Dedup.ngramJaccardPairsCapped(
-          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2,
+      Dedup.ngramJaccardPairsCapped(shingleTable(s, dir), 1, 2,
           maxDf = 32)
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -100,8 +110,7 @@ object ExtQueries {
     // tiny because the outer doc dwarfs the inner — see
     // containmentPairs's scaladoc.
     "q_dedup_contain" -> { (s, dir) =>
-      Dedup.containmentPairs(
-          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 9, 10)
+      Dedup.containmentPairs(shingleTable(s, dir), 9, 10)
         .orderBy(col("inner_id"), col("outer_id"))
     },
 
@@ -118,8 +127,7 @@ object ExtQueries {
     // every clustered doc mapped to its cluster's keeper (minimum doc_id).
     "q_dedup_clusters" -> { (s, dir) =>
       Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(
-            Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2))
+          Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2))
         .orderBy(col("doc_id"))
     },
 
@@ -497,8 +505,7 @@ object ExtQueries {
       val keepers = Dedup.exact(d, col("doc_id"), col("text"))
         .select(col("keeper_id").as("doc_id"))
       val deduped = q.join(keepers, Seq("doc_id"), "left_semi")
-      val spanStats = Dedup.crossDocDupStats(
-        Dedup.shingles(d, col("doc_id"), col("text")), 9, 10)
+      val spanStats = Dedup.crossDocDupStats(shingleTable(s, dir), 9, 10)
       val curated = deduped
         .join(spanStats.select(col("doc_id"), col("keep")), Seq("doc_id"), "left_outer")
         .filter(coalesce(col("keep"), lit(true)))
@@ -510,8 +517,7 @@ object ExtQueries {
     // C4-style cross-document span duplication + keep/drop at dup_frac < 1/2
     // (keep cast to int for the dump — dtype-stable across engines).
     "q_span_dup" -> { (s, dir) =>
-      Dedup.crossDocDupStats(
-          Dedup.shingles(docs(s, dir), col("doc_id"), col("text")), 1, 2)
+      Dedup.crossDocDupStats(shingleTable(s, dir), 1, 2)
         .select(col("doc_id"), col("span_ct"), col("dup_span_ct"),
           col("keep").cast("int").as("keep"))
         .orderBy(col("doc_id"))
@@ -520,7 +526,7 @@ object ExtQueries {
     // Benchmark decontamination screen: docs with doc_id % 97 == 0 stand in
     // for the eval suite; (train, eval) pairs sharing ≥ 3 shingles.
     "q_contamination" -> { (s, dir) =>
-      val sh = Dedup.shingles(docs(s, dir), col("doc_id"), col("text"))
+      val sh = shingleTable(s, dir)
       val isEval = col("doc_id") % 97 === 0
       Dedup.contamination(sh.filter(!isEval), sh.filter(isEval), minOverlap = 3)
         .orderBy(col("train_id"), col("eval_id"))
