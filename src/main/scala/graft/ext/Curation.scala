@@ -351,4 +351,69 @@ object Curation {
         Seq("b", "p_rk"))
       .select(col("a_id"), col("j"), col("b_id"))
   }
+
+  /** DSIR-style importance screen (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw document by
+    * how much its hashed-unigram profile looks like a TARGET exemplar corpus
+    * versus the raw corpus itself, and keep the target-like ones — the
+    * "select web data that resembles Wikipedia/books" pass.
+    *
+    * DSIR's architecture is kept intact: tokens hash into `buckets` feature
+    * buckets (collision-tolerant by design — the hashed n-gram trick), an
+    * add-one-smoothed unigram model is built over the buckets for the target
+    * and the raw corpus, and each document is scored by contrasting the two
+    * models over its own tokens. One deliberate deviation, documented for the
+    * record: the paper scores Σ log(p_tgt/p_raw) per token; float log sums
+    * are partition-order-dependent and engine-ULP-fragile, so the screen
+    * contrasts the two SMOOTHED MASS SUMS instead —
+    *   tgt_mass = Σ_tok (ct_tgt[b(tok)] + 1),  raw_mass = Σ_tok (ct_raw[b(tok)] + 1)
+    * and keeps a doc iff
+    *   tgt_mass · rawTotal · num ≥ raw_mass · tgtTotal · den
+    * (totals = corpus token count + `buckets`, the add-one normalizers;
+    * num/den is the importance-ratio threshold, 1/1 = "at least as
+    * target-like as raw-like"). Exact integer cross-multiplication in
+    * DECIMAL(38,0) — bit-identical on every engine and partitioning. Rank
+    * order differs from the true log-ratio score, but the selection
+    * structure, feature hashing, and smoothing are DSIR's; swap the mass
+    * contrast for a float log-ratio scorer when ULP determinism is not
+    * required.
+    *
+    * Shape at scale: both bucket-count tables are ≤ `buckets` rows
+    * (hash-grouped with map-side combine, then BROADCAST — never shuffle the
+    * corpus on a model join); the per-doc mass rollup is the only
+    * corpus-sized shuffle (one exchange on the id). The target corpus is
+    * typically tiny (exemplar set) and the raw corpus arbitrarily large.
+    *
+    * @return (doc_id, n_toks, tgt_mass, raw_mass, keep) one row per raw doc */
+  def dsirScreen(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, buckets: Int = 1 << 16,
+      num: Int = 1, den: Int = 1): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(num >= 1 && den >= 1, s"threshold must be positive, got $num/$den")
+    def bucketOf(tok: Column): Column =
+      conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+    def toks(df: DataFrame): DataFrame = df
+      .select(idCol.as("doc_id"), explode(TextStats.toks(textCol)).as("tok"))
+      .select(col("doc_id"), bucketOf(col("tok")).as("b"))
+    def model(df: DataFrame): DataFrame =
+      toks(df).groupBy("b").agg(count(lit(1)).as("ct"))
+    val tgtModel = model(target)
+    val rawModel = model(raw)
+    // add-one normalizers: corpus token count + one per bucket
+    val totals = tgtModel.agg((sum(col("ct")) + buckets).as("__tt"))
+      .crossJoin(rawModel.agg((sum(col("ct")) + buckets).as("__rt")))
+    val scored = toks(raw)
+      .join(broadcast(tgtModel.withColumnRenamed("ct", "__tc")), Seq("b"), "left_outer")
+      .join(broadcast(rawModel.withColumnRenamed("ct", "__rc")), Seq("b"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_toks"),
+        sum(coalesce(col("__tc"), lit(0L)) + 1).as("tgt_mass"),
+        sum(coalesce(col("__rc"), lit(0L)) + 1).as("raw_mass"))
+    scored.crossJoin(broadcast(totals))
+      .withColumn("keep",
+        col("tgt_mass").cast("decimal(38,0)") * col("__rt") * num >=
+          col("raw_mass").cast("decimal(38,0)") * col("__tt") * den)
+      .select(col("doc_id"), col("n_toks"), col("tgt_mass"), col("raw_mass"),
+        col("keep"))
+  }
 }

@@ -231,4 +231,39 @@ object TextStats {
       .filter(col("pos") <= col("__n") - w) // only full windows select
       .select(col("doc_id"), col("fp")).distinct()
   }
+
+  /** Hashed-feature linear classifier scoring — the fastText-style
+    * model-based quality filter (a trained linear model over hashed token
+    * features, the filter CCNet/Llama-era pipelines run after the rule
+    * gates). The MODEL is data: a `(bucket LONG, w LONG)` weight table with
+    * fixed-point integer weights (scale chosen by the trainer, e.g. 1e6 ×
+    * float weight), so scoring is exact integer arithmetic — bit-identical
+    * across engines, partitionings and summation orders, unlike float dot
+    * products. Swap in real trained weights without touching the plumbing.
+    *
+    * score(doc) = Σ_tok w[md5_bucket(tok) mod buckets]  (absent bucket = 0)
+    * keep ⇔ score ≥ bias (the decision threshold, same fixed-point scale).
+    *
+    * Shape at scale: the weight table is ≤ `buckets` rows and BROADCAST;
+    * tokens explode corpus-linearly and the per-doc rollup is the one
+    * exchange (map-side partial sums on doc_id). The corpus never shuffles
+    * on the model join.
+    *
+    * @return (doc_id, n_toks, score, keep) one row per input doc */
+  def hashedLinearScore(df: DataFrame, idCol: Column, textCol: Column,
+      weights: DataFrame, buckets: Int, bias: Long = 0L): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val toksB = df
+      .select(idCol.as("doc_id"), explode(toks(textCol)).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("bucket"))
+    toksB
+      .join(broadcast(weights.select(col("bucket"), col("w"))),
+        Seq("bucket"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_toks"),
+        sum(coalesce(col("w"), lit(0L))).as("score"))
+      .withColumn("keep", col("score") >= bias)
+  }
 }

@@ -598,6 +598,39 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR-style importance screen: docs with doc_id % 97 == 0 stand in for
+    // the target exemplar corpus (same stand-in as q_contamination); the
+    // rest is the raw pool, screened at importance ratio >= 1 over 4096
+    // hashed-unigram buckets. Exact integer mass contrast — see
+    // Curation.dsirScreen's scaladoc for the documented deviation from the
+    // paper's float log-ratio.
+    "q_dsir_screen" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isTgt = col("doc_id") % 97 === 0
+      Curation.dsirScreen(d.filter(!isTgt), d.filter(isTgt),
+          col("doc_id"), col("text"), buckets = 4096)
+        .select(col("doc_id"), col("n_toks"), col("tgt_mass"), col("raw_mass"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Hashed-feature linear quality classifier (fastText-style): the weight
+    // table is model data — here a deterministic seeded stand-in
+    // (w_b = md5int("w:"||b) % 2001 − 1000, fixed-point ints) exercising the
+    // real plumbing; production swaps in trained weights, nothing else moves.
+    "q_quality_clf" -> { (s, dir) =>
+      val B = 512
+      val weights = docs(s, dir).sparkSession.range(B.toLong)
+        .select(col("id").as("bucket"),
+          (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2001 - 1000).as("w"))
+      TextStats.hashedLinearScore(docs(s, dir), col("doc_id"), col("text"),
+          weights, buckets = B)
+        .select(col("doc_id"), col("n_toks"), col("score"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-label centroid profile as scaled-integer per-dimension sums.
     "q_label_centroid" -> { (s, dir) =>
       Similarity.labelCentroidSums(embs(s, dir))
@@ -1489,6 +1522,49 @@ object ExtQueries {
         |            AND 3 * n_toks <= sum_tok_len AND sum_tok_len <= 10 * n_toks
         |            AND stop_ct >= 2 AND 5 * alpha_ct >= 4 * n_toks AS INT) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Twin of Curation.dsirScreen over the %97 target stand-in: same md5
+    // bucket, same add-one smoothing, same DECIMAL(38,0) cross-multiplied
+    // keep decision. Sums cast back to BIGINT (DuckDB SUM(BIGINT) widens to
+    // HUGEINT).
+    "q_dsir_screen" ->
+      """WITH tb AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)),
+        |tgt AS (SELECT b, COUNT(*) AS tc FROM tb WHERE doc_id % 97 = 0 GROUP BY 1),
+        |rawm AS (SELECT b, COUNT(*) AS rc FROM tb WHERE doc_id % 97 <> 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(COALESCE(SUM(tc), 0) + 4096 AS BIGINT) FROM tgt) AS tt,
+        |               (SELECT CAST(COALESCE(SUM(rc), 0) + 4096 AS BIGINT) FROM rawm) AS rt),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n_toks,
+        |         CAST(SUM(COALESCE(g.tc, 0) + 1) AS BIGINT) AS tgt_mass,
+        |         CAST(SUM(COALESCE(r.rc, 0) + 1) AS BIGINT) AS raw_mass
+        |       FROM tb t LEFT JOIN tgt g ON t.b = g.b
+        |                 LEFT JOIN rawm r ON t.b = r.b
+        |       WHERE t.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT doc_id, n_toks, tgt_mass, raw_mass,
+        |       CAST(tgt_mass::DECIMAL(38,0) * (SELECT rt FROM tot) * 1 >=
+        |            raw_mass::DECIMAL(38,0) * (SELECT tt FROM tot) * 1 AS INT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Twin of TextStats.hashedLinearScore with the seeded stand-in weights.
+    "q_quality_clf" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |         ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+        |           % 2001 - 1000 AS w
+        |  FROM (SELECT unnest(generate_series(0, 511)) AS b)),
+        |tb AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents))
+        |SELECT t.doc_id, COUNT(*) AS n_toks,
+        |       CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score,
+        |       CAST(CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) >= 0 AS INT) AS keep
+        |FROM tb t LEFT JOIN w ON t.bucket = w.bucket
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_label_centroid" ->
       """SELECT label, i AS pos,

@@ -291,4 +291,28 @@ class CurationSpec extends SparkSpec {
     val b = layout(docs, 43L)
     assert(a != b, "a new seed must produce a different layout")
   }
+
+  test("dsirScreen keeps target-like docs, drops alien vocabulary, deterministically") {
+    import spark.implicits._
+    // target vocabulary: {alpha beta gamma}; raw pool: one target-like doc,
+    // one alien doc (tokens unseen in either model beyond itself)
+    val target = Seq((100L, "alpha beta gamma alpha"), (101L, "beta gamma alpha"))
+      .toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta gamma"), (2L, "zq xv wk jj qq zz pp"))
+      .toDF("doc_id", "text")
+    val out = Curation.dsirScreen(raw, target, col("doc_id"), col("text"),
+        buckets = 4096).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._3, s"target-like doc must survive: ${out(1L)}")
+    assert(!out(2L)._3, s"alien doc must be dropped: ${out(2L)}")
+    // masses are exact: doc 1's tokens appear 3/2/2 times in the target
+    // model (+1 smoothing each) and once each in raw (+1)
+    assert(out(1L)._1 == (3 + 1) + (2 + 1) + (2 + 1), s"${out(1L)}")
+    assert(out(1L)._2 == 3 * (1 + 1), s"${out(1L)}")
+    // partition-independent (exact integer path — no summation-order drift)
+    val re = Curation.dsirScreen(raw.repartition(7, col("text")), target,
+        col("doc_id"), col("text"), buckets = 4096).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(re == out)
+  }
 }

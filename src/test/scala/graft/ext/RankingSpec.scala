@@ -103,4 +103,33 @@ class RankingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("hashedLinearScore equals the hand-computed dot product; absent buckets score 0") {
+    import spark.implicits._
+    val B = 64
+    def bucketOf(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    // weights only for "good" and "bad"; every other token must contribute 0
+    val weights = Seq((bucketOf("good"), 10L), (bucketOf("bad"), -25L))
+      .toDF("bucket", "w")
+    val docs = Seq(
+      (1L, "good good unseen"),   // 2*10 + 0  = 20  → keep
+      (2L, "bad good"),           // -25 + 10  = -15 → drop
+      (3L, "zzz yyy")             // 0         = 0   → keep at bias 0
+    ).toDF("doc_id", "text")
+    val out = TextStats.hashedLinearScore(docs, col("doc_id"), col("text"),
+        weights, buckets = B).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, 20L, true)), s"${out(1L)}")
+    assert(out(2L) == ((2L, -15L, false)), s"${out(2L)}")
+    assert(out(3L) == ((2L, 0L, true)), s"${out(3L)}")
+    // a positive bias flips the zero-score doc to drop
+    val biased = TextStats.hashedLinearScore(docs, col("doc_id"), col("text"),
+        weights, buckets = B, bias = 1L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(biased == Map(1L -> true, 2L -> false, 3L -> false))
+  }
 }
