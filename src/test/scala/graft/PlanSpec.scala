@@ -176,4 +176,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "matryoshka must not join")
     assert(p.split("Exchange").length - 1 <= 1, p.take(600))
   }
+
+  test("DSIR screen: both unigram models broadcast — the corpus never shuffles on a model join") {
+    val p = plan("q_dsir_screen")
+    assert(p.contains("BroadcastHashJoin"), "model joins must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the raw corpus must not shuffle into the model joins:\n" + p.take(800))
+    // model builds are partially aggregated before their exchanges (the
+    // bucket shuffle carries <= buckets rows per map task, not the corpus)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "bucket models must combine map-side:\n" + p.take(800))
+  }
+
+  test("hashed linear classifier: weight table broadcasts, one corpus exchange") {
+    val p = plan("q_quality_clf")
+    assert(p.contains("BroadcastHashJoin"), "the weight table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle into the weight join:\n" + p.take(800))
+  }
 }
