@@ -355,7 +355,74 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Model-size / linearity probe for the DSIR screen and the hashed linear
+    * classifier: both keep their model tables bucket-bounded (broadcast) at
+    * any corpus size, so wall time must track the corpus linearly and the
+    * model row counts must NOT grow past `buckets` — the property that makes
+    * the 100 TB shape scan + broadcast-join + one rollup shuffle. Uses the
+    * vocabulary-growing document replicator (same as the dedup probes) so
+    * the bucket fill actually grows with corpus size the way a real crawl's
+    * vocabulary does. */
+  def dsirProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      val srcDir = "/root/testdata/sf0.1"
+      def doc(c: Int) = {
+        val base = spark.read.parquet(s"$srcDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+        if (c == 0) base
+        else {
+          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
+          base.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => when(t.isin("the", "a", "of", "to", "and"), t)
+                .otherwise(concat(t, lit(tag)))), " "))
+        }
+      }
+      val parts = spark.sparkContext.defaultParallelism
+      (0 until copies).map(doc).reduce(_ union _)
+        .repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+    }
+    val B = 4096
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
+        (outDir, s"${copies}x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val isTgt = col("doc_id") % 97 === 0
+      def run(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"DSIRPROBE $label%-5s $tag%-12s wall=${(System.nanoTime - t0) / 1e9}%6.2f s rows=$n ($nDocs docs)")
+      }
+      // model fill: distinct buckets touched must stay <= B at any scale
+      val tgtBuckets = graft.ext.Curation
+        .dsirScreen(docs.filter(!isTgt), docs.filter(isTgt),
+          col("doc_id"), col("text"), buckets = B)
+      run("screen")(tgtBuckets.filter(col("keep")).count())
+      val modelFill = docs
+        .select(explode(graft.ext.TextStats.toks(col("text"))).as("tok"))
+        .select((conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long") % B).as("b")).distinct().count()
+      println(s"DSIRPROBE $label model fill: $modelFill of $B buckets")
+      val weights = spark.range(512L).select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 2001 - 1000).as("w"))
+      run("classifier")(graft.ext.TextStats.hashedLinearScore(docs,
+        col("doc_id"), col("text"), weights, buckets = 512)
+        .filter(col("keep")).count())
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dsir")) {
+      dsirProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_dsir"))
+      return
+    }
     if (args.headOption.contains("zorder")) {
       zorderProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_zorder"))
