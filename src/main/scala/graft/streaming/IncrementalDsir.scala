@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch DSIR-style importance screening for CONTINUOUS ingest — the
+  * streaming complement to `ext/Curation.dsirScreen`: a batch pipeline
+  * contrasts each doc against models of corpora it can see whole, but a
+  * crawler pipeline accumulates its raw-distribution model batch by batch
+  * (and its target model whenever new exemplar data lands), and must screen
+  * each arriving batch against the models as accumulated SO FAR, across
+  * restarts.
+  *
+  * Both unigram models are hashed-bucket count tables (the hashed-feature
+  * trick makes model width ≤ `buckets` regardless of corpus size) persisted
+  * in a [[KeyedStore]] as per-batch DELTA rows keyed `(b, batch_id)`:
+  *   - replay safety falls out of the store's upsert semantics — a restart
+  *     that re-delivers a micro-batch rewrites the SAME delta rows, so
+  *     counts can never double;
+  *   - screening batch N reads the model `WHERE batch_id < N`, so a batch
+  *     never influences its own verdict and a replayed batch recomputes the
+  *     IDENTICAL verdict from the identical horizon (bit-stable: the
+  *     arithmetic is exact integers + DECIMAL(38,0) cross-multiplication,
+  *     same as the batch screen).
+  * Per-batch cost: one map-side-combined aggregation of the batch's tokens
+  * (≤ `buckets` output rows), one model-sized store read, one bucketed
+  * upsert of the batch's delta rows, and the screen's broadcast joins — the
+  * accumulated corpus NEVER rescans. The delta log grows by ≤ `buckets`
+  * rows per batch; a maintenance fold (sum deltas below the replay horizon
+  * into one base row, tombstoning the folded ids at a higher seq) bounds it
+  * when batch counts grow large — the read path is already
+  * fold-indifferent because it only ever sums `ct` per bucket.
+  */
+object IncrementalDsir {
+
+  private def bucketCounts(df: DataFrame, idCol: Column, textCol: Column,
+      buckets: Int): DataFrame =
+    df.select(idCol.as("doc_id"), explode(graft.ext.TextStats.toks(textCol)).as("tok"))
+      .select((conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+        % buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+
+  /** The accumulated (b, ct) model from deltas with `batch_id < upTo`;
+    * empty if the store does not exist. */
+  def readModel(spark: SparkSession, storePath: String,
+      upTo: Long = Long.MaxValue): DataFrame =
+    KeyedStore.read(spark, storePath)
+      .map(_.filter(col("batch_id") < upTo)
+        .groupBy("b").agg(sum(col("ct")).as("ct")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("b", "ct")
+      }
+
+  /** Append one batch's token-count deltas to the model at `storePath`
+    * (creating it on first use). `batchId` must be unique per batch and is
+    * part of the row key — a replayed batch overwrites its own identical
+    * deltas (idempotent), never accumulates. */
+  def updateModel(batch: DataFrame, storePath: String, idCol: Column,
+      textCol: Column, buckets: Int, batchId: Long,
+      numBuckets: Int = 4): Unit = {
+    val delta = bucketCounts(batch, idCol, textCol, buckets)
+      .withColumn("batch_id", lit(batchId))
+    if (!delta.isEmpty)
+      KeyedStore.merge(delta, storePath, keys = Seq("b", "batch_id"),
+        seqCols = Seq("batch_id"), numBuckets = numBuckets,
+        bucketCols = Seq("b"))
+  }
+
+  /** Screen one micro-batch against the target model and the raw model
+    * accumulated over batches BEFORE this one, then fold the batch into the
+    * raw model. Returns the batch with (n_toks, tgt_mass, raw_mass, keep)
+    * appended — exactly [[graft.ext.Curation.dsirScreen]]'s decision over
+    * the accumulated counts. Empty models degenerate gracefully: every
+    * token scores the +1 smoothing mass and the totals are the `buckets`
+    * normalizer alone. */
+  def screenBatch(batch: DataFrame, tgtStorePath: String, rawStorePath: String,
+      idCol: Column, textCol: Column, buckets: Int, batchId: Long,
+      num: Int = 1, den: Int = 1): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(num >= 1 && den >= 1, s"threshold must be positive, got $num/$den")
+    val spark = batch.sparkSession
+    val tgtModel = readModel(spark, tgtStorePath)
+    val rawModel = readModel(spark, rawStorePath, upTo = batchId)
+    val totals = tgtModel.agg((coalesce(sum(col("ct")), lit(0L)) + buckets).as("__tt"))
+      .crossJoin(rawModel.agg((coalesce(sum(col("ct")), lit(0L)) + buckets).as("__rt")))
+    val toksB = batch
+      .select(idCol.as("doc_id"), explode(graft.ext.TextStats.toks(textCol)).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val scored = toksB
+      .join(broadcast(tgtModel.withColumnRenamed("ct", "__tc")), Seq("b"), "left_outer")
+      .join(broadcast(rawModel.withColumnRenamed("ct", "__rc")), Seq("b"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_toks"),
+        sum(coalesce(col("__tc"), lit(0L)) + 1).as("tgt_mass"),
+        sum(coalesce(col("__rc"), lit(0L)) + 1).as("raw_mass"))
+      .crossJoin(broadcast(totals))
+      .withColumn("keep",
+        col("tgt_mass").cast("decimal(38,0)") * col("__rt") * num >=
+          col("raw_mass").cast("decimal(38,0)") * col("__tt") * den)
+      .select(col("doc_id").as("__sid"), col("n_toks"), col("tgt_mass"),
+        col("raw_mass"), col("keep"))
+    // pin the verdict BEFORE the raw model absorbs the batch (a lazy plan
+    // would re-read the updated store; the horizon filter would still keep
+    // the VALUES right, but pinning also makes the caller restart-safe
+    // mid-consumption)
+    val out = batch.join(scored, idCol === col("__sid"), "left_outer")
+      .drop("__sid").localCheckpoint(true)
+    updateModel(batch, rawStorePath, idCol, textCol, buckets, batchId)
+    out
+  }
+}
