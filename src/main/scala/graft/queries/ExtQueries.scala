@@ -614,6 +614,28 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-batch DSIR screening driven as three sequential micro-batches
+    // (batch i = non-target docs with doc_id % 3 == i) over persistent
+    // bucket-model stores: each batch is judged against the raw model
+    // accumulated from STRICTLY EARLIER batches (empty for batch 0), the
+    // target model is loaded once up front. The oracle unrolls the three
+    // horizons the way the Lloyd iterations are unrolled for q_ann_ivf.
+    "q_dsir_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isTgt = col("doc_id") % 97 === 0
+      val root = java.nio.file.Files.createTempDirectory("graft_dsir_q").toString
+      graft.streaming.IncrementalDsir.updateModel(d.filter(isTgt),
+        s"$root/tgt", col("doc_id"), col("text"), 4096, batchId = 0L)
+      (0 until 3).map { i =>
+        graft.streaming.IncrementalDsir.screenBatch(
+            d.filter(!isTgt && col("doc_id") % 3 === i),
+            s"$root/tgt", s"$root/raw",
+            col("doc_id"), col("text"), 4096, batchId = i.toLong)
+          .select(col("doc_id"), col("n_toks"), col("tgt_mass"),
+            col("raw_mass"), col("keep").cast("int").as("keep"))
+      }.reduce(_ unionByName _).orderBy(col("doc_id"))
+    },
+
     // Hashed-feature linear quality classifier (fastText-style): the weight
     // table is model data — here a deterministic seeded stand-in
     // (w_b = md5int("w:"||b) % 2001 − 1000, fixed-point ints) exercising the
@@ -1547,6 +1569,38 @@ object ExtQueries {
         |       CAST(tgt_mass::DECIMAL(38,0) * (SELECT rt FROM tot) * 1 >=
         |            raw_mass::DECIMAL(38,0) * (SELECT tt FROM tot) * 1 AS INT) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Twin of the three-micro-batch IncrementalDsir drive: the per-batch raw
+    // model is the delta sum over strictly earlier batches (bid < i), the
+    // target model is global — same integer masses and DECIMAL(38,0)
+    // decision as q_dsir_screen, horizon-unrolled via a (0,1,2) batch spine.
+    "q_dsir_stream" ->
+      """WITH tb AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)),
+        |tgt AS (SELECT b, COUNT(*) AS tc FROM tb WHERE doc_id % 97 = 0 GROUP BY 1),
+        |tt AS (SELECT CAST(COALESCE(SUM(tc), 0) + 4096 AS BIGINT) AS v FROM tgt),
+        |rb AS (SELECT doc_id % 3 AS bid, b, COUNT(*) AS c
+        |       FROM tb WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+        |spine AS (SELECT unnest(generate_series(0, 2)) AS bid),
+        |rm AS (SELECT i.bid, r.b, CAST(SUM(r.c) AS BIGINT) AS rc
+        |       FROM spine i JOIN rb r ON r.bid < i.bid GROUP BY 1, 2),
+        |rt AS (SELECT i.bid, CAST(COALESCE(SUM(r.c), 0) + 4096 AS BIGINT) AS v
+        |       FROM spine i LEFT JOIN rb r ON r.bid < i.bid GROUP BY 1),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n_toks,
+        |         CAST(SUM(COALESCE(g.tc, 0) + 1) AS BIGINT) AS tgt_mass,
+        |         CAST(SUM(COALESCE(m.rc, 0) + 1) AS BIGINT) AS raw_mass
+        |       FROM tb t
+        |       LEFT JOIN tgt g ON t.b = g.b
+        |       LEFT JOIN rm m ON m.bid = t.doc_id % 3 AND m.b = t.b
+        |       WHERE t.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT s.doc_id, s.n_toks, s.tgt_mass, s.raw_mass,
+        |       CAST(s.tgt_mass::DECIMAL(38,0) * r.v >=
+        |            s.raw_mass::DECIMAL(38,0) * (SELECT v FROM tt) AS INT) AS keep
+        |FROM sc s JOIN rt r ON r.bid = s.doc_id % 3
+        |ORDER BY doc_id""".stripMargin,
 
     // Twin of TextStats.hashedLinearScore with the seeded stand-in weights.
     "q_quality_clf" ->
