@@ -368,10 +368,10 @@ object Curation {
     * contrasts the two SMOOTHED MASS SUMS instead —
     *   tgt_mass = Σ_tok (ct_tgt[b(tok)] + 1),  raw_mass = Σ_tok (ct_raw[b(tok)] + 1)
     * and keeps a doc iff
-    *   tgt_mass · rawTotal · num ≥ raw_mass · tgtTotal · den
-    * (totals = corpus token count + `buckets`, the add-one normalizers;
-    * num/den is the importance-ratio threshold, 1/1 = "at least as
-    * target-like as raw-like"). Exact integer cross-multiplication in
+    *   tgt_mass · rawTotal · den ≥ raw_mass · tgtTotal · num
+    * i.e. normalized-mass ratio ≥ num/den (totals = corpus token count +
+    * `buckets`, the add-one normalizers; 1/1 = "at least as target-like as
+    * raw-like"). Exact integer cross-multiplication in
     * DECIMAL(38,0) — bit-identical on every engine and partitioning. Rank
     * order differs from the true log-ratio score, but the selection
     * structure, feature hashing, and smoothing are DSIR's; swap the mass
@@ -411,8 +411,8 @@ object Curation {
         sum(coalesce(col("__rc"), lit(0L)) + 1).as("raw_mass"))
     scored.crossJoin(broadcast(totals))
       .withColumn("keep",
-        col("tgt_mass").cast("decimal(38,0)") * col("__rt") * num >=
-          col("raw_mass").cast("decimal(38,0)") * col("__tt") * den)
+        col("tgt_mass").cast("decimal(38,0)") * col("__rt") * den >=
+          col("raw_mass").cast("decimal(38,0)") * col("__tt") * num)
       .select(col("doc_id"), col("n_toks"), col("tgt_mass"), col("raw_mass"),
         col("keep"))
   }

@@ -636,6 +636,38 @@ object ExtQueries {
       }.reduce(_ unionByName _).orderBy(col("doc_id"))
     },
 
+    // FLAGSHIP model-based curation composite: hashed linear classifier
+    // gate → DSIR importance screen at ratio ≥ 2/25 (the synthetic corpus's
+    // tiny shared vocabulary pushes every normalized-mass ratio into
+    // [0.077, 0.088] — measured tri-scale; 2/25 = 0.08 splits it; target =
+    // %97 exemplars, raw model built from the classifier survivors) →
+    // exact-dedup keepers → deterministic 50 % sample. The model-driven counterpart of
+    // q_pipeline_curate's rule-based chain; every stage is individually
+    // hash-proven, this pins the COMPOSITION.
+    "q_pipeline_model" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isTgt = col("doc_id") % 97 === 0
+      val B = 512
+      val weights = s.range(B.toLong)
+        .select(col("id").as("bucket"),
+          (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2001 - 1000).as("w"))
+      val clfPass = TextStats.hashedLinearScore(d, col("doc_id"), col("text"),
+          weights, buckets = B)
+        .filter(col("keep")).select(col("doc_id"))
+      val gated = d.join(clfPass, Seq("doc_id"), "left_semi")
+      val dsirPass = Curation.dsirScreen(gated.filter(!isTgt), d.filter(isTgt),
+          col("doc_id"), col("text"), buckets = 4096, num = 2, den = 25)
+        .filter(col("keep")).select(col("doc_id"))
+      val screened = gated.join(dsirPass, Seq("doc_id"), "left_semi")
+      val keepers = Dedup.exact(screened, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = screened.join(keepers, Seq("doc_id"), "left_semi")
+      Curation.deterministicSample(deduped, col("doc_id"), 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Hashed-feature linear quality classifier (fastText-style): the weight
     // table is model data — here a deterministic seeded stand-in
     // (w_b = md5int("w:"||b) % 2001 − 1000, fixed-point ints) exercising the
@@ -1600,6 +1632,48 @@ object ExtQueries {
         |       CAST(s.tgt_mass::DECIMAL(38,0) * r.v >=
         |            s.raw_mass::DECIMAL(38,0) * (SELECT v FROM tt) AS INT) AS keep
         |FROM sc s JOIN rt r ON r.bid = s.doc_id % 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // Twin of the model-based curation composite: classifier gate → DSIR
+    // screen (raw model over classifier survivors) → exact keepers → md5
+    // percentile sample, each CTE the proven per-stage oracle.
+    "q_pipeline_model" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |         ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+        |           % 2001 - 1000 AS w
+        |  FROM (SELECT unnest(generate_series(0, 511)) AS b)),
+        |ctoks AS (
+        |  SELECT doc_id, tok,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)),
+        |clf AS (SELECT t.doc_id FROM ctoks t
+        |        LEFT JOIN w ON t.h % 512 = w.bucket
+        |        GROUP BY 1 HAVING CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) >= 0),
+        |gated AS (SELECT d.* FROM documents d JOIN clf USING (doc_id)),
+        |tb AS (SELECT doc_id, h % 4096 AS b FROM ctoks),
+        |tgt AS (SELECT b, COUNT(*) AS tc FROM tb WHERE doc_id % 97 = 0 GROUP BY 1),
+        |rawm AS (SELECT b, COUNT(*) AS rc FROM tb
+        |         WHERE doc_id % 97 <> 0 AND doc_id IN (SELECT doc_id FROM clf)
+        |         GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(COALESCE(SUM(tc), 0) + 4096 AS BIGINT) FROM tgt) AS tt,
+        |               (SELECT CAST(COALESCE(SUM(rc), 0) + 4096 AS BIGINT) FROM rawm) AS rt),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(SUM(COALESCE(g.tc, 0) + 1) AS BIGINT) AS tgt_mass,
+        |         CAST(SUM(COALESCE(r.rc, 0) + 1) AS BIGINT) AS raw_mass
+        |       FROM tb t LEFT JOIN tgt g ON t.b = g.b
+        |                 LEFT JOIN rawm r ON t.b = r.b
+        |       WHERE t.doc_id % 97 <> 0 AND t.doc_id IN (SELECT doc_id FROM clf)
+        |       GROUP BY 1),
+        |screened AS (
+        |  SELECT g.* FROM gated g JOIN sc ON g.doc_id = sc.doc_id
+        |  WHERE sc.tgt_mass::DECIMAL(38,0) * (SELECT rt FROM tot) * 25 >=
+        |        sc.raw_mass::DECIMAL(38,0) * (SELECT tt FROM tot) * 2),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM screened GROUP BY md5(text))
+        |SELECT doc_id, n_chars FROM screened
+        |WHERE doc_id IN (SELECT doc_id FROM keepers)
+        |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
         |ORDER BY doc_id""".stripMargin,
 
     // Twin of TextStats.hashedLinearScore with the seeded stand-in weights.

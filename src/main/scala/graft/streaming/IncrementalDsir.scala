@@ -97,8 +97,8 @@ object IncrementalDsir {
         sum(coalesce(col("__rc"), lit(0L)) + 1).as("raw_mass"))
       .crossJoin(broadcast(totals))
       .withColumn("keep",
-        col("tgt_mass").cast("decimal(38,0)") * col("__rt") * num >=
-          col("raw_mass").cast("decimal(38,0)") * col("__tt") * den)
+        col("tgt_mass").cast("decimal(38,0)") * col("__rt") * den >=
+          col("raw_mass").cast("decimal(38,0)") * col("__tt") * num)
       .select(col("doc_id").as("__sid"), col("n_toks"), col("tgt_mass"),
         col("raw_mass"), col("keep"))
     // pin the verdict BEFORE the raw model absorbs the batch (a lazy plan
