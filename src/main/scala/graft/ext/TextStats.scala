@@ -243,6 +243,10 @@ object TextStats {
     *
     * score(doc) = Σ_tok w[md5_bucket(tok) mod buckets]  (absent bucket = 0)
     * keep ⇔ score ≥ bias (the decision threshold, same fixed-point scale).
+    * CONTRACT: `weights` must carry at most one row per bucket — a
+    * duplicated bucket would fan the token join out and silently
+    * double-count (trainers emit dense unique tables; not re-aggregated
+    * here so the scoring plan stays a pure broadcast join).
     *
     * Shape at scale: the weight table is ≤ `buckets` rows and BROADCAST;
     * tokens explode corpus-linearly and the per-doc rollup is the one
