@@ -40,12 +40,13 @@ object IncrementalDsir {
         % buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
 
-  /** The accumulated (b, ct) model from deltas with `batch_id < upTo`;
-    * empty if the store does not exist. */
+  /** The accumulated (b, ct) model from live deltas with `batch_id < upTo`
+    * (fold tombstones excluded); empty if the store does not exist. Folded
+    * base rows carry `batch_id = -1`, inside every screening horizon. */
   def readModel(spark: SparkSession, storePath: String,
       upTo: Long = Long.MaxValue): DataFrame =
     KeyedStore.read(spark, storePath)
-      .map(_.filter(col("batch_id") < upTo)
+      .map(_.filter(col("op_type") =!= "delete" && col("batch_id") < upTo)
         .groupBy("b").agg(sum(col("ct")).as("ct")))
       .getOrElse {
         import spark.implicits._
@@ -55,16 +56,60 @@ object IncrementalDsir {
   /** Append one batch's token-count deltas to the model at `storePath`
     * (creating it on first use). `batchId` must be unique per batch and is
     * part of the row key — a replayed batch overwrites its own identical
-    * deltas (idempotent), never accumulates. */
+    * deltas (idempotent), never accumulates; if the batch was already
+    * FOLDED ([[foldModel]]), its retained tombstones outrank the replayed
+    * put (`ver` seq), so the replay cannot re-inject folded counts. */
   def updateModel(batch: DataFrame, storePath: String, idCol: Column,
       textCol: Column, buckets: Int, batchId: Long,
       numBuckets: Int = 4): Unit = {
     val delta = bucketCounts(batch, idCol, textCol, buckets)
       .withColumn("batch_id", lit(batchId))
+      .withColumn("ver", lit(0L))
+      .withColumn("op_type", lit("put"))
     if (!delta.isEmpty)
       KeyedStore.merge(delta, storePath, keys = Seq("b", "batch_id"),
-        seqCols = Seq("batch_id"), numBuckets = numBuckets,
+        seqCols = Seq("ver"), numBuckets = numBuckets,
         bucketCols = Seq("b"))
+  }
+
+  /** Maintenance fold: sum every live delta with `0 <= batch_id < below`
+    * into the per-bucket BASE row (key `(b, -1)` — inside every horizon)
+    * and tombstone the folded delta keys, bounding the delta log the
+    * scaladoc above prices. Read results are unchanged by construction
+    * (readModel only ever sums live `ct` per bucket).
+    *
+    * Replay safety: by default the tombstones are RETAINED, so a replayed
+    * already-folded batch loses to them on the `ver` seq and cannot
+    * double-count — fold at any horizon. `dropTombstones = true` also
+    * compacts them away (smallest store); the caller then asserts `below`
+    * is at or beneath its restart horizon (no batch below it will ever be
+    * re-delivered), the same contract KeyedStore documents for tombstone
+    * dropping. Folding also COARSENS history: horizons `upTo < below` can
+    * no longer be answered (the base row aggregates them) — fold only at or
+    * beneath the next batch id you will screen. */
+  def foldModel(spark: SparkSession, storePath: String, below: Long,
+      numBuckets: Int = 4, dropTombstones: Boolean = false): Unit = {
+    KeyedStore.read(spark, storePath).foreach { cur =>
+      val live = cur.filter(col("op_type") =!= "delete")
+      val toFold = live.filter(col("batch_id") >= 0 && col("batch_id") < below)
+      if (!toFold.isEmpty) {
+        val oldBase = live.filter(col("batch_id") === -1)
+          .select(col("b"), col("ct").as("__bct"), col("ver").as("__bver"))
+        val base = toFold.groupBy("b").agg(sum(col("ct")).as("__fct"))
+          .join(oldBase, Seq("b"), "left_outer")
+          .select(col("b"), lit(-1L).as("batch_id"),
+            (coalesce(col("__bct"), lit(0L)) + col("__fct")).as("ct"),
+            (coalesce(col("__bver"), lit(0L)) + 1).as("ver"),
+            lit("put").as("op_type"))
+        val tombs = toFold.select(col("b"), col("batch_id"),
+          lit(0L).as("ct"), lit(1L).as("ver"), lit("delete").as("op_type"))
+        KeyedStore.merge(base.unionByName(tombs), storePath,
+          keys = Seq("b", "batch_id"), seqCols = Seq("ver"),
+          numBuckets = numBuckets, bucketCols = Seq("b"))
+        if (dropTombstones)
+          KeyedStore.compact(spark, storePath, dropTombstones = true)
+      }
+    }
   }
 
   /** Screen one micro-batch against the target model and the raw model

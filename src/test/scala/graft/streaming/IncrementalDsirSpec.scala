@@ -64,4 +64,40 @@ class IncrementalDsirSpec extends SparkSpec {
     // "restart": a fresh screen over the same stores still sees every count
     assert(rawCtAfter == 10L + 3L, s"accumulated raw tokens: $rawCtAfter")
   }
+
+  test("foldModel bounds the delta log; sums and replay safety survive the fold") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("inc_dsir_fold").toString + "/m"
+    val b0 = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "alpha gamma")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "beta beta")).toDF("doc_id", "text")
+    IncrementalDsir.updateModel(b0, store, col("doc_id"), col("text"), 4096, 0L)
+    IncrementalDsir.updateModel(b1, store, col("doc_id"), col("text"), 4096, 1L)
+    IncrementalDsir.updateModel(b2, store, col("doc_id"), col("text"), 4096, 2L)
+    def model(upTo: Long = Long.MaxValue): Map[Long, Long] =
+      IncrementalDsir.readModel(s, store, upTo).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = model()
+    assert(full.values.sum == 6L, s"$full")
+    val atHorizon2 = model(upTo = 2L)
+
+    // fold batches 0 and 1 into the base row; tombstones retained
+    IncrementalDsir.foldModel(s, store, below = 2L)
+    assert(model() == full, "full sums must survive the fold")
+    assert(model(upTo = 2L) == atHorizon2, "the fold-point horizon must survive")
+    // folded delta keys are tombstoned: live rows = bases + the batch-2 delta
+    val live = KeyedStore.read(s, store).get.filter(col("op_type") =!= "delete")
+    assert(live.filter(col("batch_id") >= 0 && col("batch_id") < 2).isEmpty)
+
+    // replay of an already-folded batch loses to the tombstones: no double-count
+    IncrementalDsir.updateModel(b1, store, col("doc_id"), col("text"), 4096, 1L)
+    assert(model() == full, "replayed folded batch must not re-inject counts")
+
+    // dropTombstones shrinks the store to live rows only
+    IncrementalDsir.foldModel(s, store, below = 3L, dropTombstones = true)
+    assert(model() == full, "sums survive the dropping fold")
+    val rows = KeyedStore.read(s, store).get
+    assert(rows.filter(col("op_type") === "delete").isEmpty, "tombstones compacted away")
+  }
 }
