@@ -135,11 +135,22 @@ object Bench {
     val failed = failures.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val p2Total = pass2.map(rs => s""","total_p2":${rs.map(_._2).sum}""").getOrElse("")
     val p2Field = pass2.map(rs => s""","queries_p2":${toJson(rs)}""").getOrElse("")
-    // TOTALS FIRST in the JSON line, and a short totals-only line BEFORE the
-    // full one: the driver captures the output tail, and a truncation must
-    // lose per-query detail, never the headline numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"failures":$failed$p2Total,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"failures":$failed$p2Total,"queries":${toJson(results)}$p2Field,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout, and the per-query line is
+    // several KB — so the totals-only headline is printed BOTH before and
+    // after the full line (round-6 verdict: printing it only before still
+    // lost it to tail truncation). The full JSON is also written to
+    // BENCH_SELF.json so the numbers survive any capture window.
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"failures":$failed$p2Total,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"failures":$failed$p2Total,"queries":${toJson(results)}$p2Field,"sf":"$sfDir"}"""
+    println(headline)
+    println(full)
+    println(headline)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH_SELF.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -399,9 +399,13 @@ object Curation {
       toks(df).groupBy("b").agg(count(lit(1)).as("ct"))
     val tgtModel = model(target)
     val rawModel = model(raw)
-    // add-one normalizers: corpus token count + one per bucket
-    val totals = tgtModel.agg((sum(col("ct")) + buckets).as("__tt"))
-      .crossJoin(rawModel.agg((sum(col("ct")) + buckets).as("__rt")))
+    // add-one normalizers: corpus token count + one per bucket. The sum is
+    // coalesced so an EMPTY target or raw corpus degrades to the
+    // smoothing-only model (total = buckets) instead of a NULL total that
+    // would NULL every keep verdict — matching IncrementalDsir.screenBatch
+    // and the SQL twin's COALESCE(SUM(ct), 0) + buckets.
+    val totals = tgtModel.agg((coalesce(sum(col("ct")), lit(0L)) + buckets).as("__tt"))
+      .crossJoin(rawModel.agg((coalesce(sum(col("ct")), lit(0L)) + buckets).as("__rt")))
     val scored = toks(raw)
       .join(broadcast(tgtModel.withColumnRenamed("ct", "__tc")), Seq("b"), "left_outer")
       .join(broadcast(rawModel.withColumnRenamed("ct", "__rc")), Seq("b"), "left_outer")

@@ -623,10 +623,10 @@ object ExtQueries {
     "q_dsir_stream" -> { (s, dir) =>
       val d = docs(s, dir)
       val isTgt = col("doc_id") % 97 === 0
-      val root = java.nio.file.Files.createTempDirectory("graft_dsir_q").toString
+      val root = java.nio.file.Files.createTempDirectory("graft_dsir_q")
       graft.streaming.IncrementalDsir.updateModel(d.filter(isTgt),
         s"$root/tgt", col("doc_id"), col("text"), 4096, batchId = 0L)
-      (0 until 3).map { i =>
+      val out = (0 until 3).map { i =>
         graft.streaming.IncrementalDsir.screenBatch(
             d.filter(!isTgt && col("doc_id") % 3 === i),
             s"$root/tgt", s"$root/raw",
@@ -634,6 +634,12 @@ object ExtQueries {
           .select(col("doc_id"), col("n_toks"), col("tgt_mass"),
             col("raw_mass"), col("keep").cast("int").as("keep"))
       }.reduce(_ unionByName _).orderBy(col("doc_id"))
+      // every screenBatch result is eagerly checkpointed, so the store is
+      // dead weight once the union plan is built — delete it here instead of
+      // leaking a fresh temp tree per invocation (verify + two-pass bench
+      // run each query at least twice per session)
+      graft.util.Tmp.deleteRecursively(root)
+      out
     },
 
     // FLAGSHIP model-based curation composite: hashed linear classifier

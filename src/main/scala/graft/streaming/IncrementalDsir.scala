@@ -33,6 +33,43 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDsir {
 
+  /** Screening high-water mark: smallest batch id that has NOT been screened
+    * yet (max screened + 1), persisted next to the raw store's buckets.
+    * `_`-prefixed so KeyedStore's layout guard ignores it. [[foldModel]]
+    * refuses `below` above this mark — folding moves counts into the base
+    * row (batch_id = -1, inside every horizon), so folding a batch that
+    * could still be (re)screened would let it influence its own verdict
+    * silently. */
+  private val HwmFile = "_graft_dsir_hwm"
+
+  private def readHwm(spark: SparkSession, storePath: String): Option[Long] = {
+    val f = KeyedStore.fs(spark, storePath)
+    val p = new org.apache.hadoop.fs.Path(storePath, HwmFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def advanceHwm(spark: SparkSession, storePath: String, next: Long): Unit = {
+    val cur = readHwm(spark, storePath).getOrElse(Long.MinValue)
+    if (next > cur) {
+      val f = KeyedStore.fs(spark, storePath)
+      val root = new org.apache.hadoop.fs.Path(storePath)
+      f.mkdirs(root)
+      val tmp = new org.apache.hadoop.fs.Path(root, HwmFile + "__tmp")
+      f.delete(tmp, false)
+      val out = f.create(tmp, true)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(root, HwmFile)
+      f.delete(dst, false)
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
+  }
+
   private def bucketCounts(df: DataFrame, idCol: Column, textCol: Column,
       buckets: Int): DataFrame =
     df.select(idCol.as("doc_id"), explode(graft.ext.TextStats.toks(textCol)).as("tok"))
@@ -86,9 +123,20 @@ object IncrementalDsir {
     * re-delivered), the same contract KeyedStore documents for tombstone
     * dropping. Folding also COARSENS history: horizons `upTo < below` can
     * no longer be answered (the base row aggregates them) — fold only at or
-    * beneath the next batch id you will screen. */
+    * beneath the next batch id you will screen. That contract is ENFORCED
+    * when the store carries a screening high-water mark ([[screenBatch]]
+    * advances it): `below` above the mark throws instead of silently letting
+    * a future screen read its own counts from the base row. Stores fed only
+    * by [[updateModel]] (e.g. a target-exemplar model, never screened
+    * batch-relative) carry no mark and fold at any horizon. */
   def foldModel(spark: SparkSession, storePath: String, below: Long,
       numBuckets: Int = 4, dropTombstones: Boolean = false): Unit = {
+    readHwm(spark, storePath).foreach { hwm =>
+      require(below <= hwm,
+        s"foldModel(below=$below) exceeds the screening high-water mark $hwm " +
+          s"at $storePath: batches >= $hwm may still be screened and would " +
+          "read their own folded counts from the base row")
+    }
     KeyedStore.read(spark, storePath).foreach { cur =>
       val live = cur.filter(col("op_type") =!= "delete")
       val toFold = live.filter(col("batch_id") >= 0 && col("batch_id") < below)
@@ -149,10 +197,19 @@ object IncrementalDsir {
     // pin the verdict BEFORE the raw model absorbs the batch (a lazy plan
     // would re-read the updated store; the horizon filter would still keep
     // the VALUES right, but pinning also makes the caller restart-safe
-    // mid-consumption)
+    // mid-consumption). Docs that produce no token rows (null/empty text)
+    // get the degenerate smoothing-only verdict — zero masses, keep = true
+    // (0 ≥ 0) — instead of the NULLs the left_outer join would leave, so
+    // every row carries a non-null per-doc verdict as documented.
     val out = batch.join(scored, idCol === col("__sid"), "left_outer")
-      .drop("__sid").localCheckpoint(true)
+      .drop("__sid")
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
+      .withColumn("tgt_mass", coalesce(col("tgt_mass"), lit(0L)))
+      .withColumn("raw_mass", coalesce(col("raw_mass"), lit(0L)))
+      .withColumn("keep", coalesce(col("keep"), lit(true)))
+      .localCheckpoint(true)
     updateModel(batch, rawStorePath, idCol, textCol, buckets, batchId)
+    advanceHwm(spark, rawStorePath, batchId + 1)
     out
   }
 }

@@ -100,4 +100,50 @@ class IncrementalDsirSpec extends SparkSpec {
     val rows = KeyedStore.read(s, store).get
     assert(rows.filter(col("op_type") === "delete").isEmpty, "tombstones compacted away")
   }
+
+  test("foldModel refuses a horizon above the screening high-water mark") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("inc_dsir_hwm").toString
+    val tgtStore = s"$dir/tgt"; val rawStore = s"$dir/raw"
+    IncrementalDsir.updateModel(Seq((9L, "alpha beta")).toDF("doc_id", "text"),
+      tgtStore, col("doc_id"), col("text"), B, 0L)
+    IncrementalDsir.screenBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      tgtStore, rawStore, col("doc_id"), col("text"), B, batchId = 0L)
+    IncrementalDsir.screenBatch(Seq((2L, "beta gamma")).toDF("doc_id", "text"),
+      tgtStore, rawStore, col("doc_id"), col("text"), B, batchId = 1L)
+    // mark = 2 (batches 0 and 1 screened): folding ABOVE it would let a
+    // future batch 2 read its own counts from the base row — must throw
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDsir.foldModel(s, rawStore, below = 3L)
+    }
+    assert(e.getMessage.contains("high-water mark"), e.getMessage)
+    // at the mark is the documented-safe horizon
+    IncrementalDsir.foldModel(s, rawStore, below = 2L)
+    assert(IncrementalDsir.readModel(s, rawStore).agg(sum("ct"))
+      .collect()(0).getLong(0) == 4L)
+    // an unscreened store (no mark — e.g. the target model) folds freely
+    IncrementalDsir.foldModel(s, tgtStore, below = 99L)
+    assert(IncrementalDsir.readModel(s, tgtStore).agg(sum("ct"))
+      .collect()(0).getLong(0) == 2L)
+  }
+
+  test("null/empty-text docs get the non-null smoothing-only verdict") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("inc_dsir_null").toString
+    val batch = Seq((1L, "alpha beta"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = IncrementalDsir.screenBatch(batch, s"$dir/tgt", s"$dir/raw",
+        col("doc_id"), col("text"), B, batchId = 0L)
+      .select("doc_id", "n_toks", "tgt_mass", "raw_mass", "keep").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 2L, 2L, true)), s"${out(1L)}")
+    // the null-text doc produces NO token rows: zero masses, keep =
+    // (0 >= 0) = true, never NULL
+    assert(out(2L) == ((0L, 0L, 0L, true)), s"${out(2L)}")
+    // empty string is NOT tokenless — split("", " ") = [""], one empty token
+    assert(out(3L) == ((1L, 1L, 1L, true)), s"${out(3L)}")
+  }
 }
