@@ -17,6 +17,68 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Session-shared dedup index over ONE corpus — the public form of the
+    * share-the-intermediate pattern the engine's own verify queries use:
+    * tokenize the corpus ONCE into the (doc_id, s) shingle table, derive the
+    * verified MinHash+LSH pair table and the connected-component keeper
+    * labels from it at most once each, and feed every downstream screen
+    * (Jaccard / containment / span-dup / contamination via [[shingles]],
+    * keeper filtering and capping via [[clusterLabels]]) from the same
+    * checkpointed tables. At 100 TB the corpus tokenize+gram explosion is
+    * the dominant cost of every shingle screen, so N screens over an index
+    * cost one tokenize + N cheap derivations instead of N tokenizes.
+    *
+    * Materialized state is eagerly localCheckpointed and bounded: shingles
+    * are corpus-linear, pairs and labels are duplicate-set-sized. Blocks are
+    * pinned for the life of the instance; [[release]] frees them all, and a
+    * released index transparently recomputes on next access, so releasing
+    * between pipeline stages is always safe. Thread-safe: concurrent
+    * consumers compute each table once.
+    *
+    * @param docs the corpus
+    * @param n shingle width in tokens
+    * @param num,den LSH verify threshold — keep pairs at Jaccard ≥ num/den
+    * @param k,bands MinHash signature length / LSH band count (see
+    *   [[minhashLshPairs]]; use [[lshParams]]-style derivations upstream to
+    *   choose them) */
+  final class SharedIndex(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 3, num: Int = 1, den: Int = 2, k: Int = 32, bands: Int = 16) {
+    private[this] var shinglesV: DataFrame = _
+    private[this] var pairsV: DataFrame = _
+    private[this] var labelsV: DataFrame = _
+
+    /** The checkpointed distinct word-n-gram shingle table (doc_id, s). */
+    def shingles: DataFrame = synchronized {
+      if (shinglesV == null)
+        shinglesV = Dedup.shingles(docs, idCol, textCol, n).localCheckpoint(true)
+      shinglesV
+    }
+
+    /** Verified MinHash+LSH near-dup pairs (a_id, b_id, inter_ct, union_ct)
+      * at Jaccard ≥ num/den, checkpointed. */
+    def lshPairs: DataFrame = synchronized {
+      if (pairsV == null) pairsV = minhashLshPairs(shingles, num, den, k, bands)
+      pairsV
+    }
+
+    /** (doc_id, keeper_id) cluster labels over [[lshPairs]], checkpointed. */
+    def clusterLabels: DataFrame = synchronized {
+      if (labelsV == null) labelsV = connectedComponents(lshPairs)
+      labelsV
+    }
+
+    /** Free every pinned block; the next accessor call recomputes from the
+      * corpus. A localCheckpoint's blocks ARE its data (lineage truncated),
+      * so frames handed out BEFORE the release are invalidated, not lazily
+      * recomputed — release between consumers, not under one (see
+      * [[graft.util.Blocks.freeCheckpoint]]). */
+    def release(): Unit = synchronized {
+      Seq(shinglesV, pairsV, labelsV).filter(_ != null)
+        .foreach(graft.util.Blocks.freeCheckpoint)
+      shinglesV = null; pairsV = null; labelsV = null
+    }
+  }
+
   /** Exact dedup: group identical texts by md5, keep the smallest doc_id. */
   def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.groupBy(md5(textCol).as("text_hash"))
@@ -278,7 +340,7 @@ object Dedup {
     val verified = verifyJaccard(cand, shc, num, den).localCheckpoint(true)
     shc.unpersist()
     cand.unpersist()
-    sig.unpersist()
+    graft.util.Blocks.freeCheckpoint(sig) // checkpointed: plain unpersist is a no-op
     verified
   }
 
@@ -318,7 +380,7 @@ object Dedup {
     val p = pairs.select(col("a_id").as("x"), col("b_id").as("y")).localCheckpoint(true)
     val edges0 = p.union(p.select(col("y").as("x"), col("x").as("y")))
       .distinct().localCheckpoint(true)
-    p.unpersist()
+    graft.util.Blocks.freeCheckpoint(p)
     val edgeCt = edges0.count() // cached-block scan, no shuffle
     // Loop shuffle width ∝ data: ~1M narrow edge rows (two longs) per
     // partition stays far under executor memory at any scale while collapsing
@@ -381,11 +443,11 @@ object Dedup {
       val curSum = labelSum(next) // cached-block scan
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
-      labels.unpersist() // bound cached generations at two
+      graft.util.Blocks.freeCheckpoint(labels) // bound cached generations at two
       labels = next
       iter += 1
     }
-    edges0.unpersist() // labels is checkpointed; the edge cache is done
+    graft.util.Blocks.freeCheckpoint(edges0) // labels is checkpointed; the edge blocks are done
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

@@ -236,7 +236,7 @@ object Similarity {
         .groupBy("vec_id").agg(max(col("sc")).as("m"))
         .select(col("vec_id"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
-      labels.unpersist()
+      graft.util.Blocks.freeCheckpoint(labels) // checkpointed: plain unpersist no-ops
       labels = next
     }
     v.unpersist()

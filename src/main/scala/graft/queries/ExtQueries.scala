@@ -15,65 +15,55 @@ object ExtQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Envelopes.table(s, dir, "embeddings")
 
-  /** Near-dup cluster labels over the production (MinHash+LSH) pair path,
-    * computed ONCE per (session, corpus dir) and shared by every consumer —
-    * the way a real pipeline materializes its dedup clusters once and feeds
-    * keeper filtering, capping, and reporting from the same table, instead
-    * of re-running LSH + connected components per consumer.
-    *
-    * The memo holds an eagerly-checkpointed label table (pairs-sized — only
-    * docs that appear in a near-dup pair — so the pinned footprint is the
-    * duplicate set, never the corpus). Entries live for the session; results
-    * are order-independent because any consumer that arrives first computes
-    * the identical deterministic table. */
-  /** The verified MinHash+LSH pair table at Jaccard ≥ 1/2, computed ONCE per
-    * (session, corpus dir): `q_dedup_minhash` reports it directly and
-    * [[lshClusterLabels]] clusters over it — one LSH run feeding both, the
-    * same share-the-intermediate shape as the label memo below. The value is
-    * the eagerly-checkpointed pair table `minhashLshPairs` returns
-    * (pairs-sized, detached from every cache). */
-  /** The (doc_id, shingle) inverted-index base table, computed ONCE per
-    * (session, corpus dir) and shared by every shingle consumer (Jaccard /
-    * capped / containment / span-dup / contamination / LSH signatures) — a
-    * real pipeline materializes its shingle index once and feeds every
-    * dedup screen from it, instead of re-tokenizing the corpus per screen.
-    * Eagerly checkpointed so consumers re-scan a corpus-linear table, not
-    * the tokenize/explode lineage. */
-  private val shinglesMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** How many corpora keep their shared intermediates pinned at once. A
+    * verify/bench pass runs every query against ONE dir, so 2 covers the
+    * working set with one slot of slack; tri-scale sessions touching three
+    * dirs evict the coldest instead of accumulating checkpoint blocks for
+    * the session lifetime (the round-6 advisor finding). */
+  private val CorpusCacheCap = 2
+
+  /** Access-ordered LRU of shared per-corpus state; evicted values are
+    * released via `free` (recompute-on-next-access is the [[Dedup.SharedIndex]]
+    * contract, so eviction is always safe). All access synchronizes on the
+    * map. */
+  private final class CorpusCache[V](free: V => Unit) {
+    private val m = new java.util.LinkedHashMap[(SparkSession, String), V](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
+        if (size() > CorpusCacheCap) { free(e.getValue); true } else false
+    }
+    def get(s: SparkSession, dir: String)(mk: => V): V = m.synchronized {
+      val k = (s, dir)
+      val cur = m.get(k)
+      if (cur != null) cur else { val v = mk; m.put(k, v); v }
+    }
+  }
+
+  /** The shared dedup index per (session, corpus dir): one corpus tokenize
+    * feeds every shingle screen (Jaccard / capped / containment / span-dup /
+    * contamination / LSH signatures), one LSH run feeds pair reporting AND
+    * clustering, one cluster table feeds keeper filtering, capping, and the
+    * leakage-safe split — the way a real pipeline materializes its dedup
+    * state once per corpus. Public entry point: [[graft.ext.Dedup.SharedIndex]]. */
+  private val indexCache = new CorpusCache[Dedup.SharedIndex](_.release())
+  private def index(s: SparkSession, dir: String): Dedup.SharedIndex =
+    indexCache.get(s, dir)(
+      new Dedup.SharedIndex(docs(s, dir), col("doc_id"), col("text")))
+
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
-    shinglesMemo.computeIfAbsent((s, dir), { case (s, dir) =>
-      Dedup.shingles(docs(s, dir), col("doc_id"), col("text"))
-        .localCheckpoint(true)
-    })
-
-  private val lshPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    index(s, dir).shingles
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsMemo.computeIfAbsent((s, dir), { case (s, dir) =>
-      // the operator materializes eagerly (checkpointed pairs) over the
-      // shared checkpointed shingle table
-      Dedup.minhashLshPairs(shingleTable(s, dir), 1, 2)
-    })
-
-  /** Exhaustive cosine-pair table at threshold 0.45, computed once per
-    * (session, corpus dir) and shared by `q_embed_dup` (reports it) and
-    * `q_embed_dup_lsh_rel` (uses it as the set-relation reference) — the
-    * deliberate oracle-baseline crossJoin runs once, not per consumer. */
-  private val cosPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def cosinePairs045(s: SparkSession, dir: String): DataFrame =
-    cosPairsMemo.computeIfAbsent((s, dir), { case (s, dir) =>
-      Similarity.cosinePairs(embs(s, dir), 0.45).localCheckpoint(true)
-    })
-
-  private val lshLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    index(s, dir).lshPairs
   private def lshClusterLabels(s: SparkSession, dir: String): DataFrame =
-    lshLabelsMemo.computeIfAbsent((s, dir), { case (s, dir) =>
-      // connectedComponents materializes eagerly (checkpointed labels)
-      Dedup.connectedComponents(lshPairs(s, dir))
-    })
+    index(s, dir).clusterLabels
+
+  /** Exhaustive cosine-pair table at threshold 0.45, shared by `q_embed_dup`
+    * (reports it) and `q_embed_dup_lsh_rel` (uses it as the set-relation
+    * reference) — the deliberate oracle-baseline crossJoin runs once per
+    * corpus, not per consumer, and evicts LRU like the dedup index. */
+  private val cosPairsCache = new CorpusCache[DataFrame](graft.util.Blocks.freeCheckpoint)
+  private def cosinePairs045(s: SparkSession, dir: String): DataFrame =
+    cosPairsCache.get(s, dir)(
+      Similarity.cosinePairs(embs(s, dir), 0.45).localCheckpoint(true))
 
   val queries: Map[String, QFn] = Map(
     // Exact dedup by content hash.

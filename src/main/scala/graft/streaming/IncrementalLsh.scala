@@ -116,6 +116,10 @@ object IncrementalLsh {
         // bucket by the PROBE key prefix (not the full identity key) so
         // readPruned can map (band, bkey) probes to buckets
         bucketCols = Seq("band", "bkey"))
+    // the signature checkpoint fed the screen, the clustering, and the index
+    // rows — all materialized by now; free it or every batch leaks one
+    // signature table for the stream's lifetime
+    graft.util.Blocks.freeCheckpoint(sig)
     accepted.select(col("doc_id"), col("__text").as("text"))
   }
 }
