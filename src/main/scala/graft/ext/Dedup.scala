@@ -303,6 +303,69 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** MinHash LSH parameters (k signatures, bands) derived from the collision
+    * algebra instead of hand-tuning — the Jaccard twin of
+    * [[graft.ext.Similarity.srpParams]]: a pair at Jaccard j agrees on one
+    * MinHash with probability j, an r = k/bands row band matches with j^r,
+    * and b bands recall 1 − (1 − j^r)^b. Pruning power rises with the band
+    * width r (background-pair candidates ∝ j_bg^r per band), so this picks
+    * the LARGEST r whose minimal recall-meeting band count still fits the
+    * signature budget (r·b ≤ maxK), then that minimal b.
+    *
+    * The budget is the dial's price: k is the per-doc signature width (k
+    * longs carried through the band shuffle) and the per-doc hashing CPU.
+    * The engine default (32, 16) = r 2 sits at the budget-lean end — it
+    * recalls 0.990 at the verify threshold j = 1/2 (see [[lshRecall]]) —
+    * while a 128-signature budget buys r = 3 bands at the same floor.
+    *
+    * If even 1-hash bands cannot reach the floor within the budget
+    * (threshold ≈ 0 or floor ≈ 1), falls back loudly to (maxK, maxK) —
+    * callers wanting guaranteed recall there should use
+    * [[ngramJaccardPairs]].
+    *
+    * @param num,den the Jaccard threshold num/den the pairs are verified at
+    * @return (k, bands) ready to pass to [[minhashLshPairs]] */
+  def lshParams(num: Int, den: Int, recallFloor: Double = 0.99,
+      maxK: Int = 128): (Int, Int) = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"threshold must be a fraction in (0, 1], got $num/$den")
+    require(recallFloor > 0.0 && recallFloor < 1.0,
+      s"recallFloor must be in (0, 1), got $recallFloor")
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val j = num.toDouble / den
+    val feasible = (1 to maxK).reverse.iterator.map { r =>
+      val jr = math.pow(j, r)
+      // minimal b with (1 - j^r)^b <= 1 - recallFloor; at large r the band
+      // match probability underflows and b explodes past any budget —
+      // bound it at maxK + 1 BEFORE narrowing so the infeasible marker
+      // survives the Double→Long conversion instead of overflowing
+      val b = math.max(1.0,
+        math.min(math.ceil(math.log1p(-recallFloor) / math.log1p(-jr)),
+          (maxK + 1).toDouble)).toLong
+      (r, b)
+    }.collectFirst { case (r, b) if b >= 1 && r.toLong * b <= maxK =>
+      (r * b.toInt, b.toInt)
+    }
+    feasible.getOrElse((maxK, maxK))
+  }
+
+  /** Algebraic recall of (k, bands) at Jaccard `num/den` — the 1−(1−j^r)^b
+    * curve [[lshParams]] inverts; exposed so specs and capacity planning
+    * can read the achieved floor rather than re-deriving it. */
+  def lshRecall(num: Int, den: Int, k: Int, bands: Int): Double = {
+    require(bands >= 1 && k % bands == 0, s"bad ($k, $bands)")
+    val j = num.toDouble / den
+    1.0 - math.pow(1.0 - math.pow(j, k / bands), bands)
+  }
+
+  /** [[minhashLshPairs]] with (k, bands) derived by [[lshParams]] from the
+    * verify threshold and a target recall floor. */
+  def minhashLshPairsAuto(sh: DataFrame, num: Int, den: Int,
+      recallFloor: Double = 0.99, maxK: Int = 128): DataFrame = {
+    val (k, bands) = lshParams(num, den, recallFloor, maxK)
+    minhashLshPairs(sh, num, den, k, bands)
+  }
+
   def minhashLshPairs(sh: DataFrame, num: Int, den: Int,
       k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")

@@ -253,13 +253,21 @@ object Similarity {
     * same value on every run and in every engine, which is what lets this
     * operator carry a full SQL hash oracle (`q_ann_ivf`) instead of the
     * rows-only check a float-averaged centroid would force. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val dims = corpus.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    val centroids = dims.groupBy("label", "pos")
+  /** The coarse-quantizer centroid table (c_label, centroid) from a labeled
+    * corpus — per-dimension exact DECIMAL sums cast to float (see
+    * [[ivfTopK]]'s determinism note). Shared by the probe path and the
+    * [[ivfProbeCdf]] calibration so the two can never rank against
+    * different centroids. */
+  private def coarseCentroids(corpus: DataFrame): DataFrame =
+    corpus.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
       .agg(sum(col("v").cast("decimal(27,10)")).as("cv"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
       .select(col("label").as("c_label"),
         transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = coarseCentroids(corpus)
     // Precompute each side's norm ONCE (cosine() inline would re-derive
     // sqrt(dot(q,q)) for every candidate pair — |q|·cluster_size redundant
     // O(d) loops at scale). Same doubles, same ranks: the norm value is
@@ -287,6 +295,93 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"))
+  }
+
+  /** Empirical probe-count calibration curve for [[ivfTopK]] — nProbe is a
+    * recall dial exactly like SRP's (bits, bands), but unlike SRP there is
+    * no closed-form collision algebra: recall-vs-probes depends on how the
+    * quantizer's cells tile the data, so it is MEASURED, the way IVF indexes
+    * are tuned in practice. For each vector of a (small, caller-fixed)
+    * calibration sample, find its true top-1 neighbor by brute force and
+    * record the rank of the neighbor's cluster in the query's
+    * centroid-similarity order — the same (c_sim desc, c_label) order
+    * [[ivfTopK]] probes in — then aggregate:
+    *
+    *   - `recall`    at p = fraction of sample whose true neighbor lives in
+    *     its p nearest clusters = the top-1 recall ivfTopK(nProbe = p) gets
+    *     on the sample (both stages rank with the identical expressions);
+    *   - `scan_frac` at p = mean cumulative corpus mass of the p nearest
+    *     clusters (from the cluster-size histogram) = the fraction of the
+    *     corpus the fine stage scans per query — the price of the dial.
+    *
+    * Calibration cost is |sample| × |corpus| exact dots in ONE pass plus an
+    * m×k centroid ranking — paid once per index build, the deliberate
+    * analog of srpParams' algebra; size the sample, not the corpus.
+    * Deterministic for a deterministic sample (exact-decimal centroids,
+    * IEEE dots, total tie-break orders), so specs can pin the derived
+    * params byte-for-byte.
+    *
+    * @param corpus (vec_id, embedding, label) — the labeled IVF corpus
+    * @param sample (vec_id, embedding) calibration queries (fix it
+    *   deterministically, e.g. `vec_id % s === 0`)
+    * @return one row per probe count p = 1..k: (p, recall, scan_frac) */
+  def ivfProbeCdf(corpus: DataFrame, sample: DataFrame): DataFrame = {
+    val cent = coarseCentroids(corpus).withColumn("cent_nrm",
+      sqrt(dotF(col("centroid"), col("centroid"))))
+    val q = withNorm(sample, "q")
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("c_nrm"),
+      col("label").as("c_lab"))
+    // true top-1 neighbor per sample query — argmax by (sim desc, id asc)
+    // via one partial-aggregating max over a (sim, -id, label) struct; the
+    // label rides in a trailing field that never decides the order (ids are
+    // unique, so (sim, -id) ties cannot occur)
+    val nn = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), struct(
+        (dotF(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("sim"),
+        (-col("c_id")).as("ni"), col("c_lab").as("lab")).as("sc"))
+      .groupBy("q_id").agg(max(col("sc")).as("m"))
+      .select(col("q_id").as("n_qid"), col("m.lab").as("nn_label"))
+    // every (query, cluster) pair ranked in ivfTopK's probe order, with the
+    // cluster's corpus mass attached for the scan-cost readout
+    val mass = corpus.groupBy(col("label").as("c_label"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = q.crossJoin(broadcast(cent))
+      .select(col("q_id"),
+        (dotF(col("q_emb"), col("centroid")) / (col("q_nrm") * col("cent_nrm")))
+          .as("c_sim"), col("c_label"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_label"))))
+      .join(broadcast(mass), Seq("c_label"))
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.partitionBy(col("q_id")).orderBy(col("p"))))
+    val total = corpus.agg(count(lit(1)).as("corpus_n"))
+    val sampleN = sample.count().toDouble
+    val hits = ranked.join(nn,
+        col("q_id") === col("n_qid") && col("c_label") === col("nn_label"))
+      .groupBy(col("p").as("hp")).agg(count(lit(1)).as("hit_ct"))
+    ranked.crossJoin(broadcast(total))
+      .groupBy("p").agg(
+        (sum(col("cum_n").cast("double") / col("corpus_n")) / sampleN).as("scan_frac"))
+      .join(hits, col("p") === col("hp"), "left_outer")
+      .withColumn("recall",
+        (sum(coalesce(col("hit_ct"), lit(0L))).over(Window.orderBy(col("p")))
+          / sampleN))
+      .select(col("p"), col("recall"), col("scan_frac"))
+  }
+
+  /** The probe count for [[ivfTopK]] derived from a target recall floor —
+    * the minimal p whose measured sample recall ([[ivfProbeCdf]]) reaches
+    * the floor. Recall at p = k (probe everything) is 1.0 by construction,
+    * so the derivation always terminates with a feasible dial. */
+  def ivfParams(corpus: DataFrame, sample: DataFrame,
+      recallFloor: Double = 0.95): Int = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    val rows = ivfProbeCdf(corpus, sample).orderBy(col("p")).collect()
+    rows.collectFirst {
+      case r if r.getAs[Double]("recall") >= recallFloor => r.getAs[Int]("p")
+    }.getOrElse(rows.length)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:

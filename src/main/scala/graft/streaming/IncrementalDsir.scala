@@ -70,6 +70,16 @@ object IncrementalDsir {
     }
   }
 
+  /** Where a restarted screening pipeline resumes: the persisted screening
+    * high-water mark (max screened batch id + 1), or 0 for a fresh store.
+    * Capture this ONCE at query start and screen spark's micro-batch `bid`
+    * as `nextBatchId + bid` — a stable mapping, so a replayed micro-batch
+    * reuses its original id (idempotent) while a clean restart resumes past
+    * everything already screened. Reading it per-batch instead would hand a
+    * REPLAYED batch a fresh id and double-count it. */
+  def nextBatchId(spark: SparkSession, rawStorePath: String): Long =
+    readHwm(spark, rawStorePath).getOrElse(0L)
+
   private def bucketCounts(df: DataFrame, idCol: Column, textCol: Column,
       buckets: Int): DataFrame =
     df.select(idCol.as("doc_id"), explode(graft.ext.TextStats.toks(textCol)).as("tok"))

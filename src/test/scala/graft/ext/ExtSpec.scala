@@ -95,6 +95,45 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.srpRecall(0.45, 63, 21) >= 0.99)
   }
 
+  test("lshParams picks max-width MinHash bands meeting the recall floor in budget") {
+    // verify threshold j = 1/2: widest feasible band is 3 hashes — 35 bands
+    // reach 0.99; 4-hash bands would need 72 (288 signatures > 128)
+    assert(Dedup.lshParams(1, 2, 0.99) == ((105, 35)))
+    // j = 9/10: 10-hash bands, 11 of them (110 signatures)
+    assert(Dedup.lshParams(9, 10, 0.99) == ((110, 11)))
+    // the engine default (32, 16) is the r = 2 point on the same curve —
+    // the minimal-band solution at a 0.989 floor in a 32-signature budget —
+    // recalling 0.9900 (to 4 digits) at the j = 1/2 verify threshold
+    assert(Dedup.lshParams(1, 2, 0.989, maxK = 32) == ((32, 16)))
+    assert(Dedup.lshRecall(1, 2, 32, 16) >= 0.9899)
+    // every computed pair satisfies its own contract, maximally wide
+    for ((n, d) <- Seq((1, 2), (7, 10), (9, 10)); f <- Seq(0.9, 0.99)) {
+      val (k, b) = Dedup.lshParams(n, d, f)
+      assert(k <= 128 && k % b == 0, s"($k, $b) at $n/$d/$f")
+      assert(Dedup.lshRecall(n, d, k, b) >= f, s"($n/$d, $f) -> ($k, $b)")
+      val r = k / b
+      if (r < 128) {
+        val j = n.toDouble / d
+        val bNeeded = math.ceil(math.log1p(-f) / math.log1p(-math.pow(j, r + 1)))
+        assert((r + 1) * bNeeded > 128, s"wider band was feasible at $n/$d/$f")
+      }
+    }
+  }
+
+  test("minhashLshPairsAuto finds planted near-dups at derived params") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and then runs far away tonight"),
+      (3L, "a completely different sentence about training data curation pipelines at scale"),
+      (4L, "bright copper kettles whistle softly inside the warm old kitchen every morning")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
+    val auto = Dedup.minhashLshPairsAuto(sh, 1, 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == Set((1L, 2L)), s"$auto")
+  }
+
   test("srpPairsAuto keeps precision 1 and the target recall on real data") {
     val e = Envelopes.table(spark, sfDir(), "embeddings")
     val brute = pairs(Similarity.cosinePairs(e, 0.45))
@@ -177,6 +216,33 @@ class ExtSpec extends SparkSpec {
     val recall = brute.map { case (k, bs) => ivf(k).intersect(bs).size.toDouble / bs.size }
       .sum / brute.size
     assert(recall >= 0.2, s"IVF-over-kmeans recall@5 = $recall")
+  }
+
+  test("ivfParams derives the probe dial from measured recall; structured cells need fewer probes than random cells") {
+    val e = Envelopes.table(spark, sfDir(), "embeddings")
+    val sample = e.filter(col("vec_id") % 7 === 0).select("vec_id", "embedding")
+    // the curve is a valid CDF: recall monotone, exactly 1.0 when every
+    // cluster is probed, scanning the whole corpus at the far end
+    val cdf = Similarity.ivfProbeCdf(e, sample).orderBy("p").collect()
+      .map(r => (r.getAs[Int]("p"), r.getAs[Double]("recall"), r.getAs[Double]("scan_frac")))
+    assert(cdf.map(_._1).toSeq == (1 to cdf.length).toSeq)
+    assert(cdf.sliding(2).forall { case Array(a, b) => a._2 <= b._2 && a._3 <= b._3 })
+    assert(cdf.last._2 == 1.0 && math.abs(cdf.last._3 - 1.0) < 1e-9)
+    // the dial reflects measured structure: the testdata's random label
+    // column spreads true neighbors uniformly over cells (recall ≈ p/k, so
+    // a high floor forces probing almost everything), while k-means cells
+    // concentrate them (few probes suffice) — the calibration SEES that
+    val relabeled = e.drop("label")
+      .join(Similarity.kmeansLabels(e, k = 8, iters = 3), "vec_id")
+    val pRandom = Similarity.ivfParams(e, sample, recallFloor = 0.9)
+    val pKmeans = Similarity.ivfParams(relabeled, sample, recallFloor = 0.9)
+    assert(pKmeans < pRandom,
+      s"kmeans cells should need fewer probes: $pKmeans vs $pRandom")
+    // pin the derived dials byte-for-byte (deterministic sample, exact
+    // centroid math): sf0.001's random 10-cell labels need 8 probes at a
+    // 0.9 floor, the 8-cell kmeans fit needs 6 — the synthetic embeddings
+    // are near-uniform, so even real cells only concentrate mildly here
+    assert((pRandom, pKmeans) == ((8, 6)), s"($pRandom, $pKmeans)")
   }
 
   test("DF cap kills boilerplate-only pairs, keeps rare-shingle near-dups") {
