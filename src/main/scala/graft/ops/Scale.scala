@@ -151,6 +151,47 @@ object Scale {
       lit(top)).cast("long")
   }
 
+  /** One-pass profile of the two layout dimensions: ((x_lo, x_hi),
+    * (y_lo, y_hi)) from a single min/max aggregate — the stats pass that
+    * feeds [[normalizeDim]] when the caller has no table profile. Min/max
+    * aggregate over the layout input is one map-side-combining pass (at a
+    * warehouse this is read from table stats / parquet footers instead);
+    * the four scalars are the only driver-side values. Throws on an empty
+    * or all-null dimension — silently laying out on a null domain would
+    * produce a corrupt curve, not a degraded one. */
+  def dimBounds(df: DataFrame, x: Column, y: Column): ((Long, Long), (Long, Long)) = {
+    val r = df.agg(min(x.cast("long")).as("xlo"), max(x.cast("long")).as("xhi"),
+      min(y.cast("long")).as("ylo"), max(y.cast("long")).as("yhi")).head()
+    require(!r.anyNull, "dimBounds needs at least one non-null row per dimension")
+    ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+  }
+
+  /** [[zorderLayout]] with each domain normalized by bounds profiled from
+    * the data ([[dimBounds]]) — the auto-stats form of the normalization
+    * `tools/ScaleProbe zorder` showed is load-bearing (a wider raw dimension
+    * otherwise owns the curve's high bits). A CONSTANT dimension (lo == hi)
+    * normalizes to 0: it carries no locality, so the curve degrades to a
+    * plain sort on the other dimension instead of refusing the layout. */
+  def zorderLayoutAuto(df: DataFrame, x: Column, y: Column, partitions: Int,
+      bits: Int = 16): DataFrame = {
+    val ((xlo, xhi), (ylo, yhi)) = dimBounds(df, x, y)
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi > lo) normalizeDim(c, lo, hi, bits) else lit(0L)
+    zorderLayout(df, norm(x, xlo, xhi), norm(y, ylo, yhi), partitions, bits)
+  }
+
+  /** The DuckDB twin of [[normalizeDim]] — same clamp-then-scale formula
+    * over SQL sub-expressions (`lo`/`hi`/the column may reference a stats
+    * CTE, which is how an oracle replays [[dimBounds]]). Uses DuckDB's `//`
+    * integer floor division; Spark's double divide + long cast truncates
+    * instead, but every value reaching the division here is a non-negative
+    * exact integer ≤ ~2^40, where floor and truncate agree and the double
+    * path is exact. */
+  def normalizeSql(c: String, lo: String, hi: String, bits: Int = 16): String = {
+    val top = (1L << bits) - 1
+    s"least(greatest(((($c) - ($lo)) * $top) // (($hi) - ($lo)), 0), $top)"
+  }
+
   /** The DuckDB/SQL twin of [[zorderValue]] — generated from the same loop so
     * the two expressions can never drift. `x`/`y` are SQL sub-expressions. */
   def zorderSql(x: String, y: String, bits: Int = 16): String =

@@ -113,6 +113,18 @@ object ExtQueries {
       lshPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
+    // The same verified pair table at lshParams-DERIVED (k, bands) — 105
+    // signatures in 35 3-hash bands for (threshold 1/2, recall floor 0.99)
+    // — against the same exhaustive-Jaccard oracle: the auto-derivation's
+    // recall algebra is proven end-to-end on real data (the corpus's true
+    // pairs all sit ≥ 0.9, where the derived bands' miss probability is
+    // ≤ 1e-19), not just in unit maths. Rides the shared shingle index, so
+    // the added cost is the wider signature aggregation alone.
+    "q_dedup_minhash_auto" -> { (s, dir) =>
+      Dedup.minhashLshPairsAuto(shingleTable(s, dir), 1, 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Near-dup clusters: connected components over the Jaccard≥0.5 pairs,
     // every clustered doc mapped to its cluster's keeper (minimum doc_id).
     "q_dedup_clusters" -> { (s, dir) =>
@@ -857,6 +869,7 @@ object ExtQueries {
 
     "q_dedup_ngram" -> jacSelect,
     "q_dedup_minhash" -> jacSelect,
+    "q_dedup_minhash_auto" -> jacSelect,
 
     // JAC with the DF cap applied before the self-join: intersection AND
     // sizes derive from the same capped shingle table, mirroring

@@ -153,6 +153,26 @@ object RelQueries {
           Scale.zorderValue(pmod(col("l_partkey"), lit(1024)),
             pmod(col("l_suppkey"), lit(1024)), bits = 10).as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Z-order with AUTO-PROFILED domain normalization: bounds from the
+    // one-pass Scale.dimBounds stats scan, each dimension linearly mapped
+    // onto the shared 10-bit range before interleaving — the end-to-end
+    // form of the normalizeDim caveat (unequal raw domains let the wider
+    // dimension own the curve). The oracle recomputes the bounds in its own
+    // stats CTE and replays the identical clamp-scale-interleave formula.
+    "q_zorder_auto" -> { (s, dir) =>
+      import graft.ops.Scale
+      val li = Envelopes.table(s, dir, "lineitem")
+        .withColumn("__price", floor(col("l_extendedprice")).cast("long"))
+      val ((xlo, xhi), (ylo, yhi)) =
+        Scale.dimBounds(li, col("l_partkey"), col("__price"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Scale.zorderValue(
+            Scale.normalizeDim(col("l_partkey"), xlo, xhi, 10),
+            Scale.normalizeDim(col("__price"), ylo, yhi, 10),
+            bits = 10).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -248,5 +268,18 @@ object RelQueries {
       s"""SELECT l_orderkey, l_linenumber,
          |       CAST(${graft.ops.Scale.zorderSql("(l_partkey % 1024)", "(l_suppkey % 1024)", bits = 10)}
          |            AS BIGINT) AS zval
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_zorder_auto" -> {
+      val price = "CAST(FLOOR(l_extendedprice) AS BIGINT)"
+      val nx = graft.ops.Scale.normalizeSql("l_partkey", "st.xlo", "st.xhi", 10)
+      val ny = graft.ops.Scale.normalizeSql(price, "st.ylo", "st.yhi", 10)
+      s"""WITH st AS (SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi,
+         |                   MIN($price) AS ylo, MAX($price) AS yhi
+         |            FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |       CAST(${graft.ops.Scale.zorderSql(s"($nx)", s"($ny)", bits = 10)}
+         |            AS BIGINT) AS zval
+         |FROM lineitem, st ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
 }

@@ -322,7 +322,12 @@ object ScaleProbe {
       "zorder" -> graft.ops.Scale.zorderLayout(orders,
         graft.ops.Scale.normalizeDim(col("o_custkey"), 1, 15000, 14),
         graft.ops.Scale.normalizeDim(col("__price"), 850, 560000, 14),
-        files, bits = 14))
+        files, bits = 14),
+      // the auto-stats form: domains profiled from the data in one min/max
+      // pass (Scale.dimBounds) instead of the hand-supplied table profile —
+      // pruning must match the hand-bounded layout
+      "zorder_auto" -> graft.ops.Scale.zorderLayoutAuto(orders,
+        col("o_custkey"), col("__price"), files, bits = 14))
     layouts.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name")
     }

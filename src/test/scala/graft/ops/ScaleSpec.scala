@@ -163,4 +163,59 @@ class ScaleSpec extends SparkSpec {
           .bitwiseAND(lit(1L))).count()
     assert(bad == 0, s"$bad rows whose z high bits don't come from both dims")
   }
+
+  test("zorderLayoutAuto profiles bounds in one pass and restores two-sided pruning on skewed domains") {
+    import spark.implicits._
+    // the 256×256 grid of the layout test, but with SHIFTED and UNEQUAL raw
+    // domains — x in [1000, 1255], y in [0, 255000] (1000× wider): laid out
+    // raw, y would own every interleaved high bit and x-pruning would die
+    // (the probe-measured caveat normalizeDim exists for)
+    val grid = spark.range(65536).select(
+      ((col("id") % 256) + 1000).as("x"),
+      ((col("id") / 256).cast("long") * 1000).as("y"))
+    // the stats pass reads the exact data min/max
+    val ((xlo, xhi), (ylo, yhi)) = Scale.dimBounds(grid, col("x"), col("y"))
+    assert((xlo, xhi) == ((1000L, 1255L)) && (ylo, yhi) == ((0L, 255000L)),
+      s"[$xlo,$xhi] [$ylo,$yhi]")
+    // auto layout: per-partition ranges of the NORMALIZED z are disjoint,
+    // and a 32×32 box in raw coordinates touches ≤2 of 16 partitions —
+    // the same payoff the hand-normalized grid test pins, with the bounds
+    // discovered instead of supplied (both linear maps are exact here:
+    // x−1000 and y/1000, so the normalized grid is the full 256×256 square)
+    val laid = Scale.zorderLayoutAuto(grid, col("x"), col("y"),
+      partitions = 16, bits = 8).persist()
+    laid.count()
+    val zn = Scale.zorderValue(
+      Scale.normalizeDim(col("x"), xlo, xhi, 8),
+      Scale.normalizeDim(col("y"), ylo, yhi, 8), bits = 8)
+    val ranges = laid.select(spark_partition_id().as("p"), zn.as("z"))
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    val boxed = laid.filter(col("x") < 1032 && col("y") < 32000)
+      .select(spark_partition_id()).distinct().count()
+    assert(boxed <= 2, s"box query touched $boxed of 16 partitions")
+    laid.unpersist()
+    // a constant dimension degrades to a sort on the live one, not a refusal
+    val const = spark.range(256).select(lit(5L).as("x"), col("id").as("y"))
+    val laidC = Scale.zorderLayoutAuto(const, col("x"), col("y"),
+      partitions = 4, bits = 8).persist()
+    laidC.count()
+    val perPart = laidC.select(spark_partition_id().as("p"), col("y"))
+      .groupBy("p").agg(min("y").as("lo"), max("y").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    perPart.sliding(2).foreach {
+      case Array((_, h1), (l2, _)) => assert(h1 <= l2, s"overlap $h1 > $l2")
+      case _ =>
+    }
+    laidC.unpersist()
+    // empty input fails loudly instead of laying out a corrupt curve
+    intercept[IllegalArgumentException] {
+      Scale.dimBounds(grid.filter(lit(false)), col("x"), col("y"))
+    }
+  }
 }
