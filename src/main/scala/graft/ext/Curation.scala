@@ -140,6 +140,72 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
+  /** Target-mixture apportionment — the explicit-weights data-mixing step
+    * of a pretraining recipe ("50 % web, 30 % code, 20 % books, N docs
+    * total", the Pile/DoReMi-style mixture SPEC, as opposed to
+    * [[temperatureSample]]'s size-derived `n_s^α` rule): split an exact doc
+    * `budget` across sources in proportion to integer `weights` using
+    * Hamilton largest-remainder apportionment — base_s = ⌊budget·w_s/W⌋,
+    * the ⌊⌋-lost seats go one each to the largest remainders (ties → source
+    * asc) — then cap each quota at the source's availability and keep each
+    * source's first `quota_s` docs in deterministic md5-of-id order.
+    *
+    * Single-round by design: seats a source cannot fill (capped, or a
+    * weighted source absent from the corpus) are REPORTED as shortfall via
+    * the output's `quota`/`rk` structure rather than silently redistributed
+    * — a mixture spec that cannot be met should be visible, not papered
+    * over (re-run with adjusted weights to redistribute).
+    *
+    * All arithmetic is exact integers (the one division is an
+    * integer-valued quotient, exact in double far below 2^53 — guarded),
+    * the selection order is the md5 rank both engines share, so the kept
+    * set is a pure function of (corpus, weights, budget) — stable under
+    * reruns, repartitioning, and engines. Scale shape: one metadata-sized
+    * per-source aggregate + a ≤ |weights|-row apportionment joined
+    * broadcast back; the corpus pays the per-source rank window (see
+    * [[quotaCap]]'s WindowGroupLimit note — map-side top-quota pre-prune
+    * guards the hot source).
+    *
+    * @param weights (source, weight ≥ 1); sources not listed are excluded
+    * @return kept rows: input columns + (rk, quota) — rk ≤ quota ≤
+    *         apportioned seats */
+  def mixApportion(df: DataFrame, idCol: Column, srcCol: Column,
+      weights: Seq[(String, Long)], budget: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 >= 1), s"weights must be >= 1: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in $weights")
+    val totW = weights.map(_._2).sum
+    require(budget >= 0 && budget <= (1L << 52) / math.max(1L, weights.map(_._2).max),
+      s"budget $budget × max weight overflows exact double arithmetic")
+    val spark = df.sparkSession
+    val w = spark.createDataFrame(weights).toDF("__src", "__wt")
+    val avail = df.groupBy(srcCol.as("__src")).agg(count(lit(1)).as("__n"))
+    // weighted-but-absent sources stay in the apportionment (their seats
+    // cap to availability 0 below) so the seat math is spec-faithful
+    val seats = w.join(avail, Seq("__src"), "left_outer")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn("__prod", lit(budget) * col("__wt"))
+      .withColumn("__rem", pmod(col("__prod"), lit(totW)))
+      .withColumn("__base",
+        ((col("__prod") - col("__rem")) / lit(totW)).cast("long"))
+    val apportioned = seats
+      .withColumn("__left",
+        lit(budget) - sum(col("__base")).over(Window.partitionBy()))
+      .withColumn("__rrk", row_number().over(
+        Window.orderBy(col("__rem").desc, col("__src"))))
+      .withColumn("quota",
+        least(col("__base") + when(col("__rrk") <= col("__left"), 1L)
+          .otherwise(0L), col("__n")))
+      .select(col("__src"), col("quota"))
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(srcCol)
+          .orderBy(md5(idCol.cast("string")), idCol)).cast("long"))
+      .join(broadcast(apportioned), srcCol === col("__src"))
+      .filter(col("rk") <= col("quota"))
+      .drop("__src")
+  }
+
   /** Deterministic STRATIFIED sample: per-stratum keep rates (percent), e.g.
     * rebalancing a multilingual corpus (`en` → 60%, `zh` → 40%, rest 20%).
     * Same md5 bucket as [[deterministicSample]], so the kept set is stable

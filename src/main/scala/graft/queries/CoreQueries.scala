@@ -144,6 +144,27 @@ object CoreQueries {
           get_json_object(col("props"), "$.k").as("k_str"),
           get_json_object(col("props"), "$.k").cast("long").as("k_num"))
         .orderBy(col("event_id"))
+    },
+
+    // Event-time SESSION windows (gap 6 h) — the dynamic-window sibling of
+    // the §2.9 fixed windows: per user, events merge transitively while
+    // consecutive gaps stay under the timeout; window end = last event +
+    // gap (Spark session_window semantics; an event at EXACTLY prev+gap
+    // opens a new session). The oracle is the classic gaps-and-islands
+    // form — brk on lag-diff ≥ gap, running-sum session ids — exact to the
+    // microsecond, so the window bounds full-hash match. Streaming parity
+    // (watermark + merging across micro-batches) in SessionWindowStreamSpec.
+    "q_session_bounds" -> { (s, dir) =>
+      Envelopes.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          Envelopes.moneySum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("sess_start"),
+          expr("unix_micros(session_window.end)").as("sess_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))
     })
 
   import Envelopes.{maxwellCte => MX, logCte => LG}
@@ -242,5 +263,25 @@ object CoreQueries {
     "q_json_fns" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_session_bounds" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |       MIN(epoch_us(ts)) AS sess_start,
+        |       MAX(epoch_us(ts)) + 21600000000 AS sess_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin)
 }

@@ -263,6 +263,20 @@ object ExtQueries {
         .orderBy(col("source"), col("rk"))
     },
 
+    // Target-mixture apportionment over the skewed language dimension: the
+    // explicit mixture SPEC (en 1 : zh 3 : de/fr/es 2 : ja 1 over an exact
+    // 300-doc budget) split by Hamilton largest remainder, zh capped by
+    // availability at this scale and ja absent entirely — both shortfall
+    // paths exercised; selection is the shared md5-of-id order.
+    "q_mix_apportion" -> { (s, dir) =>
+      Curation.mixApportion(docs(s, dir), col("doc_id"), col("lang"),
+          Seq("en" -> 1L, "zh" -> 3L, "de" -> 2L, "fr" -> 2L, "es" -> 2L,
+            "ja" -> 1L),
+          budget = 300L)
+        .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // Stratified per-language sampling: rebalance the corpus to 60% en /
     // 40% zh / 20% everything else, deterministically by id hash.
     "q_stratified_sample" -> { (s, dir) =>
@@ -1329,6 +1343,34 @@ object ExtQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
         |      < (CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 40 ELSE 20 END)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_apportion" ->
+      """WITH w(src, wt) AS (VALUES ('en', 1), ('zh', 3), ('de', 2),
+        |                           ('fr', 2), ('es', 2), ('ja', 1)),
+        |avail AS (SELECT lang AS src, COUNT(*) AS n FROM documents GROUP BY 1),
+        |seats AS (
+        |  SELECT w.src, COALESCE(a.n, 0) AS n,
+        |         (300 * wt) // 11 AS base, (300 * wt) % 11 AS rem
+        |  FROM w LEFT JOIN avail a ON a.src = w.src),
+        |app AS (
+        |  SELECT src, n, base, rem,
+        |         300 - SUM(base) OVER () AS leftover,
+        |         row_number() OVER (ORDER BY rem DESC, src) AS rrk
+        |  FROM seats),
+        |quota AS (
+        |  SELECT src, LEAST(base + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END,
+        |                    n) AS quota
+        |  FROM app),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk,
+        |       CAST(q.quota AS BIGINT) AS quota
+        |FROM ranked r JOIN quota q ON q.src = r.lang
+        |WHERE r.rk <= q.quota
+        |ORDER BY r.lang, r.rk""".stripMargin,
 
     "q_tok_stats" ->
       """WITH tok AS (

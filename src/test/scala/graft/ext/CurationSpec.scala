@@ -315,4 +315,37 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(re == out)
   }
+
+  test("mixApportion: Hamilton seats, availability caps, absent sources, determinism") {
+    import spark.implicits._
+    // sources: a 50, b 20, c 3 (will exhaust), d unweighted (excluded);
+    // weights include absent 'x' whose seats must NOT be redistributed
+    val df = ((1L to 50L).map(i => (i, "a")) ++ (101L to 120L).map(i => (i, "b")) ++
+      Seq((201L, "c"), (202L, "c"), (203L, "c")) ++ (301L to 310L).map(i => (i, "d")))
+      .toDF("doc_id", "src")
+    val out = Curation.mixApportion(df, col("doc_id"), col("src"),
+        Seq("a" -> 3L, "b" -> 2L, "c" -> 2L, "x" -> 3L), budget = 40L)
+      .select("doc_id", "src", "rk", "quota").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // W = 10; base seats: a 12, b 8, c 8, x 12; no remainders (exact tenths),
+    // so leftover = 0; caps: c → 3, x → 0 (absent); d excluded (unweighted)
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 12, "b" -> 8, "c" -> 3), s"$bySrc")
+    assert(out.filter(_._2 == "c").forall(_._4 == 3L), "c's quota is its availability")
+    assert(out.filter(_._2 == "a").map(_._3).sorted.toSeq == (1L to 12L), "ranks dense")
+    // remainder seats: budget 41 leaves 1 seat after bases (a 12, b 8, c 8,
+    // x 12 → Σ 40); it goes to the largest remainder (all rem = wt·41 mod 10:
+    // a 3, b 2, c 2, x 3 → tie a/x broken by source asc → a)
+    val out41 = Curation.mixApportion(df, col("doc_id"), col("src"),
+        Seq("a" -> 3L, "b" -> 2L, "c" -> 2L, "x" -> 3L), budget = 41L)
+      .select("src").collect().map(_.getString(0))
+    val by41 = out41.groupBy(identity).view.mapValues(_.length).toMap
+    assert(by41 == Map("a" -> 13, "b" -> 8, "c" -> 3), s"$by41")
+    // selection is a pure function of (corpus, weights, budget)
+    val again = Curation.mixApportion(df.repartition(7), col("doc_id"), col("src"),
+        Seq("a" -> 3L, "b" -> 2L, "c" -> 2L, "x" -> 3L), budget = 40L)
+      .select("doc_id", "src", "rk", "quota").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
 }
