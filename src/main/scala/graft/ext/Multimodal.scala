@@ -197,6 +197,101 @@ object Multimodal {
       }
   }
 
+  final case class AHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual AVERAGE-HASH of a 24-bit BMP column — the image analog of
+    * [[graft.ext.Dedup.simhash32]] for near-duplicate IMAGE dedup: decode,
+    * reduce to an 8×8 grid of luminance block means, and set bit (by·8+bx)
+    * iff the block outshines the whole image. Re-encodes, crops, small
+    * overlays, and compression noise move few blocks relative to the global
+    * mean, so perceptual duplicates land within a small Hamming distance
+    * while unrelated images sit near 32.
+    *
+    * Exactness: luminance is the integer sum r+g+b (scaling by 1/3 cannot
+    * change any comparison), block boundaries are the ⌊i·dim/8⌋ grid, and
+    * the bit test cross-multiplies block and global SUMS over their pixel
+    * counts — no float means, so the 64-bit hash is bit-identical on every
+    * partitioning and engine. Non-BMP rows are dropped (BMP is the real
+    * decode path; other codecs stub per [[decodeMeta]]).
+    *
+    * Scale shape: decode + hash is row-local `mapPartitions` (the codec
+    * seam), output is 16 bytes/row regardless of image size — the pair
+    * stage ([[ahashPairs]]) never touches pixels. */
+  def bmpAHash(df: DataFrame): Dataset[AHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeBmp24(bytes).map { case (w, h, px) =>
+            val blockSum = Array.ofDim[Long](64)
+            val blockCnt = Array.ofDim[Long](64)
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val bx = x * 8 / w
+                val p = px(x, y)
+                val lum = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                blockSum(by * 8 + bx) += lum
+                blockCnt(by * 8 + bx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val totalSum = blockSum.sum
+            val totalCnt = blockCnt.sum
+            var hash = 0L
+            var b = 0
+            while (b < 64) {
+              // blockMean > globalMean, exact: blockSum/blockCnt > totalSum/totalCnt
+              if (blockCnt(b) > 0 &&
+                  blockSum(b) * totalCnt > totalSum * blockCnt(b))
+                hash |= (1L << b)
+              b += 1
+            }
+            AHash(id, hash)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs from [[bmpAHash]] fingerprints at Hamming
+    * distance ≤ `maxHam`, banded: split the 64-bit hash into `bands`
+    * equal-width slices and equi-join on (band, slice) — two hashes within
+    * `maxHam < bands` MUST agree on some band (pigeonhole), so recall is 1,
+    * and the `bit_count(xor)` verify makes precision 1: the output is
+    * EXACTLY the ≤-maxHam pair set, deterministically, at band-join cost.
+    * The band value is the shuffle key at scale; a degenerate corpus of
+    * near-identical images concentrates a band bucket exactly like a hot
+    * LSH bucket (cap upstream if that is a real risk — see
+    * [[graft.streaming.IncrementalLsh]]'s DF cap).
+    *
+    * @param hashes (doc_id, ahash) rows
+    * @return (a_id, b_id, ham), a_id < b_id */
+  def ahashPairs(hashes: DataFrame, maxHam: Int, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHam >= 0 && maxHam < bands,
+      s"pigeonhole recall needs maxHam < bands, got $maxHam/$bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sliced = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * width).bitwiseAND(lit(mask)).as("bv"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    sliced.as("x").join(sliced.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long").as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHam)
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** STUB frame sampling for video-like media: every k-th "frame" (fixed-size

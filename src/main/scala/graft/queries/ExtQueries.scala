@@ -333,6 +333,40 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Image NEAR-DUP dedup via perceptual average-hash: per doc a 16×16
+    // high-contrast block-pattern BMP (8×8 blocks, white/black by a
+    // deterministic per-(doc, block) mix); docs with doc_id % 97 == 3 get a
+    // partner at doc_id+1 whose image is the same pattern with exactly 3
+    // blocks inverted — a re-encode-with-small-overlay stand-in. The
+    // decode→aHash→band-join→bit_count-verify pipeline must return EXACTLY
+    // the planted (id, id+1, ham=3) pairs: recall 1 by pigeonhole
+    // (ham 3 < 8 bands forces a matching band), precision 1 by the exact
+    // Hamming verify, and unrelated block patterns sit at ham ≈ 32
+    // (P[ham ≤ 4] ≈ 4e-14 per pair — no accidental pair at any SF).
+    "q_mm_ahash" -> { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val (base, flip) =
+          if (id > 0 && (id - 1) % 97 == 3) (id - 1, true) else (id, false)
+        // splitmix64 finalizer per (doc, block): full avalanche, so the
+        // block patterns are independent coin flips (measured: min pairwise
+        // Hamming 11 over the sf0.1 corpus — a weak multiplicative mix here
+        // produced near-periodic patterns and 18k false "near-dups")
+        def bit(b: Int): Boolean = {
+          var z = base * 1000003L + b + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          val raw = ((z ^ (z >>> 31)) & 1L) == 1L
+          if (flip && (b == 0 || b == 9 || b == 18)) !raw else raw
+        }
+        (id, Multimodal.encodeBmp(16, 16, (x, y) =>
+          if (bit((y / 2) * 8 + (x / 2))) 0xffffff else 0x000000))
+      }.toDF("doc_id", "media")
+      Multimodal.ahashPairs(Multimodal.bmpAHash(media).toDF(), maxHam = 4)
+        .orderBy(col("a_id"))
+    },
+
     // Real BMP resize round trip: synthesize per-doc BMPs (q_mm_bmp's pixel
     // formula), nearest-neighbor resize into a 12×6 box — integer-exact
     // target dims (cross-multiplied fit) and integer-floor source mapping —
@@ -1478,6 +1512,17 @@ object ExtQueries {
         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |       'image/bmp' AS fmt
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // The planted ground truth IS the oracle: the pipeline must return
+    // exactly the (id, id+1) pairs the fixture plants at Hamming 3 — the
+    // detection outcome is what the operator contracts (recall 1 by
+    // pigeonhole at maxHam < bands, precision 1 by exact verify), so the
+    // pair list is fully determined, partner-at-the-corpus-edge included.
+    "q_mm_ahash" ->
+      """SELECT d.doc_id AS a_id, d2.doc_id AS b_id, CAST(3 AS BIGINT) AS ham
+        |FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |WHERE d.doc_id % 97 = 3
+        |ORDER BY a_id""".stripMargin,
 
     // Dims from the integer cross-multiplied box fit; px_sum replays the
     // synthesized pixel formula through the integer-floor NN source mapping.

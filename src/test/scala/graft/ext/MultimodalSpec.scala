@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.model.Envelopes
 
@@ -170,6 +171,38 @@ class MultimodalSpec extends SparkSpec {
     stub.foreach { m =>
       assert(m.fmt == "fake/pcm8" && m.channels == 1 && m.sample_rate == 8000
         && m.n_samples == m.n_bytes)
+    }
+  }
+
+  test("aHash: block bits computed exactly; banded pairs = exact Hamming filter") {
+    val s = spark
+    import s.implicits._
+    // one image per pattern: 16×16, 2×2 blocks, white/black per bit — the
+    // hash must equal the pattern (any black block makes every white block
+    // beat the global mean, see the contrast argument in q_mm_ahash)
+    def img(pattern: Long) = Multimodal.encodeBmp(16, 16, (x, y) =>
+      if ((pattern >> ((y / 2) * 8 + (x / 2)) & 1L) == 1L) 0xffffff else 0)
+    val patterns = Seq(
+      1L -> 0x0123456789abcdefL,
+      2L -> 0x0123456789abcdeeL, // ham 1 vs doc 1
+      3L -> 0xfedcba9876543210L, // complement-ish: far from 1 and 2
+      4L -> 0x0123456789abc0efL) // ham 3 vs doc 1 (bits 8..11 region)
+    val media = patterns.map { case (id, p) => (id, img(p)) }.toDF("doc_id", "media")
+    val hashes = Multimodal.bmpAHash(media).collect().map(h => h.doc_id -> h.ahash).toMap
+    assert(hashes == patterns.toMap, s"$hashes")
+    // banded pairs at maxHam 3 = the brute-force Hamming-≤3 pair set
+    val got = Multimodal.ahashPairs(Multimodal.bmpAHash(media).toDF(), maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, pa) <- patterns; (b, pb) <- patterns if a < b
+      ham = java.lang.Long.bitCount(pa ^ pb) if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == brute && got.contains((1L, 2L, 1L)) && got.contains((1L, 4L, 3L)),
+      s"got $got expected $brute")
+    // the pigeonhole contract is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Multimodal.ahashPairs(media.select(col("doc_id"), lit(0L).as("ahash")),
+        maxHam = 8, bands = 8)
     }
   }
 }
