@@ -450,6 +450,13 @@ object Curation {
     * corpus-sized shuffle (one exchange on the id). The target corpus is
     * typically tiny (exemplar set) and the raw corpus arbitrarily large.
     *
+    * Tokenless docs (null text — no token rows at all): one row with the
+    * degenerate smoothing-only verdict (n_toks = 0, zero masses, keep =
+    * (0 ≥ 0) = true), never a dropped or NULL row — the SAME contract as
+    * [[graft.streaming.IncrementalDsir.screenBatch]], so a filter-on-keep
+    * pipeline behaves identically in batch and streaming form. (An empty
+    * STRING is not tokenless: it tokenizes to one empty token.)
+    *
     * @return (doc_id, n_toks, tgt_mass, raw_mass, keep) one row per raw doc */
   def dsirScreen(raw: DataFrame, target: DataFrame, idCol: Column,
       textCol: Column, buckets: Int = 1 << 16,
@@ -479,7 +486,15 @@ object Curation {
         count(lit(1)).as("n_toks"),
         sum(coalesce(col("__tc"), lit(0L)) + 1).as("tgt_mass"),
         sum(coalesce(col("__rc"), lit(0L)) + 1).as("raw_mass"))
-    scored.crossJoin(broadcast(totals))
+    // re-anchor on the raw-doc spine: a tokenless (null-text) doc produces
+    // no token rows, and without this join it would simply vanish from the
+    // output — while the streaming twin (screenBatch) emits its degenerate
+    // verdict. One row per raw doc, keep never NULL, in both forms.
+    raw.select(idCol.as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
+      .withColumn("tgt_mass", coalesce(col("tgt_mass"), lit(0L)))
+      .withColumn("raw_mass", coalesce(col("raw_mass"), lit(0L)))
       .withColumn("keep",
         col("tgt_mass").cast("decimal(38,0)") * col("__rt") * den >=
           col("raw_mass").cast("decimal(38,0)") * col("__tt") * num)

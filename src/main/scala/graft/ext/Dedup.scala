@@ -346,7 +346,18 @@ object Dedup {
     }.collectFirst { case (r, b) if b >= 1 && r.toLong * b <= maxK =>
       (r * b.toInt, b.toInt)
     }
-    feasible.getOrElse((maxK, maxK))
+    feasible.getOrElse {
+      // the "loudly" the scaladoc promises: the contract (recall >= floor)
+      // is NOT met at this budget, and a silent (maxK, maxK) would hand the
+      // caller sub-floor recall with no signal anywhere
+      val achieved = lshRecall(num, den, maxK, maxK)
+      System.err.println(f"lshParams: recall floor $recallFloor%.3f at " +
+        f"threshold $num/$den is infeasible within maxK=$maxK hashes; " +
+        f"falling back to (k=$maxK, bands=$maxK) with algebraic recall " +
+        f"$achieved%.3f — raise maxK or use ngramJaccardPairs for " +
+        "guaranteed recall")
+      (maxK, maxK)
+    }
   }
 
   /** Algebraic recall of (k, bands) at Jaccard `num/den` — the 1−(1−j^r)^b

@@ -242,13 +242,21 @@ object Multimodal {
             }
             val totalSum = blockSum.sum
             val totalCnt = blockCnt.sum
+            // blockMean > globalMean, exact: blockSum/blockCnt > totalSum/totalCnt.
+            // The cross-products stay within Long while totalSum*blockCnt(b)
+            // < 2^63: totalSum <= 765*px and blockCnt(b) <= px, so any image
+            // past ~1.4e8 pixels could wrap — route those through Math
+            // .multiplyHigh-free BigInt compares instead of silently flipping
+            // bits (a 30000x30000 BMP is valid input).
+            val big = totalCnt > 0 && totalSum > Long.MaxValue / totalCnt
             var hash = 0L
             var b = 0
             while (b < 64) {
-              // blockMean > globalMean, exact: blockSum/blockCnt > totalSum/totalCnt
-              if (blockCnt(b) > 0 &&
-                  blockSum(b) * totalCnt > totalSum * blockCnt(b))
-                hash |= (1L << b)
+              val bit =
+                if (blockCnt(b) == 0) false
+                else if (!big) blockSum(b) * totalCnt > totalSum * blockCnt(b)
+                else BigInt(blockSum(b)) * totalCnt > BigInt(totalSum) * blockCnt(b)
+              if (bit) hash |= (1L << b)
               b += 1
             }
             AHash(id, hash)
@@ -288,8 +296,12 @@ object Multimodal {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long").as("ham"))
-      .distinct()
+      // verify BEFORE the dedup exchange: moderately-similar images that
+      // collide on one band but fail ham <= maxHam are the bulk of the
+      // candidate set, and shuffling them into distinct() just to drop them
+      // would pay the exchange for rows the filter already rejects
       .filter(col("ham") <= maxHam)
+      .distinct()
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

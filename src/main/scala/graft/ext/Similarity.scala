@@ -379,6 +379,12 @@ object Similarity {
     require(recallFloor > 0.0 && recallFloor <= 1.0,
       s"recallFloor must be in (0, 1], got $recallFloor")
     val rows = ivfProbeCdf(corpus, sample).orderBy(col("p")).collect()
+    // an empty calibration sample yields an empty CDF, and rows.length
+    // would then hand back nProbe = 0 — an invalid dial that makes every
+    // downstream ivfTopK return no neighbors with no error. Fail fast.
+    require(rows.nonEmpty,
+      "ivfParams: calibration sample is empty (or corpus is empty) — the " +
+        "probe CDF has no rows, so no probe count can be derived")
     rows.collectFirst {
       case r if r.getAs[Double]("recall") >= recallFloor => r.getAs[Int]("p")
     }.getOrElse(rows.length)

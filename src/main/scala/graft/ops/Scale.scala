@@ -175,10 +175,16 @@ object Scale {
   def zorderLayoutAuto(df: DataFrame, x: Column, y: Column, partitions: Int,
       bits: Int = 16): DataFrame = {
     val ((xlo, xhi), (ylo, yhi)) = dimBounds(df, x, y)
-    def norm(c: Column, lo: Long, hi: Long): Column =
-      if (hi > lo) normalizeDim(c, lo, hi, bits) else lit(0L)
-    zorderLayout(df, norm(x, xlo, xhi), norm(y, ylo, yhi), partitions, bits)
+    zorderLayout(df, normalizeDimOrZero(x, xlo, xhi, bits),
+      normalizeDimOrZero(y, ylo, yhi, bits), partitions, bits)
   }
+
+  /** [[normalizeDim]] with the constant-dimension degradation
+    * [[zorderLayoutAuto]] documents (lo == hi → the dimension carries no
+    * locality, normalize to 0) — the form every auto-profiled caller should
+    * use, so a degenerate corpus degrades instead of throwing. */
+  def normalizeDimOrZero(c: Column, lo: Long, hi: Long, bits: Int = 16): Column =
+    if (hi > lo) normalizeDim(c, lo, hi, bits) else lit(0L)
 
   /** The DuckDB twin of [[normalizeDim]] — same clamp-then-scale formula
     * over SQL sub-expressions (`lo`/`hi`/the column may reference a stats
@@ -191,6 +197,12 @@ object Scale {
     val top = (1L << bits) - 1
     s"least(greatest(((($c) - ($lo)) * $top) // (($hi) - ($lo)), 0), $top)"
   }
+
+  /** The DuckDB twin of [[normalizeDimOrZero]]: the guarded form, so an
+    * oracle replaying auto-profiled bounds degrades on a constant dimension
+    * exactly like the Spark side instead of dividing by zero. */
+  def normalizeSqlOrZero(c: String, lo: String, hi: String, bits: Int = 16): String =
+    s"(CASE WHEN ($hi) > ($lo) THEN ${normalizeSql(c, lo, hi, bits)} ELSE 0 END)"
 
   /** The DuckDB/SQL twin of [[zorderValue]] — generated from the same loop so
     * the two expressions can never drift. `x`/`y` are SQL sub-expressions. */

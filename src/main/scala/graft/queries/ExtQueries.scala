@@ -16,16 +16,23 @@ object ExtQueries {
     Envelopes.table(s, dir, "embeddings")
 
   /** How many corpora keep their shared intermediates pinned at once. A
-    * verify/bench pass runs every query against ONE dir, so 2 covers the
-    * working set with one slot of slack; tri-scale sessions touching three
-    * dirs evict the coldest instead of accumulating checkpoint blocks for
-    * the session lifetime (the round-6 advisor finding). */
-  private val CorpusCacheCap = 2
+    * verify/bench pass runs every query against ONE dir, so even the
+    * tri-scale sweep (three dirs, visited dir-by-dir) never evicts a
+    * corpus it is still consuming; longer multi-dir sessions evict the
+    * coldest instead of accumulating checkpoint blocks for the session
+    * lifetime (the round-6 advisor finding). */
+  private val CorpusCacheCap = 3
 
   /** Access-ordered LRU of shared per-corpus state; evicted values are
-    * released via `free` (recompute-on-next-access is the [[Dedup.SharedIndex]]
-    * contract, so eviction is always safe). All access synchronizes on the
-    * map. */
+    * released via `free`. A released [[Dedup.SharedIndex]] recomputes on its
+    * NEXT accessor call, but frames it handed out BEFORE the release are
+    * invalidated (a localCheckpoint's blocks ARE its data) — so the cache
+    * contract is: consume a corpus's query frames before touching
+    * `CorpusCacheCap + 1` OTHER corpora in the same session. Every driver in
+    * this repo (Verify, Bench, the probes) consumes dir-by-dir and never
+    * comes close; a consumer that must hold frames across many dirs should
+    * build its own [[Dedup.SharedIndex]] and control release itself. All
+    * access synchronizes on the map. */
   private final class CorpusCache[V](free: V => Unit) {
     private val m = new java.util.LinkedHashMap[(SparkSession, String), V](8, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
@@ -1675,8 +1682,10 @@ object ExtQueries {
 
     // Twin of Curation.dsirScreen over the %97 target stand-in: same md5
     // bucket, same add-one smoothing, same DECIMAL(38,0) cross-multiplied
-    // keep decision. Sums cast back to BIGINT (DuckDB SUM(BIGINT) widens to
-    // HUGEINT).
+    // keep decision, same raw-doc spine (a tokenless doc would get the
+    // degenerate zero-mass keep=1 row, exactly like the Spark side and the
+    // streaming twin). Sums cast back to BIGINT (DuckDB SUM(BIGINT) widens
+    // to HUGEINT).
     "q_dsir_screen" ->
       """WITH tb AS (
         |  SELECT doc_id,
@@ -1693,10 +1702,14 @@ object ExtQueries {
         |       FROM tb t LEFT JOIN tgt g ON t.b = g.b
         |                 LEFT JOIN rawm r ON t.b = r.b
         |       WHERE t.doc_id % 97 <> 0 GROUP BY 1)
-        |SELECT doc_id, n_toks, tgt_mass, raw_mass,
-        |       CAST(tgt_mass::DECIMAL(38,0) * (SELECT rt FROM tot) * 1 >=
-        |            raw_mass::DECIMAL(38,0) * (SELECT tt FROM tot) * 1 AS INT) AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, COALESCE(sc.n_toks, 0) AS n_toks,
+        |       COALESCE(sc.tgt_mass, 0) AS tgt_mass,
+        |       COALESCE(sc.raw_mass, 0) AS raw_mass,
+        |       CAST(COALESCE(sc.tgt_mass, 0)::DECIMAL(38,0) * (SELECT rt FROM tot) * 1 >=
+        |            COALESCE(sc.raw_mass, 0)::DECIMAL(38,0) * (SELECT tt FROM tot) * 1 AS INT) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Twin of the three-micro-batch IncrementalDsir drive: the per-batch raw
     // model is the delta sum over strictly earlier batches (bid < i), the

@@ -169,8 +169,8 @@ object RelQueries {
         Scale.dimBounds(li, col("l_partkey"), col("__price"))
       li.select(col("l_orderkey"), col("l_linenumber"),
           Scale.zorderValue(
-            Scale.normalizeDim(col("l_partkey"), xlo, xhi, 10),
-            Scale.normalizeDim(col("__price"), ylo, yhi, 10),
+            Scale.normalizeDimOrZero(col("l_partkey"), xlo, xhi, 10),
+            Scale.normalizeDimOrZero(col("__price"), ylo, yhi, 10),
             bits = 10).as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
@@ -272,8 +272,8 @@ object RelQueries {
 
     "q_zorder_auto" -> {
       val price = "CAST(FLOOR(l_extendedprice) AS BIGINT)"
-      val nx = graft.ops.Scale.normalizeSql("l_partkey", "st.xlo", "st.xhi", 10)
-      val ny = graft.ops.Scale.normalizeSql(price, "st.ylo", "st.yhi", 10)
+      val nx = graft.ops.Scale.normalizeSqlOrZero("l_partkey", "st.xlo", "st.xhi", 10)
+      val ny = graft.ops.Scale.normalizeSqlOrZero(price, "st.ylo", "st.yhi", 10)
       s"""WITH st AS (SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi,
          |                   MIN($price) AS ylo, MAX($price) AS yhi
          |            FROM lineitem)

@@ -42,15 +42,29 @@ object IncrementalDsir {
     * silently. */
   private val HwmFile = "_graft_dsir_hwm"
 
-  private def readHwm(spark: SparkSession, storePath: String): Option[Long] = {
-    val f = KeyedStore.fs(spark, storePath)
-    val p = new org.apache.hadoop.fs.Path(storePath, HwmFile)
+  private def readHwmFile(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
       finally in.close()
     }
+
+  /** The mark is the MAX over the committed file and a surviving `__new`:
+    * [[advanceHwm]]'s replace protocol (write `__new` complete via
+    * tmp+rename, delete old, rename into place) can crash between the
+    * delete and the final rename, and reading only the main file there
+    * would silently reset the mark to "nothing screened" — a restarted
+    * stream would then reuse consumed batch ids and corrupt the raw model.
+    * The mark is monotone, so max-of-both is always the true value. */
+  private def readHwm(spark: SparkSession, storePath: String): Option[Long] = {
+    val f = KeyedStore.fs(spark, storePath)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val main = readHwmFile(f, new org.apache.hadoop.fs.Path(root, HwmFile))
+    val neu = readHwmFile(f, new org.apache.hadoop.fs.Path(root, HwmFile + "__new"))
+    if (main.isEmpty && neu.isEmpty) None
+    else Some(math.max(main.getOrElse(Long.MinValue), neu.getOrElse(Long.MinValue)))
   }
 
   private def advanceHwm(spark: SparkSession, storePath: String, next: Long): Unit = {
@@ -59,14 +73,23 @@ object IncrementalDsir {
       val f = KeyedStore.fs(spark, storePath)
       val root = new org.apache.hadoop.fs.Path(storePath)
       f.mkdirs(root)
+      // KeyedStore.replaceMeta's crash protocol: stage the new value at
+      // `__new` (itself via tmp+rename, so it only ever exists complete),
+      // delete the old mark, rename `__new` into place. Every crash window
+      // leaves at least one of {mark, __new} holding a value >= the old
+      // mark, and readHwm takes the max.
       val tmp = new org.apache.hadoop.fs.Path(root, HwmFile + "__tmp")
       f.delete(tmp, false)
       val out = f.create(tmp, true)
       try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+      val neu = new org.apache.hadoop.fs.Path(root, HwmFile + "__new")
+      f.delete(neu, false)
+      if (!f.rename(tmp, neu))
+        throw new java.io.IOException(s"rename $tmp -> $neu failed")
       val dst = new org.apache.hadoop.fs.Path(root, HwmFile)
       f.delete(dst, false)
-      if (!f.rename(tmp, dst))
-        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      if (!f.rename(neu, dst))
+        throw new java.io.IOException(s"rename $neu -> $dst failed")
     }
   }
 
@@ -140,12 +163,26 @@ object IncrementalDsir {
     * by [[updateModel]] (e.g. a target-exemplar model, never screened
     * batch-relative) carry no mark and fold at any horizon. */
   def foldModel(spark: SparkSession, storePath: String, below: Long,
-      numBuckets: Int = 4, dropTombstones: Boolean = false): Unit = {
+      numBuckets: Int = 4, dropTombstones: Boolean = false,
+      lastBatchCommitted: Boolean = false): Unit = {
     readHwm(spark, storePath).foreach { hwm =>
-      require(below <= hwm,
-        s"foldModel(below=$below) exceeds the screening high-water mark $hwm " +
-          s"at $storePath: batches >= $hwm may still be screened and would " +
-          "read their own folded counts from the base row")
+      // Strictly below the LAST screened batch, not just the mark: the mark
+      // advances when a batch is SCREENED, but that batch's sink commit may
+      // still be pending — Structured Streaming replays it after a crash,
+      // and screenBatch(hwm-1) would then read its own folded counts from
+      // the base row (batch_id = -1 sits inside the `upTo = hwm-1` horizon
+      // that previously EXCLUDED the batch's delta row). Only the caller
+      // knows the downstream sink committed (stream stopped cleanly /
+      // checkpoint advanced past it) — `lastBatchCommitted = true` asserts
+      // exactly that and re-admits below == hwm.
+      val cap = if (lastBatchCommitted) hwm else hwm - 1
+      require(below <= cap,
+        s"foldModel(below=$below) exceeds the fold cap $cap (screening " +
+          s"high-water mark $hwm) at $storePath: batches >= $hwm may still " +
+          s"be screened, and batch ${hwm - 1} may be REPLAYED if its sink " +
+          "commit is pending — either would read its own folded counts " +
+          "from the base row. Pass lastBatchCommitted = true only if the " +
+          s"sink is known to have committed batch ${hwm - 1}.")
     }
     KeyedStore.read(spark, storePath).foreach { cur =>
       val live = cur.filter(col("op_type") =!= "delete")

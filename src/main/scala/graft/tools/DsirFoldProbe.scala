@@ -78,7 +78,9 @@ object DsirFoldProbe {
 
     val hwm = IncrementalDsir.nextBatchId(spark, raw)
     val tf = System.nanoTime()
-    IncrementalDsir.foldModel(spark, raw, below = hwm)
+    // the probe's drive is synchronous — every screened batch's output was
+    // consumed before this line, so the mark itself is a safe horizon
+    IncrementalDsir.foldModel(spark, raw, below = hwm, lastBatchCommitted = true)
     println(f"DSIRFOLD fold(below=$hwm): ${(System.nanoTime() - tf) / 1e9}%.2f s")
     val after = modelStats("post-fold")
     assert(after == before, "model sums must be bit-identical across the fold")

@@ -316,6 +316,26 @@ class CurationSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("dsirScreen emits the degenerate keep verdict for tokenless docs, like screenBatch") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.dsirScreen(raw, target, col("doc_id"), col("text"),
+        buckets = 4096)
+      .select("doc_id", "n_toks", "tgt_mass", "raw_mass", "keep").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // the null-text doc produces NO token rows: one output row with the
+    // smoothing-only verdict (zero masses, keep = 0 >= 0 = true), matching
+    // IncrementalDsir.screenBatch — a filter-on-keep pipeline must behave
+    // the same in batch and streaming form
+    assert(out.keySet == Set(1L, 2L, 3L), s"one row per raw doc: ${out.keySet}")
+    assert(out(2L) == ((0L, 0L, 0L, true)), s"${out(2L)}")
+    // the empty STRING is not tokenless — it tokenizes to one empty token
+    assert(out(3L)._1 == 1L, s"${out(3L)}")
+  }
+
   test("mixApportion: Hamilton seats, availability caps, absent sources, determinism") {
     import spark.implicits._
     // sources: a 50, b 20, c 3 (will exhaust), d unweighted (excluded);

@@ -118,8 +118,19 @@ class IncrementalDsirSpec extends SparkSpec {
       IncrementalDsir.foldModel(s, rawStore, below = 3L)
     }
     assert(e.getMessage.contains("high-water mark"), e.getMessage)
-    // at the mark is the documented-safe horizon
-    IncrementalDsir.foldModel(s, rawStore, below = 2L)
+    // AT the mark is also refused by default: batch 1 (= mark - 1) was
+    // screened but its sink commit may be pending, and a post-fold replay
+    // of it would read its own folded counts from the base row
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDsir.foldModel(s, rawStore, below = 2L)
+    }
+    assert(e2.getMessage.contains("REPLAYED"), e2.getMessage)
+    // strictly beneath the last screened batch needs no assertion
+    IncrementalDsir.foldModel(s, rawStore, below = 1L)
+    assert(IncrementalDsir.readModel(s, rawStore).agg(sum("ct"))
+      .collect()(0).getLong(0) == 4L)
+    // the caller asserting the last batch's sink committed re-admits the mark
+    IncrementalDsir.foldModel(s, rawStore, below = 2L, lastBatchCommitted = true)
     assert(IncrementalDsir.readModel(s, rawStore).agg(sum("ct"))
       .collect()(0).getLong(0) == 4L)
     // an unscreened store (no mark — e.g. the target model) folds freely

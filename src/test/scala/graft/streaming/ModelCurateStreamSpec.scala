@@ -133,10 +133,12 @@ class ModelCurateStreamSpec extends SparkSpec {
       Seq((5L, p2), (6L, p1), (7L, p3))))
 
     // MID-STREAM MAINTENANCE: fold everything screened so far into the base
-    // row (the high-water mark is the documented-safe horizon)
+    // row. Folding AT the mark requires asserting the last batch's sink
+    // committed — true here: run() stopped the query after both batches
+    // drained, so batch 1 can never be replayed.
     val hwm = IncrementalDsir.nextBatchId(s, rawStore)
     assert(hwm == 2L, s"two batches screened, mark = $hwm")
-    IncrementalDsir.foldModel(s, rawStore, below = hwm)
+    IncrementalDsir.foldModel(s, rawStore, below = hwm, lastBatchCommitted = true)
 
     // RESTART: a fresh query over the same stores resumes past the mark
     run(Seq(
