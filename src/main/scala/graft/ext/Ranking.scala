@@ -94,4 +94,47 @@ object Ranking {
         Window.orderBy(col("__score").desc, col("doc_id"))))
       .select(col("rk") +: outCols: _*)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) — the
+    * standard way to combine a LEXICAL ranking (BM25) with a SEMANTIC one
+    * (embedding cosine) into one hybrid retrieval list without score
+    * calibration: each system contributes `1 / (k + rank)` per document, and
+    * documents high on ANY list float to the top. This is the fusion step of
+    * every hybrid RAG / eval-mining retrieval stack.
+    *
+    * Exactness: the reciprocal is computed in FIXED POINT — `scale div
+    * (k + rank)` with integer division — so the fused score is an exact
+    * integer, bit-identical on every engine and partitioning (the float
+    * `1/(k+r)` sums the paper writes are order-dependent in the last ulp).
+    * With the default `scale` = 10^12, two distinct rank profiles can only
+    * collide if their reciprocal sums agree to a part in 10^12 — and ties
+    * break deterministically on doc_id.
+    *
+    * Shape at scale: each input ranking is already top-k-bounded (a
+    * retrieval list, not a corpus), so the union + groupBy touch at most
+    * `rankings.size × k` rows and the final global rank window is
+    * driver-safe by construction. Fusing FULL corpus rankings is a misuse —
+    * cut each system to its top-k first, as the paper does.
+    *
+    * @param rankings one DataFrame per system, each carrying (doc_id, rk)
+    *   with rk = 1-based rank within that system
+    * @param k the RRF smoothing constant (60 in the paper)
+    * @return (doc_id, n_sys, best_rk, rrf_score, rk) — rk = fused 1-based
+    *   rank by rrf_score desc, doc_id asc */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val u = rankings.map(_.select(col("doc_id"), col("rk").cast("long").as("rk")))
+      .reduce(_ unionByName _)
+    u.groupBy("doc_id").agg(
+        count(lit(1)).as("n_sys"),
+        min(col("rk")).as("best_rk"),
+        sum(expr(s"$scale div ($k + rk)")).as("rrf_score"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_sys"), col("best_rk"),
+        col("rrf_score"), col("rk"))
+  }
 }

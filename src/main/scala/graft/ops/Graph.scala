@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative link-graph analytics. The first member is PageRank — in a
+  * training-data pipeline this is the host/domain-graph quality signal web
+  * corpora are weighted by (a page linked from many well-linked hosts is
+  * crawl-prioritized and quality-boosted; the Common Crawl curation
+  * literature uses harmonic/PageRank centrality exactly this way), the same
+  * role the DIM layer's config-driven weights play for the reference's
+  * warehouse rows.
+  *
+  * Numeric posture: ranks are FIXED-POINT integers (units of `1/unit`), and
+  * every update is integer arithmetic — `r div out_degree` contributions,
+  * `(dampNum * Σ contrib) div dampDen` damping — so the result is
+  * bit-identical on every engine and partitioning, and the oracle twin
+  * ([[pageRankSql]]) replays it with DuckDB's `//` floor division (all
+  * values are non-negative, where floor = truncate = Spark's `div`).
+  * The float 0.85-damped iteration differs from this by bounded rounding
+  * (≤ out_degree per node per step in rank units) but is
+  * partition-order-dependent; fixed-point is the deterministic twin.
+  */
+object Graph {
+
+  /** `iters` synchronous PageRank iterations over `edges` (src, dst), all
+    * integer. Every node starts at `unit`; each step a node keeps the
+    * teleport base `(unit · (dampDen − dampNum)) div dampDen` and receives
+    * `dampNum/dampDen` of the rank its in-neighbors spread equally over
+    * their out-edges.
+    *
+    * Dangling nodes (no out-edges) RETAIN their teleport base but their
+    * rank mass leaks from the system instead of redistributing — the usual
+    * simplification when the graph is made (or known) dangling-free
+    * upstream, e.g. by symmetrizing edges; callers needing the
+    * mass-conserving variant add a dangling-sum broadcast term per step.
+    *
+    * Overflow: `dampNum · Σ in-contrib` must fit a Long. Σ in-contrib is
+    * bounded by the total system mass n·unit, so the guard is
+    * `n · unit ≤ Long.Max / dampNum` — checked here against the profiled
+    * node count (the count rides on the degree aggregate, not an extra
+    * corpus pass).
+    *
+    * Shape at scale: per iteration, one join of the rank table to `edges`
+    * on src (rank table is node-sized — broadcast when dims allow,
+    * shuffle-join on src otherwise) and one groupBy dst with map-side
+    * combine — the canonical Pregel plan. Each iteration's rank table is
+    * localCheckpointed: iteration i+1 reads a materialized node-sized
+    * table, not i compounding plans (lineage growth is what kills iterative
+    * DataFrame jobs at depth).
+    *
+    * @param edges (src, dst) rows, both castable to long; parallel edges
+    *   count once per occurrence (pre-`distinct` upstream if unwanted)
+    * @return (node, rank_fp) — rank in fixed-point `1/unit` units */
+  def pageRankInt(edges: DataFrame, iters: Int, unit: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    require(dampNum >= 0 && dampDen >= 1 && dampNum <= dampDen,
+      s"damping must be a fraction in [0, 1], got $dampNum/$dampDen")
+    // pin the edge table once: it feeds every iteration's join plus the
+    // node and degree builds, and an upstream edge DERIVATION (a join +
+    // distinct, typically) would otherwise re-execute once per consumer —
+    // measured 3x the whole query's scan cost at iters = 3
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val n = nodes.count()
+    require(n == 0 || unit <= Long.MaxValue / dampNum / n,
+      s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
+        "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
+    val base = unit * (dampDen - dampNum) / dampDen
+    var r = nodes.withColumn("r", lit(unit))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(deg, "src")
+        .join(r.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      r = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  /** The DuckDB twin of [[pageRankInt]]: CTE text with the iterations
+    * unrolled, generated from the same parameters so the two formulas can
+    * never drift. `edgesCte` must define a relation `e(src, dst)`; the
+    * returned text continues the WITH chain and ends in a final SELECT of
+    * (node, rank_fp) ordered by node. */
+  def pageRankSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = unit * (dampDen - dampNum) / dampDen
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT) AS m
+         |        FROM e JOIN deg ON e.src = deg.src
+         |               JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |        GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |         CAST($base + ($dampNum * COALESCE(c$i.m, 0)) // $dampDen AS BIGINT) AS r
+         |        FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+    }
+    val ctes = Seq(edgesCte,
+      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+      "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
+      s"r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM n)") ++ its
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
+}

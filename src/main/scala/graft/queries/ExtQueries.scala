@@ -647,6 +647,22 @@ object ExtQueries {
         .orderBy(col("rk"))
     },
 
+    // Hybrid retrieval: reciprocal-rank fusion of the LEXICAL bm25 top-20
+    // (terms "spark window") with the SEMANTIC cosine top-20 of query
+    // vector 0 — the fusion stage of a hybrid RAG retrieval stack, in
+    // exact fixed-point (10^12 div (60 + rank)) so the fused scores are
+    // engine-portable integers. doc ids and vec ids share the 0..N-1 space
+    // in this corpus, which is what makes the two systems fusable.
+    "q_rrf_fusion" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val lex = Ranking.bm25(docs(s, dir), col("doc_id"), col("text"),
+          terms = Seq("spark", "window"), topK = 20)
+        .select(col("doc_id"), col("rk"))
+      val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e, 20)
+        .select(col("n_id").as("doc_id"), col("rank").as("rk"))
+      Ranking.rrfFuse(Seq(lex, sem)).orderBy(col("rk"))
+    },
+
     // Gopher-style rule gate (integer cross-multiplication rules only).
     "q_gopher_filter" -> { (s, dir) =>
       TextStats.gopherFilter(docs(s, dir), col("doc_id"), col("text"))
@@ -697,6 +713,29 @@ object ExtQueries {
       // run each query at least twice per session)
       graft.util.Tmp.deleteRecursively(root)
       out
+    },
+
+    // Cross-batch deterministic heavy hitters: the corpus's tokens arrive as
+    // three micro-batches (doc_id % 3) and fold into a persisted 8-counter
+    // Misra-Gries summary — the streaming "hot tokens" view with the
+    // always-holds n/(k+1) guarantee. The oracle unrolls the three folds as
+    // CTEs (count-merge, (k+1)-th-largest cut, positive survivors) over the
+    // same token stream.
+    "q_topk_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_topk_q")
+      var out: DataFrame = null
+      for (i <- 0 until 3) {
+        val batch = d.filter(col("doc_id") % 3 === i)
+          .select(explode(TextStats.toks(col("text"))).as("item"))
+        out = graft.streaming.IncrementalTopK.mergeBatch(batch, s"$root/mg",
+          col("item"), k = 8, batchId = i.toLong)
+      }
+      // the final summary is checkpointed by mergeBatch; the store is dead
+      // weight once returned — same lifecycle as q_dsir_stream's stores
+      val res = out.orderBy(col("item"))
+      graft.util.Tmp.deleteRecursively(root)
+      res
     },
 
     // FLAGSHIP model-based curation composite: hashed linear classifier
@@ -1664,6 +1703,50 @@ object ExtQueries {
         |       doc_id, dl, tf_0, tf_1
         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // Twin of Ranking.rrfFuse over the bm25 top-20 (same CTEs as q_bm25 —
+    // score expression token-for-token) and the cosine top-20 of query
+    // vector 0 (the q_ann_cosine rank pattern): fixed-point reciprocal
+    // 10^12 // (60 + rank), integer-summed. SUM cast back to BIGINT
+    // (DuckDB widens to HUGEINT).
+    "q_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |        CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf_0,
+        |        CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf_1 FROM d),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |        CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+        |        CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1 FROM b),
+        |sc AS (SELECT b.doc_id, b.dl, b.tf_0, b.tf_1,
+        |        ((CAST(st.n AS DOUBLE) / st.df_0) * (b.tf_0 * CAST(2.25 AS DOUBLE)))
+        |          / (b.tf_0 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE)
+        |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
+        |      + ((CAST(st.n AS DOUBLE) / st.df_1) * (b.tf_1 * CAST(2.25 AS DOUBLE)))
+        |          / (b.tf_1 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |             + CAST(0.75 AS DOUBLE)
+        |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
+        |          AS score
+        |       FROM b, st WHERE b.tf_0 > 0 OR b.tf_1 > 0),
+        |lex AS (SELECT doc_id,
+        |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |        FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+        |sem AS (SELECT doc_id, rk FROM (
+        |          SELECT c.vec_id AS doc_id,
+        |            CAST(row_number() OVER (ORDER BY
+        |              list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id) AS BIGINT) AS rk
+        |          FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |          WHERE q.vec_id = 0)
+        |        WHERE rk <= 20),
+        |u AS (SELECT doc_id, rk FROM lex UNION ALL SELECT doc_id, rk FROM sem),
+        |f AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sys,
+        |        CAST(MIN(rk) AS BIGINT) AS best_rk,
+        |        CAST(SUM(1000000000000 // (60 + rk)) AS BIGINT) AS rrf_score
+        |      FROM u GROUP BY 1)
+        |SELECT doc_id, n_sys, best_rk, rrf_score,
+        |       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+        |FROM f ORDER BY rk""".stripMargin,
+
     "q_gopher_filter" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |m AS (SELECT doc_id,
@@ -1742,6 +1825,41 @@ object ExtQueries {
         |            s.raw_mass::DECIMAL(38,0) * (SELECT v FROM tt) AS INT) AS keep
         |FROM sc s JOIN rt r ON r.bid = s.doc_id % 3
         |ORDER BY doc_id""".stripMargin,
+
+    // Twin of the three-fold IncrementalTopK drive: per-batch exact token
+    // counts (doc_id % 3 spine), each fold = count-merge with the prior
+    // summary, cut = the (k+1)-th largest count (multiset rank — the value
+    // at row 9 ordered by ct desc is tie-order-independent; absent when ≤ 8
+    // rows → 0), survivors = positives after subtracting the cut. n_total
+    // is the full token count, thresh its div-9 guarantee line.
+    "q_topk_stream" ->
+      """WITH t AS (SELECT doc_id % 3 AS g, unnest(string_split(lower(text), ' ')) AS item
+        |           FROM documents),
+        |b0 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS ct FROM t WHERE g = 0 GROUP BY 1),
+        |cut0 AS (SELECT COALESCE(
+        |           (SELECT ct FROM b0 ORDER BY ct DESC LIMIT 1 OFFSET 8), 0) AS c),
+        |s0 AS (SELECT item, ct - (SELECT c FROM cut0) AS ct FROM b0
+        |       WHERE ct - (SELECT c FROM cut0) > 0),
+        |b1 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS ct FROM t WHERE g = 1 GROUP BY 1),
+        |m1 AS (SELECT COALESCE(s.item, b.item) AS item,
+        |         COALESCE(s.ct, 0) + COALESCE(b.ct, 0) AS ct
+        |       FROM s0 s FULL JOIN b1 b ON s.item = b.item),
+        |cut1 AS (SELECT COALESCE(
+        |           (SELECT ct FROM m1 ORDER BY ct DESC LIMIT 1 OFFSET 8), 0) AS c),
+        |s1 AS (SELECT item, ct - (SELECT c FROM cut1) AS ct FROM m1
+        |       WHERE ct - (SELECT c FROM cut1) > 0),
+        |b2 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS ct FROM t WHERE g = 2 GROUP BY 1),
+        |m2 AS (SELECT COALESCE(s.item, b.item) AS item,
+        |         COALESCE(s.ct, 0) + COALESCE(b.ct, 0) AS ct
+        |       FROM s1 s FULL JOIN b2 b ON s.item = b.item),
+        |cut2 AS (SELECT COALESCE(
+        |           (SELECT ct FROM m2 ORDER BY ct DESC LIMIT 1 OFFSET 8), 0) AS c),
+        |s2 AS (SELECT item, ct - (SELECT c FROM cut2) AS ct FROM m2
+        |       WHERE ct - (SELECT c FROM cut2) > 0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t)
+        |SELECT item, ct, (SELECT nt FROM n) AS n_total,
+        |       (SELECT nt FROM n) // 9 AS thresh
+        |FROM s2 ORDER BY item""".stripMargin,
 
     // Twin of the model-based curation composite: classifier gate → DSIR
     // screen (raw model over classifier survivors) → exact keepers → md5

@@ -173,6 +173,26 @@ object RelQueries {
             Scale.normalizeDimOrZero(col("__price"), ylo, yhi, 10),
             bits = 10).as("zval"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Integer-exact PageRank (3 iterations) over the symmetrized
+    // customer↔supplier trade graph (distinct pairs via orders⋈lineitem;
+    // suppliers offset by 10^7 into a shared node space) — the link-graph
+    // centrality signal web-corpus curation weighs hosts by, demonstrated
+    // on the warehouse's own entity graph. Symmetrizing makes the graph
+    // dangling-free, so no rank mass leaks. The oracle unrolls the three
+    // iterations from the SAME parameter set via Graph.pageRankSql.
+    "q_pagerank" -> { (s, dir) =>
+      import graft.ops.Graph
+      val o = Envelopes.table(s, dir, "orders")
+      val l = Envelopes.table(s, dir, "lineitem")
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(10000000L)).as("sk"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
+        .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
+      Graph.pageRankInt(edges, iters = 3).orderBy(col("node"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -281,5 +301,12 @@ object RelQueries {
          |       CAST(${graft.ops.Scale.zorderSql(s"($nx)", s"($ny)", bits = 10)}
          |            AS BIGINT) AS zval
          |FROM lineitem, st ORDER BY l_orderkey, l_linenumber""".stripMargin
-    })
+    },
+
+    "q_pagerank" -> graft.ops.Graph.pageRankSql(
+      """e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sk
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, sk AS dst FROM e0
+        |      UNION ALL SELECT sk, c FROM e0)""".stripMargin,
+      iters = 3))
 }

@@ -132,4 +132,28 @@ class RankingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(biased == Map(1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("rrfFuse: hand-computed fixed-point fusion, list-membership boost, determinism") {
+    import spark.implicits._
+    def recip(r: Long): Long = 1000000000000L / (60 + r) // exact for these values
+    // system A ranks docs 1,2,3; system B ranks 2,4 — doc 2 is on BOTH lists
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rk")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rk")
+    val out = Ranking.rrfFuse(Seq(a, b)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(2L)._3 == recip(2) + recip(1), s"${out(2L)}")
+    assert(out(1L)._3 == recip(1), s"${out(1L)}")
+    // the two-list doc outranks every single-list doc here: its reciprocal
+    // sum exceeds even the rank-1 singleton
+    assert(out(2L)._4 == 1 && out(2L)._1 == 2L && out(2L)._2 == 1L)
+    assert(out(1L)._4 == 2)
+    // ties on score break to the lower doc_id: ranks are a permutation
+    assert(out.values.map(_._4).toSeq.sorted == Seq(1, 2, 3, 4))
+    // partitioning never changes the fused list
+    val re = Ranking.rrfFuse(Seq(a.repartition(5), b.repartition(3))).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(re == out)
+  }
 }

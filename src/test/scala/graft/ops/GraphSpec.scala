@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Integer-exact PageRank: hand-computed fixed-point ranks on a tiny graph,
+  * teleport-only behavior for no-in-edge nodes, dangling leak semantics,
+  * partition independence, and the Long-overflow guard. */
+class GraphSpec extends SparkSpec {
+
+  private val U = 1000000000L // unit
+  private val B = U * 15 / 100 // teleport base at 85/100 damping
+
+  test("one iteration matches the hand-computed integer update") {
+    import spark.implicits._
+    // 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1 : out-degrees 2, 1, 1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = Graph.pageRankInt(e, iters = 1, unit = U).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contributions: node1 spreads U/2 to {2,3}; node2 spreads U to 3;
+    // node3 spreads U to 1
+    assert(r1(1L) == B + 85L * U / 100)
+    assert(r1(2L) == B + 85L * (U / 2) / 100)
+    assert(r1(3L) == B + 85L * (U / 2 + U) / 100)
+    // second iteration folds the updated ranks the same way
+    val r2 = Graph.pageRankInt(e, iters = 2, unit = U).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(1L) == B + 85L * r1(3L) / 100)
+    assert(r2(2L) == B + 85L * (r1(1L) / 2) / 100)
+    assert(r2(3L) == B + 85L * (r1(1L) / 2 + r1(2L)) / 100)
+  }
+
+  test("no-in-edge nodes keep only the teleport base; dangling mass leaks") {
+    import spark.implicits._
+    // 1 -> 2 : node 1 has no in-edges, node 2 is dangling (no out-edges)
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRankInt(e, iters = 2, unit = U).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == B, "source keeps only the teleport base")
+    // node 2 receives node 1's full rank each step but spreads to no one —
+    // its mass simply leaves the system (documented simplification)
+    assert(r(2L) == B + 85L * B / 100)
+  }
+
+  test("ranks are partition-independent and iters=0 is the uniform start") {
+    import spark.implicits._
+    val e = (1L to 200L).map(i => (i, i % 50 + 1)).toDF("src", "dst")
+    val a = Graph.pageRankInt(e, iters = 3, unit = U)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.pageRankInt(e.repartition(7, col("dst")), iters = 3, unit = U)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.nonEmpty)
+    val z = Graph.pageRankInt(e, iters = 0, unit = U).select("rank_fp")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(U))
+  }
+
+  test("the overflow guard refuses a unit the node count can wrap") {
+    import spark.implicits._
+    val e = (1L to 100L).map(i => (i, i % 10 + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankInt(e, iters = 1, unit = Long.MaxValue / 85 / 10)
+    }
+    assert(ex.getMessage.contains("overflow"), ex.getMessage)
+  }
+
+  test("pageRankSql twin agrees with the operator on the sf0.001 trade graph") {
+    // the real agreement check is the DuckDB oracle (q_pagerank); here we
+    // pin that the generated SQL references every unrolled CTE it builds
+    val sql = Graph.pageRankSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
+    assert(sql.contains("r3") && sql.contains("c3") && sql.contains("r0"))
+    assert(!sql.contains("r4"))
+    assert(sql.contains("// 100"), "integer floor division in the twin")
+  }
+}
