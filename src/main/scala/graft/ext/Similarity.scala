@@ -546,4 +546,63 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("label"), col("rk"), col("vec_id"))
   }
+
+  /** Exact integer dot product of two int-code arrays (products in Long). */
+  private def dotI(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => (p * q).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** MMR diversity re-ranking (Carbonell & Goldstein, SIGIR 1998) over a
+    * retrieval SHORTLIST: greedily select `k` items maximizing
+    * `a·relevance − b·max-similarity-to-already-selected`, so the result
+    * list covers the query's distinct aspects instead of k near-duplicates
+    * — the de-redundancy step after [[rrfFuse]]-style retrieval, and the
+    * diversity pass over few-shot example pools.
+    *
+    * Exactness: relevance is an integer the caller supplies (a fused RRF
+    * score, an inverted rank), similarity is the exact integer dot of
+    * [[quantizeInt8]] codes, and the selection value `a·rel − b·maxsim` is
+    * pure Long arithmetic with ties broken on doc_id — every pick is
+    * bit-identical on any engine/partitioning, which is what lets the
+    * greedy loop carry a full SQL hash oracle (steps unrolled as CTEs).
+    *
+    * Shape at scale: MMR is inherently sequential (pick i depends on picks
+    * 1..i−1) and runs on a SHORTLIST — the candidate frame is pinned once,
+    * then each of the k steps is one tiny distributed argmax (shortlist ×
+    * selected-so-far dots, a TakeOrdered) with one driver row per step.
+    * Diversifying a full corpus is a misuse; retrieve first, then MMR the
+    * top-N.
+    *
+    * @param cands (doc_id, rel: long, q: array&lt;int&gt;) — the shortlist
+    * @param a,b   the integer λ trade-off (value = a·rel − b·maxsim)
+    * @return (step, doc_id, value) — step = 1-based pick order */
+  def mmrSelect(cands: DataFrame, k: Int, a: Long = 1L, b: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(a >= 0 && b >= 0 && (a > 0 || b > 0), s"bad trade-off ($a, $b)")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val c = cands.select(col("doc_id").cast("long").as("doc_id"),
+      col("rel").cast("long").as("rel"), col("q")).localCheckpoint(true)
+    var picks = Vector.empty[(Long, Long, Long)] // (step, doc_id, value)
+    for (step <- 1 to k) {
+      val selIds = picks.map(_._2)
+      val rest = if (selIds.isEmpty) c else c.filter(!col("doc_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty)
+          rest.select(col("doc_id"), (lit(a) * col("rel")).as("value"))
+        else {
+          val sel = c.filter(col("doc_id").isin(selIds: _*))
+            .select(col("q").as("s_q"))
+          rest.crossJoin(sel)
+            .select(col("doc_id"), col("rel"), dotI(col("q"), col("s_q")).as("sim"))
+            .groupBy("doc_id", "rel").agg(max(col("sim")).as("maxsim"))
+            .select(col("doc_id"),
+              (lit(a) * col("rel") - lit(b) * col("maxsim")).as("value"))
+        }
+      val top = scored.orderBy(col("value").desc, col("doc_id")).limit(1).collect()
+      if (top.nonEmpty)
+        picks :+= ((step.toLong, top(0).getLong(0), top(0).getLong(1)))
+    }
+    picks.toDF("step", "doc_id", "value")
+  }
 }

@@ -64,10 +64,15 @@ object Graph {
     // measured 3x the whole query's scan cost at iters = 3
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
+    // node spine with the out-degree FOLDED IN (null for dangling nodes —
+    // the degree is only ever read through the e.src join, which dangling
+    // nodes never match): each iteration then needs ONE rank join, not a
+    // separate degree join
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
+        Seq("node"), "left_outer")
       .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
     val n = nodes.count()
     require(n == 0 || unit <= Long.MaxValue / dampNum / n,
       s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
@@ -75,12 +80,12 @@ object Graph {
     val base = unit * (dampDen - dampNum) / dampDen
     var r = nodes.withColumn("r", lit(unit))
     for (_ <- 0 until iters) {
-      val contrib = e.join(deg, "src")
-        .join(r.select(col("node").as("src"), col("r")), "src")
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("d"), col("r")), "src")
         .select(col("dst").as("node"), expr("r div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
       r = nodes.join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("d"),
           (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
         .localCheckpoint(true)
     }

@@ -663,6 +663,21 @@ object ExtQueries {
       Ranking.rrfFuse(Seq(lex, sem)).orderBy(col("rk"))
     },
 
+    // MMR diversification of the cosine top-20 shortlist for query vector 0:
+    // relevance = inverted rank (21 − rk), similarity = exact integer dot of
+    // int8-quantized codes, value = 100000·rel − maxsim — all Long
+    // arithmetic, five greedy picks unrolled as CTEs in the oracle.
+    "q_mmr" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e, 20)
+        .select(col("n_id").as("vec_id"), (lit(21L) - col("rank")).as("rel"))
+      val codes = Similarity.quantizeInt8(e).select(col("vec_id"), col("q"))
+      val cands = sem.join(codes, "vec_id")
+        .select(col("vec_id").as("doc_id"), col("rel"), col("q"))
+      Similarity.mmrSelect(cands, k = 5, a = 100000L, b = 1L)
+        .orderBy(col("step"))
+    },
+
     // Gopher-style rule gate (integer cross-multiplication rules only).
     "q_gopher_filter" -> { (s, dir) =>
       TextStats.gopherFilter(docs(s, dir), col("doc_id"), col("text"))
@@ -1746,6 +1761,68 @@ object ExtQueries {
         |SELECT doc_id, n_sys, best_rk, rrf_score,
         |       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
         |FROM f ORDER BY rk""".stripMargin,
+
+    // Twin of the 5-pick MMR greedy loop: the cosine-top-20 shortlist with
+    // inverted-rank relevance, int8 codes via the q_embed_quant formula,
+    // each pick = argmax(100000·rel − max integer dot to the picked set),
+    // ties to the lower doc_id. The int dots ride double list_dot_product
+    // (every product ≤ 127², totals ≤ ~10⁶ — exact in double at any order).
+    "q_mmr" ->
+      """WITH sem AS (SELECT doc_id, 21 - rk AS rel FROM (
+        |          SELECT c.vec_id AS doc_id,
+        |            CAST(row_number() OVER (ORDER BY
+        |              list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id) AS BIGINT) AS rk
+        |          FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |          WHERE q.vec_id = 0)
+        |        WHERE rk <= 20),
+        |qt AS (SELECT vec_id, list_transform(embedding,
+        |         x -> CAST(CAST(floor(x * (CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+        |                ELSE CAST(127 AS DOUBLE) / CAST(mx AS DOUBLE) END) + 0.5)
+        |              AS INTEGER) AS DOUBLE)) AS q
+        |       FROM (SELECT vec_id, embedding,
+        |               list_aggregate(list_transform(embedding, y -> abs(y)), 'max') AS mx
+        |             FROM embeddings)),
+        |c AS (SELECT sem.doc_id, sem.rel, qt.q FROM sem JOIN qt ON qt.vec_id = sem.doc_id),
+        |p1 AS (SELECT doc_id, 100000 * rel AS value FROM c ORDER BY value DESC, doc_id LIMIT 1),
+        |v2 AS (SELECT x.doc_id,
+        |         100000 * x.rel - (SELECT MAX(CAST(list_dot_product(x.q, s.q) AS BIGINT))
+        |                           FROM c s WHERE s.doc_id IN (SELECT doc_id FROM p1)) AS value
+        |       FROM c x WHERE x.doc_id NOT IN (SELECT doc_id FROM p1)),
+        |p2 AS (SELECT doc_id, value FROM v2 ORDER BY value DESC, doc_id LIMIT 1),
+        |v3 AS (SELECT x.doc_id,
+        |         100000 * x.rel - (SELECT MAX(CAST(list_dot_product(x.q, s.q) AS BIGINT))
+        |                           FROM c s WHERE s.doc_id IN (SELECT doc_id FROM p1
+        |                                     UNION ALL SELECT doc_id FROM p2)) AS value
+        |       FROM c x WHERE x.doc_id NOT IN (SELECT doc_id FROM p1
+        |                                       UNION ALL SELECT doc_id FROM p2)),
+        |p3 AS (SELECT doc_id, value FROM v3 ORDER BY value DESC, doc_id LIMIT 1),
+        |v4 AS (SELECT x.doc_id,
+        |         100000 * x.rel - (SELECT MAX(CAST(list_dot_product(x.q, s.q) AS BIGINT))
+        |                           FROM c s WHERE s.doc_id IN (SELECT doc_id FROM p1
+        |                                     UNION ALL SELECT doc_id FROM p2
+        |                                     UNION ALL SELECT doc_id FROM p3)) AS value
+        |       FROM c x WHERE x.doc_id NOT IN (SELECT doc_id FROM p1
+        |                                       UNION ALL SELECT doc_id FROM p2
+        |                                       UNION ALL SELECT doc_id FROM p3)),
+        |p4 AS (SELECT doc_id, value FROM v4 ORDER BY value DESC, doc_id LIMIT 1),
+        |v5 AS (SELECT x.doc_id,
+        |         100000 * x.rel - (SELECT MAX(CAST(list_dot_product(x.q, s.q) AS BIGINT))
+        |                           FROM c s WHERE s.doc_id IN (SELECT doc_id FROM p1
+        |                                     UNION ALL SELECT doc_id FROM p2
+        |                                     UNION ALL SELECT doc_id FROM p3
+        |                                     UNION ALL SELECT doc_id FROM p4)) AS value
+        |       FROM c x WHERE x.doc_id NOT IN (SELECT doc_id FROM p1
+        |                                       UNION ALL SELECT doc_id FROM p2
+        |                                       UNION ALL SELECT doc_id FROM p3
+        |                                       UNION ALL SELECT doc_id FROM p4)),
+        |p5 AS (SELECT doc_id, value FROM v5 ORDER BY value DESC, doc_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, doc_id, value FROM p1
+        |UNION ALL SELECT 2, doc_id, value FROM p2
+        |UNION ALL SELECT 3, doc_id, value FROM p3
+        |UNION ALL SELECT 4, doc_id, value FROM p4
+        |UNION ALL SELECT 5, doc_id, value FROM p5
+        |ORDER BY step""".stripMargin,
 
     "q_gopher_filter" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),

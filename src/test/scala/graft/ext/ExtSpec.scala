@@ -336,4 +336,31 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(a == b && a.nonEmpty)
   }
+
+  test("mmrSelect: relevance pick first, diversity flip second, ties to lower id, bounded picks") {
+    import spark.implicits._
+    // d1 most relevant; d2 near-identical to d1; d3 orthogonal but weak;
+    // d4 relevant-ish and similar to d1
+    val cands = Seq(
+      (1L, 10L, Seq(10, 0)),
+      (2L, 9L, Seq(10, 0)),
+      (3L, 1L, Seq(0, 10)),
+      (4L, 8L, Seq(9, 1))
+    ).toDF("doc_id", "rel", "q")
+    val out = Similarity.mmrSelect(cands, k = 3, a = 10L, b = 1L)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // step 1: pure relevance -> d1 (10*10). step 2: d2/d4 are punished by
+    // similarity to d1 (100 / 90), the orthogonal d3 wins at 10*1 - 0.
+    // step 3: d2 (90-100) ties d4 (80-90) at -10 -> lower doc_id wins.
+    assert(out == Seq((1L, 1L, 100L), (2L, 3L, 10L), (3L, 2L, -10L)), s"$out")
+    // k beyond the shortlist yields exactly the shortlist, in order
+    val all = Similarity.mmrSelect(cands, k = 10, a = 10L, b = 1L).collect()
+    assert(all.length == 4)
+    // partitioning never changes the picks
+    val re = Similarity.mmrSelect(cands.repartition(5), k = 3, a = 10L, b = 1L)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(re == out)
+  }
 }
