@@ -422,7 +422,90 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** PageRank scale probe: the symmetrized trade graph at 1× vs N×
+    * (key-shifted copies = N disjoint subgraphs — node and edge counts both
+    * scale ×N, the shape that matters for the per-iteration join+agg).
+    * Reports graph-build wall, per-iteration wall, and total — the claim
+    * under test is that iterations are flat in N (one edge-linear join +
+    * one node-linear agg each, rank table checkpointed per iteration). */
+  def pagerankProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+      replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val tb = System.nanoTime()
+      // replicate() shifts ORDER keys per copy but not the cust/supp entity
+      // keys — recover the copy index from the shifted orderkey and shift
+      // the entities too, so the graph really is N disjoint subgraphs (N×
+      // nodes AND N× edges), not N re-assertions of the same pairs
+      val copyIx = expr(s"o_orderkey div $KeyShift")
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") + copyIx * lit(1000000L)).as("c"),
+          // keep supplier ids disjoint from the customer space
+          (col("l_suppkey") + copyIx * lit(1000000L) + lit(KeyShift * 1000)).as("sk"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
+        .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
+        .localCheckpoint(true)
+      val nEdges = edges.count()
+      println(f"PRPROBE $label%-5s graph build wall=${(System.nanoTime - tb) / 1e9}%6.2f s edges=$nEdges")
+      var prev = 0.0
+      for (it <- 1 to 3) {
+        val t0 = System.nanoTime()
+        graft.ops.Graph.pageRankInt(edges, iters = it).count()
+        val w = (System.nanoTime - t0) / 1e9
+        println(f"PRPROBE $label%-5s iters=$it total=$w%6.2f s marginal=${w - prev}%6.2f s")
+        prev = w
+      }
+    }
+    spark.stop()
+  }
+
+  /** IncrementalTopK long-run probe: fold `batches` micro-batches of the
+    * sf0.1 token stream into one persistent MG summary and report the
+    * per-fold wall over time plus the store's live row count — the claims
+    * under test are O(k) state at any history length and flat fold cost. */
+  def topkProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = s"$storeRoot/mg"
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .localCheckpoint(true)
+    val k = 16
+    for (i <- 0 until batches) {
+      val batch = docs.filter(col("doc_id") % batches === i)
+        .select(explode(graft.ext.TextStats.toks(col("text"))).as("item"))
+      val t0 = System.nanoTime()
+      val out = graft.streaming.IncrementalTopK.mergeBatch(batch, store,
+        col("item"), k, i.toLong)
+      val rows = out.count()
+      if (i < 3 || (i + 1) % 5 == 0 || i == batches - 1)
+        println(f"TOPKPROBE fold=$i%3d wall=${(System.nanoTime - t0) / 1e9}%6.2f s " +
+          f"summaryRows=$rows")
+    }
+    val live = graft.streaming.KeyedStore.read(spark, store).get
+    println(s"TOPKPROBE store live rows=${live.filter(col("op_type") =!= "delete").count()} " +
+      s"(all rows=${live.count()}) after $batches folds, k=$k")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pagerank")) {
+      pagerankProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_pr"))
+      return
+    }
+    if (args.headOption.contains("topk")) {
+      topkProbe(args.lift(1).map(_.toInt).getOrElse(30),
+        args.lift(2).getOrElse("/tmp/graft_scale_topk"))
+      return
+    }
     if (args.headOption.contains("dsir")) {
       dsirProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_dsir"))
