@@ -705,6 +705,79 @@ object Dedup {
       .filter(col("overlap_ct") >= minOverlap)
   }
 
+  /** The shuffle-strategy twin of [[contamination]] — IDENTICAL output
+    * contract (train docs sharing ≥ `minOverlap` distinct shingles with an
+    * eval doc), with the eval side joined by shuffle instead of broadcast,
+    * for eval suites too large to ship to every executor (the modern
+    * many-benchmark eval stack easily clears the broadcast budget). Both
+    * sides hash-partition on the shingle — co-located equi-join, overlap
+    * counts map-side combined on (train, eval). The `shuffle_merge` hint
+    * pins the strategy so a small eval set in testing doesn't silently flip
+    * the plan back to broadcast and invalidate the scale claim. Hot-shingle
+    * fan-out is the same risk as the broadcast form (it is pair-multiplicity,
+    * not join-strategy, driven) — screen stopword-heavy shingles upstream
+    * with the DF-cap idiom if the corpus needs it. */
+  def contaminationShuffle(trainSh: DataFrame, evalSh: DataFrame,
+      minOverlap: Int = 3): DataFrame =
+    trainSh.as("t")
+      .join(evalSh.hint("shuffle_merge").as("e"),
+        col("t.s") === col("e.s") && col("t.doc_id") =!= col("e.doc_id"))
+      .groupBy(col("t.doc_id").as("train_id"), col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("overlap_ct"))
+      .filter(col("overlap_ct") >= minOverlap)
+
+  /** Cross-corpus MinHash+LSH near-dup JOIN (the R-S form of
+    * [[minhashLshPairs]]): find (a, b) pairs with Jaccard ≥ num/den where
+    * `a` comes from corpus A and `b` from corpus B — doc-level
+    * decontamination of a training corpus against an eval corpus too large
+    * to broadcast, or matching a fresh crawl against an existing index.
+    * Same seeded signature derivation on both sides, band-bucket equi-join
+    * across the corpora (each side shuffles once on the band key; neither
+    * broadcasts), then the exact shingle-intersection verify with per-side
+    * size tables — precision 1 by construction, recall the 1−(1−j^r)^b LSH
+    * curve ([[lshParams]] picks k/bands for a floor).
+    *
+    * Caller contract: the two shingle tables must carry DISTINCT doc-id
+    * spaces if identity matters downstream (ids are reported as-is,
+    * A-side as `a_id`, B-side as `b_id`; no id-inequality filter is
+    * applied).
+    *
+    * @return (a_id, b_id, inter_ct, union_ct) at Jaccard ≥ num/den */
+  def minhashLshJoin(shA: DataFrame, shB: DataFrame, num: Int, den: Int,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    // same pinning discipline as minhashLshPairs: signatures checkpointed
+    // (each feeds a band explode), candidate-pruned shingles pinned across
+    // the verify walks, result checkpointed before the frees
+    val sigA = minhashSignatures(shA, k).localCheckpoint(true)
+    val sigB = minhashSignatures(shB, k).localCheckpoint(true)
+    val cand = bandBuckets(sigA, k, bands).as("x")
+      .join(bandBuckets(sigB, k, bands).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .persist()
+    val shcA = shA.join(broadcast(cand.select(col("a_id").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi").persist()
+    val shcB = shB.join(broadcast(cand.select(col("b_id").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi").persist()
+    val inter = cand
+      .join(shcA.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shcB.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter_ct"))
+    val out = inter
+      .join(sizes(shcA).as("za"), col("a_id") === col("za.doc_id"))
+      .join(sizes(shcB).as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("inter_ct"),
+        (col("za.n") + col("zb.n") - col("inter_ct")).as("union_ct"))
+      .filter(col("inter_ct") * den >= col("union_ct") * num)
+      .localCheckpoint(true)
+    shcA.unpersist(); shcB.unpersist(); cand.unpersist()
+    graft.util.Blocks.freeCheckpoint(sigA)
+    graft.util.Blocks.freeCheckpoint(sigB)
+    out
+  }
+
   /** Capped cluster dedup — keep up to `k` exemplars per near-dup cluster
     * (the C4-style per-group cap, generalizing keep-one): rank docs within
     * their [[connectedComponents]] cluster by doc_id and keep the first `k`.

@@ -589,6 +589,29 @@ object ExtQueries {
         .orderBy(col("train_id"), col("eval_id"))
     },
 
+    // The shuffle-strategy contamination twin: identical semantics and
+    // oracle, eval side joined by pinned shuffle-merge instead of broadcast
+    // (the non-broadcastable-eval-suite path; plan asserted in PlanSpec).
+    "q_contamination_shuffle" -> { (s, dir) =>
+      val sh = shingleTable(s, dir)
+      val isEval = col("doc_id") % 97 === 0
+      Dedup.contaminationShuffle(sh.filter(!isEval), sh.filter(isEval),
+          minOverlap = 3)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+
+    // Cross-corpus LSH near-dup join: even docs (corpus A) vs odd docs
+    // (corpus B) at Jaccard >= 1/2 — the R-S decontamination/matching form.
+    // Oracle = the exhaustive cross Jaccard pairs (the LSH(32,16) ==
+    // exhaustive fixture identity measured for q_dedup_minhash restricts to
+    // any A x B subset: same signatures, same band collisions).
+    "q_dedup_minhash_xjoin" -> { (s, dir) =>
+      val sh = shingleTable(s, dir)
+      Dedup.minhashLshJoin(sh.filter(col("doc_id") % 2 === 0),
+          sh.filter(col("doc_id") % 2 === 1), 1, 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // PII redaction over deterministically injected e-mail/phone/IP text.
     "q_pii_scrub" -> { (s, dir) =>
       val dirty = concat(col("text"),
@@ -1666,6 +1689,32 @@ object ExtQueries {
          |FROM tr JOIN ev ON tr.s = ev.s AND tr.doc_id <> ev.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY train_id, eval_id""".stripMargin,
+
+    // identical contract to q_contamination — the Spark side differs only
+    // in physical join strategy, which an oracle cannot (and must not) see
+    "q_contamination_shuffle" ->
+      s"""WITH $JAC,
+         |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         |ev AS (SELECT * FROM sh WHERE doc_id % 97 = 0)
+         |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS overlap_ct
+         |FROM tr JOIN ev ON tr.s = ev.s AND tr.doc_id <> ev.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY train_id, eval_id""".stripMargin,
+
+    // Exhaustive cross-corpus (even x odd) Jaccard pairs at >= 1/2 — the
+    // q_dedup_minhash fixture identity restricted to the A x B orientation.
+    "q_dedup_minhash_xjoin" ->
+      s"""WITH $JAC,
+         |xc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_ct
+         |       FROM sh a JOIN sh b ON a.s = b.s
+         |         AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |       GROUP BY 1, 2),
+         |xj AS (SELECT a_id, b_id, inter_ct, za.n + zb.n - inter_ct AS union_ct
+         |       FROM xc JOIN sizes za ON a_id = za.doc_id
+         |                JOIN sizes zb ON b_id = zb.doc_id)
+         |SELECT a_id, b_id, inter_ct, union_ct FROM xj
+         |WHERE inter_ct * 2 >= union_ct * 1
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT doc_id,

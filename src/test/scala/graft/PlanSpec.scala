@@ -27,6 +27,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("shuffle contamination never broadcasts the eval side") {
+    // the whole point of the variant is eval suites past the broadcast
+    // budget — a tiny test fixture must not silently flip the plan back
+    // (the LSH cross-join deliberately leaves its band join to AQE: both
+    // sides are corpus-derived and big at real widths, so no plan pin)
+    val p = plan("q_contamination_shuffle")
+    assert(!p.contains("BroadcastExchange"),
+      "eval side must stay shuffle-side:\n" + p.take(800))
+    assert(p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("per-source quota cap pre-prunes map-side (WindowGroupLimit)") {
     val p = plan("q_source_cap")
     assert(p.contains("WindowGroupLimit"),
