@@ -92,27 +92,94 @@ object Graph {
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** PERSONALIZED PageRank (TrustRank, Gyöngyi et al. VLDB'04): teleport
+    * mass lands ONLY on the `seeds` nodes — trust propagates outward from a
+    * curated seed list (known-good domains, hand-audited hosts) through the
+    * link structure, the standard web-corpus trust/spam-demotion signal.
+    * Same fixed-point integer arithmetic as [[pageRankInt]]: seeds start at
+    * `unit` and keep the teleport base each step, non-seeds start at 0 and
+    * accumulate only propagated mass; nodes unreachable from any seed stay
+    * at exactly 0 — the defining TrustRank property, bit-exact here.
+    * Dangling-leak and overflow posture are [[pageRankInt]]'s.
+    *
+    * @param seeds one `node` column; ids not present in the graph are
+    *   ignored (they have no edges to propagate through)
+    * @return (node, rank_fp) for every graph node */
+  def trustRankInt(edges: DataFrame, seeds: DataFrame, iters: Int,
+      unit: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    require(dampNum >= 0 && dampDen >= 1 && dampNum <= dampDen,
+      s"damping must be a fraction in [0, 1], got $dampNum/$dampDen")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+    // node spine with degree AND the per-node teleport base folded in
+    val base = unit * (dampDen - dampNum) / dampDen
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
+        Seq("node"), "left_outer")
+      .join(sd.withColumn("__seed", lit(true)), Seq("node"), "left_outer")
+      .select(col("node"), col("d"),
+        when(col("__seed"), lit(base)).otherwise(lit(0L)).as("sb"),
+        when(col("__seed"), lit(unit)).otherwise(lit(0L)).as("r0"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n == 0 || unit <= Long.MaxValue / dampNum / n,
+      s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
+        "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
+    var r = nodes.select(col("node"), col("d"), col("sb"), col("r0").as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("d"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      r = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"), col("d"), col("sb"),
+          (col("sb") + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("node"), col("r").as("rank_fp"))
+  }
+
   /** The DuckDB twin of [[pageRankInt]]: CTE text with the iterations
     * unrolled, generated from the same parameters so the two formulas can
     * never drift. `edgesCte` must define a relation `e(src, dst)`; the
     * returned text continues the WITH chain and ends in a final SELECT of
-    * (node, rank_fp) ordered by node. */
+    * (node, rank_fp) ordered by node.
+    *
+    * With `seedsCte` (defining `sd(node)`), generates the [[trustRankInt]]
+    * twin instead: seed-only start vector and teleport base. */
   def pageRankSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): String = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      seedsCte: Option[String] = None): String = {
     val base = unit * (dampDen - dampNum) / dampDen
+    val baseExpr = seedsCte match {
+      case None => base.toString
+      case Some(_) =>
+        s"(CASE WHEN n.node IN (SELECT node FROM sd) THEN $base ELSE 0 END)"
+    }
     val its = (1 to iters).map { i =>
       s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT) AS m
          |        FROM e JOIN deg ON e.src = deg.src
          |               JOIN r${i - 1} ON r${i - 1}.node = e.src
          |        GROUP BY 1),
          |r$i AS (SELECT n.node,
-         |         CAST($base + ($dampNum * COALESCE(c$i.m, 0)) // $dampDen AS BIGINT) AS r
+         |         CAST($baseExpr + ($dampNum * COALESCE(c$i.m, 0)) // $dampDen AS BIGINT) AS r
          |        FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
     }
-    val ctes = Seq(edgesCte,
+    val r0 = seedsCte match {
+      case None => s"r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM n)"
+      case Some(_) =>
+        s"""r0 AS (SELECT node, CAST(CASE WHEN node IN (SELECT node FROM sd)
+           |         THEN $unit ELSE 0 END AS BIGINT) AS r FROM n)""".stripMargin
+    }
+    val ctes = Seq(edgesCte) ++ seedsCte.toSeq ++ Seq(
       "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
       "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
-      s"r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM n)") ++ its
+      r0) ++ its
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }

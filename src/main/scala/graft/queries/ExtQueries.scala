@@ -808,6 +808,60 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // FLAGSHIP decontamination composite — the release-hygiene pipeline a
+    // training corpus passes before an eval suite is trusted: classifier
+    // gate → DROP train docs contaminated against the eval set by EITHER
+    // screen (span overlap ≥ 3 shingles via the shuffle-strategy
+    // contamination join, OR doc-level near-dup at Jaccard ≥ 1/2 via the
+    // cross-corpus LSH join) → exact-dedup keepers → deterministic 50%
+    // sample. Every stage is individually hash-proven; this pins the
+    // composition (and exercises both new cross-corpus screens in one
+    // plan).
+    "q_pipeline_decon" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isEval = col("doc_id") % 97 === 0
+      val B = 512
+      val weights = s.range(B.toLong)
+        .select(col("id").as("bucket"),
+          (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2001 - 1000).as("w"))
+      val clfPass = TextStats.hashedLinearScore(d.filter(!isEval), col("doc_id"),
+          col("text"), weights, buckets = B)
+        .filter(col("keep")).select(col("doc_id"))
+      val train = d.filter(!isEval).join(clfPass, Seq("doc_id"), "left_semi")
+      val sh = shingleTable(s, dir)
+      val trainSh = sh.join(train.select("doc_id"), Seq("doc_id"), "left_semi")
+      val evalSh = sh.filter(isEval)
+      val spanHits = Dedup.contaminationShuffle(trainSh, evalSh, minOverlap = 3)
+        .select(col("train_id").as("doc_id"))
+      // doc-level near-dups vs eval from the SESSION-SHARED whole-corpus
+      // LSH pair table (same (32,16)/1-2 dial): the self-join candidates
+      // are a superset of the R-S band collisions and both verify exact
+      // Jaccard, so filtering the memoized pairs to (train, eval)
+      // orientation IS minhashLshJoin(trainSh, evalSh) — without paying a
+      // second signature build inside the flagship. The standalone R-S
+      // operator stays exercised (and oracled) by q_dedup_minhash_xjoin.
+      val pairs = lshPairs(s, dir)
+      val evalIds = d.filter(isEval).select(col("doc_id"))
+      val trainIds = train.select(col("doc_id"))
+      val nearHits = pairs
+        .join(trainIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+        .join(evalIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+        .select(col("a_id").as("doc_id"))
+        .unionByName(pairs
+          .join(evalIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+          .join(trainIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+          .select(col("b_id").as("doc_id")))
+      val clean = train.join(spanHits.unionByName(nearHits).distinct(),
+        Seq("doc_id"), "left_anti")
+      val keepers = Dedup.exact(clean, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = clean.join(keepers, Seq("doc_id"), "left_semi")
+      Curation.deterministicSample(deduped, col("doc_id"), 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Hashed-feature linear quality classifier (fastText-style): the weight
     // table is model data — here a deterministic seeded stand-in
     // (w_b = md5int("w:"||b) % 2001 − 1000, fixed-point ints) exercising the
@@ -2025,6 +2079,51 @@ object ExtQueries {
         |        sc.raw_mass::DECIMAL(38,0) * (SELECT tt FROM tot) * 2),
         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM screened GROUP BY md5(text))
         |SELECT doc_id, n_chars FROM screened
+        |WHERE doc_id IN (SELECT doc_id FROM keepers)
+        |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+        |ORDER BY doc_id""".stripMargin,
+
+    // Twin of the decontamination flagship: classifier gate (w/ctoks/clf as
+    // in q_pipeline_model, restricted to non-eval docs), both contamination
+    // screens vs the %97 eval set (span overlap ≥ 3 on the JAC shingles;
+    // exhaustive cross Jaccard ≥ 1/2 — the LSH(32,16)==exhaustive fixture
+    // identity), exact keepers, md5-percentile 50% sample.
+    "q_pipeline_decon" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |         ('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+        |           % 2001 - 1000 AS w
+        |  FROM (SELECT unnest(generate_series(0, 511)) AS b)),
+        |ctoks AS (
+        |  SELECT doc_id, tok,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents WHERE doc_id % 97 <> 0)),
+        |clf AS (SELECT t.doc_id FROM ctoks t
+        |        LEFT JOIN w ON t.h % 512 = w.bucket
+        |        GROUP BY 1 HAVING CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) >= 0),
+        |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks WHERE len(t) >= 3),
+        |trsh AS (SELECT sh.* FROM sh JOIN clf USING (doc_id)),
+        |evsh AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+        |spanhit AS (SELECT tr.doc_id FROM trsh tr JOIN evsh ev
+        |              ON tr.s = ev.s AND tr.doc_id <> ev.doc_id
+        |            GROUP BY tr.doc_id, ev.doc_id HAVING COUNT(*) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |xc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter_ct
+        |       FROM trsh a JOIN evsh b ON a.s = b.s GROUP BY 1, 2),
+        |nearhit AS (SELECT a_id AS doc_id FROM xc
+        |            JOIN sizes za ON a_id = za.doc_id
+        |            JOIN sizes zb ON b_id = zb.doc_id
+        |            WHERE inter_ct * 2 >= (za.n + zb.n - inter_ct) * 1),
+        |clean AS (SELECT d.* FROM documents d JOIN clf USING (doc_id)
+        |          WHERE d.doc_id NOT IN (SELECT doc_id FROM spanhit)
+        |            AND d.doc_id NOT IN (SELECT doc_id FROM nearhit)),
+        |keepers AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(text))
+        |SELECT doc_id, n_chars FROM clean
         |WHERE doc_id IN (SELECT doc_id FROM keepers)
         |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
         |ORDER BY doc_id""".stripMargin,

@@ -193,6 +193,26 @@ object RelQueries {
       val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
         .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
       Graph.pageRankInt(edges, iters = 3).orderBy(col("node"))
+    },
+
+    // TrustRank: personalized PageRank with teleport restricted to a seed
+    // list (customers with custkey % 101 == 0 stand in for the hand-audited
+    // trusted set) over the same symmetrized trade graph — trust propagates
+    // outward from the seeds; nodes unreachable from any seed read exactly 0.
+    "q_trustrank" -> { (s, dir) =>
+      import graft.ops.Graph
+      val o = Envelopes.table(s, dir, "orders")
+      val l = Envelopes.table(s, dir, "lineitem")
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(10000000L)).as("sk"))
+        .distinct()
+      val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
+        .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
+      val seeds = Envelopes.table(s, dir, "customer")
+        .filter(col("c_custkey") % 101 === 0)
+        .select(col("c_custkey").as("node"))
+      Graph.trustRankInt(edges, seeds, iters = 3).orderBy(col("node"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -308,5 +328,14 @@ object RelQueries {
         |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |e AS (SELECT c AS src, sk AS dst FROM e0
         |      UNION ALL SELECT sk, c FROM e0)""".stripMargin,
-      iters = 3))
+      iters = 3),
+
+    "q_trustrank" -> graft.ops.Graph.pageRankSql(
+      """e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sk
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, sk AS dst FROM e0
+        |      UNION ALL SELECT sk, c FROM e0)""".stripMargin,
+      iters = 3,
+      seedsCte = Some(
+        "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)")))
 }

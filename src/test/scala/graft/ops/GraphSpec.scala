@@ -64,6 +64,24 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("overflow"), ex.getMessage)
   }
 
+  test("trustRank: mass flows only from seeds; unreachable nodes stay exactly 0") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 chain, plus isolated pair 4 -> 5; seed = {1}
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.trustRankInt(e, seeds, iters = 2, unit = U).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the seed keeps only its teleport base (nothing links to it); node 2
+    // receives 85% of the seed's iteration-1 rank (= the base), no base of
+    // its own — non-seeds get no teleport mass
+    assert(r(1L) == B)
+    assert(r(2L) == 85L * B / 100)
+    // nodes 4 and 5 are unreachable from the seed: exactly zero trust
+    assert(r(4L) == 0L && r(5L) == 0L)
+    // node 3 is two hops out: receives at iteration 2 what 2 held after 1
+    assert(r(3L) == 85L * (85L * U / 100) / 100)
+  }
+
   test("pageRankSql twin agrees with the operator on the sf0.001 trade graph") {
     // the real agreement check is the DuckDB oracle (q_pagerank); here we
     // pin that the generated SQL references every unrolled CTE it builds
