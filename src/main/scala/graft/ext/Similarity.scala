@@ -584,7 +584,8 @@ object Similarity {
     val c = cands.select(col("doc_id").cast("long").as("doc_id"),
       col("rel").cast("long").as("rel"), col("q")).localCheckpoint(true)
     var picks = Vector.empty[(Long, Long, Long)] // (step, doc_id, value)
-    for (step <- 1 to k) {
+    var step = 1
+    while (step <= k) {
       val selIds = picks.map(_._2)
       val rest = if (selIds.isEmpty) c else c.filter(!col("doc_id").isin(selIds: _*))
       val scored =
@@ -600,9 +601,14 @@ object Similarity {
               (lit(a) * col("rel") - lit(b) * col("maxsim")).as("value"))
         }
       val top = scored.orderBy(col("value").desc, col("doc_id")).limit(1).collect()
-      if (top.nonEmpty)
+      if (top.isEmpty) step = k + 1 // shortlist exhausted: stop launching jobs
+      else {
         picks :+= ((step.toLong, top(0).getLong(0), top(0).getLong(1)))
+        step += 1
+      }
     }
+    // the picks are driver-local rows — the shortlist checkpoint is dead
+    graft.util.Blocks.freeCheckpoint(c)
     picks.toDF("step", "doc_id", "value")
   }
 }

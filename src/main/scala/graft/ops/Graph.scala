@@ -74,20 +74,38 @@ object Graph {
         Seq("node"), "left_outer")
       .localCheckpoint(true)
     val n = nodes.count()
-    require(n == 0 || unit <= Long.MaxValue / dampNum / n,
+    // dampNum = 0 (pure teleport) is a valid dial with nothing to overflow
+    // — guard only the damped product, and never divide by zero doing it
+    require(n == 0 || dampNum == 0 || unit <= Long.MaxValue / dampNum / n,
       s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
         "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
     val base = unit * (dampDen - dampNum) / dampDen
     var r = nodes.withColumn("r", lit(unit))
+    // r0 is a live PROJECTION over the nodes checkpoint — freeCheckpoint
+    // collects a frame's LogicalRDD leaves, so freeing it would free the
+    // node spine mid-loop; only superseded rank tables that are their OWN
+    // checkpoint may be freed
+    var rIsCheckpointed = false
     for (_ <- 0 until iters) {
       val contrib = e
         .join(r.select(col("node").as("src"), col("d"), col("r")), "src")
         .select(col("dst").as("node"), expr("r div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
+      val prev = r
       r = nodes.join(contrib, Seq("node"), "left_outer")
         .select(col("node"), col("d"),
           (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
         .localCheckpoint(true)
+      // the superseded rank table is dead once its successor materialized
+      if (rIsCheckpointed) graft.util.Blocks.freeCheckpoint(prev)
+      rIsCheckpointed = true
+    }
+    // at iters = 0 the result is a live projection of `nodes` — keep its
+    // blocks; otherwise the final r is its own checkpoint and the build
+    // intermediates can all be freed (unpersist no-ops on checkpoints)
+    if (iters > 0) {
+      graft.util.Blocks.freeCheckpoint(nodes)
+      graft.util.Blocks.freeCheckpoint(e)
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }
@@ -127,19 +145,27 @@ object Graph {
         when(col("__seed"), lit(unit)).otherwise(lit(0L)).as("r0"))
       .localCheckpoint(true)
     val n = nodes.count()
-    require(n == 0 || unit <= Long.MaxValue / dampNum / n,
+    require(n == 0 || dampNum == 0 || unit <= Long.MaxValue / dampNum / n,
       s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
         "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
     var r = nodes.select(col("node"), col("d"), col("sb"), col("r0").as("r"))
+    var rIsCheckpointed = false
     for (_ <- 0 until iters) {
       val contrib = e
         .join(r.select(col("node").as("src"), col("d"), col("r")), "src")
         .select(col("dst").as("node"), expr("r div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
+      val prev = r
       r = nodes.join(contrib, Seq("node"), "left_outer")
         .select(col("node"), col("d"), col("sb"),
           (col("sb") + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
         .localCheckpoint(true)
+      if (rIsCheckpointed) graft.util.Blocks.freeCheckpoint(prev)
+      rIsCheckpointed = true
+    }
+    if (iters > 0) {
+      graft.util.Blocks.freeCheckpoint(nodes)
+      graft.util.Blocks.freeCheckpoint(e)
     }
     r.select(col("node"), col("r").as("rank_fp"))
   }

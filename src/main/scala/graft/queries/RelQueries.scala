@@ -183,16 +183,8 @@ object RelQueries {
     // dangling-free, so no rank mass leaks. The oracle unrolls the three
     // iterations from the SAME parameter set via Graph.pageRankSql.
     "q_pagerank" -> { (s, dir) =>
-      import graft.ops.Graph
-      val o = Envelopes.table(s, dir, "orders")
-      val l = Envelopes.table(s, dir, "lineitem")
-      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + lit(10000000L)).as("sk"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
-        .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
-      Graph.pageRankInt(edges, iters = 3).orderBy(col("node"))
+      graft.ops.Graph.pageRankInt(tradeGraphEdges(s, dir), iters = 3)
+        .orderBy(col("node"))
     },
 
     // TrustRank: personalized PageRank with teleport restricted to a seed
@@ -200,20 +192,35 @@ object RelQueries {
     // trusted set) over the same symmetrized trade graph — trust propagates
     // outward from the seeds; nodes unreachable from any seed read exactly 0.
     "q_trustrank" -> { (s, dir) =>
-      import graft.ops.Graph
-      val o = Envelopes.table(s, dir, "orders")
-      val l = Envelopes.table(s, dir, "lineitem")
-      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + lit(10000000L)).as("sk"))
-        .distinct()
-      val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
-        .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
       val seeds = Envelopes.table(s, dir, "customer")
         .filter(col("c_custkey") % 101 === 0)
         .select(col("c_custkey").as("node"))
-      Graph.trustRankInt(edges, seeds, iters = 3).orderBy(col("node"))
+      graft.ops.Graph.trustRankInt(tradeGraphEdges(s, dir), seeds, iters = 3)
+        .orderBy(col("node"))
     })
+
+  /** The symmetrized customer↔supplier trade graph both rank queries run
+    * on — ONE definition (Spark side here, oracle side [[TradeGraphCte]]),
+    * so a change to the graph (e.g. the supplier id offset) cannot silently
+    * diverge the two oracled queries. */
+  private def tradeGraphEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Envelopes.table(s, dir, "orders")
+    val l = Envelopes.table(s, dir, "lineitem")
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + lit(10000000L)).as("sk"))
+      .distinct()
+    e0.select(col("c").as("src"), col("sk").as("dst"))
+      .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
+  }
+
+  /** The oracle-side twin of [[tradeGraphEdges]]. */
+  private val TradeGraphCte =
+    """e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sk
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT c AS src, sk AS dst FROM e0
+      |      UNION ALL SELECT sk, c FROM e0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_join_semi" ->
@@ -323,19 +330,9 @@ object RelQueries {
          |FROM lineitem, st ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
-    "q_pagerank" -> graft.ops.Graph.pageRankSql(
-      """e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sk
-        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT c AS src, sk AS dst FROM e0
-        |      UNION ALL SELECT sk, c FROM e0)""".stripMargin,
-      iters = 3),
+    "q_pagerank" -> graft.ops.Graph.pageRankSql(TradeGraphCte, iters = 3),
 
-    "q_trustrank" -> graft.ops.Graph.pageRankSql(
-      """e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sk
-        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT c AS src, sk AS dst FROM e0
-        |      UNION ALL SELECT sk, c FROM e0)""".stripMargin,
-      iters = 3,
+    "q_trustrank" -> graft.ops.Graph.pageRankSql(TradeGraphCte, iters = 3,
       seedsCte = Some(
         "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)")))
 }

@@ -57,18 +57,28 @@ object IncrementalTopK {
       k: Int, batchId: Long, numBuckets: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = batch.sparkSession
-    val cur = KeyedStore.read(spark, storePath)
+    // Rows carry a `kind` key component: "c" = counter, "m" = the per-fold
+    // META row ((n_total, ver) history). The meta row is written on EVERY
+    // fold, even one that evicts all counters or folds an empty batch —
+    // without it, an all-evicted state would silently reset n_total to 0
+    // AND lose the replay high-water mark (a replayed batch would re-fold
+    // and resurrect evicted counts, breaking the exactly-once contract).
+    val live = KeyedStore.read(spark, storePath)
       .map(_.filter(col("op_type") =!= "delete")
-        .select(col("item"), col("ct"), col("n_total"), col("ver")))
+        .select(col("kind"), col("item"), col("ct"), col("n_total"), col("ver")))
       .getOrElse {
         import spark.implicits._
-        Seq.empty[(String, Long, Long, Long)].toDF("item", "ct", "n_total", "ver")
+        Seq.empty[(String, String, Long, Long, Long)]
+          .toDF("kind", "item", "ct", "n_total", "ver")
       }.localCheckpoint(true)
-    // one driver action over the <= k stored counters for both scalars
-    val curRow = cur.agg(max(col("ver")), coalesce(max(col("n_total")), lit(0L))).head()
+    val cur = live.filter(col("kind") === "c")
+    // one driver action over the <= k+1 stored rows for both scalars
+    val curRow = live.agg(max(col("ver")), coalesce(max(col("n_total")), lit(0L))).head()
     val maxVer = curRow.get(0)
     if (maxVer != null && batchId <= maxVer.asInstanceOf[Long])
-      return summaryOf(cur, k) // replay: current state is the post-batch state
+      // replay: current state IS the post-batch state; `live` backs the
+      // returned frame, so its checkpoint must stay pinned on this path
+      return summaryOf(cur, k)
     val nPrev = curRow.getLong(1)
     val bc = batch.select(itemCol.cast("string").as("item"))
       .filter(col("item").isNotNull)
@@ -87,16 +97,25 @@ object IncrementalTopK {
     val cut = if (topCts.length > k) topCts.last else 0L
     val nTotal = nPrev + nBatch
     val next = merged.filter(col("ct") - cut > 0)
-      .select(col("item"), (col("ct") - cut).as("ct"),
+      .select(lit("c").as("kind"), col("item"), (col("ct") - cut).as("ct"),
         lit(nTotal).as("n_total"), lit(batchId).as("ver"),
         lit("put").as("op_type"))
     val dropped = cur.select(col("item")).except(next.select(col("item")))
-      .select(col("item"), lit(0L).as("ct"), lit(nTotal).as("n_total"),
-        lit(batchId).as("ver"), lit("delete").as("op_type"))
-    val writes = next.unionByName(dropped).localCheckpoint(true)
-    if (!writes.isEmpty)
-      KeyedStore.merge(writes, storePath,
-        keys = Seq("item"), seqCols = Seq("ver"), numBuckets = numBuckets)
+      .select(lit("c").as("kind"), col("item"), lit(0L).as("ct"),
+        lit(nTotal).as("n_total"), lit(batchId).as("ver"),
+        lit("delete").as("op_type"))
+    val meta = spark.range(1).select(lit("m").as("kind"), lit("").as("item"),
+      lit(0L).as("ct"), lit(nTotal).as("n_total"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    val writes = next.unionByName(dropped).unionByName(meta).localCheckpoint(true)
+    KeyedStore.merge(writes, storePath,
+      keys = Seq("kind", "item"), seqCols = Seq("ver"), numBuckets = numBuckets)
+    // the returned summary derives from the checkpointed `writes` alone —
+    // the working frames are dead here and must not pin blocks for the
+    // session/stream lifetime (Dataset.unpersist no-ops on checkpoints)
+    graft.util.Blocks.freeCheckpoint(live)
+    graft.util.Blocks.freeCheckpoint(bc)
+    graft.util.Blocks.freeCheckpoint(merged)
     summaryOf(writes.filter(col("op_type") =!= "delete"), k)
   }
 
@@ -106,12 +125,14 @@ object IncrementalTopK {
       .map(_.filter(col("op_type") =!= "delete"))
       .getOrElse {
         import spark.implicits._
-        Seq.empty[(String, Long, Long, Long)].toDF("item", "ct", "n_total", "ver")
+        Seq.empty[(String, String, Long, Long, Long)]
+          .toDF("kind", "item", "ct", "n_total", "ver")
       }
-    summaryOf(cur, k)
+    summaryOf(cur.filter(col("kind") === "c"), k)
   }
 
   private def summaryOf(rows: DataFrame, k: Int): DataFrame =
-    rows.select(col("item"), col("ct"), col("n_total"),
-      expr(s"n_total div ${k + 1}").as("thresh"))
+    rows.filter(col("kind") === "c")
+      .select(col("item"), col("ct"), col("n_total"),
+        expr(s"n_total div ${k + 1}").as("thresh"))
 }

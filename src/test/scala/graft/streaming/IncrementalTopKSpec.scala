@@ -63,6 +63,28 @@ class IncrementalTopKSpec extends SparkSpec {
     assert(after == first, "store state unchanged by the replay")
   }
 
+  test("an all-evicting fold preserves n_total and replay detection (meta row)") {
+    val store = Files.createTempDirectory("inc_topk_ev").toString + "/mg"
+    val k = 2
+    // fold 0: two equal counters fill the state exactly
+    IncrementalTopK.mergeBatch(items(Seq.fill(5)("a") ++ Seq.fill(5)("b")),
+      store, col("item"), k, 0L)
+    // fold 1: a third equal count -> cut = 5 -> EVERY counter evicted
+    val s1 = IncrementalTopK.mergeBatch(items(Seq.fill(5)("c")), store,
+      col("item"), k, 1L).collect()
+    assert(s1.isEmpty, s"all counters evicted: ${s1.toSeq}")
+    // history must survive the empty state: n_total = 15, and a replay of
+    // fold 1 must be DETECTED (not re-folded — it would resurrect c)
+    val replay = IncrementalTopK.mergeBatch(items(Seq.fill(5)("c")), store,
+      col("item"), k, 1L).collect()
+    assert(replay.isEmpty, s"replay must not resurrect evicted counts: ${replay.toSeq}")
+    // fold 2 keeps accumulating from the true history
+    val s2 = IncrementalTopK.mergeBatch(items(Seq.fill(9)("d")), store,
+      col("item"), k, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(s2.toSeq == Seq(("d", 9L, 24L, 8L)), s"${s2.toSeq}")
+  }
+
   test("a fresh caller resumes over the same store (restart)") {
     val store = Files.createTempDirectory("inc_topk_rs").toString + "/mg"
     val k = 2
