@@ -846,4 +846,56 @@ object Dedup {
         expr("bit_count(a.fp ^ b.fp)").as("ham"))
       .distinct()
   }
+
+  /** Bloom-filter n-gram decontamination screen — the constant-size
+    * alternative to the exact shingle join of [[contamination]] for eval
+    * suites whose SHINGLE SET is too large to join but whose BIT ARRAY is
+    * not: every eval shingle sets `k` bit positions in an `m`-bit filter
+    * (the Dolma / RedPajama production pattern), and a train shingle is
+    * "possibly contaminating" iff all `k` of its positions are set. False
+    * positives are inherent and PRICED (rate ≈ (1−e^{−kn/m})^k); false
+    * negatives are impossible, which is the property a decontamination
+    * screen needs.
+    *
+    * Determinism: positions are `k` disjoint 32-bit slices of `md5(s)`
+    * reduced mod `m` — the repo's standard hashing idiom, reproduced
+    * token-for-token by the SQL twin, so the screen (INCLUDING its false
+    * positives) is bit-identical on every engine and partitioning.
+    *
+    * Shape at scale: the filter is materialized as the DISTINCT position
+    * table (≤ m rows ≈ KBs — m-bounded NO MATTER how large the eval suite
+    * grows, unlike [[contamination]]'s eval-shingle broadcast), and each of
+    * the `k` membership probes is a broadcast hash join keyed on one
+    * position column — the train corpus never shuffles; the only exchange is
+    * the final map-side-combined per-doc count. Row width, not row count,
+    * carries the k probes.
+    *
+    * @param trainSh (doc_id, s) train shingles, distinct per doc
+    * @param evalSh  (doc_id, s) eval-suite shingles
+    * @param m       filter size in bits (positions)
+    * @param k       hash probes per shingle (≤ 4 — md5 yields four slices)
+    * @param minHits flag a doc when at least this many shingles bloom-hit
+    * @return (doc_id, shingle_ct, hit_ct, flagged) per train doc */
+  def bloomScreen(trainSh: DataFrame, evalSh: DataFrame, m: Int = 1 << 14,
+      k: Int = 3, minHits: Int = 3): DataFrame = {
+    require(m >= 2, s"filter needs at least 2 positions, got $m")
+    require(k >= 1 && k <= 4, s"md5 yields 4 32-bit slices, got k=$k")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    def pos(i: Int): Column =
+      conv(substring(md5(col("s")), 1 + 8 * i, 8), 16, 10).cast("long") % m
+    val bits = evalSh
+      .select(explode(array((0 until k).map(pos): _*)).as("pos"))
+      .distinct()
+    val probed = (0 until k).foldLeft(
+      trainSh.select(Seq(col("doc_id")) ++ (0 until k).map(i => pos(i).as(s"__p$i")): _*)) {
+      (acc, i) =>
+        acc.join(broadcast(bits.select(col("pos").as(s"__p$i"), lit(1).as(s"__h$i"))),
+          Seq(s"__p$i"), "left_outer")
+    }
+    val allSet = (0 until k).map(i => col(s"__h$i").isNotNull).reduce(_ && _)
+    probed.groupBy("doc_id").agg(
+        count(lit(1)).as("shingle_ct"),
+        sum(when(allSet, 1L).otherwise(0L)).as("hit_ct"))
+      .withColumn("flagged", col("hit_ct") >= minHits)
+  }
 }

@@ -270,4 +270,145 @@ object TextStats {
         sum(coalesce(col("w"), lit(0L))).as("score"))
       .withColumn("keep", col("score") >= bias)
   }
+
+  /** Hashed bigram-LM surprise screen — the CCNet-style language-model
+    * quality filter (score every document against an n-gram LM trained on a
+    * trusted target corpus; drop what the LM finds implausible), made exact
+    * and model-bounded the same way [[Curation.dsirScreen]] treats its
+    * unigram importance model:
+    *
+    *  - the LM is HASHED: bigrams and their left contexts reduce to
+    *    `buckets` md5 buckets, so the model is `buckets`-bounded no matter
+    *    how the vocabulary grows — it stays broadcastable at any corpus
+    *    scale (the same argument as DSIR's 31→285-of-4096 fill measurement);
+    *  - the score is the fixed-point ARITHMETIC-mean inverse probability:
+    *    per bigram, add-one surprise `(c1+buckets)·scale div (c2+1)` — an
+    *    exact integer — summed per doc. True perplexity is the GEOMETRIC
+    *    mean of `1/p` and needs `ln`/`exp` (not cross-engine exact, see
+    *    [[Ranking]]'s numeric posture); by AM ≥ GM the arithmetic mean is a
+    *    conservative upper bound that preserves the screen's intent —
+    *    high-surprise (OOV-heavy, out-of-domain) documents score high — and
+    *    is bit-identical on every engine and summation order.
+    *
+    * keep ⇔ surprise ≤ n_bigrams · scale · (num/den), i.e. the mean
+    * per-bigram inverse probability stays under the `num/den` dial, decided
+    * in DECIMAL(38,0) cross-multiplication (no division, no rounding).
+    * Documents with fewer than two tokens carry the degenerate verdict
+    * (n_bi = 0, surprise = 0, keep = true) — one row per raw doc, as
+    * [[Curation.dsirScreen]]'s spine contract.
+    *
+    * Integer bounds: a per-bigram term is ≤ (c1+buckets)·scale; with the
+    * default scale 1e6 the BIGINT term holds context-bucket counts to ~9e12
+    * tokens, and the per-doc SUM accumulates in DECIMAL(38,0).
+    *
+    * Shape at scale: one pass over the target builds the two bucket-count
+    * models (map-side combined, ≤ `buckets` rows each, BROADCAST); the raw
+    * corpus explodes to bigram rows, probes both models by broadcast join —
+    * never shuffling on the model — and rolls up per doc in the one
+    * exchange. The doc-spine re-anchor is a doc-keyed left join.
+    *
+    * @return (doc_id, n_bi, oov_ct, surprise DECIMAL(38,0), keep) */
+  def hashedLmSurprise(raw: DataFrame, target: DataFrame, idCol: Column,
+      textCol: Column, buckets: Int = 4096, scale: Long = 1000000L,
+      num: Long = 2048L, den: Long = 1L): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    require(num >= 1L && den >= 1L, s"threshold must be positive, got $num/$den")
+    def bucketOf(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(idCol.as("doc_id"), toks(textCol).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__t) - 2), " +
+          "i -> struct(__t[i] AS u, concat(__t[i], ' ', __t[i+1]) AS bg))")).as("p"))
+      .select(col("doc_id"), bucketOf(col("p.u")).as("b1"),
+        bucketOf(col("p.bg")).as("b2"))
+    val tgt = bigrams(target)
+    val ctx = tgt.groupBy("b1").agg(count(lit(1)).as("c1"))
+    val big = tgt.groupBy("b2").agg(count(lit(1)).as("c2"))
+    val scored = bigrams(raw)
+      .join(broadcast(big), Seq("b2"), "left_outer")
+      .join(broadcast(ctx), Seq("b1"), "left_outer")
+      .select(col("doc_id"), col("c2").isNull.as("__oov"),
+        ((coalesce(col("c1"), lit(0L)) + buckets) * scale).as("__sn"),
+        (coalesce(col("c2"), lit(0L)) + 1).as("__sd"))
+      .withColumn("__term", expr("__sn div __sd"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bi"),
+        sum(when(col("__oov"), 1L).otherwise(0L)).as("oov_ct"),
+        sum(col("__term").cast("decimal(38,0)")).cast("decimal(38,0)").as("surprise"))
+    raw.select(idCol.as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .withColumn("n_bi", coalesce(col("n_bi"), lit(0L)))
+      .withColumn("oov_ct", coalesce(col("oov_ct"), lit(0L)))
+      .withColumn("surprise",
+        coalesce(col("surprise"), lit(0L).cast("decimal(38,0)")))
+      .withColumn("keep",
+        col("surprise") * den <=
+          col("n_bi").cast("decimal(38,0)") * scale * num)
+  }
+
+  /** Greedy longest-match subword tokenization counts — real
+    * vocabulary-driven token accounting (the WordPiece/SentencePiece
+    * maximal-munch rule: at each position consume the LONGEST vocabulary
+    * piece that matches; no match consumes one character as UNK; words
+    * longer than `maxWordLen` chars collapse to a single UNK, the standard
+    * WordPiece max_input_chars guard). Continuation markers ("##") are
+    * deliberately dropped: the vocabulary is position-independent, which is
+    * the SentencePiece-unigram surface — documented deviation, not a gap.
+    *
+    * Execution is a ROW-LOCAL integer fold, no driver loop and no
+    * per-position join: `aggregate(sequence(1, len), 0L, step)` carries the
+    * cursor packed as `pos·10⁶ + pieces·10³ + unk` (all three bounded by
+    * `maxWordLen` ≤ 999), and each step either skips (the cursor has
+    * already passed this index) or advances by the longest literal-vocab
+    * match — an expression tree the SQL twin reproduces with `list_reduce`
+    * token-for-token, so the counts are bit-identical by construction.
+    *
+    * Shape at scale: tokenization runs on the DISTINCT-WORD table, not the
+    * corpus — Heaps' law bounds distinct words ~√(corpus), so the expensive
+    * fold touches a vanishing fraction of rows at 100 TB while the corpus
+    * pays only an explode, a (doc, word) count, the word-keyed join back,
+    * and the doc rollup. The vocabulary rides the expression as literals
+    * (codegen'd comparisons — nothing to broadcast or join).
+    *
+    * @param vocab  lowercase pieces, each 1..maxPieceLen chars
+    * @return (doc_id, n_words, n_pieces, n_unk) one row per input doc */
+  def wordpieceCounts(df: DataFrame, idCol: Column, textCol: Column,
+      vocab: Seq[String], maxPieceLen: Int = 3, maxWordLen: Int = 64): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    require(maxPieceLen >= 1 && maxPieceLen <= 99,
+      s"maxPieceLen must be in [1,99], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 999,
+      s"packed cursor holds word lengths to 999, got $maxWordLen")
+    require(vocab.forall(p => p.nonEmpty && p.length <= maxPieceLen),
+      s"every piece must be 1..$maxPieceLen chars")
+    val inList = vocab.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+    val pos = "(acc div 1000000)"
+    val whens = (maxPieceLen to 1 by -1).map { l =>
+      s"WHEN substring(w, CAST($pos AS INT) + 1, $l) IN ($inList) " +
+        s"THEN ($pos + $l) * 1000000 + acc % 1000000 + 1000"
+    }.mkString(" ")
+    val fold = s"aggregate(sequence(1, length(w)), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> CASE WHEN $pos + 1 <> i THEN acc ELSE " +
+      s"CASE $whens ELSE ($pos + 1) * 1000000 + acc % 1000000 + 1 END END)"
+    val packed = s"CASE WHEN w IS NULL OR length(w) = 0 THEN CAST(0 AS BIGINT) " +
+      s"WHEN length(w) > $maxWordLen THEN CAST(1 AS BIGINT) ELSE $fold END"
+    val wordCt = df
+      .select(idCol.as("doc_id"), explode(toks(textCol)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("ct"))
+    val pieced = wordCt.select("w").distinct()
+      .withColumn("__pk", expr(packed))
+      .select(col("w"), expr("(__pk div 1000) % 1000").as("__pieces"),
+        expr("__pk % 1000").as("__unk"))
+    val scored = wordCt.join(pieced, Seq("w"))
+      .groupBy("doc_id").agg(
+        sum(col("ct")).as("n_words"),
+        sum(col("ct") * col("__pieces")).as("n_pieces"),
+        sum(col("ct") * col("__unk")).as("n_unk"))
+    df.select(idCol.as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .withColumn("n_words", coalesce(col("n_words"), lit(0L)))
+      .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L)))
+      .withColumn("n_unk", coalesce(col("n_unk"), lit(0L)))
+  }
 }

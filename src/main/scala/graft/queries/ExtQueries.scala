@@ -15,6 +15,15 @@ object ExtQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Envelopes.table(s, dir, "embeddings")
 
+  /** ONE vocabulary definition feeds the Spark query AND the generated SQL
+    * twin (the [[TradeGraphCte]] discipline): frequent English 2-3-grams
+    * plus every lowercase letter and digit as 1-char fallbacks, so UNK
+    * counts are exactly the non-alphanumeric characters. */
+  private val WordpieceVocab: Seq[String] =
+    Seq("the", "ing", "ion", "and", "ent", "er", "in", "re", "on", "at",
+      "an", "es", "or", "te", "ed", "ti", "st", "ar", "nd", "al", "to",
+      "it") ++ ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
   /** How many corpora keep their shared intermediates pinned at once. A
     * verify/bench pass runs every query against ONE dir, so even the
     * tri-scale sweep (three dirs, visited dir-by-dir) never evicts a
@@ -600,6 +609,20 @@ object ExtQueries {
         .orderBy(col("train_id"), col("eval_id"))
     },
 
+    // Bloom-filter decontamination screen over the same eval split — the
+    // m-bounded membership variant (false positives priced, none missed);
+    // the filter's bit table and its FPs are deterministic, so the screen
+    // is fully hash-oracled. flagged cast to int for the dump.
+    "q_bloom_decon" -> { (s, dir) =>
+      val sh = shingleTable(s, dir)
+      val isEval = col("doc_id") % 97 === 0
+      Dedup.bloomScreen(sh.filter(!isEval), sh.filter(isEval),
+          m = 1 << 14, k = 3, minHits = 3)
+        .select(col("doc_id"), col("shingle_ct"), col("hit_ct"),
+          col("flagged").cast("int").as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
     // Cross-corpus LSH near-dup join: even docs (corpus A) vs odd docs
     // (corpus B) at Jaccard >= 1/2 — the R-S decontamination/matching form.
     // Oracle = the exhaustive cross Jaccard pairs (the LSH(32,16) ==
@@ -721,6 +744,31 @@ object ExtQueries {
       Curation.dsirScreen(d.filter(!isTgt), d.filter(isTgt),
           col("doc_id"), col("text"), buckets = 4096)
         .select(col("doc_id"), col("n_toks"), col("tgt_mass"), col("raw_mass"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Greedy longest-match subword tokenization over a literal vocabulary
+    // (all ASCII letters+digits as 1-char fallbacks, 22 frequent English
+    // 2-3-grams): real maximal-munch WordPiece counting, bit-exact via the
+    // packed-cursor fold. UNKs are the non-alphanumeric characters.
+    "q_wordpiece" -> { (s, dir) =>
+      TextStats.wordpieceCounts(docs(s, dir), col("doc_id"), col("text"),
+          WordpieceVocab)
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNet-style hashed bigram-LM surprise screen: LM trained on the
+    // doc_id % 7 == 0 slice (the trusted-domain stand-in), every other doc
+    // scored by exact fixed-point mean inverse probability. surprise cast
+    // to bigint for the dump (DECIMAL(38,0) in the library contract).
+    "q_lm_surprise" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isTgt = col("doc_id") % 7 === 0
+      TextStats.hashedLmSurprise(d.filter(!isTgt), d.filter(isTgt),
+          col("doc_id"), col("text"), buckets = 4096, num = 820L)
+        .select(col("doc_id"), col("n_bi"), col("oov_ct"),
+          col("surprise").cast("bigint").as("surprise"),
           col("keep").cast("int").as("keep"))
         .orderBy(col("doc_id"))
     },
@@ -1755,6 +1803,34 @@ object ExtQueries {
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY train_id, eval_id""".stripMargin,
 
+    // Deterministic Bloom emulation: the filter IS the distinct position
+    // table of the eval shingles' three md5 slices mod 16384; a train
+    // shingle hits iff all three of its positions are set.
+    "q_bloom_decon" ->
+      s"""WITH $JAC,
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |bp AS (SELECT DISTINCT pos FROM (
+         |  SELECT unnest([
+         |    ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384,
+         |    ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384,
+         |    ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384]) AS pos
+         |  FROM ev)),
+         |tr AS (SELECT doc_id,
+         |         ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384 AS p0,
+         |         ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384 AS p1,
+         |         ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384 AS p2
+         |       FROM sh WHERE doc_id % 97 <> 0),
+         |hits AS (SELECT t.doc_id,
+         |           CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+         |                     AND b2.pos IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |         FROM tr t LEFT JOIN bp b0 ON t.p0 = b0.pos
+         |                   LEFT JOIN bp b1 ON t.p1 = b1.pos
+         |                   LEFT JOIN bp b2 ON t.p2 = b2.pos)
+         |SELECT doc_id, COUNT(*) AS shingle_ct,
+         |       CAST(SUM(hit) AS BIGINT) AS hit_ct,
+         |       CAST(SUM(hit) >= 3 AS INT) AS flagged
+         |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // Exhaustive cross-corpus (even x odd) Jaccard pairs at >= 1/2 — the
     // q_dedup_minhash fixture identity restricted to the A x B orientation.
     "q_dedup_minhash_xjoin" ->
@@ -1971,6 +2047,72 @@ object ExtQueries {
         |       CAST(COALESCE(sc.tgt_mass, 0)::DECIMAL(38,0) * (SELECT rt FROM tot) * 1 >=
         |            COALESCE(sc.raw_mass, 0)::DECIMAL(38,0) * (SELECT tt FROM tot) * 1 AS INT) AS keep
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same packed-cursor greedy fold via list_reduce, vocabulary generated
+    // from the ONE WordpieceVocab list (list_prepend(0, …) supplies the
+    // initial accumulator Spark's aggregate() takes explicitly).
+    "q_wordpiece" -> {
+      val inList = WordpieceVocab.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+      val pos = "(acc // 1000000)"
+      val whens = (3 to 1 by -1).map { l =>
+        s"WHEN substr(w, CAST($pos AS INT) + 1, $l) IN ($inList) " +
+          s"THEN ($pos + $l) * 1000000 + acc % 1000000 + 1000"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         |wm AS (SELECT doc_id, unnest(ts) AS w FROM t),
+         |wc AS (SELECT doc_id, w, COUNT(*) AS ct FROM wm GROUP BY 1, 2),
+         |dw AS (SELECT DISTINCT w FROM wc),
+         |tk AS (SELECT w,
+         |         CASE WHEN w IS NULL OR len(w) = 0 THEN CAST(0 AS BIGINT)
+         |              WHEN len(w) > 64 THEN CAST(1 AS BIGINT)
+         |              ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                     generate_series(CAST(1 AS BIGINT), CAST(len(w) AS BIGINT))),
+         |                (acc, i) -> CASE WHEN $pos + 1 <> i THEN acc ELSE
+         |                  CASE $whens
+         |                       ELSE ($pos + 1) * 1000000 + acc % 1000000 + 1 END END) END AS pk
+         |       FROM dw),
+         |sc AS (SELECT wc.doc_id, SUM(ct) AS n_words,
+         |              SUM(ct * ((pk // 1000) % 1000)) AS n_pieces,
+         |              SUM(ct * (pk % 1000)) AS n_unk
+         |       FROM wc JOIN tk USING (w) GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(n_pieces, 0) AS BIGINT) AS n_pieces,
+         |       CAST(COALESCE(n_unk, 0) AS BIGINT) AS n_unk
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // Bigram rows once (p = [unigram context, bigram]), hashed to 4096
+    // buckets; LM counts from the % 7 target slice; fixed-point add-one
+    // surprise mirrored term-for-term (// is DuckDB's integral div, same
+    // floor as Spark's `div` on the all-positive operands here).
+    "q_lm_surprise" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |                i -> [t[i], t[i] || ' ' || t[i+1]])) AS p
+        |       FROM t WHERE len(t) >= 2),
+        |bb AS (SELECT doc_id,
+        |         ('0x' || substr(md5(p[1]), 1, 8))::BIGINT % 4096 AS b1,
+        |         ('0x' || substr(md5(p[2]), 1, 8))::BIGINT % 4096 AS b2
+        |       FROM bg),
+        |ctx AS (SELECT b1, COUNT(*) AS c1 FROM bb WHERE doc_id % 7 = 0 GROUP BY 1),
+        |big AS (SELECT b2, COUNT(*) AS c2 FROM bb WHERE doc_id % 7 = 0 GROUP BY 1),
+        |sc AS (SELECT r.doc_id, COUNT(*) AS n_bi,
+        |         CAST(SUM(CASE WHEN big.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_ct,
+        |         CAST(SUM((COALESCE(ctx.c1, 0) + 4096) * 1000000
+        |                  // (COALESCE(big.c2, 0) + 1)) AS BIGINT) AS surprise
+        |       FROM bb r LEFT JOIN big ON r.b2 = big.b2
+        |                 LEFT JOIN ctx ON r.b1 = ctx.b1
+        |       WHERE r.doc_id % 7 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_bi, 0) AS n_bi,
+        |       COALESCE(sc.oov_ct, 0) AS oov_ct,
+        |       COALESCE(sc.surprise, 0) AS surprise,
+        |       CAST(COALESCE(sc.surprise, 0)::DECIMAL(38,0) * 1 <=
+        |            COALESCE(sc.n_bi, 0)::DECIMAL(38,0) * 1000000 * 820 AS INT) AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -205,4 +205,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the corpus must not shuffle into the weight join:\n" + p.take(800))
   }
+
+  test("bloom screen: position probes broadcast — the train corpus never shuffles") {
+    val p = plan("q_bloom_decon")
+    assert(p.contains("BroadcastHashJoin"), "bit-table probes must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the train shingles must not shuffle into the probes:\n" + p.take(800))
+  }
+
+  test("lm surprise: both LM bucket models broadcast, corpus exchange only at the doc rollup") {
+    val p = plan("q_lm_surprise")
+    assert(p.contains("BroadcastHashJoin"), "LM models must broadcast")
+    // the doc-spine re-anchor joins two doc-keyed sides and may legally
+    // shuffle; the MODEL probes must not. Count the shuffle-join operators:
+    // at most the one spine join.
+    val smj = "SortMergeJoin".r.findAllIn(p).size + "ShuffledHashJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"expected at most the spine join to shuffle, got $smj:\n" + p.take(800))
+  }
 }
