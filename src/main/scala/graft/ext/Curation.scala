@@ -206,6 +206,68 @@ object Curation {
       .drop("__src")
   }
 
+  /** UniMax epoch-capped mixture allocation (Chung et al. 2023) — the
+    * BUDGET-driven multilingual mixing rule, complementing
+    * [[mixApportion]]'s explicit-weights spec: spread a total example
+    * `budget` as uniformly as possible across languages, except no language
+    * may be drawn for more than `maxEpochs` passes over its data. Exact
+    * integer water-filling: languages sorted by capacity `cap = n·maxEpochs`
+    * ascending (ties → lang asc); a language SATURATES (gets its full cap)
+    * iff `cap_i·(k−i) + P_i ≤ budget` (P = running capacity sum — the
+    * classic level condition, monotone in i so the saturated set is a
+    * prefix); the remaining budget splits uniformly over the `u` unsaturated
+    * languages as `R div u` each, the `R mod u` leftover going one each to
+    * the smallest-capacity unsaturated languages. Unfillable budget (all
+    * languages saturated) is VISIBLE as Σalloc < budget, the
+    * [[mixApportion]] no-silent-redistribution stance.
+    *
+    * The allocation is then MATERIALIZED doc-level: within a language every
+    * doc repeats `alloc div n` times and the first `alloc mod n` docs in
+    * md5-of-id order repeat once more — so `repeats` sums exactly to the
+    * language's allocation, 0 marks docs a sub-epoch allocation drops, and
+    * the whole mixture is a pure function of (corpus, budget, maxEpochs):
+    * stable under reruns, repartitioning, and engines.
+    *
+    * Shape at scale: the water-filling runs on the LANGUAGE table (k rows —
+    * its unpartitioned windows are metadata-sized by construction), joins
+    * back broadcast; the corpus pays one per-language rank window.
+    *
+    * @return input rows + (rk, alloc, repeats) */
+  def unimaxRepeats(df: DataFrame, idCol: Column, langCol: Column,
+      budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val caps = df.groupBy(langCol.as("__lang")).agg(count(lit(1)).as("__n"))
+      .withColumn("__cap", col("__n") * maxEpochs)
+    val capOrd = Window.orderBy(col("__cap"), col("__lang"))
+    val o = caps
+      .withColumn("__i", row_number().over(capOrd).cast("long"))
+      .withColumn("__p", sum(col("__cap")).over(
+        capOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__sat",
+        col("__cap") * (col("__k") - col("__i")) + col("__p") <= budget)
+    val ag = o.agg(
+      coalesce(sum(when(col("__sat"), 1L).otherwise(0L)), lit(0L)).as("__j"),
+      coalesce(max(when(col("__sat"), col("__p"))), lit(0L)).as("__pj"))
+    val alloc = o.crossJoin(broadcast(ag))
+      .withColumn("__u", greatest(col("__k") - col("__j"), lit(1L)))
+      .withColumn("__r", lit(budget) - col("__pj"))
+      .withColumn("alloc", when(col("__sat"), col("__cap")).otherwise(
+        expr("__r div __u") +
+          when(col("__i") - col("__j") <= col("__r") % col("__u"), 1L)
+            .otherwise(0L)))
+      .select(col("__lang"), col("__n"), col("alloc"))
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(langCol)
+          .orderBy(md5(idCol.cast("string")), idCol)).cast("long"))
+      .join(broadcast(alloc), langCol === col("__lang"))
+      .withColumn("repeats",
+        expr("alloc div __n") +
+          when(col("rk") <= col("alloc") % col("__n"), 1L).otherwise(0L))
+      .drop("__lang", "__n")
+  }
+
   /** Deterministic STRATIFIED sample: per-stratum keep rates (percent), e.g.
     * rebalancing a multilingual corpus (`en` → 60%, `zh` → 40%, rest 20%).
     * Same md5 bucket as [[deterministicSample]], so the kept set is stable

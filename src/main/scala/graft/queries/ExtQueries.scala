@@ -24,6 +24,36 @@ object ExtQueries {
       "an", "es", "or", "te", "ed", "ti", "st", "ar", "nd", "al", "to",
       "it") ++ ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
 
+  /** The SQL-twin greedy fold over a `dw(w)` distinct-word CTE, as a
+    * RECURSIVE CTE (requires `WITH RECURSIVE` up front): each step advances
+    * the cursor by the longest [[WordpieceVocab]] match (else one UNK
+    * char), exactly the Spark `aggregate()` fold. Deliberately NOT
+    * `list_reduce` — DuckDB 1.0's list_reduce with a lambda capturing an
+    * outer column (`w`) is nondeterministic under vectorized execution
+    * (observed: same query, different n_pieces run-to-run), while the
+    * recursive form uses only plain operators. Emits `tk(w, pk)` with
+    * pk = pieces·1000 + unk. */
+  private val WordpieceTkCtes: String = {
+    val inList = WordpieceVocab.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+    val ml = (3 to 1 by -1).map { l =>
+      s"WHEN substr(w, CAST(pos AS INT) + 1, $l) IN ($inList) THEN $l"
+    }.mkString("CASE ", " ", " END")
+    s"""steps AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS pieces,
+       |         CAST(0 AS BIGINT) AS unk
+       |  FROM dw WHERE len(w) BETWEEN 1 AND 64
+       |  UNION ALL
+       |  SELECT w, pos + COALESCE(ml, 1),
+       |         pieces + CASE WHEN ml IS NOT NULL THEN 1 ELSE 0 END,
+       |         unk + CASE WHEN ml IS NULL THEN 1 ELSE 0 END
+       |  FROM (SELECT w, pos, pieces, unk, $ml AS ml
+       |        FROM steps WHERE pos < len(w)) x),
+       |tk AS (SELECT w, pieces * 1000 + unk AS pk FROM steps WHERE pos >= len(w)
+       |       UNION ALL SELECT w, CAST(1 AS BIGINT) FROM dw WHERE len(w) > 64
+       |       UNION ALL SELECT w, CAST(0 AS BIGINT) FROM dw
+       |                 WHERE w IS NULL OR len(w) = 0)""".stripMargin
+  }
+
   /** How many corpora keep their shared intermediates pinned at once. A
     * verify/bench pass runs every query against ONE dir, so even the
     * tri-scale sweep (three dirs, visited dir-by-dir) never evicts a
@@ -745,6 +775,52 @@ object ExtQueries {
           col("doc_id"), col("text"), buckets = 4096)
         .select(col("doc_id"), col("n_toks"), col("tgt_mass"), col("raw_mass"),
           col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // FLAGSHIP LM-curation composite wiring this round's model-bounded
+    // screens end to end: bigram-LM surprise gate (keep ⇔ mean inverse
+    // probability ≤ 820) → Bloom decontamination vs the %97 eval suite
+    // (shingle-less docs pass vacuously) → exact-dedup keepers →
+    // deterministic 50% sample, with wordpiece counts as the token payload.
+    "q_pipeline_lm" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isEval = col("doc_id") % 97 === 0
+      val corpus = d.filter(!isEval)
+      val lm = TextStats.hashedLmSurprise(corpus,
+          d.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"),
+          buckets = 4096, num = 820L)
+        .filter(col("keep")).select(col("doc_id"), col("surprise"))
+      val sh = shingleTable(s, dir)
+      val bloom = Dedup.bloomScreen(sh.filter(!isEval), sh.filter(isEval),
+          m = 1 << 14, k = 3, minHits = 3)
+        .select(col("doc_id"), col("flagged"))
+      val keepers = Dedup.exact(corpus, col("doc_id"), col("text"))
+        .select(col("keeper_id").as("doc_id"))
+      val wp = TextStats.wordpieceCounts(corpus, col("doc_id"), col("text"),
+          WordpieceVocab)
+        .select(col("doc_id"), col("n_pieces"))
+      val curated = corpus.select(col("doc_id"))
+        .join(lm, Seq("doc_id"))
+        .join(bloom, Seq("doc_id"), "left_outer")
+        .filter(!coalesce(col("flagged"), lit(false)))
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(wp, Seq("doc_id"))
+      Curation.deterministicSample(curated, col("doc_id"), 50)
+        .select(col("doc_id"), col("surprise").cast("bigint").as("surprise"),
+          col("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+
+    // UniMax budget-driven mixture: 12000 draws, 3-epoch cap. The tri-scale
+    // sweep exercises all three regimes: sf0.001 all-saturated (visible
+    // shortfall), sf0.01 mixed (small langs capped, en water-filled),
+    // sf0.1 uniform (nobody saturates).
+    "q_unimax" -> { (s, dir) =>
+      Curation.unimaxRepeats(docs(s, dir), col("doc_id"), col("lang"),
+          budget = 12000L, maxEpochs = 3)
+        .select(col("doc_id"), col("lang"), col("rk"), col("alloc"),
+          col("repeats"))
         .orderBy(col("doc_id"))
     },
 
@@ -2050,29 +2126,111 @@ object ExtQueries {
         |LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    // Same packed-cursor greedy fold via list_reduce, vocabulary generated
-    // from the ONE WordpieceVocab list (list_prepend(0, …) supplies the
-    // initial accumulator Spark's aggregate() takes explicitly).
+    // Flagship twin stitched from the proven q_lm_surprise / q_bloom_decon /
+    // q_wordpiece CTEs (LM raw spine = the %97 train corpus here), exact
+    // keepers and the md5-percentile sample as in q_pipeline_model.
+    "q_pipeline_lm" -> {
+      s"""WITH RECURSIVE $JAC,
+         |lmb AS (SELECT doc_id,
+         |          ('0x' || substr(md5(p[1]), 1, 8))::BIGINT % 4096 AS b1,
+         |          ('0x' || substr(md5(p[2]), 1, 8))::BIGINT % 4096 AS b2
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(generate_series(1, len(t) - 1),
+         |                       i -> [t[i], t[i] || ' ' || t[i+1]])) AS p
+         |              FROM toks WHERE len(t) >= 2)),
+         |lmctx AS (SELECT b1, COUNT(*) AS c1 FROM lmb WHERE doc_id % 7 = 0 GROUP BY 1),
+         |lmbig AS (SELECT b2, COUNT(*) AS c2 FROM lmb WHERE doc_id % 7 = 0 GROUP BY 1),
+         |lmsc AS (SELECT r.doc_id, COUNT(*) AS n_bi,
+         |           CAST(SUM((COALESCE(x.c1, 0) + 4096) * 1000000
+         |                    // (COALESCE(g.c2, 0) + 1)) AS BIGINT) AS surprise
+         |         FROM lmb r LEFT JOIN lmbig g ON r.b2 = g.b2
+         |                    LEFT JOIN lmctx x ON r.b1 = x.b1
+         |         WHERE r.doc_id % 97 <> 0 GROUP BY 1),
+         |bev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |bp AS (SELECT DISTINCT pos FROM (
+         |  SELECT unnest([
+         |    ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384,
+         |    ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384,
+         |    ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384]) AS pos
+         |  FROM bev)),
+         |btr AS (SELECT doc_id,
+         |          ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384 AS p0,
+         |          ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384 AS p1,
+         |          ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384 AS p2
+         |        FROM sh WHERE doc_id % 97 <> 0),
+         |bh AS (SELECT t.doc_id, SUM(CASE WHEN b0.pos IS NOT NULL
+         |           AND b1.pos IS NOT NULL AND b2.pos IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS hc
+         |       FROM btr t LEFT JOIN bp b0 ON t.p0 = b0.pos
+         |                  LEFT JOIN bp b1 ON t.p1 = b1.pos
+         |                  LEFT JOIN bp b2 ON t.p2 = b2.pos
+         |       GROUP BY 1),
+         |wc AS (SELECT doc_id, w, COUNT(*) AS ct
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM toks
+         |             WHERE doc_id % 97 <> 0)
+         |       GROUP BY 1, 2),
+         |dw AS (SELECT DISTINCT w FROM wc),
+         |$WordpieceTkCtes,
+         |wsc AS (SELECT wc.doc_id, SUM(ct * ((pk // 1000) % 1000)) AS n_pieces
+         |        FROM wc JOIN tk USING (w) GROUP BY 1),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id
+         |            FROM documents WHERE doc_id % 97 <> 0 GROUP BY md5(text))
+         |SELECT c.doc_id,
+         |       CAST(COALESCE(l.surprise, 0) AS BIGINT) AS surprise,
+         |       CAST(COALESCE(w2.n_pieces, 0) AS BIGINT) AS n_pieces
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+         |LEFT JOIN lmsc l ON c.doc_id = l.doc_id
+         |LEFT JOIN bh ON c.doc_id = bh.doc_id
+         |LEFT JOIN wsc w2 ON c.doc_id = w2.doc_id
+         |WHERE COALESCE(l.surprise, 0)::DECIMAL(38,0) <=
+         |        COALESCE(l.n_bi, 0)::DECIMAL(38,0) * 1000000 * 820
+         |  AND COALESCE(bh.hc, 0) < 3
+         |  AND c.doc_id IN (SELECT doc_id FROM keepers)
+         |  AND ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+         |ORDER BY c.doc_id""".stripMargin
+    },
+
+    // Integer water-filling twin: saturation prefix via the level condition
+    // cap·(k−i)+P ≤ T on the capacity-sorted language spine, uniform
+    // remainder with smallest-capacity-first leftovers, md5-rank repeats.
+    "q_unimax" ->
+      """WITH l AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |o AS (SELECT lang, n, n * 3 AS cap,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY n * 3, lang) AS BIGINT) AS i,
+        |        CAST(SUM(n * 3) OVER (ORDER BY n * 3, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS k
+        |      FROM l),
+        |s AS (SELECT *, cap * (k - i) + p <= 12000 AS sat FROM o),
+        |ag AS (SELECT CAST(COALESCE(SUM(CASE WHEN sat THEN 1 ELSE 0 END), 0) AS BIGINT) AS j,
+        |              CAST(COALESCE(MAX(CASE WHEN sat THEN p END), 0) AS BIGINT) AS pj
+        |       FROM s),
+        |al AS (SELECT s.lang, s.n,
+        |         CAST(CASE WHEN s.sat THEN s.cap
+        |              ELSE (12000 - ag.pj) // GREATEST(s.k - ag.j, 1)
+        |                   + CASE WHEN s.i - ag.j <=
+        |                       (12000 - ag.pj) % GREATEST(s.k - ag.j, 1)
+        |                     THEN 1 ELSE 0 END
+        |         END AS BIGINT) AS alloc
+        |       FROM s, ag),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk, al.alloc,
+        |       CAST(al.alloc // al.n +
+        |            CASE WHEN r.rk <= al.alloc % al.n THEN 1 ELSE 0 END AS BIGINT) AS repeats
+        |FROM r JOIN al ON r.lang = al.lang
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // Same greedy fold as a recursive CTE (see WordpieceTkCtes for why not
+    // list_reduce), vocabulary generated from the ONE WordpieceVocab list.
     "q_wordpiece" -> {
-      val inList = WordpieceVocab.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
-      val pos = "(acc // 1000000)"
-      val whens = (3 to 1 by -1).map { l =>
-        s"WHEN substr(w, CAST($pos AS INT) + 1, $l) IN ($inList) " +
-          s"THEN ($pos + $l) * 1000000 + acc % 1000000 + 1000"
-      }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
          |wm AS (SELECT doc_id, unnest(ts) AS w FROM t),
          |wc AS (SELECT doc_id, w, COUNT(*) AS ct FROM wm GROUP BY 1, 2),
          |dw AS (SELECT DISTINCT w FROM wc),
-         |tk AS (SELECT w,
-         |         CASE WHEN w IS NULL OR len(w) = 0 THEN CAST(0 AS BIGINT)
-         |              WHEN len(w) > 64 THEN CAST(1 AS BIGINT)
-         |              ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |                     generate_series(CAST(1 AS BIGINT), CAST(len(w) AS BIGINT))),
-         |                (acc, i) -> CASE WHEN $pos + 1 <> i THEN acc ELSE
-         |                  CASE $whens
-         |                       ELSE ($pos + 1) * 1000000 + acc % 1000000 + 1 END END) END AS pk
-         |       FROM dw),
+         |$WordpieceTkCtes,
          |sc AS (SELECT wc.doc_id, SUM(ct) AS n_words,
          |              SUM(ct * ((pk // 1000) % 1000)) AS n_pieces,
          |              SUM(ct * (pk % 1000)) AS n_unk

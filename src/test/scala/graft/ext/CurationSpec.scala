@@ -368,4 +368,37 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
+
+  test("unimax water-filling: caps honored, budget conserved, uniform tail") {
+    val s = spark
+    import s.implicits._
+    // capacities ×2 epochs: a→4, b→10, c→40. Budget 20: a saturates
+    // (4·2+4=12 ≤ 20), b? 10·1+14=24 > 20 → unsaturated; R=16 over u=2 →
+    // 8 each. a repeats: every doc 2×; b: 10 docs alloc 8 → 8 docs 1×, 2
+    // docs 0; c: 20 docs alloc 8.
+    val df = ((1 to 2).map(i => (i.toLong, "a")) ++
+      (11 to 20).map(i => (i.toLong, "b")) ++
+      (21 to 40).map(i => (i.toLong, "c"))).toDF("doc_id", "lang")
+    val out = Curation.unimaxRepeats(df, col("doc_id"), col("lang"),
+      budget = 20L, maxEpochs = 2)
+    val byLang = out.groupBy("lang").agg(
+        max(col("alloc")).as("alloc"), sum(col("repeats")).as("reps"),
+        max(col("repeats")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byLang("a") == ((4L, 4L, 2L)), s"a: ${byLang("a")}")
+    assert(byLang("b") == ((8L, 8L, 1L)), s"b: ${byLang("b")}")
+    assert(byLang("c") == ((8L, 8L, 1L)), s"c: ${byLang("c")}")
+    assert(byLang.values.map(_._2).sum == 20L, "budget must be conserved")
+    // over-budget: everything saturates at cap, shortfall visible
+    val sat = Curation.unimaxRepeats(df, col("doc_id"), col("lang"),
+        budget = 1000L, maxEpochs = 2)
+      .agg(sum(col("repeats"))).collect()(0).getLong(0)
+    assert(sat == 64L, s"all-saturated total should be 2×32=64, got $sat")
+    // repartition-stable materialization
+    val a = out.select("doc_id", "repeats").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Curation.unimaxRepeats(df.repartition(7), col("doc_id"), col("lang"),
+        budget = 20L, maxEpochs = 2)
+      .select("doc_id", "repeats").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
 }
