@@ -19,7 +19,7 @@ object ExtQueries {
     * twin (the [[TradeGraphCte]] discipline): frequent English 2-3-grams
     * plus every lowercase letter and digit as 1-char fallbacks, so UNK
     * counts are exactly the non-alphanumeric characters. */
-  private val WordpieceVocab: Seq[String] =
+  private[graft] val WordpieceVocab: Seq[String] =
     Seq("the", "ing", "ion", "and", "ent", "er", "in", "re", "on", "at",
       "an", "es", "or", "te", "ed", "ti", "st", "ar", "nd", "al", "to",
       "it") ++ ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)

@@ -422,6 +422,73 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Round-7 screens probe: wordpiece / Bloom-decon / LM-surprise at 1× vs
+    * N× on the VOCABULARY-GROWING replicated corpus (the dsirProbe
+    * mangling appends a per-copy tag to most words, so distinct words —
+    * the wordpiece fold's work set — grow ~×N: the adversarial case). The
+    * claims under test: the wordpiece fold's row count IS the distinct-word
+    * count (corpus pays only explode+join+rollup); the Bloom bit table
+    * saturates at ≤ m positions no matter how the eval suite grows; the LM
+    * models stay ≤ buckets rows each. */
+  def screensProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      val srcDir = "/root/testdata/sf0.1"
+      def doc(c: Int) = {
+        val base = spark.read.parquet(s"$srcDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+        if (c == 0) base
+        else {
+          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
+          base.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => when(t.isin("the", "a", "of", "to", "and"), t)
+                .otherwise(concat(t, lit(tag)))), " "))
+        }
+      }
+      val parts = spark.sparkContext.defaultParallelism
+      (0 until copies).map(doc).reduce(_ union _)
+        .repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+    }
+    val m = 1 << 14
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
+        (outDir, s"${copies}x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      def run(tag: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SCREENPROBE $label%-5s $tag%-10s wall=${(System.nanoTime - t0) / 1e9}%6.2f s out=$n ($nDocs docs)")
+      }
+      val distinctWords = docs
+        .select(explode(graft.ext.TextStats.toks(col("text"))).as("w"))
+        .distinct().count()
+      println(s"SCREENPROBE $label wordpiece fold rows (distinct words): $distinctWords")
+      run("wordpiece")(graft.ext.TextStats.wordpieceCounts(docs,
+          col("doc_id"), col("text"), graft.queries.ExtQueries.WordpieceVocab)
+        .agg(sum(col("n_pieces"))).collect()(0).getLong(0))
+      val sh = graft.ext.Dedup.shingles(docs, col("doc_id"), col("text"))
+      val isEval = col("doc_id") % 97 === 0
+      val evalSh = sh.filter(isEval)
+      def posOf(i: Int) = conv(substring(md5(col("s")), 1 + 8 * i, 8), 16, 10)
+        .cast("long") % m
+      val bitFill = evalSh
+        .select(explode(array((0 until 3).map(posOf): _*)).as("pos"))
+        .distinct().count()
+      println(s"SCREENPROBE $label bloom bit-table fill: $bitFill of $m positions")
+      run("bloom")(graft.ext.Dedup.bloomScreen(sh.filter(!isEval), evalSh)
+        .filter(col("flagged")).count())
+      val isTgt = col("doc_id") % 7 === 0
+      run("lm")(graft.ext.TextStats.hashedLmSurprise(docs.filter(!isTgt),
+          docs.filter(isTgt), col("doc_id"), col("text"), num = 820L)
+        .filter(col("keep")).count())
+    }
+    spark.stop()
+  }
+
   /** PageRank scale probe: the symmetrized trade graph at 1× vs N×
     * (key-shifted copies = N disjoint subgraphs — node and edge counts both
     * scale ×N, the shape that matters for the per-iteration join+agg).
@@ -504,6 +571,11 @@ object ScaleProbe {
     if (args.headOption.contains("topk")) {
       topkProbe(args.lift(1).map(_.toInt).getOrElse(30),
         args.lift(2).getOrElse("/tmp/graft_scale_topk"))
+      return
+    }
+    if (args.headOption.contains("screens")) {
+      screensProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_dsir"))
       return
     }
     if (args.headOption.contains("dsir")) {
