@@ -58,7 +58,7 @@ object IncrementalDsir {
     * would silently reset the mark to "nothing screened" — a restarted
     * stream would then reuse consumed batch ids and corrupt the raw model.
     * The mark is monotone, so max-of-both is always the true value. */
-  private def readHwm(spark: SparkSession, storePath: String): Option[Long] = {
+  private[streaming] def readHwm(spark: SparkSession, storePath: String): Option[Long] = {
     val f = KeyedStore.fs(spark, storePath)
     val root = new org.apache.hadoop.fs.Path(storePath)
     val main = readHwmFile(f, new org.apache.hadoop.fs.Path(root, HwmFile))
@@ -67,7 +67,7 @@ object IncrementalDsir {
     else Some(math.max(main.getOrElse(Long.MinValue), neu.getOrElse(Long.MinValue)))
   }
 
-  private def advanceHwm(spark: SparkSession, storePath: String, next: Long): Unit = {
+  private[streaming] def advanceHwm(spark: SparkSession, storePath: String, next: Long): Unit = {
     val cur = readHwm(spark, storePath).getOrElse(Long.MinValue)
     if (next > cur) {
       val f = KeyedStore.fs(spark, storePath)
