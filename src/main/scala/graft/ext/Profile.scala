@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the `ANALYZE TABLE`-style statistics pass a pipeline
@@ -51,5 +51,51 @@ object Profile {
           col(s"__mx_$c").as("max_s"))
       }: _*)).as("__p"))
       .select(col("__p.*"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch, per group — the
+    * DETERMINISTIC cardinality estimator (Bar-Yossef et al. 2002): hash
+    * every value to a 32-bit md5 slice, keep the k SMALLEST distinct
+    * hashes, estimate `(k−1)·2³² / h_k` from the k-th smallest. Unlike
+    * HLL++ (`approx_count_distinct`), every step is exact integer
+    * arithmetic on a deterministic hash — the estimate is a pure function
+    * of the value SET, reproducible bit-for-bit on any engine (the SQL
+    * twin hash-matches it), mergeable by construction (k smallest of a
+    * union = k smallest of the per-partition k-smallest — which is exactly
+    * how the rank-limit window computes it distributed), and stable under
+    * reruns/repartitioning. Standard error ≈ 1/√(k−2).
+    *
+    * Groups with < k distinct values report their EXACT count (`h_k` is
+    * then the max hash, not a k-th order statistic — the estimator is
+    * undefined; the count is free from the same pass).
+    *
+    * Shape at scale: distinct (group, hash) → per-group rank window — the
+    * rank-≤-k filter plans as WindowGroupLimit, so each map task forwards
+    * at most k rows per group before the shuffle — → one k-row-per-group
+    * rollup. State is O(k) per group at every stage; the exact
+    * `count_distinct` alternative shuffles the full distinct set.
+    *
+    * @return (group cols..., n_seen, kmv_est) — n_seen = min(k, distinct),
+    *         kmv_est = exact count below k, else the KMV estimate */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      k: Int = 256): DataFrame = {
+    require(groupCols.nonEmpty, "kmvDistinct needs at least one group column")
+    require(k >= 3, s"k must be >= 3 (estimator needs k-1 >= 2), got $k")
+    val h = conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val gcols = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("__h"))
+    df.select(gcols :+ h.as("__h"): _*)
+      .filter(col("__h").isNotNull) // null values don't count, as count_distinct
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_seen"), max(col("__h")).as("__hk"))
+      .withColumn("kmv_est",
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"(${k - 1} * 4294967296L) div __hk")))
+      .select(gcols ++ Seq(col("n_seen"), col("kmv_est")): _*)
   }
 }

@@ -348,6 +348,55 @@ object TextStats {
           col("n_bi").cast("decimal(38,0)") * scale * num)
   }
 
+  /** Content-defined chunking (the Rabin/CDC rule storage dedup is built
+    * on, applied token-level): a chunk boundary falls AFTER token `i`
+    * whenever the rolling `window`-gram hash ending at `i` satisfies
+    * `h % divisor == 0` — so boundaries are a function of CONTENT, not
+    * position, and an insertion early in a document perturbs only the
+    * chunks it touches: every later chunk re-synchronizes to the identical
+    * (fingerprint, content) pair. That re-sync is what makes sub-document
+    * dedup robust to edits, where fixed-stride chunking ([[chunk]]) shifts
+    * every downstream boundary. Expected chunk length ≈ `divisor` tokens.
+    *
+    * Deterministic: the rolling hash is the md5-slice idiom over the
+    * space-joined gram, the chunk fingerprint is the md5 slice of the
+    * space-rejoined chunk (order pinned via sort_array over (pos, tok) —
+    * collect_list alone is partition-order-unstable), both reproduced
+    * token-for-token by the SQL twin.
+    *
+    * Shape at scale: one per-doc window pass (the lag gram + running cut
+    * count share a single doc-keyed sort) and one (doc, chunk) rollup —
+    * two corpus-linear exchanges, no joins. Docs with no tokens (null
+    * text) have no chunks by definition.
+    *
+    * @return (doc_id, chunk_id, n_toks, fp) — chunk_id 0-based per doc */
+  def cdcChunks(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 3, divisor: Int = 16): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = df
+      .select(idCol.as("doc_id"), posexplode(toks(textCol)).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos") + 1) // 1-based, as the SQL twin
+    val gram = concat_ws(" ",
+      ((window - 1) to 0 by -1).map(k => lag(col("tok"), k).over(w)): _*)
+    val cut = col("pos") >= window &&
+      conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % divisor === 0
+    tok
+      .withColumn("chunk_id", coalesce(
+        sum(when(cut, 1L).otherwise(0L)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sort_array(collect_list(struct(col("pos"), col("tok")))).as("__pt"))
+      .withColumn("fp", conv(substring(md5(
+        concat_ws(" ", expr("transform(__pt, x -> x.tok)"))), 1, 8), 16, 10)
+        .cast("long"))
+      .select(col("doc_id"), col("chunk_id"), col("n_toks"), col("fp"))
+  }
+
   /** Greedy longest-match subword tokenization counts — real
     * vocabulary-driven token accounting (the WordPiece/SentencePiece
     * maximal-munch rule: at each position consume the LONGEST vocabulary

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Multimodal, Ranking, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Profile, Ranking, Similarity, TextStats}
 import graft.model.Envelopes
 
 /** Verify queries for the LLM-data-pipeline extensions: dedup, similarity
@@ -776,6 +776,27 @@ object ExtQueries {
         .select(col("doc_id"), col("n_toks"), col("tgt_mass"), col("raw_mass"),
           col("keep").cast("int").as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // KMV distinct sketch vs exact: per order status, the k=256-minimum-
+    // values customer-cardinality estimate next to the exact count. At
+    // sf0.001 every group is under k (exact path); sf0.01/sf0.1 exercise
+    // the (k−1)·2³²/h_k estimator. Deterministic hash ⇒ fully hash-oracled.
+    "q_kmv_distinct" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val exact = o.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      Profile.kmvDistinct(o, Seq("o_orderstatus"), col("o_custkey"), k = 256)
+        .join(exact, Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Content-defined chunking: 3-gram rolling-hash boundaries at
+    // h % 16 == 0 — the insertion-robust sub-document dedup layout
+    // (complement of the fixed-stride q_chunk).
+    "q_cdc_chunk" -> { (s, dir) =>
+      TextStats.cdcChunks(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     },
 
     // FLAGSHIP LM-curation composite wiring this round's model-bounded
@@ -2125,6 +2146,52 @@ object ExtQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same KMV order statistic: distinct (group, hash) rows make h unique
+    // per group, so the rank window is tie-free by construction.
+    "q_kmv_distinct" ->
+      """WITH dh AS (SELECT DISTINCT o_orderstatus,
+        |              ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+        |            FROM orders WHERE o_custkey IS NOT NULL),
+        |rk AS (SELECT o_orderstatus, h,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rk
+        |       FROM dh),
+        |s AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_seen,
+        |        MAX(h) AS hk
+        |      FROM rk WHERE rk <= 256 GROUP BY 1),
+        |e AS (SELECT o_orderstatus,
+        |        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        |      FROM orders GROUP BY 1)
+        |SELECT s.o_orderstatus, s.n_seen,
+        |       CAST(CASE WHEN s.n_seen < 256 THEN s.n_seen
+        |            ELSE (255 * 4294967296) // s.hk END AS BIGINT) AS kmv_est,
+        |       e.n_exact
+        |FROM s JOIN e USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // Rolling 3-gram boundary + running cut count + ORDER BY-pinned chunk
+    // reassembly, mirrored window-for-window.
+    "q_cdc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |          unnest(generate_series(1, len(ts))) AS pos
+        |        FROM t),
+        |g AS (SELECT doc_id, w, pos,
+        |        pos >= 3 AND
+        |        ('0x' || substr(md5(concat_ws(' ',
+        |           lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           w)), 1, 8))::BIGINT % 16 = 0 AS cut
+        |      FROM tok),
+        |c AS (SELECT doc_id, w, pos,
+        |        CAST(COALESCE(SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+        |          PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS chunk_id
+        |      FROM g)
+        |SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+        |       ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 8))::BIGINT AS fp
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Flagship twin stitched from the proven q_lm_surprise / q_bloom_decon /
     // q_wordpiece CTEs (LM raw spine = the %97 train corpus here), exact

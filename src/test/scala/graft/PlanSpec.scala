@@ -213,6 +213,25 @@ class PlanSpec extends SparkSpec {
       "the train shingles must not shuffle into the probes:\n" + p.take(800))
   }
 
+  test("unimax: water-filling attaches broadcast — the corpus never shuffles for the allocation") {
+    val p = plan("q_unimax")
+    assert(p.contains("BroadcastHashJoin"), "the language allocation must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle into the allocation join:\n" + p.take(800))
+  }
+
+  test("kmv sketch: rank-limit pre-prunes map-side (WindowGroupLimit), state O(k) per group") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=k filter must push into a map-side group limit:\n" + p.take(800))
+  }
+
+  test("cdc chunking is pure window work: no join machinery at all") {
+    val p = plan("q_cdc_chunk")
+    assert(!p.contains("Join"), "no joins of any kind:\n" + p.take(800))
+  }
+
   test("lm surprise: both LM bucket models broadcast, corpus exchange only at the doc rollup") {
     val p = plan("q_lm_surprise")
     assert(p.contains("BroadcastHashJoin"), "LM models must broadcast")

@@ -369,6 +369,33 @@ class CurationSpec extends SparkSpec {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("cdc chunking re-synchronizes after an insertion and is repartition-stable") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => s"w${i % 17}x${i % 5}").mkString(" ")
+    val df = Seq((1L, base), (2L, "INSERTED token " + base)).toDF("doc_id", "text")
+    val out = TextStats.cdcChunks(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fpsA = out.filter(_._1 == 1L).sortBy(_._2).map(x => (x._3, x._4))
+    val fpsB = out.filter(_._1 == 2L).sortBy(_._2).map(x => (x._3, x._4))
+    assert(fpsA.length >= 3, s"divisor 16 over 60 tokens should cut: ${fpsA.length} chunks")
+    // CDC property: after the first boundary past the insertion, doc 2's
+    // chunk stream re-synchronizes to doc 1's — the shared tail is intact
+    val common = fpsA.toSet.intersect(fpsB.toSet)
+    assert(common.size >= fpsA.length - 2,
+      s"re-sync failed: ${common.size} of ${fpsA.length} chunks shared")
+    // identical content under a different id chunks identically
+    val dup = TextStats.cdcChunks(Seq((9L, base)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(dup.map(x => (x._2, x._3)).toSeq == fpsA.toSeq,
+      "chunking must be a pure function of content")
+    // repartition-stable
+    val again = TextStats.cdcChunks(df.repartition(7), col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("unimax water-filling: caps honored, budget conserved, uniform tail") {
     val s = spark
     import s.implicits._

@@ -62,6 +62,31 @@ class SpanProfilePairSpec extends SparkSpec {
     assert(p("s") == ((3L, 3L, "a", "c")))
   }
 
+  test("kmvDistinct: exact below k, within-band estimate above, repartition-stable") {
+    val s2 = spark
+    import s2.implicits._
+    // group "small": 100 distinct < k=128 → exact path; group "big": 5000
+    // distinct → estimator path, std err ≈ 1/√126 ≈ 9 % (assert 25 %)
+    val df = ((1 to 100).map(i => ("small", i.toLong)) ++
+      (1 to 5000).map(i => ("big", i.toLong)) ++
+      (1 to 100).map(i => ("small", i.toLong))).toDF("g", "v")
+    val got = Profile.kmvDistinct(df, Seq("g"), col("v"), k = 128)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("small") == ((100L, 100L)), s"below k must be exact: ${got("small")}")
+    assert(got("big")._1 == 128L)
+    val est = got("big")._2
+    assert(est > 3750 && est < 6250, s"estimate $est out of band for 5000")
+    // null values don't count
+    val withNull = df.union(Seq(("small", Option.empty[Long])).toDF("g", "v"))
+    val gotN = Profile.kmvDistinct(withNull, Seq("g"), col("v"), k = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotN("small") == 100L, "nulls must not count as a value")
+    // mergeable/deterministic: any partitioning yields the identical sketch
+    val again = Profile.kmvDistinct(df.repartition(13), Seq("g"), col("v"), k = 128)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == got)
+  }
+
   test("approx profile: exact nn/extremes, distincts within rsd, no Expand") {
     val df = graft.model.Envelopes.table(spark, sfDir(), "orders")
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
