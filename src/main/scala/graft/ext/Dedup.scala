@@ -232,6 +232,61 @@ object Dedup {
     ngramJaccardPairs(kept, num, den)
   }
 
+  /** Prefix-filtered exact n-gram Jaccard pairs — the AllPairs/SSJoin
+    * algorithm (Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06): identical
+    * OUTPUT contract to [[ngramJaccardPairs]] (same oracle), different
+    * candidate generation. Order every document's shingles by GLOBAL rarity
+    * (document frequency asc, shingle asc — any shared total order works);
+    * for threshold `num/den`, a doc with n shingles need only index its
+    * first `p = n − ⌈n·num/den⌉ + 1` rarest shingles: two docs at
+    * Jaccard ≥ t share ≥ ⌈t·max(n_a, n_b)⌉ shingles, and sets that overlap
+    * that much MUST collide within these prefixes (the prefix-filtering
+    * theorem) — so the self-join runs on the PREFIX index only, and exact
+    * intersection/union are then verified row-locally per candidate via
+    * array intersection of the two docs' full shingle sets.
+    *
+    * Why it matters at 100 TB: this is the EXACT counterpart of the LSH
+    * path — zero false negatives by theorem (LSH trades recall for speed;
+    * the DF cap changes semantics) — while indexing only the ≈(1−t)
+    * fraction of each posting list that rarity-ordering leaves in prefixes,
+    * and rare-first ordering puts the surviving join keys on the SHORTEST
+    * posting lists, collapsing the quadratic term the full inverted index
+    * pays on common shingles.
+    *
+    * Shape: one df pass (vocab-sized), one per-doc rank window, the
+    * prefix-bounded equi self-join, then a doc-keyed join to the collected
+    * shingle-set arrays for the exact verify — no pair ever re-touches the
+    * inverted index. */
+  def ngramJaccardPairsPrefix(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"threshold must be in (0,1]: $num/$den")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))
+    val ranked = sh
+      .join(sh.groupBy("s").agg(count(lit(1)).as("__df")), Seq("s"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("__rk") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("__ss"), count(lit(1)).as("__n"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("__ss").as("__sa"),
+        col("__n").as("__na")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("__ss").as("__sb"),
+        col("__n").as("__nb")), Seq("b_id"))
+      .withColumn("inter_ct", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("union_ct", col("__na") + col("__nb") - col("inter_ct"))
+      .filter(col("inter_ct") * den >= col("union_ct") * num)
+      .select(col("a_id"), col("b_id"), col("inter_ct"), col("union_ct"))
+  }
+
   /** Shingle-set containment pairs — Broder's containment measure
     * C(A,B) = |A∩B| / min(|A|,|B|): keep pairs where at least `num/den` of
     * the SMALLER doc's shingles appear in the larger's. At num = den this is

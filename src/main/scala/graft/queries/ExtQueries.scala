@@ -131,6 +131,15 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Prefix-filtered AllPairs form: identical contract and oracle to
+    // q_dedup_ngram — the EXACT scale path (zero false negatives by the
+    // prefix-filtering theorem, unlike LSH recall or the DF cap's changed
+    // semantics); only each doc's rarest (1−t) shingle prefix is indexed.
+    "q_dedup_ngram_prefix" -> { (s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(shingleTable(s, dir), 1, 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // DF-capped exhaustive pairs (shingles in >32 docs dropped before the
     // self-join): bounds each posting list's quadratic fan-out at any
     // corpus size — see ngramJaccardPairsCapped's scaladoc and the 100×
@@ -1199,6 +1208,8 @@ object ExtQueries {
         |FROM r WHERE rk = 1 ORDER BY text_hash""".stripMargin,
 
     "q_dedup_ngram" -> jacSelect,
+    // the prefix-filtered form proves the same exhaustive pair table
+    "q_dedup_ngram_prefix" -> jacSelect,
     "q_dedup_minhash" -> jacSelect,
     "q_dedup_minhash_auto" -> jacSelect,
 

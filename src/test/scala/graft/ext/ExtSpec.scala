@@ -20,6 +20,29 @@ class ExtSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("prefix-filtered AllPairs equals the exhaustive n-gram Jaccard pairs") {
+    val docs = Envelopes.table(spark, sfDir(), "documents")
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
+    val exact = Dedup.ngramJaccardPairs(sh, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pfx = Dedup.ngramJaccardPairsPrefix(sh, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pfx == exact, s"prefix filter must be lossless: " +
+      s"missing ${exact.diff(pfx).size}, extra ${pfx.diff(exact).size}")
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    // the point of the algorithm: the prefix index is a strict subset
+    val full = sh.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))
+    val pref = sh.join(sh.groupBy("s").agg(count(lit(1)).as("__df")), Seq("s"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("__rk") <= col("__n") - expr("(__n * 1 + 1) div 2") + 1)
+      .count()
+    assert(pref < full, s"prefix index ($pref) must shrink the full index ($full)")
+  }
+
   test("SimHash pairs contain the highest-Jaccard near-dups") {
     val docs = Envelopes.table(spark, sfDir(), "documents")
     val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
