@@ -178,6 +178,78 @@ object Graph {
     *
     * With `seedsCte` (defining `sd(node)`), generates the [[trustRankInt]]
     * twin instead: seed-only start vector and teleport base. */
+  /** Deterministic SYNCHRONOUS label propagation (community detection —
+    * Raghavan et al. 2007, made engine-reproducible): every node starts
+    * labeled with its own id; each iteration every node adopts the label
+    * held by the PLURALITY of its in-neighbors (pass a symmetrized edge
+    * table for undirected communities), ties broken by the smallest label,
+    * nodes with no in-neighbors keeping theirs. Classic LPA is
+    * ASYNCHRONOUS and visit-order-dependent — unusable where reruns must
+    * agree; the synchronous form with a total tie-break is a pure function
+    * of (edges, iters), bit-identical across engines and partitionings
+    * (the [[pageRankInt]] determinism stance, minus arithmetic entirely —
+    * only counts and order statistics).
+    *
+    * Shape per iteration (the Pregel shape again): edge scan ⋈ node-sized
+    * label table → (node, label)-keyed count (map-side combined) → per-node
+    * plurality via a rank window → left join back to the label spine; per-
+    * iteration localCheckpoint with superseded tables freed, as PageRank.
+    *
+    * @return (node, label) — label = community representative id */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var l = nodes.withColumn("label", col("node"))
+    var lIsCheckpointed = false
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("ct").desc, col("label"))
+    for (_ <- 0 until iters) {
+      val best = e
+        .join(l.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("ct"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("node"), col("label").as("__nl"))
+      val prev = l
+      l = l.join(best, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("__nl"), col("label")).as("label"))
+        .localCheckpoint(true)
+      if (lIsCheckpointed) graft.util.Blocks.freeCheckpoint(prev)
+      lIsCheckpointed = true
+    }
+    if (iters > 0) {
+      graft.util.Blocks.freeCheckpoint(nodes)
+      graft.util.Blocks.freeCheckpoint(e)
+    }
+    l.select(col("node"), col("label"))
+  }
+
+  /** The [[labelPropagation]] SQL twin generator — iterations unrolled as
+    * CTEs over an `e(src, dst)` edge CTE, mirroring [[pageRankSql]]. */
+  def labelPropSql(edgesCte: String, iters: Int): String = {
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, l.label, COUNT(*) AS ct
+         |        FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |b$i AS (SELECT node, label FROM (
+         |          SELECT node, label,
+         |                 ROW_NUMBER() OVER (PARTITION BY node
+         |                   ORDER BY ct DESC, label) AS rk
+         |          FROM c$i) WHERE rk = 1),
+         |l$i AS (SELECT p.node, COALESCE(b$i.label, p.label) AS label
+         |        FROM l${i - 1} p LEFT JOIN b$i ON p.node = b$i.node)""".stripMargin
+    }
+    val ctes = Seq(edgesCte,
+      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+      "l0 AS (SELECT node, node AS label FROM n)") ++ its
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
   def pageRankSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100,
       seedsCte: Option[String] = None): String = {

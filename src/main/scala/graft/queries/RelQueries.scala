@@ -197,6 +197,14 @@ object RelQueries {
         .select(col("c_custkey").as("node"))
       graft.ops.Graph.trustRankInt(tradeGraphEdges(s, dir), seeds, iters = 3)
         .orderBy(col("node"))
+    },
+
+    // Deterministic synchronous label propagation over the same graph —
+    // community detection with the smallest-label tie-break making the
+    // labeling a pure function of (edges, iters).
+    "q_label_prop" -> { (s, dir) =>
+      graft.ops.Graph.labelPropagation(tradeGraphEdges(s, dir), iters = 3)
+        .orderBy(col("node"))
     })
 
   /** The symmetrized customer↔supplier trade graph both rank queries run
@@ -353,5 +361,7 @@ object RelQueries {
 
     "q_trustrank" -> graft.ops.Graph.pageRankSql(TradeGraphCte, iters = 3,
       seedsCte = Some(
-        "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)")))
+        "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)")),
+
+    "q_label_prop" -> graft.ops.Graph.labelPropSql(TradeGraphCte, iters = 3))
 }

@@ -82,6 +82,43 @@ class GraphSpec extends SparkSpec {
     assert(r(3L) == 85L * (85L * U / 100) / 100)
   }
 
+  test("label propagation finds the two communities and is partition-independent") {
+    val s = spark
+    import s.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10,
+    // symmetrized — LPA must converge each triangle to its min label, and
+    // the plurality rule must keep the bridge from merging them
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each triangle converges to ONE internal label and the two stay
+    // distinct (the plurality rule keeps the bridge from merging them);
+    // WHICH id represents a community depends on how labels travel over
+    // the bridge (here the right triangle ends on the bridge node's
+    // original label 3) — deterministic, but not "the min of the triangle"
+    val left = Set(1L, 2L, 3L).map(got)
+    val right = Set(10L, 11L, 12L).map(got)
+    assert(left.size == 1, s"left triangle must be uniform: $got")
+    assert(right.size == 1, s"right triangle must be uniform: $got")
+    assert(left != right, s"communities must stay separate: $got")
+    // determinism under repartitioning (the plurality window is total-ordered)
+    val again = Graph.labelPropagation(e.repartition(7), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // iters = 0 is the identity labeling
+    val id0 = Graph.labelPropagation(e, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id0.forall { case (n, l) => n == l })
+  }
+
+  test("labelPropSql twin unrolls exactly the requested iterations") {
+    val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
+    assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
+    assert(!sql.contains("l4"))
+  }
+
   test("pageRankSql twin agrees with the operator on the sf0.001 trade graph") {
     // the real agreement check is the DuckDB oracle (q_pagerank); here we
     // pin that the generated SQL references every unrolled CTE it builds
