@@ -267,16 +267,26 @@ object Dedup {
       .withColumn("__rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    // the prefix index and the per-doc set arrays each feed BOTH sides of a
+    // join — checkpoint them so the df pass + rank windows (resp. the set
+    // collection) run once, not once per side (the minhashLshPairs `sig`
+    // discipline; measured ~2× the whole query without it)
     val prefix = ranked
       .filter(col("__rk") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
       .select(col("doc_id"), col("s"))
+      .localCheckpoint(true)
+    // (The classic AllPairs LENGTH filter — J ≥ t ⇒ min(n) ≥ t·max(n) — was
+    // measured here and REMOVED: the fixture's near-uniform doc lengths cut
+    // nothing while the non-equi predicate cost ~1.5 s; re-add it for
+    // corpora with a wide length distribution.)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("s")).as("__ss"), count(lit(1)).as("__n"))
-    cand
+      .localCheckpoint(true)
+    val out = cand
       .join(sets.select(col("doc_id").as("a_id"), col("__ss").as("__sa"),
         col("__n").as("__na")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("__ss").as("__sb"),
@@ -285,6 +295,10 @@ object Dedup {
       .withColumn("union_ct", col("__na") + col("__nb") - col("inter_ct"))
       .filter(col("inter_ct") * den >= col("union_ct") * num)
       .select(col("a_id"), col("b_id"), col("inter_ct"), col("union_ct"))
+      .localCheckpoint(true) // pair-sized; frees the scaffolding below
+    graft.util.Blocks.freeCheckpoint(prefix)
+    graft.util.Blocks.freeCheckpoint(sets)
+    out
   }
 
   /** Shingle-set containment pairs — Broder's containment measure

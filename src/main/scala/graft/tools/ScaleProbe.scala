@@ -489,6 +489,47 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Prefix-filter (AllPairs) candidate-statistics probe: prefix-index
+    * size, raw and distinct candidate counts, and per-stage wall on the
+    * sf0.1 fixture — the numbers that explain where q_dedup_ngram_prefix's
+    * cost sits on a fixture whose 31-word vocabulary is the algorithm's
+    * worst case (rarity ordering cannot separate shingles when everything
+    * is common). */
+  def prefixProbe(): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.model.Envelopes.table(spark, "/root/testdata/sf0.1", "documents")
+    val sh = graft.ext.Dedup.shingles(docs, col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    println(s"PFXPROBE shingles=${sh.count()}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))
+    var t0 = System.nanoTime
+    val prefix = sh
+      .join(sh.groupBy("s").agg(count(lit(1)).as("__df")), Seq("s"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("__rk") <= col("__n") - expr("(__n * 1 + 1) div 2") + 1)
+      .select(col("doc_id"), col("s")).localCheckpoint(true)
+    println(f"PFXPROBE prefix=${prefix.count()} build=${(System.nanoTime - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime
+    val raw = prefix.as("a").join(prefix.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")).count()
+    println(f"PFXPROBE rawCand=$raw join=${(System.nanoTime - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct().count()
+    println(f"PFXPROBE cand=$cand distinct=${(System.nanoTime - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime
+    val n = graft.ext.Dedup.ngramJaccardPairsPrefix(sh, 1, 2).count()
+    println(f"PFXPROBE pairs=$n full=${(System.nanoTime - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+
   /** PageRank scale probe: the symmetrized trade graph at 1× vs N×
     * (key-shifted copies = N disjoint subgraphs — node and edge counts both
     * scale ×N, the shape that matters for the per-iteration join+agg).
@@ -573,6 +614,7 @@ object ScaleProbe {
         args.lift(2).getOrElse("/tmp/graft_scale_topk"))
       return
     }
+    if (args.headOption.contains("prefix")) { prefixProbe(); return }
     if (args.headOption.contains("screens")) {
       screensProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_dsir"))
