@@ -952,9 +952,15 @@ object Dedup {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     def pos(i: Int): Column =
       conv(substring(md5(col("s")), 1 + 8 * i, 8), 16, 10).cast("long") % m
+    // the bit table feeds k separate broadcast probes (per-probe
+    // projections defeat ReuseExchange) — checkpoint it so the eval-shingle
+    // scan + position explode runs ONCE, not k times (the whole point when
+    // the eval suite is large); the block is ≤ m rows ≈ KBs, reclaimed by
+    // the ContextCleaner when the returned plan is collected
     val bits = evalSh
       .select(explode(array((0 until k).map(pos): _*)).as("pos"))
       .distinct()
+      .localCheckpoint(true)
     val probed = (0 until k).foldLeft(
       trainSh.select(Seq(col("doc_id")) ++ (0 until k).map(i => pos(i).as(s"__p$i")): _*)) {
       (acc, i) =>

@@ -324,9 +324,23 @@ object TextStats {
           "i -> struct(__t[i] AS u, concat(__t[i], ' ', __t[i+1]) AS bg))")).as("p"))
       .select(col("doc_id"), bucketOf(col("p.u")).as("b1"),
         bucketOf(col("p.bg")).as("b2"))
-    val tgt = bigrams(target)
-    val ctx = tgt.groupBy("b1").agg(count(lit(1)).as("c1"))
-    val big = tgt.groupBy("b2").agg(count(lit(1)).as("c2"))
+    // ONE pass over the target builds BOTH bucket-count models: each bigram
+    // row explodes into its two (kind, bucket) keys, one map-side-combined
+    // aggregate counts them, and the two models are filtered views of the
+    // ≤ 2·buckets-row result (checkpointed — tiny; without this the
+    // unmaterialized bigram plan would re-tokenize the target once per
+    // model, doubling the dominant build cost the scaladoc prices)
+    val counts = bigrams(target)
+      .select(explode(array(
+        struct(lit("c").as("k"), col("b1").as("b")),
+        struct(lit("g").as("k"), col("b2").as("b")))).as("e"))
+      .groupBy(col("e.k").as("k"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
+    val ctx = counts.filter(col("k") === "c")
+      .select(col("b").as("b1"), col("ct").as("c1"))
+    val big = counts.filter(col("k") === "g")
+      .select(col("b").as("b2"), col("ct").as("c2"))
     val scored = bigrams(raw)
       .join(broadcast(big), Seq("b2"), "left_outer")
       .join(broadcast(ctx), Seq("b1"), "left_outer")

@@ -170,14 +170,6 @@ object Graph {
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
-  /** The DuckDB twin of [[pageRankInt]]: CTE text with the iterations
-    * unrolled, generated from the same parameters so the two formulas can
-    * never drift. `edgesCte` must define a relation `e(src, dst)`; the
-    * returned text continues the WITH chain and ends in a final SELECT of
-    * (node, rank_fp) ordered by node.
-    *
-    * With `seedsCte` (defining `sd(node)`), generates the [[trustRankInt]]
-    * twin instead: seed-only start vector and teleport base. */
   /** Deterministic SYNCHRONOUS label propagation (community detection —
     * Raghavan et al. 2007, made engine-reproducible): every node starts
     * labeled with its own id; each iteration every node adopts the label
@@ -250,6 +242,14 @@ object Graph {
        |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** The DuckDB twin of [[pageRankInt]]: CTE text with the iterations
+    * unrolled, generated from the same parameters so the two formulas can
+    * never drift. `edgesCte` must define a relation `e(src, dst)`; the
+    * returned text continues the WITH chain and ends in a final SELECT of
+    * (node, rank_fp) ordered by node.
+    *
+    * With `seedsCte` (defining `sd(node)`), generates the [[trustRankInt]]
+    * twin instead: seed-only start vector and teleport base. */
   def pageRankSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100,
       seedsCte: Option[String] = None): String = {

@@ -54,35 +54,10 @@ object ExtQueries {
        |                 WHERE w IS NULL OR len(w) = 0)""".stripMargin
   }
 
-  /** How many corpora keep their shared intermediates pinned at once. A
-    * verify/bench pass runs every query against ONE dir, so even the
-    * tri-scale sweep (three dirs, visited dir-by-dir) never evicts a
-    * corpus it is still consuming; longer multi-dir sessions evict the
-    * coldest instead of accumulating checkpoint blocks for the session
-    * lifetime (the round-6 advisor finding). */
-  private val CorpusCacheCap = 3
-
-  /** Access-ordered LRU of shared per-corpus state; evicted values are
-    * released via `free`. A released [[Dedup.SharedIndex]] recomputes on its
-    * NEXT accessor call, but frames it handed out BEFORE the release are
-    * invalidated (a localCheckpoint's blocks ARE its data) — so the cache
-    * contract is: consume a corpus's query frames before touching
-    * `CorpusCacheCap + 1` OTHER corpora in the same session. Every driver in
-    * this repo (Verify, Bench, the probes) consumes dir-by-dir and never
-    * comes close; a consumer that must hold frames across many dirs should
-    * build its own [[Dedup.SharedIndex]] and control release itself. All
-    * access synchronizes on the map. */
-  private final class CorpusCache[V](free: V => Unit) {
-    private val m = new java.util.LinkedHashMap[(SparkSession, String), V](8, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
-        if (size() > CorpusCacheCap) { free(e.getValue); true } else false
-    }
-    def get(s: SparkSession, dir: String)(mk: => V): V = m.synchronized {
-      val k = (s, dir)
-      val cur = m.get(k)
-      if (cur != null) cur else { val v = mk; m.put(k, v); v }
-    }
-  }
+  // Shared per-corpus memo LRU: ONE implementation in graft.util.CorpusCache
+  // (cap + eviction contract documented there; also used by RelQueries'
+  // trade-graph edge memo).
+  import graft.util.CorpusCache
 
   /** The shared dedup index per (session, corpus dir): one corpus tokenize
     * feeds every shingle screen (Jaccard / capped / containment / span-dup /

@@ -211,35 +211,23 @@ object RelQueries {
     * on — ONE definition (Spark side here, oracle side [[TradeGraphCte]]),
     * so a change to the graph (e.g. the supplier id offset) cannot silently
     * diverge the two oracled queries. Memoized per (session, dir) as a
-    * checkpointed table: the orders⋈lineitem distinct is the dominant cost
-    * of BOTH rank queries and is identical between them — same
-    * share-the-intermediate discipline as the shingle index, same LRU cap
-    * and eviction contract (consume before touching 4 other dirs). */
+    * checkpointed table via the shared [[graft.util.CorpusCache]] (one LRU
+    * implementation — cap and eviction contract documented there): the
+    * orders⋈lineitem distinct is the dominant cost of the three graph
+    * queries and is identical between them. */
   private val edgeCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        if (size() > 3) { graft.util.Blocks.freeCheckpoint(e.getValue); true }
-        else false
-    }
+    new graft.util.CorpusCache[DataFrame](graft.util.Blocks.freeCheckpoint)
   private def tradeGraphEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.synchronized {
-      val k = (s, dir)
-      val cur = edgeCache.get(k)
-      if (cur != null) cur
-      else {
-        val o = Envelopes.table(s, dir, "orders")
-        val l = Envelopes.table(s, dir, "lineitem")
-        val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"),
-            (col("l_suppkey") + lit(10000000L)).as("sk"))
-          .distinct()
-        val v = e0.select(col("c").as("src"), col("sk").as("dst"))
-          .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
-          .localCheckpoint(true)
-        edgeCache.put(k, v)
-        v
-      }
+    edgeCache.get(s, dir) {
+      val o = Envelopes.table(s, dir, "orders")
+      val l = Envelopes.table(s, dir, "lineitem")
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(10000000L)).as("sk"))
+        .distinct()
+      e0.select(col("c").as("src"), col("sk").as("dst"))
+        .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
+        .localCheckpoint(true)
     }
 
   /** The oracle-side twin of [[tradeGraphEdges]]. */

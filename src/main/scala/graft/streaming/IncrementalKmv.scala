@@ -59,8 +59,15 @@ object IncrementalKmv {
       }.localCheckpoint(true)
     val cur = live.filter(col("kind") === "v").select(col("g"), col("h"))
     val maxVer = live.agg(max(col("ver"))).head().get(0)
-    if (maxVer != null && batchId <= maxVer.asInstanceOf[Long])
-      return estimateOf(cur, k) // replay: current state IS the post-batch state
+    if (maxVer != null && batchId <= maxVer.asInstanceOf[Long]) {
+      // replay: current state IS the post-batch state. Materialize the
+      // (group-sized) estimate so the store-sized `live` checkpoint can be
+      // freed here too — the early return must not leak what the fold path
+      // frees below.
+      val out = estimateOf(cur, k).localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(live)
+      return out
+    }
     val bh = conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10)
       .cast("long")
     val batchMins = kMins(

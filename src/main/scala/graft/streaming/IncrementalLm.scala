@@ -62,9 +62,20 @@ object IncrementalLm {
   def updateModels(batch: DataFrame, ctxStorePath: String,
       bigStorePath: String, idCol: Column, textCol: Column, buckets: Int,
       batchId: Long, numBuckets: Int = 4): Unit = {
-    val rows = bigramRows(batch, idCol, textCol, buckets)
-    def push(counts: DataFrame, path: String): Unit = {
-      val delta = counts
+    // one bigram pass feeds BOTH deltas: explode each row into its two
+    // (kind, bucket) keys, count once, split the ≤ 2·buckets-row result
+    // (checkpointed — re-deriving `rows` per store would tokenize the
+    // batch twice every fold)
+    val counts = bigramRows(batch, idCol, textCol, buckets)
+      .select(explode(array(
+        struct(lit("c").as("k"), col("b1").as("b")),
+        struct(lit("g").as("k"), col("b2").as("b")))).as("e"))
+      .groupBy(col("e.k").as("k"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
+    def push(kind: String, path: String): Unit = {
+      val delta = counts.filter(col("k") === kind)
+        .select(col("b"), col("ct"))
         .withColumn("batch_id", lit(batchId))
         .withColumn("ver", lit(0L))
         .withColumn("op_type", lit("put"))
@@ -73,10 +84,9 @@ object IncrementalLm {
           seqCols = Seq("ver"), numBuckets = numBuckets,
           bucketCols = Seq("b"))
     }
-    push(rows.groupBy(col("b1").as("b")).agg(count(lit(1)).as("ct")),
-      ctxStorePath)
-    push(rows.groupBy(col("b2").as("b")).agg(count(lit(1)).as("ct")),
-      bigStorePath)
+    push("c", ctxStorePath)
+    push("g", bigStorePath)
+    graft.util.Blocks.freeCheckpoint(counts)
   }
 
   /** Screen one micro-batch against the models accumulated from batches

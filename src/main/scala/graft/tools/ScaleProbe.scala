@@ -17,6 +17,23 @@ object ScaleProbe {
 
   private val KeyShift = 100000000L
 
+  /** Guard for probes that cache a replicated corpus on disk: the corpus is
+    * reusable only if it was generated with the SAME copy count — a bare
+    * `documents.parquet exists` check silently reuses a stale corpus under
+    * a wrong label (e.g. `screens 20` after `screens 10`, or after a
+    * `dsir 10` run into the same default dir). */
+  private def corpusReady(outDir: String, copies: Int): Boolean = {
+    val m = new java.io.File(s"$outDir/_copies")
+    new java.io.File(s"$outDir/documents.parquet").exists() && m.exists() &&
+      scala.io.Source.fromFile(m).mkString.trim == copies.toString
+  }
+
+  private def markCorpus(outDir: String, copies: Int): Unit = {
+    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_copies"), copies.toString)
+  }
+
   def replicate(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     def li(c: Int) = spark.read.parquet(s"$srcDir/lineitem.parquet")
       .withColumn("l_orderkey", col("l_orderkey") + lit(c * KeyShift))
@@ -151,7 +168,7 @@ object ScaleProbe {
     // documents at EXACTLY `copies`× (the full replicate() halves document
     // copies because the flagship probes' pathological growth mode is pair
     // formation): replicate only what this probe reads
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    if (!corpusReady(outDir, copies)) {
       val srcDir = "/root/testdata/sf0.1"
       def doc(c: Int) = {
         val base = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -169,6 +186,7 @@ object ScaleProbe {
       (0 until copies).map(doc).reduce(_ union _)
         .repartition(parts).write.mode("overwrite")
         .parquet(s"$outDir/documents.parquet")
+      markCorpus(outDir, copies)
     }
     def mix(plan: String): String = Seq(
         "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
@@ -229,7 +247,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    if (!corpusReady(outDir, copies)) {
       val srcDir = "/root/testdata/sf0.1"
       def doc(c: Int) = {
         val base = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -247,6 +265,7 @@ object ScaleProbe {
       (0 until copies).map(doc).reduce(_ union _)
         .repartition(parts).write.mode("overwrite")
         .parquet(s"$outDir/documents.parquet")
+      markCorpus(outDir, copies)
     }
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -372,7 +391,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    if (!corpusReady(outDir, copies)) {
       val srcDir = "/root/testdata/sf0.1"
       def doc(c: Int) = {
         val base = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -390,6 +409,7 @@ object ScaleProbe {
       (0 until copies).map(doc).reduce(_ union _)
         .repartition(parts).write.mode("overwrite")
         .parquet(s"$outDir/documents.parquet")
+      markCorpus(outDir, copies)
     }
     val B = 4096
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
@@ -434,7 +454,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+    if (!corpusReady(outDir, copies)) {
       val srcDir = "/root/testdata/sf0.1"
       def doc(c: Int) = {
         val base = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -452,6 +472,7 @@ object ScaleProbe {
       (0 until copies).map(doc).reduce(_ union _)
         .repartition(parts).write.mode("overwrite")
         .parquet(s"$outDir/documents.parquet")
+      markCorpus(outDir, copies)
     }
     val m = 1 << 14
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
