@@ -77,6 +77,62 @@ object Profile {
     *
     * @return (group cols..., n_seen, kmv_est) — n_seen = min(k, distinct),
     *         kmv_est = exact count below k, else the KMV estimate */
+  /** Fixed-bin histogram quantile estimates, per group — the DETERMINISTIC
+    * mergeable quantile sketch completing the sketch trio (Misra-Gries =
+    * heavy hitters, KMV = distinct counts, this = quantiles): a per-group
+    * min/max stats pass fixes `bins` equal integer bins of width
+    * `w = (max−min) div bins + 1`; the histogram is one map-side-combined
+    * count per (group, bin); the `num/den`-quantile estimate is the LOWER
+    * EDGE of the first bin whose cumulative count reaches
+    * `⌈n·num/den⌉` — so the estimate errs by at most one bin width, every
+    * step is exact integer arithmetic, and the result is a pure function of
+    * the value multiset (engine/partitioning/rerun-stable; the SQL twin
+    * hash-matches it — unlike t-digest/GK sketches, whose estimates depend
+    * on merge order).
+    *
+    * Mergeable by construction: histograms over the same (min, max, bins)
+    * frame add bin-wise — the distributed aggregation IS the merge.
+    *
+    * Shape at scale: two passes (stats agg, histogram agg), both map-side
+    * combined; the stats and the per-group cumulative walk touch only
+    * group- and bin-bounded rows (≤ groups·bins), broadcast back. The exact
+    * alternative is a full per-group sort — the trade this sketch exists
+    * for.
+    *
+    * @param qs quantiles as (num, den) rationals in (0, 1]
+    * @return (group cols..., n, est_{num}_{den}...) — estimates in the
+    *         value's own integer units */
+  def histQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      bins: Int = 1024, qs: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    require(groupCols.nonEmpty, "histQuantiles needs at least one group column")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 1 && n <= d },
+      s"quantiles must be rationals in (0, 1]: $qs")
+    val gcols = groupCols.map(col)
+    val base = df.select(gcols :+ valueCol.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val stats = base.groupBy(gcols: _*)
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("__n"))
+    val hist = base
+      .join(broadcast(stats), groupCols)
+      .withColumn("__w", expr(s"(__mx - __mn) div $bins + 1"))
+      .withColumn("__bin", expr("(__v - __mn) div __w"))
+      .groupBy(gcols ++ Seq(col("__bin"), col("__mn"), col("__w"), col("__n")): _*)
+      .agg(count(lit(1)).as("__ct"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("__bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withCum = hist.withColumn("__cum", sum(col("__ct")).over(cumW))
+    val ests = qs.map { case (num, den) =>
+      // first qualifying bin has the smallest edge, so min() selects it
+      min(when(col("__cum") >= expr(s"(__n * $num + ${den - 1}) div $den"),
+        col("__mn") + col("__bin") * col("__w"))).as(s"est_${num}_$den")
+    }
+    withCum.groupBy(gcols: _*)
+      .agg(max(col("__n")).as("n"), ests: _*)
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       k: Int = 256): DataFrame = {
     require(groupCols.nonEmpty, "kmvDistinct needs at least one group column")

@@ -762,6 +762,34 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Histogram quantile sketch vs exact: per order status, 1024-bin
+    // p50/p90/p99 estimates of the order total (exact micro-units via the
+    // DECIMAL(18,6) money discipline) next to the exact rank-statistic
+    // values — the deterministic quantile sketch completing the trio
+    // (Misra-Gries, KMV, histogram). Estimates err by ≤ one bin width.
+    "q_hist_quantile" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
+      val est = Profile.histQuantiles(o, Seq("o_orderstatus"), v, bins = 1024)
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus")).orderBy(col("__v"))
+      val nw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+      val exact = o.select(col("o_orderstatus"), v.as("__v"))
+        .withColumn("__rk", row_number().over(rw))
+        .withColumn("__n", count(lit(1)).over(nw))
+        .groupBy("o_orderstatus").agg(
+          max(when(col("__rk") === expr("(__n * 1 + 1) div 2"), col("__v"))).as("p50_exact"),
+          max(when(col("__rk") === expr("(__n * 9 + 9) div 10"), col("__v"))).as("p90_exact"),
+          max(when(col("__rk") === expr("(__n * 99 + 99) div 100"), col("__v"))).as("p99_exact"))
+      est.join(exact, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"),
+          col("est_1_2").as("p50_est"), col("p50_exact"),
+          col("est_9_10").as("p90_est"), col("p90_exact"),
+          col("est_99_100").as("p99_est"), col("p99_exact"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // KMV distinct sketch vs exact: per order status, the k=256-minimum-
     // values customer-cardinality estimate next to the exact count. At
     // sf0.001 every group is under k (exact path); sf0.01/sf0.1 exercise
@@ -2132,6 +2160,34 @@ object ExtQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same bin frame, cumulative walk, and rank statistics; // is DuckDB's
+    // floor division, identical to Spark's div on the nonneg operands here.
+    "q_hist_quantile" ->
+      """WITH b AS (SELECT o_orderstatus AS g,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |st AS (SELECT g, MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM b GROUP BY 1),
+        |h AS (SELECT b.g, (v - mn) // ((mx - mn) // 1024 + 1) AS bin,
+        |        mn, (mx - mn) // 1024 + 1 AS w, n, COUNT(*) AS ct
+        |      FROM b JOIN st ON b.g = st.g GROUP BY 1, 2, 3, 4, 5),
+        |c AS (SELECT g, bin, mn, w, n, SUM(ct) OVER (PARTITION BY g ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |e AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        |        CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN mn + bin * w END) AS BIGINT) AS p50_est,
+        |        CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN mn + bin * w END) AS BIGINT) AS p90_est,
+        |        CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN mn + bin * w END) AS BIGINT) AS p99_est
+        |      FROM c GROUP BY 1),
+        |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk,
+        |        COUNT(*) OVER (PARTITION BY g) AS n FROM b),
+        |x AS (SELECT g,
+        |        CAST(MAX(CASE WHEN rk = (n * 1 + 1) // 2 THEN v END) AS BIGINT) AS p50_exact,
+        |        CAST(MAX(CASE WHEN rk = (n * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90_exact,
+        |        CAST(MAX(CASE WHEN rk = (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99_exact
+        |      FROM r GROUP BY 1)
+        |SELECT e.g AS o_orderstatus, e.n, e.p50_est, x.p50_exact,
+        |       e.p90_est, x.p90_exact, e.p99_est, x.p99_exact
+        |FROM e JOIN x ON e.g = x.g ORDER BY o_orderstatus""".stripMargin,
 
     // Same KMV order statistic: distinct (group, hash) rows make h unique
     // per group, so the rank window is tie-free by construction.

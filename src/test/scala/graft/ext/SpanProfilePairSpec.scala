@@ -62,6 +62,34 @@ class SpanProfilePairSpec extends SparkSpec {
     assert(p("s") == ((3L, 3L, "a", "c")))
   }
 
+  test("histQuantiles: lower-edge bound within one bin width, repartition-stable") {
+    val s2 = spark
+    import s2.implicits._
+    val df = ((1 to 10000).map(i => ("a", (i.toLong * i) % 99991)) ++
+      (1 to 50).map(i => ("tiny", 7L))).toDF("g", "v")
+    val bins = 256
+    val got = Profile.histQuantiles(df, Seq("g"), col("v"), bins = bins)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // exact quantiles of group a, computed independently
+    val vs = ((1 to 10000).map(i => (i.toLong * i) % 99991)).sorted
+    def exact(num: Int, den: Int): Long = vs((vs.length * num + den - 1) / den - 1)
+    val w = (vs.max - vs.min) / bins + 1
+    for (((num, den), got1) <- Seq((1, 2) -> got("a")._2, (9, 10) -> got("a")._3,
+        (99, 100) -> got("a")._4)) {
+      val ex = exact(num, den)
+      assert(got1 <= ex && ex < got1 + w,
+        s"$num/$den: estimate $got1 must be the bin lower edge of exact $ex (w=$w)")
+    }
+    // a constant group collapses to one bin: the estimate IS the value
+    assert(got("tiny") == ((50L, 7L, 7L, 7L)), s"${got("tiny")}")
+    // pure function of the multiset
+    val again = Profile.histQuantiles(df.repartition(11), Seq("g"), col("v"), bins = bins)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again == got)
+  }
+
   test("kmvDistinct: exact below k, within-band estimate above, repartition-stable") {
     val s2 = spark
     import s2.implicits._
