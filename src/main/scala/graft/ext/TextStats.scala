@@ -425,8 +425,11 @@ object TextStats {
     * cursor packed as `pos·10⁶ + pieces·10³ + unk` (all three bounded by
     * `maxWordLen` ≤ 999), and each step either skips (the cursor has
     * already passed this index) or advances by the longest literal-vocab
-    * match — an expression tree the SQL twin reproduces with `list_reduce`
-    * token-for-token, so the counts are bit-identical by construction.
+    * match — an expression tree whose SQL twin is a RECURSIVE-CTE fold over
+    * the same packed cursor (NOT `list_reduce`: DuckDB's `list_reduce` with
+    * outer-column capture proved nondeterministic — see the round-7 ledger
+    * in SURVEY.md and `queries/ExtQueries.scala`'s `WITH RECURSIVE` twin),
+    * so the counts are bit-identical by construction.
     *
     * Shape at scale: tokenization runs on the DISTINCT-WORD table, not the
     * corpus — Heaps' law bounds distinct words ~√(corpus), so the expensive
@@ -446,7 +449,13 @@ object TextStats {
       s"packed cursor holds word lengths to 999, got $maxWordLen")
     require(vocab.forall(p => p.nonEmpty && p.length <= maxPieceLen),
       s"every piece must be 1..$maxPieceLen chars")
-    val inList = vocab.map(p => "'" + p.replace("'", "''") + "'").mkString(", ")
+    // Spark's SQL lexer does NOT support ''-doubling inside a string
+    // literal ('it''s' lexes as two adjacent literals that concatenate to
+    // "its") — escape with backslash, which Spark does support; the DuckDB
+    // oracle twin builds its own ''-escaped list separately
+    val inList = vocab
+      .map(p => "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString(", ")
     val pos = "(acc div 1000000)"
     val whens = (maxPieceLen to 1 by -1).map { l =>
       s"WHEN substring(w, CAST($pos AS INT) + 1, $l) IN ($inList) " +

@@ -102,11 +102,11 @@ object Graph {
     }
     // at iters = 0 the result is a live projection of `nodes` — keep its
     // blocks; otherwise the final r is its own checkpoint and the build
-    // intermediates can all be freed (unpersist no-ops on checkpoints)
-    if (iters > 0) {
-      graft.util.Blocks.freeCheckpoint(nodes)
-      graft.util.Blocks.freeCheckpoint(e)
-    }
+    // intermediates can all be freed (unpersist no-ops on checkpoints).
+    // The edge checkpoint is dead in EITHER case once nodes materialized —
+    // nothing in the returned frame reads it — so free it unconditionally
+    if (iters > 0) graft.util.Blocks.freeCheckpoint(nodes)
+    graft.util.Blocks.freeCheckpoint(e)
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
@@ -163,10 +163,8 @@ object Graph {
       if (rIsCheckpointed) graft.util.Blocks.freeCheckpoint(prev)
       rIsCheckpointed = true
     }
-    if (iters > 0) {
-      graft.util.Blocks.freeCheckpoint(nodes)
-      graft.util.Blocks.freeCheckpoint(e)
-    }
+    if (iters > 0) graft.util.Blocks.freeCheckpoint(nodes)
+    graft.util.Blocks.freeCheckpoint(e)
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
@@ -214,10 +212,8 @@ object Graph {
       if (lIsCheckpointed) graft.util.Blocks.freeCheckpoint(prev)
       lIsCheckpointed = true
     }
-    if (iters > 0) {
-      graft.util.Blocks.freeCheckpoint(nodes)
-      graft.util.Blocks.freeCheckpoint(e)
-    }
+    if (iters > 0) graft.util.Blocks.freeCheckpoint(nodes)
+    graft.util.Blocks.freeCheckpoint(e)
     l.select(col("node"), col("label"))
   }
 

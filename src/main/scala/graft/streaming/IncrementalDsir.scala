@@ -73,20 +73,36 @@ object IncrementalDsir {
       val f = KeyedStore.fs(spark, storePath)
       val root = new org.apache.hadoop.fs.Path(storePath)
       f.mkdirs(root)
+      val neu = new org.apache.hadoop.fs.Path(root, HwmFile + "__new")
+      val dst = new org.apache.hadoop.fs.Path(root, HwmFile)
+      // Recover interrupted protocol state FIRST: a prior run may have
+      // crashed between delete(dst) and rename(neu, dst), leaving `__new`
+      // as the only (or newest) surviving copy of the mark. Deleting `__new`
+      // below without this promotion would discard that copy, and a crash in
+      // the next window could then regress the mark — the exact failure the
+      // protocol exists to prevent. After promotion the store is in a clean
+      // single-file state and the per-advance argument below holds.
+      readHwmFile(f, neu).foreach { nv =>
+        if (readHwmFile(f, dst).forall(_ < nv)) {
+          f.delete(dst, false)
+          if (!f.rename(neu, dst))
+            throw new java.io.IOException(s"recovery rename $neu -> $dst failed")
+        }
+      }
       // KeyedStore.replaceMeta's crash protocol: stage the new value at
       // `__new` (itself via tmp+rename, so it only ever exists complete),
-      // delete the old mark, rename `__new` into place. Every crash window
+      // delete the old mark, rename `__new` into place. Starting from the
+      // clean state the recovery above guarantees, any SINGLE crash window
       // leaves at least one of {mark, __new} holding a value >= the old
-      // mark, and readHwm takes the max.
+      // mark, readHwm takes the max, and the next advance re-runs recovery
+      // before touching `__new` — so the mark never regresses.
       val tmp = new org.apache.hadoop.fs.Path(root, HwmFile + "__tmp")
       f.delete(tmp, false)
       val out = f.create(tmp, true)
       try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-      val neu = new org.apache.hadoop.fs.Path(root, HwmFile + "__new")
       f.delete(neu, false)
       if (!f.rename(tmp, neu))
         throw new java.io.IOException(s"rename $tmp -> $neu failed")
-      val dst = new org.apache.hadoop.fs.Path(root, HwmFile)
       f.delete(dst, false)
       if (!f.rename(neu, dst))
         throw new java.io.IOException(s"rename $neu -> $dst failed")

@@ -561,8 +561,18 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$outDir/lineitem.parquet").exists())
+    // same stale-reuse guard as corpusReady(): a bare exists-check would
+    // silently benchmark a 10x corpus under a 20x label after back-to-back
+    // runs into the same default dir — gate on the _copies marker too
+    val replicaReady = {
+      val m = new java.io.File(s"$outDir/_copies")
+      new java.io.File(s"$outDir/lineitem.parquet").exists() && m.exists() &&
+        scala.io.Source.fromFile(m).mkString.trim == copies.toString
+    }
+    if (!replicaReady) {
       replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+      markCorpus(outDir, copies)
+    }
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
       val o = spark.read.parquet(s"$dir/orders.parquet")
       val l = spark.read.parquet(s"$dir/lineitem.parquet")

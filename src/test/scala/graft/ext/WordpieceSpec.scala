@@ -73,4 +73,18 @@ class WordpieceSpec extends SparkSpec {
     // split("", " ") yields one empty token; tokenizing "" is (0, 0)
     assert(got(5L) == ((1L, 0L, 0L)), s"empty-text contract broke: ${got(5L)}")
   }
+
+  test("vocab pieces with single quotes and backslashes survive SQL literal escaping") {
+    val s = spark
+    import s.implicits._
+    // Spark's lexer has no ''-doubling: under the old escaping, vocab "'s"
+    // became two adjacent literals that concatenated with their neighbor,
+    // silently corrupting the whole IN-list. Backslash escaping is correct.
+    val docs = Seq((1L, "it's o'k a\\b")).toDF("doc_id", "text")
+    val got = TextStats.wordpieceCounts(docs, col("doc_id"), col("text"),
+        vocab = Seq("it", "'s", "o'k", "a\\b"), maxPieceLen = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // it's -> [it]['s] (2 pieces), o'k -> [o'k] (1), a\b -> [a\b] (1); 0 unk
+    assert(got == ((3L, 4L, 0L)), s"quote/backslash vocab mis-tokenized: $got")
+  }
 }

@@ -157,4 +157,41 @@ class IncrementalDsirSpec extends SparkSpec {
     // empty string is NOT tokenless — split("", " ") = [""], one empty token
     assert(out(3L) == ((1L, 1L, 1L, true)), s"${out(3L)}")
   }
+
+  test("advanceHwm recovers an interrupted replace before staging (mark never regresses)") {
+    val s = spark
+    val dir = Files.createTempDirectory("inc_dsir_hwm").toString
+    val store = s"$dir/raw"
+    val mark = java.nio.file.Paths.get(store, "_graft_dsir_hwm")
+    val neu = java.nio.file.Paths.get(store, "_graft_dsir_hwm__new")
+
+    IncrementalDsir.advanceHwm(s, store, 5L)
+    assert(IncrementalDsir.readHwm(s, store).contains(5L))
+
+    // simulate a crash between delete(dst) and rename(neu, dst): only
+    // `__new` survives, holding the committed mark
+    java.nio.file.Files.move(mark, neu)
+    assert(IncrementalDsir.readHwm(s, store).contains(5L))
+
+    // the next advance must PROMOTE the surviving copy before touching
+    // `__new` — the old code deleted it first, so a crash right after
+    // that delete would lose the mark entirely
+    IncrementalDsir.advanceHwm(s, store, 7L)
+    assert(IncrementalDsir.readHwm(s, store).contains(7L))
+    // clean terminal state: main file holds 7, no staging residue
+    assert(java.nio.file.Files.exists(mark) && !java.nio.file.Files.exists(neu))
+    assert(new String(java.nio.file.Files.readAllBytes(mark), "UTF-8").trim == "7")
+
+    // a stale `__new` (older than main) must NOT be promoted over it
+    java.nio.file.Files.writeString(neu, "3")
+    IncrementalDsir.advanceHwm(s, store, 9L)
+    assert(IncrementalDsir.readHwm(s, store).contains(9L))
+    assert(new String(java.nio.file.Files.readAllBytes(mark), "UTF-8").trim == "9")
+    assert(!java.nio.file.Files.exists(neu))
+
+    // next <= current is a no-op even from the crashed state
+    java.nio.file.Files.move(mark, neu)
+    IncrementalDsir.advanceHwm(s, store, 4L)
+    assert(IncrementalDsir.readHwm(s, store).contains(9L))
+  }
 }
