@@ -253,36 +253,27 @@ object Dedup {
     * posting lists, collapsing the quadratic term the full inverted index
     * pays on common shingles.
     *
+    * On top of prefix filtering sits PPJoin's POSITIONAL filter (Xiao et
+    * al. WWW'08): collision rows carry each shingle's rarity RANK in both
+    * docs, and for every candidate pair the EARLIEST collision (min rank —
+    * which, because both docs rank by the same global order, is the pair's
+    * globally earliest common shingle, provably inside both prefixes for
+    * any qualifying pair) bounds the overlap at
+    * `1 + min(n_a − rk_a, n_b − rk_b)`: everything before that collision in
+    * either doc is non-shared by minimality, everything after contributes
+    * at most the shorter tail. Pairs whose bound cannot reach the minimum
+    * qualifying overlap `⌈(n_a+n_b)·t/(1+t)⌉` are pruned BEFORE the
+    * set-array verify — zero false negatives, same theorem family as the
+    * prefix bound. This prunes exactly the common-shingle pathology:
+    * candidates that collide only deep in both prefixes with short tails.
+    *
     * Shape: one df pass (vocab-sized), one per-doc rank window, the
-    * prefix-bounded equi self-join, then a doc-keyed join to the collected
+    * prefix-bounded equi self-join with a per-pair positional screen on
+    * the collision aggregate, then a doc-keyed join to the collected
     * shingle-set arrays for the exact verify — no pair ever re-touches the
     * inverted index. */
   def ngramJaccardPairsPrefix(sh: DataFrame, num: Int, den: Int): DataFrame = {
-    require(num >= 1 && den >= 1 && num <= den,
-      s"threshold must be in (0,1]: $num/$den")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))
-    val ranked = sh
-      .join(sh.groupBy("s").agg(count(lit(1)).as("__df")), Seq("s"))
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    // the prefix index and the per-doc set arrays each feed BOTH sides of a
-    // join — checkpoint them so the df pass + rank windows (resp. the set
-    // collection) run once, not once per side (the minhashLshPairs `sig`
-    // discipline; measured ~2× the whole query without it)
-    val prefix = ranked
-      .filter(col("__rk") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
-      .select(col("doc_id"), col("s"))
-      .localCheckpoint(true)
-    // (The classic AllPairs LENGTH filter — J ≥ t ⇒ min(n) ≥ t·max(n) — was
-    // measured here and REMOVED: the fixture's near-uniform doc lengths cut
-    // nothing while the non-equi predicate cost ~1.5 s; re-add it for
-    // corpora with a wide length distribution.)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    val (cand, prefix) = prefixCandidates(sh, num, den)
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("s")).as("__ss"), count(lit(1)).as("__n"))
       .localCheckpoint(true)
@@ -299,6 +290,54 @@ object Dedup {
     graft.util.Blocks.freeCheckpoint(prefix)
     graft.util.Blocks.freeCheckpoint(sets)
     out
+  }
+
+  /** [[ngramJaccardPairsPrefix]]'s candidate generation, shared with the
+    * ScaleProbe candidate-statistics probe so measurements can never drift
+    * from the operator. Returns `(candidates(a_id, b_id), prefixCheckpoint)`
+    * — the CALLER must `Blocks.freeCheckpoint` the prefix handle once the
+    * candidates have been consumed. `positional = false` skips the PPJoin
+    * positional screen (probe-only dial for measuring what it prunes). */
+  private[graft] def prefixCandidates(sh: DataFrame, num: Int, den: Int,
+      positional: Boolean = true): (DataFrame, DataFrame) = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"threshold must be in (0,1]: $num/$den")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))
+    val ranked = sh
+      .join(sh.groupBy("s").agg(count(lit(1)).as("__df")), Seq("s"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    // the prefix index and the per-doc set arrays each feed BOTH sides of a
+    // join — checkpoint them so the df pass + rank windows (resp. the set
+    // collection) run once, not once per side (the minhashLshPairs `sig`
+    // discipline; measured ~2× the whole query without it)
+    val prefix = ranked
+      .filter(col("__rk") <= col("__n") - expr(s"(__n * $num + ${den - 1}) div $den") + 1)
+      .select(col("doc_id"), col("s"), col("__rk"), col("__n"))
+      .localCheckpoint(true)
+    // (The classic AllPairs LENGTH filter — J ≥ t ⇒ min(n) ≥ t·max(n) — was
+    // measured here and REMOVED: the fixture's near-uniform doc lengths cut
+    // nothing while the non-equi predicate cost ~1.5 s; re-add it for
+    // corpora with a wide length distribution.)
+    // Positional filter: one row per pair via the collision groupBy (which
+    // replaces the old distinct — same exchange shape), keeping the
+    // earliest collision's ranks. struct min is lexicographic on (ra, rb);
+    // ra alone already identifies the earliest common shingle (ranks are
+    // unique per doc), the second field just rides along.
+    val grouped = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(min(struct(col("a.__rk").as("ra"), col("b.__rk").as("rb"))).as("__m"),
+        max(col("a.__n")).as("__pna"), max(col("b.__n")).as("__pnb"))
+    val screened =
+      if (positional)
+        grouped.filter((lit(1) + least(col("__pna") - col("__m.ra"),
+            col("__pnb") - col("__m.rb"))) * (num + den)
+          >= (col("__pna") + col("__pnb")) * num)
+      else grouped
+    (screened.select(col("a_id"), col("b_id")), prefix)
   }
 
   /** Shingle-set containment pairs — Broder's containment measure

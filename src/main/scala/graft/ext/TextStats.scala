@@ -483,4 +483,135 @@ object TextStats {
       .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L)))
       .withColumn("n_unk", coalesce(col("n_unk"), lit(0L)))
   }
+
+  /** BPE merge TRAINING (Sennrich et al. ACL'16) — learns a subword
+    * vocabulary from the corpus, the piece [[wordpieceCounts]] assumes as
+    * given. Deterministic byte^H^Hchar-level BPE: words start as character
+    * sequences; each round counts adjacent symbol pairs over ALL positions
+    * (overlaps included — "aaa" holds (a,a) twice, the reference zip
+    * semantics), weighted by corpus word frequency, merges the most
+    * frequent pair — ties broken by (lhs, rhs) ascending, a total order,
+    * so training is a pure function of the corpus — greedily LEFT-TO-RIGHT
+    * non-overlapping in every word, and repeats.
+    *
+    * Shape at scale: training state lives on the DISTINCT-WORD table with
+    * multiplicities (Heaps-law bounded — the corpus pays one tokenize +
+    * word count, every round thereafter touches only distinct words). Per
+    * round: one pair explode + map-side-combined count, a driver-side
+    * top-1 (a SCALAR per round, the k-means/MMR discipline — never a
+    * corpus collect), and a row-local `aggregate` fold that rewrites each
+    * word's symbol array greedily (the fold IS left-to-right non-overlap:
+    * a merged symbol `lhs||rhs` can never equal `lhs`, so a fresh merge
+    * never chains into the next position). State is localCheckpointed per
+    * round with superseded generations freed — the [[graft.ops.Graph]]
+    * iteration discipline.
+    *
+    * Stops early if the corpus runs out of pairs (all words single-symbol);
+    * callers wanting exactly `merges` rows must provide a corpus rich
+    * enough, which any real corpus is.
+    *
+    * @return one row per learned merge, in training order:
+    *   (merge_ix, lhs, rhs, merged, pair_ct) */
+  def bpeTrain(df: DataFrame, textCol: Column, merges: Int,
+      maxWordLen: Int = 64): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = df.select(explode(toks(textCol)).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    var state = wc
+      .select(col("ct"),
+        filter(split(col("w"), ""), s => length(s) > 0).as("syms"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var ix = 1
+    var dry = false
+    while (ix <= merges && !dry) {
+      val top = state.filter(size(col("syms")) >= 2)
+        .select(col("ct"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("ct")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val merged = l + r
+        learned += ((ix, l, r, merged, pc))
+        val prev = state
+        state = state.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+        graft.util.Blocks.freeCheckpoint(prev)
+        ix += 1
+      }
+    }
+    graft.util.Blocks.freeCheckpoint(state)
+    learned.toSeq.toDF("merge_ix", "lhs", "rhs", "merged", "pair_ct")
+  }
+
+  /** The DuckDB twin of [[bpeTrain]], rounds unrolled as chained CTEs and
+    * generated from the same parameters so the two can never drift. State
+    * is the POSITIONAL form (word, ct, pos, sym) — the array fold becomes
+    * pure window algebra: pair counts via `lead`, and greedy left-to-right
+    * non-overlap via alternating selection inside runs of consecutive
+    * candidates (adjacent candidates exist ONLY when lhs = rhs — for
+    * lhs ≠ rhs two adjacent candidate positions would need the shared
+    * middle symbol to equal both — so taking the 1st, 3rd, … candidate of
+    * each run IS the greedy schedule). All window functions and joins —
+    * deterministic in DuckDB, per the `list_reduce` lesson. Every chained
+    * CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+    * multi-reference fan-out per round (w feeds p+c, c feeds t+w, t twice)
+    * would otherwise re-evaluate the whole chain exponentially in rounds
+    * (observed as "Too many open files" on the base parquet at 8 rounds). */
+  def bpeTrainSql(docsCte: String, merges: Int, maxWordLen: Int = 64): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(SUM(ct) AS BIGINT) AS pc FROM (
+         |          SELECT ct, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |          FROM w${i - 1}) WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |g$i AS MATERIALIZED (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |c$i AS MATERIALIZED (SELECT w, ct, pos, sym,
+         |          lead(sym) OVER wpo AS nxt, lead(pos) OVER wpo AS npos,
+         |          ROW_NUMBER() OVER wpo AS rn
+         |        FROM w${i - 1} WINDOW wpo AS (PARTITION BY w ORDER BY pos)),
+         |t$i AS MATERIALIZED (SELECT w, pos, npos, sym || nxt AS msym FROM (
+         |          SELECT w, pos, npos, sym, nxt,
+         |            ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY pos) AS k
+         |          FROM (SELECT w, pos, npos, sym, nxt,
+         |                  rn - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS isl
+         |                FROM c$i
+         |                WHERE sym = (SELECT l FROM g$i)
+         |                  AND nxt = (SELECT r FROM g$i)))
+         |        WHERE k % 2 = 1),
+         |w$i AS MATERIALIZED (SELECT c.w, c.ct, c.pos, COALESCE(t.msym, c.sym) AS sym
+         |        FROM c$i c
+         |        LEFT JOIN t$i t ON c.w = t.w AND c.pos = t.pos
+         |        LEFT JOIN t$i d ON c.w = d.w AND c.pos = d.npos
+         |        WHERE d.w IS NULL)""".stripMargin
+    }
+    val out = (1 to merges).map { i =>
+      s"SELECT CAST($i AS INT) AS merge_ix, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, pc AS pair_ct FROM g$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $docsCte,
+       |wc AS MATERIALIZED (SELECT w, COUNT(*) AS ct FROM (
+       |         SELECT unnest(string_split(lower(text), ' ')) AS w FROM d)
+       |       WHERE length(w) > 0 AND length(w) <= $maxWordLen GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w, ct,
+       |         unnest(generate_series(1, CAST(length(w) AS BIGINT))) AS pos,
+       |         unnest(list_transform(generate_series(1, CAST(length(w) AS BIGINT)),
+       |                i -> substring(w, CAST(i AS INT), 1))) AS sym
+       |       FROM wc),
+       |${rounds.mkString(",\n")}
+       |$out
+       |ORDER BY merge_ix""".stripMargin
+  }
 }

@@ -867,6 +867,15 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BPE merge TRAINING: 8 deterministic merge rounds learned from the
+    // corpus's distinct-word table (pair counts weighted by word frequency,
+    // ties broken (count desc, lhs, rhs) — a pure function of the corpus,
+    // so the learned merge list itself carries a full-hash oracle).
+    "q_bpe_train" -> { (s, dir) =>
+      TextStats.bpeTrain(docs(s, dir), col("text"), merges = 8)
+        .orderBy(col("merge_ix"))
+    },
+
     // CCNet-style hashed bigram-LM surprise screen: LM trained on the
     // doc_id % 7 == 0 slice (the trusted-domain stand-in), every other doc
     // scored by exact fixed-point mean inverse probability. surprise cast
@@ -2350,6 +2359,13 @@ object ExtQueries {
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // Generated round-unrolled twin of the BPE trainer: positional state
+    // table, lead()-based pair counts, greedy merge as alternating
+    // selection inside candidate runs — all window algebra, no lambda
+    // folds (the list_reduce lesson).
+    "q_bpe_train" ->
+      TextStats.bpeTrainSql("d AS (SELECT text FROM documents)", merges = 8),
 
     // Bigram rows once (p = [unigram context, bigram]), hashed to 4096
     // buckets; LM counts from the % 7 target slice; fixed-point add-one

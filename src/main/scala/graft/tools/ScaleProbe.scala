@@ -510,44 +510,82 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Prefix-filter (AllPairs) candidate-statistics probe: prefix-index
-    * size, raw and distinct candidate counts, and per-stage wall on the
-    * sf0.1 fixture — the numbers that explain where q_dedup_ngram_prefix's
-    * cost sits on a fixture whose 31-word vocabulary is the algorithm's
-    * worst case (rarity ordering cannot separate shingles when everything
-    * is common). */
-  def prefixProbe(): Unit = {
+  /** Prefix-filter (AllPairs/PPJoin) candidate-statistics probe. For each
+    * corpus it reports, with per-stage wall: shingle count, FULL inverted-
+    * index distinct candidate pairs (what [[graft.ext.Dedup.ngramJaccardPairs]]
+    * verifies), prefix-index size and its distinct candidates WITHOUT the
+    * positional filter, candidates WITH it (what the operator verifies
+    * since round 8), and true pairs at τ = 1/2 — i.e. the candidate:pair
+    * ratio of every path, the number the 100 TB claim rests on.
+    *
+    * Two fixtures: the sf0.1 corpus itself (31-word vocabulary — the
+    * documented WORST case: every shingle common, rarity ordering nearly
+    * uninformative) and, with `copies > 1`, the vocabulary-GROWING
+    * replicated corpus (the Heaps-law-shaped fixture: content tokens get a
+    * per-copy suffix so vocabulary grows with corpus size while stopwords
+    * stay shared — the realistic shape where common-shingle posting lists
+    * drive the full index quadratic but stay OUT of rarity-ordered
+    * prefixes).
+    *
+    * Usage: runMain graft.tools.ScaleProbe prefix [copies] [outDir] */
+  def prefixProbe(copies: Int, outDir: String): Unit = {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.model.Envelopes.table(spark, "/root/testdata/sf0.1", "documents")
-    val sh = graft.ext.Dedup.shingles(docs, col("doc_id"), col("text"))
-      .localCheckpoint(true)
-    println(s"PFXPROBE shingles=${sh.count()}")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))
-    var t0 = System.nanoTime
-    val prefix = sh
-      .join(sh.groupBy("s").agg(count(lit(1)).as("__df")), Seq("s"))
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-      .filter(col("__rk") <= col("__n") - expr("(__n * 1 + 1) div 2") + 1)
-      .select(col("doc_id"), col("s")).localCheckpoint(true)
-    println(f"PFXPROBE prefix=${prefix.count()} build=${(System.nanoTime - t0) / 1e9}%.2f s")
-    t0 = System.nanoTime
-    val raw = prefix.as("a").join(prefix.as("b"),
-      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")).count()
-    println(f"PFXPROBE rawCand=$raw join=${(System.nanoTime - t0) / 1e9}%.2f s")
-    t0 = System.nanoTime
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct().count()
-    println(f"PFXPROBE cand=$cand distinct=${(System.nanoTime - t0) / 1e9}%.2f s")
-    t0 = System.nanoTime
-    val n = graft.ext.Dedup.ngramJaccardPairsPrefix(sh, 1, 2).count()
-    println(f"PFXPROBE pairs=$n full=${(System.nanoTime - t0) / 1e9}%.2f s")
+    if (copies > 1 && !corpusReady(outDir, copies)) {
+      val srcDir = "/root/testdata/sf0.1"
+      def doc(c: Int) = {
+        val base = spark.read.parquet(s"$srcDir/documents.parquet")
+          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+        if (c == 0) base
+        else {
+          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
+          base.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => when(t.isin("the", "a", "of", "to", "and"), t)
+                .otherwise(concat(t, lit(tag)))), " "))
+        }
+      }
+      val parts = spark.sparkContext.defaultParallelism
+      (0 until copies).map(doc).reduce(_ union _)
+        .repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+      markCorpus(outDir, copies)
+    }
+    val dirs = Seq(("/root/testdata/sf0.1", "1x")) ++
+      (if (copies > 1) Seq((outDir, s"${copies}x")) else Nil)
+    for ((dir, label) <- dirs) {
+      val docs = graft.model.Envelopes.table(spark, dir, "documents")
+      val sh = graft.ext.Dedup.shingles(docs, col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      println(s"PFXPROBE $label shingles=${sh.count()}")
+      def timed[T](what: String)(body: => T): T = {
+        val t0 = System.nanoTime
+        val r = body
+        println(f"PFXPROBE $label $what wall=${(System.nanoTime - t0) / 1e9}%.2f s")
+        r
+      }
+      val fullCand = timed("fullIndexCand") {
+        sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      }
+      val (candNoPos, pfx1) =
+        graft.ext.Dedup.prefixCandidates(sh, 1, 2, positional = false)
+      println(s"PFXPROBE $label prefixIndex=${pfx1.count()}")
+      val nNoPos = timed("prefixCand")(candNoPos.count())
+      graft.util.Blocks.freeCheckpoint(pfx1)
+      val (candPos, pfx2) = graft.ext.Dedup.prefixCandidates(sh, 1, 2)
+      val nPos = timed("prefix+positionalCand")(candPos.count())
+      graft.util.Blocks.freeCheckpoint(pfx2)
+      val pairs = timed("truePairs")(
+        graft.ext.Dedup.ngramJaccardPairsPrefix(sh, 1, 2).count())
+      def ratio(c: Long) = if (pairs == 0) Double.NaN else c.toDouble / pairs
+      println(f"PFXPROBE $label fullCand=$fullCand (${ratio(fullCand)}%.1f:1) " +
+        f"prefixCand=$nNoPos (${ratio(nNoPos)}%.1f:1) " +
+        f"posCand=$nPos (${ratio(nPos)}%.1f:1) pairs=$pairs")
+      graft.util.Blocks.freeCheckpoint(sh)
+    }
     spark.stop()
   }
 
@@ -645,7 +683,11 @@ object ScaleProbe {
         args.lift(2).getOrElse("/tmp/graft_scale_topk"))
       return
     }
-    if (args.headOption.contains("prefix")) { prefixProbe(); return }
+    if (args.headOption.contains("prefix")) {
+      prefixProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_prefix"))
+      return
+    }
     if (args.headOption.contains("screens")) {
       screensProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_dsir"))

@@ -43,6 +43,31 @@ class ExtSpec extends SparkSpec {
     assert(pref < full, s"prefix index ($pref) must shrink the full index ($full)")
   }
 
+  test("positional filter is lossless on random corpora at several thresholds") {
+    val s = spark
+    import s.implicits._
+    // adversarial shape for the positional filter: tiny vocab (every
+    // shingle common), WIDELY varied doc lengths, seeded for reproducibility
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'k').map(_.toString)
+    val docs = (1L to 60L).map { id =>
+      val len = 3 + rnd.nextInt(20)
+      id -> Array.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val sh = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ")
+      toks.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(id -> _)
+    }.toDF("doc_id", "s")
+    for ((num, den) <- Seq((1, 2), (3, 10), (4, 5), (1, 1))) {
+      val exact = Dedup.ngramJaccardPairs(sh, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pfx = Dedup.ngramJaccardPairsPrefix(sh, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pfx == exact, s"positional/prefix filter lost pairs at $num/$den: " +
+        s"missing ${exact.diff(pfx).size}, extra ${pfx.diff(exact).size}")
+    }
+  }
+
   test("SimHash pairs contain the highest-Jaccard near-dups") {
     val docs = Envelopes.table(spark, sfDir(), "documents")
     val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
