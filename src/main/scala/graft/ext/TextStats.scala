@@ -411,6 +411,23 @@ object TextStats {
       .select(col("doc_id"), col("chunk_id"), col("n_toks"), col("fp"))
   }
 
+  /** Batch form of chunk-level storage dedup over [[cdcChunks]]: the full
+    * chunk layout with `is_first = 1` on the canonical first
+    * (doc_id, chunk_id) occurrence of each fingerprint — the rows whose
+    * content a content-addressed store would physically hold; every other
+    * row is a reference. The cross-batch form (same semantics against a
+    * persistent fingerprint store) is
+    * [[graft.streaming.IncrementalChunkDedup]].
+    *
+    * One extra fp-keyed rank window on the chunk table — chunk-linear, no
+    * joins. @return (doc_id, chunk_id, n_toks, fp, is_first) */
+  def cdcChunkDedup(df: DataFrame, idCol: Column, textCol: Column,
+      window: Int = 3, divisor: Int = 16): DataFrame =
+    cdcChunks(df, idCol, textCol, window, divisor)
+      .withColumn("is_first",
+        (row_number().over(Window.partitionBy(col("fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))) === 1).cast("int"))
+
   /** Greedy longest-match subword tokenization counts — real
     * vocabulary-driven token accounting (the WordPiece/SentencePiece
     * maximal-munch rule: at each position consume the LONGEST vocabulary

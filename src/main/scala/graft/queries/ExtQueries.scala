@@ -811,6 +811,15 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // Chunk-level storage dedup (batch form): the CDC chunk layout with
+    // is_first marking the canonical holder of each fingerprint — what a
+    // content-addressed store physically writes. Cross-batch twin:
+    // streaming/IncrementalChunkDedup (IncrementalChunkDedupSpec).
+    "q_cdc_chunk_dedup" -> { (s, dir) =>
+      TextStats.cdcChunkDedup(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // FLAGSHIP LM-curation composite wiring this round's model-bounded
     // screens end to end: bigram-LM surprise gate (keep ⇔ mean inverse
     // probability ≤ 820) → Bloom decontamination vs the %97 eval suite
@@ -2243,6 +2252,33 @@ object ExtQueries {
         |SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
         |       ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 8))::BIGINT AS fp
         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q_cdc_chunk's CTEs + the fp-keyed first-holder rank window.
+    "q_cdc_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |          unnest(generate_series(1, len(ts))) AS pos
+        |        FROM t),
+        |g AS (SELECT doc_id, w, pos,
+        |        pos >= 3 AND
+        |        ('0x' || substr(md5(concat_ws(' ',
+        |           lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           w)), 1, 8))::BIGINT % 16 = 0 AS cut
+        |      FROM tok),
+        |c AS (SELECT doc_id, w, pos,
+        |        CAST(COALESCE(SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+        |          PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS chunk_id
+        |      FROM g),
+        |ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+        |         ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 8))::BIGINT AS fp
+        |       FROM c GROUP BY 1, 2)
+        |SELECT doc_id, chunk_id, n_toks, fp,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) = 1
+        |            AS INT) AS is_first
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Flagship twin stitched from the proven q_lm_surprise / q_bloom_decon /
     // q_wordpiece CTEs (LM raw spine = the %97 train corpus here), exact

@@ -59,3 +59,66 @@ object IncrementalDedup {
     fresh.drop("__fp")
   }
 }
+
+/** Cross-batch CHUNK-level dedup — the storage-dedup use case content-
+  * defined chunking exists for, composed from the two proven pieces:
+  * [[graft.ext.TextStats.cdcChunks]] cuts each document at content-defined
+  * boundaries (insertion-robust: an early edit perturbs only the chunks it
+  * touches, every later chunk re-synchronizes to an identical fingerprint),
+  * and the [[IncrementalDedup]] persistent fingerprint store decides which
+  * chunk CONTENTS the batch must physically store vs merely reference. A
+  * re-ingested document with an early insertion therefore stores only its
+  * touched chunks — across micro-batches, restarts, and different queries.
+  *
+  * Per-batch cost is [[IncrementalDedup.dedupBatch]]'s, on chunk rows
+  * instead of doc rows: the chunking window passes, one batch-sized rank
+  * window for within-batch firsts, a bucket-PRUNED store read sized by the
+  * batch's fingerprints, and a KeyedStore merge touching only the buckets
+  * the new fingerprints hash into. Fingerprint identity IS content
+  * identity here (the [[IncrementalDedup]] stance — documented 32-bit fp
+  * collision exposure, widen the fp slice where that matters). */
+object IncrementalChunkDedup {
+
+  /** Chunk one micro-batch, screen the chunk fingerprints against the
+    * store at `storePath` (creating it on first use), persist the new
+    * fingerprints, and return the batch's full chunk layout with
+    * `stored = 1` on exactly the rows whose content had to be written this
+    * batch (the canonical first (doc_id, chunk_id) occurrence of a
+    * fingerprint the store had never seen); every other row is a reference
+    * to an already-stored chunk.
+    *
+    * @return (doc_id, chunk_id, n_toks, fp, stored) */
+  def dedupBatch(batch: DataFrame, storePath: String, idCol: Column,
+      textCol: Column, batchId: Long, window: Int = 3, divisor: Int = 16,
+      numBuckets: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val chunks = graft.ext.TextStats
+      .cdcChunks(batch, idCol, textCol, window, divisor)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("chunk_id"))))
+    // pruned read: only the store buckets this batch's fingerprints hash
+    // into are opened — O(batch) file IO at any store size
+    val seen = KeyedStore.readPruned(spark, storePath,
+      chunks.select(col("fp")).distinct())
+    val out = (seen match {
+      case Some(s) => chunks.join(s.select(col("fp"), lit(1).as("__seen")),
+        Seq("fp"), "left_outer")
+      case None => chunks.withColumn("__seen", lit(null).cast("int"))
+    })
+      .withColumn("stored",
+        (col("__seen").isNull && col("__rk") === 1).cast("int"))
+      .select(col("doc_id"), col("chunk_id"), col("n_toks"), col("fp"),
+        col("stored"))
+      // pin BEFORE the store merge: without it the caller's consumption
+      // would re-run the screen against the already-updated store and mark
+      // nothing as stored (the dedupBatch discipline)
+      .localCheckpoint(true)
+    val newFps = out.filter(col("stored") === 1)
+      .select(col("fp")).withColumn("batch_id", lit(batchId))
+    if (!newFps.isEmpty)
+      KeyedStore.merge(newFps, storePath, keys = Seq("fp"),
+        seqCols = Seq("batch_id"), numBuckets = numBuckets,
+        bucketCols = Seq("fp"))
+    out
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.TextStats
+
+/** Cross-batch chunk-level storage dedup: content-defined chunk layout
+  * screened against a persistent fingerprint store — batch parity with the
+  * one-shot operator, and the insertion-robustness property ACROSS batches
+  * (a re-ingested document with an early edit stores only its touched
+  * chunks). */
+class IncrementalChunkDedupSpec extends SparkSpec {
+
+  // long enough for ~8+ chunks at divisor=16 so robustness is measurable;
+  // deterministic token stream
+  private def words(seed: Int, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+  }
+
+  test("fold across batches equals the batch operator over the concatenated corpus") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk").toString + "/store"
+    val d1 = (1L, words(1, 300).mkString(" "))
+    val d2 = (2L, words(2, 250).mkString(" "))
+    val d3 = (3L, words(3, 280).mkString(" "))
+    val d2re = (4L, d2._2) // exact re-ingest under a new id
+
+    val b0 = Seq(d1, d2).toDF("doc_id", "text")
+    val b1 = Seq(d3, d2re).toDF("doc_id", "text")
+    val o0 = IncrementalChunkDedup.dedupBatch(b0, store, col("doc_id"), col("text"), 0L)
+    val o1 = IncrementalChunkDedup.dedupBatch(b1, store, col("doc_id"), col("text"), 1L)
+
+    // layout parity: chunk rows match the pure chunker on each batch
+    val want0 = TextStats.cdcChunks(b0, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(o0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == want0)
+
+    // store parity: persisted fps == distinct fps of the concatenated corpus
+    val all = Seq(d1, d2, d3, d2re).toDF("doc_id", "text")
+    val wantFps = TextStats.cdcChunks(all, col("doc_id"), col("text"))
+      .select("fp").distinct().collect().map(_.getLong(0)).toSet
+    val storeFps = KeyedStore.read(s, store).get
+      .select("fp").collect().map(_.getLong(0)).toSet
+    assert(storeFps == wantFps, s"store ${storeFps.size} vs want ${wantFps.size}")
+
+    // stored flags: batch 0 stores every distinct fp once; the re-ingested
+    // doc in batch 1 stores NOTHING (all its chunks are referenced)
+    val stored1 = o1.filter(col("stored") === 1)
+      .select("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!stored1.exists(_._1 == 4L),
+      s"exact re-ingest must store no chunks: ${stored1.filter(_._1 == 4L).length}")
+    // batch-1 stored set == d3's fps minus what batch 0 already holds
+    val fps0 = TextStats.cdcChunks(Seq(d1, d2).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).select("fp").collect().map(_.getLong(0)).toSet
+    val fps3 = TextStats.cdcChunks(Seq(d3).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).select("fp").collect().map(_.getLong(0)).toSet
+    assert(stored1.map(_._2).toSet == fps3.diff(fps0))
+  }
+
+  test("early insertion across batches stores only the touched chunks (CDC re-sync)") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk_ins").toString + "/store"
+    val base = words(7, 400)
+    // insertion near the front: chunks after the edit point re-synchronize
+    val edited = base.take(5) ++ Seq("inserted", "tokens", "here") ++ base.drop(5)
+
+    val b0 = Seq((1L, base.mkString(" "))).toDF("doc_id", "text")
+    IncrementalChunkDedup.dedupBatch(b0, store, col("doc_id"), col("text"), 0L)
+      .count()
+    val b1 = Seq((2L, edited.mkString(" "))).toDF("doc_id", "text")
+    val o1 = IncrementalChunkDedup.dedupBatch(b1, store, col("doc_id"), col("text"), 1L)
+      .collect()
+
+    val total = o1.length
+    val stored = o1.count(_.getInt(4) == 1)
+    // exactness: stored set == the edited doc's fps the store lacked
+    val fpsBase = TextStats.cdcChunks(b0, col("doc_id"), col("text"))
+      .select("fp").collect().map(_.getLong(0)).toSet
+    val wantNew = o1.map(_.getLong(3)).toSet.diff(fpsBase)
+    assert(o1.filter(_.getInt(4) == 1).map(_.getLong(3)).toSet == wantNew)
+    // robustness: the edit touches the boundary-local chunks only — the
+    // vast majority of the re-ingested document is referenced, not stored
+    assert(stored > 0, "an insertion must dirty at least one chunk")
+    assert(stored <= math.max(3, total / 4),
+      s"insertion should dirty O(1) chunks, stored $stored of $total")
+
+    // a FIXED-STRIDE chunker has no re-sync: the same edit shifts every
+    // downstream boundary, so its dirty-chunk count grows with doc length —
+    // the contrast that motivates CDC for storage dedup
+    def strideFps(toks: Seq[String], k: Int) =
+      toks.grouped(k).map(_.mkString(" ")).toSet
+    val strideDirty = strideFps(edited, 16).diff(strideFps(base, 16)).size
+    assert(strideDirty > stored,
+      s"fixed-stride dirties $strideDirty, CDC stored only $stored")
+  }
+
+  test("restart: a fresh caller over the same store keeps referencing") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk_rs").toString + "/store"
+    val d = (1L, words(11, 200).mkString(" "))
+    val b0 = Seq(d).toDF("doc_id", "text")
+    IncrementalChunkDedup.dedupBatch(b0, store, col("doc_id"), col("text"), 0L)
+      .count()
+    // "restart": same content, new caller, new id — everything referenced
+    val b1 = Seq((9L, d._2)).toDF("doc_id", "text")
+    val o1 = IncrementalChunkDedup.dedupBatch(b1, store, col("doc_id"), col("text"), 1L)
+    assert(o1.filter(col("stored") === 1).count() == 0L)
+    assert(o1.count() > 0L)
+  }
+}
