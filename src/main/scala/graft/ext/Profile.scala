@@ -133,6 +133,55 @@ object Profile {
       .agg(max(col("__n")).as("n"), ests: _*)
   }
 
+  /** [[histQuantiles]] over a CALLER-FIXED frame (lo, hi, bins): values
+    * outside [lo, hi] clamp into the edge bins instead of re-deriving the
+    * frame from the data. A fixed frame is what makes histograms BIN-WISE
+    * ADDABLE across micro-batches — re-framing would re-bin history a
+    * sketch store no longer has — so this is the batch twin
+    * [[graft.streaming.IncrementalHist]] folds against (spec-anchored
+    * parity at every horizon). Same two map-side-combined passes; the
+    * clamp trades edge-bin resolution for mergeability, the standard
+    * streaming-histogram contract.
+    *
+    * @return (group cols..., n, est_{num}_{den}...) */
+  def histQuantilesFramed(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, lo: Long, hi: Long, bins: Int = 1024,
+      qs: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    require(groupCols.nonEmpty, "histQuantilesFramed needs a group column")
+    require(hi >= lo, s"frame must satisfy hi >= lo, got [$lo, $hi]")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 1 && n <= d },
+      s"quantiles must be rationals in (0, 1]: $qs")
+    val w = (hi - lo) / bins + 1
+    val gcols = groupCols.map(col)
+    val hist = df.select(gcols :+ valueCol.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__bin",
+        expr(s"least(greatest((__v - $lo) div $w, 0L), ${bins - 1}L)"))
+      .groupBy(gcols :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__ct"))
+    histEstimates(hist, groupCols, lo, w, qs)
+  }
+
+  /** The cumulative-walk quantile selection shared by
+    * [[histQuantilesFramed]] and the streaming fold: `hist` holds
+    * (group cols..., __bin, __ct) rows over the frame (lo, binWidth). */
+  private[graft] def histEstimates(hist: DataFrame, groupCols: Seq[String],
+      lo: Long, binWidth: Long, qs: Seq[(Int, Int)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)
+    val cumW = gw.orderBy(col("__bin")).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withCum = hist
+      .withColumn("__n", sum(col("__ct")).over(gw))
+      .withColumn("__cum", sum(col("__ct")).over(cumW))
+    val ests = qs.map { case (num, den) =>
+      min(when(col("__cum") >= expr(s"(__n * $num + ${den - 1}) div $den"),
+        lit(lo) + col("__bin") * binWidth)).as(s"est_${num}_$den")
+    }
+    withCum.groupBy(gcols: _*).agg(max(col("__n")).as("n"), ests: _*)
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       k: Int = 256): DataFrame = {
     require(groupCols.nonEmpty, "kmvDistinct needs at least one group column")

@@ -767,6 +767,17 @@ object ExtQueries {
     // DECIMAL(18,6) money discipline) next to the exact rank-statistic
     // values — the deterministic quantile sketch completing the trio
     // (Misra-Gries, KMV, histogram). Estimates err by ≤ one bin width.
+    // Fixed-frame histogram quantiles — the mergeable form the cross-batch
+    // fold (streaming/IncrementalHist, IncrementalHistSpec) accumulates;
+    // frame [0, 6e11] x 512 bins over micro-dollar totals.
+    "q_hist_framed" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
+      Profile.histQuantilesFramed(o, Seq("o_orderstatus"), v,
+          lo = 0L, hi = 600000000000L, bins = 512)
+        .orderBy(col("o_orderstatus"))
+    },
+
     "q_hist_quantile" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
@@ -2181,6 +2192,31 @@ object ExtQueries {
 
     // Same bin frame, cumulative walk, and rank statistics; // is DuckDB's
     // floor division, identical to Spark's div on the nonneg operands here.
+    // Fixed frame: w = (6e11 - 0) // 512 + 1; clamp into the edge bins
+    // (values here are in-frame, the clamp is the contract). est columns
+    // keep the operator's est_{num}_{den} names.
+    "q_hist_framed" ->
+      """WITH b AS (SELECT o_orderstatus AS g,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |h AS (SELECT g,
+        |        LEAST(GREATEST(v // (600000000000 // 512 + 1), 0), 511) AS bin,
+        |        COUNT(*) AS ct
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bin, ct,
+        |        SUM(ct) OVER (PARTITION BY g) AS n,
+        |        SUM(ct) OVER (PARTITION BY g ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM h)
+        |SELECT g AS o_orderstatus, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2
+        |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_1_2,
+        |       CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10
+        |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_9_10,
+        |       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+        |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_99_100
+        |FROM c GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
     "q_hist_quantile" ->
       """WITH b AS (SELECT o_orderstatus AS g,
         |             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch histogram quantiles — the fourth member of the persistent-
+  * sketch family ([[IncrementalTopK]] Misra-Gries, [[IncrementalKmv]],
+  * the DSIR bucket models): per-(group, bin) counts over a CALLER-FIXED
+  * frame accumulate in a [[KeyedStore]], and because a fixed-frame
+  * histogram is mergeable by construction (bin-wise ADD — the property
+  * `ext/Profile.histQuantiles` documents), the fold is LOSSLESS: after any
+  * number of folds the store is bit-identical to
+  * [[graft.ext.Profile.histQuantilesFramed]] over the concatenated
+  * history, at O(groups·bins) state regardless of history length.
+  *
+  * The frame (lo, hi, bins) is part of the store's identity — it is
+  * pinned in a meta row on first fold and every later fold must pass the
+  * SAME frame (re-framing would need the raw history the sketch exists to
+  * discard; a mismatch fails fast instead of silently mixing bin spaces).
+  * Values outside [lo, hi] clamp into the edge bins, the
+  * [[graft.ext.Profile.histQuantilesFramed]] contract.
+  *
+  * Replay safety is the family contract: `batchId` is the `ver` seq, a
+  * META row records the high-water mark on every fold (a fold whose batch
+  * touches no bins still writes it), and a replayed fold returns the
+  * current estimates without touching the store.
+  *
+  * Per-fold cost: one map-side-combined (g, bin) count over the BATCH, a
+  * store read, and a bucketed upsert of ONLY the bins the batch touched. */
+object IncrementalHist {
+
+  private def liveRows(spark: SparkSession, storePath: String): DataFrame =
+    KeyedStore.read(spark, storePath)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("kind"), col("g"), col("bin"), col("ct"),
+          col("lo"), col("hi"), col("bins"), col("ver")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, String, Long, Long, Long, Long, Long, Long)]
+          .toDF("kind", "g", "bin", "ct", "lo", "hi", "bins", "ver")
+      }
+
+  private def estimateOf(cur: DataFrame, lo: Long, hi: Long, bins: Int,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val w = (hi - lo) / bins + 1
+    graft.ext.Profile.histEstimates(
+      cur.select(col("g"), col("bin").as("__bin"), col("ct").as("__ct")),
+      Seq("g"), lo, w, qs)
+  }
+
+  /** Fold one micro-batch into the sketch at `storePath` (created on first
+    * use, frame pinned then) and return the updated per-group estimates
+    * (g, n, est_{num}_{den}...). */
+  def mergeBatch(batch: DataFrame, storePath: String, groupCol: Column,
+      valueCol: Column, lo: Long, hi: Long, bins: Int, batchId: Long,
+      qs: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100)),
+      numBuckets: Int = 4): DataFrame = {
+    require(hi >= lo, s"frame must satisfy hi >= lo, got [$lo, $hi]")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val spark = batch.sparkSession
+    val live = liveRows(spark, storePath).localCheckpoint(true)
+    val meta = live.filter(col("kind") === "m")
+      .select(col("lo"), col("hi"), col("bins"), col("ver")).collect()
+    meta.headOption.foreach { m =>
+      require(m.getLong(0) == lo && m.getLong(1) == hi && m.getLong(2) == bins,
+        s"store $storePath is framed [${m.getLong(0)}, ${m.getLong(1)}] x " +
+          s"${m.getLong(2)} bins; fold passed [$lo, $hi] x $bins — the frame " +
+          "is part of the store's identity")
+    }
+    val cur = live.filter(col("kind") === "v")
+    if (meta.exists(m => batchId <= m.getLong(3))) {
+      // replay: current state IS the post-batch state
+      val out = estimateOf(cur, lo, hi, bins, qs).localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(live)
+      return out
+    }
+    val w = (hi - lo) / bins + 1
+    val batchCts = batch
+      .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("bin",
+        expr(s"least(greatest((__v - $lo) div $w, 0L), ${bins - 1}L)"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("bct"))
+    // bin-wise ADD, writing only the touched (g, bin) rows
+    val changed = batchCts
+      .join(cur.select(col("g"), col("bin"), col("ct")), Seq("g", "bin"),
+        "left_outer")
+      .select(lit("v").as("kind"), col("g"), col("bin"),
+        (coalesce(col("ct"), lit(0L)) + col("bct")).as("ct"),
+        lit(lo).as("lo"), lit(hi).as("hi"), lit(bins.toLong).as("bins"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+    val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
+      lit(-1L).as("bin"), lit(0L).as("ct"), lit(lo).as("lo"),
+      lit(hi).as("hi"), lit(bins.toLong).as("bins"),
+      lit(batchId).as("ver"), lit("put").as("op_type"))
+    KeyedStore.merge(changed.unionByName(metaRow), storePath,
+      keys = Seq("kind", "g", "bin"), seqCols = Seq("ver"),
+      numBuckets = numBuckets)
+    val merged = cur.select(col("g"), col("bin"), col("ct"))
+      .join(changed.select(col("g"), col("bin")), Seq("g", "bin"),
+        "left_anti")
+      .unionByName(changed.select(col("g"), col("bin"), col("ct")))
+    val out = estimateOf(merged, lo, hi, bins, qs).localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(live)
+    graft.util.Blocks.freeCheckpoint(changed)
+    out
+  }
+
+  /** The current per-group estimates at `storePath` without folding; the
+    * frame is read from the store's meta row. Empty frame (no folds yet)
+    * returns an empty two-column-compatible frame via the caller's qs. */
+  def readEstimate(spark: SparkSession, storePath: String,
+      qs: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    val live = liveRows(spark, storePath)
+    val meta = live.filter(col("kind") === "m")
+      .select(col("lo"), col("hi"), col("bins")).collect()
+    val (lo, hi, bins) = meta.headOption
+      .map(m => (m.getLong(0), m.getLong(1), m.getLong(2).toInt))
+      .getOrElse((0L, 0L, 1))
+    estimateOf(live.filter(col("kind") === "v"), lo, hi, bins, qs)
+  }
+}
