@@ -575,6 +575,71 @@ object TextStats {
     learned.toSeq.toDF("merge_ix", "lhs", "rhs", "merged", "pair_ct")
   }
 
+  /** BPE APPLICATION — tokenize the corpus with a learned merge list (the
+    * [[bpeTrain]] output), completing the train→apply tokenizer story:
+    * each word starts as characters and replays the merges IN TRAINING
+    * ORDER, greedy left-to-right per merge — the standard BPE inference
+    * rule (merge-rank order, not longest-match; [[wordpieceCounts]] is the
+    * maximal-munch alternative). Piece counting, like training, runs on
+    * the DISTINCT-WORD table (Heaps-law bounded) and joins back to the
+    * corpus by word — the corpus pays one tokenize + count + join + doc
+    * rollup, the merge replay touches only distinct words as |merges|
+    * chained row-local folds (expression-only — the merge pair rides as
+    * literals, nothing to broadcast or join).
+    *
+    * @param merges (lhs, rhs) pairs in training order
+    * @return (doc_id, n_words, n_pieces) — n_pieces = Σ per-word symbols
+    *         after all merges, weighted by occurrence */
+  def bpeApply(df: DataFrame, idCol: Column, textCol: Column,
+      merges: Seq[(String, String)], maxWordLen: Int = 64): DataFrame = {
+    val wc = df.select(idCol.as("doc_id"), explode(toks(textCol)).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("ct"))
+    var pieced = wc.select("w").distinct()
+      .withColumn("syms", filter(split(col("w"), ""), s => length(s) > 0))
+    for ((l, r) <- merges)
+      pieced = pieced.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+    val perWord = pieced.select(col("w"), size(col("syms")).cast("long").as("__p"))
+    val scored = wc.join(perWord, Seq("w"))
+      .groupBy("doc_id").agg(sum(col("ct")).as("n_words"),
+        sum(col("ct") * col("__p")).as("n_pieces"))
+    df.select(idCol.as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .withColumn("n_words", coalesce(col("n_words"), lit(0L)))
+      .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L)))
+  }
+
+  /** The DuckDB twin of [[bpeApply]] fed by TRAINED merges: reuses the
+    * [[bpeTrainSql]] CTE chain verbatim through its final symbol table
+    * `w<merges>` — training and application can never drift — then counts
+    * surviving symbols per word and rolls up per document. */
+  def bpeApplySql(docsCte: String, merges: Int, maxWordLen: Int = 64): String = {
+    require(docsCte.contains("doc_id"),
+      "bpeApplySql's docsCte must expose d(doc_id, text) — the per-doc " +
+        "rollup needs the id the training twin could ignore")
+    val chain = bpeTrainSql(docsCte, merges, maxWordLen)
+    // keep the WITH chain (ends at the last round CTE's close paren), swap
+    // the final merge-list SELECT for the per-doc rollup
+    val body = chain.substring(0, chain.lastIndexOf("SELECT CAST(1 AS INT)")).trim
+    s"""$body,
+       |pw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS p
+       |      FROM w$merges GROUP BY 1),
+       |dwc AS (SELECT doc_id, w, COUNT(*) AS ct FROM (
+       |          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM d)
+       |        WHERE length(w) > 0 AND length(w) <= $maxWordLen GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_words,
+       |         CAST(SUM(ct * p) AS BIGINT) AS n_pieces
+       |       FROM dwc JOIN pw USING (w) GROUP BY 1)
+       |SELECT dd.doc_id, COALESCE(sc.n_words, 0) AS n_words,
+       |       COALESCE(sc.n_pieces, 0) AS n_pieces
+       |FROM (SELECT doc_id FROM d) dd LEFT JOIN sc USING (doc_id)
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   /** The DuckDB twin of [[bpeTrain]], rounds unrolled as chained CTEs and
     * generated from the same parameters so the two can never drift. State
     * is the POSITIONAL form (word, ct, pos, sym) — the array fold becomes

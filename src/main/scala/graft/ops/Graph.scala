@@ -110,6 +110,76 @@ object Graph {
     r.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** [[pageRankInt]] with a WARM-START vector and a convergence stop — the
+    * form an INCREMENTAL ranking pipeline iterates
+    * ([[graft.streaming.IncrementalRank]]): rank does not fold like a
+    * sketch, but the damped iteration is a contraction, so restarting from
+    * the PREVIOUS graph's fixed point after a small edge delta converges
+    * in far fewer iterations than from uniform (measured in SCALING.md).
+    *
+    * `start` rows (node, rank_fp) seed matching nodes; nodes absent from
+    * `start` (new since the last run) begin at `unit`, rows for departed
+    * nodes are dropped by the spine join. Iteration stops when the max
+    * per-node |Δrank| ≤ `tol` fixed-point units (checked each step with
+    * one extra node-sized join+agg — the price of knowing when to stop),
+    * or after `maxIters`. Same integer arithmetic, checkpoint discipline,
+    * and overflow guard as [[pageRankInt]]; with `start = None` the
+    * iterates are IDENTICAL to [[pageRankInt]]'s at every step.
+    *
+    * @return (ranks(node, rank_fp), iterations actually run) */
+  def pageRankIntConverge(edges: DataFrame, start: Option[DataFrame],
+      tol: Long, maxIters: Int, unit: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): (DataFrame, Int) = {
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    require(maxIters >= 0, s"maxIters must be >= 0, got $maxIters")
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    require(dampNum >= 0 && dampDen >= 1 && dampNum <= dampDen,
+      s"damping must be a fraction in [0, 1], got $dampNum/$dampDen")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
+        Seq("node"), "left_outer")
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n == 0 || dampNum == 0 || unit <= Long.MaxValue / dampNum / n,
+      s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
+        "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
+    val base = unit * (dampDen - dampNum) / dampDen
+    var r = start match {
+      case Some(s0) => nodes
+        .join(s0.select(col("node").cast("long").as("node"),
+          col("rank_fp").as("__r0")), Seq("node"), "left_outer")
+        .select(col("node"), col("d"),
+          coalesce(col("__r0"), lit(unit)).as("r"))
+        .localCheckpoint(true)
+      case None => nodes.withColumn("r", lit(unit)).localCheckpoint(true)
+    }
+    var itersRun = 0
+    var converged = false
+    while (itersRun < maxIters && !converged) {
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("d"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      val prev = r
+      r = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"), col("d"),
+          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
+        .localCheckpoint(true)
+      itersRun += 1
+      val delta = r.select(col("node"), col("r"))
+        .join(prev.select(col("node"), col("r").as("__p")), "node")
+        .agg(max(abs(col("r") - col("__p")))).head().get(0)
+      converged = delta == null || delta.asInstanceOf[Long] <= tol
+      graft.util.Blocks.freeCheckpoint(prev)
+    }
+    graft.util.Blocks.freeCheckpoint(nodes)
+    graft.util.Blocks.freeCheckpoint(e)
+    (r.select(col("node"), col("r").as("rank_fp")), itersRun)
+  }
+
   /** PERSONALIZED PageRank (TrustRank, Gyöngyi et al. VLDB'04): teleport
     * mass lands ONLY on the `seeds` nodes — trust propagates outward from a
     * curated seed list (known-good domains, hand-audited hosts) through the

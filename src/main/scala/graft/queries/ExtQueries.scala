@@ -778,6 +778,32 @@ object ExtQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Cross-batch histogram fold driven as three sequential micro-batches
+    // through a persistent IncrementalHist store (o_orderkey % 3 spine);
+    // the fold is lossless bin-wise add, so every horizon's estimates
+    // equal the framed batch sketch over the folded prefix — which is
+    // exactly what the DuckDB twin computes per spine row.
+    "q_hist_stream" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
+      val root = java.nio.file.Files.createTempDirectory("graft_hist_q")
+      var outs = Seq.empty[DataFrame]
+      for (i <- 0 until 3) {
+        val est = graft.streaming.IncrementalHist.mergeBatch(
+          o.filter(col("o_orderkey") % 3 === i), s"$root/h",
+          col("o_orderstatus"), v, 0L, 600000000000L, 512, i.toLong)
+        outs = outs :+ est.withColumn("bid", lit(i.toLong))
+      }
+      // every fold's output is its own checkpoint; the store is dead
+      // weight once returned — the q_topk_stream lifecycle
+      val res = outs.reduce(_ unionByName _)
+        .select(col("bid"), col("g"), col("n"),
+          col("est_1_2"), col("est_9_10"), col("est_99_100"))
+        .orderBy(col("bid"), col("g"))
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     "q_hist_quantile" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
@@ -894,6 +920,19 @@ object ExtQueries {
     "q_bpe_train" -> { (s, dir) =>
       TextStats.bpeTrain(docs(s, dir), col("text"), merges = 8)
         .orderBy(col("merge_ix"))
+    },
+
+    // Train-then-tokenize: the 8 learned merges replayed over the corpus
+    // in training order (greedy left-to-right per merge), counted per doc.
+    // The oracle REUSES the training twin's CTE chain through its final
+    // symbol table, so train and apply can never drift.
+    "q_bpe_apply" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val learned = TextStats.bpeTrain(d, col("text"), merges = 8)
+        .orderBy("merge_ix").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextStats.bpeApply(d, col("doc_id"), col("text"), learned)
+        .orderBy(col("doc_id"))
     },
 
     // CCNet-style hashed bigram-LM surprise screen: LM trained on the
@@ -2217,6 +2256,31 @@ object ExtQueries {
         |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_99_100
         |FROM c GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
+    // Per-spine-row framed histogram over the folded batch prefix
+    // (bid <= h) — the lossless-fold twin.
+    "q_hist_stream" ->
+      """WITH b AS (SELECT o_orderkey % 3 AS bid, o_orderstatus AS g,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |spine AS (SELECT unnest(generate_series(0, 2)) AS h),
+        |hb AS (SELECT s.h AS bid, g,
+        |         LEAST(GREATEST(v // (600000000000 // 512 + 1), 0), 511) AS bin,
+        |         COUNT(*) AS ct
+        |       FROM spine s JOIN b ON b.bid <= s.h GROUP BY 1, 2, 3),
+        |c AS (SELECT bid, g, bin, ct,
+        |        SUM(ct) OVER (PARTITION BY bid, g) AS n,
+        |        SUM(ct) OVER (PARTITION BY bid, g ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM hb)
+        |SELECT bid, g, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2
+        |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_1_2,
+        |       CAST(MIN(CASE WHEN cum >= (n * 9 + 9) // 10
+        |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_9_10,
+        |       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+        |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_99_100
+        |FROM c GROUP BY 1, 2 ORDER BY bid, g""".stripMargin,
+
     "q_hist_quantile" ->
       """WITH b AS (SELECT o_orderstatus AS g,
         |             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
@@ -2438,6 +2502,13 @@ object ExtQueries {
     // folds (the list_reduce lesson).
     "q_bpe_train" ->
       TextStats.bpeTrainSql("d AS (SELECT text FROM documents)", merges = 8),
+
+    // The training chain's final symbol table, counted per word and rolled
+    // up per doc — generated by the same function as the Spark plan's
+    // merge list.
+    "q_bpe_apply" ->
+      TextStats.bpeApplySql("d AS (SELECT doc_id, text FROM documents)",
+        merges = 8),
 
     // Bigram rows once (p = [unigram context, bigram]), hashed to 4096
     // buckets; LM counts from the % 7 target slice; fixed-point add-one

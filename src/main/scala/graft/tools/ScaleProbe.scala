@@ -642,6 +642,51 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Warm-start incremental PageRank probe on the sf0.1 trade graph:
+    * folds 99% of the edges cold, then the remaining 1% warm, and compares
+    * iteration counts (and wall) against a cold batch run on the FULL
+    * graph at the same tolerance — the measured saving the
+    * IncrementalRank warm-start claim rests on.
+    *
+    * Usage: runMain graft.tools.ScaleProbe warmrank [tolExp] [storeRoot] */
+  def warmrankProbe(tolExp: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val dir = "/root/testdata/sf0.1"
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + lit(1000000L)).as("sk"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("sk").as("dst"))
+      .unionByName(e0.select(col("sk").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    val tol = math.pow(10, tolExp).toLong
+    val isDelta = abs(hash(col("src"), col("dst"))) % 100 === 0
+    val base = edges.filter(!isDelta)
+    val delta = edges.filter(isDelta)
+    println(s"WARMRANK edges=${edges.count()} delta=${delta.count()} tol=$tol")
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime - t0) / 1e9)
+    }
+    val ((_, itCold), wCold) = timed(graft.streaming.IncrementalRank
+      .updateAndRank(base, storeRoot, tol, 200))
+    println(f"WARMRANK cold 99%% fold: iters=$itCold wall=$wCold%.1f s")
+    val ((_, itWarm), wWarm) = timed(graft.streaming.IncrementalRank
+      .updateAndRank(delta, storeRoot, tol, 200))
+    println(f"WARMRANK warm 1%% delta fold: iters=$itWarm wall=$wWarm%.1f s")
+    val ((_, itFull), wFull) = timed(graft.ops.Graph
+      .pageRankIntConverge(edges, None, tol, 200))
+    println(f"WARMRANK cold FULL batch: iters=$itFull wall=$wFull%.1f s")
+    println(f"WARMRANK saving: warm $itWarm vs cold $itFull iterations " +
+      f"(${100.0 * (itFull - itWarm) / itFull}%.0f%%)")
+    spark.stop()
+  }
+
   /** IncrementalTopK long-run probe: fold `batches` micro-batches of the
     * sf0.1 token stream into one persistent MG summary and report the
     * per-fold wall over time plus the store's live row count — the claims
@@ -676,6 +721,11 @@ object ScaleProbe {
     if (args.headOption.contains("pagerank")) {
       pagerankProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_pr"))
+      return
+    }
+    if (args.headOption.contains("warmrank")) {
+      warmrankProbe(args.lift(1).map(_.toInt).getOrElse(6),
+        args.lift(2).getOrElse("/tmp/graft_scale_warmrank"))
       return
     }
     if (args.headOption.contains("topk")) {

@@ -94,6 +94,46 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "x", "y", "xy", 5L)), s"$got")
   }
 
+  /** Sequential replay of learned merges, the documented apply rule. */
+  private def refApply(w: String, merges: Seq[(String, String)]): Long = {
+    var s = w.map(_.toString).toVector
+    for ((l, r) <- merges) {
+      val b = Vector.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) { b += l + r; j += 2 }
+        else { b += s(j); j += 1 }
+      }
+      s = b.result()
+    }
+    s.length.toLong
+  }
+
+  test("apply replays trained merges: per-doc piece counts match the reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocabWords = Seq("banana", "bandana", "analysis", "nanna", "abba",
+      "cabbage", "baggage", "aaaa", "the", "of")
+    val texts = (1 to 60).map { i =>
+      i.toLong -> Array.fill(2 + rnd.nextInt(6))(
+        vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")
+    }
+    val df = texts.toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(df, col("text"), 10)
+      .orderBy("merge_ix").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextStats.bpeApply(df, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = texts.map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ", -1).filter(w => w.nonEmpty && w.length <= 64)
+      id -> ((ws.length.toLong, ws.map(refApply(_, merges)).sum))
+    }.toMap
+    assert(got == want)
+    // training compresses: total pieces strictly under total characters
+    val chars = texts.map(_._2.count(_ != ' ').toLong).sum
+    assert(got.values.map(_._2).sum < chars)
+  }
+
   test("trainer matches the reference on the fixture corpus") {
     val docs = Envelopes.table(spark, sfDir(), "documents")
     val texts = docs.select("text").collect().map(_.getString(0)).toSeq
