@@ -318,9 +318,11 @@ object Dedup {
       .select(col("doc_id"), col("s"), col("__rk"), col("__n"))
       .localCheckpoint(true)
     // (The classic AllPairs LENGTH filter — J ≥ t ⇒ min(n) ≥ t·max(n) — was
-    // measured here and REMOVED: the fixture's near-uniform doc lengths cut
-    // nothing while the non-equi predicate cost ~1.5 s; re-add it for
-    // corpora with a wide length distribution.)
+    // measured here in round 7 and removed; since round 8 it is SUBSUMED:
+    // at an earliest collision of ranks (1, 1) the positional bound
+    // 1 + min(n_a − 1, n_b − 1) = min(n_a, n_b) ≥ ⌈(n_a+n_b)·t/(1+t)⌉ is
+    // algebraically the length filter, and deeper collisions only tighten
+    // it — so the positional screen below prunes a superset.)
     // Positional filter: one row per pair via the collision groupBy (which
     // replaces the old distinct — same exchange shape), keeping the
     // earliest collision's ranks. struct min is lexicographic on (ra, rb);
@@ -1000,6 +1002,17 @@ object Dedup {
       .select(explode(array((0 until k).map(pos): _*)).as("pos"))
       .distinct()
       .localCheckpoint(true)
+    bloomProbe(trainSh, bits, m, k, minHits)
+  }
+
+  /** The probe half of [[bloomScreen]], shared with the cross-batch store
+    * form ([[graft.streaming.IncrementalBloom]]): screens `trainSh` against
+    * an already-materialized set-bit table `bits(pos)` built with the SAME
+    * (m, k). */
+  private[graft] def bloomProbe(trainSh: DataFrame, bits: DataFrame, m: Int,
+      k: Int, minHits: Int): DataFrame = {
+    def pos(i: Int): Column =
+      conv(substring(md5(col("s")), 1 + 8 * i, 8), 16, 10).cast("long") % m
     val probed = (0 until k).foldLeft(
       trainSh.select(Seq(col("doc_id")) ++ (0 until k).map(i => pos(i).as(s"__p$i")): _*)) {
       (acc, i) =>

@@ -531,9 +531,39 @@ object TextStats {
     *   (merge_ix, lhs, rhs, merged, pair_ct) */
   def bpeTrain(df: DataFrame, textCol: Column, merges: Int,
       maxWordLen: Int = 64): DataFrame = {
-    require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = df.sparkSession
     import spark.implicits._
+    val (learned, state) = bpeTrainCore(df, textCol, merges, maxWordLen)
+    graft.util.Blocks.freeCheckpoint(state)
+    learned.toDF("merge_ix", "lhs", "rhs", "merged", "pair_ct")
+  }
+
+  /** The learned SUBWORD VOCABULARY after `merges` training rounds: every
+    * surviving symbol (single characters + merged pieces) with its
+    * corpus-weighted occurrence count — what the final symbol table of
+    * [[bpeTrain]] holds, rolled up. The piece the trainer just created can
+    * itself be consumed by a later merge, so `n_occ` counts SURVIVING
+    * occurrences, not historical merge counts (the distinction a vocab
+    * pruning pass needs). Same distinct-word execution shape as training;
+    * the SQL twin ([[bpeVocabSql]]) reuses the training chain's final
+    * symbol table.
+    * @return (piece, n_occ) */
+  def bpeVocab(df: DataFrame, textCol: Column, merges: Int,
+      maxWordLen: Int = 64): DataFrame = {
+    val (_, state) = bpeTrainCore(df, textCol, merges, maxWordLen)
+    val out = state
+      .select(explode(col("syms")).as("piece"), col("ct"))
+      .groupBy("piece").agg(sum(col("ct")).as("n_occ"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(state)
+    out
+  }
+
+  /** Shared trainer loop: returns the learned merges AND the final
+    * (ct, syms) distinct-word state (checkpointed — the CALLER frees). */
+  private def bpeTrainCore(df: DataFrame, textCol: Column, merges: Int,
+      maxWordLen: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
     val wc = df.select(explode(toks(textCol)).as("w"))
       .filter(length(col("w")) > 0 && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("ct"))
@@ -571,8 +601,17 @@ object TextStats {
         ix += 1
       }
     }
-    graft.util.Blocks.freeCheckpoint(state)
-    learned.toSeq.toDF("merge_ix", "lhs", "rhs", "merged", "pair_ct")
+    (learned.toSeq, state)
+  }
+
+  /** The DuckDB twin of [[bpeVocab]]: the training chain's final symbol
+    * table, rolled up by symbol. */
+  def bpeVocabSql(docsCte: String, merges: Int, maxWordLen: Int = 64): String = {
+    val chain = bpeTrainSql(docsCte, merges, maxWordLen)
+    val body = chain.substring(0, chain.lastIndexOf("SELECT CAST(1 AS INT)")).trim
+    s"""$body
+       |SELECT sym AS piece, CAST(SUM(ct) AS BIGINT) AS n_occ
+       |FROM w$merges GROUP BY 1 ORDER BY piece""".stripMargin
   }
 
   /** BPE APPLICATION — tokenize the corpus with a learned merge list (the

@@ -637,6 +637,28 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-batch Bloom decontamination driven as two eval folds into a
+    // persistent set-bit store, then one screen: the bit table is a set
+    // union, so the twin is q_bloom_decon's SQL over the WHOLE eval suite
+    // — the lossless-fold identity IncrementalBloomSpec pins per horizon.
+    "q_bloom_stream" -> { (s, dir) =>
+      val sh = shingleTable(s, dir)
+      val isEval = col("doc_id") % 97 === 0
+      val root = java.nio.file.Files.createTempDirectory("graft_bloom_q")
+      graft.streaming.IncrementalBloom.addEval(
+        sh.filter(isEval && col("doc_id") % 2 === 0), s"$root/b", batchId = 0L)
+      graft.streaming.IncrementalBloom.addEval(
+        sh.filter(isEval && col("doc_id") % 2 =!= 0), s"$root/b", batchId = 1L)
+      val res = graft.streaming.IncrementalBloom
+        .screenBatch(sh.filter(!isEval), s"$root/b")
+        .select(col("doc_id"), col("shingle_ct"), col("hit_ct"),
+          col("flagged").cast("int").as("flagged"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // Cross-corpus LSH near-dup join: even docs (corpus A) vs odd docs
     // (corpus B) at Jaccard >= 1/2 — the R-S decontamination/matching form.
     // Oracle = the exhaustive cross Jaccard pairs (the LSH(32,16) ==
@@ -922,6 +944,14 @@ object ExtQueries {
         .orderBy(col("merge_ix"))
     },
 
+    // The learned subword vocabulary after 8 merges: surviving symbols
+    // with corpus-weighted occurrence counts (what a vocab pruning pass
+    // consumes).
+    "q_bpe_vocab" -> { (s, dir) =>
+      TextStats.bpeVocab(docs(s, dir), col("text"), merges = 8)
+        .orderBy(col("piece"))
+    },
+
     // Train-then-tokenize: the 8 learned merges replayed over the corpus
     // in training order (greedy left-to-right per merge), counted per doc.
     // The oracle REUSES the training twin's CTE chain through its final
@@ -1188,6 +1218,33 @@ object ExtQueries {
        |SELECT a_id, b_id, inter_ct, union_ct FROM jac
        |WHERE inter_ct * 2 >= union_ct * 1
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Shared by q_bloom_decon and q_bloom_stream: the bit table is a set
+    * union, so the cross-batch drive's twin is the batch twin verbatim. */
+  private val BloomDeconSql =
+    s"""WITH $JAC,
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |bp AS (SELECT DISTINCT pos FROM (
+       |  SELECT unnest([
+       |    ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384,
+       |    ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384,
+       |    ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384]) AS pos
+       |  FROM ev)),
+       |tr AS (SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384 AS p0,
+       |         ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384 AS p1,
+       |         ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384 AS p2
+       |       FROM sh WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT t.doc_id,
+       |           CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
+       |                     AND b2.pos IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |         FROM tr t LEFT JOIN bp b0 ON t.p0 = b0.pos
+       |                   LEFT JOIN bp b1 ON t.p1 = b1.pos
+       |                   LEFT JOIN bp b2 ON t.p2 = b2.pos)
+       |SELECT doc_id, COUNT(*) AS shingle_ct,
+       |       CAST(SUM(hit) AS BIGINT) AS hit_ct,
+       |       CAST(SUM(hit) >= 3 AS INT) AS flagged
+       |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /** Shared recursive-CTE keeper oracle — q_dedup_clusters and its LSH twin
     * must stay literally identical (the LSH pair set equals the exhaustive
@@ -1985,30 +2042,11 @@ object ExtQueries {
     // Deterministic Bloom emulation: the filter IS the distinct position
     // table of the eval shingles' three md5 slices mod 16384; a train
     // shingle hits iff all three of its positions are set.
-    "q_bloom_decon" ->
-      s"""WITH $JAC,
-         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-         |bp AS (SELECT DISTINCT pos FROM (
-         |  SELECT unnest([
-         |    ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384,
-         |    ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384,
-         |    ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384]) AS pos
-         |  FROM ev)),
-         |tr AS (SELECT doc_id,
-         |         ('0x' || substr(md5(s), 1, 8))::BIGINT % 16384 AS p0,
-         |         ('0x' || substr(md5(s), 9, 8))::BIGINT % 16384 AS p1,
-         |         ('0x' || substr(md5(s), 17, 8))::BIGINT % 16384 AS p2
-         |       FROM sh WHERE doc_id % 97 <> 0),
-         |hits AS (SELECT t.doc_id,
-         |           CASE WHEN b0.pos IS NOT NULL AND b1.pos IS NOT NULL
-         |                     AND b2.pos IS NOT NULL THEN 1 ELSE 0 END AS hit
-         |         FROM tr t LEFT JOIN bp b0 ON t.p0 = b0.pos
-         |                   LEFT JOIN bp b1 ON t.p1 = b1.pos
-         |                   LEFT JOIN bp b2 ON t.p2 = b2.pos)
-         |SELECT doc_id, COUNT(*) AS shingle_ct,
-         |       CAST(SUM(hit) AS BIGINT) AS hit_ct,
-         |       CAST(SUM(hit) >= 3 AS INT) AS flagged
-         |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_bloom_decon" -> BloomDeconSql,
+
+    // The set-bit table is a set union, so the two-fold store drive's twin
+    // IS the batch twin over the whole eval suite.
+    "q_bloom_stream" -> BloomDeconSql,
 
     // Exhaustive cross-corpus (even x odd) Jaccard pairs at >= 1/2 — the
     // q_dedup_minhash fixture identity restricted to the A x B orientation.
@@ -2509,6 +2547,9 @@ object ExtQueries {
     "q_bpe_apply" ->
       TextStats.bpeApplySql("d AS (SELECT doc_id, text FROM documents)",
         merges = 8),
+
+    "q_bpe_vocab" ->
+      TextStats.bpeVocabSql("d AS (SELECT text FROM documents)", merges = 8),
 
     // Bigram rows once (p = [unigram context, bigram]), hashed to 4096
     // buckets; LM counts from the % 7 target slice; fixed-point add-one

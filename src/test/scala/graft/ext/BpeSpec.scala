@@ -95,7 +95,7 @@ class BpeSpec extends SparkSpec {
   }
 
   /** Sequential replay of learned merges, the documented apply rule. */
-  private def refApply(w: String, merges: Seq[(String, String)]): Long = {
+  private def refSegments(w: String, merges: Seq[(String, String)]): Vector[String] = {
     var s = w.map(_.toString).toVector
     for ((l, r) <- merges) {
       val b = Vector.newBuilder[String]
@@ -106,8 +106,11 @@ class BpeSpec extends SparkSpec {
       }
       s = b.result()
     }
-    s.length.toLong
+    s
   }
+
+  private def refApply(w: String, merges: Seq[(String, String)]): Long =
+    refSegments(w, merges).length.toLong
 
   test("apply replays trained merges: per-doc piece counts match the reference") {
     val s = spark
@@ -132,6 +135,27 @@ class BpeSpec extends SparkSpec {
     // training compresses: total pieces strictly under total characters
     val chars = texts.map(_._2.count(_ != ' ').toLong).sum
     assert(got.values.map(_._2).sum < chars)
+  }
+
+  test("vocabulary equals the reference's surviving symbol counts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocabWords = Seq("banana", "bandana", "analysis", "abba", "cabbage", "the")
+    val texts = (1 to 50).map(_ =>
+      Array.fill(2 + rnd.nextInt(5))(vocabWords(rnd.nextInt(vocabWords.size)))
+        .mkString(" "))
+    val df = texts.toDF("text")
+    val merges = refFromTexts(texts, 8).map(m => (m._2, m._3))
+    val got = TextStats.bpeVocab(df, col("text"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = texts.flatMap(_.toLowerCase.split(" ", -1))
+      .filter(w => w.nonEmpty && w.length <= 64)
+      .flatMap(w => refSegments(w, merges))
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    assert(got == want)
+    // merged pieces made it into the vocabulary
+    assert(got.keys.exists(_.length > 1))
   }
 
   test("trainer matches the reference on the fixture corpus") {
