@@ -241,4 +241,24 @@ class PlanSpec extends SparkSpec {
     val smj = "SortMergeJoin".r.findAllIn(p).size + "ShuffledHashJoin".r.findAllIn(p).size
     assert(smj <= 1, s"expected at most the spine join to shuffle, got $smj:\n" + p.take(800))
   }
+
+  test("prefix AllPairs: equi joins only — candidates never form a cartesian or nested loop") {
+    val p = plan("q_dedup_ngram_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the prefix self-join and verify joins must all stay equi:\n" + p.take(800))
+  }
+
+  test("framed histogram: fixed frame needs no stats join — aggregations and windows only") {
+    // the frame-derived variant (q_hist_quantile) pays a broadcast stats
+    // join; the FIXED frame folds the bin math into the scan, so the whole
+    // plan is joinless — the property that makes it mergeable cross-batch
+    val p = plan("q_hist_framed")
+    assert(!p.contains("Join"), "no join machinery at all:\n" + p.take(800))
+    assert(p.contains("partial_count"), "bin counts must map-side combine:\n" + p.take(500))
+  }
+
+  test("chunk-level dedup adds one fp-keyed window to the chunker — still no joins") {
+    val p = plan("q_cdc_chunk_dedup")
+    assert(!p.contains("Join"), "no joins of any kind:\n" + p.take(800))
+  }
 }
