@@ -139,9 +139,10 @@ object Profile {
     * ADDABLE across micro-batches — re-framing would re-bin history a
     * sketch store no longer has — so this is the batch twin
     * [[graft.streaming.IncrementalHist]] folds against (spec-anchored
-    * parity at every horizon). Same two map-side-combined passes; the
-    * clamp trades edge-bin resolution for mergeability, the standard
-    * streaming-histogram contract.
+    * parity at every horizon). ONE map-side-combined pass — fixing the
+    * frame eliminates [[histQuantiles]]'s stats pass entirely (PlanSpec
+    * pins the joinless plan); the clamp trades edge-bin resolution for
+    * mergeability, the standard streaming-histogram contract.
     *
     * @return (group cols..., n, est_{num}_{den}...) */
   def histQuantilesFramed(df: DataFrame, groupCols: Seq[String],

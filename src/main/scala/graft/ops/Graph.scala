@@ -55,6 +55,45 @@ object Graph {
   def pageRankInt(edges: DataFrame, iters: Int, unit: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // tol = None disables the convergence check entirely, so this IS the
+    // fixed-iteration operator — parity with the converge form is by
+    // construction (one shared core), not by parallel copies
+    pageRankCore(edges, None, None, iters, unit, dampNum, dampDen)._1
+  }
+
+  /** [[pageRankInt]] with a WARM-START vector and a convergence stop — the
+    * form an INCREMENTAL ranking pipeline iterates
+    * ([[graft.streaming.IncrementalRank]]): rank does not fold like a
+    * sketch, but the damped iteration is a contraction, so restarting from
+    * the PREVIOUS graph's fixed point after a small edge delta converges
+    * in far fewer iterations than from uniform (measured in SCALING.md).
+    *
+    * `start` rows (node, rank_fp) seed matching nodes; nodes absent from
+    * `start` (new since the last run) begin at `unit`, rows for departed
+    * nodes are dropped by the spine join. Iteration stops when the max
+    * per-node |Δrank| ≤ `tol` fixed-point units (checked each step with
+    * one extra node-sized join+agg — the price of knowing when to stop),
+    * or after `maxIters`. Same integer arithmetic, checkpoint discipline,
+    * and overflow guard as [[pageRankInt]]; with `start = None` the
+    * iterates are IDENTICAL to [[pageRankInt]]'s at every step.
+    *
+    * @return (ranks(node, rank_fp), iterations actually run) */
+  def pageRankIntConverge(edges: DataFrame, start: Option[DataFrame],
+      tol: Long, maxIters: Int, unit: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): (DataFrame, Int) = {
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    pageRankCore(edges, start, Some(tol), maxIters, unit, dampNum, dampDen)
+  }
+
+  /** The one PageRank loop both public forms delegate to. `tol = None`
+    * disables the convergence delta check (no extra per-iteration join)
+    * and loops exactly `maxIters` times — [[pageRankInt]]'s contract;
+    * `Some(tol)` adds the node-sized delta join+agg per iteration and
+    * stops early — [[pageRankIntConverge]]'s. */
+  private def pageRankCore(edges: DataFrame, start: Option[DataFrame],
+      tol: Option[Long], maxIters: Int, unit: Long, dampNum: Long,
+      dampDen: Long): (DataFrame, Int) = {
+    require(maxIters >= 0, s"iters must be >= 0, got $maxIters")
     require(unit >= 1, s"unit must be >= 1, got $unit")
     require(dampNum >= 0 && dampDen >= 1 && dampNum <= dampDen,
       s"damping must be a fraction in [0, 1], got $dampNum/$dampDen")
@@ -80,73 +119,9 @@ object Graph {
       s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
         "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
     val base = unit * (dampDen - dampNum) / dampDen
-    var r = nodes.withColumn("r", lit(unit))
-    // r0 is a live PROJECTION over the nodes checkpoint — freeCheckpoint
-    // collects a frame's LogicalRDD leaves, so freeing it would free the
-    // node spine mid-loop; only superseded rank tables that are their OWN
-    // checkpoint may be freed
-    var rIsCheckpointed = false
-    for (_ <- 0 until iters) {
-      val contrib = e
-        .join(r.select(col("node").as("src"), col("d"), col("r")), "src")
-        .select(col("dst").as("node"), expr("r div d").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("m"))
-      val prev = r
-      r = nodes.join(contrib, Seq("node"), "left_outer")
-        .select(col("node"), col("d"),
-          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
-        .localCheckpoint(true)
-      // the superseded rank table is dead once its successor materialized
-      if (rIsCheckpointed) graft.util.Blocks.freeCheckpoint(prev)
-      rIsCheckpointed = true
-    }
-    // at iters = 0 the result is a live projection of `nodes` — keep its
-    // blocks; otherwise the final r is its own checkpoint and the build
-    // intermediates can all be freed (unpersist no-ops on checkpoints).
-    // The edge checkpoint is dead in EITHER case once nodes materialized —
-    // nothing in the returned frame reads it — so free it unconditionally
-    if (iters > 0) graft.util.Blocks.freeCheckpoint(nodes)
-    graft.util.Blocks.freeCheckpoint(e)
-    r.select(col("node"), col("r").as("rank_fp"))
-  }
-
-  /** [[pageRankInt]] with a WARM-START vector and a convergence stop — the
-    * form an INCREMENTAL ranking pipeline iterates
-    * ([[graft.streaming.IncrementalRank]]): rank does not fold like a
-    * sketch, but the damped iteration is a contraction, so restarting from
-    * the PREVIOUS graph's fixed point after a small edge delta converges
-    * in far fewer iterations than from uniform (measured in SCALING.md).
-    *
-    * `start` rows (node, rank_fp) seed matching nodes; nodes absent from
-    * `start` (new since the last run) begin at `unit`, rows for departed
-    * nodes are dropped by the spine join. Iteration stops when the max
-    * per-node |Δrank| ≤ `tol` fixed-point units (checked each step with
-    * one extra node-sized join+agg — the price of knowing when to stop),
-    * or after `maxIters`. Same integer arithmetic, checkpoint discipline,
-    * and overflow guard as [[pageRankInt]]; with `start = None` the
-    * iterates are IDENTICAL to [[pageRankInt]]'s at every step.
-    *
-    * @return (ranks(node, rank_fp), iterations actually run) */
-  def pageRankIntConverge(edges: DataFrame, start: Option[DataFrame],
-      tol: Long, maxIters: Int, unit: Long = 1000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): (DataFrame, Int) = {
-    require(tol >= 0, s"tol must be >= 0, got $tol")
-    require(maxIters >= 0, s"maxIters must be >= 0, got $maxIters")
-    require(unit >= 1, s"unit must be >= 1, got $unit")
-    require(dampNum >= 0 && dampDen >= 1 && dampNum <= dampDen,
-      s"damping must be a fraction in [0, 1], got $dampNum/$dampDen")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
-        Seq("node"), "left_outer")
-      .localCheckpoint(true)
-    val n = nodes.count()
-    require(n == 0 || dampNum == 0 || unit <= Long.MaxValue / dampNum / n,
-      s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
-        "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
-    val base = unit * (dampDen - dampNum) / dampDen
+    // r0 is its own checkpoint in both branches, so every superseded rank
+    // table (r0 included) may be freed, and the node spine is only ever
+    // read through checkpointed generations
     var r = start match {
       case Some(s0) => nodes
         .join(s0.select(col("node").cast("long").as("node"),
@@ -169,10 +144,14 @@ object Graph {
           (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("r"))
         .localCheckpoint(true)
       itersRun += 1
-      val delta = r.select(col("node"), col("r"))
-        .join(prev.select(col("node"), col("r").as("__p")), "node")
-        .agg(max(abs(col("r") - col("__p")))).head().get(0)
-      converged = delta == null || delta.asInstanceOf[Long] <= tol
+      // the delta join is the PRICE of knowing when to stop — tol = None
+      // (the fixed-iteration form) never pays it
+      converged = tol.exists { t =>
+        val delta = r.select(col("node"), col("r"))
+          .join(prev.select(col("node"), col("r").as("__p")), "node")
+          .agg(max(abs(col("r") - col("__p")))).head().get(0)
+        delta == null || delta.asInstanceOf[Long] <= t
+      }
       graft.util.Blocks.freeCheckpoint(prev)
     }
     graft.util.Blocks.freeCheckpoint(nodes)

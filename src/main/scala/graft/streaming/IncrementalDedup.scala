@@ -82,37 +82,56 @@ object IncrementalChunkDedup {
   /** Chunk one micro-batch, screen the chunk fingerprints against the
     * store at `storePath` (creating it on first use), persist the new
     * fingerprints, and return the batch's full chunk layout with
-    * `stored = 1` on exactly the rows whose content had to be written this
-    * batch (the canonical first (doc_id, chunk_id) occurrence of a
-    * fingerprint the store had never seen); every other row is a reference
-    * to an already-stored chunk.
+    * `stored = 1` on exactly the rows whose content this batch must write
+    * (the canonical first (doc_id, chunk_id) occurrence of a fingerprint
+    * the store had never seen); every other row is a reference to an
+    * already-stored chunk.
+    *
+    * REPLAY-idempotent under a unique, per-batch `batchId`: the store
+    * records which batch first stored each fingerprint, and the screen
+    * counts a fingerprint whose recorded batch is THIS batch as unstored —
+    * so a re-delivered batch (at-least-once upstream, crash between the
+    * fingerprint merge and the caller's physical content write) gets
+    * `stored = 1` for its own fingerprints again and re-writes the bytes,
+    * instead of silently dropping them as already-seen.
     *
     * @return (doc_id, chunk_id, n_toks, fp, stored) */
   def dedupBatch(batch: DataFrame, storePath: String, idCol: Column,
       textCol: Column, batchId: Long, window: Int = 3, divisor: Int = 16,
       numBuckets: Int = 16): DataFrame = {
     val spark = batch.sparkSession
+    // checkpoint the chunk layout ONCE: the pruned-read probe below
+    // collects the batch's fingerprints (an action), and the output
+    // checkpoint is a second action — unpinned, each would re-run the
+    // chunker's two corpus window passes
     val chunks = graft.ext.TextStats
       .cdcChunks(batch, idCol, textCol, window, divisor)
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("fp")).orderBy(col("doc_id"), col("chunk_id"))))
+      .localCheckpoint(true)
     // pruned read: only the store buckets this batch's fingerprints hash
     // into are opened — O(batch) file IO at any store size
     val seen = KeyedStore.readPruned(spark, storePath,
       chunks.select(col("fp")).distinct())
     val out = (seen match {
-      case Some(s) => chunks.join(s.select(col("fp"), lit(1).as("__seen")),
+      case Some(s) => chunks.join(
+        s.select(col("fp"), col("batch_id").as("__seen_bid")),
         Seq("fp"), "left_outer")
-      case None => chunks.withColumn("__seen", lit(null).cast("int"))
+      case None => chunks.withColumn("__seen_bid", lit(null).cast("long"))
     })
+      // a fingerprint this very batch stored counts as UNSEEN: on replay
+      // the rows re-mark stored = 1 (idempotent output); on first delivery
+      // the store cannot hold this batchId yet, so the clause is inert
       .withColumn("stored",
-        (col("__seen").isNull && col("__rk") === 1).cast("int"))
+        ((col("__seen_bid").isNull || col("__seen_bid") === batchId) &&
+          col("__rk") === 1).cast("int"))
       .select(col("doc_id"), col("chunk_id"), col("n_toks"), col("fp"),
         col("stored"))
       // pin BEFORE the store merge: without it the caller's consumption
       // would re-run the screen against the already-updated store and mark
       // nothing as stored (the dedupBatch discipline)
       .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(chunks)
     val newFps = out.filter(col("stored") === 1)
       .select(col("fp")).withColumn("batch_id", lit(batchId))
     if (!newFps.isEmpty)

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * that: the accumulated edge table and the last converged rank vector,
   * both in [[KeyedStore]]s under one root.
   *
+  * (unit, dampNum, dampDen) are the store's identity — the family
+  * convention ([[IncrementalBloom]]'s (m, k), [[IncrementalHist]]'s
+  * frame): the stored vector's VALUES are in `1/unit` fixed-point units,
+  * so warm-starting it under a different unit feeds the iteration ranks
+  * at the wrong scale (at worst past the overflow guard, which only
+  * checks the caller's unit). Pinned in a meta row on first use; a
+  * mismatch fails fast.
+  *
   * Deltas are ADDITIVE (new edges — the crawl-growth shape; edge deletion
   * would need tombstone rows and re-derived degrees, out of scope and
   * documented). Folding the same delta twice is harmless: edge rows merge
@@ -52,9 +60,22 @@ object IncrementalRank {
       }
     // no tombstones are ever written (additive deltas), so no op_type here
     val stored = KeyedStore.read(spark, rankPath(storeRoot))
-      .map(_.select(col("node"), col("rank_fp"), col("ver"))
-        .localCheckpoint(true))
-    val start = stored.map(_.select(col("node"), col("rank_fp")))
+      .map(_.select(col("kind"), col("node"), col("rank_fp"),
+        col("unit"), col("dn"), col("dd"), col("ver")).localCheckpoint(true))
+    stored.foreach { s =>
+      s.filter(col("kind") === "m")
+        .select(col("unit"), col("dn"), col("dd")).collect().headOption
+        .foreach { m =>
+          require(m.getLong(0) == unit && m.getLong(1) == dampNum &&
+              m.getLong(2) == dampDen,
+            s"store $storeRoot holds a (unit=${m.getLong(0)}, " +
+              s"damp=${m.getLong(1)}/${m.getLong(2)}) vector; caller passed " +
+              s"(unit=$unit, damp=$dampNum/$dampDen) — the arithmetic " +
+              "parameters are the store's identity")
+        }
+    }
+    val start = stored.map(_.filter(col("kind") === "v")
+      .select(col("node"), col("rank_fp")))
     // the store's seq must be a TOTAL order over re-written keys (same
     // node, new rank) — derive the next version from the stored max, so
     // every update strictly supersedes the last without the caller
@@ -62,23 +83,32 @@ object IncrementalRank {
     val nextVer = stored
       .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
       .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    // ranks is already backed by the converge run's own final checkpoint
+    // and shares nothing with the rank store, so it is returned as-is —
+    // a second checkpoint here would copy a node-sized block set per
+    // update and orphan the original
     val (ranks, iters) = graft.ops.Graph.pageRankIntConverge(
       edges, start, tol, maxIters, unit, dampNum, dampDen)
+    stored.foreach(graft.util.Blocks.freeCheckpoint)
     // node-sized upsert; departed nodes can't exist under additive deltas,
     // so no tombstones — every live node gets its fresh value
-    val pinned = ranks.localCheckpoint(true)
-    stored.foreach(graft.util.Blocks.freeCheckpoint)
-    if (!pinned.isEmpty)
-      KeyedStore.merge(pinned.withColumn("ver", lit(nextVer)),
-        rankPath(storeRoot), keys = Seq("node"), seqCols = Seq("ver"),
-        numBuckets = numBuckets, bucketCols = Seq("node"))
-    (pinned, iters)
+    val rows = ranks.select(lit("v").as("kind"), col("node"), col("rank_fp"),
+      lit(unit).as("unit"), lit(dampNum).as("dn"), lit(dampDen).as("dd"),
+      lit(nextVer).as("ver"))
+    val meta = spark.range(1).select(lit("m").as("kind"),
+      lit(-1L).as("node"), lit(0L).as("rank_fp"), lit(unit).as("unit"),
+      lit(dampNum).as("dn"), lit(dampDen).as("dd"), lit(nextVer).as("ver"))
+    if (!ranks.isEmpty)
+      KeyedStore.merge(rows.unionByName(meta), rankPath(storeRoot),
+        keys = Seq("kind", "node"), seqCols = Seq("ver"),
+        numBuckets = numBuckets, bucketCols = Seq("kind", "node"))
+    (ranks, iters)
   }
 
   /** The stored rank vector without updating (empty frame if never run). */
   def readRanks(spark: SparkSession, storeRoot: String): DataFrame =
     KeyedStore.read(spark, rankPath(storeRoot))
-      .map(_.select(col("node"), col("rank_fp")))
+      .map(_.filter(col("kind") === "v").select(col("node"), col("rank_fp")))
       .getOrElse {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("node", "rank_fp")

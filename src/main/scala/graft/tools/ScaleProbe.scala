@@ -22,10 +22,12 @@ object ScaleProbe {
     * `documents.parquet exists` check silently reuses a stale corpus under
     * a wrong label (e.g. `screens 20` after `screens 10`, or after a
     * `dsir 10` run into the same default dir). */
-  private def corpusReady(outDir: String, copies: Int): Boolean = {
-    val m = new java.io.File(s"$outDir/_copies")
-    new java.io.File(s"$outDir/documents.parquet").exists() && m.exists() &&
-      scala.io.Source.fromFile(m).mkString.trim == copies.toString
+  private def corpusReady(outDir: String, copies: Int,
+      probeFile: String = "documents.parquet"): Boolean = {
+    val m = java.nio.file.Paths.get(s"$outDir/_copies")
+    new java.io.File(s"$outDir/$probeFile").exists() &&
+      java.nio.file.Files.exists(m) &&
+      java.nio.file.Files.readString(m).trim == copies.toString
   }
 
   private def markCorpus(outDir: String, copies: Int): Unit = {
@@ -33,6 +35,40 @@ object ScaleProbe {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_copies"), copies.toString)
   }
+
+  /** The vocabulary-growing document replicator every doc-corpus probe
+    * shares (ONE copy — the SCALING.md Heaps-law claims rest on this exact
+    * rewrite, and a probe-local fork would silently diverge): copy 0 is the
+    * base corpus; each later copy shifts doc ids and suffixes CONTENT
+    * tokens with a copy-specific letters-only tag, keeping stopwords
+    * verbatim — within-copy structure is a bijection of the base, while
+    * cross-copy 3-gram collisions need 3 consecutive stopwords. */
+  private def replicatedDocs(spark: SparkSession, srcDir: String,
+      c: Int): org.apache.spark.sql.DataFrame = {
+    val base = spark.read.parquet(s"$srcDir/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
+    if (c == 0) base
+    else {
+      val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
+      base.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => when(t.isin("the", "a", "of", "to", "and"), t)
+            .otherwise(concat(t, lit(tag)))), " "))
+    }
+  }
+
+  /** Build (or reuse, via the `_copies` marker) a doc-only N× corpus. */
+  private def ensureDocCorpus(spark: SparkSession, outDir: String,
+      copies: Int): Unit =
+    if (!corpusReady(outDir, copies)) {
+      val srcDir = "/root/testdata/sf0.1"
+      val parts = spark.sparkContext.defaultParallelism
+      (0 until copies).map(replicatedDocs(spark, srcDir, _))
+        .reduce(_ union _)
+        .repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/documents.parquet")
+      markCorpus(outDir, copies)
+    }
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     def li(c: Int) = spark.read.parquet(s"$srcDir/lineitem.parquet")
@@ -52,18 +88,7 @@ object ScaleProbe {
     // cross-copy 3-gram collisions need 3 consecutive stopwords. Stopwords
     // stay verbatim (stop_ratio unchanged) and tags are lowercase letters
     // (alpha_ratio undamaged), so the quality screen keeps its 1× behavior.
-    def doc(c: Int) = {
-      val base = spark.read.parquet(s"$srcDir/documents.parquet")
-        .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
-      if (c == 0) base
-      else {
-        val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
-        base.withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            t => when(t.isin("the", "a", "of", "to", "and"), t)
-              .otherwise(concat(t, lit(tag)))), " "))
-      }
-    }
+    def doc(c: Int) = replicatedDocs(spark, srcDir, c)
     def emb(c: Int) = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .withColumn("vec_id", col("vec_id") + lit(c * KeyShift))
 
@@ -168,26 +193,7 @@ object ScaleProbe {
     // documents at EXACTLY `copies`× (the full replicate() halves document
     // copies because the flagship probes' pathological growth mode is pair
     // formation): replicate only what this probe reads
-    if (!corpusReady(outDir, copies)) {
-      val srcDir = "/root/testdata/sf0.1"
-      def doc(c: Int) = {
-        val base = spark.read.parquet(s"$srcDir/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
-        if (c == 0) base
-        else {
-          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
-          base.withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              t => when(t.isin("the", "a", "of", "to", "and"), t)
-                .otherwise(concat(t, lit(tag)))), " "))
-        }
-      }
-      val parts = spark.sparkContext.defaultParallelism
-      (0 until copies).map(doc).reduce(_ union _)
-        .repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/documents.parquet")
-      markCorpus(outDir, copies)
-    }
+    ensureDocCorpus(spark, outDir, copies)
     def mix(plan: String): String = Seq(
         "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct")
@@ -247,26 +253,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!corpusReady(outDir, copies)) {
-      val srcDir = "/root/testdata/sf0.1"
-      def doc(c: Int) = {
-        val base = spark.read.parquet(s"$srcDir/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
-        if (c == 0) base
-        else {
-          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
-          base.withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              t => when(t.isin("the", "a", "of", "to", "and"), t)
-                .otherwise(concat(t, lit(tag)))), " "))
-        }
-      }
-      val parts = spark.sparkContext.defaultParallelism
-      (0 until copies).map(doc).reduce(_ union _)
-        .repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/documents.parquet")
-      markCorpus(outDir, copies)
-    }
+    ensureDocCorpus(spark, outDir, copies)
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val nDocs = docs.count()
@@ -391,26 +378,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!corpusReady(outDir, copies)) {
-      val srcDir = "/root/testdata/sf0.1"
-      def doc(c: Int) = {
-        val base = spark.read.parquet(s"$srcDir/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
-        if (c == 0) base
-        else {
-          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
-          base.withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              t => when(t.isin("the", "a", "of", "to", "and"), t)
-                .otherwise(concat(t, lit(tag)))), " "))
-        }
-      }
-      val parts = spark.sparkContext.defaultParallelism
-      (0 until copies).map(doc).reduce(_ union _)
-        .repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/documents.parquet")
-      markCorpus(outDir, copies)
-    }
+    ensureDocCorpus(spark, outDir, copies)
     val B = 4096
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
         (outDir, s"${copies}x"))) {
@@ -454,26 +422,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!corpusReady(outDir, copies)) {
-      val srcDir = "/root/testdata/sf0.1"
-      def doc(c: Int) = {
-        val base = spark.read.parquet(s"$srcDir/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
-        if (c == 0) base
-        else {
-          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
-          base.withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              t => when(t.isin("the", "a", "of", "to", "and"), t)
-                .otherwise(concat(t, lit(tag)))), " "))
-        }
-      }
-      val parts = spark.sparkContext.defaultParallelism
-      (0 until copies).map(doc).reduce(_ union _)
-        .repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/documents.parquet")
-      markCorpus(outDir, copies)
-    }
+    ensureDocCorpus(spark, outDir, copies)
     val m = 1 << 14
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
         (outDir, s"${copies}x"))) {
@@ -532,26 +481,7 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (copies > 1 && !corpusReady(outDir, copies)) {
-      val srcDir = "/root/testdata/sf0.1"
-      def doc(c: Int) = {
-        val base = spark.read.parquet(s"$srcDir/documents.parquet")
-          .withColumn("doc_id", col("doc_id") + lit(c * KeyShift))
-        if (c == 0) base
-        else {
-          val tag = s"${('a' + c % 26).toChar}${('a' + (c / 26) % 26).toChar}"
-          base.withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              t => when(t.isin("the", "a", "of", "to", "and"), t)
-                .otherwise(concat(t, lit(tag)))), " "))
-        }
-      }
-      val parts = spark.sparkContext.defaultParallelism
-      (0 until copies).map(doc).reduce(_ union _)
-        .repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/documents.parquet")
-      markCorpus(outDir, copies)
-    }
+    if (copies > 1) ensureDocCorpus(spark, outDir, copies)
     val dirs = Seq(("/root/testdata/sf0.1", "1x")) ++
       (if (copies > 1) Seq((outDir, s"${copies}x")) else Nil)
     for ((dir, label) <- dirs) {
@@ -599,15 +529,10 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same stale-reuse guard as corpusReady(): a bare exists-check would
-    // silently benchmark a 10x corpus under a 20x label after back-to-back
-    // runs into the same default dir — gate on the _copies marker too
-    val replicaReady = {
-      val m = new java.io.File(s"$outDir/_copies")
-      new java.io.File(s"$outDir/lineitem.parquet").exists() && m.exists() &&
-        scala.io.Source.fromFile(m).mkString.trim == copies.toString
-    }
-    if (!replicaReady) {
+    // the corpusReady stale-reuse guard, probing the table this probe
+    // actually reads: a bare exists-check would silently benchmark a 10x
+    // corpus under a 20x label after back-to-back runs into one dir
+    if (!corpusReady(outDir, copies, probeFile = "lineitem.parquet")) {
       replicate(spark, "/root/testdata/sf0.1", outDir, copies)
       markCorpus(outDir, copies)
     }

@@ -100,6 +100,29 @@ class IncrementalChunkDedupSpec extends SparkSpec {
       s"fixed-stride dirties $strideDirty, CDC stored only $stored")
   }
 
+  test("replayed batch re-marks its own chunks stored (at-least-once safety)") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk_rp").toString + "/store"
+    val b0 = Seq((1L, words(23, 250).mkString(" "))).toDF("doc_id", "text")
+    val first = IncrementalChunkDedup
+      .dedupBatch(b0, store, col("doc_id"), col("text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4))).toSet
+    assert(first.exists(_._4 == 1))
+    // crash-after-merge, re-delivery: the SAME batch id must get stored = 1
+    // for its own fingerprints again, or the content bytes are never
+    // written by any run
+    val replay = IncrementalChunkDedup
+      .dedupBatch(b0, store, col("doc_id"), col("text"), 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4))).toSet
+    assert(replay == first, "replay must be idempotent, not seen-suppressed")
+    // a LATER batch with the same content is a plain duplicate: nothing new
+    val b1 = Seq((2L, b0.head.getString(1))).toDF("doc_id", "text")
+    val later = IncrementalChunkDedup
+      .dedupBatch(b1, store, col("doc_id"), col("text"), 1L)
+    assert(later.filter(col("stored") === 1).count() == 0L)
+  }
+
   test("restart: a fresh caller over the same store keeps referencing") {
     val s = spark
     import s.implicits._
