@@ -163,6 +163,24 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-batch components driven as three pair folds into a persistent
+    // label store ((a_id+b_id) % 3 spine): star edges preserve every old
+    // cluster's connectivity, so the final labels equal the batch operator
+    // over ALL pairs — the same keeper oracle as q_dedup_clusters.
+    "q_cc_stream" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_cc_q")
+      var out: DataFrame = null
+      for (i <- 0 until 3)
+        out = graft.streaming.IncrementalCc.mergePairs(
+          pairs.filter((col("a_id") + col("b_id")) % 3 === i), s"$root/cc")
+      val res = out.orderBy(col("doc_id"))
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(pairs)
+      res
+    },
+
     // The PRODUCTION cluster path: connected components over the MinHash+LSH
     // pairs instead of the exhaustive inverted-index pairs — the composition
     // a 100 TB dedup actually runs (candidates ∝ true pairs). Same oracle as
@@ -1388,6 +1406,10 @@ object ExtQueries {
         |ORDER BY inner_id, outer_id""".stripMargin,
 
     "q_dedup_clusters" -> clustersSql,
+
+    // Star-edge folding is lossless, so the three-fold drive's twin is the
+    // batch keeper oracle verbatim.
+    "q_cc_stream" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_clusters_lsh" -> clustersSql,
 

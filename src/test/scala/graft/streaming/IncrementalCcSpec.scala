@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Dedup
+
+/** Cross-batch connected components over a persistent label store: every
+  * fold equals the batch operator over the concatenated pair history
+  * (star edges preserve old connectivity), folds are idempotent, merges
+  * across historical clusters re-label exactly the losing side, and the
+  * store survives restart at O(nodes) rows. */
+class IncrementalCcSpec extends SparkSpec {
+
+  private def labs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("fold equals batch components over concatenated pairs at every horizon") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cc").toString + "/store"
+    // batch 0: two clusters {1,2,3} and {10,11}; batch 1: extend + new
+    // cluster {20,21}; batch 2: one edge MERGES the two old clusters
+    val batches = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      Seq((3L, 4L), (20L, 21L)),
+      Seq((11L, 4L)))
+    var history = Seq.empty[(Long, Long)]
+    for ((b, i) <- batches.zipWithIndex) {
+      history ++= b
+      val got = labs(IncrementalCc.mergePairs(b.toDF("a_id", "b_id"), store))
+      val want = labs(Dedup.connectedComponents(history.toDF("a_id", "b_id")))
+      assert(got == want, s"horizon $i diverged: $got vs $want")
+    }
+    // the final merge collapsed everything reachable onto keeper 1
+    val fin = labs(IncrementalCc.readLabels(s, store))
+    assert(Set(2L, 3L, 4L, 10L, 11L).forall(fin(_) == 1L), s"$fin")
+    assert(fin(21L) == 20L)
+
+    // idempotent: re-folding an old batch changes nothing
+    val again = labs(IncrementalCc.mergePairs(
+      batches.head.toDF("a_id", "b_id"), store))
+    assert(again == fin)
+    assert(labs(IncrementalCc.readLabels(s, store)) == fin)
+
+    // O(nodes) state: one row per node ever seen
+    assert(KeyedStore.read(s, store).get.count() == fin.size.toLong)
+  }
+
+  test("a no-merge fold writes nothing new for existing nodes") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cc_nm").toString + "/store"
+    IncrementalCc.mergePairs(Seq((1L, 2L)).toDF("a_id", "b_id"), store).count()
+    val v0 = KeyedStore.read(s, store).get
+      .agg(max(col("ver"))).head().getLong(0)
+    // same pair again: no label changes -> no new generation rows for 1/2
+    IncrementalCc.mergePairs(Seq((1L, 2L)).toDF("a_id", "b_id"), store).count()
+    val live = KeyedStore.read(s, store).get
+    assert(live.count() == 2)
+    assert(live.agg(max(col("ver"))).head().getLong(0) == v0,
+      "an all-stable fold must not rewrite label rows")
+  }
+}
