@@ -612,6 +612,46 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** IncrementalCc long-run probe: the sf0.1 customer↔supplier pair set
+    * (~600 k undirected pairs, one giant component plus satellites) split
+    * into `batches` folds against the persistent label store, vs a batch
+    * recompute over the concatenated history at each horizon. The claims
+    * under test: per-fold wall stays bounded by O(current nodes) star
+    * edges + the batch (NOT by the growing pair history), and the
+    * recompute alternative's wall grows with the history it re-reads.
+    *
+    * Usage: runMain graft.tools.ScaleProbe ccfold [batches] [storeRoot] */
+  def ccfoldProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val dir = "/root/testdata/sf0.1"
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a_id"),
+        (col("l_suppkey") + lit(1000000L)).as("b_id"))
+      .distinct().localCheckpoint(true)
+    println(s"CCFOLD pairs=${pairs.count()} batches=$batches")
+    var hist = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (i <- 0 until batches) {
+      val b = pairs.filter(abs(hash(col("a_id"), col("b_id"))) % batches === i)
+        .localCheckpoint(true)
+      hist = hist :+ b
+      val t0 = System.nanoTime()
+      val n = graft.streaming.IncrementalCc.mergePairs(b, s"$storeRoot/cc").count()
+      val foldW = (System.nanoTime - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nb = graft.ext.Dedup.connectedComponents(
+        hist.reduce(_ unionByName _)).count()
+      val batchW = (System.nanoTime - t1) / 1e9
+      println(f"CCFOLD fold=$i%2d labels=$n fold=$foldW%5.1f s " +
+        f"recompute($nb labels)=$batchW%5.1f s")
+    }
+    spark.stop()
+  }
+
   /** IncrementalTopK long-run probe: fold `batches` micro-batches of the
     * sf0.1 token stream into one persistent MG summary and report the
     * per-fold wall over time plus the store's live row count — the claims
@@ -646,6 +686,11 @@ object ScaleProbe {
     if (args.headOption.contains("pagerank")) {
       pagerankProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_pr"))
+      return
+    }
+    if (args.headOption.contains("ccfold")) {
+      ccfoldProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_ccfold"))
       return
     }
     if (args.headOption.contains("warmrank")) {

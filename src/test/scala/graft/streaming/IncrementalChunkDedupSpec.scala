@@ -123,6 +123,33 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     assert(later.filter(col("stored") === 1).count() == 0L)
   }
 
+  test("drives a foreachBatch stream end-to-end") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = Files.createTempDirectory("inc_chunk_st").toString + "/store"
+    val stored = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        IncrementalChunkDedup
+          .dedupBatch(batch, store, col("doc_id"), col("text"), bid)
+          .filter(col("stored") === 1).select("doc_id", "chunk_id")
+          .collect().foreach(r => stored.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    try {
+      val t = words(31, 150).mkString(" ")
+      mem.addData((1L, t)); q.processAllAvailable()
+      val afterFirst = stored.size
+      assert(afterFirst > 0)
+      mem.addData((2L, t)); q.processAllAvailable() // exact re-ingest
+      assert(stored.size == afterFirst, "re-ingest must store nothing")
+    } finally q.stop()
+  }
+
   test("restart: a fresh caller over the same store keeps referencing") {
     val s = spark
     import s.implicits._
