@@ -204,4 +204,135 @@ object Profile {
           .otherwise(expr(s"(${k - 1} * 4294967296L) div __hk")))
       .select(gcols ++ Seq(col("n_seen"), col("kmv_est")): _*)
   }
+
+  /** The `d` salted md5-slice cell positions of `key` in a flattened
+    * `d × w` count-min table: row r's hash is the first 32 bits of
+    * `md5("r:" + key)` reduced mod `w`, offset by `r·w` — deterministic,
+    * engine-portable (the SQL twin computes the identical positions), and
+    * independent across rows by the salt prefix. */
+  private[graft] def cmsCellArray(key: Column, d: Int, w: Int): Column =
+    array((0 until d).map { r =>
+      lit(r.toLong * w) +
+        conv(substring(md5(concat(lit(s"$r:"), key)), 1, 8), 16, 10)
+          .cast("long") % w
+    }: _*)
+
+  /** Count-min frequency sketch as a per-group CELL TABLE — the
+    * DataFrame-native, hash-ORACLE-ABLE twin of the typed
+    * `functions/CountMin` aggregator (which carries its 128 KiB dense
+    * buffer through Spark's typed-aggregation path and hashes with JVM
+    * murmur3, so only a spec can check it). Here the sketch IS data:
+    * `d` salted md5-slice hash rows × `w` counters, stored sparse as
+    * (group, cell, ct) rows — every step exact integer arithmetic on a
+    * deterministic hash, so the whole sketch (and every estimate read
+    * from it) is a pure function of the key multiset, reproducible on any
+    * engine.
+    *
+    * Mergeable by construction: cell tables over the same (d, w) add
+    * bin-wise (count-min's defining property), which is what makes the
+    * cross-batch fold [[graft.streaming.IncrementalCms]] lossless.
+    *
+    * Shape at scale: one explode(×d) over the scan feeding a map-side-
+    * combined (group, cell) count — no key shuffle wider than
+    * groups·d·w rows ever, vs the exact alternative shuffling the full
+    * per-key count table. Estimates never undercount; overcount ≤ εN
+    * with ε ≈ e/w at probability 1 − e^−d.
+    *
+    * @return (group cols..., cell, ct) — sparse: only touched cells */
+  def cmsCells(df: DataFrame, groupCols: Seq[String], keyCol: Column,
+      d: Int = 4, w: Int = 4096): DataFrame = {
+    require(groupCols.nonEmpty, "cmsCells needs at least one group column")
+    require(d >= 1 && w >= 2, s"need d >= 1 hash rows and w >= 2, got ($d, $w)")
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ keyCol.cast("string").as("__k"): _*)
+      .filter(col("__k").isNotNull)
+      .select(gcols :+ explode(cmsCellArray(col("__k"), d, w)).as("cell"): _*)
+      .groupBy(gcols :+ col("cell"): _*)
+      .agg(count(lit(1)).as("ct"))
+  }
+
+  /** Point estimates for `probes` (group cols + `keyCol`) from a finished
+    * [[cmsCells]] table: the MIN of the key's `d` counters, 0 for a key
+    * whose cells were never touched. `cells` must have been built with the
+    * same (d, w). @return probes + `cms_est` */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, groupCols: Seq[String],
+      keyCol: Column, d: Int = 4, w: Int = 4096): DataFrame = {
+    require(groupCols.nonEmpty, "cmsEstimate needs at least one group column")
+    val gcols = groupCols.map(col)
+    probes.select(gcols :+ keyCol.cast("string").as("key"): _*)
+      .select(gcols ++ Seq(col("key"),
+        explode(cmsCellArray(col("key"), d, w)).as("cell")): _*)
+      .join(cells.select(gcols ++ Seq(col("cell"), col("ct")): _*),
+        groupCols :+ "cell", "left_outer")
+      .groupBy(gcols :+ col("key"): _*)
+      .agg(min(coalesce(col("ct"), lit(0L))).as("cms_est"))
+  }
+
+  /** HyperLogLog REGISTER TABLE, per group — the DataFrame-native,
+    * hash-ORACLE-ABLE twin of the typed `functions/Hll` aggregator (and of
+    * `approx_count_distinct`, whose HLL++ sketch is opaque bytes): 2^p
+    * registers over the 32-bit md5 slice of the value, register index =
+    * the top p bits, rank = leading zeros of the remaining 32−p bits + 1
+    * (computed portably as `(32−p+1) − length(bin(low))` — both engines'
+    * `bin` renders without leading zeros). Stored sparse as
+    * (group, idx, rank) with rank = the register max; a pure function of
+    * the value SET on any engine.
+    *
+    * Mergeable by construction AND idempotent: register tables union by
+    * per-register max, so the cross-batch fold
+    * [[graft.streaming.IncrementalHll]] needs no replay high-water mark
+    * (the Bloom stance, not the counting sketches').
+    *
+    * @return (group cols..., idx, rank) — sparse: only hit registers */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      p: Int = 11): DataFrame = {
+    require(groupCols.nonEmpty, "hllRegisters needs at least one group column")
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val gcols = groupCols.map(col)
+    val lowBits = 32 - p
+    val h = conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.select(gcols :+ h.as("__h"): _*)
+      .filter(col("__h").isNotNull)
+      .withColumn("idx", expr(s"__h div ${1L << lowBits}"))
+      .withColumn("__low", expr(s"__h % ${1L << lowBits}"))
+      .withColumn("__rank",
+        when(col("__low") === 0, lit(lowBits + 1))
+          .otherwise(lit(lowBits + 1) - length(bin(col("__low")))))
+      .groupBy(gcols :+ col("idx"): _*)
+      .agg(max(col("__rank")).cast("long").as("rank"))
+  }
+
+  /** Integer-exact summary of a [[hllRegisters]] table: `zeros` = never-hit
+    * registers, `h_num` = Σ 2^(rmax − rank) over hit registers (rmax =
+    * 32−p+1) — the harmonic denominator scaled to an exact BIGINT, so the
+    * summary hash-oracles where the floating estimate could not. The
+    * estimate is recovered as `α·m²·2^rmax / (zeros·2^rmax + h_num)` (with
+    * the usual small-range linear-counting switch) — see [[hllEstimate]].
+    * @return (group cols..., zeros, h_num) */
+  def hllSummary(registers: DataFrame, groupCols: Seq[String],
+      p: Int = 11): DataFrame = {
+    val gcols = groupCols.map(col)
+    val m = 1L << p
+    val rmax = 32 - p + 1
+    registers.groupBy(gcols: _*)
+      .agg((lit(m) - count(lit(1))).as("zeros"),
+        sum(expr(s"shiftleft(1L, cast($rmax - rank as int))")).as("h_num"))
+  }
+
+  /** The floating HLL estimate from a [[hllSummary]] row — Scala-side only
+    * (libm `log` in the small-range branch is not engine-portable; the
+    * oracle pins the integer summary instead, the estimate is spec-checked
+    * against exact counts). */
+  def hllEstimate(zeros: Long, hNum: Long, p: Int = 11): Long = {
+    val m = (1L << p).toDouble
+    val rmax = 32 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sum = (zeros * math.pow(2.0, rmax) + hNum) / math.pow(2.0, rmax)
+    val raw = alpha * m * m / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros)
+      else raw
+    math.round(est)
+  }
 }

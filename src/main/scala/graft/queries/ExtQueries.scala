@@ -844,6 +844,92 @@ object ExtQueries {
       res
     },
 
+    // Count-min frequency sketch as a cell table: per-returnflag partkey
+    // frequencies, probed at keys 1..20 beside the exact counts (estimates
+    // never undercount; equality here shows the d=4/w=4096 table is
+    // collision-free at this key density). The crossJoin is a 3x20 probe
+    // spine, not a data join.
+    "q_cms_freq" -> { (s, dir) =>
+      val l = Envelopes.table(s, dir, "lineitem")
+      val cells = Profile.cmsCells(l, Seq("l_returnflag"), col("l_partkey"))
+      val probes = l.select(col("l_returnflag")).distinct()
+        .crossJoin(s.range(1, 21).select(col("id").cast("string").as("key")))
+      val est = Profile.cmsEstimate(cells, probes, Seq("l_returnflag"),
+        col("key"))
+      val exact = l.filter(col("l_partkey").between(1, 20))
+        .groupBy(col("l_returnflag"),
+          col("l_partkey").cast("string").as("key"))
+        .agg(count(lit(1)).as("ct_exact"))
+      est.join(exact, Seq("l_returnflag", "key"), "left_outer")
+        .select(col("l_returnflag"), col("key").cast("long").as("key"),
+          coalesce(col("ct_exact"), lit(0L)).as("ct_exact"), col("cms_est"))
+        .orderBy(col("l_returnflag"), col("key"))
+    },
+
+    // Three IncrementalCms folds (lineitem split by orderkey mod 3) with
+    // the 20-key probe set estimated after each — the lossless bin-wise-add
+    // fold means every horizon equals the batch sketch over the prefix.
+    "q_cms_stream" -> { (s, dir) =>
+      val l = Envelopes.table(s, dir, "lineitem")
+      val probes = l.select(col("l_returnflag").as("g")).distinct()
+        .crossJoin(s.range(1, 21).select(col("id").cast("string").as("key")))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_cms_q")
+      var outs = Seq.empty[DataFrame]
+      for (i <- 0 until 3) {
+        val cells = graft.streaming.IncrementalCms.mergeBatch(
+          l.filter(col("l_orderkey") % 3 === i), s"$root/c",
+          col("l_returnflag"), col("l_partkey"), i.toLong)
+        outs = outs :+ Profile.cmsEstimate(cells, probes, Seq("g"),
+          col("key")).withColumn("bid", lit(i.toLong))
+      }
+      val res = outs.reduce(_ unionByName _)
+        .select(col("bid"), col("g"), col("key").cast("long").as("key"),
+          col("cms_est"))
+        .orderBy(col("bid"), col("g"), col("key"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(probes)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
+    // HLL register table + integer-exact summary beside the exact distinct
+    // count: zeros and the scaled harmonic numerator hash-oracle what the
+    // floating estimate cannot (libm log is not engine-portable); the
+    // estimate itself is spec-checked against n_exact (ProfileSketchSpec).
+    "q_hll_distinct" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val regs = Profile.hllRegisters(o, Seq("o_orderstatus"),
+        col("o_custkey"))
+      val exact = o.groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      Profile.hllSummary(regs, Seq("o_orderstatus"))
+        .join(exact, Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Three IncrementalHll folds (orders split by orderkey mod 3): the
+    // register-max fold is idempotent AND lossless, so each horizon's
+    // integer summary equals the batch sketch over the prefix.
+    "q_hll_stream" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val root = java.nio.file.Files.createTempDirectory("graft_hll_q")
+      var outs = Seq.empty[DataFrame]
+      for (i <- 0 until 3) {
+        val regs = graft.streaming.IncrementalHll.mergeBatch(
+          o.filter(col("o_orderkey") % 3 === i), s"$root/h",
+          col("o_orderstatus"), col("o_custkey"), batchId = i.toLong)
+        outs = outs :+ Profile.hllSummary(regs, Seq("g"))
+          .withColumn("bid", lit(i.toLong))
+      }
+      val res = outs.reduce(_ unionByName _)
+        .select(col("bid"), col("g"), col("zeros"), col("h_num"))
+        .orderBy(col("bid"), col("g"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     "q_hist_quantile" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
@@ -2340,6 +2426,96 @@ object ExtQueries {
         |       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
         |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_99_100
         |FROM c GROUP BY 1, 2 ORDER BY bid, g""".stripMargin,
+
+    // Identical salted md5-slice cell positions (r*4096 + md5('r:'||key)
+    // first-32-bits mod 4096), probe estimate = MIN over the 4 cells.
+    "q_cms_freq" ->
+      """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (SELECT l_returnflag AS g,
+        |            r * 4096 + ('0x' || substr(md5(r::VARCHAR || ':' ||
+        |              l_partkey::VARCHAR), 1, 8))::BIGINT % 4096 AS cell,
+        |            COUNT(*) AS ct
+        |          FROM lineitem, rr WHERE l_partkey IS NOT NULL
+        |          GROUP BY 1, 2),
+        |probes AS (SELECT g, k
+        |           FROM (SELECT DISTINCT l_returnflag AS g FROM lineitem),
+        |                (SELECT unnest(generate_series(1, 20)) AS k)),
+        |pc AS (SELECT g, k,
+        |         r * 4096 + ('0x' || substr(md5(r::VARCHAR || ':' ||
+        |           k::VARCHAR), 1, 8))::BIGINT % 4096 AS cell
+        |       FROM probes, rr),
+        |est AS (SELECT pc.g, pc.k, MIN(COALESCE(c.ct, 0)) AS cms_est
+        |        FROM pc LEFT JOIN cells c ON pc.g = c.g AND pc.cell = c.cell
+        |        GROUP BY 1, 2),
+        |ex AS (SELECT l_returnflag AS g, l_partkey AS k, COUNT(*) AS ct
+        |       FROM lineitem WHERE l_partkey BETWEEN 1 AND 20 GROUP BY 1, 2)
+        |SELECT est.g AS l_returnflag, CAST(est.k AS BIGINT) AS key,
+        |       CAST(COALESCE(ex.ct, 0) AS BIGINT) AS ct_exact,
+        |       CAST(est.cms_est AS BIGINT) AS cms_est
+        |FROM est LEFT JOIN ex ON est.g = ex.g AND est.k = ex.k
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Per-spine-row cell table over the folded batch prefix (bid <= h) —
+    // the bin-wise-add lossless-fold twin.
+    "q_cms_stream" ->
+      """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |b AS (SELECT l_orderkey % 3 AS bid, l_returnflag AS g, l_partkey AS k
+        |      FROM lineitem WHERE l_partkey IS NOT NULL),
+        |spine AS (SELECT unnest(generate_series(0, 2)) AS h),
+        |cells AS (SELECT s.h AS bid, b.g,
+        |            r * 4096 + ('0x' || substr(md5(r::VARCHAR || ':' ||
+        |              b.k::VARCHAR), 1, 8))::BIGINT % 4096 AS cell,
+        |            COUNT(*) AS ct
+        |          FROM spine s JOIN b ON b.bid <= s.h, rr GROUP BY 1, 2, 3),
+        |probes AS (SELECT s.h AS bid, g, k
+        |           FROM spine s,
+        |                (SELECT DISTINCT l_returnflag AS g FROM lineitem),
+        |                (SELECT unnest(generate_series(1, 20)) AS k)),
+        |pc AS (SELECT bid, g, k,
+        |         r * 4096 + ('0x' || substr(md5(r::VARCHAR || ':' ||
+        |           k::VARCHAR), 1, 8))::BIGINT % 4096 AS cell
+        |       FROM probes, rr),
+        |est AS (SELECT pc.bid, pc.g, pc.k, MIN(COALESCE(c.ct, 0)) AS cms_est
+        |        FROM pc LEFT JOIN cells c
+        |          ON pc.bid = c.bid AND pc.g = c.g AND pc.cell = c.cell
+        |        GROUP BY 1, 2, 3)
+        |SELECT bid, g, CAST(k AS BIGINT) AS key, CAST(cms_est AS BIGINT) AS cms_est
+        |FROM est ORDER BY 1, 2, 3""".stripMargin,
+
+    // Identical register derivation: idx = top 11 bits of the 32-bit md5
+    // slice, rank = 22 - bitlength of the low 21 bits (22 when zero) —
+    // both engines' bin() renders without leading zeros.
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT o_orderstatus AS g,
+        |             ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS h
+        |           FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT g, h // 2097152 AS idx,
+        |        MAX(CASE WHEN h % 2097152 = 0 THEN 22
+        |            ELSE 22 - length(bin(h % 2097152)) END) AS rank
+        |      FROM h GROUP BY 1, 2),
+        |s AS (SELECT g, 2048 - COUNT(*) AS zeros,
+        |        SUM(1::BIGINT << (22 - rank)) AS h_num
+        |      FROM r GROUP BY 1),
+        |e AS (SELECT o_orderstatus AS g, COUNT(DISTINCT o_custkey) AS n_exact
+        |      FROM orders GROUP BY 1)
+        |SELECT s.g AS o_orderstatus, CAST(zeros AS BIGINT) AS zeros,
+        |       CAST(h_num AS BIGINT) AS h_num, CAST(n_exact AS BIGINT) AS n_exact
+        |FROM s JOIN e USING (g) ORDER BY 1""".stripMargin,
+
+    // Per-spine-row registers over the folded batch prefix — the
+    // register-max idempotent-fold twin.
+    "q_hll_stream" ->
+      """WITH b AS (SELECT o_orderkey % 3 AS bid, o_orderstatus AS g,
+        |             ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT AS h
+        |           FROM orders WHERE o_custkey IS NOT NULL),
+        |spine AS (SELECT unnest(generate_series(0, 2)) AS hz),
+        |r AS (SELECT s.hz AS bid, b.g, b.h // 2097152 AS idx,
+        |        MAX(CASE WHEN b.h % 2097152 = 0 THEN 22
+        |            ELSE 22 - length(bin(b.h % 2097152)) END) AS rank
+        |      FROM spine s JOIN b ON b.bid <= s.hz GROUP BY 1, 2, 3)
+        |SELECT bid, g, CAST(2048 - COUNT(*) AS BIGINT) AS zeros,
+        |       CAST(SUM(1::BIGINT << (22 - rank)) AS BIGINT) AS h_num
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_hist_quantile" ->
       """WITH b AS (SELECT o_orderstatus AS g,

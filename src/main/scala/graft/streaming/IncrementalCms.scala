@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch count-min frequency sketch — the counting-sketch member
+  * completing the persistent family alongside [[IncrementalTopK]]
+  * (Misra-Gries), [[IncrementalKmv]], [[IncrementalHist]],
+  * [[IncrementalBloom]], and [[IncrementalHll]]: per-(group, cell)
+  * counters over the fixed `d × w` table of `ext/Profile.cmsCells`
+  * accumulate in a [[KeyedStore]]. Count-min's defining property is that
+  * cell tables over the same (d, w) merge by bin-wise ADDITION, so the
+  * fold is LOSSLESS: after any number of folds the store is bit-identical
+  * to `Profile.cmsCells` over the concatenated history, at
+  * O(groups·d·w) state regardless of history length — a frequency oracle
+  * over an unbounded key stream in fixed space.
+  *
+  * (d, w) are the sketch's identity — pinned in a meta row on first fold;
+  * a fold with different parameters fails fast (cells are `r·w + h mod w`,
+  * so mixing widths silently corrupts the table).
+  *
+  * Replay safety is the counting-sketch contract ([[IncrementalHist]]
+  * verbatim): `batchId` is the `ver` seq, the meta row records the
+  * high-water mark on every fold, and a replayed fold returns the current
+  * cell table without touching the store.
+  *
+  * Per-fold cost: one explode(×d) + map-side-combined (g, cell) count
+  * over the BATCH, a store read, and a bucketed upsert of ONLY the cells
+  * the batch touched. */
+object IncrementalCms {
+
+  private def liveRows(spark: SparkSession, storePath: String): DataFrame =
+    KeyedStore.read(spark, storePath)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("kind"), col("g"), col("cell"), col("ct"),
+          col("d"), col("w"), col("ver")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, String, Long, Long, Long, Long, Long)]
+          .toDF("kind", "g", "cell", "ct", "d", "w", "ver")
+      }
+
+  /** Fold one micro-batch into the sketch at `storePath` (created on first
+    * use, (d, w) pinned then) and return the updated cell table
+    * (g, cell, ct). */
+  def mergeBatch(batch: DataFrame, storePath: String, groupCol: Column,
+      keyCol: Column, batchId: Long, d: Int = 4, w: Int = 4096,
+      numBuckets: Int = 4): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1 hash rows and w >= 2, got ($d, $w)")
+    val spark = batch.sparkSession
+    val live = liveRows(spark, storePath).localCheckpoint(true)
+    val meta = live.filter(col("kind") === "m")
+      .select(col("d"), col("w"), col("ver")).collect()
+    meta.headOption.foreach { m =>
+      require(m.getLong(0) == d && m.getLong(1) == w,
+        s"store $storePath is a (d=${m.getLong(0)}, w=${m.getLong(1)}) " +
+          s"sketch; fold passed (d=$d, w=$w) — the parameters are the " +
+          "sketch's identity")
+    }
+    val cur = live.filter(col("kind") === "v")
+    if (meta.exists(m => batchId <= m.getLong(2))) {
+      // replay: current state IS the post-batch state
+      val out = cur.select(col("g"), col("cell"), col("ct"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(live)
+      return out
+    }
+    val batchCts = graft.ext.Profile.cmsCells(
+      batch.select(groupCol.cast("string").as("g"), keyCol.as("__key")),
+      Seq("g"), col("__key"), d, w)
+      .withColumnRenamed("ct", "bct")
+    // bin-wise ADD, writing only the touched (g, cell) rows
+    val changed = batchCts
+      .join(cur.select(col("g"), col("cell"), col("ct")), Seq("g", "cell"),
+        "left_outer")
+      .select(lit("v").as("kind"), col("g"), col("cell"),
+        (coalesce(col("ct"), lit(0L)) + col("bct")).as("ct"),
+        lit(d.toLong).as("d"), lit(w.toLong).as("w"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+    val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
+      lit(-1L).as("cell"), lit(0L).as("ct"), lit(d.toLong).as("d"),
+      lit(w.toLong).as("w"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    KeyedStore.merge(changed.unionByName(metaRow), storePath,
+      keys = Seq("kind", "g", "cell"), seqCols = Seq("ver"),
+      numBuckets = numBuckets)
+    val out = cur.select(col("g"), col("cell"), col("ct"))
+      .join(changed.select(col("g"), col("cell")), Seq("g", "cell"),
+        "left_anti")
+      .unionByName(changed.select(col("g"), col("cell"), col("ct")))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(live)
+    graft.util.Blocks.freeCheckpoint(changed)
+    out
+  }
+
+  /** The current cell table at `storePath` without folding. */
+  def readCells(spark: SparkSession, storePath: String): DataFrame =
+    liveRows(spark, storePath).filter(col("kind") === "v")
+      .select(col("g"), col("cell"), col("ct"))
+
+  /** Point estimates for `probes` (g, key rows) against the store — the
+    * (d, w) identity is read from the meta row. */
+  def estimate(spark: SparkSession, storePath: String,
+      probes: DataFrame): DataFrame = {
+    val live = liveRows(spark, storePath)
+    val meta = live.filter(col("kind") === "m")
+      .select(col("d"), col("w")).collect()
+    require(meta.nonEmpty, s"store $storePath has no folds yet")
+    graft.ext.Profile.cmsEstimate(
+      live.filter(col("kind") === "v").select(col("g"), col("cell"), col("ct")),
+      probes, Seq("g"), col("key"),
+      meta.head.getLong(0).toInt, meta.head.getLong(1).toInt)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch HyperLogLog distinct tracking — the register table of
+  * `ext/Profile.hllRegisters` as a persistent [[KeyedStore]]: per-(group,
+  * register) max ranks accumulate across micro-batches, giving a
+  * cardinality estimate over the WHOLE stream history at O(groups·2^p)
+  * state. HLL registers union by per-register MAX, which is commutative,
+  * associative AND idempotent — so like [[IncrementalBloom]]'s set-bit
+  * table (and unlike the counting sketches), the fold needs no replay
+  * high-water mark: re-folding any batch is a max no-op, and after any
+  * number of folds the store is bit-identical to `Profile.hllRegisters`
+  * over the concatenated history.
+  *
+  * `p` is the sketch's identity — pinned in a meta row on first fold; a
+  * fold with a different precision fails fast (the index/rank split is
+  * `p`-dependent, so mixing precisions silently corrupts the table).
+  *
+  * Distinction from [[IncrementalKmv]] (the other persistent cardinality
+  * sketch): KMV is exact below k and hash-oracles its estimate, but its
+  * fold rewrites whole per-group k-min sets; HLL's register table upserts
+  * only registers a batch IMPROVED (often none, once saturated) and its
+  * integer summary (`Profile.hllSummary`) hash-oracles even though the
+  * floating estimate does not.
+  *
+  * Per-fold cost: one map-side-combined (g, idx) max over the BATCH, a
+  * store read, and a bucketed upsert of ONLY improved registers. */
+object IncrementalHll {
+
+  private def liveRows(spark: SparkSession, storePath: String): DataFrame =
+    KeyedStore.read(spark, storePath)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("kind"), col("g"), col("idx"), col("rank"),
+          col("p"), col("ver")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, String, Long, Long, Long, Long)]
+          .toDF("kind", "g", "idx", "rank", "p", "ver")
+      }
+
+  private def checkP(live: DataFrame, storePath: String, p: Int): Unit =
+    live.filter(col("kind") === "m").select(col("p")).collect()
+      .headOption.foreach { r =>
+        require(r.getLong(0) == p,
+          s"store $storePath is a p=${r.getLong(0)} sketch; fold passed " +
+            s"p=$p — the precision is the sketch's identity")
+      }
+
+  /** Fold one micro-batch into the sketch at `storePath` (created on
+    * first use, `p` pinned then), writing only registers the batch
+    * improved; returns the updated register table (g, idx, rank). */
+  def mergeBatch(batch: DataFrame, storePath: String, groupCol: Column,
+      valueCol: Column, p: Int = 11, batchId: Long = 0L,
+      numBuckets: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val live = liveRows(spark, storePath).localCheckpoint(true)
+    checkP(live, storePath, p)
+    val cur = live.filter(col("kind") === "v")
+    val batchRegs = graft.ext.Profile.hllRegisters(
+      batch.select(groupCol.cast("string").as("g"), valueCol.as("__val")),
+      Seq("g"), col("__val"), p)
+      .withColumnRenamed("rank", "brank")
+    // per-register MAX: only strictly-improved (or new) registers write
+    val improved = batchRegs
+      .join(cur.select(col("g"), col("idx"), col("rank")), Seq("g", "idx"),
+        "left_outer")
+      .filter(col("rank").isNull || col("brank") > col("rank"))
+      .select(lit("v").as("kind"), col("g"), col("idx"),
+        col("brank").as("rank"), lit(p.toLong).as("p"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+    val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
+      lit(-1L).as("idx"), lit(0L).as("rank"), lit(p.toLong).as("p"),
+      lit(batchId).as("ver"), lit("put").as("op_type"))
+    KeyedStore.merge(improved.unionByName(metaRow), storePath,
+      keys = Seq("kind", "g", "idx"), seqCols = Seq("ver"),
+      numBuckets = numBuckets)
+    val out = cur.select(col("g"), col("idx"), col("rank"))
+      .join(improved.select(col("g"), col("idx")), Seq("g", "idx"),
+        "left_anti")
+      .unionByName(improved.select(col("g"), col("idx"), col("rank")))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(live)
+    graft.util.Blocks.freeCheckpoint(improved)
+    out
+  }
+
+  /** The current register table at `storePath` without folding. */
+  def readRegisters(spark: SparkSession, storePath: String): DataFrame =
+    liveRows(spark, storePath).filter(col("kind") === "v")
+      .select(col("g"), col("idx"), col("rank"))
+
+  /** The integer-exact per-group summary (g, zeros, h_num) of the store's
+    * current registers — `Profile.hllSummary` over [[readRegisters]],
+    * with `p` read from the meta row. */
+  def readSummary(spark: SparkSession, storePath: String): DataFrame = {
+    val live = liveRows(spark, storePath)
+    val meta = live.filter(col("kind") === "m").select(col("p")).collect()
+    require(meta.nonEmpty, s"store $storePath has no folds yet")
+    graft.ext.Profile.hllSummary(
+      live.filter(col("kind") === "v")
+        .select(col("g"), col("idx"), col("rank")),
+      Seq("g"), meta.head.getLong(0).toInt)
+  }
+}

@@ -227,6 +227,25 @@ class PlanSpec extends SparkSpec {
       "the rank<=k filter must push into a map-side group limit:\n" + p.take(800))
   }
 
+  test("cms sketch: map-side-combined cell counts; probe lookup is a hash join") {
+    val p = plan("q_cms_freq")
+    assert(p.contains("partial_count"),
+      "cell counts must partial-aggregate before the shuffle:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the d-cell probe lookup joins two bounded tables on (g, cell) — a
+    // hash join, never a nested loop (the only BNLJ is the 3x20 probe spine)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "probe-cell lookup must be an equi hash join:\n" + p.take(800))
+  }
+
+  test("hll sketch: register max partial-aggregates map-side, no cartesian") {
+    val p = plan("q_hll_distinct")
+    assert(p.contains("partial_max"),
+      "register max must partial-aggregate before the shuffle:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("cdc chunking is pure window work: no join machinery at all") {
     val p = plan("q_cdc_chunk")
     assert(!p.contains("Join"), "no joins of any kind:\n" + p.take(800))

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** DataFrame-native count-min and HLL sketches: estimate guarantees,
+  * register invariants, and partitioning stability. */
+class ProfileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freqDf = {
+    // key k appears k times, k = 1..60 — known exact frequencies
+    val rows = for (k <- 1 to 60; _ <- 1 to k) yield ("g", k.toString)
+    rows.toDF("g", "key")
+  }
+
+  test("cmsEstimate never undercounts and is exact without collisions") {
+    val df = freqDf
+    val cells = Profile.cmsCells(df, Seq("g"), col("key"))
+    val probes = (1 to 60).map(k => ("g", k.toString)).toDF("g", "key")
+    val est = Profile.cmsEstimate(cells, probes, Seq("g"), col("key"))
+      .collect().map(r => r.getString(1).toInt -> r.getLong(2)).toMap
+    for (k <- 1 to 60) assert(est(k) >= k, s"undercount at $k: ${est(k)}")
+    // 60 keys x 4 rows in 4096 cells: collisions essentially impossible
+    assert((1 to 60).count(k => est(k) == k) == 60)
+    // an absent key reads 0 from untouched cells
+    val absent = Profile.cmsEstimate(cells,
+      Seq(("g", "never-seen")).toDF("g", "key"), Seq("g"), col("key"))
+      .head().getLong(2)
+    assert(absent == 0L)
+  }
+
+  test("cmsCells is repartition-stable and adds bin-wise across splits") {
+    val df = freqDf
+    val whole = Profile.cmsCells(df, Seq("g"), col("key"))
+    val re = Profile.cmsCells(df.repartition(13), Seq("g"), col("key"))
+    assert(whole.exceptAll(re).isEmpty && re.exceptAll(whole).isEmpty)
+    // count-min's merge property: cells(A ∪ B) = cells(A) + cells(B)
+    val a = Profile.cmsCells(df.filter(col("key").cast("int") % 2 === 0),
+      Seq("g"), col("key"))
+    val b = Profile.cmsCells(df.filter(col("key").cast("int") % 2 === 1),
+      Seq("g"), col("key"))
+    val summed = a.unionByName(b).groupBy("g", "cell")
+      .agg(sum(col("ct")).as("ct"))
+    assert(whole.exceptAll(summed).isEmpty && summed.exceptAll(whole).isEmpty)
+  }
+
+  test("hllRegisters invariants and estimate accuracy on real keys") {
+    val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
+    val regs = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))
+    // register index in [0, 2048), rank in [1, 22]
+    assert(regs.filter(col("idx") < 0 || col("idx") >= 2048 ||
+      col("rank") < 1 || col("rank") > 22).count() == 0)
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Profile.hllSummary(regs, Seq("o_orderstatus")).collect().foreach { r =>
+      val est = Profile.hllEstimate(r.getLong(1), r.getLong(2))
+      val n = exact(r.getString(0))
+      // 2048 registers → ~2.3 % std error; allow 4 sigma
+      assert(math.abs(est - n).toDouble / n < 0.10,
+        s"${r.getString(0)}: est $est vs exact $n")
+    }
+  }
+
+  test("hllRegisters union by max equals registers of the union") {
+    val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
+    val whole = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))
+    val a = Profile.hllRegisters(o.filter(col("o_orderkey") % 2 === 0),
+      Seq("o_orderstatus"), col("o_custkey"))
+    val b = Profile.hllRegisters(o.filter(col("o_orderkey") % 2 === 1),
+      Seq("o_orderstatus"), col("o_custkey"))
+    val merged = a.unionByName(b).groupBy("o_orderstatus", "idx")
+      .agg(max(col("rank")).as("rank"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+}
