@@ -266,6 +266,77 @@ object Graph {
     l.select(col("node"), col("label"))
   }
 
+  /** Per-node triangle counts over an undirected edge table — the local
+    * clustering signal (a near-dup pair graph's triangles are its cluster
+    * cores; a link graph's triangle density separates organic communities
+    * from link farms, the classic TrustRank-adjacent spam feature).
+    *
+    * Algorithm: DEGREE-ORIENTED wedge counting (the MapReduce-era standard
+    * for exactly this skew problem). Each undirected edge is oriented from
+    * its lower-(degree, node) endpoint to the higher; every triangle then
+    * has exactly ONE vertex with two out-edges (its minimum), so counting
+    * wedges at that apex and closing them against the edge set counts each
+    * triangle once — no post-hoc dedup, and the wedge fan-out is bounded
+    * by Σ min-oriented-out-degree², which is O(m^1.5) on ANY graph (vs
+    * Σ degree² for the naive wedge join, which a single celebrity node
+    * makes quadratic). The oriented out-degree of a node is at most
+    * O(√m) regardless of its real degree — orientation is what makes
+    * triangle counting survive skew at web scale.
+    *
+    * Shape at scale: one distinct + degree aggregate, two broadcast-sized
+    * joins of edges to the node-sized degree table, one equi self-join on
+    * the apex (the wedge build), one equi join of wedges to the canonical
+    * edge table (the closure probe) — all map-side-combinable, no
+    * cartesian anywhere. Every step is exact integer arithmetic on the
+    * edge SET (direction and duplicates removed first), so the result is
+    * a pure function of the graph and hash-oracles.
+    *
+    * @param edges (a, b) rows, both castable to long; direction, parallel
+    *   edges, and self-loops are removed here
+    * @return (node, deg, tri_ct) — degree in the simple graph and the
+    *   number of triangles the node participates in */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("u"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val joined = und
+      .join(deg.select(col("node").as("u"), col("deg").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), "v")
+    val lowFirst = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = joined.select(
+      when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+      when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+    // wedges at the apex (the triangle's unique (deg, node)-minimum);
+    // d1 < d2 by node id makes the closure probe a single equi join
+    // against the canonical u < v edge table
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"),
+        least(col("e1.dst"), col("e2.dst")).as("d1"),
+        greatest(col("e1.dst"), col("e2.dst")).as("d2"))
+    val triangles = wedges.join(und,
+      col("d1") === col("u") && col("d2") === col("v"))
+    val perNode = triangles
+      .select(explode(array(col("apex"), col("d1"), col("d2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_ct"))
+    val out = deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri_ct"), lit(0L)).as("tri_ct"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(und)
+    graft.util.Blocks.freeCheckpoint(deg)
+    out
+  }
+
   /** The [[labelPropagation]] SQL twin generator — iterations unrolled as
     * CTEs over an `e(src, dst)` edge CTE, mirroring [[pageRankSql]]. */
   def labelPropSql(edgesCte: String, iters: Int): String = {

@@ -106,6 +106,16 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Degree-oriented triangle counting over the near-dup pair graph —
+    // a triangle is a cluster core (three mutually-similar docs); per-node
+    // triangle count + degree give the local clustering signal. The
+    // oriented wedge join bounds fan-out at O(m^1.5) on any skew.
+    "q_triangles" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      graft.ops.Graph.triangleCounts(pairs).orderBy(col("node"))
+    },
+
     // Prefix-filtered AllPairs form: identical contract and oracle to
     // q_dedup_ngram — the EXACT scale path (zero false negatives by the
     // prefix-filtering theorem, unlike LSH recall or the DF cap's changed
@@ -1440,6 +1450,25 @@ object ExtQueries {
         |FROM r WHERE rk = 1 ORDER BY text_hash""".stripMargin,
 
     "q_dedup_ngram" -> jacSelect,
+
+    // Naive closed-triple count over the same pair set (p has a_id < b_id,
+    // so x < y < z counts each triangle exactly once) — the oriented
+    // Spark plan must agree with the orientation-free SQL definition.
+    "q_triangles" ->
+      s"""WITH $JAC,
+         |p AS (SELECT a_id AS u, b_id AS v FROM jac
+         |      WHERE inter_ct * 2 >= union_ct * 1),
+         |tri AS (SELECT p1.u AS x, p1.v AS y, p2.v AS z
+         |        FROM p p1 JOIN p p2 ON p2.u = p1.v
+         |                  JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v),
+         |nodes AS (SELECT u AS node FROM p UNION ALL SELECT v FROM p),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM nodes GROUP BY 1),
+         |cr AS (SELECT unnest([x, y, z]) AS node FROM tri),
+         |tc AS (SELECT node, COUNT(*) AS ct FROM cr GROUP BY 1)
+         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+         |       CAST(COALESCE(tc.ct, 0) AS BIGINT) AS tri_ct
+         |FROM deg d LEFT JOIN tc ON d.node = tc.node
+         |ORDER BY d.node""".stripMargin,
     // the prefix-filtered form proves the same exhaustive pair table
     "q_dedup_ngram_prefix" -> jacSelect,
     "q_dedup_minhash" -> jacSelect,

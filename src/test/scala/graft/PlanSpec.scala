@@ -246,6 +246,13 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("triangles: oriented wedge build and closure probe are equi joins only") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "wedge/closure must never degrade to a product:\n" + p.take(800))
+  }
+
   test("cdc chunking is pure window work: no join machinery at all") {
     val p = plan("q_cdc_chunk")
     assert(!p.contains("Join"), "no joins of any kind:\n" + p.take(800))

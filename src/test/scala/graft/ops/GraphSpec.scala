@@ -113,6 +113,33 @@ class GraphSpec extends SparkSpec {
     assert(id0.forall { case (n, l) => n == l })
   }
 
+  test("triangleCounts: hand-counted graph, input-form independence, skew apex") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 4-5 +
+    // triangle {6,7,8}; fed DIRTY: reversed duplicates and a self-loop
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val dirty = (k4 ++ Seq((5L, 4L), (6L, 7L), (8L, 7L), (6L, 8L),
+      (7L, 6L), (3L, 3L))).toDF("a", "b")
+    val got = Graph.triangleCounts(dirty).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert((1L to 3L).forall(got(_) == ((3L, 3L))))
+    assert(got(4L) == ((4L, 3L)) && got(5L) == ((1L, 0L)))
+    assert((6L to 8L).forall(got(_) == ((2L, 1L))))
+
+    // skew: a star (hub 0 - leaves 1..200) has NO triangles, and the
+    // orientation keeps the hub's out-degree at zero wedge fan-out
+    val star = (1L to 200L).map(i => (0L, i)).toDF("a", "b")
+    val st = Graph.triangleCounts(star)
+    assert(st.agg(sum(col("tri_ct"))).head().getLong(0) == 0L)
+    assert(st.count() == 201L)
+
+    // partition independence: same result under a different layout
+    val re = Graph.triangleCounts(dirty.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(re == got)
+  }
+
   test("labelPropSql twin unrolls exactly the requested iterations") {
     val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
     assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
