@@ -495,6 +495,140 @@ object Similarity {
           x => floor(x * col("scale") + lit(0.5)).cast("int")).as("q"))
   }
 
+  /** The per-subspace row layout product quantization trains and probes on:
+    * each embedding sliced into `m` contiguous equal subvectors —
+    * (id, sub, svec) with sub ∈ [0, m). The slice bounds are column
+    * arithmetic on `size(embedding)`, so the layout needs no driver-side
+    * dimension probe; dimensions not divisible by `m` are the caller's
+    * contract (PQSpec guards the fixture). */
+  private def pqSubRows(df: DataFrame, idCol: String, m: Int): DataFrame =
+    df.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("embedding"))
+      .select(col(idCol), col("sub"),
+        expr(s"slice(embedding, sub * (size(embedding) div $m) + 1, " +
+          s"size(embedding) div $m)").as("svec"))
+
+  /** The PQ assignment distance: `‖c‖² − 2·x·c`, which ranks identically to
+    * the Euclidean `‖x − c‖²` (the `‖x‖²` term is constant per row) while
+    * staying two deterministic left-fold dot kernels plus two arithmetic
+    * ops — bit-reproducible on any engine, no sqrt to collapse near-ties
+    * differently per engine. */
+  private def pqDist(svec: Column, cent: Column): Column =
+    dotF(cent, cent) - lit(2.0) * dotF(svec, cent)
+
+  /** Product-quantization codebooks — the memory-bound ANN scale path
+    * (Jégou et al. 2011): each embedding splits into `m` subvectors and
+    * each subspace learns `k` centroids by Lloyd iterations, so a vector
+    * compresses to `m` small codes (m·log₂k bits — 16 bytes/vector at
+    * m=4,k=16 vs 256 for the float vector) and query distance becomes `m`
+    * table lookups ([[pqTopK]]). At 100 TB of embeddings this is the
+    * difference between scanning floats and scanning bytes.
+    *
+    * Determinism (the property that lets `q_pq_train` carry a full hash
+    * oracle, unlike any float-mean k-means): `id % k` init, per-dimension
+    * exact DECIMAL centroid sums cast to float (the [[ivfTopK]] idiom),
+    * assignment by [[pqDist]] with ties to the smaller code — every step a
+    * pure function of the vector set. Codes that lose all members simply
+    * drop out of the next centroid build (standard empty-cluster shrink).
+    *
+    * Shape at scale: per iteration, one map-side-combined (sub, code, pos)
+    * decimal-sum aggregate over the corpus and one broadcast join of the
+    * ≤ m·k-row codebook onto the corpus scan with a partial-aggregating
+    * struct-min argmin — the corpus never shuffles on the assignment path;
+    * per-iteration codes are localCheckpointed (the Lloyd-loop lineage
+    * discipline of [[kmeansLabels]]).
+    *
+    * @return (sub, code, centroid float array) — the trained codebooks */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 1,
+      s"need m, k, iters >= 1, got ($m, $k, $iters)")
+    val rows = pqSubRows(emb, "vec_id", m).persist()
+    var codes = rows.select(col("vec_id"), col("sub"),
+        (col("vec_id") % k).cast("int").as("code"))
+      .localCheckpoint(true)
+    var books: DataFrame = null
+    for (_ <- 1 to iters) {
+      val prevBooks = books
+      books = rows.join(codes, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("x").cast("decimal(27,10)")).as("cv"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+        .select(col("sub"), col("code"),
+          transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
+        .localCheckpoint(true)
+      val next = rows
+        .join(broadcast(books.withColumnRenamed("code", "c_code")), Seq("sub"))
+        .select(col("vec_id"), col("sub"), struct(
+          pqDist(col("svec"), col("centroid")).as("d"),
+          col("c_code").as("code")).as("sc"))
+        .groupBy("vec_id", "sub").agg(min(col("sc")).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+        .localCheckpoint(true)
+      if (prevBooks != null) graft.util.Blocks.freeCheckpoint(prevBooks)
+      graft.util.Blocks.freeCheckpoint(codes)
+      codes = next
+    }
+    // the final assignment is recomputable from the books; only they return
+    graft.util.Blocks.freeCheckpoint(codes)
+    rows.unpersist()
+    books
+  }
+
+  /** Encode a corpus against trained [[pqCodebooks]]: each vector's `m`
+    * nearest-centroid codes ([[pqDist]] argmin, ties to the smaller code) —
+    * the byte-sized representation the ADC scan reads. One broadcast join
+    * of the ≤ m·k-row codebook onto the corpus scan; the corpus never
+    * shuffles beyond the argmin's partial aggregation.
+    * @return (vec_id, sub, code) */
+  def pqEncode(emb: DataFrame, books: DataFrame, m: Int = 4): DataFrame =
+    pqSubRows(emb, "vec_id", m)
+      .join(broadcast(books.withColumnRenamed("code", "c_code")), Seq("sub"))
+      .select(col("vec_id"), col("sub"), struct(
+        pqDist(col("svec"), col("centroid")).as("d"),
+        col("c_code").as("code")).as("sc"))
+      .groupBy("vec_id", "sub").agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+
+  /** Asymmetric-distance top-k over PQ codes: the query builds its m·k
+    * distance TABLE (one [[pqDist]] per (sub, code) — m·k kernel calls
+    * total, independent of corpus size), and every corpus vector's
+    * approximate distance is the sum of `m` table lookups — the scan reads
+    * CODES, never floats. The per-sub lookups join as `m` successive
+    * broadcast hash joins and the sum is the explicitly-parenthesized
+    * left-to-right chain `((d0 + d1) + d2) + …` — fixed association, so
+    * the float result (and therefore the ranking) is engine-reproducible.
+    * Ties rank by vec_id; the rank filter is a per-query window.
+    * @return (query_id, vec_id, rk) — the k approximate nearest per query */
+  def pqTopK(queries: DataFrame, books: DataFrame, codes: DataFrame,
+      m: Int = 4, topK: Int = 10): DataFrame = {
+    require(m >= 1 && topK >= 1, s"need m, topK >= 1, got ($m, $topK)")
+    val dt = pqSubRows(queries, "query_id", m)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        pqDist(col("svec"), col("centroid")).as("d"))
+    val wide = codes.groupBy("vec_id")
+      .pivot("sub", 0 until m).agg(first(col("code")))
+    val scored = (0 until m).foldLeft(wide) { (acc, s) =>
+      val dtS = dt.filter(col("sub") === s)
+        .select(col("query_id").as(s"__q$s"), col("code").as(s"__c$s"),
+          col("d").as(s"__d$s"))
+      val cond =
+        if (s == 0) acc(s.toString) === col(s"__c$s")
+        else acc(s.toString) === col(s"__c$s") && col("__q0") === col(s"__q$s")
+      acc.join(broadcast(dtS), cond)
+    }
+    val dist = (1 until m).foldLeft(col("__d0")) { (acc, s) => acc + col(s"__d$s") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    scored.select(col("__q0").as("query_id"), col("vec_id"), dist.as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"))
+  }
+
   /** Per-label centroid as SCALED-INTEGER per-dimension sums: each component
     * contributes `floor(x · 10⁶)` (float→double promotion, one multiply and
     * `floor` — all IEEE-exact, and floor has no rounding-mode ambiguity the

@@ -742,6 +742,37 @@ object ExtQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Product quantization, training: 2 deterministic Lloyd rounds per
+    // subspace (vec_id % 16 init, exact-decimal centroid sums, pqDist
+    // argmin with code-asc ties), output = every vector's 4 codes. The
+    // oracle unrolls both rounds per subspace as chained CTEs.
+    "q_pq_train" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+      val out = Similarity.pqEncode(e, books, m = 4)
+        .orderBy(col("vec_id"), col("sub"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(books)
+      out
+    },
+
+    // Product quantization, ADC probe: every eval query (vec_id % 97)
+    // ranks the whole corpus by the sum of 4 distance-table lookups —
+    // the scan touches codes, never float vectors. Fixed left-to-right
+    // addition keeps the float ranking engine-reproducible.
+    "q_pq_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(e, books, m = 4)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val out = Similarity.pqTopK(qs, books, codes, m = 4, topK = 10)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(books)
+      out
+    },
+
     // Top-3 TF-IDF terms per document (reciprocal-df idf — IEEE-exact ops
     // only; see Ranking's scaladoc).
     "q_tfidf_top" -> { (s, dir) =>
@@ -1333,6 +1364,40 @@ object ExtQueries {
        |WHERE inter_ct * 2 >= union_ct * 1
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The PQ training chain shared by q_pq_train and q_pq_topk (the
+    * ModelCtes discipline: probe reuses the training twin's CTEs through
+    * the final codebooks pb2/codes pl2, so train and probe cannot drift):
+    * per-subspace rows, vec_id % 16 init, two Lloyd rounds of
+    * exact-decimal centroid sums + `‖c‖² − 2·x·c` argmin with code-asc
+    * ties — mirroring `Similarity.pqCodebooks` step for step. */
+  private val PqTrainCtes: String = {
+    def iter(i: Int): String =
+      s"""pc$i AS (SELECT r.sub, c.code, d.i AS pos,
+         |          CAST(SUM(CAST(CAST(r.svec[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+         |        FROM rows_ r JOIN pl${i - 1} c
+         |          ON r.vec_id = c.vec_id AND r.sub = c.sub
+         |        CROSS JOIN pdim d GROUP BY 1, 2, 3),
+         |pb$i AS (SELECT sub, code AS c_code, list(cv ORDER BY pos) AS centroid
+         |         FROM pc$i GROUP BY 1, 2),
+         |pl$i AS (SELECT vec_id, sub, code FROM (
+         |    SELECT r.vec_id, r.sub, c.c_code AS code,
+         |           row_number() OVER (PARTITION BY r.vec_id, r.sub
+         |             ORDER BY list_inner_product(c.centroid, c.centroid)
+         |                      - 2 * list_inner_product(r.svec, c.centroid) ASC,
+         |                      c.c_code) AS rk
+         |    FROM rows_ r JOIN pb$i c ON r.sub = c.sub) WHERE rk = 1)""".stripMargin
+    s"""subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |pdim AS (SELECT unnest(generate_series(1,
+       |           (SELECT MAX(len(embedding)) FROM embeddings) // 4)) AS i),
+       |rows_ AS (SELECT vec_id, s.sub,
+       |            embedding[s.sub * (len(embedding) // 4) + 1 :
+       |                      (s.sub + 1) * (len(embedding) // 4)] AS svec
+       |          FROM embeddings, subs s),
+       |pl0 AS (SELECT vec_id, sub, CAST(vec_id % 16 AS INT) AS code FROM rows_),
+       |${iter(1)},
+       |${iter(2)}""".stripMargin
+  }
+
   /** Shared by q_bloom_decon and q_bloom_stream: the bit table is a set
     * union, so the cross-batch drive's twin is the batch twin verbatim. */
   private val BloomDeconSql =
@@ -1836,6 +1901,45 @@ object ExtQueries {
          |SELECT q_id, rank, n_id FROM scored WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin
     },
+
+    "q_pq_train" ->
+      s"""WITH ${PqTrainCtes}
+         |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+         |FROM pl2 ORDER BY vec_id, sub""".stripMargin,
+
+    // The trained chain through pb2/pl2, then the ADC probe: per-query
+    // distance table on pb2, 4 lookup joins against the pivoted codes,
+    // explicitly-parenthesized left-to-right sum.
+    "q_pq_topk" ->
+      s"""WITH ${PqTrainCtes},
+         |pq AS (SELECT vec_id AS query_id, sub, svec FROM rows_
+         |       WHERE vec_id % 97 = 0),
+         |pdt AS (SELECT q.query_id, q.sub, c.c_code AS code,
+         |          list_inner_product(c.centroid, c.centroid)
+         |          - 2 * list_inner_product(q.svec, c.centroid) AS d
+         |        FROM pq q JOIN pb2 c ON q.sub = c.sub),
+         |pcw AS (SELECT vec_id,
+         |          MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+         |          MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+         |          MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+         |          MAX(CASE WHEN sub = 3 THEN code END) AS c3
+         |        FROM pl2 GROUP BY 1),
+         |psc AS (SELECT d0.query_id, w.vec_id,
+         |          ((d0.d + d1.d) + d2.d) + d3.d AS dist
+         |        FROM pcw w
+         |        JOIN pdt d0 ON d0.sub = 0 AND d0.code = w.c0
+         |        JOIN pdt d1 ON d1.sub = 1 AND d1.code = w.c1
+         |                   AND d1.query_id = d0.query_id
+         |        JOIN pdt d2 ON d2.sub = 2 AND d2.code = w.c2
+         |                   AND d2.query_id = d0.query_id
+         |        JOIN pdt d3 ON d3.sub = 3 AND d3.code = w.c3
+         |                   AND d3.query_id = d0.query_id),
+         |prk AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY dist ASC, vec_id) AS rk
+         |        FROM psc)
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM prk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (

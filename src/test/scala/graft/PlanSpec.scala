@@ -246,6 +246,28 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("pq: codebook broadcasts onto the corpus scan; ADC lookups broadcast") {
+    // q_pq_train/q_pq_topk return checkpointed frames (their executed plan
+    // is an RDD scan), so pin the OPERATOR plans directly
+    import org.apache.spark.sql.functions.col
+    val e = graft.model.Envelopes.table(spark, sfDir("sf0.001"), "embeddings")
+    val books = graft.ext.Similarity.pqCodebooks(e, m = 4, k = 16, iters = 1)
+    val enc = graft.ext.Similarity.pqEncode(e, books, m = 4)
+    val t = enc.queryExecution.executedPlan.toString
+    assert(t.contains("BroadcastHashJoin"),
+      "the <= m*k-row codebook must broadcast for assignment:\n" + t.take(800))
+    assert(!t.contains("CartesianProduct"), t.take(800))
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val p = graft.ext.Similarity.pqTopK(qs, books, enc, m = 4, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the m distance-table lookups must broadcast:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    graft.util.Blocks.freeCheckpoint(books)
+  }
+
   test("triangles: oriented wedge build and closure probe are equi joins only") {
     val p = plan("q_triangles")
     assert(!p.contains("CartesianProduct") &&
