@@ -682,7 +682,142 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** PQ/ADC probe: index-build (train + encode) wall, then ADC top-10 vs
+    * brute-force float top-10 over the sf0.1 embeddings replicated in
+    * memory to `copies`× — the claims under test are (a) the ADC scan
+    * reads 16 B/vector codes where brute force reads 256 B float vectors
+    * (width, the 100 TB lever) and (b) both scans scale linearly while the
+    * one-time index build amortizes across queries.
+    *
+    * Usage: runMain graft.tools.ScaleProbe pq [copies] */
+  def pqProbe(copies: Int): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def corpus(n: Int) = (0 until n).map(c => base.withColumn("vec_id",
+        col("vec_id") + lit(c.toLong * KeyShift)))
+      .reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val queries = base.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .localCheckpoint(true)
+    for (n <- Seq(1, copies)) {
+      val e = corpus(n)
+      val nv = e.count()
+      val t0 = System.nanoTime()
+      val books = graft.ext.Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+      val codes = graft.ext.Similarity.pqEncode(e, books, m = 4)
+        .localCheckpoint(true)
+      val buildW = (System.nanoTime - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.ext.Similarity.pqTopK(queries, books, codes, m = 4, topK = 10)
+        .count()
+      val adcW = (System.nanoTime - t1) / 1e9
+      val t2 = System.nanoTime()
+      graft.ext.Similarity.bruteForceTopK(
+        queries.select(col("query_id").as("vec_id"), col("embedding")),
+        e, 10).count()
+      val bfW = (System.nanoTime - t2) / 1e9
+      println(f"PQPROBE ${n}x vectors=$nv build=$buildW%6.2f s " +
+        f"adcTop10=$adcW%6.2f s bruteForceTop10=$bfW%6.2f s " +
+        f"codeBytes=${nv * 16} floatBytes=${nv * 256}")
+      graft.util.Blocks.freeCheckpoint(books)
+      graft.util.Blocks.freeCheckpoint(codes)
+      graft.util.Blocks.freeCheckpoint(e)
+    }
+    spark.stop()
+  }
+
+  /** Triangle probe: wedge fan-out of the oriented plan vs the naive
+    * apex-unconstrained wedge join, on (a) the document near-dup pair
+    * graph replicated `copies`× and (b) an adversarial star — the oriented
+    * bound Σ outdeg² is the operator's skew claim. Wedge counts are exact
+    * aggregates (no join executed for the naive number); the oriented
+    * count is also timed end to end through triangleCounts.
+    *
+    * Usage: runMain graft.tools.ScaleProbe triangles [copies] [outDir] */
+  def triangleProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!corpusReady(outDir, copies, probeFile = "documents.parquet")) {
+      replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+      markCorpus(outDir, copies)
+    }
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"),
+        (outDir, s"${math.max(2, copies / 2)}x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sh = graft.ext.Dedup.shingles(docs, col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val pairs = graft.ext.Dedup.ngramJaccardPairs(sh, 1, 2)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+        .localCheckpoint(true)
+      val und = pairs.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      val deg = und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val naive = deg.agg(sum(expr("d * (d - 1) div 2"))).head().getLong(0)
+      // oriented out-degrees: per edge, the lower-(deg, node) endpoint
+      val j = und
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      val apex = j.select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("od"))
+      val oriented = apex.agg(sum(expr("od * (od - 1) div 2")))
+        .head().getLong(0)
+      val t0 = System.nanoTime()
+      val tri = graft.ops.Graph.triangleCounts(pairs)
+      val total = tri.agg(sum(col("tri_ct"))).head().getLong(0) / 3
+      val w = (System.nanoTime - t0) / 1e9
+      println(f"TRIPROBE $label%-4s edges=${und.count()} " +
+        f"naiveWedges=$naive orientedWedges=$oriented triangles=$total " +
+        f"wall=$w%6.2f s")
+      Seq(sh, pairs, und, tri).foreach(graft.util.Blocks.freeCheckpoint)
+    }
+    // adversarial skew: one 100k-degree hub + a sparse ring of triangles.
+    // The naive apex-unconstrained wedge join materializes the hub's
+    // C(100k, 2) ≈ 5·10⁹ wedges (unrunnable here — reported as the exact
+    // aggregate, not executed); the oriented plan gives the hub out-degree
+    // ~0 and still counts every ring triangle, timed end to end.
+    {
+      val hub = spark.range(1, 100001).select(lit(0L).as("a"), col("id").as("b"))
+      val ring = spark.range(0, 30000).selectExpr(
+        "200000 + id * 3 as a", "200000 + id * 3 + 1 as b")
+        .union(spark.range(0, 30000).selectExpr(
+          "200000 + id * 3 + 1 as a", "200000 + id * 3 + 2 as b"))
+        .union(spark.range(0, 30000).selectExpr(
+          "200000 + id * 3 as a", "200000 + id * 3 + 2 as b"))
+      val edges = hub.union(ring)
+      val deg = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val naive = deg.agg(sum(expr("d * (d - 1) div 2"))).head().getLong(0)
+      val t0 = System.nanoTime()
+      val tri = graft.ops.Graph.triangleCounts(edges)
+      val total = tri.agg(sum(col("tri_ct"))).head().getLong(0) / 3
+      println(f"TRIPROBE skew edges=${100000 + 90000} naiveWedges=$naive " +
+        f"triangles=$total orientedWall=${(System.nanoTime - t0) / 1e9}%6.2f s")
+      graft.util.Blocks.freeCheckpoint(tri)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pq")) {
+      pqProbe(args.lift(1).map(_.toInt).getOrElse(50))
+      return
+    }
+    if (args.headOption.contains("triangles")) {
+      triangleProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_tri"))
+      return
+    }
     if (args.headOption.contains("pagerank")) {
       pagerankProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_pr"))
