@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * accumulated pair log grows without bound; this operator instead
   * persists the LABEL TABLE (node → cluster keeper, O(nodes) rows) and
   * folds each batch by running components over `new pairs ∪ STAR EDGES`
-  * (one node→keeper edge per stored non-keeper node). Star edges preserve
+  * (one node→keeper edge per member of each AFFECTED cluster — a cluster
+  * no batch node touches cannot change, so its labels pass through
+  * without entering the components run at all). Star edges preserve
   * every old cluster's connectivity at diameter ≤ 2, so each fold's
   * pointer-jumping depth is ~log of the NEW merge chain only — the
   * warm-start payoff — while the result is provably identical to the
@@ -37,12 +39,27 @@ object IncrementalCc {
     val stored = KeyedStore.read(spark, storePath)
       .map(_.select(col("doc_id"), col("keeper_id"), col("ver"))
         .localCheckpoint(true))
-    val batch = pairs.select(col("a_id"), col("b_id"))
-    val edges = stored match {
-      case Some(s) => batch.unionByName(
-        s.filter(col("doc_id") =!= col("keeper_id"))
-          .select(col("doc_id").as("a_id"), col("keeper_id").as("b_id")))
-      case None => batch
+    val batch = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // AFFECTED-CLUSTER pruning: a stored cluster with no batch node among
+    // its members cannot gain or lose connectivity from the new pairs
+    // (every new edge ends on a batch node, and star edges are internal) —
+    // so components re-run only over `batch ∪ star edges of clusters a
+    // batch node touches`, and every other label passes through verbatim.
+    // The fold's input is O(batch + affected members), not O(all nodes):
+    // the sparse-delta regime a long-running stream lives in costs per
+    // DELTA, not per corpus (ccfold probe, sparse phase).
+    val (edges, untouched) = stored match {
+      case Some(s) =>
+        val batchNodes = batch.select(col("a_id").as("node"))
+          .unionByName(batch.select(col("b_id").as("node"))).distinct()
+        val affKeepers = s.join(batchNodes, col("doc_id") === col("node"))
+          .select(col("keeper_id")).distinct().localCheckpoint(true)
+        val aff = s.join(affKeepers, Seq("keeper_id"), "left_semi")
+        val e = batch.unionByName(
+          aff.filter(col("doc_id") =!= col("keeper_id"))
+            .select(col("doc_id").as("a_id"), col("keeper_id").as("b_id")))
+        (e, Some(affKeepers))
+      case None => (batch, None)
     }
     // the union's old-cluster side has diameter <= 2 by construction, so
     // the double-pointer-jumping depth tracks the new merges, not history
@@ -52,7 +69,7 @@ object IncrementalCc {
       .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
       .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
     // write only rows that are new or re-labeled — a fold that merges
-    // nothing touches nothing
+    // nothing touches nothing (untouched clusters never even compare)
     val changed = (stored match {
       case Some(s) => labels.join(
         s.select(col("doc_id"), col("keeper_id").as("__old")),
@@ -61,13 +78,27 @@ object IncrementalCc {
         .select(col("doc_id"), col("keeper_id"))
       case None => labels
     }).localCheckpoint(true) // pin BEFORE the merge mutates the store
-    stored.foreach(graft.util.Blocks.freeCheckpoint)
     if (!changed.isEmpty)
       KeyedStore.merge(changed.withColumn("ver", lit(nextVer)), storePath,
         keys = Seq("doc_id"), seqCols = Seq("ver"), numBuckets = numBuckets,
         bucketCols = Seq("doc_id"))
     graft.util.Blocks.freeCheckpoint(changed)
-    labels
+    // the full updated table comes from a fresh store read: the pruned
+    // components output `labels` only covers affected + new nodes, and
+    // unioning it with the untouched remainder would put the same store
+    // attributes on both Union branches (Catalyst's constraint rewrite
+    // rejects duplicate ids across branches). The merge above already
+    // holds every row the union would produce.
+    val full = untouched match {
+      case Some(affKeepers) =>
+        graft.util.Blocks.freeCheckpoint(affKeepers)
+        graft.util.Blocks.freeCheckpoint(labels)
+        readLabels(spark, storePath).localCheckpoint(true)
+      case None => labels
+    }
+    stored.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(batch)
+    full
   }
 
   /** The stored label table without folding (empty frame if never run). */

@@ -649,6 +649,16 @@ object ScaleProbe {
       println(f"CCFOLD fold=$i%2d labels=$n fold=$foldW%5.1f s " +
         f"recompute($nb labels)=$batchW%5.1f s")
     }
+    // sparse-delta phase: single-pair folds against the full store — the
+    // affected-cluster pruning means each fold's components input is one
+    // cluster + one pair, not the node table; cost must not track corpus
+    import spark.implicits._
+    for (i <- 0 until 5) {
+      val p = Seq((9000000L + i, 9000000L + i + 1)).toDF("a_id", "b_id")
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalCc.mergePairs(p, s"$storeRoot/cc").count()
+      println(f"CCFOLD sparse=$i wall=${(System.nanoTime - t0) / 1e9}%5.2f s (single new pair)")
+    }
     spark.stop()
   }
 
