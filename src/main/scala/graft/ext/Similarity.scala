@@ -629,6 +629,63 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"))
   }
 
+  /** IVF × PQ — the composed webscale ANN architecture (an IVFADC index):
+    * the coarse quantizer's cells prune the candidate set to the query's
+    * `nProbe` nearest clusters (the [[ivfTopK]] probe stage, exact-decimal
+    * centroids + cosine ranking), and the fine stage ranks ONLY those
+    * cells' vectors by asymmetric distance over PQ codes ([[pqTopK]]'s
+    * lookup-sum). Per query the scan touches `scan_frac · n` CODE rows
+    * (16 B each) instead of `n` float vectors — the two levers multiply,
+    * which is why this is the shape every billion-vector index ships.
+    *
+    * Both stages are engine-deterministic (the reason `q_ann_ivf_pq` can
+    * compose the two proven oracle chains): probe ties break by label,
+    * ADC ties by vec_id, and the ADC sum keeps its fixed association.
+    *
+    * @param corpus (vec_id, embedding, label) — `label` is the coarse cell
+    * @return (query_id, vec_id, rk) — ADC-ranked within probed cells */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, books: DataFrame,
+      codes: DataFrame, m: Int = 4, topK: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    require(m >= 1 && topK >= 1 && nProbe >= 1,
+      s"need m, topK, nProbe >= 1, got ($m, $topK, $nProbe)")
+    val cent = coarseCentroids(corpus).withColumn("cent_nrm",
+      sqrt(dotF(col("centroid"), col("centroid"))))
+    val qn = queries.select(col("query_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("q_nrm"))
+    val probes = qn.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("c_label"),
+        (dotF(col("embedding"), col("centroid")) /
+          (col("q_nrm") * col("cent_nrm"))).as("c_sim"))
+      .withColumn("c_rank", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id").as("__pq"), col("c_label"))
+    val dt = pqSubRows(queries, "query_id", m)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        pqDist(col("svec"), col("centroid")).as("d"))
+    // candidates: pivoted codes of probed cells only — the pruned scan
+    val cand = codes.groupBy("vec_id")
+      .pivot("sub", 0 until m).agg(first(col("code")))
+      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(probes), col("label") === col("c_label"))
+    val scored = (0 until m).foldLeft(cand) { (acc, s) =>
+      val dtS = dt.filter(col("sub") === s)
+        .select(col("query_id").as(s"__q$s"), col("code").as(s"__c$s"),
+          col("d").as(s"__d$s"))
+      acc.join(broadcast(dtS),
+        acc(s.toString) === col(s"__c$s") && col("__pq") === col(s"__q$s"))
+    }
+    val dist = (1 until m).foldLeft(col("__d0")) { (acc, s) => acc + col(s"__d$s") }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    scored.select(col("__pq").as("query_id"), col("vec_id"), dist.as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"))
+  }
+
   /** Per-label centroid as SCALED-INTEGER per-dimension sums: each component
     * contributes `floor(x · 10⁶)` (float→double promotion, one multiply and
     * `floor` — all IEEE-exact, and floor has no rounding-mode ambiguity the

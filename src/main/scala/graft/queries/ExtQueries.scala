@@ -773,6 +773,23 @@ object ExtQueries {
       out
     },
 
+    // IVF × PQ (IVFADC): coarse cells prune to 2 probed clusters per
+    // query, ADC ranks only those cells' codes — the two proven oracle
+    // chains composed (q_ann_ivf's probe stage + q_pq_topk's lookup sum).
+    "q_ann_ivf_pq" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(e, books, m = 4)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val out = Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 5,
+          nProbe = 2)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(books)
+      out
+    },
+
     // Top-3 TF-IDF terms per document (reciprocal-df idf — IEEE-exact ops
     // only; see Ranking's scaladoc).
     "q_tfidf_top" -> { (s, dir) =>
@@ -1940,6 +1957,62 @@ object ExtQueries {
          |        FROM psc)
          |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM prk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // IVFADC: q_ann_ivf's probe stage (exact-decimal coarse centroids,
+    // cosine ranking, label-asc ties) composed with the PQ chain's ADC
+    // lookup sum, candidates restricted to the 2 probed cells.
+    "q_ann_ivf_pq" ->
+      s"""WITH ${PqTrainCtes},
+         |icent AS (
+         |  SELECT label, d.i AS pos,
+         |         CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+         |  FROM embeddings CROSS JOIN (
+         |    SELECT unnest(generate_series(1,
+         |             (SELECT MAX(len(embedding)) FROM embeddings))) AS i) d
+         |  GROUP BY 1, 2),
+         |icentv AS (SELECT label, list(cv ORDER BY pos) AS centroid
+         |           FROM icent GROUP BY 1),
+         |iprob AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS query_id, c.label,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, c.centroid) DESC,
+         |                      c.label) AS c_rank
+         |    FROM embeddings q CROSS JOIN icentv c WHERE q.vec_id % 97 = 0)
+         |  WHERE c_rank <= 2),
+         |pq2 AS (SELECT vec_id AS query_id, sub, svec FROM rows_
+         |        WHERE vec_id % 97 = 0),
+         |pdt2 AS (SELECT q.query_id, q.sub, c.c_code AS code,
+         |           list_inner_product(c.centroid, c.centroid)
+         |           - 2 * list_inner_product(q.svec, c.centroid) AS d
+         |         FROM pq2 q JOIN pb2 c ON q.sub = c.sub),
+         |pcw2 AS (SELECT vec_id,
+         |           MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+         |           MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+         |           MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+         |           MAX(CASE WHEN sub = 3 THEN code END) AS c3
+         |         FROM pl2 GROUP BY 1),
+         |cand AS (SELECT p.query_id, w.vec_id, w.c0, w.c1, w.c2, w.c3
+         |         FROM iprob p
+         |         JOIN embeddings e ON e.label = p.label
+         |         JOIN pcw2 w ON w.vec_id = e.vec_id),
+         |psc2 AS (SELECT c.query_id, c.vec_id,
+         |           ((d0.d + d1.d) + d2.d) + d3.d AS dist
+         |         FROM cand c
+         |         JOIN pdt2 d0 ON d0.sub = 0 AND d0.code = c.c0
+         |                     AND d0.query_id = c.query_id
+         |         JOIN pdt2 d1 ON d1.sub = 1 AND d1.code = c.c1
+         |                     AND d1.query_id = c.query_id
+         |         JOIN pdt2 d2 ON d2.sub = 2 AND d2.code = c.c2
+         |                     AND d2.query_id = c.query_id
+         |         JOIN pdt2 d3 ON d3.sub = 3 AND d3.code = c.c3
+         |                     AND d3.query_id = c.query_id),
+         |prk2 AS (SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY dist ASC, vec_id) AS rk
+         |         FROM psc2)
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (

@@ -50,6 +50,41 @@ class PqSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(books)
   }
 
+  test("ivfPqTopK ranks exactly the probed cells' vectors, ADC-consistently") {
+    val e = emb
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(e, books, m = 4)
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 5,
+      nProbe = 2)
+    // consistency identity: the full ADC ranking restricted to each
+    // query's probed cells, re-ranked, must reproduce the composition
+    val full = Similarity.pqTopK(qs, books, codes, m = 4,
+      topK = e.count().toInt)
+    val cells = Similarity.ivfPqTopK(qs, e, books, codes, m = 4,
+      topK = e.count().toInt, nProbe = 2)
+      .select(col("query_id"), col("vec_id"))
+    val want = full.join(cells, Seq("query_id", "vec_id"))
+      .withColumn("rk2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("rk"))))
+      .filter(col("rk2") <= 5)
+      .select(col("query_id"), col("vec_id"), col("rk2").as("rk"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "composition must equal the full ADC ranking restricted to probed cells")
+    // and every result sits in one of the query's 2 probed cells: implied
+    // by the identity above (cells came from the composition itself), so
+    // pin the cell restriction directly too
+    val labels = e.select(col("vec_id"), col("label"))
+    val nCells = got.join(labels, "vec_id")
+      .select(col("query_id"), col("label")).distinct()
+      .groupBy("query_id").count()
+    assert(nCells.filter(col("count") > 2).count() == 0,
+      "results must come from at most nProbe cells per query")
+    graft.util.Blocks.freeCheckpoint(books)
+  }
+
   test("ADC top-10 reaches the true Euclidean head of the corpus") {
     val e = emb
     val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
