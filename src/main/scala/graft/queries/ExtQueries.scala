@@ -927,6 +927,9 @@ object ExtQueries {
     // Three IncrementalCms folds (lineitem split by orderkey mod 3) with
     // the 20-key probe set estimated after each — the lossless bin-wise-add
     // fold means every horizon equals the batch sketch over the prefix.
+    // Driven at w=1024 (vs the operator default 4096): the protocol under
+    // test is parameter-independent and the narrower table quarters the
+    // per-fold upsert volume this verification composite pays 3×.
     "q_cms_stream" -> { (s, dir) =>
       val l = Envelopes.table(s, dir, "lineitem")
       val probes = l.select(col("l_returnflag").as("g")).distinct()
@@ -937,9 +940,9 @@ object ExtQueries {
       for (i <- 0 until 3) {
         val cells = graft.streaming.IncrementalCms.mergeBatch(
           l.filter(col("l_orderkey") % 3 === i), s"$root/c",
-          col("l_returnflag"), col("l_partkey"), i.toLong)
+          col("l_returnflag"), col("l_partkey"), i.toLong, w = 1024)
         outs = outs :+ Profile.cmsEstimate(cells, probes, Seq("g"),
-          col("key")).withColumn("bid", lit(i.toLong))
+          col("key"), w = 1024).withColumn("bid", lit(i.toLong))
       }
       val res = outs.reduce(_ unionByName _)
         .select(col("bid"), col("g"), col("key").cast("long").as("key"),
@@ -2669,8 +2672,8 @@ object ExtQueries {
         |      FROM lineitem WHERE l_partkey IS NOT NULL),
         |spine AS (SELECT unnest(generate_series(0, 2)) AS h),
         |cells AS (SELECT s.h AS bid, b.g,
-        |            r * 4096 + ('0x' || substr(md5(r::VARCHAR || ':' ||
-        |              b.k::VARCHAR), 1, 8))::BIGINT % 4096 AS cell,
+        |            r * 1024 + ('0x' || substr(md5(r::VARCHAR || ':' ||
+        |              b.k::VARCHAR), 1, 8))::BIGINT % 1024 AS cell,
         |            COUNT(*) AS ct
         |          FROM spine s JOIN b ON b.bid <= s.h, rr GROUP BY 1, 2, 3),
         |probes AS (SELECT s.h AS bid, g, k
@@ -2678,8 +2681,8 @@ object ExtQueries {
         |                (SELECT DISTINCT l_returnflag AS g FROM lineitem),
         |                (SELECT unnest(generate_series(1, 20)) AS k)),
         |pc AS (SELECT bid, g, k,
-        |         r * 4096 + ('0x' || substr(md5(r::VARCHAR || ':' ||
-        |           k::VARCHAR), 1, 8))::BIGINT % 4096 AS cell
+        |         r * 1024 + ('0x' || substr(md5(r::VARCHAR || ':' ||
+        |           k::VARCHAR), 1, 8))::BIGINT % 1024 AS cell
         |       FROM probes, rr),
         |est AS (SELECT pc.bid, pc.g, pc.k, MIN(COALESCE(c.ct, 0)) AS cms_est
         |        FROM pc LEFT JOIN cells c
