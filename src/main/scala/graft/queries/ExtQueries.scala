@@ -1305,6 +1305,27 @@ object ExtQueries {
         .orderBy(col("label"), col("pos"))
     },
 
+    // Three IncrementalCentroid folds (embeddings split by vec_id mod 3):
+    // integer component sums add losslessly, so each horizon equals the
+    // batch q_label_centroid aggregate over the prefix.
+    "q_centroid_stream" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_cent_q")
+      var outs = Seq.empty[DataFrame]
+      for (i <- 0 until 3) {
+        val sums = graft.streaming.IncrementalCentroid.mergeBatch(
+          e.filter(col("vec_id") % 3 === i), s"$root/c",
+          col("label"), col("embedding"), i.toLong)
+        outs = outs :+ sums.withColumn("bid", lit(i.toLong))
+      }
+      val res = outs.reduce(_ unionByName _)
+        .select(col("bid"), col("g"), col("pos"), col("s_sum"), col("n"))
+        .orderBy(col("bid"), col("g"), col("pos"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // 5 least-central members per label (embedding-space pruning pass).
     "q_label_outlier" -> { (s, dir) =>
       Similarity.labelOutliers(embs(s, dir), k = 5)
@@ -3171,6 +3192,23 @@ object ExtQueries {
         |  SELECT unnest(generate_series(1,
         |           (SELECT MAX(len(embedding)) FROM embeddings))) AS i) t
         |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    // Per-spine-row label-centroid sums over the folded batch prefix —
+    // the integer add-fold twin.
+    "q_centroid_stream" ->
+      """WITH spine AS (SELECT unnest(generate_series(0, 2)) AS bid),
+        |b AS (SELECT vec_id % 3 AS vb, CAST(label AS VARCHAR) AS g,
+        |        embedding
+        |      FROM embeddings),
+        |s AS (SELECT sp.bid, b.g, i.i AS pos,
+        |        CAST(SUM(CAST(floor(CAST(b.embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT))
+        |             AS BIGINT) AS s_sum,
+        |        COUNT(*) AS n
+        |      FROM spine sp JOIN b ON b.vb <= sp.bid
+        |      CROSS JOIN (SELECT unnest(generate_series(1,
+        |                    (SELECT MAX(len(embedding)) FROM embeddings))) AS i) i
+        |      GROUP BY 1, 2, 3)
+        |SELECT bid, g, pos, s_sum, n FROM s ORDER BY bid, g, pos""".stripMargin,
 
     "q_label_outlier" ->
       """WITH cent AS (
