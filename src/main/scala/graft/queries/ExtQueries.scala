@@ -773,6 +773,28 @@ object ExtQueries {
       out
     },
 
+    // FLAGSHIP embedding-curation composite: SemDeDup keepers (proven by
+    // q_semdedup) → PQ index trained on the DEDUPLICATED corpus (the
+    // production order: near-dups would otherwise own whole codebook
+    // cells) → ADC retrieval of the eval queries against the curated
+    // index. One oracle stitched from the two proven CTE chains.
+    "q_pipeline_embed" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val keepers = Similarity.semDedup(e, k = 8, threshold = 0.45,
+          iters = 1)
+        .filter(col("kept") === 1).select(col("vec_id"))
+      val corpus = e.join(keepers, Seq("vec_id"), "left_semi")
+      val books = Similarity.pqCodebooks(corpus, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(corpus, books, m = 4)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val out = Similarity.pqTopK(qs, books, codes, m = 4, topK = 5)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(books)
+      out
+    },
+
     // IVF × PQ (IVFADC): coarse cells prune to 2 probed clusters per
     // query, ADC ranks only those cells' codes — the two proven oracle
     // chains composed (q_ann_ivf's probe stage + q_pq_topk's lookup sum).
@@ -1405,13 +1427,55 @@ object ExtQueries {
        |WHERE inter_ct * 2 >= union_ct * 1
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The SemDeDup chain (one hash-proven Lloyd iteration, final
+    * exact-decimal centroids, dominance drop at cosine >= 0.45) shared by
+    * q_semdedup and the embedding flagship — ends at `scored`/`dominated`
+    * so consumers derive keepers without re-stating the drop rule. */
+  private val SemDedupCtes: String =
+    """dims AS (
+      |  SELECT unnest(generate_series(1,
+      |           (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+      |l0 AS (SELECT vec_id, vec_id % 8 AS label FROM embeddings),
+      |cent1 AS (
+      |  SELECT l.label, d.i AS pos,
+      |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+      |  FROM embeddings e JOIN l0 l ON e.vec_id = l.vec_id CROSS JOIN dims d
+      |  GROUP BY 1, 2),
+      |centv1 AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
+      |           FROM cent1 GROUP BY 1),
+      |l1 AS (
+      |  SELECT vec_id, CAST(c_label AS INT) AS label FROM (
+      |    SELECT e.vec_id, c.c_label,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+      |                      c.c_label) AS rk
+      |    FROM embeddings e CROSS JOIN centv1 c)
+      |  WHERE rk = 1),
+      |fcent AS (
+      |  SELECT l.label, d.i AS pos,
+      |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+      |  FROM embeddings e JOIN l1 l ON e.vec_id = l.vec_id CROSS JOIN dims d
+      |  GROUP BY 1, 2),
+      |fcentv AS (SELECT label, list(cv ORDER BY pos) AS centroid
+      |           FROM fcent GROUP BY 1),
+      |scored AS (
+      |  SELECT e.vec_id, l.label, e.embedding,
+      |         list_cosine_similarity(e.embedding, c.centroid) AS c_sim
+      |  FROM embeddings e JOIN l1 l ON e.vec_id = l.vec_id
+      |  JOIN fcentv c ON l.label = c.label),
+      |dominated AS (
+      |  SELECT DISTINCT b.vec_id FROM scored a JOIN scored b
+      |    ON a.label = b.label
+      |   AND (a.c_sim < b.c_sim OR (a.c_sim = b.c_sim AND a.vec_id < b.vec_id))
+      |   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45)""".stripMargin
+
   /** The PQ training chain shared by q_pq_train and q_pq_topk (the
     * ModelCtes discipline: probe reuses the training twin's CTEs through
     * the final codebooks pb2/codes pl2, so train and probe cannot drift):
     * per-subspace rows, vec_id % 16 init, two Lloyd rounds of
     * exact-decimal centroid sums + `‖c‖² − 2·x·c` argmin with code-asc
     * ties — mirroring `Similarity.pqCodebooks` step for step. */
-  private val PqTrainCtes: String = {
+  private def pqTrainCtes(src: String): String = {
     def iter(i: Int): String =
       s"""pc$i AS (SELECT r.sub, c.code, d.i AS pos,
          |          CAST(SUM(CAST(CAST(r.svec[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
@@ -1433,11 +1497,13 @@ object ExtQueries {
        |rows_ AS (SELECT vec_id, s.sub,
        |            embedding[s.sub * (len(embedding) // 4) + 1 :
        |                      (s.sub + 1) * (len(embedding) // 4)] AS svec
-       |          FROM embeddings, subs s),
+       |          FROM $src, subs s),
        |pl0 AS (SELECT vec_id, sub, CAST(vec_id % 16 AS INT) AS code FROM rows_),
        |${iter(1)},
        |${iter(2)}""".stripMargin
   }
+
+  private val PqTrainCtes: String = pqTrainCtes("embeddings")
 
   /** Shared by q_bloom_decon and q_bloom_stream: the bit table is a set
     * union, so the cross-batch drive's twin is the batch twin verbatim. */
@@ -1847,46 +1913,11 @@ object ExtQueries {
     // duplicate iff some same-cluster a with (c_sim, vec_id) strictly
     // earlier in keep order sits at cosine ≥ 0.45.
     "q_semdedup" ->
-      """WITH dims AS (
-        |  SELECT unnest(generate_series(1,
-        |           (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
-        |l0 AS (SELECT vec_id, vec_id % 8 AS label FROM embeddings),
-        |cent1 AS (
-        |  SELECT l.label, d.i AS pos,
-        |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
-        |  FROM embeddings e JOIN l0 l ON e.vec_id = l.vec_id CROSS JOIN dims d
-        |  GROUP BY 1, 2),
-        |centv1 AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
-        |           FROM cent1 GROUP BY 1),
-        |l1 AS (
-        |  SELECT vec_id, CAST(c_label AS INT) AS label FROM (
-        |    SELECT e.vec_id, c.c_label,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
-        |                      c.c_label) AS rk
-        |    FROM embeddings e CROSS JOIN centv1 c)
-        |  WHERE rk = 1),
-        |fcent AS (
-        |  SELECT l.label, d.i AS pos,
-        |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
-        |  FROM embeddings e JOIN l1 l ON e.vec_id = l.vec_id CROSS JOIN dims d
-        |  GROUP BY 1, 2),
-        |fcentv AS (SELECT label, list(cv ORDER BY pos) AS centroid
-        |           FROM fcent GROUP BY 1),
-        |scored AS (
-        |  SELECT e.vec_id, l.label, e.embedding,
-        |         list_cosine_similarity(e.embedding, c.centroid) AS c_sim
-        |  FROM embeddings e JOIN l1 l ON e.vec_id = l.vec_id
-        |  JOIN fcentv c ON l.label = c.label),
-        |dominated AS (
-        |  SELECT DISTINCT b.vec_id FROM scored a JOIN scored b
-        |    ON a.label = b.label
-        |   AND (a.c_sim < b.c_sim OR (a.c_sim = b.c_sim AND a.vec_id < b.vec_id))
-        |   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45)
-        |SELECT s.vec_id, s.label,
-        |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
-        |FROM scored s LEFT JOIN dominated d ON s.vec_id = d.vec_id
-        |ORDER BY s.vec_id""".stripMargin,
+      s"""WITH $SemDedupCtes
+         |SELECT s.vec_id, s.label,
+         |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM scored s LEFT JOIN dominated d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
 
     // Composed index-build + probe oracle: the q_kmeans_assign iteration
     // (hash-proven above) unrolled 3× as chained CTEs — each iteration's
@@ -1981,6 +2012,46 @@ object ExtQueries {
          |        FROM psc)
          |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM prk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // FLAGSHIP: the q_semdedup chain derives keepers, the PQ training
+    // chain runs over the deduplicated corpus (pqTrainCtes("kemb")), and
+    // the ADC probe ranks the full eval query set against that index.
+    "q_pipeline_embed" ->
+      s"""WITH $SemDedupCtes,
+         |kemb AS (SELECT s.vec_id, s.embedding FROM scored s
+         |         LEFT JOIN dominated d ON s.vec_id = d.vec_id
+         |         WHERE d.vec_id IS NULL),
+         |${pqTrainCtes("kemb")},
+         |pqq AS (SELECT vec_id AS query_id, s.sub,
+         |          embedding[s.sub * (len(embedding) // 4) + 1 :
+         |                    (s.sub + 1) * (len(embedding) // 4)] AS svec
+         |        FROM embeddings, subs s WHERE vec_id % 97 = 0),
+         |pdt AS (SELECT q.query_id, q.sub, c.c_code AS code,
+         |          list_inner_product(c.centroid, c.centroid)
+         |          - 2 * list_inner_product(q.svec, c.centroid) AS d
+         |        FROM pqq q JOIN pb2 c ON q.sub = c.sub),
+         |pcw AS (SELECT vec_id,
+         |          MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+         |          MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+         |          MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+         |          MAX(CASE WHEN sub = 3 THEN code END) AS c3
+         |        FROM pl2 GROUP BY 1),
+         |psc AS (SELECT d0.query_id, w.vec_id,
+         |          ((d0.d + d1.d) + d2.d) + d3.d AS dist
+         |        FROM pcw w
+         |        JOIN pdt d0 ON d0.sub = 0 AND d0.code = w.c0
+         |        JOIN pdt d1 ON d1.sub = 1 AND d1.code = w.c1
+         |                   AND d1.query_id = d0.query_id
+         |        JOIN pdt d2 ON d2.sub = 2 AND d2.code = w.c2
+         |                   AND d2.query_id = d0.query_id
+         |        JOIN pdt d3 ON d3.sub = 3 AND d3.code = w.c3
+         |                   AND d3.query_id = d0.query_id),
+         |prk AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY dist ASC, vec_id) AS rk
+         |        FROM psc)
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM prk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     // IVFADC: q_ann_ivf's probe stage (exact-decimal coarse centroids,
     // cosine ranking, label-asc ties) composed with the PQ chain's ADC
