@@ -86,6 +86,16 @@ object ExtQueries {
     cosPairsCache.get(s, dir)(
       Similarity.cosinePairs(embs(s, dir), 0.45).localCheckpoint(true))
 
+  /** The SemDeDup kept-table shared by q_semdedup and the embedding
+    * flagship (identical parameters — the flagship consumes the keepers
+    * the standalone query proves). Memoized per (session, dir) like
+    * [[cosinePairs045]]. */
+  private val semDedupCache = new CorpusCache[DataFrame](graft.util.Blocks.freeCheckpoint)
+  private def semDedup045(s: SparkSession, dir: String): DataFrame =
+    semDedupCache.get(s, dir)(
+      Similarity.semDedup(embs(s, dir), k = 8, threshold = 0.45, iters = 1)
+        .localCheckpoint(true))
+
   val queries: Map[String, QFn] = Map(
     // Exact dedup by content hash.
     "q_dedup_exact" -> { (s, dir) =>
@@ -723,8 +733,7 @@ object ExtQueries {
     // cosine ≥ 0.45 (the fixture corpus's planted-near-dup band) — the copy least similar to its centroid survives
     // (the paper's diversity-preserving keep rule), ties to lower vec_id.
     "q_semdedup" -> { (s, dir) =>
-      Similarity.semDedup(embs(s, dir), k = 8, threshold = 0.45, iters = 1)
-        .orderBy(col("vec_id"))
+      semDedup045(s, dir).orderBy(col("vec_id"))
     },
 
     // IVF over SELF-BUILT coarse cells: k-means labels replace the shipped
@@ -780,8 +789,7 @@ object ExtQueries {
     // index. One oracle stitched from the two proven CTE chains.
     "q_pipeline_embed" -> { (s, dir) =>
       val e = embs(s, dir)
-      val keepers = Similarity.semDedup(e, k = 8, threshold = 0.45,
-          iters = 1)
+      val keepers = semDedup045(s, dir)
         .filter(col("kept") === 1).select(col("vec_id"))
       val corpus = e.join(keepers, Seq("vec_id"), "left_semi")
       val books = Similarity.pqCodebooks(corpus, m = 4, k = 16, iters = 2)
