@@ -265,6 +265,13 @@ class PlanSpec extends SparkSpec {
       "the m distance-table lookups must broadcast:\n" + p.take(800))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // IVFADC: the centroid table and the probed-cell list broadcast too —
+    // the corpus side of the fine stage is the pivoted code table only
+    val ip = graft.ext.Similarity.ivfPqTopK(qs, e, books, enc, m = 4,
+        topK = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(ip.contains("BroadcastHashJoin") &&
+      !ip.contains("CartesianProduct"), ip.take(800))
     graft.util.Blocks.freeCheckpoint(books)
   }
 
