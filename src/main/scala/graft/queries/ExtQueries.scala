@@ -116,6 +116,31 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Streaming triangle maintenance driven as three edge folds of the
+    // near-dup pair graph ((a+b) % 3 spine): each fold counts only the
+    // triangles its batch closes (largest-new-edge assignment), so every
+    // horizon's count table equals the batch operator over the prefix.
+    "q_tri_stream" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_tri_q")
+      var outs = Seq.empty[DataFrame]
+      for (i <- 0 until 3) {
+        val got = graft.streaming.IncrementalTriangles.mergeEdges(
+          pairs.filter((col("a") + col("b")) % 3 === i), root.toString,
+          i.toLong)
+        outs = outs :+ got.withColumn("bid", lit(i.toLong))
+      }
+      val res = outs.reduce(_ unionByName _)
+        .select(col("bid"), col("node"), col("tri_ct"))
+        .orderBy(col("bid"), col("node"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(pairs)
+      res
+    },
+
     // Degree-oriented triangle counting over the near-dup pair graph —
     // a triangle is a cluster core (three mutually-similar docs); per-node
     // triangle count + degree give the local clustering signal. The
@@ -1630,6 +1655,24 @@ object ExtQueries {
         |FROM r WHERE rk = 1 ORDER BY text_hash""".stripMargin,
 
     "q_dedup_ngram" -> jacSelect,
+
+    // Per-spine-row closed-triple counts over the folded edge prefix —
+    // the largest-new-edge increment must reproduce the batch count at
+    // every horizon (only nodes in >= 1 triangle appear, both sides).
+    "q_tri_stream" ->
+      s"""WITH $JAC,
+         |p AS (SELECT a_id AS u, b_id AS v, (a_id + b_id) % 3 AS vb
+         |      FROM jac WHERE inter_ct * 2 >= union_ct * 1),
+         |spine AS (SELECT unnest(generate_series(0, 2)) AS bid),
+         |pp AS (SELECT s.bid, u, v FROM spine s JOIN p ON p.vb <= s.bid),
+         |tri AS (SELECT p1.bid, p1.u AS x, p1.v AS y, p2.v AS z
+         |        FROM pp p1
+         |        JOIN pp p2 ON p2.bid = p1.bid AND p2.u = p1.v
+         |        JOIN pp p3 ON p3.bid = p1.bid AND p3.u = p1.u
+         |                  AND p3.v = p2.v),
+         |cr AS (SELECT bid, unnest([x, y, z]) AS node FROM tri)
+         |SELECT bid, node, CAST(COUNT(*) AS BIGINT) AS tri_ct
+         |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Naive closed-triple count over the same pair set (p has a_id < b_id,
     // so x < y < z counts each triangle exactly once) — the oriented
