@@ -151,6 +151,14 @@ object ExtQueries {
       graft.ops.Graph.triangleCounts(pairs).orderBy(col("node"))
     },
 
+    // Per-EDGE triangle support (the k-truss building block) over the
+    // same pair graph: bridges read 0, cluster-core edges read high.
+    "q_truss_support" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      graft.ops.Graph.trussSupport(pairs).orderBy(col("u"), col("v"))
+    },
+
     // Prefix-filtered AllPairs form: identical contract and oracle to
     // q_dedup_ngram — the EXACT scale path (zero false negatives by the
     // prefix-filtering theorem, unlike LSH recall or the DF cap's changed
@@ -1673,6 +1681,23 @@ object ExtQueries {
          |cr AS (SELECT bid, unnest([x, y, z]) AS node FROM tri)
          |SELECT bid, node, CAST(COUNT(*) AS BIGINT) AS tri_ct
          |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Edge credit of the same closed triples: triangle (x, y, z) with
+    // x < y < z charges edges (x,y), (x,z), (y,z) — canonical already.
+    "q_truss_support" ->
+      s"""WITH $JAC,
+         |p AS (SELECT a_id AS u, b_id AS v FROM jac
+         |      WHERE inter_ct * 2 >= union_ct * 1),
+         |tri AS (SELECT p1.u AS x, p1.v AS y, p2.v AS z
+         |        FROM p p1 JOIN p p2 ON p2.u = p1.v
+         |                  JOIN p p3 ON p3.u = p1.u AND p3.v = p2.v),
+         |cr AS (SELECT x AS u, y AS v FROM tri
+         |       UNION ALL SELECT x, z FROM tri
+         |       UNION ALL SELECT y, z FROM tri),
+         |sp AS (SELECT u, v, COUNT(*) AS s FROM cr GROUP BY 1, 2)
+         |SELECT p.u, p.v, CAST(COALESCE(sp.s, 0) AS BIGINT) AS support
+         |FROM p LEFT JOIN sp ON p.u = sp.u AND p.v = sp.v
+         |ORDER BY p.u, p.v""".stripMargin,
 
     // Naive closed-triple count over the same pair set (p has a_id < b_id,
     // so x < y < z counts each triangle exactly once) — the oriented

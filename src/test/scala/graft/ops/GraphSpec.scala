@@ -140,6 +140,28 @@ class GraphSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("trussSupport: K4 edges carry 2, triangle edges 1, bridges 0") {
+    val s = spark
+    import s.implicits._
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val dirty = (k4 ++ Seq((5L, 4L), (6L, 7L), (8L, 7L), (6L, 8L),
+      (3L, 3L), (2L, 1L))).toDF("a", "b")
+    val got = Graph.trussSupport(dirty).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every K4 edge sits in exactly 2 of its 4 triangles
+    assert(k4.forall(e => got(e) == 2L), got.toString)
+    assert(got((4L, 5L)) == 0L, "pendant edge is a bridge")
+    assert(Seq((6L, 7L), (7L, 8L), (6L, 8L)).forall(got(_) == 1L))
+    // node/edge consistency: each node's triangle count = half the sum of
+    // its incident edges' supports (each triangle at a node covers 2 edges)
+    val nodeCts = Graph.triangleCounts(dirty).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val incident = got.toSeq.flatMap { case ((u, v), sp) =>
+      Seq(u -> sp, v -> sp) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(nodeCts.forall { case (n, c) => incident(n) == 2 * c })
+  }
+
   test("labelPropSql twin unrolls exactly the requested iterations") {
     val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
     assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
