@@ -394,6 +394,37 @@ object Graph {
     out
   }
 
+  /** `rounds` peeling rounds toward the k-truss: each round recomputes
+    * [[trussSupport]] over the surviving edges and drops those in fewer
+    * than k−2 triangles — the cohesion-cascade community definition
+    * (Cohen 2008). A fixed round count keeps the operator a pure function
+    * of (edges, k, rounds) — hash-oracle-able like the other iterative
+    * operators — and bounds cost; callers wanting the fixpoint re-run
+    * until the edge count stops moving (each round is one oriented
+    * triangle pass, and the count is monotone decreasing). Per-round
+    * edges are localCheckpointed (the [[pageRankInt]] lineage
+    * discipline).
+    * @return the surviving (u, v) canonical edges after `rounds` */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"a k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("u"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sup = trussSupport(e.select(col("u").as("a"), col("v").as("b")))
+      val next = sup.filter(col("support") >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(sup) // trussSupport checkpoints it
+      graft.util.Blocks.freeCheckpoint(e)
+      e = next
+    }
+    e
+  }
+
   /** The [[labelPropagation]] SQL twin generator — iterations unrolled as
     * CTEs over an `e(src, dst)` edge CTE, mirroring [[pageRankSql]]. */
   def labelPropSql(edgesCte: String, iters: Int): String = {

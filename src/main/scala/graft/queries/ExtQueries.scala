@@ -159,6 +159,16 @@ object ExtQueries {
       graft.ops.Graph.trussSupport(pairs).orderBy(col("u"), col("v"))
     },
 
+    // Two 4-truss peeling rounds on the pair graph: edges in < 2
+    // triangles drop, supports recompute over the survivors (the cascade
+    // is the point — round 2 can evict edges round 1 kept).
+    "q_ktruss" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      graft.ops.Graph.kTruss(pairs, k = 4, rounds = 2)
+        .orderBy(col("u"), col("v"))
+    },
+
     // Prefix-filtered AllPairs form: identical contract and oracle to
     // q_dedup_ngram — the EXACT scale path (zero false negatives by the
     // prefix-filtering theorem, unlike LSH recall or the DF cap's changed
@@ -1698,6 +1708,29 @@ object ExtQueries {
          |SELECT p.u, p.v, CAST(COALESCE(sp.s, 0) AS BIGINT) AS support
          |FROM p LEFT JOIN sp ON p.u = sp.u AND p.v = sp.v
          |ORDER BY p.u, p.v""".stripMargin,
+
+    // Two peeling rounds unrolled: each recounts triple closures over the
+    // previous survivors and keeps edges with support >= k-2 = 2 (such
+    // edges necessarily appear in the credit table, so the survivor set
+    // reads straight off the per-round support aggregate).
+    "q_ktruss" -> {
+      def round(i: Int): String =
+        s"""tr$i AS (SELECT p1.u AS x, p1.v AS y, p2.v AS z
+           |        FROM t${i - 1} p1
+           |        JOIN t${i - 1} p2 ON p2.u = p1.v
+           |        JOIN t${i - 1} p3 ON p3.u = p1.u AND p3.v = p2.v),
+           |cr$i AS (SELECT x AS u, y AS v FROM tr$i
+           |         UNION ALL SELECT x, z FROM tr$i
+           |         UNION ALL SELECT y, z FROM tr$i),
+           |t$i AS (SELECT u, v FROM cr$i GROUP BY 1, 2
+           |        HAVING COUNT(*) >= 2)""".stripMargin
+      s"""WITH $JAC,
+         |t0 AS (SELECT a_id AS u, b_id AS v FROM jac
+         |       WHERE inter_ct * 2 >= union_ct * 1),
+         |${round(1)},
+         |${round(2)}
+         |SELECT u, v FROM t2 ORDER BY u, v""".stripMargin
+    },
 
     // Naive closed-triple count over the same pair set (p has a_id < b_id,
     // so x < y < z counts each triangle exactly once) — the oriented

@@ -162,6 +162,27 @@ class GraphSpec extends SparkSpec {
     assert(nodeCts.forall { case (n, c) => incident(n) == 2 * c })
   }
 
+  test("kTruss: K5 survives, weak structures cascade out round by round") {
+    val s = spark
+    import s.implicits._
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    // diamond 10-11-12 / 11-12-13: the shared edge (11,12) has support 2
+    // and survives round 1 of a 4-truss peel; with its side edges gone it
+    // has no triangles left and dies in round 2 — the cascade
+    val diamond = Seq((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L),
+      (12L, 13L))
+    val g = (k5 ++ diamond).toDF("a", "b")
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = edges(Graph.kTruss(g, k = 4, rounds = 1))
+    assert(r1 == (k5.toSet + ((11L, 12L))), r1.toString)
+    val r2 = edges(Graph.kTruss(g, k = 4, rounds = 2))
+    assert(r2 == k5.toSet, r2.toString)
+    // K5 is a 5-truss too (every edge in 3 triangles); nothing survives k=6
+    assert(edges(Graph.kTruss(g, k = 5, rounds = 2)) == k5.toSet)
+    assert(Graph.kTruss(g, k = 6, rounds = 2).isEmpty)
+  }
+
   test("labelPropSql twin unrolls exactly the requested iterations") {
     val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
     assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
