@@ -320,6 +320,38 @@ object Profile {
         sum(expr(s"shiftleft(1L, cast($rmax - rank as int))")).as("h_num"))
   }
 
+  /** Key-skew report — the statistics a 100 TB job reads BEFORE choosing a
+    * partitioning: per-key group sizes summarized to exact integer skew
+    * measures. `max_ct · n_keys div n_rows` is the hot-key multiplier (1000
+    * ≡ perfectly uniform ×1000); a value ≫ 1000 says the biggest key owns
+    * that many × its fair share — the signal that routes the job to
+    * `ops/Scale.saltedAggregate` or AQE skew handling instead of a plain
+    * shuffle. Quantiles of the SIZE distribution come from the
+    * [[histQuantiles]] sketch (deterministic, merge-safe); every output is
+    * exact integer arithmetic, so the whole report hash-oracles.
+    *
+    * Shape at scale: one map-side-combined key count (the only key-width
+    * shuffle), then O(keys)-row aggregates; nothing touches raw rows
+    * twice.
+    *
+    * @return one row: (n_rows, n_keys, max_ct, p50_ct, p99_ct,
+    *         hot_x1000) */
+  def skewReport(df: DataFrame, keyCol: Column): DataFrame = {
+    val sizes = df.select(keyCol.as("__k")).filter(col("__k").isNotNull)
+      .groupBy("__k").agg(count(lit(1)).as("__ct"))
+      .withColumn("__g", lit("all"))
+    val stats = sizes.groupBy("__g").agg(
+      sum(col("__ct")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__ct")).as("max_ct"))
+    val quant = histQuantiles(sizes, Seq("__g"), col("__ct"),
+      bins = 1024, qs = Seq((1, 2), (99, 100)))
+    stats.join(quant, Seq("__g"))
+      .select(col("n_rows"), col("n_keys"), col("max_ct"),
+        col("est_1_2").as("p50_ct"), col("est_99_100").as("p99_ct"),
+        expr("max_ct * 1000 * n_keys div n_rows").as("hot_x1000"))
+  }
+
   /** The floating HLL estimate from a [[hllSummary]] row — Scala-side only
     * (libm `log` in the small-range branch is not engine-portable; the
     * oracle pins the integer summary instead, the estimate is spec-checked

@@ -1064,6 +1064,19 @@ object ExtQueries {
       res
     },
 
+    // Key-skew report for two partitioning candidates — the exact integer
+    // statistics that route a 100 TB job to salting/AQE-skew handling
+    // (hot_x1000 = the biggest key's multiple of its fair share, ×1000).
+    "q_skew_report" -> { (s, dir) =>
+      val l = Envelopes.table(s, dir, "lineitem")
+      val o = Envelopes.table(s, dir, "orders")
+      Profile.skewReport(l, col("l_partkey"))
+        .withColumn("src", lit("lineitem"))
+        .unionByName(Profile.skewReport(o, col("o_custkey"))
+          .withColumn("src", lit("orders")))
+        .orderBy(col("src"))
+    },
+
     "q_hist_quantile" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
@@ -2926,6 +2939,44 @@ object ExtQueries {
         |SELECT bid, g, CAST(2048 - COUNT(*) AS BIGINT) AS zeros,
         |       CAST(SUM(1::BIGINT << (22 - rank)) AS BIGINT) AS h_num
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Group-size stats + the q_hist_quantile sketch idiom over the SIZE
+    // distribution, per source table.
+    "q_skew_report" -> {
+      def side(tbl: String, key: String, tag: String): String =
+        s"""${tag}s AS (SELECT $key AS k, COUNT(*) AS ct FROM $tbl
+           |        WHERE $key IS NOT NULL GROUP BY 1),
+           |${tag}st AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_rows,
+           |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |         CAST(MAX(ct) AS BIGINT) AS max_ct FROM ${tag}s),
+           |${tag}f AS (SELECT MIN(ct) AS mn, MAX(ct) AS mx, COUNT(*) AS n
+           |        FROM ${tag}s),
+           |${tag}h AS (SELECT (ct - mn) // ((mx - mn) // 1024 + 1) AS bin,
+           |         mn, (mx - mn) // 1024 + 1 AS w, n, COUNT(*) AS c
+           |       FROM ${tag}s, ${tag}f GROUP BY 1, 2, 3, 4),
+           |${tag}c AS (SELECT bin, mn, w, n, SUM(c) OVER (ORDER BY bin
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |       FROM ${tag}h),
+           |${tag}q AS (SELECT
+           |         CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2
+           |              THEN mn + bin * w END) AS BIGINT) AS p50_ct,
+           |         CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+           |              THEN mn + bin * w END) AS BIGINT) AS p99_ct
+           |       FROM ${tag}c)""".stripMargin
+      s"""WITH ${side("lineitem", "l_partkey", "l")},
+         |${side("orders", "o_custkey", "o")}
+         |SELECT * FROM (
+         |  SELECT n_rows, n_keys, max_ct, p50_ct, p99_ct,
+         |         max_ct * 1000 * n_keys // n_rows AS hot_x1000,
+         |         'lineitem' AS src
+         |  FROM lst, lq
+         |  UNION ALL
+         |  SELECT n_rows, n_keys, max_ct, p50_ct, p99_ct,
+         |         max_ct * 1000 * n_keys // n_rows AS hot_x1000,
+         |         'orders' AS src
+         |  FROM ost, oq)
+         |ORDER BY src""".stripMargin
+    },
 
     "q_hist_quantile" ->
       """WITH b AS (SELECT o_orderstatus AS g,

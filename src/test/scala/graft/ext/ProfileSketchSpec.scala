@@ -45,6 +45,22 @@ class ProfileSketchSpec extends SparkSpec {
     assert(whole.exceptAll(summed).isEmpty && summed.exceptAll(whole).isEmpty)
   }
 
+  test("skewReport flags the hot key with exact integer measures") {
+    // 1000 rows on one key + 100 singleton keys
+    val rows = (1 to 1000).map(_ => "hot") ++ (1 to 100).map(i => s"k$i")
+    val df = rows.toDF("k")
+    val r = Profile.skewReport(df, col("k")).head()
+    assert(r.getLong(0) == 1100L && r.getLong(1) == 101L &&
+      r.getLong(2) == 1000L)
+    assert(r.getAs[Long]("p50_ct") == 1L)
+    // hot multiplier: 1000 / (1100/101) ≈ 91.8× fair share
+    assert(r.getAs[Long]("hot_x1000") == 1000L * 1000 * 101 / 1100)
+    // uniform data reads ~1000 (exactly, when sizes are equal)
+    val uni = (1 to 100).flatMap(i => Seq.fill(7)(s"k$i")).toDF("k")
+    assert(Profile.skewReport(uni, col("k")).head()
+      .getAs[Long]("hot_x1000") == 1000L)
+  }
+
   test("hllRegisters invariants and estimate accuracy on real keys") {
     val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
     val regs = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))
