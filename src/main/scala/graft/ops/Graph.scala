@@ -425,6 +425,42 @@ object Graph {
     e
   }
 
+  /** Hub-capped one-mode projection of a bipartite edge table — how a
+    * unipartite graph (for [[pageRankInt]], [[labelPropagation]],
+    * [[triangleCounts]], [[kTruss]]) is DERIVED from co-occurrence data
+    * (suppliers sharing a customer, docs sharing an author, items sharing
+    * a basket): a-nodes sharing a hub h become an edge weighted by the
+    * number of shared hubs.
+    *
+    * The `cap` is the scale lever, not a convenience: a hub of degree d
+    * emits C(d, 2) pairs, so one celebrity hub (a basket containing
+    * everything, a crawler account) makes the projection quadratic while
+    * carrying almost no signal — co-occurrence inside a huge hub is
+    * uninformative (TF-IDF's df argument, graph-side). Hubs with degree
+    * > cap are DROPPED, bounding output (and the self-join's work) at
+    * |hubs| · C(cap, 2) regardless of the degree distribution. Exact
+    * integer output, a pure function of (edge set, cap).
+    *
+    * @param edges (a, h) rows: a = the side to project, h = the hub side
+    * @return (a1, a2, w) with a1 < a2 — w = shared hubs of degree ≤ cap */
+  def projectBipartite(edges: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, s"a projecting hub needs degree >= 2, got cap=$cap")
+    val e = edges.select(col("a").cast("long").as("a"),
+        col("h").cast("long").as("h"))
+      .distinct().localCheckpoint(true)
+    val kept = e.join(
+      e.groupBy("h").agg(count(lit(1)).as("__hd"))
+        .filter(col("__hd") <= cap).select(col("h")),
+      Seq("h"), "left_semi")
+    val out = kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.a") < col("y.a"))
+      .groupBy(col("x.a").as("a1"), col("y.a").as("a2"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(e)
+    out
+  }
+
   /** The [[labelPropagation]] SQL twin generator — iterations unrolled as
     * CTEs over an `e(src, dst)` edge CTE, mirroring [[pageRankSql]]. */
   def labelPropSql(edgesCte: String, iters: Int): String = {

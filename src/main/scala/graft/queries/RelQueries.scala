@@ -205,6 +205,20 @@ object RelQueries {
     "q_label_prop" -> { (s, dir) =>
       graft.ops.Graph.labelPropagation(tradeGraphEdges(s, dir), iters = 3)
         .orderBy(col("node"))
+    },
+
+    // Hub-capped one-mode projection: suppliers sharing a LOW-DEGREE
+    // customer become weighted edges — how the unipartite graph the rank/
+    // community operators consume is derived from co-purchase data. The
+    // cap (12) drops celebrity customers whose C(d,2) pair fan-out costs
+    // everything and signals nothing.
+    "q_bipartite_proj" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val l = Envelopes.table(s, dir, "lineitem")
+      val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("a"), col("o_custkey").as("h"))
+      graft.ops.Graph.projectBipartite(e, cap = 12)
+        .orderBy(col("a1"), col("a2"))
     })
 
   /** The symmetrized customer↔supplier trade graph both rank queries run
@@ -351,5 +365,14 @@ object RelQueries {
       seedsCte = Some(
         "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)")),
 
-    "q_label_prop" -> graft.ops.Graph.labelPropSql(TradeGraphCte, iters = 3))
+    "q_label_prop" -> graft.ops.Graph.labelPropSql(TradeGraphCte, iters = 3),
+
+    "q_bipartite_proj" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS a, o_custkey AS h
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |hd AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= 12),
+        |k AS (SELECT e.a, e.h FROM e JOIN hd ON e.h = hd.h)
+        |SELECT x.a AS a1, y.a AS a2, CAST(COUNT(*) AS BIGINT) AS w
+        |FROM k x JOIN k y ON x.h = y.h AND x.a < y.a
+        |GROUP BY 1, 2 ORDER BY a1, a2""".stripMargin)
 }

@@ -183,6 +183,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kTruss(g, k = 6, rounds = 2).isEmpty)
   }
 
+  test("projectBipartite: shared-hub weights; over-cap hubs contribute nothing") {
+    val s = spark
+    import s.implicits._
+    // hub 100 links {1,2,3}; hub 101 links {2,3}; hub 102 links {1..5}
+    val e = (Seq(1L, 2L, 3L).map(a => (a, 100L)) ++
+      Seq(2L, 3L).map(a => (a, 101L)) ++
+      (1L to 5L).map(a => (a, 102L)) ++
+      Seq((1L, 100L))).toDF("a", "h") // duplicate edge: must not double
+    val got = Graph.projectBipartite(e, cap = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // hub 102 (degree 5 > 4) is dropped entirely
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L), got)
+    // with the cap raised, 102's C(5,2) pairs appear
+    val all = Graph.projectBipartite(e, cap = 5)
+    assert(all.count() == 10L)
+    assert(all.filter(col("a1") === 2 && col("a2") === 3).head().getLong(2) == 3L)
+  }
+
   test("labelPropSql twin unrolls exactly the requested iterations") {
     val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
     assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
