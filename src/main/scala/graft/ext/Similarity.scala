@@ -548,7 +548,7 @@ object Similarity {
         (col("vec_id") % k).cast("int").as("code"))
       .localCheckpoint(true)
     var books: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val prevBooks = books
       books = rows.join(codes, Seq("vec_id", "sub"))
         .select(col("sub"), col("code"), posexplode(col("svec")).as(Seq("pos", "x")))
@@ -559,19 +559,23 @@ object Similarity {
         .select(col("sub"), col("code"),
           transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
         .localCheckpoint(true)
-      val next = rows
-        .join(broadcast(books.withColumnRenamed("code", "c_code")), Seq("sub"))
-        .select(col("vec_id"), col("sub"), struct(
-          pqDist(col("svec"), col("centroid")).as("d"),
-          col("c_code").as("code")).as("sc"))
-        .groupBy("vec_id", "sub").agg(min(col("sc")).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
-        .localCheckpoint(true)
       if (prevBooks != null) graft.util.Blocks.freeCheckpoint(prevBooks)
-      graft.util.Blocks.freeCheckpoint(codes)
-      codes = next
+      // the LAST round's assignment is never read (callers re-derive it
+      // via pqEncode against the final books) — computing it here would
+      // waste one full-corpus argmin pass per training call
+      if (it < iters) {
+        val next = rows
+          .join(broadcast(books.withColumnRenamed("code", "c_code")), Seq("sub"))
+          .select(col("vec_id"), col("sub"), struct(
+            pqDist(col("svec"), col("centroid")).as("d"),
+            col("c_code").as("code")).as("sc"))
+          .groupBy("vec_id", "sub").agg(min(col("sc")).as("m"))
+          .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+          .localCheckpoint(true)
+        graft.util.Blocks.freeCheckpoint(codes)
+        codes = next
+      }
     }
-    // the final assignment is recomputable from the books; only they return
     graft.util.Blocks.freeCheckpoint(codes)
     rows.unpersist()
     books

@@ -295,7 +295,14 @@ object Graph {
     *   edges, and self-loops are removed here
     * @return (node, deg, tri_ct) — degree in the simple graph and the
     *   number of triangles the node participates in */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** The oriented-triangle pass shared by [[triangleCounts]] and
+    * [[trussSupport]]: canonical undirected edges, degrees, and every
+    * triangle exactly once as (apex, d1, d2) with apex = its unique
+    * (deg, node) minimum and d1 < d2 by node id. `und` and `deg` come
+    * back localCheckpointed — the CALLER frees both after consuming
+    * `triangles` (which reads them lazily). */
+  private def orientedTriangles(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val und = edges.select(
         least(col("a").cast("long"), col("b").cast("long")).as("u"),
         greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
@@ -325,6 +332,11 @@ object Graph {
         greatest(col("e1.dst"), col("e2.dst")).as("d2"))
     val triangles = wedges.join(und,
       col("d1") === col("u") && col("d2") === col("v"))
+    (und, deg, triangles)
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val (und, deg, triangles) = orientedTriangles(edges)
     val perNode = triangles
       .select(explode(array(col("apex"), col("d1"), col("d2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_ct"))
@@ -352,31 +364,7 @@ object Graph {
     * @return (u, v, support) — canonical u < v rows for every edge of the
     *   simple graph, support = number of triangles containing it */
   def trussSupport(edges: DataFrame): DataFrame = {
-    val und = edges.select(
-        least(col("a").cast("long"), col("b").cast("long")).as("u"),
-        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    val deg = und.select(col("u").as("node"))
-      .union(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val joined = und
-      .join(deg.select(col("node").as("u"), col("deg").as("__du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("__dv")), "v")
-    val lowFirst = col("__du") < col("__dv") ||
-      (col("__du") === col("__dv") && col("u") < col("v"))
-    val oriented = joined.select(
-      when(lowFirst, col("u")).otherwise(col("v")).as("src"),
-      when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
-      .filter(col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("apex"),
-        least(col("e1.dst"), col("e2.dst")).as("d1"),
-        greatest(col("e1.dst"), col("e2.dst")).as("d2"))
-    val triangles = wedges.join(und,
-      col("d1") === col("u") && col("d2") === col("v"))
+    val (und, deg, triangles) = orientedTriangles(edges)
     // each triangle (apex, d1, d2) charges its three edges, canonical
     val edgeCredits = triangles.select(explode(array(
         struct(least(col("apex"), col("d1")).as("u"),
@@ -391,6 +379,7 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
       .localCheckpoint(true)
     graft.util.Blocks.freeCheckpoint(und)
+    graft.util.Blocks.freeCheckpoint(deg)
     out
   }
 

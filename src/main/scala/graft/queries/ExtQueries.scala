@@ -136,6 +136,7 @@ object ExtQueries {
         .select(col("bid"), col("node"), col("tri_ct"))
         .orderBy(col("bid"), col("node"))
         .localCheckpoint(true)
+      outs.foreach(graft.util.Blocks.freeCheckpoint)
       graft.util.Tmp.deleteRecursively(root)
       graft.util.Blocks.freeCheckpoint(pairs)
       res
@@ -238,7 +239,8 @@ object ExtQueries {
       for (i <- 0 until 3)
         out = graft.streaming.IncrementalCc.mergePairs(
           pairs.filter((col("a_id") + col("b_id")) % 3 === i), s"$root/cc")
-      val res = out.orderBy(col("doc_id"))
+      // mergePairs returns a LAZY store read — pin before deleting it
+      val res = out.orderBy(col("doc_id")).localCheckpoint(true)
       graft.util.Tmp.deleteRecursively(root)
       graft.util.Blocks.freeCheckpoint(pairs)
       res
@@ -1010,10 +1012,12 @@ object ExtQueries {
         .localCheckpoint(true)
       val root = java.nio.file.Files.createTempDirectory("graft_cms_q")
       var outs = Seq.empty[DataFrame]
+      var folds = Seq.empty[DataFrame]
       for (i <- 0 until 3) {
         val cells = graft.streaming.IncrementalCms.mergeBatch(
           l.filter(col("l_orderkey") % 3 === i), s"$root/c",
           col("l_returnflag"), col("l_partkey"), i.toLong, w = 1024)
+        folds = folds :+ cells
         outs = outs :+ Profile.cmsEstimate(cells, probes, Seq("g"),
           col("key"), w = 1024).withColumn("bid", lit(i.toLong))
       }
@@ -1022,6 +1026,7 @@ object ExtQueries {
           col("cms_est"))
         .orderBy(col("bid"), col("g"), col("key"))
         .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
       graft.util.Blocks.freeCheckpoint(probes)
       graft.util.Tmp.deleteRecursively(root)
       res
@@ -1049,10 +1054,12 @@ object ExtQueries {
       val o = Envelopes.table(s, dir, "orders")
       val root = java.nio.file.Files.createTempDirectory("graft_hll_q")
       var outs = Seq.empty[DataFrame]
+      var folds = Seq.empty[DataFrame]
       for (i <- 0 until 3) {
         val regs = graft.streaming.IncrementalHll.mergeBatch(
           o.filter(col("o_orderkey") % 3 === i), s"$root/h",
           col("o_orderstatus"), col("o_custkey"), batchId = i.toLong)
+        folds = folds :+ regs
         outs = outs :+ Profile.hllSummary(regs, Seq("g"))
           .withColumn("bid", lit(i.toLong))
       }
@@ -1060,6 +1067,7 @@ object ExtQueries {
         .select(col("bid"), col("g"), col("zeros"), col("h_num"))
         .orderBy(col("bid"), col("g"))
         .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
       graft.util.Tmp.deleteRecursively(root)
       res
     },
@@ -1408,6 +1416,8 @@ object ExtQueries {
         .select(col("bid"), col("g"), col("pos"), col("s_sum"), col("n"))
         .orderBy(col("bid"), col("g"), col("pos"))
         .localCheckpoint(true)
+      // outs are thin projections of the folds\' checkpointed returns
+      outs.foreach(graft.util.Blocks.freeCheckpoint)
       graft.util.Tmp.deleteRecursively(root)
       res
     },
@@ -2967,12 +2977,12 @@ object ExtQueries {
          |${side("orders", "o_custkey", "o")}
          |SELECT * FROM (
          |  SELECT n_rows, n_keys, max_ct, p50_ct, p99_ct,
-         |         max_ct * 1000 * n_keys // n_rows AS hot_x1000,
+         |         max_ct * 1000 // (n_rows // n_keys) AS hot_x1000,
          |         'lineitem' AS src
          |  FROM lst, lq
          |  UNION ALL
          |  SELECT n_rows, n_keys, max_ct, p50_ct, p99_ct,
-         |         max_ct * 1000 * n_keys // n_rows AS hot_x1000,
+         |         max_ct * 1000 // (n_rows // n_keys) AS hot_x1000,
          |         'orders' AS src
          |  FROM ost, oq)
          |ORDER BY src""".stripMargin

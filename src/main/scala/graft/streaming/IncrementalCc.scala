@@ -83,22 +83,19 @@ object IncrementalCc {
         keys = Seq("doc_id"), seqCols = Seq("ver"), numBuckets = numBuckets,
         bucketCols = Seq("doc_id"))
     graft.util.Blocks.freeCheckpoint(changed)
-    // the full updated table comes from a fresh store read: the pruned
+    // the full updated table is a LAZY fresh store read: the pruned
     // components output `labels` only covers affected + new nodes, and
     // unioning it with the untouched remainder would put the same store
     // attributes on both Union branches (Catalyst's constraint rewrite
     // rejects duplicate ids across branches). The merge above already
-    // holds every row the union would produce.
-    val full = untouched match {
-      case Some(affKeepers) =>
-        graft.util.Blocks.freeCheckpoint(affKeepers)
-        graft.util.Blocks.freeCheckpoint(labels)
-        readLabels(spark, storePath).localCheckpoint(true)
-      case None => labels
-    }
+    // holds every row such a union would produce; returning the lazy
+    // read keeps a sparse fold's own cost delta-sized — callers that
+    // outlive the store (or delete it) checkpoint at the call site.
+    untouched.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(labels)
     stored.foreach(graft.util.Blocks.freeCheckpoint)
     graft.util.Blocks.freeCheckpoint(batch)
-    full
+    readLabels(spark, storePath)
   }
 
   /** The stored label table without folding (empty frame if never run). */

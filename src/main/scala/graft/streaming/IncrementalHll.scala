@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * fold with a different precision fails fast (the index/rank split is
   * `p`-dependent, so mixing precisions silently corrupts the table).
   *
+  * The store's last-write-wins SEQUENCE is the RANK itself, not the
+  * batch id: only strictly-improved registers are staged, so rank is
+  * strictly increasing per key and the stored winner is always the true
+  * max — correct even when batch ids repeat (the default 0L) or arrive
+  * out of order, where a batch-id sequence would tie nondeterministically
+  * or drop improvements.
+  *
   * Distinction from [[IncrementalKmv]] (the other persistent cardinality
   * sketch): KMV is exact below k and hash-oracles its estimate, but its
   * fold rewrites whole per-group k-min sets; HLL's register table upserts
@@ -75,7 +82,7 @@ object IncrementalHll {
       lit(-1L).as("idx"), lit(0L).as("rank"), lit(p.toLong).as("p"),
       lit(batchId).as("ver"), lit("put").as("op_type"))
     KeyedStore.merge(improved.unionByName(metaRow), storePath,
-      keys = Seq("kind", "g", "idx"), seqCols = Seq("ver"),
+      keys = Seq("kind", "g", "idx"), seqCols = Seq("rank"),
       numBuckets = numBuckets)
     val out = cur.select(col("g"), col("idx"), col("rank"))
       .join(improved.select(col("g"), col("idx")), Seq("g", "idx"),

@@ -58,8 +58,16 @@ object IncrementalTriangles {
       graft.util.Blocks.freeCheckpoint(counts)
       return out
     }
+    // CRASH SAFETY across the two stores: edge rows carry their fold's
+    // ver, and `fresh` is derived against STRICTLY-OLDER edges only. A
+    // crash between the edge merge and the count merge leaves this
+    // batch's edges persisted at ver == batchId with the count HWM not
+    // advanced; the replay then re-derives the identical fresh set from
+    // the batch argument (ignoring the ver == batchId leftovers), re-runs
+    // the same increment, and the idempotent edge re-merge rewrites the
+    // same rows — no triangle is ever lost or double-credited.
     val stored = KeyedStore.read(spark, edgePath(storeRoot))
-      .map(_.select(col("u"), col("v")))
+      .map(_.filter(col("ver") < batchId).select(col("u"), col("v")))
     val canon = batch.select(
         least(col("a").cast("long"), col("b").cast("long")).as("u"),
         greatest(col("a").cast("long"), col("b").cast("long")).as("v"))

@@ -71,4 +71,27 @@ class IncrementalHllSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("identity"))
   }
+
+  test("register improvements land regardless of batch-id order") {
+    // the store's sequence is the RANK, not the batch id: repeated and
+    // out-of-order ids must still keep the true register max
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_hll_oo").toString + "/store"
+    val rnd = new scala.util.Random(13)
+    val a = (0 until 300).map(_ => ("g", s"a${rnd.nextInt(2000)}"))
+    val b = (0 until 300).map(_ => ("g", s"b${rnd.nextInt(2000)}"))
+    val c = (0 until 300).map(_ => ("g", s"c${rnd.nextInt(2000)}"))
+    // ids: 5, then 3 (out of order), then 5 again (repeat)
+    IncrementalHll.mergeBatch(a.toDF("g", "v"), store, col("g"), col("v"),
+      batchId = 5L)
+    IncrementalHll.mergeBatch(b.toDF("g", "v"), store, col("g"), col("v"),
+      batchId = 3L)
+    IncrementalHll.mergeBatch(c.toDF("g", "v"), store, col("g"), col("v"),
+      batchId = 5L)
+    val got = regMap(IncrementalHll.readRegisters(s, store))
+    val want = regMap(graft.ext.Profile.hllRegisters(
+      (a ++ b ++ c).toDF("g", "v"), Seq("g"), col("v")))
+    assert(got == want)
+  }
 }

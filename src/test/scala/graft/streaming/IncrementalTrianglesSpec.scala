@@ -53,6 +53,23 @@ class IncrementalTrianglesSpec extends SparkSpec {
     assert(replay == fin)
   }
 
+  test("crash between the edge merge and the count merge loses nothing") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("inc_tri_cw").toString
+    val b0 = Seq((1L, 2L), (2L, 3L))
+    val b1 = Seq((1L, 3L), (3L, 4L)) // closes triangle {1,2,3}
+    IncrementalTriangles.mergeEdges(b0.toDF("a", "b"), root, 0L)
+    // simulate the crash window: batch 1's edges are persisted at ver=1
+    // but the count store's high-water mark never advanced
+    KeyedStore.merge(
+      b1.map { case (a, b) => (a, b, 1L) }.toDF("u", "v", "ver"),
+      s"$root/edges", keys = Seq("u", "v"), seqCols = Seq("ver"))
+    // the replayed fold must still credit the closed triangle
+    val got = cts(IncrementalTriangles.mergeEdges(b1.toDF("a", "b"), root, 1L))
+    assert(got == batchCts(b0 ++ b1), got.toString)
+  }
+
   test("random graph: fold tracks the batch operator across 4 batches") {
     val s = spark
     import s.implicits._
