@@ -85,6 +85,23 @@ object Graph {
     pageRankCore(edges, start, Some(tol), maxIters, unit, dampNum, dampDen)
   }
 
+  /** [[pageRankInt]] over WEIGHTED edges (src, dst, w), w ≥ 1 integer:
+    * each node spreads rank proportionally to edge weight —
+    * `contribution = (r · w) div Σw_out` — the natural pairing with
+    * [[projectBipartite]]'s shared-hub weights (a supplier pair sharing
+    * five customers pulls 5× the rank of a single-customer pair). Same
+    * fixed-point integer arithmetic, checkpoint discipline, and Pregel
+    * shape as the unweighted form — in fact the SAME loop: unweighted
+    * callers run it with w = 1, where the formula reduces exactly.
+    * Overflow guard extends to the edge product: `n · unit · max(w) ≤
+    * Long.Max / dampNum`. The twin generator is [[pageRankWSql]]. */
+  def pageRankIntW(edges: DataFrame, iters: Int, unit: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    pageRankCore(edges, None, None, iters, unit, dampNum, dampDen,
+      weighted = true)._1
+  }
+
   /** The one PageRank loop both public forms delegate to. `tol = None`
     * disables the convergence delta check (no extra per-iteration join)
     * and loops exactly `maxIters` times — [[pageRankInt]]'s contract;
@@ -92,7 +109,7 @@ object Graph {
     * stops early — [[pageRankIntConverge]]'s. */
   private def pageRankCore(edges: DataFrame, start: Option[DataFrame],
       tol: Option[Long], maxIters: Int, unit: Long, dampNum: Long,
-      dampDen: Long): (DataFrame, Int) = {
+      dampDen: Long, weighted: Boolean = false): (DataFrame, Int) = {
     require(maxIters >= 0, s"iters must be >= 0, got $maxIters")
     require(unit >= 1, s"unit must be >= 1, got $unit")
     require(dampNum >= 0 && dampDen >= 1 && dampNum <= dampDen,
@@ -100,24 +117,39 @@ object Graph {
     // pin the edge table once: it feeds every iteration's join plus the
     // node and degree builds, and an upstream edge DERIVATION (a join +
     // distinct, typically) would otherwise re-execute once per consumer —
-    // measured 3x the whole query's scan cost at iters = 3
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint(true)
-    // node spine with the out-degree FOLDED IN (null for dangling nodes —
-    // the degree is only ever read through the e.src join, which dangling
+    // measured 3x the whole query's scan cost at iters = 3.
+    // The unweighted path carries w = 1, under which every weighted
+    // expression below reduces EXACTLY to the original integer formula
+    // ((r·1) div Σ1 = r div d) — one shared loop, no parallel copies.
+    val e = (if (weighted)
+        edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      else edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).withColumn("w", lit(1L)))
+      .localCheckpoint(true)
+    // node spine with the out-WEIGHT folded in (null for dangling nodes —
+    // the weight is only ever read through the e.src join, which dangling
     // nodes never match): each iteration then needs ONE rank join, not a
     // separate degree join
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")),
+      .join(e.groupBy(col("src").as("node")).agg(sum(col("w")).as("d")),
         Seq("node"), "left_outer")
       .localCheckpoint(true)
     val n = nodes.count()
+    val maxW = if (!weighted || n == 0) 1L else {
+      val mm = e.agg(min(col("w")), max(col("w"))).head()
+      require(mm.getLong(0) >= 1L,
+        s"edge weights must be >= 1, got min ${mm.getLong(0)}")
+      mm.getLong(1)
+    }
     // dampNum = 0 (pure teleport) is a valid dial with nothing to overflow
-    // — guard only the damped product, and never divide by zero doing it
-    require(n == 0 || dampNum == 0 || unit <= Long.MaxValue / dampNum / n,
-      s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum " +
-        "— lower unit (the guard is n * unit <= Long.Max / dampNum)")
+    // — guard only the damped product (and the r·w edge product), and
+    // never divide by zero doing it
+    require(n == 0 || unit <= Long.MaxValue / math.max(dampNum, 1L) / n / maxW,
+      s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum" +
+        s", maxW=$maxW — lower unit (the guard is " +
+        "n * unit * maxW <= Long.Max / max(dampNum, 1))")
     val base = unit * (dampDen - dampNum) / dampDen
     // r0 is its own checkpoint in both branches, so every superseded rank
     // table (r0 included) may be freed, and the node spine is only ever
@@ -136,7 +168,7 @@ object Graph {
     while (itersRun < maxIters && !converged) {
       val contrib = e
         .join(r.select(col("node").as("src"), col("d"), col("r")), "src")
-        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .select(col("dst").as("node"), expr("(r * w) div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("m"))
       val prev = r
       r = nodes.join(contrib, Seq("node"), "left_outer")
@@ -507,6 +539,30 @@ object Graph {
       "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
       "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
       r0) ++ its
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** The [[pageRankIntW]] twin generator — [[pageRankSql]] with the
+    * out-weight sum and the per-edge `(r · w) // Σw` contribution;
+    * `edgesCte` must define `e(src, dst, w)`. */
+  def pageRankWSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): String = {
+    val base = unit * (dampDen - dampNum) / dampDen
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |          CAST(SUM((r${i - 1}.r * e.w) // deg.d) AS BIGINT) AS m
+         |        FROM e JOIN deg ON e.src = deg.src
+         |               JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |        GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |         CAST($base + ($dampNum * COALESCE(c$i.m, 0)) // $dampDen AS BIGINT) AS r
+         |        FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+    }
+    val ctes = Seq(edgesCte,
+      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+      "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1)",
+      s"r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM n)") ++ its
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }

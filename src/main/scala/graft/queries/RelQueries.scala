@@ -219,6 +219,24 @@ object RelQueries {
         .select(col("l_suppkey").as("a"), col("o_custkey").as("h"))
       graft.ops.Graph.projectBipartite(e, cap = 12)
         .orderBy(col("a1"), col("a2"))
+    },
+
+    // Weighted PageRank over the symmetrized projection: rank flows
+    // proportionally to shared-customer counts — the full derive-then-rank
+    // chain (bipartite data → capped projection → weighted centrality).
+    "q_pagerank_weighted" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val l = Envelopes.table(s, dir, "lineitem")
+      val bip = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("a"), col("o_custkey").as("h"))
+      val proj = graft.ops.Graph.projectBipartite(bip, cap = 12)
+      val edges = proj.select(col("a1").as("src"), col("a2").as("dst"),
+          col("w"))
+        .unionByName(proj.select(col("a2").as("src"), col("a1").as("dst"),
+          col("w")))
+      val pr = graft.ops.Graph.pageRankIntW(edges, iters = 3)
+      graft.util.Blocks.freeCheckpoint(proj)
+      pr.orderBy(col("node"))
     })
 
   /** The symmetrized customer↔supplier trade graph both rank queries run
@@ -374,5 +392,17 @@ object RelQueries {
         |k AS (SELECT e.a, e.h FROM e JOIN hd ON e.h = hd.h)
         |SELECT x.a AS a1, y.a AS a2, CAST(COUNT(*) AS BIGINT) AS w
         |FROM k x JOIN k y ON x.h = y.h AND x.a < y.a
-        |GROUP BY 1, 2 ORDER BY a1, a2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY a1, a2""".stripMargin,
+
+    "q_pagerank_weighted" -> graft.ops.Graph.pageRankWSql(
+      """bip AS (SELECT DISTINCT l_suppkey AS a, o_custkey AS h
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |hd AS (SELECT h FROM bip GROUP BY h HAVING COUNT(*) <= 12),
+        |kk AS (SELECT bip.a, bip.h FROM bip JOIN hd ON bip.h = hd.h),
+        |proj AS (SELECT x.a AS a1, y.a AS a2, COUNT(*) AS w
+        |         FROM kk x JOIN kk y ON x.h = y.h AND x.a < y.a
+        |         GROUP BY 1, 2),
+        |e AS (SELECT a1 AS src, a2 AS dst, w FROM proj
+        |      UNION ALL SELECT a2, a1, w FROM proj)""".stripMargin,
+      iters = 3))
 }

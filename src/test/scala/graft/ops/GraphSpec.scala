@@ -201,6 +201,34 @@ class GraphSpec extends SparkSpec {
     assert(all.filter(col("a1") === 2 && col("a2") === 3).head().getLong(2) == 3L)
   }
 
+  test("pageRankIntW: weight-proportional spread; w=1 equals the unweighted form") {
+    val s = spark
+    import s.implicits._
+    // 1 -> 2 (w=3), 1 -> 3 (w=1): node 1 spreads 3/4 to 2, 1/4 to 3
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.pageRankIntW(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after 1 iter: r2 = B + 85*(U*3 div 4) div 100, r3 = B + 85*(U div 4) div 100
+    assert(r1(2L) == B + 85L * (U * 3 / 4) / 100)
+    assert(r1(3L) == B + 85L * (U / 4) / 100)
+    assert(r1(1L) == B + 85L * (U + U) / 100) // both in-edges at full weight
+
+    // w = 1 on every edge reproduces the unweighted operator bit-for-bit
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    val un = Graph.pageRankInt(g, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = Graph.pageRankIntW(g.withColumn("w", lit(1L)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(un == w1)
+
+    // weights must be positive
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankIntW(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), 1)
+    }
+    assert(ex.getMessage.contains("weights"))
+  }
+
   test("labelPropSql twin unrolls exactly the requested iterations") {
     val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
     assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
