@@ -322,13 +322,15 @@ object Profile {
 
   /** Key-skew report — the statistics a 100 TB job reads BEFORE choosing a
     * partitioning: per-key group sizes summarized to exact integer skew
-    * measures. `max_ct · 1000 div (n_rows div n_keys)` is the hot-key
-    * multiplier (1000 ≡ perfectly uniform ×1000, against the
-    * FLOOR-average share — staged so the arithmetic cannot overflow a
-    * Long until one key holds > 9·10¹⁵ rows, where the naive
-    * `max·1000·n_keys div n_rows` already wraps at web-scale key
-    * counts); a value ≫ 1000 says the biggest key owns that many × its
-    * fair share — the signal that routes the job to
+    * measures. `hot_x1000` is the hot-key multiplier (1000 ≡ perfectly
+    * uniform ×1000): the EXACT `max·1000·n_keys div n_rows` whenever that
+    * product fits a Long (every realistic case — the branch predicate is
+    * part of the expression, identically in the SQL twin), falling back
+    * to `max·1000 div floor-avg` only in the overflow regime where the
+    * exact form would wrap silently (the fallback overstates by < 2×
+    * when the average share is small, which the overflow regime never
+    * is); a value ≫ 1000 says the biggest key owns that many × its fair
+    * share — the signal that routes the job to
     * `ops/Scale.saltedAggregate` or AQE skew handling instead of a plain
     * shuffle. Quantiles of the SIZE distribution come from the
     * [[histQuantiles]] sketch (deterministic, merge-safe); every output is
@@ -353,7 +355,10 @@ object Profile {
     stats.join(quant, Seq("__g"))
       .select(col("n_rows"), col("n_keys"), col("max_ct"),
         col("est_1_2").as("p50_ct"), col("est_99_100").as("p99_ct"),
-        expr("max_ct * 1000 div (n_rows div n_keys)").as("hot_x1000"))
+        expr("CASE WHEN max_ct <= 9223372036854775807 div 1000 div n_keys" +
+          " THEN max_ct * 1000 * n_keys div n_rows" +
+          " ELSE max_ct * 1000 div (n_rows div n_keys) END")
+          .as("hot_x1000"))
   }
 
   /** The floating HLL estimate from a [[hllSummary]] row — Scala-side only

@@ -138,18 +138,26 @@ object Graph {
       .localCheckpoint(true)
     val n = nodes.count()
     val maxW = if (!weighted || n == 0) 1L else {
-      val mm = e.agg(min(col("w")), max(col("w"))).head()
+      // count nulls explicitly: min/max skip them, so a null weight would
+      // otherwise pass the >= 1 gate and then silently contribute NOTHING
+      // (null products vanish from the sum) instead of failing fast
+      val mm = e.agg(min(col("w")), max(col("w")),
+        count(when(col("w").isNull, lit(1)))).head()
+      require(mm.getLong(2) == 0L,
+        s"edge weights must be >= 1, got ${mm.getLong(2)} null weight(s)")
       require(mm.getLong(0) >= 1L,
         s"edge weights must be >= 1, got min ${mm.getLong(0)}")
       mm.getLong(1)
     }
-    // dampNum = 0 (pure teleport) is a valid dial with nothing to overflow
-    // — guard only the damped product (and the r·w edge product), and
-    // never divide by zero doing it
-    require(n == 0 || unit <= Long.MaxValue / math.max(dampNum, 1L) / n / maxW,
+    // dampNum = 0 (pure teleport) is a valid dial with nothing to
+    // overflow: the damped product is 0 · m regardless of m, so even a
+    // wrapped contribution sum cannot reach a rank — guard only the real
+    // damped path, and never divide by zero doing it
+    require(n == 0 || dampNum == 0 ||
+        unit <= Long.MaxValue / dampNum / n / maxW,
       s"n=$n nodes at unit=$unit can overflow Long under dampNum=$dampNum" +
         s", maxW=$maxW — lower unit (the guard is " +
-        "n * unit * maxW <= Long.Max / max(dampNum, 1))")
+        "n * unit * maxW <= Long.Max / dampNum)")
     val base = unit * (dampDen - dampNum) / dampDen
     // r0 is its own checkpoint in both branches, so every superseded rank
     // table (r0 included) may be freed, and the node spine is only ever
@@ -298,35 +306,6 @@ object Graph {
     l.select(col("node"), col("label"))
   }
 
-  /** Per-node triangle counts over an undirected edge table — the local
-    * clustering signal (a near-dup pair graph's triangles are its cluster
-    * cores; a link graph's triangle density separates organic communities
-    * from link farms, the classic TrustRank-adjacent spam feature).
-    *
-    * Algorithm: DEGREE-ORIENTED wedge counting (the MapReduce-era standard
-    * for exactly this skew problem). Each undirected edge is oriented from
-    * its lower-(degree, node) endpoint to the higher; every triangle then
-    * has exactly ONE vertex with two out-edges (its minimum), so counting
-    * wedges at that apex and closing them against the edge set counts each
-    * triangle once — no post-hoc dedup, and the wedge fan-out is bounded
-    * by Σ min-oriented-out-degree², which is O(m^1.5) on ANY graph (vs
-    * Σ degree² for the naive wedge join, which a single celebrity node
-    * makes quadratic). The oriented out-degree of a node is at most
-    * O(√m) regardless of its real degree — orientation is what makes
-    * triangle counting survive skew at web scale.
-    *
-    * Shape at scale: one distinct + degree aggregate, two broadcast-sized
-    * joins of edges to the node-sized degree table, one equi self-join on
-    * the apex (the wedge build), one equi join of wedges to the canonical
-    * edge table (the closure probe) — all map-side-combinable, no
-    * cartesian anywhere. Every step is exact integer arithmetic on the
-    * edge SET (direction and duplicates removed first), so the result is
-    * a pure function of the graph and hash-oracles.
-    *
-    * @param edges (a, b) rows, both castable to long; direction, parallel
-    *   edges, and self-loops are removed here
-    * @return (node, deg, tri_ct) — degree in the simple graph and the
-    *   number of triangles the node participates in */
   /** The oriented-triangle pass shared by [[triangleCounts]] and
     * [[trussSupport]]: canonical undirected edges, degrees, and every
     * triangle exactly once as (apex, d1, d2) with apex = its unique
@@ -367,6 +346,35 @@ object Graph {
     (und, deg, triangles)
   }
 
+  /** Per-node triangle counts over an undirected edge table — the local
+    * clustering signal (a near-dup pair graph's triangles are its cluster
+    * cores; a link graph's triangle density separates organic communities
+    * from link farms, the classic TrustRank-adjacent spam feature).
+    *
+    * Algorithm: DEGREE-ORIENTED wedge counting (the MapReduce-era standard
+    * for exactly this skew problem). Each undirected edge is oriented from
+    * its lower-(degree, node) endpoint to the higher; every triangle then
+    * has exactly ONE vertex with two out-edges (its minimum), so counting
+    * wedges at that apex and closing them against the edge set counts each
+    * triangle once — no post-hoc dedup, and the wedge fan-out is bounded
+    * by Σ min-oriented-out-degree², which is O(m^1.5) on ANY graph (vs
+    * Σ degree² for the naive wedge join, which a single celebrity node
+    * makes quadratic). The oriented out-degree of a node is at most
+    * O(√m) regardless of its real degree — orientation is what makes
+    * triangle counting survive skew at web scale.
+    *
+    * Shape at scale: one distinct + degree aggregate, two broadcast-sized
+    * joins of edges to the node-sized degree table, one equi self-join on
+    * the apex (the wedge build), one equi join of wedges to the canonical
+    * edge table (the closure probe) — all map-side-combinable, no
+    * cartesian anywhere. Every step is exact integer arithmetic on the
+    * edge SET (direction and duplicates removed first), so the result is
+    * a pure function of the graph and hash-oracles.
+    *
+    * @param edges (a, b) rows, both castable to long; direction, parallel
+    *   edges, and self-loops are removed here
+    * @return (node, deg, tri_ct) — degree in the simple graph and the
+    *   number of triangles the node participates in */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val (und, deg, triangles) = orientedTriangles(edges)
     val perNode = triangles
@@ -513,15 +521,23 @@ object Graph {
     * twin instead: seed-only start vector and teleport base. */
   def pageRankSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100,
-      seedsCte: Option[String] = None): String = {
+      seedsCte: Option[String] = None,
+      weighted: Boolean = false): String = {
     val base = unit * (dampDen - dampNum) / dampDen
     val baseExpr = seedsCte match {
       case None => base.toString
       case Some(_) =>
         s"(CASE WHEN n.node IN (SELECT node FROM sd) THEN $base ELSE 0 END)"
     }
+    // ONE template for both forms (the pageRankCore discipline, SQL-side):
+    // only the contribution numerator and the out-mass aggregate differ
+    val contrib = (i: Int) =>
+      if (weighted) s"(r${i - 1}.r * e.w) // deg.d" else s"r${i - 1}.r // deg.d"
+    val degCte =
+      if (weighted) "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1)"
+      else "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)"
     val its = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r${i - 1}.r // deg.d) AS BIGINT) AS m
+      s"""c$i AS (SELECT e.dst AS node, CAST(SUM(${contrib(i)}) AS BIGINT) AS m
          |        FROM e JOIN deg ON e.src = deg.src
          |               JOIN r${i - 1} ON r${i - 1}.node = e.src
          |        GROUP BY 1),
@@ -537,8 +553,7 @@ object Graph {
     }
     val ctes = Seq(edgesCte) ++ seedsCte.toSeq ++ Seq(
       "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-      "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
-      r0) ++ its
+      degCte, r0) ++ its
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
   }
@@ -547,23 +562,6 @@ object Graph {
     * out-weight sum and the per-edge `(r · w) // Σw` contribution;
     * `edgesCte` must define `e(src, dst, w)`. */
   def pageRankWSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): String = {
-    val base = unit * (dampDen - dampNum) / dampDen
-    val its = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node,
-         |          CAST(SUM((r${i - 1}.r * e.w) // deg.d) AS BIGINT) AS m
-         |        FROM e JOIN deg ON e.src = deg.src
-         |               JOIN r${i - 1} ON r${i - 1}.node = e.src
-         |        GROUP BY 1),
-         |r$i AS (SELECT n.node,
-         |         CAST($base + ($dampNum * COALESCE(c$i.m, 0)) // $dampDen AS BIGINT) AS r
-         |        FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
-    }
-    val ctes = Seq(edgesCte,
-      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-      "deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY 1)",
-      s"r0 AS (SELECT node, CAST($unit AS BIGINT) AS r FROM n)") ++ its
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
-  }
+      dampNum: Long = 85, dampDen: Long = 100): String =
+    pageRankSql(edgesCte, iters, unit, dampNum, dampDen, weighted = true)
 }

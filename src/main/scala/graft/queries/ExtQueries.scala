@@ -1416,7 +1416,7 @@ object ExtQueries {
         .select(col("bid"), col("g"), col("pos"), col("s_sum"), col("n"))
         .orderBy(col("bid"), col("g"), col("pos"))
         .localCheckpoint(true)
-      // outs are thin projections of the folds\' checkpointed returns
+      // outs are thin projections of the folds' checkpointed returns
       outs.foreach(graft.util.Blocks.freeCheckpoint)
       graft.util.Tmp.deleteRecursively(root)
       res
@@ -2977,12 +2977,16 @@ object ExtQueries {
          |${side("orders", "o_custkey", "o")}
          |SELECT * FROM (
          |  SELECT n_rows, n_keys, max_ct, p50_ct, p99_ct,
-         |         max_ct * 1000 // (n_rows // n_keys) AS hot_x1000,
+         |         CASE WHEN max_ct <= 9223372036854775807 // 1000 // n_keys
+         |         THEN max_ct * 1000 * n_keys // n_rows
+         |         ELSE max_ct * 1000 // (n_rows // n_keys) END AS hot_x1000,
          |         'lineitem' AS src
          |  FROM lst, lq
          |  UNION ALL
          |  SELECT n_rows, n_keys, max_ct, p50_ct, p99_ct,
-         |         max_ct * 1000 // (n_rows // n_keys) AS hot_x1000,
+         |         CASE WHEN max_ct <= 9223372036854775807 // 1000 // n_keys
+         |         THEN max_ct * 1000 * n_keys // n_rows
+         |         ELSE max_ct * 1000 // (n_rows // n_keys) END AS hot_x1000,
          |         'orders' AS src
          |  FROM ost, oq)
          |ORDER BY src""".stripMargin

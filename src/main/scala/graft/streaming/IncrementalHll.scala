@@ -78,8 +78,13 @@ object IncrementalHll {
         col("brank").as("rank"), lit(p.toLong).as("p"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
       .localCheckpoint(true) // pin BEFORE the merge mutates the store
+    // the meta row's seq slot (rank) carries the batch id so the stored
+    // meta reflects the highest fold seen — a constant would tie on every
+    // fold, violating merge's total-order contract on seqCols (harmless
+    // for identical content, but any future reader of meta.ver would see
+    // an arbitrary generation)
     val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
-      lit(-1L).as("idx"), lit(0L).as("rank"), lit(p.toLong).as("p"),
+      lit(-1L).as("idx"), lit(batchId).as("rank"), lit(p.toLong).as("p"),
       lit(batchId).as("ver"), lit("put").as("op_type"))
     KeyedStore.merge(improved.unionByName(metaRow), storePath,
       keys = Seq("kind", "g", "idx"), seqCols = Seq("rank"),

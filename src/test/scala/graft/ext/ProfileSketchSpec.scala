@@ -53,8 +53,8 @@ class ProfileSketchSpec extends SparkSpec {
     assert(r.getLong(0) == 1100L && r.getLong(1) == 101L &&
       r.getLong(2) == 1000L)
     assert(r.getAs[Long]("p50_ct") == 1L)
-    // hot multiplier vs the floor-average share: 1000·1000 / (1100 div 101)
-    assert(r.getAs[Long]("hot_x1000") == 1000L * 1000 / (1100 / 101))
+    // exact branch (no overflow risk here): 1000·1000·101 / 1100 ≈ 91.8×
+    assert(r.getAs[Long]("hot_x1000") == 1000L * 1000 * 101 / 1100)
     // uniform data reads ~1000 (exactly, when sizes are equal)
     val uni = (1 to 100).flatMap(i => Seq.fill(7)(s"k$i")).toDF("k")
     assert(Profile.skewReport(uni, col("k")).head()
