@@ -735,4 +735,45 @@ object TextStats {
        |$out
        |ORDER BY merge_ix""".stripMargin
   }
+
+  /** Feature-hashing document vectors (the hashing trick, Weinberger et
+    * al. 2009) — the TEXT → VECTOR bridge that lets the whole embedding
+    * family (cosine near-dup, k-means, SemDeDup, PQ/IVF) run on corpora
+    * with NO embedding model: token t contributes `sign(t) · count(t)` to
+    * component `h(t) mod dim`, with the sign bit from the next hash bit
+    * making collisions cancel in expectation (the unbiased-estimator
+    * property that separates this from plain count bucketing).
+    *
+    * Every component is an exact small-integer sum carried as float
+    * (exact well past any real token count), on the same deterministic
+    * md5-slice hash as the sketch family — so the vector table is a pure
+    * function of the text and hash-oracles, and the output schema
+    * (id, embedding array<float>) is exactly what `ext/Similarity`
+    * consumes.
+    *
+    * Shape at scale: one token explode into a map-side-combined
+    * (doc, component) sum (≤ dim rows per doc out of the shuffle), then
+    * a per-doc dense assembly — no joins, no corpus-width state.
+    *
+    * @return (idCol's name, embedding) — dense float array of `dim` */
+  def hashEmbed(df: DataFrame, idCol: Column, textCol: Column,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val comp = df.select(idCol.as("__id"), explode(toks(textCol)).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("__h",
+        conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
+      .select(col("__id"), expr(s"__h % $dim").as("__pos"),
+        when(expr(s"(__h div $dim) % 2") === 0, lit(1L))
+          .otherwise(lit(-1L)).as("__sign"))
+      .groupBy("__id", "__pos").agg(sum(col("__sign")).as("__v"))
+    comp.groupBy("__id")
+      .agg(map_from_entries(collect_list(
+        struct(col("__pos").cast("int"), col("__v")))).as("__m"))
+      .select(col("__id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+      .withColumnRenamed("__id", "doc_id")
+  }
 }

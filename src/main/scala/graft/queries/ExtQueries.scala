@@ -865,6 +865,42 @@ object ExtQueries {
       out
     },
 
+    // Feature-hashing doc vectors (the hashing trick): the text → vector
+    // bridge — exact signed-count components on the md5-slice hash, so
+    // the vector table itself hash-oracles (emitted dense as
+    // (doc_id, pos, val) integer rows).
+    "q_hash_embed" -> { (s, dir) =>
+      TextStats.hashEmbed(docs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("v").cast("long").as("val"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    // The bridge DEMONSTRATED: near-dup pairs over the hashed vectors —
+    // near-dup documents collide in hashed space with no embedding model
+    // anywhere. INTEGER vectors hit cosine == 4/5 exactly (small-integer
+    // dot/norm ratios), where the engines' sqrt paths round differently —
+    // so the threshold is the exact RATIONAL test 400·dot² ≥ 361·|a|²|b|²
+    // (cosine ≥ 19/20, dot > 0) — every term an integer-valued double,
+    // no sqrt anywhere; 0.95 keeps the planted near-dups (385 pairs at
+    // sf0.1) and drops the same-genre background correlation.
+    // Exhaustive-pair oracle baseline, the q_embed_dup class.
+    "q_hash_embed_dup" -> { (s, dir) =>
+      val v = TextStats.hashEmbed(docs(s, dir), col("doc_id"), col("text"))
+        .withColumn("n2", Similarity.dot(col("embedding"), col("embedding")))
+      val a = v.select(col("doc_id").as("a_id"), col("embedding").as("ae"),
+        col("n2").as("an"))
+      val b = v.select(col("doc_id").as("b_id"), col("embedding").as("be"),
+        col("n2").as("bn"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("d", Similarity.dot(col("ae"), col("be")))
+        .filter(col("d") > 0 &&
+          col("d") * col("d") * 400 >= col("an") * col("bn") * 361)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Top-3 TF-IDF terms per document (reciprocal-df idf — IEEE-exact ops
     // only; see Ranking's scaladoc).
     "q_tfidf_top" -> { (s, dir) =>
@@ -1579,6 +1615,21 @@ object ExtQueries {
 
   private val PqTrainCtes: String = pqTrainCtes("embeddings")
 
+  /** The feature-hashing vector build shared by q_hash_embed and
+    * q_hash_embed_dup: signed token counts on the md5-slice hash, plus
+    * the dense 64-position grid — mirrors `TextStats.hashEmbed`. */
+  private val HashEmbedCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      |        FROM documents),
+      |tf AS (SELECT doc_id, t, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+      |       FROM tok WHERE length(t) > 0),
+      |c AS (SELECT doc_id, h % 64 AS pos,
+      |        SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS v
+      |      FROM tf GROUP BY 1, 2),
+      |grid AS (SELECT d.doc_id, p.pos
+      |         FROM (SELECT DISTINCT doc_id FROM tf) d,
+      |              (SELECT unnest(generate_series(0, 63)) AS pos) p)""".stripMargin
+
   /** Shared by q_bloom_decon and q_bloom_stream: the bit table is a set
     * union, so the cross-batch drive's twin is the batch twin verbatim. */
   private val BloomDeconSql =
@@ -2255,6 +2306,32 @@ object ExtQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same signed-count components on the md5 slice, densified over the
+    // 64-position grid.
+    "q_hash_embed" ->
+      s"""WITH $HashEmbedCtes
+         |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos,
+         |       CAST(COALESCE(c.v, 0) AS BIGINT) AS val
+         |FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.pos = c.pos
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Exhaustive pairs over the re-derived hashed vectors with the same
+    // exact rational threshold (400·dot² ≥ 361·|a|²|b|², dot > 0) — integer
+    // arithmetic in doubles, no sqrt, so no boundary rounding.
+    "q_hash_embed_dup" ->
+      s"""WITH $HashEmbedCtes,
+         |vec AS (SELECT g.doc_id,
+         |          list(CAST(COALESCE(c.v, 0) AS FLOAT) ORDER BY g.pos) AS emb
+         |        FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.pos = c.pos
+         |        GROUP BY 1),
+         |nv AS (SELECT doc_id, emb, list_inner_product(emb, emb) AS n2 FROM vec),
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         list_inner_product(a.emb, b.emb) AS d, a.n2 AS an, b.n2 AS bn
+         |       FROM nv a JOIN nv b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id FROM pr
+         |WHERE d > 0 AND d * d * 400 >= an * bn * 361
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // LSH == exhaustive on this fixture at 63 bits / 21 bands (precision 1
     // by exact verify; deterministic seed-42 hyperplanes; measured set
