@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Cross-batch SimHash near-dup rejection — the Hamming-space twin of
+  * [[IncrementalLsh]] (which screens by MinHash/Jaccard): the accepted
+  * corpus is a persistent KeyedStore of (band, bval) → (doc_id, fp)
+  * rows — 8 bytes of fingerprint per accepted doc per band, never the
+  * texts — and an incoming document is rejected when some stored
+  * fingerprint within `maxHam` bit flips exists. By the pigeonhole
+  * argument (`Dedup.simhashPairs`), any pair within `maxHam < bands`
+  * flips shares at least one identical band slice, so the screen is an
+  * equi-join on (band, bval) with the exact `bit_count` check only on
+  * bucket collisions — ZERO false negatives at the stated radius, unlike
+  * MinHash's probabilistic recall (the reason to run both: LSH catches
+  * high-Jaccard rewrites, SimHash catches low-Hamming fingerprint
+  * drift).
+  *
+  * Per-batch cost tracks the batch ([[IncrementalLsh]]'s posture): fp
+  * compute, a bucket-PRUNED store read (only buckets the batch hashes
+  * into are opened), a collision-sized verify, and a batch-sized
+  * within-batch pass. Only docs with NULL text carry no fingerprint
+  * (they pass the screen and are not stored); an empty STRING hashes
+  * the tokenizer's empty token, so all empty docs form one hamming-0
+  * cluster — the batch operator's own semantics. Rejections are
+  * against the ACCEPTED corpus only: a loser's near-dups may later be
+  * accepted if no stored fingerprint sits within the radius (same
+  * contract as [[IncrementalLsh]]). */
+object IncrementalSimhash {
+
+  private def bandBuckets(fps: DataFrame, bands: Int): DataFrame = {
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bval"))
+    }
+    fps.select(col("doc_id"), col("fp"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+  }
+
+  /** Dedup one micro-batch of (doc_id, text) against the fingerprint
+    * store: returns accepted rows, appends their band/fp rows. */
+  def dedupBatch(batch: DataFrame, storePath: String, idCol: Column,
+      textCol: Column, batchId: Long, maxHam: Int = 3, bands: Int = 4,
+      numBuckets: Int = 16): DataFrame = {
+    require(maxHam < bands, "pigeonhole needs maxHam < bands")
+    require(32 % bands == 0, "bands must divide 32")
+    val spark = batch.sparkSession
+    val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
+    val fps = Dedup.simhash32(docs, col("doc_id"), col("__text"))
+      .localCheckpoint(true)
+    val buckets = bandBuckets(fps, bands)
+
+    // (1) cross-batch screen — pruned read: only store buckets the
+    // batch's (band, bval) probes hash into are opened
+    val crossDups = KeyedStore.readPruned(spark, storePath, buckets) match {
+      case Some(stored) =>
+        buckets.join(
+            stored.select(col("band"), col("bval"), col("fp").as("__sfp")),
+            Seq("band", "bval"))
+          .filter(expr(s"bit_count(fp ^ __sfp) <= $maxHam"))
+          .select(col("doc_id")).distinct()
+      case None => docs.select(col("doc_id")).limit(0)
+    }
+    val survivors = docs.join(crossDups, Seq("doc_id"), "left_anti")
+
+    // (2) within-batch: banded pairs + components, cluster minimum wins
+    val fpS = fps.join(survivors.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val pairs = Dedup.simhashPairs(fpS, maxHam, bands)
+      .select(col("a_id"), col("b_id"))
+    val losers =
+      if (pairs.isEmpty) docs.select(col("doc_id")).limit(0)
+      else Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+    val accepted = survivors.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // (3) index the accepted docs' fingerprints
+    val newRows = bandBuckets(
+        fps.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        bands)
+      .withColumn("batch_id", lit(batchId))
+    if (!newRows.isEmpty)
+      KeyedStore.merge(newRows, storePath,
+        keys = Seq("band", "bval", "doc_id"), seqCols = Seq("batch_id"),
+        numBuckets = numBuckets,
+        // bucket by the PROBE key prefix so readPruned can map probes
+        bucketCols = Seq("band", "bval"))
+    graft.util.Blocks.freeCheckpoint(fps)
+    accepted.select(col("doc_id"), col("__text").as("text"))
+  }
+}
