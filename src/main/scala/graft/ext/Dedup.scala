@@ -936,8 +936,11 @@ object Dedup {
     * and equi-join on (band, slice) instead of an all-pairs nested loop. The
     * band key is the shuffle key at scale; the exact `bit_count` check then
     * runs only on bucket collisions. */
-  def simhashPairs(fps: DataFrame, maxHam: Int, bands: Int = 4): DataFrame = {
-    require(maxHam < bands, "pigeonhole needs maxHam < bands")
+  /** The (band, bval) bucket layout of 32-bit fingerprints shared by
+    * [[simhashPairs]] and `streaming/IncrementalSimhash` — ONE derivation,
+    * so the store's probe keys can never drift from the batch operator's
+    * (the [[bandBuckets]] discipline, SimHash-side). */
+  private[graft] def simhashBandBuckets(fps: DataFrame, bands: Int): DataFrame = {
     require(32 % bands == 0, "bands must divide 32")
     val width = 32 / bands
     val mask = (1L << width) - 1
@@ -945,9 +948,15 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bval"))
     }
-    val buckets = fps.select(col("doc_id"), col("fp"),
+    fps.select(col("doc_id"), col("fp"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+      .select(col("doc_id"), col("fp"), col("bk.band").as("band"),
+        col("bk.bval").as("bval"))
+  }
+
+  def simhashPairs(fps: DataFrame, maxHam: Int, bands: Int = 4): DataFrame = {
+    require(maxHam < bands, "pigeonhole needs maxHam < bands")
+    val buckets = simhashBandBuckets(fps, bands)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -755,7 +755,8 @@ object TextStats {
     * (doc, component) sum (≤ dim rows per doc out of the shuffle), then
     * a per-doc dense assembly — no joins, no corpus-width state.
     *
-    * @return (idCol's name, embedding) — dense float array of `dim` */
+    * @return (doc_id, embedding) — the id column is always named
+    *   `doc_id` regardless of `idCol`; dense float array of `dim` */
   def hashEmbed(df: DataFrame, idCol: Column, textCol: Column,
       dim: Int = 64): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")

@@ -887,8 +887,11 @@ object ExtQueries {
     // sf0.1) and drops the same-genre background correlation.
     // Exhaustive-pair oracle baseline, the q_embed_dup class.
     "q_hash_embed_dup" -> { (s, dir) =>
+      // pin the vector build: the self-join reads both sides (the
+      // connectedComponents double-scan lesson — ~1.7x otherwise)
       val v = TextStats.hashEmbed(docs(s, dir), col("doc_id"), col("text"))
         .withColumn("n2", Similarity.dot(col("embedding"), col("embedding")))
+        .localCheckpoint(true)
       val a = v.select(col("doc_id").as("a_id"), col("embedding").as("ae"),
         col("n2").as("an"))
       val b = v.select(col("doc_id").as("b_id"), col("embedding").as("be"),
@@ -2318,11 +2321,15 @@ object ExtQueries {
 
     // Exhaustive pairs over the re-derived hashed vectors with the same
     // exact rational threshold (400·dot² ≥ 361·|a|²|b|², dot > 0) — integer
-    // arithmetic in doubles, no sqrt, so no boundary rounding.
+    // arithmetic in doubles, no sqrt, so no boundary rounding. The list
+    // is built as DOUBLE[] deliberately: FLOAT[] list_inner_product
+    // accumulates in FLOAT and flips the predicate at exact-boundary
+    // pairs once products pass 2^24 (verified), while Spark's DotProduct
+    // is a double fold.
     "q_hash_embed_dup" ->
       s"""WITH $HashEmbedCtes,
          |vec AS (SELECT g.doc_id,
-         |          list(CAST(COALESCE(c.v, 0) AS FLOAT) ORDER BY g.pos) AS emb
+         |          list(CAST(COALESCE(c.v, 0) AS DOUBLE) ORDER BY g.pos) AS emb
          |        FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.pos = c.pos
          |        GROUP BY 1),
          |nv AS (SELECT doc_id, emb, list_inner_product(emb, emb) AS n2 FROM vec),

@@ -30,38 +30,42 @@ import graft.ext.Dedup
   * contract as [[IncrementalLsh]]). */
 object IncrementalSimhash {
 
-  private def bandBuckets(fps: DataFrame, bands: Int): DataFrame = {
-    val width = 32 / bands
-    val mask = (1L << width) - 1
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("fp"), b * width).bitwiseAND(lit(mask)).as("bval"))
-    }
-    fps.select(col("doc_id"), col("fp"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("fp"),
-        col("bk.band").as("band"), col("bk.bval").as("bval"))
-  }
-
   /** Dedup one micro-batch of (doc_id, text) against the fingerprint
-    * store: returns accepted rows, appends their band/fp rows. */
+    * store: returns accepted rows, appends their band/fp rows.
+    *
+    * Replay safety: stored rows carry their fold's batch id, and the
+    * screen reads only rows with `batch_id < batchId` — a crash-replayed
+    * batch therefore does NOT collide with its own first-attempt
+    * fingerprints (which would reject every previously-accepted doc) and
+    * recomputes the identical accepted set; the re-merge rewrites the
+    * same rows. Batch ids must be monotone, the family contract.
+    *
+    * Honest scale note: a 32-bit fingerprint at `bands` slices has only
+    * 2^(32/bands) values per band, so stored bucket width grows ~N/2^width
+    * with the ACCEPTED corpus and the verify join with it — unlike
+    * [[IncrementalLsh]], no hot-bucket cap can be added without breaking
+    * the zero-false-negative pigeonhole guarantee (the design tension is
+    * inherent to exact-radius screens). At webscale, widen the
+    * fingerprint/band slices (64-bit fp at 8 bands = 256× fewer
+    * collisions per bucket) before reaching for a cap. */
   def dedupBatch(batch: DataFrame, storePath: String, idCol: Column,
       textCol: Column, batchId: Long, maxHam: Int = 3, bands: Int = 4,
       numBuckets: Int = 16): DataFrame = {
     require(maxHam < bands, "pigeonhole needs maxHam < bands")
-    require(32 % bands == 0, "bands must divide 32")
     val spark = batch.sparkSession
     val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
     val fps = Dedup.simhash32(docs, col("doc_id"), col("__text"))
       .localCheckpoint(true)
-    val buckets = bandBuckets(fps, bands)
+    val buckets = Dedup.simhashBandBuckets(fps, bands)
 
     // (1) cross-batch screen — pruned read: only store buckets the
-    // batch's (band, bval) probes hash into are opened
+    // batch's (band, bval) probes hash into are opened; rows from an
+    // interrupted attempt of THIS batch are excluded (replay safety)
     val crossDups = KeyedStore.readPruned(spark, storePath, buckets) match {
       case Some(stored) =>
         buckets.join(
-            stored.select(col("band"), col("bval"), col("fp").as("__sfp")),
+            stored.filter(col("batch_id") < batchId)
+              .select(col("band"), col("bval"), col("fp").as("__sfp")),
             Seq("band", "bval"))
           .filter(expr(s"bit_count(fp ^ __sfp) <= $maxHam"))
           .select(col("doc_id")).distinct()
@@ -82,7 +86,7 @@ object IncrementalSimhash {
       .localCheckpoint(true)
 
     // (3) index the accepted docs' fingerprints
-    val newRows = bandBuckets(
+    val newRows = Dedup.simhashBandBuckets(
         fps.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi"),
         bands)
       .withColumn("batch_id", lit(batchId))

@@ -48,6 +48,14 @@ class IncrementalSimhashSpec extends SparkSpec {
     assert(got1.contains(2000000L), "novel doc must pass")
     assert(!got1.exists(id => id >= 1000000L && id < 2000000L),
       s"all re-arrivals must reject: $got1")
+
+    // crash replay of batch 1: the store already holds batch 1's
+    // fingerprints, but the screen ignores rows at batch_id >= 1, so the
+    // replay recomputes the IDENTICAL accepted set instead of rejecting
+    // its own first attempt
+    val a1r = IncrementalSimhash.dedupBatch(rearrived.unionByName(fresh),
+      store, col("doc_id"), col("text"), 1L)
+    assert(ids(a1r) == got1, "replay must reproduce the accepted set")
     graft.util.Blocks.freeCheckpoint(base)
   }
 
