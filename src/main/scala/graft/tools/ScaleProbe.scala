@@ -818,7 +818,47 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** IncrementalSimhash long-run probe: fold `batches` document batches
+    * into one fingerprint store and report per-fold wall, stored rows,
+    * and the WIDEST (band, bval) bucket — the metric behind the
+    * scaladoc's saturation note (32-bit fp at 4 bands = 256 values per
+    * band; bucket width, and with it verify-join cost, grows with the
+    * accepted corpus — watch it, then widen the fingerprint).
+    *
+    * Usage: runMain graft.tools.ScaleProbe simhash [batches] [storeRoot] */
+  def simhashProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val store = s"$storeRoot/sh"
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    for (i <- 0 until batches) {
+      val b = docs.filter(col("doc_id") % batches === i)
+      val t0 = System.nanoTime()
+      val acc = graft.streaming.IncrementalSimhash.dedupBatch(
+        b, store, col("doc_id"), col("text"), i.toLong)
+      val nAcc = acc.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.util.Blocks.freeCheckpoint(acc)
+      if (i < 3 || i == batches - 1) {
+        val live = graft.streaming.KeyedStore.read(spark, store).get
+        val widest = live.groupBy("band", "bval").count()
+          .agg(max(col("count"))).head().getLong(0)
+        println(f"SHPROBE fold=$i%2d accepted=$nAcc wall=$wall%5.2f s " +
+          f"storeRows=${live.count()} widestBucket=$widest")
+      } else println(f"SHPROBE fold=$i%2d accepted=$nAcc wall=$wall%5.2f s")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("simhash")) {
+      simhashProbe(args.lift(1).map(_.toInt).getOrElse(8),
+        args.lift(2).getOrElse("/tmp/graft_scale_simhash"))
+      return
+    }
     if (args.headOption.contains("pq")) {
       pqProbe(args.lift(1).map(_.toInt).getOrElse(50))
       return
