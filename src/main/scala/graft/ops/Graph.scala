@@ -490,6 +490,40 @@ object Graph {
     out
   }
 
+  /** `rounds` peeling rounds toward the k-CORE: each round drops NODES
+    * with degree < k and recomputes degrees over the induced subgraph —
+    * the node-level cohesion cascade ([[kTruss]] is the edge-level one;
+    * cores are cheaper — a degree aggregate per round instead of a
+    * triangle pass — and the standard crawl-frontier / spam-farm
+    * peel). Fixed rounds keep it a pure function of (edges, k, rounds);
+    * callers wanting the fixpoint re-run until the edge count stops
+    * moving (monotone decreasing). Per-round edges are
+    * localCheckpointed.
+    * @return the surviving (u, v) canonical edges after `rounds` */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("u"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("node"))
+      val next = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(e)
+      e = next
+    }
+    e
+  }
+
   /** The [[labelPropagation]] SQL twin generator — iterations unrolled as
     * CTEs over an `e(src, dst)` edge CTE, mirroring [[pageRankSql]]. */
   def labelPropSql(edgesCte: String, iters: Int): String = {

@@ -160,6 +160,16 @@ object ExtQueries {
       graft.ops.Graph.trussSupport(pairs).orderBy(col("u"), col("v"))
     },
 
+    // Two 3-core peeling rounds on the pair graph: nodes of degree < 3
+    // drop, degrees recompute over the induced subgraph — the node-level
+    // cohesion cascade beside q_ktruss's edge-level one.
+    "q_kcore" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      graft.ops.Graph.kCore(pairs, k = 3, rounds = 2)
+        .orderBy(col("u"), col("v"))
+    },
+
     // Two 4-truss peeling rounds on the pair graph: edges in < 2
     // triangles drop, supports recompute over the survivors (the cascade
     // is the point — round 2 can evict edges round 1 kept).
@@ -1785,6 +1795,25 @@ object ExtQueries {
          |SELECT p.u, p.v, CAST(COALESCE(sp.s, 0) AS BIGINT) AS support
          |FROM p LEFT JOIN sp ON p.u = sp.u AND p.v = sp.v
          |ORDER BY p.u, p.v""".stripMargin,
+
+    // Node peel unrolled: per round, degrees over the survivors, nodes
+    // with degree >= 3 kept, edges induced.
+    "q_kcore" -> {
+      def round(i: Int): String =
+        s"""kn$i AS (SELECT node FROM (
+           |           SELECT u AS node FROM t${i - 1}
+           |           UNION ALL SELECT v FROM t${i - 1})
+           |         GROUP BY 1 HAVING COUNT(*) >= 3),
+           |t$i AS (SELECT t.u, t.v FROM t${i - 1} t
+           |        JOIN kn$i a ON t.u = a.node
+           |        JOIN kn$i b ON t.v = b.node)""".stripMargin
+      s"""WITH $JAC,
+         |t0 AS (SELECT a_id AS u, b_id AS v FROM jac
+         |       WHERE inter_ct * 2 >= union_ct * 1),
+         |${round(1)},
+         |${round(2)}
+         |SELECT u, v FROM t2 ORDER BY u, v""".stripMargin
+    },
 
     // Two peeling rounds unrolled: each recounts triple closures over the
     // previous survivors and keeps edges with support >= k-2 = 2 (such

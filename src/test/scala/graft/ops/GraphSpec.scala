@@ -229,6 +229,27 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("weights"))
   }
 
+  test("kCore: the star collapses round by round, the clique survives") {
+    val s = spark
+    import s.implicits._
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    // star: hub 10 with leaves 11..15 — leaves (deg 1) drop in round 1,
+    // the hub (deg 0 after) drops in round 2: the cascade
+    val star = (11L to 15L).map(l => (10L, l))
+    val g = (k4 ++ star).toDF("a", "b")
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(Graph.kCore(g, k = 3, rounds = 1)) == k4.toSet)
+    assert(edges(Graph.kCore(g, k = 3, rounds = 2)) == k4.toSet)
+    // K4 is exactly a 3-core; k = 4 empties it
+    assert(Graph.kCore(g, k = 4, rounds = 2).isEmpty)
+    // chain cascade: path 20-21-22-23 at k=2 loses its endpoints round 1,
+    // then the remaining edge's endpoints have degree 1 — empty by round 3
+    val path = Seq((20L, 21L), (21L, 22L), (22L, 23L)).toDF("a", "b")
+    assert(edges(Graph.kCore(path, k = 2, rounds = 1)) == Set((21L, 22L)))
+    assert(Graph.kCore(path, k = 2, rounds = 2).isEmpty)
+  }
+
   test("labelPropSql twin unrolls exactly the requested iterations") {
     val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
     assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
