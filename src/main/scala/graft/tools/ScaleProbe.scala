@@ -853,7 +853,60 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Long-run fold probe for the three newest persistent sketches —
+    * IncrementalCms (bin-wise add), IncrementalHll (register max), and
+    * IncrementalCentroid (integer sums) — `batches` folds each over the
+    * sf0.1 sources, reporting per-fold wall and live state rows. The
+    * claims under test: flat fold cost at any history length, and state
+    * bounded by (d·w)/2^p/labels·dim rather than rows ever folded.
+    *
+    * Usage: runMain graft.tools.ScaleProbe sketchfold [batches] [root] */
+  def sketchFoldProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val l = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .localCheckpoint(true)
+    val o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      .localCheckpoint(true)
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .localCheckpoint(true)
+    def report(tag: String, i: Int, wall: Double, path: String): Unit =
+      if (i < 2 || (i + 1) % 10 == 0 || i == batches - 1) {
+        val rows = graft.streaming.KeyedStore.read(spark, path).get
+          .filter(col("op_type") =!= "delete").count()
+        println(f"SKFOLD $tag%-8s fold=$i%3d wall=$wall%5.2f s liveRows=$rows")
+      }
+    for (i <- 0 until batches) {
+      val t0 = System.nanoTime()
+      val c = graft.streaming.IncrementalCms.mergeBatch(
+        l.filter(col("l_orderkey") % batches === i), s"$storeRoot/cms",
+        col("l_returnflag"), col("l_partkey"), i.toLong)
+      c.count(); graft.util.Blocks.freeCheckpoint(c)
+      report("cms", i, (System.nanoTime - t0) / 1e9, s"$storeRoot/cms")
+      val t1 = System.nanoTime()
+      val h = graft.streaming.IncrementalHll.mergeBatch(
+        o.filter(col("o_orderkey") % batches === i), s"$storeRoot/hll",
+        col("o_orderstatus"), col("o_custkey"), batchId = i.toLong)
+      h.count(); graft.util.Blocks.freeCheckpoint(h)
+      report("hll", i, (System.nanoTime - t1) / 1e9, s"$storeRoot/hll")
+      val t2 = System.nanoTime()
+      val ce = graft.streaming.IncrementalCentroid.mergeBatch(
+        emb.filter(col("vec_id") % batches === i), s"$storeRoot/cent",
+        col("label"), col("embedding"), i.toLong)
+      ce.count(); graft.util.Blocks.freeCheckpoint(ce)
+      report("centroid", i, (System.nanoTime - t2) / 1e9, s"$storeRoot/cent")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sketchfold")) {
+      sketchFoldProbe(args.lift(1).map(_.toInt).getOrElse(20),
+        args.lift(2).getOrElse("/tmp/graft_scale_skf"))
+      return
+    }
     if (args.headOption.contains("simhash")) {
       simhashProbe(args.lift(1).map(_.toInt).getOrElse(8),
         args.lift(2).getOrElse("/tmp/graft_scale_simhash"))
