@@ -690,6 +690,38 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"))
   }
 
+  /** Two-stage retrieval — the production stack's final shape: the
+    * [[ivfPqTopK]] IVFADC stage shortlists `shortlist` candidates per
+    * query from CODES (16 B rows, probed cells only), then ONLY those
+    * candidates' float vectors are fetched and re-ranked by exact cosine
+    * (ties by vec_id). The expensive exact math touches
+    * `shortlist · |queries|` vectors instead of the corpus — the
+    * recall-vs-cost dial every deployed ANN service exposes (bigger
+    * shortlist → approaches exact-within-probed-cells at linearly more
+    * float reads). Both stages deterministic, so the composition
+    * hash-oracles (`q_ann_rerank`).
+    * @return (query_id, vec_id, rk) — exact-cosine rank within the
+    *   shortlist, top `topK` per query */
+  def ivfPqRerank(queries: DataFrame, corpus: DataFrame, books: DataFrame,
+      codes: DataFrame, m: Int = 4, shortlist: Int = 50, topK: Int = 5,
+      nProbe: Int = 2): DataFrame = {
+    require(topK <= shortlist, s"topK $topK must be <= shortlist $shortlist")
+    val cand = ivfPqTopK(queries, corpus, books, codes, m, shortlist, nProbe)
+      .select(col("query_id"), col("vec_id"))
+    val qn = queries.select(col("query_id"), col("embedding").as("__qe"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("__qn"))
+    val cn = corpus.select(col("vec_id"), col("embedding").as("__ce"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("__cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("vec_id"))
+    cand.join(qn, Seq("query_id")).join(cn, Seq("vec_id"))
+      .withColumn("__sim", dotF(col("__qe"), col("__ce")) /
+        (col("__qn") * col("__cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"))
+  }
+
   /** Per-label centroid as SCALED-INTEGER per-dimension sums: each component
     * contributes `floor(x · 10⁶)` (float→double promotion, one multiply and
     * `floor` — all IEEE-exact, and floor has no rounding-mode ambiguity the

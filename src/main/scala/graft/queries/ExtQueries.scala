@@ -914,6 +914,24 @@ object ExtQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Two-stage retrieval: IVFADC shortlists 40 candidates per query
+    // from codes, exact cosine re-ranks only those vectors — the
+    // deployed-ANN recall/cost dial, composed from the two proven
+    // stages.
+    "q_ann_rerank" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(e, books, m = 4)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val out = Similarity.ivfPqRerank(qs, e, books, codes, m = 4,
+          shortlist = 40, topK = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(books)
+      out
+    },
+
     // Top-3 TF-IDF terms per document (reciprocal-df idf — IEEE-exact ops
     // only; see Ranking's scaladoc).
     "q_tfidf_top" -> { (s, dir) =>
@@ -1628,6 +1646,62 @@ object ExtQueries {
 
   private val PqTrainCtes: String = pqTrainCtes("embeddings")
 
+  /** The IVFADC chain (coarse probe + ADC lookup sum) through `prk2`,
+    * shared by q_ann_ivf_pq and q_ann_rerank — the re-rank twin reads
+    * its shortlist straight off the proven chain. */
+  private val IvfPqCtes: String =
+    s"""${PqTrainCtes},
+         |icent AS (
+         |  SELECT label, d.i AS pos,
+         |         CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+         |  FROM embeddings CROSS JOIN (
+         |    SELECT unnest(generate_series(1,
+         |             (SELECT MAX(len(embedding)) FROM embeddings))) AS i) d
+         |  GROUP BY 1, 2),
+         |icentv AS (SELECT label, list(cv ORDER BY pos) AS centroid
+         |           FROM icent GROUP BY 1),
+         |iprob AS (
+         |  SELECT * FROM (
+         |    SELECT q.vec_id AS query_id, c.label,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_cosine_similarity(q.embedding, c.centroid) DESC,
+         |                      c.label) AS c_rank
+         |    FROM embeddings q CROSS JOIN icentv c WHERE q.vec_id % 97 = 0)
+         |  WHERE c_rank <= 2),
+         |pq2 AS (SELECT vec_id AS query_id, sub, svec FROM rows_
+         |        WHERE vec_id % 97 = 0),
+         |pdt2 AS (SELECT q.query_id, q.sub, c.c_code AS code,
+         |           list_inner_product(c.centroid, c.centroid)
+         |           - 2 * list_inner_product(q.svec, c.centroid) AS d
+         |         FROM pq2 q JOIN pb2 c ON q.sub = c.sub),
+         |pcw2 AS (SELECT vec_id,
+         |           MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+         |           MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+         |           MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+         |           MAX(CASE WHEN sub = 3 THEN code END) AS c3
+         |         FROM pl2 GROUP BY 1),
+         |cand AS (SELECT p.query_id, w.vec_id, w.c0, w.c1, w.c2, w.c3
+         |         FROM iprob p
+         |         JOIN embeddings e ON e.label = p.label
+         |         JOIN pcw2 w ON w.vec_id = e.vec_id),
+         |psc2 AS (SELECT c.query_id, c.vec_id,
+         |           ((d0.d + d1.d) + d2.d) + d3.d AS dist
+         |         FROM cand c
+         |         JOIN pdt2 d0 ON d0.sub = 0 AND d0.code = c.c0
+         |                     AND d0.query_id = c.query_id
+         |         JOIN pdt2 d1 ON d1.sub = 1 AND d1.code = c.c1
+         |                     AND d1.query_id = c.query_id
+         |         JOIN pdt2 d2 ON d2.sub = 2 AND d2.code = c.c2
+         |                     AND d2.query_id = c.query_id
+         |         JOIN pdt2 d3 ON d3.sub = 3 AND d3.code = c.c3
+         |                     AND d3.query_id = c.query_id),
+         |prk2 AS (SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY dist ASC, vec_id) AS rk
+         |         FROM psc2)
+         """.stripMargin
+
+
   /** The feature-hashing vector build shared by q_hash_embed and
     * q_hash_embed_dup: signed token counts on the md5-slice hash, plus
     * the dense 64-position grid — mirrors `TextStats.hashEmbed`. */
@@ -2272,57 +2346,24 @@ object ExtQueries {
     // cosine ranking, label-asc ties) composed with the PQ chain's ADC
     // lookup sum, candidates restricted to the 2 probed cells.
     "q_ann_ivf_pq" ->
-      s"""WITH ${PqTrainCtes},
-         |icent AS (
-         |  SELECT label, d.i AS pos,
-         |         CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
-         |  FROM embeddings CROSS JOIN (
-         |    SELECT unnest(generate_series(1,
-         |             (SELECT MAX(len(embedding)) FROM embeddings))) AS i) d
-         |  GROUP BY 1, 2),
-         |icentv AS (SELECT label, list(cv ORDER BY pos) AS centroid
-         |           FROM icent GROUP BY 1),
-         |iprob AS (
-         |  SELECT * FROM (
-         |    SELECT q.vec_id AS query_id, c.label,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY list_cosine_similarity(q.embedding, c.centroid) DESC,
-         |                      c.label) AS c_rank
-         |    FROM embeddings q CROSS JOIN icentv c WHERE q.vec_id % 97 = 0)
-         |  WHERE c_rank <= 2),
-         |pq2 AS (SELECT vec_id AS query_id, sub, svec FROM rows_
-         |        WHERE vec_id % 97 = 0),
-         |pdt2 AS (SELECT q.query_id, q.sub, c.c_code AS code,
-         |           list_inner_product(c.centroid, c.centroid)
-         |           - 2 * list_inner_product(q.svec, c.centroid) AS d
-         |         FROM pq2 q JOIN pb2 c ON q.sub = c.sub),
-         |pcw2 AS (SELECT vec_id,
-         |           MAX(CASE WHEN sub = 0 THEN code END) AS c0,
-         |           MAX(CASE WHEN sub = 1 THEN code END) AS c1,
-         |           MAX(CASE WHEN sub = 2 THEN code END) AS c2,
-         |           MAX(CASE WHEN sub = 3 THEN code END) AS c3
-         |         FROM pl2 GROUP BY 1),
-         |cand AS (SELECT p.query_id, w.vec_id, w.c0, w.c1, w.c2, w.c3
-         |         FROM iprob p
-         |         JOIN embeddings e ON e.label = p.label
-         |         JOIN pcw2 w ON w.vec_id = e.vec_id),
-         |psc2 AS (SELECT c.query_id, c.vec_id,
-         |           ((d0.d + d1.d) + d2.d) + d3.d AS dist
-         |         FROM cand c
-         |         JOIN pdt2 d0 ON d0.sub = 0 AND d0.code = c.c0
-         |                     AND d0.query_id = c.query_id
-         |         JOIN pdt2 d1 ON d1.sub = 1 AND d1.code = c.c1
-         |                     AND d1.query_id = c.query_id
-         |         JOIN pdt2 d2 ON d2.sub = 2 AND d2.code = c.c2
-         |                     AND d2.query_id = c.query_id
-         |         JOIN pdt2 d3 ON d3.sub = 3 AND d3.code = c.c3
-         |                     AND d3.query_id = c.query_id),
-         |prk2 AS (SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY dist ASC, vec_id) AS rk
-         |         FROM psc2)
+      s"""WITH ${IvfPqCtes}
          |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Two-stage twin: the IVFADC chain shortlists rk <= 40, the exact
+    // cosine re-rank runs only on those candidates.
+    "q_ann_rerank" ->
+      s"""WITH ${IvfPqCtes},
+         |sl AS (SELECT query_id, vec_id FROM prk2 WHERE rk <= 40),
+         |rr AS (SELECT s.query_id, s.vec_id,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |                    s.vec_id) AS rk
+         |       FROM sl s
+         |       JOIN embeddings q ON q.vec_id = s.query_id
+         |       JOIN embeddings c ON c.vec_id = s.vec_id)
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM rr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT q_id, rank, n_id FROM (

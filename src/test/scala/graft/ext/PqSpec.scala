@@ -85,6 +85,32 @@ class PqSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(books)
   }
 
+  test("ivfPqRerank equals exact cosine ranking over the ADC shortlist") {
+    val e = emb
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(e, books, m = 4)
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfPqRerank(qs, e, books, codes, m = 4,
+      shortlist = 40, topK = 5, nProbe = 2)
+    val sl = Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 40,
+      nProbe = 2).select(col("query_id"), col("vec_id"))
+    val qn = qs.select(col("query_id"), col("embedding").as("qe"))
+    val cn = e.select(col("vec_id"), col("embedding").as("ce"))
+    val want = sl.join(qn, "query_id").join(cn, "vec_id")
+      .withColumn("sim",
+        Similarity.dot(col("qe"), col("ce")) /
+          (sqrt(Similarity.dot(col("qe"), col("qe"))) *
+            sqrt(Similarity.dot(col("ce"), col("ce")))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    graft.util.Blocks.freeCheckpoint(books)
+  }
+
   test("ADC top-10 reaches the true Euclidean head of the corpus") {
     val e = emb
     val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
