@@ -66,15 +66,32 @@ object Ranking {
   def bm25(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val base = df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks"))
-      .withColumn("dl", size(col("__toks")).cast("long"))
-      .select(Seq(col("doc_id"), col("dl")) ++ terms.zipWithIndex.map { case (t, i) =>
-        size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
-      }: _*)
+    val base = bm25Base(df, idCol, textCol, terms)
     val stats = base.agg(
       count(lit(1)).as("n"),
       (Seq(sum(col("dl")).as("sumdl")) ++ terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
+    bm25Score(base, stats, terms.size, topK, k1, b)
+  }
+
+  /** The per-document half of [[bm25]]: (doc_id, dl, tf_0..) — row-local
+    * array filters, no shuffle. Shared with the store-backed scorer so the
+    * tokenizer and tf definitions can never drift. */
+  private[graft] def bm25Base(df: DataFrame, idCol: Column, textCol: Column,
+      terms: Seq[String]): DataFrame =
+    df.select(idCol.as("doc_id"), TextStats.toks(textCol).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+      }: _*)
+
+  /** The scoring half: rank `base` rows against a ONE-ROW corpus-stats
+    * frame (n, sumdl, df_0..df_{k-1}) — whether those stats came from the
+    * same one-pass aggregate ([[bm25]]) or a cross-batch store
+    * ([[graft.streaming.IncrementalDf.bm25Store]]), the expression tree is
+    * THIS one, so equal stats values give bit-identical scores. */
+  private[graft] def bm25Score(base: DataFrame, stats: DataFrame,
+      nTerms: Int, topK: Int, k1: Double, b: Double): DataFrame = {
     // avgdl and each per-term score are built as ONE expression tree, mirrored
     // token-for-token by the SQL oracle — identical op order ⇒ identical bits.
     val avgdl = col("sumdl").cast("double") / col("n")
@@ -82,9 +99,9 @@ object Ranking {
       (col("n").cast("double") / col(s"df_$i")) *
         (col(s"tf_$i") * lit(k1 + 1.0)) /
         (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
-    val score = terms.indices.map(termScore).reduce(_ + _)
-    val anyHit = terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _)
-    val outCols = Seq(col("doc_id"), col("dl")) ++ terms.indices.map(i => col(s"tf_$i"))
+    val score = (0 until nTerms).map(termScore).reduce(_ + _)
+    val anyHit = (0 until nTerms).map(i => col(s"tf_$i") > 0).reduce(_ || _)
+    val outCols = Seq(col("doc_id"), col("dl")) ++ (0 until nTerms).map(i => col(s"tf_$i"))
     val top = base.crossJoin(broadcast(stats))
       .filter(anyHit)
       .select(outCols :+ score.as("__score"): _*)

@@ -259,10 +259,26 @@ object Similarity {
     * [[ivfProbeCdf]] calibration so the two can never rank against
     * different centroids. */
   private def coarseCentroids(corpus: DataFrame): DataFrame =
+    centroidsOf(coarseCentroidSums(corpus))
+
+  /** The ADDITIVE half of [[coarseCentroids]]: per-(label, pos) exact
+    * DECIMAL component sums. Decimal addition at a fixed scale is exact and
+    * order-free, so partial sums over ANY batch split fold to the same
+    * value the one-pass aggregate produces — the property that lets
+    * [[graft.streaming.IncrementalIvf]] persist these rows across
+    * micro-batches and still hand [[centroidsOf]] bit-identical centroids.
+    * Emitted at decimal(38,10) so a stored sum plus a batch sum never
+    * re-widens the store schema (38 is Spark's precision ceiling). */
+  private[graft] def coarseCentroidSums(corpus: DataFrame): DataFrame =
     corpus.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(sum(col("v").cast("decimal(27,10)")).as("cv"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
+      .agg(sum(col("v").cast("decimal(27,10)")).cast("decimal(38,10)").as("cv"))
+
+  /** The READ half: (label, pos, cv) sums → (c_label, centroid FLOAT[]),
+    * shared by the batch quantizer and the store-backed index so the two
+    * can never round differently. */
+  private[graft] def centroidsOf(sums: DataFrame): DataFrame =
+    sums.groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("ps"))
       .select(col("label").as("c_label"),
         transform(col("ps"), p => p.getField("cv").cast("float")).as("centroid"))
 
@@ -650,10 +666,22 @@ object Similarity {
     * @return (query_id, vec_id, rk) — ADC-ranked within probed cells */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, books: DataFrame,
       codes: DataFrame, m: Int = 4, topK: Int = 10,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame =
+    ivfPqCore(queries, coarseCentroids(corpus),
+      corpus.select(col("vec_id"), col("label")), books, codes, m, topK,
+      nProbe)
+
+  /** The IVFADC probe + ADC scoring core over PRE-BUILT parts — shared by
+    * [[ivfPqTopK]] (parts derived from the corpus in one pass) and
+    * [[graft.streaming.IncrementalIvf.search]] (parts read from the
+    * persistent index), so the two paths cannot drift by construction.
+    * @param cent0 (c_label, centroid)   @param labels (vec_id, label) */
+  private[graft] def ivfPqCore(queries: DataFrame, cent0: DataFrame,
+      labels: DataFrame, books: DataFrame, codes: DataFrame, m: Int,
+      topK: Int, nProbe: Int): DataFrame = {
     require(m >= 1 && topK >= 1 && nProbe >= 1,
       s"need m, topK, nProbe >= 1, got ($m, $topK, $nProbe)")
-    val cent = coarseCentroids(corpus).withColumn("cent_nrm",
+    val cent = cent0.withColumn("cent_nrm",
       sqrt(dotF(col("centroid"), col("centroid"))))
     val qn = queries.select(col("query_id"), col("embedding"),
       sqrt(dotF(col("embedding"), col("embedding"))).as("q_nrm"))
@@ -672,7 +700,7 @@ object Similarity {
     // candidates: pivoted codes of probed cells only — the pruned scan
     val cand = codes.groupBy("vec_id")
       .pivot("sub", 0 until m).agg(first(col("code")))
-      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      .join(labels, "vec_id")
       .join(broadcast(probes), col("label") === col("c_label"))
     val scored = (0 until m).foldLeft(cand) { (acc, s) =>
       val dtS = dt.filter(col("sub") === s)

@@ -932,6 +932,31 @@ object ExtQueries {
       out
     },
 
+    // Persistent IVFADC index driven cross-batch: frozen books, three
+    // vec_id % 3 folds into a KeyedStore-backed index (append-only code
+    // rows + exact decimal centroid-sum folds), then store-backed search —
+    // which equals the batch IVFADC chain bit-exactly (shared ivfPqCore +
+    // order-free decimal sums), so the oracle is q_ann_ivf_pq's twin
+    // verbatim (the q_bloom_stream precedent).
+    "q_ann_stream" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_q")
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalIvf.mergeBatch(
+          e.filter(col("vec_id") % 3 === i), s"$root/ix", books,
+          batchId = i.toLong)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val res = graft.streaming.IncrementalIvf
+        .search(s, s"$root/ix", qs, books, m = 4, topK = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(books)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // Top-3 TF-IDF terms per document (reciprocal-df idf — IEEE-exact ops
     // only; see Ranking's scaladoc).
     "q_tfidf_top" -> { (s, dir) =>
@@ -945,6 +970,27 @@ object ExtQueries {
       Ranking.bm25(docs(s, dir), col("doc_id"), col("text"),
           terms = Seq("spark", "window"), topK = 20)
         .orderBy(col("rk"))
+    },
+
+    // Cross-batch BM25: three doc_id % 3 folds build the persistent
+    // document-frequency index, then the concatenated corpus is scored
+    // against the STORE's global statistics — bit-identical to the batch
+    // operator (exact integer stat adds through the same bm25Score tree),
+    // so the oracle is the batch twin verbatim.
+    "q_bm25_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_df_q")
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalDf.mergeBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/df",
+          col("doc_id"), col("text"), batchId = i.toLong)
+      val res = graft.streaming.IncrementalDf.bm25Store(s, s"$root/df", d,
+          col("doc_id"), col("text"), terms = Seq("spark", "window"),
+          topK = 20)
+        .orderBy(col("rk"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
     },
 
     // Hybrid retrieval: reciprocal-rank fusion of the LEXICAL bm25 top-20
@@ -1717,6 +1763,33 @@ object ExtQueries {
       |         FROM (SELECT DISTINCT doc_id FROM tf) d,
       |              (SELECT unnest(generate_series(0, 63)) AS pos) p)""".stripMargin
 
+  /** Shared by q_bm25 and q_bm25_stream: the document-frequency index's
+    * stat adds are exact, so the cross-batch drive's twin is the batch
+    * twin verbatim. Score expression mirrors Ranking.bm25Score
+    * token-for-token (raw idf, k1=1.25, b=0.75 — binary-exact literals). */
+  private val Bm25Sql =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+      |        CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf_0,
+      |        CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf_1 FROM d),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+      |        CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+      |        CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1 FROM b),
+      |sc AS (SELECT b.doc_id, b.dl, b.tf_0, b.tf_1,
+      |        ((CAST(st.n AS DOUBLE) / st.df_0) * (b.tf_0 * CAST(2.25 AS DOUBLE)))
+      |          / (b.tf_0 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |             + CAST(0.75 AS DOUBLE)
+      |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
+      |      + ((CAST(st.n AS DOUBLE) / st.df_1) * (b.tf_1 * CAST(2.25 AS DOUBLE)))
+      |          / (b.tf_1 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |             + CAST(0.75 AS DOUBLE)
+      |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
+      |          AS score
+      |       FROM b, st WHERE b.tf_0 > 0 OR b.tf_1 > 0)
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+      |       doc_id, dl, tf_0, tf_1
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Shared by q_bloom_decon and q_bloom_stream: the bit table is a set
     * union, so the cross-batch drive's twin is the batch twin verbatim. */
   private val BloomDeconSql =
@@ -2350,6 +2423,13 @@ object ExtQueries {
          |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    // The store-driven index converges to the batch IVFADC chain exactly
+    // (shared core, exact decimal sum folds) — batch twin verbatim.
+    "q_ann_stream" ->
+      s"""WITH ${IvfPqCtes}
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
     // Two-stage twin: the IVFADC chain shortlists rk <= 40, the exact
     // cosine re-rank runs only on those candidates.
     "q_ann_rerank" ->
@@ -2786,28 +2866,12 @@ object ExtQueries {
     // Mirrors Ranking.bm25's expression tree token-for-token (every op is
     // IEEE-exact and evaluated in the same order, so scores are bit-identical
     // and the rank compare is safe; constants are binary-exact).
-    "q_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-        |        CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf_0,
-        |        CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf_1 FROM d),
-        |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
-        |        CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
-        |        CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1 FROM b),
-        |sc AS (SELECT b.doc_id, b.dl, b.tf_0, b.tf_1,
-        |        ((CAST(st.n AS DOUBLE) / st.df_0) * (b.tf_0 * CAST(2.25 AS DOUBLE)))
-        |          / (b.tf_0 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |             + CAST(0.75 AS DOUBLE)
-        |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
-        |      + ((CAST(st.n AS DOUBLE) / st.df_1) * (b.tf_1 * CAST(2.25 AS DOUBLE)))
-        |          / (b.tf_1 + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |             + CAST(0.75 AS DOUBLE)
-        |               * (CAST(b.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / st.n))))
-        |          AS score
-        |       FROM b, st WHERE b.tf_0 > 0 OR b.tf_1 > 0)
-        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
-        |       doc_id, dl, tf_0, tf_1
-        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" -> Bm25Sql,
+
+    // The store-driven index converges to the batch BM25 chain exactly
+    // (integer stat adds through the same score tree) — batch twin
+    // verbatim (the q_bloom_stream precedent).
+    "q_bm25_stream" -> Bm25Sql,
 
     // Twin of Ranking.rrfFuse over the bm25 top-20 (same CTEs as q_bm25 —
     // score expression token-for-token) and the cosine top-20 of query

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVFADC index — the cross-batch form of the deployed-ANN
+  * stack ([[graft.ext.Similarity.ivfPqTopK]]): the index a crawl-scale
+  * embedding pipeline GROWS as batches arrive instead of rebuilding from
+  * the corpus per query. Codebooks and coarse cells are frozen at build
+  * time (the production posture: retraining the quantizer invalidates
+  * every stored code); each micro-batch then contributes
+  *
+  *   - CODE rows (vec_id, sub, label, code): the batch PQ-encoded against
+  *     the frozen books ([[graft.ext.Similarity.pqEncode]] is row-local
+  *     per vector, so per-batch encoding is trivially identical to
+  *     whole-corpus encoding) — append-only, keyed (vec_id, sub);
+  *   - CENTROID-SUM rows (label, pos, csum): the batch's exact
+  *     decimal(38,10) component sums ADDED into the stored sums. Decimal
+  *     addition at fixed scale is exact and order-free, so after any
+  *     number of folds the stored sums are bit-identical to the one-pass
+  *     corpus aggregate ([[graft.ext.Similarity.coarseCentroidSums]]) —
+  *     and therefore [[search]]'s probe centroids are bit-identical to the
+  *     batch operator's, floats included.
+  *
+  * [[search]] then runs the SAME probe + ADC core as the batch operator
+  * ([[graft.ext.Similarity.ivfPqCore]] — shared code, not a twin), so
+  * store-backed retrieval equals `ivfPqTopK` over the concatenated history
+  * exactly (spec-anchored, and `q_ann_stream`'s oracle is the batch twin
+  * verbatim, the `q_bloom_stream` precedent).
+  *
+  * Layout: TWO KeyedStores under one root — `<root>/codes` (corpus-sized,
+  * append-only, never read on the fold path) and `<root>/stats`
+  * (labels·dim + labels + 1 rows; read + folded every batch). A fold
+  * merges codes FIRST, stats second; the stats meta row is the commit
+  * point. Crash between the two leaves the high-water mark unadvanced, so
+  * the replayed fold re-upserts the same (vec_id, sub)-keyed code rows
+  * with identical values (idempotent) and folds the sums exactly once —
+  * the [[IncrementalTriangles]] two-store discipline. Replay safety is the
+  * counting-sketch contract: `batchId` is the `ver` seq, a replayed fold
+  * (batchId <= stored mark) returns current state without touching either
+  * store.
+  *
+  * Per-fold cost: one batch-sized encode + label join, a bucketed upsert
+  * of batch·m code rows, one labels·dim-row stats read/fold, one meta row.
+  * The fold never reads the code store — index maintenance stays O(batch)
+  * as the index grows to corpus scale. */
+object IncrementalIvf {
+
+  private def statsLive(spark: SparkSession, statsPath: String): DataFrame =
+    KeyedStore.read(spark, statsPath)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("kind"), col("g"), col("pos"), col("csum"), col("n"),
+          col("ver")))
+      .getOrElse {
+        spark.range(0).select(lit("").as("kind"), lit("").as("g"),
+          lit(0L).as("pos"), lit(null).cast("decimal(38,10)").as("csum"),
+          lit(0L).as("n"), lit(0L).as("ver"))
+      }
+
+  private def directoryOf(curC: DataFrame): DataFrame =
+    curC.select(col("g").cast("long").as("label"), col("n").as("n_vecs"))
+
+  /** The batch's code rows, merged into `<root>/codes` keyed (vec_id, sub)
+    * at ver = batchId. Split out so the crash window between the two store
+    * writes is testable: re-running it for the same batch re-upserts
+    * identical rows (pqEncode is a pure per-vector function of the frozen
+    * books), which is exactly what the post-crash replay does. */
+  private[streaming] def mergeCodes(batch: DataFrame, storePath: String,
+      books: DataFrame, m: Int, batchId: Long, numBuckets: Int): Unit = {
+    // label stays NUMERIC end to end: the probe stage tie-breaks on
+    // c_label, and a string label would order "10" < "2" where the batch
+    // path orders 2 < 10 — a latent parity break on exact-tie cells
+    val rows = graft.ext.Similarity
+      .pqEncode(batch.select(col("vec_id"), col("embedding")), books, m)
+      .join(batch.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("sub").cast("long").as("sub"),
+        col("label").cast("long").as("label"), col("code").cast("long").as("code"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+    KeyedStore.merge(rows, s"$storePath/codes",
+      keys = Seq("vec_id", "sub"), seqCols = Seq("ver"),
+      numBuckets = numBuckets)
+  }
+
+  /** Fold one micro-batch (vec_id, embedding, label) into the index at
+    * `storePath` (created on first use) and return the updated cell
+    * directory (label, n_vecs). `books` must be the SAME frozen codebooks
+    * on every fold — the index stores codes, not vectors, so a retrained
+    * book would silently mis-rank everything indexed before it. */
+  def mergeBatch(batch: DataFrame, storePath: String, books: DataFrame,
+      batchId: Long, m: Int = 4, numBuckets: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val live = statsLive(spark, s"$storePath/stats").localCheckpoint(true)
+    val meta = live.filter(col("kind") === "m").select(col("ver")).collect()
+    val curS = live.filter(col("kind") === "s")
+    val curC = live.filter(col("kind") === "c")
+    if (meta.exists(mr => batchId <= mr.getLong(0))) {
+      val out = directoryOf(curC).localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(live)
+      return out
+    }
+    // codes FIRST: the stats meta row below is the commit point, so a
+    // crash landing here replays into an idempotent code re-upsert
+    mergeCodes(batch, storePath, books, m, batchId, numBuckets)
+    val batchSums = graft.ext.Similarity.coarseCentroidSums(
+      batch.select(col("label").cast("string").as("label"),
+        col("embedding")))
+      .select(col("label").as("g"), col("pos").cast("long").as("pos"),
+        col("cv").as("bs"))
+    val sumRows = batchSums
+      .join(curS.select(col("g"), col("pos"), col("csum")),
+        Seq("g", "pos"), "left_outer")
+      .select(lit("s").as("kind"), col("g"), col("pos"),
+        (coalesce(col("csum"), lit(0).cast("decimal(38,10)")) + col("bs"))
+          .cast("decimal(38,10)").as("csum"),
+        lit(0L).as("n"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val batchCounts = batch.groupBy(col("label").cast("string").as("g"))
+      .agg(count(lit(1)).as("bn"))
+    val countRows = batchCounts
+      .join(curC.select(col("g"), col("n")), Seq("g"), "left_outer")
+      .select(lit("c").as("kind"), col("g"), lit(-1L).as("pos"),
+        lit(null).cast("decimal(38,10)").as("csum"),
+        (coalesce(col("n"), lit(0L)) + col("bn")).as("n"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
+      lit(-2L).as("pos"), lit(null).cast("decimal(38,10)").as("csum"),
+      lit(0L).as("n"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val changed = sumRows.unionByName(countRows).unionByName(metaRow)
+      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+    KeyedStore.merge(changed, s"$storePath/stats",
+      keys = Seq("kind", "g", "pos"), seqCols = Seq("ver"),
+      numBuckets = numBuckets)
+    val out = directoryOf(
+        curC.select(col("g"), col("n"))
+          .join(changed.filter(col("kind") === "c").select(col("g")),
+            Seq("g"), "left_anti")
+          .unionByName(
+            changed.filter(col("kind") === "c").select(col("g"), col("n"))))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(live)
+    graft.util.Blocks.freeCheckpoint(changed)
+    out
+  }
+
+  /** ADC top-k retrieval against the STORED index — bit-identical to
+    * [[graft.ext.Similarity.ivfPqTopK]] over the concatenated indexed
+    * history with the same frozen `books` (shared core + exact stored
+    * sums; see object doc). The scan reads code rows of the probed cells
+    * only — at no point does a float vector of the corpus load. */
+  def search(spark: SparkSession, storePath: String, queries: DataFrame,
+      books: DataFrame, m: Int = 4, topK: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val codes = KeyedStore.read(spark, s"$storePath/codes")
+      .map(_.filter(col("op_type") =!= "delete")
+        // sub pivots against the literal 0..m-1 INT grid in the shared
+        // core — hand it back at the batch path's exact type
+        .select(col("vec_id"), col("sub").cast("int").as("sub"),
+          col("label"), col("code").cast("int").as("code")))
+      .getOrElse {
+        spark.range(0).select(lit(0L).as("vec_id"), lit(0).as("sub"),
+          lit("").as("label"), lit(0).as("code"))
+      }
+    // g back to numeric — the probe tie-break must order labels as the
+    // batch path does (see mergeCodes)
+    val cent0 = graft.ext.Similarity.centroidsOf(
+      statsLive(spark, s"$storePath/stats").filter(col("kind") === "s")
+        .select(col("g").cast("long").as("label"), col("pos"),
+          col("csum").as("cv")))
+    val labels = codes.filter(col("sub") === 0)
+      .select(col("vec_id"), col("label"))
+    graft.ext.Similarity.ivfPqCore(queries, cent0, labels, books,
+      codes.select(col("vec_id"), col("sub"), col("code")), m, topK,
+      nProbe)
+  }
+}

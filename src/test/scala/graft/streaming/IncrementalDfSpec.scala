@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Ranking
+
+/** Cross-batch document-frequency index: store-backed BM25 == the batch
+  * operator over concatenated history at every horizon; stats and df
+  * exact; replay safety; a new batch scores in the GLOBAL term economy. */
+class IncrementalDfSpec extends SparkSpec {
+
+  private def docs = graft.model.Envelopes.table(spark, sfDir(), "documents")
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("store-backed bm25 equals batch bm25 over concatenated history at every horizon") {
+    val d = docs.localCheckpoint(true)
+    val store = Files.createTempDirectory("inc_df").toString + "/df"
+    val terms = Seq("spark", "window")
+    var hist: DataFrame = null
+    for (i <- 0 until 3) {
+      val b = d.filter(col("doc_id") % 3 === i)
+      hist = if (hist == null) b else hist.unionByName(b)
+      IncrementalDf.mergeBatch(b, store, col("doc_id"), col("text"),
+        batchId = i.toLong)
+      val got = IncrementalDf.bm25Store(spark, store, hist, col("doc_id"),
+        col("text"), terms, topK = 20)
+      val want = Ranking.bm25(hist, col("doc_id"), col("text"), terms,
+        topK = 20)
+      assert(sameRows(got, want), s"horizon $i diverged")
+    }
+    graft.util.Blocks.freeCheckpoint(d)
+  }
+
+  test("stats and per-term df match direct aggregates; replay folds nothing") {
+    val d = docs.localCheckpoint(true)
+    val store = Files.createTempDirectory("inc_df_st").toString + "/df"
+    IncrementalDf.mergeBatch(d.filter(col("doc_id") % 2 === 0), store,
+      col("doc_id"), col("text"), batchId = 0L)
+    IncrementalDf.mergeBatch(d.filter(col("doc_id") % 2 === 1), store,
+      col("doc_id"), col("text"), batchId = 1L)
+    val tok = d.select(col("doc_id"),
+      graft.ext.TextStats.toks(col("text")).as("t"))
+    val wantDocs = d.count()
+    val wantDl = tok.agg(sum(size(col("t")))).head().getLong(0)
+    val dt = tok.select(col("doc_id"), explode(col("t")).as("term"))
+      .distinct().localCheckpoint(true)
+    val wantTerms = dt.select("term").distinct().count()
+    val st = IncrementalDf.readStats(spark, store).head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) ==
+      ((wantDocs, wantDl, wantTerms)))
+    // per-term df: the distinct-membership count, 0 for unseen
+    val wantSpark = dt.filter(col("term") === "spark").count()
+    val got = IncrementalDf.readDf(spark, store, Seq("spark", "__nosuch__"))
+    assert(got == Map("spark" -> wantSpark, "__nosuch__" -> 0L))
+    // replay batch 1 with DIFFERENT rows: stats untouched
+    IncrementalDf.mergeBatch(d.limit(5), store, col("doc_id"), col("text"),
+      batchId = 1L)
+    val st2 = IncrementalDf.readStats(spark, store).head()
+    assert((st2.getLong(0), st2.getLong(1), st2.getLong(2)) ==
+      ((wantDocs, wantDl, wantTerms)))
+    graft.util.Blocks.freeCheckpoint(dt)
+    graft.util.Blocks.freeCheckpoint(d)
+  }
+
+  test("a new batch scores in the global term economy, not its own") {
+    val s = spark
+    import s.implicits._
+    // corpus: 'aa' is common (df 9), 'bb' rare (df 3) — globally, the
+    // bb document must outrank the aa document; scored alone as a batch
+    // (df 1 vs 1), they tie and doc_id breaks it the other way
+    val corpus = (Seq((1L, "aa aa aa"), (2L, "bb bb bb")) ++
+      (3L to 10L).map(i => (i, "aa xx")) ++
+      Seq((11L, "bb yy"), (12L, "bb zz"))).toDF("doc_id", "text")
+    val store = Files.createTempDirectory("inc_df_gl").toString + "/df"
+    IncrementalDf.mergeBatch(corpus, store, col("doc_id"), col("text"),
+      batchId = 0L)
+    val subset = corpus.filter(col("doc_id") <= 2)
+    val globalTop = IncrementalDf.bm25Store(spark, store, subset,
+      col("doc_id"), col("text"), Seq("aa", "bb"), topK = 2)
+      .filter(col("rk") === 1).head().getLong(1)
+    val localTop = Ranking.bm25(subset, col("doc_id"), col("text"),
+      Seq("aa", "bb"), topK = 2)
+      .filter(col("rk") === 1).head().getLong(1)
+    assert(globalTop == 2L, "global idf must favor the rare-term doc")
+    assert(localTop == 1L, "batch-local stats tie and break by doc_id")
+  }
+}

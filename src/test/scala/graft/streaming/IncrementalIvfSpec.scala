@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ext.Similarity
+
+/** Persistent IVFADC index: store-backed search == the batch operator over
+  * concatenated history at every horizon (frozen books); replay safety;
+  * the codes-then-stats crash window replays clean; the cell directory
+  * tracks indexed counts. */
+class IncrementalIvfSpec extends SparkSpec {
+
+  private def emb = graft.model.Envelopes.table(spark, sfDir(), "embeddings")
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("search equals batch ivfPqTopK over concatenated history at every horizon") {
+    val e = emb.localCheckpoint(true)
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val store = Files.createTempDirectory("inc_ivf").toString + "/ix"
+    var hist: DataFrame = null
+    for (i <- 0 until 3) {
+      val b = e.filter(col("vec_id") % 3 === i)
+      hist = if (hist == null) b else hist.unionByName(b)
+      IncrementalIvf.mergeBatch(b, store, books, batchId = i.toLong)
+      val got = IncrementalIvf.search(spark, store, qs, books, m = 4,
+        topK = 5, nProbe = 2)
+      val want = Similarity.ivfPqTopK(qs, hist,
+        books, Similarity.pqEncode(hist, books, m = 4), m = 4, topK = 5,
+        nProbe = 2)
+      assert(sameRows(got, want), s"horizon $i diverged")
+    }
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Blocks.freeCheckpoint(e)
+  }
+
+  test("replayed fold touches nothing; directory counts the indexed corpus") {
+    val e = emb.localCheckpoint(true)
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val store = Files.createTempDirectory("inc_ivf_rp").toString + "/ix"
+    IncrementalIvf.mergeBatch(e.filter(col("vec_id") % 2 === 0), store,
+      books, batchId = 0L)
+    val dir1 = IncrementalIvf.mergeBatch(e.filter(col("vec_id") % 2 === 1),
+      store, books, batchId = 1L)
+    // directory: per-label counts of everything indexed
+    val want = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    assert(sameRows(dir1, want))
+    // replay batch 0 with DIFFERENT rows: ignored, directory unchanged
+    val dirR = IncrementalIvf.mergeBatch(e.limit(3), store, books,
+      batchId = 1L)
+    assert(sameRows(dirR, want))
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Blocks.freeCheckpoint(e)
+  }
+
+  test("crash between the code merge and the stats commit replays clean") {
+    val e = emb.localCheckpoint(true)
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val b0 = e.filter(col("vec_id") % 2 === 0)
+    val b1 = e.filter(col("vec_id") % 2 === 1)
+    val store = Files.createTempDirectory("inc_ivf_cw").toString + "/ix"
+    IncrementalIvf.mergeBatch(b0, store, books, batchId = 0L)
+    // crash: batch 1's codes land, the stats commit never happens
+    IncrementalIvf.mergeCodes(b1, store, books, m = 4, batchId = 1L,
+      numBuckets = 4)
+    // restart replays the whole fold — codes re-upsert idempotently,
+    // sums fold exactly once
+    IncrementalIvf.mergeBatch(b1, store, books, batchId = 1L)
+    val got = IncrementalIvf.search(spark, store, qs, books, m = 4,
+      topK = 5, nProbe = 2)
+    val want = Similarity.ivfPqTopK(qs, e, books,
+      Similarity.pqEncode(e, books, m = 4), m = 4, topK = 5, nProbe = 2)
+    assert(sameRows(got, want))
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Blocks.freeCheckpoint(e)
+  }
+}
