@@ -524,6 +524,77 @@ object Graph {
     e
   }
 
+  /** Link prediction over an undirected edge table: for every NON-adjacent
+    * node pair sharing at least one common neighbor, the three classic
+    * neighborhood scores — common-neighbor count, the Resource Allocation
+    * index (Zhou, Lü & Zhang, EPJ B 2009: Σ_z 1/deg(z) over shared
+    * neighbors z — the RA form consistently outperforms Adamic-Adar in
+    * their benchmarks AND, unlike AA's 1/log deg, is exactly representable:
+    * here as the fixed-point integer Σ `unit div deg(z)`), and the
+    * neighborhood-Jaccard denominator |N(u) ∪ N(v)| (the ratio cn/nb_union
+    * is left to the caller — two integers are engine-portable, their
+    * quotient's last ulp is not). The standard candidate generator for
+    * crawl-frontier expansion and near-dup cluster completion ("these two
+    * docs share 9 near-dup neighbors but aren't paired — the pair was
+    * missed").
+    *
+    * Skew posture: wedge fan-out through a center z is deg(z)², so one
+    * celebrity node makes the naive plan quadratic. Centers with
+    * deg > `maxDeg` are EXCLUDED from wedge generation (both score sums
+    * then undercount through hubs) — the documented recall dial, same
+    * contract as [[projectBipartite]]'s hub cap, and the right semantics
+    * for RA anyway: a hub contributes at most unit/maxDeg ≈ nothing per
+    * pair while costing deg² candidate rows. With the cap, wedge count is
+    * bounded by Σ min(deg, maxDeg)² ≤ maxDeg · m. Degrees feeding
+    * `nb_union` are the TRUE degrees (node-local, no fan-out) — only wedge
+    * GENERATION is capped, so `nb_union = deg(u) + deg(v) − cn` pairs the
+    * capped cn with true degrees and `cn / nb_union` is a LOWER bound on
+    * the true neighborhood Jaccard (equality whenever no shared neighbor
+    * is a capped hub).
+    *
+    * Shape at scale: one distinct + degree aggregate, the capped adjacency
+    * self-join on the center key, one anti join against the edge set (drops
+    * already-adjacent pairs), one map-side-combined (u, v) aggregate, two
+    * node-sized degree joins. Exact integer output — a pure function of
+    * (edges, maxDeg, unit).
+    *
+    * @param edges (a, b) rows; direction, parallel edges, self-loops removed
+    * @return (u, v, cn, ra_fp, nb_union) — canonical u < v non-adjacent
+    *   pairs with ≥ 1 common neighbor through a capped center */
+  def linkPredict(edges: DataFrame, maxDeg: Int,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2 (a center needs 2 spokes), got $maxDeg")
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    val und = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("u"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val adj = und.select(col("u").as("x"), col("v").as("z"))
+      .union(und.select(col("v").as("x"), col("u").as("z")))
+    val deg = adj.groupBy(col("x").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val centers = deg.filter(col("d") <= maxDeg)
+      .select(col("node").as("z"), col("d").as("__dz"))
+    val wedges = adj.join(centers, "z")
+      .join(adj.select(col("x").as("y"), col("z")), "z")
+      .filter(col("x") < col("y"))
+    val open = wedges.join(und,
+        col("x") === col("u") && col("y") === col("v"), "left_anti")
+      .groupBy(col("x").as("u"), col("y").as("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"$unit div __dz")).as("ra_fp"))
+    val out = open
+      .join(deg.select(col("node").as("u"), col("d").as("__da")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("__db")), "v")
+      .select(col("u"), col("v"), col("cn"), col("ra_fp"),
+        (col("__da") + col("__db") - col("cn")).as("nb_union"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(und)
+    graft.util.Blocks.freeCheckpoint(deg)
+    out
+  }
+
   /** The [[labelPropagation]] SQL twin generator — iterations unrolled as
     * CTEs over an `e(src, dst)` edge CTE, mirroring [[pageRankSql]]. */
   def labelPropSql(edgesCte: String, iters: Int): String = {

@@ -207,6 +207,22 @@ object RelQueries {
         .orderBy(col("node"))
     },
 
+    // Link prediction over the trade graph: non-adjacent node pairs
+    // sharing >= 1 common neighbor through a deg <= 8 center (the
+    // bipartite shape makes every wedge open — two customers sharing a
+    // supplier are never themselves linked), scored by common-neighbor
+    // count, fixed-point Resource Allocation (1e12 div deg), and the
+    // neighborhood-union size — the crawl-frontier / co-purchase
+    // candidate generator. The tight cap is the hub dial: TPC-H suppliers
+    // serve thousands of customers and would otherwise fan out
+    // quadratically while contributing ~nothing per pair.
+    "q_link_pred" -> { (s, dir) =>
+      val e = tradeGraphEdges(s, dir)
+        .select(col("src").as("a"), col("dst").as("b"))
+      graft.ops.Graph.linkPredict(e, maxDeg = 8)
+        .orderBy(col("u"), col("v"))
+    },
+
     // Hub-capped one-mode projection: suppliers sharing a LOW-DEGREE
     // customer become weighted edges — how the unipartite graph the rank/
     // community operators consume is derived from co-purchase data. The
@@ -384,6 +400,31 @@ object RelQueries {
         "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)")),
 
     "q_label_prop" -> graft.ops.Graph.labelPropSql(TradeGraphCte, iters = 3),
+
+    // Open wedges through deg <= 8 centers, minus adjacent pairs; RA in
+    // integer fixed point (1e12 // deg), union size from true degrees —
+    // the orientation-free twin of the capped wedge plan.
+    "q_link_pred" ->
+      s"""WITH $TradeGraphCte,
+         |p AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |      FROM e WHERE src <> dst),
+         |adj AS (SELECT u AS x, v AS z FROM p UNION ALL SELECT v, u FROM p),
+         |deg AS (SELECT x AS node, COUNT(*) AS d FROM adj GROUP BY 1),
+         |ctr AS (SELECT node AS z, d FROM deg WHERE d <= 8),
+         |wed AS (SELECT a.x AS u, b.x AS v, c.d
+         |        FROM adj a JOIN ctr c ON a.z = c.z
+         |                   JOIN adj b ON b.z = a.z AND a.x < b.x),
+         |nw AS (SELECT w.u, w.v, w.d FROM wed w
+         |       LEFT JOIN p ON p.u = w.u AND p.v = w.v
+         |       WHERE p.u IS NULL),
+         |sc AS (SELECT u, v, COUNT(*) AS cn,
+         |         CAST(SUM(1000000000000 // d) AS BIGINT) AS ra_fp
+         |       FROM nw GROUP BY 1, 2)
+         |SELECT s.u, s.v, s.cn, s.ra_fp,
+         |       da.d + db.d - s.cn AS nb_union
+         |FROM sc s JOIN deg da ON da.node = s.u
+         |          JOIN deg db ON db.node = s.v
+         |ORDER BY s.u, s.v""".stripMargin,
 
     "q_bipartite_proj" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS a, o_custkey AS h

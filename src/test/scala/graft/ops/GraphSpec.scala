@@ -250,6 +250,31 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(path, k = 2, rounds = 2).isEmpty)
   }
 
+  test("linkPredict: C4 diagonals, adjacent pairs excluded, hub cap silences centers") {
+    val s = spark
+    import s.implicits._
+    val FP = 1000000000000L
+    def scores(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 4-cycle: the two diagonals are the only open pairs — cn = 2 through
+    // deg-2 centers, ra = 2 · (FP div 2), union = 2 + 2 − 2
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    assert(scores(Graph.linkPredict(c4, maxDeg = 32)) ==
+      Map((1L, 3L) -> ((2L, FP, 2L)), (2L, 4L) -> ((2L, FP, 2L))))
+    // triangle: every common-neighbor pair is already an edge — empty
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.linkPredict(tri, maxDeg = 32).isEmpty)
+    // star: at cap 2 the deg-3 hub is no center — no candidates at all;
+    // at cap 3 each leaf pair scores FP div 3 through it
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("a", "b")
+    assert(Graph.linkPredict(star, maxDeg = 2).isEmpty)
+    assert(scores(Graph.linkPredict(star, maxDeg = 3)) ==
+      Map((11L, 12L) -> ((1L, FP / 3, 1L)),
+        (11L, 13L) -> ((1L, FP / 3, 1L)),
+        (12L, 13L) -> ((1L, FP / 3, 1L))))
+  }
+
   test("labelPropSql twin unrolls exactly the requested iterations") {
     val sql = Graph.labelPropSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 3)
     assert(sql.contains("l3") && sql.contains("b3") && sql.contains("l0"))
