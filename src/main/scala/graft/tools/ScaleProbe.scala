@@ -901,7 +901,62 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Long-run fold walls for the two RETRIEVAL INDEX stores: the IVFADC
+    * code/stats pair (fold must stay O(batch) while the code store grows
+    * linearly) and the document-frequency index (fold wall rides the
+    * BATCH vocabulary; state rides the Heaps-law corpus vocabulary).
+    * Search/scoring walls at the end price the read path at full size. */
+  def indexFoldProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .localCheckpoint(true)
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .localCheckpoint(true)
+    val books = graft.ext.Similarity.pqCodebooks(emb, m = 4, k = 16, iters = 2)
+    def live(path: String): Long =
+      graft.streaming.KeyedStore.read(spark, path)
+        .map(_.filter(col("op_type") =!= "delete").count()).getOrElse(0L)
+    for (i <- 0 until batches) {
+      val t0 = System.nanoTime()
+      val d = graft.streaming.IncrementalIvf.mergeBatch(
+        emb.filter(col("vec_id") % batches === i), s"$storeRoot/ivf", books,
+        batchId = i.toLong)
+      d.count(); graft.util.Blocks.freeCheckpoint(d)
+      val w0 = (System.nanoTime - t0) / 1e9
+      val t1 = System.nanoTime()
+      val st = graft.streaming.IncrementalDf.mergeBatch(
+        docs.filter(col("doc_id") % batches === i), s"$storeRoot/df",
+        col("doc_id"), col("text"), batchId = i.toLong)
+      st.count(); graft.util.Blocks.freeCheckpoint(st)
+      val w1 = (System.nanoTime - t1) / 1e9
+      if (i < 2 || (i + 1) % 5 == 0 || i == batches - 1)
+        println(f"IXFOLD fold=$i%3d ivf=$w0%5.2f s df=$w1%5.2f s " +
+          f"codeRows=${live(s"$storeRoot/ivf/codes")}%d " +
+          f"statRows=${live(s"$storeRoot/ivf/stats")}%d " +
+          f"dfRows=${live(s"$storeRoot/df")}%d")
+    }
+    val qs = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val t2 = System.nanoTime()
+    val hits = graft.streaming.IncrementalIvf.search(spark, s"$storeRoot/ivf",
+      qs, books, m = 4, topK = 5, nProbe = 2).count()
+    println(f"IXFOLD search wall=${(System.nanoTime - t2) / 1e9}%5.2f s rows=$hits%d")
+    val t3 = System.nanoTime()
+    val top = graft.streaming.IncrementalDf.bm25Store(spark, s"$storeRoot/df",
+      docs, col("doc_id"), col("text"), Seq("spark", "window"), topK = 20).count()
+    println(f"IXFOLD bm25 wall=${(System.nanoTime - t3) / 1e9}%5.2f s rows=$top%d")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("indexfold")) {
+      indexFoldProbe(args.lift(1).map(_.toInt).getOrElse(20),
+        args.lift(2).getOrElse("/tmp/graft_scale_ixf"))
+      return
+    }
     if (args.headOption.contains("sketchfold")) {
       sketchFoldProbe(args.lift(1).map(_.toInt).getOrElse(20),
         args.lift(2).getOrElse("/tmp/graft_scale_skf"))
