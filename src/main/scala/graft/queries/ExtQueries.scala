@@ -96,6 +96,25 @@ object ExtQueries {
       Similarity.semDedup(embs(s, dir), k = 8, threshold = 0.45, iters = 1)
         .localCheckpoint(true))
 
+  /** The full-corpus PQ codebooks + code table (m=4, k=16, 2 Lloyd
+    * iterations), shared by q_pq_train / q_pq_topk / q_ann_ivf_pq /
+    * q_ann_rerank / q_ann_stream — identical parameters, so each
+    * previously retrained the same deterministic books from scratch.
+    * Memoized per (session, dir) like [[cosinePairs045]]; the cache owns
+    * both checkpoints (consumers must not free them). q_pipeline_embed
+    * keeps its own training run — its books train on the DEDUPLICATED
+    * corpus, a different input. */
+  private val pqCache = new CorpusCache[(DataFrame, DataFrame)]({ bc =>
+    graft.util.Blocks.freeCheckpoint(bc._1)
+    graft.util.Blocks.freeCheckpoint(bc._2)
+  })
+  private def pqBooksCodes(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.get(s, dir) {
+      val books = Similarity.pqCodebooks(embs(s, dir), m = 4, k = 16, iters = 2)
+      (books, Similarity.pqEncode(embs(s, dir), books, m = 4)
+        .localCheckpoint(true))
+    }
+
   val queries: Map[String, QFn] = Map(
     // Exact dedup by content hash.
     "q_dedup_exact" -> { (s, dir) =>
@@ -811,13 +830,7 @@ object ExtQueries {
     // argmin with code-asc ties), output = every vector's 4 codes. The
     // oracle unrolls both rounds per subspace as chained CTEs.
     "q_pq_train" -> { (s, dir) =>
-      val e = embs(s, dir)
-      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
-      val out = Similarity.pqEncode(e, books, m = 4)
-        .orderBy(col("vec_id"), col("sub"))
-        .localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(books)
-      out
+      pqBooksCodes(s, dir)._2.orderBy(col("vec_id"), col("sub"))
     },
 
     // Product quantization, ADC probe: every eval query (vec_id % 97)
@@ -826,15 +839,11 @@ object ExtQueries {
     // addition keeps the float ranking engine-reproducible.
     "q_pq_topk" -> { (s, dir) =>
       val e = embs(s, dir)
-      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
-      val codes = Similarity.pqEncode(e, books, m = 4)
+      val (books, codes) = pqBooksCodes(s, dir)
       val qs = e.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val out = Similarity.pqTopK(qs, books, codes, m = 4, topK = 10)
+      Similarity.pqTopK(qs, books, codes, m = 4, topK = 10)
         .orderBy(col("query_id"), col("rk"))
-        .localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(books)
-      out
     },
 
     // FLAGSHIP embedding-curation composite: SemDeDup keepers (proven by
@@ -863,16 +872,12 @@ object ExtQueries {
     // chains composed (q_ann_ivf's probe stage + q_pq_topk's lookup sum).
     "q_ann_ivf_pq" -> { (s, dir) =>
       val e = embs(s, dir)
-      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
-      val codes = Similarity.pqEncode(e, books, m = 4)
+      val (books, codes) = pqBooksCodes(s, dir)
       val qs = e.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val out = Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 5,
+      Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 5,
           nProbe = 2)
         .orderBy(col("query_id"), col("rk"))
-        .localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(books)
-      out
     },
 
     // Feature-hashing doc vectors (the hashing trick): the text → vector
@@ -920,16 +925,12 @@ object ExtQueries {
     // stages.
     "q_ann_rerank" -> { (s, dir) =>
       val e = embs(s, dir)
-      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
-      val codes = Similarity.pqEncode(e, books, m = 4)
+      val (books, codes) = pqBooksCodes(s, dir)
       val qs = e.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val out = Similarity.ivfPqRerank(qs, e, books, codes, m = 4,
+      Similarity.ivfPqRerank(qs, e, books, codes, m = 4,
           shortlist = 40, topK = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rk"))
-        .localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(books)
-      out
     },
 
     // Persistent IVFADC index driven cross-batch: frozen books, three
@@ -940,7 +941,7 @@ object ExtQueries {
     // verbatim (the q_bloom_stream precedent).
     "q_ann_stream" -> { (s, dir) =>
       val e = embs(s, dir)
-      val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+      val books = pqBooksCodes(s, dir)._1
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_q")
       for (i <- 0 until 3)
         graft.streaming.IncrementalIvf.mergeBatch(
@@ -952,7 +953,6 @@ object ExtQueries {
         .search(s, s"$root/ix", qs, books, m = 4, topK = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rk"))
         .localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(books)
       graft.util.Tmp.deleteRecursively(root)
       res
     },
@@ -1086,6 +1086,25 @@ object ExtQueries {
         .select(col("bid"), col("g"), col("n"),
           col("est_1_2"), col("est_9_10"), col("est_99_100"))
         .orderBy(col("bid"), col("g"))
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
+    // Total-variation drift gate over the histogram store: even orders
+    // fold the stored profile, odd orders arrive as the batch — TV
+    // emitted as the exact integer pair (|o·n_s − s·n_b| summed, over
+    // 2·n_b·n_s), so the gate hash-oracles where χ²/PSI could not.
+    "q_hist_drift" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
+      val root = java.nio.file.Files.createTempDirectory("graft_histd_q")
+      graft.streaming.IncrementalHist.mergeBatch(
+        o.filter(col("o_orderkey") % 2 === 0), s"$root/h",
+        col("o_orderstatus"), v, 0L, 600000000000L, 512, 0L)
+      val res = graft.streaming.IncrementalHist.tvDrift(s, s"$root/h",
+          o.filter(col("o_orderkey") % 2 === 1), col("o_orderstatus"), v)
+        .orderBy(col("g"))
+        .localCheckpoint(true)
       graft.util.Tmp.deleteRecursively(root)
       res
     },
@@ -3077,6 +3096,31 @@ object ExtQueries {
         |       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
         |            THEN bin * (600000000000 // 512 + 1) END) AS BIGINT) AS est_99_100
         |FROM c GROUP BY 1, 2 ORDER BY bid, g""".stripMargin,
+
+    // Evens-vs-odds binned with the store's frame; TV over the common
+    // denominator as exact integers (DECIMAL(38,0) — the per-bin cross
+    // product reaches 10^18).
+    "q_hist_drift" ->
+      """WITH b AS (SELECT o_orderkey % 2 AS par, o_orderstatus AS g,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |           FROM orders WHERE o_totalprice IS NOT NULL),
+        |hb AS (SELECT par, g,
+        |         LEAST(GREATEST(v // (600000000000 // 512 + 1), 0), 511) AS bin,
+        |         COUNT(*) AS ct FROM b GROUP BY 1, 2, 3),
+        |pv AS (SELECT g, bin,
+        |         SUM(CASE WHEN par = 1 THEN ct ELSE 0 END) AS o,
+        |         SUM(CASE WHEN par = 0 THEN ct ELSE 0 END) AS s
+        |       FROM hb GROUP BY 1, 2),
+        |ns AS (SELECT g, SUM(o) AS n_b, SUM(s) AS n_s FROM pv GROUP BY 1),
+        |t AS (SELECT pv.g, ns.n_b, ns.n_s,
+        |        ABS(pv.o * ns.n_s - pv.s * ns.n_b) AS term
+        |      FROM pv JOIN ns ON pv.g = ns.g
+        |      WHERE ns.n_b > 0 AND ns.n_s > 0)
+        |SELECT g, CAST(MAX(n_b) AS BIGINT) AS n_batch,
+        |       CAST(MAX(n_s) AS BIGINT) AS n_store,
+        |       CAST(SUM(term) AS DECIMAL(38,0)) AS tv_num,
+        |       CAST(2 * MAX(n_b) * MAX(n_s) AS DECIMAL(38,0)) AS tv_den
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
 
     // Identical salted md5-slice cell positions (r*4096 + md5('r:'||key)
     // first-32-bits mod 4096), probe estimate = MIN over the 4 cells.

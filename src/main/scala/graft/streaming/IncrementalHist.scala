@@ -107,6 +107,61 @@ object IncrementalHist {
     out
   }
 
+  /** Per-group TOTAL-VARIATION drift between a batch and the STORED
+    * histogram — the distribution-shift gate of the sketch family (the
+    * [[IncrementalCentroid.drift]] counterpart for scalar columns): the
+    * batch is binned with the store's own pinned frame, and
+    *
+    *   TV(batch, store) = Σ_bins |o_b·n_s − s_b·n_b| / (2·n_b·n_s)
+    *
+    * is emitted as the EXACT integer pair (tv_num, tv_den) — χ² needs a
+    * per-bin division and PSI needs `ln`, both engine-unportable in the
+    * last ulp; the TV distance over a common denominator is a plain
+    * integer cross-multiplication, so the gate itself hash-oracles
+    * (`q_hist_drift`). TV ∈ [0, 1]: 0 = identical binned distributions,
+    * 1 = disjoint bin support; gate on e.g. tv_num·5 > tv_den (TV > 0.2).
+    * Groups absent from either side are omitted (their denominator is 0 —
+    * the centroid-drift contract). Per-bin products are DECIMAL(38,0):
+    * ct·n reaches 10¹⁸ per term and the bin sum would wrap a Long.
+    * @return (g, n_batch, n_store, tv_num, tv_den) */
+  def tvDrift(spark: SparkSession, storePath: String, batch: DataFrame,
+      groupCol: Column, valueCol: Column): DataFrame = {
+    val live = liveRows(spark, storePath)
+    val meta = live.filter(col("kind") === "m")
+      .select(col("lo"), col("hi"), col("bins")).collect()
+    require(meta.nonEmpty, s"no frame pinned at $storePath — fold a batch first")
+    val (lo, hi, bins) =
+      (meta.head.getLong(0), meta.head.getLong(1), meta.head.getLong(2))
+    val w = (hi - lo) / bins + 1
+    // null groups are dropped on BOTH sides: the bin join's equi keys
+    // cannot match null = null, so a null cohort would silently compare
+    // its batch bins against nothing (and a drift gate needs a named
+    // cohort anyway — route unknowns to a sentinel upstream)
+    val stored = live.filter(col("kind") === "v" && col("g").isNotNull)
+      .select(col("g"), col("bin"), col("ct").as("__s"))
+    val batchCts = batch
+      .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("g").isNotNull)
+      .withColumn("bin",
+        expr(s"least(greatest((__v - $lo) div $w, 0L), ${bins - 1}L)"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("__o"))
+    val pv = batchCts.join(stored, Seq("g", "bin"), "full_outer")
+      .select(col("g"), coalesce(col("__o"), lit(0L)).as("o"),
+        coalesce(col("__s"), lit(0L)).as("s"))
+    val ns = pv.groupBy("g")
+      .agg(sum(col("o")).as("n_b"), sum(col("s")).as("n_s"))
+      .filter(col("n_b") > 0 && col("n_s") > 0)
+    pv.join(ns, "g")
+      .groupBy("g")
+      .agg(max(col("n_b")).as("n_batch"), max(col("n_s")).as("n_store"),
+        sum(abs(col("o").cast("decimal(38,0)") * col("n_s")
+          - col("s").cast("decimal(38,0)") * col("n_b")))
+          .cast("decimal(38,0)").as("tv_num"))
+      .select(col("g"), col("n_batch"), col("n_store"), col("tv_num"),
+        (lit(2).cast("decimal(38,0)") * col("n_batch") * col("n_store"))
+          .cast("decimal(38,0)").as("tv_den"))
+  }
+
   /** The current per-group estimates at `storePath` without folding; the
     * frame is read from the store's meta row. Empty frame (no folds yet)
     * returns an empty two-column-compatible frame via the caller's qs. */

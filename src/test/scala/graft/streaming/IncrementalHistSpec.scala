@@ -71,4 +71,32 @@ class IncrementalHistSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("framed"))
   }
+
+  test("tvDrift: 0 for the same distribution, 1 for disjoint bins, hand-computed middle") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_hist_tv").toString + "/store"
+    // frame [0, 99] x 10 bins, width 10: values land in v div 10
+    val stored = Seq(("a", 5L), ("a", 15L), ("a", 15L), ("a", 25L),
+      ("b", 5L), ("z", 5L))
+    IncrementalHist.mergeBatch(stored.toDF("g", "v"), store, col("g"),
+      col("v"), 0L, 99L, 10, 0L, Qs)
+    def drift(rows: Seq[(String, Long)]): Map[String, (Long, Long, BigDecimal, BigDecimal)] =
+      IncrementalHist.tvDrift(s, store, rows.toDF("g", "v"), col("g"),
+        col("v")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4))))).toMap
+    // identical multiset -> every |o*n_s - s*n_b| term is 0
+    val same = drift(stored.filter(_._1 == "a"))
+    assert(same("a") == ((4L, 4L, BigDecimal(0), BigDecimal(32))))
+    // disjoint bins -> TV = 1 (num == den); group 'b' only, 'z' omitted
+    val disj = drift(Seq(("b", 95L), ("b", 85L)))
+    assert(disj.keySet == Set("b"))
+    assert(disj("b")._3 == disj("b")._4)
+    // hand-computed: store a = {bin0:1, bin1:2, bin2:1} (n_s=4),
+    // batch a = {bin0:1, bin1:1} (n_b=2) ->
+    // terms |1*4-1*2| + |1*4-2*2| + |0*4-1*2| = 2 + 0 + 2 = 4, den 16
+    val mid = drift(Seq(("a", 5L), ("a", 15L)))
+    assert(mid("a") == ((2L, 4L, BigDecimal(4), BigDecimal(16))))
+  }
 }
