@@ -275,6 +275,35 @@ class PlanSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(books)
   }
 
+  test("store-backed IVFADC search: lookups broadcast, no product joins") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.model.Envelopes.table(spark, sfDir("sf0.001"), "embeddings")
+    val books = graft.ext.Similarity.pqCodebooks(e, m = 4, k = 16, iters = 1)
+    val root = java.nio.file.Files.createTempDirectory("plan_ivf").toString
+    graft.streaming.IncrementalIvf.mergeBatch(e, s"$root/ix", books,
+      batchId = 0L)
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val search = graft.streaming.IncrementalIvf.search(spark, s"$root/ix",
+      qs, books, m = 4, topK = 5, nProbe = 2)
+    val p = search.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      "distance tables and probes must broadcast over the code scan:\n" +
+        p.take(800))
+    // the fine stage scans CODES: the only plan leaves carrying a float
+    // embedding column are the query probe's own reads — the store never
+    // hands back a vector
+    val leaves = search.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    val vecScans = leaves.count(l => l.contains("embedding") &&
+      l.contains("parquet"))
+    assert(vecScans <= 2, // qs is derived twice (probe + subvector split)
+      s"store search must not scan float vectors beyond the query side " +
+        s"($vecScans embedding parquet scans):\n" + leaves.mkString("\n").take(800))
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("triangles: oriented wedge build and closure probe are equi joins only") {
     val p = plan("q_triangles")
     assert(!p.contains("CartesianProduct") &&
