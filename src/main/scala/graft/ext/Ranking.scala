@@ -112,6 +112,70 @@ object Ranking {
       .select(col("rk") +: outCols: _*)
   }
 
+  /** BATCH multi-query BM25 — the production retrieval shape: a TABLE of
+    * (query_id, term) rows scores against the corpus in ONE corpus pass,
+    * instead of one [[bm25]] scan per query (at 10⁴ eval queries over
+    * 100 TB that is the difference between one shuffle and ten thousand
+    * scans). Same raw-idf formula as [[bm25]].
+    *
+    * Determinism: per-(query, doc, term) scores are doubles from a fixed
+    * IEEE expression tree (bit-identical on any engine), but SUMMING
+    * doubles per (query, doc) would be partition-order-nondeterministic —
+    * so each term score is QUANTIZED first (`floor(score · scale)`, one
+    * deterministic floor of a deterministic double) and the per-document
+    * score is an order-free INTEGER sum of those fixed-point terms. The
+    * output is exact integers at 1/scale resolution (default 10⁻⁹ — far
+    * below any real ranking gap), so the operator hash-oracles
+    * (`q_bm25_multi`). Ranks tie-break by doc_id.
+    *
+    * Shape at scale: one tokenize + (doc, term) count (shuffle 1,
+    * map-side combined), document frequency on the term key (shuffle 2,
+    * vocab-sized), the query-term join rides the SAME term-keyed exchange
+    * (query terms are retrieval-bag-sized — broadcast), one
+    * (query_id, doc_id) integer-sum aggregate (shuffle 3, map-side
+    * combined), one per-query rank window over matched docs only. The
+    * corpus never cartesians against the query table — docs matching no
+    * query term never leave shuffle 1.
+    *
+    * @param queries (query_id, term) rows — duplicates dropped
+    * @return (query_id, rk, doc_id, n_terms, score_fp) — top `topK` per
+    *   query by quantized score; n_terms = matched query terms */
+  def bm25Batch(df: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, topK: Int = 10, k1: Double = 1.25,
+      b: Double = 0.75, scale: Long = 1000000000L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val tok = Dedup.spread(df.select(idCol.as("doc_id"),
+        TextStats.toks(textCol).as("__toks")))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+    val tf = tok.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.select(TextStats.toks(textCol).as("__toks"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("sumdl"))
+    val qt = queries.select(col("query_id"), col("term")).distinct()
+    // one expression tree, mirrored token-for-token by the SQL twin
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val termScore =
+      (col("n").cast("double") / col("df")) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    tf.join(broadcast(qt), "term")
+      .join(dfq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(termScore * lit(scale)).cast("long").as("__sfp"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("__sfp")).as("score_fp"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_terms"), col("score_fp"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) — the
     * standard way to combine a LEXICAL ranking (BM25) with a SEMANTIC one
     * (embedding cosine) into one hybrid retrieval list without score

@@ -972,6 +972,22 @@ object ExtQueries {
         .orderBy(col("rk"))
     },
 
+    // BATCH multi-query BM25: three probe queries score against the
+    // corpus in ONE pass (the eval-suite retrieval shape — one shuffle
+    // for the whole query table, not one scan per query); per-term
+    // scores floored to 1e-9 fixed point so the per-doc sum is an
+    // order-free INTEGER — the determinism dial that lets a multi-term
+    // float ranking hash-oracle.
+    "q_bm25_multi" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Seq((0L, "spark"), (0L, "window"), (1L, "merge"),
+        (1L, "sort"), (2L, "fast"), (2L, "slow"), (2L, "customer"))
+        .toDF("query_id", "term")
+      Ranking.bm25Batch(docs(s, dir), col("doc_id"), col("text"), qs,
+          topK = 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Cross-batch BM25: three doc_id % 3 folds build the persistent
     // document-frequency index, then the concatenated corpus is scored
     // against the STORE's global statistics — bit-identical to the batch
@@ -2891,6 +2907,35 @@ object ExtQueries {
     // (integer stat adds through the same score tree) — batch twin
     // verbatim (the q_bloom_stream precedent).
     "q_bm25_stream" -> Bm25Sql,
+
+    // Score expression mirrors bm25Batch token-for-token; the FLOOR to
+    // 1e-9 fixed point happens per (query, doc, term) BEFORE the sum, so
+    // both engines add the same integers in any order.
+    "q_bm25_multi" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS BIGINT) AS sumdl FROM d),
+        |qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'),
+        |         (1, 'merge'), (1, 'sort'),
+        |         (2, 'fast'), (2, 'slow'), (2, 'customer')) AS q(query_id, term)),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |         CAST(FLOOR(((CAST(st.n AS DOUBLE) / dfq.df) * (tf.tf * CAST(2.25 AS DOUBLE)))
+        |           / (tf.tf + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |              + CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE)
+        |                / (CAST(st.sumdl AS DOUBLE) / st.n)))) * 1000000000) AS BIGINT) AS sfp
+        |       FROM tf JOIN qt ON tf.term = qt.term
+        |                JOIN dfq ON tf.term = dfq.term, st),
+        |ag AS (SELECT query_id, doc_id, COUNT(*) AS n_terms,
+        |         SUM(sfp) AS score_fp FROM sc GROUP BY 1, 2),
+        |rnk AS (SELECT query_id, doc_id, n_terms, score_fp,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score_fp DESC, doc_id) AS rk FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+        |       doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+        |       CAST(score_fp AS BIGINT) AS score_fp
+        |FROM rnk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     // Twin of Ranking.rrfFuse over the bm25 top-20 (same CTEs as q_bm25 —
     // score expression token-for-token) and the cosine top-20 of query

@@ -86,7 +86,14 @@ object IncrementalIvf {
     * `storePath` (created on first use) and return the updated cell
     * directory (label, n_vecs). `books` must be the SAME frozen codebooks
     * on every fold — the index stores codes, not vectors, so a retrained
-    * book would silently mis-rank everything indexed before it. */
+    * book would silently mis-rank everything indexed before it.
+    *
+    * Contract: each vec_id folds ONCE (the [[IncrementalDf]] stance — a
+    * re-ingested id would OVERWRITE its code rows by key but ADD its
+    * components into the centroid sums again, silently skewing the probe
+    * centroids; route re-arrivals through [[IncrementalDedup]] first).
+    * Replay of a whole batch is safe — the high-water mark makes it a
+    * no-op. */
   def mergeBatch(batch: DataFrame, storePath: String, books: DataFrame,
       batchId: Long, m: Int = 4, numBuckets: Int = 4): DataFrame = {
     val spark = batch.sparkSession

@@ -54,6 +54,41 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("bm25Batch: one pass agrees with the per-query operator; quantized sum is exact") {
+    val s = spark
+    import s.implicits._
+    // ranking parity: the quantized multi-query pass must order docs as
+    // the single-query float operator does (1e-9 resolution sits far
+    // below real score gaps; doc_id breaks ties in both)
+    val qt = Seq((0L, "spark"), (0L, "window")).toDF("query_id", "term")
+    val multi = Ranking.bm25Batch(docs, col("doc_id"), col("text"), qt,
+        topK = 10)
+      .select("rk", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val single = Ranking.bm25(docs, col("doc_id"), col("text"),
+        Seq("spark", "window"), topK = 10)
+      .select("rk", "doc_id").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1))).toSeq.sorted
+    assert(multi == single)
+    // hand-computed fixture: 2 docs, dl 4 and 2, term 'x' in both
+    // (df=2), 'y' only in doc 1 (df=1); n=2, avgdl=3
+    val d2 = Seq((1L, "x x y z"), (2L, "x w")).toDF("doc_id", "text")
+    val q2 = Seq((7L, "x"), (7L, "y")).toDF("query_id", "term")
+    def sc(tf: Long, df: Long, dl: Long): Long =
+      math.floor((2.0 / df) * (tf * 2.25) /
+        (tf + 1.25 * (0.25 + 0.75 * (dl / 3.0))) * 1e9).toLong
+    val got = Ranking.bm25Batch(d2, col("doc_id"), col("text"), q2,
+      topK = 10).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, sc(2, 2, 4) + sc(1, 1, 4))))
+    assert(got(2L) == ((1L, sc(1, 2, 2))))
+    // partition-stable: integer sums are order-free by construction
+    val rep = Ranking.bm25Batch(d2.repartition(5), col("doc_id"),
+      col("text"), q2.repartition(3), topK = 10).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rep == got)
+  }
+
   test("gopherFilter verdict matches a row-local reference") {
     val out = TextStats.gopherFilter(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
