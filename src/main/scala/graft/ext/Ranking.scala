@@ -176,6 +176,51 @@ object Ranking {
         col("doc_id"), col("n_terms"), col("score_fp"))
   }
 
+  /** Pseudo-relevance-feedback query EXPANSION (the RM-family two-stage
+    * retrieval trick, integer-deterministic form): run a first
+    * [[bm25Batch]] pass, take each query's top `fbK` documents as assumed-
+    * relevant feedback, and add the `expK` terms with the highest TOTAL
+    * term frequency across that query's feedback docs (ties to the
+    * lexicographically smaller term; the query's own terms excluded) —
+    * the vocabulary-mismatch fix every lexical retrieval stack ships
+    * (a query for "spark" pulls in "window" if the spark docs keep saying
+    * it). Term selection is pure integer counting, so the expanded query
+    * table — and therefore the second-pass ranking through
+    * [[bm25Batch]]'s quantized scores — hash-oracles end to end
+    * (`q_prf`).
+    *
+    * Shape at scale: the first pass is [[bm25Batch]]; the feedback join
+    * touches `queries × fbK` doc ids against the (doc, term) count table
+    * (doc-keyed equi join), and the per-query term rank window runs over
+    * feedback-doc vocabularies only. A production run shares the tokenize
+    * between the two passes; here each stage derives it independently so
+    * the operator stays a pure function (the SQL twin shares one CTE).
+    *
+    * @return the expanded (query_id, term) table — original ∪ expansion */
+  def prfExpand(df: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, fbK: Int = 3, expK: Int = 2, k1: Double = 1.25,
+      b: Double = 0.75, scale: Long = 1000000000L): DataFrame = {
+    require(fbK >= 1 && expK >= 0, s"need fbK >= 1, expK >= 0, got ($fbK, $expK)")
+    val first = bm25Batch(df, idCol, textCol, queries, fbK, k1, b, scale)
+      .select(col("query_id"), col("doc_id"))
+    val tf = Dedup.spread(df.select(idCol.as("doc_id"),
+        TextStats.toks(textCol).as("__toks")))
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qt = queries.select(col("query_id"), col("term")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("term"))
+    val expansion = first.join(tf, "doc_id")
+      .join(qt.withColumn("__orig", lit(1)), Seq("query_id", "term"),
+        "left_outer")
+      .filter(col("__orig").isNull)
+      .groupBy("query_id", "term").agg(sum(col("tf")).as("__s"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= expK)
+      .select(col("query_id"), col("term"))
+    qt.unionByName(expansion)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) — the
     * standard way to combine a LEXICAL ranking (BM25) with a SEMANTIC one
     * (embedding cosine) into one hybrid retrieval list without score

@@ -988,6 +988,23 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Pseudo-relevance-feedback retrieval: pass 1 retrieves 3 feedback
+    // docs per query, the 2 heaviest unseen terms across them expand the
+    // bag, pass 2 re-scores — the vocabulary-mismatch fix, end-to-end
+    // deterministic (integer term selection + quantized scores).
+    "q_prf" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val qs = Seq((0L, "spark"), (0L, "window"), (1L, "merge"),
+        (1L, "sort"), (2L, "fast"), (2L, "slow"), (2L, "customer"))
+        .toDF("query_id", "term")
+      val expanded = Ranking.prfExpand(d, col("doc_id"), col("text"), qs,
+        fbK = 3, expK = 2)
+      Ranking.bm25Batch(d, col("doc_id"), col("text"), expanded,
+          topK = 10)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Cross-batch BM25: three doc_id % 3 folds build the persistent
     // document-frequency index, then the concatenated corpus is scored
     // against the STORE's global statistics — bit-identical to the batch
@@ -1797,6 +1814,39 @@ object ExtQueries {
       |grid AS (SELECT d.doc_id, p.pos
       |         FROM (SELECT DISTINCT doc_id FROM tf) d,
       |              (SELECT unnest(generate_series(0, 63)) AS pos) p)""".stripMargin
+
+  /** The bm25Batch base tables (corpus tokenize, per-(doc, term) tf,
+    * document frequency, corpus stats) — ONE definition feeding
+    * q_bm25_multi and BOTH q_prf passes. */
+  private val BmMultiBaseCtes =
+    """d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM d),
+      |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS BIGINT) AS sumdl FROM d)""".stripMargin
+
+  /** The shared probe-query bag (matches the Spark-side literals). */
+  private val BmMultiQtCte =
+    """qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'),
+      |         (1, 'merge'), (1, 'sort'),
+      |         (2, 'fast'), (2, 'slow'), (2, 'customer')) AS q(query_id, term))""".stripMargin
+
+  /** The bm25Batch scoring chain over a `<qtName>(query_id, term)` CTE —
+    * emits sc/ag/rnk suffixed with `tag`, mirroring Ranking.bm25Batch's
+    * quantized-sum expression token for token. */
+  private def bmMultiScoreCtes(tag: String, qtName: String): String =
+    s"""sc$tag AS (SELECT q.query_id, tf.doc_id,
+       |         CAST(FLOOR(((CAST(st.n AS DOUBLE) / dfq.df) * (tf.tf * CAST(2.25 AS DOUBLE)))
+       |           / (tf.tf + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+       |              + CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE)
+       |                / (CAST(st.sumdl AS DOUBLE) / st.n)))) * 1000000000) AS BIGINT) AS sfp
+       |       FROM tf JOIN $qtName q ON tf.term = q.term
+       |                JOIN dfq ON tf.term = dfq.term, st),
+       |ag$tag AS (SELECT query_id, doc_id, COUNT(*) AS n_terms,
+       |         SUM(sfp) AS score_fp FROM sc$tag GROUP BY 1, 2),
+       |rnk$tag AS (SELECT query_id, doc_id, n_terms, score_fp,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score_fp DESC, doc_id) AS rk FROM ag$tag)""".stripMargin
 
   /** Shared by q_bm25 and q_bm25_stream: the document-frequency index's
     * stat adds are exact, so the cross-batch drive's twin is the batch
@@ -2912,30 +2962,39 @@ object ExtQueries {
     // 1e-9 fixed point happens per (query, doc, term) BEFORE the sum, so
     // both engines add the same integers in any order.
     "q_bm25_multi" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM d),
-        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS BIGINT) AS sumdl FROM d),
-        |qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'),
-        |         (1, 'merge'), (1, 'sort'),
-        |         (2, 'fast'), (2, 'slow'), (2, 'customer')) AS q(query_id, term)),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |         CAST(FLOOR(((CAST(st.n AS DOUBLE) / dfq.df) * (tf.tf * CAST(2.25 AS DOUBLE)))
-        |           / (tf.tf + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-        |              + CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE)
-        |                / (CAST(st.sumdl AS DOUBLE) / st.n)))) * 1000000000) AS BIGINT) AS sfp
-        |       FROM tf JOIN qt ON tf.term = qt.term
-        |                JOIN dfq ON tf.term = dfq.term, st),
-        |ag AS (SELECT query_id, doc_id, COUNT(*) AS n_terms,
-        |         SUM(sfp) AS score_fp FROM sc GROUP BY 1, 2),
-        |rnk AS (SELECT query_id, doc_id, n_terms, score_fp,
-        |          row_number() OVER (PARTITION BY query_id
-        |            ORDER BY score_fp DESC, doc_id) AS rk FROM ag)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
-        |       doc_id, CAST(n_terms AS BIGINT) AS n_terms,
-        |       CAST(score_fp AS BIGINT) AS score_fp
-        |FROM rnk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+      s"""WITH $BmMultiBaseCtes,
+         |$BmMultiQtCte,
+         |${bmMultiScoreCtes("", "qt")}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+         |       doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |       CAST(score_fp AS BIGINT) AS score_fp
+         |FROM rnk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // Two-stage PRF: pass 1 over the original bag (same chain as
+    // q_bm25_multi, rk <= 3 feedback docs), expansion = top-2 unseen
+    // terms by total tf across each query's feedback docs (integer
+    // counting, ties to the smaller term), pass 2 over original ∪
+    // expansion through the SAME tf/dfq/st tables.
+    "q_prf" ->
+      s"""WITH $BmMultiBaseCtes,
+         |$BmMultiQtCte,
+         |${bmMultiScoreCtes("1", "qt")},
+         |fb AS (SELECT query_id, doc_id FROM rnk1 WHERE rk <= 3),
+         |exc AS (SELECT f.query_id, tf.term, SUM(tf.tf) AS s
+         |        FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+         |        LEFT JOIN qt q ON q.query_id = f.query_id AND q.term = tf.term
+         |        WHERE q.term IS NULL GROUP BY 1, 2),
+         |ex AS (SELECT query_id, term FROM (
+         |         SELECT query_id, term,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY s DESC, term) AS xrk
+         |         FROM exc) WHERE xrk <= 2),
+         |qt2 AS (SELECT * FROM qt UNION ALL SELECT * FROM ex),
+         |${bmMultiScoreCtes("2", "qt2")}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+         |       doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+         |       CAST(score_fp AS BIGINT) AS score_fp
+         |FROM rnk2 WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     // Twin of Ranking.rrfFuse over the bm25 top-20 (same CTEs as q_bm25 —
     // score expression token-for-token) and the cosine top-20 of query

@@ -89,6 +89,33 @@ class RankingSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("prfExpand: co-occurring terms join the bag, originals excluded, ties lexical") {
+    val s = spark
+    import s.implicits._
+    // query 'aa': docs 1..3 score highest (contain aa); across them 'bb'
+    // appears 4x, 'cc' 2x, 'dd' 1x -> expansion at expK=2 is {bb, cc}.
+    // doc 9 contains bb/cc but NOT aa - invisible to pass 1, retrieved
+    // only after expansion: the vocabulary-mismatch fix observable.
+    val d = Seq(
+      (1L, "aa bb bb cc"), (2L, "aa bb cc"), (3L, "aa bb dd"),
+      (9L, "bb cc bb cc"), (10L, "zz zz zz")).toDF("doc_id", "text")
+    val q = Seq((5L, "aa")).toDF("query_id", "term")
+    val exp = Ranking.prfExpand(d, col("doc_id"), col("text"), q,
+      fbK = 3, expK = 2)
+    val terms = exp.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(terms == Set((5L, "aa"), (5L, "bb"), (5L, "cc")))
+    // pass 2 now retrieves doc 9; pass 1 could not
+    val p1 = Ranking.bm25Batch(d, col("doc_id"), col("text"), q, topK = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val p2 = Ranking.bm25Batch(d, col("doc_id"), col("text"), exp, topK = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!p1.contains(9L) && p2.contains(9L))
+    // expK = 0 is the identity expansion
+    val id0 = Ranking.prfExpand(d, col("doc_id"), col("text"), q,
+      fbK = 3, expK = 0).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(id0 == Set((5L, "aa")))
+  }
+
   test("gopherFilter verdict matches a row-local reference") {
     val out = TextStats.gopherFilter(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
