@@ -263,4 +263,32 @@ object Ranking {
       .select(col("doc_id"), col("n_sys"), col("best_rk"),
         col("rrf_score"), col("rk"))
   }
+
+  /** Multi-QUERY reciprocal-rank fusion — [[rrfFuse]] with a query key:
+    * every input carries (query_id, doc_id, rk) and fusion + final rank
+    * happen PER QUERY, so a whole probe-query batch fuses its lexical and
+    * semantic lists in one map-side-combined aggregate and one per-query
+    * rank window (the serving shape beside [[bm25Batch]]'s one-pass
+    * scoring). Same exact fixed-point reciprocal as [[rrfFuse]]; inputs
+    * are top-k retrieval lists, so the aggregate touches
+    * `queries × systems × k` rows.
+    * @return (query_id, doc_id, n_sys, best_rk, rrf_score, rk) */
+  def rrfFuseKeyed(rankings: Seq[DataFrame], k: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuseKeyed needs at least one ranking")
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val u = rankings.map(_.select(col("query_id"), col("doc_id"),
+        col("rk").cast("long").as("rk")))
+      .reduce(_ unionByName _)
+    u.groupBy("query_id", "doc_id").agg(
+        count(lit(1)).as("n_sys"),
+        min(col("rk")).as("best_rk"),
+        sum(expr(s"$scale div ($k + rk)")).as("rrf_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select(col("query_id"), col("doc_id"), col("n_sys"),
+        col("best_rk"), col("rrf_score"), col("rk"))
+  }
 }

@@ -988,6 +988,34 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // FLAGSHIP hybrid-retrieval composite: the serving stack end to end —
+    // BATCH lexical retrieval (bm25Batch, one corpus pass for all three
+    // probe queries) beside BATCH semantic retrieval (exact cosine top-20
+    // of query vectors 0/1/2 — at scale the ivfTopK/ivfPqTopK stages slot
+    // in identically), fused per query by fixed-point RRF. Doc ids and
+    // vec ids share the 0..N-1 space (the q_rrf_fusion precedent), which
+    // is what makes the two systems fusable; every stage deterministic,
+    // so the composite hash-oracles.
+    "q_pipeline_retrieval" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val qs = Seq((0L, "spark"), (0L, "window"), (1L, "merge"),
+        (1L, "sort"), (2L, "fast"), (2L, "slow"), (2L, "customer"))
+        .toDF("query_id", "term")
+      val lex = Ranking.bm25Batch(d, col("doc_id"), col("text"), qs,
+          topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rk"))
+      val qv = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding"))
+      val sem = Similarity.bruteForceTopK(qv, e, k = 20)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rank").as("rk"))
+      Ranking.rrfFuseKeyed(Seq(lex, sem))
+        .filter(col("rk") <= 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // Pseudo-relevance-feedback retrieval: pass 1 retrieves 3 feedback
     // docs per query, the 2 heaviest unseen terms across them expand the
     // bag, pass 2 re-scores — the vocabulary-mismatch fix, end-to-end
@@ -2969,6 +2997,36 @@ object ExtQueries {
          |       doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |       CAST(score_fp AS BIGINT) AS score_fp
          |FROM rnk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // The hybrid stack stitched from the proven chains: the bm25Batch
+    // scoring CTEs (rk <= 20 lexical lists), the q_ann_cosine rank
+    // pattern per probe vector (rk <= 20 semantic lists), fixed-point
+    // RRF per query (SUM cast back from HUGEINT).
+    "q_pipeline_retrieval" ->
+      s"""WITH $BmMultiBaseCtes,
+         |$BmMultiQtCte,
+         |${bmMultiScoreCtes("", "qt")},
+         |lex AS (SELECT query_id, doc_id, rk FROM rnk WHERE rk <= 20),
+         |sem AS (SELECT query_id, doc_id, rk FROM (
+         |          SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |            CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |              list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |              c.vec_id) AS BIGINT) AS rk
+         |          FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |          WHERE q.vec_id IN (0, 1, 2))
+         |        WHERE rk <= 20),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+         |f AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_sys,
+         |        CAST(MIN(rk) AS BIGINT) AS best_rk,
+         |        CAST(SUM(1000000000000 // (60 + rk)) AS BIGINT) AS rrf_score
+         |      FROM u GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, n_sys, best_rk, rrf_score,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rrf_score DESC, doc_id) AS rk
+         |      FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_sys,
+         |       best_rk, rrf_score, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     // Two-stage PRF: pass 1 over the original bag (same chain as
     // q_bm25_multi, rk <= 3 feedback docs), expansion = top-2 unseen

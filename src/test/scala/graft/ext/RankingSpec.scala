@@ -116,6 +116,29 @@ class RankingSpec extends SparkSpec {
     assert(id0 == Set((5L, "aa")))
   }
 
+  test("rrfFuseKeyed: per-query fusion equals the single-query operator per key") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L), (1L, 10L, 2L))
+      .toDF("query_id", "doc_id", "rk")
+    val sem = Seq((0L, 11L, 1L), (0L, 12L, 2L), (1L, 10L, 1L))
+      .toDF("query_id", "doc_id", "rk")
+    val keyed = Ranking.rrfFuseKeyed(Seq(lex, sem)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5).toLong))).toMap
+    for (q <- Seq(0L, 1L)) {
+      val single = Ranking.rrfFuse(Seq(
+          lex.filter(col("query_id") === q).select("doc_id", "rk"),
+          sem.filter(col("query_id") === q).select("doc_id", "rk")))
+        .collect()
+        .map(r => (q, r.getLong(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4).toLong))).toMap
+      single.foreach { case (k, v) => assert(keyed(k) == v, s"key $k") }
+    }
+    // both-list docs outrank single-list docs at equal best rank
+    assert(keyed((0L, 11L))._1 == 2L && keyed((0L, 11L))._4 == 1L)
+  }
+
   test("gopherFilter verdict matches a row-local reference") {
     val out = TextStats.gopherFilter(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
