@@ -66,6 +66,11 @@ object Ranking {
   def bm25(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // Known edge (applies to bm25Store too): a term matching NO document
+    // has df = 0, and its per-doc score term is Inf·0 = NaN — poisoning
+    // every anyHit doc's sum and degrading the ranking to NaN order.
+    // Validate the bag upstream where that can occur; [[bm25Batch]] is
+    // structurally immune (absent terms drop out of its df inner join).
     val base = bm25Base(df, idCol, textCol, terms)
     val stats = base.agg(
       count(lit(1)).as("n"),

@@ -567,6 +567,41 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** linkPredict wedge-bound probe: the pagerankProbe graph (disjoint
+    * copies, so edges AND nodes scale together) at 1x and Nx, walls and
+    * output sizes at the production cap beside an uncapped-ish high cap —
+    * the measured evidence for the Σ min(deg, cap)² ≤ cap·m claim. */
+  def linkpredProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!corpusReady(outDir, copies, probeFile = "lineitem.parquet")) {
+      replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+      markCorpus(outDir, copies)
+    }
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val copyIx = expr(s"o_orderkey div $KeyShift")
+      val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") + copyIx * lit(1000000L)).as("a"),
+          (col("l_suppkey") + copyIx * lit(1000000L) + lit(KeyShift * 1000)).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val m = e0.count()
+      for (cap <- Seq(8, 64)) {
+        val t0 = System.nanoTime()
+        val out = graft.ops.Graph.linkPredict(e0, maxDeg = cap)
+        val pairs = out.count()
+        val w = (System.nanoTime - t0) / 1e9
+        graft.util.Blocks.freeCheckpoint(out)
+        println(f"LPPROBE $label%-5s cap=$cap%3d edges=$m%9d wall=$w%6.2f s openPairs=$pairs%9d")
+      }
+      graft.util.Blocks.freeCheckpoint(e0)
+    }
+    spark.stop()
+  }
+
   /** Warm-start incremental PageRank probe on the sf0.1 trade graph:
     * folds 99% of the edges cold, then the remaining 1% warm, and compares
     * iteration counts (and wall) against a cold batch run on the FULL
@@ -952,6 +987,11 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("linkpred")) {
+      linkpredProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_lp"))
+      return
+    }
     if (args.headOption.contains("indexfold")) {
       indexFoldProbe(args.lift(1).map(_.toInt).getOrElse(20),
         args.lift(2).getOrElse("/tmp/graft_scale_ixf"))
