@@ -269,6 +269,33 @@ object Ranking {
         col("rrf_score"), col("rk"))
   }
 
+  /** Ranking agreement at depth k — the recall@k / overlap@k number every
+    * ANN deployment is judged by, as EXACT integers: per query,
+    * `hits` = |top-k(test) ∩ top-k(ref)|, and the caller divides
+    * hits / ref_k (emitting the ratio as a float would trade a hash oracle
+    * for nothing). Both inputs carry (query_id, doc_id, rk); lists shorter
+    * than k (fewer candidates than k exist) are handled by reporting each
+    * side's actual depth. Queries present in `ref` only still report
+    * (test_k = 0, hits = 0) — a silent per-query recall hole is exactly
+    * what this metric exists to surface. Pure integer counting over
+    * top-k-bounded lists (queries × k rows) — hash-oracles
+    * (`q_ann_recall`).
+    * @return (query_id, ref_k, test_k, hits) */
+  def overlapAtK(test: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = test.filter(col("rk") <= k).select(col("query_id"), col("doc_id"))
+    val r = ref.filter(col("rk") <= k).select(col("query_id"), col("doc_id"))
+    val refK = r.groupBy("query_id").agg(count(lit(1)).as("ref_k"))
+    val testK = t.groupBy("query_id").agg(count(lit(1)).as("test_k"))
+    val hits = t.join(r, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    refK.join(testK, Seq("query_id"), "left_outer")
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("ref_k"),
+        coalesce(col("test_k"), lit(0L)).as("test_k"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** Multi-QUERY reciprocal-rank fusion — [[rrfFuse]] with a query key:
     * every input carries (query_id, doc_id, rk) and fusion + final rank
     * happen PER QUERY, so a whole probe-query batch fuses its lexical and

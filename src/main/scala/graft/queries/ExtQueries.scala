@@ -988,6 +988,30 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ANN recall measurement: the IVFADC top-5 against the exact cosine
+    // top-5 (self INCLUDED on both sides — rank-1 self-retrieval is part
+    // of the index contract), as exact integer overlap counts per query.
+    // The number every deployed ANN index is judged by, hash-oracled.
+    "q_ann_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val (books, codes) = pqBooksCodes(s, dir)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val tst = Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 5,
+          nProbe = 2)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
+      val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("__ce"))
+      val ref = qs.crossJoin(c)
+        .select(col("query_id"), col("doc_id"),
+          Similarity.cosine(col("embedding"), col("__ce")).as("__sim"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("__sim").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+      Ranking.overlapAtK(tst, ref, k = 5).orderBy(col("query_id"))
+    },
+
     // FLAGSHIP hybrid-retrieval composite: the serving stack end to end —
     // BATCH lexical retrieval (bm25Batch, one corpus pass for all three
     // probe queries) beside BATCH semantic retrieval (exact cosine top-20
@@ -2997,6 +3021,31 @@ object ExtQueries {
          |       doc_id, CAST(n_terms AS BIGINT) AS n_terms,
          |       CAST(score_fp AS BIGINT) AS score_fp
          |FROM rnk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    // IVFADC top-5 vs exact cosine top-5 (self included both sides),
+    // integer overlap per query — composes the proven prk2 chain with the
+    // q_ann_cosine rank pattern.
+    "q_ann_recall" ->
+      s"""WITH ${IvfPqCtes},
+         |tst AS (SELECT query_id, vec_id FROM prk2 WHERE rk <= 5),
+         |refr AS (SELECT query_id, vec_id FROM (
+         |          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |              list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |              c.vec_id) AS crk
+         |          FROM embeddings q CROSS JOIN embeddings c
+         |          WHERE q.vec_id % 97 = 0) WHERE crk <= 5),
+         |rkq AS (SELECT query_id, COUNT(*) AS ref_k FROM refr GROUP BY 1),
+         |tkq AS (SELECT query_id, COUNT(*) AS test_k FROM tst GROUP BY 1),
+         |h AS (SELECT t.query_id, COUNT(*) AS hits FROM tst t
+         |      JOIN refr r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+         |      GROUP BY 1)
+         |SELECT r.query_id, CAST(r.ref_k AS BIGINT) AS ref_k,
+         |       CAST(COALESCE(tkq.test_k, 0) AS BIGINT) AS test_k,
+         |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits
+         |FROM rkq r LEFT JOIN tkq ON tkq.query_id = r.query_id
+         |           LEFT JOIN h ON h.query_id = r.query_id
+         |ORDER BY r.query_id""".stripMargin,
 
     // The hybrid stack stitched from the proven chains: the bm25Batch
     // scoring CTEs (rk <= 20 lexical lists), the q_ann_cosine rank

@@ -139,6 +139,23 @@ class RankingSpec extends SparkSpec {
     assert(keyed((0L, 11L))._1 == 2L && keyed((0L, 11L))._4 == 1L)
   }
 
+  test("overlapAtK: hand-counted hits, depth truncation, ref-only query holes") {
+    val s = spark
+    import s.implicits._
+    val tst = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L)).toDF("query_id", "doc_id", "rk")
+    val ref = Seq((0L, 10L, 1L), (0L, 12L, 2L), (0L, 13L, 3L),
+      (1L, 30L, 1L), (2L, 40L, 1L)).toDF("query_id", "doc_id", "rk")
+    val got = Ranking.overlapAtK(tst, ref, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // k=2 truncates both sides: q0 test {10,11} vs ref {10,12} -> 1 hit;
+    // q1 test {20,21} vs ref {30} -> 0; q2 exists in ref ONLY -> the
+    // recall hole is reported, not dropped
+    assert(got == Map(0L -> ((2L, 2L, 1L)), 1L -> ((1L, 2L, 0L)),
+      2L -> ((1L, 0L, 0L))))
+  }
+
   test("gopherFilter verdict matches a row-local reference") {
     val out = TextStats.gopherFilter(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
