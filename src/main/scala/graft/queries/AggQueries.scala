@@ -120,6 +120,18 @@ object AggQueries {
       Windows.resampleFfill(ev, "user_id", "tms", Seq("value"),
           stepMs = 3600000L, ordCol = col("event_id"))
         .orderBy(col("user_id"), col("tms"))
+    },
+
+    // CEP pattern matching (Flink-CEP `followedBy ... within`, skip past
+    // last row): every view→click→purchase run per user completing within
+    // seven days of its first event. Oracle = recursive-CTE automaton over
+    // the same (stage, start) state.
+    "q_cep" -> { (s, dir) =>
+      graft.ops.Cep.patternMatches(Envelopes.events(s, dir), col("user_id"),
+          expr("unix_millis(ts)"), col("event_id"), col("event_type"),
+          Seq("view", "click", "purchase"), withinMs = 604800000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
     })
 
   import Envelopes.{odCte, oiCte}
@@ -219,13 +231,54 @@ object AggQueries {
         |    FROM ev0) WHERE rk = 1),
         |b AS (
         |  SELECT user_id,
-        |         MIN(tms) + (((-MIN(tms)) % 3600000) + 3600000) % 3600000 AS lo,
-        |         MAX(tms) - (((MAX(tms)) % 3600000) + 3600000) % 3600000 AS hi
+        |         MIN(tms) + (((-MIN(tms)) % 604800000) + 604800000) % 604800000 AS lo,
+        |         MAX(tms) - (((MAX(tms)) % 604800000) + 604800000) % 604800000 AS hi
         |  FROM ev GROUP BY 1),
         |g AS (
-        |  SELECT user_id, unnest(generate_series(lo, hi, 3600000)) AS tms
+        |  SELECT user_id, unnest(generate_series(lo, hi, 604800000)) AS tms
         |  FROM b WHERE lo <= hi)
         |SELECT g.user_id, g.tms, ev.value
         |FROM g ASOF LEFT JOIN ev ON g.user_id = ev.user_id AND g.tms >= ev.tms
-        |ORDER BY g.user_id, g.tms""".stripMargin)
+        |ORDER BY g.user_id, g.tms""".stripMargin,
+
+    // Recursive-CTE automaton: one iteration per per-user sequence position
+    // (depth = the busiest user's pattern-event count, ~65 at any SF — the
+    // per-key bound the Spark fold shares). State mirrors ops/Cep.scala
+    // branch for branch: timeout first, then stage advance, else hold.
+    "q_cep" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 > 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN (r.st = 0 AND e.ty = 'view') OR (r.st = 1 AND e.ty = 'click')
+        |           THEN r.st + 1
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 > 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 <= 604800000
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 <= 604800000
+        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin)
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Batch CEP automaton semantics: relaxed contiguity, within-window
+  * timeout, skip-past-last-row, greedy (earliest-start) matching, repeated
+  * pattern symbols, single-symbol patterns. */
+class CepSpec extends SparkSpec {
+
+  private def ev(rows: (Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.zipWithIndex
+      .map { case ((k, t, ty), i) => (k, t, i.toLong, ty) }
+      .toDF("k", "tms", "oid", "ty")
+  }
+
+  private def matches(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[String], w: Long): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatches(df, col("k"), col("tms"), col("oid"), col("ty"),
+        pattern, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private val vcp = Seq("view", "click", "purchase")
+
+  test("relaxed contiguity: noise events between stages are ignored") {
+    val df = ev((1, 10, "view"), (1, 20, "error"), (1, 30, "click"),
+      (1, 40, "signup"), (1, 50, "purchase"))
+    assert(matches(df, vcp, 1000) == Seq((1L, 1, 10L, 50L)))
+  }
+
+  test("out-of-stage pattern events are ignored (purchase before click)") {
+    val df = ev((1, 10, "view"), (1, 20, "purchase"), (1, 30, "click"),
+      (1, 40, "purchase"))
+    assert(matches(df, vcp, 1000) == Seq((1L, 1, 10L, 40L)))
+  }
+
+  test("greedy earliest start: a second view cannot restart a live partial") {
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "click"),
+      (1, 40, "purchase"))
+    assert(matches(df, vcp, 1000) == Seq((1L, 1, 10L, 40L)))
+  }
+
+  test("within: late completion abandons the partial; no match emitted") {
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 2000, "purchase"))
+    assert(matches(df, vcp, 100).isEmpty)
+  }
+
+  test("the abandoning event itself starts a new partial when stage-0") {
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 2000, "view"),
+      (1, 2010, "click"), (1, 2020, "purchase"))
+    assert(matches(df, vcp, 100) == Seq((1L, 1, 2000L, 2020L)))
+  }
+
+  test("skip past last row: back-to-back full runs emit disjoint matches") {
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+      (1, 40, "view"), (1, 50, "click"), (1, 60, "purchase"))
+    assert(matches(df, vcp, 1000) ==
+      Seq((1L, 1, 10L, 30L), (1L, 2, 40L, 60L)))
+  }
+
+  test("repeated pattern symbols pair greedily without overlap") {
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "view"),
+      (1, 40, "view"))
+    assert(matches(df, Seq("view", "view"), 1000) ==
+      Seq((1L, 1, 10L, 20L), (1L, 2, 30L, 40L)))
+  }
+
+  test("single-symbol pattern: every occurrence is its own match") {
+    val df = ev((1, 10, "click"), (1, 20, "view"), (1, 30, "click"))
+    assert(matches(df, Seq("click"), 1) ==
+      Seq((1L, 1, 10L, 10L), (1L, 2, 30L, 30L)))
+  }
+
+  test("keys are independent; keys without a match are absent") {
+    val df = ev((1, 10, "view"), (2, 15, "click"), (1, 20, "click"),
+      (2, 25, "view"), (1, 30, "purchase"))
+    assert(matches(df, vcp, 1000) == Seq((1L, 1, 10L, 30L)))
+  }
+}
