@@ -323,4 +323,96 @@ object Ranking {
       .select(col("query_id"), col("doc_id"), col("n_sys"),
         col("best_rk"), col("rrf_score"), col("rk"))
   }
+
+  /** Kendall rank agreement at depth k — the ORDERING companion to
+    * [[overlapAtK]] (recall says whether the right items surfaced; Kendall
+    * says whether they surfaced in the right order), as EXACT integers:
+    * over the items COMMON to both top-k lists, a pair is concordant when
+    * the two rankings order it the same way, discordant otherwise (ranks
+    * inside a top-k list are distinct, so there are no ties). The caller
+    * derives τ = (concordant − discordant) / n_pairs.
+    *
+    * Pairing is a per-query self-join over top-k-BOUNDED lists — k² pairs
+    * per query, the MMR shortlist contract (k ≤ ~1000; never feed unbounded
+    * rankings). Queries present in `ref` with zero/one common item still
+    * report (n_pairs = 0) — the eval hole the metric exists to surface.
+    * Pure integer counting → hash-oracles (`q_rank_corr`).
+    * @return (query_id, n_common, n_pairs, concordant, discordant) */
+  def kendallPairs(test: DataFrame, ref: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = test.filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rt"))
+    val r = ref.filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rr"))
+    val c = t.join(r, Seq("query_id", "doc_id"))
+    val a = c.select(col("query_id"), col("doc_id").as("da"),
+      col("rt").as("ta"), col("rr").as("ra"))
+    val b = c.select(col("query_id"), col("doc_id").as("db"),
+      col("rt").as("tb"), col("rr").as("rb"))
+    val sgn = (col("ta") - col("tb")) * (col("ra") - col("rb"))
+    val pairs = a.join(b, Seq("query_id")).filter(col("da") < col("db"))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"))
+    ref.filter(col("rk") <= k).select(col("query_id")).distinct()
+      .join(c.groupBy("query_id").agg(count(lit(1)).as("n_common")),
+        Seq("query_id"), "left_outer")
+      .join(pairs, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"))
+  }
+
+  /** The position-i nDCG discount as a fixed-point INTEGER:
+    * ⌊scale / log₂(i+1)⌋. Computed ONCE driver-side and embedded as
+    * literals in both the Spark plan and the SQL oracle — the graded sums
+    * then add integers, so the metric is exact by construction (no
+    * engine-libm log in any per-row path). */
+  def ndcgDiscount(i: Int, scale: Long = 1000000000000L): Long =
+    math.floor(scale / (math.log(i + 1) / math.log(2))).toLong
+
+  /** nDCG@k numerator/denominator as exact integers — the graded-relevance
+    * eval beside [[overlapAtK]] (hits) and [[kendallPairs]] (order):
+    * dcg_num = Σ rel(doc) · disc(rank in test), idcg_num the same sum over
+    * the ideal (relevance-descending) ordering of `rel`; the caller divides
+    * for nDCG = dcg_num / idcg_num. `rel` carries (query_id, doc_id, rel ≥
+    * 0 integer grades) and DEFINES the query set; test docs without a grade
+    * count 0 (the standard convention). Discount table is k broadcast-
+    * joined literal rows via [[ndcgDiscount]]. Hash-oracles (`q_ndcg`).
+    * @return (query_id, dcg_num, idcg_num) */
+  def ndcgAtK(test: DataFrame, rel: DataFrame, k: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val s = test.sparkSession
+    import s.implicits._
+    val dTab = (1 to k).map(i => (i.toLong, ndcgDiscount(i, scale)))
+      .toDF("__pos", "__disc")
+    val r = rel.select(col("query_id"), col("doc_id"),
+      col("rel").cast("long").as("__rel"))
+    val dcg = test.filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("__pos"))
+      .join(r, Seq("query_id", "doc_id"), "left_outer")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      .join(broadcast(dTab), Seq("__pos"))
+      .groupBy("query_id")
+      .agg(sum(col("__rel") * col("__disc")).as("dcg_num"))
+    val ideal = r.filter(col("__rel") > 0)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__rel").desc, col("doc_id"))).cast("long"))
+      .filter(col("__pos") <= k)
+      .join(broadcast(dTab), Seq("__pos"))
+      .groupBy("query_id")
+      .agg(sum(col("__rel") * col("__disc")).as("idcg_num"))
+    r.select(col("query_id")).distinct()
+      .join(dcg, Seq("query_id"), "left_outer")
+      .join(ideal, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("dcg_num"), lit(0L)).as("dcg_num"),
+        coalesce(col("idcg_num"), lit(0L)).as("idcg_num"))
+  }
 }

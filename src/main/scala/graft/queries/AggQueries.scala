@@ -231,11 +231,11 @@ object AggQueries {
         |    FROM ev0) WHERE rk = 1),
         |b AS (
         |  SELECT user_id,
-        |         MIN(tms) + (((-MIN(tms)) % 604800000) + 604800000) % 604800000 AS lo,
-        |         MAX(tms) - (((MAX(tms)) % 604800000) + 604800000) % 604800000 AS hi
+        |         MIN(tms) + (((-MIN(tms)) % 3600000) + 3600000) % 3600000 AS lo,
+        |         MAX(tms) - (((MAX(tms)) % 3600000) + 3600000) % 3600000 AS hi
         |  FROM ev GROUP BY 1),
         |g AS (
-        |  SELECT user_id, unnest(generate_series(lo, hi, 604800000)) AS tms
+        |  SELECT user_id, unnest(generate_series(lo, hi, 3600000)) AS tms
         |  FROM b WHERE lo <= hi)
         |SELECT g.user_id, g.tms, ev.value
         |FROM g ASOF LEFT JOIN ev ON g.user_id = ev.user_id AND g.tms >= ev.tms

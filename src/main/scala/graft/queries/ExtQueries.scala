@@ -115,6 +115,29 @@ object ExtQueries {
         .localCheckpoint(true))
     }
 
+  /** The index-vs-truth eval lists the three list metrics share
+    * (q_ann_recall / q_rank_corr / q_ndcg): test = IVFADC top-5 per probe
+    * query, ref = exact cosine top-5 (self included on both sides). */
+  private def annEvalLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = embs(s, dir)
+    val (books, codes) = pqBooksCodes(s, dir)
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val tst = Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 5,
+        nProbe = 2)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
+    val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("__ce"))
+    val ref = qs.crossJoin(c)
+      .select(col("query_id"), col("doc_id"),
+        Similarity.cosine(col("embedding"), col("__ce")).as("__sim"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("__sim").desc, col("doc_id"))))
+      .filter(col("rk") <= 5)
+    (tst, ref)
+  }
+
   val queries: Map[String, QFn] = Map(
     // Exact dedup by content hash.
     "q_dedup_exact" -> { (s, dir) =>
@@ -993,23 +1016,30 @@ object ExtQueries {
     // of the index contract), as exact integer overlap counts per query.
     // The number every deployed ANN index is judged by, hash-oracled.
     "q_ann_recall" -> { (s, dir) =>
-      val e = embs(s, dir)
-      val (books, codes) = pqBooksCodes(s, dir)
-      val qs = e.filter(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val tst = Similarity.ivfPqTopK(qs, e, books, codes, m = 4, topK = 5,
-          nProbe = 2)
-        .select(col("query_id"), col("vec_id").as("doc_id"), col("rk"))
-      val c = e.select(col("vec_id").as("doc_id"), col("embedding").as("__ce"))
-      val ref = qs.crossJoin(c)
-        .select(col("query_id"), col("doc_id"),
-          Similarity.cosine(col("embedding"), col("__ce")).as("__sim"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id"))
-            .orderBy(col("__sim").desc, col("doc_id"))))
-        .filter(col("rk") <= 5)
+      val (tst, ref) = annEvalLists(s, dir)
       Ranking.overlapAtK(tst, ref, k = 5).orderBy(col("query_id"))
+    },
+
+    // Kendall ORDER agreement over the same index-vs-truth lists: recall
+    // says the right vectors surfaced, this says whether the index also
+    // ordered the common ones the way exact cosine does — concordant /
+    // discordant pair counts per query, exact integers over the 5²-bounded
+    // common set.
+    "q_rank_corr" -> { (s, dir) =>
+      val (tst, ref) = annEvalLists(s, dir)
+      Ranking.kendallPairs(tst, ref, k = 5).orderBy(col("query_id"))
+    },
+
+    // nDCG@5 of the IVFADC list against exact-cosine graded relevance
+    // (rel = 6 − exact rank, so misranking near the top costs more than
+    // near the bottom — the one list-eval recall and Kendall both miss).
+    // Discounts ⌊1e12/log₂(i+1)⌋ are driver-side literal integers shared
+    // with the oracle, so the graded sums stay exact.
+    "q_ndcg" -> { (s, dir) =>
+      val (tst, ref) = annEvalLists(s, dir)
+      val rel = ref.select(col("query_id"), col("doc_id"),
+        (lit(6) - col("rk")).as("rel"))
+      Ranking.ndcgAtK(tst, rel, k = 5).orderBy(col("query_id"))
     },
 
     // FLAGSHIP hybrid-retrieval composite: the serving stack end to end —
@@ -3046,6 +3076,79 @@ object ExtQueries {
          |FROM rkq r LEFT JOIN tkq ON tkq.query_id = r.query_id
          |           LEFT JOIN h ON h.query_id = r.query_id
          |ORDER BY r.query_id""".stripMargin,
+
+    // Kendall pair counts over the same index/truth lists as q_ann_recall:
+    // join the two rankings on the common vectors, pair with vec_id <
+    // vec_id, count sign agreement — all integers.
+    "q_rank_corr" ->
+      s"""WITH ${IvfPqCtes},
+         |tst AS (SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rt
+         |        FROM prk2 WHERE rk <= 5),
+         |refr AS (SELECT query_id, vec_id, CAST(crk AS BIGINT) AS rr FROM (
+         |          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |              list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |              c.vec_id) AS crk
+         |          FROM embeddings q CROSS JOIN embeddings c
+         |          WHERE q.vec_id % 97 = 0) WHERE crk <= 5),
+         |c AS (SELECT t.query_id, t.vec_id, t.rt, r.rr FROM tst t
+         |      JOIN refr r ON r.query_id = t.query_id AND r.vec_id = t.vec_id),
+         |p AS (SELECT a.query_id, COUNT(*) AS n_pairs,
+         |        SUM(CASE WHEN (a.rt - b.rt) * (a.rr - b.rr) > 0
+         |              THEN 1 ELSE 0 END) AS concordant,
+         |        SUM(CASE WHEN (a.rt - b.rt) * (a.rr - b.rr) < 0
+         |              THEN 1 ELSE 0 END) AS discordant
+         |      FROM c a JOIN c b ON b.query_id = a.query_id
+         |                       AND a.vec_id < b.vec_id
+         |      GROUP BY 1),
+         |n AS (SELECT query_id, COUNT(*) AS n_common FROM c GROUP BY 1)
+         |SELECT q.query_id,
+         |       CAST(COALESCE(n.n_common, 0) AS BIGINT) AS n_common,
+         |       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(COALESCE(p.concordant, 0) AS BIGINT) AS concordant,
+         |       CAST(COALESCE(p.discordant, 0) AS BIGINT) AS discordant
+         |FROM (SELECT DISTINCT query_id FROM refr) q
+         |LEFT JOIN n ON n.query_id = q.query_id
+         |LEFT JOIN p ON p.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
+
+    // nDCG@5 numerator/denominator: the SAME ⌊1e12/log₂(i+1)⌋ integer
+    // discounts the Spark side embeds (generated from one Scala function —
+    // no engine log in any per-row path), rel = 6 − exact rank.
+    "q_ndcg" ->
+      s"""WITH ${IvfPqCtes},
+         |d AS (SELECT * FROM (VALUES ${(1 to 5)
+          .map(i => s"(${i}, ${graft.ext.Ranking.ndcgDiscount(i)})")
+          .mkString(", ")}) AS t(pos, disc)),
+         |tst AS (SELECT query_id, vec_id, CAST(rk AS BIGINT) AS pos
+         |        FROM prk2 WHERE rk <= 5),
+         |refr AS (SELECT query_id, vec_id, CAST(crk AS BIGINT) AS rr FROM (
+         |          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |              list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |              c.vec_id) AS crk
+         |          FROM embeddings q CROSS JOIN embeddings c
+         |          WHERE q.vec_id % 97 = 0) WHERE crk <= 5),
+         |rel AS (SELECT query_id, vec_id, 6 - rr AS rel FROM refr),
+         |dcg AS (SELECT t.query_id,
+         |          SUM(COALESCE(r.rel, 0) * d.disc) AS dcg_num
+         |        FROM tst t JOIN d ON d.pos = t.pos
+         |        LEFT JOIN rel r ON r.query_id = t.query_id
+         |                       AND r.vec_id = t.vec_id
+         |        GROUP BY 1),
+         |ide AS (SELECT i.query_id, SUM(i.rel * d.disc) AS idcg_num FROM (
+         |          SELECT query_id, rel,
+         |            row_number() OVER (PARTITION BY query_id
+         |              ORDER BY rel DESC, vec_id) AS pos
+         |          FROM rel WHERE rel > 0) i
+         |        JOIN d ON d.pos = i.pos GROUP BY 1)
+         |SELECT q.query_id,
+         |       CAST(COALESCE(dcg.dcg_num, 0) AS BIGINT) AS dcg_num,
+         |       CAST(COALESCE(ide.idcg_num, 0) AS BIGINT) AS idcg_num
+         |FROM (SELECT DISTINCT query_id FROM rel) q
+         |LEFT JOIN dcg ON dcg.query_id = q.query_id
+         |LEFT JOIN ide ON ide.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
 
     // The hybrid stack stitched from the proven chains: the bm25Batch
     // scoring CTEs (rk <= 20 lexical lists), the q_ann_cosine rank

@@ -156,6 +156,47 @@ class RankingSpec extends SparkSpec {
       2L -> ((1L, 0L, 0L))))
   }
 
+  test("kendallPairs: hand-counted concordance, reversal, degenerate queries") {
+    val s = spark
+    import s.implicits._
+    // q0: common {10,11,12}; test order 10<11<12, ref order 10<12<11 —
+    // pairs (10,11)+(10,12) concordant, (11,12) discordant.
+    // q1: common {20,21} fully REVERSED — 1 discordant pair.
+    // q2: one common item — 0 pairs. q3: ref-only — zero row survives.
+    val tst = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L),
+      (2L, 30L, 1L)).toDF("query_id", "doc_id", "rk")
+    val ref = Seq((0L, 10L, 1L), (0L, 12L, 2L), (0L, 11L, 3L),
+      (1L, 21L, 1L), (1L, 20L, 2L),
+      (2L, 30L, 1L), (3L, 40L, 1L)).toDF("query_id", "doc_id", "rk")
+    val got = Ranking.kendallPairs(tst, ref, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 3L, 2L, 1L)), 1L -> ((2L, 1L, 0L, 1L)),
+      2L -> ((1L, 0L, 0L, 0L)), 3L -> ((0L, 0L, 0L, 0L))))
+  }
+
+  test("ndcgAtK: perfect list scores idcg, swap costs the hand-computed delta") {
+    val s = spark
+    import s.implicits._
+    val d = (1 to 3).map(i => Ranking.ndcgDiscount(i))
+    // q0 test order = ideal (rel 3,2,1) → dcg == idcg; q1 swaps the top
+    // two (rel 1,2 ranked 2,1) and ranks an ungraded doc first.
+    val tst = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 99L, 1L), (1L, 20L, 2L), (1L, 21L, 3L))
+      .toDF("query_id", "doc_id", "rk")
+    val rel = Seq((0L, 10L, 3L), (0L, 11L, 2L), (0L, 12L, 1L),
+      (1L, 20L, 1L), (1L, 21L, 2L)).toDF("query_id", "doc_id", "rel")
+    val got = Ranking.ndcgAtK(tst, rel, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val i0 = 3 * d(0) + 2 * d(1) + 1 * d(2)
+    assert(got(0L) == ((i0, i0)))
+    assert(got(1L) == ((0 * d(0) + 1 * d(1) + 2 * d(2), 2 * d(0) + 1 * d(1))))
+    // discount table is strictly decreasing and anchored at scale
+    assert(d(0) == 1000000000000L && d(0) > d(1) && d(1) > d(2))
+  }
+
   test("gopherFilter verdict matches a row-local reference") {
     val out = TextStats.gopherFilter(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
