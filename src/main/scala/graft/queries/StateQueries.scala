@@ -25,6 +25,21 @@ object StateQueries {
     * extend it to a total order so the winning VALUE is deterministic. */
   private val versionOrder = Seq(col("ts"), col("id"), col("sku_num"), col("typ"))
 
+  /** Maxwell projection carrying BOTH SCD2-tracked attributes. */
+  private def mxv2(s: SparkSession, dir: String): DataFrame =
+    Project.etlFilter(Envelopes.maxwell(s, dir))
+      .select(element_at(col("data"), "order_id").cast("long").as("order_id"),
+        element_at(col("data"), "id").cast("long").as("id"),
+        col("type").as("typ"),
+        element_at(col("data"), "sku_num").as("sku_num"),
+        element_at(col("data"), "payment_status").as("pay_st"),
+        col("ts"))
+
+  /** SCD2 version order: [[versionOrder]] extended with pay_st so rows
+    * differing ONLY in the second tracked attribute still totally order. */
+  private val scd2Order =
+    Seq(col("ts"), col("id"), col("sku_num"), col("pay_st"), col("typ"))
+
   val queries: Map[String, QFn] = Map(
     // K3 — upsert (keyed compaction): last version per order_id wins.
     "q_upsert_dedup" -> { (s, dir) =>
@@ -40,6 +55,36 @@ object StateQueries {
           versionOrder, col("typ"))
         .select(col("order_id"), col("sku_num").as("last_sku_num"))
         .orderBy(col("order_id"))
+    },
+
+    // SCD2 — every version of (sku_num, pay_st) per order with validity
+    // intervals: no-op updates absorbed, deletes open gaps, re-inserts
+    // re-version. The dimension-history complement of q_dim_merge.
+    "q_scd2" -> { (s, dir) =>
+      Stateful.scd2History(mxv2(s, dir), Seq(col("order_id")), scd2Order,
+          col("ts"), Seq(col("sku_num"), col("pay_st")),
+          Seq("sku_num", "pay_st"), col("typ"))
+        .withColumn("ver", col("ver").cast("long"))
+        .orderBy(col("order_id"), col("ver"))
+    },
+
+    // SCD2 point-in-time fact enrichment: lineitem probes (staggered 3
+    // days per line past ship) pick the version valid at their event time;
+    // probes inside delete gaps or before the first version keep nulls.
+    "q_scd2_join" -> { (s, dir) =>
+      val hist = Stateful.scd2History(mxv2(s, dir), Seq(col("order_id")),
+        scd2Order, col("ts"), Seq(col("sku_num"), col("pay_st")),
+        Seq("sku_num", "pay_st"), col("typ"))
+      val facts = Envelopes.table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 3)
+        .select(col("l_orderkey").as("order_id"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("fact_id"),
+          (expr("unix_millis(cast(l_shipdate as timestamp)) div 1000") +
+            col("l_linenumber") * 259200L).as("fts"))
+      Stateful.scd2Lookup(facts, hist, Seq("order_id"), col("fts"))
+        .select(col("order_id"), col("fact_id"), col("fts"),
+          col("sku_num"), col("pay_st"), col("ver").cast("long").as("ver"))
+        .orderBy(col("order_id"), col("fact_id"), col("fts"))
     },
 
     // T5 — new-visitor repair (batch oracle of the keyed-state rules).
@@ -65,6 +110,45 @@ object StateQueries {
        |  FROM mx
        |  WHERE db = 'gmall' AND typ NOT IN ('bootstrap-start','bootstrap-complete'))""".stripMargin
 
+  /** Shared SCD2 history chain (the twin of `Stateful.scd2History` over
+    * [[mxv2]]): boundary detection by lagged null-safe attribute compare,
+    * interval close by lead over the kept (boundary ∪ delete) rows, version
+    * numbers over the surviving boundaries — window for window the Scala
+    * plan. */
+  private val SCD2: String =
+    s"""$MX,
+       |mxv2 AS (
+       |  SELECT CAST(order_id AS BIGINT) AS order_id, CAST(id AS BIGINT) AS id,
+       |         typ, sku_num, payment_status AS pay_st, ts
+       |  FROM mx
+       |  WHERE db = 'gmall' AND typ NOT IN ('bootstrap-start','bootstrap-complete')),
+       |scd_m AS (
+       |  SELECT *,
+       |         lag(typ) OVER w AS p_typ,
+       |         lag(sku_num) OVER w AS p_sku,
+       |         lag(pay_st) OVER w AS p_pay
+       |  FROM mxv2
+       |  WINDOW w AS (PARTITION BY order_id ORDER BY ts, id, sku_num, pay_st, typ)),
+       |scd_k AS (
+       |  SELECT * FROM (
+       |    SELECT *,
+       |           CASE WHEN typ = 'delete' THEN FALSE
+       |                ELSE p_typ IS NULL OR p_typ = 'delete'
+       |                  OR sku_num IS DISTINCT FROM p_sku
+       |                  OR pay_st IS DISTINCT FROM p_pay END AS opens
+       |    FROM scd_m)
+       |  WHERE opens OR typ = 'delete'),
+       |scd_f AS (
+       |  SELECT *, lead(ts) OVER (PARTITION BY order_id
+       |    ORDER BY ts, id, sku_num, pay_st, typ) AS eff_to
+       |  FROM scd_k),
+       |scd2 AS (
+       |  SELECT order_id, sku_num, pay_st, ts AS effective_from,
+       |         eff_to AS effective_to, eff_to IS NULL AS is_current,
+       |         CAST(row_number() OVER (PARTITION BY order_id
+       |           ORDER BY ts, id, sku_num, pay_st, typ) AS BIGINT) AS ver
+       |  FROM scd_f WHERE opens)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_upsert_dedup" ->
       s"""WITH $MXV
@@ -80,6 +164,25 @@ object StateQueries {
          |  QUALIFY row_number() OVER (PARTITION BY order_id ORDER BY ts DESC, id DESC, sku_num DESC, typ DESC) = 1)
          |WHERE typ <> 'delete'
          |ORDER BY order_id""".stripMargin,
+
+    "q_scd2" ->
+      s"""WITH $SCD2
+         |SELECT order_id, sku_num, pay_st, effective_from, effective_to,
+         |       is_current, ver
+         |FROM scd2 ORDER BY order_id, ver""".stripMargin,
+
+    "q_scd2_join" ->
+      s"""WITH $SCD2,
+         |facts AS (
+         |  SELECT l_orderkey AS order_id,
+         |         l_orderkey * 10 + l_linenumber AS fact_id,
+         |         epoch_ms(l_shipdate) // 1000 + l_linenumber * 259200 AS fts
+         |  FROM lineitem WHERE l_orderkey % 7 = 3)
+         |SELECT f.order_id, f.fact_id, f.fts, h.sku_num, h.pay_st, h.ver
+         |FROM facts f LEFT JOIN scd2 h
+         |  ON h.order_id = f.order_id AND h.effective_from <= f.fts
+         | AND (h.effective_to IS NULL OR f.fts < h.effective_to)
+         |ORDER BY f.order_id, f.fact_id, f.fts""".stripMargin,
 
     "q_isnew_fix" ->
       s"""WITH $LG,
