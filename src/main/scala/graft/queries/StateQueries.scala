@@ -87,6 +87,37 @@ object StateQueries {
         .orderBy(col("order_id"), col("fact_id"), col("fts"))
     },
 
+    // Cross-batch SCD2: the changelog split into three ts-range batches
+    // (leading order column, so per-key cross-batch order holds — the CDC
+    // offset contract), folded through the persistent store; the final
+    // history is provably the batch operator's, so the oracle IS q_scd2's
+    // SQL verbatim.
+    "q_scd2_stream" -> { (s, dir) =>
+      val src = mxv2(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_scd2_q")
+      val cuts = Seq(757382400L, 820454400L) // 1994-01-01, 1996-01-01 UTC
+      val parts = Seq(src.filter(col("ts") < cuts(0)),
+        src.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        src.filter(col("ts") >= cuts(1)))
+      var out: DataFrame = null
+      for ((b, i) <- parts.zipWithIndex)
+        out = graft.streaming.IncrementalScd2.mergeBatch(b, s"$root/h",
+          keys = Seq("order_id"),
+          ordCols = Seq("ts", "id", "sku_num", "pay_st", "typ"),
+          attrNames = Seq("sku_num", "pay_st"), batchId = i.toLong)
+      // the fold returns a lazy store read — pin it before the temp store
+      // is deleted (the q_topk_stream lifecycle)
+      val res = out
+        .withColumn("ver", col("ver").cast("long"))
+        .select(col("order_id"), col("sku_num"), col("pay_st"),
+          col("effective_from"), col("effective_to"), col("is_current"),
+          col("ver"))
+        .orderBy(col("order_id"), col("ver"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // T5 — new-visitor repair (batch oracle of the keyed-state rules).
     "q_isnew_fix" -> { (s, dir) =>
       val lg = Project.logEtl(Envelopes.logRecords(s, dir))
@@ -166,6 +197,14 @@ object StateQueries {
          |ORDER BY order_id""".stripMargin,
 
     "q_scd2" ->
+      s"""WITH $SCD2
+         |SELECT order_id, sku_num, pay_st, effective_from, effective_to,
+         |       is_current, ver
+         |FROM scd2 ORDER BY order_id, ver""".stripMargin,
+
+    // the fold is lossless over the concatenated changelog, so the
+    // streaming drive's truth is the batch history itself
+    "q_scd2_stream" ->
       s"""WITH $SCD2
          |SELECT order_id, sku_num, pay_st, effective_from, effective_to,
          |       is_current, ver
