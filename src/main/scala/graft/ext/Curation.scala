@@ -283,6 +283,34 @@ object Curation {
     df.filter(pctBucket(idCol) < rate)
   }
 
+  /** Deterministic FIXED-SIZE sample: the k rows with the smallest id
+    * hashes per stratum — the held-out-eval-set primitive the rate-based
+    * samples can't provide (a rate keeps `pct%` of whatever arrives; an
+    * eval set needs EXACTLY k docs no matter how the corpus grows). The
+    * md5 order makes it a uniform random sample that is stable under
+    * reruns/repartitioning and MERGEABLE: bottomK(A ∪ B) =
+    * bottomK(bottomK(A) ∪ bottomK(B)) — the property the cross-batch fold
+    * ([[graft.streaming.IncrementalSample]]) and distributed execution
+    * both ride (Spark's rank-limit pushdown turns the window filter into
+    * per-partition top-k before the stratum shuffle, so only k·partitions
+    * rows ever move). Duplicate (stratum, id) rows collapse first — set
+    * semantics, so re-ingestion never double-counts.
+    * @return (g, id, h) — stratum, id, and its sample hash */
+  def bottomKSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(stratumCol.cast("string").as("g"), idCol.cast("long").as("id"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("h"), col("id"))))
+      .filter(col("__rk") <= k)
+      .select(col("g"), col("id"), col("h"))
+  }
+
   /** Temperature-flattened mixture sampling — the multi-source rebalancing
     * step of LLM pretraining mixes (the `p_s ∝ n_s^α` rule): a source's
     * share of the kept corpus is proportional to its size raised to

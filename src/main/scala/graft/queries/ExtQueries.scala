@@ -451,6 +451,32 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Fixed-size held-out sample: exactly 50 docs per language by
+    // bottom-k id hash — the eval-set primitive the rate-based samples
+    // can't provide, mergeable by construction.
+    "q_bottomk_sample" -> { (s, dir) =>
+      Curation.bottomKSample(docs(s, dir), col("doc_id"), col("lang"), 50)
+        .orderBy(col("g"), col("h"), col("id"))
+    },
+
+    // Cross-batch held-out sample: three id-sliced folds through the
+    // persistent bottom-k store (set semantics — any split is valid);
+    // the final sample is provably the batch operator's, so the oracle
+    // IS q_bottomk_sample's SQL verbatim.
+    "q_sample_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_samp_q")
+      var out: DataFrame = null
+      for (i <- 0 until 3)
+        out = graft.streaming.IncrementalSample.mergeBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/s",
+          col("doc_id"), col("lang"), 50)
+      val res = out.orderBy(col("g"), col("h"), col("id"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // Corpus token-frequency stats per doc (exact-integer KenLM-style
     // signal: rare-token count + document-frequency mass).
     "q_tok_stats" -> { (s, dir) =>
@@ -2791,6 +2817,28 @@ object ExtQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bottomk_sample" ->
+      """SELECT g, id, h FROM (
+        |  SELECT lang AS g, doc_id AS id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY g, h, id""".stripMargin,
+
+    // the bottom-k fold is lossless (mergeable by construction), so the
+    // streaming drive's truth is the batch sample itself
+    "q_sample_stream" ->
+      """SELECT g, id, h FROM (
+        |  SELECT lang AS g, doc_id AS id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY g, h, id""".stripMargin,
 
     "q_sample_det" ->
       """SELECT doc_id FROM documents

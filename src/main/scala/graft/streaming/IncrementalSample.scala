@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch fixed-size uniform sample — the deterministic reservoir:
+  * [[graft.ext.Curation.bottomKSample]]'s bottom-k-by-hash is mergeable
+  * (bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))), so a persistent
+  * per-stratum sample of EXACTLY k ids stays exact over any number of
+  * micro-batches at O(strata·k) state: each fold takes the batch's own
+  * local bottom-k, re-ranks it against the stored sample, admits the new
+  * entrants and DELETES the evicted rows (the store never exceeds k per
+  * stratum). After any fold the sample is bit-identical to the batch
+  * operator over the concatenated history — the held-out eval set a
+  * 100 TB pipeline can maintain while the corpus streams in.
+  *
+  * Folds are IDEMPOTENT by set semantics (a re-folded batch admits and
+  * evicts nothing), so no replay high-water mark is needed — the
+  * [[IncrementalBloom]]/[[IncrementalCc]] stance. A fold that changes
+  * nothing writes nothing. */
+object IncrementalSample {
+
+  /** The stored sample without folding (empty frame if never run). */
+  def readSample(spark: SparkSession, storePath: String): DataFrame =
+    KeyedStore.read(spark, storePath)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("g"), col("id"), col("h")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long, Long)].toDF("g", "id", "h")
+      }
+
+  /** Fold one micro-batch into the sample at `storePath` (created on first
+    * use) and return the full updated per-stratum bottom-k. */
+  def mergeBatch(batch: DataFrame, storePath: String,
+      idCol: org.apache.spark.sql.Column, stratumCol: org.apache.spark.sql.Column,
+      k: Int, numBuckets: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val stored = KeyedStore.read(spark, storePath)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("g"), col("id"), col("h"), col("ver"))
+        .localCheckpoint(true))
+    val local = graft.ext.Curation.bottomKSample(batch, idCol, stratumCol, k)
+    val union = stored match {
+      case Some(s) => s.select(col("g"), col("id"), col("h"))
+        .unionByName(local).dropDuplicates("g", "id")
+      case None => local
+    }
+    val next = union
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("h"), col("id"))))
+      .filter(col("__rk") <= k)
+      .select(col("g"), col("id"), col("h"))
+      .localCheckpoint(true)
+    val nextVer = stored
+      .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    val delta = stored match {
+      case Some(s) =>
+        val cur = s.select(col("g"), col("id"), col("h"))
+        val entrants = next.join(cur, Seq("g", "id"), "left_anti")
+          .withColumn("op_type", lit("put"))
+        val evicted = cur.join(next, Seq("g", "id"), "left_anti")
+          .withColumn("op_type", lit("delete"))
+        entrants.unionByName(evicted)
+      case None => next.withColumn("op_type", lit("put"))
+    }
+    val changed = delta.withColumn("ver", lit(nextVer))
+      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+    if (!changed.isEmpty)
+      KeyedStore.merge(changed, storePath, keys = Seq("g", "id"),
+        seqCols = Seq("ver"), numBuckets = numBuckets,
+        bucketCols = Seq("g", "id"))
+    graft.util.Blocks.freeCheckpoint(changed)
+    stored.foreach(graft.util.Blocks.freeCheckpoint)
+    next
+  }
+}
