@@ -365,6 +365,42 @@ object Profile {
     * (libm `log` in the small-range branch is not engine-portable; the
     * oracle pins the integer summary instead, the estimate is spec-checked
     * against exact counts). */
+  /** Referential-integrity audit — the data-quality pre-flight a warehouse
+    * runs before trusting a join (the reference's DWD layer joins facts to
+    * dims with no such check; a silent orphan there becomes a silently
+    * dropped fact row): for one child-FK → parent-PK relationship, exact
+    * integer counts of the ways the join can lose or multiply rows —
+    * null FKs (dropped by any equi-join), orphan rows/keys (dropped by an
+    * inner join, nulled by a left), and duplicate parent keys (each one
+    * MULTIPLIES matching facts — the fan-out bug).
+    *
+    * Plan shape: one child-side aggregate, one anti-join of the child's
+    * DISTINCT keys against the parent keys (keys only — the narrowest
+    * shuffle the question permits; orphan ROW counts ride the distinct-key
+    * aggregate, not a second corpus pass), one parent-side aggregate; the
+    * three 1-row results cross-join as scalar attaches.
+    * @return one row: (child_rows, null_fk_rows, orphan_rows, orphan_keys,
+    *         parent_rows, dup_parent_keys) */
+  def fkAudit(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame = {
+    val c = child.select(childKey.as("__fk"))
+    val p = parent.select(parentKey.as("__pk"))
+    val cAgg = c.agg(count(lit(1)).as("child_rows"),
+      sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("null_fk_rows"))
+    val ck = c.filter(col("__fk").isNotNull)
+      .groupBy(col("__fk")).agg(count(lit(1)).as("__n"))
+    val orph = ck.join(p.select(col("__pk").as("__fk")), Seq("__fk"),
+        "left_anti")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("orphan_rows"),
+        count(lit(1)).as("orphan_keys"))
+    val pAgg = p.agg(count(lit(1)).as("parent_rows"))
+    val pDup = p.filter(col("__pk").isNotNull)
+      .groupBy(col("__pk")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(count(lit(1)).as("dup_parent_keys"))
+    cAgg.crossJoin(orph).crossJoin(pAgg).crossJoin(pDup)
+  }
+
   def hllEstimate(zeros: Long, hNum: Long, p: Int = 11): Long = {
     val m = (1L << p).toDouble
     val rmax = 32 - p + 1

@@ -1358,6 +1358,24 @@ object ExtQueries {
         .orderBy(col("src"))
     },
 
+    // Referential-integrity audit over three fact→dim relationships:
+    // lineitem→orders and orders→customer are clean by construction;
+    // events.user_id→customer exercises the orphan counters, and auditing
+    // AGAINST lineitem's key exercises the fan-out (dup-parent) counter.
+    "q_fk_audit" -> { (s, dir) =>
+      val l = Envelopes.table(s, dir, "lineitem")
+      val o = Envelopes.table(s, dir, "orders")
+      val c = Envelopes.table(s, dir, "customer")
+      val e = Envelopes.events(s, dir)
+      Profile.fkAudit(l, col("l_orderkey"), o, col("o_orderkey"))
+        .withColumn("rel", lit("lineitem_orders"))
+        .unionByName(Profile.fkAudit(e, col("user_id"), c, col("c_custkey"))
+          .withColumn("rel", lit("events_customer")))
+        .unionByName(Profile.fkAudit(o, col("o_orderkey"), l, col("l_orderkey"))
+          .withColumn("rel", lit("orders_lineitem")))
+        .orderBy(col("rel"))
+    },
+
     "q_hist_quantile" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
@@ -3573,6 +3591,35 @@ object ExtQueries {
         |SELECT bid, g, CAST(2048 - COUNT(*) AS BIGINT) AS zeros,
         |       CAST(SUM(1::BIGINT << (22 - rank)) AS BIGINT) AS h_num
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // One generated block per relationship: child aggregate, distinct-key
+    // anti-join orphan counts, parent aggregate, dup-key count — the same
+    // four 1-row pieces the Spark operator cross-joins.
+    "q_fk_audit" -> {
+      def rel(name: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS rel, a.child_rows, a.null_fk_rows,
+           |       o.orphan_rows, o.orphan_keys, p.parent_rows,
+           |       d.dup_parent_keys
+           |FROM (SELECT COUNT(*) AS child_rows,
+           |             CAST(COALESCE(SUM(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_fk_rows
+           |      FROM $child) a,
+           |     (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS orphan_rows,
+           |             COUNT(*) AS orphan_keys FROM (
+           |        SELECT $fk AS fkk, COUNT(*) AS n FROM $child
+           |        WHERE $fk IS NOT NULL GROUP BY 1) ck
+           |      WHERE NOT EXISTS (SELECT 1 FROM $parent WHERE $pk = ck.fkk)) o,
+           |     (SELECT COUNT(*) AS parent_rows FROM $parent) p,
+           |     (SELECT COUNT(*) AS dup_parent_keys FROM (
+           |        SELECT $pk FROM $parent WHERE $pk IS NOT NULL
+           |        GROUP BY 1 HAVING COUNT(*) > 1)) d""".stripMargin
+      s"""${rel("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${rel("events_customer", "events", "user_id", "customer", "c_custkey")}
+         |UNION ALL
+         |${rel("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+         |ORDER BY rel""".stripMargin
+    },
 
     // Group-size stats + the q_hist_quantile sketch idiom over the SIZE
     // distribution, per source table.

@@ -697,6 +697,71 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** IncrementalScd2 long-run probe: the sf0.1 Maxwell changelog (~600 k
+    * typed CDC rows) split into `batches` contiguous ts ranges (the
+    * per-key cross-batch order the CDC contract requires), folded into
+    * the persistent versioned-interval store vs a batch scd2History
+    * recompute over the concatenated prefix at each horizon. Claims under
+    * test: the fold's wall is bounded by O(batch + touched open versions)
+    * — NOT by the growing changelog — while the recompute's wall tracks
+    * the history it re-reads; and live store rows track total versions
+    * (closed versions are immutable, written once).
+    *
+    * Usage: runMain graft.tools.ScaleProbe scd2fold [batches] [storeRoot] */
+  def scd2foldProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val dir = "/root/testdata/sf0.1"
+    val src = graft.ops.Project.etlFilter(
+        graft.model.Envelopes.maxwell(spark, dir))
+      .select(element_at(col("data"), "order_id").cast("long").as("order_id"),
+        element_at(col("data"), "id").cast("long").as("id"),
+        col("type").as("typ"),
+        element_at(col("data"), "sku_num").as("sku_num"),
+        element_at(col("data"), "payment_status").as("pay_st"),
+        col("ts"))
+      .localCheckpoint(true)
+    val tss = src.select(col("ts")).distinct().orderBy(col("ts"))
+      .collect().map(_.getLong(0))
+    val cuts = (1 until batches).map(i => tss((i.toLong * tss.length / batches).toInt))
+    println(s"SCD2FOLD rows=${src.count()} distinctTs=${tss.length} batches=$batches")
+    val ord = Seq("ts", "id", "sku_num", "pay_st", "typ")
+    for (i <- 0 until batches) {
+      val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+      val hi = if (i == batches - 1) Long.MaxValue else cuts(i)
+      val b = src.filter(col("ts") >= lo && col("ts") < hi)
+      val t0 = System.nanoTime()
+      val n = graft.streaming.IncrementalScd2.mergeBatch(b, s"$storeRoot/h",
+        Seq("order_id"), ord, Seq("sku_num", "pay_st"), i.toLong).count()
+      val foldW = (System.nanoTime - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nb = graft.ops.Stateful.scd2History(src.filter(col("ts") < hi),
+        Seq(col("order_id")), ord.map(col), col("ts"),
+        Seq(col("sku_num"), col("pay_st")), Seq("sku_num", "pay_st"),
+        col("typ")).count()
+      val batchW = (System.nanoTime - t1) / 1e9
+      println(f"SCD2FOLD fold=$i%2d versions=$n fold=$foldW%5.1f s " +
+        f"recompute($nb versions)=$batchW%5.1f s")
+    }
+    // sparse-delta phase: a single-key update against the full store —
+    // the touched-key seed pruning means the fold's scd2 input is one
+    // seed + one row, not the key table; cost must not track the corpus
+    import spark.implicits._
+    for (i <- 0 until 5) {
+      val p = Seq((1L, 999000L + i, "update", s"sparse$i", "1601",
+          4102444800L + i))
+        .toDF("order_id", "id", "typ", "sku_num", "pay_st", "ts")
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalScd2.mergeBatch(p, s"$storeRoot/h",
+        Seq("order_id"), ord, Seq("sku_num", "pay_st"), (batches + i).toLong)
+        .count()
+      println(f"SCD2FOLD sparse=$i wall=${(System.nanoTime - t0) / 1e9}%5.2f s (single-key update)")
+    }
+    spark.stop()
+  }
+
   /** IncrementalTopK long-run probe: fold `batches` micro-batches of the
     * sf0.1 token stream into one persistent MG summary and report the
     * per-fold wall over time plus the store's live row count — the claims
@@ -1024,6 +1089,11 @@ object ScaleProbe {
     if (args.headOption.contains("ccfold")) {
       ccfoldProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_ccfold"))
+      return
+    }
+    if (args.headOption.contains("scd2fold")) {
+      scd2foldProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_scd2"))
       return
     }
     if (args.headOption.contains("warmrank")) {

@@ -79,6 +79,29 @@ class ProfileSketchSpec extends SparkSpec {
     }
   }
 
+  test("fkAudit counts nulls, orphans, and fan-out dups on a hand fixture") {
+    val s = spark
+    import s.implicits._
+    // child: 2 rows → parent 10; 2 rows (1 key) → orphan 99; 1 null FK;
+    // 1 row → dup parent 20 (fan-out)
+    val child = Seq(Some(10L), Some(10L), Some(99L), Some(99L), None,
+      Some(20L)).toDF("fk")
+    val parent = Seq(10L, 20L, 20L, 30L).toDF("pk")
+    val r = Profile.fkAudit(child, col("fk"), parent, col("pk")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((6L, 1L, 2L, 1L, 4L, 1L)))
+  }
+
+  test("fkAudit on a clean relationship reports all zeros") {
+    val s = spark
+    import s.implicits._
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profile.fkAudit(child, col("fk"), parent, col("pk")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)) ==
+      ((0L, 0L, 0L, 0L)))
+  }
+
   test("hllRegisters union by max equals registers of the union") {
     val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
     val whole = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))

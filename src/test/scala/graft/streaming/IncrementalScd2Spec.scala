@@ -96,6 +96,39 @@ class IncrementalScd2Spec extends SparkSpec {
       Seq("A", "y", 3L, null, true, 2L)))
   }
 
+  test("drives a foreachBatch stream end-to-end, surviving query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = Files.createTempDirectory("inc_scd2_st").toString + "/store"
+    def start(offset: Long) = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long, String, String)]
+      val q = mem.toDF().toDF("k", "seq", "ts", "typ", "attr").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          IncrementalScd2.mergeBatch(batch, store, Seq("k"), Seq("seq"),
+            Seq("attr"), batchId = offset + bid)
+          ()
+        }
+        .start()
+      (mem, q)
+    }
+    val (m1, q1) = start(0L)
+    try {
+      m1.addData(changelog.filter(_._2 <= 3)); q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: a NEW query (fresh batch ids) continues the same store
+    val (m2, q2) = start(100L)
+    try {
+      m2.addData(changelog.filter(r => r._2 > 3 && r._2 <= 4))
+      q2.processAllAvailable()
+      m2.addData(changelog.filter(_._2 > 4)); q2.processAllAvailable()
+    } finally q2.stop()
+    val hist = IncrementalScd2.readHistory(s, store, batchOf(1 to 1),
+      Seq("k"), Seq("attr"))
+    assert(snap(hist) == snap(batchHistory(6)))
+  }
+
   test("restart: a fresh reader sees the folded history; lookup composes") {
     val s = spark
     import s.implicits._
