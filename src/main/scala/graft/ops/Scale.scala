@@ -214,6 +214,42 @@ object Scale {
   /** Lay a table out along the z-curve: range-partition on the z-value, sort
     * within partitions — each output file covers one compact z-range, which
     * is what makes min/max data skipping fire on both dimensions. */
+  /** Dense deterministic ids 0..n−1 in `ord` order WITHOUT a global sort —
+    * the corpus-preparation primitive (shard-stable example numbering,
+    * embedding-table row ids) that `row_number() OVER (ORDER BY …)` gets
+    * wrong at scale (one partition sorts the world). Two-level ranking
+    * instead: rows rank locally inside `bucketCol` groups (one hash
+    * exchange on the bucket — the only corpus-scale movement), bucket
+    * sizes aggregate map-side into a buckets-sized table whose running
+    * sum yields each bucket's global offset (a window over metadata, not
+    * data), and `id = offset + local_rank − 1` broadcasts back.
+    *
+    * CONTRACT: `bucketCol` must be a MONOTONE coarsening of `ord` (e.g.
+    * `ord = (doc_id)`, `bucket = doc_id div 4096`) — then (bucket, ord)
+    * order IS global ord order and ids match the global row_number; and
+    * `ord` must totally order rows within a bucket (ties would make the
+    * assignment among tied rows arbitrary). Bucket width trades skew
+    * (one giant bucket = one giant sort) against offset-table size;
+    * ~thousands of rows per bucket is the right grain.  Unlike RDD
+    * zipWithIndex this is pure DataFrame (plans, AQE, codegen) and
+    * unlike monotonically_increasing_id the ids are DENSE and stable
+    * across runs, partitionings, and cluster sizes. */
+  def denseIds(df: DataFrame, bucketCol: Column, ord: Seq[Column],
+      as: String = "dense_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(ord: _*)
+    val b = df.withColumn("__bkt", bucketCol)
+    val offsets = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__bkt"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    b.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(as, col("__off") + row_number().over(w) - 1)
+      .drop("__bkt", "__off")
+  }
+
   def zorderLayout(df: DataFrame, x: Column, y: Column, partitions: Int,
       bits: Int = 16): DataFrame = {
     val z = zorderValue(x, y, bits)

@@ -155,6 +155,19 @@ object RelQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Dense deterministic ids without a global sort: two-level ranking
+    // (local rank inside a monotone id-div-4096 bucket + broadcast bucket
+    // offsets from a metadata-sized running sum) — equals the global
+    // row_number the oracle computes the expensive way.
+    "q_dense_ids" -> { (s, dir) =>
+      import graft.ops.Scale
+      Scale.denseIds(
+          Envelopes.table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          expr("doc_id div 4096"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("dense_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Z-order with AUTO-PROFILED domain normalization: bounds from the
     // one-pass Scale.dimBounds stats scan, each dimension linearly mapped
     // onto the shared 10-bit range before interleaving — the end-to-end
@@ -379,6 +392,11 @@ object RelQueries {
          |       CAST(${graft.ops.Scale.zorderSql("(l_partkey % 1024)", "(l_suppkey % 1024)", bits = 10)}
          |            AS BIGINT) AS zval
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_dense_ids" ->
+      """SELECT doc_id, lang,
+        |       row_number() OVER (ORDER BY doc_id) - 1 AS dense_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_zorder_auto" -> {
       val price = "CAST(FLOOR(l_extendedprice) AS BIGINT)"

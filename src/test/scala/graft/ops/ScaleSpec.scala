@@ -218,4 +218,45 @@ class ScaleSpec extends SparkSpec {
       Scale.dimBounds(grid.filter(lit(false)), col("x"), col("y"))
     }
   }
+
+  test("denseIds: dense 0..n-1 in ord order, equal to the global row_number") {
+    val s = spark
+    import s.implicits._
+    // sparse, shuffled ids with gaps; buckets of width 10
+    val ids = scala.util.Random.shuffle((0L until 100L).map(_ * 7 + 3).toList)
+    val df = ids.toDF("id")
+    val got = Scale.denseIds(df, expr("id div 10"), Seq(col("id")))
+      .select(col("id"), col("dense_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ids.sorted.zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == want)
+  }
+
+  test("denseIds: assignment is independent of the bucket width") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).map(_ * 3).toDF("id")
+    val a = Scale.denseIds(df, expr("id div 7"), Seq(col("id")))
+      .select(col("id"), col("dense_id")).collect().map(_.toSeq).toSet
+    val b = Scale.denseIds(df, expr("id div 1000"), Seq(col("id")))
+      .select(col("id"), col("dense_id")).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("denseIds: no global sort — the corpus-scale exchange is the bucket hash") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val plan = Scale.denseIds(df, expr("id div 64"), Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    // the data-side window must partition by bucket, not sort the world:
+    // a global row_number would show an Exchange SinglePartition feeding
+    // a corpus Window; here SinglePartition appears only under the
+    // metadata-sized offsets aggregate (which then broadcasts)
+    val rnWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(rnWindows.nonEmpty &&
+      rnWindows.forall(l => l.contains("windowspecdefinition(__bkt")),
+      s"data window must be bucket-partitioned:\n$plan")
+  }
 }
