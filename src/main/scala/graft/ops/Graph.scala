@@ -524,6 +524,67 @@ object Graph {
     e
   }
 
+  /** Bounded-hop BFS distances from a seed set — the remaining member of
+    * the Pregel-shaped family ([[pageRankInt]] diffuses mass,
+    * [[labelPropagation]] diffuses labels; this diffuses REACH): crawl
+    * depth from trusted hosts, blast-radius labeling from flagged docs,
+    * "within-k-hops" candidate scoping for the link-prediction operators.
+    * Frontier expansion, not distance relaxation: hop h's frontier is the
+    * out-neighbors of hop h−1 minus everything already labeled, so each
+    * node is visited exactly once, every iteration's joins are
+    * frontier-sized (not graph-sized), and the label is provably the
+    * minimum hop count (a node reached at h cannot be reachable at < h —
+    * it would already be labeled). A drained frontier makes remaining
+    * iterations empty no-ops, so a fixed `maxHops` matches the unrolled
+    * SQL twin ([[bfsSql]]) without an early-exit action per round.
+    *
+    * Edges are DIRECTED (src → dst); symmetrize for undirected reach.
+    * Nodes unreached within `maxHops` are absent from the output — the
+    * caller's outer join reads them as "beyond the horizon".
+    * Per-iteration localCheckpoint with superseded generations freed, the
+    * family discipline.
+    * @return (node, hops) — hops ∈ [0, maxHops], seeds at 0 */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1).toLong)
+      val next = e
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+      val prev = dist
+      dist = dist.unionByName(next).localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(prev)
+    }
+    graft.util.Blocks.freeCheckpoint(e)
+    dist
+  }
+
+  /** The DuckDB twin of [[bfsHops]], hops unrolled from the same
+    * parameters. `edgesCte` must define `e(src, dst)`, `seedsCte` must
+    * define `sd(node)`; ends in a SELECT of (node, hops) ordered by
+    * node. */
+  def bfsSql(edgesCte: String, seedsCte: String, maxHops: Int): String = {
+    val its = (1 to maxHops).map { i =>
+      s"""f$i AS (SELECT DISTINCT e.dst AS node
+         |        FROM e JOIN f${i - 1} ON e.src = f${i - 1}.node
+         |        WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} dd
+         |                          WHERE dd.node = e.dst)),
+         |d$i AS (SELECT node, hops FROM d${i - 1}
+         |        UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }
+    val ctes = Seq(edgesCte, seedsCte,
+      "d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS hops FROM sd)",
+      "f0 AS (SELECT node FROM d0)") ++ its
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT node, hops FROM d$maxHops ORDER BY node""".stripMargin
+  }
+
   /** Link prediction over an undirected edge table: for every NON-adjacent
     * node pair sharing at least one common neighbor, the three classic
     * neighborhood scores — common-neighbor count, the Resource Allocation

@@ -212,6 +212,18 @@ object RelQueries {
         .orderBy(col("node"))
     },
 
+    // Bounded-hop BFS from the trusted seed set over the same graph —
+    // crawl depth / blast radius: hop 1 = suppliers of seed customers,
+    // hop 2 = customers sharing those suppliers, hop 3 = their other
+    // suppliers; nodes beyond 3 hops are absent.
+    "q_bfs_hops" -> { (s, dir) =>
+      val seeds = Envelopes.table(s, dir, "customer")
+        .filter(col("c_custkey") % 101 === 0)
+        .select(col("c_custkey").as("node"))
+      graft.ops.Graph.bfsHops(tradeGraphEdges(s, dir), seeds, maxHops = 3)
+        .orderBy(col("node"))
+    },
+
     // Deterministic synchronous label propagation over the same graph —
     // community detection with the smallest-label tie-break making the
     // labeling a pure function of (edges, iters).
@@ -412,6 +424,10 @@ object RelQueries {
     },
 
     "q_pagerank" -> graft.ops.Graph.pageRankSql(TradeGraphCte, iters = 3),
+
+    "q_bfs_hops" -> graft.ops.Graph.bfsSql(TradeGraphCte,
+      "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)",
+      maxHops = 3),
 
     "q_trustrank" -> graft.ops.Graph.pageRankSql(TradeGraphCte, iters = 3,
       seedsCte = Some(

@@ -289,4 +289,32 @@ class GraphSpec extends SparkSpec {
     assert(!sql.contains("r4"))
     assert(sql.contains("// 100"), "integer floor division in the twin")
   }
+
+  test("bfsHops: min hop counts, cycle safety, horizon cutoff, multi-seed") {
+    val s = spark
+    import s.implicits._
+    // 1→2→3→4→1 cycle plus a shortcut 1→3 and an unreachable 9→10;
+    // second seed 4 gives 1 a 1-hop path round the cycle
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (9L, 10L)).toDF("src", "dst")
+    val got = Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 via the shortcut at hop 1, NOT hop 2 via 2; 4 at hop 2; 9/10 absent
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    val two = Graph.bfsHops(e, Seq(1L, 9L).toDF("node"), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 1L, 10L -> 1L))
+    // horizon 0 = seeds only; drained frontier: extra hops change nothing
+    assert(Graph.bfsHops(e, Seq(1L).toDF("node"), 0).count() == 1L)
+    val full = Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsSql twin unrolls every hop CTE it builds") {
+    val sql = Graph.bfsSql("e AS (SELECT 1 AS src, 2 AS dst)",
+      "sd AS (SELECT 1 AS node)", maxHops = 3)
+    assert(sql.contains("d3") && sql.contains("f3") && sql.contains("d0"))
+    assert(!sql.contains("f4"))
+  }
 }
