@@ -477,6 +477,24 @@ object ExtQueries {
       res
     },
 
+    // Stable vocabulary-id minting across three doc folds: a token's id
+    // is a pure function of its FIRST fold and its lexicographic rank
+    // among that fold's new tokens — dense, collision-free, and frozen
+    // once assigned (the feature-store property hashing and re-ranking
+    // both lack).
+    "q_idmint_stream" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        explode(TextStats.toks(col("text"))).as("tok"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ids_q")
+      var out: DataFrame = null
+      for (i <- 0 until 3)
+        out = graft.streaming.IncrementalIds.mergeBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/v", col("tok"))
+      val res = out.orderBy(col("key")).localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // Corpus token-frequency stats per doc (exact-integer KenLM-style
     // signal: rare-token count + document-frequency mass).
     "q_tok_stats" -> { (s, dir) =>
@@ -2835,6 +2853,17 @@ object ExtQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // first-fold membership is doc_id % 3 by construction; the mint order
+    // (first fold, then lexicographic within it) replays as one ranking
+    "q_idmint_stream" ->
+      """WITH tok AS (SELECT doc_id % 3 AS b,
+        |               unnest(string_split(lower(text), ' ')) AS key
+        |             FROM documents),
+        |fb AS (SELECT key, MIN(b) AS fb FROM tok
+        |       WHERE key IS NOT NULL GROUP BY 1)
+        |SELECT key, row_number() OVER (ORDER BY fb, key) - 1 AS id
+        |FROM fb ORDER BY key""".stripMargin,
 
     "q_bottomk_sample" ->
       """SELECT g, id, h FROM (
