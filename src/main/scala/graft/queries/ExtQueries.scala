@@ -477,6 +477,23 @@ object ExtQueries {
       res
     },
 
+    // Exponentially decayed event-type counts across three folds — the
+    // recency-weighted trending signal: w = w div 2 + count·1e6 per fold,
+    // pure integers, so the oracle is the fold formula unrolled.
+    "q_decay_stream" -> { (s, dir) =>
+      val e = Envelopes.events(s, dir)
+        .select(col("event_id"), col("event_type"))
+      val root = java.nio.file.Files.createTempDirectory("graft_decay_q")
+      var out: DataFrame = null
+      for (i <- 0 until 3)
+        out = graft.streaming.IncrementalDecay.mergeBatch(
+          e.filter(col("event_id") % 3 === i), s"$root/d",
+          col("event_type"), i.toLong)
+      val res = out.orderBy(col("key")).localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // Stable vocabulary-id minting across three doc folds: a token's id
     // is a pure function of its FIRST fold and its lexicographic rank
     // among that fold's new tokens — dense, collision-free, and frozen
@@ -2853,6 +2870,20 @@ object ExtQueries {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the three-fold decay unrolled: w3 = ((c0·u div 2) + c1·u) div 2 + c2·u
+    "q_decay_stream" ->
+      """WITH c AS (SELECT event_id % 3 AS b, event_type AS key
+        |           FROM events WHERE event_type IS NOT NULL),
+        |k AS (SELECT key,
+        |        COALESCE(SUM(CASE WHEN b = 0 THEN 1 END), 0) AS c0,
+        |        COALESCE(SUM(CASE WHEN b = 1 THEN 1 END), 0) AS c1,
+        |        COALESCE(SUM(CASE WHEN b = 2 THEN 1 END), 0) AS c2
+        |      FROM c GROUP BY 1)
+        |SELECT key,
+        |       CAST((c0 * 1000000 // 2 + c1 * 1000000) // 2
+        |            + c2 * 1000000 AS BIGINT) AS w
+        |FROM k ORDER BY key""".stripMargin,
 
     // first-fold membership is doc_id % 3 by construction; the mint order
     // (first fold, then lexicographic within it) replays as one ranking

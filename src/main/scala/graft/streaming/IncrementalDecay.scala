@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exponentially decayed counts — the RECENCY-weighted member of the
+  * persistent-sketch family (Misra-Gries keeps all-time heavy hitters;
+  * this keeps what is heavy NOW — trending queries, rising hosts, the
+  * freshness signal a crawl scheduler feeds on): per key,
+  *
+  *   w ← w div 2 + count(batch) · unit
+  *
+  * so a batch's contribution halves with every subsequent fold and a key
+  * untouched for ~40 folds decays to zero EXACTLY (integer floor
+  * division, not float epsilon — the weight is a pure integer function
+  * of the batch count history, which is why the drive query can
+  * hash-oracle against the fold formula unrolled in SQL).
+  *
+  * Decayed-out rows (w = 0 after halving, no batch count) are
+  * TOMBSTONED, so live state tracks the set of recently-active keys, not
+  * every key ever seen — the property that bounds the store on infinite
+  * streams with churning key sets. Decay applies per FOLD (the caller's
+  * clock is the fold cadence; fold empty batches to advance time).
+  *
+  * Replay safety is the counting stance: a meta row records the
+  * high-water mark and a replayed fold returns current weights without
+  * touching the store (halving twice would double-decay — the exact
+  * failure the HWM exists to prevent). Per-fold cost: one map-side-
+  * combined batch count + a full-store halving rewrite (every live
+  * weight changes every fold by design — unlike the additive sketches,
+  * decay is a write-all fold; state is the active-key set, so the
+  * rewrite is recency-bounded, not corpus-bounded). */
+object IncrementalDecay {
+
+  private def live(spark: SparkSession, storePath: String): DataFrame =
+    KeyedStore.read(spark, storePath)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("kind"), col("key"), col("w"), col("ver")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, String, Long, Long)].toDF("kind", "key", "w", "ver")
+      }
+
+  /** The current decayed weights without folding (empty if never run). */
+  def readWeights(spark: SparkSession, storePath: String): DataFrame =
+    live(spark, storePath)
+      .filter(col("kind") === "v").select(col("key"), col("w"))
+
+  /** Fold one batch (decay everything, add the batch's counts) and return
+    * the updated (key, w) weights. */
+  def mergeBatch(batch: DataFrame, storePath: String, keyCol: Column,
+      batchId: Long, unit: Long = 1000000L, numBuckets: Int = 4): DataFrame = {
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    val spark = batch.sparkSession
+    val cur = live(spark, storePath).localCheckpoint(true)
+    val hwm = Option(cur.filter(col("kind") === "m").agg(max(col("ver")))
+      .head().get(0)).map(_.asInstanceOf[Long])
+    if (hwm.exists(batchId <= _)) {
+      val out = cur.filter(col("kind") === "v").select(col("key"), col("w"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(cur)
+      return out
+    }
+    val counts = batch.select(keyCol.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("__c"))
+    val merged = cur.filter(col("kind") === "v")
+      .select(col("key"), col("w"))
+      .join(counts, Seq("key"), "full_outer")
+      // integer floor halving (`div`, not `/` — long `/` is float division)
+      .select(col("key"), (expr("coalesce(w, 0L) div 2") +
+        coalesce(col("__c"), lit(0L)) * lit(unit)).as("w"))
+    val puts = merged.filter(col("w") > 0)
+      .select(lit("v").as("kind"), col("key"), col("w"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+    val dels = merged.filter(col("w") <= 0)
+      .select(lit("v").as("kind"), col("key"), lit(0L).as("w"),
+        lit(batchId).as("ver"), lit("delete").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit("").as("key"), lit(0L).as("w"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    val changed = puts.unionByName(dels).unionByName(metaRow)
+      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+    KeyedStore.merge(changed, storePath, keys = Seq("kind", "key"),
+      seqCols = Seq("ver"), numBuckets = numBuckets,
+      bucketCols = Seq("kind", "key"))
+    val out = changed.filter(col("kind") === "v" && col("op_type") === "put")
+      .select(col("key"), col("w")).localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(changed)
+    graft.util.Blocks.freeCheckpoint(cur)
+    out
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Exponentially decayed counts: the integer halving fold, tombstoned
+  * decay-out, replay safety, and restart reads. */
+class IncrementalDecaySpec extends SparkSpec {
+
+  private def snap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("fold formula: w = w div 2 + c*unit, hand-computed over three folds") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_dec").toString + "/store"
+    val u = 100L
+    // a: counts 3, 0, 1 -> ((300 div 2) + 0) div 2 + 100 = 175
+    // b: counts 0, 2, 0 -> (200) div 2 = 100
+    val batches = Seq(Seq.fill(3)("a"), Seq("b", "b"), Seq("a"))
+    var out: org.apache.spark.sql.DataFrame = null
+    for ((ks, i) <- batches.zipWithIndex)
+      out = IncrementalDecay.mergeBatch(ks.toDF("k"), store, col("k"),
+        i.toLong, unit = u)
+    assert(snap(out) == Map("a" -> 175L, "b" -> 100L))
+    assert(snap(IncrementalDecay.readWeights(s, store)) ==
+      Map("a" -> 175L, "b" -> 100L))
+  }
+
+  test("a silent key decays to exact zero and is tombstoned out of state") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_dec_z").toString + "/store"
+    IncrementalDecay.mergeBatch(Seq("x").toDF("k"), store, col("k"), 0L,
+      unit = 4L) // w = 4
+    val empty = Seq.empty[String].toDF("k")
+    IncrementalDecay.mergeBatch(empty, store, col("k"), 1L, unit = 4L) // 2
+    IncrementalDecay.mergeBatch(empty, store, col("k"), 2L, unit = 4L) // 1
+    val last = IncrementalDecay.mergeBatch(empty, store, col("k"), 3L,
+      unit = 4L) // 0 -> tombstone
+    assert(last.isEmpty)
+    val live = KeyedStore.read(s, store).get
+      .filter(col("op_type") =!= "delete" && col("kind") === "v")
+    assert(live.isEmpty, "decayed-out key must leave no live state")
+  }
+
+  test("replayed fold returns weights without double-decaying") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_dec_rp").toString + "/store"
+    IncrementalDecay.mergeBatch(Seq("a", "a").toDF("k"), store, col("k"), 0L,
+      unit = 100L)
+    val w1 = snap(IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store,
+      col("k"), 1L, unit = 100L)) // 200 div 2 + 100 = 200
+    assert(w1 == Map("a" -> 200L))
+    // replay batch 1: the halving must NOT run again
+    val replayed = snap(IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store,
+      col("k"), 1L, unit = 100L))
+    assert(replayed == w1)
+  }
+}
