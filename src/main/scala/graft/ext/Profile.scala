@@ -361,10 +361,6 @@ object Profile {
           .as("hot_x1000"))
   }
 
-  /** The floating HLL estimate from a [[hllSummary]] row — Scala-side only
-    * (libm `log` in the small-range branch is not engine-portable; the
-    * oracle pins the integer summary instead, the estimate is spec-checked
-    * against exact counts). */
   /** Referential-integrity audit — the data-quality pre-flight a warehouse
     * runs before trusting a join (the reference's DWD layer joins facts to
     * dims with no such check; a silent orphan there becomes a silently
@@ -386,7 +382,10 @@ object Profile {
     val c = child.select(childKey.as("__fk"))
     val p = parent.select(parentKey.as("__pk"))
     val cAgg = c.agg(count(lit(1)).as("child_rows"),
-      sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("null_fk_rows"))
+      // coalesce: sum over an EMPTY child is NULL, and the honest answer
+      // for "rows with a null FK" in an empty table is 0 (oracle parity)
+      coalesce(sum(when(col("__fk").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_fk_rows"))
     val ck = c.filter(col("__fk").isNotNull)
       .groupBy(col("__fk")).agg(count(lit(1)).as("__n"))
     val orph = ck.join(p.select(col("__pk").as("__fk")), Seq("__fk"),
@@ -401,6 +400,10 @@ object Profile {
     cAgg.crossJoin(orph).crossJoin(pAgg).crossJoin(pDup)
   }
 
+  /** The floating HLL estimate from a [[hllSummary]] row — Scala-side only
+    * (libm `log` in the small-range branch is not engine-portable; the
+    * oracle pins the integer summary instead, the estimate is spec-checked
+    * against exact counts). */
   def hllEstimate(zeros: Long, hNum: Long, p: Int = 11): Long = {
     val m = (1L << p).toDouble
     val rmax = 32 - p + 1

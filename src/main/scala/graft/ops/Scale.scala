@@ -211,9 +211,6 @@ object Scale {
       s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
 
-  /** Lay a table out along the z-curve: range-partition on the z-value, sort
-    * within partitions — each output file covers one compact z-range, which
-    * is what makes min/max data skipping fire on both dimensions. */
   /** Dense deterministic ids 0..n−1 in `ord` order WITHOUT a global sort —
     * the corpus-preparation primitive (shard-stable example numbering,
     * embedding-table row ids) that `row_number() OVER (ORDER BY …)` gets
@@ -250,6 +247,9 @@ object Scale {
       .drop("__bkt", "__off")
   }
 
+  /** Lay a table out along the z-curve: range-partition on the z-value, sort
+    * within partitions — each output file covers one compact z-range, which
+    * is what makes min/max data skipping fire on both dimensions. */
   def zorderLayout(df: DataFrame, x: Column, y: Column, partitions: Int,
       bits: Int = 16): DataFrame = {
     val z = zorderValue(x, y, bits)

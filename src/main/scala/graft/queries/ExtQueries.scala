@@ -117,8 +117,20 @@ object ExtQueries {
 
   /** The index-vs-truth eval lists the three list metrics share
     * (q_ann_recall / q_rank_corr / q_ndcg): test = IVFADC top-5 per probe
-    * query, ref = exact cosine top-5 (self included on both sides). */
-  private def annEvalLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * query, ref = exact cosine top-5 (self included on both sides).
+    * Memoized per (session, dir) like [[pqBooksCodes]] — the exact-cosine
+    * side is a corpus-sized cross join + per-query rank window, too
+    * expensive to recompute once per metric. */
+  private val annEvalCache = new CorpusCache[(DataFrame, DataFrame)]({ tr =>
+    graft.util.Blocks.freeCheckpoint(tr._1)
+    graft.util.Blocks.freeCheckpoint(tr._2)
+  })
+  private def annEvalLists(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    annEvalCache.get(s, dir) {
+      val (tst, ref) = annEvalListsBuild(s, dir)
+      (tst.localCheckpoint(true), ref.localCheckpoint(true))
+    }
+  private def annEvalListsBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = embs(s, dir)
     val (books, codes) = pqBooksCodes(s, dir)
     val qs = e.filter(col("vec_id") % 97 === 0)
@@ -2013,6 +2025,19 @@ object ExtQueries {
     * stat adds are exact, so the cross-batch drive's twin is the batch
     * twin verbatim. Score expression mirrors Ranking.bm25Score
     * token-for-token (raw idf, k1=1.25, b=0.75 — binary-exact literals). */
+  /** Shared by q_bottomk_sample and q_sample_stream — the streaming fold is
+    * lossless, so the drive's truth IS the batch sample (the Bm25Sql
+    * precedent for batch/stream oracle sharing). */
+  private val BottomkSampleSql =
+    """SELECT g, id, h FROM (
+      |  SELECT lang AS g, doc_id AS id,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |                    doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 50 ORDER BY g, h, id""".stripMargin
+
   private val Bm25Sql =
     """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
@@ -2896,27 +2921,12 @@ object ExtQueries {
         |SELECT key, row_number() OVER (ORDER BY fb, key) - 1 AS id
         |FROM fb ORDER BY key""".stripMargin,
 
-    "q_bottomk_sample" ->
-      """SELECT g, id, h FROM (
-        |  SELECT lang AS g, doc_id AS id,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
-        |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
-        |                    doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 50 ORDER BY g, h, id""".stripMargin,
+    "q_bottomk_sample" -> BottomkSampleSql,
 
     // the bottom-k fold is lossless (mergeable by construction), so the
-    // streaming drive's truth is the batch sample itself
-    "q_sample_stream" ->
-      """SELECT g, id, h FROM (
-        |  SELECT lang AS g, doc_id AS id,
-        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
-        |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
-        |                    doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 50 ORDER BY g, h, id""".stripMargin,
+    // streaming drive's truth is the batch sample itself — ONE shared val,
+    // the Bm25Sql stance: nothing can drift between the two
+    "q_sample_stream" -> BottomkSampleSql,
 
     "q_sample_det" ->
       """SELECT doc_id FROM documents

@@ -56,6 +56,10 @@ object CepStream {
   def attach(ds: Dataset[CepEvent], pattern: Seq[String],
       withinMs: Long): Dataset[CepMatch] = {
     require(pattern.nonEmpty, "pattern must not be empty")
+    // batch-twin parity at the API boundary: Cep.patternMatches rejects a
+    // non-positive window; here it would silently abandon every
+    // multi-stage partial instead
+    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * Replay safety is the counting stance: a meta row records the
   * high-water mark and a replayed fold returns current weights without
   * touching the store (halving twice would double-decay — the exact
-  * failure the HWM exists to prevent). Per-fold cost: one map-side-
+  * failure the HWM exists to prevent). `unit` is part of the store's
+  * identity — pinned in the meta row, mismatched folds fail fast (a
+  * changed unit would silently mix weight scales). Per-fold cost: one map-side-
   * combined batch count + a full-store halving rewrite (every live
   * weight changes every fold by design — unlike the additive sketches,
   * decay is a write-all fold; state is the active-key set, so the
@@ -53,8 +55,17 @@ object IncrementalDecay {
     require(unit >= 1, s"unit must be >= 1, got $unit")
     val spark = batch.sparkSession
     val cur = live(spark, storePath).localCheckpoint(true)
-    val hwm = Option(cur.filter(col("kind") === "m").agg(max(col("ver")))
-      .head().get(0)).map(_.asInstanceOf[Long])
+    val meta = cur.filter(col("kind") === "m")
+      .select(col("ver"), col("w")).collect().headOption
+    // unit is part of the store's identity (the IncrementalHist frame
+    // contract): a changed unit would silently mix weight scales across
+    // folds — fail fast instead
+    meta.foreach { m =>
+      require(m.getLong(1) == unit,
+        s"store $storePath decays at unit ${m.getLong(1)}; fold passed " +
+          s"unit = $unit — unit is part of the store's identity")
+    }
+    val hwm = meta.map(_.getLong(0))
     if (hwm.exists(batchId <= _)) {
       val out = cur.filter(col("kind") === "v").select(col("key"), col("w"))
         .localCheckpoint(true)
@@ -77,7 +88,7 @@ object IncrementalDecay {
       .select(lit("v").as("kind"), col("key"), lit(0L).as("w"),
         lit(batchId).as("ver"), lit("delete").as("op_type"))
     val metaRow = spark.range(1).select(lit("m").as("kind"),
-      lit("").as("key"), lit(0L).as("w"), lit(batchId).as("ver"),
+      lit("").as("key"), lit(unit).as("w"), lit(batchId).as("ver"),
       lit("put").as("op_type"))
     val changed = puts.unionByName(dels).unionByName(metaRow)
       .localCheckpoint(true) // pin BEFORE the merge mutates the store

@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   *     per vector, so per-batch encoding is trivially identical to
   *     whole-corpus encoding) — append-only, keyed (vec_id, sub);
   *   - CENTROID-SUM rows (label, pos, csum): the batch's exact
-  *     decimal(38,10) component sums ADDED into the stored sums. Decimal
-  *     addition at fixed scale is exact and order-free, so after any
-  *     number of folds the stored sums are bit-identical to the one-pass
-  *     corpus aggregate ([[graft.ext.Similarity.coarseCentroidSums]]) —
-  *     and therefore [[search]]'s probe centroids are bit-identical to the
-  *     batch operator's, floats included.
+  *     decimal component sums ADDED into the stored sums at (37,10)
+  *     operand precision (so the add resolves to an exact (38,10) —
+  *     Spark would round a (38,10)+(38,10) add to scale 9). Exact
+  *     fixed-scale addition is order-free, so after any number of folds
+  *     the stored sums are bit-identical to the one-pass corpus aggregate
+  *     ([[graft.ext.Similarity.coarseCentroidSums]]) — and therefore
+  *     [[search]]'s probe centroids are bit-identical to the batch
+  *     operator's, floats included (sum exactness spec-pinned).
   *
   * [[search]] then runs the SAME probe + ADC core as the batch operator
   * ([[graft.ext.Similarity.ivfPqCore]] — shared code, not a twin), so
@@ -118,7 +120,12 @@ object IncrementalIvf {
       .join(curS.select(col("g"), col("pos"), col("csum")),
         Seq("g", "pos"), "left_outer")
       .select(lit("s").as("kind"), col("g"), col("pos"),
-        (coalesce(col("csum"), lit(0).cast("decimal(38,10)")) + col("bs"))
+        // add at (37,10): Spark resolves (38,10)+(38,10) to (38,9), which
+        // would ROUND the 10th fractional digit on every fold — (37,10)
+        // operands resolve to an exact (38,10) result (values are corpus
+        // component sums, nowhere near 27 integer digits)
+        (coalesce(col("csum"), lit(0).cast("decimal(37,10)"))
+            .cast("decimal(37,10)") + col("bs").cast("decimal(37,10)"))
           .cast("decimal(38,10)").as("csum"),
         lit(0L).as("n"), lit(batchId).as("ver"), lit("put").as("op_type"))
     val batchCounts = batch.groupBy(col("label").cast("string").as("g"))

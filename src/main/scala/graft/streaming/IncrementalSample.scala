@@ -14,16 +14,22 @@ import org.apache.spark.sql.functions._
   * operator over the concatenated history — the held-out eval set a
   * 100 TB pipeline can maintain while the corpus streams in.
   *
+  * `k` is part of the store's IDENTITY — pinned in a meta row on first
+  * fold, every later fold must pass the SAME k (the [[IncrementalHist]]
+  * frame contract: a smaller k would tombstone rows the store could never
+  * recover, since evicted ids are not re-fed; a mismatch fails fast
+  * instead of silently truncating the sample).
+  *
   * Folds are IDEMPOTENT by set semantics (a re-folded batch admits and
   * evicts nothing), so no replay high-water mark is needed — the
   * [[IncrementalBloom]]/[[IncrementalCc]] stance. A fold that changes
-  * nothing writes nothing. */
+  * nothing writes nothing (beyond the first fold's meta row). */
 object IncrementalSample {
 
   /** The stored sample without folding (empty frame if never run). */
   def readSample(spark: SparkSession, storePath: String): DataFrame =
     KeyedStore.read(spark, storePath)
-      .map(_.filter(col("op_type") =!= "delete")
+      .map(_.filter(col("op_type") =!= "delete" && col("kind") === "v")
         .select(col("g"), col("id"), col("h")))
       .getOrElse {
         import spark.implicits._
@@ -31,15 +37,26 @@ object IncrementalSample {
       }
 
   /** Fold one micro-batch into the sample at `storePath` (created on first
-    * use) and return the full updated per-stratum bottom-k. */
+    * use, k pinned then) and return the full updated per-stratum bottom-k. */
   def mergeBatch(batch: DataFrame, storePath: String,
       idCol: org.apache.spark.sql.Column, stratumCol: org.apache.spark.sql.Column,
       k: Int, numBuckets: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = batch.sparkSession
-    val stored = KeyedStore.read(spark, storePath)
+    val storedAll = KeyedStore.read(spark, storePath)
       .map(_.filter(col("op_type") =!= "delete")
-        .select(col("g"), col("id"), col("h"), col("ver"))
+        .select(col("kind"), col("g"), col("id"), col("h"), col("ver"))
         .localCheckpoint(true))
+    storedAll.foreach { s =>
+      s.filter(col("kind") === "m").select(col("id")).collect()
+        .headOption.foreach { m =>
+          require(m.getLong(0) == k.toLong,
+            s"store $storePath holds a bottom-${m.getLong(0)} sample; fold " +
+              s"passed k = $k — k is part of the store's identity (a smaller " +
+              "k would irrecoverably truncate it)")
+        }
+    }
+    val stored = storedAll.map(_.filter(col("kind") === "v"))
     val local = graft.ext.Curation.bottomKSample(batch, idCol, stratumCol, k)
     val union = stored match {
       case Some(s) => s.select(col("g"), col("id"), col("h"))
@@ -66,14 +83,22 @@ object IncrementalSample {
         entrants.unionByName(evicted)
       case None => next.withColumn("op_type", lit("put"))
     }
-    val changed = delta.withColumn("ver", lit(nextVer))
+    val metaRow = // first fold only: k is immutable store identity
+      if (storedAll.isEmpty)
+        Some(spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
+          lit(k.toLong).as("id"), lit(0L).as("h"), lit("put").as("op_type")))
+      else None
+    val deltaK = delta.withColumn("kind", lit("v"))
+      .select(col("kind"), col("g"), col("id"), col("h"), col("op_type"))
+    val changed = metaRow.map(deltaK.unionByName(_)).getOrElse(deltaK)
+      .withColumn("ver", lit(nextVer))
       .localCheckpoint(true) // pin BEFORE the merge mutates the store
     if (!changed.isEmpty)
-      KeyedStore.merge(changed, storePath, keys = Seq("g", "id"),
+      KeyedStore.merge(changed, storePath, keys = Seq("kind", "g", "id"),
         seqCols = Seq("ver"), numBuckets = numBuckets,
-        bucketCols = Seq("g", "id"))
+        bucketCols = Seq("kind", "g", "id"))
     graft.util.Blocks.freeCheckpoint(changed)
-    stored.foreach(graft.util.Blocks.freeCheckpoint)
+    storedAll.foreach(graft.util.Blocks.freeCheckpoint)
     next
   }
 }

@@ -102,6 +102,19 @@ class ProfileSketchSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L)))
   }
 
+  test("fkAudit on an EMPTY child reports integer zeros, never null") {
+    // regression: sum(when(...)) over zero rows is NULL unless coalesced —
+    // a `null_fk_rows == 0` gate on an honest empty partition must pass
+    val s = spark
+    import s.implicits._
+    val child = Seq.empty[Long].toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Profile.fkAudit(child, col("fk"), parent, col("pk")).head()
+    assert(!r.anyNull, "audit columns must be integers, never null")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((0L, 0L, 0L, 0L, 2L, 0L)))
+  }
+
   test("hllRegisters union by max equals registers of the union") {
     val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
     val whole = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))

@@ -45,6 +45,24 @@ class IncrementalDecaySpec extends SparkSpec {
     assert(live.isEmpty, "decayed-out key must leave no live state")
   }
 
+  test("unit is store identity: a mismatched fold fails fast") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_dec_u").toString + "/store"
+    IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store, col("k"), 0L,
+      unit = 100L)
+    // a changed unit would silently mix weight scales across folds
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store, col("k"), 1L,
+        unit = 10L)
+    }
+    assert(ex.getMessage.contains("identity"))
+    // same-unit folds still work after the rejected one
+    val w = snap(IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store,
+      col("k"), 1L, unit = 100L))
+    assert(w == Map("a" -> 150L))
+  }
+
   test("replayed fold returns weights without double-decaying") {
     val s = spark
     import s.implicits._

@@ -39,6 +39,28 @@ class IncrementalIvfSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(e)
   }
 
+  test("stored centroid sums are EXACTLY the batch aggregate after folds") {
+    // regression: a (38,10)+(38,10) add resolves to (38,9) in Spark and
+    // rounds the 10th fractional digit per fold — the float-cast search
+    // comparison masks it, so pin the decimal sums themselves
+    val e = emb.localCheckpoint(true)
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val store = Files.createTempDirectory("inc_ivf_sum").toString + "/ix"
+    for (i <- 0 until 3)
+      IncrementalIvf.mergeBatch(e.filter(col("vec_id") % 3 === i), store,
+        books, batchId = i.toLong)
+    val stored = KeyedStore.read(spark, s"$store/stats").get
+      .filter(col("kind") === "s")
+      .select(col("g").as("label"), col("pos"), col("csum").as("cv"))
+    val want = Similarity.coarseCentroidSums(
+        e.select(col("label").cast("string").as("label"), col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("cv").cast("decimal(38,10)").as("cv"))
+    assert(sameRows(stored, want), "stored sums drifted from the batch aggregate")
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Blocks.freeCheckpoint(e)
+  }
+
   test("replayed fold touches nothing; directory counts the indexed corpus") {
     val e = emb.localCheckpoint(true)
     val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)

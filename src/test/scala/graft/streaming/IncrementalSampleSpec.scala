@@ -30,9 +30,9 @@ class IncrementalSampleSpec extends SparkSpec {
       assert(snap(got) == snap(want), s"horizon $bid diverged")
       assert(snap(got).groupBy(_._1).forall(_._2.size == 25))
     }
-    // live state never exceeds strata * k
+    // live state never exceeds strata * k (plus the one k-identity meta row)
     val live = KeyedStore.read(s, store).get
-      .filter(col("op_type") =!= "delete")
+      .filter(col("op_type") =!= "delete" && col("kind") === "v")
     assert(live.count() <= 2L * 25)
   }
 
@@ -53,6 +53,21 @@ class IncrementalSampleSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(again == first)
     assert(rows1 == rows0, "idempotent refold must not touch the store")
+  }
+
+  test("k is store identity: a mismatched fold fails fast") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_samp_k").toString + "/store"
+    val b0 = (0L until 100L).map(i => (i, "g")).toDF("doc_id", "grp")
+    IncrementalSample.mergeBatch(b0, store, col("doc_id"), col("grp"), k = 20)
+    // a smaller k would tombstone rows the store could never recover
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalSample.mergeBatch(b0, store, col("doc_id"), col("grp"), k = 5)
+    }
+    assert(ex.getMessage.contains("identity"))
+    // the guarded store is untouched: same-k folds still work
+    assert(snap(IncrementalSample.readSample(s, store)).size == 20)
   }
 
   test("restart: a fresh reader sees the folded sample") {
