@@ -400,6 +400,44 @@ object Profile {
     cAgg.crossJoin(orph).crossJoin(pAgg).crossJoin(pDup)
   }
 
+  /** Declarative data-quality constraint check — the Deequ-style gate a
+    * pipeline runs before promoting a table ([[fkAudit]] audits one
+    * relationship; this audits ROW-LEVEL rules): each check is a named
+    * VIOLATION predicate, and the whole suite evaluates in ONE
+    * map-side-combined aggregate pass — k rules cost one scan, never k.
+    * Exact integer counts (never booleans: "0.3 % of rows violate the
+    * range rule" routes differently than "some do"), so the report
+    * hash-oracles.
+    *
+    * Rules this shape covers: completeness (`c.isNull`), ranges
+    * (`c < lit(0)`), allowed sets (`!c.isin(...)`), format conformance
+    * (`!c.rlike("...")` — keep patterns in the RE2-portable subset if an
+    * engine twin replays them), cross-column invariants (`a > b`). A NULL
+    * predicate result counts as a violation (a rule that cannot evaluate
+    * has not passed — the conservative gate). Uniqueness and referential
+    * rules need a key-width aggregate, not a row predicate — that is
+    * [[fkAudit]] (dup_parent_keys / orphans) by construction.
+    *
+    * @param checks (name, violation predicate) pairs, evaluated per row
+    * @return one row per check: (check_name, n_rows, n_violations) */
+  def dqCheck(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "dqCheck needs at least one check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val aggs = count(lit(1)).as("__rows") +: checks.map { case (name, v) =>
+      // coalesce INSIDE per row: a null predicate is a violation; outside:
+      // an empty table has zero violations, not null
+      coalesce(sum(when(coalesce(v, lit(true)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$name")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.map { case (name, _) =>
+        struct(lit(name).as("check_name"), col("__rows").as("n_rows"),
+          col(s"__v_$name").as("n_violations"))
+      }: _*)).as("__c"))
+      .select(col("__c.*"))
+  }
+
   /** The floating HLL estimate from a [[hllSummary]] row — Scala-side only
     * (libm `log` in the small-range branch is not engine-portable; the
     * oracle pins the integer summary instead, the estimate is spec-checked

@@ -730,4 +730,101 @@ object Graph {
   def pageRankWSql(edgesCte: String, iters: Int, unit: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100): String =
     pageRankSql(edgesCte, iters, unit, dampNum, dampDen, weighted = true)
+
+  /** HITS hubs & authorities (Kleinberg JACM'99) in fixed-point integers —
+    * the DIRECTED complement of [[pageRankInt]]: on an asymmetric graph
+    * (who-links-to-whom, customer→supplier purchases) it separates the two
+    * roles PageRank conflates — a node pointing AT many good sources (hub:
+    * a curated link directory, a broad buyer) versus a node many good hubs
+    * point TO (authority: the canonical reference, the supplier everyone
+    * buys from). Per iteration,
+    *
+    *   auth_i = Σ_{j→i} hub_j,   then rescaled to max = `unit`;
+    *   hub_i  = Σ_{i→j} auth_i', then rescaled to max = `unit`
+    *
+    * with the rescale an integer `(raw · unit) div max(raw)` — HITS
+    * diverges without normalization, and the integer max-rescale replaces
+    * the float L2 norm deterministically (same fixed point up to scale;
+    * every step a pure integer function of the edge set, so the result
+    * hash-oracles via [[hitsSql]], generated from the same parameters).
+    *
+    * Shape at scale: per iteration two edge⋈score joins + two map-side-
+    * combined aggregates (the Pregel shape, once per direction) and two
+    * 1-row max aggregates attached as broadcast scalars — never a driver
+    * round-trip. Per-iteration localCheckpoint, superseded generations
+    * freed ([[pageRankInt]] discipline). Overflow guard: raw sums are
+    * ≤ n·unit and the rescale multiplies by `unit`, so n·unit² must fit a
+    * Long — the default unit 10⁶ allows ~9.2 M nodes; lower `unit` for
+    * bigger graphs (precision is 1/unit of the max score).
+    *
+    * @param edges directed (src, dst) rows; parallel edges count per
+    *   occurrence
+    * @return (node, hub_fp, auth_fp), both in [0, unit] */
+  def hitsInt(edges: DataFrame, iters: Int, unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters (HITS scores are " +
+      "undefined before the first mutual-reinforcement step)")
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n == 0 || n <= Long.MaxValue / unit / unit,
+      s"n=$n nodes at unit=$unit can overflow Long in the rescale — lower " +
+        "unit (the guard is n * unit * unit <= Long.Max)")
+    // one half-step: raw sums of `scores` pulled across `edges` keyed
+    // (from, to), then the integer max-rescale onto the node spine
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e.join(scores.withColumnRenamed("node", from), from)
+        .groupBy(col(to).as("node")).agg(sum(col("s")).as("__raw"))
+      val mx = raw.agg(greatest(max(col("__raw")), lit(1L)).as("__mx"))
+      nodes.join(raw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(mx)) // 1-row scalar attach
+        .select(col("node"),
+          expr(s"(coalesce(__raw, 0L) * $unit) div __mx").as("s"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.withColumn("s", lit(unit)).localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val prevA = auth
+      auth = halfStep(hub, "src", "dst")
+      if (prevA != null) graft.util.Blocks.freeCheckpoint(prevA)
+      val prevH = hub
+      hub = halfStep(auth, "dst", "src")
+      graft.util.Blocks.freeCheckpoint(prevH)
+    }
+    val out = hub.select(col("node"), col("s").as("hub_fp"))
+      .join(auth.select(col("node"), col("s").as("auth_fp")), "node")
+    graft.util.Blocks.freeCheckpoint(nodes)
+    graft.util.Blocks.freeCheckpoint(e)
+    out
+  }
+
+  /** The DuckDB twin of [[hitsInt]] — iterations unrolled from the same
+    * parameters ([[pageRankSql]] stance). `edgesCte` must define
+    * `e(src, dst)`; ends in a SELECT of (node, hub_fp, auth_fp) by node. */
+  def hitsSql(edgesCte: String, iters: Int, unit: Long = 1000000L): String = {
+    val its = (1 to iters).map { i =>
+      s"""ra$i AS (SELECT e.dst AS node, CAST(SUM(h${i - 1}.s) AS BIGINT) AS raw
+         |         FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY 1),
+         |ma$i AS (SELECT GREATEST(MAX(raw), 1) AS mx FROM ra$i),
+         |a$i AS (SELECT n.node,
+         |          CAST((COALESCE(ra$i.raw, 0) * $unit) // ma$i.mx AS BIGINT) AS s
+         |        FROM n LEFT JOIN ra$i ON n.node = ra$i.node CROSS JOIN ma$i),
+         |rh$i AS (SELECT e.src AS node, CAST(SUM(a$i.s) AS BIGINT) AS raw
+         |         FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
+         |mh$i AS (SELECT GREATEST(MAX(raw), 1) AS mx FROM rh$i),
+         |h$i AS (SELECT n.node,
+         |          CAST((COALESCE(rh$i.raw, 0) * $unit) // mh$i.mx AS BIGINT) AS s
+         |        FROM n LEFT JOIN rh$i ON n.node = rh$i.node CROSS JOIN mh$i)""".stripMargin
+    }
+    val ctes = Seq(edgesCte,
+      "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+      s"h0 AS (SELECT node, CAST($unit AS BIGINT) AS s FROM n)") ++ its
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT h$iters.node, h$iters.s AS hub_fp, a$iters.s AS auth_fp
+       |FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node
+       |ORDER BY h$iters.node""".stripMargin
+  }
 }

@@ -1423,6 +1423,22 @@ object ExtQueries {
         .orderBy(col("rel"))
     },
 
+    // Declarative DQ constraint suite over the event stream: four named
+    // violation predicates (format conformance, allowed set, completeness,
+    // range) evaluated in ONE map-side-combined pass — the Deequ-style gate
+    // beside q_fk_audit's relationship audit. The allowed-set and range
+    // rules are deliberately tighter than the data (4031 and 1316 honest
+    // violations at sf0.01) so the counts, not just zeros, are oracled.
+    "q_dq_check" -> { (s, dir) =>
+      val e = Envelopes.events(s, dir)
+      Profile.dqCheck(e, Seq(
+        "props_json_shape" -> !col("props").rlike("^\\{"),
+        "type_allowed" -> !col("event_type").isin("view", "click", "purchase"),
+        "user_id_present" -> col("user_id").isNull,
+        "value_in_range" -> (col("value") < 0 || col("value") > 100)))
+        .orderBy(col("check_name"))
+    },
+
     "q_hist_quantile" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
@@ -3689,6 +3705,25 @@ object ExtQueries {
          |UNION ALL
          |${rel("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
          |ORDER BY rel""".stripMargin
+    },
+
+    // One aggregate row of violation counts, unpivoted per check — the
+    // Spark side's one-pass agg + explode, SQL-side.
+    "q_dq_check" -> {
+      def chk(name: String, viol: String): String =
+        s"SELECT '$name' AS check_name, n_rows, $viol AS n_violations FROM t"
+      """WITH t AS (SELECT COUNT(*) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN COALESCE(NOT regexp_matches(props, '^\{'), TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_props,
+        |  CAST(COALESCE(SUM(CASE WHEN COALESCE(event_type NOT IN ('view','click','purchase'), TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_type,
+        |  CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_uid,
+        |  CAST(COALESCE(SUM(CASE WHEN COALESCE(value < 0 OR value > 100, TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range
+        |FROM events)
+        |""".stripMargin +
+        Seq(chk("props_json_shape", "v_props"),
+          chk("type_allowed", "v_type"),
+          chk("user_id_present", "v_uid"),
+          chk("value_in_range", "v_range")).mkString("\nUNION ALL\n") +
+        "\nORDER BY check_name"
     },
 
     // Group-size stats + the q_hist_quantile sketch idiom over the SIZE

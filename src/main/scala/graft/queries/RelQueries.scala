@@ -262,6 +262,17 @@ object RelQueries {
         .orderBy(col("a1"), col("a2"))
     },
 
+    // HITS hubs/authorities (2 iterations) over the DIRECTED half of the
+    // trade graph (customer → supplier purchases): hubs = buyers whose
+    // purchases concentrate on widely-bought suppliers, authorities = the
+    // suppliers those hubs converge on — the two roles the symmetrized
+    // PageRank collapses into one score. Integer max-rescale per half-step;
+    // oracle unrolled from the same parameters via Graph.hitsSql.
+    "q_hits" -> { (s, dir) =>
+      val directed = tradeGraphEdges(s, dir).filter(col("src") < 10000000L)
+      graft.ops.Graph.hitsInt(directed, iters = 2).orderBy(col("node"))
+    },
+
     // Weighted PageRank over the symmetrized projection: rank flows
     // proportionally to shared-customer counts — the full derive-then-rank
     // chain (bipartite data → capped projection → weighted centrality).
@@ -434,6 +445,13 @@ object RelQueries {
         "sd AS (SELECT c_custkey AS node FROM customer WHERE c_custkey % 101 = 0)")),
 
     "q_label_prop" -> graft.ops.Graph.labelPropSql(TradeGraphCte, iters = 3),
+
+    // the directed customer→supplier half of the shared trade graph
+    "q_hits" -> graft.ops.Graph.hitsSql(
+      """e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS sk
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, sk AS dst FROM e0)""".stripMargin,
+      iters = 2),
 
     // Open wedges through deg <= 8 centers, minus adjacent pairs; RA in
     // integer fixed point (1e12 // deg), union size from true degrees —

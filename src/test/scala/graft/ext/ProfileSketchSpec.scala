@@ -115,6 +115,29 @@ class ProfileSketchSpec extends SparkSpec {
       r.getLong(4), r.getLong(5)) == ((0L, 0L, 0L, 0L, 2L, 0L)))
   }
 
+  test("dqCheck: one-pass violation counts; null predicates violate; empty table is zeros") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1L), Some("a")), (None, Some("b")), (Some(3L), None),
+      (Some(-2L), Some("zz"))).toDF("x", "y")
+    val got = Profile.dqCheck(df, Seq(
+        "x_present" -> col("x").isNull,
+        "x_positive" -> (col("x") <= 0), // null x -> null predicate -> violation
+        "y_allowed" -> !col("y").isin("a", "b"))) // null y -> violation
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("x_present" -> ((4L, 1L)), "x_positive" -> ((4L, 2L)),
+      "y_allowed" -> ((4L, 2L))), got)
+    // empty table: all counts integer zero, never null
+    val empty = Profile.dqCheck(Seq.empty[(Long, String)].toDF("x", "y"),
+      Seq("x_present" -> col("x").isNull)).head()
+    assert(!empty.anyNull && empty.getLong(1) == 0L && empty.getLong(2) == 0L)
+    // duplicate names fail fast
+    val ex = intercept[IllegalArgumentException] {
+      Profile.dqCheck(df, Seq("a" -> col("x").isNull, "a" -> col("y").isNull))
+    }
+    assert(ex.getMessage.contains("unique"))
+  }
+
   test("hllRegisters union by max equals registers of the union") {
     val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
     val whole = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))

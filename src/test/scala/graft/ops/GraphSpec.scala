@@ -311,6 +311,41 @@ class GraphSpec extends SparkSpec {
     assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("hitsInt: hand-computed hubs/authorities on a directed bipartite fixture") {
+    val s = spark
+    import s.implicits._
+    // 1→3, 2→3, 2→4 at unit 100, one iteration:
+    // rawA: 3 ← h1+h2 = 200, 4 ← h2 = 100; max 200 → a3 = 100, a4 = 50
+    // rawH: 1 ← a3 = 100, 2 ← a3+a4 = 150; max 150 → h1 = 66, h2 = 100
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    def snap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = snap(Graph.hitsInt(e, iters = 1, unit = 100L))
+    assert(got == Map(1L -> ((66L, 0L)), 2L -> ((100L, 0L)),
+      3L -> ((0L, 100L)), 4L -> ((0L, 50L))), got)
+    // partition independence (the scalar max is a global aggregate)
+    val re = snap(Graph.hitsInt(e.repartition(7), iters = 1, unit = 100L))
+    assert(re == got)
+    // a second iteration separates the hubs further: 2 touches both
+    // authorities, 1 only the bigger one — hub(2) stays maximal
+    val it2 = snap(Graph.hitsInt(e, iters = 2, unit = 100L))
+    assert(it2(2L)._1 == 100L && it2(1L)._1 < 100L)
+    // the guard refuses a unit the node count can wrap
+    val big = (1L to 100L).map(i => (i, i % 10 + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hitsInt(big, iters = 1, unit = Long.MaxValue / 100)
+    }
+    assert(ex.getMessage.contains("overflow"))
+  }
+
+  test("hitsSql twin unrolls both half-steps per iteration") {
+    val sql = Graph.hitsSql("e AS (SELECT 1 AS src, 2 AS dst)", iters = 2)
+    assert(sql.contains("a2") && sql.contains("h2") && sql.contains("ma2")
+      && sql.contains("mh2") && sql.contains("h0"))
+    assert(!sql.contains("a3 AS"))
+    assert(sql.contains("//"), "integer floor division in the twin")
+  }
+
   test("bfsSql twin unrolls every hop CTE it builds") {
     val sql = Graph.bfsSql("e AS (SELECT 1 AS src, 2 AS dst)",
       "sd AS (SELECT 1 AS node)", maxHops = 3)
