@@ -400,6 +400,65 @@ object Profile {
     cAgg.crossJoin(orph).crossJoin(pAgg).crossJoin(pDup)
   }
 
+  /** Batch exponentially decayed counts — the BATCH twin of
+    * [[graft.streaming.IncrementalDecay]] (one fold per period over a
+    * static table instead of per micro-batch over a stream): per key,
+    * periods fold oldest-first as
+    *
+    *   w ← (w >> gap_to_previous_touched_period) + count(period) · unit
+    *
+    * then shift down to the GLOBAL max period, so a key silent for the
+    * recent past decays toward zero exactly like the stream form. All
+    * pure integer shift/add (halving per period = `div 2` composed, and
+    * floor composes exactly for pure halvings), so batch(table at period
+    * clock) ≡ stream folds(one batch per period) bit-for-bit — spec-pinned
+    * — and the result hash-oracles against a recursive-CTE fold.
+    * Keys decayed to exactly 0 are dropped (the stream form's tombstone).
+    *
+    * Shape at scale: one map-side-combined (key, period) count — the only
+    * corpus-width shuffle — then a key-width collect of each key's TOUCHED
+    * periods (calendar-bounded per key: 365 rows/key/year, the CEP
+    * row-local-fold footprint) folded by a row-local `aggregate`; the
+    * period bounds are one 1-row scalar read (the `dimBounds` stance —
+    * it also fails fast on negative periods). Shift gaps clamp at 63
+    * (Java/Spark shift semantics use the low 6 bits — an unclamped 64-gap
+    * would be a NO-OP shift, not zero; any true gap ≥ 63 means w = 0 for
+    * every representable weight).
+    *
+    * @param periodCol non-negative integer period (e.g. epoch-day); the
+    *   clock whose ticks halve
+    * @return (key, w) for keys with w > 0, w in `unit` fixed point */
+  def decayedCounts(df: DataFrame, keyCol: Column, periodCol: Column,
+      unit: Long = 1000000L): DataFrame = {
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    val counts = df
+      .select(keyCol.cast("string").as("key"), periodCol.cast("long").as("period"))
+      .filter(col("key").isNotNull && col("period").isNotNull)
+      .groupBy("key", "period").agg(count(lit(1)).as("ct"))
+    // 1-row scalar bounds (the dimBounds stance): pmax becomes a literal in
+    // the fold, and a negative period fails fast instead of feeding Java's
+    // low-6-bit shift semantics garbage
+    val mm = counts.agg(min(col("period")), max(col("period"))).head()
+    if (mm.isNullAt(1))
+      return counts.select(col("key"), col("ct").as("w")).limit(0)
+    require(mm.getLong(0) >= 0L,
+      s"periods must be non-negative, got min ${mm.getLong(0)}")
+    val pmax = mm.getLong(1)
+    counts
+      .groupBy("key")
+      .agg(sort_array(collect_list(struct(col("period"), col("ct")))).as("__ps"))
+      .withColumn("w", expr(s"""
+        aggregate(__ps, named_struct('w', 0L, 'prev', 0L),
+          (acc, x) -> named_struct(
+            'w', shiftright(acc.w,
+                   cast(least(x.period - acc.prev, 63L) as int)) + x.ct * ${unit}L,
+            'prev', x.period),
+          acc -> shiftright(acc.w,
+                   cast(least(${pmax}L - acc.prev, 63L) as int)))"""))
+      .filter(col("w") > 0)
+      .select(col("key"), col("w"))
+  }
+
   /** Declarative data-quality constraint check — the Deequ-style gate a
     * pipeline runs before promoting a table ([[fkAudit]] audits one
     * relationship; this audits ROW-LEVEL rules): each check is a named

@@ -1423,6 +1423,19 @@ object ExtQueries {
         .orderBy(col("rel"))
     },
 
+    // Batch exponentially decayed counts over the event stream at epoch-day
+    // clock: which event types are trending NOW — keys silent for the
+    // recent past shift toward zero. The batch twin of IncrementalDecay
+    // (bit-equal to one stream fold per period, spec-pinned); the oracle
+    // replays the identical shift/add fold as a recursive CTE.
+    "q_decay_batch" -> { (s, dir) =>
+      val e = Envelopes.events(s, dir)
+      Profile.decayedCounts(e,
+          concat(col("event_type"), lit(":"), col("user_id") % 7),
+          expr("unix_millis(ts) div 86400000"), unit = 1000L)
+        .orderBy(col("key"))
+    },
+
     // Declarative DQ constraint suite over the event stream: four named
     // violation predicates (format conformance, allowed set, completeness,
     // range) evaluated in ONE map-side-combined pass — the Deequ-style gate
@@ -3706,6 +3719,36 @@ object ExtQueries {
          |${rel("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
          |ORDER BY rel""".stripMargin
     },
+
+    // The shift/add fold replayed as a recursive CTE over each key's
+    // rank-ordered touched periods (the q_cep automaton stance — NOT a
+    // list_reduce lambda, which is nondeterministic with outer capture).
+    "q_decay_batch" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT event_type || ':' || CAST(user_id % 7 AS VARCHAR) AS key,
+        |         epoch_ms(ts) // 86400000 AS period
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT key, period, COUNT(*) AS ct FROM src GROUP BY 1, 2),
+        |mx AS (SELECT MAX(period) AS pmax FROM c),
+        |r AS (SELECT key, period, ct,
+        |             ROW_NUMBER() OVER (PARTITION BY key ORDER BY period) AS rk
+        |      FROM c),
+        |ff(key, rk, w, prev) AS (
+        |  SELECT key, rk, ct * 1000, period FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.key, r.rk,
+        |         (ff.w >> LEAST(r.period - ff.prev, 63)) + r.ct * 1000,
+        |         r.period
+        |  FROM ff JOIN r ON r.key = ff.key AND r.rk = ff.rk + 1),
+        |lastw AS (SELECT key, w, prev FROM (
+        |    SELECT key, w, prev,
+        |           ROW_NUMBER() OVER (PARTITION BY key ORDER BY rk DESC) AS rn
+        |    FROM ff) WHERE rn = 1)
+        |SELECT key, CAST(w >> LEAST(mx.pmax - prev, 63) AS BIGINT) AS w
+        |FROM lastw, mx
+        |WHERE (w >> LEAST(mx.pmax - prev, 63)) > 0
+        |ORDER BY key""".stripMargin,
 
     // One aggregate row of violation counts, unpivoted per check — the
     // Spark side's one-pass agg + explode, SQL-side.

@@ -93,7 +93,10 @@ object StateQueries {
     // history is provably the batch operator's, so the oracle IS q_scd2's
     // SQL verbatim.
     "q_scd2_stream" -> { (s, dir) =>
-      val src = mxv2(s, dir)
+      // pin the decoded changelog ONCE: each fold fires two actions (key
+      // probe + changed-rows pin) and the lazy Maxwell JSON decode would
+      // re-run per action — a real stream's batches arrive already decoded
+      val src = mxv2(s, dir).localCheckpoint(true)
       val root = java.nio.file.Files.createTempDirectory("graft_scd2_q")
       val cuts = Seq(757382400L, 820454400L) // 1994-01-01, 1996-01-01 UTC
       val parts = Seq(src.filter(col("ts") < cuts(0)),
@@ -114,6 +117,7 @@ object StateQueries {
           col("ver"))
         .orderBy(col("order_id"), col("ver"))
         .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(src)
       graft.util.Tmp.deleteRecursively(root)
       res
     },

@@ -22,8 +22,11 @@ import graft.ops.Stateful
   * `seed ∪ batch` for the touched keys only, local version numbers shift
   * by the key's stored max, and the store receives ONLY closed-seed
   * updates and new versions (an all-absorbed fold writes nothing but the
-  * high-water meta row). Closed versions are immutable, so state reads
-  * are append-mostly and a fold costs O(batch + touched open versions).
+  * high-water meta row). Closed versions are immutable, and the fold's
+  * store read is BUCKET-PRUNED to the batch's touched keys (one
+  * [[KeyedStore.readPruned]] covers the meta row and the touched version
+  * lists; only those rows are pinned) — a fold costs O(batch + touched
+  * versions), never O(history).
   *
   * Contract (standard CDC offset order): a key's rows in batch N all
   * order after its rows in every batch < N, and `ordCols` totally order
@@ -69,20 +72,33 @@ object IncrementalScd2 {
       ordCols: Seq[String], attrNames: Seq[String], batchId: Long,
       deleteType: String = "delete", numBuckets: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val live = KeyedStore.read(spark, storePath)
-      .map(_.filter(col("op_type") =!= "delete").localCheckpoint(true))
-    val hwm = live.flatMap(l =>
+    val kExpr = concat_ws(Sep, keys.map(k => col(k).cast("string")): _*)
+    val batchKeys = batch.select(kExpr.as("__k")).distinct()
+      .localCheckpoint(true)
+    // ONE bucket-pruned read covers everything the fold needs from the
+    // store: the meta rows (probed via their fixed __k = "" bucket) and
+    // the TOUCHED keys' version rows. The former full-store eager
+    // checkpoint materialized the whole history every fold — O(history),
+    // exactly the cost the seam argument exists to avoid; this is
+    // O(batch-touched buckets) file reads + O(touched versions) pinned.
+    val probe = batchKeys.unionByName(
+      spark.range(1).select(lit("").as("__k")))
+    val pruned = KeyedStore.readPruned(spark, storePath, probe)
+      .map(_.filter(col("op_type") =!= "delete"))
+    val hwm = pruned.flatMap(l =>
       Option(l.filter(col("kind") === "m").agg(max(col("bver"))).head().get(0)))
       .map(_.asInstanceOf[Long])
     if (hwm.exists(batchId <= _)) {
       // replay: current state IS the post-batch state
       val out = readHistory(spark, storePath, batch, keys, attrNames)
-      live.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Blocks.freeCheckpoint(batchKeys)
       return out
     }
-    val storedV = live.map(_.filter(col("kind") === "v"))
-    val kExpr = concat_ws(Sep, keys.map(k => col(k).cast("string")): _*)
-    val batchKeys = batch.select(kExpr.as("__k")).distinct()
+    // the touched keys' full version lists, pinned ONCE (seeds and the
+    // version offsets both fold over it)
+    val live = pruned.map(_.filter(col("kind") === "v")
+      .join(batchKeys, Seq("__k"), "left_semi").localCheckpoint(true))
+    val storedV = live
     // working-frame columns keep their batch names (ordCols may overlap
     // keys/attrs/ts/typ); "ts"/"typ" are reserved by the contract
     val payload = (keys ++ attrNames ++ ordCols).distinct
@@ -91,9 +107,9 @@ object IncrementalScd2 {
       .select(Seq(col("__k"), lit(1).as("__seed"), col("typ"),
         col("ts").cast("long").as("ts")) ++ payload.map(col): _*)
     // seeds: each TOUCHED key's open version, ordered before the batch
+    // (live is already pruned to batch-touched keys)
     val seeds = storedV.map(_
       .filter(col("is_current"))
-      .join(batchKeys, Seq("__k"), "left_semi")
       .select(Seq(col("__k"), lit(0).as("__seed"), lit("__seed").as("typ"),
         col("effective_from").as("ts")) ++
         payload.map(n =>
@@ -108,7 +124,6 @@ object IncrementalScd2 {
     // key's max — later versions would have closed it), fresh keys and
     // post-delete keys continue from their stored max
     val offsets = storedV.map(_
-      .join(batchKeys, Seq("__k"), "left_semi")
       .groupBy("__k").agg(max(col("ver")).as("__maxv"),
         max(when(col("is_current"), lit(1)).otherwise(lit(0))).as("__has_open")))
     val shifted = offsets match {
@@ -145,6 +160,7 @@ object IncrementalScd2 {
       numBuckets = numBuckets, bucketCols = Seq("__k"))
     graft.util.Blocks.freeCheckpoint(changed)
     live.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(batchKeys)
     readHistory(spark, storePath, batch, keys, attrNames)
   }
 }

@@ -1051,7 +1051,49 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** denseIds two-level-ranking probe: the corpus-preparation id mint at 1×
+    * vs N× documents against the global `row_number() OVER (ORDER BY …)`
+    * it replaces. The claim under test: the bucketed plan's wall scales
+    * with the DATA (hash exchange + per-bucket sorts + a metadata window),
+    * while the global window funnels every row through ONE task's sort —
+    * the single-task wall is the 100 TB disqualifier, visible already at
+    * 10× here. Both plans are counted through an identical downstream
+    * aggregate so neither gets a lazy discount. */
+  def denseidsProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureDocCorpus(spark, outDir, copies)
+    for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang")).localCheckpoint(true)
+      val n = docs.count()
+      for (rep <- 1 to 2) { // rep 2 = post-JIT reading
+        val t0 = System.nanoTime()
+        val two = graft.ops.Scale.denseIds(docs, expr("doc_id div 4096"),
+          Seq(col("doc_id")))
+        val s2 = two.agg(sum(col("dense_id"))).head().getLong(0)
+        val w2 = (System.nanoTime - t0) / 1e9
+        val t1 = System.nanoTime()
+        val glob = docs.withColumn("dense_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("doc_id"))) - 1)
+        val sg = glob.agg(sum(col("dense_id"))).head().getLong(0)
+        val wg = (System.nanoTime - t1) / 1e9
+        require(s2 == sg, s"id sums diverged: $s2 vs $sg")
+        println(f"DIDPROBE $label%-5s rep=$rep rows=$n%9d twoLevel=$w2%6.2f s globalWindow=$wg%6.2f s")
+      }
+      graft.util.Blocks.freeCheckpoint(docs)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("denseids")) {
+      denseidsProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_did"))
+      return
+    }
     if (args.headOption.contains("linkpred")) {
       linkpredProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_lp"))

@@ -138,6 +138,41 @@ class ProfileSketchSpec extends SparkSpec {
     assert(ex.getMessage.contains("unique"))
   }
 
+  test("decayedCounts: hand fold with gaps; exact decay-out; negative periods fail") {
+    val s = spark
+    import s.implicits._
+    // unit 2, pmax 2: a touched at 0 and 2 -> (2 >> 2) + 2 = 2;
+    // b counted twice at 0 -> 4 >> 2 = 1; d once at 0 -> 2 >> 2 = 0, dropped
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 0L), ("b", 0L), ("d", 0L))
+      .toDF("k", "p")
+    val got = Profile.decayedCounts(df, col("k"), col("p"), unit = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L), got)
+    val ex = intercept[IllegalArgumentException] {
+      Profile.decayedCounts(Seq(("a", -1L)).toDF("k", "p"), col("k"), col("p"))
+    }
+    assert(ex.getMessage.contains("non-negative"))
+    assert(Profile.decayedCounts(df.limit(0), col("k"), col("p")).isEmpty)
+  }
+
+  test("decayedCounts equals IncrementalDecay folded one batch per period") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 200L).map(i => (s"k${i % 13}", (i * 7 + i % 5) % 9))
+    val df = rows.toDF("k", "p")
+    val batch = Profile.decayedCounts(df, col("k"), col("p"), unit = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val store = java.nio.file.Files.createTempDirectory("dec_par").toString + "/st"
+    var streamed: Map[String, Long] = Map.empty
+    for (p <- 0L to rows.map(_._2).max) {
+      val b = rows.filter(_._2 == p).map(_._1).toDF("k") // may be empty
+      streamed = graft.streaming.IncrementalDecay
+        .mergeBatch(b, store, col("k"), batchId = p, unit = 100L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(batch == streamed, s"batch $batch != stream $streamed")
+  }
+
   test("hllRegisters union by max equals registers of the union") {
     val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
     val whole = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))
