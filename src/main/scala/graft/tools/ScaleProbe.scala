@@ -1063,32 +1063,112 @@ object ScaleProbe {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ensureDocCorpus(spark, outDir, copies)
+    // lineitem, not documents: the single-task disqualifier needs row
+    // counts where one task's sort is a visible wall (600 k -> 6 M here;
+    // the documents table is 5 k rows and EVERYTHING is overhead there)
+    if (!corpusReady(outDir, copies, probeFile = "lineitem.parquet")) {
+      replicate(spark, "/root/testdata/sf0.1", outDir, copies)
+      markCorpus(outDir, copies)
+    }
     for ((dir, label) <- Seq(("/root/testdata/sf0.1", "1x"), (outDir, s"${copies}x"))) {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("lang")).localCheckpoint(true)
-      val n = docs.count()
+      val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+          col("l_partkey"))
+        .localCheckpoint(true)
+      val n = rows.count()
       for (rep <- 1 to 2) { // rep 2 = post-JIT reading
         val t0 = System.nanoTime()
-        val two = graft.ops.Scale.denseIds(docs, expr("doc_id div 4096"),
-          Seq(col("doc_id")))
+        val two = graft.ops.Scale.denseIds(rows, expr("rid div 65536"),
+          Seq(col("rid")))
         val s2 = two.agg(sum(col("dense_id"))).head().getLong(0)
         val w2 = (System.nanoTime - t0) / 1e9
         val t1 = System.nanoTime()
-        val glob = docs.withColumn("dense_id",
+        val glob = rows.withColumn("dense_id",
           row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("doc_id"))) - 1)
+            .orderBy(col("rid"))).cast("long") - 1L)
         val sg = glob.agg(sum(col("dense_id"))).head().getLong(0)
         val wg = (System.nanoTime - t1) / 1e9
         require(s2 == sg, s"id sums diverged: $s2 vs $sg")
         println(f"DIDPROBE $label%-5s rep=$rep rows=$n%9d twoLevel=$w2%6.2f s globalWindow=$wg%6.2f s")
       }
-      graft.util.Blocks.freeCheckpoint(docs)
+      graft.util.Blocks.freeCheckpoint(rows)
+    }
+    spark.stop()
+  }
+
+  /** IncrementalIds Heaps-law fold probe: mint ids for document token
+    * vocabularies batch by batch and report each fold's NEW-key count
+    * beside its wall and the store size — the claim under test is that
+    * per-fold work rides the fold's new keys (Heaps-law vanishing as the
+    * vocabulary saturates), not the minted-vocabulary size. */
+  def idmintProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = s"$storeRoot/ids"
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .localCheckpoint(true)
+    var prevVocab = 0L
+    for (i <- 0 until batches) {
+      val batch = docs.filter(col("doc_id") % batches === i)
+        .select(explode(graft.ext.TextStats.toks(col("text"))).as("key"))
+      val t0 = System.nanoTime()
+      val out = graft.streaming.IncrementalIds.mergeBatch(batch, store,
+        col("key"))
+      val vocab = out.count()
+      val neu = vocab - prevVocab
+      prevVocab = vocab
+      if (i < 3 || (i + 1) % 5 == 0 || i == batches - 1)
+        println(f"IDMINT fold=$i%3d wall=${(System.nanoTime - t0) / 1e9}%6.2f s " +
+          f"vocab=$vocab%8d newKeys=$neu%7d")
+    }
+    spark.stop()
+  }
+
+  /** IncrementalDecay churn probe: fold batches whose key sets CHURN (each
+    * batch uses a fresh key range) and report live store rows per fold —
+    * the claim under test is that decay-out tombstoning bounds live state
+    * to the recently-active key set while total distinct keys ever seen
+    * grows linearly. */
+  def decayfoldProbe(batches: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = s"$storeRoot/dec"
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    import spark.implicits._
+    val keysPerBatch = 20000
+    for (i <- 0 until batches) {
+      // churning keys: window of 2 batch-ranges stays hot, older ranges go
+      // silent and must decay out (unit 8 -> zero after 3 silent folds)
+      val batch = spark.range(keysPerBatch)
+        .select(concat(lit(s"k${i}_"), col("id")).as("k"))
+        .unionByName(spark.range(keysPerBatch)
+          .select(concat(lit(s"k${math.max(0, i - 1)}_"), col("id")).as("k")))
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalDecay.mergeBatch(batch, store, col("k"),
+        batchId = i.toLong, unit = 8L)
+      val live = graft.streaming.KeyedStore.read(spark, store).get
+        .filter(col("op_type") =!= "delete" && col("kind") === "v").count()
+      if (i < 3 || (i + 1) % 5 == 0 || i == batches - 1)
+        println(f"DECAYFOLD fold=$i%3d wall=${(System.nanoTime - t0) / 1e9}%6.2f s " +
+          f"liveKeys=$live%8d everSeen=${(i + 1).toLong * keysPerBatch}%8d")
     }
     spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("idmint")) {
+      idmintProbe(args.lift(1).map(_.toInt).getOrElse(12),
+        args.lift(2).getOrElse("/tmp/graft_scale_idmint"))
+      return
+    }
+    if (args.headOption.contains("decayfold")) {
+      decayfoldProbe(args.lift(1).map(_.toInt).getOrElse(15),
+        args.lift(2).getOrElse("/tmp/graft_scale_decf"))
+      return
+    }
     if (args.headOption.contains("denseids")) {
       denseidsProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_did"))
