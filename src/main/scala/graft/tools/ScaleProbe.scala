@@ -1096,33 +1096,39 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** IncrementalIds Heaps-law fold probe: mint ids for document token
-    * vocabularies batch by batch and report each fold's NEW-key count
-    * beside its wall and the store size — the claim under test is that
-    * per-fold work rides the fold's new keys (Heaps-law vanishing as the
-    * vocabulary saturates), not the minted-vocabulary size. */
+  /** IncrementalIds fold probe: mint ids for 50 k FRESH keys per fold
+    * (lineitem row keys sliced — the fixture documents' 31-word vocabulary
+    * saturates at fold 0 and shows only the protocol floor) while the
+    * minted store grows `batches`×, then refold the last batch (0 new
+    * keys). The claim under test: per-fold work rides the fold's NEW keys,
+    * not the stored-vocabulary size — flat walls over a growing store, and
+    * the all-seen refold pays only the read floor. */
   def idmintProbe(batches: Int, storeRoot: String): Unit = {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val store = s"$storeRoot/ids"
     graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val rows = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
       .localCheckpoint(true)
     var prevVocab = 0L
-    for (i <- 0 until batches) {
-      val batch = docs.filter(col("doc_id") % batches === i)
-        .select(explode(graft.ext.TextStats.toks(col("text"))).as("key"))
+    def fold(i: Int, tag: String): Unit = {
+      val batch = rows.filter(col("rid") % batches === i)
+        .select(concat(lit("k"), col("rid")).as("key"))
       val t0 = System.nanoTime()
       val out = graft.streaming.IncrementalIds.mergeBatch(batch, store,
         col("key"))
       val vocab = out.count()
       val neu = vocab - prevVocab
       prevVocab = vocab
-      if (i < 3 || (i + 1) % 5 == 0 || i == batches - 1)
-        println(f"IDMINT fold=$i%3d wall=${(System.nanoTime - t0) / 1e9}%6.2f s " +
-          f"vocab=$vocab%8d newKeys=$neu%7d")
+      if (i < 3 || (i + 1) % 5 == 0 || i == batches - 1 || tag.nonEmpty)
+        println(f"IDMINT fold=$i%3d$tag wall=${(System.nanoTime - t0) / 1e9}%6.2f s " +
+          f"minted=$vocab%8d newKeys=$neu%7d")
     }
+    for (i <- 0 until batches) fold(i, "")
+    fold(batches - 1, " (refold)")
+    graft.util.Blocks.freeCheckpoint(rows)
     spark.stop()
   }
 
