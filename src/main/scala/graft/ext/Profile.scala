@@ -400,6 +400,90 @@ object Profile {
     cAgg.crossJoin(orph).crossJoin(pAgg).crossJoin(pDup)
   }
 
+  /** Exact pairwise covariance components over numeric columns — the
+    * feature-screening pass (which quality signals co-vary, which are
+    * redundant) in ENGINE-EXACT integer arithmetic: each value is floored
+    * to `1/10^scale` fixed point (an IEEE multiply + floor, identical on
+    * every engine — never a double→decimal cast, whose rounding modes
+    * differ), and per ordered column pair the five power sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0). From these
+    * any consumer derives covariance `(n·Σxy − Σx·Σy)` — emitted here —
+    * and Pearson r²; r itself needs a sqrt, so the FLOAT ratio is the
+    * spec's job, not the oracle's (the [[hllEstimate]] split).
+    *
+    * One aggregate pass for ALL pairs (k columns = k(k+1)/2 pair rows from
+    * ONE map-side-combined scan, never k² scans); rows where either column
+    * is null are excluded per pair (pairwise deletion, each pair's n
+    * reported). Overflow: |x·10^scale| must stay ≤ ~3·10⁹ per value for
+    * the Σxy products to fit decimal(38,0) at 10¹⁸ rows — far beyond any
+    * profiled feature column.
+    *
+    * @return one row per ordered pair (x ≤ y): (x, y, n, sx, sy, sxy,
+    *         sxx, syy, cov_num) — cov_num = n·Σxy − Σx·Σy, all exact */
+  def covComponents(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.size >= 2, "covComponents needs at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be unique")
+    val pairs = for (i <- cols.indices; j <- i until cols.size)
+      yield (cols(i), cols(j))
+    val fp = math.pow(10, scale)
+    def v(c: String) = floor(col(c).cast("double") * fp).cast("decimal(38,0)")
+    val aggs = pairs.flatMap { case (x, y) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def s(e: org.apache.spark.sql.Column, tag: String) =
+        coalesce(sum(when(both, e)), lit(0).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as(s"__${tag}_${x}_$y")
+      Seq(coalesce(sum(when(both, 1L)), lit(0L)).as(s"__n_${x}_$y"),
+        s(v(x), "sx"), s(v(y), "sy"), s(v(x) * v(y), "sxy"),
+        s(v(x) * v(x), "sxx"), s(v(y) * v(y), "syy"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y"),
+          col(s"__n_${x}_$y").as("n"),
+          col(s"__sx_${x}_$y").as("sx"), col(s"__sy_${x}_$y").as("sy"),
+          col(s"__sxy_${x}_$y").as("sxy"),
+          col(s"__sxx_${x}_$y").as("sxx"), col(s"__syy_${x}_$y").as("syy"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+      .withColumn("cov_num",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)"))
+  }
+
+  /** Join-size pre-flight — [[skewReport]] for a JOIN: the exact output
+    * cardinality an equi-join would produce and the keys that dominate it,
+    * from two key-width aggregates and a key-count join (never the join
+    * itself — the point is to price the 100 TB shuffle before paying it).
+    * Top `topK` keys by their output contribution `l_ct · r_ct` (ties by
+    * key), plus one TOTAL row (key NULL): matched left rows, matched right
+    * rows, exact join output size as decimal(38,0).
+    *
+    * Null keys never match an equi-join and are excluded (count them with
+    * [[fkAudit]]); `hot · 1000 div total` on the top row is the salting
+    * gate, exactly the [[skewReport]] reading applied to join output. */
+  def joinPreflight(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val lc = left.select(leftKey.cast("string").as("k"))
+      .filter(col("k").isNotNull).groupBy("k").agg(count(lit(1)).as("l_ct"))
+    val rc = right.select(rightKey.cast("string").as("k"))
+      .filter(col("k").isNotNull).groupBy("k").agg(count(lit(1)).as("r_ct"))
+    val m = lc.join(rc, "k")
+      .withColumn("out_rows",
+        (col("l_ct").cast("decimal(38,0)") * col("r_ct")).cast("decimal(38,0)"))
+    // orderBy + limit, NOT a global window: Catalyst plans this as
+    // TakeOrderedAndProject (per-partition top-K, merged) — the key table
+    // never funnels through one task's sort
+    val top = m.orderBy(col("out_rows").desc, col("k")).limit(topK)
+    val total = m.agg(
+      coalesce(sum(col("l_ct")), lit(0L)).as("l_ct"),
+      coalesce(sum(col("r_ct")), lit(0L)).as("r_ct"),
+      coalesce(sum(col("out_rows")), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("out_rows"))
+      .select(lit(null).cast("string").as("k"), col("l_ct"), col("r_ct"),
+        col("out_rows"))
+    top.unionByName(total)
+  }
+
   /** Batch exponentially decayed counts — the BATCH twin of
     * [[graft.streaming.IncrementalDecay]] (one fold per period over a
     * static table instead of per micro-batch over a stream): per key,

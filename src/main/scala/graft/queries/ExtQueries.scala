@@ -1423,6 +1423,32 @@ object ExtQueries {
         .orderBy(col("rel"))
     },
 
+    // Exact covariance components over three lineitem measures — the
+    // feature-screening pass: every power sum an engine-exact integer
+    // (floor-to-1e-6 fixed point, decimal(38,0) sums), cov_num emitted,
+    // the sqrt-bearing r left to the spec (the hllEstimate split).
+    "q_cov" -> { (s, dir) =>
+      Profile.covComponents(Envelopes.table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("x"), col("y"))
+    },
+
+    // Join-size pre-flight: the exact output cardinality and dominating
+    // keys of two joins — orders⋈lineitem (benign 1:N) and the
+    // lineitem⋈lineitem partkey self-join (the quadratic fan-out the
+    // pre-flight exists to catch) — priced from key counts, never by
+    // running the join.
+    "q_join_preflight" -> { (s, dir) =>
+      val o = Envelopes.table(s, dir, "orders")
+      val l = Envelopes.table(s, dir, "lineitem")
+      Profile.joinPreflight(o, col("o_orderkey"), l, col("l_orderkey"), topK = 5)
+        .withColumn("rel", lit("ord_li"))
+        .unionByName(
+          Profile.joinPreflight(l, col("l_partkey"), l, col("l_partkey"), topK = 5)
+            .withColumn("rel", lit("li_li_part")))
+        .orderBy(col("rel"), col("k").isNull, col("out_rows").desc, col("k"))
+    },
+
     // Batch exponentially decayed counts over the event stream at epoch-day
     // clock: which event types are trending NOW — keys silent for the
     // recent past shift toward zero. The batch twin of IncrementalDecay
@@ -3718,6 +3744,57 @@ object ExtQueries {
          |UNION ALL
          |${rel("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")}
          |ORDER BY rel""".stripMargin
+    },
+
+    // Power sums in HUGEINT (DuckDB's decimal type derivation rejects
+    // (38,0)×(38,0)), final columns cast to the Spark side's decimal(38,0).
+    "q_cov" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val pairs = for (i <- cols.indices; j <- i until cols.size)
+        yield (cols(i), cols(j))
+      pairs.map { case (x, y) =>
+        val both = s"$x IS NOT NULL AND $y IS NOT NULL"
+        def fp(c: String) = s"CAST(FLOOR($c * 1000000) AS HUGEINT)"
+        def s0(e: String, tag: String) =
+          s"COALESCE(SUM($e) FILTER ($both), 0) AS __$tag"
+        s"""SELECT '$x' AS x, '$y' AS y, n,
+           |  CAST(__sx AS DECIMAL(38,0)) AS sx, CAST(__sy AS DECIMAL(38,0)) AS sy,
+           |  CAST(__sxy AS DECIMAL(38,0)) AS sxy,
+           |  CAST(__sxx AS DECIMAL(38,0)) AS sxx, CAST(__syy AS DECIMAL(38,0)) AS syy,
+           |  CAST(n * __sxy - __sx * __sy AS DECIMAL(38,0)) AS cov_num
+           |FROM (SELECT COUNT(*) FILTER ($both) AS n,
+           |  ${s0(fp(x), "sx")}, ${s0(fp(y), "sy")},
+           |  ${s0(s"${fp(x)} * ${fp(y)}", "sxy")},
+           |  ${s0(s"${fp(x)} * ${fp(x)}", "sxx")},
+           |  ${s0(s"${fp(y)} * ${fp(y)}", "syy")}
+           |  FROM lineitem)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY x, y"
+    },
+
+    "q_join_preflight" -> {
+      def rel(tag: String, lt: String, lk: String, rt: String, rk: String) =
+        s"""SELECT '$tag' AS rel, k, l_ct, r_ct,
+           |       CAST(out_rows AS DECIMAL(38,0)) AS out_rows FROM (
+           |  SELECT k, l_ct, r_ct, CAST(l_ct AS HUGEINT) * r_ct AS out_rows
+           |  FROM (SELECT CAST($lk AS VARCHAR) AS k, COUNT(*) AS l_ct
+           |        FROM $lt WHERE $lk IS NOT NULL GROUP BY 1) lc
+           |  JOIN (SELECT CAST($rk AS VARCHAR) AS k, COUNT(*) AS r_ct
+           |        FROM $rt WHERE $rk IS NOT NULL GROUP BY 1) rc USING (k)
+           |  ORDER BY out_rows DESC, k LIMIT 5)
+           |UNION ALL
+           |SELECT '$tag', NULL, CAST(COALESCE(SUM(l_ct), 0) AS BIGINT),
+           |       CAST(COALESCE(SUM(r_ct), 0) AS BIGINT),
+           |       CAST(COALESCE(SUM(CAST(l_ct AS HUGEINT) * r_ct), 0) AS DECIMAL(38,0)) FROM (
+           |  SELECT lc.k, l_ct, r_ct
+           |  FROM (SELECT CAST($lk AS VARCHAR) AS k, COUNT(*) AS l_ct
+           |        FROM $lt WHERE $lk IS NOT NULL GROUP BY 1) lc
+           |  JOIN (SELECT CAST($rk AS VARCHAR) AS k, COUNT(*) AS r_ct
+           |        FROM $rt WHERE $rk IS NOT NULL GROUP BY 1) rc USING (k))""".stripMargin
+      s"""SELECT * FROM (
+         |${rel("ord_li", "orders", "o_orderkey", "lineitem", "l_orderkey")}
+         |UNION ALL
+         |${rel("li_li_part", "lineitem", "l_partkey", "lineitem", "l_partkey")}
+         |) ORDER BY rel, k IS NULL, out_rows DESC, k""".stripMargin
     },
 
     // The shift/add fold replayed as a recursive CTE over each key's

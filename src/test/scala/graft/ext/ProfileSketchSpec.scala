@@ -173,6 +173,47 @@ class ProfileSketchSpec extends SparkSpec {
     assert(batch == streamed, s"batch $batch != stream $streamed")
   }
 
+  test("covComponents: exact sums on a hand fixture; derived r matches direct computation") {
+    val s = spark
+    import s.implicits._
+    // y = 2x exactly, z anti-correlated with x; one row with a null y
+    val df = Seq((1.0, Some(2.0), 3.0), (2.0, Some(4.0), 2.0),
+      (3.0, Some(6.0), 1.0), (4.0, None, 0.0)).toDF("x", "y", "z")
+    val got = Profile.covComponents(df, Seq("x", "y", "z"), scale = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(8).longValueExact()))).toMap
+    // (x,y): n=3 (null y row excluded), cov_num = 3*28 - 6*12 = 12
+    assert(got(("x", "y")) == ((3L, 12L)), got(("x", "y")))
+    // (x,z): n=4, cov_num = 4*(3+4+3+0) - 10*6 = -20 (perfect anti)
+    assert(got(("x", "z")) == ((4L, -20L)))
+    // r derived from the components = direct Pearson (up to float)
+    val r = Profile.covComponents(df.filter(col("y").isNotNull),
+        Seq("x", "z"), scale = 6)
+      .filter(col("x") === "x" && col("y") === "z").head()
+    val (n, sx, sy, sxy, sxx, syy) = (r.getLong(2),
+      BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)),
+      BigDecimal(r.getDecimal(5)), BigDecimal(r.getDecimal(6)),
+      BigDecimal(r.getDecimal(7)))
+    val pearson = ((n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    assert(math.abs(pearson - (-1.0)) < 1e-9, s"r = $pearson")
+  }
+
+  test("joinPreflight prices the join without running it; totals exact") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k") // key 1 x3
+    val right = Seq(1L, 1L, 2L, 9L).toDF("k")    // key 1 x2; 9 unmatched
+    val got = Profile.joinPreflight(left, col("k"), right, col("k"), topK = 1)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact())).toSet
+    // top key 1: 3*2 = 6; totals over MATCHED keys: l=4, r=3, out=7
+    assert(got == Set((Some("1"), 3L, 2L, 6L), (None, 4L, 3L, 7L)), got)
+    // parity with actually running the join
+    val real = left.join(right, "k").count()
+    assert(real == 7L)
+  }
+
   test("hllRegisters union by max equals registers of the union") {
     val o = graft.model.Envelopes.table(spark, sfDir(), "orders")
     val whole = Profile.hllRegisters(o, Seq("o_orderstatus"), col("o_custkey"))
