@@ -345,4 +345,38 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_cdc_chunk_dedup")
     assert(!p.contains("Join"), "no joins of any kind:\n" + p.take(800))
   }
+
+  test("dq check: k rules = one scan, one partial/final aggregate, no Expand, no joins") {
+    val p = plan("q_dq_check")
+    assert(!p.contains("Join") && !p.contains("Expand"),
+      "the whole rule suite must ride one aggregate pass:\n" + p.take(800))
+    assert("Scan ".r.findAllIn(p).size <= 1,
+      "four rules must not rescan the table:\n" + p.take(800))
+    assert(p.contains("partial_"), "violation counts must map-side combine")
+  }
+
+  test("cov components: all pairs from ONE table scan, no joins, no Expand") {
+    val p = plan("q_cov")
+    assert(!p.contains("Join") && !p.contains("Expand"),
+      "power sums must not multiply the scan:\n" + p.take(800))
+    assert("Scan ".r.findAllIn(p).size <= 1,
+      "six pairs must share one lineitem scan:\n" + p.take(800))
+  }
+
+  test("join preflight: top-K via TakeOrdered, never a global window or the join itself") {
+    val p = plan("q_join_preflight")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top keys must use the distributed top-K operator:\n" + p.take(800))
+    assert(!p.contains("Window"),
+      "no global window over the key table:\n" + p.take(800))
+  }
+
+  test("hits: no cartesian anywhere; final hub-authority combine is an equi join") {
+    // the per-half-step plans (edge join + broadcast max attach) sit behind
+    // per-iteration checkpoints — the visible plan is the final combine
+    val p = plan("q_hits")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no product joins anywhere in the visible plan:\n" + p.take(800))
+    assert(p.contains("Join"), "the hub-authority combine is a join:\n" + p.take(400))
+  }
 }
