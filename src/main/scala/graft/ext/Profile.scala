@@ -503,8 +503,9 @@ object Profile {
     * corpus-width shuffle — then a key-width collect of each key's TOUCHED
     * periods (calendar-bounded per key: 365 rows/key/year, the CEP
     * row-local-fold footprint) folded by a row-local `aggregate`; the
-    * period bounds are one 1-row scalar read (the `dimBounds` stance —
-    * it also fails fast on negative periods). Shift gaps clamp at 63
+    * period bounds are one MAP-SIDE min/max scan read driver-side (the
+    * `dimBounds` stance — it also fails fast on negative periods; one
+    * extra scan, never a second shuffle). Shift gaps clamp at 63
     * (Java/Spark shift semantics use the low 6 bits — an unclamped 64-gap
     * would be a NO-OP shift, not zero; any true gap ≥ 63 means w = 0 for
     * every representable weight).
@@ -515,14 +516,16 @@ object Profile {
   def decayedCounts(df: DataFrame, keyCol: Column, periodCol: Column,
       unit: Long = 1000000L): DataFrame = {
     require(unit >= 1, s"unit must be >= 1, got $unit")
-    val counts = df
+    val base = df
       .select(keyCol.cast("string").as("key"), periodCol.cast("long").as("period"))
       .filter(col("key").isNotNull && col("period").isNotNull)
-      .groupBy("key", "period").agg(count(lit(1)).as("ct"))
+    val counts = base.groupBy("key", "period").agg(count(lit(1)).as("ct"))
     // 1-row scalar bounds (the dimBounds stance): pmax becomes a literal in
     // the fold, and a negative period fails fast instead of feeding Java's
-    // low-6-bit shift semantics garbage
-    val mm = counts.agg(min(col("period")), max(col("period"))).head()
+    // low-6-bit shift semantics garbage. Bounds come from BASE, not counts —
+    // same rows (identical filter), but a map-side min/max agg instead of
+    // re-running the corpus-width groupBy shuffle a second time
+    val mm = base.agg(min(col("period")), max(col("period"))).head()
     if (mm.isNullAt(1))
       return counts.select(col("key"), col("ct").as("w")).limit(0)
     require(mm.getLong(0) >= 0L,

@@ -752,10 +752,12 @@ object Graph {
     * combined aggregates (the Pregel shape, once per direction) and two
     * 1-row max aggregates attached as broadcast scalars — never a driver
     * round-trip. Per-iteration localCheckpoint, superseded generations
-    * freed ([[pageRankInt]] discipline). Overflow guard: raw sums are
-    * ≤ n·unit and the rescale multiplies by `unit`, so n·unit² must fit a
-    * Long — the default unit 10⁶ allows ~9.2 M nodes; lower `unit` for
-    * bigger graphs (precision is 1/unit of the max score).
+    * freed ([[pageRankInt]] discipline). Overflow guard: a raw half-step
+    * sum is ≤ maxDeg·unit (degree counts parallel-edge MULTIPLICITY, the
+    * true bound — a node-count guard would pass a multigraph hub that
+    * wraps) and the rescale multiplies by `unit`, so maxDeg·unit² must
+    * fit a Long — the default unit 10⁶ allows max degree ~9.2 M; lower
+    * `unit` for hotter hubs (precision is 1/unit of the max score).
     *
     * @param edges directed (src, dst) rows; parallel edges count per
     *   occurrence
@@ -769,9 +771,17 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val n = nodes.count()
-    require(n == 0 || n <= Long.MaxValue / unit / unit,
-      s"n=$n nodes at unit=$unit can overflow Long in the rescale — lower " +
-        "unit (the guard is n * unit * unit <= Long.Max)")
+    // the binding bound is the busiest node, not the node count: a raw
+    // half-step sum is <= maxDeg * unit (scores are rescaled to <= unit,
+    // and parallel edges COUNT, so degree here is edge multiplicity in
+    // either direction), and the rescale multiplies it by unit again
+    val maxDeg = if (n == 0) 1L else
+      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+    require(n == 0 || unit <= Long.MaxValue / unit / maxDeg,
+      s"maxDeg=$maxDeg at unit=$unit can overflow Long in the rescale — " +
+        "lower unit (the guard is maxDeg * unit * unit <= Long.Max)")
     // one half-step: raw sums of `scores` pulled across `edges` keyed
     // (from, to), then the integer max-rescale onto the node spine
     def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {

@@ -2076,10 +2076,6 @@ object ExtQueries {
        |          row_number() OVER (PARTITION BY query_id
        |            ORDER BY score_fp DESC, doc_id) AS rk FROM ag$tag)""".stripMargin
 
-  /** Shared by q_bm25 and q_bm25_stream: the document-frequency index's
-    * stat adds are exact, so the cross-batch drive's twin is the batch
-    * twin verbatim. Score expression mirrors Ranking.bm25Score
-    * token-for-token (raw idf, k1=1.25, b=0.75 — binary-exact literals). */
   /** Shared by q_bottomk_sample and q_sample_stream — the streaming fold is
     * lossless, so the drive's truth IS the batch sample (the Bm25Sql
     * precedent for batch/stream oracle sharing). */
@@ -2093,6 +2089,10 @@ object ExtQueries {
       |  FROM documents)
       |WHERE rk <= 50 ORDER BY g, h, id""".stripMargin
 
+  /** Shared by q_bm25 and q_bm25_stream: the document-frequency index's
+    * stat adds are exact, so the cross-batch drive's twin is the batch
+    * twin verbatim. Score expression mirrors Ranking.bm25Score
+    * token-for-token (raw idf, k1=1.25, b=0.75 — binary-exact literals). */
   private val Bm25Sql =
     """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,

@@ -59,9 +59,13 @@ object IncrementalDecay {
       .select(col("ver"), col("w")).collect().headOption
     // unit is part of the store's identity (the IncrementalHist frame
     // contract): a changed unit would silently mix weight scales across
-    // folds — fail fast instead
-    meta.foreach { m =>
-      require(m.getLong(1) == unit,
+    // folds — fail fast instead. Stored 0 = a pre-pin-format meta row
+    // (unit was never recorded): adopt the caller's unit, this fold's
+    // meta write heals it. Free the pinned read BEFORE throwing — a
+    // guarded rejection must not leak store-sized blocks.
+    meta.filter(m => m.getLong(1) != 0L && m.getLong(1) != unit).foreach { m =>
+      graft.util.Blocks.freeCheckpoint(cur)
+      throw new IllegalArgumentException(
         s"store $storePath decays at unit ${m.getLong(1)}; fold passed " +
           s"unit = $unit — unit is part of the store's identity")
     }

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * fold, every later fold must pass the SAME k (the [[IncrementalHist]]
   * frame contract: a smaller k would tombstone rows the store could never
   * recover, since evicted ids are not re-fed; a mismatch fails fast
-  * instead of silently truncating the sample).
+  * instead of silently truncating the sample). Store layout v2: rows
+  * carry a `kind` column ("v" sample / "m" meta) and bucket on
+  * (kind, g, id) — a store written by the short-lived pre-pin layout
+  * (same round, no persisted instances) is not readable; recreate it.
   *
   * Folds are IDEMPOTENT by set semantics (a re-folded batch admits and
   * evicts nothing), so no replay high-water mark is needed — the
@@ -49,8 +52,11 @@ object IncrementalSample {
         .localCheckpoint(true))
     storedAll.foreach { s =>
       s.filter(col("kind") === "m").select(col("id")).collect()
-        .headOption.foreach { m =>
-          require(m.getLong(0) == k.toLong,
+        .headOption.filter(_.getLong(0) != k.toLong).foreach { m =>
+          // free the pinned read BEFORE throwing — a guarded rejection
+          // must not leak store-sized blocks
+          graft.util.Blocks.freeCheckpoint(s)
+          throw new IllegalArgumentException(
             s"store $storePath holds a bottom-${m.getLong(0)} sample; fold " +
               s"passed k = $k — k is part of the store's identity (a smaller " +
               "k would irrecoverably truncate it)")

@@ -51,12 +51,16 @@ class IncrementalDecaySpec extends SparkSpec {
     val store = Files.createTempDirectory("inc_dec_u").toString + "/store"
     IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store, col("k"), 0L,
       unit = 100L)
-    // a changed unit would silently mix weight scales across folds
+    // a changed unit would silently mix weight scales across folds; the
+    // rejection must not leak the pinned store read
+    val before = s.sparkContext.getPersistentRDDs.keySet
     val ex = intercept[IllegalArgumentException] {
       IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store, col("k"), 1L,
         unit = 10L)
     }
     assert(ex.getMessage.contains("identity"))
+    assert(s.sparkContext.getPersistentRDDs.keySet == before,
+      "guarded rejection leaked pinned blocks")
     // same-unit folds still work after the rejected one
     val w = snap(IncrementalDecay.mergeBatch(Seq("a").toDF("k"), store,
       col("k"), 1L, unit = 100L))

@@ -61,11 +61,15 @@ class IncrementalSampleSpec extends SparkSpec {
     val store = Files.createTempDirectory("inc_samp_k").toString + "/store"
     val b0 = (0L until 100L).map(i => (i, "g")).toDF("doc_id", "grp")
     IncrementalSample.mergeBatch(b0, store, col("doc_id"), col("grp"), k = 20)
-    // a smaller k would tombstone rows the store could never recover
+    // a smaller k would tombstone rows the store could never recover; the
+    // rejection must not leak the pinned store read
+    val before = s.sparkContext.getPersistentRDDs.keySet
     val ex = intercept[IllegalArgumentException] {
       IncrementalSample.mergeBatch(b0, store, col("doc_id"), col("grp"), k = 5)
     }
     assert(ex.getMessage.contains("identity"))
+    assert(s.sparkContext.getPersistentRDDs.keySet == before,
+      "guarded rejection leaked pinned blocks")
     // the guarded store is untouched: same-k folds still work
     assert(snap(IncrementalSample.readSample(s, store)).size == 20)
   }
