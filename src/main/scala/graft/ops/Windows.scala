@@ -25,6 +25,44 @@ object Windows {
       .withColumn("ws", expr("unix_millis(__w.start) div 1000"))
       .drop("__w")
 
+  /** CUMULATE window assignment — the fourth Flink window TVF beside
+    * tumble/hop/session (FLIP-145; the "running daily total, emitted
+    * hourly" shape every DWS dashboard wants): within each `sizeMs`
+    * window, an event joins EVERY step boundary at or after its own
+    * time, so aggregating by (ws, boundary) yields cumulative-to-boundary
+    * values. Emitted columns: `ws` (window start) and `bound` (the step
+    * boundary this row feeds), both epoch-SECONDS bigints (the
+    * [[withTumbleWs]] portability stance).
+    *
+    * Batch/stream duality: in streaming this is tumble(step) + an
+    * upsert-mode running sum; the batch form here replays the emitted
+    * row set exactly, so a drive can hash-oracle against it.
+    *
+    * Scale: each event explodes into its REMAINING boundaries — a
+    * size/step row multiplier (e.g. 4 for day/6 h) priced before the one
+    * map-side-combined (ws, bound, keys...) aggregate; never a self-join
+    * or a window function over the corpus.
+    *
+    * @param sizeMs window size; must be a positive multiple of `stepMs` */
+  def withCumulate(df: DataFrame, tsMs: Column, stepMs: Long,
+      sizeMs: Long): DataFrame = {
+    require(stepMs >= 1 && sizeMs >= stepMs && sizeMs % stepMs == 0,
+      s"size ($sizeMs) must be a positive multiple of step ($stepMs)")
+    require(stepMs % 1000 == 0 && sizeMs % 1000 == 0,
+      "step and size must be whole seconds (ws/bound are epoch-second columns)")
+    val steps = sizeMs / stepMs
+    df.withColumn("__t", tsMs.cast("long"))
+      .withColumn("ws", expr(s"(__t div $sizeMs) * $sizeMs div 1000"))
+      // first boundary covering the event: ceil((t - ws) / step) — an
+      // event AT a boundary belongs to the next one (window end exclusive,
+      // the TimeWindow contract)
+      .withColumn("__k0",
+        expr(s"(__t % $sizeMs) div $stepMs + 1"))
+      .withColumn("__k", explode(expr(s"sequence(__k0, ${steps}L)")))
+      .withColumn("bound", expr(s"ws + __k * ${stepMs / 1000}"))
+      .drop("__t", "__k0", "__k")
+  }
+
   /** Gap-based session journey paths — the user-behavior sequence rollup a
     * DWS layer derives funnels and path analysis from: events are grouped
     * into `session_window(gap)` sessions per user, and each session emits its

@@ -53,6 +53,20 @@ object AggQueries {
         .orderBy(col("ws"), col("event_type"))
     },
 
+    // CUMULATE windows (FLIP-145, the fourth Flink window TVF): daily
+    // windows emitting 6-hourly cumulative pv + exact uv — each event
+    // joins its remaining step boundaries (×(size/step) rows, priced),
+    // then one map-side-combined aggregate.
+    "q_cumulate" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(expr("unix_millis(ts)").as("tms"), col("user_id"))
+      graft.ops.Windows.withCumulate(ev, col("tms"),
+          stepMs = 21600000L, sizeMs = 86400000L)
+        .groupBy("ws", "bound")
+        .agg(count(lit(1)).as("ev_ct"), countDistinct(col("user_id")).as("uv"))
+        .orderBy(col("ws"), col("bound"))
+    },
+
     // Province × month rollup (subtotals + grand total).
     "q_rollup_province" -> { (s, dir) =>
       Envelopes.orderInfo(s, dir)
@@ -170,6 +184,15 @@ object AggQueries {
         |  FROM ev)
         |SELECT ws, event_type, COUNT(*) AS pv
         |FROM hopped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cumulate" ->
+      """WITH ev AS (SELECT epoch_ms(ts) AS tms, user_id FROM events),
+        |x AS (SELECT (tms // 86400000) * 86400 AS ws,
+        |             (tms // 86400000) * 86400 + k * 21600 AS bound, user_id
+        |      FROM ev, (SELECT UNNEST(range(1, 5)) AS k) ks
+        |      WHERE k >= (tms % 86400000) // 21600000 + 1)
+        |SELECT ws, bound, COUNT(*) AS ev_ct, COUNT(DISTINCT user_id) AS uv
+        |FROM x GROUP BY 1, 2 ORDER BY ws, bound""".stripMargin,
 
     "q_rollup_province" ->
       s"""WITH $oiCte

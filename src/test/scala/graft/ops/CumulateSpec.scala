@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** CUMULATE window assignment: boundary membership at the edges, the
+  * size/step row multiplier, cumulative aggregation semantics, and the
+  * whole-second/multiple guards. */
+class CumulateSpec extends SparkSpec {
+
+  test("events join every remaining boundary; edges land per the exclusive-end contract") {
+    val s = spark
+    import s.implicits._
+    // day = 4000 ms, step = 1000 ms -> 4 boundaries per window
+    val df = Seq(
+      0L,    // window [0,4000): at ws, feeds all 4 boundaries
+      999L,  // still before boundary 1
+      1000L, // AT boundary 1: exclusive end -> first feeds boundary 2
+      3999L, // last instant: only the final boundary
+      4000L  // next window's start
+    ).toDF("tms")
+    val got = Windows.withCumulate(df, col("tms"), stepMs = 1000L, sizeMs = 4000L)
+      .groupBy("tms").agg(sort_array(collect_list(col("bound"))).as("bs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0L) == Seq(1L, 2L, 3L, 4L))
+    assert(got(999L) == Seq(1L, 2L, 3L, 4L))
+    assert(got(1000L) == Seq(2L, 3L, 4L))
+    assert(got(3999L) == Seq(4L))
+    assert(got(4000L) == Seq(5L, 6L, 7L, 8L), "next window restarts the ladder")
+
+    // cumulative counts per boundary = events with t < boundary (same window)
+    val cum = Windows.withCumulate(df.filter(col("tms") < 4000L), col("tms"),
+        1000L, 4000L)
+      .groupBy("bound").agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cum == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 4L), cum)
+  }
+
+  test("guards: step must divide size; both must be whole seconds") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(0L).toDF("tms")
+    assert(intercept[IllegalArgumentException] {
+      Windows.withCumulate(df, col("tms"), 3000L, 7000L)
+    }.getMessage.contains("multiple"))
+    assert(intercept[IllegalArgumentException] {
+      Windows.withCumulate(df, col("tms"), 500L, 4000L)
+    }.getMessage.contains("whole seconds"))
+  }
+}
