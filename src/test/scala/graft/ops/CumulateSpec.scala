@@ -36,6 +36,29 @@ class CumulateSpec extends SparkSpec {
     assert(cum == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 4L), cum)
   }
 
+  test("duality: cumulate counts == running sum of tumble(step) counts per window") {
+    // the streaming form is tumble(step) + an upsert running sum; pin the
+    // identity the scaladoc claims on real event data
+    val ev = graft.model.Envelopes.events(spark, sfDir())
+      .select(expr("unix_millis(ts)").as("tms"))
+    val cum = Windows.withCumulate(ev, col("tms"), 21600000L, 86400000L)
+      .groupBy("ws", "bound").agg(count(lit(1)).as("ct"))
+    val tumble = ev
+      .withColumn("ws", expr("(tms div 86400000) * 86400"))
+      .withColumn("bound", expr("ws + ((tms % 86400000) div 21600000 + 1) * 21600"))
+      .groupBy("ws", "bound").agg(count(lit(1)).as("sct"))
+      .withColumn("ct", sum(col("sct")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ws")).orderBy(col("bound"))))
+      .select(col("ws"), col("bound"), col("ct"))
+    // tumble only emits boundaries whose step saw events; cumulate emits
+    // every boundary from each event's first — compare on the common set
+    assert(cum.join(tumble, Seq("ws", "bound"))
+      .filter(cum("ct") =!= tumble("ct")).isEmpty,
+      "cumulate must equal the running tumble sum on shared boundaries")
+    assert(cum.count() > 0)
+  }
+
   test("guards: step must divide size; both must be whole seconds") {
     val s = spark
     import s.implicits._
