@@ -409,7 +409,9 @@ object Profile {
     * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0). From these
     * any consumer derives covariance `(n·Σxy − Σx·Σy)` — emitted here —
     * and Pearson r²; r itself needs a sqrt, so the FLOAT ratio is the
-    * spec's job, not the oracle's (the [[hllEstimate]] split).
+    * spec's job, not the oracle's (the [[hllEstimate]] split). Non-finite
+    * values (NaN/±Inf) are treated like null — excluded pairwise — since
+    * their floor would silently skew the sums.
     *
     * One aggregate pass for ALL pairs (k columns = k(k+1)/2 pair rows from
     * ONE map-side-combined scan, never k² scans); rows where either column
@@ -427,22 +429,33 @@ object Profile {
       yield (cols(i), cols(j))
     val fp = math.pow(10, scale)
     def v(c: String) = floor(col(c).cast("double") * fp).cast("decimal(38,0)")
-    val aggs = pairs.flatMap { case (x, y) =>
-      val both = col(x).isNotNull && col(y).isNotNull
+    // a value participates only if FINITE: NaN/±Inf are not null, but
+    // floor(NaN) feeds 0 and floor(Inf) feeds Long.Max into the sums
+    // (silently skewed statistics) while the DuckDB twin ERRORS on the
+    // cast — treat non-finite like null (pairwise deletion)
+    def fin(c: String) = {
+      val d = col(c).cast("double")
+      d.isNotNull && !isnan(d) && d =!= Double.PositiveInfinity &&
+        d =!= Double.NegativeInfinity
+    }
+    // aliases carry the PAIR INDEX, never the joined names — "a_b"/"c" vs
+    // "a"/"b_c" would collide to one ambiguous alias string
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = fin(x) && fin(y)
       def s(e: org.apache.spark.sql.Column, tag: String) =
         coalesce(sum(when(both, e)), lit(0).cast("decimal(38,0)"))
-          .cast("decimal(38,0)").as(s"__${tag}_${x}_$y")
-      Seq(coalesce(sum(when(both, 1L)), lit(0L)).as(s"__n_${x}_$y"),
+          .cast("decimal(38,0)").as(s"__${tag}_$i")
+      Seq(coalesce(sum(when(both, 1L)), lit(0L)).as(s"__n_$i"),
         s(v(x), "sx"), s(v(y), "sy"), s(v(x) * v(y), "sxy"),
         s(v(x) * v(x), "sxx"), s(v(y) * v(y), "syy"))
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(pairs.map { case (x, y) =>
+      .select(explode(array(pairs.zipWithIndex.map { case ((x, y), i) =>
         struct(lit(x).as("x"), lit(y).as("y"),
-          col(s"__n_${x}_$y").as("n"),
-          col(s"__sx_${x}_$y").as("sx"), col(s"__sy_${x}_$y").as("sy"),
-          col(s"__sxy_${x}_$y").as("sxy"),
-          col(s"__sxx_${x}_$y").as("sxx"), col(s"__syy_${x}_$y").as("syy"))
+          col(s"__n_$i").as("n"),
+          col(s"__sx_$i").as("sx"), col(s"__sy_$i").as("sy"),
+          col(s"__sxy_$i").as("sxy"),
+          col(s"__sxx_$i").as("sxx"), col(s"__syy_$i").as("syy"))
       }: _*)).as("__p"))
       .select(col("__p.*"))
       .withColumn("cov_num",

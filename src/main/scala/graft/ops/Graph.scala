@@ -773,12 +773,16 @@ object Graph {
     val n = nodes.count()
     // the binding bound is the busiest node, not the node count: a raw
     // half-step sum is <= maxDeg * unit (scores are rescaled to <= unit,
-    // and parallel edges COUNT, so degree here is edge multiplicity in
-    // either direction), and the rescale multiplies it by unit again
-    val maxDeg = if (n == 0) 1L else
-      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
+    // and parallel edges COUNT, so degree here is edge multiplicity), and
+    // the rescale multiplies it by unit again. Each half-step sums over
+    // ONE direction, so the bound is the larger of the per-direction
+    // maxima — summing in+out per node would spuriously reject graphs
+    // the algorithm handles
+    val maxDeg = if (n == 0) 1L else {
+      def dmax(c: String) = e.groupBy(col(c)).agg(count(lit(1)).as("d"))
         .agg(max(col("d"))).head().getLong(0)
+      math.max(dmax("src"), dmax("dst"))
+    }
     require(n == 0 || unit <= Long.MaxValue / unit / maxDeg,
       s"maxDeg=$maxDeg at unit=$unit can overflow Long in the rescale — " +
         "lower unit (the guard is maxDeg * unit * unit <= Long.Max)")

@@ -52,15 +52,21 @@ object Windows {
       "step and size must be whole seconds (ws/bound are epoch-second columns)")
     val steps = sizeMs / stepMs
     df.withColumn("__t", tsMs.cast("long"))
-      .withColumn("ws", expr(s"(__t div $sizeMs) * $sizeMs div 1000"))
-      // first boundary covering the event: ceil((t - ws) / step) — an
+      // FLOOR division, not Spark's truncate-toward-zero `div`: a pre-epoch
+      // (negative) timestamp must land in the window that STARTS BEFORE it,
+      // and the in-window remainder must be non-negative — this is also
+      // exactly DuckDB's `//`, so the twin floors identically
+      .withColumn("__fd", expr(
+        s"(__t div $sizeMs) - (CASE WHEN __t % $sizeMs < 0 THEN 1 ELSE 0 END)"))
+      .withColumn("ws", expr(s"__fd * ${sizeMs / 1000}"))
+      // first boundary covering the event, from the floor-remainder — an
       // event AT a boundary belongs to the next one (window end exclusive,
       // the TimeWindow contract)
       .withColumn("__k0",
-        expr(s"(__t % $sizeMs) div $stepMs + 1"))
+        expr(s"(__t - __fd * $sizeMs) div $stepMs + 1"))
       .withColumn("__k", explode(expr(s"sequence(__k0, ${steps}L)")))
       .withColumn("bound", expr(s"ws + __k * ${stepMs / 1000}"))
-      .drop("__t", "__k0", "__k")
+      .drop("__t", "__fd", "__k0", "__k")
   }
 
   /** Gap-based session journey paths — the user-behavior sequence rollup a

@@ -185,12 +185,15 @@ object AggQueries {
         |SELECT ws, event_type, COUNT(*) AS pv
         |FROM hopped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // floor-remainder (tms − (tms//size)·size), not `%`: DuckDB's % is
+    // sign-of-dividend while // floors — mixing them breaks on pre-epoch
+    // timestamps exactly where the Spark side now floors correctly
     "q_cumulate" ->
       """WITH ev AS (SELECT epoch_ms(ts) AS tms, user_id FROM events),
         |x AS (SELECT (tms // 86400000) * 86400 AS ws,
         |             (tms // 86400000) * 86400 + k * 21600 AS bound, user_id
         |      FROM ev, (SELECT UNNEST(range(1, 5)) AS k) ks
-        |      WHERE k >= (tms % 86400000) // 21600000 + 1)
+        |      WHERE k >= (tms - (tms // 86400000) * 86400000) // 21600000 + 1)
         |SELECT ws, bound, COUNT(*) AS ev_ct, COUNT(DISTINCT user_id) AS uv
         |FROM x GROUP BY 1, 2 ORDER BY ws, bound""".stripMargin,
 

@@ -3753,7 +3753,9 @@ object ExtQueries {
       val pairs = for (i <- cols.indices; j <- i until cols.size)
         yield (cols(i), cols(j))
       pairs.map { case (x, y) =>
-        val both = s"$x IS NOT NULL AND $y IS NOT NULL"
+        // isfinite mirrors the operator's pairwise non-finite deletion
+        val both = s"$x IS NOT NULL AND isfinite($x) AND " +
+          s"$y IS NOT NULL AND isfinite($y)"
         def fp(c: String) = s"CAST(FLOOR($c * 1000000) AS HUGEINT)"
         def s0(e: String, tag: String) =
           s"COALESCE(SUM($e) FILTER ($both), 0) AS __$tag"

@@ -186,6 +186,14 @@ class ProfileSketchSpec extends SparkSpec {
     assert(got(("x", "y")) == ((3L, 12L)), got(("x", "y")))
     // (x,z): n=4, cov_num = 4*(3+4+3+0) - 10*6 = -20 (perfect anti)
     assert(got(("x", "z")) == ((4L, -20L)))
+    // NaN/Inf are excluded like nulls, never floored into the sums
+    val dirty = Seq((1.0, 2.0), (2.0, 4.0), (Double.NaN, 9.0),
+      (Double.PositiveInfinity, 9.0)).toDF("x", "y")
+    val dgot = Profile.covComponents(dirty, Seq("x", "y"), scale = 0)
+      .filter(col("x") === "x" && col("y") === "y").head()
+    assert(dgot.getLong(2) == 2L, "non-finite rows must not count toward n")
+    assert(BigDecimal(dgot.getDecimal(3)) == BigDecimal(3), "sx skips non-finite")
+
     // r derived from the components = direct Pearson (up to float)
     val r = Profile.covComponents(df.filter(col("y").isNotNull),
         Seq("x", "z"), scale = 6)

@@ -28,6 +28,17 @@ class CumulateSpec extends SparkSpec {
     assert(got(3999L) == Seq(4L))
     assert(got(4000L) == Seq(5L, 6L, 7L, 8L), "next window restarts the ladder")
 
+    // pre-epoch timestamps FLOOR into the window that starts before them
+    // (truncate-toward-zero would put -1 in [0, 4000) — a window starting
+    // after the event)
+    val neg = Windows.withCumulate(Seq(-1L, -4000L).toDF("tms"), col("tms"),
+        1000L, 4000L)
+      .groupBy("tms").agg(min(col("ws")).as("ws"),
+        sort_array(collect_list(col("bound"))).as("bs"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(neg(-1L) == ((-4L, Seq(0L))), neg(-1L)) // last step of [-4s, 0)
+    assert(neg(-4000L) == ((-4L, Seq(-3L, -2L, -1L, 0L))))
+
     // cumulative counts per boundary = events with t < boundary (same window)
     val cum = Windows.withCumulate(df.filter(col("tms") < 4000L), col("tms"),
         1000L, 4000L)
