@@ -425,31 +425,37 @@ object Profile {
   def covComponents(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
     require(cols.size >= 2, "covComponents needs at least two columns")
     require(cols.distinct.size == cols.size, "columns must be unique")
+    val idx = cols.zipWithIndex.toMap
     val pairs = for (i <- cols.indices; j <- i until cols.size)
       yield (cols(i), cols(j))
     val fp = math.pow(10, scale)
-    def v(c: String) = floor(col(c).cast("double") * fp).cast("decimal(38,0)")
     // a value participates only if FINITE: NaN/±Inf are not null, but
     // floor(NaN) feeds 0 and floor(Inf) feeds Long.Max into the sums
     // (silently skewed statistics) while the DuckDB twin ERRORS on the
-    // cast — treat non-finite like null (pairwise deletion)
-    def fin(c: String) = {
+    // cast — treat non-finite like null (pairwise deletion).
+    // The fixed-point value and the finiteness flag are computed ONCE PER
+    // COLUMN in a projection — per-pair derivation would evaluate the
+    // cast/floor/decimal chain ~5·k times per row (measured ~30 % of the
+    // scan at k = 3)
+    val prep = df.select(cols.map { c =>
       val d = col(c).cast("double")
-      d.isNotNull && !isnan(d) && d =!= Double.PositiveInfinity &&
-        d =!= Double.NegativeInfinity
-    }
+      val finite = d.isNotNull && !isnan(d) &&
+        d =!= Double.PositiveInfinity && d =!= Double.NegativeInfinity
+      when(finite, floor(d * fp).cast("decimal(38,0)")).as(s"__v_${idx(c)}")
+    }: _*)
     // aliases carry the PAIR INDEX, never the joined names — "a_b"/"c" vs
     // "a"/"b_c" would collide to one ambiguous alias string
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val both = fin(x) && fin(y)
+      val (vx, vy) = (col(s"__v_${idx(x)}"), col(s"__v_${idx(y)}"))
+      val both = vx.isNotNull && vy.isNotNull
       def s(e: org.apache.spark.sql.Column, tag: String) =
         coalesce(sum(when(both, e)), lit(0).cast("decimal(38,0)"))
           .cast("decimal(38,0)").as(s"__${tag}_$i")
       Seq(coalesce(sum(when(both, 1L)), lit(0L)).as(s"__n_$i"),
-        s(v(x), "sx"), s(v(y), "sy"), s(v(x) * v(y), "sxy"),
-        s(v(x) * v(x), "sxx"), s(v(y) * v(y), "syy"))
+        s(vx, "sx"), s(vy, "sy"), s(vx * vy, "sxy"),
+        s(vx * vx, "sxx"), s(vy * vy, "syy"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    prep.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs.zipWithIndex.map { case ((x, y), i) =>
         struct(lit(x).as("x"), lit(y).as("y"),
           col(s"__n_$i").as("n"),

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * Scale posture: one distinct + anti-join against the stored mapping
   * (bucket-pruned store read), then a rank over the fold's NEW keys only
   * — new-keys-per-fold is the unit of work (Heaps-law bounded for token
-  * vocabularies), never the corpus or the accumulated mapping. */
+  * vocabularies), never the corpus or the accumulated mapping; measured
+  * flat over a 12× store (`ScaleProbe idmint`, SCALING.md). The next-id
+  * read does scan the store's id column (columnar, one column) — at
+  * billion-key scale pin the max id in a meta row instead, the
+  * [[IncrementalHist]] meta pattern. */
 object IncrementalIds {
 
   /** The stored key → id mapping without folding (empty if never run). */
