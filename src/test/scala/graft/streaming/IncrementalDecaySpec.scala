@@ -67,6 +67,29 @@ class IncrementalDecaySpec extends SparkSpec {
     assert(w == Map("a" -> 150L))
   }
 
+  test("drives a foreachBatch stream end-to-end; weights match the manual folds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("inc_dec_st")
+      .toString + "/store"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = mem.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        IncrementalDecay.mergeBatch(batch, store, col("k"), bid, unit = 100L)
+        ()
+      }
+      .start()
+    try {
+      mem.addData("a", "a", "a"); q.processAllAvailable() // a: 300
+      mem.addData("b", "b"); q.processAllAvailable()      // a: 150, b: 200
+      mem.addData("a"); q.processAllAvailable()           // a: 175, b: 100
+      val got = snap(IncrementalDecay.readWeights(s, store))
+      assert(got == Map("a" -> 175L, "b" -> 100L), got)
+    } finally q.stop()
+  }
+
   test("replayed fold returns weights without double-decaying") {
     val s = spark
     import s.implicits._
