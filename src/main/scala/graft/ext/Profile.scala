@@ -503,6 +503,33 @@ object Profile {
     top.unionByName(total)
   }
 
+  /** [[dqCheck]] per cohort — WHICH source/language/shard is dirty, not
+    * just whether the table is: the same one-pass rule suite under a
+    * groupBy, so k rules × g cohorts still cost one map-side-combined
+    * scan. Null cohorts are reported under their own row (a dirty cohort
+    * you cannot name is still dirty — route them, don't lose them).
+    * @return one row per (cohort, check): (g, check_name, n_rows,
+    *         n_violations) */
+  def dqCheckBy(df: DataFrame, groupCol: Column,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "dqCheckBy needs at least one check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val aggs = count(lit(1)).as("__rows") +: checks.zipWithIndex.map {
+      case ((_, v), i) =>
+        coalesce(sum(when(coalesce(v, lit(true)), 1L).otherwise(0L)), lit(0L))
+          .as(s"__v_$i")
+    }
+    df.groupBy(groupCol.cast("string").as("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("g"), explode(array(checks.zipWithIndex.map {
+        case ((name, _), i) =>
+          struct(lit(name).as("check_name"), col("__rows").as("n_rows"),
+            col(s"__v_$i").as("n_violations"))
+      }: _*)).as("__c"))
+      .select(col("g"), col("__c.*"))
+  }
+
   /** Batch exponentially decayed counts — the BATCH twin of
     * [[graft.streaming.IncrementalDecay]] (one fold per period over a
     * static table instead of per micro-batch over a stream): per key,
@@ -589,16 +616,19 @@ object Profile {
     require(checks.nonEmpty, "dqCheck needs at least one check")
     require(checks.map(_._1).distinct.size == checks.size,
       "check names must be unique")
-    val aggs = count(lit(1)).as("__rows") +: checks.map { case (name, v) =>
-      // coalesce INSIDE per row: a null predicate is a violation; outside:
-      // an empty table has zero violations, not null
-      coalesce(sum(when(coalesce(v, lit(true)), 1L).otherwise(0L)), lit(0L))
-        .as(s"__v_$name")
+    // index aliases, not name-derived ones: a check named "a.b" would make
+    // col("__v_a.b") parse as a struct access (the covComponents lesson)
+    val aggs = count(lit(1)).as("__rows") +: checks.zipWithIndex.map {
+      case ((_, v), i) =>
+        // coalesce INSIDE per row: a null predicate is a violation;
+        // outside: an empty table has zero violations, not null
+        coalesce(sum(when(coalesce(v, lit(true)), 1L).otherwise(0L)), lit(0L))
+          .as(s"__v_$i")
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(checks.map { case (name, _) =>
+      .select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
         struct(lit(name).as("check_name"), col("__rows").as("n_rows"),
-          col(s"__v_$name").as("n_violations"))
+          col(s"__v_$i").as("n_violations"))
       }: _*)).as("__c"))
       .select(col("__c.*"))
   }

@@ -1478,6 +1478,16 @@ object ExtQueries {
         .orderBy(col("check_name"))
     },
 
+    // The same rule suite per EVENT-TYPE cohort — which slice is dirty,
+    // still one map-side-combined pass for all cohorts × rules.
+    "q_dq_check_by" -> { (s, dir) =>
+      val e = Envelopes.events(s, dir)
+      Profile.dqCheckBy(e, col("event_type"), Seq(
+        "props_json_shape" -> !col("props").rlike("^\\{"),
+        "value_in_range" -> (col("value") < 0 || col("value") > 100)))
+        .orderBy(col("g"), col("check_name"))
+    },
+
     "q_hist_quantile" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val v = (col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
@@ -3847,6 +3857,17 @@ object ExtQueries {
           chk("value_in_range", "v_range")).mkString("\nUNION ALL\n") +
         "\nORDER BY check_name"
     },
+
+    "q_dq_check_by" ->
+      """WITH t AS (SELECT CAST(event_type AS VARCHAR) AS g, COUNT(*) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN COALESCE(NOT regexp_matches(props, '^\{'), TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_props,
+        |  CAST(COALESCE(SUM(CASE WHEN COALESCE(value < 0 OR value > 100, TRUE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range
+        |FROM events GROUP BY 1)
+        |SELECT g, check_name, n_rows, n_violations FROM (
+        |  SELECT g, 'props_json_shape' AS check_name, n_rows, v_props AS n_violations FROM t
+        |  UNION ALL
+        |  SELECT g, 'value_in_range', n_rows, v_range FROM t)
+        |ORDER BY g, check_name""".stripMargin,
 
     // Group-size stats + the q_hist_quantile sketch idiom over the SIZE
     // distribution, per source table.

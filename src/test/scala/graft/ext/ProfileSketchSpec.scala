@@ -173,6 +173,23 @@ class ProfileSketchSpec extends SparkSpec {
     assert(batch == streamed, s"batch $batch != stream $streamed")
   }
 
+  test("dqCheckBy: per-cohort counts; null cohorts get their own row; dotted names resolve") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some("a"), Some(1L)), (Some("a"), None), (None, Some(-3L)))
+      .toDF("src", "x")
+    val got = Profile.dqCheckBy(df, col("src"), Seq(
+        "x.present" -> col("x").isNull, // dotted name: alias must still resolve
+        "x_pos" -> (col("x") <= 0)))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (Some("a"), "x.present") -> ((2L, 1L)),
+      (Some("a"), "x_pos") -> ((2L, 1L)), // null x -> null predicate -> violation
+      (None, "x.present") -> ((1L, 0L)),
+      (None, "x_pos") -> ((1L, 1L))), got)
+  }
+
   test("covComponents: exact sums on a hand fixture; derived r matches direct computation") {
     val s = spark
     import s.implicits._
