@@ -1289,8 +1289,16 @@ object ExtQueries {
       graft.streaming.IncrementalHist.mergeBatch(
         o.filter(col("o_orderkey") % 2 === 0), s"$root/h",
         col("o_orderstatus"), v, 0L, 600000000000L, 512, 0L)
+      // tv_num/tv_den cast to bigint FOR THE DUMP only (they fit: both are
+      // bounded by 2·n_b·n_s ≈ 10^10 at sf1) — the operator keeps
+      // DECIMAL(38,0) since per-bin products reach 10^18; raw wide decimals
+      // hash-diverge between the parquet dump and the DuckDB twin (the
+      // q_lm_surprise precedent)
       val res = graft.streaming.IncrementalHist.tvDrift(s, s"$root/h",
           o.filter(col("o_orderkey") % 2 === 1), col("o_orderstatus"), v)
+        .select(col("g"), col("n_batch"), col("n_store"),
+          col("tv_num").cast("bigint").as("tv_num"),
+          col("tv_den").cast("bigint").as("tv_den"))
         .orderBy(col("g"))
         .localCheckpoint(true)
       graft.util.Tmp.deleteRecursively(root)
@@ -1428,8 +1436,16 @@ object ExtQueries {
     // (floor-to-1e-6 fixed point, decimal(38,0) sums), cov_num emitted,
     // the sqrt-bearing r left to the spec (the hllEstimate split).
     "q_cov" -> { (s, dir) =>
+      // power sums reach ~10^27 (beyond int64), so the dump canonicalizes
+      // each DECIMAL(38,0) as its plain-integer STRING — scale-0 decimal
+      // renders identically in Spark and DuckDB while the raw wide-decimal
+      // parquet encoding does not hash-match the twin; the operator's
+      // decimal return type is unchanged
+      val sums = Seq("sx", "sy", "sxy", "sxx", "syy", "cov_num")
       Profile.covComponents(Envelopes.table(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("x") +: col("y") +: col("n") +:
+          sums.map(c => col(c).cast("string").as(c)): _*)
         .orderBy(col("x"), col("y"))
     },
 
@@ -1441,11 +1457,18 @@ object ExtQueries {
     "q_join_preflight" -> { (s, dir) =>
       val o = Envelopes.table(s, dir, "orders")
       val l = Envelopes.table(s, dir, "lineitem")
+      // out_rows cast to bigint FOR THE DUMP only (worst total here is the
+      // partkey self-join, ~10^8 at sf1 — int64 holds to ~10^18 output
+      // rows); the operator keeps DECIMAL(38,0) for genuinely quadratic
+      // pre-flights. Raw wide decimals hash-diverge between the parquet
+      // dump and the DuckDB twin (the q_lm_surprise precedent).
       Profile.joinPreflight(o, col("o_orderkey"), l, col("l_orderkey"), topK = 5)
         .withColumn("rel", lit("ord_li"))
         .unionByName(
           Profile.joinPreflight(l, col("l_partkey"), l, col("l_partkey"), topK = 5)
             .withColumn("rel", lit("li_li_part")))
+        .select(col("rel"), col("k"), col("l_ct"), col("r_ct"),
+          col("out_rows").cast("bigint").as("out_rows"))
         .orderBy(col("rel"), col("k").isNull, col("out_rows").desc, col("k"))
     },
 
@@ -3633,8 +3656,8 @@ object ExtQueries {
         |      WHERE ns.n_b > 0 AND ns.n_s > 0)
         |SELECT g, CAST(MAX(n_b) AS BIGINT) AS n_batch,
         |       CAST(MAX(n_s) AS BIGINT) AS n_store,
-        |       CAST(SUM(term) AS DECIMAL(38,0)) AS tv_num,
-        |       CAST(2 * MAX(n_b) * MAX(n_s) AS DECIMAL(38,0)) AS tv_den
+        |       CAST(SUM(term) AS BIGINT) AS tv_num,
+        |       CAST(2 * MAX(n_b) * MAX(n_s) AS BIGINT) AS tv_den
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
 
     // Identical salted md5-slice cell positions (r*4096 + md5('r:'||key)
@@ -3770,10 +3793,10 @@ object ExtQueries {
         def s0(e: String, tag: String) =
           s"COALESCE(SUM($e) FILTER ($both), 0) AS __$tag"
         s"""SELECT '$x' AS x, '$y' AS y, n,
-           |  CAST(__sx AS DECIMAL(38,0)) AS sx, CAST(__sy AS DECIMAL(38,0)) AS sy,
-           |  CAST(__sxy AS DECIMAL(38,0)) AS sxy,
-           |  CAST(__sxx AS DECIMAL(38,0)) AS sxx, CAST(__syy AS DECIMAL(38,0)) AS syy,
-           |  CAST(n * __sxy - __sx * __sy AS DECIMAL(38,0)) AS cov_num
+           |  CAST(__sx AS VARCHAR) AS sx, CAST(__sy AS VARCHAR) AS sy,
+           |  CAST(__sxy AS VARCHAR) AS sxy,
+           |  CAST(__sxx AS VARCHAR) AS sxx, CAST(__syy AS VARCHAR) AS syy,
+           |  CAST(n * __sxy - __sx * __sy AS VARCHAR) AS cov_num
            |FROM (SELECT COUNT(*) FILTER ($both) AS n,
            |  ${s0(fp(x), "sx")}, ${s0(fp(y), "sy")},
            |  ${s0(s"${fp(x)} * ${fp(y)}", "sxy")},
@@ -3786,7 +3809,7 @@ object ExtQueries {
     "q_join_preflight" -> {
       def rel(tag: String, lt: String, lk: String, rt: String, rk: String) =
         s"""SELECT '$tag' AS rel, k, l_ct, r_ct,
-           |       CAST(out_rows AS DECIMAL(38,0)) AS out_rows FROM (
+           |       CAST(out_rows AS BIGINT) AS out_rows FROM (
            |  SELECT k, l_ct, r_ct, CAST(l_ct AS HUGEINT) * r_ct AS out_rows
            |  FROM (SELECT CAST($lk AS VARCHAR) AS k, COUNT(*) AS l_ct
            |        FROM $lt WHERE $lk IS NOT NULL GROUP BY 1) lc
@@ -3796,7 +3819,7 @@ object ExtQueries {
            |UNION ALL
            |SELECT '$tag', NULL, CAST(COALESCE(SUM(l_ct), 0) AS BIGINT),
            |       CAST(COALESCE(SUM(r_ct), 0) AS BIGINT),
-           |       CAST(COALESCE(SUM(CAST(l_ct AS HUGEINT) * r_ct), 0) AS DECIMAL(38,0)) FROM (
+           |       CAST(COALESCE(SUM(CAST(l_ct AS HUGEINT) * r_ct), 0) AS BIGINT) FROM (
            |  SELECT lc.k, l_ct, r_ct
            |  FROM (SELECT CAST($lk AS VARCHAR) AS k, COUNT(*) AS l_ct
            |        FROM $lt WHERE $lk IS NOT NULL GROUP BY 1) lc
