@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   * merged component sees every member node through its star edge, and
   * every historical keeper IS its old cluster's minimum.
   *
+  * Store access is BUCKET-PRUNED end to end (the [[IncrementalScd2]]
+  * readPruned pattern), which needs both access paths the fold makes:
+  *  - node → keeper (which clusters does the batch touch?) — the label
+  *    store at `storePath`, bucketed by doc_id;
+  *  - keeper → members (which star edges do those clusters contribute?)
+  *    — a MEMBER INDEX at `storePath + "__members"`, the same rows
+  *    bucketed by keeper_id, maintained with tombstones as labels move.
+  * A fold therefore reads O(batch + affected-cluster buckets) files,
+  * never O(all nodes) — the label store can hold a billion nodes and a
+  * single-pair fold still reads a handful of buckets.
+  *
+  * The two stores commit separately, so a crash between the label merge
+  * and the member merge could leave the index one fold behind; the
+  * member store's meta row pins the label-store GENERATION it reflects,
+  * and a fold that finds them out of step rebuilds the index from the
+  * label store (O(nodes), crash-recovery only) before proceeding.
+  *
   * Folds are IDEMPOTENT by construction (components are a pure function
   * of the edge set, and re-adding pairs or star edges changes nothing),
   * so no replay high-water mark is needed — the [[IncrementalBloom]]
@@ -30,71 +47,152 @@ import org.apache.spark.sql.functions._
   * (doc_id, keeper_id), keeper = the cluster's minimum doc_id ever seen. */
 object IncrementalCc {
 
+  private def memberPath(storePath: String) = storePath + "__members"
+  /** Meta sentinel bucket key in the member index (kind disambiguates —
+    * a real doc could in principle carry this id and only shares a
+    * bucket, never a store key). */
+  private val MetaKeeper = Long.MinValue
+
+  private def latestGen(spark: SparkSession, path: String): Long =
+    try KeyedStore.generations(spark, path).lastOption.getOrElse(0L)
+    catch { case _: java.io.FileNotFoundException => 0L }
+
+  /** Rebuild the member index as an exact mirror of the label store —
+    * first use and crash recovery (label merge committed, member merge
+    * lost). O(nodes) by necessity; never on the steady-state fold path. */
+  private def rebuildMembers(spark: SparkSession, storePath: String,
+      labelGen: Long, numBuckets: Int): Unit = {
+    val mp = memberPath(storePath)
+    val f = KeyedStore.fs(spark, mp)
+    f.delete(new org.apache.hadoop.fs.Path(mp), true)
+    val rows = KeyedStore.read(spark, storePath) match {
+      case Some(s) => s.select(lit("v").as("kind"),
+        col("keeper_id"), col("doc_id"), col("ver"),
+        lit(null).cast("long").as("ngen"), lit("put").as("op_type"))
+      case None => return
+    }
+    // meta ver = the mirrored generation: above every mirrored row's ver,
+    // below every future fold's nextVer, so later meta updates still win
+    val meta = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKeeper).as("keeper_id"), lit(-1L).as("doc_id"),
+      lit(labelGen).as("ver"), lit(labelGen).as("ngen"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(rows.unionByName(meta), mp,
+      keys = Seq("kind", "keeper_id", "doc_id"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("keeper_id"))
+  }
+
   /** Fold one batch of undirected near-dup pairs (a_id, b_id) into the
     * label store at `storePath` (created on first use) and return the
     * FULL updated label table. */
   def mergePairs(pairs: DataFrame, storePath: String,
       numBuckets: Int = 4): DataFrame = {
     val spark = pairs.sparkSession
-    val stored = KeyedStore.read(spark, storePath)
-      .map(_.select(col("doc_id"), col("keeper_id"), col("ver"))
-        .localCheckpoint(true))
+    import spark.implicits._
     val batch = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val batchNodes = batch.select(col("a_id").as("doc_id"))
+      .unionByName(batch.select(col("b_id").as("doc_id"))).distinct()
+    val labelGen = latestGen(spark, storePath)
     // AFFECTED-CLUSTER pruning: a stored cluster with no batch node among
     // its members cannot gain or lose connectivity from the new pairs
     // (every new edge ends on a batch node, and star edges are internal) —
     // so components re-run only over `batch ∪ star edges of clusters a
     // batch node touches`, and every other label passes through verbatim.
+    // Read 1 (label store, pruned by the batch nodes' buckets): which
+    // keepers the batch touches. The keeper set is batch-bounded, so it
+    // collects — the member probe is then a driver-local frame and a
+    // no-touch fold (all-new nodes, the sparse steady state) skips the
+    // member read entirely.
+    val affKeepers: Array[Long] = KeyedStore.readPruned(
+        spark, storePath, batchNodes)
+      .map(_.join(batchNodes, Seq("doc_id"), "left_semi")
+        .select(col("keeper_id")).distinct()
+        .collect().map(_.getLong(0)))
+      .getOrElse(Array.empty)
+    // Read 2 (member index, pruned by the affected keepers' buckets +
+    // the meta bucket): those clusters' full member lists. Only folds
+    // that touch stored clusters pay this read — and only they check the
+    // index's generation handshake (a stale index is harmless until read).
+    val mp = memberPath(storePath)
+    val members: Option[DataFrame] = if (affKeepers.isEmpty) None else {
+      val probe = (MetaKeeper +: affKeepers.toSeq).toDF("keeper_id")
+      def readRaw() = KeyedStore.readPruned(spark, mp, probe)
+      val raw0 = readRaw()
+      val metaGen = raw0.flatMap(_.filter(col("kind") === "m")
+        .select(col("ngen")).collect().headOption.map(_.getLong(0)))
+      val raw =
+        if (metaGen.contains(labelGen)) raw0
+        else { // first fold on a pre-index store, or a crash window
+          rebuildMembers(spark, storePath, labelGen, numBuckets)
+          readRaw()
+        }
+      raw.map(_.filter(col("kind") === "v" && col("op_type") =!= "delete")
+        .join(probe.filter(col("keeper_id") =!= MetaKeeper),
+          Seq("keeper_id"), "left_semi")
+        .select(col("doc_id"), col("keeper_id")).localCheckpoint(true))
+    }
     // The fold's input is O(batch + affected members), not O(all nodes):
     // the sparse-delta regime a long-running stream lives in costs per
     // DELTA, not per corpus (ccfold probe, sparse phase).
-    val (edges, untouched) = stored match {
-      case Some(s) =>
-        val batchNodes = batch.select(col("a_id").as("node"))
-          .unionByName(batch.select(col("b_id").as("node"))).distinct()
-        val affKeepers = s.join(batchNodes, col("doc_id") === col("node"))
-          .select(col("keeper_id")).distinct().localCheckpoint(true)
-        val aff = s.join(affKeepers, Seq("keeper_id"), "left_semi")
-        val e = batch.unionByName(
-          aff.filter(col("doc_id") =!= col("keeper_id"))
-            .select(col("doc_id").as("a_id"), col("keeper_id").as("b_id")))
-        (e, Some(affKeepers))
-      case None => (batch, None)
+    val edges = members match {
+      case Some(m) => batch.unionByName(
+        m.filter(col("doc_id") =!= col("keeper_id"))
+          .select(col("doc_id").as("a_id"), col("keeper_id").as("b_id")))
+      case None => batch
     }
     // the union's old-cluster side has diameter <= 2 by construction, so
     // the double-pointer-jumping depth tracks the new merges, not history
     val labels = graft.ext.Dedup.connectedComponents(edges)
       .localCheckpoint(true)
-    val nextVer = stored
-      .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
-      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    // monotone version without a store scan: the commit generation the
+    // label merge below will create
+    val nextVer = labelGen + 1L
     // write only rows that are new or re-labeled — a fold that merges
-    // nothing touches nothing (untouched clusters never even compare)
-    val changed = (stored match {
-      case Some(s) => labels.join(
-        s.select(col("doc_id"), col("keeper_id").as("__old")),
+    // nothing touches nothing (untouched clusters never even compare).
+    // Every stored node the components run saw is an affected member
+    // (a stored batch node belongs to its own — affected — cluster), so
+    // the member list IS the old-label view the diff needs.
+    val changed = (members match {
+      case Some(m) => labels.join(
+        m.select(col("doc_id"), col("keeper_id").as("__old")),
         Seq("doc_id"), "left_outer")
         .filter(col("__old").isNull || col("__old") =!= col("keeper_id"))
-        .select(col("doc_id"), col("keeper_id"))
-      case None => labels
+        .select(col("doc_id"), col("keeper_id"), col("__old"))
+      case None => labels.withColumn("__old", lit(null).cast("long"))
     }).localCheckpoint(true) // pin BEFORE the merge mutates the store
-    if (!changed.isEmpty)
-      KeyedStore.merge(changed.withColumn("ver", lit(nextVer)), storePath,
+    if (!changed.isEmpty) {
+      KeyedStore.merge(changed.select(col("doc_id"), col("keeper_id"))
+          .withColumn("ver", lit(nextVer)), storePath,
         keys = Seq("doc_id"), seqCols = Seq("ver"), numBuckets = numBuckets,
         bucketCols = Seq("doc_id"))
+      // mirror into the member index: a put under the new keeper, a
+      // tombstone under the old (a moved label must leave its old
+      // cluster's bucket, or a later probe would resurrect it)
+      val puts = changed.select(lit("v").as("kind"), col("keeper_id"),
+        col("doc_id"), lit(nextVer).as("ver"),
+        lit(null).cast("long").as("ngen"), lit("put").as("op_type"))
+      val dels = changed.filter(col("__old").isNotNull &&
+          col("__old") =!= col("keeper_id"))
+        .select(lit("v").as("kind"), col("__old").as("keeper_id"),
+          col("doc_id"), lit(nextVer).as("ver"),
+          lit(null).cast("long").as("ngen"), lit("delete").as("op_type"))
+      val meta = spark.range(1).select(lit("m").as("kind"),
+        lit(MetaKeeper).as("keeper_id"), lit(-1L).as("doc_id"),
+        lit(nextVer).as("ver"), lit(nextVer).as("ngen"),
+        lit("put").as("op_type"))
+      KeyedStore.merge(puts.unionByName(dels).unionByName(meta), mp,
+        keys = Seq("kind", "keeper_id", "doc_id"), seqCols = Seq("ver"),
+        numBuckets = numBuckets, bucketCols = Seq("keeper_id"))
+    }
     graft.util.Blocks.freeCheckpoint(changed)
-    // the full updated table is a LAZY fresh store read: the pruned
-    // components output `labels` only covers affected + new nodes, and
-    // unioning it with the untouched remainder would put the same store
-    // attributes on both Union branches (Catalyst's constraint rewrite
-    // rejects duplicate ids across branches). The merge above already
-    // holds every row such a union would produce; returning the lazy
-    // read keeps a sparse fold's own cost delta-sized — callers that
-    // outlive the store (or delete it) checkpoint at the call site.
-    untouched.foreach(graft.util.Blocks.freeCheckpoint)
     graft.util.Blocks.freeCheckpoint(labels)
-    stored.foreach(graft.util.Blocks.freeCheckpoint)
+    members.foreach(graft.util.Blocks.freeCheckpoint)
     graft.util.Blocks.freeCheckpoint(batch)
+    // the full updated table is a LAZY fresh store read: the pruned
+    // components output `labels` only covers affected + new nodes; the
+    // merge above already holds every row, so returning the lazy read
+    // keeps a sparse fold's own cost delta-sized — callers that outlive
+    // the store (or delete it) checkpoint at the call site.
     readLabels(spark, storePath)
   }
 

@@ -18,20 +18,25 @@ import org.apache.spark.sql.functions._
   * re-folded batch has no unseen keys) — the [[IncrementalCc]] stance, no
   * high-water mark. A fold that mints nothing writes nothing.
   *
-  * Scale posture: one distinct + anti-join against the stored mapping
-  * (bucket-pruned store read), then a rank over the fold's NEW keys only
-  * — new-keys-per-fold is the unit of work (Heaps-law bounded for token
-  * vocabularies), never the corpus or the accumulated mapping; measured
-  * flat over a 12× store (`ScaleProbe idmint`, SCALING.md). The next-id
-  * read does scan the store's id column (columnar, one column) — at
-  * billion-key scale pin the max id in a meta row instead, the
-  * [[IncrementalHist]] meta pattern. */
+  * Scale posture: the store is touched only through ONE bucket-pruned
+  * read per fold — probe = batch keys ∪ the meta key — so a fold costs
+  * O(batch-touched buckets) file reads however large the vocabulary
+  * grows (the [[IncrementalScd2]] readPruned pattern). The running max
+  * id and version are PINNED in a meta row (kind = "m", key = "") rather
+  * than scanned, and minting ranks the fold's new keys with the
+  * [[graft.ops.Scale.denseIds]] two-level pattern (local rank inside
+  * key-prefix buckets + broadcast offsets — a character prefix is a
+  * monotone coarsening of lexicographic order), so even the
+  * whole-vocabulary BOOTSTRAP fold never funnels through one task's
+  * global sort. New-keys-per-fold is the unit of work (Heaps-law bounded
+  * for token vocabularies), never the corpus or the accumulated mapping;
+  * measured flat over a 12× store (`ScaleProbe idmint`, SCALING.md). */
 object IncrementalIds {
 
   /** The stored key → id mapping without folding (empty if never run). */
   def readIds(spark: SparkSession, storePath: String): DataFrame =
     KeyedStore.read(spark, storePath)
-      .map(_.select(col("key"), col("id")))
+      .map(_.filter(col("kind") === "v").select(col("key"), col("id")))
       .getOrElse {
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("key", "id")
@@ -43,30 +48,51 @@ object IncrementalIds {
   def mergeBatch(batch: DataFrame, storePath: String, keyCol: Column,
       numBuckets: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val stored = KeyedStore.read(spark, storePath)
-      .map(_.select(col("key"), col("id"), col("ver")).localCheckpoint(true))
-    val nextId = stored
-      .flatMap(s => Option(s.agg(max(col("id"))).head().get(0)))
-      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
-    val nextVer = stored
-      .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
-      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
     val keys = batch.select(keyCol.cast("string").as("key"))
       .filter(col("key").isNotNull).distinct()
-    val fresh = (stored match {
-      case Some(s) => keys.join(s.select(col("key")), Seq("key"), "left_anti")
+      .localCheckpoint(true)
+    // ONE bucket-pruned read covers everything the fold needs: the meta
+    // row (probed via its fixed key = "" bucket) carries the running max
+    // id/version, and the batch keys' buckets hold every stored row an
+    // unseen-key anti-join could match. A full-store read here would make
+    // each fold O(vocabulary) — the cost this store exists to avoid.
+    val probe = keys.unionByName(spark.range(1).select(lit("").as("key")))
+    // no checkpoint: every consumer runs BEFORE the merge mutates the
+    // store, and the pruned buckets are already immutable parquet —
+    // re-reads are column-pruned scans, an eager pin would materialize
+    // whole touched buckets per fold
+    val pruned = KeyedStore.readPruned(spark, storePath, probe)
+      .map(_.select(col("kind"), col("key"), col("id"), col("ver")))
+    val metaRow = pruned.flatMap(_.filter(col("kind") === "m")
+      .select(col("id"), col("ver")).collect().headOption)
+    val nextId = metaRow.map(_.getLong(0) + 1L).getOrElse(0L)
+    val nextVer = metaRow.map(_.getLong(1) + 1L).getOrElse(0L)
+    val freshKeys = pruned match {
+      case Some(p) => keys.join(
+        p.filter(col("kind") === "v").select(col("key")),
+        Seq("key"), "left_anti")
       case None => keys
-    })
-      .withColumn("id", lit(nextId) + row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("key"))) - 1)
-      .withColumn("ver", lit(nextVer))
+    }
+    // two-level lexicographic rank: a 4-char prefix bucket keeps the
+    // bootstrap fold's sort distributed (prefix order IS key order, so
+    // bucket offset + local rank = global rank)
+    val fresh = graft.ops.Scale.denseIds(freshKeys,
+        substring(col("key"), 1, 4), Seq(col("key")), as = "__rk")
+      .select(lit("v").as("kind"), col("key"),
+        (lit(nextId) + col("__rk")).as("id"), lit(nextVer).as("ver"))
       .localCheckpoint(true) // pin BEFORE the merge mutates the store
-    if (!fresh.isEmpty)
-      KeyedStore.merge(fresh.withColumn("op_type", lit("put")), storePath,
-        keys = Seq("key"), seqCols = Seq("ver"), numBuckets = numBuckets,
-        bucketCols = Seq("key"))
+    val minted = fresh.count()
+    if (minted > 0L) {
+      val meta = spark.range(1).select(lit("m").as("kind"),
+        lit("").as("key"), lit(nextId + minted - 1L).as("id"),
+        lit(nextVer).as("ver"))
+      KeyedStore.merge(
+        fresh.unionByName(meta).withColumn("op_type", lit("put")), storePath,
+        keys = Seq("kind", "key"), seqCols = Seq("ver"),
+        numBuckets = numBuckets, bucketCols = Seq("key"))
+    }
     graft.util.Blocks.freeCheckpoint(fresh)
-    stored.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(keys)
     readIds(spark, storePath)
   }
 }

@@ -62,27 +62,23 @@ object IncrementalRank {
     val stored = KeyedStore.read(spark, rankPath(storeRoot))
       .map(_.select(col("kind"), col("node"), col("rank_fp"),
         col("unit"), col("dn"), col("dd"), col("ver")).localCheckpoint(true))
-    stored.foreach { s =>
-      s.filter(col("kind") === "m")
-        .select(col("unit"), col("dn"), col("dd")).collect().headOption
-        .foreach { m =>
-          require(m.getLong(0) == unit && m.getLong(1) == dampNum &&
-              m.getLong(2) == dampDen,
-            s"store $storeRoot holds a (unit=${m.getLong(0)}, " +
-              s"damp=${m.getLong(1)}/${m.getLong(2)}) vector; caller passed " +
-              s"(unit=$unit, damp=$dampNum/$dampDen) — the arithmetic " +
-              "parameters are the store's identity")
-        }
+    val metaRow = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("unit"), col("dn"), col("dd"), col("ver"))
+      .collect().headOption)
+    metaRow.foreach { m =>
+      require(m.getLong(0) == unit && m.getLong(1) == dampNum &&
+          m.getLong(2) == dampDen,
+        s"store $storeRoot holds a (unit=${m.getLong(0)}, " +
+          s"damp=${m.getLong(1)}/${m.getLong(2)}) vector; caller passed " +
+          s"(unit=$unit, damp=$dampNum/$dampDen) — the arithmetic " +
+          "parameters are the store's identity")
     }
     val start = stored.map(_.filter(col("kind") === "v")
       .select(col("node"), col("rank_fp")))
     // the store's seq must be a TOTAL order over re-written keys (same
-    // node, new rank) — derive the next version from the stored max, so
-    // every update strictly supersedes the last without the caller
-    // threading a batch id
-    val nextVer = stored
-      .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
-      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    // node, new rank): the meta row pins the last version (every update
+    // rewrites it), so the next version never needs a store-wide max scan
+    val nextVer = metaRow.map(_.getLong(3) + 1L).getOrElse(0L)
     // ranks is already backed by the converge run's own final checkpoint
     // and shares nothing with the rank store, so it is returned as-is —
     // a second checkpoint here would copy a node-sized block set per

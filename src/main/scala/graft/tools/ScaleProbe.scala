@@ -694,6 +694,29 @@ object ScaleProbe {
       graft.streaming.IncrementalCc.mergePairs(p, s"$storeRoot/cc").count()
       println(f"CCFOLD sparse=$i wall=${(System.nanoTime - t0) / 1e9}%5.2f s (single new pair)")
     }
+    // GROWN-store flatness: the same single-pair folds against a label
+    // store 125× larger (2 M nodes, 64 buckets — the grain a real corpus
+    // would run at). Store access is bucket-pruned, so the wall must NOT
+    // track the store; the fold is timed without materializing the full
+    // label table (that count is the caller's choice, not fold cost).
+    val big = spark.range(1000000L)
+      .select((col("id") * 2 + 10000000L).as("a_id"),
+        (col("id") * 2 + 10000001L).as("b_id"))
+    graft.streaming.IncrementalCc.mergePairs(
+      big, s"$storeRoot/ccbig", numBuckets = 64)
+      .count() // bootstrap fold (also forces the store build)
+    for (i <- 0 until 5) {
+      // odd i touches a stored cluster (star-edge read path), even i is
+      // all-new (the no-touch fast path) — both must stay flat
+      val p = if (i % 2 == 1)
+        Seq((20000000L + i, 10000000L + 4 * i)).toDF("a_id", "b_id")
+      else Seq((21000000L + i, 21000001L + i)).toDF("a_id", "b_id")
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalCc.mergePairs(p, s"$storeRoot/ccbig",
+        numBuckets = 64)
+      println(f"CCFOLD big-sparse=$i wall=${(System.nanoTime - t0) / 1e9}%5.2f s " +
+        "(single pair vs 2M-node store)")
+    }
     spark.stop()
   }
 

@@ -47,6 +47,33 @@ class IncrementalCcSpec extends SparkSpec {
     assert(KeyedStore.read(s, store).get.count() == fin.size.toLong)
   }
 
+  test("member-index heal: a label commit the index missed is rebuilt, not trusted") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cc_heal").toString + "/store"
+    // two clusters via the normal path: {5,9} keeper 5, {30,31} keeper 30
+    IncrementalCc.mergePairs(
+      Seq((5L, 9L), (30L, 31L)).toDF("a_id", "b_id"), store).count()
+    // simulate the crash window: a label merge COMMITS (node 1 joins
+    // {5,9}, relabeling the cluster to keeper 1) but the member-index
+    // merge is lost — written here straight to the label store with the
+    // ver the crashed fold would have used (nextVer = labelGen + 1 = 2)
+    KeyedStore.merge(
+      Seq((1L, 1L, 2L), (5L, 1L, 2L), (9L, 1L, 2L))
+        .toDF("doc_id", "keeper_id", "ver"),
+      store, keys = Seq("doc_id"), seqCols = Seq("ver"),
+      numBuckets = 4, bucketCols = Seq("doc_id"))
+    // next fold touches the stale cluster with a smaller node: without the
+    // heal, the index still lists 5/9 under keeper 5, the probe for keeper
+    // 1 finds nothing, and the cluster SPLITS (0,1 relabel; 5,9 stranded)
+    val got = labs(IncrementalCc.mergePairs(
+      Seq((0L, 1L)).toDF("a_id", "b_id"), store))
+    val want = labs(Dedup.connectedComponents(
+      Seq((5L, 9L), (30L, 31L), (1L, 5L), (0L, 1L)).toDF("a_id", "b_id")))
+    assert(got == want, s"$got vs $want")
+    assert(Set(1L, 5L, 9L).forall(got(_) == 0L), s"$got")
+  }
+
   test("a no-merge fold writes nothing new for existing nodes") {
     val s = spark
     import s.implicits._
