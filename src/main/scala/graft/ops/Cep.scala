@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * AFTER MATCH SKIP PAST LAST ROW.
   *
   * Automaton, applied to each key's events in (ts, ord) order:
-  *   - a partial match whose next event arrives more than `withinMs` after
-  *     the partial's first event is abandoned (the abandoning event may
-  *     itself start a new partial if it matches stage 0);
+  *   - a partial match whose next event arrives `withinMs` OR MORE after
+  *     the partial's first event is abandoned — Flink's NFA times out at
+  *     `timestamp - startTimestamp >= windowTime`, so a run whose span
+  *     exactly equals the window does NOT complete (the abandoning event
+  *     may itself start a new partial if it matches stage 0);
   *   - an event equal to the next expected stage advances the partial
   *     (stage 0 stamps the match start); completing the last stage emits
   *     (start, end) and resets — matches never overlap (skip past last row);
@@ -70,11 +72,107 @@ object Cep {
       named_struct('st', 0, 't0', CAST(0 AS BIGINT),
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
       (acc, e) -> CASE
-        WHEN acc.st > 0 AND e.tms - acc.t0 > $withinMs THEN $afterTimeout
+        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN $afterTimeout
         WHEN $stageMatch THEN $advance
         ELSE acc END,
       acc -> acc.ms)"""
     df.filter(typeCol.isin(pattern.distinct: _*))
+      .select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
+        ordCol.cast("long").as("oid"), typeCol.as("ty"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
+        .as("evs"))
+      .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
+      .select(col("k"), (col("i") + 1).as("match_n"),
+        col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
+  /** [[patternMatches]] with NEGATION — Flink-CEP's `notFollowedBy`, the
+    * other half of the pattern surface, in both positions it can appear:
+    *
+    *   - BETWEEN stages (`notBetween(i)` = types banned after stage i−1
+    *     matched, while waiting for stage i): a banned event KILLS the
+    *     partial (the killing event may itself re-open a stage-0 partial);
+    *     a type that is both banned and the expected stage kills — the
+    *     negation guards the gap, so it is checked first;
+    *   - TRAILING (`notAfter`, Flink's `notFollowedBy(...).within(...)`
+    *     terminal form): completing the last positive stage opens a WATCH
+    *     until `start + withinMs`; a banned event inside the window
+    *     discards the pending match, the window expiring (the next event
+    *     at `span >= withinMs`, or the key's input ending — batch input
+    *     end means the banned event never comes) emits it. Matches still
+    *     never overlap: the watch occupies the automaton (skip past last
+    *     row counts the watched events as consumed).
+    *
+    * Same timeout convention as [[patternMatches]] (span >= withinMs
+    * abandons — Flink NFA parity) and the same scale shape: the scan
+    * pre-filter widens to pattern ∪ banned types (banned events change
+    * state, so they must reach the fold — still one pushable IN), one key
+    * shuffle, a row-local fold. Streaming twin:
+    * [[graft.streaming.CepStream.attachNeg]] (event-time timeout emits
+    * the watch where batch input end does).
+    *
+    * @param notBetween stage index i (1..pattern.length-1) → banned types
+    *                   while waiting for stage i
+    * @param notAfter   types banned between the final stage and window end
+    * @return (k, match_n, start_tms, end_tms) — end_tms = the final
+    *         POSITIVE stage's timestamp */
+  def patternMatchesNeg(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column, pattern: Seq[String],
+      withinMs: Long, notBetween: Map[Int, Seq[String]] = Map.empty,
+      notAfter: Seq[String] = Seq.empty): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(notBetween.keys.forall(i => i >= 1 && i < pattern.length),
+      s"notBetween stages must be in 1..${pattern.length - 1}")
+    val last = pattern.length - 1
+    val watch = pattern.length // st value while watching the trailing ban
+    val hasTrailing = notAfter.nonEmpty
+    def inSet(ts: Seq[String]) = s"e.ty IN (${ts.map(esc).mkString(", ")})"
+    // reset-or-reopen: the event that kills/expires a run may itself be a
+    // stage-0 event (same convention as patternMatches' afterTimeout)
+    def reopen(ms: String) = s"IF(e.ty = ${esc(pattern.head)}, " +
+      s"named_struct('st', ${if (last == 0 && hasTrailing) watch else math.min(1, last + 1)}, " +
+      s"'t0', e.tms, 'te', e.tms, 'ms', $ms), " +
+      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
+      s"'te', CAST(0 AS BIGINT), 'ms', $ms))"
+    val emitMs = "array_append(acc.ms, named_struct('s', acc.t0, 'e', acc.te))"
+    val stageMatch = pattern.zipWithIndex
+      .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
+      .mkString("CASE ", " ", " ELSE false END")
+    val start = "IF(acc.st = 0, e.tms, acc.t0)"
+    val complete =
+      if (hasTrailing)
+        s"named_struct('st', $watch, 't0', $start, 'te', e.tms, 'ms', acc.ms)"
+      else s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
+        s"'te', CAST(0 AS BIGINT), 'ms', " +
+        s"array_append(acc.ms, named_struct('s', $start, 'e', e.tms)))"
+    val advance = s"CASE WHEN acc.st = $last THEN $complete " +
+      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'te', " +
+      s"CAST(0 AS BIGINT), 'ms', acc.ms) END"
+    val betweenKills = notBetween.toSeq.sortBy(_._1).map { case (i, ts) =>
+      s"WHEN acc.st = $i AND ${inSet(ts)} THEN ${reopen("acc.ms")}"
+    }.mkString(" ")
+    val watchArm = if (!hasTrailing) "" else
+      s"""WHEN acc.st = $watch THEN CASE
+            WHEN e.tms - acc.t0 >= $withinMs THEN ${reopen(emitMs)}
+            WHEN ${inSet(notAfter)} THEN ${reopen("acc.ms")}
+            ELSE acc END"""
+    val finish = if (!hasTrailing) "acc -> acc.ms"
+      else s"acc -> IF(acc.st = $watch, $emitMs, acc.ms)"
+    val fold = s"""aggregate(evs,
+      named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'te', CAST(0 AS BIGINT),
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      (acc, e) -> CASE
+        $watchArm
+        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN ${reopen("acc.ms")}
+        $betweenKills
+        WHEN $stageMatch THEN $advance
+        ELSE acc END,
+      $finish)"""
+    val allTypes =
+      (pattern ++ notBetween.values.flatten ++ notAfter).distinct
+    df.filter(typeCol.isin(allTypes: _*))
       .select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
         ordCol.cast("long").as("oid"), typeCol.as("ty"))
       .groupBy("k")

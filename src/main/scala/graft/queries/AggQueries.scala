@@ -146,6 +146,22 @@ object AggQueries {
           Seq("view", "click", "purchase"), withinMs = 604800000L)
         .withColumnRenamed("k", "user_id")
         .orderBy(col("user_id"), col("match_n"))
+    },
+
+    // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
+    // view→purchase run per user with NO error between them and NO click
+    // in the three days after the view — the pending match emits when its
+    // window closes banned-free (or the input ends: the batch stance for
+    // "the click never came"). Oracle = the same automaton as a recursive
+    // CTE plus a final-state flush.
+    "q_cep_neg" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesNeg(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"), Seq("view", "purchase"),
+          withinMs = 259200000L, notBetween = Map(1 -> Seq("error")),
+          notAfter = Seq("click"))
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
     })
 
   import Envelopes.{odCte, oiCte}
@@ -285,20 +301,20 @@ object AggQueries {
         |  FROM (SELECT DISTINCT user_id FROM ev)
         |  UNION ALL
         |  SELECT r.user_id, e.seq,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 > 604800000
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
         |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
         |         WHEN (r.st = 0 AND e.ty = 'view') OR (r.st = 1 AND e.ty = 'click')
         |           THEN r.st + 1
         |         WHEN r.st = 2 AND e.ty = 'purchase' THEN 0
         |         ELSE r.st END AS st,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 > 604800000
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
         |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
         |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
         |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
         |         ELSE r.t0 END AS t0,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 <= 604800000
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
         |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 <= 604800000
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
         |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
         |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
         |SELECT user_id,
@@ -306,5 +322,69 @@ object AggQueries {
         |         AS match_n,
         |       m_s AS start_tms, m_e AS end_tms
         |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
+
+    // The negation automaton (states: 0 idle, 1 = view seen / waiting for
+    // purchase with error banned, 2 = WATCHING the trailing click ban),
+    // mirrored branch for branch: watch-expiry first (emits), then bans,
+    // then stage advances; the final per-user state flushes a still-open
+    // watch (input end = the banned event never came).
+    "q_cep_neg" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events
+        |        WHERE event_type IN ('view', 'purchase', 'error', 'click'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS te,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 2 AND e.ty = 'click' THEN 0
+        |         WHEN r.st = 2 THEN 2
+        |         WHEN r.st = 1 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 1 AND e.ty = 'error' THEN 0
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st = 1 AND e.ty = 'purchase' THEN 2
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 2 AND e.ty = 'click' THEN CAST(0 AS BIGINT)
+        |         WHEN r.st = 2 THEN r.t0
+        |         WHEN r.st = 1 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 1 AND e.ty = 'error' THEN CAST(0 AS BIGINT)
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 259200000
+        |              AND e.ty = 'purchase' THEN e.tms
+        |         WHEN r.st = 2 AND e.tms - r.t0 < 259200000
+        |              AND e.ty <> 'click' THEN r.te
+        |         ELSE CAST(0 AS BIGINT) END AS te,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN r.te ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1),
+        |fin AS (
+        |  SELECT user_id, seq, st, t0, te,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |  FROM run),
+        |emits AS (
+        |  SELECT user_id, seq, m_s, m_e FROM run WHERE m_s IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, seq + 1, t0, te FROM fin WHERE rn = 1 AND st = 2)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM emits
         |ORDER BY user_id, match_n""".stripMargin)
 }

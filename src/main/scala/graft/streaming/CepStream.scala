@@ -38,7 +38,9 @@ object CepStream {
     var s = state.getOption.getOrElse(CepState(0, 0L))
     val out = ListBuffer.empty[CepMatch]
     sorted.foreach { e =>
-      if (s.st > 0 && e.tms - s.t0 > withinMs) s = CepState(0, 0L)
+      // Flink-NFA boundary: a run times out at span >= window (a match
+      // whose span exactly equals the window does not complete)
+      if (s.st > 0 && e.tms - s.t0 >= withinMs) s = CepState(0, 0L)
       if (e.ty == pattern(s.st)) {
         val start = if (s.st == 0) e.tms else s.t0
         if (s.st == pattern.length - 1) {
@@ -48,6 +50,100 @@ object CepStream {
     }
     state.update(s)
     out.iterator
+  }
+
+  /** [[CepState]] for the NEGATION automaton: st = stages matched (or
+    * `pattern.length` = watching the trailing ban); te = the final
+    * positive stage's ts while watching. */
+  final case class CepNegState(st: Int, t0: Long, te: Long)
+
+  /** One micro-batch group for [[graft.ops.Cep.patternMatchesNeg]]'s
+    * automaton: banned types kill partials (notBetween) or pending
+    * matches (notAfter); a pending match emits when event time passes
+    * `t0 + withinMs` — inline when a later event proves it, via the
+    * event-time TIMEOUT when the key goes silent (the watermark stands in
+    * for the batch twin's end-of-input). */
+  def matchGroupNeg(pattern: IndexedSeq[String], withinMs: Long,
+      notBetween: Map[Int, Set[String]], notAfter: Set[String])(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepNegState]): Iterator[CepMatch] = {
+    val last = pattern.length - 1
+    val watch = pattern.length
+    val hasTrailing = notAfter.nonEmpty
+    val out = ListBuffer.empty[CepMatch]
+    var s = state.getOption.getOrElse(CepNegState(0, 0L, 0L))
+    if (state.hasTimedOut) {
+      // silence past the deadline: the banned event never came. A stale
+      // timeout can fire after later events moved the key off the watch
+      // (the timestamp persists in state) — emit only a live watch; keep
+      // a genuine partial, drop empty state.
+      if (s.st == watch) { out += CepMatch(k, s.t0, s.te); state.remove() }
+      else if (s.st == 0) state.remove()
+      return out.iterator
+    }
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    def reopen(e: CepEvent): CepNegState =
+      if (e.ty == pattern.head) {
+        if (last == 0 && hasTrailing) CepNegState(watch, e.tms, e.tms)
+        else CepNegState(1, e.tms, 0L)
+      } else CepNegState(0, 0L, 0L)
+    sorted.foreach { e =>
+      if (s.st == watch) {
+        if (e.tms - s.t0 >= withinMs) { // window closed banned-free: emit
+          out += CepMatch(k, s.t0, s.te); s = reopen(e)
+        } else if (notAfter.contains(e.ty)) s = reopen(e)
+      } else if (s.st > 0 && e.tms - s.t0 >= withinMs) {
+        s = reopen(e)
+      } else if (s.st > 0 &&
+          notBetween.getOrElse(s.st, Set.empty).contains(e.ty)) {
+        s = reopen(e) // negation guards the gap: ban wins over advance
+      } else if (e.ty == pattern(s.st)) {
+        val start = if (s.st == 0) e.tms else s.t0
+        if (s.st == last) {
+          if (hasTrailing) s = CepNegState(watch, start, e.tms)
+          else { out += CepMatch(k, start, e.tms); s = CepNegState(0, 0L, 0L) }
+        } else s = CepNegState(s.st + 1, start, 0L)
+      }
+    }
+    if (s.st == watch && state.getCurrentWatermarkMs() >= s.t0 + withinMs) {
+      // the watermark already proves the window closed banned-free (no
+      // event of this key can arrive at tms <= watermark) — emitting now
+      // instead of via a timeout that setTimeoutTimestamp would reject
+      // as earlier than the watermark
+      out += CepMatch(k, s.t0, s.te)
+      state.remove()
+    } else {
+      state.update(s)
+      if (s.st == watch) state.setTimeoutTimestamp(s.t0 + withinMs)
+    }
+    out.iterator
+  }
+
+  /** Attach the NEGATION automaton ([[graft.ops.Cep.patternMatchesNeg]])
+    * to a keyed event stream. An event-time watermark over `tms` (with
+    * `delay`) is attached here — pending trailing-negation matches emit
+    * when the watermark passes their window end, the stream's stand-in
+    * for the batch twin's end-of-input. Pre-filter to pattern ∪ banned
+    * types before calling. */
+  def attachNeg(ds: Dataset[CepEvent], pattern: Seq[String],
+      withinMs: Long, notBetween: Map[Int, Seq[String]] = Map.empty,
+      notAfter: Seq[String] = Seq.empty,
+      delay: String = "0 milliseconds"): Dataset[CepMatch] = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    require(notBetween.keys.forall(i => i >= 1 && i < pattern.length),
+      s"notBetween stages must be in 1..${pattern.length - 1}")
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    ds.withColumn("__et", timestamp_millis(col("tms")))
+      .withWatermark("__et", delay)
+      .as[CepEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        matchGroupNeg(pattern.toIndexedSeq, withinMs,
+          notBetween.map { case (i, ts) => i -> ts.toSet },
+          notAfter.toSet))
   }
 
   /** Attach the automaton to a keyed event stream. Pre-filter to the

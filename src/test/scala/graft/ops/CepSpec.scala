@@ -49,6 +49,15 @@ class CepSpec extends SparkSpec {
     assert(matches(df, vcp, 100).isEmpty)
   }
 
+  test("within boundary: a span exactly equal to the window does NOT complete") {
+    // Flink-NFA convention: timeout at timestamp - start >= windowTime,
+    // so 110 - 10 = 100 with window 100 abandons; 109 completes
+    val atBoundary = ev((1, 10, "view"), (1, 20, "click"), (1, 110, "purchase"))
+    assert(matches(atBoundary, vcp, 100).isEmpty)
+    val inside = ev((1, 10, "view"), (1, 20, "click"), (1, 109, "purchase"))
+    assert(matches(inside, vcp, 100) == Seq((1L, 1, 10L, 109L)))
+  }
+
   test("the abandoning event itself starts a new partial when stage-0") {
     val df = ev((1, 10, "view"), (1, 20, "click"), (1, 2000, "view"),
       (1, 2010, "click"), (1, 2020, "purchase"))

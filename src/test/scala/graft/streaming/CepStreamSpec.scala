@@ -64,6 +64,116 @@ class CepStreamSpec extends SparkSpec {
     assert(run(Seq(shuffled), w = 1000) == Seq((1L, 10L, 30L)))
   }
 
+  // ---- negation automaton (attachNeg / patternMatchesNeg) ----
+
+  private val negPat = Seq("view", "purchase")
+  private val negBetween = Map(1 -> Seq("error"))
+  private val negAfter = Seq("click")
+
+  private def runNeg(batches: Seq[Seq[CepEvent]], w: Long,
+      close: Option[CepEvent] = None): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[CepEvent]
+    val q = CepStream.attachNeg(mem.toDS(), negPat, w, negBetween, negAfter)
+      .writeStream.format("memory").queryName("cep_neg_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // an optional far-future heartbeat on an unused key advances the
+      // watermark so pending watches time out (the stream's end-of-input)
+      close.foreach { e =>
+        mem.addData(e); q.processAllAvailable(); q.processAllAvailable()
+      }
+      s.table("cep_neg_out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+          r.getAs[Long]("match_end")))
+        .sortBy(identity).toSeq
+    } finally q.stop()
+  }
+
+  private def batchNeg(events: Seq[CepEvent],
+      w: Long): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    graft.ops.Cep.patternMatchesNeg(events.toDF(), col("k"), col("tms"),
+        col("oid"), col("ty"), negPat, w, negBetween, negAfter)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+  }
+
+  test("negation: banned click mid-window kills the pending match") {
+    // view@10 purchase@20 opens a watch to 10+w; click@50 kills it; the
+    // second run (view@200 purchase@210) survives to window end
+    val evs = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "purchase"),
+      CepEvent(1, 50, 3, "click"), CepEvent(1, 200, 4, "view"),
+      CepEvent(1, 210, 5, "purchase"))
+    assert(batchNeg(evs, w = 100) == Seq((1L, 200L, 210L)))
+    val got = runNeg(Seq(evs), w = 100,
+      close = Some(CepEvent(99, 100000, 9, "view")))
+    assert(got == Seq((1L, 200L, 210L)))
+  }
+
+  test("negation: banned event arriving in a LATER micro-batch still kills") {
+    // the watch opens in batch 1; the click lands mid-window in batch 2 —
+    // stored state must carry the watch across the boundary and kill it
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "purchase"))
+    val b2 = Seq(CepEvent(1, 60, 3, "click"))
+    assert(batchNeg(b1 ++ b2, w = 100).isEmpty)
+    assert(runNeg(Seq(b1, b2), w = 100,
+      close = Some(CepEvent(99, 100000, 9, "view"))).isEmpty)
+  }
+
+  test("negation: error between view and purchase kills the partial") {
+    val evs = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 15, 2, "error"),
+      CepEvent(1, 20, 3, "purchase"),
+      // clean run on another key for contrast
+      CepEvent(2, 10, 4, "view"), CepEvent(2, 20, 5, "purchase"))
+    assert(batchNeg(evs, w = 100) == Seq((2L, 10L, 20L)))
+    assert(runNeg(Seq(evs), w = 100,
+      close = Some(CepEvent(99, 100000, 9, "view"))) == Seq((2L, 10L, 20L)))
+  }
+
+  test("negation: watermark passing the window end emits the pending match") {
+    // no event of key 1 ever arrives after the purchase: only the
+    // watermark (driven by key 99's far-future event) closes the window
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "purchase"))
+    val got = runNeg(Seq(b1), w = 100,
+      close = Some(CepEvent(99, 100000, 9, "view")))
+    assert(got == Seq((1L, 10L, 20L)))
+    assert(batchNeg(b1, w = 100) == Seq((1L, 10L, 20L)))
+  }
+
+  test("negation: boundary — a click exactly at window end does NOT kill") {
+    // window is [t0, t0+w): the click at t0+w is outside; the expiry
+    // emits first and the match survives (Flink >= timeout convention)
+    val evs = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "purchase"),
+      CepEvent(1, 110, 3, "click"))
+    assert(batchNeg(evs, w = 100) == Seq((1L, 10L, 20L)))
+    assert(runNeg(Seq(evs), w = 100) == Seq((1L, 10L, 20L)))
+  }
+
+  test("negation fixture replay: batch splits equal the batch operator") {
+    val s = spark
+    import s.implicits._
+    val types = (negPat ++ negBetween.values.flatten ++ negAfter).distinct
+    val events = Envelopes.events(s, sfDir())
+      .filter(col("event_type").isin(types: _*))
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .as[CepEvent].collect().toSeq.sortBy(e => (e.tms, e.oid))
+    val w = 259200000L
+    val expected = batchNeg(events, w)
+    assert(expected.nonEmpty)
+    val far = CepEvent(-1, events.last.tms + 10 * w, 0, "view")
+    for (parts <- Seq(3, 7)) {
+      val size = math.max(1, (events.length + parts - 1) / parts)
+      assert(runNeg(events.grouped(size).toSeq, w, close = Some(far))
+        == expected)
+    }
+  }
+
   test("fixture replay: any batch split equals the batch operator") {
     val s = spark
     import s.implicits._
