@@ -196,6 +196,32 @@ object ExtQueries {
       res
     },
 
+    // CDC-shaped triangle maintenance: fold the whole pair graph, then
+    // DELETE the (a+b) % 3 == 0 slice — the debit fold (largest-removed-
+    // edge assignment, zero-count tombstones) must leave the count table
+    // equal to the batch operator over the SURVIVING edges at both
+    // horizons.
+    "q_tri_delta" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_trid_q")
+      val h0 = graft.streaming.IncrementalTriangles.mergeEdges(
+        pairs, root.toString, 0L).withColumn("bid", lit(0L))
+      val h1 = graft.streaming.IncrementalTriangles.deleteEdges(
+        pairs.filter((col("a") + col("b")) % 3 === 0), root.toString, 1L)
+        .withColumn("bid", lit(1L))
+      val res = h0.unionByName(h1)
+        .select(col("bid"), col("node"), col("tri_ct"))
+        .orderBy(col("bid"), col("node"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(h0)
+      graft.util.Blocks.freeCheckpoint(h1)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(pairs)
+      res
+    },
+
     // Degree-oriented triangle counting over the near-dup pair graph —
     // a triangle is a cluster core (three mutually-similar docs); per-node
     // triangle count + degree give the local clustering signal. The
@@ -2276,6 +2302,25 @@ object ExtQueries {
          |      FROM jac WHERE inter_ct * 2 >= union_ct * 1),
          |spine AS (SELECT unnest(generate_series(0, 2)) AS bid),
          |pp AS (SELECT s.bid, u, v FROM spine s JOIN p ON p.vb <= s.bid),
+         |tri AS (SELECT p1.bid, p1.u AS x, p1.v AS y, p2.v AS z
+         |        FROM pp p1
+         |        JOIN pp p2 ON p2.bid = p1.bid AND p2.u = p1.v
+         |        JOIN pp p3 ON p3.bid = p1.bid AND p3.u = p1.u
+         |                  AND p3.v = p2.v),
+         |cr AS (SELECT bid, unnest([x, y, z]) AS node FROM tri)
+         |SELECT bid, node, CAST(COUNT(*) AS BIGINT) AS tri_ct
+         |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Horizon 0 = every pair, horizon 1 = the survivors of the
+    // (u+v) % 3 == 0 deletion; each horizon's closed triples counted
+    // directly over its own edge set.
+    "q_tri_delta" ->
+      s"""WITH $JAC,
+         |p AS (SELECT a_id AS u, b_id AS v FROM jac
+         |      WHERE inter_ct * 2 >= union_ct * 1),
+         |pp AS (SELECT 0 AS bid, u, v FROM p
+         |       UNION ALL
+         |       SELECT 1, u, v FROM p WHERE (u + v) % 3 <> 0),
          |tri AS (SELECT p1.bid, p1.u AS x, p1.v AS y, p2.v AS z
          |        FROM pp p1
          |        JOIN pp p2 ON p2.bid = p1.bid AND p2.u = p1.v

@@ -53,10 +53,6 @@ object IncrementalCc {
     * bucket, never a store key). */
   private val MetaKeeper = Long.MinValue
 
-  private def latestGen(spark: SparkSession, path: String): Long =
-    try KeyedStore.generations(spark, path).lastOption.getOrElse(0L)
-    catch { case _: java.io.FileNotFoundException => 0L }
-
   /** Rebuild the member index as an exact mirror of the label store —
     * first use and crash recovery (label merge committed, member merge
     * lost). O(nodes) by necessity; never on the steady-state fold path. */
@@ -92,7 +88,7 @@ object IncrementalCc {
     val batch = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
     val batchNodes = batch.select(col("a_id").as("doc_id"))
       .unionByName(batch.select(col("b_id").as("doc_id"))).distinct()
-    val labelGen = latestGen(spark, storePath)
+    val labelGen = KeyedStore.latestGeneration(spark, storePath)
     // AFFECTED-CLUSTER pruning: a stored cluster with no batch node among
     // its members cannot gain or lose connectivity from the new pairs
     // (every new edge ends on a batch node, and star edges are internal) —

@@ -29,28 +29,46 @@ import org.apache.spark.sql.functions._
   *
   * State: one row per distinct term ever seen (Heaps-law bounded — the
   * vocabulary grows ~√corpus, not linearly) + one corpus row + one meta
-  * row. Per-fold cost: one batch tokenize + distinct, a store read, and a
-  * bucketed upsert of only the terms the batch touched. */
+  * row. The corpus row carries the RUNNING vocabulary size (`nt`), so no
+  * read path ever counts the term table. Store access is bucket-pruned
+  * throughout (the [[IncrementalScd2]] pattern, buckets keyed by `term`):
+  * a fold reads only the batch terms' buckets + the corpus/meta bucket,
+  * [[readDf]] reads only the query terms' buckets, [[readStats]] one
+  * bucket — a million-term index costs a fold the same file reads as a
+  * thousand-term one. Per-fold cost: one batch tokenize + distinct, the
+  * pruned read, and a bucketed upsert of only the terms the batch
+  * touched. */
 object IncrementalDf {
 
-  private def liveRows(spark: SparkSession, storePath: String): DataFrame =
-    KeyedStore.read(spark, storePath)
-      .map(_.filter(col("op_type") =!= "delete")
-        .select(col("kind"), col("term"), col("df"), col("n"), col("sdl"),
-          col("ver")))
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[(String, String, Long, Long, Long, Long)]
-          .toDF("kind", "term", "df", "n", "sdl", "ver")
-      }
+  private val Cols =
+    Seq("kind", "term", "df", "n", "sdl", "nt", "ver", "op_type")
 
-  private def statsOf(live: DataFrame): DataFrame = {
-    val c = live.filter(col("kind") === "c")
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"),
-        coalesce(sum(col("sdl")), lit(0L)).as("sum_dl"))
-    val v = live.filter(col("kind") === "v").agg(count(lit(1)).as("n_terms"))
-    c.crossJoin(v)
+  private def prunedLive(spark: SparkSession, storePath: String,
+      probe: DataFrame): Option[DataFrame] =
+    KeyedStore.readPruned(spark, storePath, probe)
+      .map(_.filter(col("op_type") =!= "delete").select(Cols.map(col): _*))
+
+  private def metaProbe(spark: SparkSession): DataFrame =
+    spark.range(1).select(lit("").as("term"))
+
+  /** (n_docs, sum_dl, n_terms, hwm) off the corpus + meta rows — one
+    * pruned bucket read, never a term-table scan. */
+  private def corpusRow(spark: SparkSession,
+      storePath: String): (Long, Long, Long, Option[Long]) = {
+    val rows = prunedLive(spark, storePath, metaProbe(spark))
+      .map(_.filter(col("kind") =!= "v")
+        .select(col("kind"), col("n"), col("sdl"), col("nt"), col("ver"))
+        .collect()).getOrElse(Array.empty)
+    val c = rows.find(_.getString(0) == "c")
+    val m = rows.find(_.getString(0) == "m").map(_.getLong(4))
+    c.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), m))
+      .getOrElse((0L, 0L, 0L, m))
   }
+
+  private def statsFrame(spark: SparkSession, n: Long, sdl: Long,
+      nt: Long): DataFrame =
+    spark.range(1).select(lit(n).as("n_docs"), lit(sdl).as("sum_dl"),
+      lit(nt).as("n_terms"))
 
   /** Fold one micro-batch of documents into the index at `storePath`
     * (created on first use) and return the updated corpus stats
@@ -58,70 +76,77 @@ object IncrementalDf {
   def mergeBatch(batch: DataFrame, storePath: String, idCol: Column,
       textCol: Column, batchId: Long, numBuckets: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val live = liveRows(spark, storePath).localCheckpoint(true)
-    val meta = live.filter(col("kind") === "m").select(col("ver")).collect()
-    if (meta.exists(mr => batchId <= mr.getLong(0))) {
-      val out = statsOf(live).localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(live)
-      return out
-    }
     val toks = batch.select(idCol.as("doc_id"),
         graft.ext.TextStats.toks(textCol).as("__toks"))
       .localCheckpoint(true) // one tokenize feeds df AND the length sums
     val batchDf = toks
       .select(col("doc_id"), explode(col("__toks")).as("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("bdf"))
-    val cur = live.filter(col("kind") === "v")
-      .select(col("term"), col("df"))
+      .localCheckpoint(true) // feeds the probe, the df join, the nt anti
+    // ONE pruned read serves the whole fold: batch terms' buckets (df
+    // upsert + new-vocabulary anti-join can only match there) + the
+    // corpus/meta bucket (term = "")
+    val probe = batchDf.select(col("term"))
+      .unionByName(metaProbe(spark))
+    val pruned = prunedLive(spark, storePath, probe)
+    val cm = pruned.map(_.filter(col("kind") =!= "v")
+      .select(col("kind"), col("n"), col("sdl"), col("nt"), col("ver"))
+      .collect()).getOrElse(Array.empty[org.apache.spark.sql.Row])
+    val hwm = cm.find(_.getString(0) == "m").map(_.getLong(4))
+    val (n0, sdl0, nt0) = cm.find(_.getString(0) == "c")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .getOrElse((0L, 0L, 0L))
+    if (hwm.exists(batchId <= _)) { // replay: current stats, store untouched
+      graft.util.Blocks.freeCheckpoint(batchDf)
+      graft.util.Blocks.freeCheckpoint(toks)
+      return statsFrame(spark, n0, sdl0, nt0).localCheckpoint(true)
+    }
+    val cur = pruned.map(_.filter(col("kind") === "v")
+        .select(col("term"), col("df")))
+      .getOrElse(batchDf.select(col("term"), lit(0L).as("df")).limit(0))
     val vRows = batchDf.join(cur, Seq("term"), "left_outer")
       .select(lit("v").as("kind"), col("term"),
         (coalesce(col("df"), lit(0L)) + col("bdf")).as("df"),
-        lit(0L).as("n"), lit(0L).as("sdl"),
+        lit(0L).as("n"), lit(0L).as("sdl"), lit(0L).as("nt"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
+    val freshTerms = batchDf.join(cur, Seq("term"), "left_anti").count()
     val bStats = toks.agg(count(lit(1)).as("bn"),
       coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("bsdl"))
       .head()
-    val curC = live.filter(col("kind") === "c")
-      .agg(coalesce(sum(col("n")), lit(0L)),
-        coalesce(sum(col("sdl")), lit(0L))).head()
-    val cRow = spark.range(1).select(lit("c").as("kind"), lit("").as("term"),
-      lit(0L).as("df"), lit(curC.getLong(0) + bStats.getLong(0)).as("n"),
-      lit(curC.getLong(1) + bStats.getLong(1)).as("sdl"),
-      lit(batchId).as("ver"), lit("put").as("op_type"))
-    val mRow = spark.range(1).select(lit("m").as("kind"), lit("").as("term"),
-      lit(0L).as("df"), lit(0L).as("n"), lit(0L).as("sdl"),
-      lit(batchId).as("ver"), lit("put").as("op_type"))
-    val changed = vRows.unionByName(cRow).unionByName(mRow)
+    val (n1, sdl1, nt1) = (n0 + bStats.getLong(0), sdl0 + bStats.getLong(1),
+      nt0 + freshTerms)
+    def row(kind: String, n: Long, sdl: Long, nt: Long) =
+      spark.range(1).select(lit(kind).as("kind"), lit("").as("term"),
+        lit(0L).as("df"), lit(n).as("n"), lit(sdl).as("sdl"),
+        lit(nt).as("nt"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val changed = vRows.unionByName(row("c", n1, sdl1, nt1))
+      .unionByName(row("m", 0L, 0L, 0L))
       .localCheckpoint(true) // pin BEFORE the merge mutates the store
     KeyedStore.merge(changed, storePath,
       keys = Seq("kind", "term"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
-    // stats after the fold: stored state with the changed rows swapped in
-    // (batchDf still reads the pinned toks — free only after this)
-    val nTerms = cur.join(batchDf.select(col("term")), Seq("term"),
-      "left_anti").count() + batchDf.count()
-    graft.util.Blocks.freeCheckpoint(toks)
-    val out = spark.range(1).select(
-        lit(curC.getLong(0) + bStats.getLong(0)).as("n_docs"),
-        lit(curC.getLong(1) + bStats.getLong(1)).as("sum_dl"),
-        lit(nTerms).as("n_terms"))
-      .localCheckpoint(true)
-    graft.util.Blocks.freeCheckpoint(live)
+      numBuckets = numBuckets, bucketCols = Seq("term"))
     graft.util.Blocks.freeCheckpoint(changed)
-    out
+    graft.util.Blocks.freeCheckpoint(batchDf)
+    graft.util.Blocks.freeCheckpoint(toks)
+    statsFrame(spark, n1, sdl1, nt1).localCheckpoint(true)
   }
 
   /** The current corpus stats at `storePath` without folding. */
-  def readStats(spark: SparkSession, storePath: String): DataFrame =
-    statsOf(liveRows(spark, storePath))
+  def readStats(spark: SparkSession, storePath: String): DataFrame = {
+    val (n, sdl, nt, _) = corpusRow(spark, storePath)
+    statsFrame(spark, n, sdl, nt)
+  }
 
-  /** Per-term stored document frequencies for `terms` (0 for unseen). */
+  /** Per-term stored document frequencies for `terms` (0 for unseen) —
+    * a pruned read of only the query terms' buckets. */
   def readDf(spark: SparkSession, storePath: String,
       terms: Seq[String]): Map[String, Long] = {
-    val hit = liveRows(spark, storePath)
-      .filter(col("kind") === "v" && col("term").isin(terms: _*))
-      .select(col("term"), col("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val hit = prunedLive(spark, storePath, terms.toDF("term"))
+      .map(_.filter(col("kind") === "v" && col("term").isin(terms: _*))
+        .select(col("term"), col("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
     terms.map(t => t -> hit.getOrElse(t, 0L)).toMap
   }
 
@@ -131,19 +156,27 @@ object IncrementalDf {
     * corpus this is bit-identical to [[graft.ext.Ranking.bm25]] over it
     * (same stats values through the same [[graft.ext.Ranking.bm25Score]]
     * tree); when `docs` is a new batch, it is the batch scored in the
-    * index's global term economy. */
+    * index's global term economy. Query terms the index has NEVER seen
+    * (df = 0) are DROPPED before scoring — the index has no economy for
+    * them, and their idf = n/0 would otherwise poison every matching
+    * document's sum to NaN; a query of only unseen terms fails fast (the
+    * n_docs = 0 stance). */
   def bm25Store(spark: SparkSession, storePath: String, docs: DataFrame,
       idCol: Column, textCol: Column, terms: Seq[String], topK: Int = 20,
       k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val st = readStats(spark, storePath).head()
-    require(st.getLong(0) > 0,
+    val (n, sdl, _, _) = corpusRow(spark, storePath)
+    require(n > 0,
       s"empty index at $storePath — n_docs = 0 would score NaN (0/0 idf)")
     val dfs = readDf(spark, storePath, terms)
+    val live = terms.filter(t => dfs(t) > 0L)
+    require(live.nonEmpty,
+      s"no query term indexed at $storePath — df = 0 idf is infinite; " +
+        s"terms were ${terms.mkString(", ")}")
     val stats = spark.range(1).select(
-      Seq(lit(st.getLong(0)).as("n"), lit(st.getLong(1)).as("sumdl")) ++
-        terms.zipWithIndex.map { case (t, i) => lit(dfs(t)).as(s"df_$i") }: _*)
-    val base = graft.ext.Ranking.bm25Base(docs, idCol, textCol, terms)
-    graft.ext.Ranking.bm25Score(base, stats, terms.size, topK, k1, b)
+      Seq(lit(n).as("n"), lit(sdl).as("sumdl")) ++
+        live.zipWithIndex.map { case (t, i) => lit(dfs(t)).as(s"df_$i") }: _*)
+    val base = graft.ext.Ranking.bm25Base(docs, idCol, textCol, live)
+    graft.ext.Ranking.bm25Score(base, stats, live.size, topK, k1, b)
   }
 }

@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * checks the caller's unit). Pinned in a meta row on first use; a
   * mismatch fails fast.
   *
-  * Deltas are ADDITIVE (new edges — the crawl-growth shape; edge deletion
-  * would need tombstone rows and re-derived degrees, out of scope and
-  * documented). Folding the same delta twice is harmless: edge rows merge
-  * by (src, dst) key, and the rank re-converges from its own fixed point
-  * in one checking iteration.
+  * Deltas take BOTH shapes of the CDC world: `edgeDelta` adds edges and
+  * `edgeDeletes` tombstones them (the reference dims' op = 'd' half) —
+  * degrees re-derive from the surviving live edge set each update, a
+  * departed node's rank row is tombstoned (the batch operator over the
+  * surviving edges never lists it), and a deleted edge can be re-added
+  * (versions come from the store's commit generation, so the re-add put
+  * supersedes the tombstone). Folding the same delta twice is harmless:
+  * edge rows merge by (src, dst) key, and the rank re-converges from its
+  * own fixed point in one checking iteration.
   *
   * Per-update cost: one edge merge touching the delta's buckets, one full
   * edge-table read (the iteration reads it anyway), and the warm-started
@@ -38,30 +42,48 @@ object IncrementalRank {
   private def edgePath(root: String) = s"$root/edges"
   private def rankPath(root: String) = s"$root/ranks"
 
-  /** Merge `edgeDelta` (src, dst) into the stored graph, re-rank from the
-    * stored vector (warm start; uniform on first use), persist the new
-    * vector, and return it with the iteration count the convergence run
-    * actually needed. */
+  /** Merge `edgeDelta` (src, dst) into the stored graph, tombstone
+    * `edgeDeletes`, re-rank the surviving live edges from the stored
+    * vector (warm start; uniform on first use), persist the new vector,
+    * and return it with the iteration count the convergence run actually
+    * needed. A (src, dst) pair in both frames nets to PRESENT (the add
+    * wins — merge order below), matching a CDC upsert-after-delete. */
   def updateAndRank(edgeDelta: DataFrame, storeRoot: String, tol: Long,
       maxIters: Int, unit: Long = 1000000000L, dampNum: Long = 85,
-      dampDen: Long = 100, numBuckets: Int = 4): (DataFrame, Int) = {
+      dampDen: Long = 100, numBuckets: Int = 4,
+      edgeDeletes: Option[DataFrame] = None): (DataFrame, Int) = {
     val spark = edgeDelta.sparkSession
-    val delta = edgeDelta.select(col("src").cast("long").as("src"),
+    def canon(df: DataFrame) = df.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    if (!delta.isEmpty)
-      KeyedStore.merge(delta.withColumn("ver", lit(0L)), edgePath(storeRoot),
-        keys = Seq("src", "dst"), seqCols = Seq("ver"),
+    // generation-derived versions (metadata, never a row scan): the
+    // tombstone beats every older put, a later re-add beats the tombstone
+    val delEdges = edgeDeletes.map(canon).filter(!_.isEmpty)
+    delEdges.foreach { d =>
+      val ver = KeyedStore.latestGeneration(spark, edgePath(storeRoot)) + 1L
+      KeyedStore.merge(
+        d.withColumn("ver", lit(ver)).withColumn("op_type", lit("delete")),
+        edgePath(storeRoot), keys = Seq("src", "dst"), seqCols = Seq("ver"),
         numBuckets = numBuckets, bucketCols = Seq("src"))
+    }
+    val delta = canon(edgeDelta)
+    if (!delta.isEmpty) {
+      val ver = KeyedStore.latestGeneration(spark, edgePath(storeRoot)) + 1L
+      KeyedStore.merge(
+        delta.withColumn("ver", lit(ver)).withColumn("op_type", lit("put")),
+        edgePath(storeRoot), keys = Seq("src", "dst"), seqCols = Seq("ver"),
+        numBuckets = numBuckets, bucketCols = Seq("src"))
+    }
     val edges = KeyedStore.read(spark, edgePath(storeRoot))
-      .map(_.select(col("src"), col("dst")))
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("src"), col("dst")))
       .getOrElse {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("src", "dst")
       }
-    // no tombstones are ever written (additive deltas), so no op_type here
     val stored = KeyedStore.read(spark, rankPath(storeRoot))
-      .map(_.select(col("kind"), col("node"), col("rank_fp"),
-        col("unit"), col("dn"), col("dd"), col("ver")).localCheckpoint(true))
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("kind"), col("node"), col("rank_fp"),
+          col("unit"), col("dn"), col("dd"), col("ver")).localCheckpoint(true))
     val metaRow = stored.flatMap(_.filter(col("kind") === "m")
       .select(col("unit"), col("dn"), col("dd"), col("ver"))
       .collect().headOption)
@@ -85,26 +107,35 @@ object IncrementalRank {
     // update and orphan the original
     val (ranks, iters) = graft.ops.Graph.pageRankIntConverge(
       edges, start, tol, maxIters, unit, dampNum, dampDen)
-    stored.foreach(graft.util.Blocks.freeCheckpoint)
-    // node-sized upsert; departed nodes can't exist under additive deltas,
-    // so no tombstones — every live node gets its fresh value
+    // node-sized upsert: every live node gets its fresh value; a node
+    // whose last edge was deleted gets a TOMBSTONE (the batch operator
+    // over the surviving edge set never lists it)
     val rows = ranks.select(lit("v").as("kind"), col("node"), col("rank_fp"),
       lit(unit).as("unit"), lit(dampNum).as("dn"), lit(dampDen).as("dd"),
-      lit(nextVer).as("ver"))
+      lit(nextVer).as("ver"), lit("put").as("op_type"))
+    val departed = start.map(_.join(ranks.select(col("node")),
+        Seq("node"), "left_anti")
+      .select(lit("v").as("kind"), col("node"), lit(0L).as("rank_fp"),
+        lit(unit).as("unit"), lit(dampNum).as("dn"), lit(dampDen).as("dd"),
+        lit(nextVer).as("ver"), lit("delete").as("op_type")))
     val meta = spark.range(1).select(lit("m").as("kind"),
       lit(-1L).as("node"), lit(0L).as("rank_fp"), lit(unit).as("unit"),
-      lit(dampNum).as("dn"), lit(dampDen).as("dd"), lit(nextVer).as("ver"))
-    if (!ranks.isEmpty)
-      KeyedStore.merge(rows.unionByName(meta), rankPath(storeRoot),
+      lit(dampNum).as("dn"), lit(dampDen).as("dd"), lit(nextVer).as("ver"),
+      lit("put").as("op_type"))
+    val upsert = departed.map(rows.unionByName(_)).getOrElse(rows)
+    if (!ranks.isEmpty || departed.exists(!_.isEmpty))
+      KeyedStore.merge(upsert.unionByName(meta), rankPath(storeRoot),
         keys = Seq("kind", "node"), seqCols = Seq("ver"),
         numBuckets = numBuckets, bucketCols = Seq("kind", "node"))
+    stored.foreach(graft.util.Blocks.freeCheckpoint)
     (ranks, iters)
   }
 
   /** The stored rank vector without updating (empty frame if never run). */
   def readRanks(spark: SparkSession, storeRoot: String): DataFrame =
     KeyedStore.read(spark, rankPath(storeRoot))
-      .map(_.filter(col("kind") === "v").select(col("node"), col("rank_fp")))
+      .map(_.filter(col("kind") === "v" && col("op_type") =!= "delete")
+        .select(col("node"), col("rank_fp")))
       .getOrElse {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("node", "rank_fp")

@@ -397,6 +397,14 @@ object KeyedStore {
     commitFiles(f, root).map(_._1).sorted
   }
 
+  /** The latest committed generation number, 0 if the store has never
+    * committed (or does not exist yet) — a METADATA read, usable as a
+    * monotone per-merge version without scanning stored rows (each merge
+    * commits generation `latest + 1`). */
+  def latestGeneration(spark: SparkSession, path: String): Long =
+    try generations(spark, path).lastOption.getOrElse(0L)
+    catch { case _: java.io.FileNotFoundException => 0L }
+
   /** Snapshot read at a specific retained generation; None if that
     * generation was never committed or has been GC'd. */
   def readSnapshot(spark: SparkSession, path: String, generation: Long): Option[DataFrame] = {

@@ -66,6 +66,30 @@ class IncrementalDfSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(d)
   }
 
+  test("unseen query terms are dropped, never NaN-poison; all-unseen fails fast") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "aa bb"), (2L, "aa"), (3L, "bb cc"))
+      .toDF("doc_id", "text")
+    val store = Files.createTempDirectory("inc_df_z").toString + "/df"
+    IncrementalDf.mergeBatch(corpus, store, col("doc_id"), col("text"), 0L)
+    // '__ghost__' is absent from the index: its df = 0 idf is infinite —
+    // the score must equal the query WITHOUT it (docs that would match
+    // the ghost in the candidate set included)
+    val cand = corpus.unionByName(Seq((9L, "__ghost__ aa")).toDF("doc_id", "text"))
+    val withGhost = IncrementalDf.bm25Store(spark, store, cand,
+      col("doc_id"), col("text"), Seq("aa", "__ghost__"), topK = 10)
+    val without = IncrementalDf.bm25Store(spark, store, cand,
+      col("doc_id"), col("text"), Seq("aa"), topK = 10)
+    assert(sameRows(withGhost, without))
+    assert(!withGhost.collect().exists(r => r.anyNull ||
+      r.toSeq.exists { case d: Double => d.isNaN || d.isInfinite; case _ => false }))
+    intercept[IllegalArgumentException] {
+      IncrementalDf.bm25Store(spark, store, cand, col("doc_id"),
+        col("text"), Seq("__ghost__"), topK = 10)
+    }
+  }
+
   test("a new batch scores in the global term economy, not its own") {
     val s = spark
     import s.implicits._

@@ -68,4 +68,40 @@ class IncrementalRankSpec extends SparkSpec {
     // restart: a fresh caller reads the persisted vector
     assert(ranksOf(IncrementalRank.readRanks(s, root)) == v2)
   }
+
+  test("edge deletion: re-rank over the surviving set, departed node tombstoned") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("inc_rank_del").toString + "/pr"
+    // the ring + a pendant node 99 hanging off node 0 by its only edge
+    val edges = baseEdges ++ Seq((0L, 99L), (99L, 3L))
+    IncrementalRank.updateAndRank(edges.toDF("src", "dst"), root, Tol, MaxIters)
+    // delete node 99's BOTH edges and one chord: the warm re-rank must
+    // match the cold batch run over the surviving edges, and 99 must
+    // leave the stored vector entirely
+    val dels = Seq((0L, 99L), (99L, 3L), (1L, 2L))
+    val (r1, _) = IncrementalRank.updateAndRank(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), root, Tol, MaxIters,
+      edgeDeletes = Some(dels.toDF("src", "dst")))
+    val surviving = edges.filterNot(dels.contains)
+    val (cold, _) = Graph.pageRankIntConverge(
+      surviving.toDF("src", "dst"), None, Tol, MaxIters)
+    val w = ranksOf(r1); val c = ranksOf(cold)
+    assert(w.keySet == c.keySet, s"node sets diverged: ${w.keySet.diff(c.keySet)} / ${c.keySet.diff(w.keySet)}")
+    assert(!w.contains(99L))
+    assert(w.keySet.map(k => math.abs(w(k) - c(k))).max <= 12 * Tol)
+    // the persisted vector agrees (departed row is a tombstone, not junk)
+    assert(ranksOf(IncrementalRank.readRanks(s, root)) == w)
+    // RE-ADD a deleted edge: the put supersedes the tombstone
+    val (r2, _) = IncrementalRank.updateAndRank(
+      Seq((0L, 99L), (99L, 3L)).toDF("src", "dst"), root, Tol, MaxIters)
+    val w2 = ranksOf(r2)
+    assert(w2.contains(99L))
+    val (cold2, _) = Graph.pageRankIntConverge(
+      (surviving ++ Seq((0L, 99L), (99L, 3L))).toDF("src", "dst"),
+      None, Tol, MaxIters)
+    val c2 = ranksOf(cold2)
+    assert(w2.keySet == c2.keySet)
+    assert(w2.keySet.map(k => math.abs(w2(k) - c2(k))).max <= 12 * Tol)
+  }
 }

@@ -53,6 +53,60 @@ class IncrementalTrianglesSpec extends SparkSpec {
     assert(replay == fin)
   }
 
+  test("edge deletion un-counts exactly the destroyed triangles") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("inc_tri_del").toString
+    // K4 {1..4} (4 triangles) + separate triangle {10,11,12}
+    val base = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    IncrementalTriangles.mergeEdges(base.toDF("a", "b"), root, 0L).count()
+    // delete TWO edges of the same K4 triangle (1-2, 1-3 both hit
+    // triangle {1,2,3} — the largest-removed-edge assignment must debit
+    // it once, not twice) + one edge of the separate triangle (reversed
+    // + a never-existed edge: both ignored)
+    val got = cts(IncrementalTriangles.deleteEdges(
+      Seq((1L, 2L), (3L, 1L), (11L, 10L), (77L, 78L)).toDF("a", "b"),
+      root, 1L))
+    val surviving = base.filterNot(e =>
+      Set((1L, 2L), (1L, 3L), (10L, 11L)).contains(e))
+    assert(got == batchCts(surviving), s"$got vs ${batchCts(surviving)}")
+    // node 1 kept only edge 1-4: zero triangles -> tombstoned, absent
+    assert(!got.contains(1L) && got(2L) == 1L && got(3L) == 1L)
+    // the separate triangle is gone entirely
+    assert(!got.contains(10L) && !got.contains(11L) && !got.contains(12L))
+    // replay of the delete fold: ignored
+    assert(cts(IncrementalTriangles.deleteEdges(
+      Seq((2L, 3L)).toDF("a", "b"), root, 1L)) == got)
+    // RE-ADD a deleted edge: the put supersedes the tombstone and the
+    // re-closed triangles count again
+    val back = cts(IncrementalTriangles.mergeEdges(
+      Seq((1L, 2L)).toDF("a", "b"), root, 2L))
+    assert(back == batchCts(surviving :+ (1L, 2L)))
+    assert(back(1L) == 1L && back(2L) == 2L) // 1-2-4 re-closed
+  }
+
+  test("crash between the tombstone merge and the count merge replays exactly") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("inc_tri_delcw").toString
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+    IncrementalTriangles.mergeEdges(base.toDF("a", "b"), root, 0L).count()
+    // simulate the crash window: tombstones committed at ver = 1 but the
+    // count merge (and its HWM) lost — written straight to the edge store
+    KeyedStore.merge(
+      Seq((1L, 3L)).toDF("u", "v")
+        .withColumn("ver", lit(1L)).withColumn("op_type", lit("delete")),
+      s"$root/edges", keys = Seq("u", "v"), seqCols = Seq("ver"),
+      numBuckets = 4)
+    // the replayed delete fold must reconstruct the pre-deletion
+    // adjacency from its own tombstones and debit both triangles of 1-3
+    val got = cts(IncrementalTriangles.deleteEdges(
+      Seq((1L, 3L)).toDF("a", "b"), root, 1L))
+    assert(got == batchCts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))))
+    assert(got.isEmpty, s"no triangle survives 1-3's removal: $got")
+  }
+
   test("crash between the edge merge and the count merge loses nothing") {
     val s = spark
     import s.implicits._
@@ -63,7 +117,8 @@ class IncrementalTrianglesSpec extends SparkSpec {
     // simulate the crash window: batch 1's edges are persisted at ver=1
     // but the count store's high-water mark never advanced
     KeyedStore.merge(
-      b1.map { case (a, b) => (a, b, 1L) }.toDF("u", "v", "ver"),
+      b1.map { case (a, b) => (a, b, 1L, "put") }
+        .toDF("u", "v", "ver", "op_type"),
       s"$root/edges", keys = Seq("u", "v"), seqCols = Seq("ver"))
     // the replayed fold must still credit the closed triangle
     val got = cts(IncrementalTriangles.mergeEdges(b1.toDF("a", "b"), root, 1L))
