@@ -87,6 +87,67 @@ object Cep {
         col("m.s").as("start_tms"), col("m.e").as("end_tms"))
   }
 
+  /** [[patternMatches]] with STRICT CONTIGUITY — Flink-CEP's `next`, the
+    * third pattern primitive (begin/followedBy/notFollowedBy being the
+    * others): stages in `nextStages` must be matched by the key's
+    * IMMEDIATELY following event, so ANY intervening event — pattern-typed
+    * or not — kills the partial (the killing event may itself re-open a
+    * stage-0 partial; relaxed stages keep [[patternMatches]]' ignore
+    * semantics). Same timeout convention (span >= withinMs abandons).
+    *
+    * Cost model is the semantic price of strictness: the scan CANNOT
+    * pre-filter to pattern types (a non-pattern event breaks adjacency,
+    * so it must reach the fold) — each key folds over its FULL event
+    * sequence, where the relaxed operator folds over its pattern events
+    * only. Use relaxed stages wherever the query allows.
+    *
+    * @param nextStages stage indices (1..pattern.length-1) whose match
+    *                   must be strictly adjacent to the previous stage's
+    * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
+    *         contract */
+  def patternMatchesNext(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column, pattern: Seq[String],
+      withinMs: Long, nextStages: Set[Int]): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(nextStages.nonEmpty,
+      "nextStages empty — use patternMatches (pre-filtered scan)")
+    require(nextStages.forall(i => i >= 1 && i < pattern.length),
+      s"nextStages must be in 1..${pattern.length - 1}")
+    val last = pattern.length - 1
+    val stageMatch = pattern.zipWithIndex
+      .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
+      .mkString("CASE ", " ", " ELSE false END")
+    val start = "IF(acc.st = 0, e.tms, acc.t0)"
+    val emit = s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
+      s"'ms', array_append(acc.ms, named_struct('s', $start, 'e', e.tms)))"
+    val advance = s"CASE WHEN acc.st = $last THEN $emit " +
+      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'ms', acc.ms) END"
+    val reopen = s"IF(e.ty = ${esc(pattern.head)}, " +
+      s"named_struct('st', 1, 't0', e.tms, 'ms', acc.ms), " +
+      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'ms', acc.ms))"
+    val strictBreak = s"acc.st IN (${nextStages.toSeq.sorted.mkString(", ")})"
+    val fold = s"""aggregate(evs,
+      named_struct('st', 0, 't0', CAST(0 AS BIGINT),
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      (acc, e) -> CASE
+        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN $reopen
+        WHEN $stageMatch THEN $advance
+        WHEN $strictBreak THEN $reopen
+        ELSE acc END,
+      acc -> acc.ms)"""
+    // NO type pre-filter: strict adjacency makes every event of the key
+    // state-relevant (P = 1 degenerates to no strict stages — rejected)
+    df.select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
+        ordCol.cast("long").as("oid"), typeCol.as("ty"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
+        .as("evs"))
+      .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
+      .select(col("k"), (col("i") + 1).as("match_n"),
+        col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
   /** [[patternMatches]] with NEGATION — Flink-CEP's `notFollowedBy`, the
     * other half of the pattern surface, in both positions it can appear:
     *

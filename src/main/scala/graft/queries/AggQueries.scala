@@ -148,6 +148,19 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // CEP with STRICT CONTIGUITY (Flink-CEP next): every view whose
+    // IMMEDIATELY following event — of ANY type, which is why the scan
+    // cannot pre-filter — is a click within one day. Oracle = the same
+    // automaton over the unfiltered per-user event sequence.
+    "q_cep_next" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesNext(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"), Seq("view", "click"),
+          withinMs = 86400000L, nextStages = Set(1))
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
     // view→purchase run per user with NO error between them and NO click
     // in the three days after the view — the pending match emits when its
@@ -315,6 +328,49 @@ object AggQueries {
         |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
         |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
         |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
+
+    // The strict-contiguity automaton over the UNFILTERED event sequence
+    // (any intervening event breaks adjacency), branch order mirrored:
+    // timeout, stage advances, strict break (the breaking view reopens).
+    "q_cep_next" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events)),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 86400000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st = 1 AND e.ty = 'click' THEN 0
+        |         WHEN r.st = 1
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 86400000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 1 AND e.ty = 'click' THEN CAST(0 AS BIGINT)
+        |         WHEN r.st = 1
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 86400000 AND e.ty = 'click'
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 86400000 AND e.ty = 'click'
         |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
         |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
         |SELECT user_id,

@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * member store's meta row pins the label-store GENERATION it reflects,
   * and a fold that finds them out of step rebuilds the index from the
   * label store (O(nodes), crash-recovery only) before proceeding.
+  * Housekeeping: `KeyedStore.compact(memberPath, dropTombstones = true)`
+  * is safe at any time (winners are already resolved, the meta row and
+  * its pinned generation survive) and bounds the index at O(nodes) live
+  * rows on merge-heavy streams; compacting the LABEL store also works
+  * but bumps its generation, which the handshake reads as out-of-step —
+  * the next touching fold pays one rebuild.
   *
   * Folds are IDEMPOTENT by construction (components are a pure function
   * of the edge set, and re-adding pairs or star edges changes nothing),

@@ -26,6 +26,38 @@ class CepSpec extends SparkSpec {
 
   private val vcp = Seq("view", "click", "purchase")
 
+  private def matchesNext(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[String], w: Long,
+      next: Set[Int]): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesNext(df, col("k"), col("tms"), col("oid"), col("ty"),
+        pattern, w, next)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("strict contiguity: ANY intervening event kills; the breaking view reopens") {
+    // view→click with next: error between them breaks the run; the later
+    // view→click pair (strictly adjacent) matches
+    val broken = ev((1, 10, "view"), (1, 20, "error"), (1, 30, "click"),
+      (1, 40, "view"), (1, 50, "click"))
+    assert(matchesNext(broken, Seq("view", "click"), 1000, Set(1))
+      == Seq((1L, 1, 40L, 50L)))
+    // a second view breaks the first run but opens its own, which matches
+    val reopened = ev((2, 10, "view"), (2, 20, "view"), (2, 30, "click"))
+    assert(matchesNext(reopened, Seq("view", "click"), 1000, Set(1))
+      == Seq((2L, 1, 20L, 30L)))
+    // mixed contiguity: view followedBy click NEXT purchase — noise
+    // allowed before the click, nothing between click and purchase
+    val mixed = ev((3, 10, "view"), (3, 20, "error"), (3, 30, "click"),
+      (3, 40, "purchase"), (3, 50, "view"), (3, 60, "click"),
+      (3, 70, "signup"), (3, 80, "purchase"))
+    assert(matchesNext(mixed, vcp, 1000, Set(2))
+      == Seq((3L, 1, 10L, 40L)))
+    // same events, fully relaxed: both runs complete
+    assert(matches(mixed, vcp, 1000)
+      == Seq((3L, 1, 10L, 40L), (3L, 2, 50L, 80L)))
+  }
+
   test("relaxed contiguity: noise events between stages are ignored") {
     val df = ev((1, 10, "view"), (1, 20, "error"), (1, 30, "click"),
       (1, 40, "signup"), (1, 50, "purchase"))

@@ -74,6 +74,28 @@ class IncrementalCcSpec extends SparkSpec {
     assert(Set(1L, 5L, 9L).forall(got(_) == 0L), s"$got")
   }
 
+  test("member-index compaction (tombstones dropped) leaves folds exact") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cc_cp").toString + "/store"
+    // two clusters, then a merge that writes tombstones into the index
+    // (5 and 9 move from keeper 5 to keeper 1)
+    IncrementalCc.mergePairs(
+      Seq((5L, 9L), (30L, 31L)).toDF("a_id", "b_id"), store).count()
+    IncrementalCc.mergePairs(Seq((1L, 5L)).toDF("a_id", "b_id"), store).count()
+    val before = KeyedStore.read(s, store + "__members").get
+    assert(before.filter(col("op_type") === "delete").count() == 2)
+    KeyedStore.compact(s, store + "__members", dropTombstones = true)
+    val after = KeyedStore.read(s, store + "__members").get
+    assert(after.filter(col("op_type") === "delete").count() == 0)
+    // a fold touching the compacted cluster still sees every member
+    val got = labs(IncrementalCc.mergePairs(
+      Seq((0L, 1L)).toDF("a_id", "b_id"), store))
+    val want = labs(Dedup.connectedComponents(
+      Seq((5L, 9L), (30L, 31L), (1L, 5L), (0L, 1L)).toDF("a_id", "b_id")))
+    assert(got == want, s"$got vs $want")
+  }
+
   test("a no-merge fold writes nothing new for existing nodes") {
     val s = spark
     import s.implicits._
