@@ -146,6 +146,51 @@ object CepStream {
           notAfter.toSet))
   }
 
+  /** One micro-batch group for [[graft.ops.Cep.patternMatchesNext]]'s
+    * automaton: stages in `nextStages` must be matched by the key's
+    * immediately following event — any other event kills the partial
+    * (and may re-open a stage-0 run). Feed it the UNFILTERED keyed
+    * stream: strict adjacency makes every event state-relevant, so
+    * unlike [[matchGroup]] there is no type pre-filter contract. */
+  def matchGroupNext(pattern: IndexedSeq[String], withinMs: Long,
+      nextStages: Set[Int])(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepState]): Iterator[CepMatch] = {
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    var s = state.getOption.getOrElse(CepState(0, 0L))
+    val out = ListBuffer.empty[CepMatch]
+    def reopen(e: CepEvent): CepState =
+      if (e.ty == pattern.head) CepState(1, e.tms) else CepState(0, 0L)
+    sorted.foreach { e =>
+      if (s.st > 0 && e.tms - s.t0 >= withinMs) s = reopen(e)
+      else if (e.ty == pattern(s.st)) {
+        val start = if (s.st == 0) e.tms else s.t0
+        if (s.st == pattern.length - 1) {
+          out += CepMatch(k, start, e.tms); s = CepState(0, 0L)
+        } else s = CepState(s.st + 1, start)
+      } else if (nextStages.contains(s.st)) s = reopen(e)
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  /** Attach the STRICT-CONTIGUITY automaton
+    * ([[graft.ops.Cep.patternMatchesNext]]) to a keyed event stream —
+    * pass the UNFILTERED stream (see [[matchGroupNext]]). */
+  def attachNext(ds: Dataset[CepEvent], pattern: Seq[String],
+      withinMs: Long, nextStages: Set[Int]): Dataset[CepMatch] = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    require(nextStages.nonEmpty,
+      "nextStages empty — use attach (pre-filtered scan)")
+    require(nextStages.forall(i => i >= 1 && i < pattern.length),
+      s"nextStages must be in 1..${pattern.length - 1}")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupNext(pattern.toIndexedSeq, withinMs, nextStages))
+  }
+
   /** Attach the automaton to a keyed event stream. Pre-filter to the
     * pattern's types before calling (the batch twin does; non-pattern
     * events never change state, they only cost shuffle). */

@@ -174,6 +174,69 @@ class CepStreamSpec extends SparkSpec {
     }
   }
 
+  // ---- strict contiguity (attachNext / patternMatchesNext) ----
+
+  private def runNext(batches: Seq[Seq[CepEvent]], pattern: Seq[String],
+      w: Long, next: Set[Int]): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[CepEvent]
+    val q = CepStream.attachNext(mem.toDS(), pattern, w, next).writeStream
+      .format("memory").queryName("cep_next_out").outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      s.table("cep_next_out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+          r.getAs[Long]("match_end")))
+        .sortBy(identity).toSeq
+    } finally q.stop()
+  }
+
+  private def batchNext(events: Seq[CepEvent], pattern: Seq[String],
+      w: Long, next: Set[Int]): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    graft.ops.Cep.patternMatchesNext(events.toDF(), col("k"), col("tms"),
+        col("oid"), col("ty"), pattern, w, next)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+  }
+
+  test("strict contiguity: an intervening event in the NEXT micro-batch kills") {
+    val vc = Seq("view", "click")
+    // the partial opens in batch 1; batch 2 leads with an error — strict
+    // adjacency must break across the boundary; the later adjacent pair
+    // matches
+    val b1 = Seq(CepEvent(1, 10, 1, "view"))
+    val b2 = Seq(CepEvent(1, 20, 2, "error"), CepEvent(1, 30, 3, "view"),
+      CepEvent(1, 40, 4, "click"))
+    val all = b1 ++ b2
+    assert(batchNext(all, vc, 1000, Set(1)) == Seq((1L, 30L, 40L)))
+    assert(runNext(Seq(b1, b2), vc, 1000, Set(1)) == Seq((1L, 30L, 40L)))
+    // contrast: adjacency held across the boundary completes
+    val c2 = Seq(CepEvent(2, 20, 5, "click"))
+    assert(runNext(Seq(Seq(CepEvent(2, 10, 6, "view")), c2), vc, 1000, Set(1))
+      == Seq((2L, 10L, 20L)))
+  }
+
+  test("strict fixture replay: batch splits equal the batch operator") {
+    val s = spark
+    import s.implicits._
+    val events = Envelopes.events(s, sfDir())
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .as[CepEvent].collect().toSeq.sortBy(e => (e.tms, e.oid))
+    val vc = Seq("view", "click")
+    val expected = batchNext(events, vc, 86400000L, Set(1))
+    assert(expected.nonEmpty)
+    for (parts <- Seq(3, 7)) {
+      val size = math.max(1, (events.length + parts - 1) / parts)
+      assert(runNext(events.grouped(size).toSeq, vc, 86400000L, Set(1))
+        == expected)
+    }
+  }
+
   test("fixture replay: any batch split equals the batch operator") {
     val s = spark
     import s.implicits._
