@@ -1074,6 +1074,53 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** CEP automaton scale probe: the keyed fold at 1× vs N× events, users
+    * REPLICATED (the way an event corpus actually grows — more keys, the
+    * same per-key history). The claims under test: wall scales with the
+    * DATA (one scan + one key shuffle + row-local folds — no cross-key
+    * anything), per-key state stays busiest-key-bounded at any corpus
+    * size, and the relaxed form's pushed type pre-filter pays (the strict
+    * form must scan every event — its wall carries the full corpus).
+    *
+    * Usage: runMain graft.tools.ScaleProbe cep [copies] */
+  def cepProbe(copies: Int): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.model.Envelopes.events(spark, "/root/testdata/sf0.1")
+      .select(col("user_id"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .localCheckpoint(true)
+    def grown(n: Int) = (0 until n).map { i =>
+      base.select((col("user_id") + lit(i * 100000000L)).as("user_id"),
+        col("tms"), col("oid"), col("ty"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val big = grown(copies)
+    println(s"CEP base=${base.count()} grown=${big.count()} (${copies}x users)")
+    for ((df, label) <- Seq((base, "1x"), (big, s"${copies}x")); rep <- 0 until 2) {
+      val t0 = System.nanoTime()
+      val m = graft.ops.Cep.patternMatches(df, col("user_id"), col("tms"),
+        col("oid"), col("ty"), Seq("view", "click", "purchase"),
+        604800000L).count()
+      val w0 = (System.nanoTime - t0) / 1e9
+      val t1 = System.nanoTime()
+      val mn = graft.ops.Cep.patternMatchesNeg(df, col("user_id"),
+        col("tms"), col("oid"), col("ty"), Seq("view", "purchase"),
+        259200000L, Map(1 -> Seq("error")), Seq("click")).count()
+      val w1 = (System.nanoTime - t1) / 1e9
+      val t2 = System.nanoTime()
+      val mx = graft.ops.Cep.patternMatchesNext(df, col("user_id"),
+        col("tms"), col("oid"), col("ty"), Seq("view", "click"),
+        86400000L, Set(1)).count()
+      val w2 = (System.nanoTime - t2) / 1e9
+      println(f"CEP $label%4s rep=$rep relaxed=$w0%5.2f s ($m matches) " +
+        f"neg=$w1%5.2f s ($mn) strict=$w2%5.2f s ($mx)")
+    }
+    graft.util.Blocks.freeCheckpoint(big)
+    graft.util.Blocks.freeCheckpoint(base)
+    spark.stop()
+  }
+
   /** denseIds two-level-ranking probe: the corpus-preparation id mint at 1×
     * vs N× documents against the global `row_number() OVER (ORDER BY …)`
     * it replaces. The claim under test: the bucketed plan's wall scales
@@ -1191,6 +1238,10 @@ object ScaleProbe {
     if (args.headOption.contains("idmint")) {
       idmintProbe(args.lift(1).map(_.toInt).getOrElse(12),
         args.lift(2).getOrElse("/tmp/graft_scale_idmint"))
+      return
+    }
+    if (args.headOption.contains("cep")) {
+      cepProbe(args.lift(1).map(_.toInt).getOrElse(5))
       return
     }
     if (args.headOption.contains("decayfold")) {

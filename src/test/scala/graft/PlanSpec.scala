@@ -371,6 +371,20 @@ class PlanSpec extends SparkSpec {
       "no global window over the key table:\n" + p.take(800))
   }
 
+  test("cep variants: negation pre-filters the widened type set; strict does NOT filter") {
+    // negation: the scan must push ONE IN over pattern ∪ banned types
+    val neg = plan("q_cep_neg")
+    assert(neg.contains("PushedFilters") && neg.contains("In(event_type"),
+      "negation scan must push the type IN:\n" + neg.take(800))
+    // strict contiguity: ANY event is state-relevant — a type filter here
+    // would silently restore relaxed semantics
+    val nxt = plan("q_cep_next")
+    assert(!nxt.contains("In(event_type"),
+      "strict scan must NOT pre-filter event types:\n" + nxt.take(800))
+    // both stay the one-key-shuffle automaton shape: no joins
+    assert(!neg.contains("Join") && !nxt.contains("Join"))
+  }
+
   test("hits: no cartesian anywhere; final hub-authority combine is an equi join") {
     // the per-half-step plans (edge join + broadcast max attach) sit behind
     // per-iteration checkpoints — the visible plan is the final combine
