@@ -184,7 +184,10 @@ object ExtQueries {
         val got = graft.streaming.IncrementalTriangles.mergeEdges(
           pairs.filter((col("a") + col("b")) % 3 === i), root.toString,
           i.toLong)
+        // the fold returns a LAZY store read — pin THIS horizon before
+        // the next fold mutates the store
         outs = outs :+ got.withColumn("bid", lit(i.toLong))
+          .localCheckpoint(true)
       }
       val res = outs.reduce(_ unionByName _)
         .select(col("bid"), col("node"), col("tri_ct"))
@@ -206,11 +209,15 @@ object ExtQueries {
         .select(col("a_id").as("a"), col("b_id").as("b"))
         .localCheckpoint(true)
       val root = java.nio.file.Files.createTempDirectory("graft_trid_q")
+      // the fold returns a LAZY store read — pin horizon 0 before the
+      // delete fold mutates the store
       val h0 = graft.streaming.IncrementalTriangles.mergeEdges(
         pairs, root.toString, 0L).withColumn("bid", lit(0L))
+        .localCheckpoint(true)
       val h1 = graft.streaming.IncrementalTriangles.deleteEdges(
         pairs.filter((col("a") + col("b")) % 3 === 0), root.toString, 1L)
         .withColumn("bid", lit(1L))
+        .localCheckpoint(true)
       val res = h0.unionByName(h1)
         .select(col("bid"), col("node"), col("tri_ct"))
         .orderBy(col("bid"), col("node"))

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Streaming triangle maintenance — `ops/Graph.triangleCounts` for a graph
   * that arrives as edge batches (the near-dup pair stream, a growing link
-  * graph): a persistent EDGE store plus a persistent per-node COUNT table,
-  * folded per batch by counting only the triangles the batch CLOSES.
+  * graph): a persistent ADJACENCY store plus a persistent per-node COUNT
+  * table, folded per batch by counting only the triangles the batch
+  * CLOSES (or, for deletions, DESTROYS).
   *
   * The increment is exact and double-count-free by an assignment
   * argument: every triangle of the grown graph either existed before
@@ -19,29 +20,77 @@ import org.apache.spark.sql.functions._
   * over all edges ever folded — verified transitively against
   * `q_triangles`' hash-proven contract in IncrementalTrianglesSpec.
   *
-  * Per-fold cost: the batch joins the stored adjacency twice (wedge build
-  * + closure legs) — O(Σ_e deg(u) + deg(v)) over batch edges, never a
-  * recount of the whole graph; the count upsert touches only credited
-  * nodes. Replay safety is the counting contract: a meta row on the
-  * count store records the high-water mark; a replayed fold returns
+  * Store access is BUCKET-PRUNED end to end (round 9 — the
+  * [[IncrementalCc]] treatment): each undirected edge is stored in BOTH
+  * orientations ((u,v) and (v,u), always in the same atomic merge),
+  * bucketed by the first endpoint, so a fold's two adjacency needs —
+  * the wedge legs out of each batch edge's endpoints, and the
+  * already-present check on the canonical row — both live in the batch
+  * endpoints' buckets. The count store is bucketed by node and read
+  * pruned to the credited nodes + the meta row; the updated full count
+  * table is returned as a LAZY store read. A fold therefore costs
+  * O(batch-endpoint buckets) file reads at ANY graph size, where the
+  * previous layout re-scanned the whole edge table per fold.
+  *
+  * Per-fold join cost: the batch joins the pruned adjacency twice (wedge
+  * build + closure legs) — O(Σ_e deg(u) + deg(v)) over batch edges,
+  * never a recount of the whole graph; the count upsert touches only
+  * credited nodes. Replay safety is the counting contract: a meta row on
+  * the count store records the high-water mark; a replayed fold returns
   * current counts untouched.
   *
-  * State: the edge set (the graph itself — irreducible for exact
-  * maintenance) + O(nodes) counts. */
+  * State: the adjacency (2 rows per live edge — the graph itself,
+  * irreducible for exact maintenance) + O(nodes) counts. */
 object IncrementalTriangles {
 
   private def edgePath(root: String) = s"$root/edges"
   private def countPath(root: String) = s"$root/counts"
+  /** Meta sentinel node in the count store (kind disambiguates). */
+  private val MetaNode = -1L
 
-  private def liveCounts(spark: SparkSession, root: String): DataFrame =
-    KeyedStore.read(spark, countPath(root))
+  /** Count-store rows pruned to `nodes`' buckets + the meta bucket;
+    * tombstones (zero-count nodes) dropped. */
+  private def prunedCounts(spark: SparkSession, root: String,
+      nodes: DataFrame): Option[DataFrame] = {
+    val probe = nodes.select(col("node"))
+      .unionByName(spark.range(1).select(lit(MetaNode).as("node")))
+    KeyedStore.readPruned(spark, countPath(root), probe)
       .map(_.filter(col("op_type") =!= "delete")
         .select(col("kind"), col("node"), col("tri_ct"), col("ver")))
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[(String, Long, Long, Long)]
-          .toDF("kind", "node", "tri_ct", "ver")
-      }
+  }
+
+  /** The count store's high-water mark, a pruned one-bucket read. */
+  private def hwm(spark: SparkSession, root: String): Option[Long] = {
+    import spark.implicits._
+    KeyedStore.readPruned(spark, countPath(root),
+        Seq(MetaNode).toDF("node"))
+      .flatMap(_.filter(col("kind") === "m").select(col("ver"))
+        .collect().headOption.map(_.getLong(0)))
+  }
+
+  private def canonical(batch: DataFrame): DataFrame = batch.select(
+      least(col("a").cast("long"), col("b").cast("long")).as("u"),
+      greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
+    .filter(col("u") =!= col("v")).distinct()
+
+  private def bothDirs(df: DataFrame): DataFrame =
+    df.select(col("u"), col("v"))
+      .unionByName(df.select(col("v").as("u"), col("u").as("v")))
+
+  /** Upsert the credit/debit rows + meta, then return the LAZY full
+    * count table (the [[IncrementalCc]] idiom — callers that outlive the
+    * store checkpoint at the call site). `changed` rows carry
+    * (kind, node, tri_ct, ver, op_type). */
+  private def commitCounts(spark: SparkSession, root: String,
+      changed: DataFrame, batchId: Long, numBuckets: Int): DataFrame = {
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaNode).as("node"), lit(0L).as("tri_ct"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(changed.unionByName(metaRow), countPath(root),
+      keys = Seq("kind", "node"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("node"))
+    readCounts(spark, root)
+  }
 
   /** Fold one batch of undirected edges (a, b) into the stores at
     * `storeRoot` and return the updated per-node triangle counts
@@ -49,46 +98,41 @@ object IncrementalTriangles {
   def mergeEdges(batch: DataFrame, storeRoot: String, batchId: Long,
       numBuckets: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val counts = liveCounts(spark, storeRoot).localCheckpoint(true)
-    val meta = counts.filter(col("kind") === "m").select(col("ver")).collect()
-    val cur = counts.filter(col("kind") === "v")
-      .select(col("node"), col("tri_ct"))
-    if (meta.exists(m => batchId <= m.getLong(0))) {
-      val out = cur.localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(counts)
-      return out
-    }
-    // CRASH SAFETY across the two stores: edge rows carry their fold's
-    // ver, and `fresh` is derived against STRICTLY-OLDER edges only. A
-    // crash between the edge merge and the count merge leaves this
-    // batch's edges persisted at ver == batchId with the count HWM not
-    // advanced; the replay then re-derives the identical fresh set from
-    // the batch argument (ignoring the ver == batchId leftovers), re-runs
-    // the same increment, and the idempotent edge re-merge rewrites the
-    // same rows — no triangle is ever lost or double-credited.
-    val stored = KeyedStore.read(spark, edgePath(storeRoot))
+    if (hwm(spark, storeRoot).exists(batchId <= _))
+      return readCounts(spark, storeRoot) // replay: counts are post-batch
+    val canon = canonical(batch).localCheckpoint(true)
+    // CRASH SAFETY across the two stores: adjacency rows carry their
+    // fold's ver, and `fresh` is derived against STRICTLY-OLDER rows
+    // only. A crash between the adjacency merge and the count merge
+    // leaves this batch's rows persisted at ver == batchId with the
+    // count HWM not advanced; the replay then re-derives the identical
+    // fresh set from the batch argument (ignoring the ver == batchId
+    // leftovers), re-runs the same increment, and the idempotent
+    // adjacency re-merge rewrites the same rows — no triangle is ever
+    // lost or double-credited.
+    // ONE pruned read (batch endpoints' buckets) serves both needs: the
+    // already-present check (the canonical row lives in bucket(u)) and
+    // the wedge adjacency out of u and v.
+    val probe = bothDirs(canon).select(col("u")).distinct()
+    val stored = KeyedStore.readPruned(spark, edgePath(storeRoot), probe)
       .map(_.filter(col("ver") < batchId && col("op_type") =!= "delete")
-        .select(col("u"), col("v")))
-    val canon = batch.select(
-        least(col("a").cast("long"), col("b").cast("long")).as("u"),
-        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+        .select(col("u"), col("v")).localCheckpoint(true))
     // only edges the graph lacks can close new triangles
     val fresh = (stored match {
-      case Some(s) => canon.join(s, Seq("u", "v"), "left_anti")
+      case Some(s) => canon.join(s.filter(col("u") < col("v")),
+        Seq("u", "v"), "left_anti")
       case None => canon
     }).localCheckpoint(true)
-    // adjacency of the GROWN graph, both directions, with each edge's
+    // adjacency of the GROWN graph restricted to the batch endpoints —
+    // exactly the rows the wedge legs can touch — with each edge's
     // (new?, canonical key) for the largest-new-edge assignment
-    val all = (stored match {
+    val adj = (stored match {
       case Some(s) => s.withColumn("is_new", lit(false)).unionByName(
-        fresh.withColumn("is_new", lit(true)))
-      case None => fresh.withColumn("is_new", lit(true))
-    }).withColumn("key", struct(col("u"), col("v")))
-    val adj = all.select(col("u").as("x"), col("v").as("y"),
-        col("is_new"), col("key"))
-      .unionByName(all.select(col("v").as("x"), col("u").as("y"),
-        col("is_new"), col("key")))
+        bothDirs(fresh).withColumn("is_new", lit(true)))
+      case None => bothDirs(fresh).withColumn("is_new", lit(true))
+    }).select(col("u").as("x"), col("v").as("y"), col("is_new"),
+      struct(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")).as("key"))
     val e = fresh.withColumn("ekey", struct(col("u"), col("v")))
     def leg(side: String) = adj.select(
       col("x").as(s"${side}_x"), col("y").as(s"${side}_y"),
@@ -103,28 +147,30 @@ object IncrementalTriangles {
     val credits = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("credit"))
-    val changed = credits
-      .join(cur, Seq("node"), "left_outer")
-      .select(lit("v").as("kind"), col("node"),
+      .localCheckpoint(true)
+    // current counts of ONLY the credited nodes (pruned read)
+    val cur = prunedCounts(spark, storeRoot, credits)
+      .map(_.filter(col("kind") === "v")
+        .join(credits, Seq("node"), "left_semi")
+        .select(col("node"), col("tri_ct")))
+    val changed = (cur match {
+      case Some(c) => credits.join(c, Seq("node"), "left_outer")
+      case None => credits.withColumn("tri_ct", lit(null).cast("long"))
+    }).select(lit("v").as("kind"), col("node"),
         (coalesce(col("tri_ct"), lit(0L)) + col("credit")).as("tri_ct"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
       .localCheckpoint(true) // pin BEFORE the merges mutate the stores
     KeyedStore.merge(
-      fresh.withColumn("ver", lit(batchId)).withColumn("op_type", lit("put")),
+      bothDirs(fresh).withColumn("ver", lit(batchId))
+        .withColumn("op_type", lit("put")),
       edgePath(storeRoot), keys = Seq("u", "v"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
-    val metaRow = spark.range(1).select(lit("m").as("kind"),
-      lit(-1L).as("node"), lit(0L).as("tri_ct"), lit(batchId).as("ver"),
-      lit("put").as("op_type"))
-    KeyedStore.merge(changed.unionByName(metaRow), countPath(storeRoot),
-      keys = Seq("kind", "node"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
-    val out = cur.join(changed.select(col("node")), Seq("node"), "left_anti")
-      .unionByName(changed.select(col("node"), col("tri_ct")))
-      .localCheckpoint(true)
-    graft.util.Blocks.freeCheckpoint(counts)
-    graft.util.Blocks.freeCheckpoint(fresh)
+      numBuckets = numBuckets, bucketCols = Seq("u"))
+    val out = commitCounts(spark, storeRoot, changed, batchId, numBuckets)
     graft.util.Blocks.freeCheckpoint(changed)
+    graft.util.Blocks.freeCheckpoint(credits)
+    graft.util.Blocks.freeCheckpoint(fresh)
+    stored.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(canon)
     out
   }
 
@@ -145,48 +191,40 @@ object IncrementalTriangles {
     * monotone caller sequence across adds and deletes).
     *
     * Crash safety mirrors the add path: deletes derive the PRE-deletion
-    * adjacency as `strictly-older live edges ∪ this fold's own
-    * tombstones` — a tombstone committed at `ver == batchId` replaced an
-    * edge that was live before this fold (the live-only filter above
+    * adjacency as `strictly-older live rows ∪ this fold's own
+    * tombstones` — a tombstone committed at `ver == batchId` replaced a
+    * row that was live before this fold (the live-only filter above
     * guarantees tombstones are only ever written over live edges), so a
     * replay after a crash between the two merges reconstructs the same
     * removed set and the same debits. */
   def deleteEdges(batch: DataFrame, storeRoot: String, batchId: Long,
       numBuckets: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val counts = liveCounts(spark, storeRoot).localCheckpoint(true)
-    val meta = counts.filter(col("kind") === "m").select(col("ver")).collect()
-    val cur = counts.filter(col("kind") === "v")
-      .select(col("node"), col("tri_ct"))
-    if (meta.exists(m => batchId <= m.getLong(0))) {
-      val out = cur.localCheckpoint(true)
-      graft.util.Blocks.freeCheckpoint(counts)
-      return out
-    }
-    val pre = KeyedStore.read(spark, edgePath(storeRoot))
+    if (hwm(spark, storeRoot).exists(batchId <= _))
+      return readCounts(spark, storeRoot)
+    val canon = canonical(batch).localCheckpoint(true)
+    val probe = bothDirs(canon).select(col("u")).distinct()
+    val pre = KeyedStore.readPruned(spark, edgePath(storeRoot), probe)
       .map(_.filter(
           (col("ver") < batchId && col("op_type") =!= "delete") ||
           (col("ver") === batchId && col("op_type") === "delete"))
-        .select(col("u"), col("v")))
-    val canon = batch.select(
-        least(col("a").cast("long"), col("b").cast("long")).as("u"),
-        greatest(col("a").cast("long"), col("b").cast("long")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+        .select(col("u"), col("v")).localCheckpoint(true))
     // only live edges can be removed (and thus destroy triangles)
     val rm = (pre match {
-      case Some(p) => canon.join(p, Seq("u", "v"), "left_semi")
+      case Some(p) => canon.join(p.filter(col("u") < col("v")),
+        Seq("u", "v"), "left_semi")
       case None => canon.limit(0)
     }).localCheckpoint(true)
-    // pre-deletion adjacency, each edge flagged removed-or-surviving
-    val all = pre.getOrElse(rm)
-      .join(rm.withColumn("__rm", lit(true)), Seq("u", "v"), "left_outer")
-      .select(col("u"), col("v"),
-        coalesce(col("__rm"), lit(false)).as("is_rm"),
-        struct(col("u"), col("v")).as("key"))
-    val adj = all.select(col("u").as("x"), col("v").as("y"),
-        col("is_rm"), col("key"))
-      .unionByName(all.select(col("v").as("x"), col("u").as("y"),
-        col("is_rm"), col("key")))
+    // pre-deletion adjacency around the removed endpoints, each edge
+    // flagged removed-or-surviving via its canonical key
+    val rmKeys = rm.select(struct(col("u"), col("v")).as("key"))
+    val adj = pre.getOrElse(bothDirs(rm))
+      .select(col("u").as("x"), col("v").as("y"),
+        struct(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v")).as("key"))
+      .join(rmKeys.withColumn("__rm", lit(true)), Seq("key"), "left_outer")
+      .select(col("x"), col("y"),
+        coalesce(col("__rm"), lit(false)).as("is_rm"), col("key"))
     val e = rm.withColumn("ekey", struct(col("u"), col("v")))
     def leg(side: String) = adj.select(
       col("x").as(s"${side}_x"), col("y").as(s"${side}_y"),
@@ -201,37 +239,43 @@ object IncrementalTriangles {
     val debits = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("debit"))
-    val changed = debits
-      .join(cur, Seq("node"), "left_outer")
-      .select(lit("v").as("kind"), col("node"),
+      .localCheckpoint(true)
+    val cur = prunedCounts(spark, storeRoot, debits)
+      .map(_.filter(col("kind") === "v")
+        .join(debits, Seq("node"), "left_semi")
+        .select(col("node"), col("tri_ct")))
+    val changed = (cur match {
+      case Some(c) => debits.join(c, Seq("node"), "left_outer")
+      case None => debits.withColumn("tri_ct", lit(null).cast("long"))
+    }).select(lit("v").as("kind"), col("node"),
         (coalesce(col("tri_ct"), lit(0L)) - col("debit")).as("tri_ct"),
         lit(batchId).as("ver"),
         when(coalesce(col("tri_ct"), lit(0L)) - col("debit") <= 0,
           lit("delete")).otherwise(lit("put")).as("op_type"))
       .localCheckpoint(true) // pin BEFORE the merges mutate the stores
     KeyedStore.merge(
-      rm.withColumn("ver", lit(batchId)).withColumn("op_type", lit("delete")),
+      bothDirs(rm).withColumn("ver", lit(batchId))
+        .withColumn("op_type", lit("delete")),
       edgePath(storeRoot), keys = Seq("u", "v"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
-    val metaRow = spark.range(1).select(lit("m").as("kind"),
-      lit(-1L).as("node"), lit(0L).as("tri_ct"), lit(batchId).as("ver"),
-      lit("put").as("op_type"))
-    KeyedStore.merge(changed.unionByName(metaRow), countPath(storeRoot),
-      keys = Seq("kind", "node"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
-    val out = cur.join(changed.select(col("node")), Seq("node"), "left_anti")
-      .unionByName(changed.filter(col("op_type") === "put")
-        .select(col("node"), col("tri_ct")))
-      .localCheckpoint(true)
-    graft.util.Blocks.freeCheckpoint(counts)
-    graft.util.Blocks.freeCheckpoint(rm)
+      numBuckets = numBuckets, bucketCols = Seq("u"))
+    val out = commitCounts(spark, storeRoot, changed, batchId, numBuckets)
     graft.util.Blocks.freeCheckpoint(changed)
+    graft.util.Blocks.freeCheckpoint(debits)
+    graft.util.Blocks.freeCheckpoint(rm)
+    pre.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(canon)
     out
   }
 
   /** The current per-node counts without folding (nodes with ≥ 1
-    * triangle; zero-count nodes are representable but never written). */
+    * triangle; zero-count nodes are tombstoned, never listed) — a lazy
+    * store read. */
   def readCounts(spark: SparkSession, storeRoot: String): DataFrame =
-    liveCounts(spark, storeRoot).filter(col("kind") === "v")
-      .select(col("node"), col("tri_ct"))
+    KeyedStore.read(spark, countPath(storeRoot))
+      .map(_.filter(col("kind") === "v" && col("op_type") =!= "delete")
+        .select(col("node"), col("tri_ct")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("node", "tri_ct")
+      }
 }

@@ -1074,6 +1074,50 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** IncrementalTriangles sparse-fold flatness probe: single-edge add and
+    * delete folds against a SMALL (30 k-edge) and a LARGE (1 M-edge, 64
+    * buckets) adjacency store. The round-9 endpoint-bucketed layout reads
+    * only the batch endpoints' buckets, so the sparse wall must NOT track
+    * the graph — the previous layout re-scanned the whole edge table per
+    * fold. Folds are timed to the merge commit (the returned count table
+    * is a lazy read — the caller's cost, not the fold's).
+    *
+    * Usage: runMain graft.tools.ScaleProbe trifold [storeRoot] */
+  def trifoldProbe(storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    import spark.implicits._
+    def ring(n: Long, base: Long) = spark.range(n)
+      .select((col("id") + base).as("a"),
+        (((col("id") + 1) % n) + base).as("b"))
+    for ((n, label, root) <- Seq(
+        (30000L, "30k", s"$storeRoot/small"),
+        (1000000L, "1M", s"$storeRoot/big"))) {
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalTriangles.mergeEdges(
+        ring(n, 0L), root, 0L, numBuckets = 64)
+      println(f"TRIFOLD $label bootstrap(${n} edges)=${(System.nanoTime - t0) / 1e9}%5.1f s")
+      for (i <- 1 to 3) {
+        // close one triangle per fold: edge (3i, 3i+2) over ring edges;
+        // batch ids stay monotone across the add/delete interleave
+        val t1 = System.nanoTime()
+        graft.streaming.IncrementalTriangles.mergeEdges(
+          Seq((3L * i, 3L * i + 2)).toDF("a", "b"), root, 2L * i - 1,
+          numBuckets = 64)
+        val wAdd = (System.nanoTime - t1) / 1e9
+        val t2 = System.nanoTime()
+        graft.streaming.IncrementalTriangles.deleteEdges(
+          Seq((3L * i, 3L * i + 2)).toDF("a", "b"), root, 2L * i,
+          numBuckets = 64)
+        val wDel = (System.nanoTime - t2) / 1e9
+        println(f"TRIFOLD $label sparse=$i add=$wAdd%5.2f s del=$wDel%5.2f s (1 edge)")
+      }
+    }
+    spark.stop()
+  }
+
   /** CEP automaton scale probe: the keyed fold at 1× vs N× events, users
     * REPLICATED (the way an event corpus actually grows — more keys, the
     * same per-key history). The claims under test: wall scales with the
@@ -1242,6 +1286,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("cep")) {
       cepProbe(args.lift(1).map(_.toInt).getOrElse(5))
+      return
+    }
+    if (args.headOption.contains("trifold")) {
+      trifoldProbe(args.lift(1).getOrElse("/tmp/graft_scale_trifold"))
       return
     }
     if (args.headOption.contains("decayfold")) {

@@ -92,10 +92,11 @@ class IncrementalTrianglesSpec extends SparkSpec {
     val root = Files.createTempDirectory("inc_tri_delcw").toString
     val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
     IncrementalTriangles.mergeEdges(base.toDF("a", "b"), root, 0L).count()
-    // simulate the crash window: tombstones committed at ver = 1 but the
-    // count merge (and its HWM) lost — written straight to the edge store
+    // simulate the crash window: tombstones committed at ver = 1 (both
+    // orientations — the real merge is atomic) but the count merge (and
+    // its HWM) lost — written straight to the edge store
     KeyedStore.merge(
-      Seq((1L, 3L)).toDF("u", "v")
+      Seq((1L, 3L), (3L, 1L)).toDF("u", "v")
         .withColumn("ver", lit(1L)).withColumn("op_type", lit("delete")),
       s"$root/edges", keys = Seq("u", "v"), seqCols = Seq("ver"),
       numBuckets = 4)
@@ -114,10 +115,11 @@ class IncrementalTrianglesSpec extends SparkSpec {
     val b0 = Seq((1L, 2L), (2L, 3L))
     val b1 = Seq((1L, 3L), (3L, 4L)) // closes triangle {1,2,3}
     IncrementalTriangles.mergeEdges(b0.toDF("a", "b"), root, 0L)
-    // simulate the crash window: batch 1's edges are persisted at ver=1
-    // but the count store's high-water mark never advanced
+    // simulate the crash window: batch 1's adjacency rows (both
+    // orientations) are persisted at ver=1 but the count store's
+    // high-water mark never advanced
     KeyedStore.merge(
-      b1.map { case (a, b) => (a, b, 1L, "put") }
+      b1.flatMap { case (a, b) => Seq((a, b, 1L, "put"), (b, a, 1L, "put")) }
         .toDF("u", "v", "ver", "op_type"),
       s"$root/edges", keys = Seq("u", "v"), seqCols = Seq("ver"))
     // the replayed fold must still credit the closed triangle
