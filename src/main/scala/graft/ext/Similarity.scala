@@ -676,16 +676,21 @@ object Similarity {
     * [[graft.streaming.IncrementalIvf.search]] (parts read from the
     * persistent index), so the two paths cannot drift by construction.
     * @param cent0 (c_label, centroid)   @param labels (vec_id, label) */
-  private[graft] def ivfPqCore(queries: DataFrame, cent0: DataFrame,
-      labels: DataFrame, books: DataFrame, codes: DataFrame, m: Int,
-      topK: Int, nProbe: Int): DataFrame = {
-    require(m >= 1 && topK >= 1 && nProbe >= 1,
-      s"need m, topK, nProbe >= 1, got ($m, $topK, $nProbe)")
+  /** The probe stage alone: each query's `nProbe` nearest coarse cells by
+    * centroid cosine (ties by label) as (__pq = query_id, c_label) pairs.
+    * Split out so a store-backed caller can derive the probed CELL SET
+    * before reading any code rows — the readPruned key — from the exact
+    * expressions the scoring core uses (pass the result back via
+    * `probes`; recomputing would be identical anyway, same plan over the
+    * same data, but sharing the frame makes the no-drift argument
+    * structural). */
+  private[graft] def probePairs(queries: DataFrame, cent0: DataFrame,
+      nProbe: Int): DataFrame = {
     val cent = cent0.withColumn("cent_nrm",
       sqrt(dotF(col("centroid"), col("centroid"))))
     val qn = queries.select(col("query_id"), col("embedding"),
       sqrt(dotF(col("embedding"), col("embedding"))).as("q_nrm"))
-    val probes = qn.crossJoin(broadcast(cent))
+    qn.crossJoin(broadcast(cent))
       .select(col("query_id"), col("c_label"),
         (dotF(col("embedding"), col("centroid")) /
           (col("q_nrm") * col("cent_nrm"))).as("c_sim"))
@@ -693,6 +698,15 @@ object Similarity {
         .partitionBy(col("query_id")).orderBy(col("c_sim").desc, col("c_label"))))
       .filter(col("c_rank") <= nProbe)
       .select(col("query_id").as("__pq"), col("c_label"))
+  }
+
+  private[graft] def ivfPqCore(queries: DataFrame, cent0: DataFrame,
+      labels: DataFrame, books: DataFrame, codes: DataFrame, m: Int,
+      topK: Int, nProbe: Int,
+      probesOpt: Option[DataFrame] = None): DataFrame = {
+    require(m >= 1 && topK >= 1 && nProbe >= 1,
+      s"need m, topK, nProbe >= 1, got ($m, $topK, $nProbe)")
+    val probes = probesOpt.getOrElse(probePairs(queries, cent0, nProbe))
     val dt = pqSubRows(queries, "query_id", m)
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),

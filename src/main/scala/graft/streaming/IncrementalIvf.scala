@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *   - CODE rows (vec_id, sub, label, code): the batch PQ-encoded against
   *     the frozen books ([[graft.ext.Similarity.pqEncode]] is row-local
   *     per vector, so per-batch encoding is trivially identical to
-  *     whole-corpus encoding) — append-only, keyed (vec_id, sub);
+  *     whole-corpus encoding) — append-only, keyed (label, vec_id, sub)
+  *     and BUCKETED BY CELL, the posting-list layout that lets [[search]]
+  *     read only the probed cells' buckets;
   *   - CENTROID-SUM rows (label, pos, csum): the batch's exact
   *     decimal component sums ADDED into the stored sums at (37,10)
   *     operand precision (so the add resolves to an exact (38,10) —
@@ -79,9 +81,13 @@ object IncrementalIvf {
         col("sub").cast("long").as("sub"),
         col("label").cast("long").as("label"), col("code").cast("long").as("code"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
+    // codes BUCKET BY CELL: a vec's label is frozen at fold time (each
+    // vec folds once against frozen books), so (vec_id, sub) stays unique
+    // under the widened key and search can read ONLY the probed cells'
+    // buckets — the posting-list layout every deployed IVF index uses
     KeyedStore.merge(rows, s"$storePath/codes",
-      keys = Seq("vec_id", "sub"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
+      keys = Seq("label", "vec_id", "sub"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("label"))
   }
 
   /** Fold one micro-batch (vec_id, embedding, label) into the index at
@@ -159,12 +165,26 @@ object IncrementalIvf {
   /** ADC top-k retrieval against the STORED index — bit-identical to
     * [[graft.ext.Similarity.ivfPqTopK]] over the concatenated indexed
     * history with the same frozen `books` (shared core + exact stored
-    * sums; see object doc). The scan reads code rows of the probed cells
-    * only — at no point does a float vector of the corpus load. */
+    * sums; see object doc). The code read is BUCKET-PRUNED to the probed
+    * cells: the probe stage runs first off the (labels·dim)-sized stats
+    * store, its cell set (query-batch · nProbe bounded) prunes the
+    * corpus-sized code store to the probed cells' buckets, and the SAME
+    * probe frame feeds the scoring core — selection cannot drift. At no
+    * point does a float vector of the corpus load, and at no point does
+    * the full code table scan. */
   def search(spark: SparkSession, storePath: String, queries: DataFrame,
       books: DataFrame, m: Int = 4, topK: Int = 10,
       nProbe: Int = 2): DataFrame = {
-    val codes = KeyedStore.read(spark, s"$storePath/codes")
+    // g back to numeric — the probe tie-break must order labels as the
+    // batch path does (see mergeCodes)
+    val cent0 = graft.ext.Similarity.centroidsOf(
+      statsLive(spark, s"$storePath/stats").filter(col("kind") === "s")
+        .select(col("g").cast("long").as("label"), col("pos"),
+          col("csum").as("cv")))
+    val probes = graft.ext.Similarity.probePairs(queries, cent0, nProbe)
+      .localCheckpoint(true)
+    val cells = probes.select(col("c_label").as("label")).distinct()
+    val codes = KeyedStore.readPruned(spark, s"$storePath/codes", cells)
       .map(_.filter(col("op_type") =!= "delete")
         // sub pivots against the literal 0..m-1 INT grid in the shared
         // core — hand it back at the batch path's exact type
@@ -174,16 +194,15 @@ object IncrementalIvf {
         spark.range(0).select(lit(0L).as("vec_id"), lit(0).as("sub"),
           lit("").as("label"), lit(0).as("code"))
       }
-    // g back to numeric — the probe tie-break must order labels as the
-    // batch path does (see mergeCodes)
-    val cent0 = graft.ext.Similarity.centroidsOf(
-      statsLive(spark, s"$storePath/stats").filter(col("kind") === "s")
-        .select(col("g").cast("long").as("label"), col("pos"),
-          col("csum").as("cv")))
     val labels = codes.filter(col("sub") === 0)
       .select(col("vec_id"), col("label"))
-    graft.ext.Similarity.ivfPqCore(queries, cent0, labels, books,
+    val out = graft.ext.Similarity.ivfPqCore(queries, cent0, labels, books,
       codes.select(col("vec_id"), col("sub"), col("code")), m, topK,
-      nProbe)
+      nProbe, probesOpt = Some(probes))
+    // the result is consumed lazily by callers — pin it before freeing
+    // the probe frame its plan references
+    val pinned = out.localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(probes)
+    pinned
   }
 }
