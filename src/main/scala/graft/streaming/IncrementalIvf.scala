@@ -181,8 +181,11 @@ object IncrementalIvf {
       statsLive(spark, s"$storePath/stats").filter(col("kind") === "s")
         .select(col("g").cast("long").as("label"), col("pos"),
           col("csum").as("cv")))
+    // lazy on purpose: readPruned's bucket selection materializes the
+    // cell set once, and the scoring plan re-derives the same pairs from
+    // the same deterministic expressions — a checkpoint here would hide
+    // the search plan behind an RDD scan (PlanSpec reads it)
     val probes = graft.ext.Similarity.probePairs(queries, cent0, nProbe)
-      .localCheckpoint(true)
     val cells = probes.select(col("c_label").as("label")).distinct()
     val codes = KeyedStore.readPruned(spark, s"$storePath/codes", cells)
       .map(_.filter(col("op_type") =!= "delete")
@@ -196,13 +199,8 @@ object IncrementalIvf {
       }
     val labels = codes.filter(col("sub") === 0)
       .select(col("vec_id"), col("label"))
-    val out = graft.ext.Similarity.ivfPqCore(queries, cent0, labels, books,
+    graft.ext.Similarity.ivfPqCore(queries, cent0, labels, books,
       codes.select(col("vec_id"), col("sub"), col("code")), m, topK,
       nProbe, probesOpt = Some(probes))
-    // the result is consumed lazily by callers — pin it before freeing
-    // the probe frame its plan references
-    val pinned = out.localCheckpoint(true)
-    graft.util.Blocks.freeCheckpoint(probes)
-    pinned
   }
 }
