@@ -87,54 +87,86 @@ object Cep {
         col("m.s").as("start_tms"), col("m.e").as("end_tms"))
   }
 
-  /** [[patternMatches]] with STRICT CONTIGUITY — Flink-CEP's `next`, the
-    * third pattern primitive (begin/followedBy/notFollowedBy being the
-    * others): stages in `nextStages` must be matched by the key's
-    * IMMEDIATELY following event, so ANY intervening event — pattern-typed
-    * or not — kills the partial (the killing event may itself re-open a
-    * stage-0 partial; relaxed stages keep [[patternMatches]]' ignore
-    * semantics). Same timeout convention (span >= withinMs abandons).
+  /** [[patternMatches]] with STRICT CONTIGUITY — Flink-CEP's `next` and
+    * `notNext`, completing the primitive set (begin/followedBy/
+    * notFollowedBy being the others):
     *
-    * Cost model is the semantic price of strictness: the scan CANNOT
-    * pre-filter to pattern types (a non-pattern event breaks adjacency,
-    * so it must reach the fold) — each key folds over its FULL event
-    * sequence, where the relaxed operator folds over its pattern events
-    * only. Use relaxed stages wherever the query allows.
+    *   - stages in `nextStages` must be matched by the key's IMMEDIATELY
+    *     following event, so ANY intervening event — pattern-typed or not
+    *     — kills the partial (the killing event may itself re-open a
+    *     stage-0 partial; relaxed stages keep [[patternMatches]]' ignore
+    *     semantics);
+    *   - `notNext(i)` bans types from the IMMEDIATELY-following slot
+    *     after stage i−1 matched: a banned very-next event kills the
+    *     partial, any OTHER very-next event discharges the ban and the
+    *     run continues waiting (relaxed) for stage i — Flink's
+    *     `A.notNext(B).followedBy(C)`. The ban is checked before the
+    *     stage advance (negation guards the slot), and is meaningless on
+    *     a strict stage (strict already kills every non-match) — the two
+    *     sets must be disjoint.
+    *
+    * Same timeout convention (span >= withinMs abandons). Cost model is
+    * the semantic price of strictness: the scan CANNOT pre-filter to
+    * pattern types (any event breaks adjacency / consumes the notNext
+    * slot, so it must reach the fold) — each key folds over its FULL
+    * event sequence, where the relaxed operator folds over its pattern
+    * events only. Use relaxed stages wherever the query allows.
     *
     * @param nextStages stage indices (1..pattern.length-1) whose match
     *                   must be strictly adjacent to the previous stage's
+    * @param notNext    stage index (1..pattern.length-1) → types banned
+    *                   from the slot immediately after stage i−1's match
     * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
     *         contract */
   def patternMatchesNext(df: DataFrame, keyCol: Column, tsMsCol: Column,
       ordCol: Column, typeCol: Column, pattern: Seq[String],
-      withinMs: Long, nextStages: Set[Int]): DataFrame = {
+      withinMs: Long, nextStages: Set[Int],
+      notNext: Map[Int, Seq[String]] = Map.empty): DataFrame = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
-    require(nextStages.nonEmpty,
-      "nextStages empty — use patternMatches (pre-filtered scan)")
+    require(nextStages.nonEmpty || notNext.nonEmpty,
+      "no strict stages and no notNext bans — use patternMatches " +
+        "(pre-filtered scan) or patternMatchesNeg")
     require(nextStages.forall(i => i >= 1 && i < pattern.length),
       s"nextStages must be in 1..${pattern.length - 1}")
+    require(notNext.keys.forall(i => i >= 1 && i < pattern.length),
+      s"notNext stages must be in 1..${pattern.length - 1}")
+    require(notNext.keySet.intersect(nextStages).isEmpty,
+      "a stage cannot be both strict and notNext-banned — strict " +
+        "already kills every non-matching very-next event")
     val last = pattern.length - 1
     val stageMatch = pattern.zipWithIndex
       .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
       .mkString("CASE ", " ", " ELSE false END")
     val start = "IF(acc.st = 0, e.tms, acc.t0)"
+    // 'fr' = stage just matched, no event consumed since (the notNext slot)
     val emit = s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
+      s"'fr', false, " +
       s"'ms', array_append(acc.ms, named_struct('s', $start, 'e', e.tms)))"
     val advance = s"CASE WHEN acc.st = $last THEN $emit " +
-      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'ms', acc.ms) END"
+      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'fr', true, " +
+      s"'ms', acc.ms) END"
     val reopen = s"IF(e.ty = ${esc(pattern.head)}, " +
-      s"named_struct('st', 1, 't0', e.tms, 'ms', acc.ms), " +
-      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'ms', acc.ms))"
-    val strictBreak = s"acc.st IN (${nextStages.toSeq.sorted.mkString(", ")})"
+      s"named_struct('st', 1, 't0', e.tms, 'fr', true, 'ms', acc.ms), " +
+      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'fr', false, " +
+      s"'ms', acc.ms))"
+    val strictBreak =
+      if (nextStages.isEmpty) "false"
+      else s"acc.st IN (${nextStages.toSeq.sorted.mkString(", ")})"
+    val notNextKills = notNext.toSeq.sortBy(_._1).map { case (i, ts) =>
+      s"WHEN acc.fr AND acc.st = $i AND " +
+        s"e.ty IN (${ts.map(esc).mkString(", ")}) THEN $reopen"
+    }.mkString(" ")
     val fold = s"""aggregate(evs,
-      named_struct('st', 0, 't0', CAST(0 AS BIGINT),
+      named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'fr', false,
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
       (acc, e) -> CASE
         WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN $reopen
+        $notNextKills
         WHEN $stageMatch THEN $advance
         WHEN $strictBreak THEN $reopen
-        ELSE acc END,
+        ELSE named_struct('st', acc.st, 't0', acc.t0, 'fr', false,
+          'ms', acc.ms) END,
       acc -> acc.ms)"""
     // NO type pre-filter: strict adjacency makes every event of the key
     // state-relevant (P = 1 degenerates to no strict stages — rejected)

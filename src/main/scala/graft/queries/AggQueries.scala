@@ -161,6 +161,21 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // CEP with STRICT NEGATION (Flink-CEP notNext): every view→purchase
+    // run (relaxed wait, 3 days) where the event IMMEDIATELY after the
+    // view — of ANY type, hence the unfiltered scan — is not an error;
+    // any other very-next event discharges the ban. Oracle = the same
+    // automaton with the fresh-slot flag over the unfiltered sequence.
+    "q_cep_notnext" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesNext(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"), Seq("view", "purchase"),
+          withinMs = 259200000L, nextStages = Set.empty,
+          notNext = Map(1 -> Seq("error")))
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
     // view→purchase run per user with NO error between them and NO click
     // in the three days after the view — the pending match emits when its
@@ -372,6 +387,56 @@ object AggQueries {
         |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
         |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 86400000 AND e.ty = 'click'
         |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
+
+    // The notNext automaton over the UNFILTERED event sequence: the
+    // fresh-slot flag (fr) marks "view just matched, next event decides";
+    // an error there kills, anything else discharges the ban (fr drops to
+    // false) and the run keeps waiting relaxed for the purchase.
+    "q_cep_notnext" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events)),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0, false AS fr,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.fr AND r.st = 1 AND e.ty = 'error' THEN 0
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st = 1 AND e.ty = 'purchase' THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.fr AND r.st = 1 AND e.ty = 'error' THEN CAST(0 AS BIGINT)
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 1 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 259200000
+        |           THEN e.ty = 'view'
+        |         WHEN r.fr AND r.st = 1 AND e.ty = 'error' THEN false
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN true
+        |         WHEN r.st = 1 AND e.ty = 'purchase' THEN false
+        |         ELSE false END AS fr,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 259200000
+        |              AND e.ty = 'purchase' THEN r.t0
+        |         ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 259200000
+        |              AND e.ty = 'purchase' THEN e.tms
+        |         ELSE CAST(NULL AS BIGINT) END AS m_e
         |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
         |SELECT user_id,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)

@@ -146,6 +146,10 @@ object CepStream {
           notAfter.toSet))
   }
 
+  /** State for the strict/notNext automaton: fr = stage just matched and
+    * no event consumed since (the notNext slot is still open). */
+  final case class CepNextState(st: Int, t0: Long, fr: Boolean)
+
   /** One micro-batch group for [[graft.ops.Cep.patternMatchesNext]]'s
     * automaton: stages in `nextStages` must be matched by the key's
     * immediately following event — any other event kills the partial
@@ -153,22 +157,27 @@ object CepStream {
     * stream: strict adjacency makes every event state-relevant, so
     * unlike [[matchGroup]] there is no type pre-filter contract. */
   def matchGroupNext(pattern: IndexedSeq[String], withinMs: Long,
-      nextStages: Set[Int])(
+      nextStages: Set[Int], notNext: Map[Int, Set[String]])(
       k: Long, events: Iterator[CepEvent],
-      state: GroupState[CepState]): Iterator[CepMatch] = {
+      state: GroupState[CepNextState]): Iterator[CepMatch] = {
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
-    var s = state.getOption.getOrElse(CepState(0, 0L))
+    var s = state.getOption.getOrElse(CepNextState(0, 0L, fr = false))
     val out = ListBuffer.empty[CepMatch]
-    def reopen(e: CepEvent): CepState =
-      if (e.ty == pattern.head) CepState(1, e.tms) else CepState(0, 0L)
+    def reopen(e: CepEvent): CepNextState =
+      if (e.ty == pattern.head) CepNextState(1, e.tms, fr = true)
+      else CepNextState(0, 0L, fr = false)
     sorted.foreach { e =>
       if (s.st > 0 && e.tms - s.t0 >= withinMs) s = reopen(e)
+      else if (s.fr &&
+          notNext.getOrElse(s.st, Set.empty).contains(e.ty)) s = reopen(e)
       else if (e.ty == pattern(s.st)) {
         val start = if (s.st == 0) e.tms else s.t0
         if (s.st == pattern.length - 1) {
-          out += CepMatch(k, start, e.tms); s = CepState(0, 0L)
-        } else s = CepState(s.st + 1, start)
+          out += CepMatch(k, start, e.tms)
+          s = CepNextState(0, 0L, fr = false)
+        } else s = CepNextState(s.st + 1, start, fr = true)
       } else if (nextStages.contains(s.st)) s = reopen(e)
+      else s = s.copy(fr = false) // the event consumed the notNext slot
     }
     state.update(s)
     out.iterator
@@ -178,17 +187,23 @@ object CepStream {
     * ([[graft.ops.Cep.patternMatchesNext]]) to a keyed event stream —
     * pass the UNFILTERED stream (see [[matchGroupNext]]). */
   def attachNext(ds: Dataset[CepEvent], pattern: Seq[String],
-      withinMs: Long, nextStages: Set[Int]): Dataset[CepMatch] = {
+      withinMs: Long, nextStages: Set[Int],
+      notNext: Map[Int, Seq[String]] = Map.empty): Dataset[CepMatch] = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
-    require(nextStages.nonEmpty,
-      "nextStages empty — use attach (pre-filtered scan)")
+    require(nextStages.nonEmpty || notNext.nonEmpty,
+      "no strict stages and no notNext bans — use attach (pre-filtered scan)")
     require(nextStages.forall(i => i >= 1 && i < pattern.length),
       s"nextStages must be in 1..${pattern.length - 1}")
+    require(notNext.keys.forall(i => i >= 1 && i < pattern.length),
+      s"notNext stages must be in 1..${pattern.length - 1}")
+    require(notNext.keySet.intersect(nextStages).isEmpty,
+      "a stage cannot be both strict and notNext-banned")
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        matchGroupNext(pattern.toIndexedSeq, withinMs, nextStages))
+        matchGroupNext(pattern.toIndexedSeq, withinMs, nextStages,
+          notNext.map { case (i, ts) => i -> ts.toSet }))
   }
 
   /** Attach the automaton to a keyed event stream. Pre-filter to the

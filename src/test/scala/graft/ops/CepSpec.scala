@@ -27,10 +27,10 @@ class CepSpec extends SparkSpec {
   private val vcp = Seq("view", "click", "purchase")
 
   private def matchesNext(df: org.apache.spark.sql.DataFrame,
-      pattern: Seq[String], w: Long,
-      next: Set[Int]): Seq[(Long, Int, Long, Long)] =
+      pattern: Seq[String], w: Long, next: Set[Int],
+      notNext: Map[Int, Seq[String]] = Map.empty): Seq[(Long, Int, Long, Long)] =
     Cep.patternMatchesNext(df, col("k"), col("tms"), col("oid"), col("ty"),
-        pattern, w, next)
+        pattern, w, next, notNext)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2)).toSeq
@@ -56,6 +56,29 @@ class CepSpec extends SparkSpec {
     // same events, fully relaxed: both runs complete
     assert(matches(mixed, vcp, 1000)
       == Seq((3L, 1, 10L, 40L), (3L, 2, 50L, 80L)))
+  }
+
+  test("notNext: a banned very-next event kills; any other discharges the ban") {
+    val vp = Seq("view", "purchase")
+    val ban = Map(1 -> Seq("error"))
+    // error right after the view kills; signup right after discharges the
+    // ban, the later error is then harmless and the purchase completes
+    val killed = ev((1, 10, "view"), (1, 20, "error"), (1, 30, "purchase"))
+    assert(matchesNext(killed, vp, 1000, Set.empty, ban).isEmpty)
+    val discharged = ev((2, 10, "view"), (2, 20, "signup"),
+      (2, 30, "error"), (2, 40, "purchase"))
+    assert(matchesNext(discharged, vp, 1000, Set.empty, ban)
+      == Seq((2L, 1, 10L, 40L)))
+    // the killing error cannot reopen (error != view); a later view can
+    val reopened = ev((3, 10, "view"), (3, 20, "error"), (3, 30, "view"),
+      (3, 40, "purchase"))
+    assert(matchesNext(reopened, vp, 1000, Set.empty, ban)
+      == Seq((3L, 1, 30L, 40L)))
+    // a purchase in the very-next slot is not banned: it both discharges
+    // and completes
+    val immediate = ev((4, 10, "view"), (4, 20, "purchase"))
+    assert(matchesNext(immediate, vp, 1000, Set.empty, ban)
+      == Seq((4L, 1, 10L, 20L)))
   }
 
   test("relaxed contiguity: noise events between stages are ignored") {

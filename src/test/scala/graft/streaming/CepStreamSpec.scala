@@ -220,6 +220,40 @@ class CepStreamSpec extends SparkSpec {
       == Seq((2L, 10L, 20L)))
   }
 
+  test("notNext: the very-next-slot ban holds across a micro-batch boundary") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val vp = Seq("view", "purchase")
+    val ban = Map(1 -> Seq("error"))
+    def runIt(batches: Seq[Seq[CepEvent]]): Seq[(Long, Long, Long)] = {
+      val mem = MemoryStream[CepEvent]
+      val q = CepStream.attachNext(mem.toDS(), vp, 1000, Set.empty, ban)
+        .writeStream.format("memory").queryName("cep_nn_out")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table("cep_nn_out").collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+            r.getAs[Long]("match_end"))).sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    // the view closes batch 1 with its notNext slot OPEN; batch 2's first
+    // event is the banned error — stored fr must carry the slot across
+    val b1 = Seq(CepEvent(1, 10, 1, "view"))
+    val b2 = Seq(CepEvent(1, 20, 2, "error"), CepEvent(1, 30, 3, "purchase"))
+    assert(runIt(Seq(b1, b2)).isEmpty)
+    // contrast: a discharging signup leads batch 2 -> the run completes
+    val c2 = Seq(CepEvent(2, 20, 4, "signup"), CepEvent(2, 30, 5, "purchase"))
+    assert(runIt(Seq(Seq(CepEvent(2, 10, 6, "view")), c2))
+      == Seq((2L, 10L, 30L)))
+    // batch parity on the same fixtures
+    val batchSide = graft.ops.Cep.patternMatchesNext(
+      (b1 ++ b2).toDF(), col("k"), col("tms"), col("oid"), col("ty"),
+      vp, 1000, Set.empty, ban)
+    assert(batchSide.collect().isEmpty)
+  }
+
   test("strict fixture replay: batch splits equal the batch operator") {
     val s = spark
     import s.implicits._
