@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   * and the member merge could leave the index one fold behind; the
   * member store's meta row pins the label-store GENERATION it reflects,
   * and a fold that finds them out of step rebuilds the index from the
-  * label store (O(nodes), crash-recovery only) before proceeding.
+  * label store (O(nodes), crash-recovery only) before proceeding. EVERY
+  * fold that writes verifies the pin — folds that read members check it
+  * on that read, folds that skip the member read (all-new nodes) audit
+  * it with a one-bucket meta read before re-pinning — so the crash
+  * window cannot be papered over by a sparse fold.
   * Housekeeping: `KeyedStore.compact(memberPath, dropTombstones = true)`
   * is safe at any time (winners are already resolved, the meta row and
   * its pinned generation survive) and bounds the index at O(nodes) live
@@ -163,6 +167,26 @@ object IncrementalCc {
       case None => labels.withColumn("__old", lit(null).cast("long"))
     }).localCheckpoint(true) // pin BEFORE the merge mutates the store
     if (!changed.isEmpty) {
+      // UNCONDITIONAL handshake before re-pinning: a fold that skipped the
+      // member read (no affected keepers — the sparse all-new-nodes steady
+      // state) still writes the meta row below with ngen = nextVer. If a
+      // previous fold crashed between its label merge and its member merge,
+      // trusting that skip would advance the pin over a stale index and
+      // hide the gap FOREVER — a later fold touching the stale cluster
+      // would then read incomplete member lists and silently split
+      // components. So when the member read (and with it the generation
+      // check) did not happen, audit the pin here with a one-bucket meta
+      // read and rebuild on mismatch — BEFORE the label merge, so the
+      // rebuild mirrors exactly the state the crashed fold left. Steady-
+      // state cost: one single-bucket file read per changed fold.
+      if (members.isEmpty && labelGen > 0L) {
+        val metaProbe = Seq(MetaKeeper).toDF("keeper_id")
+        val metaGen = KeyedStore.readPruned(spark, mp, metaProbe)
+          .flatMap(_.filter(col("kind") === "m")
+            .select(col("ngen")).collect().headOption.map(_.getLong(0)))
+        if (!metaGen.contains(labelGen))
+          rebuildMembers(spark, storePath, labelGen, numBuckets)
+      }
       KeyedStore.merge(changed.select(col("doc_id"), col("keeper_id"))
           .withColumn("ver", lit(nextVer)), storePath,
         keys = Seq("doc_id"), seqCols = Seq("ver"), numBuckets = numBuckets,

@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   * exactly (spec-anchored, and `q_ann_stream`'s oracle is the batch twin
   * verbatim, the `q_bloom_stream` precedent).
   *
-  * Layout: TWO KeyedStores under one root — `<root>/codes` (corpus-sized,
-  * append-only, never read on the fold path) and `<root>/stats`
-  * (labels·dim + labels + 1 rows; read + folded every batch). A fold
-  * merges codes FIRST, stats second; the stats meta row is the commit
-  * point. Crash between the two leaves the high-water mark unadvanced, so
+  * Layout: THREE KeyedStores under one root — `<root>/codes`
+  * (corpus-sized, append-only, never read on the fold path),
+  * `<root>/stats` (labels·dim + labels + 1 rows; read + folded every
+  * batch), and `<root>/ids` (one row per indexed vec_id, bucketed by
+  * vec_id — the fold-once contract's enforcement probe, read and written
+  * bucket-pruned at O(batch)). A fold merges ids, then codes, then
+  * stats; the stats meta row is the commit point. Crash between the two leaves the high-water mark unadvanced, so
   * the replayed fold re-upserts the same (vec_id, sub)-keyed code rows
   * with identical values (idempotent) and folds the sums exactly once —
   * the [[IncrementalTriangles]] two-store discipline. Replay safety is the
@@ -99,11 +101,24 @@ object IncrementalIvf {
     * Contract: each vec_id folds ONCE (the [[IncrementalDf]] stance — a
     * re-ingested id would OVERWRITE its code rows by key but ADD its
     * components into the centroid sums again, silently skewing the probe
-    * centroids; route re-arrivals through [[IncrementalDedup]] first).
-    * Replay of a whole batch is safe — the high-water mark makes it a
-    * no-op. */
+    * centroids; and since codes are keyed (label, vec_id, sub), a re-fold
+    * whose embedding moved to a DIFFERENT cell would leave the old cell's
+    * rows live — the vector would answer from two cells). The contract is
+    * ENFORCED, not assumed (`guardIds`, default on): an ids sub-store at
+    * `<root>/ids`, bucketed by vec_id, records every folded id, and the
+    * fold rejects a batch containing an id a STRICTLY EARLIER fold
+    * indexed — an O(batch) bucket-pruned probe, never a code-store scan.
+    * Post-crash replay stays safe: the crashed attempt's own ids carry
+    * `ver == batchId` and are exempt, and whole-batch replay after commit
+    * is already a high-water-mark no-op before the guard runs. Stores
+    * created before the guard existed start enforcing from their first
+    * guarded fold (earlier ids are unknown to it — rebuild the index to
+    * retro-protect). Set `guardIds = false` only when an upstream
+    * [[IncrementalDedup]] already owns id uniqueness and the two probes
+    * per fold matter. */
   def mergeBatch(batch: DataFrame, storePath: String, books: DataFrame,
-      batchId: Long, m: Int = 4, numBuckets: Int = 4): DataFrame = {
+      batchId: Long, m: Int = 4, numBuckets: Int = 4,
+      guardIds: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val live = statsLive(spark, s"$storePath/stats").localCheckpoint(true)
     val meta = live.filter(col("kind") === "m").select(col("ver")).collect()
@@ -114,7 +129,34 @@ object IncrementalIvf {
       graft.util.Blocks.freeCheckpoint(live)
       return out
     }
-    // codes FIRST: the stats meta row below is the commit point, so a
+    if (guardIds) {
+      val idsPath = s"$storePath/ids"
+      val batchIds = batch.select(col("vec_id").cast("long").as("vec_id"))
+      val dups = batchIds.groupBy("vec_id").count()
+        .filter(col("count") > 1).select(col("vec_id")).limit(3)
+        .collect().map(_.getLong(0))
+      require(dups.isEmpty,
+        s"batch $batchId folds vec_ids more than once (${dups.mkString(", ")}" +
+          ", …) — each vec folds ONCE; dedup the batch first")
+      val stale = KeyedStore.readPruned(spark, idsPath, batchIds)
+        .map(_.filter(col("ver") < batchId)
+          .join(batchIds, Seq("vec_id"), "left_semi")
+          .select(col("vec_id")).limit(3).collect().map(_.getLong(0)))
+        .getOrElse(Array.empty[Long])
+      require(stale.isEmpty,
+        s"vec_ids already indexed by an earlier fold (${stale.mkString(", ")}" +
+          ", …) — re-encoding under a new cell would leave the old cell's " +
+          "code rows live; route re-arrivals through IncrementalDedup")
+      // ids BEFORE codes: a crash anywhere after this line replays with
+      // the ids already present at ver == batchId — exempt by the strict
+      // inequality above, and the re-merge upserts identical rows
+      KeyedStore.merge(
+        batchIds.withColumn("ver", lit(batchId))
+          .withColumn("op_type", lit("put")),
+        idsPath, keys = Seq("vec_id"), seqCols = Seq("ver"),
+        numBuckets = numBuckets, bucketCols = Seq("vec_id"))
+    }
+    // codes next: the stats meta row below is the commit point, so a
     // crash landing here replays into an idempotent code re-upsert
     mergeCodes(batch, storePath, books, m, batchId, numBuckets)
     val batchSums = graft.ext.Similarity.coarseCentroidSums(

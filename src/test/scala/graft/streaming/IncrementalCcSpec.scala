@@ -74,6 +74,37 @@ class IncrementalCcSpec extends SparkSpec {
     assert(Set(1L, 5L, 9L).forall(got(_) == 0L), s"$got")
   }
 
+  test("a sparse all-new-nodes fold cannot hide the crash window (unconditional pin audit)") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cc_sparse_heal").toString + "/store"
+    // normal fold: clusters {5,9} keeper 5, {30,31} keeper 30 (index in sync)
+    IncrementalCc.mergePairs(
+      Seq((5L, 9L), (30L, 31L)).toDF("a_id", "b_id"), store).count()
+    // crash window: a label merge COMMITS (node 1 joins {5,9}, relabeling
+    // to keeper 1) but the member-index merge is lost
+    KeyedStore.merge(
+      Seq((1L, 1L, 2L), (5L, 1L, 2L), (9L, 1L, 2L))
+        .toDF("doc_id", "keeper_id", "ver"),
+      store, keys = Seq("doc_id"), seqCols = Seq("ver"),
+      numBuckets = 4, bucketCols = Seq("doc_id"))
+    // the dangerous interleaving: an ALL-NEW-NODES fold (no affected
+    // keepers, member read skipped) lands next. Before the fix it re-pinned
+    // ngen = nextVer without looking, permanently masking the stale index;
+    // now it must audit the pin and rebuild first.
+    IncrementalCc.mergePairs(Seq((100L, 101L)).toDF("a_id", "b_id"), store)
+      .count()
+    // a later fold touching the stale cluster must see the FULL member list
+    val got = labs(IncrementalCc.mergePairs(
+      Seq((0L, 1L)).toDF("a_id", "b_id"), store))
+    val want = labs(Dedup.connectedComponents(
+      Seq((5L, 9L), (30L, 31L), (1L, 5L), (100L, 101L), (0L, 1L))
+        .toDF("a_id", "b_id")))
+    assert(got == want, s"$got vs $want")
+    assert(Set(1L, 5L, 9L).forall(got(_) == 0L),
+      s"stale member index split the cluster: $got")
+  }
+
   test("member-index compaction (tombstones dropped) leaves folds exact") {
     val s = spark
     import s.implicits._

@@ -81,6 +81,42 @@ class IncrementalIvfSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(e)
   }
 
+  test("fold-once contract enforced: a re-ingested vec_id is rejected, replay is exempt") {
+    val s = spark
+    import s.implicits._
+    val e = emb.localCheckpoint(true)
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val store = Files.createTempDirectory("inc_ivf_guard").toString + "/ix"
+    val b0 = e.filter(col("vec_id") % 2 === 0)
+    IncrementalIvf.mergeBatch(b0, store, books, batchId = 1L)
+    // a LATER batch re-ingesting an already-indexed id must be rejected
+    // (its embedding could have moved cells — stale rows would go live)
+    val reFold = intercept[IllegalArgumentException] {
+      IncrementalIvf.mergeBatch(b0.limit(1), store, books, batchId = 2L)
+    }
+    assert(reFold.getMessage.contains("already indexed"))
+    // within-batch duplicate ids are rejected too (double-added sums)
+    val b1 = e.filter(col("vec_id") % 2 === 1)
+    val dup = intercept[IllegalArgumentException] {
+      IncrementalIvf.mergeBatch(b1.unionByName(b1.limit(1)), store, books,
+        batchId = 2L)
+    }
+    assert(dup.getMessage.contains("more than once"))
+    // crash-window replay is EXEMPT: simulate ids landing (ver == batchId)
+    // with the stats commit lost — the replayed fold must go through
+    KeyedStore.merge(
+      b1.select(col("vec_id").cast("long").as("vec_id"))
+        .withColumn("ver", lit(2L)).withColumn("op_type", lit("put")),
+      s"$store/ids", keys = Seq("vec_id"), seqCols = Seq("ver"),
+      numBuckets = 4, bucketCols = Seq("vec_id"))
+    val dir = IncrementalIvf.mergeBatch(b1, store, books, batchId = 2L)
+    val want = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    assert(sameRows(dir, want), "replayed fold after the ids merge must land")
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Blocks.freeCheckpoint(e)
+  }
+
   test("crash between the code merge and the stats commit replays clean") {
     val e = emb.localCheckpoint(true)
     val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
