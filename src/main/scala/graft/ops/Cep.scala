@@ -87,6 +87,183 @@ object Cep {
         col("m.s").as("start_tms"), col("m.e").as("end_tms"))
   }
 
+  /** Sentinel for an unbounded stage maximum (`oneOrMore`-style loops). */
+  val Unbounded: Int = Int.MaxValue
+
+  private[graft] def validateTimes(pattern: Seq[(String, Int, Int)],
+      withinMs: Long): Unit = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    pattern.foreach { case (t, mn, mx) =>
+      require(mn >= 1 && mx >= mn,
+        s"stage '$t' needs 1 <= min <= max, got ($mn, $mx)") }
+    require(pattern.last._2 == pattern.last._3,
+      "the final stage must be an exact count (min == max) — a greedy " +
+        "unbounded last stage never knows it is done; bound it or add a " +
+        "terminal stage")
+  }
+
+  /** The quantified automaton's step as a SQL `(acc, e) -> CASE...` lambda
+    * body over state (st INT, c INT, t0 BIGINT, ms ARRAY) — shared between
+    * the batch fold (zero-seeded) and [[graft.streaming.IncrementalCep]]
+    * (seeded from the persistent per-key state), so the two can never
+    * drift branch-wise. */
+  private[graft] def timesFoldStep(pattern: Seq[(String, Int, Int)],
+      withinMs: Long): String = {
+    val last = pattern.length - 1
+    val (ty0, mn0, _) = pattern.head
+    def idle(ms: String) =
+      s"named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT), 'ms', $ms)"
+    def emit(msBase: String, start: String) =
+      s"named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT), " +
+        s"'ms', array_append($msBase, named_struct('s', $start, 'e', e.tms)))"
+    // opening stage 0 on event e (also the post-timeout / post-emit re-open)
+    val enter0 =
+      if (last == 0 && mn0 == 1) emit("acc.ms", "e.tms")
+      else s"named_struct('st', 0, 'c', 1, 't0', e.tms, 'ms', acc.ms)"
+    val reopen = s"IF(e.ty = ${esc(ty0)}, $enter0, ${idle("acc.ms")})"
+    val branches = pattern.zipWithIndex.flatMap { case ((t, mn, mx), i) =>
+      // greedy EXTEND first: while the loop can accept, its own type feeds it
+      val extGuard = s"acc.st = $i AND acc.c >= 1 AND e.ty = ${esc(t)}" +
+        (if (mx == Unbounded) "" else s" AND acc.c < $mx")
+      val bump =
+        s"named_struct('st', $i, 'c', acc.c + 1, 't0', acc.t0, 'ms', acc.ms)"
+      val extRes =
+        if (i == last) s"IF(acc.c + 1 = $mn, ${emit("acc.ms", "acc.t0")}, $bump)"
+        else bump
+      val ext = s"WHEN $extGuard THEN $extRes"
+      val adv = if (i == last) None else {
+        val (tn, mnN, _) = pattern(i + 1)
+        val res =
+          if (i + 1 == last && mnN == 1) emit("acc.ms", "acc.t0")
+          else s"named_struct('st', ${i + 1}, 'c', 1, 't0', acc.t0, 'ms', acc.ms)"
+        Some(s"WHEN acc.st = $i AND acc.c >= $mn AND e.ty = ${esc(tn)} THEN $res")
+      }
+      Seq(ext) ++ adv
+    }.mkString("\n        ")
+    s"""(acc, e) -> CASE
+        WHEN acc.c > 0 AND e.tms - acc.t0 >= $withinMs THEN $reopen
+        WHEN acc.st = 0 AND acc.c = 0 AND e.ty = ${esc(ty0)} THEN $enter0
+        $branches
+        ELSE acc END"""
+  }
+
+  /** [[patternMatches]] with PER-STAGE QUANTIFIERS — Flink-CEP's `times(n)`,
+    * `times(m, n)` and `oneOrMore`/`timesOrMore` looping stages, closing the
+    * pattern-surface gap the plain one-event-per-stage automaton leaves.
+    * Each pattern entry is (type, min, max): the stage matches when its type
+    * has occurred `min..max` times ([[Unbounded]] max = `oneOrMore` semantics
+    * with a floor). `patternMatches` is exactly the all-(t,1,1) special case.
+    *
+    * Contiguity and determinism, pinned against Flink's defaults:
+    *   - RELAXED contiguity within and between stages (Flink's default for
+    *     `followedBy` chains and for looping stages — non-matching events
+    *     are ignored, they do not end a loop);
+    *   - GREEDY loops: Flink's default `oneOrMore` is non-deterministic —
+    *     it branches the NFA and (under SKIP_PAST_LAST_ROW) would emit the
+    *     run variant the skip strategy leaves alive; this operator pins the
+    *     deterministic `greedy()` reading: while the current stage can
+    *     still accept (count < max), an event matching BOTH the loop and
+    *     the following stage's type EXTENDS the loop rather than advancing.
+    *     A stage advances only on an event its own type cannot consume;
+    *     with distinct types per stage greedy and lazy coincide, so the
+    *     choice only shows on adjacent same-type stages;
+    *   - AFTER MATCH SKIP PAST LAST ROW + the NFA timeout convention
+    *     (span >= `withinMs` abandons; the abandoning event may re-open);
+    *   - the FINAL stage must be an exact count (min == max): a greedy
+    *     unbounded last stage never knows it is done inside an unbounded
+    *     input — Flink ends such loops with `until()` or the window edge;
+    *     bound it (or add a terminal stage) instead.
+    *
+    * Scale shape identical to [[patternMatches]]: type-IN pushed scan, one
+    * key shuffle, a row-local fold whose state is (stage, count, start) —
+    * the repeat counter is the ONLY addition, so per-key memory is still
+    * that key's pattern-event count. Streaming twin:
+    * [[graft.streaming.CepStream.attachTimes]] carries the counter across
+    * micro-batch boundaries (`CepStreamSpec`).
+    *
+    * @param pattern (event type, min occurrences, max occurrences) per
+    *                stage, min >= 1, max >= min ([[Unbounded]] for no cap)
+    * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
+    *         contract; start = the FIRST loop event of stage 0 */
+  def patternMatchesTimes(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column, pattern: Seq[(String, Int, Int)],
+      withinMs: Long): DataFrame = {
+    validateTimes(pattern, withinMs)
+    val fold = s"""aggregate(evs,
+      named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT),
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      ${timesFoldStep(pattern, withinMs)},
+      acc -> acc.ms)"""
+    df.filter(typeCol.isin(pattern.map(_._1).distinct: _*))
+      .select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
+        ordCol.cast("long").as("oid"), typeCol.as("ty"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
+        .as("evs"))
+      .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
+      .select(col("k"), (col("i") + 1).as("match_n"),
+        col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
+  /** [[patternMatches]] under AFTER MATCH SKIP TO NEXT ROW — the other end
+    * of Flink's skip-strategy spectrum: matches may OVERLAP; every stage-0
+    * event starts its own run, and each run emits its EARLIEST completion
+    * within the window (or nothing). For a fixed one-event-per-stage
+    * pattern the runs never interact: runs advance monotonically (an
+    * earlier-started run is always at a stage >= a later-started one, since
+    * both see the same suffix of events), so SKIP_TO_NEXT's "discard runs
+    * that started with the emitted match's first event" reduces to
+    * per-start independence — which is what this computes directly.
+    *
+    * Cost model (the honest price of overlap, mirroring Flink's concurrent
+    * NFA runs): per key O(starts × stages × events) worst case — each
+    * stage-0 event walks forward once per stage over the key's
+    * pattern-event array. The scan still pre-filters to pattern types and
+    * shuffles once on the key; only the per-key fold is heavier than
+    * [[patternMatches]]' single pass. Use SKIP PAST LAST ROW wherever the
+    * query allows.
+    *
+    * @return (k, match_n, start_tms, end_tms); match_n numbers runs per key
+    *         by start order — matches may overlap in time */
+  def patternMatchesSkipNext(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column, pattern: Seq[String],
+      withinMs: Long): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    // per start s0 (0-based index into the sorted event array): thread the
+    // position through the remaining stages via an aggregate over the stage
+    // literals, so each stage's forward scan runs ONCE (a nested textual
+    // expansion would re-evaluate the previous position per element —
+    // O(n²) per stage). A stage with no within-window occurrence after the
+    // current position nulls the accumulator and the IF short-circuits the
+    // rest. get() is the non-ANSI 0-based accessor — out of bounds or a
+    // null index is NULL, never an error.
+    val stagesArr = pattern.tail.map(esc).mkString("array(", ", ", ")")
+    val walk =
+      if (pattern.tail.isEmpty) "CAST(s0 AS INT)"
+      else s"""aggregate($stagesArr, CAST(s0 AS INT),
+        (pos, t) -> IF(pos IS NULL, CAST(NULL AS INT),
+          get(filter(transform(evs, (e2, j) -> IF(j > pos AND e2.ty = t
+            AND e2.tms - get(evs, s0).tms < $withinMs, j, -1)),
+            x -> x >= 0), 0)))"""
+    val runs = s"""filter(transform(
+        filter(transform(evs, (e, i) -> IF(e.ty = ${esc(pattern.head)}, i, -1)),
+          x -> x >= 0),
+        s0 -> named_struct('s', get(evs, s0).tms,
+                           'e', get(evs, $walk).tms)),
+      m -> m.e IS NOT NULL)"""
+    df.filter(typeCol.isin(pattern.distinct: _*))
+      .select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
+        ordCol.cast("long").as("oid"), typeCol.as("ty"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
+        .as("evs"))
+      .select(col("k"), posexplode(expr(runs)).as(Seq("i", "m")))
+      .select(col("k"), (col("i") + 1).as("match_n"),
+        col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
   /** [[patternMatches]] with STRICT CONTIGUITY — Flink-CEP's `next` and
     * `notNext`, completing the primitive set (begin/followedBy/
     * notFollowedBy being the others):

@@ -176,6 +176,34 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // CEP with QUANTIFIERS (Flink-CEP timesOrMore + greedy): at least
+    // THREE views (greedy unbounded loop) then a purchase, completing
+    // within seven days of the first view. Oracle = recursive-CTE automaton
+    // over the (count, start) state — the loop counter is the only state
+    // beyond q_cep's.
+    "q_cep_times" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesTimes(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"),
+          Seq(("view", 3, graft.ops.Cep.Unbounded), ("purchase", 1, 1)),
+          withinMs = 604800000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
+    // CEP under AFTER MATCH SKIP TO NEXT ROW: overlapping runs — EVERY
+    // view starts its own view→click→purchase run and emits its earliest
+    // completion within seven days. Oracle = the static stage unroll
+    // (min-seq per stage per start), exact because runs never interact.
+    "q_cep_skipnext" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesSkipNext(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"), Seq("view", "click", "purchase"),
+          withinMs = 604800000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
     // view→purchase run per user with NO error between them and NO click
     // in the three days after the view — the pending match emits when its
@@ -444,6 +472,74 @@ object AggQueries {
         |       m_s AS start_tms, m_e AS end_tms
         |FROM run WHERE m_s IS NOT NULL
         |ORDER BY user_id, match_n""".stripMargin,
+
+    // The quantified automaton as a recursive CTE over (c, t0): c counts
+    // consecutive-stage views (the greedy unbounded loop), a purchase with
+    // c >= 3 emits. Branch order mirrors ops/Cep.patternMatchesTimes:
+    // timeout first (the abandoning view re-opens at c = 1), then the
+    // unified open/extend view branch, then the advance-emit.
+    "q_cep_times" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS c,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN e.ty = 'view' THEN r.c + 1
+        |         WHEN r.c >= 3 AND e.ty = 'purchase' THEN 0
+        |         ELSE r.c END AS c,
+        |    CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.c = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.c >= 3 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.c >= 3 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.c >= 3 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
+
+    // SKIP TO NEXT ROW: runs never interact (monotone NFA runs for a fixed
+    // sequential pattern), so the oracle is a static per-stage unroll —
+    // each view's earliest in-window click, then that click's earliest
+    // in-window purchase.
+    "q_cep_skipnext" ->
+      """WITH ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |v AS (SELECT user_id, seq AS s0, tms AS t0 FROM ev WHERE ty = 'view'),
+        |c AS (SELECT v.user_id, v.s0, v.t0, MIN(e.seq) AS c_seq
+        |      FROM v JOIN ev e ON e.user_id = v.user_id AND e.seq > v.s0
+        |        AND e.ty = 'click' AND e.tms - v.t0 < 604800000
+        |      GROUP BY 1, 2, 3),
+        |p AS (SELECT c.user_id, c.s0, c.t0, MIN(e.seq) AS p_seq
+        |      FROM c JOIN ev e ON e.user_id = c.user_id AND e.seq > c.c_seq
+        |        AND e.ty = 'purchase' AND e.tms - c.t0 < 604800000
+        |      GROUP BY 1, 2, 3)
+        |SELECT p.user_id,
+        |       CAST(row_number() OVER (PARTITION BY p.user_id ORDER BY p.s0) AS INT)
+        |         AS match_n,
+        |       p.t0 AS start_tms, pe.tms AS end_tms
+        |FROM p JOIN ev pe ON pe.user_id = p.user_id AND pe.seq = p.p_seq
+        |ORDER BY p.user_id, match_n""".stripMargin,
 
     // The negation automaton (states: 0 idle, 1 = view seen / waiting for
     // purchase with error banned, 2 = WATCHING the trailing click ban),

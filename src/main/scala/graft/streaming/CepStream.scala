@@ -206,6 +206,73 @@ object CepStream {
           notNext.map { case (i, ts) => i -> ts.toSet }))
   }
 
+  /** State for the quantified automaton ([[graft.ops.Cep.patternMatchesTimes]]):
+    * st = current stage, c = occurrences counted within it (0 = idle),
+    * t0 = partial-match start. The repeat counter is the only addition
+    * over [[CepState]] — still O(1) per key. */
+  final case class CepTimesState(st: Int, c: Int, t0: Long)
+
+  /** One micro-batch group for the QUANTIFIED automaton — greedy loops,
+    * relaxed contiguity, skip past last row, exact-count final stage (the
+    * [[graft.ops.Cep.patternMatchesTimes]] contract, including its
+    * determinization of Flink's looping-stage branching). The counter
+    * carries across micro-batch boundaries, so a loop begun in one batch
+    * completes in a later one. */
+  def matchGroupTimes(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long)(k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepTimesState]): Iterator[CepMatch] = {
+    val last = pattern.length - 1
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    var s = state.getOption.getOrElse(CepTimesState(0, 0, 0L))
+    val out = ListBuffer.empty[CepMatch]
+    // opening stage 0 on e (fresh, post-timeout, post-emit) — single-stage
+    // min-1 patterns emit instantly, mirroring the batch enter0
+    def enter0(e: CepEvent): CepTimesState =
+      if (e.ty == pattern.head._1) {
+        if (last == 0 && pattern.head._2 == 1) {
+          out += CepMatch(k, e.tms, e.tms); CepTimesState(0, 0, 0L)
+        } else CepTimesState(0, 1, e.tms)
+      } else CepTimesState(0, 0, 0L)
+    sorted.foreach { e =>
+      if (s.c > 0 && e.tms - s.t0 >= withinMs) s = enter0(e)
+      else if (s.c == 0) s = enter0(e)
+      else {
+        val (t, mn, mx) = pattern(s.st)
+        if (e.ty == t && (mx == Int.MaxValue || s.c < mx)) {
+          // greedy extend wins over advance while the loop can accept
+          if (s.st == last && s.c + 1 == mn) {
+            out += CepMatch(k, s.t0, e.tms); s = CepTimesState(0, 0, 0L)
+          } else s = CepTimesState(s.st, s.c + 1, s.t0)
+        } else if (s.st < last && s.c >= mn && e.ty == pattern(s.st + 1)._1) {
+          if (s.st + 1 == last && pattern(last)._2 == 1) {
+            out += CepMatch(k, s.t0, e.tms); s = CepTimesState(0, 0, 0L)
+          } else s = CepTimesState(s.st + 1, 1, s.t0)
+        } // else: relaxed contiguity — ignore
+      }
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  /** Attach the QUANTIFIED automaton
+    * ([[graft.ops.Cep.patternMatchesTimes]]) to a keyed event stream.
+    * Pre-filter to the pattern's types before calling (relaxed contiguity
+    * — non-pattern events never change state). */
+  def attachTimes(ds: Dataset[CepEvent], pattern: Seq[(String, Int, Int)],
+      withinMs: Long): Dataset[CepMatch] = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    pattern.foreach { case (t, mn, mx) =>
+      require(mn >= 1 && mx >= mn,
+        s"stage '$t' needs 1 <= min <= max, got ($mn, $mx)") }
+    require(pattern.last._2 == pattern.last._3,
+      "the final stage must be an exact count (min == max)")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupTimes(pattern.toIndexedSeq, withinMs))
+  }
+
   /** Attach the automaton to a keyed event stream. Pre-filter to the
     * pattern's types before calling (the batch twin does; non-pattern
     * events never change state, they only cost shuffle). */

@@ -144,4 +144,132 @@ class CepSpec extends SparkSpec {
       (2, 25, "view"), (1, 30, "purchase"))
     assert(matches(df, vcp, 1000) == Seq((1L, 1, 10L, 30L)))
   }
+
+  // ---- quantified stages (patternMatchesTimes) ----
+
+  private def matchesTimes(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[(String, Int, Int)], w: Long): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesTimes(df, col("k"), col("tms"), col("oid"), col("ty"),
+        pattern, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private val U = Cep.Unbounded
+
+  test("timesOrMore: the greedy loop consumes every view; start = first loop event") {
+    val pat = Seq(("view", 3, U), ("purchase", 1, 1))
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "view"),
+      (1, 40, "view"), (1, 50, "purchase"))
+    assert(matchesTimes(df, pat, 1000) == Seq((1L, 1, 10L, 50L)))
+    // below the floor: two views do not satisfy min = 3
+    val short = ev((2, 10, "view"), (2, 20, "view"), (2, 30, "purchase"))
+    assert(matchesTimes(short, pat, 1000).isEmpty)
+  }
+
+  test("times(n) exact: the (max+1)-th loop event is ignored, not a kill") {
+    // relaxed contiguity inside the loop too: a view beyond max behaves
+    // like any non-matching event while the run waits for the purchase
+    val pat = Seq(("view", 2, 2), ("purchase", 1, 1))
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "view"),
+      (1, 40, "purchase"))
+    assert(matchesTimes(df, pat, 1000) == Seq((1L, 1, 10L, 40L)))
+  }
+
+  test("adjacent same-type stages: greedy extends the loop before advancing") {
+    // (view,1,2)(view,1,1): greedy fills the loop to max, so three views
+    // complete as loop(10,20) + final(30) — not loop(10) + final(20)
+    val pat = Seq(("view", 1, 2), ("view", 1, 1))
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "view"))
+    assert(matchesTimes(df, pat, 1000) == Seq((1L, 1, 10L, 30L)))
+  }
+
+  test("loop noise is relaxed: non-pattern events never end a loop") {
+    val pat = Seq(("view", 2, U), ("purchase", 1, 1))
+    val df = ev((1, 10, "view"), (1, 20, "error"), (1, 30, "view"),
+      (1, 40, "signup"), (1, 50, "purchase"))
+    assert(matchesTimes(df, pat, 1000) == Seq((1L, 1, 10L, 50L)))
+  }
+
+  test("quantified timeout: span >= window abandons; the abandoning view reopens at count 1") {
+    val pat = Seq(("view", 3, U), ("purchase", 1, 1))
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 200, "view"),
+      (1, 210, "view"), (1, 220, "view"), (1, 250, "purchase"))
+    // 200 - 10 >= 100 abandons the first loop; the view at 200 restarts
+    assert(matchesTimes(df, pat, 100) == Seq((1L, 1, 200L, 250L)))
+  }
+
+  test("final stage with an exact multi-count: emits on its min-th event") {
+    val pat = Seq(("view", 1, 1), ("click", 2, 2))
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 30, "click"),
+      (1, 40, "click"))
+    assert(matchesTimes(df, pat, 1000) == Seq((1L, 1, 10L, 30L)))
+  }
+
+  test("single quantified stage: disjoint exact-count groups, skip past last row") {
+    val pat = Seq(("view", 3, 3))
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "view"),
+      (1, 40, "view"), (1, 50, "view"), (1, 60, "view"), (1, 70, "view"))
+    assert(matchesTimes(df, pat, 1000) ==
+      Seq((1L, 1, 10L, 30L), (1L, 2, 40L, 60L)))
+  }
+
+  test("(t,1,1) quantifiers reproduce patternMatches exactly") {
+    val df = ev((1, 10, "view"), (1, 20, "error"), (1, 30, "click"),
+      (1, 40, "purchase"), (1, 50, "view"), (1, 60, "click"),
+      (1, 70, "purchase"), (2, 15, "view"), (2, 25, "click"))
+    val q = matchesTimes(df, vcp.map(t => (t, 1, 1)), 1000)
+    assert(q == matches(df, vcp, 1000))
+  }
+
+  test("quantifier validation: unbounded last stage and zero min are rejected") {
+    val df = ev((1, 10, "view"))
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesTimes(df, col("k"), col("tms"), col("oid"),
+        col("ty"), Seq(("view", 1, U)), 1000)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesTimes(df, col("k"), col("tms"), col("oid"),
+        col("ty"), Seq(("view", 0, 1), ("click", 1, 1)), 1000)
+    }
+  }
+
+  // ---- AFTER MATCH SKIP TO NEXT ROW (patternMatchesSkipNext) ----
+
+  private def matchesSkip(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[String], w: Long): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesSkipNext(df, col("k"), col("tms"), col("oid"),
+        col("ty"), pattern, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("skip to next row: every start emits; matches overlap") {
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "click"),
+      (1, 40, "purchase"))
+    assert(matchesSkip(df, vcp, 1000) ==
+      Seq((1L, 1, 10L, 40L), (1L, 2, 20L, 40L)))
+    // skip past last row on the same input: one match only
+    assert(matches(df, vcp, 1000) == Seq((1L, 1, 10L, 40L)))
+  }
+
+  test("skip to next row: each run times its own window from its own start") {
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "click"),
+      (1, 40, "purchase"))
+    // window 25: the run from 10 dies (purchase at 40 is >= 10+25);
+    // the run from 20 completes (30 and 40 are inside 20+25)
+    assert(matchesSkip(df, vcp, 25) == Seq((1L, 1, 20L, 40L)))
+  }
+
+  test("skip to next row: earliest completion per start") {
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 30, "click"),
+      (1, 40, "purchase"), (1, 50, "purchase"))
+    assert(matchesSkip(df, vcp, 1000) == Seq((1L, 1, 10L, 40L)))
+  }
+
+  test("skip to next row: single-symbol pattern marks every occurrence") {
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 30, "view"))
+    assert(matchesSkip(df, Seq("view"), 1) ==
+      Seq((1L, 1, 10L, 10L), (1L, 2, 30L, 30L)))
+  }
 }

@@ -271,6 +271,76 @@ class CepStreamSpec extends SparkSpec {
     }
   }
 
+  // ---- quantified automaton (attachTimes / patternMatchesTimes) ----
+
+  private def runTimes(batches: Seq[Seq[CepEvent]],
+      pattern: Seq[(String, Int, Int)], w: Long): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[CepEvent]
+    val q = CepStream.attachTimes(mem.toDS(), pattern, w).writeStream
+      .format("memory").queryName("cep_times_out").outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      s.table("cep_times_out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+          r.getAs[Long]("match_end")))
+        .sortBy(identity).toSeq
+    } finally q.stop()
+  }
+
+  private def batchTimes(events: Seq[CepEvent],
+      pattern: Seq[(String, Int, Int)], w: Long): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    graft.ops.Cep.patternMatchesTimes(events.toDF(), col("k"), col("tms"),
+        col("oid"), col("ty"), pattern, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+  }
+
+  private val timesPat = Seq(("view", 3, Int.MaxValue), ("purchase", 1, 1))
+
+  test("the loop counter carries across micro-batch boundaries") {
+    // two views in batch 1, the third view + purchase in batch 2: the
+    // stored (stage, count, start) must resume mid-loop
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "view"))
+    val b2 = Seq(CepEvent(1, 30, 3, "view"), CepEvent(1, 40, 4, "purchase"))
+    val got = runTimes(Seq(b1, b2), timesPat, 1000)
+    assert(got == Seq((1L, 10L, 40L)))
+    assert(got == batchTimes(b1 ++ b2, timesPat, 1000))
+  }
+
+  test("a loop below its floor at the boundary does not emit; timeout resets the counter") {
+    // count 2 < min 3 when the purchase lands in batch 2 → no match; the
+    // next loop times out across batches (span >= w) and restarts clean
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "view"))
+    val b2 = Seq(CepEvent(1, 30, 3, "purchase"), CepEvent(1, 40, 4, "view"))
+    val b3 = Seq(CepEvent(1, 5000, 5, "view"), CepEvent(1, 5010, 6, "view"),
+      CepEvent(1, 5020, 7, "view"), CepEvent(1, 5030, 8, "purchase"))
+    val got = runTimes(Seq(b1, b2, b3), timesPat, 1000)
+    assert(got == Seq((1L, 5000L, 5030L)))
+    assert(got == batchTimes(b1 ++ b2 ++ b3, timesPat, 1000))
+  }
+
+  test("quantified fixture replay: batch splits equal the batch operator") {
+    val s = spark
+    import s.implicits._
+    val events = Envelopes.events(s, sfDir())
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .as[CepEvent].collect().toSeq.sortBy(e => (e.tms, e.oid))
+    val expected = batchTimes(events, timesPat, 604800000L)
+    assert(expected.nonEmpty)
+    for (parts <- Seq(3, 7)) {
+      val size = math.max(1, (events.length + parts - 1) / parts)
+      assert(runTimes(events.grouped(size).toSeq, timesPat, 604800000L)
+        == expected)
+    }
+  }
+
   test("fixture replay: any batch split equals the batch operator") {
     val s = spark
     import s.implicits._
