@@ -176,6 +176,46 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // Cross-batch CEP driven over a PERSISTENT state store: the events
+    // table split into three consecutive TIME ranges (the cross-batch
+    // order contract), each folded into IncrementalCep's KeyedStore state;
+    // matches accumulate across folds and a run begun in one fold
+    // completes in a later one. Oracle = q_cep's batch automaton verbatim
+    // (the fold shares the batch step function, so concatenated folds
+    // equal the batch operator wherever the cuts fall).
+    "q_cep_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cep_q")
+      val pat = Seq(("view", 1, 1), ("click", 1, 1), ("purchase", 1, 1))
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatch(p, s"$root/cep", pat,
+          withinMs = 604800000L, batchId = i + 1L)
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
     // CEP with QUANTIFIERS (Flink-CEP timesOrMore + greedy): at least
     // THREE views (greedy unbounded loop) then a purchase, completing
     // within seven days of the first view. Oracle = recursive-CTE automaton
@@ -221,6 +261,44 @@ object AggQueries {
     })
 
   import Envelopes.{odCte, oiCte}
+
+  // the q_cep batch automaton oracle, shared with q_cep_stream
+  private val cepSql: String =
+    """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN (r.st = 0 AND e.ty = 'view') OR (r.st = 1 AND e.ty = 'click')
+        |           THEN r.st + 1
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_topk_sku" ->
@@ -343,42 +421,13 @@ object AggQueries {
     // (depth = the busiest user's pattern-event count, ~65 at any SF — the
     // per-key bound the Spark fold shares). State mirrors ops/Cep.scala
     // branch for branch: timeout first, then stage advance, else hold.
-    "q_cep" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, tms, ty,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty
-        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
-        |run AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
-        |         CAST(0 AS BIGINT) AS t0,
-        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
-        |  FROM (SELECT DISTINCT user_id FROM ev)
-        |  UNION ALL
-        |  SELECT r.user_id, e.seq,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
-        |         WHEN (r.st = 0 AND e.ty = 'view') OR (r.st = 1 AND e.ty = 'click')
-        |           THEN r.st + 1
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN 0
-        |         ELSE r.st END AS st,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
-        |         ELSE r.t0 END AS t0,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
-        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
-        |SELECT user_id,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
-        |         AS match_n,
-        |       m_s AS start_tms, m_e AS end_tms
-        |FROM run WHERE m_s IS NOT NULL
-        |ORDER BY user_id, match_n""".stripMargin,
+    "q_cep" -> cepSql,
+
+    // q_cep_stream shares the batch oracle VERBATIM: IncrementalCep's fold
+    // is the batch step function seeded from storage, so three time-cut
+    // folds concatenate to exactly the batch automaton's matches.
+    "q_cep_stream" -> cepSql,
+
 
     // The strict-contiguity automaton over the UNFILTERED event sequence
     // (any intervening event breaks adjacency), branch order mirrored:

@@ -92,7 +92,7 @@ object IncrementalCc {
     * label store at `storePath` (created on first use) and return the
     * FULL updated label table. */
   def mergePairs(pairs: DataFrame, storePath: String,
-      numBuckets: Int = 4): DataFrame = {
+      numBuckets: Int = 4, autoMaintain: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val batch = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
@@ -209,6 +209,11 @@ object IncrementalCc {
       KeyedStore.merge(puts.unionByName(dels).unionByName(meta), mp,
         keys = Seq("kind", "keeper_id", "doc_id"), seqCols = Seq("ver"),
         numBuckets = numBuckets, bucketCols = Seq("keeper_id"))
+      // self-scheduled maintenance: member-index tombstones (labels that
+      // moved cluster) are ALWAYS safe to drop — winners are resolved and
+      // the meta pin is a put — so a merge-heavy stream compacts itself
+      // when the index turns tombstone-heavy, on the amortized cadence
+      if (autoMaintain) KeyedStore.maintain(spark, mp)
     }
     graft.util.Blocks.freeCheckpoint(changed)
     graft.util.Blocks.freeCheckpoint(labels)

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch CEP — the [[graft.ops.Cep]] automaton with its per-key
+  * (stage, count, start) state in a persistent [[KeyedStore]] instead of
+  * `flatMapGroupsWithState` memory: the form a resumable pipeline drives
+  * batch-by-batch over real storage, the way [[IncrementalScd2]] /
+  * [[IncrementalCc]] / [[IncrementalTriangles]] carry their state. The
+  * quantified automaton is the general surface ([[graft.ops.Cep.Unbounded]]
+  * loops included); plain `followedBy` patterns are the all-(t,1,1) case.
+  *
+  * The fold's step function IS the batch operator's
+  * ([[graft.ops.Cep.timesFoldStep]] — shared SQL, not a twin): each fold
+  * seeds the aggregate from the stored per-key state instead of zero, so
+  * the concatenation of per-batch folds equals the batch operator over the
+  * whole history wherever the batch boundaries fall — under the same
+  * per-key event-time-order contract as [[CepStream]] (events non-
+  * decreasing across batches; within a batch any order, the fold sorts).
+  *
+  * Store layout: one row per key ever seen — (kind 'v', k, st, c, t0) —
+  * plus a high-water-mark meta row (kind 'm'), all bucketed by k. A fold
+  * reads BUCKET-PRUNED by the batch's keys (+ the meta bucket): cost is
+  * O(batch + touched buckets) however many keys the stream has
+  * accumulated. Everything commits in ONE merge (state rows + meta), so
+  * the store is never half-advanced; a replayed batch (batchId <= mark)
+  * returns no matches and touches nothing — re-emission dedup is the
+  * caller's sink contract, as with every counting-sketch fold here.
+  *
+  * Scale shape per fold: one pushable type-IN scan of the batch, one key
+  * shuffle, a row-local seeded fold, one bucketed upsert of batch-key
+  * state rows. Nothing ever reads or rewrites the full key population. */
+object IncrementalCep {
+
+  /** Meta sentinel key (kind disambiguates — shares only a bucket). */
+  private val MetaKey = Long.MinValue
+
+  /** Fold one batch of events (k, tms, oid, ty) into the automaton state
+    * at `storePath` (created on first use) and return THIS batch's
+    * completed matches (k, start_tms, end_tms) — matches whose run began
+    * in earlier batches included, start stamped where stage 0 opened. */
+  def foldBatch(events: DataFrame, storePath: String,
+      pattern: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
+      numBuckets: Int = 4): DataFrame = {
+    graft.ops.Cep.validateTimes(pattern, withinMs)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val batch = events
+      .filter(col("ty").isin(pattern.map(_._1).distinct: _*))
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"),
+        col("oid").cast("long").as("oid"), col("ty").cast("string").as("ty"))
+      .localCheckpoint(true)
+    val keys = batch.select(col("k")).distinct()
+    val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0)))
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("st").cast("int").as("__st"),
+          col("c").cast("int").as("__c"), col("t0").cast("long").as("__t0")))
+      .getOrElse(spark.range(0).select(col("id").as("k"),
+        lit(0).as("__st"), lit(0).as("__c"), lit(0L).as("__t0")))
+    // the SAME step function as the batch operator, seeded from storage
+    val fold = s"""aggregate(evs,
+      named_struct('st', coalesce(__st, 0), 'c', coalesce(__c, 0),
+        't0', coalesce(__t0, CAST(0 AS BIGINT)),
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      ${graft.ops.Cep.timesFoldStep(pattern, withinMs)},
+      acc -> acc)"""
+    val folded = batch.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"),
+        col("ty")))).as("evs"))
+      .join(state, Seq("k"), "left_outer")
+      .select(col("k"), expr(fold).as("r"))
+      .localCheckpoint(true) // pin BEFORE the merge GCs the read generation
+    val stateRows = folded.select(lit("v").as("kind"), col("k"),
+      col("r.st").as("st"), col("r.c").as("c"), col("r.t0").as("t0"),
+      lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
+      lit(0L).as("t0"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    // ONE commit point: state rows and the high-water mark land together
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"))
+    val out = folded.select(col("k"), explode(col("r.ms")).as("m"))
+      .select(col("k"), col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    out
+  }
+}

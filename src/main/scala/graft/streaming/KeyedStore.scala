@@ -367,6 +367,60 @@ object KeyedStore {
     }
   }
 
+  /** Maintenance SCHEDULING — decides WHEN [[compact]] runs, so a
+    * long-horizon stream doesn't rely on a human calling OPTIMIZE. Wire it
+    * after a store's merge (e.g. [[IncrementalCc]] does for its member
+    * index) and it self-triggers.
+    *
+    * What actually grows in this store: NOT files — every merge already
+    * rewrites each touched bucket to one winners-only file, so per-bucket
+    * file counts stay at 1 and a files-per-bucket trigger would never
+    * fire. The growth axis is TOMBSTONES: delete-heavy streams (label
+    * moves, edge deletions) accumulate op_type='delete' winners that
+    * [[readActive]] filters on every read, forever. So the trigger is the
+    * live tombstone FRACTION — measured with a single column-pruned scan
+    * of `opCol`, amortized by running only when the committed generation
+    * is a multiple of `checkEvery` (generation == fold count, so the scan
+    * costs one column read per `checkEvery` folds; pass 1 to check now).
+    *
+    * Firing runs `compact(dropTombstones = true)` — the caller wires
+    * maintain ONLY on stores whose contract makes dropping safe (no
+    * straggler below the stored versions can still arrive; see
+    * [[compact]]'s warning). Returns true iff a compaction ran.
+    *
+    * Post-compact fold wall: dropping tombstones rewrites every bucket at
+    * one new generation; the next fold's pruned reads see the same live
+    * rows (winners already resolved, meta rows survive as puts), just
+    * fewer of them — measured in SCALING.md §keyed-store-maintenance. */
+  def maintain(spark: SparkSession, path: String,
+      maxTombstoneFrac: Double = 0.5, checkEvery: Int = 16,
+      opCol: String = "op_type", deleteOp: String = "delete",
+      keepGenerations: Int = 1): Boolean = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    require(maxTombstoneFrac >= 0 && maxTombstoneFrac < 1,
+      s"maxTombstoneFrac must be in [0, 1), got $maxTombstoneFrac")
+    val f = fs(spark, path)
+    val root = new Path(path)
+    layoutGuard(f, root)
+    readCommit(f, root).filter(_._2.nonEmpty).exists { case (gen, dirs) =>
+      if (gen % checkEvery != 0) false
+      else {
+        val df = spark.read.parquet(
+          dirs.values.map(d => new Path(root, d).toString).toSeq: _*)
+        val fire = df.columns.contains(opCol) && {
+          val r = df.agg(count(lit(1)).as("n"),
+            count(when(col(opCol) === deleteOp, 1)).as("d")).head()
+          r.getLong(0) > 0 &&
+            r.getLong(1).toDouble / r.getLong(0) > maxTombstoneFrac
+        }
+        if (fire)
+          compact(spark, path, dropTombstones = true, opCol, deleteOp,
+            keepGenerations)
+        fire
+      }
+    }
+  }
+
   /** Full stored state, tombstones included — the latest committed manifest's
     * view. Staged-but-uncommitted directories are invisible by construction. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {

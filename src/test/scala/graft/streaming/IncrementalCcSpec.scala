@@ -127,6 +127,32 @@ class IncrementalCcSpec extends SparkSpec {
     assert(got == want, s"$got vs $want")
   }
 
+  test("member-index auto-maintenance: a merge-heavy chain compacts itself; folds stay exact") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cc_mt").toString + "/store"
+    // 16 chain folds, each adding a smaller node and relabeling the whole
+    // cluster: tombstones pile up under every superseded keeper, so by the
+    // cadence generation (16) the index is tombstone-heavy and maintain
+    // fires inside mergePairs — no manual OPTIMIZE call anywhere
+    var history = Seq.empty[(Long, Long)]
+    for (i <- 0 until 16) {
+      val p = (99L - i, 100L - i)
+      history +:= p
+      IncrementalCc.mergePairs(Seq(p).toDF("a_id", "b_id"), store).count()
+    }
+    val mp = store + "__members"
+    assert(KeyedStore.read(s, mp).get
+      .filter(col("op_type") === "delete").count() == 0,
+      "auto-maintenance did not compact the tombstone-heavy member index")
+    // the compacted index still serves exact folds (meta pin survived)
+    val got = labs(IncrementalCc.mergePairs(
+      Seq((50L, 84L)).toDF("a_id", "b_id"), store))
+    val want = labs(Dedup.connectedComponents(
+      ((50L, 84L) +: history).toDF("a_id", "b_id")))
+    assert(got == want, s"$got vs $want")
+  }
+
   test("a no-merge fold writes nothing new for existing nodes") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Store-backed CEP: concatenated folds equal the batch automaton at every
+  * horizon (the fold IS the batch step function seeded from storage),
+  * replay is a no-op behind the high-water mark, the loop counter persists
+  * across folds, and state is O(keys ever seen). */
+class IncrementalCepSpec extends SparkSpec {
+
+  private def evDf(rows: (Long, Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("k", "tms", "oid", "ty")
+  }
+
+  private def got(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+
+  private val vcp = Seq(("view", 1, 1), ("click", 1, 1), ("purchase", 1, 1))
+
+  test("folds across time-cut batches equal the batch operator; runs span folds") {
+    val store = Files.createTempDirectory("inc_cep").toString + "/cep"
+    // run 1 spans folds 1-2; run 2 spans folds 2-3
+    val b1 = evDf((1, 10, 1, "view"), (1, 20, 2, "click"), (2, 15, 3, "view"))
+    val b2 = evDf((1, 30, 4, "purchase"), (1, 40, 5, "view"), (2, 25, 6, "click"))
+    val b3 = evDf((1, 50, 7, "click"), (1, 60, 8, "purchase"), (2, 35, 9, "purchase"))
+    val m1 = got(IncrementalCep.foldBatch(b1, store, vcp, 1000, batchId = 1))
+    val m2 = got(IncrementalCep.foldBatch(b2, store, vcp, 1000, batchId = 2))
+    val m3 = got(IncrementalCep.foldBatch(b3, store, vcp, 1000, batchId = 3))
+    assert(m1.isEmpty)
+    assert(m2 == Seq((1L, 10L, 30L)))
+    assert(m3 == Seq((1L, 40L, 60L), (2L, 15L, 35L)))
+    // state table: one row per key + the meta row
+    assert(KeyedStore.read(spark, store).get.count() == 3)
+  }
+
+  test("replayed fold (batchId <= mark) emits nothing and touches nothing") {
+    val store = Files.createTempDirectory("inc_cep_rp").toString + "/cep"
+    val b1 = evDf((1, 10, 1, "view"), (1, 20, 2, "click"))
+    IncrementalCep.foldBatch(b1, store, vcp, 1000, batchId = 1).count()
+    val gen = KeyedStore.latestGeneration(spark, store)
+    val replay = got(IncrementalCep.foldBatch(
+      evDf((1, 30, 3, "purchase")), store, vcp, 1000, batchId = 1))
+    assert(replay.isEmpty)
+    assert(KeyedStore.latestGeneration(spark, store) == gen)
+    // the real batch 2 then completes the stored partial
+    assert(got(IncrementalCep.foldBatch(
+      evDf((1, 30, 3, "purchase")), store, vcp, 1000, batchId = 2))
+      == Seq((1L, 10L, 30L)))
+  }
+
+  test("the quantifier counter persists: a loop begun in fold 1 completes in fold 2") {
+    val store = Files.createTempDirectory("inc_cep_q").toString + "/cep"
+    val pat = Seq(("view", 3, graft.ops.Cep.Unbounded), ("purchase", 1, 1))
+    val b1 = evDf((1, 10, 1, "view"), (1, 20, 2, "view"))
+    val b2 = evDf((1, 30, 3, "view"), (1, 40, 4, "purchase"))
+    assert(got(IncrementalCep.foldBatch(b1, store, pat, 1000, 1)).isEmpty)
+    assert(got(IncrementalCep.foldBatch(b2, store, pat, 1000, 2))
+      == Seq((1L, 10L, 40L)))
+  }
+
+  test("cross-fold timeout: a stale stored partial is abandoned by the next fold's event") {
+    val store = Files.createTempDirectory("inc_cep_to").toString + "/cep"
+    val b1 = evDf((1, 10, 1, "view"), (1, 20, 2, "click"))
+    val b2 = evDf((1, 5000, 3, "purchase"), (1, 5010, 4, "view"),
+      (1, 5020, 5, "click"), (1, 5030, 6, "purchase"))
+    IncrementalCep.foldBatch(b1, store, vcp, 100, 1).count()
+    assert(got(IncrementalCep.foldBatch(b2, store, vcp, 100, 2))
+      == Seq((1L, 5010L, 5030L)))
+  }
+
+  test("fixture parity: three time-cut folds equal the batch operator") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cep_fx").toString + "/cep"
+    val ev = graft.model.Envelopes.events(s, sfDir())
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .localCheckpoint(true)
+    val b = ev.agg(min(col("tms")), max(col("tms"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val w = 604800000L
+    val folds = Seq(ev.filter(col("tms") <= c1),
+      ev.filter(col("tms") > c1 && col("tms") <= c2),
+      ev.filter(col("tms") > c2)).zipWithIndex.map { case (p, i) =>
+      got(IncrementalCep.foldBatch(p, store, vcp, w, i + 1L))
+    }
+    val want = graft.ops.Cep.patternMatches(ev, col("k"), col("tms"),
+        col("oid"), col("ty"), vcp.map(_._1), w)
+      .select(col("k"), col("start_tms"), col("end_tms"))
+    assert(folds.flatten.sorted == got(want))
+    graft.util.Blocks.freeCheckpoint(ev)
+  }
+}

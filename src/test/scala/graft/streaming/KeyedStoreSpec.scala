@@ -268,6 +268,38 @@ class KeyedStoreSpec extends SparkSpec {
       .select("k").collect().map(_.getString(0)).toSet == activeBefore)
   }
 
+  test("maintain: tombstone-heavy store compacts itself on the cadence; put-only never fires") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("keyedstore_mt").toString + "/t"
+    def merge(rows: Seq[(String, String, Long, String)]): Unit =
+      KeyedStore.merge(rows.toDF("k", "v", "seq", "op_type"), dir,
+        keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4)
+    merge((1 to 10).map(i => (s"k$i", "v", 1L, "put")))
+    // generation 1, no tombstones: an immediate check must not fire
+    assert(!KeyedStore.maintain(s, dir, checkEvery = 1))
+    // delete 8 of 10 → fraction 8/10 > 0.5
+    merge((1 to 8).map(i => (s"k$i", "", 2L, "delete")))
+    // generation 2 is NOT on a checkEvery=3 cadence: no scan, no compact
+    assert(!KeyedStore.maintain(s, dir, checkEvery = 3))
+    assert(KeyedStore.read(s, dir).get
+      .filter(col("op_type") === "delete").count() == 8)
+    val activeBefore = KeyedStore.readActive(s, dir).get
+      .select("k").collect().map(_.getString(0)).toSet
+    // on-cadence check fires, drops tombstones, preserves live state
+    assert(KeyedStore.maintain(s, dir, checkEvery = 1))
+    assert(KeyedStore.read(s, dir).get
+      .filter(col("op_type") === "delete").count() == 0)
+    assert(KeyedStore.readActive(s, dir).get
+      .select("k").collect().map(_.getString(0)).toSet == activeBefore)
+    // freshly compacted (generation bumped, frac 0): does not re-fire
+    assert(!KeyedStore.maintain(s, dir, checkEvery = 1))
+    // merges keep working after auto-maintenance
+    merge(Seq(("z", "v", 9L, "put")))
+    assert(KeyedStore.readActive(s, dir).get.count() == 3)
+  }
+
   test("prefix bucketCols enable pruned probe reads equal to a full-read join") {
     val s = spark
     import s.implicits._
