@@ -289,6 +289,16 @@ object Cep {
     * event sequence, where the relaxed operator folds over its pattern
     * events only. Use relaxed stages wherever the query allows.
     *
+    * Plan routing (round 10, `ScaleProbe cepnext`): the common `A next B`
+    * case (exactly two stages, both-strict chain, no bans, distinct
+    * types) is served by a WINDOW-LEAD plan instead of the array fold —
+    * an adjacent (A, B) pair with gap < window IS the match, matches
+    * cannot overlap when the types differ, and the streaming window sort
+    * measured ~4× faster than collect_list+fold at EVERY pattern-event
+    * fraction (5–90%, 16 M rows — no crossover; see SCALING.md). The
+    * window also spills gracefully where the fold pins each key's event
+    * array. General patterns keep the fold ([[patternMatchesNextFold]]).
+    *
     * @param nextStages stage indices (1..pattern.length-1) whose match
     *                   must be strictly adjacent to the previous stage's
     * @param notNext    stage index (1..pattern.length-1) → types banned
@@ -298,6 +308,35 @@ object Cep {
   def patternMatchesNext(df: DataFrame, keyCol: Column, tsMsCol: Column,
       ordCol: Column, typeCol: Column, pattern: Seq[String],
       withinMs: Long, nextStages: Set[Int],
+      notNext: Map[Int, Seq[String]] = Map.empty): DataFrame = {
+    if (pattern.length == 2 && nextStages == Set(1) && notNext.isEmpty &&
+        pattern.head != pattern(1)) {
+      require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("tms"), col("oid"), col("ty"))
+      return df
+        .select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
+          ordCol.cast("long").as("oid"), typeCol.as("ty"))
+        .withColumn("nty", lead(col("ty"), 1).over(w))
+        .withColumn("ntms", lead(col("tms"), 1).over(w))
+        .filter(col("ty") === pattern.head && col("nty") === pattern(1) &&
+          col("ntms") - col("tms") < withinMs)
+        .select(col("k"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("tms"), col("oid")))
+            .as("match_n"),
+          col("tms").as("start_tms"), col("ntms").as("end_tms"))
+    }
+    patternMatchesNextFold(df, keyCol, tsMsCol, ordCol, typeCol, pattern,
+      withinMs, nextStages, notNext)
+  }
+
+  /** The general strict/notNext automaton fold — [[patternMatchesNext]]
+    * routes here for every shape the window-lead plan can't express. */
+  private[graft] def patternMatchesNextFold(df: DataFrame, keyCol: Column,
+      tsMsCol: Column, ordCol: Column, typeCol: Column,
+      pattern: Seq[String], withinMs: Long, nextStages: Set[Int],
       notNext: Map[Int, Seq[String]] = Map.empty): DataFrame = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")

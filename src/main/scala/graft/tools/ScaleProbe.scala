@@ -1127,6 +1127,191 @@ object ScaleProbe {
     * form must scan every event — its wall carries the full corpus).
     *
     * Usage: runMain graft.tools.ScaleProbe cep [copies] */
+  /** ONE-TENANCY probe (round-10 VERDICT item 3): the flagship pipelines
+    * CHAINED in one session over one replicated corpus — curate →
+    * cross-batch dedup stores → cluster labels → retrieval index → ANN
+    * index — at the 50–100× replicator scale, with peak shuffle/spill
+    * measured per stage via a SparkListener. The composites are probed
+    * individually elsewhere; this answers "do they fit as one tenancy":
+    * does a stage's spill/shuffle footprint leak into the next, and what
+    * does the whole chain cost end to end. */
+  def tenancyProbe(copies: Int, outDir: String): Unit = {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shuffleW = new AtomicLong; val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong; val peakStage = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        val w = m.shuffleWriteMetrics.bytesWritten
+        shuffleW.addAndGet(w)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        peakStage.getAndUpdate(p => math.max(p, w))
+      }
+    })
+    // corpus: documents AND embeddings at exactly copies× (shifted keys)
+    if (!corpusReady(outDir, copies)) {
+      val src = "/root/testdata/sf0.1"
+      val parts = spark.sparkContext.defaultParallelism
+      (0 until copies).map(replicatedDocs(spark, src, _))
+        .reduce(_ union _).repartition(parts)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val e = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until copies).map(c => e.withColumn("vec_id",
+          col("vec_id") + lit(c * KeyShift)))
+        .reduce(_ union _).repartition(parts)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      markCorpus(outDir, copies)
+    }
+    val work = s"$outDir/tenancy_stores"
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(work))
+    def gb(b: Long) = b / 1e9
+    def stage[T](name: String)(f: => T): T = {
+      val (s0, m0, d0, t0) =
+        (shuffleW.get, spillMem.get, spillDisk.get, System.nanoTime())
+      val r = f
+      println(f"TENANCY $name%-16s wall=${(System.nanoTime - t0) / 1e9}%7.1f s " +
+        f"shuffle=${gb(shuffleW.get - s0)}%7.2f GB spillMem=${gb(spillMem.get - m0)}%7.2f GB " +
+        f"spillDisk=${gb(spillDisk.get - d0)}%6.2f GB")
+      r
+    }
+    println(s"TENANCY copies=$copies outDir=$outDir (one session, chained)")
+    val docs50 = spark.read.parquet(s"$outDir/documents.parquet")
+    // A. CURATE: gopher quality screen; survivors carry their text forward
+    val curated = stage("curate") {
+      val g = graft.ext.TextStats.gopherFilter(docs50, col("doc_id"), col("text"))
+      val kept = docs50.join(g.filter(col("pass")).select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      println(s"  curated=${kept.count()} of ${docs50.count()}")
+      kept
+    }
+    // B. DEDUP STORE: three IncrementalLsh ingest folds (cross-batch
+    // near-dup rejection against the persistent band index)
+    val accepted = stage("dedup-lsh") {
+      val outs = (0 until 3).map { i =>
+        graft.streaming.IncrementalLsh.dedupBatch(
+          curated.filter(col("doc_id") % 3 === i), s"$work/lsh",
+          col("doc_id"), col("text"), batchId = i.toLong)
+      }
+      // dedupBatch already returns (doc_id, text); pin the union, then
+      // free the per-fold frames' internal checkpoints
+      val acc = outs.reduce(_ unionByName _).localCheckpoint(true)
+      outs.foreach(graft.util.Blocks.freeCheckpoint)
+      println(s"  accepted=${acc.count()}")
+      acc
+    }
+    // C. CLUSTER LABELS: the OTHER dedup composition over the same curate
+    // output — keeper assignment via the persistent label store ((a+b) % 3
+    // pair folds, the q_cc_stream composition). Runs on CURATED, not
+    // accepted: stage B's ingest dedup leaves the accepted corpus pair-free
+    // by construction (asserted below), so the label path reads the
+    // pre-dedup corpus the way a batch clustering pass would.
+    stage("cc-labels") {
+      val shAcc = Dedup.shingles(accepted, col("doc_id"), col("text"))
+      val residual = Dedup.minhashLshPairs(shAcc, 1, 2).count()
+      assert(residual == 0,
+        s"ingest dedup left $residual near-dup pairs in the accepted corpus")
+      val sh = Dedup.shingles(curated, col("doc_id"), col("text"))
+      val pairs = Dedup.minhashLshPairs(sh, 1, 2)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      var labels: DataFrame = null
+      for (i <- 0 until 3)
+        labels = graft.streaming.IncrementalCc.mergePairs(
+          pairs.filter((col("a_id") + col("b_id")) % 3 === i), s"$work/cc")
+      println(s"  clustered=${labels.count()} (pairs=${pairs.count()})")
+      graft.util.Blocks.freeCheckpoint(pairs)
+    }
+    // D. RETRIEVAL INDEX: three document-frequency folds + store-backed
+    // BM25 scoring over the accepted corpus
+    stage("bm25-index") {
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalDf.mergeBatch(
+          accepted.filter(col("doc_id") % 3 === i), s"$work/df",
+          col("doc_id"), col("text"), batchId = i.toLong)
+      val hits = graft.streaming.IncrementalDf.bm25Store(spark, s"$work/df",
+        accepted, col("doc_id"), col("text"),
+        terms = Seq("spark", "window"), topK = 20)
+      println(s"  bm25 hits=${hits.count()}")
+    }
+    // E. ANN INDEX: frozen books from the 1× sample (production posture),
+    // three IVFADC folds over the copies× embeddings, then a search pass
+    stage("ivf-index") {
+      val e1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val books = graft.ext.Similarity.pqCodebooks(e1, m = 4, k = 16,
+        iters = 2).localCheckpoint(true)
+      val eN = spark.read.parquet(s"$outDir/embeddings.parquet")
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalIvf.mergeBatch(
+          eN.filter(col("vec_id") % 3 === i), s"$work/ivf", books,
+          batchId = i.toLong)
+      val qs = e1.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val got = graft.streaming.IncrementalIvf.search(spark, s"$work/ivf",
+        qs, books, m = 4, topK = 5, nProbe = 2)
+      println(s"  ann results=${got.count()}")
+      graft.util.Blocks.freeCheckpoint(books)
+    }
+    println(f"TENANCY total: shuffle=${gb(shuffleW.get)}%7.2f GB " +
+      f"spillMem=${gb(spillMem.get)}%7.2f GB spillDisk=${gb(spillDisk.get)}%6.2f GB " +
+      f"peakStageShuffle=${gb(peakStage.get)}%6.2f GB")
+    spark.stop()
+  }
+
+  /** Strict-contiguity crossover probe (round-10 VERDICT item 6): gives
+    * the docs' "use relaxed wherever possible" a NUMBER. Strict `next`
+    * cannot pre-filter the scan — every event reaches the per-key fold —
+    * and the documented alternative a user might reach for is a two-pass
+    * shape: pass 1 computes each event's successor (one full-corpus
+    * window sort), pass 2 filters to pattern-typed rows carrying their
+    * adjacency and counts matches. This measures both over a synthetic
+    * corpus whose PATTERN-EVENT FRACTION f is controlled, at several f,
+    * so the crossover (if any) is read off directly. Counts are asserted
+    * equal — the two shapes compute the same matches for a 2-stage
+    * strict pattern (adjacent view→click pairs can never overlap). */
+  def cepnextProbe(rows: Long, keys: Int): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"CEPNEXT rows=$rows keys=$keys (per-key time = id div keys, " +
+      "gap 1; window 10 — no timeout term)")
+    for (fPct <- Seq(5, 20, 50, 90)) {
+      // ty: f% pattern events (view/click split by a second hash), rest
+      // noise; tms strictly increasing per key by construction
+      val df = spark.range(rows).select(
+          (col("id") % keys).as("k"),
+          (col("id") / keys).cast("long").as("tms"),
+          col("id").as("oid"),
+          when(pmod(hash(col("id")), lit(100)) < fPct,
+            when(pmod(hash(col("id"), lit(7)), lit(2)) === 0, "view")
+              .otherwise("click"))
+            .otherwise(concat(lit("noise"),
+              pmod(hash(col("id"), lit(13)), lit(3)).cast("string")))
+            .as("ty"))
+        .localCheckpoint(true)
+      for (rep <- 0 until 2) {
+        val t0 = System.nanoTime()
+        val m1 = graft.ops.Cep.patternMatchesNextFold(df, col("k"),
+          col("tms"), col("oid"), col("ty"), Seq("view", "click"), 10L,
+          Set(1)).count()
+        val w1 = (System.nanoTime - t0) / 1e9
+        val t1 = System.nanoTime()
+        // the PUBLIC operator routes this shape to the window-lead plan
+        val m2 = graft.ops.Cep.patternMatchesNext(df, col("k"), col("tms"),
+          col("oid"), col("ty"), Seq("view", "click"), 10L, Set(1)).count()
+        val w2 = (System.nanoTime - t1) / 1e9
+        assert(m1 == m2, s"shape mismatch at f=$fPct%: $m1 vs $m2")
+        println(f"CEPNEXT f=$fPct%3d%% rep=$rep fold=$w1%5.2f s " +
+          f"lead=$w2%5.2f s matches=$m1")
+      }
+      graft.util.Blocks.freeCheckpoint(df)
+    }
+    spark.stop()
+  }
+
   def cepProbe(copies: Int): Unit = {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -1286,6 +1471,16 @@ object ScaleProbe {
     }
     if (args.headOption.contains("cep")) {
       cepProbe(args.lift(1).map(_.toInt).getOrElse(5))
+      return
+    }
+    if (args.headOption.contains("tenancy")) {
+      tenancyProbe(args.lift(1).map(_.toInt).getOrElse(50),
+        args.lift(2).getOrElse("/tmp/graft_scale_tenancy"))
+      return
+    }
+    if (args.headOption.contains("cepnext")) {
+      cepnextProbe(args.lift(1).map(_.toLong).getOrElse(16000000L),
+        args.lift(2).map(_.toInt).getOrElse(200000))
       return
     }
     if (args.headOption.contains("trifold")) {

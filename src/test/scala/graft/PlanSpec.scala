@@ -381,6 +381,12 @@ class PlanSpec extends SparkSpec {
     val nxt = plan("q_cep_next")
     assert(!nxt.contains("In(event_type"),
       "strict scan must NOT pre-filter event types:\n" + nxt.take(800))
+    // round 10: the A-next-B shape routes to the window-lead plan (the
+    // fold would show an ObjectHashAggregate over collect_list instead)
+    assert(nxt.contains("Window"),
+      "A-next-B must take the window-lead plan:\n" + nxt.take(800))
+    assert(!nxt.contains("collect_list"),
+      "A-next-B must not build per-key event arrays:\n" + nxt.take(800))
     // both stay the one-key-shuffle automaton shape: no joins
     assert(!neg.contains("Join") && !nxt.contains("Join"))
   }
