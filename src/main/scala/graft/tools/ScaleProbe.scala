@@ -1127,6 +1127,48 @@ object ScaleProbe {
     * form must scan every event — its wall carries the full corpus).
     *
     * Usage: runMain graft.tools.ScaleProbe cep [copies] */
+  /** Post-compact fold-wall probe (round-10 VERDICT item 4): what does a
+    * fold cost immediately after `KeyedStore.maintain` fires on the CC
+    * member index? Builds a merge-heavy chain (every fold relabels the
+    * whole growing cluster — the tombstone-heaviest shape), times the
+    * steady fold wall, runs maintain(checkEvery = 1) explicitly, and
+    * times the same-shape fold again. */
+  def maintfoldProbe(chain: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val store = s"$outDir/cc"
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(outDir))
+    def fold(p: (Long, Long)): Double = {
+      val t0 = System.nanoTime()
+      // autoMaintain OFF: this probe owns the compaction points
+      graft.streaming.IncrementalCc.mergePairs(
+        Seq(p).toDF("a_id", "b_id"), store, autoMaintain = false).count()
+      (System.nanoTime - t0) / 1e9
+    }
+    val walls = (0 until chain).map { i => fold((1000000L - i - 1, 1000000L - i)) }
+    val mp = store + "__members"
+    def tombs() = graft.streaming.KeyedStore.read(spark, mp).get
+      .groupBy(col("op_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = tombs()
+    println(f"MAINTFOLD chain=$chain last-3 fold walls " +
+      f"pre=${walls.takeRight(3).map(w => f"$w%.2f").mkString("/")} s " +
+      s"member rows pre-compact: $before")
+    val t0 = System.nanoTime()
+    val fired = graft.streaming.KeyedStore.maintain(spark, mp, checkEvery = 1)
+    val wM = (System.nanoTime - t0) / 1e9
+    val after = tombs()
+    // the fold RIGHT AFTER compaction (fresh generation, pin re-read) and
+    // two more for the steady reading
+    val post = (0 until 3).map { i =>
+      fold((1000000L - chain - i - 1, 1000000L - chain - i)) }
+    println(f"MAINTFOLD maintain fired=$fired wall=$wM%.2f s rows post: $after; " +
+      f"post-compact fold walls=${post.map(w => f"$w%.2f").mkString("/")} s")
+    spark.stop()
+  }
+
   /** ONE-TENANCY probe (round-10 VERDICT item 3): the flagship pipelines
     * CHAINED in one session over one replicated corpus — curate →
     * cross-batch dedup stores → cluster labels → retrieval index → ANN
@@ -1471,6 +1513,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("cep")) {
       cepProbe(args.lift(1).map(_.toInt).getOrElse(5))
+      return
+    }
+    if (args.headOption.contains("maintfold")) {
+      maintfoldProbe(args.lift(1).map(_.toInt).getOrElse(24),
+        args.lift(2).getOrElse("/tmp/graft_scale_maintfold"))
       return
     }
     if (args.headOption.contains("tenancy")) {
