@@ -94,9 +94,14 @@ object Cep {
       withinMs: Long): Unit = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
-    pattern.foreach { case (t, mn, mx) =>
-      require(mn >= 1 && mx >= mn,
-        s"stage '$t' needs 1 <= min <= max, got ($mn, $mx)") }
+    pattern.zipWithIndex.foreach { case ((t, mn, mx), i) =>
+      // middle stages may be OPTIONAL (min 0 — Flink's optional()); the
+      // first stage stamps the match start and the last stage emits, so
+      // both need a real event
+      val floor = if (i == 0 || i == pattern.length - 1) 1 else 0
+      require(mn >= floor && mx >= math.max(mn, 1),
+        s"stage '$t' needs $floor <= min <= max (max >= 1), got ($mn, $mx)")
+    }
     require(pattern.last._2 == pattern.last._3,
       "the final stage must be an exact count (min == max) — a greedy " +
         "unbounded last stage never knows it is done; bound it or add a " +
@@ -109,9 +114,18 @@ object Cep {
     * (seeded from the persistent per-key state), so the two can never
     * drift branch-wise. */
   private[graft] def timesFoldStep(pattern: Seq[(String, Int, Int)],
+      withinMs: Long): String =
+    timesFoldStepPred(pattern.map { case (t, mn, mx) =>
+      (s"e.ty = ${esc(t)}", mn, mx) }, withinMs)
+
+  /** [[timesFoldStep]] generalized to PREDICATE stages: each stage is an
+    * arbitrary SQL boolean over the event struct `e` (Flink's `where()`
+    * conditions — type equality is just one predicate). Same greedy /
+    * relaxed / exact-final-count semantics. */
+  private[graft] def timesFoldStepPred(pattern: Seq[(String, Int, Int)],
       withinMs: Long): String = {
     val last = pattern.length - 1
-    val (ty0, mn0, _) = pattern.head
+    val (pred0, mn0, _) = pattern.head
     def idle(ms: String) =
       s"named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT), 'ms', $ms)"
     def emit(msBase: String, start: String) =
@@ -121,10 +135,11 @@ object Cep {
     val enter0 =
       if (last == 0 && mn0 == 1) emit("acc.ms", "e.tms")
       else s"named_struct('st', 0, 'c', 1, 't0', e.tms, 'ms', acc.ms)"
-    val reopen = s"IF(e.ty = ${esc(ty0)}, $enter0, ${idle("acc.ms")})"
-    val branches = pattern.zipWithIndex.flatMap { case ((t, mn, mx), i) =>
-      // greedy EXTEND first: while the loop can accept, its own type feeds it
-      val extGuard = s"acc.st = $i AND acc.c >= 1 AND e.ty = ${esc(t)}" +
+    val reopen = s"IF(($pred0), $enter0, ${idle("acc.ms")})"
+    val branches = pattern.zipWithIndex.flatMap { case ((p, mn, mx), i) =>
+      // greedy EXTEND first: while the loop can accept, its own predicate
+      // feeds it
+      val extGuard = s"acc.st = $i AND acc.c >= 1 AND ($p)" +
         (if (mx == Unbounded) "" else s" AND acc.c < $mx")
       val bump =
         s"named_struct('st', $i, 'c', acc.c + 1, 't0', acc.t0, 'ms', acc.ms)"
@@ -132,18 +147,26 @@ object Cep {
         if (i == last) s"IF(acc.c + 1 = $mn, ${emit("acc.ms", "acc.t0")}, $bump)"
         else bump
       val ext = s"WHEN $extGuard THEN $extRes"
-      val adv = if (i == last) None else {
-        val (tn, mnN, _) = pattern(i + 1)
-        val res =
-          if (i + 1 == last && mnN == 1) emit("acc.ms", "acc.t0")
-          else s"named_struct('st', ${i + 1}, 'c', 1, 't0', acc.t0, 'ms', acc.ms)"
-        Some(s"WHEN acc.st = $i AND acc.c >= $mn AND e.ty = ${esc(tn)} THEN $res")
+      // advance targets: the next stage, plus every further stage
+      // reachable by SKIPPING optional (min-0) stages in between; listed
+      // ascending so greedy prefers matching an optional stage over
+      // skipping it
+      val adv = if (i == last) Nil else {
+        ((i + 1) to last)
+          .takeWhile(j => (i + 1 until j).forall(pattern(_)._2 == 0))
+          .map { j =>
+            val (pj, mnJ, _) = pattern(j)
+            val res =
+              if (j == last && mnJ == 1) emit("acc.ms", "acc.t0")
+              else s"named_struct('st', $j, 'c', 1, 't0', acc.t0, 'ms', acc.ms)"
+            s"WHEN acc.st = $i AND acc.c >= $mn AND ($pj) THEN $res"
+          }
       }
       Seq(ext) ++ adv
     }.mkString("\n        ")
     s"""(acc, e) -> CASE
         WHEN acc.c > 0 AND e.tms - acc.t0 >= $withinMs THEN $reopen
-        WHEN acc.st = 0 AND acc.c = 0 AND e.ty = ${esc(ty0)} THEN $enter0
+        WHEN acc.st = 0 AND acc.c = 0 AND ($pred0) THEN $enter0
         $branches
         ELSE acc END"""
   }
@@ -170,6 +193,12 @@ object Cep {
     *     choice only shows on adjacent same-type stages;
     *   - AFTER MATCH SKIP PAST LAST ROW + the NFA timeout convention
     *     (span >= `withinMs` abandons; the abandoning event may re-open);
+    *   - MIDDLE stages may be OPTIONAL (min 0 — Flink's `optional()`,
+    *     including min-0 unbounded loops): an event matching a later
+    *     stage's type advances directly over any run of optional stages;
+    *     greedy prefers MATCHING an optional stage over skipping it (the
+    *     advance tries targets in order). The first stage stamps the
+    *     match start and the last emits, so both need min >= 1;
     *   - the FINAL stage must be an exact count (min == max): a greedy
     *     unbounded last stage never knows it is done inside an unbounded
     *     input — Flink ends such loops with `until()` or the window edge;
@@ -201,6 +230,66 @@ object Cep {
       .groupBy("k")
       .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
         .as("evs"))
+      .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
+      .select(col("k"), (col("i") + 1).as("match_n"),
+        col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
+  /** [[patternMatchesTimes]] with PREDICATE stages — Flink-CEP's `where()`
+    * conditions: each stage matches an arbitrary SQL boolean over the
+    * event, not a type label (type equality is just one predicate). The
+    * event struct `e` carries `tms`, `oid`, and every caller-declared
+    * `payload` column by name, so a stage can read any event field:
+    *
+    * {{{
+    * Cep.patternMatchesWhere(df, $"user_id", unix_millis($"ts"),
+    *   $"event_id",
+    *   stages = Seq(("e.ty = 'view' AND e.value > 60.0", 1, 1),
+    *                ("e.ty = 'purchase' AND e.value > 120.0", 1, 1)),
+    *   withinMs = 7L * 86400000,
+    *   payload = Seq("ty" -> $"event_type", "value" -> $"value"))
+    * }}}
+    *
+    * Semantics are [[patternMatchesTimes]]' exactly (greedy loops, relaxed
+    * contiguity, exact-count final stage, NFA timeout, skip past last
+    * row) — the fold step is shared, with predicates in place of the
+    * type-equality tests, so the two operators cannot drift.
+    *
+    * Scale note: the scan is NOT pre-filtered here — predicates are
+    * opaque SQL. Relaxed contiguity ignores events matching no stage, so
+    * filtering the input to the UNION of the stage predicates is always
+    * semantics-preserving; do it at the call site (the `q_cep_where`
+    * query pushes the implied type IN) to keep the pushdown.
+    *
+    * Overlapping predicates and greedy: if an event satisfies BOTH the
+    * live stage's predicate (loop can still accept) and the next
+    * stage's, the loop consumes it — [[patternMatchesTimes]]' adjacent
+    * same-type rule generalized.
+    *
+    * @param stages  (SQL boolean over `e`, min, max) per stage
+    * @param payload (field name, source column) — names `tms`/`oid` are
+    *                reserved
+    * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
+    *         contract */
+  def patternMatchesWhere(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, stages: Seq[(String, Int, Int)], withinMs: Long,
+      payload: Seq[(String, Column)]): DataFrame = {
+    validateTimes(stages, withinMs)
+    require(!payload.exists(p => p._1 == "tms" || p._1 == "oid"),
+      "payload field names tms/oid are reserved")
+    require(payload.map(_._1).distinct.length == payload.length,
+      "payload field names must be unique")
+    val fold = s"""aggregate(evs,
+      named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT),
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      ${timesFoldStepPred(stages, withinMs)},
+      acc -> acc.ms)"""
+    val fields = Seq(col("tms"), col("oid")) ++ payload.map(p => col(p._1))
+    df.select(Seq(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
+        ordCol.cast("long").as("oid")) ++
+        payload.map { case (n, c) => c.as(n) }: _*)
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(fields: _*))).as("evs"))
       .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
       .select(col("k"), (col("i") + 1).as("match_n"),
         col("m.s").as("start_tms"), col("m.e").as("end_tms"))

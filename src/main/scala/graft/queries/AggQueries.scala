@@ -244,6 +244,44 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // CEP with an OPTIONAL middle stage (Flink-CEP optional(), min 0
+    // unbounded here — oneOrMore().optional()): a view, any number of
+    // clicks INCLUDING NONE, then a purchase within seven days. Differs
+    // from q_cep exactly on the skip: purchases complete straight from
+    // the view when no click intervened. Oracle = recursive-CTE automaton
+    // with the skip branch.
+    "q_cep_opt" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesTimes(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"),
+          Seq(("view", 1, 1), ("click", 0, graft.ops.Cep.Unbounded),
+            ("purchase", 1, 1)),
+          withinMs = 604800000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
+    // CEP with PREDICATE stages (Flink-CEP where()): a HIGH-VALUE view
+    // (value > 60), any click, then a high-value purchase (value > 120)
+    // within seven days — stage conditions over event fields, not type
+    // labels. The scan pre-filters to the implied type IN (relaxed
+    // contiguity makes the union-of-predicates filter semantics-
+    // preserving). Oracle = the same automaton with the same predicates.
+    "q_cep_where" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesWhere(
+          Envelopes.events(s, dir)
+            .filter(col("event_type").isin("view", "click", "purchase")),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          stages = Seq(
+            ("e.ty = 'view' AND e.value > 60.0", 1, 1),
+            ("e.ty = 'click'", 1, 1),
+            ("e.ty = 'purchase' AND e.value > 120.0", 1, 1)),
+          withinMs = 604800000L,
+          payload = Seq("ty" -> col("event_type"), "value" -> col("value")))
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
     // view→purchase run per user with NO error between them and NO click
     // in the three days after the view — the pending match emits when its
@@ -589,6 +627,95 @@ object AggQueries {
         |       p.t0 AS start_tms, pe.tms AS end_tms
         |FROM p JOIN ev pe ON pe.user_id = p.user_id AND pe.seq = p.p_seq
         |ORDER BY p.user_id, match_n""".stripMargin,
+
+    // The optional-stage automaton as a recursive CTE over (st, t0):
+    // st 0 idle, 1 = view seen, 2 = in the optional click loop; a
+    // purchase at st >= 1 emits — the skip branch is exactly "purchase
+    // completes from st = 1". Branch order mirrors the fold: timeout,
+    // open, loop, emit.
+    "q_cep_opt" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st >= 1 AND e.ty = 'click' THEN 2
+        |         WHEN r.st >= 1 AND e.ty = 'purchase' THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st >= 1 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st >= 1 AND e.ty = 'purchase'
+        |              AND e.tms - r.t0 < 604800000 THEN r.t0
+        |         ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st >= 1 AND e.ty = 'purchase'
+        |              AND e.tms - r.t0 < 604800000 THEN e.tms
+        |         ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
+
+    // The predicate-stage automaton as a recursive CTE: branch-for-branch
+    // q_cep's (st, t0) state with where()-conditions in place of type
+    // tests (value comparisons only — no float arithmetic, portable).
+    "q_cep_where" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty, value
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' AND e.value > 60.0 THEN 1 ELSE 0 END
+        |         WHEN (r.st = 0 AND e.ty = 'view' AND e.value > 60.0)
+        |              OR (r.st = 1 AND e.ty = 'click')
+        |           THEN r.st + 1
+        |         WHEN r.st = 2 AND e.ty = 'purchase' AND e.value > 120.0 THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' AND e.value > 60.0
+        |                     THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' AND e.value > 60.0 THEN e.tms
+        |         WHEN r.st = 2 AND e.ty = 'purchase' AND e.value > 120.0
+        |           THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.value > 120.0
+        |              AND e.tms - r.t0 < 604800000 THEN r.t0
+        |         ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.value > 120.0
+        |              AND e.tms - r.t0 < 604800000 THEN e.tms
+        |         ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
 
     // The negation automaton (states: 0 idle, 1 = view seen / waiting for
     // purchase with error banned, 2 = WATCHING the trailing click ban),

@@ -243,10 +243,19 @@ object CepStream {
           if (s.st == last && s.c + 1 == mn) {
             out += CepMatch(k, s.t0, e.tms); s = CepTimesState(0, 0, 0L)
           } else s = CepTimesState(s.st, s.c + 1, s.t0)
-        } else if (s.st < last && s.c >= mn && e.ty == pattern(s.st + 1)._1) {
-          if (s.st + 1 == last && pattern(last)._2 == 1) {
-            out += CepMatch(k, s.t0, e.tms); s = CepTimesState(0, 0, 0L)
-          } else s = CepTimesState(s.st + 1, 1, s.t0)
+        } else if (s.st < last && s.c >= mn) {
+          // advance targets: next stage + stages reachable by skipping
+          // optional (min-0) stages; ascending = greedy prefers matching
+          // an optional stage over skipping it (the batch fold's order)
+          ((s.st + 1) to last)
+            .view
+            .takeWhile(j => (s.st + 1 until j).forall(pattern(_)._2 == 0))
+            .find(j => e.ty == pattern(j)._1)
+            .foreach { j =>
+              if (j == last && pattern(last)._2 == 1) {
+                out += CepMatch(k, s.t0, e.tms); s = CepTimesState(0, 0, 0L)
+              } else s = CepTimesState(j, 1, s.t0)
+            }
         } // else: relaxed contiguity — ignore
       }
     }
@@ -260,13 +269,7 @@ object CepStream {
     * — non-pattern events never change state). */
   def attachTimes(ds: Dataset[CepEvent], pattern: Seq[(String, Int, Int)],
       withinMs: Long): Dataset[CepMatch] = {
-    require(pattern.nonEmpty, "pattern must not be empty")
-    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
-    pattern.foreach { case (t, mn, mx) =>
-      require(mn >= 1 && mx >= mn,
-        s"stage '$t' needs 1 <= min <= max, got ($mn, $mx)") }
-    require(pattern.last._2 == pattern.last._3,
-      "the final stage must be an exact count (min == max)")
+    graft.ops.Cep.validateTimes(pattern, withinMs)
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * batch-by-batch over real storage, the way [[IncrementalScd2]] /
   * [[IncrementalCc]] / [[IncrementalTriangles]] carry their state. The
   * quantified automaton is the general surface ([[graft.ops.Cep.Unbounded]]
-  * loops included); plain `followedBy` patterns are the all-(t,1,1) case.
+  * loops included); plain `followedBy` patterns are the all-(t,1,1) case,
+  * and [[foldBatchWhere]] takes Flink-`where()` PREDICATE stages over
+  * declared payload fields — the full batch-operator surface, store-backed.
   *
   * The fold's step function IS the batch operator's
   * ([[graft.ops.Cep.timesFoldStep]] — shared SQL, not a twin): each fold
@@ -44,13 +46,43 @@ object IncrementalCep {
       pattern: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
       numBuckets: Int = 4): DataFrame = {
     graft.ops.Cep.validateTimes(pattern, withinMs)
+    foldImpl(
+      events.filter(col("ty").isin(pattern.map(_._1).distinct: _*)),
+      storePath,
+      pattern.map { case (t, mn, mx) =>
+        (s"e.ty = '${t.replace("\\", "\\\\").replace("'", "\\'")}'", mn, mx) },
+      withinMs, batchId, numBuckets,
+      payload = Seq("ty" -> col("ty").cast("string")))
+  }
+
+  /** [[foldBatch]] with PREDICATE stages ([[graft.ops.Cep
+    * .patternMatchesWhere]]'s contract): stages are SQL booleans over the
+    * event struct `e` carrying `tms`, `oid`, and the declared payload
+    * fields. No type pre-filter is applied — pre-filter the batch to the
+    * union of the stage predicates at the call site (semantics-
+    * preserving under relaxed contiguity). */
+  def foldBatchWhere(events: DataFrame, storePath: String,
+      stages: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
+      payload: Seq[(String, org.apache.spark.sql.Column)],
+      numBuckets: Int = 4): DataFrame = {
+    graft.ops.Cep.validateTimes(stages, withinMs)
+    require(!payload.exists(p => p._1 == "tms" || p._1 == "oid"),
+      "payload field names tms/oid are reserved")
+    foldImpl(events, storePath, stages, withinMs, batchId, numBuckets,
+      payload)
+  }
+
+  private def foldImpl(events: DataFrame, storePath: String,
+      predStages: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
+      numBuckets: Int, payload: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val batch = events
-      .filter(col("ty").isin(pattern.map(_._1).distinct: _*))
-      .select(col("k").cast("long").as("k"),
+      .select(Seq(col("k").cast("long").as("k"),
         col("tms").cast("long").as("tms"),
-        col("oid").cast("long").as("oid"), col("ty").cast("string").as("ty"))
+        col("oid").cast("long").as("oid")) ++
+        payload.map { case (n, c) => c.as(n) }: _*)
       .localCheckpoint(true)
     val keys = batch.select(col("k")).distinct()
     val stored = KeyedStore.readPruned(spark, storePath,
@@ -73,11 +105,11 @@ object IncrementalCep {
       named_struct('st', coalesce(__st, 0), 'c', coalesce(__c, 0),
         't0', coalesce(__t0, CAST(0 AS BIGINT)),
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
-      ${graft.ops.Cep.timesFoldStep(pattern, withinMs)},
+      ${graft.ops.Cep.timesFoldStepPred(predStages, withinMs)},
       acc -> acc)"""
+    val fields = Seq(col("tms"), col("oid")) ++ payload.map(p => col(p._1))
     val folded = batch.groupBy("k")
-      .agg(sort_array(collect_list(struct(col("tms"), col("oid"),
-        col("ty")))).as("evs"))
+      .agg(sort_array(collect_list(struct(fields: _*))).as("evs"))
       .join(state, Seq("k"), "left_outer")
       .select(col("k"), expr(fold).as("r"))
       .localCheckpoint(true) // pin BEFORE the merge GCs the read generation

@@ -222,6 +222,48 @@ class CepSpec extends SparkSpec {
     assert(q == matches(df, vcp, 1000))
   }
 
+  test("optional middle stage: matched when present, skipped when absent") {
+    val pat = Seq(("view", 1, 1), ("click", 0, U), ("purchase", 1, 1))
+    // with clicks: consumed; without: purchase completes straight away
+    val withC = ev((1, 10, "view"), (1, 20, "click"), (1, 30, "click"),
+      (1, 40, "purchase"))
+    assert(matchesTimes(withC, pat, 1000) == Seq((1L, 1, 10L, 40L)))
+    val withoutC = ev((2, 10, "view"), (2, 20, "purchase"))
+    assert(matchesTimes(withoutC, pat, 1000) == Seq((2L, 1, 10L, 20L)))
+    // the plain (1,1,1) pattern does NOT match the clickless run
+    assert(matches(withoutC, vcp, 1000).isEmpty)
+  }
+
+  test("two consecutive optional stages can both be skipped or partially taken") {
+    val pat = Seq(("view", 1, 1), ("click", 0, 1), ("signup", 0, 1),
+      ("purchase", 1, 1))
+    val skipBoth = ev((1, 10, "view"), (1, 20, "purchase"))
+    assert(matchesTimes(skipBoth, pat, 1000) == Seq((1L, 1, 10L, 20L)))
+    val takeSecond = ev((2, 10, "view"), (2, 20, "signup"), (2, 30, "purchase"))
+    assert(matchesTimes(takeSecond, pat, 1000) == Seq((2L, 1, 10L, 30L)))
+    val takeBoth = ev((3, 10, "view"), (3, 20, "click"), (3, 30, "signup"),
+      (3, 40, "purchase"))
+    assert(matchesTimes(takeBoth, pat, 1000) == Seq((3L, 1, 10L, 40L)))
+    // order still enforced: a click AFTER the signup cannot re-enter the
+    // earlier optional stage; the purchase still completes (relaxed)
+    val outOfOrder = ev((4, 10, "view"), (4, 20, "signup"), (4, 30, "click"),
+      (4, 40, "purchase"))
+    assert(matchesTimes(outOfOrder, pat, 1000) == Seq((4L, 1, 10L, 40L)))
+  }
+
+  test("optional loop with a floor elsewhere: greedy prefers matching over skipping") {
+    // (view 1)(click 0..1)(click... no — distinct: (view)(click opt)(click 1,1)
+    // an event matching BOTH the optional stage and the stage after it
+    // fills the optional one first (ascending targets)
+    val pat = Seq(("view", 1, 1), ("click", 0, 1), ("click", 1, 1))
+    val two = ev((1, 10, "view"), (1, 20, "click"), (1, 30, "click"))
+    assert(matchesTimes(two, pat, 1000) == Seq((1L, 1, 10L, 30L)))
+    // only one click: it fills the OPTIONAL slot (greedy), so the final
+    // required click never arrives — no match
+    val one = ev((2, 10, "view"), (2, 20, "click"))
+    assert(matchesTimes(one, pat, 1000).isEmpty)
+  }
+
   test("quantifier validation: unbounded last stage and zero min are rejected") {
     val df = ev((1, 10, "view"))
     intercept[IllegalArgumentException] {
@@ -231,6 +273,74 @@ class CepSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Cep.patternMatchesTimes(df, col("k"), col("tms"), col("oid"),
         col("ty"), Seq(("view", 0, 1), ("click", 1, 1)), 1000)
+    }
+  }
+
+  // ---- predicate stages (patternMatchesWhere) ----
+
+  private def evV(rows: (Long, Long, String, Double)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.zipWithIndex
+      .map { case ((k, t, ty, v), i) => (k, t, i.toLong, ty, v) }
+      .toDF("k", "tms", "oid", "ty", "v")
+  }
+
+  private def matchesWhere(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Int, Int)], w: Long): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesWhere(df, col("k"), col("tms"), col("oid"),
+        stages, w, payload = Seq("ty" -> col("ty"), "value" -> col("v")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("where(): stage conditions read event fields, not just types") {
+    // only the value>50 view opens; only the value>100 purchase completes
+    val df = evV((1, 10, "view", 20.0), (1, 20, "view", 80.0),
+      (1, 30, "purchase", 50.0), (1, 40, "purchase", 150.0))
+    val stages = Seq(("e.ty = 'view' AND e.value > 50.0", 1, 1),
+      ("e.ty = 'purchase' AND e.value > 100.0", 1, 1))
+    assert(matchesWhere(df, stages, 1000) == Seq((1L, 1, 20L, 40L)))
+  }
+
+  test("where(): quantified predicate loop (two qualifying views then any purchase)") {
+    val df = evV((1, 10, "view", 90.0), (1, 20, "view", 5.0),
+      (1, 30, "view", 70.0), (1, 40, "purchase", 1.0))
+    val stages = Seq(("e.ty = 'view' AND e.value > 50.0", 2, Cep.Unbounded),
+      ("e.ty = 'purchase'", 1, 1))
+    // the value-5 view is ignored (fails the loop predicate — relaxed)
+    assert(matchesWhere(df, stages, 1000) == Seq((1L, 1, 10L, 40L)))
+    // with min 3 qualifying views it does not complete
+    val three = Seq(("e.ty = 'view' AND e.value > 50.0", 3, Cep.Unbounded),
+      ("e.ty = 'purchase'", 1, 1))
+    assert(matchesWhere(df, three, 1000).isEmpty)
+  }
+
+  test("where(): type-equality predicates reproduce patternMatches exactly") {
+    val df = evV((1, 10, "view", 1.0), (1, 20, "error", 1.0),
+      (1, 30, "click", 1.0), (1, 40, "purchase", 1.0),
+      (2, 15, "view", 1.0), (2, 25, "click", 1.0))
+    val stages = vcp.map(t => (s"e.ty = '$t'", 1, 1))
+    val typed = matches(df.drop("v"), vcp, 1000)
+    assert(matchesWhere(df, stages, 1000) == typed)
+  }
+
+  test("where(): timeout + reopen respect the stage-0 predicate") {
+    val df = evV((1, 10, "view", 90.0), (1, 2000, "view", 10.0),
+      (1, 2010, "view", 95.0), (1, 2020, "purchase", 1.0))
+    val stages = Seq(("e.ty = 'view' AND e.value > 50.0", 1, 1),
+      ("e.ty = 'purchase'", 1, 1))
+    // the low-value view at 2000 abandons the stale partial but cannot
+    // re-open (fails pred0); the 95-value view at 2010 does
+    assert(matchesWhere(df, stages, 100) == Seq((1L, 1, 2010L, 2020L)))
+  }
+
+  test("where(): reserved payload names rejected") {
+    val df = evV((1, 10, "view", 1.0))
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesWhere(df, col("k"), col("tms"), col("oid"),
+        Seq(("e.ty = 'view'", 1, 1)), 1000,
+        payload = Seq("tms" -> col("v")))
     }
   }
 

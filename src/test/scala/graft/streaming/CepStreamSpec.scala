@@ -324,6 +324,24 @@ class CepStreamSpec extends SparkSpec {
     assert(got == batchTimes(b1 ++ b2 ++ b3, timesPat, 1000))
   }
 
+  test("optional stage skipped across a micro-batch boundary") {
+    val pat = Seq(("view", 1, 1), ("click", 0, Int.MaxValue),
+      ("purchase", 1, 1))
+    // view in batch 1, purchase in batch 2 with NO click ever — the skip
+    // must happen from stored state
+    val b1 = Seq(CepEvent(1, 10, 1, "view"))
+    val b2 = Seq(CepEvent(1, 20, 2, "purchase"))
+    val got = runTimes(Seq(b1, b2), pat, 1000)
+    assert(got == Seq((1L, 10L, 20L)))
+    assert(got == batchTimes(b1 ++ b2, pat, 1000))
+    // and with the loop entered in batch 1, the boundary still completes
+    val c1 = Seq(CepEvent(2, 10, 1, "view"), CepEvent(2, 20, 2, "click"))
+    val c2 = Seq(CepEvent(2, 30, 3, "purchase"))
+    val got2 = runTimes(Seq(c1, c2), pat, 1000)
+    assert(got2 == Seq((2L, 10L, 30L)))
+    assert(got2 == batchTimes(c1 ++ c2, pat, 1000))
+  }
+
   test("quantified fixture replay: batch splits equal the batch operator") {
     val s = spark
     import s.implicits._

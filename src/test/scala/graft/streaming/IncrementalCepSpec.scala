@@ -73,6 +73,34 @@ class IncrementalCepSpec extends SparkSpec {
       == Seq((1L, 5010L, 5030L)))
   }
 
+  test("predicate stages (foldBatchWhere): value conditions fold across batches") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cep_w").toString + "/cep"
+    val stages = Seq(("e.ty = 'view' AND e.value > 50.0", 1, 1),
+      ("e.ty = 'purchase' AND e.value > 100.0", 1, 1))
+    def ev(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("k", "tms", "oid", "ty", "value")
+    val payload = Seq("ty" -> col("ty"), "value" -> col("value"))
+    // batch 1 opens on the high-value view only; batch 2 completes on the
+    // high-value purchase only
+    val m1 = IncrementalCep.foldBatchWhere(
+      ev((1, 10, 1, "view", 20.0), (1, 20, 2, "view", 80.0)),
+      store, stages, 1000, batchId = 1, payload)
+    val m2 = IncrementalCep.foldBatchWhere(
+      ev((1, 30, 3, "purchase", 50.0), (1, 40, 4, "purchase", 150.0)),
+      store, stages, 1000, batchId = 2, payload)
+    assert(got(m1).isEmpty)
+    assert(got(m2) == Seq((1L, 20L, 40L)))
+    // equals the batch predicate operator over the concatenation
+    val all = ev((1, 10, 1, "view", 20.0), (1, 20, 2, "view", 80.0),
+      (1, 30, 3, "purchase", 50.0), (1, 40, 4, "purchase", 150.0))
+    val want = graft.ops.Cep.patternMatchesWhere(all, col("k"), col("tms"),
+        col("oid"), stages, 1000, payload)
+      .select(col("k"), col("start_tms"), col("end_tms"))
+    assert((got(m1) ++ got(m2)).sorted == got(want))
+  }
+
   test("fixture parity: three time-cut folds equal the batch operator") {
     val s = spark
     import s.implicits._
