@@ -121,28 +121,49 @@ object Cep {
   /** [[timesFoldStep]] generalized to PREDICATE stages: each stage is an
     * arbitrary SQL boolean over the event struct `e` (Flink's `where()`
     * conditions — type equality is just one predicate). Same greedy /
-    * relaxed / exact-final-count semantics. */
+    * relaxed / exact-final-count semantics.
+    *
+    * `capture` (name → SQL type, usually empty) adds an `f0` state field
+    * holding the listed event fields as captured at stage-0 OPEN — the
+    * ITERATIVE-condition surface: predicates may then reference
+    * `acc.f0.<field>` (the [[patternMatchesIter]] API spells it
+    * `first.<field>`). With `capture` empty the generated state is
+    * byte-identical to the pre-iterative form — the typed paths and
+    * persisted [[graft.streaming.IncrementalCep]] layouts are untouched. */
   private[graft] def timesFoldStepPred(pattern: Seq[(String, Int, Int)],
-      withinMs: Long): String = {
+      withinMs: Long, capture: Seq[(String, String)] = Nil): String = {
     val last = pattern.length - 1
     val (pred0, mn0, _) = pattern.head
-    def idle(ms: String) =
-      s"named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT), 'ms', $ms)"
+    val nullF0 =
+      if (capture.isEmpty) ""
+      else s"CAST(NULL AS struct<${capture.map { case (n, t) => s"$n: $t" }
+        .mkString(", ")}>)"
+    val capF0 =
+      if (capture.isEmpty) ""
+      else s"named_struct(${capture.map { case (n, _) => s"'$n', e.$n" }
+        .mkString(", ")})"
+    // every state constructor routes through mk so the optional f0 slot
+    // can never be forgotten in one branch
+    def mk(st: String, c: String, t0: String, f0: String, ms: String) =
+      if (capture.isEmpty)
+        s"named_struct('st', $st, 'c', $c, 't0', $t0, 'ms', $ms)"
+      else
+        s"named_struct('st', $st, 'c', $c, 't0', $t0, 'f0', $f0, 'ms', $ms)"
+    def idle(ms: String) = mk("0", "0", "CAST(0 AS BIGINT)", nullF0, ms)
     def emit(msBase: String, start: String) =
-      s"named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT), " +
-        s"'ms', array_append($msBase, named_struct('s', $start, 'e', e.tms)))"
+      mk("0", "0", "CAST(0 AS BIGINT)", nullF0,
+        s"array_append($msBase, named_struct('s', $start, 'e', e.tms))")
     // opening stage 0 on event e (also the post-timeout / post-emit re-open)
     val enter0 =
       if (last == 0 && mn0 == 1) emit("acc.ms", "e.tms")
-      else s"named_struct('st', 0, 'c', 1, 't0', e.tms, 'ms', acc.ms)"
+      else mk("0", "1", "e.tms", capF0, "acc.ms")
     val reopen = s"IF(($pred0), $enter0, ${idle("acc.ms")})"
     val branches = pattern.zipWithIndex.flatMap { case ((p, mn, mx), i) =>
       // greedy EXTEND first: while the loop can accept, its own predicate
       // feeds it
       val extGuard = s"acc.st = $i AND acc.c >= 1 AND ($p)" +
         (if (mx == Unbounded) "" else s" AND acc.c < $mx")
-      val bump =
-        s"named_struct('st', $i, 'c', acc.c + 1, 't0', acc.t0, 'ms', acc.ms)"
+      val bump = mk(s"$i", "acc.c + 1", "acc.t0", "acc.f0", "acc.ms")
       val extRes =
         if (i == last) s"IF(acc.c + 1 = $mn, ${emit("acc.ms", "acc.t0")}, $bump)"
         else bump
@@ -158,7 +179,7 @@ object Cep {
             val (pj, mnJ, _) = pattern(j)
             val res =
               if (j == last && mnJ == 1) emit("acc.ms", "acc.t0")
-              else s"named_struct('st', $j, 'c', 1, 't0', acc.t0, 'ms', acc.ms)"
+              else mk(s"$j", "1", "acc.t0", "acc.f0", "acc.ms")
             s"WHEN acc.st = $i AND acc.c >= $mn AND ($pj) THEN $res"
           }
       }
@@ -288,6 +309,70 @@ object Cep {
     df.select(Seq(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
         ordCol.cast("long").as("oid")) ++
         payload.map { case (n, c) => c.as(n) }: _*)
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(fields: _*))).as("evs"))
+      .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
+      .select(col("k"), (col("i") + 1).as("match_n"),
+        col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
+  /** [[patternMatchesWhere]] with ITERATIVE conditions — Flink-CEP's
+    * `IterativeCondition`, scoped to the reference every funnel-style
+    * query actually uses: a stage predicate may reference the event that
+    * OPENED the match as `first.<field>` (stage 0's first event — Flink's
+    * `ctx.getEventsForPattern(<begin>).iterator().next()`):
+    *
+    * {{{
+    * // purchases at least double the opening view's value
+    * Cep.patternMatchesIter(df, $"user_id", unix_millis($"ts"),
+    *   $"event_id",
+    *   stages = Seq(("e.ty = 'view'", 1, 1),
+    *                ("e.ty = 'purchase' AND e.value > 2 * first.value", 1, 1)),
+    *   withinMs = 7L * 86400000,
+    *   payload = Seq("ty" -> $"event_type", "value" -> $"value"))
+    * }}}
+    *
+    * Implementation: the fold state captures the opening event's payload
+    * fields into an `f0` struct (types derived from the projected
+    * schema), and `first.` rewrites to `acc.f0.` inside the shared step
+    * — semantics otherwise [[patternMatchesTimes]]' exactly (greedy,
+    * relaxed, optional stages, exact final count, NFA timeout, skip past
+    * last row). State stays O(1) per key: one captured event, not
+    * Flink's full per-stage event buffers — which is why only `first.`
+    * is offered; arbitrary `getEventsForPattern` over an unbounded loop
+    * would grow keyed state with the loop.
+    *
+    * Stage 0 cannot reference `first.` (nothing is captured yet); the
+    * scan is the caller's to pre-filter, as in [[patternMatchesWhere]].
+    *
+    * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
+    *         contract */
+  def patternMatchesIter(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, stages: Seq[(String, Int, Int)], withinMs: Long,
+      payload: Seq[(String, Column)]): DataFrame = {
+    validateTimes(stages, withinMs)
+    require(!payload.exists(p => p._1 == "tms" || p._1 == "oid"),
+      "payload field names tms/oid are reserved")
+    require(payload.map(_._1).distinct.length == payload.length,
+      "payload field names must be unique")
+    require(!stages.head._1.matches("(?s).*\\bfirst\\..*"),
+      "stage 0 cannot reference first.* — nothing is captured yet")
+    val projected = df.select(Seq(keyCol.as("k"),
+        tsMsCol.cast("long").as("tms"), ordCol.cast("long").as("oid")) ++
+        payload.map { case (n, c) => c.as(n) }: _*)
+    val capture = payload.map { case (n, _) =>
+      n -> projected.schema(n).dataType.catalogString }
+    val rewritten = stages.map { case (p, mn, mx) =>
+      (p.replaceAll("\\bfirst\\.", "acc.f0."), mn, mx) }
+    val nullF0 = s"CAST(NULL AS struct<${capture
+      .map { case (n, t) => s"$n: $t" }.mkString(", ")}>)"
+    val fold = s"""aggregate(evs,
+      named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT), 'f0', $nullF0,
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      ${timesFoldStepPred(rewritten, withinMs, capture)},
+      acc -> acc.ms)"""
+    val fields = Seq(col("tms"), col("oid")) ++ payload.map(p => col(p._1))
+    projected
       .groupBy("k")
       .agg(sort_array(collect_list(struct(fields: _*))).as("evs"))
       .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))

@@ -282,6 +282,26 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // CEP with an ITERATIVE condition (Flink-CEP IterativeCondition):
+    // every purchase worth MORE THAN DOUBLE its opening view's value,
+    // within seven days — the stage-1 predicate reads the captured
+    // stage-0 event (first.value). 2*x on doubles is exponent-exact, so
+    // the predicate is engine-portable. Oracle = the automaton CTE with
+    // the captured value threaded through the state.
+    "q_cep_iter" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesIter(
+          Envelopes.events(s, dir)
+            .filter(col("event_type").isin("view", "purchase")),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          stages = Seq(
+            ("e.ty = 'view'", 1, 1),
+            ("e.ty = 'purchase' AND e.value > 2 * first.value", 1, 1)),
+          withinMs = 604800000L,
+          payload = Seq("ty" -> col("event_type"), "value" -> col("value")))
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
     // view→purchase run per user with NO error between them and NO click
     // in the three days after the view — the pending match emits when its
@@ -663,6 +683,55 @@ object AggQueries {
         |         ELSE CAST(NULL AS BIGINT) END AS m_s,
         |    CASE WHEN r.st >= 1 AND e.ty = 'purchase'
         |              AND e.tms - r.t0 < 604800000 THEN e.tms
+        |         ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
+
+    // The iterative-condition automaton: (st, t0, v0) state where v0 is
+    // the opening view's captured value; the purchase branch compares
+    // against 2*v0 exactly as the fold's rewritten predicate does.
+    "q_cep_iter" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty, value
+        |        FROM events WHERE event_type IN ('view', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS DOUBLE) AS v0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
+        |           THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
+        |           THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.value ELSE CAST(0 AS DOUBLE) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.value
+        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
+        |           THEN CAST(0 AS DOUBLE)
+        |         ELSE r.v0 END AS v0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 604800000
+        |              AND e.ty = 'purchase' AND e.value > 2 * r.v0 THEN r.t0
+        |         ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 604800000
+        |              AND e.ty = 'purchase' AND e.value > 2 * r.v0 THEN e.tms
         |         ELSE CAST(NULL AS BIGINT) END AS m_e
         |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
         |SELECT user_id,

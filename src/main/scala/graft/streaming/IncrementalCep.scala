@@ -72,6 +72,53 @@ object IncrementalCep {
       payload)
   }
 
+  /** State EXPIRY — the Flink state-TTL analog for the CEP store, closing
+    * its one unbounded-growth axis (one row per key EVER seen). Two row
+    * classes are provably dead under the per-key event-time-order
+    * contract and a `watermarkMs` no future event's tms can precede:
+    *
+    *   - IDLE rows (c = 0): state (0, 0, 0) is byte-identical to "row
+    *     absent" — a returning key re-opens through the same branch;
+    *   - TIMED-OUT partials (c > 0, watermarkMs − t0 >= within): any
+    *     future event e has `e.tms − t0 >= within`, so the fold's first
+    *     branch abandons the partial and treats e exactly as the idle
+    *     open does — again indistinguishable from "row absent".
+    *
+    * Both are tombstoned (ver = next generation, monotone over any stored
+    * row) and [[KeyedStore.maintain]] then drops them when the store
+    * turns tombstone-heavy — safe here BY the argument above: a
+    * resurrected lower-ver put would re-create a row equivalent to
+    * absent. Cost: one full store read (this is the O(keys) maintenance
+    * pass — run it on a cadence, not per fold) + a bucketed tombstone
+    * merge. Returns the number of rows expired. */
+  def expire(spark: SparkSession, storePath: String, watermarkMs: Long,
+      withinMs: Long): Long = {
+    val live = KeyedStore.readActive(spark, storePath) match {
+      case None => return 0L
+      case Some(s) => s
+    }
+    val dead = live.filter(col("kind") === "v" &&
+        (col("c") === 0 ||
+          (col("c") > 0 && lit(watermarkMs) - col("t0") >= withinMs)))
+      .select(col("kind"), col("k"), col("st"), col("c"), col("t0"))
+      .localCheckpoint(true)
+    val n = dead.count()
+    if (n > 0) {
+      val ver = KeyedStore.latestGeneration(spark, storePath) + 1L
+      KeyedStore.merge(
+        dead.withColumn("ver", lit(ver))
+          .withColumn("op_type", lit("delete")),
+        storePath, keys = Seq("kind", "k"), seqCols = Seq("ver"),
+        bucketCols = Seq("k"))
+      // expire IS the maintenance pass: the tombstones it just wrote are
+      // known-dead, so compact them away immediately (threshold 0)
+      KeyedStore.maintain(spark, storePath, maxTombstoneFrac = 0.0,
+        checkEvery = 1)
+    }
+    graft.util.Blocks.freeCheckpoint(dead)
+    n
+  }
+
   private def foldImpl(events: DataFrame, storePath: String,
       predStages: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
       numBuckets: Int, payload: Seq[(String, org.apache.spark.sql.Column)])

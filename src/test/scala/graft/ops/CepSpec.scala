@@ -335,6 +335,49 @@ class CepSpec extends SparkSpec {
     assert(matchesWhere(df, stages, 100) == Seq((1L, 1, 2010L, 2020L)))
   }
 
+  private def matchesIter(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Int, Int)], w: Long): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesIter(df, col("k"), col("tms"), col("oid"),
+        stages, w, payload = Seq("ty" -> col("ty"), "value" -> col("v")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("iterative condition: a stage reads the match-opening event") {
+    val stages = Seq(("e.ty = 'view'", 1, 1),
+      ("e.ty = 'purchase' AND e.value > 2 * first.value", 1, 1))
+    // view value 30: the 50-purchase fails (needs > 60), the 70 completes
+    val df = evV((1, 10, "view", 30.0), (1, 20, "purchase", 50.0),
+      (1, 30, "purchase", 70.0),
+      // a cheaper opener later: its own threshold is lower
+      (1, 40, "view", 10.0), (1, 50, "purchase", 25.0))
+    assert(matchesIter(df, stages, 1000) ==
+      Seq((1L, 1, 10L, 30L), (1L, 2, 40L, 50L)))
+  }
+
+  test("iterative condition: capture is the FIRST loop event; timeout re-captures") {
+    val stages = Seq(("e.ty = 'view'", 1, U),
+      ("e.ty = 'purchase' AND e.value > 2 * first.value", 1, 1))
+    // the loop captures the FIRST view (value 40 -> threshold 80), not
+    // the later cheaper one
+    val df = evV((1, 10, "view", 40.0), (1, 20, "view", 5.0),
+      (1, 30, "purchase", 50.0), (1, 40, "purchase", 90.0))
+    assert(matchesIter(df, stages, 1000) == Seq((1L, 1, 10L, 40L)))
+    // after a timeout the abandoning view RE-captures (threshold 10)
+    val to = evV((2, 10, "view", 40.0), (2, 2000, "view", 5.0),
+      (2, 2010, "purchase", 12.0))
+    assert(matchesIter(to, stages, 100) == Seq((2L, 1, 2000L, 2010L)))
+  }
+
+  test("iterative condition: stage 0 referencing first.* is rejected") {
+    val df = evV((1, 10, "view", 1.0))
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesIter(df, col("k"), col("tms"), col("oid"),
+        Seq(("e.value > first.value", 1, 1), ("e.ty = 'purchase'", 1, 1)),
+        1000, payload = Seq("ty" -> col("ty"), "value" -> col("v")))
+    }
+  }
+
   test("where(): reserved payload names rejected") {
     val df = evV((1, 10, "view", 1.0))
     intercept[IllegalArgumentException] {
