@@ -84,38 +84,28 @@ object IncrementalCep {
     *     branch abandons the partial and treats e exactly as the idle
     *     open does — again indistinguishable from "row absent".
     *
-    * Both are tombstoned (ver = next generation, monotone over any stored
-    * row) and [[KeyedStore.maintain]] then drops them when the store
-    * turns tombstone-heavy — safe here BY the argument above: a
-    * resurrected lower-ver put would re-create a row equivalent to
-    * absent. Cost: one full store read (this is the O(keys) maintenance
-    * pass — run it on a cadence, not per fold) + a bucketed tombstone
-    * merge. Returns the number of rows expired. */
+    * Both are PHYSICALLY PRUNED through [[KeyedStore.compact]]'s
+    * `keepWhere` rewrite — justified exactly by the argument above
+    * (dropped ≡ absent), and deliberately NOT a tombstone merge: a
+    * tombstone would need a `ver` above every stored row yet below every
+    * future fold's batchId, which no generation-derived number can
+    * guarantee against caller-chosen (e.g. epoch-based) batchId spaces —
+    * a tie or inversion there would nondeterministically shadow a
+    * re-opened key. Cost: one full store read + rewrite (this is the
+    * O(keys) maintenance pass — run it on a cadence, not per fold).
+    * Returns the number of rows expired. */
   def expire(spark: SparkSession, storePath: String, watermarkMs: Long,
       withinMs: Long): Long = {
     val live = KeyedStore.readActive(spark, storePath) match {
       case None => return 0L
       case Some(s) => s
     }
-    val dead = live.filter(col("kind") === "v" &&
-        (col("c") === 0 ||
-          (col("c") > 0 && lit(watermarkMs) - col("t0") >= withinMs)))
-      .select(col("kind"), col("k"), col("st"), col("c"), col("t0"))
-      .localCheckpoint(true)
-    val n = dead.count()
-    if (n > 0) {
-      val ver = KeyedStore.latestGeneration(spark, storePath) + 1L
-      KeyedStore.merge(
-        dead.withColumn("ver", lit(ver))
-          .withColumn("op_type", lit("delete")),
-        storePath, keys = Seq("kind", "k"), seqCols = Seq("ver"),
-        bucketCols = Seq("k"))
-      // expire IS the maintenance pass: the tombstones it just wrote are
-      // known-dead, so compact them away immediately (threshold 0)
-      KeyedStore.maintain(spark, storePath, maxTombstoneFrac = 0.0,
-        checkEvery = 1)
-    }
-    graft.util.Blocks.freeCheckpoint(dead)
+    val deadCond = col("kind") === "v" &&
+      (col("c") === 0 ||
+        (col("c") > 0 && lit(watermarkMs) - col("t0") >= withinMs))
+    val n = live.filter(deadCond).count()
+    if (n > 0)
+      KeyedStore.compact(spark, storePath, keepWhere = Some(!deadCond))
     n
   }
 

@@ -326,10 +326,19 @@ object KeyedStore {
     * with a `coalesce(1)` write each — O(buckets) sequential jobs, a
     * driver-throughput ceiling at production bucket counts.
     *
+    * `keepWhere` (default none) additionally PRUNES rows failing the
+    * predicate during the rewrite — physical deletion, for callers that
+    * can prove the dropped rows are semantically ABSENT (e.g.
+    * [[IncrementalCep.expire]]'s dead state: absent ≡ idle). Pruning
+    * through the rewrite avoids the last-write-wins version games a
+    * tombstone merge would play against caller-chosen `ver` spaces
+    * (a tombstone at generation-derived ver could tie with or lose to
+    * epoch-style batch ids — nondeterministic winners).
+    *
     * No-op (and no new generation) on a store with no committed state. */
   def compact(spark: SparkSession, path: String, dropTombstones: Boolean = false,
       opCol: String = "op_type", deleteOp: String = "delete",
-      keepGenerations: Int = 1): Unit = {
+      keepGenerations: Int = 1, keepWhere: Option[Column] = None): Unit = {
     val f = fs(spark, path)
     val root = new Path(path)
     layoutGuard(f, root)
@@ -340,8 +349,9 @@ object KeyedStore {
             dirs.toSeq.sortBy(_._1).map { case (_, d) => new Path(root, d).toString }: _*)
           .withColumn("__b", regexp_extract(input_file_name(),
             """__b=(\d+)__g""", 1).cast("int"))
-        val df = if (dropTombstones && df0.columns.contains(opCol))
+        val df1 = if (dropTombstones && df0.columns.contains(opCol))
           df0.filter(col(opCol) =!= deleteOp) else df0
+        val df = keepWhere.map(df1.filter).getOrElse(df1)
         val tmpRoot = new Path(path + "__ctmp")
         f.delete(tmpRoot, true) // a crashed previous compact
         // hash exchange on __b puts each bucket wholly in one task, so the

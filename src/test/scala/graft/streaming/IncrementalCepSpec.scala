@@ -103,27 +103,32 @@ class IncrementalCepSpec extends SparkSpec {
 
   test("expire drops idle and timed-out state; later folds still equal the batch operator") {
     val store = Files.createTempDirectory("inc_cep_exp").toString + "/cep"
+    // EPOCH-STYLE batch ids on purpose: expire must not play version
+    // games against the caller's ver space (a generation-derived
+    // tombstone would tie with or lose to these — the pruning rewrite
+    // cannot)
+    val bid1 = 1700000000001L
+    val bid2 = 1700000000002L
     // k1 completes (idle after), k2 holds a LIVE partial, k3 a STALE one
     val b1 = evDf((1, 10, 1, "view"), (1, 20, 2, "click"),
       (1, 30, 3, "purchase"), (2, 990, 4, "view"), (3, 50, 5, "view"))
-    val m1 = got(IncrementalCep.foldBatch(b1, store, vcp, 100, batchId = 1))
+    val m1 = got(IncrementalCep.foldBatch(b1, store, vcp, 100, batchId = bid1))
     assert(m1 == Seq((1L, 10L, 30L)))
     assert(KeyedStore.read(spark, store).get.count() == 4) // 3 keys + meta
     // watermark 1000: k1 idle (dead), k3 timed out (1000-50 >= 100, dead),
     // k2 alive (1000-990 < 100, kept)
     assert(IncrementalCep.expire(spark, store, watermarkMs = 1000,
       withinMs = 100) == 2)
-    val live = KeyedStore.readActive(spark, store).get
-    assert(live.filter(col("kind") === "v").count() == 1)
-    // dead rows were dropped PHYSICALLY (expire compacts via maintain)
-    assert(KeyedStore.read(spark, store).get
-      .filter(col("op_type") === "delete").count() == 0)
+    // dead rows are PHYSICALLY gone: meta + k2 only, no tombstones
+    assert(KeyedStore.read(spark, store).get.count() == 2)
+    assert(KeyedStore.readActive(spark, store).get
+      .filter(col("kind") === "v").count() == 1)
     // the next fold: k2 completes from its kept partial; k1/k3 re-open
     // from absent exactly as the batch operator replays them
     val b2 = evDf((2, 1000, 6, "click"), (2, 1010, 7, "purchase"),
       (3, 1005, 8, "view"), (3, 1010, 9, "click"), (3, 1020, 10, "purchase"),
       (1, 1001, 11, "view"), (1, 1002, 12, "click"), (1, 1003, 13, "purchase"))
-    val m2 = got(IncrementalCep.foldBatch(b2, store, vcp, 100, batchId = 2))
+    val m2 = got(IncrementalCep.foldBatch(b2, store, vcp, 100, batchId = bid2))
     val want = graft.ops.Cep.patternMatches(
         b1.unionByName(b2), col("k"), col("tms"), col("oid"), col("ty"),
         vcp.map(_._1), 100)
