@@ -389,6 +389,12 @@ class PlanSpec extends SparkSpec {
       "A-next-B must not build per-key event arrays:\n" + nxt.take(800))
     // both stay the one-key-shuffle automaton shape: no joins
     assert(!neg.contains("Join") && !nxt.contains("Join"))
+    // predicate stages: the operator cannot pre-filter (opaque SQL), so
+    // the CALL SITE must — q_cep_where's implied type IN reaches the scan
+    val whr = plan("q_cep_where")
+    assert(whr.contains("PushedFilters") && whr.contains("In(event_type"),
+      "q_cep_where's call-site type IN must reach the scan:\n" + whr.take(800))
+    assert(!whr.contains("Join"))
   }
 
   test("hits: no cartesian anywhere; final hub-authority combine is an equi join") {
