@@ -225,6 +225,15 @@ object Cep {
     *     input — Flink ends such loops with `until()` or the window edge;
     *     bound it (or add a terminal stage) instead.
     *
+    * `until()` itself is DELIBERATELY absent: its Flink role is ending an
+    * unbounded LAST-stage loop, which this model forbids; for middle
+    * loops, closing the loop early cannot move a match's (start, end) —
+    * start is stage 0's first event, end is the final stage's — so the
+    * only observable effect would be killing runs still below their
+    * floor, and a conditional kill is [[patternMatchesNeg]]'s
+    * `notBetween` expressed against the loop. No semantics are lost;
+    * one state flag and its corner cases are.
+    *
     * Scale shape identical to [[patternMatches]]: type-IN pushed scan, one
     * key shuffle, a row-local fold whose state is (stage, count, start) —
     * the repeat counter is the ONLY addition, so per-key memory is still
