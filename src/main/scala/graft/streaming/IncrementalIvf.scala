@@ -132,21 +132,28 @@ object IncrementalIvf {
     if (guardIds) {
       val idsPath = s"$storePath/ids"
       val batchIds = batch.select(col("vec_id").cast("long").as("vec_id"))
+      // ONE action for both contract checks (the guard is fixed-job-
+      // latency-dominated at test scale — r10 isolated readings priced
+      // each extra action at ~0.3 s on the 3-fold drive)
       val dups = batchIds.groupBy("vec_id").count()
-        .filter(col("count") > 1).select(col("vec_id")).limit(3)
-        .collect().map(_.getLong(0))
-      require(dups.isEmpty,
-        s"batch $batchId folds vec_ids more than once (${dups.mkString(", ")}" +
-          ", …) — each vec folds ONCE; dedup the batch first")
+        .filter(col("count") > 1)
+        .select(col("vec_id"), lit("folds more than once in this batch")
+          .as("why"))
       val stale = KeyedStore.readPruned(spark, idsPath, batchIds)
         .map(_.filter(col("ver") < batchId)
           .join(batchIds, Seq("vec_id"), "left_semi")
-          .select(col("vec_id")).limit(3).collect().map(_.getLong(0)))
-        .getOrElse(Array.empty[Long])
-      require(stale.isEmpty,
-        s"vec_ids already indexed by an earlier fold (${stale.mkString(", ")}" +
-          ", …) — re-encoding under a new cell would leave the old cell's " +
-          "code rows live; route re-arrivals through IncrementalDedup")
+          .select(col("vec_id"),
+            lit("already indexed by an earlier fold").as("why")))
+        .getOrElse(spark.range(0)
+          .select(col("id").as("vec_id"), lit("").as("why")))
+      val bad = dups.unionByName(stale).limit(3).collect()
+      require(bad.isEmpty,
+        "IVF fold-once contract violated: " +
+          bad.map(r => s"vec_id ${r.getLong(0)} ${r.getString(1)}")
+            .mkString("; ") +
+          ", … — a re-encoded vec whose cell moved would leave the old " +
+          "cell's code rows live, and a within-batch duplicate double-" +
+          "adds centroid sums; route re-arrivals through IncrementalDedup")
       // ids BEFORE codes: a crash anywhere after this line replays with
       // the ids already present at ver == batchId — exempt by the strict
       // inequality above, and the re-merge upserts identical rows
