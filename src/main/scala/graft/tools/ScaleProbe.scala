@@ -1127,6 +1127,71 @@ object ScaleProbe {
     * form must scan every event — its wall carries the full corpus).
     *
     * Usage: runMain graft.tools.ScaleProbe cep [copies] */
+  /** IncrementalCep grown-store probe — the house standard every
+    * corpus-growing KeyedStore meets (ccfold/trifold/ivf precedents): a
+    * FIXED-SIZE batch's fold wall must track the BATCH, not the stored
+    * key population, because state reads are bucket-pruned by the batch's
+    * keys. Grows the stored population in doubling steps (one open
+    * partial per key) and times the same 2 k-key completing fold at each
+    * size. */
+  def cepfoldProbe(steps: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(outDir))
+    val store = s"$outDir/cep"
+    val pat = Seq(("view", 1, 1), ("click", 1, 1), ("purchase", 1, 1))
+    val w = 1000000000L // no timeouts — growth is the only variable
+    var batchId = 0L
+    var clock = 0L
+    def fold(df: org.apache.spark.sql.DataFrame): Double = {
+      batchId += 1
+      val t0 = System.nanoTime()
+      val m = graft.streaming.IncrementalCep.foldBatch(df, store, pat, w,
+        batchId)
+      m.count()
+      graft.util.Blocks.freeCheckpoint(m)
+      (System.nanoTime - t0) / 1e9
+    }
+    // probe keys 0..1999 live forever; population keys start at 100k
+    var pop = 16000L
+    var nextKey = 100000L
+    // seed: probe keys + first population slab, one open view each
+    def views(from: Long, until: Long): org.apache.spark.sql.DataFrame = {
+      clock += 1
+      spark.range(from, until).select(col("id").as("k"),
+        (lit(clock * 1000000L) + col("id") % 997).as("tms"),
+        col("id").as("oid"), lit("view").as("ty"))
+    }
+    fold(views(0L, 2000L).unionByName(views(nextKey, nextKey + pop)))
+    nextKey += pop
+    for (s <- 0 until steps) {
+      // the measured fold: the SAME 2k keys complete (click+purchase)
+      // and re-open — batch-sized work against an ever-larger store
+      clock += 1
+      val c = spark.range(0L, 2000L).select(col("id").as("k"),
+        (lit(clock * 1000000L) + col("id") % 997).as("tms"),
+        col("id").as("oid"), lit("click").as("ty"))
+      clock += 1
+      val p = spark.range(0L, 2000L).select(col("id").as("k"),
+        (lit(clock * 1000000L) + col("id") % 997).as("tms"),
+        (col("id") + 2000L).as("oid"), lit("purchase").as("ty"))
+      clock += 1
+      val v = spark.range(0L, 2000L).select(col("id").as("k"),
+        (lit(clock * 1000000L) + col("id") % 997).as("tms"),
+        (col("id") + 4000L).as("oid"), lit("view").as("ty"))
+      val wall = fold(c.unionByName(p).unionByName(v))
+      val stored = graft.streaming.KeyedStore.read(spark, store).get.count()
+      println(f"CEPFOLD step=$s storedRows=$stored%9d probeFoldWall=$wall%5.2f s")
+      // grow: double the population with fresh open partials
+      fold(views(nextKey, nextKey + pop))
+      nextKey += pop
+      pop *= 2
+    }
+    spark.stop()
+  }
+
   /** Post-compact fold-wall probe (round-10 VERDICT item 4): what does a
     * fold cost immediately after `KeyedStore.maintain` fires on the CC
     * member index? Builds a merge-heavy chain (every fold relabels the
@@ -1513,6 +1578,11 @@ object ScaleProbe {
     }
     if (args.headOption.contains("cep")) {
       cepProbe(args.lift(1).map(_.toInt).getOrElse(5))
+      return
+    }
+    if (args.headOption.contains("cepfold")) {
+      cepfoldProbe(args.lift(1).map(_.toInt).getOrElse(6),
+        args.lift(2).getOrElse("/tmp/graft_scale_cepfold"))
       return
     }
     if (args.headOption.contains("maintfold")) {
