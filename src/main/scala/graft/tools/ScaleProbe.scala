@@ -1419,6 +1419,45 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** SKIP TO NEXT ROW price probe: the overlap strategy's per-key cost is
+    * O(starts × stages × events) against SKIP PAST LAST ROW's single
+    * pass — this measures both on the same corpus while PER-KEY DEPTH
+    * doubles (keys fixed, rows double), the axis the quadratic term
+    * grows on, at two pattern-event densities. */
+  def skipnextProbe(keys: Int): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vcp = Seq("view", "click", "purchase")
+    for (fPct <- Seq(10, 50); depth <- Seq(40, 80, 160)) {
+      val rows = keys.toLong * depth
+      val df = spark.range(rows).select(
+          (col("id") % keys).as("k"),
+          (col("id") / keys).cast("long").as("tms"),
+          col("id").as("oid"),
+          when(pmod(hash(col("id")), lit(100)) < fPct,
+            element_at(array(vcp.map(lit): _*),
+              (pmod(hash(col("id"), lit(7)), lit(3)) + 1).cast("int")))
+            .otherwise("noise").as("ty"))
+        .localCheckpoint(true)
+      for (rep <- 0 until 2 if rep == 1 || (fPct == 10 && depth == 40)) {
+        val t0 = System.nanoTime()
+        val m1 = graft.ops.Cep.patternMatches(df, col("k"), col("tms"),
+          col("oid"), col("ty"), vcp, 1000000L).count()
+        val w1 = (System.nanoTime - t0) / 1e9
+        val t1 = System.nanoTime()
+        val m2 = graft.ops.Cep.patternMatchesSkipNext(df, col("k"),
+          col("tms"), col("oid"), col("ty"), vcp, 1000000L).count()
+        val w2 = (System.nanoTime - t1) / 1e9
+        if (rep == 1)
+          println(f"SKIPNEXT f=$fPct%3d%% depth=$depth%4d rows=$rows%9d " +
+            f"pastLast=$w1%6.2f s ($m1%8d) skipToNext=$w2%6.2f s ($m2%8d)")
+      }
+      graft.util.Blocks.freeCheckpoint(df)
+    }
+    spark.stop()
+  }
+
   def cepProbe(copies: Int): Unit = {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -1578,6 +1617,10 @@ object ScaleProbe {
     }
     if (args.headOption.contains("cep")) {
       cepProbe(args.lift(1).map(_.toInt).getOrElse(5))
+      return
+    }
+    if (args.headOption.contains("skipnext")) {
+      skipnextProbe(args.lift(1).map(_.toInt).getOrElse(100000))
       return
     }
     if (args.headOption.contains("cepfold")) {
