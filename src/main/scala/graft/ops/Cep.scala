@@ -305,8 +305,9 @@ object Cep {
       ordCol: Column, stages: Seq[(String, Int, Int)], withinMs: Long,
       payload: Seq[(String, Column)]): DataFrame = {
     validateTimes(stages, withinMs)
-    require(!payload.exists(p => p._1 == "tms" || p._1 == "oid"),
-      "payload field names tms/oid are reserved")
+    require(!payload.exists(p =>
+        p._1 == "k" || p._1 == "tms" || p._1 == "oid"),
+      "payload field names k/tms/oid are reserved")
     require(payload.map(_._1).distinct.length == payload.length,
       "payload field names must be unique")
     val fold = s"""aggregate(evs,
@@ -360,8 +361,9 @@ object Cep {
       ordCol: Column, stages: Seq[(String, Int, Int)], withinMs: Long,
       payload: Seq[(String, Column)]): DataFrame = {
     validateTimes(stages, withinMs)
-    require(!payload.exists(p => p._1 == "tms" || p._1 == "oid"),
-      "payload field names tms/oid are reserved")
+    require(!payload.exists(p =>
+        p._1 == "k" || p._1 == "tms" || p._1 == "oid"),
+      "payload field names k/tms/oid are reserved")
     require(payload.map(_._1).distinct.length == payload.length,
       "payload field names must be unique")
     require(!stages.head._1.matches("(?s).*\\bfirst\\..*"),

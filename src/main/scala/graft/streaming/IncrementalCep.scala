@@ -66,8 +66,9 @@ object IncrementalCep {
       payload: Seq[(String, org.apache.spark.sql.Column)],
       numBuckets: Int = 4): DataFrame = {
     graft.ops.Cep.validateTimes(stages, withinMs)
-    require(!payload.exists(p => p._1 == "tms" || p._1 == "oid"),
-      "payload field names tms/oid are reserved")
+    require(!payload.exists(p =>
+        p._1 == "k" || p._1 == "tms" || p._1 == "oid"),
+      "payload field names k/tms/oid are reserved")
     foldImpl(events, storePath, stages, withinMs, batchId, numBuckets,
       payload)
   }
