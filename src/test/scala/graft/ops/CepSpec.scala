@@ -369,6 +369,23 @@ class CepSpec extends SparkSpec {
     assert(matchesIter(to, stages, 100) == Seq((2L, 1, 2000L, 2010L)))
   }
 
+  test("iterative + optional compose: the captured value guards the optional slot") {
+    // (view)(click > first.value, OPTIONAL)(any click): a low click fails
+    // the guarded optional stage and lands directly on the final stage
+    // (skip), a high click fills the optional slot first (greedy,
+    // ascending targets) and the NEXT click completes — observably
+    // different match ends
+    val stages = Seq(("e.ty = 'view'", 1, 1),
+      ("e.ty = 'click' AND e.value > first.value", 0, 1),
+      ("e.ty = 'click'", 1, 1))
+    val low = evV((1, 10, "view", 50.0), (1, 20, "click", 10.0),
+      (1, 30, "click", 10.0))
+    assert(matchesIter(low, stages, 1000) == Seq((1L, 1, 10L, 20L)))
+    val high = evV((2, 10, "view", 50.0), (2, 20, "click", 90.0),
+      (2, 30, "click", 10.0))
+    assert(matchesIter(high, stages, 1000) == Seq((2L, 1, 10L, 30L)))
+  }
+
   test("iterative condition: stage 0 referencing first.* is rejected") {
     val df = evV((1, 10, "view", 1.0))
     intercept[IllegalArgumentException] {
