@@ -38,11 +38,173 @@ import org.apache.spark.sql.functions._
   */
 object Cep {
 
-  private def esc(s: String): String =
+  /** SQL string-literal escaping for event-type constants — shared with
+    * [[graft.streaming.IncrementalCep]] so the two can't drift. */
+  private[graft] def esc(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Apply `f` to the segments of `sql` OUTSIDE single-quoted string
+    * literals (backslash escapes and doubled `''` respected). The `first.`
+    * rewrite/detection must not touch a literal like `'first.home'` — a
+    * plain regex over the whole predicate would silently rewrite it to
+    * `'acc.f0.home'` and change match results. */
+  private[graft] def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    var inLit = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inLit) {
+        if (c == '\'') {
+          out.append(f(seg.toString)); seg.clear(); out.append(c); inLit = true
+        } else seg.append(c)
+      } else {
+        out.append(c)
+        if (c == '\\' && i + 1 < sql.length) { out.append(sql.charAt(i + 1)); i += 1 }
+        else if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inLit = false
+        }
+      }
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
+  /** True iff `re` matches some NON-LITERAL segment of `sql` (see
+    * [[mapOutsideLiterals]]) — the stage-0 `first.` rejection must not
+    * false-positive on a string literal containing the token. */
+  private[graft] def existsOutsideLiterals(sql: String, re: String): Boolean = {
+    var found = false
+    mapOutsideLiterals(sql) { seg => if (seg.matches(re)) found = true; seg }
+    found
+  }
+
+  /** Typed event row of the SORTED-ITERATOR automaton plan (see
+    * [[timesSorted]]). */
+  private[graft] final case class CepEv(k: Long, tms: Long, oid: Long,
+      ty: String)
+  private[graft] final case class CepMatchRow(k: Long, match_n: Int,
+      start_tms: Long, end_tms: Long)
+  private[graft] final case class CepSelRow(k: Long, match_n: Int,
+      stage_n: Int, ev_tms: Long, ev_oid: Long)
+
+  /** The quantified automaton's step semantics as a row-at-a-time Scala
+    * stepper — the THIRD expression of the same branch structure as
+    * [[timesFoldStepPred]] (SQL) and the recursive-CTE oracles, shared by
+    * the batch sorted-iterator plan ([[timesSorted]]) and every
+    * [[graft.streaming.CepStream]] group function, so the typed paths
+    * cannot drift from each other. Predicates are arbitrary `E => Boolean`
+    * (type equality is the [[patternMatchesTimes]] case); `emit` fires
+    * with (start, end) on every completed match. State is the same
+    * (stage, count, start) triple the SQL fold and the persistent
+    * [[graft.streaming.IncrementalCep]] layout hold. */
+  private[graft] final class TimesStepper[E](
+      pattern: IndexedSeq[(E => Boolean, Int, Int)], withinMs: Long,
+      tmsOf: E => Long, onOpen: E => Unit = (_: E) => ()) {
+    private val last = pattern.length - 1
+
+    /** One event: (st, c, t0) -> new (st, c, t0); emit on completion;
+      * `onOpen` fires with the event that OPENS stage 0 (the iterative-
+      * condition capture point — first loop event only, re-fired on a
+      * post-timeout re-open, exactly the SQL fold's `capF0` site). */
+    def step(st: Int, c: Int, t0: Long, e: E,
+        emit: (Long, Long) => Unit): (Int, Int, Long) = {
+      val tms = tmsOf(e)
+      // opening stage 0 on e (fresh, post-timeout, post-emit) —
+      // single-stage min-1 patterns emit instantly (the fold's enter0)
+      def enter0: (Int, Int, Long) =
+        if (pattern.head._1(e)) {
+          onOpen(e)
+          if (last == 0 && pattern.head._2 == 1) { emit(tms, tms); (0, 0, 0L) }
+          else (0, 1, tms)
+        } else (0, 0, 0L)
+      if (c > 0 && tms - t0 >= withinMs) enter0
+      else if (c == 0) enter0
+      else {
+        val (p, mn, mx) = pattern(st)
+        if (p(e) && (mx == Unbounded || c < mx)) {
+          // greedy extend wins over advance while the loop can accept
+          if (st == last && c + 1 == mn) { emit(t0, tms); (0, 0, 0L) }
+          else (st, c + 1, t0)
+        } else if (st < last && c >= mn) {
+          // advance targets: next stage + stages reachable by skipping
+          // optional (min-0) stages; ascending = greedy prefers matching
+          // an optional stage over skipping it (the SQL fold's order)
+          ((st + 1) to last).view
+            .takeWhile(j => (st + 1 until j).forall(pattern(_)._2 == 0))
+            .find(j => pattern(j)._1(e)) match {
+            case Some(j) =>
+              if (j == last && pattern(j)._2 == 1) { emit(t0, tms); (0, 0, 0L) }
+              else (j, 1, t0)
+            case None => (st, c, t0)
+          }
+        } else (st, c, t0)
+      }
+    }
+  }
+
+  /** The SPILL-SAFE physical plan for the relaxed quantified automaton:
+    * instead of `collect_list`-ing each key's pattern events into one
+    * in-memory array and folding it row-locally (per-key memory = the
+    * busiest key's event count — a celebrity key at 100× pins one array),
+    * the events STREAM through the automaton as a sorted per-group
+    * iterator (`flatMapSortedGroups` = one key shuffle + a
+    * sort-within-partitions that SPILLS like any Spark sort). Per-key
+    * memory is O(pattern) state + O(matches) output — flat however hot
+    * the key (measured: ScaleProbe `cephot`, SCALING.md). Same scan
+    * pre-filter, same single shuffle; the round-10 window-lead routing
+    * lesson (sorted streaming ~2× the array fold at every pattern
+    * fraction) generalized to the whole relaxed class.
+    *
+    * `proj` must be exactly (k BIGINT, tms BIGINT, oid BIGINT, ty STRING);
+    * [[patternMatches]] / [[patternMatchesTimes]] route here whenever the
+    * key column is LongType (null keys fail loudly in the encoder — the
+    * SQL fold path keeps serving other key types). */
+  private[graft] def timesSorted(proj: DataFrame,
+      pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame = {
+    val spark = proj.sparkSession
+    import spark.implicits._
+    val preds = pattern.map { case (t, mn, mx) =>
+      (((e: CepEv) => e.ty == t), mn, mx) }.toIndexedSeq
+    proj.as[CepEv]
+      .groupByKey(_.k)
+      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
+        val stepper = new TimesStepper[CepEv](preds, withinMs, _.tms)
+        val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
+        var st = 0; var c = 0; var t0 = 0L; var n = 0
+        it.foreach { e =>
+          val next = stepper.step(st, c, t0, e, (s, en) => {
+            n += 1; out += CepMatchRow(k, n, s, en)
+          })
+          st = next._1; c = next._2; t0 = next._3
+        }
+        out
+      }
+      .toDF("k", "match_n", "start_tms", "end_tms")
+  }
+
+  /** Standard projection for the typed plans; routing keys on the
+    * RESOLVED key type so only genuinely-long keys take the typed path. */
+  private def projEvents(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column): DataFrame =
+    df.select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
+      ordCol.cast("long").as("oid"), typeCol.cast("string").as("ty"))
+
+  private def isLongKey(proj: DataFrame): Boolean =
+    proj.schema("k").dataType == org.apache.spark.sql.types.LongType
 
   /** Matches of `pattern` (ordered event-type names, length ≥ 1, repeats
     * allowed) per key, within `withinMs` of the match's first event.
+    *
+    * Physical plan: LongType keys stream through the sorted-iterator
+    * automaton ([[timesSorted]] — spill-safe, no per-key array); other
+    * key types keep the row-local `aggregate` fold below (Flink-CEP
+    * keyed-state memory parity, per-key memory = that key's
+    * pattern-event count).
     *
     * @param ordCol  deterministic tie-break within equal timestamps
     * @return (k, match_n, start_tms, end_tms) — one row per match, match_n
@@ -52,6 +214,10 @@ object Cep {
       withinMs: Long): DataFrame = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val proj = projEvents(df.filter(typeCol.isin(pattern.distinct: _*)),
+      keyCol, tsMsCol, ordCol, typeCol)
+    if (isLongKey(proj))
+      return timesSorted(proj, pattern.map((_, 1, 1)), withinMs)
     val last = pattern.length - 1
     // boolean: does event e match the stage acc.st expects?
     val stageMatch = pattern.zipWithIndex
@@ -211,7 +377,17 @@ object Cep {
     *     the following stage's type EXTENDS the loop rather than advancing.
     *     A stage advances only on an event its own type cannot consume;
     *     with distinct types per stage greedy and lazy coincide, so the
-    *     choice only shows on adjacent same-type stages;
+    *     choice only shows on adjacent same-type stages.
+    *     MIGRATION NOTE for Flink porters: when an optional/loop stage's
+    *     type (or predicate) OVERLAPS the next stage's, the deterministic
+    *     greedy reading can emit fewer matches than Flink's branching
+    *     NFA — e.g. (view)(click optional)(click) on input `view, click`
+    *     emits nothing here (the click greedily fills the optional slot;
+    *     the required final click never arrives) where Flink's NFA also
+    *     explores the skip branch and matches. Pinned deliberately
+    *     (CepSpec "optional loop with a floor elsewhere"); if you need
+    *     the skip-branch match, drop the optional stage or give the two
+    *     stages disjoint predicates;
     *   - AFTER MATCH SKIP PAST LAST ROW + the NFA timeout convention
     *     (span >= `withinMs` abandons; the abandoning event may re-open);
     *   - MIDDLE stages may be OPTIONAL (min 0 — Flink's `optional()`,
@@ -249,6 +425,10 @@ object Cep {
       ordCol: Column, typeCol: Column, pattern: Seq[(String, Int, Int)],
       withinMs: Long): DataFrame = {
     validateTimes(pattern, withinMs)
+    val proj = projEvents(
+      df.filter(typeCol.isin(pattern.map(_._1).distinct: _*)),
+      keyCol, tsMsCol, ordCol, typeCol)
+    if (isLongKey(proj)) return timesSorted(proj, pattern, withinMs)
     val fold = s"""aggregate(evs,
       named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT),
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
@@ -263,6 +443,76 @@ object Cep {
       .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
       .select(col("k"), (col("i") + 1).as("match_n"),
         col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
+  /** [[patternMatches]] with MATCH-PAYLOAD OUTPUT — Flink-CEP's
+    * `select`/`flatSelect` surface: the `PatternSelectFunction` hands the
+    * user the MATCHED EVENTS per stage ("which click converted"), not just
+    * the match's (start, end) envelope. One output row per matched stage
+    * event, long format (scalar columns, engine-portable for the oracle
+    * hash): a 3-stage match emits 3 rows sharing (k, match_n).
+    *
+    * Semantics are [[patternMatches]]' exactly (relaxed contiguity, NFA
+    * timeout at span >= window, skip past last row, greedy earliest
+    * start) — only the emission changes; `(k, match_n,
+    * min(ev_tms)..max(ev_tms))` reproduces the envelope operator's rows.
+    *
+    * State stays O(pattern) per key: the partial match buffers exactly
+    * one (tms, oid) per matched stage — bounded by pattern length, NOT
+    * Flink's per-stage event buffers (which an unbounded loop would grow
+    * with); this is why the select surface is offered on the
+    * one-event-per-stage class. Runs on the sorted-iterator plan
+    * ([[timesSorted]]'s shape — spill-safe, no per-key array), so the
+    * key column must be LongType.
+    *
+    * @return (k, match_n, stage_n, ev_tms, ev_oid) — stage_n numbered
+    *         1..pattern.length; ev_oid is the matched event's `ordCol` */
+  def patternMatchesSelect(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column, pattern: Seq[String],
+      withinMs: Long): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val proj = projEvents(df.filter(typeCol.isin(pattern.distinct: _*)),
+      keyCol, tsMsCol, ordCol, typeCol)
+    require(isLongKey(proj),
+      "patternMatchesSelect runs on the typed sorted-iterator plan — the " +
+        s"key column must be LongType, got ${proj.schema("k").dataType}")
+    val spark = proj.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    val last = pat.length - 1
+    proj.as[CepEv]
+      .groupByKey(_.k)
+      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
+        val out = scala.collection.mutable.ListBuffer.empty[CepSelRow]
+        // es = the partial's matched (tms, oid) per stage — O(pattern)
+        val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var st = 0; var t0 = 0L; var n = 0
+        it.foreach { e =>
+          if (st > 0 && e.tms - t0 >= withinMs) {
+            // NFA timeout: abandon; the abandoning event may re-open
+            es.clear()
+            if (e.ty == pat.head) {
+              if (last == 0) {
+                n += 1; out += CepSelRow(k, n, 1, e.tms, e.oid)
+                st = 0; t0 = 0L
+              } else { st = 1; t0 = e.tms; es += ((e.tms, e.oid)) }
+            } else { st = 0; t0 = 0L }
+          } else if (e.ty == pat(st)) {
+            val start = if (st == 0) e.tms else t0
+            es += ((e.tms, e.oid))
+            if (st == last) {
+              n += 1
+              es.zipWithIndex.foreach { case ((t, o), j) =>
+                out += CepSelRow(k, n, j + 1, t, o)
+              }
+              es.clear(); st = 0; t0 = 0L
+            } else { st += 1; t0 = start }
+          } // else: relaxed contiguity — ignore
+        }
+        out
+      }
+      .toDF("k", "match_n", "stage_n", "ev_tms", "ev_oid")
   }
 
   /** [[patternMatchesTimes]] with PREDICATE stages — Flink-CEP's `where()`
@@ -366,7 +616,7 @@ object Cep {
       "payload field names k/tms/oid are reserved")
     require(payload.map(_._1).distinct.length == payload.length,
       "payload field names must be unique")
-    require(!stages.head._1.matches("(?s).*\\bfirst\\..*"),
+    require(!existsOutsideLiterals(stages.head._1, "(?s).*\\bfirst\\..*"),
       "stage 0 cannot reference first.* — nothing is captured yet")
     val projected = df.select(Seq(keyCol.as("k"),
         tsMsCol.cast("long").as("tms"), ordCol.cast("long").as("oid")) ++
@@ -374,7 +624,7 @@ object Cep {
     val capture = payload.map { case (n, _) =>
       n -> projected.schema(n).dataType.catalogString }
     val rewritten = stages.map { case (p, mn, mx) =>
-      (p.replaceAll("\\bfirst\\.", "acc.f0."), mn, mx) }
+      (mapOutsideLiterals(p)(_.replaceAll("\\bfirst\\.", "acc.f0.")), mn, mx) }
     val nullF0 = s"CAST(NULL AS struct<${capture
       .map { case (n, t) => s"$n: $t" }.mkString(", ")}>)"
     val fold = s"""aggregate(evs,

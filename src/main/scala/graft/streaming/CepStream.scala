@@ -220,44 +220,31 @@ object CepStream {
     * completes in a later one. */
   def matchGroupTimes(pattern: IndexedSeq[(String, Int, Int)],
       withinMs: Long)(k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepTimesState]): Iterator[CepMatch] =
+    // pre-sort with the full (tms, oid, ty) tie-break; matchGroupPred's
+    // (tms, oid) re-sort is STABLE, so the ty order survives through it
+    matchGroupPred[CepEvent](
+      pattern.map { case (t, mn, mx) => (((e: CepEvent) => e.ty == t), mn, mx) },
+      withinMs, _.tms, _.oid)(
+      k, events.toSeq.sortBy(e => (e.tms, e.oid, e.ty)).iterator, state)
+
+  /** [[matchGroupTimes]] generalized to PREDICATE stages — the step
+    * semantics are [[graft.ops.Cep.TimesStepper]]'s (shared with the batch
+    * sorted-iterator plan, so batch and stream cannot drift). Sorts the
+    * batch's group by (tms, oid) and runs the stepper from stored state. */
+  def matchGroupPred[E](pattern: IndexedSeq[(E => Boolean, Int, Int)],
+      withinMs: Long, tmsOf: E => Long, oidOf: E => Long)(
+      k: Long, events: Iterator[E],
       state: GroupState[CepTimesState]): Iterator[CepMatch] = {
-    val last = pattern.length - 1
-    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    val stepper =
+      new graft.ops.Cep.TimesStepper[E](pattern, withinMs, tmsOf)
+    val sorted = events.toSeq.sortBy(e => (tmsOf(e), oidOf(e)))
     var s = state.getOption.getOrElse(CepTimesState(0, 0, 0L))
     val out = ListBuffer.empty[CepMatch]
-    // opening stage 0 on e (fresh, post-timeout, post-emit) — single-stage
-    // min-1 patterns emit instantly, mirroring the batch enter0
-    def enter0(e: CepEvent): CepTimesState =
-      if (e.ty == pattern.head._1) {
-        if (last == 0 && pattern.head._2 == 1) {
-          out += CepMatch(k, e.tms, e.tms); CepTimesState(0, 0, 0L)
-        } else CepTimesState(0, 1, e.tms)
-      } else CepTimesState(0, 0, 0L)
     sorted.foreach { e =>
-      if (s.c > 0 && e.tms - s.t0 >= withinMs) s = enter0(e)
-      else if (s.c == 0) s = enter0(e)
-      else {
-        val (t, mn, mx) = pattern(s.st)
-        if (e.ty == t && (mx == Int.MaxValue || s.c < mx)) {
-          // greedy extend wins over advance while the loop can accept
-          if (s.st == last && s.c + 1 == mn) {
-            out += CepMatch(k, s.t0, e.tms); s = CepTimesState(0, 0, 0L)
-          } else s = CepTimesState(s.st, s.c + 1, s.t0)
-        } else if (s.st < last && s.c >= mn) {
-          // advance targets: next stage + stages reachable by skipping
-          // optional (min-0) stages; ascending = greedy prefers matching
-          // an optional stage over skipping it (the batch fold's order)
-          ((s.st + 1) to last)
-            .view
-            .takeWhile(j => (s.st + 1 until j).forall(pattern(_)._2 == 0))
-            .find(j => e.ty == pattern(j)._1)
-            .foreach { j =>
-              if (j == last && pattern(last)._2 == 1) {
-                out += CepMatch(k, s.t0, e.tms); s = CepTimesState(0, 0, 0L)
-              } else s = CepTimesState(j, 1, s.t0)
-            }
-        } // else: relaxed contiguity — ignore
-      }
+      val next = stepper.step(s.st, s.c, s.t0, e,
+        (st0, en) => out += CepMatch(k, st0, en))
+      s = CepTimesState(next._1, next._2, next._3)
     }
     state.update(s)
     out.iterator
@@ -274,6 +261,93 @@ object CepStream {
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         matchGroupTimes(pattern.toIndexedSeq, withinMs))
+  }
+
+  /** Attach the PREDICATE-STAGE automaton ([[graft.ops.Cep
+    * .patternMatchesWhere]]'s contract, Flink's `where()` conditions) to a
+    * keyed stream of ANY event type `E` — the watermark-driven low-latency
+    * form of the predicate surface (the store-backed form is
+    * [[IncrementalCep.foldBatchWhere]]). Stage predicates are ordinary
+    * Scala functions over `E`; step semantics are the shared
+    * [[graft.ops.Cep.TimesStepper]] (greedy loops, relaxed contiguity,
+    * optional middle stages, exact-count final stage, NFA timeout, skip
+    * past last row), so batch/stream parity holds by construction
+    * (`CepStreamSpec`). Pre-filter the stream to the union of the stage
+    * predicates at the call site — semantics-preserving under relaxed
+    * contiguity, and it keeps non-pattern events off the key shuffle.
+    *
+    * `oid` must totally order same-timestamp events per key (the
+    * cross-batch order contract is per-key non-decreasing `tms`). */
+  def attachWhere[E](ds: Dataset[E], key: E => Long, tms: E => Long,
+      oid: E => Long, stages: Seq[(E => Boolean, Int, Int)],
+      withinMs: Long): Dataset[CepMatch] = {
+    graft.ops.Cep.validateTimes(
+      stages.zipWithIndex.map { case ((_, mn, mx), i) => (s"stage$i", mn, mx) },
+      withinMs)
+    import ds.sparkSession.implicits._
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupPred[E](stages.toIndexedSeq, withinMs, tms, oid))
+  }
+
+  /** Keyed state for the ITERATIVE-condition automaton: the
+    * [[CepTimesState]] triple plus the captured stage-0 OPENING event —
+    * so a pattern whose opening event fell in an earlier micro-batch can
+    * still evaluate `first.*` later (state stays O(1) per key: ONE
+    * captured event, bounded regardless of loop length). */
+  final case class CepIterState[E](st: Int, c: Int, t0: Long, f0: Option[E])
+
+  /** One micro-batch group for the ITERATIVE automaton — the shared
+    * stepper with each stage predicate receiving (event, captured opener).
+    * The capture persists in state across batches. */
+  def matchGroupIter[E](stages: IndexedSeq[((E, E) => Boolean, Int, Int)],
+      withinMs: Long, tmsOf: E => Long, oidOf: E => Long)(
+      k: Long, events: Iterator[E],
+      state: GroupState[CepIterState[E]]): Iterator[CepMatch] = {
+    var s = state.getOption.getOrElse(CepIterState[E](0, 0, 0L, None))
+    var f0 = s.f0
+    // stage 0's predicate receives the event ITSELF as the opener (it IS
+    // first if it opens — the batch API rejects first.* at stage 0, here
+    // the second argument is simply self); later stages read the capture
+    val preds = stages.zipWithIndex.map { case ((p, mn, mx), i) =>
+      (if (i == 0) ((e: E) => p(e, e))
+       else ((e: E) => f0.exists(p(e, _))), mn, mx)
+    }
+    val stepper = new graft.ops.Cep.TimesStepper[E](preds, withinMs, tmsOf,
+      onOpen = e => f0 = Some(e))
+    val sorted = events.toSeq.sortBy(e => (tmsOf(e), oidOf(e)))
+    val out = ListBuffer.empty[CepMatch]
+    var st = s.st; var c = s.c; var t0 = s.t0
+    sorted.foreach { e =>
+      val next = stepper.step(st, c, t0, e,
+        (st0, en) => out += CepMatch(k, st0, en))
+      st = next._1; c = next._2; t0 = next._3
+    }
+    state.update(CepIterState[E](st, c, t0, f0))
+    out.iterator
+  }
+
+  /** Attach the ITERATIVE-condition automaton ([[graft.ops.Cep
+    * .patternMatchesIter]]'s contract): each stage predicate is
+    * `(event, firstEvent) => Boolean` where `firstEvent` is the event
+    * that OPENED the match (stage 0's first loop event; for stage 0
+    * itself the second argument is the event itself — do not read it).
+    * The capture crosses micro-batch boundaries through [[CepIterState]]
+    * — the one surface [[attachWhere]] cannot express. Pre-filter as
+    * with [[attachWhere]]. */
+  def attachIter[E <: Product : scala.reflect.runtime.universe.TypeTag](
+      ds: Dataset[E], key: E => Long, tms: E => Long, oid: E => Long,
+      stages: Seq[((E, E) => Boolean, Int, Int)],
+      withinMs: Long): Dataset[CepMatch] = {
+    graft.ops.Cep.validateTimes(
+      stages.zipWithIndex.map { case ((_, mn, mx), i) => (s"stage$i", mn, mx) },
+      withinMs)
+    import ds.sparkSession.implicits._
+    implicit val stateEnc: org.apache.spark.sql.Encoder[CepIterState[E]] =
+      org.apache.spark.sql.Encoders.product[CepIterState[E]]
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupIter[E](stages.toIndexedSeq, withinMs, tms, oid))
   }
 
   /** Attach the automaton to a keyed event stream. Pre-filter to the

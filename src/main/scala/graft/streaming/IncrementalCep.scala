@@ -50,7 +50,7 @@ object IncrementalCep {
       events.filter(col("ty").isin(pattern.map(_._1).distinct: _*)),
       storePath,
       pattern.map { case (t, mn, mx) =>
-        (s"e.ty = '${t.replace("\\", "\\\\").replace("'", "\\'")}'", mn, mx) },
+        (s"e.ty = ${graft.ops.Cep.esc(t)}", mn, mx) },
       withinMs, batchId, numBuckets,
       payload = Seq("ty" -> col("ty").cast("string")))
   }

@@ -89,7 +89,8 @@ object IncrementalIvf {
     // buckets — the posting-list layout every deployed IVF index uses
     KeyedStore.merge(rows, s"$storePath/codes",
       keys = Seq("label", "vec_id", "sub"), seqCols = Seq("ver"),
-      numBuckets = numBuckets, bucketCols = Seq("label"))
+      numBuckets = numBuckets, bucketCols = Seq("label"),
+      layoutId = Some("ivf-codes-v1"))
   }
 
   /** Fold one micro-batch (vec_id, embedding, label) into the index at
@@ -107,15 +108,25 @@ object IncrementalIvf {
     * ENFORCED, not assumed (`guardIds`, default on): an ids sub-store at
     * `<root>/ids`, bucketed by vec_id, records every folded id, and the
     * fold rejects a batch containing an id a STRICTLY EARLIER fold
-    * indexed — an O(batch) bucket-pruned probe, never a code-store scan.
+    * indexed — checked INSIDE the ids merge's own bucket IO
+    * ([[KeyedStore.merge]]'s `rejectStaged`/`rejectStored` conflict
+    * guards), so enforcement costs no store round-trip beyond the merge
+    * the fold does anyway, and is free on non-colliding batches.
     * Post-crash replay stays safe: the crashed attempt's own ids carry
     * `ver == batchId` and are exempt, and whole-batch replay after commit
-    * is already a high-water-mark no-op before the guard runs. Stores
-    * created before the guard existed start enforcing from their first
-    * guarded fold (earlier ids are unknown to it — rebuild the index to
-    * retro-protect). Set `guardIds = false` only when an upstream
-    * [[IncrementalDedup]] already owns id uniqueness and the two probes
-    * per fold matter. */
+    * is already a high-water-mark no-op before the guard runs.
+    *
+    * The exemption keys on `ver == batchId`, so `batchId` UNIQUENESS is
+    * part of the guarded contract: a caller that reuses a batchId for a
+    * DIFFERENT (non-replay) batch bypasses the guard for ids that batch
+    * shares with the earlier one — use a monotone per-fold id (epoch,
+    * offset, generation), never a recycled counter.
+    *
+    * Stores created before the guard existed are layout-stamped apart
+    * ("ivf-ids-v2" — the guard also persists a per-id occurrence count)
+    * and fail loudly with the rebuild instruction. Set `guardIds = false`
+    * only when an upstream [[IncrementalDedup]] already owns id
+    * uniqueness and the one extra guarded merge per fold matters. */
   def mergeBatch(batch: DataFrame, storePath: String, books: DataFrame,
       batchId: Long, m: Int = 4, numBuckets: Int = 4,
       guardIds: Boolean = true): DataFrame = {
@@ -131,37 +142,37 @@ object IncrementalIvf {
     }
     if (guardIds) {
       val idsPath = s"$storePath/ids"
-      val batchIds = batch.select(col("vec_id").cast("long").as("vec_id"))
-      // ONE action for both contract checks (the guard is fixed-job-
-      // latency-dominated at test scale — r10 isolated readings priced
-      // each extra action at ~0.3 s on the 3-fold drive)
-      val dups = batchIds.groupBy("vec_id").count()
-        .filter(col("count") > 1)
-        .select(col("vec_id"), lit("folds more than once in this batch")
-          .as("why"))
-      val stale = KeyedStore.readPruned(spark, idsPath, batchIds)
-        .map(_.filter(col("ver") < batchId)
-          .join(batchIds, Seq("vec_id"), "left_semi")
-          .select(col("vec_id"),
-            lit("already indexed by an earlier fold").as("why")))
-        .getOrElse(spark.range(0)
-          .select(col("id").as("vec_id"), lit("").as("why")))
-      val bad = dups.unionByName(stale).limit(3).collect()
-      require(bad.isEmpty,
-        "IVF fold-once contract violated: " +
-          bad.map(r => s"vec_id ${r.getLong(0)} ${r.getString(1)}")
-            .mkString("; ") +
-          ", … — a re-encoded vec whose cell moved would leave the old " +
-          "cell's code rows live, and a within-batch duplicate double-" +
-          "adds centroid sums; route re-arrivals through IncrementalDedup")
-      // ids BEFORE codes: a crash anywhere after this line replays with
-      // the ids already present at ver == batchId — exempt by the strict
-      // inequality above, and the re-merge upserts identical rows
+      // Both contract checks ride the ids MERGE's own bucket IO (round-10
+      // priced each extra Spark action at ~0.3 s on the 3-fold drive;
+      // this removes the earlier separate probe + collect entirely):
+      //   - within-batch duplicates surface as cnt > 1 in the batch's own
+      //     staged winners (the per-id occurrence count is aggregated
+      //     inside the merge's first job — no extra action);
+      //   - an id indexed by a STRICTLY EARLIER fold surfaces as a
+      //     committed row with ver < batchId in exactly the collided
+      //     buckets the merge folds anyway (bucket-pruned, O(batch), and
+      //     free on a fresh store — no committed bucket, no check).
+      // A violation aborts the ids merge BEFORE publish, so the whole
+      // index (ids, codes, stats) is untouched. Post-crash replay stays
+      // exempt: the crashed attempt's committed ids carry ver == batchId,
+      // failing the strict inequality, and the re-merge upserts identical
+      // rows. ids land BEFORE codes, preserving the crash ordering.
       KeyedStore.merge(
-        batchIds.withColumn("ver", lit(batchId))
+        batch.select(col("vec_id").cast("long").as("vec_id"))
+          .groupBy("vec_id").agg(count(lit(1)).as("cnt"))
+          .withColumn("ver", lit(batchId))
           .withColumn("op_type", lit("put")),
         idsPath, keys = Seq("vec_id"), seqCols = Seq("ver"),
-        numBuckets = numBuckets, bucketCols = Seq("vec_id"))
+        numBuckets = numBuckets, bucketCols = Seq("vec_id"),
+        layoutId = Some("ivf-ids-v2"),
+        rejectStaged =
+          Some((col("cnt") > 1, "folds more than once in this batch")),
+        rejectStored =
+          Some((col("ver") < batchId, "already indexed by an earlier fold")),
+        rejectMsg = "IVF fold-once contract violated — a re-encoded vec " +
+          "whose cell moved would leave the old cell's code rows live, " +
+          "and a within-batch duplicate double-adds centroid sums; route " +
+          "re-arrivals through IncrementalDedup")
     }
     // codes next: the stats meta row below is the commit point, so a
     // crash landing here replays into an idempotent code re-upsert
@@ -198,7 +209,7 @@ object IncrementalIvf {
       .localCheckpoint(true) // pin BEFORE the merge mutates the store
     KeyedStore.merge(changed, s"$storePath/stats",
       keys = Seq("kind", "g", "pos"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
+      numBuckets = numBuckets, layoutId = Some("ivf-stats-v1"))
     val out = directoryOf(
         curC.select(col("g"), col("n"))
           .join(changed.filter(col("kind") === "c").select(col("g")),

@@ -148,9 +148,12 @@ object KeyedStore {
   /** The store's persisted bucket metadata: count, derivation columns and
     * their types. `cols`/`types` are absent only on LEGACY stores written
     * before they were recorded — those derive buckets from the full key
-    * list, uncast, until a merge heals the meta (see [[merge]]). */
+    * list, uncast, until a merge heals the meta (see [[merge]]).
+    * `layout` is the caller-declared LAYOUT-VERSION stamp (e.g.
+    * "cep-iter-v1") — absent on stores whose caller never declared one. */
   private[streaming] final case class StoreMeta(n: Int,
-      cols: Option[Seq[String]], types: Option[Seq[DataType]])
+      cols: Option[Seq[String]], types: Option[Seq[DataType]],
+      layout: Option[String] = None)
 
   private def metaNewPath(root: Path) = new Path(root, MetaFile + "__new")
 
@@ -192,7 +195,9 @@ object KeyedStore {
             // array/map types
             val types = lines.drop(1).find(_.startsWith("types:"))
               .map(_.stripPrefix("types:").split(";").toSeq.map(s => DataType.fromDDL(s.trim)))
-            Some(StoreMeta(n, cols, types))
+            val layout = lines.drop(1).find(_.startsWith("layout:"))
+              .map(_.stripPrefix("layout:").trim).filter(_.nonEmpty)
+            Some(StoreMeta(n, cols, types, layout))
           case None if !hasState => None // fresh store, rewrite
           case None => throw new java.io.IOException(
             s"corrupt $metaSrc with existing state — bucket count unrecoverable")
@@ -245,9 +250,36 @@ object KeyedStore {
   }
 
   private def colsMetaContent(n: Int, bucketCols: Seq[String],
-      types: Seq[DataType]): String =
+      types: Seq[DataType], layout: Option[String] = None): String =
     n.toString + "\ncols:" + bucketCols.mkString(",") +
-      "\ntypes:" + types.map(_.catalogString).mkString(";")
+      "\ntypes:" + types.map(_.catalogString).mkString(";") +
+      layout.map("\nlayout:" + _).getOrElse("")
+
+  /** Enforce the LAYOUT-VERSION stamp on an existing store's meta — the
+    * README "persistent-store layout versions" policy made LOUD AND NAMED
+    * instead of a cryptic bucketCols `require`: a caller that declares a
+    * layout id opens only stores stamped with that exact id. Returns the
+    * layout the healed meta should carry. */
+  private def checkLayout(path: String, stored: Option[String],
+      expected: Option[String], hasCommittedState: Boolean): Option[String] =
+    (stored, expected) match {
+      case (s, None) => s // generic tooling (compact/maintain) passes None
+      case (Some(s), Some(e)) if s == e => stored
+      case (Some(s), Some(e)) =>
+        throw new IllegalStateException(
+          s"$path was written with store layout '$s' but this code expects " +
+            s"layout '$e' — the persisted layout changed between rounds. " +
+            "Rebuild the store: re-fold the source history into a fresh " +
+            "root with the current code (or read the old root with the " +
+            "round that wrote it).")
+      case (None, Some(e)) if hasCommittedState =>
+        throw new IllegalStateException(
+          s"$path holds committed state but predates layout stamping " +
+            s"(this code expects layout '$e') — its row layout cannot be " +
+            "verified. Rebuild the store: re-fold the source history into " +
+            "a fresh root with the current code.")
+      case (None, e) => e // fresh/empty store: adopt the caller's stamp
+    }
 
   /** Read ONLY the buckets that `probe`'s bucket-column values hash into —
     * O(probe-touched buckets) file reads regardless of store size, the scale
@@ -517,10 +549,37 @@ object KeyedStore {
     * @param keepGenerations how many committed generations survive GC (≥ 1).
     *                Each retained generation is a full consistent snapshot
     *                readable via [[readSnapshot]]; values > 1 also give
-    *                concurrent readers a grace window against GC. */
+    *                concurrent readers a grace window against GC.
+    * @param layoutId optional LAYOUT-VERSION stamp (e.g. "cep-iter-v1"):
+    *                persisted into the meta on creation; opening a store
+    *                stamped with a DIFFERENT id (or an unstamped store with
+    *                committed state) fails loudly with the named layout
+    *                change and the rebuild instruction — the README
+    *                layout-migration policy, enforced here instead of
+    *                surfacing as a cryptic bucketCols/schema error.
+    * @param rejectStaged merge-time CONFLICT GUARD (predicate, reason)
+    *                over the batch's own staged winners: if any staged
+    *                winner row satisfies the predicate, the merge aborts
+    *                BEFORE publishing (store untouched) with `rejectMsg`
+    *                naming the reason. Costs one read of the just-written
+    *                batch-sized staging files — no extra shuffle, no
+    *                store scan.
+    * @param rejectStored merge-time conflict guard (predicate, reason)
+    *                over COMMITTED rows whose key collides with this
+    *                batch (exactly the rows the merge's fold job reads
+    *                anyway — bucket-pruned, so the guard is O(batch), and
+    *                FREE when the batch touches no committed bucket): any
+    *                such row satisfying the predicate aborts before
+    *                publishing. This is the cheap form of the
+    *                read-probe-then-merge pattern (one store round-trip
+    *                instead of two — see [[graft.streaming
+    *                .IncrementalIvf]]'s fold-once guard). */
   def merge(batch: DataFrame, path: String, keys: Seq[String],
       seqCols: Seq[String], numBuckets: Int = 16, keepGenerations: Int = 1,
-      bucketCols: Seq[String] = Seq.empty): Unit = {
+      bucketCols: Seq[String] = Seq.empty, layoutId: Option[String] = None,
+      rejectStaged: Option[(Column, String)] = None,
+      rejectStored: Option[(Column, String)] = None,
+      rejectMsg: String = "merge conflict guard"): Unit = {
     require(keepGenerations >= 1, s"keepGenerations must be >= 1, got $keepGenerations")
     require(bucketCols.forall(keys.contains),
       // bucket cols outside the key would let two versions of one key land
@@ -533,6 +592,7 @@ object KeyedStore {
     layoutGuard(f, root)
     promoteMeta(f, root) // writer-side recovery of a crashed replaceMeta
     val batchTypes = (cs: Seq[String]) => cs.map(c => batch.schema(c).dataType)
+    def hasCommitted = readCommit(f, root).exists(_._2.nonEmpty)
     // ONE meta read per merge; the persisted derivation wins — a
     // caller-supplied derivation on an existing store must MATCH it
     // (anything else re-buckets new rows away from committed winners).
@@ -544,13 +604,18 @@ object KeyedStore {
         val cols = if (bucketCols.nonEmpty) bucketCols else keys
         val ts = batchTypes(cols)
         writeAtomic(f, root, new Path(root, MetaFile),
-          colsMetaContent(numBuckets, cols, ts))
-        StoreMeta(numBuckets, Some(cols), Some(ts))
-      case Some(m @ StoreMeta(n0, Some(cs), ts0)) =>
+          colsMetaContent(numBuckets, cols, ts, layoutId))
+        StoreMeta(numBuckets, Some(cols), Some(ts), layoutId)
+      case Some(m @ StoreMeta(n0, Some(cs), ts0, lay0)) =>
         require(bucketCols.isEmpty || bucketCols == cs,
           s"bucketCols ${bucketCols.mkString(",")} != store's ${cs.mkString(",")}")
+        val lay = checkLayout(path, lay0, layoutId, hasCommitted)
         ts0 match {
-          case Some(_) => m
+          case Some(_) if lay == lay0 => m
+          case Some(ts) =>
+            // adopt the caller's stamp on a not-yet-stamped EMPTY store
+            replaceMeta(f, root, colsMetaContent(n0, cs, ts, lay))
+            StoreMeta(n0, Some(cs), Some(ts), lay)
           case None =>
             // heal the types line too (stores written by the intermediate
             // version persisted cols only): committed rows hashed uncast
@@ -565,19 +630,20 @@ object KeyedStore {
                   committedDirs.values.map(d => new Path(root, d).toString).toSeq: _*).schema
                 cs.map(c => sch(c).dataType)
               }
-            replaceMeta(f, root, colsMetaContent(n0, cs, ts))
-            StoreMeta(n0, Some(cs), Some(ts))
+            replaceMeta(f, root, colsMetaContent(n0, cs, ts, lay))
+            StoreMeta(n0, Some(cs), Some(ts), lay)
         }
-      case Some(StoreMeta(n, None, _)) =>
+      case Some(StoreMeta(n, None, _, lay0)) =>
         // LEGACY count-only meta (or the crash window where a prior merge
         // persisted the count but died before its first commit). Heal it:
+        val lay = checkLayout(path, lay0, layoutId, hasCommitted)
         val committedDirs = readCommit(f, root).map(_._2).getOrElse(Map.empty)
         if (committedDirs.isEmpty) {
           // no committed rows — the derivation is still ours to set
           val cols = if (bucketCols.nonEmpty) bucketCols else keys
           val ts = batchTypes(cols)
-          replaceMeta(f, root, colsMetaContent(n, cols, ts))
-          StoreMeta(n, Some(cols), Some(ts))
+          replaceMeta(f, root, colsMetaContent(n, cols, ts, lay))
+          StoreMeta(n, Some(cols), Some(ts), lay)
         } else {
           // committed rows were bucketed by the FULL key list: adopting a
           // narrower derivation would mis-bucket relative to the committed
@@ -590,8 +656,8 @@ object KeyedStore {
           val sch = spark.read.parquet(
             committedDirs.values.map(d => new Path(root, d).toString).toSeq: _*).schema
           val ts = keys.map(k => sch(k).dataType)
-          replaceMeta(f, root, colsMetaContent(n, keys, ts))
-          StoreMeta(n, Some(keys), Some(ts))
+          replaceMeta(f, root, colsMetaContent(n, keys, ts, lay))
+          StoreMeta(n, Some(keys), Some(ts), lay)
         }
     }
     val n = meta.n
@@ -637,6 +703,46 @@ object KeyedStore {
     // derivable); re-derive on read — through the SAME persisted
     // derivation, so staged (already-cast) rows re-hash identically.
     val collide = touched.filter(committed.contains)
+    // Conflict guards — ONE action over data this merge stages/reads
+    // anyway (staged batch winners + collided committed buckets), run
+    // BEFORE anything publishes: a violation deletes the staging root and
+    // throws, leaving readers on the previous generation.
+    if (rejectStaged.nonEmpty || (rejectStored.nonEmpty && collide.nonEmpty)) {
+      val kcols = keys.map(col)
+      def badRows(df: DataFrame, pred: Column, why: String) =
+        df.filter(pred).select(
+          concat_ws(",", kcols.map(_.cast("string")): _*).as("bad_key"),
+          lit(why).as("why"))
+      val stagedAll =
+        if (rejectStaged.isEmpty || touched.isEmpty) None
+        else Some(badRows(spark.read.parquet(
+            touched.map(b => new Path(tmpRoot, BucketPrefix + b).toString): _*),
+          rejectStaged.get._1, rejectStaged.get._2))
+      val storedHit =
+        if (rejectStored.isEmpty || collide.isEmpty) None
+        else {
+          val stagedKeys = spark.read.parquet(
+              collide.map(b => new Path(tmpRoot, BucketPrefix + b).toString): _*)
+            .select(kcols: _*)
+          Some(badRows(
+            spark.read.parquet(
+                collide.map(b => new Path(root, committed(b)).toString): _*)
+              .join(stagedKeys, keys, "left_semi"),
+            rejectStored.get._1, rejectStored.get._2))
+        }
+      val bad = (stagedAll.toSeq ++ storedHit.toSeq)
+        .reduceOption(_ unionByName _)
+        .map(_.limit(3).collect()).getOrElse(Array.empty)
+      if (bad.nonEmpty) {
+        f.delete(tmpRoot, true)
+        // IllegalArgumentException: the violation is the CALLER's batch
+        // breaking the declared contract, not store corruption
+        throw new IllegalArgumentException(
+          s"$rejectMsg: " + bad.map(r =>
+            s"key (${r.getString(0)}) ${r.getString(1)}").mkString("; ") +
+            ", … — merge aborted before publish; store unchanged")
+      }
+    }
     val tmp2 = new Path(path + "__tmp2")
     f.delete(tmp2, true) // a no-collision crash could strand a previous one
     if (collide.nonEmpty) {

@@ -106,9 +106,11 @@ class IncrementalIvfSpec extends SparkSpec {
     // with the stats commit lost — the replayed fold must go through
     KeyedStore.merge(
       b1.select(col("vec_id").cast("long").as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("cnt"))
         .withColumn("ver", lit(2L)).withColumn("op_type", lit("put")),
       s"$store/ids", keys = Seq("vec_id"), seqCols = Seq("ver"),
-      numBuckets = 4, bucketCols = Seq("vec_id"))
+      numBuckets = 4, bucketCols = Seq("vec_id"),
+      layoutId = Some("ivf-ids-v2"))
     val dir = IncrementalIvf.mergeBatch(b1, store, books, batchId = 2L)
     val want = e.groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_vecs"))

@@ -511,4 +511,87 @@ class KeyedStoreSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     assert(KeyedStore.read(s, root).get.count() == 2)
   }
+
+  test("layout stamp: a store written under an older layout fails loudly and NAMED") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_layout").toString + "/t"
+    // round-N code writes the store stamped 'demo-v1'
+    KeyedStore.merge(Seq((1L, "a", 0L)).toDF("k", "v", "seq"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), layoutId = Some("demo-v1"))
+    // same stamp keeps working; unstamped tooling (compact/maintain path)
+    // also keeps working
+    KeyedStore.merge(Seq((2L, "b", 1L)).toDF("k", "v", "seq"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), layoutId = Some("demo-v1"))
+    KeyedStore.merge(Seq((3L, "c", 2L)).toDF("k", "v", "seq"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    // round-(N+1) code whose layout changed must get the NAMED error with
+    // the rebuild instruction — not a cryptic schema/bucketCols failure
+    val e = intercept[IllegalStateException] {
+      KeyedStore.merge(Seq((4L, "d", 3L, 9L)).toDF("k", "v", "seq", "extra"),
+        dir, keys = Seq("k"), seqCols = Seq("seq"), layoutId = Some("demo-v2"))
+    }
+    assert(e.getMessage.contains("demo-v1") && e.getMessage.contains("demo-v2")
+      && e.getMessage.contains("Rebuild"))
+    assert(KeyedStore.read(s, dir).get.count() == 3, "failed merge must not land")
+  }
+
+  test("layout stamp: a PRE-STAMP store with committed state is rejected; an empty one adopts") {
+    val s = spark
+    import s.implicits._
+    // pre-stamp fixture: committed state, meta has no layout line (what a
+    // round-9 store looks like on disk)
+    val old = Files.createTempDirectory("keyedstore_prestamp").toString + "/t"
+    KeyedStore.merge(Seq((1L, "a", 0L)).toDF("k", "v", "seq"),
+      old, keys = Seq("k"), seqCols = Seq("seq"))
+    val e = intercept[IllegalStateException] {
+      KeyedStore.merge(Seq((2L, "b", 1L)).toDF("k", "v", "seq"),
+        old, keys = Seq("k"), seqCols = Seq("seq"), layoutId = Some("demo-v2"))
+    }
+    assert(e.getMessage.contains("predates layout stamping")
+      && e.getMessage.contains("demo-v2"))
+    // an EMPTY unstamped store (meta written, nothing committed — the
+    // create-then-crash window) adopts the caller's stamp instead
+    val fresh = Files.createTempDirectory("keyedstore_adopt").toString + "/t"
+    KeyedStore.merge(Seq((1L, "a", 0L)).toDF("k", "v", "seq"),
+      fresh, keys = Seq("k"), seqCols = Seq("seq"), layoutId = Some("demo-v3"))
+    val f = KeyedStore.fs(s, fresh)
+    assert(KeyedStore.readMeta(f, new org.apache.hadoop.fs.Path(fresh))
+      .flatMap(_.layout).contains("demo-v3"))
+  }
+
+  test("merge conflict guards: staged + collided-stored predicates abort before publish") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("keyedstore_guard").toString + "/t"
+    KeyedStore.merge(Seq((1L, 10L), (2L, 10L)).toDF("k", "ver"),
+      dir, keys = Seq("k"), seqCols = Seq("ver"))
+    // staged guard: a batch row failing its own invariant aborts
+    val e1 = intercept[IllegalArgumentException] {
+      KeyedStore.merge(Seq((3L, -1L)).toDF("k", "ver"),
+        dir, keys = Seq("k"), seqCols = Seq("ver"),
+        rejectStaged = Some((col("ver") < 0, "negative version")),
+        rejectMsg = "guard demo")
+    }
+    assert(e1.getMessage.contains("guard demo")
+      && e1.getMessage.contains("negative version"))
+    // stored guard: a committed row colliding with the batch aborts —
+    // and the store is untouched afterwards
+    val e2 = intercept[IllegalArgumentException] {
+      KeyedStore.merge(Seq((1L, 20L)).toDF("k", "ver"),
+        dir, keys = Seq("k"), seqCols = Seq("ver"),
+        rejectStored = Some((col("ver") < 20L, "stale committed row")),
+        rejectMsg = "guard demo")
+    }
+    assert(e2.getMessage.contains("stale committed row"))
+    assert(KeyedStore.read(s, dir).get.agg(max(col("ver"))).head().getLong(0)
+      == 10L, "aborted merges must leave the committed view unchanged")
+    // a NON-violating guarded merge lands normally
+    KeyedStore.merge(Seq((1L, 30L)).toDF("k", "ver"),
+      dir, keys = Seq("k"), seqCols = Seq("ver"),
+      rejectStored = Some((col("ver") > 10L, "future row")))
+    assert(KeyedStore.read(s, dir).get.agg(max(col("ver"))).head().getLong(0)
+      == 30L)
+  }
 }
