@@ -442,4 +442,80 @@ class CepSpec extends SparkSpec {
     assert(matchesSkip(df, Seq("view"), 1) ==
       Seq((1L, 1, 10L, 10L), (1L, 2, 30L, 30L)))
   }
+
+  // ---- match-payload output (patternMatchesSelect) ----
+
+  private def matchesSel(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[String], w: Long): Seq[(Long, Int, Int, Long, Long)] =
+    Cep.patternMatchesSelect(df, col("k"), col("tms"), col("oid"),
+        col("ty"), pattern, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+
+  test("select: every matched stage's event (tms, oid) is returned") {
+    // oids are assigned by input position: view=0, error=1, click=2,
+    // purchase=3 — the noise error is NOT in the match payload
+    val df = ev((1, 10, "view"), (1, 15, "error"), (1, 20, "click"),
+      (1, 30, "purchase"))
+    assert(matchesSel(df, vcp, 1000) == Seq(
+      (1L, 1, 1, 10L, 0L), (1L, 1, 2, 20L, 2L), (1L, 1, 3, 30L, 3L)))
+  }
+
+  test("select: envelope equals patternMatches; payload rows agree per match") {
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "click"),
+      (1, 40, "purchase"), (1, 50, "view"), (1, 60, "click"),
+      (1, 70, "purchase"), (2, 15, "view"), (2, 25, "click"))
+    val sel = matchesSel(df, vcp, 1000)
+    // reconstruct (k, match_n, min, max) from the payload rows
+    val env = sel.groupBy(t => (t._1, t._2)).map { case ((k, n), rows) =>
+      (k, n, rows.map(_._4).min, rows.map(_._4).max)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(env == matches(df, vcp, 1000))
+    // the SECOND view (greedy earliest start keeps the first) is absent
+    assert(!sel.exists(t => t._4 == 20L))
+  }
+
+  test("select: timeout re-open captures the abandoning event as the new stage 1") {
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 2000, "view"),
+      (1, 2010, "click"), (1, 2020, "purchase"))
+    assert(matchesSel(df, vcp, 100) == Seq(
+      (1L, 1, 1, 2000L, 2L), (1L, 1, 2, 2010L, 3L), (1L, 1, 3, 2020L, 4L)))
+  }
+
+  test("select: single-stage and repeated-symbol patterns") {
+    val one = ev((1, 10, "click"), (1, 20, "view"), (1, 30, "click"))
+    assert(matchesSel(one, Seq("click"), 1) == Seq(
+      (1L, 1, 1, 10L, 0L), (1L, 2, 1, 30L, 2L)))
+    val rep = ev((2, 10, "view"), (2, 20, "view"), (2, 30, "view"),
+      (2, 40, "view"))
+    assert(matchesSel(rep, Seq("view", "view"), 1000) == Seq(
+      (2L, 1, 1, 10L, 0L), (2L, 1, 2, 20L, 1L),
+      (2L, 2, 1, 30L, 2L), (2L, 2, 2, 40L, 3L)))
+  }
+
+  // ---- string-literal masking in first.* handling ----
+
+  test("first. inside a string literal is neither rewritten nor rejected") {
+    // stage-1 predicate compares ty against the LITERAL 'first.home' — it
+    // must stay a literal (a blind regex would rewrite it to
+    // 'acc.f0.home' and silently change match results)
+    val stages = Seq(("e.ty = 'view'", 1, 1), ("e.ty = 'first.home'", 1, 1))
+    val df = evV((1, 10, "view", 1.0), (1, 20, "first.home", 1.0))
+    assert(matchesIter(df, stages, 1000) == Seq((1L, 1, 10L, 20L)))
+    // stage 0 containing the token ONLY inside a literal is accepted
+    val s0 = Seq(("e.ty = 'first.home'", 1, 1), ("e.ty = 'purchase'", 1, 1))
+    val df2 = evV((2, 10, "first.home", 1.0), (2, 20, "purchase", 1.0))
+    assert(matchesIter(df2, s0, 1000) == Seq((2L, 1, 10L, 20L)))
+    // a REAL first. reference outside literals still rewrites (regression)
+    val mixed = Seq(("e.ty = 'view'", 1, 1),
+      ("e.ty = 'first.home' AND e.value > first.value", 1, 1))
+    val df3 = evV((3, 10, "view", 5.0), (3, 20, "first.home", 3.0),
+      (3, 30, "first.home", 9.0))
+    assert(matchesIter(df3, mixed, 1000) == Seq((3L, 1, 10L, 30L)))
+    // escaped quote inside a literal does not derail the masking
+    assert(Cep.mapOutsideLiterals("a = 'it\\'s first.' AND first.x")(
+      _.replaceAll("\\bfirst\\.", "F.")) == "a = 'it\\'s first.' AND F.x")
+  }
 }
