@@ -318,6 +318,49 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // Cross-batch ITERATIVE CEP over the persistent store: q_cep_iter's
+    // pattern (purchase > 2 × the opening view's value) driven through
+    // three consecutive time-range folds of IncrementalCep.foldBatchIter —
+    // the captured first.value CROSSES batch boundaries through the
+    // store's f0 column. Oracle = q_cep_iter's automaton CTE verbatim
+    // (the fold shares the batch step function seeded from storage).
+    "q_cep_iter_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"),
+          col("value"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepit_q")
+      val stages = Seq(
+        ("e.ty = 'view'", 1, 1),
+        ("e.ty = 'purchase' AND e.value > 2 * first.value", 1, 1))
+      val payload = Seq("ty" -> col("ty"), "value" -> col("value"))
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchIter(p, s"$root/cep",
+          stages, withinMs = 604800000L, batchId = i + 1L, payload = payload)
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
     // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
     // view→purchase run per user with NO error between them and NO click
     // in the three days after the view — the pending match emits when its
@@ -366,6 +409,56 @@ object AggQueries {
         |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
         |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
         |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin
+
+  // the q_cep_iter batch automaton oracle, shared with
+  // q_cep_iter_stream: (st, t0, v0) state where v0 is the opening
+  // view's captured value, compared as 2*v0 exactly as the fold's
+  // rewritten predicate does
+  private val cepIterSql: String =
+    """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty, value
+        |        FROM events WHERE event_type IN ('view', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS DOUBLE) AS v0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
+        |           THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
+        |           THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.value ELSE CAST(0 AS DOUBLE) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.value
+        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
+        |           THEN CAST(0 AS DOUBLE)
+        |         ELSE r.v0 END AS v0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 604800000
+        |              AND e.ty = 'purchase' AND e.value > 2 * r.v0 THEN r.t0
+        |         ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 604800000
+        |              AND e.ty = 'purchase' AND e.value > 2 * r.v0 THEN e.tms
+        |         ELSE CAST(NULL AS BIGINT) END AS m_e
         |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
         |SELECT user_id,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
@@ -792,51 +885,15 @@ object AggQueries {
     // The iterative-condition automaton: (st, t0, v0) state where v0 is
     // the opening view's captured value; the purchase branch compares
     // against 2*v0 exactly as the fold's rewritten predicate does.
-    "q_cep_iter" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, tms, ty, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty, value
-        |        FROM events WHERE event_type IN ('view', 'purchase'))),
-        |run AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
-        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS DOUBLE) AS v0,
-        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
-        |  FROM (SELECT DISTINCT user_id FROM ev)
-        |  UNION ALL
-        |  SELECT r.user_id, e.seq,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
-        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
-        |           THEN 0
-        |         ELSE r.st END AS st,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
-        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
-        |           THEN CAST(0 AS BIGINT)
-        |         ELSE r.t0 END AS t0,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.value ELSE CAST(0 AS DOUBLE) END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.value
-        |         WHEN r.st = 1 AND e.ty = 'purchase' AND e.value > 2 * r.v0
-        |           THEN CAST(0 AS DOUBLE)
-        |         ELSE r.v0 END AS v0,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 604800000
-        |              AND e.ty = 'purchase' AND e.value > 2 * r.v0 THEN r.t0
-        |         ELSE CAST(NULL AS BIGINT) END AS m_s,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 604800000
-        |              AND e.ty = 'purchase' AND e.value > 2 * r.v0 THEN e.tms
-        |         ELSE CAST(NULL AS BIGINT) END AS m_e
-        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
-        |SELECT user_id,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
-        |         AS match_n,
-        |       m_s AS start_tms, m_e AS end_tms
-        |FROM run WHERE m_s IS NOT NULL
-        |ORDER BY user_id, match_n""".stripMargin,
+    "q_cep_iter" -> cepIterSql,
+
+    // q_cep_iter_stream shares the batch oracle VERBATIM (the
+    // q_cep_stream precedent): foldBatchIter is the batch step function
+    // seeded from storage, f0 capture included, so three time-cut folds
+    // concatenate to exactly the batch automaton's matches.
+    "q_cep_iter_stream" -> cepIterSql,
+
+
 
     // The predicate-stage automaton as a recursive CTE: branch-for-branch
     // q_cep's (st, t0) state with where()-conditions in place of type

@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * per-key event-time-order contract as [[CepStream]] (events non-
   * decreasing across batches; within a batch any order, the fold sorts).
   *
-  * Store layout: one row per key ever seen — (kind 'v', k, st, c, t0) —
-  * plus a high-water-mark meta row (kind 'm'), all bucketed by k. A fold
+  * Store layout (stamped — [[KeyedStore]] layout ids "cep-st-v1" /
+  * "cep-iter-v1", the latter adding a JSON `f0` capture column for
+  * iterative conditions): one row per key ever seen —
+  * (kind 'v', k, st, c, t0[, f0]) — plus a high-water-mark meta row
+  * (kind 'm'), all bucketed by k. The one unbounded axis (a row per key
+  * ever seen) is bounded by [[expire]]/[[maintainExpire]] — pass
+  * `expireWatermarkMs` to the folds and expiry self-schedules. A fold
   * reads BUCKET-PRUNED by the batch's keys (+ the meta bucket): cost is
   * O(batch + touched buckets) however many keys the stream has
   * accumulated. Everything commits in ONE merge (state rows + meta), so
@@ -41,10 +46,18 @@ object IncrementalCep {
   /** Fold one batch of events (k, tms, oid, ty) into the automaton state
     * at `storePath` (created on first use) and return THIS batch's
     * completed matches (k, start_tms, end_tms) — matches whose run began
-    * in earlier batches included, start stamped where stage 0 opened. */
+    * in earlier batches included, start stamped where stage 0 opened.
+    *
+    * `expireWatermarkMs` (optional) wires SELF-SCHEDULED state expiry
+    * into the fold, the [[KeyedStore.maintain]] idiom: pass the upstream
+    * watermark (a time no future event's tms of ANY key can precede) and
+    * every fold checks the cadence + dead-row fraction via
+    * [[maintainExpire]] after its merge — no human-invoked O(keys) pass
+    * to remember. */
   def foldBatch(events: DataFrame, storePath: String,
       pattern: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
-      numBuckets: Int = 4): DataFrame = {
+      numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
     graft.ops.Cep.validateTimes(pattern, withinMs)
     foldImpl(
       events.filter(col("ty").isin(pattern.map(_._1).distinct: _*)),
@@ -52,7 +65,8 @@ object IncrementalCep {
       pattern.map { case (t, mn, mx) =>
         (s"e.ty = ${graft.ops.Cep.esc(t)}", mn, mx) },
       withinMs, batchId, numBuckets,
-      payload = Seq("ty" -> col("ty").cast("string")))
+      payload = Seq("ty" -> col("ty").cast("string")),
+      capture = Nil, expireWatermarkMs = expireWatermarkMs)
   }
 
   /** [[foldBatch]] with PREDICATE stages ([[graft.ops.Cep
@@ -64,13 +78,52 @@ object IncrementalCep {
   def foldBatchWhere(events: DataFrame, storePath: String,
       stages: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
       payload: Seq[(String, org.apache.spark.sql.Column)],
-      numBuckets: Int = 4): DataFrame = {
+      numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
     graft.ops.Cep.validateTimes(stages, withinMs)
     require(!payload.exists(p =>
         p._1 == "k" || p._1 == "tms" || p._1 == "oid"),
       "payload field names k/tms/oid are reserved")
     foldImpl(events, storePath, stages, withinMs, batchId, numBuckets,
-      payload)
+      payload, capture = Nil, expireWatermarkMs = expireWatermarkMs)
+  }
+
+  /** [[foldBatchWhere]] with ITERATIVE conditions ([[graft.ops.Cep
+    * .patternMatchesIter]]'s contract): a stage predicate may reference
+    * the event that OPENED the match as `first.<field>` — and the capture
+    * SURVIVES batch boundaries, so a pattern whose opening event fell in
+    * an earlier fold still evaluates `first.*` correctly later (the gap
+    * the r10 layout left: no f0 slot).
+    *
+    * Store layout "cep-iter-v1" ([[KeyedStore]] layout stamp — a
+    * pre-iterative store fails loudly with the rebuild instruction): the
+    * (st, c, t0) row gains ONE JSON column `f0` holding the captured
+    * payload fields, still O(1) per key. JSON keeps the layout fixed
+    * across capture shapes; long/string/double payloads round-trip
+    * exactly (Jackson's shortest-round-trip doubles). The payload NAMES
+    * AND TYPES are part of the store's contract — keep them identical on
+    * every fold of one store. */
+  def foldBatchIter(events: DataFrame, storePath: String,
+      stages: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
+      payload: Seq[(String, org.apache.spark.sql.Column)],
+      numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    graft.ops.Cep.validateTimes(stages, withinMs)
+    require(!payload.exists(p =>
+        p._1 == "k" || p._1 == "tms" || p._1 == "oid"),
+      "payload field names k/tms/oid are reserved")
+    require(payload.map(_._1).distinct.length == payload.length,
+      "payload field names must be unique")
+    require(
+      !graft.ops.Cep.existsOutsideLiterals(stages.head._1,
+        "(?s).*\\bfirst\\..*"),
+      "stage 0 cannot reference first.* — nothing is captured yet")
+    val rewritten = stages.map { case (p, mn, mx) =>
+      (graft.ops.Cep.mapOutsideLiterals(p)(
+        _.replaceAll("\\bfirst\\.", "acc.f0.")), mn, mx) }
+    foldImpl(events, storePath, rewritten, withinMs, batchId, numBuckets,
+      payload, capture = payload.map(_._1),
+      expireWatermarkMs = expireWatermarkMs)
   }
 
   /** State EXPIRY — the Flink state-TTL analog for the CEP store, closing
@@ -101,18 +154,55 @@ object IncrementalCep {
       case None => return 0L
       case Some(s) => s
     }
-    val deadCond = col("kind") === "v" &&
+    val dead = deadCond(watermarkMs, withinMs)
+    val n = live.filter(dead).count()
+    if (n > 0)
+      KeyedStore.compact(spark, storePath, keepWhere = Some(!dead))
+    n
+  }
+
+  /** Dead ≡ absent rows (see [[expire]]); layout-independent — reads only
+    * (kind, c, t0), so it serves both "cep-st-v1" and "cep-iter-v1" rows
+    * (an idle iter row always carries a null f0: every emit/abandon
+    * constructor nulls the capture). */
+  private def deadCond(watermarkMs: Long, withinMs: Long) =
+    col("kind") === "v" &&
       (col("c") === 0 ||
         (col("c") > 0 && lit(watermarkMs) - col("t0") >= withinMs))
-    val n = live.filter(deadCond).count()
-    if (n > 0)
-      KeyedStore.compact(spark, storePath, keepWhere = Some(!deadCond))
-    n
+
+  /** SELF-SCHEDULED expiry — [[expire]] on the [[KeyedStore.maintain]]
+    * cadence, wired into every fold via `expireWatermarkMs` so the one
+    * unbounded axis (a state row per key EVER seen) is bounded without a
+    * human remembering to call expire. Amortization: the O(keys) scan
+    * runs only when the committed generation (= fold count) is a multiple
+    * of `checkEvery`, and the rewrite only when the dead-row fraction
+    * passes `maxDeadFrac`. Returns true iff a compaction ran. */
+  def maintainExpire(spark: SparkSession, storePath: String,
+      watermarkMs: Long, withinMs: Long, maxDeadFrac: Double = 0.5,
+      checkEvery: Int = 16): Boolean = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    require(maxDeadFrac >= 0 && maxDeadFrac < 1,
+      s"maxDeadFrac must be in [0, 1), got $maxDeadFrac")
+    val gen = KeyedStore.latestGeneration(spark, storePath)
+    if (gen == 0 || gen % checkEvery != 0) return false
+    val live = KeyedStore.readActive(spark, storePath) match {
+      case None => return false
+      case Some(s) => s.filter(col("kind") === "v")
+    }
+    val dead = deadCond(watermarkMs, withinMs)
+    val r = live.agg(count(lit(1)).as("n"),
+      count(when(dead, 1)).as("d")).head()
+    val fire = r.getLong(0) > 0 &&
+      r.getLong(1).toDouble / r.getLong(0) > maxDeadFrac
+    if (fire)
+      KeyedStore.compact(spark, storePath, keepWhere = Some(!dead))
+    fire
   }
 
   private def foldImpl(events: DataFrame, storePath: String,
       predStages: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
-      numBuckets: Int, payload: Seq[(String, org.apache.spark.sql.Column)])
+      numBuckets: Int, payload: Seq[(String, org.apache.spark.sql.Column)],
+      capture: Seq[String], expireWatermarkMs: Option[Long])
       : DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -122,6 +212,12 @@ object IncrementalCep {
         col("oid").cast("long").as("oid")) ++
         payload.map { case (n, c) => c.as(n) }: _*)
       .localCheckpoint(true)
+    // capture field → SQL type, from the projected batch (the payload
+    // type contract: identical on every fold of one store)
+    val capTyped = capture.map(n => n -> batch.schema(n).dataType.catalogString)
+    val capDdl = capTyped.map { case (n, t) => s"$n $t" }.mkString(", ")
+    val hasCap = capture.nonEmpty
+    val layout = if (hasCap) "cep-iter-v1" else "cep-st-v1"
     val keys = batch.select(col("k")).distinct()
     val stored = KeyedStore.readPruned(spark, storePath,
       keys.unionByName(Seq(MetaKey).toDF("k")))
@@ -134,16 +230,22 @@ object IncrementalCep {
     val state = stored
       .map(_.filter(col("kind") === "v")
         .join(keys, Seq("k"), "left_semi")
-        .select(col("k"), col("st").cast("int").as("__st"),
-          col("c").cast("int").as("__c"), col("t0").cast("long").as("__t0")))
-      .getOrElse(spark.range(0).select(col("id").as("k"),
-        lit(0).as("__st"), lit(0).as("__c"), lit(0L).as("__t0")))
-    // the SAME step function as the batch operator, seeded from storage
+        .select(Seq(col("k"), col("st").cast("int").as("__st"),
+          col("c").cast("int").as("__c"), col("t0").cast("long").as("__t0")) ++
+          (if (hasCap) Seq(col("f0").cast("string").as("__f0")) else Nil): _*))
+      .getOrElse(spark.range(0).select(Seq(col("id").as("k"),
+        lit(0).as("__st"), lit(0).as("__c"), lit(0L).as("__t0")) ++
+        (if (hasCap) Seq(lit(null).cast("string").as("__f0")) else Nil): _*))
+    // the SAME step function as the batch operator, seeded from storage;
+    // the persisted JSON capture deserializes back into the f0 slot (a
+    // key absent from the store seeds a null capture — identical to the
+    // batch fold's zero state)
+    val seedF0 = if (hasCap) s", 'f0', from_json(__f0, '$capDdl')" else ""
     val fold = s"""aggregate(evs,
       named_struct('st', coalesce(__st, 0), 'c', coalesce(__c, 0),
-        't0', coalesce(__t0, CAST(0 AS BIGINT)),
+        't0', coalesce(__t0, CAST(0 AS BIGINT))$seedF0,
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
-      ${graft.ops.Cep.timesFoldStepPred(predStages, withinMs)},
+      ${graft.ops.Cep.timesFoldStepPred(predStages, withinMs, capTyped)},
       acc -> acc)"""
     val fields = Seq(col("tms"), col("oid")) ++ payload.map(p => col(p._1))
     val folded = batch.groupBy("k")
@@ -151,21 +253,29 @@ object IncrementalCep {
       .join(state, Seq("k"), "left_outer")
       .select(col("k"), expr(fold).as("r"))
       .localCheckpoint(true) // pin BEFORE the merge GCs the read generation
-    val stateRows = folded.select(lit("v").as("kind"), col("k"),
-      col("r.st").as("st"), col("r.c").as("c"), col("r.t0").as("t0"),
-      lit(batchId).as("ver"), lit("put").as("op_type"))
-    val metaRow = spark.range(1).select(lit("m").as("kind"),
+    val stateRows = folded.select(Seq(lit("v").as("kind"), col("k"),
+      col("r.st").as("st"), col("r.c").as("c"), col("r.t0").as("t0")) ++
+      (if (hasCap) Seq(to_json(col("r.f0")).as("f0")) else Nil) ++
+      Seq(lit(batchId).as("ver"), lit("put").as("op_type")): _*)
+    val metaRow = spark.range(1).select(Seq(lit("m").as("kind"),
       lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
-      lit(0L).as("t0"), lit(batchId).as("ver"), lit("put").as("op_type"))
+      lit(0L).as("t0")) ++
+      (if (hasCap) Seq(lit(null).cast("string").as("f0")) else Nil) ++
+      Seq(lit(batchId).as("ver"), lit("put").as("op_type")): _*)
     // ONE commit point: state rows and the high-water mark land together
     KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
       keys = Seq("kind", "k"), seqCols = Seq("ver"),
-      numBuckets = numBuckets, bucketCols = Seq("k"))
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some(layout))
     val out = folded.select(col("k"), explode(col("r.ms")).as("m"))
       .select(col("k"), col("m.s").as("start_tms"), col("m.e").as("end_tms"))
       .localCheckpoint(true)
     graft.util.Blocks.freeCheckpoint(folded)
     graft.util.Blocks.freeCheckpoint(batch)
+    // self-scheduled expiry AFTER the commit (the fold's own merge bumped
+    // the generation the cadence keys on)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
     out
   }
 }

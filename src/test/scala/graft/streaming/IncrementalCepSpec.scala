@@ -136,6 +136,81 @@ class IncrementalCepSpec extends SparkSpec {
     assert((m1 ++ m2).sorted == got(want))
   }
 
+  test("iterative conditions (foldBatchIter): the capture crosses a batch boundary") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cep_it").toString + "/cep"
+    val stages = Seq(("e.ty = 'view'", 1, 1),
+      ("e.ty = 'purchase' AND e.value > 2 * first.value", 1, 1))
+    def ev(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("k", "tms", "oid", "ty", "value")
+    val payload = Seq("ty" -> col("ty"), "value" -> col("value"))
+    // fold 1 OPENS (captures view value 30); fold 2 evaluates first.value
+    // against the CAPTURE FROM THE EARLIER BATCH: 50 fails (needs > 60),
+    // 70 completes — the r10 layout (no f0 slot) could not express this
+    val m1 = IncrementalCep.foldBatchIter(
+      ev((1, 10, 1, "view", 30.0), (2, 15, 2, "view", 10.0)),
+      store, stages, 1000, batchId = 1, payload)
+    val m2 = IncrementalCep.foldBatchIter(
+      ev((1, 20, 3, "purchase", 50.0), (1, 30, 4, "purchase", 70.0),
+        (2, 25, 5, "purchase", 25.0)),
+      store, stages, 1000, batchId = 2, payload)
+    assert(got(m1).isEmpty)
+    assert(got(m2) == Seq((1L, 10L, 30L), (2L, 15L, 25L)))
+    // equals the batch iterative operator over the concatenation — the
+    // q_cep_iter twin contract, wherever the cut falls
+    val all = ev((1, 10, 1, "view", 30.0), (2, 15, 2, "view", 10.0),
+      (1, 20, 3, "purchase", 50.0), (1, 30, 4, "purchase", 70.0),
+      (2, 25, 5, "purchase", 25.0))
+    val want = graft.ops.Cep.patternMatchesIter(all, col("k"), col("tms"),
+        col("oid"), stages, 1000, payload)
+      .select(col("k"), col("start_tms"), col("end_tms"))
+    assert((got(m1) ++ got(m2)).sorted == got(want))
+    // a string literal containing `first.` survives the rewrite unharmed
+    val litStore = Files.createTempDirectory("inc_cep_itl").toString + "/cep"
+    val litStages = Seq(("e.ty = 'view'", 1, 1), ("e.ty = 'first.home'", 1, 1))
+    val mLit = IncrementalCep.foldBatchIter(
+      ev((3, 10, 1, "view", 1.0), (3, 20, 2, "first.home", 1.0)),
+      litStore, litStages, 1000, batchId = 1, payload)
+    assert(got(mLit) == Seq((3L, 10L, 20L)))
+  }
+
+  test("self-scheduled expiry: maintainExpire fires on the cadence; folds stay equivalent") {
+    val store = Files.createTempDirectory("inc_cep_me").toString + "/cep"
+    // folds 1-2: keys 1..3 complete (idle, dead under any later watermark),
+    // key 4 holds a live partial
+    val b1 = evDf((1, 10, 1, "view"), (1, 11, 2, "click"), (1, 12, 3, "purchase"),
+      (2, 10, 4, "view"), (2, 11, 5, "click"), (2, 12, 6, "purchase"))
+    val b2 = evDf((3, 20, 7, "view"), (3, 21, 8, "click"), (3, 22, 9, "purchase"),
+      (4, 995, 10, "view"))
+    IncrementalCep.foldBatch(b1, store, vcp, 100, batchId = 1,
+      expireWatermarkMs = Some(12L)).count()
+    IncrementalCep.foldBatch(b2, store, vcp, 100, batchId = 2,
+      expireWatermarkMs = Some(995L)).count()
+    // nothing expired yet (default cadence 16 generations) — 4 keys + meta
+    assert(KeyedStore.read(spark, store).get.count() == 5)
+    // explicit maintain at cadence 1: idle rows 1..3 are 3/4 > 0.5 → fires
+    assert(IncrementalCep.maintainExpire(spark, store, watermarkMs = 995L,
+      withinMs = 100, checkEvery = 1))
+    assert(KeyedStore.readActive(spark, store).get
+      .filter(col("kind") === "v").count() == 1) // key 4's live partial only
+    // below the fraction threshold it does NOT fire
+    assert(!IncrementalCep.maintainExpire(spark, store, watermarkMs = 995L,
+      withinMs = 100, checkEvery = 1))
+    // the next fold completes key 4 from its kept partial; key 1 re-opens
+    // from absent — concatenated folds still equal the batch operator
+    val b3 = evDf((4, 1000, 11, "click"), (4, 1010, 12, "purchase"),
+      (1, 1001, 13, "view"), (1, 1002, 14, "click"), (1, 1003, 15, "purchase"))
+    val m3 = got(IncrementalCep.foldBatch(b3, store, vcp, 100, batchId = 3,
+      expireWatermarkMs = Some(1010L)))
+    val want = graft.ops.Cep.patternMatches(
+        b1.unionByName(b2).unionByName(b3), col("k"), col("tms"), col("oid"),
+        col("ty"), vcp.map(_._1), 100)
+      .select(col("k"), col("start_tms"), col("end_tms"))
+      .filter(col("end_tms") >= 1000) // fold-3 matches only
+    assert(m3 == got(want))
+  }
+
   test("fixture parity: three time-cut folds equal the batch operator") {
     val s = spark
     import s.implicits._
