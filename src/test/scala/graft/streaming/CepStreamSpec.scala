@@ -376,4 +376,102 @@ class CepStreamSpec extends SparkSpec {
       assert(run(events.grouped(size).toSeq) == expected)
     }
   }
+
+  // ---- predicate stages (attachWhere) / iterative conditions (attachIter) ----
+
+  private def runWhere(batches: Seq[Seq[VEvent]],
+      stages: Seq[(VEvent => Boolean, Int, Int)],
+      w: Long): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[VEvent]
+    val q = CepStream.attachWhere[VEvent](mem.toDS(), _.k, _.tms, _.oid,
+        stages, w)
+      .writeStream.format("memory").queryName("cep_whr_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      s.table("cep_whr_out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+          r.getAs[Long]("match_end")))
+        .sortBy(identity).toSeq
+    } finally q.stop()
+  }
+
+  test("attachWhere: predicate stages fold across micro-batches; equals the batch operator") {
+    val s = spark
+    import s.implicits._
+    // high-value view (>50) then high-value purchase (>100), 2+ windows
+    val stages = Seq(
+      (((e: VEvent) => e.ty == "view" && e.v > 50.0), 1, 1),
+      (((e: VEvent) => e.ty == "purchase" && e.v > 100.0), 1, 1))
+    val b1 = Seq(VEvent(1, 10, 1, "view", 20.0), VEvent(1, 20, 2, "view", 80.0))
+    val b2 = Seq(VEvent(1, 30, 3, "purchase", 50.0),
+      VEvent(1, 40, 4, "purchase", 150.0))
+    val got = runWhere(Seq(b1, b2), stages, 1000)
+    assert(got == Seq((1L, 20L, 40L)))
+    val want = graft.ops.Cep.patternMatchesWhere((b1 ++ b2).toDF(),
+        col("k"), col("tms"), col("oid"),
+        Seq(("e.ty = 'view' AND e.value > 50.0", 1, 1),
+          ("e.ty = 'purchase' AND e.value > 100.0", 1, 1)),
+        1000, payload = Seq("ty" -> col("ty"), "value" -> col("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(got == want)
+    // a quantified predicate loop (2+ qualifying views) spans batches too
+    val loop = Seq(
+      (((e: VEvent) => e.ty == "view" && e.v > 50.0), 2, graft.ops.Cep.Unbounded),
+      (((e: VEvent) => e.ty == "purchase"), 1, 1))
+    val l1 = Seq(VEvent(2, 10, 1, "view", 90.0), VEvent(2, 20, 2, "view", 5.0))
+    val l2 = Seq(VEvent(2, 30, 3, "view", 70.0), VEvent(2, 40, 4, "purchase", 1.0))
+    assert(runWhere(Seq(l1, l2), loop, 1000) == Seq((2L, 10L, 40L)))
+  }
+
+  test("attachIter: the first.* capture crosses a micro-batch boundary") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // purchase worth more than double the OPENING view's value — the view
+    // lands in batch 1, the qualifying purchase in batch 2, so the capture
+    // must survive in keyed state (CepIterState.f0)
+    val stages = Seq(
+      (((e: VEvent, _: VEvent) => e.ty == "view"), 1, 1),
+      (((e: VEvent, f: VEvent) => e.ty == "purchase" && e.v > 2 * f.v), 1, 1))
+    val mem = MemoryStream[VEvent]
+    val q = CepStream.attachIter[VEvent](mem.toDS(), _.k, _.tms, _.oid,
+        stages, 1000)
+      .writeStream.format("memory").queryName("cep_itr_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(VEvent(1, 10, 1, "view", 30.0),
+        VEvent(2, 15, 2, "view", 10.0))
+      q.processAllAvailable()
+      mem.addData(VEvent(1, 20, 3, "purchase", 50.0),
+        VEvent(1, 30, 4, "purchase", 70.0),
+        VEvent(2, 25, 5, "purchase", 25.0))
+      q.processAllAvailable()
+      val got = s.table("cep_itr_out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+          r.getAs[Long]("match_end")))
+        .sortBy(identity).toSeq
+      assert(got == Seq((1L, 10L, 30L), (2L, 15L, 25L)))
+      // equals the batch iterative operator over the concatenation
+      val all = Seq(VEvent(1, 10, 1, "view", 30.0),
+        VEvent(2, 15, 2, "view", 10.0), VEvent(1, 20, 3, "purchase", 50.0),
+        VEvent(1, 30, 4, "purchase", 70.0), VEvent(2, 25, 5, "purchase", 25.0))
+      val want = graft.ops.Cep.patternMatchesIter(all.toDF(), col("k"),
+          col("tms"), col("oid"),
+          Seq(("e.ty = 'view'", 1, 1),
+            ("e.ty = 'purchase' AND e.value > 2 * first.value", 1, 1)),
+          1000, payload = Seq("ty" -> col("ty"), "value" -> col("v")))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
 }
+
+/** Payload-carrying event for the attachWhere/attachIter specs (top level:
+  * product encoders need a stable, outer-free class). */
+final case class VEvent(k: Long, tms: Long, oid: Long, ty: String, v: Double)
