@@ -164,6 +164,24 @@ object Cep {
     * [[patternMatches]] / [[patternMatchesTimes]] route here whenever the
     * key column is LongType (null keys fail loudly in the encoder — the
     * SQL fold path keeps serving other key types). */
+  /** The stateless per-group automaton run shared by every sorted plan:
+    * stream the (already sorted) iterator through one [[TimesStepper]],
+    * numbering matches per key in time order. */
+  private def runGroup[E](preds: IndexedSeq[(E => Boolean, Int, Int)],
+      withinMs: Long, tmsOf: E => Long)(
+      k: Long, it: Iterator[E]): Iterator[CepMatchRow] = {
+    val stepper = new TimesStepper[E](preds, withinMs, tmsOf)
+    val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
+    var st = 0; var c = 0; var t0 = 0L; var n = 0
+    it.foreach { e =>
+      val next = stepper.step(st, c, t0, e, (s, en) => {
+        n += 1; out += CepMatchRow(k, n, s, en)
+      })
+      st = next._1; c = next._2; t0 = next._3
+    }
+    out.iterator
+  }
+
   private[graft] def timesSorted(proj: DataFrame,
       pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame = {
     val spark = proj.sparkSession
@@ -172,18 +190,29 @@ object Cep {
       (((e: CepEv) => e.ty == t), mn, mx) }.toIndexedSeq
     proj.as[CepEv]
       .groupByKey(_.k)
-      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
-        val stepper = new TimesStepper[CepEv](preds, withinMs, _.tms)
-        val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
-        var st = 0; var c = 0; var t0 = 0L; var n = 0
-        it.foreach { e =>
-          val next = stepper.step(st, c, t0, e, (s, en) => {
-            n += 1; out += CepMatchRow(k, n, s, en)
-          })
-          st = next._1; c = next._2; t0 = next._3
-        }
-        out
-      }
+      .flatMapSortedGroups(col("tms"), col("oid"), col("ty"))(
+        runGroup[CepEv](preds, withinMs, _.tms))
+      .toDF("k", "match_n", "start_tms", "end_tms")
+  }
+
+  /** Event row of the PRECOMPUTED-PREDICATE sorted plan: `ps(i)` is stage
+    * i's predicate evaluated on this event (see [[patternMatchesWhere]] —
+    * where-predicates are per-event SQL booleans, so they evaluate once,
+    * columnar and codegen'd, BEFORE the shuffle; the automaton then only
+    * reads booleans). */
+  private[graft] final case class CepEvP(k: Long, tms: Long, oid: Long,
+      ps: Array[Boolean])
+
+  private[graft] def predSorted(projWithPs: DataFrame,
+      quant: Seq[(Int, Int)], withinMs: Long): DataFrame = {
+    val spark = projWithPs.sparkSession
+    import spark.implicits._
+    val preds = quant.zipWithIndex.map { case ((mn, mx), i) =>
+      (((e: CepEvP) => e.ps(i)), mn, mx) }.toIndexedSeq
+    projWithPs.as[CepEvP]
+      .groupByKey(_.k)
+      .flatMapSortedGroups(col("tms"), col("oid"), col("ps"))(
+        runGroup[CepEvP](preds, withinMs, _.tms))
       .toDF("k", "match_n", "start_tms", "end_tms")
   }
 
@@ -546,9 +575,19 @@ object Cep {
     * stage's, the loop consumes it — [[patternMatchesTimes]]' adjacent
     * same-type rule generalized.
     *
+    * Physical plan (round 11): for LongType keys the stage predicates
+    * are PRECOMPUTED per event — evaluated once, columnar and codegen'd,
+    * before the key shuffle — and the spill-safe sorted-iterator
+    * automaton ([[timesSorted]]'s shape) reads booleans only; the
+    * row-local `aggregate` fold below serves other key types. The fold
+    * is also QUADRATIC IN COPY WORK on a celebrity key (Catalyst's
+    * ArrayAggregate copies the accumulator — including the grown match
+    * array — per element; measured in ScaleProbe `cephot`), which is
+    * why the routed plan is the default, not just a memory nicety.
+    *
     * @param stages  (SQL boolean over `e`, min, max) per stage
-    * @param payload (field name, source column) — names `tms`/`oid` are
-    *                reserved
+    * @param payload (field name, source column) — names
+    *                `k`/`tms`/`oid`/`e` are reserved
     * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
     *         contract */
   def patternMatchesWhere(df: DataFrame, keyCol: Column, tsMsCol: Column,
@@ -556,10 +595,27 @@ object Cep {
       payload: Seq[(String, Column)]): DataFrame = {
     validateTimes(stages, withinMs)
     require(!payload.exists(p =>
-        p._1 == "k" || p._1 == "tms" || p._1 == "oid"),
-      "payload field names k/tms/oid are reserved")
+        p._1 == "k" || p._1 == "tms" || p._1 == "oid" || p._1 == "e"),
+      "payload field names k/tms/oid/e are reserved")
     require(payload.map(_._1).distinct.length == payload.length,
       "payload field names must be unique")
+    val projected = df.select(Seq(keyCol.as("k"),
+        tsMsCol.cast("long").as("tms"), ordCol.cast("long").as("oid")) ++
+        payload.map { case (n, c) => c.as(n) }: _*)
+    if (isLongKey(projected)) {
+      // PRECOMPUTED-PREDICATE sorted plan: where-predicates are per-event
+      // SQL booleans, so they evaluate ONCE — columnar, codegen'd, before
+      // the key shuffle — into a ps array; the spill-safe sorted-iterator
+      // automaton then reads booleans only. A NULL predicate result is
+      // "not matched" (the fold's CASE semantics), hence the coalesce.
+      val withPs = projected
+        .withColumn("e", struct(Seq(col("tms"), col("oid")) ++
+          payload.map(p => col(p._1)): _*))
+        .select(col("k"), col("tms"), col("oid"),
+          array(stages.map(s =>
+            coalesce(expr(s._1).cast("boolean"), lit(false))): _*).as("ps"))
+      return predSorted(withPs, stages.map(s => (s._2, s._3)), withinMs)
+    }
     val fold = s"""aggregate(evs,
       named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT),
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
@@ -605,6 +661,15 @@ object Cep {
     * Stage 0 cannot reference `first.` (nothing is captured yet); the
     * scan is the caller's to pre-filter, as in [[patternMatchesWhere]].
     *
+    * Physical plan: iterative conditions STAY on the row-local fold —
+    * a `first.*` predicate depends on the run's captured state, so it
+    * cannot be precomputed per event the way [[patternMatchesWhere]]'s
+    * stages are. The fold's celebrity-key caveat therefore applies here
+    * (quadratic accumulator copies — ScaleProbe `cephot`); for hot-key
+    * corpora route through [[graft.streaming.CepStream.attachIter]]
+    * (typed predicates, streamed groups) or the store-backed
+    * [[graft.streaming.IncrementalCep.foldBatchIter]] instead.
+    *
     * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
     *         contract */
   def patternMatchesIter(df: DataFrame, keyCol: Column, tsMsCol: Column,
@@ -612,8 +677,8 @@ object Cep {
       payload: Seq[(String, Column)]): DataFrame = {
     validateTimes(stages, withinMs)
     require(!payload.exists(p =>
-        p._1 == "k" || p._1 == "tms" || p._1 == "oid"),
-      "payload field names k/tms/oid are reserved")
+        p._1 == "k" || p._1 == "tms" || p._1 == "oid" || p._1 == "e"),
+      "payload field names k/tms/oid/e are reserved")
     require(payload.map(_._1).distinct.length == payload.length,
       "payload field names must be unique")
     require(!existsOutsideLiterals(stages.head._1, "(?s).*\\bfirst\\..*"),

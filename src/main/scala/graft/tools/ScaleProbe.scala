@@ -1189,6 +1189,102 @@ object ScaleProbe {
       nextKey += pop
       pop *= 2
     }
+    // EXPIRY IN THE LOOP (round 11): under a watermark past every open
+    // partial's deadline the whole accumulated population is dead —
+    // maintainExpire prunes it physically and the probe fold returns to
+    // the empty-store wall. The watermark contract (no future event may
+    // precede it) is honored by jumping the clock past it afterwards.
+    val wmark = clock * 1000000L + 2L * w
+    val t0 = System.nanoTime()
+    val before = graft.streaming.KeyedStore.read(spark, store).get.count()
+    val fired = graft.streaming.IncrementalCep.maintainExpire(spark, store,
+      wmark, w, checkEvery = 1)
+    val we = (System.nanoTime - t0) / 1e9
+    val after = graft.streaming.KeyedStore.read(spark, store).get.count()
+    println(f"CEPFOLD expire fired=$fired wall=$we%5.2f s " +
+      f"storedRows $before%9d -> $after%9d")
+    clock = wmark / 1000000L + 1
+    // post-expiry fold: the probe keys run one full v→c→p cycle — the
+    // wall to compare against the steady-state line above
+    val cyc = Seq("view", "click", "purchase").zipWithIndex.map { case (t, i) =>
+      clock += 1
+      spark.range(0L, 2000L).select(col("id").as("k"),
+        (lit(clock * 1000000L) + col("id") % 997).as("tms"),
+        (col("id") + i * 2000L).as("oid"), lit(t).as("ty"))
+    }.reduce(_ unionByName _)
+    val wPost = fold(cyc)
+    println(f"CEPFOLD postExpireFoldWall=$wPost%5.2f s " +
+      f"storedRows=${graft.streaming.KeyedStore.read(spark, store).get.count()}%9d")
+    spark.stop()
+  }
+
+  /** HOT-KEY probe (round-11 item 2): one CELEBRITY key carrying the
+    * corpus's pattern events, against a fixed 64-events/key background.
+    *
+    * The collect_list+aggregate fold (reached via a string key) is not
+    * just a memory pin on such a key — it is QUADRATIC IN COPY WORK:
+    * Catalyst's ArrayAggregate copies the accumulator struct per element,
+    * and the accumulator CONTAINS the grown `ms` match array, so a hot
+    * key costs O(events × matches) GenericArrayData copies (observed
+    * live: one task, 11 CPU-minutes into a 2 M-event fold and climbing —
+    * the probe therefore measures the fold only at 100 k/400 k, where the
+    * quadratic slope is already unambiguous). The SORTED-ITERATOR plan
+    * (the routed path for long keys) streams the same automaton over the
+    * sorted group — flat per-row cost, measured through 10 M events on
+    * the one key. Equal match counts at the shared sizes pin the routing
+    * as semantics-free. */
+  def cephotProbe(keys: Int): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vcp = Seq("view", "click", "purchase")
+    def mix(idCol: org.apache.spark.sql.Column) =
+      element_at(array(vcp.map(lit): _*),
+        (pmod(hash(idCol), lit(3)) + 1).cast("int"))
+    val w = 1000000000L
+    def corpus(hot: Long) = {
+      val hotDf = spark.range(hot).select(lit(0L).as("k"),
+        col("id").as("tms"), col("id").as("oid"), mix(col("id")).as("ty"))
+      val bg = spark.range(keys * 64L).select(
+        (pmod(col("id"), lit(keys)) + 1).cast("long").as("k"),
+        (col("id") / keys).cast("long").as("tms"),
+        (col("id") + hot).as("oid"), mix(col("id") + hot).as("ty"))
+      hotDf.unionByName(bg).localCheckpoint(true)
+    }
+    def sorted(df: DataFrame) = graft.ops.Cep.patternMatches(df, col("k"),
+      col("tms"), col("oid"), col("ty"), vcp, w).count()
+    // string key → the aggregate-fold plan (same automaton, array state)
+    def folded(df: DataFrame) = graft.ops.Cep.patternMatches(df,
+      col("k").cast("string"), col("tms"), col("oid"), col("ty"), vcp,
+      w).count()
+    for (hot <- Seq(100000L, 400000L)) {
+      val df = corpus(hot)
+      for (rep <- 0 until 2) {
+        val t0 = System.nanoTime()
+        val mS = sorted(df)
+        val wS = (System.nanoTime - t0) / 1e9
+        val t1 = System.nanoTime()
+        val mF = folded(df)
+        val wF = (System.nanoTime - t1) / 1e9
+        assert(mS == mF, s"routing changed semantics: $mS vs $mF")
+        println(f"CEPHOT hot=$hot%9d rep=$rep sorted=$wS%7.2f s " +
+          f"fold=$wF%7.2f s matches=$mS")
+      }
+      graft.util.Blocks.freeCheckpoint(df)
+    }
+    // the sorted plan alone through 2 M and 10 M — the fold is already
+    // out of the running (quadratic above); flat per-row wall is the claim
+    for (hot <- Seq(2000000L, 10000000L)) {
+      val df = corpus(hot)
+      for (rep <- 0 until 2) {
+        val t0 = System.nanoTime()
+        val mS = sorted(df)
+        val wS = (System.nanoTime - t0) / 1e9
+        println(f"CEPHOT hot=$hot%9d rep=$rep sorted=$wS%7.2f s " +
+          f"(fold not run — quadratic) matches=$mS")
+      }
+      graft.util.Blocks.freeCheckpoint(df)
+    }
     spark.stop()
   }
 
@@ -1361,6 +1457,57 @@ object ScaleProbe {
         qs, books, m = 4, topK = 5, nProbe = 2)
       println(s"  ann results=${got.count()}")
       graft.util.Blocks.freeCheckpoint(books)
+    }
+    // the text corpus is out of scope for the warehouse stages below
+    graft.util.Blocks.freeCheckpoint(accepted)
+    graft.util.Blocks.freeCheckpoint(curated)
+    // F. SCD2 HISTORY (round 11 — the warehouse-dimension stage): a
+    // versioned dimension at copies×10k keys × 4 versions, folded in
+    // three ts-cut batches through the persistent history store
+    stage("scd2-history") {
+      val nKeys = copies * 10000L
+      val rows = spark.range(nKeys * 4).select(
+          (col("id") % nKeys).as("order_id"), col("id").as("id"),
+          when(col("id") < nKeys, "insert").otherwise("update").as("typ"),
+          concat(lit("sku"), (col("id") / nKeys)).as("sku_num"),
+          pmod(col("id") / nKeys, lit(3)).cast("string").as("pay_st"),
+          ((col("id") / nKeys) * 1000L + 1L).as("ts"))
+      val ord = Seq("ts", "id", "sku_num", "pay_st", "typ")
+      var n = 0L
+      for ((cond, i) <- Seq(col("ts") < 2000L,
+          col("ts") >= 2000L && col("ts") < 3000L,
+          col("ts") >= 3000L).zipWithIndex)
+        n = graft.streaming.IncrementalScd2.mergeBatch(rows.filter(cond),
+          s"$work/scd2", Seq("order_id"), ord, Seq("sku_num", "pay_st"),
+          i.toLong).count()
+      println(s"  scd2 versions=$n keys=$nKeys")
+    }
+    // G. CEP FOLDS (round 11 — the funnel stage): copies×4k keys × 12
+    // pattern events per fold, three store-backed automaton folds with a
+    // self-scheduled expiry tick on the last (cadence 1 here so the probe
+    // exercises the prune; production uses the default 16)
+    stage("cep-folds") {
+      val nEvKeys = copies * 4000L
+      val perFold = nEvKeys * 12
+      val pat = Seq(("view", 1, 1), ("click", 1, 1), ("purchase", 1, 1))
+      val tyc = array(lit("view"), lit("click"), lit("purchase"), lit("view"))
+      var matches = 0L
+      for (i <- 0 until 3) {
+        val ev = spark.range(perFold).select(
+          (col("id") % nEvKeys).as("k"),
+          (lit(i * 1000000L) + (col("id") / nEvKeys) * 1000L).as("tms"),
+          (col("id") + i * perFold).as("oid"),
+          element_at(tyc, (pmod(col("id") / nEvKeys, lit(4)) + 1).cast("int"))
+            .as("ty"))
+        val m = graft.streaming.IncrementalCep.foldBatch(ev, s"$work/cep",
+          pat, withinMs = 1000000000L, batchId = i + 1L)
+        matches += m.count()
+        graft.util.Blocks.freeCheckpoint(m)
+      }
+      val pruned = graft.streaming.IncrementalCep.maintainExpire(spark,
+        s"$work/cep", watermarkMs = 3L * 1000000000L,
+        withinMs = 1000000000L, checkEvery = 1)
+      println(s"  cep matches=$matches keys=$nEvKeys expireFired=$pruned")
     }
     println(f"TENANCY total: shuffle=${gb(shuffleW.get)}%7.2f GB " +
       f"spillMem=${gb(spillMem.get)}%7.2f GB spillDisk=${gb(spillDisk.get)}%6.2f GB " +
@@ -1636,6 +1783,10 @@ object ScaleProbe {
     if (args.headOption.contains("tenancy")) {
       tenancyProbe(args.lift(1).map(_.toInt).getOrElse(50),
         args.lift(2).getOrElse("/tmp/graft_scale_tenancy"))
+      return
+    }
+    if (args.headOption.contains("cephot")) {
+      cephotProbe(args.lift(1).map(_.toInt).getOrElse(100000))
       return
     }
     if (args.headOption.contains("cepnext")) {

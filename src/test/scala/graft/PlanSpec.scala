@@ -397,6 +397,22 @@ class PlanSpec extends SparkSpec {
     assert(!whr.contains("Join"))
   }
 
+  test("cep relaxed class: the SORTED-ITERATOR plan — no per-key collect_list array") {
+    // round 11: long-keyed patternMatches/patternMatchesTimes route to
+    // flatMapSortedGroups — one key shuffle + a SPILLABLE sort; the fold's
+    // collect_list would pin the busiest key's whole event array instead
+    for (q <- Seq("q_cep", "q_cep_times", "q_cep_opt", "q_cep_where")) {
+      val p = plan(q)
+      assert(!p.contains("collect_list"),
+        s"$q must not build per-key event arrays:\n" + p.take(800))
+      assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+        s"$q must stream groups through the automaton:\n" + p.take(800))
+      assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+        s"$q keeps the pushed type IN:\n" + p.take(800))
+      assert(!p.contains("Join"), s"$q stays join-free:\n" + p.take(800))
+    }
+  }
+
   test("hits: no cartesian anywhere; final hub-authority combine is an equi join") {
     // the per-half-step plans (edge join + broadcast max attach) sit behind
     // per-iteration checkpoints — the visible plan is the final combine
