@@ -164,6 +164,133 @@ object Cep {
     * [[patternMatches]] / [[patternMatchesTimes]] route here whenever the
     * key column is LongType (null keys fail loudly in the encoder — the
     * SQL fold path keeps serving other key types). */
+  /** The STRICT/notNext automaton's step semantics as a row-at-a-time
+    * stepper — shared by the batch sorted plan ([[nextSorted]]) and
+    * [[graft.streaming.CepStream.matchGroupNext]]; mirrors the
+    * [[patternMatchesNextFold]] SQL branch for branch (timeout,
+    * notNext-ban, stage advance, strict break, fr-consume). State is
+    * (st, t0, fr) — fr = stage just matched, the notNext slot is open. */
+  private[graft] final class StrictStepper(pattern: IndexedSeq[String],
+      withinMs: Long, nextStages: Set[Int], notNext: Map[Int, Set[String]]) {
+    private val last = pattern.length - 1
+
+    private def reopen(tms: Long, ty: String): (Int, Long, Boolean) =
+      if (ty == pattern.head) (1, tms, true) else (0, 0L, false)
+
+    def step(st: Int, t0: Long, fr: Boolean, tms: Long, ty: String,
+        emit: (Long, Long) => Unit): (Int, Long, Boolean) = {
+      if (st > 0 && tms - t0 >= withinMs) reopen(tms, ty)
+      else if (fr && notNext.getOrElse(st, Set.empty).contains(ty))
+        reopen(tms, ty)
+      else if (ty == pattern(st)) {
+        val start = if (st == 0) tms else t0
+        if (st == last) { emit(start, tms); (0, 0L, false) }
+        else (st + 1, start, true)
+      } else if (nextStages.contains(st)) reopen(tms, ty)
+      else (st, t0, false) // the event consumed the notNext slot
+    }
+  }
+
+  /** The NEGATION automaton's step semantics — shared by the batch sorted
+    * plan ([[negSorted]]) and [[graft.streaming.CepStream.matchGroupNeg]];
+    * mirrors [[patternMatchesNeg]]'s SQL branch for branch. State is
+    * (st, t0, te) with st = pattern.length meaning "watching the trailing
+    * ban"; [[flush]] is the batch end-of-input (the banned event never
+    * came — emit a live watch). */
+  private[graft] final class NegStepper(pattern: IndexedSeq[String],
+      withinMs: Long, notBetween: Map[Int, Set[String]],
+      notAfter: Set[String]) {
+    private val last = pattern.length - 1
+    private val watch = pattern.length
+    private val hasTrailing = notAfter.nonEmpty
+
+    private def reopen(tms: Long, ty: String): (Int, Long, Long) =
+      if (ty == pattern.head) {
+        if (last == 0 && hasTrailing) (watch, tms, tms)
+        else (1, tms, 0L)
+      } else (0, 0L, 0L)
+
+    def step(st: Int, t0: Long, te: Long, tms: Long, ty: String,
+        emit: (Long, Long) => Unit): (Int, Long, Long) = {
+      if (st == watch) {
+        if (tms - t0 >= withinMs) { // window closed banned-free: emit
+          emit(t0, te); reopen(tms, ty)
+        } else if (notAfter.contains(ty)) reopen(tms, ty)
+        else (st, t0, te)
+      } else if (st > 0 && tms - t0 >= withinMs) reopen(tms, ty)
+      else if (st > 0 &&
+          notBetween.getOrElse(st, Set.empty).contains(ty)) {
+        reopen(tms, ty) // negation guards the gap: ban wins over advance
+      } else if (ty == pattern(st)) {
+        val start = if (st == 0) tms else t0
+        if (st == last) {
+          if (hasTrailing) (watch, start, tms)
+          else { emit(start, tms); (0, 0L, 0L) }
+        } else (st + 1, start, 0L)
+      } else (st, t0, te)
+    }
+
+    /** Input-end flush: a still-open watch emits (batch semantics). */
+    def flush(st: Int, t0: Long, te: Long, emit: (Long, Long) => Unit): Unit =
+      if (st == watch) emit(t0, te)
+  }
+
+  /** Sorted-iterator plan for the strict/notNext automaton — see
+    * [[timesSorted]] for the shape rationale; the scan stays UNFILTERED
+    * (strict adjacency makes every event state-relevant). */
+  private[graft] def nextSorted(proj: DataFrame, pattern: Seq[String],
+      withinMs: Long, nextStages: Set[Int],
+      notNext: Map[Int, Seq[String]]): DataFrame = {
+    val spark = proj.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    val bans = notNext.map { case (i, ts) => i -> ts.toSet }
+    proj.as[CepEv]
+      .groupByKey(_.k)
+      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
+        val stepper = new StrictStepper(pat, withinMs, nextStages, bans)
+        val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
+        var st = 0; var t0 = 0L; var fr = false; var n = 0
+        it.foreach { e =>
+          val next = stepper.step(st, t0, fr, e.tms, e.ty, (s, en) => {
+            n += 1; out += CepMatchRow(k, n, s, en)
+          })
+          st = next._1; t0 = next._2; fr = next._3
+        }
+        out
+      }
+      .toDF("k", "match_n", "start_tms", "end_tms")
+  }
+
+  /** Sorted-iterator plan for the negation automaton, with the
+    * end-of-input flush (a live trailing watch emits when the key's
+    * events end — the banned event never came). */
+  private[graft] def negSorted(proj: DataFrame, pattern: Seq[String],
+      withinMs: Long, notBetween: Map[Int, Seq[String]],
+      notAfter: Seq[String]): DataFrame = {
+    val spark = proj.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    val between = notBetween.map { case (i, ts) => i -> ts.toSet }
+    proj.as[CepEv]
+      .groupByKey(_.k)
+      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
+        val stepper = new NegStepper(pat, withinMs, between, notAfter.toSet)
+        val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
+        var st = 0; var t0 = 0L; var te = 0L; var n = 0
+        def emit(s: Long, en: Long): Unit = {
+          n += 1; out += CepMatchRow(k, n, s, en)
+        }
+        it.foreach { e =>
+          val next = stepper.step(st, t0, te, e.tms, e.ty, emit)
+          st = next._1; t0 = next._2; te = next._3
+        }
+        stepper.flush(st, t0, te, emit)
+        out
+      }
+      .toDF("k", "match_n", "start_tms", "end_tms")
+  }
+
   /** The stateless per-group automaton run shared by every sorted plan:
     * stream the (already sorted) iterator through one [[TimesStepper]],
     * numbering matches per key in time order. */
@@ -850,6 +977,12 @@ object Cep {
     require(notNext.keySet.intersect(nextStages).isEmpty,
       "a stage cannot be both strict and notNext-banned — strict " +
         "already kills every non-matching very-next event")
+    // long keys stream through the sorted-iterator plan (the scan stays
+    // UNFILTERED — strict adjacency needs every event); the fold below
+    // serves other key types
+    val projN = projEvents(df, keyCol, tsMsCol, ordCol, typeCol)
+    if (isLongKey(projN))
+      return nextSorted(projN, pattern, withinMs, nextStages, notNext)
     val last = pattern.length - 1
     val stageMatch = pattern.zipWithIndex
       .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
@@ -934,6 +1067,15 @@ object Cep {
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
     require(notBetween.keys.forall(i => i >= 1 && i < pattern.length),
       s"notBetween stages must be in 1..${pattern.length - 1}")
+    // long keys stream through the sorted-iterator plan (same widened
+    // pattern ∪ banned pre-filter — banned events change state); the fold
+    // below serves other key types
+    val projB = projEvents(
+      df.filter(typeCol.isin(
+        (pattern ++ notBetween.values.flatten ++ notAfter).distinct: _*)),
+      keyCol, tsMsCol, ordCol, typeCol)
+    if (isLongKey(projB))
+      return negSorted(projB, pattern, withinMs, notBetween, notAfter)
     val last = pattern.length - 1
     val watch = pattern.length // st value while watching the trailing ban
     val hasTrailing = notAfter.nonEmpty

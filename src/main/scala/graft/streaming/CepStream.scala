@@ -67,9 +67,7 @@ object CepStream {
       notBetween: Map[Int, Set[String]], notAfter: Set[String])(
       k: Long, events: Iterator[CepEvent],
       state: GroupState[CepNegState]): Iterator[CepMatch] = {
-    val last = pattern.length - 1
     val watch = pattern.length
-    val hasTrailing = notAfter.nonEmpty
     val out = ListBuffer.empty[CepMatch]
     var s = state.getOption.getOrElse(CepNegState(0, 0L, 0L))
     if (state.hasTimedOut) {
@@ -82,28 +80,15 @@ object CepStream {
       return out.iterator
     }
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
-    def reopen(e: CepEvent): CepNegState =
-      if (e.ty == pattern.head) {
-        if (last == 0 && hasTrailing) CepNegState(watch, e.tms, e.tms)
-        else CepNegState(1, e.tms, 0L)
-      } else CepNegState(0, 0L, 0L)
+    // the per-event semantics are the shared NegStepper's (one object with
+    // the batch sorted plan — stream and batch cannot drift); the
+    // watermark/timeout handling around it stays streaming-specific
+    val stepper = new graft.ops.Cep.NegStepper(pattern, withinMs,
+      notBetween, notAfter)
     sorted.foreach { e =>
-      if (s.st == watch) {
-        if (e.tms - s.t0 >= withinMs) { // window closed banned-free: emit
-          out += CepMatch(k, s.t0, s.te); s = reopen(e)
-        } else if (notAfter.contains(e.ty)) s = reopen(e)
-      } else if (s.st > 0 && e.tms - s.t0 >= withinMs) {
-        s = reopen(e)
-      } else if (s.st > 0 &&
-          notBetween.getOrElse(s.st, Set.empty).contains(e.ty)) {
-        s = reopen(e) // negation guards the gap: ban wins over advance
-      } else if (e.ty == pattern(s.st)) {
-        val start = if (s.st == 0) e.tms else s.t0
-        if (s.st == last) {
-          if (hasTrailing) s = CepNegState(watch, start, e.tms)
-          else { out += CepMatch(k, start, e.tms); s = CepNegState(0, 0L, 0L) }
-        } else s = CepNegState(s.st + 1, start, 0L)
-      }
+      val next = stepper.step(s.st, s.t0, s.te, e.tms, e.ty,
+        (st0, en) => out += CepMatch(k, st0, en))
+      s = CepNegState(next._1, next._2, next._3)
     }
     if (s.st == watch && state.getCurrentWatermarkMs() >= s.t0 + withinMs) {
       // the watermark already proves the window closed banned-free (no
@@ -163,21 +148,13 @@ object CepStream {
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
     var s = state.getOption.getOrElse(CepNextState(0, 0L, fr = false))
     val out = ListBuffer.empty[CepMatch]
-    def reopen(e: CepEvent): CepNextState =
-      if (e.ty == pattern.head) CepNextState(1, e.tms, fr = true)
-      else CepNextState(0, 0L, fr = false)
+    // shared StrictStepper — one step object with the batch sorted plan
+    val stepper = new graft.ops.Cep.StrictStepper(pattern, withinMs,
+      nextStages, notNext)
     sorted.foreach { e =>
-      if (s.st > 0 && e.tms - s.t0 >= withinMs) s = reopen(e)
-      else if (s.fr &&
-          notNext.getOrElse(s.st, Set.empty).contains(e.ty)) s = reopen(e)
-      else if (e.ty == pattern(s.st)) {
-        val start = if (s.st == 0) e.tms else s.t0
-        if (s.st == pattern.length - 1) {
-          out += CepMatch(k, start, e.tms)
-          s = CepNextState(0, 0L, fr = false)
-        } else s = CepNextState(s.st + 1, start, fr = true)
-      } else if (nextStages.contains(s.st)) s = reopen(e)
-      else s = s.copy(fr = false) // the event consumed the notNext slot
+      val next = stepper.step(s.st, s.t0, s.fr, e.tms, e.ty,
+        (st0, en) => out += CepMatch(k, st0, en))
+      s = CepNextState(next._1, next._2, next._3)
     }
     state.update(s)
     out.iterator

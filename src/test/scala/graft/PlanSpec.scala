@@ -411,6 +411,17 @@ class PlanSpec extends SparkSpec {
         s"$q keeps the pushed type IN:\n" + p.take(800))
       assert(!p.contains("Join"), s"$q stays join-free:\n" + p.take(800))
     }
+    // strict/negation route too: notnext keeps the UNFILTERED scan (every
+    // event is state-relevant), neg keeps the widened pattern ∪ banned IN
+    for (q <- Seq("q_cep_notnext", "q_cep_neg")) {
+      val p = plan(q)
+      assert(!p.contains("collect_list"),
+        s"$q must not build per-key event arrays:\n" + p.take(800))
+      assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+        s"$q must stream groups through the automaton:\n" + p.take(800))
+    }
+    assert(!plan("q_cep_notnext").contains("In(event_type"),
+      "strict scan must NOT pre-filter event types")
   }
 
   test("hits: no cartesian anywhere; final hub-authority combine is an equi join") {
