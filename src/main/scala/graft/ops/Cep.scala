@@ -164,6 +164,37 @@ object Cep {
     * [[patternMatches]] / [[patternMatchesTimes]] route here whenever the
     * key column is LongType (null keys fail loudly in the encoder — the
     * SQL fold path keeps serving other key types). */
+  /** The MATCH-PAYLOAD automaton's step semantics — the plain
+    * one-event-per-stage automaton ([[patternMatches]]' branch structure
+    * exactly) with the partial's matched (tms, oid) per stage buffered in
+    * a caller-owned O(pattern) buffer; `emit` receives the completed
+    * per-stage list. Shared by [[patternMatchesSelect]] and
+    * [[graft.streaming.CepStream.matchGroupSelect]]. */
+  private[graft] final class SelectStepper(pattern: IndexedSeq[String],
+      withinMs: Long) {
+    private val last = pattern.length - 1
+
+    /** One event: (st, t0) -> new (st, t0); mutates `es` in place. */
+    def step(st: Int, t0: Long, es: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+        tms: Long, oid: Long, ty: String,
+        emit: IndexedSeq[(Long, Long)] => Unit): (Int, Long) = {
+      if (st > 0 && tms - t0 >= withinMs) {
+        // NFA timeout: abandon; the abandoning event may re-open
+        es.clear()
+        if (ty == pattern.head) {
+          if (last == 0) { emit(IndexedSeq((tms, oid))); (0, 0L) }
+          else { es += ((tms, oid)); (1, tms) }
+        } else (0, 0L)
+      } else if (ty == pattern(st)) {
+        val start = if (st == 0) tms else t0
+        es += ((tms, oid))
+        if (st == last) {
+          emit(es.toIndexedSeq); es.clear(); (0, 0L)
+        } else (st + 1, start)
+      } else (st, t0) // relaxed contiguity — ignore
+    }
+  }
+
   /** The STRICT/notNext automaton's step semantics as a row-at-a-time
     * stepper — shared by the batch sorted plan ([[nextSorted]]) and
     * [[graft.streaming.CepStream.matchGroupNext]]; mirrors the
@@ -636,35 +667,22 @@ object Cep {
     val spark = proj.sparkSession
     import spark.implicits._
     val pat = pattern.toIndexedSeq
-    val last = pat.length - 1
     proj.as[CepEv]
       .groupByKey(_.k)
       .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
+        val stepper = new SelectStepper(pat, withinMs)
         val out = scala.collection.mutable.ListBuffer.empty[CepSelRow]
         // es = the partial's matched (tms, oid) per stage — O(pattern)
         val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var st = 0; var t0 = 0L; var n = 0
         it.foreach { e =>
-          if (st > 0 && e.tms - t0 >= withinMs) {
-            // NFA timeout: abandon; the abandoning event may re-open
-            es.clear()
-            if (e.ty == pat.head) {
-              if (last == 0) {
-                n += 1; out += CepSelRow(k, n, 1, e.tms, e.oid)
-                st = 0; t0 = 0L
-              } else { st = 1; t0 = e.tms; es += ((e.tms, e.oid)) }
-            } else { st = 0; t0 = 0L }
-          } else if (e.ty == pat(st)) {
-            val start = if (st == 0) e.tms else t0
-            es += ((e.tms, e.oid))
-            if (st == last) {
-              n += 1
-              es.zipWithIndex.foreach { case ((t, o), j) =>
-                out += CepSelRow(k, n, j + 1, t, o)
-              }
-              es.clear(); st = 0; t0 = 0L
-            } else { st += 1; t0 = start }
-          } // else: relaxed contiguity — ignore
+          val next = stepper.step(st, t0, es, e.tms, e.oid, e.ty, evs => {
+            n += 1
+            evs.zipWithIndex.foreach { case ((t, o), j) =>
+              out += CepSelRow(k, n, j + 1, t, o)
+            }
+          })
+          st = next._1; t0 = next._2
         }
         out
       }

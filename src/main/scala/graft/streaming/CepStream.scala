@@ -327,6 +327,63 @@ object CepStream {
         matchGroupIter[E](stages.toIndexedSeq, withinMs, tms, oid))
   }
 
+  /** Matched-event reference carried in [[CepSelState]] / emitted by the
+    * MATCH-PAYLOAD stream. */
+  final case class CepEvRef(tms: Long, oid: Long)
+  /** Keyed state for the match-payload automaton: the (stage, start)
+    * pair plus the partial's matched event per stage (O(pattern)) and
+    * the per-key match counter — so a partial spanning micro-batches
+    * still reports ALL its stage events, and match_n is stable across
+    * batches. */
+  final case class CepSelState(st: Int, t0: Long, n: Int, es: Seq[CepEvRef])
+  /** One output row per matched stage event — [[graft.ops.Cep
+    * .patternMatchesSelect]]'s long format. */
+  final case class CepSelMatch(k: Long, match_n: Int, stage_n: Int,
+      ev_tms: Long, ev_oid: Long)
+
+  /** One micro-batch group for the MATCH-PAYLOAD automaton — the shared
+    * [[graft.ops.Cep.SelectStepper]] with the per-stage event buffer
+    * persisted in keyed state across batches. */
+  def matchGroupSelect(pattern: IndexedSeq[String], withinMs: Long)(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepSelState]): Iterator[CepSelMatch] = {
+    val stepper = new graft.ops.Cep.SelectStepper(pattern, withinMs)
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    val s0 = state.getOption.getOrElse(CepSelState(0, 0L, 0, Nil))
+    val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    s0.es.foreach(r => es += ((r.tms, r.oid)))
+    var st = s0.st; var t0 = s0.t0; var n = s0.n
+    val out = ListBuffer.empty[CepSelMatch]
+    sorted.foreach { e =>
+      val next = stepper.step(st, t0, es, e.tms, e.oid, e.ty, evs => {
+        n += 1
+        evs.zipWithIndex.foreach { case ((t, o), j) =>
+          out += CepSelMatch(k, n, j + 1, t, o)
+        }
+      })
+      st = next._1; t0 = next._2
+    }
+    state.update(CepSelState(st, t0, n,
+      es.map { case (t, o) => CepEvRef(t, o) }.toSeq))
+    out.iterator
+  }
+
+  /** Attach the MATCH-PAYLOAD automaton ([[graft.ops.Cep
+    * .patternMatchesSelect]] — Flink's `select`/`flatSelect` surface) to
+    * a keyed event stream: emits the matched events per stage, one row
+    * per (match, stage), with the partial's buffered stage events and the
+    * per-key match counter carried across micro-batch boundaries. State
+    * stays O(pattern) per key. Pre-filter to the pattern's types. */
+  def attachSelect(ds: Dataset[CepEvent], pattern: Seq[String],
+      withinMs: Long): Dataset[CepSelMatch] = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupSelect(pattern.toIndexedSeq, withinMs))
+  }
+
   /** Attach the automaton to a keyed event stream. Pre-filter to the
     * pattern's types before calling (the batch twin does; non-pattern
     * events never change state, they only cost shuffle). */

@@ -428,6 +428,45 @@ class CepStreamSpec extends SparkSpec {
     assert(runWhere(Seq(l1, l2), loop, 1000) == Seq((2L, 10L, 40L)))
   }
 
+  test("attachSelect: the stage-event buffer and match counter cross micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[CepEvent]
+    val q = CepStream.attachSelect(mem.toDS(), vcp, 1000).writeStream
+      .format("memory").queryName("cep_sel_out").outputMode("append").start()
+    try {
+      // match 1's view+click land in batch 1, its purchase in batch 2 —
+      // the emitted payload must still include ALL THREE stage events
+      mem.addData(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "click"))
+      q.processAllAvailable()
+      mem.addData(CepEvent(1, 30, 3, "purchase"),
+        CepEvent(1, 40, 4, "view"))
+      q.processAllAvailable()
+      mem.addData(CepEvent(1, 50, 5, "click"), CepEvent(1, 60, 6, "purchase"))
+      q.processAllAvailable()
+      val got = s.table("cep_sel_out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Int]("match_n"),
+          r.getAs[Int]("stage_n"), r.getAs[Long]("ev_tms"),
+          r.getAs[Long]("ev_oid")))
+        .sortBy(identity).toSeq
+      assert(got == Seq(
+        (1L, 1, 1, 10L, 1L), (1L, 1, 2, 20L, 2L), (1L, 1, 3, 30L, 3L),
+        (1L, 2, 1, 40L, 4L), (1L, 2, 2, 50L, 5L), (1L, 2, 3, 60L, 6L)))
+      // equals the batch select operator over the concatenation
+      val all = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "click"),
+        CepEvent(1, 30, 3, "purchase"), CepEvent(1, 40, 4, "view"),
+        CepEvent(1, 50, 5, "click"), CepEvent(1, 60, 6, "purchase"))
+      val want = graft.ops.Cep.patternMatchesSelect(all.toDF(), col("k"),
+          col("tms"), col("oid"), col("ty"), vcp, 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(identity).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("attachIter: the first.* capture crosses a micro-batch boundary") {
     val s = spark
     import s.implicits._
