@@ -37,7 +37,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per fold: one pushable type-IN scan of the batch, one key
   * shuffle, a row-local seeded fold, one bucketed upsert of batch-key
-  * state rows. Nothing ever reads or rewrites the full key population. */
+  * state rows. Nothing ever reads or rewrites the full key population.
+  *
+  * Fold-size note: the seeded SQL `aggregate` carries the batch's
+  * per-key matches in its accumulator, and Catalyst copies the
+  * accumulator per element — so one fold has an O(events × matches)
+  * term PER KEY WITHIN THE BATCH (the round-11 `cephot` finding). Here
+  * it is bounded by fold granularity, not corpus history: keep
+  * micro-batches micro (a hot key with millions of pattern events in
+  * ONE fold should go through the batch operator's sorted-iterator plan
+  * or [[CepStream]] instead). The SQL fold is kept deliberately — it is
+  * the same step function the batch operator declares, seeded from
+  * storage, which is what makes concatenated folds provably equal the
+  * batch automaton. */
 object IncrementalCep {
 
   /** Meta sentinel key (kind disambiguates — shares only a bucket). */
