@@ -164,6 +164,45 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"), col("stage_n"))
     },
 
+    // Cross-batch MATCH-PAYLOAD CEP over the persistent store:
+    // q_cep_select's pattern driven through three time-cut folds of
+    // IncrementalCep.foldBatchSelect — the per-stage event captures
+    // CROSS batch boundaries through the store's es column, so a match
+    // spanning folds still reports all three events. Oracle =
+    // q_cep_select's automaton CTE verbatim.
+    "q_cep_select_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepsel_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchSelect(p, s"$root/cep",
+          Seq("view", "click", "purchase"), withinMs = 604800000L,
+          batchId = i + 1L)
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", dense_rank().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("stage_n"),
+          col("ev_tms"), col("ev_oid"))
+        .orderBy(col("user_id"), col("match_n"), col("stage_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
     // CEP with STRICT CONTIGUITY (Flink-CEP next): every view whose
     // IMMEDIATELY following event — of ANY type, which is why the scan
     // cannot pre-filter — is a click within one day. Oracle = the same
@@ -467,6 +506,87 @@ object AggQueries {
         |FROM run WHERE m_s IS NOT NULL
         |ORDER BY user_id, match_n""".stripMargin
 
+  // the q_cep_select per-stage-capture automaton oracle, shared with
+  // q_cep_select_stream (foldBatchSelect is the same step seeded from
+  // storage, es capture included, so time-cut folds concatenate to the
+  // batch operator)
+  private val cepSelSql: String =
+    """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, oid, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS e1_t, CAST(NULL AS BIGINT) AS e1_o,
+        |         CAST(NULL AS BIGINT) AS e2_t, CAST(NULL AS BIGINT) AS e2_o,
+        |         CAST(NULL AS BIGINT) AS m1_t, CAST(NULL AS BIGINT) AS m1_o,
+        |         CAST(NULL AS BIGINT) AS m2_t, CAST(NULL AS BIGINT) AS m2_o,
+        |         CAST(NULL AS BIGINT) AS m3_t, CAST(NULL AS BIGINT) AS m3_o
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN (r.st = 0 AND e.ty = 'view') OR (r.st = 1 AND e.ty = 'click')
+        |           THEN r.st + 1
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN 0
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(NULL AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
+        |         ELSE r.e1_t END AS e1_t,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.oid ELSE CAST(NULL AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.oid
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
+        |         ELSE r.e1_o END AS e1_o,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CAST(NULL AS BIGINT)
+        |         WHEN r.st = 1 AND e.ty = 'click' THEN e.tms
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
+        |         ELSE r.e2_t END AS e2_t,
+        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CAST(NULL AS BIGINT)
+        |         WHEN r.st = 1 AND e.ty = 'click' THEN e.oid
+        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
+        |         ELSE r.e2_o END AS e2_o,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN r.e1_t ELSE CAST(NULL AS BIGINT) END AS m1_t,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN r.e1_o ELSE CAST(NULL AS BIGINT) END AS m1_o,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN r.e2_t ELSE CAST(NULL AS BIGINT) END AS m2_t,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN r.e2_o ELSE CAST(NULL AS BIGINT) END AS m2_o,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m3_t,
+        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
+        |           THEN e.oid ELSE CAST(NULL AS BIGINT) END AS m3_o
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1),
+        |numbered AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |           AS match_n,
+        |         m1_t, m1_o, m2_t, m2_o, m3_t, m3_o
+        |  FROM run WHERE m1_t IS NOT NULL)
+        |SELECT user_id, match_n, stage_n, ev_tms, ev_oid FROM (
+        |  SELECT user_id, match_n, CAST(1 AS INT) AS stage_n,
+        |         m1_t AS ev_tms, m1_o AS ev_oid FROM numbered
+        |  UNION ALL
+        |  SELECT user_id, match_n, CAST(2 AS INT), m2_t, m2_o FROM numbered
+        |  UNION ALL
+        |  SELECT user_id, match_n, CAST(3 AS INT), m3_t, m3_o FROM numbered)
+        |ORDER BY user_id, match_n, stage_n""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_topk_sku" ->
       s"""WITH $odCte,
@@ -600,82 +720,10 @@ object AggQueries {
     // matched view/click (tms, oid) while the run is live; the purchase
     // branch emits all three stages' events, unrolled to long format.
     // Branch order mirrors cepSql exactly (timeout, advance, emit, hold).
-    "q_cep_select" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, tms, oid, ty,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty
-        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
-        |run AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
-        |         CAST(0 AS BIGINT) AS t0,
-        |         CAST(NULL AS BIGINT) AS e1_t, CAST(NULL AS BIGINT) AS e1_o,
-        |         CAST(NULL AS BIGINT) AS e2_t, CAST(NULL AS BIGINT) AS e2_o,
-        |         CAST(NULL AS BIGINT) AS m1_t, CAST(NULL AS BIGINT) AS m1_o,
-        |         CAST(NULL AS BIGINT) AS m2_t, CAST(NULL AS BIGINT) AS m2_o,
-        |         CAST(NULL AS BIGINT) AS m3_t, CAST(NULL AS BIGINT) AS m3_o
-        |  FROM (SELECT DISTINCT user_id FROM ev)
-        |  UNION ALL
-        |  SELECT r.user_id, e.seq,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
-        |         WHEN (r.st = 0 AND e.ty = 'view') OR (r.st = 1 AND e.ty = 'click')
-        |           THEN r.st + 1
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN 0
-        |         ELSE r.st END AS st,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(0 AS BIGINT)
-        |         ELSE r.t0 END AS t0,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(NULL AS BIGINT) END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
-        |         ELSE r.e1_t END AS e1_t,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.oid ELSE CAST(NULL AS BIGINT) END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.oid
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
-        |         ELSE r.e1_o END AS e1_o,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CAST(NULL AS BIGINT)
-        |         WHEN r.st = 1 AND e.ty = 'click' THEN e.tms
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
-        |         ELSE r.e2_t END AS e2_t,
-        |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CAST(NULL AS BIGINT)
-        |         WHEN r.st = 1 AND e.ty = 'click' THEN e.oid
-        |         WHEN r.st = 2 AND e.ty = 'purchase' THEN CAST(NULL AS BIGINT)
-        |         ELSE r.e2_o END AS e2_o,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN r.e1_t ELSE CAST(NULL AS BIGINT) END AS m1_t,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN r.e1_o ELSE CAST(NULL AS BIGINT) END AS m1_o,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN r.e2_t ELSE CAST(NULL AS BIGINT) END AS m2_t,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN r.e2_o ELSE CAST(NULL AS BIGINT) END AS m2_o,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m3_t,
-        |    CASE WHEN r.st = 2 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
-        |           THEN e.oid ELSE CAST(NULL AS BIGINT) END AS m3_o
-        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1),
-        |numbered AS (
-        |  SELECT user_id,
-        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
-        |           AS match_n,
-        |         m1_t, m1_o, m2_t, m2_o, m3_t, m3_o
-        |  FROM run WHERE m1_t IS NOT NULL)
-        |SELECT user_id, match_n, stage_n, ev_tms, ev_oid FROM (
-        |  SELECT user_id, match_n, CAST(1 AS INT) AS stage_n,
-        |         m1_t AS ev_tms, m1_o AS ev_oid FROM numbered
-        |  UNION ALL
-        |  SELECT user_id, match_n, CAST(2 AS INT), m2_t, m2_o FROM numbered
-        |  UNION ALL
-        |  SELECT user_id, match_n, CAST(3 AS INT), m3_t, m3_o FROM numbered)
-        |ORDER BY user_id, match_n, stage_n""".stripMargin,
+    "q_cep_select" -> cepSelSql,
+
+    "q_cep_select_stream" -> cepSelSql,
+
 
     // The strict-contiguity automaton over the UNFILTERED event sequence
     // (any intervening event breaks adjacency), branch order mirrored:

@@ -138,6 +138,127 @@ object IncrementalCep {
       expireWatermarkMs = expireWatermarkMs)
   }
 
+  /** [[foldBatch]]'s MATCH-PAYLOAD form ([[graft.ops.Cep
+    * .patternMatchesSelect]]'s contract, store-backed): the
+    * one-event-per-stage automaton with the partial's matched (tms, oid)
+    * per stage PERSISTED across folds (a JSON `es` column, O(pattern)
+    * per key — layout "cep-sel-v1"), so a match spanning folds still
+    * reports all its stage events. Returns one row per matched stage
+    * event of THIS batch's completed matches:
+    * (k, start_tms, end_tms, stage_n, ev_tms, ev_oid) — start/end are
+    * the match envelope (the caller's cross-fold match_n sort key).
+    *
+    * For expiry compatibility the state row carries `c = st` (a partial
+    * is open iff st > 0), so [[expire]]/[[maintainExpire]] work
+    * unchanged on this layout. */
+  def foldBatchSelect(events: DataFrame, storePath: String,
+      pattern: Seq[String], withinMs: Long, batchId: Long,
+      numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val batch = events.filter(col("ty").isin(pattern.distinct: _*))
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"), col("oid").cast("long").as("oid"),
+        col("ty").cast("string").as("ty"))
+      .localCheckpoint(true)
+    val keys = batch.select(col("k")).distinct()
+    val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0)))
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long, Int, Long, Long)]
+        .toDF("k", "start_tms", "end_tms", "stage_n", "ev_tms", "ev_oid")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("st").cast("int").as("__st"),
+          col("t0").cast("long").as("__t0"),
+          col("es").cast("string").as("__es")))
+      .getOrElse(spark.range(0).select(col("id").as("k"),
+        lit(0).as("__st"), lit(0L).as("__t0"),
+        lit(null).cast("string").as("__es")))
+    // the SELECT automaton's step — patternMatches' (st, t0) branches
+    // with the per-stage (t, o) capture threaded through `es`; one
+    // SQL object would be ideal but the capture makes the state shape
+    // its own, so the branch structure is mirrored and pinned by the
+    // shared-oracle query (q_cep_select_stream reuses q_cep_select's
+    // CTE verbatim) plus the spanning-fold spec
+    val last = pattern.length - 1
+    val stageMatch = pattern.zipWithIndex
+      .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${graft.ops.Cep.esc(t)}" }
+      .mkString("CASE ", " ", " ELSE false END")
+    val evref = "named_struct('t', e.tms, 'o', e.oid)"
+    val emptyEs = "CAST(array() AS array<struct<t: bigint, o: bigint>>)"
+    val afterTimeout =
+      if (last == 0)
+        s"IF(e.ty = ${graft.ops.Cep.esc(pattern.head)}, " +
+          s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'es', $emptyEs, " +
+          s"'ms', array_append(acc.ms, array($evref))), " +
+          s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'es', $emptyEs, " +
+          s"'ms', acc.ms))"
+      else
+        s"IF(e.ty = ${graft.ops.Cep.esc(pattern.head)}, " +
+          s"named_struct('st', 1, 't0', e.tms, 'es', array($evref), " +
+          s"'ms', acc.ms), " +
+          s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'es', $emptyEs, " +
+          s"'ms', acc.ms))"
+    val advance = s"CASE WHEN acc.st = $last THEN " +
+      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'es', $emptyEs, " +
+      s"'ms', array_append(acc.ms, array_append(acc.es, $evref))) " +
+      s"ELSE named_struct('st', acc.st + 1, " +
+      s"'t0', IF(acc.st = 0, e.tms, acc.t0), " +
+      s"'es', array_append(acc.es, $evref), 'ms', acc.ms) END"
+    val fold = s"""aggregate(evs,
+      named_struct('st', coalesce(__st, 0),
+        't0', coalesce(__t0, CAST(0 AS BIGINT)),
+        'es', coalesce(from_json(__es, 'array<struct<t: bigint, o: bigint>>'),
+          $emptyEs),
+        'ms', CAST(array() AS array<array<struct<t: bigint, o: bigint>>>)),
+      (acc, e) -> CASE
+        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN $afterTimeout
+        WHEN $stageMatch THEN $advance
+        ELSE acc END,
+      acc -> acc)"""
+    val folded = batch.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
+        .as("evs"))
+      .join(state, Seq("k"), "left_outer")
+      .select(col("k"), expr(fold).as("r"))
+      .localCheckpoint(true) // pin BEFORE the merge GCs the read generation
+    val stateRows = folded.select(lit("v").as("kind"), col("k"),
+      col("r.st").as("st"), col("r.st").as("c"), col("r.t0").as("t0"),
+      to_json(col("r.es")).as("es"),
+      lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
+      lit(0L).as("t0"), lit(null).cast("string").as("es"),
+      lit(batchId).as("ver"), lit("put").as("op_type"))
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some("cep-sel-v1"))
+    val out = folded.select(col("k"), explode(col("r.ms")).as("m"))
+      .select(col("k"),
+        element_at(col("m"), 1).getField("t").as("start_tms"),
+        element_at(col("m"), -1).getField("t").as("end_tms"),
+        posexplode(col("m")).as(Seq("j", "ev")))
+      .select(col("k"), col("start_tms"), col("end_tms"),
+        (col("j") + 1).as("stage_n"), col("ev.t").as("ev_tms"),
+        col("ev.o").as("ev_oid"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
+    out
+  }
+
   /** State EXPIRY — the Flink state-TTL analog for the CEP store, closing
     * its one unbounded-growth axis (one row per key EVER seen). Two row
     * classes are provably dead under the per-key event-time-order

@@ -175,6 +175,42 @@ class IncrementalCepSpec extends SparkSpec {
     assert(got(mLit) == Seq((3L, 10L, 20L)))
   }
 
+  test("match payload (foldBatchSelect): stage captures cross fold boundaries") {
+    val store = Files.createTempDirectory("inc_cep_sel").toString + "/cep"
+    val pat = Seq("view", "click", "purchase")
+    def sel(df: org.apache.spark.sql.DataFrame, id: Long) =
+      IncrementalCep.foldBatchSelect(df, store, pat, 1000, batchId = id)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(identity).toSeq
+    // view+click land in fold 1, the purchase in fold 2 — the emitted
+    // payload must include all three stage events with their oids
+    val m1 = sel(evDf((1, 10, 1, "view"), (1, 15, 2, "error"),
+      (1, 20, 3, "click")), 1)
+    val m2 = sel(evDf((1, 30, 4, "purchase"), (1, 40, 5, "view")), 2)
+    val m3 = sel(evDf((1, 50, 6, "click"), (1, 60, 7, "purchase")), 3)
+    assert(m1.isEmpty)
+    assert(m2 == Seq((1L, 10L, 30L, 1, 10L, 1L), (1L, 10L, 30L, 2, 20L, 3L),
+      (1L, 10L, 30L, 3, 30L, 4L)))
+    assert(m3 == Seq((1L, 40L, 60L, 1, 40L, 5L), (1L, 40L, 60L, 2, 50L, 6L),
+      (1L, 40L, 60L, 3, 60L, 7L)))
+    // equals the batch select operator over the concatenation
+    val all = evDf((1, 10, 1, "view"), (1, 15, 2, "error"), (1, 20, 3, "click"),
+      (1, 30, 4, "purchase"), (1, 40, 5, "view"), (1, 50, 6, "click"),
+      (1, 60, 7, "purchase"))
+    val want = graft.ops.Cep.patternMatchesSelect(all, col("k"), col("tms"),
+        col("oid"), col("ty"), pat, 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sortBy(identity).toSeq
+    val gotFlat = (m2 ++ m3).map(t => (t._1, t._4, t._5, t._6))
+      .sortBy(identity)
+    assert(gotFlat == want)
+    // replay behind the mark is a no-op
+    assert(sel(evDf((1, 70, 8, "view")), 2).isEmpty)
+  }
+
   test("self-scheduled expiry: maintainExpire fires on the cadence; folds stay equivalent") {
     val store = Files.createTempDirectory("inc_cep_me").toString + "/cep"
     // folds 1-2: keys 1..3 complete (idle, dead under any later watermark),
