@@ -977,6 +977,93 @@ object Cep {
       withinMs, nextStages, notNext)
   }
 
+  /** The strict/notNext automaton's step as a SQL `(acc, e) -> CASE...`
+    * lambda over state (st INT, t0 BIGINT, fr BOOLEAN, ms ARRAY) — shared
+    * between the batch fold (zero-seeded) and
+    * [[graft.streaming.IncrementalCep.foldBatchNext]] (seeded from the
+    * persistent per-key state), so the two can never drift branch-wise.
+    * 'fr' = stage just matched, no event consumed since (the notNext
+    * slot is open). */
+  private[graft] def nextFoldStep(pattern: Seq[String], withinMs: Long,
+      nextStages: Set[Int], notNext: Map[Int, Seq[String]]): String = {
+    val last = pattern.length - 1
+    val stageMatch = pattern.zipWithIndex
+      .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
+      .mkString("CASE ", " ", " ELSE false END")
+    val start = "IF(acc.st = 0, e.tms, acc.t0)"
+    val emit = s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
+      s"'fr', false, " +
+      s"'ms', array_append(acc.ms, named_struct('s', $start, 'e', e.tms)))"
+    val advance = s"CASE WHEN acc.st = $last THEN $emit " +
+      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'fr', true, " +
+      s"'ms', acc.ms) END"
+    val reopen = s"IF(e.ty = ${esc(pattern.head)}, " +
+      s"named_struct('st', 1, 't0', e.tms, 'fr', true, 'ms', acc.ms), " +
+      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'fr', false, " +
+      s"'ms', acc.ms))"
+    val strictBreak =
+      if (nextStages.isEmpty) "false"
+      else s"acc.st IN (${nextStages.toSeq.sorted.mkString(", ")})"
+    val notNextKills = notNext.toSeq.sortBy(_._1).map { case (i, ts) =>
+      s"WHEN acc.fr AND acc.st = $i AND " +
+        s"e.ty IN (${ts.map(esc).mkString(", ")}) THEN $reopen"
+    }.mkString(" ")
+    s"""(acc, e) -> CASE
+        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN $reopen
+        $notNextKills
+        WHEN $stageMatch THEN $advance
+        WHEN $strictBreak THEN $reopen
+        ELSE named_struct('st', acc.st, 't0', acc.t0, 'fr', false,
+          'ms', acc.ms) END"""
+  }
+
+  /** The NEGATION automaton's step as a SQL lambda over state (st INT,
+    * t0 BIGINT, te BIGINT, ms ARRAY) — st = pattern.length means
+    * "watching the trailing ban". Shared between the batch fold and
+    * [[graft.streaming.IncrementalCep.foldBatchNeg]]; the batch fold's
+    * input-end flush (a live watch emits) becomes the store-backed
+    * drive's [[graft.streaming.IncrementalCep.flushBatchNeg]]. */
+  private[graft] def negFoldStep(pattern: Seq[String], withinMs: Long,
+      notBetween: Map[Int, Seq[String]], notAfter: Seq[String]): String = {
+    val last = pattern.length - 1
+    val watch = pattern.length
+    val hasTrailing = notAfter.nonEmpty
+    def inSet(ts: Seq[String]) = s"e.ty IN (${ts.map(esc).mkString(", ")})"
+    def reopen(ms: String) = s"IF(e.ty = ${esc(pattern.head)}, " +
+      s"named_struct('st', ${if (last == 0 && hasTrailing) watch else math.min(1, last + 1)}, " +
+      s"'t0', e.tms, 'te', e.tms, 'ms', $ms), " +
+      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
+      s"'te', CAST(0 AS BIGINT), 'ms', $ms))"
+    val emitMs = "array_append(acc.ms, named_struct('s', acc.t0, 'e', acc.te))"
+    val stageMatch = pattern.zipWithIndex
+      .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
+      .mkString("CASE ", " ", " ELSE false END")
+    val start = "IF(acc.st = 0, e.tms, acc.t0)"
+    val complete =
+      if (hasTrailing)
+        s"named_struct('st', $watch, 't0', $start, 'te', e.tms, 'ms', acc.ms)"
+      else s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
+        s"'te', CAST(0 AS BIGINT), 'ms', " +
+        s"array_append(acc.ms, named_struct('s', $start, 'e', e.tms)))"
+    val advance = s"CASE WHEN acc.st = $last THEN $complete " +
+      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'te', " +
+      s"CAST(0 AS BIGINT), 'ms', acc.ms) END"
+    val betweenKills = notBetween.toSeq.sortBy(_._1).map { case (i, ts) =>
+      s"WHEN acc.st = $i AND ${inSet(ts)} THEN ${reopen("acc.ms")}"
+    }.mkString(" ")
+    val watchArm = if (!hasTrailing) "" else
+      s"""WHEN acc.st = $watch THEN CASE
+            WHEN e.tms - acc.t0 >= $withinMs THEN ${reopen(emitMs)}
+            WHEN ${inSet(notAfter)} THEN ${reopen("acc.ms")}
+            ELSE acc END"""
+    s"""(acc, e) -> CASE
+        $watchArm
+        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN ${reopen("acc.ms")}
+        $betweenKills
+        WHEN $stageMatch THEN $advance
+        ELSE acc END"""
+  }
+
   /** The general strict/notNext automaton fold — [[patternMatchesNext]]
     * routes here for every shape the window-lead plan can't express. */
   private[graft] def patternMatchesNextFold(df: DataFrame, keyCol: Column,
@@ -1001,39 +1088,10 @@ object Cep {
     val projN = projEvents(df, keyCol, tsMsCol, ordCol, typeCol)
     if (isLongKey(projN))
       return nextSorted(projN, pattern, withinMs, nextStages, notNext)
-    val last = pattern.length - 1
-    val stageMatch = pattern.zipWithIndex
-      .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
-      .mkString("CASE ", " ", " ELSE false END")
-    val start = "IF(acc.st = 0, e.tms, acc.t0)"
-    // 'fr' = stage just matched, no event consumed since (the notNext slot)
-    val emit = s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
-      s"'fr', false, " +
-      s"'ms', array_append(acc.ms, named_struct('s', $start, 'e', e.tms)))"
-    val advance = s"CASE WHEN acc.st = $last THEN $emit " +
-      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'fr', true, " +
-      s"'ms', acc.ms) END"
-    val reopen = s"IF(e.ty = ${esc(pattern.head)}, " +
-      s"named_struct('st', 1, 't0', e.tms, 'fr', true, 'ms', acc.ms), " +
-      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'fr', false, " +
-      s"'ms', acc.ms))"
-    val strictBreak =
-      if (nextStages.isEmpty) "false"
-      else s"acc.st IN (${nextStages.toSeq.sorted.mkString(", ")})"
-    val notNextKills = notNext.toSeq.sortBy(_._1).map { case (i, ts) =>
-      s"WHEN acc.fr AND acc.st = $i AND " +
-        s"e.ty IN (${ts.map(esc).mkString(", ")}) THEN $reopen"
-    }.mkString(" ")
     val fold = s"""aggregate(evs,
       named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'fr', false,
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
-      (acc, e) -> CASE
-        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN $reopen
-        $notNextKills
-        WHEN $stageMatch THEN $advance
-        WHEN $strictBreak THEN $reopen
-        ELSE named_struct('st', acc.st, 't0', acc.t0, 'fr', false,
-          'ms', acc.ms) END,
+      ${nextFoldStep(pattern, withinMs, nextStages, notNext)},
       acc -> acc.ms)"""
     // NO type pre-filter: strict adjacency makes every event of the key
     // state-relevant (P = 1 degenerates to no strict stages — rejected)
@@ -1094,50 +1152,15 @@ object Cep {
       keyCol, tsMsCol, ordCol, typeCol)
     if (isLongKey(projB))
       return negSorted(projB, pattern, withinMs, notBetween, notAfter)
-    val last = pattern.length - 1
     val watch = pattern.length // st value while watching the trailing ban
-    val hasTrailing = notAfter.nonEmpty
-    def inSet(ts: Seq[String]) = s"e.ty IN (${ts.map(esc).mkString(", ")})"
-    // reset-or-reopen: the event that kills/expires a run may itself be a
-    // stage-0 event (same convention as patternMatches' afterTimeout)
-    def reopen(ms: String) = s"IF(e.ty = ${esc(pattern.head)}, " +
-      s"named_struct('st', ${if (last == 0 && hasTrailing) watch else math.min(1, last + 1)}, " +
-      s"'t0', e.tms, 'te', e.tms, 'ms', $ms), " +
-      s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
-      s"'te', CAST(0 AS BIGINT), 'ms', $ms))"
     val emitMs = "array_append(acc.ms, named_struct('s', acc.t0, 'e', acc.te))"
-    val stageMatch = pattern.zipWithIndex
-      .map { case (t, i) => s"WHEN acc.st = $i THEN e.ty = ${esc(t)}" }
-      .mkString("CASE ", " ", " ELSE false END")
-    val start = "IF(acc.st = 0, e.tms, acc.t0)"
-    val complete =
-      if (hasTrailing)
-        s"named_struct('st', $watch, 't0', $start, 'te', e.tms, 'ms', acc.ms)"
-      else s"named_struct('st', 0, 't0', CAST(0 AS BIGINT), " +
-        s"'te', CAST(0 AS BIGINT), 'ms', " +
-        s"array_append(acc.ms, named_struct('s', $start, 'e', e.tms)))"
-    val advance = s"CASE WHEN acc.st = $last THEN $complete " +
-      s"ELSE named_struct('st', acc.st + 1, 't0', $start, 'te', " +
-      s"CAST(0 AS BIGINT), 'ms', acc.ms) END"
-    val betweenKills = notBetween.toSeq.sortBy(_._1).map { case (i, ts) =>
-      s"WHEN acc.st = $i AND ${inSet(ts)} THEN ${reopen("acc.ms")}"
-    }.mkString(" ")
-    val watchArm = if (!hasTrailing) "" else
-      s"""WHEN acc.st = $watch THEN CASE
-            WHEN e.tms - acc.t0 >= $withinMs THEN ${reopen(emitMs)}
-            WHEN ${inSet(notAfter)} THEN ${reopen("acc.ms")}
-            ELSE acc END"""
-    val finish = if (!hasTrailing) "acc -> acc.ms"
+    // input-end flush: a live watch emits (the banned event never came)
+    val finish = if (notAfter.isEmpty) "acc -> acc.ms"
       else s"acc -> IF(acc.st = $watch, $emitMs, acc.ms)"
     val fold = s"""aggregate(evs,
       named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'te', CAST(0 AS BIGINT),
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
-      (acc, e) -> CASE
-        $watchArm
-        WHEN acc.st > 0 AND e.tms - acc.t0 >= $withinMs THEN ${reopen("acc.ms")}
-        $betweenKills
-        WHEN $stageMatch THEN $advance
-        ELSE acc END,
+      ${negFoldStep(pattern, withinMs, notBetween, notAfter)},
       $finish)"""
     val allTypes =
       (pattern ++ notBetween.values.flatten ++ notAfter).distinct

@@ -400,6 +400,87 @@ object AggQueries {
       res
     },
 
+    // Cross-batch STRICT-CONTIGUITY CEP over the persistent store:
+    // q_cep_next's pattern (view NEXT click within a day) driven through
+    // three time-cut folds of IncrementalCep.foldBatchNext — the
+    // UNFILTERED event stream reaches every fold (strict adjacency) and
+    // the (st, t0, fr) state carries adjacency across the cuts. Oracle =
+    // q_cep_next's automaton CTE verbatim.
+    "q_cep_next_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepnx_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchNext(p, s"$root/cep",
+          Seq("view", "click"), withinMs = 86400000L, batchId = i + 1L,
+          nextStages = Set(1))
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
+    // Cross-batch NEGATION CEP over the persistent store: q_cep_neg's
+    // pattern (view→purchase, no error between, no click within 3 days
+    // after) driven through three time-cut folds of foldBatchNeg, then
+    // ONE flushBatchNeg with a watermark past everything — the stream's
+    // stand-in for the batch operator's input-end flush, so the drive
+    // equals the batch automaton INCLUDING its final-state emission.
+    // Oracle = q_cep_neg's CTE verbatim.
+    "q_cep_neg_stream" -> { (s, dir) =>
+      val pat = Seq("view", "purchase")
+      val w = 259200000L
+      val ev = Envelopes.events(s, dir)
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepng_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchNeg(p, s"$root/cep", pat,
+          withinMs = w, batchId = i + 1L,
+          notBetween = Map(1 -> Seq("error")), notAfter = Seq("click"))
+      }
+      val flush = graft.streaming.IncrementalCep.flushBatchNeg(s,
+        s"$root/cep", pat, watermarkMs = hi + w, withinMs = w, batchId = 4L)
+      val res = (folds :+ flush).reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      (folds :+ flush).foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
     // CEP with NEGATION (Flink-CEP notFollowedBy, both positions): every
     // view→purchase run per user with NO error between them and NO click
     // in the three days after the view — the pending match emits when its
@@ -587,6 +668,109 @@ object AggQueries {
         |  SELECT user_id, match_n, CAST(3 AS INT), m3_t, m3_o FROM numbered)
         |ORDER BY user_id, match_n, stage_n""".stripMargin
 
+  // the q_cep_next strict-contiguity oracle, shared with
+  // q_cep_next_stream (foldBatchNext seeds the same step from storage)
+  private val cepNextSql: String =
+    """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events)),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 86400000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st = 1 AND e.ty = 'click' THEN 0
+        |         WHEN r.st = 1
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 86400000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         WHEN r.st = 1 AND e.ty = 'click' THEN CAST(0 AS BIGINT)
+        |         WHEN r.st = 1
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 86400000 AND e.ty = 'click'
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 86400000 AND e.ty = 'click'
+        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin
+
+  // the q_cep_neg negation oracle (incl. final-state flush), shared
+  // with q_cep_neg_stream (3 folds + flushBatchNeg past everything)
+  private val cepNegSql: String =
+    """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events
+        |        WHERE event_type IN ('view', 'purchase', 'error', 'click'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS te,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 2 AND e.ty = 'click' THEN 0
+        |         WHEN r.st = 2 THEN 2
+        |         WHEN r.st = 1 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
+        |         WHEN r.st = 1 AND e.ty = 'error' THEN 0
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
+        |         WHEN r.st = 1 AND e.ty = 'purchase' THEN 2
+        |         ELSE r.st END AS st,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 2 AND e.ty = 'click' THEN CAST(0 AS BIGINT)
+        |         WHEN r.st = 2 THEN r.t0
+        |         WHEN r.st = 1 AND e.tms - r.t0 >= 259200000
+        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         WHEN r.st = 1 AND e.ty = 'error' THEN CAST(0 AS BIGINT)
+        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 259200000
+        |              AND e.ty = 'purchase' THEN e.tms
+        |         WHEN r.st = 2 AND e.tms - r.t0 < 259200000
+        |              AND e.ty <> 'click' THEN r.te
+        |         ELSE CAST(0 AS BIGINT) END AS te,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
+        |           THEN r.te ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1),
+        |fin AS (
+        |  SELECT user_id, seq, st, t0, te,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        |  FROM run),
+        |emits AS (
+        |  SELECT user_id, seq, m_s, m_e FROM run WHERE m_s IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, seq + 1, t0, te FROM fin WHERE rn = 1 AND st = 2)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM emits
+        |ORDER BY user_id, match_n""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_topk_sku" ->
       s"""WITH $odCte,
@@ -728,45 +912,9 @@ object AggQueries {
     // The strict-contiguity automaton over the UNFILTERED event sequence
     // (any intervening event breaks adjacency), branch order mirrored:
     // timeout, stage advances, strict break (the breaking view reopens).
-    "q_cep_next" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, tms, ty,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty
-        |        FROM events)),
-        |run AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
-        |         CAST(0 AS BIGINT) AS t0,
-        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
-        |  FROM (SELECT DISTINCT user_id FROM ev)
-        |  UNION ALL
-        |  SELECT r.user_id, e.seq,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 86400000
-        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
-        |         WHEN r.st = 1 AND e.ty = 'click' THEN 0
-        |         WHEN r.st = 1
-        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
-        |         ELSE r.st END AS st,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 >= 86400000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
-        |         WHEN r.st = 1 AND e.ty = 'click' THEN CAST(0 AS BIGINT)
-        |         WHEN r.st = 1
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
-        |         ELSE r.t0 END AS t0,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 86400000 AND e.ty = 'click'
-        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 86400000 AND e.ty = 'click'
-        |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
-        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
-        |SELECT user_id,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
-        |         AS match_n,
-        |       m_s AS start_tms, m_e AS end_tms
-        |FROM run WHERE m_s IS NOT NULL
-        |ORDER BY user_id, match_n""".stripMargin,
+    "q_cep_next" -> cepNextSql,
+
+    "q_cep_next_stream" -> cepNextSql,
 
     // The notNext automaton over the UNFILTERED event sequence: the
     // fresh-slot flag (fr) marks "view just matched, next event decides";
@@ -993,62 +1141,7 @@ object AggQueries {
     // mirrored branch for branch: watch-expiry first (emits), then bans,
     // then stage advances; the final per-user state flushes a still-open
     // watch (input end = the banned event never came).
-    "q_cep_neg" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, tms, ty,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty
-        |        FROM events
-        |        WHERE event_type IN ('view', 'purchase', 'error', 'click'))),
-        |run AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
-        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS te,
-        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
-        |  FROM (SELECT DISTINCT user_id FROM ev)
-        |  UNION ALL
-        |  SELECT r.user_id, e.seq,
-        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
-        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
-        |         WHEN r.st = 2 AND e.ty = 'click' THEN 0
-        |         WHEN r.st = 2 THEN 2
-        |         WHEN r.st = 1 AND e.tms - r.t0 >= 259200000
-        |           THEN CASE WHEN e.ty = 'view' THEN 1 ELSE 0 END
-        |         WHEN r.st = 1 AND e.ty = 'error' THEN 0
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN 1
-        |         WHEN r.st = 1 AND e.ty = 'purchase' THEN 2
-        |         ELSE r.st END AS st,
-        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
-        |         WHEN r.st = 2 AND e.ty = 'click' THEN CAST(0 AS BIGINT)
-        |         WHEN r.st = 2 THEN r.t0
-        |         WHEN r.st = 1 AND e.tms - r.t0 >= 259200000
-        |           THEN CASE WHEN e.ty = 'view' THEN e.tms ELSE CAST(0 AS BIGINT) END
-        |         WHEN r.st = 1 AND e.ty = 'error' THEN CAST(0 AS BIGINT)
-        |         WHEN r.st = 0 AND e.ty = 'view' THEN e.tms
-        |         ELSE r.t0 END AS t0,
-        |    CASE WHEN r.st = 1 AND e.tms - r.t0 < 259200000
-        |              AND e.ty = 'purchase' THEN e.tms
-        |         WHEN r.st = 2 AND e.tms - r.t0 < 259200000
-        |              AND e.ty <> 'click' THEN r.te
-        |         ELSE CAST(0 AS BIGINT) END AS te,
-        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
-        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
-        |    CASE WHEN r.st = 2 AND e.tms - r.t0 >= 259200000
-        |           THEN r.te ELSE CAST(NULL AS BIGINT) END AS m_e
-        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1),
-        |fin AS (
-        |  SELECT user_id, seq, st, t0, te,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
-        |  FROM run),
-        |emits AS (
-        |  SELECT user_id, seq, m_s, m_e FROM run WHERE m_s IS NOT NULL
-        |  UNION ALL
-        |  SELECT user_id, seq + 1, t0, te FROM fin WHERE rn = 1 AND st = 2)
-        |SELECT user_id,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
-        |         AS match_n,
-        |       m_s AS start_tms, m_e AS end_tms
-        |FROM emits
-        |ORDER BY user_id, match_n""".stripMargin)
+    "q_cep_neg" -> cepNegSql,
+
+    "q_cep_neg_stream" -> cepNegSql)
 }

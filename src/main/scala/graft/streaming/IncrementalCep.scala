@@ -138,6 +138,222 @@ object IncrementalCep {
       expireWatermarkMs = expireWatermarkMs)
   }
 
+  /** [[foldBatch]]'s STRICT-CONTIGUITY form ([[graft.ops.Cep
+    * .patternMatchesNext]]'s contract, store-backed): stages in
+    * `nextStages` must be matched by the key's IMMEDIATELY following
+    * event, `notNext` bans types from the very-next slot — and the
+    * automaton's (st, t0, fr) state persists across folds, so strict
+    * adjacency holds ACROSS batch boundaries too (the end of fold N and
+    * the start of fold N+1 are adjacent in the concatenation). Feed it
+    * the key's UNFILTERED event stream — any event is state-relevant
+    * (the [[graft.ops.Cep.patternMatchesNextFold]] contract). The fold's
+    * step IS the batch operator's ([[graft.ops.Cep.nextFoldStep]] —
+    * shared SQL), seeded from storage. Layout "cep-next-v1"; the state
+    * row carries c = st so [[expire]]/[[maintainExpire]] work unchanged
+    * (idle (0,0,false) ≡ absent; a timed-out partial reopens exactly as
+    * an absent key does). */
+  def foldBatchNext(events: DataFrame, storePath: String,
+      pattern: Seq[String], withinMs: Long, batchId: Long,
+      nextStages: Set[Int], notNext: Map[Int, Seq[String]] = Map.empty,
+      numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(nextStages.nonEmpty || notNext.nonEmpty,
+      "no strict stages and no notNext bans — use foldBatch")
+    require(nextStages.forall(i => i >= 1 && i < pattern.length),
+      s"nextStages must be in 1..${pattern.length - 1}")
+    require(notNext.keys.forall(i => i >= 1 && i < pattern.length),
+      s"notNext stages must be in 1..${pattern.length - 1}")
+    require(notNext.keySet.intersect(nextStages).isEmpty,
+      "a stage cannot be both strict and notNext-banned")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // NO type pre-filter: strict adjacency makes every event state-relevant
+    val batch = events
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"), col("oid").cast("long").as("oid"),
+        col("ty").cast("string").as("ty"))
+      .localCheckpoint(true)
+    val keys = batch.select(col("k")).distinct()
+    val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0)))
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("st").cast("int").as("__st"),
+          col("t0").cast("long").as("__t0"),
+          col("fr").cast("boolean").as("__fr")))
+      .getOrElse(spark.range(0).select(col("id").as("k"),
+        lit(0).as("__st"), lit(0L).as("__t0"), lit(false).as("__fr")))
+    val fold = s"""aggregate(evs,
+      named_struct('st', coalesce(__st, 0),
+        't0', coalesce(__t0, CAST(0 AS BIGINT)),
+        'fr', coalesce(__fr, false),
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      ${graft.ops.Cep.nextFoldStep(pattern, withinMs, nextStages, notNext)},
+      acc -> acc)"""
+    val folded = batch.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
+        .as("evs"))
+      .join(state, Seq("k"), "left_outer")
+      .select(col("k"), expr(fold).as("r"))
+      .localCheckpoint(true)
+    val stateRows = folded.select(lit("v").as("kind"), col("k"),
+      col("r.st").as("st"), col("r.st").as("c"), col("r.t0").as("t0"),
+      col("r.fr").as("fr"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
+      lit(0L).as("t0"), lit(false).as("fr"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some("cep-next-v1"))
+    val out = folded.select(col("k"), explode(col("r.ms")).as("m"))
+      .select(col("k"), col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
+    out
+  }
+
+  /** [[foldBatch]]'s NEGATION form ([[graft.ops.Cep.patternMatchesNeg]]'s
+    * contract, store-backed): banned types between stages kill partials;
+    * a trailing ban opens a WATCH that persists across folds. The batch
+    * operator's input-end flush ("the banned event never came") has no
+    * input end here — run [[flushBatchNeg]] with the upstream watermark
+    * to emit watches whose window provably closed banned-free (the
+    * [[graft.streaming.CepStream.attachNeg]] event-time-timeout analog,
+    * as a cadence pass).
+    *
+    * Layout "cep-neg-v1": the state row carries c = -1 FOR WATCH ROWS
+    * (st = pattern.length) and c = st otherwise, so [[expire]] /
+    * [[maintainExpire]] can never prune a pending-but-unemitted match
+    * (c = -1 matches neither dead class); idle and timed-out partials
+    * prune as usual, and flushed watches become idle, pruning on the
+    * next pass. Pre-filter the batch to pattern ∪ banned types (the
+    * batch operator's widened scan). */
+  def foldBatchNeg(events: DataFrame, storePath: String,
+      pattern: Seq[String], withinMs: Long, batchId: Long,
+      notBetween: Map[Int, Seq[String]] = Map.empty,
+      notAfter: Seq[String] = Seq.empty, numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(notBetween.keys.forall(i => i >= 1 && i < pattern.length),
+      s"notBetween stages must be in 1..${pattern.length - 1}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val watch = pattern.length
+    val batch = events
+      .filter(col("ty").isin(
+        (pattern ++ notBetween.values.flatten ++ notAfter).distinct: _*))
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"), col("oid").cast("long").as("oid"),
+        col("ty").cast("string").as("ty"))
+      .localCheckpoint(true)
+    val keys = batch.select(col("k")).distinct()
+    val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0)))
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("st").cast("int").as("__st"),
+          col("t0").cast("long").as("__t0"),
+          col("te").cast("long").as("__te")))
+      .getOrElse(spark.range(0).select(col("id").as("k"),
+        lit(0).as("__st"), lit(0L).as("__t0"), lit(0L).as("__te")))
+    val fold = s"""aggregate(evs,
+      named_struct('st', coalesce(__st, 0),
+        't0', coalesce(__t0, CAST(0 AS BIGINT)),
+        'te', coalesce(__te, CAST(0 AS BIGINT)),
+        'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
+      ${graft.ops.Cep.negFoldStep(pattern, withinMs, notBetween, notAfter)},
+      acc -> acc)"""
+    val folded = batch.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("tms"), col("oid"), col("ty"))))
+        .as("evs"))
+      .join(state, Seq("k"), "left_outer")
+      .select(col("k"), expr(fold).as("r"))
+      .localCheckpoint(true)
+    val stateRows = folded.select(lit("v").as("kind"), col("k"),
+      col("r.st").as("st"),
+      when(col("r.st") === watch, lit(-1)).otherwise(col("r.st")).as("c"),
+      col("r.t0").as("t0"), col("r.te").as("te"),
+      lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
+      lit(0L).as("t0"), lit(0L).as("te"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some("cep-neg-v1"))
+    val out = folded.select(col("k"), explode(col("r.ms")).as("m"))
+      .select(col("k"), col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
+    out
+  }
+
+  /** Emit [[foldBatchNeg]] watches whose window CLOSED banned-free under
+    * `watermarkMs` (no future event of any key can carry tms <
+    * watermarkMs, so a watch with watermark − t0 >= within can never be
+    * killed — the banned event provably never came) and reset their
+    * state to idle. This is the stream's stand-in for the batch
+    * operator's input-end flush; run it on a cadence, or once with a
+    * watermark past everything to close out a bounded drive. O(keys)
+    * full-store read, like [[expire]]. Emission is at-least-once across
+    * a crash between the read and the merge (the counting-sketch
+    * re-emission contract); `batchId` must exceed every fold's. Returns
+    * (k, start_tms, end_tms). */
+  def flushBatchNeg(spark: SparkSession, storePath: String,
+      pattern: Seq[String], watermarkMs: Long, withinMs: Long,
+      batchId: Long, numBuckets: Int = 4): DataFrame = {
+    import spark.implicits._
+    val watch = pattern.length
+    val live = KeyedStore.readActive(spark, storePath) match {
+      case None =>
+        return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+      case Some(s) => s
+    }
+    val due = live.filter(col("kind") === "v" && col("st") === watch &&
+        lit(watermarkMs) - col("t0") >= withinMs)
+      .select(col("k"), col("t0"), col("te"))
+      .localCheckpoint(true)
+    val out = due.select(col("k"), col("t0").as("start_tms"),
+      col("te").as("end_tms")).localCheckpoint(true)
+    if (!due.isEmpty) {
+      KeyedStore.merge(
+        due.select(lit("v").as("kind"), col("k"), lit(0).as("st"),
+          lit(0).as("c"), lit(0L).as("t0"), lit(0L).as("te"),
+          lit(batchId).as("ver"), lit("put").as("op_type")),
+        storePath, keys = Seq("kind", "k"), seqCols = Seq("ver"),
+        numBuckets = numBuckets, bucketCols = Seq("k"),
+        layoutId = Some("cep-neg-v1"))
+    }
+    graft.util.Blocks.freeCheckpoint(due)
+    out
+  }
+
   /** [[foldBatch]]'s MATCH-PAYLOAD form ([[graft.ops.Cep
     * .patternMatchesSelect]]'s contract, store-backed): the
     * one-event-per-stage automaton with the partial's matched (tms, oid)

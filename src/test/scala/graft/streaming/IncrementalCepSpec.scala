@@ -175,6 +175,70 @@ class IncrementalCepSpec extends SparkSpec {
     assert(got(mLit) == Seq((3L, 10L, 20L)))
   }
 
+  test("strict contiguity (foldBatchNext): adjacency holds across a fold boundary") {
+    val store = Files.createTempDirectory("inc_cep_nx").toString + "/cep"
+    def nx(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchNext(df, store, Seq("view", "click"),
+        1000, batchId = id, nextStages = Set(1)))
+    // key 1: view ends fold 1, click opens fold 2 — STRICTLY ADJACENT in
+    // the concatenation, so it matches; key 2: view ends fold 1 but an
+    // error opens fold 2 — the cross-boundary adjacency is broken
+    val m1 = nx(evDf((1, 10, 1, "view"), (2, 15, 2, "view")), 1)
+    val m2 = nx(evDf((1, 20, 3, "click"), (2, 25, 4, "error"),
+      (2, 30, 5, "click")), 2)
+    assert(m1.isEmpty)
+    assert(m2 == Seq((1L, 10L, 20L)))
+    // equals the batch strict operator over the concatenation
+    val all = evDf((1, 10, 1, "view"), (2, 15, 2, "view"),
+      (1, 20, 3, "click"), (2, 25, 4, "error"), (2, 30, 5, "click"))
+    val want = graft.ops.Cep.patternMatchesNext(all, col("k"), col("tms"),
+        col("oid"), col("ty"), Seq("view", "click"), 1000, Set(1))
+      .select(col("k"), col("start_tms"), col("end_tms"))
+    assert((m1 ++ m2).sorted == got(want))
+    // the open notNext slot crosses a boundary too
+    val store2 = Files.createTempDirectory("inc_cep_nn").toString + "/cep"
+    def nn(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchNext(df, store2, Seq("view", "purchase"),
+        1000, batchId = id, nextStages = Set.empty,
+        notNext = Map(1 -> Seq("error"))))
+    nn(evDf((3, 10, 1, "view")), 1)
+    // the banned error lands in the VERY-NEXT slot, in the next fold
+    assert(nn(evDf((3, 20, 2, "error"), (3, 30, 3, "purchase")), 2).isEmpty)
+  }
+
+  test("negation (foldBatchNeg): the watch spans folds; flushBatchNeg emits it") {
+    val s = spark
+    val store = Files.createTempDirectory("inc_cep_ng").toString + "/cep"
+    val pat = Seq("view", "purchase")
+    def ng(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchNeg(df, store, pat, 1000, batchId = id,
+        notBetween = Map(1 -> Seq("error")), notAfter = Seq("click")))
+    // key 1 completes view→purchase in fold 1 → WATCH opens; fold 2's
+    // click (inside the window) kills it. key 2's watch survives fold 2
+    // and emits at the flush. key 3's purchase is killed by an error
+    // BETWEEN, across the boundary.
+    val m1 = ng(evDf((1, 10, 1, "view"), (1, 20, 2, "purchase"),
+      (2, 15, 3, "view"), (2, 25, 4, "purchase"), (3, 12, 5, "view")), 1)
+    val m2 = ng(evDf((1, 30, 6, "click"), (3, 30, 7, "error"),
+      (3, 40, 8, "purchase")), 2)
+    assert(m1.isEmpty && m2.isEmpty)
+    val flushed = got(IncrementalCep.flushBatchNeg(s, store, pat,
+      watermarkMs = 5000, withinMs = 1000, batchId = 3L))
+    assert(flushed == Seq((2L, 15L, 25L)))
+    // flush is idempotent once landed: the watch row went idle
+    assert(got(IncrementalCep.flushBatchNeg(s, store, pat,
+      watermarkMs = 5000, withinMs = 1000, batchId = 4L)).isEmpty)
+    // equals the batch operator (its input-end flush emits key 2 too)
+    val all = evDf((1, 10, 1, "view"), (1, 20, 2, "purchase"),
+      (2, 15, 3, "view"), (2, 25, 4, "purchase"), (3, 12, 5, "view"),
+      (1, 30, 6, "click"), (3, 30, 7, "error"), (3, 40, 8, "purchase"))
+    val want = graft.ops.Cep.patternMatchesNeg(all, col("k"), col("tms"),
+        col("oid"), col("ty"), pat, 1000,
+        notBetween = Map(1 -> Seq("error")), notAfter = Seq("click"))
+      .select(col("k"), col("start_tms"), col("end_tms"))
+    assert(flushed == got(want))
+  }
+
   test("match payload (foldBatchSelect): stage captures cross fold boundaries") {
     val store = Files.createTempDirectory("inc_cep_sel").toString + "/cep"
     val pat = Seq("view", "click", "purchase")
