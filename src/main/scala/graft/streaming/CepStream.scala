@@ -327,6 +327,63 @@ object CepStream {
         matchGroupIter[E](stages.toIndexedSeq, withinMs, tms, oid))
   }
 
+  /** One concurrent NFA run of the SKIP-TO-NEXT-ROW automaton: the stage
+    * reached and the run's own start. */
+  final case class CepRun(st: Int, t0: Long)
+  /** Keyed state for [[attachSkipNext]]: the key's ACTIVE runs — the
+    * honest price of overlap (Flink's concurrent runs), bounded by the
+    * runs still inside their window (timed-out runs prune as events
+    * arrive; a silent key's stale runs are inert rows). */
+  final case class CepSkipState(runs: Seq[CepRun])
+
+  /** One micro-batch group for AFTER MATCH SKIP TO NEXT ROW
+    * ([[graft.ops.Cep.patternMatchesSkipNext]]'s contract): every
+    * stage-0 event starts its OWN run; runs advance independently (one
+    * event may advance several), each emits its earliest completion
+    * within its own window and dies. A run opened by event e starts
+    * matching from events strictly AFTER e (the batch unroll's `j > s0`),
+    * hence existing runs advance BEFORE the event opens its own. */
+  def matchGroupSkipNext(pattern: IndexedSeq[String], withinMs: Long)(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepSkipState]): Iterator[CepMatch] = {
+    val last = pattern.length - 1
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    var runs = state.getOption
+      .map(_.runs.map(r => (r.st, r.t0)).toVector).getOrElse(Vector.empty)
+    val out = ListBuffer.empty[CepMatch]
+    sorted.foreach { e =>
+      val next = Vector.newBuilder[(Int, Long)]
+      runs.foreach { case (st, t0) =>
+        if (e.tms - t0 >= withinMs) () // window closed: run dead
+        else if (e.ty == pattern(st)) {
+          if (st == last) out += CepMatch(k, t0, e.tms) // earliest; run dies
+          else next += ((st + 1, t0))
+        } else next += ((st, t0)) // relaxed: ignore
+      }
+      runs = next.result()
+      if (e.ty == pattern.head) {
+        if (last == 0) out += CepMatch(k, e.tms, e.tms)
+        else runs = runs :+ ((1, e.tms))
+      }
+    }
+    state.update(CepSkipState(runs.map { case (st, t0) => CepRun(st, t0) }))
+    out.iterator
+  }
+
+  /** Attach the SKIP-TO-NEXT-ROW automaton to a keyed event stream —
+    * matches may overlap; per-key state is the active run set (the
+    * documented overlap price; see the batch operator's cost model).
+    * Pre-filter to the pattern's types before calling. */
+  def attachSkipNext(ds: Dataset[CepEvent], pattern: Seq[String],
+      withinMs: Long): Dataset[CepMatch] = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupSkipNext(pattern.toIndexedSeq, withinMs))
+  }
+
   /** Matched-event reference carried in [[CepSelState]] / emitted by the
     * MATCH-PAYLOAD stream. */
   final case class CepEvRef(tms: Long, oid: Long)

@@ -428,6 +428,58 @@ class CepStreamSpec extends SparkSpec {
     assert(runWhere(Seq(l1, l2), loop, 1000) == Seq((2L, 10L, 40L)))
   }
 
+  test("attachSkipNext: overlapping runs advance independently across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    var runNo = 0
+    def runSkip(batches: Seq[Seq[CepEvent]], w: Long): Seq[(Long, Long, Long)] = {
+      runNo += 1
+      val tbl = s"cep_skip_out_$runNo"
+      val mem = MemoryStream[CepEvent]
+      val q = CepStream.attachSkipNext(mem.toDS(), vcp, w).writeStream
+        .format("memory").queryName(tbl).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table(tbl).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+            r.getAs[Long]("match_end")))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    def batchSkip(events: Seq[CepEvent], w: Long): Seq[(Long, Long, Long)] =
+      graft.ops.Cep.patternMatchesSkipNext(events.toDF(), col("k"),
+          col("tms"), col("oid"), col("ty"), vcp, w)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+    // two overlapping runs, both spanning a batch boundary
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "view"))
+    val b2 = Seq(CepEvent(1, 30, 3, "click"), CepEvent(1, 40, 4, "purchase"))
+    val all = b1 ++ b2
+    val got = runSkip(Seq(b1, b2), 1000)
+    assert(got == Seq((1L, 10L, 40L), (1L, 20L, 40L)))
+    assert(got == batchSkip(all, 1000))
+    // per-run windows: the older run times out across the boundary, the
+    // younger completes (the batch operator's per-start window)
+    val t1 = Seq(CepEvent(2, 10, 1, "view"), CepEvent(2, 20, 2, "view"))
+    val t2 = Seq(CepEvent(2, 30, 3, "click"), CepEvent(2, 41, 4, "purchase"))
+    val gotT = runSkip(Seq(t1, t2), 25)
+    assert(gotT == batchSkip(t1 ++ t2, 25))
+    assert(gotT == Seq((2L, 20L, 41L)))
+    // fixture replay: two different splits equal the batch operator
+    val events = Envelopes.events(s, sfDir())
+      .filter(col("event_type").isin(vcp: _*))
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .as[CepEvent].collect().toSeq.sortBy(e => (e.tms, e.oid))
+    val expected = batchSkip(events, 604800000L)
+    assert(expected.nonEmpty)
+    for (parts <- Seq(3, 7)) {
+      val size = math.max(1, (events.length + parts - 1) / parts)
+      assert(runSkip(events.grouped(size).toSeq, 604800000L) == expected)
+    }
+  }
+
   test("attachSelect: the stage-event buffer and match counter cross micro-batches") {
     val s = spark
     import s.implicits._
