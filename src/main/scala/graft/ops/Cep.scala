@@ -43,29 +43,32 @@ object Cep {
   private[graft] def esc(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-  /** Apply `f` to the segments of `sql` OUTSIDE single-quoted string
-    * literals (backslash escapes and doubled `''` respected). The `first.`
-    * rewrite/detection must not touch a literal like `'first.home'` — a
-    * plain regex over the whole predicate would silently rewrite it to
-    * `'acc.f0.home'` and change match results. */
+  /** Apply `f` to the segments of `sql` OUTSIDE string literals (backslash
+    * escapes and doubled quotes respected). Spark's default lexer accepts
+    * BOTH single- and double-quoted string literals
+    * (`spark.sql.ansi.doubleQuotedIdentifiers` is off), so both quote
+    * styles are masked. The `first.` rewrite/detection must not touch a
+    * literal like `'first.home'` or `"first.home"` — a plain regex over
+    * the whole predicate would silently rewrite it to `'acc.f0.home'` and
+    * change match results. */
   private[graft] def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
     var i = 0
-    var inLit = false
+    var lit: Char = 0 // 0 = outside a literal; else the opening quote char
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (!inLit) {
-        if (c == '\'') {
-          out.append(f(seg.toString)); seg.clear(); out.append(c); inLit = true
+      if (lit == 0) {
+        if (c == '\'' || c == '"') {
+          out.append(f(seg.toString)); seg.clear(); out.append(c); lit = c
         } else seg.append(c)
       } else {
         out.append(c)
         if (c == '\\' && i + 1 < sql.length) { out.append(sql.charAt(i + 1)); i += 1 }
-        else if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-            out.append('\''); i += 1
-          } else inLit = false
+        else if (c == lit) {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == lit) {
+            out.append(lit); i += 1
+          } else lit = 0
         }
       }
       i += 1
@@ -83,19 +86,25 @@ object Cep {
     found
   }
 
-  /** Typed event row of the SORTED-ITERATOR automaton plan (see
-    * [[timesSorted]]). */
-  private[graft] final case class CepEv(k: Long, tms: Long, oid: Long,
+  /** Typed event row of the SORTED-ITERATOR automaton plans, generic in
+    * the key type (`Option[Long]` serves every integral key null-safely —
+    * a NULL key groups as `None`, matching the SQL fold's `GROUP BY`
+    * null-group semantics; `String` serves string keys directly). */
+  private[graft] final case class CepEvK[K](k: K, tms: Long, oid: Long,
       ty: String)
-  private[graft] final case class CepMatchRow(k: Long, match_n: Int,
+  /** [[CepEvK]] for the PRECOMPUTED-PREDICATE plan: `ps(i)` is stage i's
+    * predicate evaluated on this event (see [[patternMatchesWhere]]). */
+  private[graft] final case class CepEvPK[K](k: K, tms: Long, oid: Long,
+      ps: Array[Boolean])
+  private[graft] final case class CepMatchK[K](k: K, match_n: Int,
       start_tms: Long, end_tms: Long)
-  private[graft] final case class CepSelRow(k: Long, match_n: Int,
+  private[graft] final case class CepSelK[K](k: K, match_n: Int,
       stage_n: Int, ev_tms: Long, ev_oid: Long)
 
   /** The quantified automaton's step semantics as a row-at-a-time Scala
     * stepper — the THIRD expression of the same branch structure as
     * [[timesFoldStepPred]] (SQL) and the recursive-CTE oracles, shared by
-    * the batch sorted-iterator plan ([[timesSorted]]) and every
+    * the batch sorted-iterator plan ([[TypedCep.times]]) and every
     * [[graft.streaming.CepStream]] group function, so the typed paths
     * cannot drift from each other. Predicates are arbitrary `E => Boolean`
     * (type equality is the [[patternMatchesTimes]] case); `emit` fires
@@ -147,23 +156,6 @@ object Cep {
     }
   }
 
-  /** The SPILL-SAFE physical plan for the relaxed quantified automaton:
-    * instead of `collect_list`-ing each key's pattern events into one
-    * in-memory array and folding it row-locally (per-key memory = the
-    * busiest key's event count — a celebrity key at 100× pins one array),
-    * the events STREAM through the automaton as a sorted per-group
-    * iterator (`flatMapSortedGroups` = one key shuffle + a
-    * sort-within-partitions that SPILLS like any Spark sort). Per-key
-    * memory is O(pattern) state + O(matches) output — flat however hot
-    * the key (measured: ScaleProbe `cephot`, SCALING.md). Same scan
-    * pre-filter, same single shuffle; the round-10 window-lead routing
-    * lesson (sorted streaming ~2× the array fold at every pattern
-    * fraction) generalized to the whole relaxed class.
-    *
-    * `proj` must be exactly (k BIGINT, tms BIGINT, oid BIGINT, ty STRING);
-    * [[patternMatches]] / [[patternMatchesTimes]] route here whenever the
-    * key column is LongType (null keys fail loudly in the encoder — the
-    * SQL fold path keeps serving other key types). */
   /** The MATCH-PAYLOAD automaton's step semantics — the plain
     * one-event-per-stage automaton ([[patternMatches]]' branch structure
     * exactly) with the partial's matched (tms, oid) per stage buffered in
@@ -196,7 +188,7 @@ object Cep {
   }
 
   /** The STRICT/notNext automaton's step semantics as a row-at-a-time
-    * stepper — shared by the batch sorted plan ([[nextSorted]]) and
+    * stepper — shared by the batch sorted plan ([[TypedCep.strict]]) and
     * [[graft.streaming.CepStream.matchGroupNext]]; mirrors the
     * [[patternMatchesNextFold]] SQL branch for branch (timeout,
     * notNext-ban, stage advance, strict break, fr-consume). State is
@@ -223,7 +215,7 @@ object Cep {
   }
 
   /** The NEGATION automaton's step semantics — shared by the batch sorted
-    * plan ([[negSorted]]) and [[graft.streaming.CepStream.matchGroupNeg]];
+    * plan ([[TypedCep.neg]]) and [[graft.streaming.CepStream.matchGroupNeg]];
     * mirrors [[patternMatchesNeg]]'s SQL branch for branch. State is
     * (st, t0, te) with st = pattern.length meaning "watching the trailing
     * ban"; [[flush]] is the batch end-of-input (the banned event never
@@ -266,132 +258,385 @@ object Cep {
       if (st == watch) emit(t0, te)
   }
 
-  /** Sorted-iterator plan for the strict/notNext automaton — see
-    * [[timesSorted]] for the shape rationale; the scan stays UNFILTERED
-    * (strict adjacency makes every event state-relevant). */
-  private[graft] def nextSorted(proj: DataFrame, pattern: Seq[String],
-      withinMs: Long, nextStages: Set[Int],
-      notNext: Map[Int, Seq[String]]): DataFrame = {
-    val spark = proj.sparkSession
-    import spark.implicits._
-    val pat = pattern.toIndexedSeq
-    val bans = notNext.map { case (i, ts) => i -> ts.toSet }
-    proj.as[CepEv]
-      .groupByKey(_.k)
-      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
-        val stepper = new StrictStepper(pat, withinMs, nextStages, bans)
-        val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
-        var st = 0; var t0 = 0L; var fr = false; var n = 0
-        it.foreach { e =>
-          val next = stepper.step(st, t0, fr, e.tms, e.ty, (s, en) => {
-            n += 1; out += CepMatchRow(k, n, s, en)
-          })
-          st = next._1; t0 = next._2; fr = next._3
-        }
-        out
+  /** The concurrent-run SKIP-TO-NEXT-ROW automaton's step semantics —
+    * shared by the batch sorted plan ([[TypedCep.skipNext]]) and
+    * [[graft.streaming.CepStream.matchGroupSkipNext]], so the two cannot
+    * drift. `runs` is the key's ACTIVE run set as (stage, start) pairs in
+    * OPEN order (Flink's concurrent NFA runs — the honest price of
+    * overlap, O(in-window stage-0 events) per key where every other CEP
+    * form is O(1)): every stage-0 event opens its own run AFTER existing
+    * runs advanced (a run matches strictly after its opening event — the
+    * static unroll's `j > s0`), each run emits its EARLIEST in-window
+    * completion and dies, and a window-closed run prunes silently as
+    * events arrive. For a one-event-per-stage pattern runs advance
+    * monotonically (an earlier-opened run is always at a stage >= a
+    * later one's, both seeing the same event suffix), so emissions
+    * arrive in run-open order — which is exactly what numbers `match_n`
+    * by start order in the batch plan. */
+  private[graft] final class SkipStepper(pattern: IndexedSeq[String],
+      withinMs: Long) {
+    private val last = pattern.length - 1
+
+    /** One event over the active run set; returns the surviving runs. */
+    def step(runs: Vector[(Int, Long)], tms: Long, ty: String,
+        emit: (Long, Long) => Unit): Vector[(Int, Long)] = {
+      val next = Vector.newBuilder[(Int, Long)]
+      runs.foreach { case (st, t0) =>
+        if (tms - t0 >= withinMs) () // window closed: run dead
+        else if (ty == pattern(st)) {
+          if (st == last) emit(t0, tms) // earliest completion; run dies
+          else next += ((st + 1, t0))
+        } else next += ((st, t0)) // relaxed contiguity: ignore
       }
-      .toDF("k", "match_n", "start_tms", "end_tms")
+      var out = next.result()
+      if (ty == pattern.head) {
+        if (last == 0) emit(tms, tms)
+        else out = out :+ ((1, tms))
+      }
+      out
+    }
   }
 
-  /** Sorted-iterator plan for the negation automaton, with the
-    * end-of-input flush (a live trailing watch emits when the key's
-    * events end — the banned event never came). */
-  private[graft] def negSorted(proj: DataFrame, pattern: Seq[String],
-      withinMs: Long, notBetween: Map[Int, Seq[String]],
-      notAfter: Seq[String]): DataFrame = {
-    val spark = proj.sparkSession
-    import spark.implicits._
-    val pat = pattern.toIndexedSeq
-    val between = notBetween.map { case (i, ts) => i -> ts.toSet }
-    proj.as[CepEv]
-      .groupByKey(_.k)
-      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
-        val stepper = new NegStepper(pat, withinMs, between, notAfter.toSet)
-        val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
-        var st = 0; var t0 = 0L; var te = 0L; var n = 0
-        def emit(s: Long, en: Long): Unit = {
-          n += 1; out += CepMatchRow(k, n, s, en)
-        }
-        it.foreach { e =>
-          val next = stepper.step(st, t0, te, e.tms, e.ty, emit)
-          st = next._1; t0 = next._2; te = next._3
-        }
-        stepper.flush(st, t0, te, emit)
-        out
-      }
-      .toDF("k", "match_n", "start_tms", "end_tms")
-  }
-
-  /** The stateless per-group automaton run shared by every sorted plan:
-    * stream the (already sorted) iterator through one [[TimesStepper]],
-    * numbering matches per key in time order. */
-  private def runGroup[E](preds: IndexedSeq[(E => Boolean, Int, Int)],
+  /** The stateless per-group automaton run shared by the relaxed typed
+    * plans: stream the (already sorted) iterator through one
+    * [[TimesStepper]], numbering matches per key in time order. */
+  private def runGroupK[K, E](preds: IndexedSeq[(E => Boolean, Int, Int)],
       withinMs: Long, tmsOf: E => Long)(
-      k: Long, it: Iterator[E]): Iterator[CepMatchRow] = {
+      k: K, it: Iterator[E]): Iterator[CepMatchK[K]] = {
     val stepper = new TimesStepper[E](preds, withinMs, tmsOf)
-    val out = scala.collection.mutable.ListBuffer.empty[CepMatchRow]
+    val out = scala.collection.mutable.ListBuffer.empty[CepMatchK[K]]
     var st = 0; var c = 0; var t0 = 0L; var n = 0
     it.foreach { e =>
       val next = stepper.step(st, c, t0, e, (s, en) => {
-        n += 1; out += CepMatchRow(k, n, s, en)
+        n += 1; out += CepMatchK(k, n, s, en)
       })
       st = next._1; c = next._2; t0 = next._3
     }
     out.iterator
   }
 
-  private[graft] def timesSorted(proj: DataFrame,
-      pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame = {
-    val spark = proj.sparkSession
-    import spark.implicits._
-    val preds = pattern.map { case (t, mn, mx) =>
-      (((e: CepEv) => e.ty == t), mn, mx) }.toIndexedSeq
-    proj.as[CepEv]
-      .groupByKey(_.k)
-      .flatMapSortedGroups(col("tms"), col("oid"), col("ty"))(
-        runGroup[CepEv](preds, withinMs, _.tms))
-      .toDF("k", "match_n", "start_tms", "end_tms")
+  /** Executor-side evaluation bundle for [[TypedCep.iter]]: the BOUND
+    * boolean stage expressions (serializable Catalyst trees, already
+    * wrapped null→false and bound to the (e, first) input row) compiled
+    * to predicates lazily ONCE PER TASK, plus external-Row→InternalRow
+    * serializers for the event struct and the captured opener. Kept
+    * `@transient lazy` because compiled predicates and serializers are
+    * not serializable — only the expression trees and schemas ship. */
+  private final class IterEval(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      evType: org.apache.spark.sql.types.StructType,
+      fType: org.apache.spark.sql.types.StructType) extends Serializable {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.Row
+
+    @transient lazy val preds: IndexedSeq[
+        org.apache.spark.sql.catalyst.expressions.BasePredicate] =
+      exprs.map(e =>
+        org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+        .toIndexedSeq
+    @transient private lazy val evSer =
+      ExpressionEncoder(RowEncoder.encoderFor(evType)).createSerializer()
+    @transient private lazy val fSer =
+      ExpressionEncoder(RowEncoder.encoderFor(fType)).createSerializer()
+
+    /** (k, tms, oid, payload…) row → the `e` struct row. REUSED buffer —
+      * valid only until the next call. */
+    def toEv(r: Row, nPay: Int): InternalRow = {
+      val vals = new Array[Any](2 + nPay)
+      vals(0) = r.get(1); vals(1) = r.get(2)
+      var i = 0
+      while (i < nPay) { vals(2 + i) = r.get(3 + i); i += 1 }
+      evSer(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+    }
+
+    /** (k, tms, oid, payload…) row → an OWNED copy of the `first`
+      * (payload-only) struct row — the capture outlives the buffer. */
+    def toFirst(r: Row, nPay: Int): InternalRow = {
+      val vals = new Array[Any](nPay)
+      var i = 0
+      while (i < nPay) { vals(i) = r.get(3 + i); i += 1 }
+      fSer(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))).copy()
+    }
   }
 
-  /** Event row of the PRECOMPUTED-PREDICATE sorted plan: `ps(i)` is stage
-    * i's predicate evaluated on this event (see [[patternMatchesWhere]] —
-    * where-predicates are per-event SQL booleans, so they evaluate once,
-    * columnar and codegen'd, BEFORE the shuffle; the automaton then only
-    * reads booleans). */
-  private[graft] final case class CepEvP(k: Long, tms: Long, oid: Long,
-      ps: Array[Boolean])
-
-  private[graft] def predSorted(projWithPs: DataFrame,
-      quant: Seq[(Int, Int)], withinMs: Long): DataFrame = {
-    val spark = projWithPs.sparkSession
-    import spark.implicits._
-    val preds = quant.zipWithIndex.map { case ((mn, mx), i) =>
-      (((e: CepEvP) => e.ps(i)), mn, mx) }.toIndexedSeq
-    projWithPs.as[CepEvP]
-      .groupByKey(_.k)
-      .flatMapSortedGroups(col("tms"), col("oid"), col("ps"))(
-        runGroup[CepEvP](preds, withinMs, _.tms))
-      .toDF("k", "match_n", "start_tms", "end_tms")
+  /** The TYPED SORTED-ITERATOR physical plans, generic in the key type —
+    * the SPILL-SAFE alternative to the row-local SQL `aggregate` fold:
+    * instead of `collect_list`-ing each key's pattern events into one
+    * in-memory array and folding it row-locally (per-key memory = the
+    * busiest key's event count, and Catalyst copies the fold accumulator
+    * per element, so a celebrity key's fold is QUADRATIC in copy work —
+    * measured in ScaleProbe `cephot`: 195 s at 400 k hot-key events vs
+    * 9.4 s at 10 M on the sorted plan), events STREAM through the
+    * automaton as a sorted per-group iterator (`flatMapSortedGroups` =
+    * one key shuffle + a sort-within-partitions that SPILLS like any
+    * Spark sort). Per-key memory is O(pattern) state + O(matches in
+    * flight) — flat however hot the key. Same scan pre-filter, same
+    * single shuffle as the fold.
+    *
+    * [[typedCep]] routes by the RESOLVED key type: integral keys run as
+    * `Option[Long]` (a NULL key groups as None — exactly the SQL fold's
+    * `GROUP BY` null-group semantics, no encoder NPE; byte/short/int
+    * widen losslessly and the output key casts back), string keys as
+    * `String` (null string keys likewise group). Every other key type
+    * (decimal, double, struct, …) returns None and keeps the `aggregate`
+    * fold — correct, with the fold's celebrity-key caveat documented on
+    * each operator. */
+  private[graft] sealed trait TypedCep {
+    def times(pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame
+    def pred(quant: Seq[(Int, Int)], withinMs: Long): DataFrame
+    def strict(pattern: Seq[String], withinMs: Long, nextStages: Set[Int],
+        notNext: Map[Int, Seq[String]]): DataFrame
+    def neg(pattern: Seq[String], withinMs: Long,
+        notBetween: Map[Int, Seq[String]], notAfter: Seq[String]): DataFrame
+    def skipNext(pattern: Seq[String], withinMs: Long): DataFrame
+    def select(pattern: Seq[String], withinMs: Long): DataFrame
+    def iter(stages: Seq[(String, Int, Int)], withinMs: Long,
+        payload: Seq[String]): DataFrame
   }
 
-  /** Standard projection for the typed plans; routing keys on the
-    * RESOLVED key type so only genuinely-long keys take the typed path. */
+  private final class TypedCepImpl[K](proj: DataFrame,
+      restore: DataFrame => DataFrame,
+      keyOf: org.apache.spark.sql.Row => K)(
+      implicit kt: scala.reflect.runtime.universe.TypeTag[K])
+      extends TypedCep {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import scala.collection.mutable.{ArrayBuffer, ListBuffer}
+
+    // driver-side only (arguments to as/groupByKey/flatMapSortedGroups);
+    // the group lambdas below reference METHOD-LOCAL values exclusively,
+    // so no DataFrame-holding `this` is ever captured into a task
+    private val kEnc: Encoder[K] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[K]()
+    private val evEnc: Encoder[CepEvK[K]] = Encoders.product[CepEvK[K]]
+    private val evPEnc: Encoder[CepEvPK[K]] = Encoders.product[CepEvPK[K]]
+    private val mEnc: Encoder[CepMatchK[K]] = Encoders.product[CepMatchK[K]]
+    private val selEnc: Encoder[CepSelK[K]] = Encoders.product[CepSelK[K]]
+
+    def times(pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame = {
+      val preds = pattern.map { case (t, mn, mx) =>
+        (((e: CepEvK[K]) => e.ty == t), mn, mx) }.toIndexedSeq
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty"))(
+          runGroupK[K, CepEvK[K]](preds, withinMs, _.tms))(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def pred(quant: Seq[(Int, Int)], withinMs: Long): DataFrame = {
+      val preds = quant.zipWithIndex.map { case ((mn, mx), i) =>
+        (((e: CepEvPK[K]) => e.ps(i)), mn, mx) }.toIndexedSeq
+      restore(proj.as[CepEvPK[K]](evPEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ps"))(
+          runGroupK[K, CepEvPK[K]](preds, withinMs, _.tms))(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def strict(pattern: Seq[String], withinMs: Long, nextStages: Set[Int],
+        notNext: Map[Int, Seq[String]]): DataFrame = {
+      val pat = pattern.toIndexedSeq
+      val bans = notNext.map { case (i, ts) => i -> ts.toSet }
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) {
+          (k: K, it: Iterator[CepEvK[K]]) =>
+            val stepper = new StrictStepper(pat, withinMs, nextStages, bans)
+            val out = ListBuffer.empty[CepMatchK[K]]
+            var st = 0; var t0 = 0L; var fr = false; var n = 0
+            it.foreach { e =>
+              val next = stepper.step(st, t0, fr, e.tms, e.ty, (s, en) => {
+                n += 1; out += CepMatchK(k, n, s, en)
+              })
+              st = next._1; t0 = next._2; fr = next._3
+            }
+            out
+        }(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def neg(pattern: Seq[String], withinMs: Long,
+        notBetween: Map[Int, Seq[String]],
+        notAfter: Seq[String]): DataFrame = {
+      val pat = pattern.toIndexedSeq
+      val between = notBetween.map { case (i, ts) => i -> ts.toSet }
+      val after = notAfter.toSet
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) {
+          (k: K, it: Iterator[CepEvK[K]]) =>
+            val stepper = new NegStepper(pat, withinMs, between, after)
+            val out = ListBuffer.empty[CepMatchK[K]]
+            var st = 0; var t0 = 0L; var te = 0L; var n = 0
+            def emit(s: Long, en: Long): Unit = {
+              n += 1; out += CepMatchK(k, n, s, en)
+            }
+            it.foreach { e =>
+              val next = stepper.step(st, t0, te, e.tms, e.ty, emit)
+              st = next._1; t0 = next._2; te = next._3
+            }
+            stepper.flush(st, t0, te, emit)
+            out
+        }(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def skipNext(pattern: Seq[String], withinMs: Long): DataFrame = {
+      val pat = pattern.toIndexedSeq
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) {
+          (k: K, it: Iterator[CepEvK[K]]) =>
+            val stepper = new SkipStepper(pat, withinMs)
+            val out = ListBuffer.empty[CepMatchK[K]]
+            var runs = Vector.empty[(Int, Long)]
+            var n = 0
+            it.foreach { e =>
+              runs = stepper.step(runs, e.tms, e.ty, (s, en) => {
+                n += 1; out += CepMatchK(k, n, s, en)
+              })
+            }
+            out
+        }(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def select(pattern: Seq[String], withinMs: Long): DataFrame = {
+      val pat = pattern.toIndexedSeq
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) {
+          (k: K, it: Iterator[CepEvK[K]]) =>
+            val stepper = new SelectStepper(pat, withinMs)
+            val out = ListBuffer.empty[CepSelK[K]]
+            // es = the partial's matched (tms, oid) per stage — O(pattern)
+            val es = ArrayBuffer.empty[(Long, Long)]
+            var st = 0; var t0 = 0L; var n = 0
+            it.foreach { e =>
+              val next = stepper.step(st, t0, es, e.tms, e.oid, e.ty, evs => {
+                n += 1
+                evs.zipWithIndex.foreach { case ((t, o), j) =>
+                  out += CepSelK(k, n, j + 1, t, o)
+                }
+              })
+              st = next._1; t0 = next._2
+            }
+            out
+        }(selEnc)
+        .toDF("k", "match_n", "stage_n", "ev_tms", "ev_oid"))
+    }
+
+    def iter(stages: Seq[(String, Int, Int)], withinMs: Long,
+        payload: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias,
+        AttributeReference, AttributeSeq, BindReferences, Coalesce, Literal}
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+      import org.apache.spark.sql.types.{BooleanType, LongType, StructField,
+        StructType}
+      val spark = proj.sparkSession
+      // the event struct visible to predicates as `e` (tms, oid, payload…)
+      // and the captured opener visible as `first` (payload fields only) —
+      // the exact field surface the SQL fold's `e` / `acc.f0` expose
+      val payFields = payload.map(n => proj.schema(n))
+      val evType = StructType(
+        StructField("tms", LongType, nullable = false) +:
+        StructField("oid", LongType, nullable = false) +: payFields)
+      val fType = StructType(payFields)
+      val eAttr = AttributeReference("e", evType, nullable = false)()
+      val fAttr = AttributeReference("first", fType, nullable = true)()
+      val rel = LocalRelation(Seq(eAttr, fAttr))
+      // each stage predicate is parsed and run through the SESSION'S OWN
+      // analyzer against a two-attribute relation (e, first) — the same
+      // resolution, implicit casts, and function registry the SQL fold's
+      // analysis applies, so the two paths cannot drift on coercion; the
+      // null→false wrap mirrors the fold's CASE WHEN semantics
+      val bound = stages.map { case (sql, _, _) =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val resolved = spark.sessionState
+          .executePlan(Project(Seq(Alias(parsed, "p")()), rel))
+          .analyzed.asInstanceOf[Project]
+          .projectList.head.asInstanceOf[Alias].child
+        require(resolved.dataType == BooleanType,
+          s"stage predicate must be BOOLEAN, got " +
+            s"${resolved.dataType.catalogString}: $sql")
+        BindReferences.bindReference(
+          Coalesce(Seq(resolved, Literal(false))),
+          AttributeSeq(Seq(eAttr, fAttr)))
+      }
+      val quant = stages.map(s => (s._2, s._3))
+      val nPay = payload.length
+      val h = new IterEval(bound, evType, fType)
+      val ds = proj.groupByKey(keyOf)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid")) {
+          (k: K, it: Iterator[Row]) =>
+            // run state OUTSIDE the stepper: the current event's struct
+            // (reused buffer) and the live run's captured opener (owned
+            // copy, set by onOpen at stage-0 open — the SQL fold's capF0)
+            var curE: org.apache.spark.sql.catalyst.InternalRow = null
+            var f0: org.apache.spark.sql.catalyst.InternalRow = null
+            val joint =
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+            val preds = quant.zipWithIndex.map { case ((mn, mx), i) =>
+              (((r: Row) => {
+                joint.update(0, curE); joint.update(1, f0)
+                h.preds(i).eval(joint)
+              }), mn, mx)
+            }.toIndexedSeq
+            val stepper = new TimesStepper[Row](preds, withinMs,
+              _.getLong(1), onOpen = r => f0 = h.toFirst(r, nPay))
+            val out = ListBuffer.empty[CepMatchK[K]]
+            var st = 0; var c = 0; var t0 = 0L; var n = 0
+            it.foreach { r =>
+              curE = h.toEv(r, nPay)
+              val next = stepper.step(st, c, t0, r, (s, en) => {
+                n += 1; out += CepMatchK(k, n, s, en)
+              })
+              st = next._1; c = next._2; t0 = next._3
+            }
+            out
+        }(mEnc)
+      restore(ds.toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+  }
+
+  /** Route a (k, …) projection to the typed sorted-iterator plan family,
+    * or None when the key type has no lossless typed route (the caller
+    * keeps the SQL `aggregate` fold). See [[TypedCep]] for the key-type
+    * table and null-key semantics. */
+  private[graft] def typedCep(proj: DataFrame): Option[TypedCep] = {
+    import org.apache.spark.sql.types._
+    proj.schema("k").dataType match {
+      case LongType =>
+        Some(new TypedCepImpl[Option[Long]](proj, identity,
+          r => if (r.isNullAt(0)) None else Some(r.getLong(0))))
+      case dt @ (ByteType | ShortType | IntegerType) =>
+        Some(new TypedCepImpl[Option[Long]](
+          proj.withColumn("k", col("k").cast("long")),
+          out => out.withColumn("k", col("k").cast(dt)),
+          r => if (r.isNullAt(0)) None else Some(r.getLong(0))))
+      case StringType =>
+        Some(new TypedCepImpl[String](proj, identity, r => r.getString(0)))
+      case _ => None
+    }
+  }
+
+  /** Standard projection for the typed plans; [[typedCep]] routes on the
+    * RESOLVED key type. */
   private def projEvents(df: DataFrame, keyCol: Column, tsMsCol: Column,
       ordCol: Column, typeCol: Column): DataFrame =
     df.select(keyCol.as("k"), tsMsCol.cast("long").as("tms"),
       ordCol.cast("long").as("oid"), typeCol.cast("string").as("ty"))
 
-  private def isLongKey(proj: DataFrame): Boolean =
-    proj.schema("k").dataType == org.apache.spark.sql.types.LongType
-
   /** Matches of `pattern` (ordered event-type names, length ≥ 1, repeats
     * allowed) per key, within `withinMs` of the match's first event.
     *
-    * Physical plan: LongType keys stream through the sorted-iterator
-    * automaton ([[timesSorted]] — spill-safe, no per-key array); other
-    * key types keep the row-local `aggregate` fold below (Flink-CEP
-    * keyed-state memory parity, per-key memory = that key's
-    * pattern-event count).
+    * Physical plan: integral and string keys stream through the typed
+    * sorted-iterator automaton ([[TypedCep.times]] — spill-safe, no
+    * per-key array; NULL keys group together, the SQL null-group
+    * semantics); every other key type keeps the row-local `aggregate`
+    * fold below (Flink-CEP keyed-state memory parity, per-key memory =
+    * that key's pattern-event count — quadratic copy work on a hot key,
+    * see [[TypedCep]]).
     *
     * @param ordCol  deterministic tie-break within equal timestamps
     * @return (k, match_n, start_tms, end_tms) — one row per match, match_n
@@ -403,8 +648,10 @@ object Cep {
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
     val proj = projEvents(df.filter(typeCol.isin(pattern.distinct: _*)),
       keyCol, tsMsCol, ordCol, typeCol)
-    if (isLongKey(proj))
-      return timesSorted(proj, pattern.map((_, 1, 1)), withinMs)
+    typedCep(proj) match {
+      case Some(t) => return t.times(pattern.map((_, 1, 1)), withinMs)
+      case None =>
+    }
     val last = pattern.length - 1
     // boolean: does event e match the stage acc.st expects?
     val stageMatch = pattern.zipWithIndex
@@ -443,10 +690,36 @@ object Cep {
   /** Sentinel for an unbounded stage maximum (`oneOrMore`-style loops). */
   val Unbounded: Int = Int.MaxValue
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Cep")
+
+  /** Greedy-vs-NFA divergence callout ([[patternMatchesTimes]]' migration
+    * note, made loud at validation time): when a stage that still has a
+    * CHOICE — optional (min 0) or a flexible loop (max > min) — shares
+    * its type/predicate text with the NEXT stage, the deterministic
+    * greedy reading EXTENDS/MATCHES the earlier stage and can emit FEWER
+    * matches than Flink's branching NFA, which also explores the skip
+    * branch (pinned by CepSpec "optional loop with a floor elsewhere").
+    * Returns one message per such adjacent pair; predicates that overlap
+    * without being textually identical cannot be detected statically. */
+  private[graft] def overlapWarnings(
+      pattern: Seq[(String, Int, Int)]): Seq[String] =
+    pattern.zip(pattern.tail).zipWithIndex.collect {
+      case (((t1, mn1, mx1), (t2, _, _)), i)
+          if t1 == t2 && (mn1 == 0 || mx1 > mn1) =>
+        s"CEP stages $i and ${i + 1} share the type/predicate '$t1' while " +
+          s"stage $i is optional or a flexible loop: the deterministic " +
+          "greedy reading feeds the earlier stage first and can emit " +
+          "FEWER matches than Flink's branching NFA (the skip branch is " +
+          "never explored). Give the stages disjoint predicates, or drop " +
+          "the optional stage, if you need Flink's skip-branch matches."
+    }
+
   private[graft] def validateTimes(pattern: Seq[(String, Int, Int)],
       withinMs: Long): Unit = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    overlapWarnings(pattern).foreach(log.warn)
     pattern.zipWithIndex.foreach { case ((t, mn, mx), i) =>
       // middle stages may be OPTIONAL (min 0 — Flink's optional()); the
       // first stage stamps the match start and the last stage emits, so
@@ -615,7 +888,10 @@ object Cep {
     val proj = projEvents(
       df.filter(typeCol.isin(pattern.map(_._1).distinct: _*)),
       keyCol, tsMsCol, ordCol, typeCol)
-    if (isLongKey(proj)) return timesSorted(proj, pattern, withinMs)
+    typedCep(proj) match {
+      case Some(t) => return t.times(pattern, withinMs)
+      case None =>
+    }
     val fold = s"""aggregate(evs,
       named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT),
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
@@ -648,9 +924,9 @@ object Cep {
     * one (tms, oid) per matched stage — bounded by pattern length, NOT
     * Flink's per-stage event buffers (which an unbounded loop would grow
     * with); this is why the select surface is offered on the
-    * one-event-per-stage class. Runs on the sorted-iterator plan
-    * ([[timesSorted]]'s shape — spill-safe, no per-key array), so the
-    * key column must be LongType.
+    * one-event-per-stage class. Runs on the typed sorted-iterator plan
+    * ([[TypedCep.select]] — spill-safe, no per-key array), so the key
+    * column must be an integral or string type (it has no SQL-fold twin).
     *
     * @return (k, match_n, stage_n, ev_tms, ev_oid) — stage_n numbered
     *         1..pattern.length; ev_oid is the matched event's `ordCol` */
@@ -661,32 +937,11 @@ object Cep {
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
     val proj = projEvents(df.filter(typeCol.isin(pattern.distinct: _*)),
       keyCol, tsMsCol, ordCol, typeCol)
-    require(isLongKey(proj),
-      "patternMatchesSelect runs on the typed sorted-iterator plan — the " +
-        s"key column must be LongType, got ${proj.schema("k").dataType}")
-    val spark = proj.sparkSession
-    import spark.implicits._
-    val pat = pattern.toIndexedSeq
-    proj.as[CepEv]
-      .groupByKey(_.k)
-      .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) { (k, it) =>
-        val stepper = new SelectStepper(pat, withinMs)
-        val out = scala.collection.mutable.ListBuffer.empty[CepSelRow]
-        // es = the partial's matched (tms, oid) per stage — O(pattern)
-        val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var st = 0; var t0 = 0L; var n = 0
-        it.foreach { e =>
-          val next = stepper.step(st, t0, es, e.tms, e.oid, e.ty, evs => {
-            n += 1
-            evs.zipWithIndex.foreach { case ((t, o), j) =>
-              out += CepSelRow(k, n, j + 1, t, o)
-            }
-          })
-          st = next._1; t0 = next._2
-        }
-        out
-      }
-      .toDF("k", "match_n", "stage_n", "ev_tms", "ev_oid")
+    typedCep(proj).getOrElse(throw new IllegalArgumentException(
+        "patternMatchesSelect runs on the typed sorted-iterator plan — " +
+          "the key column must be an integral or string type, got " +
+          proj.schema("k").dataType.catalogString))
+      .select(pattern, withinMs)
   }
 
   /** [[patternMatchesTimes]] with PREDICATE stages — Flink-CEP's `where()`
@@ -720,10 +975,10 @@ object Cep {
     * stage's, the loop consumes it — [[patternMatchesTimes]]' adjacent
     * same-type rule generalized.
     *
-    * Physical plan (round 11): for LongType keys the stage predicates
+    * Physical plan: for integral/string keys the stage predicates
     * are PRECOMPUTED per event — evaluated once, columnar and codegen'd,
     * before the key shuffle — and the spill-safe sorted-iterator
-    * automaton ([[timesSorted]]'s shape) reads booleans only; the
+    * automaton ([[TypedCep.pred]]) reads booleans only; the
     * row-local `aggregate` fold below serves other key types. The fold
     * is also QUADRATIC IN COPY WORK on a celebrity key (Catalyst's
     * ArrayAggregate copies the accumulator — including the grown match
@@ -747,19 +1002,20 @@ object Cep {
     val projected = df.select(Seq(keyCol.as("k"),
         tsMsCol.cast("long").as("tms"), ordCol.cast("long").as("oid")) ++
         payload.map { case (n, c) => c.as(n) }: _*)
-    if (isLongKey(projected)) {
-      // PRECOMPUTED-PREDICATE sorted plan: where-predicates are per-event
-      // SQL booleans, so they evaluate ONCE — columnar, codegen'd, before
-      // the key shuffle — into a ps array; the spill-safe sorted-iterator
-      // automaton then reads booleans only. A NULL predicate result is
-      // "not matched" (the fold's CASE semantics), hence the coalesce.
-      val withPs = projected
-        .withColumn("e", struct(Seq(col("tms"), col("oid")) ++
-          payload.map(p => col(p._1)): _*))
-        .select(col("k"), col("tms"), col("oid"),
-          array(stages.map(s =>
-            coalesce(expr(s._1).cast("boolean"), lit(false))): _*).as("ps"))
-      return predSorted(withPs, stages.map(s => (s._2, s._3)), withinMs)
+    // PRECOMPUTED-PREDICATE sorted plan: where-predicates are per-event
+    // SQL booleans, so they evaluate ONCE — columnar, codegen'd, before
+    // the key shuffle — into a ps array; the spill-safe sorted-iterator
+    // automaton then reads booleans only. A NULL predicate result is
+    // "not matched" (the fold's CASE semantics), hence the coalesce.
+    val withPs = projected
+      .withColumn("e", struct(Seq(col("tms"), col("oid")) ++
+        payload.map(p => col(p._1)): _*))
+      .select(col("k"), col("tms"), col("oid"),
+        array(stages.map(s =>
+          coalesce(expr(s._1).cast("boolean"), lit(false))): _*).as("ps"))
+    typedCep(withPs) match {
+      case Some(t) => return t.pred(stages.map(s => (s._2, s._3)), withinMs)
+      case None =>
     }
     val fold = s"""aggregate(evs,
       named_struct('st', 0, 'c', 0, 't0', CAST(0 AS BIGINT),
@@ -806,14 +1062,17 @@ object Cep {
     * Stage 0 cannot reference `first.` (nothing is captured yet); the
     * scan is the caller's to pre-filter, as in [[patternMatchesWhere]].
     *
-    * Physical plan: iterative conditions STAY on the row-local fold —
-    * a `first.*` predicate depends on the run's captured state, so it
-    * cannot be precomputed per event the way [[patternMatchesWhere]]'s
-    * stages are. The fold's celebrity-key caveat therefore applies here
-    * (quadratic accumulator copies — ScaleProbe `cephot`); for hot-key
-    * corpora route through [[graft.streaming.CepStream.attachIter]]
-    * (typed predicates, streamed groups) or the store-backed
-    * [[graft.streaming.IncrementalCep.foldBatchIter]] instead.
+    * Physical plan (round 12): integral and string keys run on the typed
+    * sorted-iterator plan ([[TypedCep.iter]]) — a `first.*` predicate
+    * depends on the run's captured state, so it cannot be precomputed
+    * per event the way [[patternMatchesWhere]]'s stages are; instead the
+    * stage predicates are parsed and analyzed ONCE by the session's own
+    * analyzer (same resolution and coercion as the SQL fold) into bound
+    * Catalyst predicates evaluated row-at-a-time inside the streamed
+    * group, with the captured opener threaded as the `first` struct.
+    * Spill-safe, O(pattern) per-key state — no per-key array, no
+    * quadratic accumulator copies. Other key types keep the row-local
+    * fold, whose celebrity-key caveat applies (ScaleProbe `cephot`).
     *
     * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
     *         contract */
@@ -831,6 +1090,10 @@ object Cep {
     val projected = df.select(Seq(keyCol.as("k"),
         tsMsCol.cast("long").as("tms"), ordCol.cast("long").as("oid")) ++
         payload.map { case (n, c) => c.as(n) }: _*)
+    typedCep(projected) match {
+      case Some(t) => return t.iter(stages, withinMs, payload.map(_._1))
+      case None =>
+    }
     val capture = payload.map { case (n, _) =>
       n -> projected.schema(n).dataType.catalogString }
     val rewritten = stages.map { case (p, mn, mx) =>
@@ -862,12 +1125,18 @@ object Cep {
     * per-start independence — which is what this computes directly.
     *
     * Cost model (the honest price of overlap, mirroring Flink's concurrent
-    * NFA runs): per key O(starts × stages × events) worst case — each
-    * stage-0 event walks forward once per stage over the key's
-    * pattern-event array. The scan still pre-filters to pattern types and
-    * shuffles once on the key; only the per-key fold is heavier than
-    * [[patternMatches]]' single pass. Use SKIP PAST LAST ROW wherever the
-    * query allows.
+    * NFA runs): the typed sorted-iterator plan (integral/string keys —
+    * [[TypedCep.skipNext]], the shared [[SkipStepper]]) is ONE pass over
+    * each key's sorted pattern events with the ACTIVE RUN SET as state:
+    * O(events × live runs) work and O(in-window stage-0 events) peak
+    * state per key — linear again when the window bounds concurrent
+    * starts, and never materializing the key's event array (hot-key
+    * probe: ScaleProbe `skipnexthot`, flat to 10 M one-key events).
+    * Other key types keep the static-unroll fold below: per key
+    * O(starts × stages × events) worst case over a `collect_list` array —
+    * each stage-0 event walks forward once per stage. Either way the scan
+    * pre-filters to pattern types and shuffles once on the key. Use SKIP
+    * PAST LAST ROW wherever the query allows.
     *
     * @return (k, match_n, start_tms, end_tms); match_n numbers runs per key
     *         by start order — matches may overlap in time */
@@ -876,6 +1145,12 @@ object Cep {
       withinMs: Long): DataFrame = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val proj = projEvents(df.filter(typeCol.isin(pattern.distinct: _*)),
+      keyCol, tsMsCol, ordCol, typeCol)
+    typedCep(proj) match {
+      case Some(t) => return t.skipNext(pattern, withinMs)
+      case None =>
+    }
     // per start s0 (0-based index into the sorted event array): thread the
     // position through the remaining stages via an aggregate over the stage
     // literals, so each stage's forward scan runs ONCE (a nested textual
@@ -1082,12 +1357,14 @@ object Cep {
     require(notNext.keySet.intersect(nextStages).isEmpty,
       "a stage cannot be both strict and notNext-banned — strict " +
         "already kills every non-matching very-next event")
-    // long keys stream through the sorted-iterator plan (the scan stays
-    // UNFILTERED — strict adjacency needs every event); the fold below
-    // serves other key types
+    // integral/string keys stream through the sorted-iterator plan (the
+    // scan stays UNFILTERED — strict adjacency needs every event); the
+    // fold below serves other key types
     val projN = projEvents(df, keyCol, tsMsCol, ordCol, typeCol)
-    if (isLongKey(projN))
-      return nextSorted(projN, pattern, withinMs, nextStages, notNext)
+    typedCep(projN) match {
+      case Some(t) => return t.strict(pattern, withinMs, nextStages, notNext)
+      case None =>
+    }
     val fold = s"""aggregate(evs,
       named_struct('st', 0, 't0', CAST(0 AS BIGINT), 'fr', false,
         'ms', CAST(array() AS array<struct<s: bigint, e: bigint>>)),
@@ -1143,15 +1420,17 @@ object Cep {
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
     require(notBetween.keys.forall(i => i >= 1 && i < pattern.length),
       s"notBetween stages must be in 1..${pattern.length - 1}")
-    // long keys stream through the sorted-iterator plan (same widened
-    // pattern ∪ banned pre-filter — banned events change state); the fold
-    // below serves other key types
+    // integral/string keys stream through the sorted-iterator plan (same
+    // widened pattern ∪ banned pre-filter — banned events change state);
+    // the fold below serves other key types
     val projB = projEvents(
       df.filter(typeCol.isin(
         (pattern ++ notBetween.values.flatten ++ notAfter).distinct: _*)),
       keyCol, tsMsCol, ordCol, typeCol)
-    if (isLongKey(projB))
-      return negSorted(projB, pattern, withinMs, notBetween, notAfter)
+    typedCep(projB) match {
+      case Some(t) => return t.neg(pattern, withinMs, notBetween, notAfter)
+      case None =>
+    }
     val watch = pattern.length // st value while watching the trailing ban
     val emitMs = "array_append(acc.ms, named_struct('s', acc.t0, 'e', acc.te))"
     // input-end flush: a live watch emits (the banned event never came)

@@ -188,11 +188,17 @@ object AggQueries {
           Seq("view", "click", "purchase"), withinMs = 604800000L,
           batchId = i + 1L)
       }
+      // cross-fold match numbering ranks over the envelope PLUS m_oid
+      // (the match's stage-1 event oid — unique per match under skip past
+      // last row): two matches of one key whose envelopes tie exactly
+      // (all events at tied timestamps) would collapse under an
+      // envelope-only dense_rank; since matches never overlap, m_oid
+      // order IS emission order within an envelope tie
       val res = folds.reduce(_ unionByName _)
         .withColumnRenamed("k", "user_id")
         .withColumn("match_n", dense_rank().over(
           Window.partitionBy(col("user_id"))
-            .orderBy(col("start_tms"), col("end_tms"))))
+            .orderBy(col("start_tms"), col("end_tms"), col("m_oid"))))
         .select(col("user_id"), col("match_n"), col("stage_n"),
           col("ev_tms"), col("ev_oid"))
         .orderBy(col("user_id"), col("match_n"), col("stage_n"))

@@ -331,57 +331,91 @@ object CepStream {
     * reached and the run's own start. */
   final case class CepRun(st: Int, t0: Long)
   /** Keyed state for [[attachSkipNext]]: the key's ACTIVE runs — the
-    * honest price of overlap (Flink's concurrent runs), bounded by the
-    * runs still inside their window (timed-out runs prune as events
-    * arrive; a silent key's stale runs are inert rows). */
+    * honest price of overlap (Flink's concurrent runs), the ONE CEP
+    * stream form without a constant-size state row. Bounded two ways:
+    * an event-time timeout prunes runs whose window the watermark closed
+    * (and removes emptied state — a silent key holds nothing), and
+    * `maxActiveRuns` caps a hot key's in-window run explosion. */
   final case class CepSkipState(runs: Seq[CepRun])
 
   /** One micro-batch group for AFTER MATCH SKIP TO NEXT ROW
     * ([[graft.ops.Cep.patternMatchesSkipNext]]'s contract): every
     * stage-0 event starts its OWN run; runs advance independently (one
     * event may advance several), each emits its earliest completion
-    * within its own window and dies. A run opened by event e starts
-    * matching from events strictly AFTER e (the batch unroll's `j > s0`),
-    * hence existing runs advance BEFORE the event opens its own. */
-  def matchGroupSkipNext(pattern: IndexedSeq[String], withinMs: Long)(
+    * within its own window and dies. Per-event semantics are the shared
+    * [[graft.ops.Cep.SkipStepper]] — one step object with the batch
+    * sorted plan, so stream and batch cannot drift (a run opened by
+    * event e matches strictly AFTER e; existing runs advance before the
+    * event opens its own).
+    *
+    * On timeout (the key went silent past some run's window end) runs
+    * the watermark proves dead are pruned and emptied state is REMOVED —
+    * Flink's within-pruning, so a dormant key costs nothing forever.
+    * `maxActiveRuns` > 0 additionally evicts the OLDEST runs beyond the
+    * cap after each batch (oldest = nearest its window end, the least
+    * future matching power — still a documented, loud-in-the-docs loss:
+    * an evicted run's would-be match never emits). */
+  def matchGroupSkipNext(pattern: IndexedSeq[String], withinMs: Long,
+      maxActiveRuns: Int = 0)(
       k: Long, events: Iterator[CepEvent],
       state: GroupState[CepSkipState]): Iterator[CepMatch] = {
-    val last = pattern.length - 1
-    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    def put(runs: Vector[(Int, Long)]): Unit =
+      if (runs.isEmpty) state.remove()
+      else {
+        state.update(CepSkipState(runs.map { case (st, t0) => CepRun(st, t0) }))
+        // earliest window end still live; watermark semantics guarantee
+        // min(t0) + within > watermark here (dead runs were pruned)
+        state.setTimeoutTimestamp(runs.map(_._2).min + withinMs)
+      }
     var runs = state.getOption
       .map(_.runs.map(r => (r.st, r.t0)).toVector).getOrElse(Vector.empty)
-    val out = ListBuffer.empty[CepMatch]
-    sorted.foreach { e =>
-      val next = Vector.newBuilder[(Int, Long)]
-      runs.foreach { case (st, t0) =>
-        if (e.tms - t0 >= withinMs) () // window closed: run dead
-        else if (e.ty == pattern(st)) {
-          if (st == last) out += CepMatch(k, t0, e.tms) // earliest; run dies
-          else next += ((st + 1, t0))
-        } else next += ((st, t0)) // relaxed: ignore
-      }
-      runs = next.result()
-      if (e.ty == pattern.head) {
-        if (last == 0) out += CepMatch(k, e.tms, e.tms)
-        else runs = runs :+ ((1, e.tms))
-      }
+    if (state.hasTimedOut) {
+      val wm = state.getCurrentWatermarkMs()
+      put(runs.filter { case (_, t0) => wm - t0 < withinMs })
+      return Iterator.empty
     }
-    state.update(CepSkipState(runs.map { case (st, t0) => CepRun(st, t0) }))
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    val out = ListBuffer.empty[CepMatch]
+    val stepper = new graft.ops.Cep.SkipStepper(pattern, withinMs)
+    sorted.foreach { e =>
+      runs = stepper.step(runs, e.tms, e.ty,
+        (t0, en) => out += CepMatch(k, t0, en))
+    }
+    // watermark pruning + the documented cap (drop OLDEST beyond it)
+    val wm = state.getCurrentWatermarkMs()
+    runs = runs.filter { case (_, t0) => wm - t0 < withinMs }
+    if (maxActiveRuns > 0 && runs.length > maxActiveRuns)
+      runs = runs.takeRight(maxActiveRuns)
+    put(runs)
     out.iterator
   }
 
   /** Attach the SKIP-TO-NEXT-ROW automaton to a keyed event stream —
     * matches may overlap; per-key state is the active run set (the
-    * documented overlap price; see the batch operator's cost model).
-    * Pre-filter to the pattern's types before calling. */
+    * documented overlap price; see the batch operator's cost model). An
+    * event-time watermark over `tms` (with `delay`) is attached here so
+    * runs whose window the watermark closed are PRUNED when the key goes
+    * silent (event-time timeout — Flink's within-pruning; emptied state
+    * is removed). `maxActiveRuns` > 0 bounds a hot key's run set by
+    * evicting the oldest runs beyond the cap — matches those runs would
+    * have emitted are LOST, so size it to the window's realistic stage-0
+    * arrival count. Pre-filter to the pattern's types before calling. */
   def attachSkipNext(ds: Dataset[CepEvent], pattern: Seq[String],
-      withinMs: Long): Dataset[CepMatch] = {
+      withinMs: Long, maxActiveRuns: Int = 0,
+      delay: String = "0 milliseconds"): Dataset[CepMatch] = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    require(maxActiveRuns >= 0,
+      s"maxActiveRuns must be >= 0 (0 = unbounded), got $maxActiveRuns")
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        matchGroupSkipNext(pattern.toIndexedSeq, withinMs))
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    ds.withColumn("__et", timestamp_millis(col("tms")))
+      .withWatermark("__et", delay)
+      .as[CepEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        matchGroupSkipNext(pattern.toIndexedSeq, withinMs, maxActiveRuns))
   }
 
   /** Matched-event reference carried in [[CepSelState]] / emitted by the

@@ -323,8 +323,16 @@ object IncrementalCep {
     * watermark past everything to close out a bounded drive. O(keys)
     * full-store read, like [[expire]]. Emission is at-least-once across
     * a crash between the read and the merge (the counting-sketch
-    * re-emission contract); `batchId` must exceed every fold's. Returns
-    * (k, start_tms, end_tms). */
+    * re-emission contract).
+    *
+    * `batchId` must exceed every PRIOR fold's (enforced against the
+    * stored high-water mark — a stale id would write idle rows whose
+    * `ver` ties or trails live state rows, with a nondeterministic
+    * winner), and the flush BUMPS the mark in its own merge, so every
+    * LATER fold's replay guard (`batchId <= mark` → no-op) transitively
+    * enforces the other direction: a fold reusing a flushed id is
+    * rejected as a replay instead of racing the flush's idle rows.
+    * Returns (k, start_tms, end_tms). */
   def flushBatchNeg(spark: SparkSession, storePath: String,
       pattern: Seq[String], watermarkMs: Long, withinMs: Long,
       batchId: Long, numBuckets: Int = 4): DataFrame = {
@@ -335,6 +343,12 @@ object IncrementalCep {
         return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
       case Some(s) => s
     }
+    val hwm = live.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0))
+    require(hwm.forall(batchId > _),
+      s"flushBatchNeg batchId $batchId must exceed the stored high-water " +
+        s"mark ${hwm.getOrElse(-1L)} — an equal-or-lower id would tie " +
+        "with live state rows nondeterministically")
     val due = live.filter(col("kind") === "v" && col("st") === watch &&
         lit(watermarkMs) - col("t0") >= withinMs)
       .select(col("k"), col("t0"), col("te"))
@@ -342,10 +356,15 @@ object IncrementalCep {
     val out = due.select(col("k"), col("t0").as("start_tms"),
       col("te").as("end_tms")).localCheckpoint(true)
     if (!due.isEmpty) {
+      val metaRow = spark.range(1).select(lit("m").as("kind"),
+        lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
+        lit(0L).as("t0"), lit(0L).as("te"), lit(batchId).as("ver"),
+        lit("put").as("op_type"))
       KeyedStore.merge(
         due.select(lit("v").as("kind"), col("k"), lit(0).as("st"),
           lit(0).as("c"), lit(0L).as("t0"), lit(0L).as("te"),
-          lit(batchId).as("ver"), lit("put").as("op_type")),
+          lit(batchId).as("ver"), lit("put").as("op_type"))
+          .unionByName(metaRow),
         storePath, keys = Seq("kind", "k"), seqCols = Seq("ver"),
         numBuckets = numBuckets, bucketCols = Seq("k"),
         layoutId = Some("cep-neg-v1"))
@@ -361,8 +380,13 @@ object IncrementalCep {
     * per key — layout "cep-sel-v1"), so a match spanning folds still
     * reports all its stage events. Returns one row per matched stage
     * event of THIS batch's completed matches:
-    * (k, start_tms, end_tms, stage_n, ev_tms, ev_oid) — start/end are
-    * the match envelope (the caller's cross-fold match_n sort key).
+    * (k, start_tms, end_tms, stage_n, ev_tms, ev_oid, m_oid) —
+    * start/end are the match envelope and `m_oid` is the match's FIRST
+    * stage event's oid: under skip-past-last-row an event belongs to at
+    * most one match, so m_oid uniquely identifies the match even when
+    * two matches of one key tie on the whole (start_tms, end_tms)
+    * envelope (all events at tied timestamps) — rank cross-fold match_n
+    * over (start_tms, end_tms, m_oid), never the envelope alone.
     *
     * For expiry compatibility the state row carries `c = st` (a partial
     * is open iff st > 0), so [[expire]]/[[maintainExpire]] work
@@ -387,8 +411,9 @@ object IncrementalCep {
       .select(col("ver")).collect().headOption.map(_.getLong(0)))
     if (hwm.exists(batchId <= _)) {
       graft.util.Blocks.freeCheckpoint(batch)
-      return Seq.empty[(Long, Long, Long, Int, Long, Long)]
-        .toDF("k", "start_tms", "end_tms", "stage_n", "ev_tms", "ev_oid")
+      return Seq.empty[(Long, Long, Long, Int, Long, Long, Long)]
+        .toDF("k", "start_tms", "end_tms", "stage_n", "ev_tms", "ev_oid",
+          "m_oid")
     }
     val state = stored
       .map(_.filter(col("kind") === "v")
@@ -463,10 +488,11 @@ object IncrementalCep {
       .select(col("k"),
         element_at(col("m"), 1).getField("t").as("start_tms"),
         element_at(col("m"), -1).getField("t").as("end_tms"),
+        element_at(col("m"), 1).getField("o").as("m_oid"),
         posexplode(col("m")).as(Seq("j", "ev")))
       .select(col("k"), col("start_tms"), col("end_tms"),
         (col("j") + 1).as("stage_n"), col("ev.t").as("ev_tms"),
-        col("ev.o").as("ev_oid"))
+        col("ev.o").as("ev_oid"), col("m_oid"))
       .localCheckpoint(true)
     graft.util.Blocks.freeCheckpoint(folded)
     graft.util.Blocks.freeCheckpoint(batch)

@@ -422,6 +422,19 @@ class PlanSpec extends SparkSpec {
     }
     assert(!plan("q_cep_notnext").contains("In(event_type"),
       "strict scan must NOT pre-filter event types")
+    // round 12: the LAST two fold holdouts route too — skip-to-next runs
+    // the shared run-set stepper, iter runs analyzer-bound predicates in
+    // the streamed group; neither may collect the key's event array
+    for (q <- Seq("q_cep_skipnext", "q_cep_iter")) {
+      val p = plan(q)
+      assert(!p.contains("collect_list"),
+        s"$q must not build per-key event arrays:\n" + p.take(800))
+      assert(p.contains("FlatMapGroups") || p.contains("MapGroups"),
+        s"$q must stream groups through the automaton:\n" + p.take(800))
+      assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+        s"$q keeps the pushed type IN:\n" + p.take(800))
+      assert(!p.contains("Join"), s"$q stays join-free:\n" + p.take(800))
+    }
   }
 
   test("hits: no cartesian anywhere; final hub-authority combine is an equi join") {

@@ -518,4 +518,199 @@ class CepSpec extends SparkSpec {
     assert(Cep.mapOutsideLiterals("a = 'it\\'s first.' AND first.x")(
       _.replaceAll("\\bfirst\\.", "F.")) == "a = 'it\\'s first.' AND F.x")
   }
+
+  test("first. inside a DOUBLE-QUOTED literal is neither rewritten nor rejected") {
+    // Spark's default lexer accepts "..." as a string literal — the
+    // masking must treat it like '...' (the fold path's regex rewrite and
+    // the typed path's real parser must agree)
+    assert(Cep.mapOutsideLiterals("a = \"it first.\" AND first.x")(
+      _.replaceAll("\\bfirst\\.", "F.")) == "a = \"it first.\" AND F.x")
+    assert(Cep.mapOutsideLiterals("a = \"doubled \"\" first.\" AND first.x")(
+      _.replaceAll("\\bfirst\\.", "F.")) ==
+      "a = \"doubled \"\" first.\" AND F.x")
+    assert(!Cep.existsOutsideLiterals("e.ty = \"first.home\"",
+      "(?s).*\\bfirst\\..*"))
+    // typed path (long keys): the parser keeps the literal
+    val stages = Seq(("e.ty = 'view'", 1, 1), ("e.ty = \"first.home\"", 1, 1))
+    val df = evV((1, 10, "view", 1.0), (1, 20, "first.home", 1.0))
+    assert(matchesIter(df, stages, 1000) == Seq((1L, 1, 10L, 20L)))
+    // fold path (double keys — no typed route): the masked rewrite keeps it
+    val dfD = df.withColumn("k", col("k").cast("double"))
+    val gotD = Cep.patternMatchesIter(dfD, col("k"), col("tms"), col("oid"),
+        stages, 1000, payload = Seq("ty" -> col("ty"), "value" -> col("v")))
+      .collect().map(r => (r.getDouble(0).toLong, r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(gotD == Seq((1L, 1, 10L, 20L)))
+    // a double-quoted stage-0 literal containing the token is accepted
+    val s0 = Seq(("e.ty = \"first.home\"", 1, 1), ("e.ty = 'purchase'", 1, 1))
+    val df2 = evV((2, 10, "first.home", 1.0), (2, 20, "purchase", 1.0))
+    assert(matchesIter(df2, s0, 1000) == Seq((2L, 1, 10L, 20L)))
+  }
+
+  // ---- round 12: typed-plan key routing (string / null / fold parity) ----
+
+  /** A dense multi-key fixture with tied timestamps, noise, timeouts and
+    * re-opens — deliberately adversarial for automaton parity checks. */
+  private def parityFixture = {
+    val s = spark
+    import s.implicits._
+    (0 until 600).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      val k = (h % 7).toLong
+      val ty = Seq("view", "click", "purchase", "error", "signup")(
+        ((h / 7) % 5).toInt)
+      (k, ((h / 35) % 50).toLong, i.toLong, ty, (h % 100).toDouble)
+    }.toDF("k", "tms", "oid", "ty", "v")
+  }
+
+  test("typed sorted plans equal the aggregate fold on every CEP form") {
+    // double keys have no typed route, so the SQL `aggregate` fold serves
+    // them — running the same events through long (typed) and double
+    // (fold) keys IS the typed-vs-fold parity check, on every operator
+    // that has both paths
+    val dfL = parityFixture
+    val dfD = dfL.withColumn("k", col("k").cast("double"))
+    def tup(df: org.apache.spark.sql.DataFrame, longKey: Boolean) =
+      df.collect().map(r => (
+          if (longKey) r.getLong(0) else r.getDouble(0).toLong,
+          r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+    val w = 30L
+    def both(f: (org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+        : (Seq[(Long, Int, Long, Long)], Seq[(Long, Int, Long, Long)]) =
+      (tup(f(dfL), longKey = true), tup(f(dfD), longKey = false))
+    // relaxed
+    locally {
+      val (t, f) = both(d => Cep.patternMatches(d, col("k"), col("tms"),
+        col("oid"), col("ty"), vcp, w))
+      assert(t.nonEmpty && t == f)
+    }
+    // quantified (loop + optional)
+    locally {
+      val pat = Seq(("view", 1, U), ("click", 0, U), ("purchase", 1, 1))
+      val (t, f) = both(d => Cep.patternMatchesTimes(d, col("k"), col("tms"),
+        col("oid"), col("ty"), pat, w))
+      assert(t.nonEmpty && t == f)
+    }
+    // strict + notNext (three stages so the window-lead fast path is NOT
+    // taken and the fold/sorted pair is what runs)
+    locally {
+      val (t, f) = both(d => Cep.patternMatchesNext(d, col("k"), col("tms"),
+        col("oid"), col("ty"), vcp, w, nextStages = Set(2),
+        notNext = Map(1 -> Seq("error"))))
+      assert(t == f)
+    }
+    // negation with a trailing ban (flush included)
+    locally {
+      val (t, f) = both(d => Cep.patternMatchesNeg(d, col("k"), col("tms"),
+        col("oid"), col("ty"), Seq("view", "purchase"), w,
+        notBetween = Map(1 -> Seq("error")), notAfter = Seq("click")))
+      assert(t.nonEmpty && t == f)
+    }
+    // skip to next row (overlapping runs)
+    locally {
+      val (t, f) = both(d => Cep.patternMatchesSkipNext(d, col("k"),
+        col("tms"), col("oid"), col("ty"), vcp, w))
+      assert(t.nonEmpty && t == f)
+    }
+    // where() predicate stages
+    locally {
+      val stages = Seq(("e.ty = 'view' AND e.value > 20.0", 1, 1),
+        ("e.ty = 'purchase'", 1, 1))
+      val (t, f) = both(d => Cep.patternMatchesWhere(d, col("k"), col("tms"),
+        col("oid"), stages, w,
+        payload = Seq("ty" -> col("ty"), "value" -> col("v"))))
+      assert(t.nonEmpty && t == f)
+    }
+    // iterative conditions (capture + analyzer-resolved predicates)
+    locally {
+      val stages = Seq(("e.ty = 'view'", 1, 1),
+        ("e.ty = 'purchase' AND e.value > first.value", 1, 1))
+      val (t, f) = both(d => Cep.patternMatchesIter(d, col("k"), col("tms"),
+        col("oid"), stages, w,
+        payload = Seq("ty" -> col("ty"), "value" -> col("v"))))
+      assert(t.nonEmpty && t == f)
+    }
+  }
+
+  test("string keys route through the typed sorted plan; int keys cast back") {
+    val dfL = parityFixture
+    val dfS = dfL.withColumn("k", concat(lit("user_"), col("k")))
+    val wantL = matches(dfL, vcp, 30L)
+    val gotS = Cep.patternMatches(dfS, col("k"), col("tms"), col("oid"),
+        col("ty"), vcp, 30L)
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("user_").toLong, r.getInt(1),
+        r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(gotS == wantL)
+    // int keys widen to long for the plan and the OUTPUT casts back to int
+    val dfI = dfL.withColumn("k", col("k").cast("int"))
+    val resI = Cep.patternMatchesSkipNext(dfI, col("k"), col("tms"),
+      col("oid"), col("ty"), vcp, 30L)
+    assert(resI.schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val gotI = resI.collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val wantSkip = matchesSkip(dfL, vcp, 30L)
+    assert(gotI == wantSkip)
+    // select() accepts string keys (it has no fold twin)
+    val selS = Cep.patternMatchesSelect(dfS, col("k"), col("tms"),
+      col("oid"), col("ty"), vcp, 30L).collect()
+    val selL = Cep.patternMatchesSelect(dfL, col("k"), col("tms"),
+      col("oid"), col("ty"), vcp, 30L).collect()
+    assert(selS.length == selL.length && selS.nonEmpty)
+  }
+
+  test("NULL keys group together on the typed plan (the fold's null-group semantics)") {
+    // key 3 nulled out: the typed plan must GROUP null keys and emit
+    // their matches with k NULL — exactly what the SQL fold's GROUP BY
+    // does (the round-11 routing raised an encoder NPE here instead)
+    val dfL = parityFixture
+      .withColumn("k", when(col("k") === 3, lit(null)).otherwise(col("k")))
+    val dfD = dfL.withColumn("k", col("k").cast("double"))
+    def tupN(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (
+          if (r.isNullAt(0)) Long.MinValue
+          else r.get(0) match {
+            case l: java.lang.Long => l.longValue
+            case d: java.lang.Double => d.toLong
+          },
+          r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+    val typed = tupN(Cep.patternMatches(dfL, col("k"), col("tms"),
+      col("oid"), col("ty"), vcp, 30L))
+    val fold = tupN(Cep.patternMatches(dfD, col("k"), col("tms"),
+      col("oid"), col("ty"), vcp, 30L))
+    assert(typed.exists(_._1 == Long.MinValue),
+      "the null-key group must emit matches")
+    assert(typed == fold)
+    // string keys: a null string key groups too
+    val dfS = parityFixture.withColumn("k",
+      when(col("k") === 3, lit(null)).otherwise(concat(lit("u"), col("k"))))
+    val gotS = Cep.patternMatches(dfS, col("k"), col("tms"), col("oid"),
+        col("ty"), vcp, 30L)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue
+        else r.getString(0).stripPrefix("u").toLong,
+        r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(gotS == typed)
+  }
+
+  test("overlapWarnings: flexible loop or optional stage sharing the next stage's type") {
+    // the pinned greedy no-match class: (view)(click optional)(click)
+    assert(Cep.overlapWarnings(
+      Seq(("view", 1, 1), ("click", 0, 1), ("click", 1, 1))).size == 1)
+    // flexible loop into the same type
+    assert(Cep.overlapWarnings(
+      Seq(("view", 1, U), ("view", 1, 1))).size == 1)
+    // exact-count loop has no choice — greedy and NFA agree; no warning
+    assert(Cep.overlapWarnings(
+      Seq(("view", 2, 2), ("view", 1, 1))).isEmpty)
+    // distinct adjacent types: no warning
+    assert(Cep.overlapWarnings(
+      Seq(("view", 0, U), ("click", 1, 1))).isEmpty)
+  }
 }

@@ -480,6 +480,47 @@ class CepStreamSpec extends SparkSpec {
     }
   }
 
+  test("attachSkipNext: watermark-pruned runs do not block later matches; maxActiveRuns evicts oldest") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    var runNo = 100
+    def runSkipCap(batches: Seq[Seq[CepEvent]], w: Long,
+        cap: Int): Seq[(Long, Long, Long)] = {
+      runNo += 1
+      val tbl = s"cep_skipcap_out_$runNo"
+      val mem = MemoryStream[CepEvent]
+      val q = CepStream.attachSkipNext(mem.toDS(), vcp, w,
+          maxActiveRuns = cap).writeStream
+        .format("memory").queryName(tbl).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table(tbl).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+            r.getAs[Long]("match_end")))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    // a key going SILENT while other keys advance the watermark: key 1's
+    // runs time out (event-time timeout prunes, state row removed), then
+    // the key returns and a FRESH run still matches — pruning never
+    // loses a live run, and matches equal the batch operator throughout
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(9, 12, 2, "view"))
+    val b2 = Seq(CepEvent(9, 500, 3, "view")) // advances watermark past 1's window
+    val b3 = Seq(CepEvent(1, 600, 4, "view"), CepEvent(1, 610, 5, "click"),
+      CepEvent(1, 620, 6, "purchase"))
+    assert(runSkipCap(Seq(b1, b2, b3), 100, cap = 0) ==
+      Seq((1L, 600L, 620L)))
+    // maxActiveRuns = 1 evicts the OLDEST run: with two in-window views,
+    // only the younger run survives to match (the documented loss)
+    val c1 = Seq(CepEvent(2, 10, 1, "view"), CepEvent(2, 20, 2, "view"))
+    val c2 = Seq(CepEvent(2, 30, 3, "click"), CepEvent(2, 40, 4, "purchase"))
+    assert(runSkipCap(Seq(c1, c2), 1000, cap = 1) == Seq((2L, 20L, 40L)))
+    // the same drive uncapped keeps both overlapping matches
+    assert(runSkipCap(Seq(c1, c2), 1000, cap = 0) ==
+      Seq((2L, 10L, 40L), (2L, 20L, 40L)))
+  }
+
   test("attachSelect: the stage-event buffer and match counter cross micro-batches") {
     val s = spark
     import s.implicits._

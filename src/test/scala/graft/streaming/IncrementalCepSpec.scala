@@ -275,6 +275,138 @@ class IncrementalCepSpec extends SparkSpec {
     assert(sel(evDf((1, 70, 8, "view")), 2).isEmpty)
   }
 
+  test("foldBatchSelect: m_oid disambiguates matches whose envelopes tie exactly") {
+    val store = Files.createTempDirectory("inc_cep_tie").toString + "/cep"
+    val pat = Seq("view", "click", "purchase")
+    // ALL six events at one timestamp: two complete matches whose
+    // (start_tms, end_tms) envelopes are IDENTICAL (10, 10) — only the
+    // per-match m_oid (the stage-1 event's oid, unique under skip past
+    // last row) tells them apart for cross-fold match numbering
+    val out = IncrementalCep.foldBatchSelect(
+      evDf((1, 10, 1, "view"), (1, 10, 2, "click"), (1, 10, 3, "purchase"),
+        (1, 10, 4, "view"), (1, 10, 5, "click"), (1, 10, 6, "purchase")),
+      store, pat, 1000, batchId = 1)
+    val rows = out.collect()
+      .map(r => (r.getLong(r.fieldIndex("m_oid")),
+        r.getInt(r.fieldIndex("stage_n")),
+        r.getLong(r.fieldIndex("ev_oid"))))
+      .sortBy(identity).toSeq
+    assert(rows == Seq((1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L),
+      (4L, 1, 4L), (4L, 2, 5L), (4L, 3, 6L)))
+    // an envelope-only dense_rank would collapse the tie to ONE match_n;
+    // ranking over (start, end, m_oid) recovers both matches in emission
+    // order — the q_cep_select_stream drive's contract
+    val ranked = out.withColumn("match_n", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("start_tms"), col("end_tms"), col("m_oid"))))
+      .select(col("match_n")).distinct().collect().map(_.getInt(0)).sorted
+    assert(ranked.toSeq == Seq(1, 2))
+  }
+
+  test("flushBatchNeg: a stale batchId is rejected; its mark makes later equal ids replays") {
+    val s = spark
+    val store = Files.createTempDirectory("inc_cep_fhwm").toString + "/cep"
+    val pat = Seq("view", "purchase")
+    val w = 100L
+    // fold 1 completes a watch (trailing ban pending)
+    val m1 = got(IncrementalCep.foldBatchNeg(
+      evDf((1, 10, 1, "view"), (1, 20, 2, "purchase")), store, pat,
+      withinMs = w, batchId = 1, notAfter = Seq("click")))
+    assert(m1.isEmpty)
+    // a flush with batchId <= the stored mark is REJECTED loudly — its
+    // idle rows would tie with fold 1's state rows nondeterministically
+    val err = intercept[IllegalArgumentException] {
+      IncrementalCep.flushBatchNeg(s, store, pat, watermarkMs = 500,
+        withinMs = w, batchId = 1)
+    }
+    assert(err.getMessage.contains("high-water"))
+    // a proper flush emits the watch AND bumps the mark...
+    val f = got(IncrementalCep.flushBatchNeg(s, store, pat,
+      watermarkMs = 500, withinMs = w, batchId = 2))
+    assert(f == Seq((1L, 10L, 20L)))
+    // ...so a later fold reusing the flush's id is a REPLAY no-op (the
+    // documented contract: all later folds exceed every flush's id)
+    val replay = got(IncrementalCep.foldBatchNeg(
+      evDf((1, 600, 3, "view"), (1, 610, 4, "purchase")), store, pat,
+      withinMs = w, batchId = 2, notAfter = Seq("click")))
+    assert(replay.isEmpty)
+    // and the next legitimate fold proceeds from clean flushed state
+    val m3 = got(IncrementalCep.foldBatchNeg(
+      evDf((1, 700, 5, "view"), (1, 710, 6, "purchase")), store, pat,
+      withinMs = w, batchId = 3, notAfter = Seq("click")))
+    assert(m3.isEmpty) // new watch pending, not yet flushed
+    val f2 = got(IncrementalCep.flushBatchNeg(s, store, pat,
+      watermarkMs = 2000, withinMs = w, batchId = 4))
+    assert(f2 == Seq((1L, 700L, 710L)))
+  }
+
+  test("expiry-enabled folds emit byte-identical matches on every layout (dead ≡ absent)") {
+    // VERDICT r11 item 8: drive each store layout (times/where, iter,
+    // next, neg, select) twice — with and without expireWatermarkMs wired
+    // through every fold (checkEvery=1 via maintainExpire's own cadence
+    // would need 16 folds; instead call expire() between folds directly
+    // AND pass expireWatermarkMs, proving dead-row pruning never changes
+    // emissions) — and require identical outputs.
+    val w = 50L
+    // three folds: fold 1 completes key 1 (idle after) and opens key 2;
+    // fold 2 is far in the future (key 2's partial is timed out — dead);
+    // fold 3 re-drives both keys
+    val b1 = Seq((1L, 10L, 1L, "view"), (1L, 15L, 2L, "click"),
+      (1L, 20L, 3L, "purchase"), (2L, 12L, 4L, "view"))
+    val b2 = Seq((1L, 200L, 5L, "view"), (2L, 210L, 6L, "view"),
+      (2L, 215L, 7L, "click"))
+    val b3 = Seq((1L, 220L, 8L, "click"), (1L, 230L, 9L, "purchase"),
+      (2L, 240L, 10L, "purchase"))
+    val batches = Seq(b1, b2, b3)
+    def drive(expire: Boolean)(
+        fold: (org.apache.spark.sql.DataFrame, String, Long, Option[Long]) =>
+          org.apache.spark.sql.DataFrame): Seq[Seq[org.apache.spark.sql.Row]] = {
+      val store = Files.createTempDirectory("inc_cep_exm").toString + "/cep"
+      batches.zipWithIndex.map { case (b, i) =>
+        val wm = if (expire) Some(b.map(_._2).max) else None
+        val out = fold(evDf(b: _*), store, i + 1L, wm).collect().toSeq
+          .sortBy(_.toString)
+        // force the O(keys) prune after EVERY fold (maintainExpire's own
+        // cadence is 16 folds — too long for a 3-fold fixture): idle and
+        // timed-out rows physically drop, and the next fold must not care
+        wm.foreach(m => IncrementalCep.expire(spark, store, m, w))
+        out
+      }
+    }
+    def parity(label: String)(
+        fold: (org.apache.spark.sql.DataFrame, String, Long, Option[Long]) =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      val plain = drive(expire = false)(fold)
+      val pruned = drive(expire = true)(fold)
+      assert(plain == pruned, s"$label: expiry changed emissions")
+      assert(plain.flatten.nonEmpty, s"$label: fixture emitted nothing")
+    }
+    parity("times") { (df, store, id, wm) =>
+      IncrementalCep.foldBatch(df, store, vcp, w, id,
+        expireWatermarkMs = wm)
+    }
+    parity("iter") { (df, store, id, wm) =>
+      IncrementalCep.foldBatchIter(
+        df.withColumn("v", col("oid").cast("double")), store,
+        Seq(("e.ty = 'view'", 1, 1),
+          ("e.ty = 'purchase' AND e.value >= first.value", 1, 1)), w, id,
+        payload = Seq("ty" -> col("ty"), "value" -> col("v")),
+        expireWatermarkMs = wm)
+    }
+    parity("next") { (df, store, id, wm) =>
+      IncrementalCep.foldBatchNext(df, store, Seq("view", "click"), w, id,
+        nextStages = Set(1), expireWatermarkMs = wm)
+    }
+    parity("neg") { (df, store, id, wm) =>
+      IncrementalCep.foldBatchNeg(df, store, Seq("view", "purchase"), w, id,
+        notBetween = Map(1 -> Seq("error")), expireWatermarkMs = wm)
+    }
+    parity("select") { (df, store, id, wm) =>
+      IncrementalCep.foldBatchSelect(df, store,
+        Seq("view", "click", "purchase"), w, id, expireWatermarkMs = wm)
+    }
+  }
+
   test("self-scheduled expiry: maintainExpire fires on the cadence; folds stay equivalent") {
     val store = Files.createTempDirectory("inc_cep_me").toString + "/cep"
     // folds 1-2: keys 1..3 complete (idle, dead under any later watermark),
