@@ -1253,9 +1253,10 @@ object ScaleProbe {
     }
     def sorted(df: DataFrame) = graft.ops.Cep.patternMatches(df, col("k"),
       col("tms"), col("oid"), col("ty"), vcp, w).count()
-    // string key → the aggregate-fold plan (same automaton, array state)
+    // double key → the aggregate-fold plan (same automaton, array state;
+    // string keys route to the typed plan since round 12)
     def folded(df: DataFrame) = graft.ops.Cep.patternMatches(df,
-      col("k").cast("string"), col("tms"), col("oid"), col("ty"), vcp,
+      col("k").cast("double"), col("tms"), col("oid"), col("ty"), vcp,
       w).count()
     for (hot <- Seq(100000L, 400000L)) {
       val df = corpus(hot)
@@ -1282,6 +1283,70 @@ object ScaleProbe {
         val wS = (System.nanoTime - t0) / 1e9
         println(f"CEPHOT hot=$hot%9d rep=$rep sorted=$wS%7.2f s " +
           f"(fold not run — quadratic) matches=$mS")
+      }
+      graft.util.Blocks.freeCheckpoint(df)
+    }
+    spark.stop()
+  }
+
+  /** SKIP-TO-NEXT hot-key probe (round-12 VERDICT item 1): the routed
+    * run-set stepper vs the static-unroll fold while ONE key's event
+    * count grows. The unroll is O(starts × stages × events) over a
+    * collect_list array — the celebrity-key class — so it is only run at
+    * small hot sizes; the stepper is O(events × live runs) with the run
+    * set bounded by the WINDOW (tms advances 1/event, window 3000 → ≤
+    * ~1000 in-window stage-0 events), the realistic overlap shape. The
+    * claim under test: the routed plan's per-row wall stays FLAT to 10 M
+    * one-key events. */
+  def skipnexthotProbe(keys: Int): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vcp = Seq("view", "click", "purchase")
+    def mix(idCol: org.apache.spark.sql.Column) =
+      element_at(array(vcp.map(lit): _*),
+        (pmod(hash(idCol), lit(3)) + 1).cast("int"))
+    val w = 3000L
+    def corpus(hot: Long) = {
+      val hotDf = spark.range(hot).select(lit(0L).as("k"),
+        col("id").as("tms"), col("id").as("oid"), mix(col("id")).as("ty"))
+      val bg = spark.range(keys * 64L).select(
+        (pmod(col("id"), lit(keys)) + 1).cast("long").as("k"),
+        (col("id") / keys).cast("long").as("tms"),
+        (col("id") + hot).as("oid"), mix(col("id") + hot).as("ty"))
+      hotDf.unionByName(bg).localCheckpoint(true)
+    }
+    def stepped(df: DataFrame) = graft.ops.Cep.patternMatchesSkipNext(df,
+      col("k"), col("tms"), col("oid"), col("ty"), vcp, w).count()
+    // double key → the static-unroll fold (no typed route)
+    def unrolled(df: DataFrame) = graft.ops.Cep.patternMatchesSkipNext(df,
+      col("k").cast("double"), col("tms"), col("oid"), col("ty"), vcp,
+      w).count()
+    for (hot <- Seq(20000L, 60000L)) {
+      val df = corpus(hot)
+      for (rep <- 0 until 2) {
+        val t0 = System.nanoTime()
+        val mS = stepped(df)
+        val wS = (System.nanoTime - t0) / 1e9
+        val t1 = System.nanoTime()
+        val mF = unrolled(df)
+        val wF = (System.nanoTime - t1) / 1e9
+        assert(mS == mF, s"routing changed semantics: $mS vs $mF")
+        println(f"SKIPNEXTHOT hot=$hot%9d rep=$rep stepper=$wS%7.2f s " +
+          f"unroll=$wF%7.2f s matches=$mS")
+      }
+      graft.util.Blocks.freeCheckpoint(df)
+    }
+    // the stepper alone through 2 M and 10 M — the unroll is out of the
+    // running (quadratic); flat per-row wall is the claim
+    for (hot <- Seq(2000000L, 10000000L)) {
+      val df = corpus(hot)
+      for (rep <- 0 until 2) {
+        val t0 = System.nanoTime()
+        val mS = stepped(df)
+        val wS = (System.nanoTime - t0) / 1e9
+        println(f"SKIPNEXTHOT hot=$hot%9d rep=$rep stepper=$wS%7.2f s " +
+          f"(unroll not run — quadratic) matches=$mS")
       }
       graft.util.Blocks.freeCheckpoint(df)
     }
@@ -1509,6 +1574,26 @@ object ScaleProbe {
         withinMs = 1000000000L, checkEvery = 1)
       println(s"  cep matches=$matches keys=$nEvKeys expireFired=$pruned")
     }
+    // H. CEP SKIP-TO-NEXT (round 12 — the overlap form): the one CEP
+    // operator whose per-key cost model is the family's outlier (active
+    // RUN SET, not a constant-size state row) over copies×4k keys × 36
+    // events; window = 12 ticks so the run set is window-bounded — the
+    // realistic overlap shape the routed stepper is built for
+    stage("cep-skipnext") {
+      val nEvKeys = copies * 4000L
+      val rows = nEvKeys * 36
+      val tyc = array(lit("view"), lit("click"), lit("purchase"), lit("view"))
+      val ev = spark.range(rows).select(
+        (col("id") % nEvKeys).as("k"),
+        ((col("id") / nEvKeys) * 1000L).as("tms"),
+        col("id").as("oid"),
+        element_at(tyc, (pmod(col("id") / nEvKeys, lit(4)) + 1).cast("int"))
+          .as("ty"))
+      val m = graft.ops.Cep.patternMatchesSkipNext(ev, col("k"), col("tms"),
+        col("oid"), col("ty"), Seq("view", "click", "purchase"),
+        withinMs = 12000L).count()
+      println(s"  skipnext matches=$m keys=$nEvKeys")
+    }
     println(f"TENANCY total: shuffle=${gb(shuffleW.get)}%7.2f GB " +
       f"spillMem=${gb(spillMem.get)}%7.2f GB spillDisk=${gb(spillDisk.get)}%6.2f GB " +
       f"peakStageShuffle=${gb(peakStage.get)}%6.2f GB")
@@ -1548,9 +1633,11 @@ object ScaleProbe {
         .localCheckpoint(true)
       for (rep <- 0 until 2) {
         val t0 = System.nanoTime()
-        val m1 = graft.ops.Cep.patternMatchesNextFold(df, col("k"),
-          col("tms"), col("oid"), col("ty"), Seq("view", "click"), 10L,
-          Set(1)).count()
+        // double key → the TRUE aggregate fold (long/string keys route to
+        // the typed sorted plan since round 12)
+        val m1 = graft.ops.Cep.patternMatchesNextFold(df,
+          col("k").cast("double"), col("tms"), col("oid"), col("ty"),
+          Seq("view", "click"), 10L, Set(1)).count()
         val w1 = (System.nanoTime - t0) / 1e9
         val t1 = System.nanoTime()
         // the PUBLIC operator routes this shape to the window-lead plan
@@ -1783,6 +1870,10 @@ object ScaleProbe {
     if (args.headOption.contains("tenancy")) {
       tenancyProbe(args.lift(1).map(_.toInt).getOrElse(50),
         args.lift(2).getOrElse("/tmp/graft_scale_tenancy"))
+      return
+    }
+    if (args.headOption.contains("skipnexthot")) {
+      skipnexthotProbe(args.lift(1).map(_.toInt).getOrElse(100000))
       return
     }
     if (args.headOption.contains("cephot")) {
