@@ -1322,9 +1322,11 @@ object ScaleProbe {
     def unrolled(df: DataFrame) = graft.ops.Cep.patternMatchesSkipNext(df,
       col("k").cast("double"), col("tms"), col("oid"), col("ty"), vcp,
       w).count()
-    for (hot <- Seq(20000L, 60000L)) {
+    for (hot <- Seq(20000L, 40000L)) {
       val df = corpus(hot)
-      for (rep <- 0 until 2) {
+      // the unroll's quadratic term makes reps expensive — one warm-up
+      // rep at the smallest size only, then single timed readings
+      for (rep <- 0 until 2 if rep == 1 || hot == 20000L) {
         val t0 = System.nanoTime()
         val mS = stepped(df)
         val wS = (System.nanoTime - t0) / 1e9
