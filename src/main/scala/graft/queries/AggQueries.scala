@@ -305,6 +305,49 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // Cross-batch SKIP-TO-NEXT CEP over the persistent store (round 12 —
+    // the last drive form: every primitive now runs batch, fMGWS, AND
+    // store-backed): q_cep_skipnext's overlapping-runs pattern driven
+    // through three time-cut folds of IncrementalCep.foldBatchSkipNext —
+    // the ACTIVE RUN SET crosses batch boundaries through the store's
+    // runs column, so a run opened in one fold completes in a later one.
+    // Oracle = q_cep_skipnext's static-unroll CTE verbatim (match_n by
+    // (start, end) equals the oracle's start-order numbering: runs are
+    // monotone, so equal-start runs order by end, and full ties are
+    // row-identical).
+    "q_cep_skipnext_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepsk_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchSkipNext(p, s"$root/cep",
+          Seq("view", "click", "purchase"), withinMs = 604800000L,
+          batchId = i + 1L)
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
     // CEP with an OPTIONAL middle stage (Flink-CEP optional(), min 0
     // unbounded here — oneOrMore().optional()): a view, any number of
     // clicks INCLUDING NONE, then a purchase within seven days. Differs
@@ -504,6 +547,34 @@ object AggQueries {
     })
 
   import Envelopes.{odCte, oiCte}
+
+  // the q_cep_skipnext static-unroll oracle (min-seq per stage per
+  // start — exact because runs never interact), shared with
+  // q_cep_skipnext_stream: the store-backed fold runs the same
+  // SkipStepper seeded from storage, so concatenated folds equal the
+  // batch operator.
+  private val cepSkipSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, tms, ty,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+      |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+      |               event_type AS ty
+      |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+      |v AS (SELECT user_id, seq AS s0, tms AS t0 FROM ev WHERE ty = 'view'),
+      |c AS (SELECT v.user_id, v.s0, v.t0, MIN(e.seq) AS c_seq
+      |      FROM v JOIN ev e ON e.user_id = v.user_id AND e.seq > v.s0
+      |        AND e.ty = 'click' AND e.tms - v.t0 < 604800000
+      |      GROUP BY 1, 2, 3),
+      |p AS (SELECT c.user_id, c.s0, c.t0, MIN(e.seq) AS p_seq
+      |      FROM c JOIN ev e ON e.user_id = c.user_id AND e.seq > c.c_seq
+      |        AND e.ty = 'purchase' AND e.tms - c.t0 < 604800000
+      |      GROUP BY 1, 2, 3)
+      |SELECT p.user_id,
+      |       CAST(row_number() OVER (PARTITION BY p.user_id ORDER BY p.s0) AS INT)
+      |         AS match_n,
+      |       p.t0 AS start_tms, pe.tms AS end_tms
+      |FROM p JOIN ev pe ON pe.user_id = p.user_id AND pe.seq = p.p_seq
+      |ORDER BY p.user_id, match_n""".stripMargin
 
   // the q_cep batch automaton oracle, shared with q_cep_stream
   private val cepSql: String =
@@ -1017,28 +1088,13 @@ object AggQueries {
     // sequential pattern), so the oracle is a static per-stage unroll —
     // each view's earliest in-window click, then that click's earliest
     // in-window purchase.
-    "q_cep_skipnext" ->
-      """WITH ev AS (
-        |  SELECT user_id, tms, ty,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty
-        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
-        |v AS (SELECT user_id, seq AS s0, tms AS t0 FROM ev WHERE ty = 'view'),
-        |c AS (SELECT v.user_id, v.s0, v.t0, MIN(e.seq) AS c_seq
-        |      FROM v JOIN ev e ON e.user_id = v.user_id AND e.seq > v.s0
-        |        AND e.ty = 'click' AND e.tms - v.t0 < 604800000
-        |      GROUP BY 1, 2, 3),
-        |p AS (SELECT c.user_id, c.s0, c.t0, MIN(e.seq) AS p_seq
-        |      FROM c JOIN ev e ON e.user_id = c.user_id AND e.seq > c.c_seq
-        |        AND e.ty = 'purchase' AND e.tms - c.t0 < 604800000
-        |      GROUP BY 1, 2, 3)
-        |SELECT p.user_id,
-        |       CAST(row_number() OVER (PARTITION BY p.user_id ORDER BY p.s0) AS INT)
-        |         AS match_n,
-        |       p.t0 AS start_tms, pe.tms AS end_tms
-        |FROM p JOIN ev pe ON pe.user_id = p.user_id AND pe.seq = p.p_seq
-        |ORDER BY p.user_id, match_n""".stripMargin,
+    "q_cep_skipnext" -> cepSkipSql,
+
+    // q_cep_skipnext_stream shares the batch oracle VERBATIM:
+    // foldBatchSkipNext runs the same SkipStepper with the run set
+    // seeded from storage, so three time-cut folds concatenate to
+    // exactly the batch operator's matches.
+    "q_cep_skipnext_stream" -> cepSkipSql,
 
     // The optional-stage automaton as a recursive CTE over (st, t0):
     // st 0 idle, 1 = view seen, 2 = in the optional click loop; a

@@ -501,6 +501,140 @@ object IncrementalCep {
     out
   }
 
+  /** Typed per-key event row of [[foldBatchSkipNext]]'s cogroup. */
+  private[streaming] final case class SkipEv(k: Long, tms: Long, oid: Long, ty: String)
+  /** Stored run-set row of [[foldBatchSkipNext]]'s cogroup. */
+  private[streaming] final case class SkipState(k: Long, runs: String)
+  /** One cogroup output row: kind "m" = a match (s, e), kind "v" = the
+    * key's post-fold state (runs encoded, c = run count, t0 = YOUNGEST
+    * run's start — see the expiry note on [[foldBatchSkipNext]]). */
+  private[streaming] final case class SkipOut(kind: String, k: Long, s: Long, e: Long,
+      c: Int, t0: Long, runs: String)
+
+  /** Encode/decode the active run set — "st:t0;st:t0;…" in OPEN order
+    * (t0 non-decreasing by construction: runs open in event-time order).
+    * A controlled compact format, part of the "cep-skip-v1" layout. */
+  private def encodeRuns(runs: Vector[(Int, Long)]): String =
+    runs.iterator.map { case (st, t0) => s"$st:$t0" }.mkString(";")
+  private def decodeRuns(s: String): Vector[(Int, Long)] =
+    if (s == null || s.isEmpty) Vector.empty
+    else s.split(';').iterator.map { p =>
+      val i = p.indexOf(':')
+      (p.substring(0, i).toInt, p.substring(i + 1).toLong)
+    }.toVector
+
+  /** [[foldBatch]]'s SKIP-TO-NEXT-ROW form
+    * ([[graft.ops.Cep.patternMatchesSkipNext]]'s contract, store-backed —
+    * completing the drive-form matrix: every CEP primitive now runs
+    * batch, `flatMapGroupsWithState`, AND store-backed): every stage-0
+    * event opens its own run, runs advance independently and may
+    * overlap, and the key's ACTIVE RUN SET persists across folds
+    * (layout "cep-skip-v1" — one row per key, runs encoded "st:t0;…"
+    * in open order), so a run opened in one fold completes in a later
+    * one. The per-event semantics are the shared
+    * [[graft.ops.Cep.SkipStepper]] — one step object with the batch
+    * plan and the stream form, so the three drives cannot drift.
+    *
+    * The fold is TYPED (a sorted cogroup of the batch with the pruned
+    * state — no SQL `aggregate`): the SQL fold shape would be the batch
+    * operator's quadratic unroll, exactly what round 12 retired; the
+    * parity claim (concatenated folds ≡ the batch operator under the
+    * per-key event-time-order contract) is pinned by the shared-oracle
+    * drive query and the spanning-fold spec instead of a shared SQL
+    * string.
+    *
+    * State size is the documented overlap price: O(in-window stage-0
+    * events) per key, pruned as events arrive (the stepper drops
+    * window-closed runs) — `maxActiveRuns` > 0 additionally evicts the
+    * OLDEST runs beyond the cap after each fold (the
+    * [[graft.streaming.CepStream.attachSkipNext]] knob; evicted runs'
+    * would-be matches are LOST, size it to the window's realistic
+    * stage-0 arrival count). Expiry compatibility: the state row
+    * carries c = run count and t0 = the YOUNGEST run's start, so
+    * [[expire]]/[[maintainExpire]] prune a row only when even its
+    * youngest run is provably timed out (all runs dead ≡ absent) or the
+    * run set is empty (idle ≡ absent); partially-dead rows prune
+    * in-stepper on the key's next event.
+    *
+    * Returns (k, start_tms, end_tms) — matches may overlap; the caller's
+    * cross-fold match_n sort key is (start_tms, end_tms), as with
+    * [[foldBatch]]. */
+  def foldBatchSkipNext(events: DataFrame, storePath: String,
+      pattern: Seq[String], withinMs: Long, batchId: Long,
+      numBuckets: Int = 4, maxActiveRuns: Int = 0,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(maxActiveRuns >= 0,
+      s"maxActiveRuns must be >= 0 (0 = unbounded), got $maxActiveRuns")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    val batch = events.filter(col("ty").isin(pattern.distinct: _*))
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"), col("oid").cast("long").as("oid"),
+        col("ty").cast("string").as("ty"))
+      .localCheckpoint(true)
+    val keys = batch.select(col("k")).distinct()
+    val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0)))
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("runs").cast("string").as("runs")))
+      .getOrElse(spark.range(0).select(col("id").as("k"),
+        lit(null).cast("string").as("runs")))
+      .as[SkipState]
+    val within = withinMs
+    val cap = maxActiveRuns
+    val folded = batch.as[SkipEv]
+      .groupByKey(_.k)
+      .cogroupSorted(state.groupByKey(_.k))(
+        col("tms"), col("oid"), col("ty"))() { (k, evs, sts) =>
+        val stepper = new graft.ops.Cep.SkipStepper(pat, within)
+        var runs = sts.toSeq.headOption
+          .map(s => decodeRuns(s.runs)).getOrElse(Vector.empty)
+        val out = scala.collection.mutable.ListBuffer.empty[SkipOut]
+        evs.foreach { e =>
+          runs = stepper.step(runs, e.tms, e.ty,
+            (s, en) => out += SkipOut("m", k, s, en, 0, 0L, null))
+        }
+        if (cap > 0 && runs.length > cap) runs = runs.takeRight(cap)
+        // t0 = the YOUNGEST run's start: expire may drop the row only
+        // when every run is timed out (runs open in time order)
+        out += SkipOut("v", k, 0L, 0L, runs.length,
+          runs.lastOption.map(_._2).getOrElse(0L), encodeRuns(runs))
+        out
+      }
+      .toDF("kind", "k", "s", "e", "c", "t0", "runs")
+      .localCheckpoint(true) // pin BEFORE the merge GCs the read generation
+    val stateRows = folded.filter(col("kind") === "v")
+      .select(col("kind"), col("k"), col("c"), col("t0"), col("runs"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("c"), lit(0L).as("t0"),
+      lit(null).cast("string").as("runs"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some("cep-skip-v1"))
+    val out = folded.filter(col("kind") === "m")
+      .select(col("k"), col("s").as("start_tms"), col("e").as("end_tms"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
+    out
+  }
+
   /** State EXPIRY — the Flink state-TTL analog for the CEP store, closing
     * its one unbounded-growth axis (one row per key EVER seen). Two row
     * classes are provably dead under the per-key event-time-order

@@ -340,6 +340,76 @@ class IncrementalCepSpec extends SparkSpec {
     assert(f2 == Seq((1L, 700L, 710L)))
   }
 
+  test("skip-to-next (foldBatchSkipNext): overlapping runs span folds; cap and replay hold") {
+    val store = Files.createTempDirectory("inc_cep_skip").toString + "/cep"
+    val pat = Seq("view", "click", "purchase")
+    def skip(df: org.apache.spark.sql.DataFrame, id: Long, cap: Int = 0) =
+      got(IncrementalCep.foldBatchSkipNext(df, store, pat, 1000,
+        batchId = id, maxActiveRuns = cap))
+    // two overlapping runs open in fold 1 (views at 10 and 20); the click
+    // lands in fold 2 and the purchase in fold 3 — BOTH runs complete,
+    // each timing its own window from its own start
+    assert(skip(evDf((1, 10, 1, "view"), (1, 20, 2, "view")), 1).isEmpty)
+    assert(skip(evDf((1, 30, 3, "click")), 2).isEmpty)
+    assert(skip(evDf((1, 40, 4, "purchase")), 3) ==
+      Seq((1L, 10L, 40L), (1L, 20L, 40L)))
+    // equals the batch operator over the concatenation
+    val all = evDf((1, 10, 1, "view"), (1, 20, 2, "view"),
+      (1, 30, 3, "click"), (1, 40, 4, "purchase"))
+    val want = graft.ops.Cep.patternMatchesSkipNext(all, col("k"),
+        col("tms"), col("oid"), col("ty"), pat, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(want == Seq((1L, 10L, 40L), (1L, 20L, 40L)))
+    // replay behind the mark is a no-op
+    assert(skip(evDf((1, 50, 5, "view")), 2).isEmpty)
+    // per-run windows across folds: the older run times out, the younger
+    // completes (fresh store)
+    val store2 = Files.createTempDirectory("inc_cep_skip2").toString + "/cep"
+    def skip2(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchSkipNext(df, store2, pat, 25, batchId = id))
+    assert(skip2(evDf((2, 10, 1, "view"), (2, 20, 2, "view")), 1).isEmpty)
+    assert(skip2(evDf((2, 30, 3, "click"), (2, 41, 4, "purchase")), 2) ==
+      Seq((2L, 20L, 41L)))
+    // maxActiveRuns = 1 evicts the OLDEST stored run across the boundary
+    val store3 = Files.createTempDirectory("inc_cep_skip3").toString + "/cep"
+    def skip3(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchSkipNext(df, store3, pat, 1000,
+        batchId = id, maxActiveRuns = 1))
+    assert(skip3(evDf((3, 10, 1, "view"), (3, 20, 2, "view")), 1).isEmpty)
+    assert(skip3(evDf((3, 30, 3, "click"), (3, 40, 4, "purchase")), 2) ==
+      Seq((3L, 20L, 40L)))
+  }
+
+  test("skip-to-next fixture replay: three time-cut folds equal the batch operator") {
+    val s = spark
+    val store = Files.createTempDirectory("inc_cep_skipfx").toString + "/cep"
+    val pat = Seq("view", "click", "purchase")
+    val w = 604800000L
+    val ev = graft.model.Envelopes.events(s, sfDir())
+      .filter(col("event_type").isin(pat: _*))
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .localCheckpoint(true)
+    val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val folds = Seq(
+      ev.filter(col("tms") <= cut1),
+      ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+      ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+      IncrementalCep.foldBatchSkipNext(p, store, pat, w, batchId = i + 1L)
+    }
+    val gotAll = folds.map(got).reduce(_ ++ _).sortBy(identity)
+    val want = graft.ops.Cep.patternMatchesSkipNext(ev, col("k"),
+        col("tms"), col("oid"), col("ty"), pat, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(want.nonEmpty && gotAll == want)
+    folds.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(ev)
+  }
+
   test("expiry-enabled folds emit byte-identical matches on every layout (dead ≡ absent)") {
     // VERDICT r11 item 8: drive each store layout (times/where, iter,
     // next, neg, select) twice — with and without expireWatermarkMs wired
@@ -403,6 +473,12 @@ class IncrementalCepSpec extends SparkSpec {
     }
     parity("select") { (df, store, id, wm) =>
       IncrementalCep.foldBatchSelect(df, store,
+        Seq("view", "click", "purchase"), w, id, expireWatermarkMs = wm)
+    }
+    // skip-to-next rows carry t0 = the YOUNGEST run's start, so expire
+    // drops a row only when every run is dead — parity must still hold
+    parity("skipnext") { (df, store, id, wm) =>
+      IncrementalCep.foldBatchSkipNext(df, store,
         Seq("view", "click", "purchase"), w, id, expireWatermarkMs = wm)
     }
   }
