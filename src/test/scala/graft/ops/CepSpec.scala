@@ -631,6 +631,17 @@ class CepSpec extends SparkSpec {
         payload = Seq("ty" -> col("ty"), "value" -> col("v"))))
       assert(t.nonEmpty && t == f)
     }
+    // iterative + QUANTIFIED loop (the capture is the first loop event;
+    // the typed stepper's counter must mirror the fold's acc.c)
+    locally {
+      val stages = Seq(("e.ty = 'view'", 1, U),
+        ("e.ty = 'click'", 0, U),
+        ("e.ty = 'purchase' AND e.value >= first.value", 1, 1))
+      val (t, f) = both(d => Cep.patternMatchesIter(d, col("k"), col("tms"),
+        col("oid"), stages, w,
+        payload = Seq("ty" -> col("ty"), "value" -> col("v"))))
+      assert(t.nonEmpty && t == f)
+    }
   }
 
   test("string keys route through the typed sorted plan; int keys cast back") {
