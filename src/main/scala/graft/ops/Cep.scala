@@ -405,13 +405,18 @@ object Cep {
 
     // driver-side only (arguments to as/groupByKey/flatMapSortedGroups);
     // the group lambdas below reference METHOD-LOCAL values exclusively,
-    // so no DataFrame-holding `this` is ever captured into a task
-    private val kEnc: Encoder[K] =
+    // so no DataFrame-holding `this` is ever captured into a task. Lazy:
+    // each operator call uses at most two of the five — no call pays the
+    // reflection+serializer derivation for encoders it never touches
+    private lazy val kEnc: Encoder[K] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[K]()
-    private val evEnc: Encoder[CepEvK[K]] = Encoders.product[CepEvK[K]]
-    private val evPEnc: Encoder[CepEvPK[K]] = Encoders.product[CepEvPK[K]]
-    private val mEnc: Encoder[CepMatchK[K]] = Encoders.product[CepMatchK[K]]
-    private val selEnc: Encoder[CepSelK[K]] = Encoders.product[CepSelK[K]]
+    private lazy val evEnc: Encoder[CepEvK[K]] = Encoders.product[CepEvK[K]]
+    private lazy val evPEnc: Encoder[CepEvPK[K]] =
+      Encoders.product[CepEvPK[K]]
+    private lazy val mEnc: Encoder[CepMatchK[K]] =
+      Encoders.product[CepMatchK[K]]
+    private lazy val selEnc: Encoder[CepSelK[K]] =
+      Encoders.product[CepSelK[K]]
 
     def times(pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame = {
       val preds = pattern.map { case (t, mn, mx) =>

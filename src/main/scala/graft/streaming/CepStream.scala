@@ -109,7 +109,10 @@ object CepStream {
     * `delay`) is attached here — pending trailing-negation matches emit
     * when the watermark passes their window end, the stream's stand-in
     * for the batch twin's end-of-input. Pre-filter to pattern ∪ banned
-    * types before calling. */
+    * types before calling. As with [[attachSkipNext]], `delay` must
+    * bound CROSS-KEY event-time skew (the watermark is global; a
+    * lagging key's sub-watermark rows are dropped as late under the
+    * event-time timeout), not just per-key disorder. */
   def attachNeg(ds: Dataset[CepEvent], pattern: Seq[String],
       withinMs: Long, notBetween: Map[Int, Seq[String]] = Map.empty,
       notAfter: Seq[String] = Seq.empty,
@@ -399,7 +402,19 @@ object CepStream {
     * is removed). `maxActiveRuns` > 0 bounds a hot key's run set by
     * evicting the oldest runs beyond the cap — matches those runs would
     * have emitted are LOST, so size it to the window's realistic stage-0
-    * arrival count. Pre-filter to the pattern's types before calling. */
+    * arrival count. Pre-filter to the pattern's types before calling.
+    *
+    * `delay` MUST BOUND CROSS-KEY EVENT-TIME SKEW, not just per-key
+    * disorder: the watermark is GLOBAL, so with the 0 ms default a key
+    * whose event times lag another key's by more than the window has its
+    * sub-watermark rows dropped as late (Spark's event-time-timeout
+    * late-row filter) and its watermark-closed runs pruned — a match the
+    * batch operator (and [[attachNeg]]'s equivalent hazard aside, a
+    * NoTimeout stream) would emit is silently lost. Same contract as
+    * [[attachNeg]], which shares the watermark structure: size `delay`
+    * to the source's cross-partition skew (e.g. "10 minutes"), exactly
+    * as Flink's bounded-out-of-orderness watermark must. Pinned by
+    * CepStreamSpec "cross-key skew inside the watermark delay". */
   def attachSkipNext(ds: Dataset[CepEvent], pattern: Seq[String],
       withinMs: Long, maxActiveRuns: Int = 0,
       delay: String = "0 milliseconds"): Dataset[CepMatch] = {

@@ -519,6 +519,38 @@ class CepStreamSpec extends SparkSpec {
     // the same drive uncapped keeps both overlapping matches
     assert(runSkipCap(Seq(c1, c2), 1000, cap = 0) ==
       Seq((2L, 10L, 40L), (2L, 20L, 40L)))
+    // CROSS-KEY SKEW inside the watermark delay: key 4's event times lag
+    // key 3's by more than the window — with the documented delay sized
+    // to the skew, 4's rows are not late and its runs survive to match
+    // (with the 0 ms default they would be dropped/pruned — the delay
+    // contract on attachSkipNext)
+    def runSkipDelay(batches: Seq[Seq[CepEvent]], w: Long,
+        delay: String): Seq[(Long, Long, Long)] = {
+      runNo += 1
+      val tbl = s"cep_skipdelay_out_$runNo"
+      val mem = MemoryStream[CepEvent]
+      val q = CepStream.attachSkipNext(mem.toDS(), vcp, w, delay = delay)
+        .writeStream
+        .format("memory").queryName(tbl).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table(tbl).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+            r.getAs[Long]("match_end")))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    val d1 = Seq(CepEvent(3, 600000, 1, "view"), CepEvent(4, 480000, 2, "view"))
+    val d2 = Seq(CepEvent(4, 480010, 3, "click"), CepEvent(3, 600010, 4, "click"))
+    val d3 = Seq(CepEvent(4, 480020, 5, "purchase"),
+      CepEvent(3, 600020, 6, "purchase"))
+    val gotD = runSkipDelay(Seq(d1, d2, d3), 60000, "600 seconds")
+    val wantD = graft.ops.Cep.patternMatchesSkipNext((d1 ++ d2 ++ d3).toDF(),
+        col("k"), col("tms"), col("oid"), col("ty"), vcp, 60000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(gotD == wantD)
+    assert(gotD == Seq((3L, 600000L, 600020L), (4L, 480000L, 480020L)))
   }
 
   test("attachSelect: the stage-event buffer and match counter cross micro-batches") {
