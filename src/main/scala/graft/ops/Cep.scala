@@ -297,6 +297,70 @@ object Cep {
     }
   }
 
+  /** The SKIP-TO-STAGE automaton (Flink's AfterMatchSkipStrategy
+    * SKIP_TO_FIRST / SKIP_TO_LAST, which coincide on the
+    * one-event-per-stage class): a single greedy run exactly like
+    * [[patternMatches]]', except that after a match completes the scan
+    * RESUMES AT the match's stage-`skipTo` event (inclusive) instead of
+    * past the last row — matches may overlap, each new match's start
+    * strictly after the previous one's (so emission order IS start
+    * order and the loop terminates; `skipTo` = 0 would resume at the
+    * match's own first event and loop forever — Flink throws there too,
+    * and the operator rejects it).
+    *
+    * Mechanics: while the live partial is at or beyond stage `skipTo`,
+    * events BUFFER (the contiguous range from the stage-`skipTo` event
+    * through the current point — matched and relaxed-ignored alike); on
+    * emit the buffer REPLAYS through the reset automaton before any
+    * newer events. Buffer memory is O(one partial's in-window span) per
+    * key — the same bounded class as [[SkipStepper]]'s run set, and
+    * nothing like the retired per-key event arrays. Shared by the batch
+    * sorted plan ([[TypedCep.skipTo]]) and
+    * [[graft.streaming.CepStream.attachSkipTo]] (the buffer persists in
+    * keyed state across micro-batches), so the two cannot drift. */
+  private[graft] final class SkipToRunner(pattern: IndexedSeq[String],
+      withinMs: Long, skipTo: Int) {
+    private val last = pattern.length - 1
+    var st = 0
+    var t0 = 0L
+    val buf = scala.collection.mutable.ArrayDeque.empty[(Long, Long, String)]
+    private val replay =
+      scala.collection.mutable.ArrayDeque.empty[(Long, Long, String)]
+
+    /** Feed one (already key-sorted) event; drains any replay segments
+      * the event's emissions trigger before returning, so caller-held
+      * state (st, t0, buf) is always between-events consistent. */
+    def feed(tms: Long, oid: Long, ty: String,
+        emit: (Long, Long) => Unit): Unit = {
+      replay.append((tms, oid, ty))
+      while (replay.nonEmpty) {
+        val (etms, eoid, ety) = replay.removeHead()
+        step(etms, eoid, ety, emit)
+      }
+    }
+
+    private def step(tms: Long, oid: Long, ty: String,
+        emit: (Long, Long) => Unit): Unit = {
+      if (st > 0 && tms - t0 >= withinMs) {
+        // NFA timeout: the partial dies (buffer with it); the abandoning
+        // event falls through to the stage-0 test below
+        st = 0; t0 = 0L; buf.clear()
+      }
+      if (ty == pattern(st)) {
+        if (st == skipTo) buf.clear()
+        if (st >= skipTo) buf.append((tms, oid, ty))
+        val start = if (st == 0) tms else t0
+        if (st == last) {
+          emit(start, tms)
+          st = 0; t0 = 0L
+          val seg = buf.toVector
+          buf.clear()
+          replay.prependAll(seg) // resume AT the stage-skipTo event
+        } else { st += 1; t0 = start }
+      } else if (st > skipTo) buf.append((tms, oid, ty))
+    }
+  }
+
   /** The stateless per-group automaton run shared by the relaxed typed
     * plans: stream the (already sorted) iterator through one
     * [[TimesStepper]], numbering matches per key in time order. */
@@ -390,6 +454,7 @@ object Cep {
     def neg(pattern: Seq[String], withinMs: Long,
         notBetween: Map[Int, Seq[String]], notAfter: Seq[String]): DataFrame
     def skipNext(pattern: Seq[String], withinMs: Long): DataFrame
+    def skipTo(pattern: Seq[String], withinMs: Long, skipTo: Int): DataFrame
     def select(pattern: Seq[String], withinMs: Long): DataFrame
     def iter(stages: Seq[(String, Int, Int)], withinMs: Long,
         payload: Seq[String]): DataFrame
@@ -498,6 +563,26 @@ object Cep {
             var n = 0
             it.foreach { e =>
               runs = stepper.step(runs, e.tms, e.ty, (s, en) => {
+                n += 1; out += CepMatchK(k, n, s, en)
+              })
+            }
+            out
+        }(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def skipTo(pattern: Seq[String], withinMs: Long,
+        skipToStage: Int): DataFrame = {
+      val pat = pattern.toIndexedSeq
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) {
+          (k: K, it: Iterator[CepEvK[K]]) =>
+            val runner = new SkipToRunner(pat, withinMs, skipToStage)
+            val out = ListBuffer.empty[CepMatchK[K]]
+            var n = 0
+            it.foreach { e =>
+              runner.feed(e.tms, e.oid, e.ty, (s, en) => {
                 n += 1; out += CepMatchK(k, n, s, en)
               })
             }
@@ -1187,6 +1272,57 @@ object Cep {
       .select(col("k"), posexplode(expr(runs)).as(Seq("i", "m")))
       .select(col("k"), (col("i") + 1).as("match_n"),
         col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
+  /** [[patternMatches]] under AFTER MATCH SKIP TO FIRST / SKIP TO LAST —
+    * the remaining members of Flink's AfterMatchSkipStrategy enum (they
+    * COINCIDE on the one-event-per-stage class this operator serves:
+    * each stage matches exactly one event, so a stage's first and last
+    * event are the same). A single greedy run as in [[patternMatches]],
+    * but after a match completes the scan RESUMES AT the match's
+    * stage-`skipToStage` event (inclusive) — matches may overlap, less
+    * aggressively than [[patternMatchesSkipNext]]'s every-start runs,
+    * more than skip-past-last-row's none:
+    *
+    *   - `skipToStage` = 1 on (view, click, purchase) re-scans from the
+    *     matched click — a purchase can close a second funnel whose
+    *     click the first funnel consumed;
+    *   - `skipToStage` = 0 is REJECTED: resuming at the match's own
+    *     first event loops forever (Flink's SKIP_TO_FIRST[begin] throws
+    *     the same way).
+    *
+    * Cost model: one pass per key over the sorted pattern events with
+    * O(one partial's in-window span) buffered while a partial is at or
+    * beyond stage `skipToStage` (replayed once per emitted match) — the
+    * window-bounded class, never a per-key event array. Runs on the
+    * typed sorted-iterator plan, so the key must be an integral or
+    * string type (no SQL-fold twin; the DuckDB oracle is a
+    * rewind-position recursive CTE). Streaming twin:
+    * [[graft.streaming.CepStream.attachSkipTo]] persists (stage, start,
+    * buffer) across micro-batches.
+    *
+    * @param skipToStage 1..pattern.length-1: the stage whose matched
+    *                    event the scan resumes at after each match
+    * @return (k, match_n, start_tms, end_tms); match_n numbers matches
+    *         per key in emission order — starts strictly increase */
+  def patternMatchesSkipTo(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column, pattern: Seq[String],
+      withinMs: Long, skipToStage: Int): DataFrame = {
+    require(pattern.length >= 2,
+      "skip-to-first/last needs at least two stages — with one stage " +
+        "every skip strategy coincides with skip past last row")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(skipToStage >= 1 && skipToStage < pattern.length,
+      s"skipToStage must be in 1..${pattern.length - 1} (0 would resume " +
+        "at the match's own first event and loop forever — Flink's " +
+        s"SKIP_TO_FIRST[begin] rejection), got $skipToStage")
+    val proj = projEvents(df.filter(typeCol.isin(pattern.distinct: _*)),
+      keyCol, tsMsCol, ordCol, typeCol)
+    typedCep(proj).getOrElse(throw new IllegalArgumentException(
+        "patternMatchesSkipTo runs on the typed sorted-iterator plan — " +
+          "the key column must be an integral or string type, got " +
+          proj.schema("k").dataType.catalogString))
+      .skipTo(pattern, withinMs, skipToStage)
   }
 
   /** [[patternMatches]] with STRICT CONTIGUITY — Flink-CEP's `next` and

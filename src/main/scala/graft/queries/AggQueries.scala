@@ -348,6 +348,24 @@ object AggQueries {
       res
     },
 
+    // CEP under AFTER MATCH SKIP TO FIRST/LAST (round 12 — the remaining
+    // Flink AfterMatchSkipStrategy members, coinciding on the
+    // one-event-per-stage class): after each view→click→purchase match
+    // the scan RESUMES AT the matched click, so a later purchase can
+    // close a second funnel whose click the first consumed — overlap
+    // between skip-past-last-row's none and skip-to-next's every-start.
+    // Oracle = a rewind-position recursive CTE: one iteration per
+    // processing step, with the scan position jumping back to the
+    // buffered stage-1 seq on emit (exactly the SkipToRunner's replay).
+    "q_cep_skipto" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesSkipTo(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"), Seq("view", "click", "purchase"),
+          withinMs = 604800000L, skipToStage = 1)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP with an OPTIONAL middle stage (Flink-CEP optional(), min 0
     // unbounded here — oneOrMore().optional()): a view, any number of
     // clicks INCLUDING NONE, then a purchase within seven days. Differs
@@ -1089,6 +1107,56 @@ object AggQueries {
     // each view's earliest in-window click, then that click's earliest
     // in-window purchase.
     "q_cep_skipnext" -> cepSkipSql,
+
+    // The skip-to-first/last automaton as a REWIND-POSITION recursive
+    // CTE: one row per key per processing step over (pos, st, t0, bpos);
+    // a completed match jumps pos back to bpos (the stage-1 click's seq,
+    // recorded when stage 1 matched) — the SkipToRunner's replay as
+    // positional recursion. Starts strictly increase per key, so
+    // ORDER BY m_s is emission order.
+    "q_cep_skipto" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS pos, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS bpos,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT user_id,
+        |    CASE WHEN emit THEN bpos2 ELSE pos + 1 END,
+        |    CASE WHEN emit THEN 0 WHEN mt THEN est + 1 ELSE est END,
+        |    CASE WHEN emit THEN CAST(0 AS BIGINT)
+        |         WHEN mt AND est = 0 THEN etms ELSE et0 END,
+        |    CASE WHEN emit THEN CAST(0 AS BIGINT) ELSE bpos2 END,
+        |    CASE WHEN emit THEN et0 END,
+        |    CASE WHEN emit THEN etms END
+        |  FROM (
+        |    SELECT *,
+        |      (est = 0 AND ty = 'view') OR (est = 1 AND ty = 'click')
+        |        OR (est = 2 AND ty = 'purchase') AS mt,
+        |      est = 2 AND ty = 'purchase' AS emit,
+        |      CASE WHEN est = 1 AND ty = 'click' THEN eseq ELSE ebp END AS bpos2
+        |    FROM (
+        |      SELECT r.user_id, r.pos, e.tms AS etms, e.seq AS eseq, e.ty,
+        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |             THEN 0 ELSE r.st END AS est,
+        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |             THEN CAST(0 AS BIGINT) ELSE r.t0 END AS et0,
+        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |             THEN CAST(0 AS BIGINT) ELSE r.bpos END AS ebp
+        |      FROM run r JOIN ev e
+        |        ON e.user_id = r.user_id AND e.seq = r.pos)))
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY m_s, m_e)
+        |         AS INT) AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
 
     // q_cep_skipnext_stream shares the batch oracle VERBATIM:
     // foldBatchSkipNext runs the same SkipStepper with the run set

@@ -433,6 +433,55 @@ object CepStream {
         matchGroupSkipNext(pattern.toIndexedSeq, withinMs, maxActiveRuns))
   }
 
+  /** Buffered event carried in [[CepSkipToState]] — the partial's
+    * contiguous range from its stage-`skipTo` event onward. */
+  final case class CepEvBuf(tms: Long, oid: Long, ty: String)
+  /** Keyed state for [[attachSkipTo]]: the single run's (stage, start)
+    * plus the replay buffer — O(one partial's in-window span) per key,
+    * the window-bounded class (cleared on timeout/emit/idle). */
+  final case class CepSkipToState(st: Int, t0: Long, buf: Seq[CepEvBuf])
+
+  /** One micro-batch group for AFTER MATCH SKIP TO FIRST/LAST
+    * ([[graft.ops.Cep.patternMatchesSkipTo]]'s contract): the shared
+    * [[graft.ops.Cep.SkipToRunner]] with (stage, start, buffer)
+    * persisted across batches — a match completing in a later batch
+    * still rewinds into its buffered stage-`skipTo` segment, so the
+    * concatenation of per-batch runs equals the batch operator under
+    * the per-key event-time-order contract. */
+  def matchGroupSkipTo(pattern: IndexedSeq[String], withinMs: Long,
+      skipTo: Int)(k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepSkipToState]): Iterator[CepMatch] = {
+    val runner = new graft.ops.Cep.SkipToRunner(pattern, withinMs, skipTo)
+    state.getOption.foreach { s =>
+      runner.st = s.st; runner.t0 = s.t0
+      s.buf.foreach(b => runner.buf.append((b.tms, b.oid, b.ty)))
+    }
+    val out = ListBuffer.empty[CepMatch]
+    events.toSeq.sortBy(e => (e.tms, e.oid, e.ty)).foreach { e =>
+      runner.feed(e.tms, e.oid, e.ty,
+        (s, en) => out += CepMatch(k, s, en))
+    }
+    state.update(CepSkipToState(runner.st, runner.t0,
+      runner.buf.toSeq.map { case (t, o, ty) => CepEvBuf(t, o, ty) }))
+    out.iterator
+  }
+
+  /** Attach the SKIP-TO-FIRST/LAST automaton to a keyed event stream —
+    * see [[graft.ops.Cep.patternMatchesSkipTo]] for semantics and the
+    * skipTo-stage bounds. Pre-filter to the pattern's types before
+    * calling. */
+  def attachSkipTo(ds: Dataset[CepEvent], pattern: Seq[String],
+      withinMs: Long, skipTo: Int): Dataset[CepMatch] = {
+    require(pattern.length >= 2, "skip-to-first/last needs >= 2 stages")
+    require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    require(skipTo >= 1 && skipTo < pattern.length,
+      s"skipTo must be in 1..${pattern.length - 1}, got $skipTo")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupSkipTo(pattern.toIndexedSeq, withinMs, skipTo))
+  }
+
   /** Matched-event reference carried in [[CepSelState]] / emitted by the
     * MATCH-PAYLOAD stream. */
   final case class CepEvRef(tms: Long, oid: Long)

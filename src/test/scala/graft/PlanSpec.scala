@@ -425,7 +425,7 @@ class PlanSpec extends SparkSpec {
     // round 12: the LAST two fold holdouts route too — skip-to-next runs
     // the shared run-set stepper, iter runs analyzer-bound predicates in
     // the streamed group; neither may collect the key's event array
-    for (q <- Seq("q_cep_skipnext", "q_cep_iter")) {
+    for (q <- Seq("q_cep_skipnext", "q_cep_iter", "q_cep_skipto")) {
       val p = plan(q)
       assert(!p.contains("collect_list"),
         s"$q must not build per-key event arrays:\n" + p.take(800))

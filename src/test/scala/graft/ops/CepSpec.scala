@@ -710,6 +710,64 @@ class CepSpec extends SparkSpec {
     assert(gotS == typed)
   }
 
+  // ---- AFTER MATCH SKIP TO FIRST/LAST (round 12) ----
+
+  private def matchesSkipTo(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[String], w: Long, k: Int): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesSkipTo(df, col("k"), col("tms"), col("oid"),
+        col("ty"), pattern, w, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("skip to first/last: the scan resumes at the matched middle stage") {
+    // after (v10..p30) the scan rewinds to the matched click — v25
+    // (buffered while the partial was beyond stage 1) opens the second,
+    // OVERLAPPING funnel that skip-past-last-row misses entirely
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 25, "view"),
+      (1, 30, "purchase"), (1, 35, "click"), (1, 40, "purchase"))
+    assert(matchesSkipTo(df, vcp, 1000, 1) ==
+      Seq((1L, 1, 10L, 30L), (1L, 2, 25L, 40L)))
+    assert(matches(df, vcp, 1000) == Seq((1L, 1, 10L, 30L))) // past-last
+    // a stage-0 event BEFORE the matched click is NOT replayed (Flink's
+    // SKIP_TO_FIRST prunes runs that started before the skip point)
+    val pre = ev((2, 10, "view"), (2, 15, "view"), (2, 20, "click"),
+      (2, 30, "purchase"))
+    assert(matchesSkipTo(pre, vcp, 1000, 1) == Seq((2L, 1, 10L, 30L)))
+  }
+
+  test("skip to first/last: same-type stages chain overlapping matches") {
+    // (view, view) with skipTo = 1: each match's closing view opens the
+    // next — the classic a-b, b-c, c-d chain
+    val df = ev((1, 10, "view"), (1, 20, "view"), (1, 30, "view"),
+      (1, 40, "view"))
+    assert(matchesSkipTo(df, Seq("view", "view"), 1000, 1) ==
+      Seq((1L, 1, 10L, 20L), (1L, 2, 20L, 30L), (1L, 3, 30L, 40L)))
+    // past-last pairs disjointly
+    assert(matches(df, Seq("view", "view"), 1000) ==
+      Seq((1L, 1, 10L, 20L), (1L, 2, 30L, 40L)))
+  }
+
+  test("skip to first/last: timeout clears the buffer; skipTo bounds enforced") {
+    // the partial (and its buffer) dies at the window; no match
+    val df = ev((1, 10, "view"), (1, 20, "click"), (1, 2000, "purchase"))
+    assert(matchesSkipTo(df, vcp, 100, 1).isEmpty)
+    // the replayed segment respects windows: the second funnel times its
+    // own window from ITS view
+    val t = ev((2, 10, "view"), (2, 20, "click"), (2, 25, "view"),
+      (2, 30, "purchase"), (2, 1500, "click"), (2, 1510, "purchase"))
+    assert(matchesSkipTo(t, vcp, 100, 1) == Seq((2L, 1, 10L, 30L)))
+    intercept[IllegalArgumentException] {
+      matchesSkipTo(ev((1, 10, "view")), vcp, 1000, 0)
+    }
+    intercept[IllegalArgumentException] {
+      matchesSkipTo(ev((1, 10, "view")), vcp, 1000, 3)
+    }
+    intercept[IllegalArgumentException] {
+      matchesSkipTo(ev((1, 10, "view")), Seq("view"), 1000, 1)
+    }
+  }
+
   test("overlapWarnings: flexible loop or optional stage sharing the next stage's type") {
     // the pinned greedy no-match class: (view)(click optional)(click)
     assert(Cep.overlapWarnings(

@@ -553,6 +553,56 @@ class CepStreamSpec extends SparkSpec {
     assert(gotD == Seq((3L, 600000L, 600020L), (4L, 480000L, 480020L)))
   }
 
+  test("attachSkipTo: the rewind buffer crosses micro-batch boundaries") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    var runNo = 0
+    def runSkipTo(batches: Seq[Seq[CepEvent]], w: Long,
+        k: Int): Seq[(Long, Long, Long)] = {
+      runNo += 1
+      val tbl = s"cep_skipto_out_$runNo"
+      val mem = MemoryStream[CepEvent]
+      val q = CepStream.attachSkipTo(mem.toDS(), vcp, w, k).writeStream
+        .format("memory").queryName(tbl).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table(tbl).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+            r.getAs[Long]("match_end")))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    def batchSkipTo(events: Seq[CepEvent], w: Long,
+        k: Int): Seq[(Long, Long, Long)] =
+      graft.ops.Cep.patternMatchesSkipTo(events.toDF(), col("k"),
+          col("tms"), col("oid"), col("ty"), vcp, w, k)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+    // the click buffered in batch 1 is replayed when the match completes
+    // in batch 2, and the rewound run completes in batch 3 — the buffer
+    // (and mid-replay partial) persist in keyed state
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "click"))
+    val b2 = Seq(CepEvent(1, 25, 3, "view"), CepEvent(1, 30, 4, "purchase"))
+    val b3 = Seq(CepEvent(1, 35, 5, "click"), CepEvent(1, 40, 6, "purchase"))
+    val all = b1 ++ b2 ++ b3
+    val got = runSkipTo(Seq(b1, b2, b3), 1000, 1)
+    assert(got == Seq((1L, 10L, 30L), (1L, 25L, 40L)))
+    assert(got == batchSkipTo(all, 1000, 1))
+    // fixture replay: two different splits equal the batch operator
+    val events = Envelopes.events(s, sfDir())
+      .filter(col("event_type").isin(vcp: _*))
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .as[CepEvent].collect().toSeq.sortBy(e => (e.tms, e.oid))
+    val expected = batchSkipTo(events, 604800000L, 1)
+    assert(expected.nonEmpty)
+    for (parts <- Seq(3, 7)) {
+      val size = math.max(1, (events.length + parts - 1) / parts)
+      assert(runSkipTo(events.grouped(size).toSeq, 604800000L, 1) == expected)
+    }
+  }
+
   test("attachSelect: the stage-event buffer and match counter cross micro-batches") {
     val s = spark
     import s.implicits._
