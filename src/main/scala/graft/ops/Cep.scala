@@ -297,6 +297,67 @@ object Cep {
     }
   }
 
+  /** The CONSECUTIVE-LOOP automaton's step semantics (Flink-CEP's
+    * `consecutive()` on `times`/`oneOrMore` loops — strict contiguity
+    * WITHIN a loop, while the stages themselves stay `followedBy`):
+    * [[TimesStepper]]'s greedy/relaxed branches plus, for stages in
+    * `consecutive`, a BREAK rule on any non-matching event while the
+    * loop is accumulating —
+    *
+    *   - below the loop's floor (c < min): the partial DIES (the
+    *     breaking event may itself reopen a stage-0 run);
+    *   - at or above the floor: the loop CLOSES (`cl` — no further
+    *     extension) and the partial waits RELAXED for the next stage,
+    *     the deterministic longest-unbroken-run reading of Flink's
+    *     branching NFA (the same determinization stance as the greedy
+    *     loop rule, documented on [[patternMatchesTimes]]).
+    *
+    * State is (st, c, cl, t0) — one boolean beyond the quantified
+    * automaton. Kept a separate stepper from [[TimesStepper]] (which
+    * five shipped paths share) so the pinned non-consecutive semantics
+    * cannot be disturbed; [[patternMatchesTimesConsecutive]] requires a
+    * non-empty `consecutive` set, so the two never overlap. */
+  private[graft] final class ConsecStepper[E](
+      pattern: IndexedSeq[(E => Boolean, Int, Int)], withinMs: Long,
+      consecutive: Set[Int], tmsOf: E => Long) {
+    private val last = pattern.length - 1
+
+    /** One event: (st, c, cl, t0) -> next; emit on completion. */
+    def step(st: Int, c: Int, cl: Boolean, t0: Long, e: E,
+        emit: (Long, Long) => Unit): (Int, Int, Boolean, Long) = {
+      val tms = tmsOf(e)
+      def enter0: (Int, Int, Boolean, Long) =
+        if (pattern.head._1(e)) {
+          if (last == 0 && pattern.head._2 == 1) {
+            emit(tms, tms); (0, 0, false, 0L)
+          } else (0, 1, false, tms)
+        } else (0, 0, false, 0L)
+      if (c > 0 && tms - t0 >= withinMs) enter0
+      else if (c == 0) enter0
+      else {
+        val (p, mn, mx) = pattern(st)
+        if (p(e) && !cl && (mx == Unbounded || c < mx)) {
+          if (st == last && c + 1 == mn) { emit(t0, tms); (0, 0, false, 0L) }
+          else (st, c + 1, cl, t0)
+        } else if (st < last && c >= mn &&
+            ((st + 1) to last).view
+              .takeWhile(j => (st + 1 until j).forall(pattern(_)._2 == 0))
+              .exists(j => pattern(j)._1(e))) {
+          val j = ((st + 1) to last).view
+            .takeWhile(j => (st + 1 until j).forall(pattern(_)._2 == 0))
+            .find(j => pattern(j)._1(e)).get
+          if (j == last && pattern(j)._2 == 1) { emit(t0, tms); (0, 0, false, 0L) }
+          else (j, 1, false, t0)
+        } else if (consecutive.contains(st) && c >= 1) {
+          // the loop was accumulating and e neither extended nor
+          // advanced: consecutive's break rule
+          if (c < mn) enter0
+          else (st, c, true, t0)
+        } else (st, c, cl, t0)
+      }
+    }
+  }
+
   /** The SKIP-TO-STAGE automaton (Flink's AfterMatchSkipStrategy
     * SKIP_TO_FIRST / SKIP_TO_LAST, which coincide on the
     * one-event-per-stage class): a single greedy run exactly like
@@ -448,6 +509,8 @@ object Cep {
     * each operator. */
   private[graft] sealed trait TypedCep {
     def times(pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame
+    def timesConsecutive(pattern: Seq[(String, Int, Int)], withinMs: Long,
+        consecutive: Set[Int]): DataFrame
     def pred(quant: Seq[(Int, Int)], withinMs: Long): DataFrame
     def strict(pattern: Seq[String], withinMs: Long, nextStages: Set[Int],
         notNext: Map[Int, Seq[String]]): DataFrame
@@ -490,6 +553,29 @@ object Cep {
         .groupByKey(_.k)(kEnc)
         .flatMapSortedGroups(col("tms"), col("oid"), col("ty"))(
           runGroupK[K, CepEvK[K]](preds, withinMs, _.tms))(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def timesConsecutive(pattern: Seq[(String, Int, Int)], withinMs: Long,
+        consecutive: Set[Int]): DataFrame = {
+      val preds = pattern.map { case (t, mn, mx) =>
+        (((e: CepEvK[K]) => e.ty == t), mn, mx) }.toIndexedSeq
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) {
+          (k: K, it: Iterator[CepEvK[K]]) =>
+            val stepper = new ConsecStepper[CepEvK[K]](preds, withinMs,
+              consecutive, _.tms)
+            val out = ListBuffer.empty[CepMatchK[K]]
+            var st = 0; var c = 0; var cl = false; var t0 = 0L; var n = 0
+            it.foreach { e =>
+              val next = stepper.step(st, c, cl, t0, e, (s, en) => {
+                n += 1; out += CepMatchK(k, n, s, en)
+              })
+              st = next._1; c = next._2; cl = next._3; t0 = next._4
+            }
+            out
+        }(mEnc)
         .toDF("k", "match_n", "start_tms", "end_tms"))
     }
 
@@ -996,6 +1082,54 @@ object Cep {
       .select(col("k"), posexplode(expr(fold)).as(Seq("i", "m")))
       .select(col("k"), (col("i") + 1).as("match_n"),
         col("m.s").as("start_tms"), col("m.e").as("end_tms"))
+  }
+
+  /** [[patternMatchesTimes]] with CONSECUTIVE loops — Flink-CEP's
+    * `consecutive()` on `times`/`oneOrMore` stages: WITHIN a stage in
+    * `consecutive`, matching events must be strictly adjacent in the
+    * key's event sequence — any other event BREAKS the loop. Between
+    * stages contiguity stays relaxed (`followedBy`), exactly Flink's
+    * scoping. The deterministic reading (the greedy stance of
+    * [[patternMatchesTimes]], extended):
+    *
+    *   - a break while the loop is below its floor (count < min) KILLS
+    *     the partial — the breaking event may itself reopen a stage-0
+    *     run;
+    *   - a break at or above the floor CLOSES the loop (no further
+    *     extension) and the partial waits relaxed for the next stage —
+    *     the longest-unbroken-run determinization of Flink's branching
+    *     NFA (which would also explore shorter stopped-earlier runs).
+    *
+    * Scale/cost: like [[patternMatchesNext]], the scan CANNOT pre-filter
+    * to pattern types — ANY event can break a loop, so every event of
+    * the key is state-relevant (the semantic price of strictness; use
+    * plain relaxed loops wherever the query allows). One key shuffle,
+    * the typed sorted-iterator plan (integral/string keys only — no SQL
+    * fold twin; the oracle is a recursive CTE with the closed flag).
+    * Streaming twin: [[graft.streaming.CepStream.attachTimesConsecutive]]
+    * (the closed flag crosses micro-batch boundaries).
+    *
+    * @param consecutive stage indices (0-based) whose loops are
+    *                    consecutive; must be non-empty — with none, use
+    *                    [[patternMatchesTimes]] (pre-filtered scan)
+    * @return (k, match_n, start_tms, end_tms) — the [[patternMatches]]
+    *         contract */
+  def patternMatchesTimesConsecutive(df: DataFrame, keyCol: Column,
+      tsMsCol: Column, ordCol: Column, typeCol: Column,
+      pattern: Seq[(String, Int, Int)], withinMs: Long,
+      consecutive: Set[Int]): DataFrame = {
+    validateTimes(pattern, withinMs)
+    require(consecutive.nonEmpty,
+      "no consecutive stages — use patternMatchesTimes (pre-filtered scan)")
+    require(consecutive.forall(i => i >= 0 && i < pattern.length),
+      s"consecutive stages must be in 0..${pattern.length - 1}")
+    // NO type pre-filter: any event can break a consecutive loop
+    val proj = projEvents(df, keyCol, tsMsCol, ordCol, typeCol)
+    typedCep(proj).getOrElse(throw new IllegalArgumentException(
+        "patternMatchesTimesConsecutive runs on the typed sorted-iterator " +
+          "plan — the key column must be an integral or string type, got " +
+          proj.schema("k").dataType.catalogString))
+      .timesConsecutive(pattern, withinMs, consecutive)
   }
 
   /** [[patternMatches]] with MATCH-PAYLOAD OUTPUT — Flink-CEP's

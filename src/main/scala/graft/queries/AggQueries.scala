@@ -348,6 +348,23 @@ object AggQueries {
       res
     },
 
+    // CEP with a CONSECUTIVE loop (round 12 — Flink-CEP
+    // times(2,∞).consecutive(): at least TWO strictly-adjacent views —
+    // ANY other event breaks the run of views, which is why the scan
+    // cannot pre-filter — then a purchase, relaxed, within seven days.
+    // A break at/above the floor CLOSES the loop (longest-unbroken-run
+    // determinization); below it, the partial dies. Oracle = recursive-
+    // CTE automaton over the UNFILTERED sequence with the closed flag.
+    "q_cep_consec" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesTimesConsecutive(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"),
+          Seq(("view", 2, graft.ops.Cep.Unbounded), ("purchase", 1, 1)),
+          withinMs = 604800000L, consecutive = Set(0))
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP under AFTER MATCH SKIP TO FIRST/LAST (round 12 — the remaining
     // Flink AfterMatchSkipStrategy members, coinciding on the
     // one-event-per-stage class): after each view→click→purchase match
@@ -1107,6 +1124,62 @@ object AggQueries {
     // each view's earliest in-window click, then that click's earliest
     // in-window purchase.
     "q_cep_skipnext" -> cepSkipSql,
+
+    // The consecutive-loop automaton over the UNFILTERED event sequence
+    // (any event can break the view run): state (c, cl, t0) — the
+    // stage-1 purchase emits immediately (exact count 1), so st never
+    // materializes. Branch order mirrors ConsecStepper: timeout, idle/
+    // open, extend (not closed), emit, break-below-floor dies (the
+    // breaking event cannot be a view there — a view would have
+    // extended), break-at/above-floor closes.
+    "q_cep_consec" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events)),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS c, FALSE AS cl,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT user_id, seq,
+        |    CASE WHEN ec = 0 AND ty = 'view' THEN 1
+        |         WHEN ec = 0 THEN 0
+        |         WHEN ty = 'view' AND NOT ecl THEN ec + 1
+        |         WHEN ec >= 2 AND ty = 'purchase' THEN 0
+        |         WHEN ec < 2 THEN 0
+        |         ELSE ec END,
+        |    CASE WHEN ty = 'view' AND ec >= 1 AND NOT ecl THEN FALSE
+        |         WHEN ec >= 2 AND ty = 'purchase' THEN FALSE
+        |         WHEN ec >= 2 THEN TRUE
+        |         ELSE FALSE END,
+        |    CASE WHEN ec = 0 AND ty = 'view' THEN etms
+        |         WHEN ec = 0 THEN CAST(0 AS BIGINT)
+        |         WHEN ty = 'view' AND NOT ecl THEN et0
+        |         WHEN ec >= 2 AND ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         WHEN ec < 2 THEN CAST(0 AS BIGINT)
+        |         ELSE et0 END,
+        |    CASE WHEN ec >= 2 AND ty = 'purchase' THEN et0 END,
+        |    CASE WHEN ec >= 2 AND ty = 'purchase' THEN etms END
+        |  FROM (
+        |    SELECT r.user_id, e.seq, e.ty, e.tms AS etms,
+        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN 0 ELSE r.c END AS ec,
+        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN FALSE ELSE r.cl END AS ecl,
+        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CAST(0 AS BIGINT) ELSE r.t0 END AS et0
+        |    FROM run r JOIN ev e
+        |      ON e.user_id = r.user_id AND e.seq = r.seq + 1))
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY m_s, m_e)
+        |         AS INT) AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
 
     // The skip-to-first/last automaton as a REWIND-POSITION recursive
     // CTE: one row per key per processing step over (pos, st, t0, bpos);

@@ -243,6 +243,56 @@ object CepStream {
         matchGroupTimes(pattern.toIndexedSeq, withinMs))
   }
 
+  /** State for the CONSECUTIVE-loop automaton: [[CepTimesState]] plus the
+    * closed flag (`cl` — the current loop broke at/above its floor and
+    * cannot extend). */
+  final case class CepConsecState(st: Int, c: Int, cl: Boolean, t0: Long)
+
+  /** One micro-batch group for [[graft.ops.Cep
+    * .patternMatchesTimesConsecutive]]'s automaton — the shared
+    * [[graft.ops.Cep.ConsecStepper]] with (st, c, cl, t0) persisted
+    * across batches, so a loop's strict adjacency (and a closed loop)
+    * carry over the boundary: the end of batch N and the start of batch
+    * N+1 are adjacent in the concatenation. Feed it the UNFILTERED keyed
+    * stream — any event can break a loop. */
+  def matchGroupTimesConsecutive(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long, consecutive: Set[Int])(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepConsecState]): Iterator[CepMatch] = {
+    val preds = pattern.map { case (t, mn, mx) =>
+      (((e: CepEvent) => e.ty == t), mn, mx) }.toIndexedSeq
+    val stepper = new graft.ops.Cep.ConsecStepper[CepEvent](preds,
+      withinMs, consecutive, _.tms)
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    var s = state.getOption.getOrElse(CepConsecState(0, 0, cl = false, 0L))
+    val out = ListBuffer.empty[CepMatch]
+    sorted.foreach { e =>
+      val next = stepper.step(s.st, s.c, s.cl, s.t0, e,
+        (st0, en) => out += CepMatch(k, st0, en))
+      s = CepConsecState(next._1, next._2, next._3, next._4)
+    }
+    state.update(s)
+    out.iterator
+  }
+
+  /** Attach the CONSECUTIVE-loop automaton
+    * ([[graft.ops.Cep.patternMatchesTimesConsecutive]]) to a keyed event
+    * stream — pass the UNFILTERED stream (any event can break a loop). */
+  def attachTimesConsecutive(ds: Dataset[CepEvent],
+      pattern: Seq[(String, Int, Int)], withinMs: Long,
+      consecutive: Set[Int]): Dataset[CepMatch] = {
+    graft.ops.Cep.validateTimes(pattern, withinMs)
+    require(consecutive.nonEmpty,
+      "no consecutive stages — use attachTimes (pre-filtered scan)")
+    require(consecutive.forall(i => i >= 0 && i < pattern.length),
+      s"consecutive stages must be in 0..${pattern.length - 1}")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupTimesConsecutive(pattern.toIndexedSeq, withinMs,
+          consecutive))
+  }
+
   /** Attach the PREDICATE-STAGE automaton ([[graft.ops.Cep
     * .patternMatchesWhere]]'s contract, Flink's `where()` conditions) to a
     * keyed stream of ANY event type `E` — the watermark-driven low-latency

@@ -422,6 +422,15 @@ class PlanSpec extends SparkSpec {
     }
     assert(!plan("q_cep_notnext").contains("In(event_type"),
       "strict scan must NOT pre-filter event types")
+    // consecutive loops share strictness's scan rule: ANY event can
+    // break a loop, so no type pre-filter — and still no per-key array
+    val consec = plan("q_cep_consec")
+    assert(!consec.contains("In(event_type"),
+      "consecutive-loop scan must NOT pre-filter event types")
+    assert(!consec.contains("collect_list") &&
+      (consec.contains("FlatMapGroups") || consec.contains("MapGroups")),
+      "q_cep_consec streams groups through the automaton:\n" +
+        consec.take(800))
     // round 12: the LAST two fold holdouts route too — skip-to-next runs
     // the shared run-set stepper, iter runs analyzer-bound predicates in
     // the streamed group; neither may collect the key's event array

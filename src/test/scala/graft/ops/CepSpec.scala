@@ -710,6 +710,59 @@ class CepSpec extends SparkSpec {
     assert(gotS == typed)
   }
 
+  // ---- CONSECUTIVE loops (round 12) ----
+
+  private def matchesConsec(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[(String, Int, Int)], w: Long,
+      consec: Set[Int]): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesTimesConsecutive(df, col("k"), col("tms"),
+        col("oid"), col("ty"), pattern, w, consec)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("consecutive loop: a break below the floor kills; the run restarts after it") {
+    val pat = Seq(("view", 2, U), ("purchase", 1, 1))
+    // the error splits the views: only the post-error pair is consecutive
+    val df = ev((1, 10, "view"), (1, 15, "error"), (1, 20, "view"),
+      (1, 25, "view"), (1, 30, "purchase"))
+    assert(matchesConsec(df, pat, 1000, Set(0)) == Seq((1L, 1, 20L, 30L)))
+    // the RELAXED operator (pre-filtered scan ignores the error) starts
+    // at the first view — the strictness contrast
+    assert(matchesTimes(
+      df.filter(col("ty").isin("view", "purchase")), pat, 1000) ==
+      Seq((1L, 1, 10L, 30L)))
+    // a single view before the break never reaches the floor: no match
+    val below = ev((2, 10, "view"), (2, 15, "error"), (2, 20, "purchase"))
+    assert(matchesConsec(below, pat, 1000, Set(0)).isEmpty)
+  }
+
+  test("consecutive loop: a break at/above the floor CLOSES the loop; the partial survives") {
+    val pat = Seq(("view", 2, U), ("purchase", 1, 1))
+    // two views, then an error (loop closes), a LATER view cannot extend
+    // the closed loop, and the purchase still completes from the
+    // original start
+    val df = ev((1, 10, "view"), (1, 15, "view"), (1, 20, "error"),
+      (1, 25, "view"), (1, 30, "purchase"))
+    assert(matchesConsec(df, pat, 1000, Set(0)) == Seq((1L, 1, 10L, 30L)))
+    // floor contrast: with the break before the SECOND view, the first
+    // run dies and the unbroken pair after the error carries the match
+    val df2 = ev((2, 10, "view"), (2, 12, "error"), (2, 20, "view"),
+      (2, 30, "view"), (2, 40, "purchase"))
+    assert(matchesConsec(df2, pat, 1000, Set(0)) == Seq((2L, 1, 20L, 40L)))
+    // timeout still abandons a closed-loop partial
+    val t = ev((3, 10, "view"), (3, 15, "view"), (3, 20, "error"),
+      (3, 2000, "purchase"))
+    assert(matchesConsec(t, pat, 100, Set(0)).isEmpty)
+    // validation: empty consecutive set and out-of-range stage rejected
+    intercept[IllegalArgumentException] {
+      matchesConsec(df, pat, 1000, Set.empty)
+    }
+    intercept[IllegalArgumentException] {
+      matchesConsec(df, pat, 1000, Set(2))
+    }
+  }
+
   // ---- AFTER MATCH SKIP TO FIRST/LAST (round 12) ----
 
   private def matchesSkipTo(df: org.apache.spark.sql.DataFrame,

@@ -553,6 +553,62 @@ class CepStreamSpec extends SparkSpec {
     assert(gotD == Seq((3L, 600000L, 600020L), (4L, 480000L, 480020L)))
   }
 
+  test("attachTimesConsecutive: loop adjacency and the closed flag cross batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pat = Seq(("view", 2, graft.ops.Cep.Unbounded), ("purchase", 1, 1))
+    var runNo = 0
+    def runConsec(batches: Seq[Seq[CepEvent]],
+        w: Long): Seq[(Long, Long, Long)] = {
+      runNo += 1
+      val tbl = s"cep_consec_out_$runNo"
+      val mem = MemoryStream[CepEvent]
+      val q = CepStream.attachTimesConsecutive(mem.toDS(), pat, w, Set(0))
+        .writeStream
+        .format("memory").queryName(tbl).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table(tbl).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+            r.getAs[Long]("match_end")))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    def batchConsec(events: Seq[CepEvent], w: Long): Seq[(Long, Long, Long)] =
+      graft.ops.Cep.patternMatchesTimesConsecutive(events.toDF(), col("k"),
+          col("tms"), col("oid"), col("ty"), pat, w, Set(0))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+    // the closed flag crosses the boundary: views, a closing error in
+    // batch 1; the batch-2 view cannot extend, the purchase completes
+    val b1 = Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 15, 2, "view"),
+      CepEvent(1, 20, 3, "error"))
+    val b2 = Seq(CepEvent(1, 25, 4, "view"), CepEvent(1, 30, 5, "purchase"))
+    val got = runConsec(Seq(b1, b2), 1000)
+    assert(got == Seq((1L, 10L, 30L)))
+    assert(got == batchConsec(b1 ++ b2, 1000))
+    // a break exactly at the boundary kills a below-floor run
+    val c1 = Seq(CepEvent(2, 10, 1, "view"))
+    val c2 = Seq(CepEvent(2, 15, 2, "error"), CepEvent(2, 20, 3, "view"),
+      CepEvent(2, 25, 4, "view"), CepEvent(2, 30, 5, "purchase"))
+    val gotC = runConsec(Seq(c1, c2), 1000)
+    assert(gotC == Seq((2L, 20L, 30L)))
+    assert(gotC == batchConsec(c1 ++ c2, 1000))
+    // fixture replay: two different splits equal the batch operator
+    // (UNFILTERED stream — any event can break a loop)
+    val events = Envelopes.events(s, sfDir())
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .as[CepEvent].collect().toSeq.sortBy(e => (e.tms, e.oid))
+    val expected = batchConsec(events, 604800000L)
+    assert(expected.nonEmpty)
+    for (parts <- Seq(3, 7)) {
+      val size = math.max(1, (events.length + parts - 1) / parts)
+      assert(runConsec(events.grouped(size).toSeq, 604800000L) == expected)
+    }
+  }
+
   test("attachSkipTo: the rewind buffer crosses micro-batch boundaries") {
     val s = spark
     import s.implicits._
