@@ -365,6 +365,83 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // Cross-batch CONSECUTIVE-LOOP CEP over the persistent store:
+    // q_cep_consec's pattern driven through three time-cut folds of
+    // IncrementalCep.foldBatchConsec — the UNFILTERED event stream
+    // reaches every fold (any event can break a loop) and the
+    // (st, c, cl, t0) state carries adjacency AND the closed flag
+    // across the cuts. Oracle = q_cep_consec's CTE verbatim.
+    "q_cep_consec_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepcs_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchConsec(p, s"$root/cep",
+          Seq(("view", 2, graft.ops.Cep.Unbounded), ("purchase", 1, 1)),
+          withinMs = 604800000L, batchId = i + 1L, consecutive = Set(0))
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
+    // Cross-batch SKIP-TO-FIRST/LAST CEP over the persistent store:
+    // q_cep_skipto's pattern driven through three time-cut folds of
+    // IncrementalCep.foldBatchSkipTo — the single run's state AND its
+    // rewind buffer cross the cuts, so a match completing in a later
+    // fold still rewinds into its buffered stage-1 segment. Oracle =
+    // q_cep_skipto's rewind-position CTE verbatim.
+    "q_cep_skipto_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepst_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchSkipTo(p, s"$root/cep",
+          Seq("view", "click", "purchase"), withinMs = 604800000L,
+          batchId = i + 1L, skipToStage = 1)
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
     // CEP under AFTER MATCH SKIP TO FIRST/LAST (round 12 — the remaining
     // Flink AfterMatchSkipStrategy members, coinciding on the
     // one-event-per-stage class): after each view→click→purchase match
@@ -610,6 +687,105 @@ object AggQueries {
       |       p.t0 AS start_tms, pe.tms AS end_tms
       |FROM p JOIN ev pe ON pe.user_id = p.user_id AND pe.seq = p.p_seq
       |ORDER BY p.user_id, match_n""".stripMargin
+
+
+  // the q_cep_consec closed-flag automaton oracle, shared with
+  // q_cep_consec_stream.
+  private val cepConsecSql: String =
+    """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events)),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS c, FALSE AS cl,
+        |         CAST(0 AS BIGINT) AS t0,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT user_id, seq,
+        |    CASE WHEN ec = 0 AND ty = 'view' THEN 1
+        |         WHEN ec = 0 THEN 0
+        |         WHEN ty = 'view' AND NOT ecl THEN ec + 1
+        |         WHEN ec >= 2 AND ty = 'purchase' THEN 0
+        |         WHEN ec < 2 THEN 0
+        |         ELSE ec END,
+        |    CASE WHEN ty = 'view' AND ec >= 1 AND NOT ecl THEN FALSE
+        |         WHEN ec >= 2 AND ty = 'purchase' THEN FALSE
+        |         WHEN ec >= 2 THEN TRUE
+        |         ELSE FALSE END,
+        |    CASE WHEN ec = 0 AND ty = 'view' THEN etms
+        |         WHEN ec = 0 THEN CAST(0 AS BIGINT)
+        |         WHEN ty = 'view' AND NOT ecl THEN et0
+        |         WHEN ec >= 2 AND ty = 'purchase' THEN CAST(0 AS BIGINT)
+        |         WHEN ec < 2 THEN CAST(0 AS BIGINT)
+        |         ELSE et0 END,
+        |    CASE WHEN ec >= 2 AND ty = 'purchase' THEN et0 END,
+        |    CASE WHEN ec >= 2 AND ty = 'purchase' THEN etms END
+        |  FROM (
+        |    SELECT r.user_id, e.seq, e.ty, e.tms AS etms,
+        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN 0 ELSE r.c END AS ec,
+        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN FALSE ELSE r.cl END AS ecl,
+        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
+        |           THEN CAST(0 AS BIGINT) ELSE r.t0 END AS et0
+        |    FROM run r JOIN ev e
+        |      ON e.user_id = r.user_id AND e.seq = r.seq + 1))
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY m_s, m_e)
+        |         AS INT) AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin
+
+
+  // the q_cep_skipto rewind-position automaton oracle, shared with
+  // q_cep_skipto_stream.
+  private val cepSkipToSql: String =
+    """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(1 AS BIGINT) AS pos, 0 AS st,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS bpos,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT user_id,
+        |    CASE WHEN emit THEN bpos2 ELSE pos + 1 END,
+        |    CASE WHEN emit THEN 0 WHEN mt THEN est + 1 ELSE est END,
+        |    CASE WHEN emit THEN CAST(0 AS BIGINT)
+        |         WHEN mt AND est = 0 THEN etms ELSE et0 END,
+        |    CASE WHEN emit THEN CAST(0 AS BIGINT) ELSE bpos2 END,
+        |    CASE WHEN emit THEN et0 END,
+        |    CASE WHEN emit THEN etms END
+        |  FROM (
+        |    SELECT *,
+        |      (est = 0 AND ty = 'view') OR (est = 1 AND ty = 'click')
+        |        OR (est = 2 AND ty = 'purchase') AS mt,
+        |      est = 2 AND ty = 'purchase' AS emit,
+        |      CASE WHEN est = 1 AND ty = 'click' THEN eseq ELSE ebp END AS bpos2
+        |    FROM (
+        |      SELECT r.user_id, r.pos, e.tms AS etms, e.seq AS eseq, e.ty,
+        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |             THEN 0 ELSE r.st END AS est,
+        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |             THEN CAST(0 AS BIGINT) ELSE r.t0 END AS et0,
+        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
+        |             THEN CAST(0 AS BIGINT) ELSE r.bpos END AS ebp
+        |      FROM run r JOIN ev e
+        |        ON e.user_id = r.user_id AND e.seq = r.pos)))
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY m_s, m_e)
+        |         AS INT) AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin
 
   // the q_cep batch automaton oracle, shared with q_cep_stream
   private val cepSql: String =
@@ -1132,54 +1308,12 @@ object AggQueries {
     // open, extend (not closed), emit, break-below-floor dies (the
     // breaking event cannot be a view there — a view would have
     // extended), break-at/above-floor closes.
-    "q_cep_consec" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, tms, ty,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty
-        |        FROM events)),
-        |run AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS c, FALSE AS cl,
-        |         CAST(0 AS BIGINT) AS t0,
-        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
-        |  FROM (SELECT DISTINCT user_id FROM ev)
-        |  UNION ALL
-        |  SELECT user_id, seq,
-        |    CASE WHEN ec = 0 AND ty = 'view' THEN 1
-        |         WHEN ec = 0 THEN 0
-        |         WHEN ty = 'view' AND NOT ecl THEN ec + 1
-        |         WHEN ec >= 2 AND ty = 'purchase' THEN 0
-        |         WHEN ec < 2 THEN 0
-        |         ELSE ec END,
-        |    CASE WHEN ty = 'view' AND ec >= 1 AND NOT ecl THEN FALSE
-        |         WHEN ec >= 2 AND ty = 'purchase' THEN FALSE
-        |         WHEN ec >= 2 THEN TRUE
-        |         ELSE FALSE END,
-        |    CASE WHEN ec = 0 AND ty = 'view' THEN etms
-        |         WHEN ec = 0 THEN CAST(0 AS BIGINT)
-        |         WHEN ty = 'view' AND NOT ecl THEN et0
-        |         WHEN ec >= 2 AND ty = 'purchase' THEN CAST(0 AS BIGINT)
-        |         WHEN ec < 2 THEN CAST(0 AS BIGINT)
-        |         ELSE et0 END,
-        |    CASE WHEN ec >= 2 AND ty = 'purchase' THEN et0 END,
-        |    CASE WHEN ec >= 2 AND ty = 'purchase' THEN etms END
-        |  FROM (
-        |    SELECT r.user_id, e.seq, e.ty, e.tms AS etms,
-        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN 0 ELSE r.c END AS ec,
-        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN FALSE ELSE r.cl END AS ecl,
-        |      CASE WHEN r.c > 0 AND e.tms - r.t0 >= 604800000
-        |           THEN CAST(0 AS BIGINT) ELSE r.t0 END AS et0
-        |    FROM run r JOIN ev e
-        |      ON e.user_id = r.user_id AND e.seq = r.seq + 1))
-        |SELECT user_id,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY m_s, m_e)
-        |         AS INT) AS match_n,
-        |       m_s AS start_tms, m_e AS end_tms
-        |FROM run WHERE m_s IS NOT NULL
-        |ORDER BY user_id, match_n""".stripMargin,
+    "q_cep_consec" -> cepConsecSql,
+
+    // q_cep_consec_stream shares the batch oracle VERBATIM:
+    // foldBatchConsec seeds the same ConsecStepper from storage, so
+    // three time-cut folds concatenate to the batch operator.
+    "q_cep_consec_stream" -> cepConsecSql,
 
     // The skip-to-first/last automaton as a REWIND-POSITION recursive
     // CTE: one row per key per processing step over (pos, st, t0, bpos);
@@ -1187,49 +1321,12 @@ object AggQueries {
     // recorded when stage 1 matched) — the SkipToRunner's replay as
     // positional recursion. Starts strictly increase per key, so
     // ORDER BY m_s is emission order.
-    "q_cep_skipto" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, tms, ty,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
-        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
-        |               event_type AS ty
-        |        FROM events WHERE event_type IN ('view', 'click', 'purchase'))),
-        |run AS (
-        |  SELECT user_id, CAST(1 AS BIGINT) AS pos, 0 AS st,
-        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS bpos,
-        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
-        |  FROM (SELECT DISTINCT user_id FROM ev)
-        |  UNION ALL
-        |  SELECT user_id,
-        |    CASE WHEN emit THEN bpos2 ELSE pos + 1 END,
-        |    CASE WHEN emit THEN 0 WHEN mt THEN est + 1 ELSE est END,
-        |    CASE WHEN emit THEN CAST(0 AS BIGINT)
-        |         WHEN mt AND est = 0 THEN etms ELSE et0 END,
-        |    CASE WHEN emit THEN CAST(0 AS BIGINT) ELSE bpos2 END,
-        |    CASE WHEN emit THEN et0 END,
-        |    CASE WHEN emit THEN etms END
-        |  FROM (
-        |    SELECT *,
-        |      (est = 0 AND ty = 'view') OR (est = 1 AND ty = 'click')
-        |        OR (est = 2 AND ty = 'purchase') AS mt,
-        |      est = 2 AND ty = 'purchase' AS emit,
-        |      CASE WHEN est = 1 AND ty = 'click' THEN eseq ELSE ebp END AS bpos2
-        |    FROM (
-        |      SELECT r.user_id, r.pos, e.tms AS etms, e.seq AS eseq, e.ty,
-        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |             THEN 0 ELSE r.st END AS est,
-        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |             THEN CAST(0 AS BIGINT) ELSE r.t0 END AS et0,
-        |        CASE WHEN r.st > 0 AND e.tms - r.t0 >= 604800000
-        |             THEN CAST(0 AS BIGINT) ELSE r.bpos END AS ebp
-        |      FROM run r JOIN ev e
-        |        ON e.user_id = r.user_id AND e.seq = r.pos)))
-        |SELECT user_id,
-        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY m_s, m_e)
-        |         AS INT) AS match_n,
-        |       m_s AS start_tms, m_e AS end_tms
-        |FROM run WHERE m_s IS NOT NULL
-        |ORDER BY user_id, match_n""".stripMargin,
+    "q_cep_skipto" -> cepSkipToSql,
+
+    // q_cep_skipto_stream shares the batch oracle VERBATIM:
+    // foldBatchSkipTo seeds the same SkipToRunner (state + rewind
+    // buffer) from storage.
+    "q_cep_skipto_stream" -> cepSkipToSql,
 
     // q_cep_skipnext_stream shares the batch oracle VERBATIM:
     // foldBatchSkipNext runs the same SkipStepper with the run set

@@ -635,6 +635,217 @@ object IncrementalCep {
     out
   }
 
+  /** Typed cogroup rows of [[foldBatchConsec]] / [[foldBatchSkipTo]]. */
+  private[streaming] final case class ConsecState(k: Long, st: Int, c: Int,
+      cl: Boolean, t0: Long)
+  private[streaming] final case class ConsecOut(kind: String, k: Long,
+      s: Long, e: Long, st: Int, c: Int, cl: Boolean, t0: Long)
+  private[streaming] final case class SkipToState(k: Long, st: Int,
+      t0: Long, buf: String)
+  private[streaming] final case class SkipToOut(kind: String, k: Long,
+      s: Long, e: Long, st: Int, c: Int, t0: Long, buf: String)
+
+  /** Percent-escape for the skip-to buffer encoding — event types are
+    * arbitrary strings, so the ':'/';' field and row separators must be
+    * escaped ('%' first, reversed on decode). */
+  private def escTy(s: String): String =
+    s.replace("%", "%25").replace(":", "%3A").replace(";", "%3B")
+  private def unescTy(s: String): String =
+    s.replace("%3B", ";").replace("%3A", ":").replace("%25", "%")
+  /** Encode/decode the rewind buffer — "tms:oid:ty;…" in order (part of
+    * the "cep-skipto-v1" layout). */
+  private def encodeBuf(buf: Iterable[(Long, Long, String)]): String =
+    buf.iterator.map { case (t, o, ty) => s"$t:$o:${escTy(ty)}" }
+      .mkString(";")
+  private def decodeBuf(s: String): Vector[(Long, Long, String)] =
+    if (s == null || s.isEmpty) Vector.empty
+    else s.split(';').iterator.map { p =>
+      val a = p.indexOf(':'); val b = p.indexOf(':', a + 1)
+      (p.substring(0, a).toLong, p.substring(a + 1, b).toLong,
+        unescTy(p.substring(b + 1)))
+    }.toVector
+
+  /** [[foldBatch]]'s CONSECUTIVE-LOOP form ([[graft.ops.Cep
+    * .patternMatchesTimesConsecutive]]'s contract, store-backed): the
+    * (st, c, cl, t0) automaton state persists across folds, so loop
+    * adjacency AND a closed loop carry over fold boundaries (the end of
+    * fold N and the start of fold N+1 are adjacent in the
+    * concatenation). Feed it the key's UNFILTERED event stream — any
+    * event can break a loop. The fold is a typed sorted cogroup running
+    * the shared [[graft.ops.Cep.ConsecStepper]] (one step object with
+    * the batch plan and the stream form). Layout "cep-consec-v1"; the
+    * state row carries the real `c`, so [[expire]]/[[maintainExpire]]
+    * work unchanged (idle c = 0 ≡ absent; a timed-out partial reopens
+    * exactly as an absent key does, closed flag and all). */
+  def foldBatchConsec(events: DataFrame, storePath: String,
+      pattern: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
+      consecutive: Set[Int], numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    graft.ops.Cep.validateTimes(pattern, withinMs)
+    require(consecutive.nonEmpty,
+      "no consecutive stages — use foldBatch (pre-filtered scan)")
+    require(consecutive.forall(i => i >= 0 && i < pattern.length),
+      s"consecutive stages must be in 0..${pattern.length - 1}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    // NO type pre-filter: any event is state-relevant
+    val batch = events
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"), col("oid").cast("long").as("oid"),
+        col("ty").cast("string").as("ty"))
+      .localCheckpoint(true)
+    val keys = batch.select(col("k")).distinct()
+    val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0)))
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("st").cast("int").as("st"),
+          col("c").cast("int").as("c"), col("cl").cast("boolean").as("cl"),
+          col("t0").cast("long").as("t0")))
+      .getOrElse(spark.range(0).select(col("id").as("k"), lit(0).as("st"),
+        lit(0).as("c"), lit(false).as("cl"), lit(0L).as("t0")))
+      .as[ConsecState]
+    val within = withinMs
+    val consec = consecutive
+    val folded = batch.as[SkipEv]
+      .groupByKey(_.k)
+      .cogroupSorted(state.groupByKey(_.k))(
+        col("tms"), col("oid"), col("ty"))() { (k, evs, sts) =>
+        val preds = pat.map { case (t, mn, mx) =>
+          (((e: SkipEv) => e.ty == t), mn, mx) }
+        val stepper = new graft.ops.Cep.ConsecStepper[SkipEv](preds,
+          within, consec, _.tms)
+        var (st, c, cl, t0) = sts.toSeq.headOption
+          .map(s => (s.st, s.c, s.cl, s.t0)).getOrElse((0, 0, false, 0L))
+        val out = scala.collection.mutable.ListBuffer.empty[ConsecOut]
+        evs.foreach { e =>
+          val next = stepper.step(st, c, cl, t0, e,
+            (s, en) => out += ConsecOut("m", k, s, en, 0, 0, false, 0L))
+          st = next._1; c = next._2; cl = next._3; t0 = next._4
+        }
+        out += ConsecOut("v", k, 0L, 0L, st, c, cl, t0)
+        out
+      }
+      .toDF("kind", "k", "s", "e", "st", "c", "cl", "t0")
+      .localCheckpoint(true) // pin BEFORE the merge GCs the read generation
+    val stateRows = folded.filter(col("kind") === "v")
+      .select(col("kind"), col("k"), col("st"), col("c"), col("cl"),
+        col("t0"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
+      lit(false).as("cl"), lit(0L).as("t0"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some("cep-consec-v1"))
+    val out = folded.filter(col("kind") === "m")
+      .select(col("k"), col("s").as("start_tms"), col("e").as("end_tms"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
+    out
+  }
+
+  /** [[foldBatch]]'s SKIP-TO-FIRST/LAST form ([[graft.ops.Cep
+    * .patternMatchesSkipTo]]'s contract, store-backed): the single run's
+    * (st, t0) AND its rewind buffer persist across folds (layout
+    * "cep-skipto-v1" — buffer encoded "tms:oid:ty;…", types
+    * percent-escaped), so a match completing in a later fold still
+    * rewinds into its buffered stage-`skipTo` segment. The fold is a
+    * typed sorted cogroup running the shared
+    * [[graft.ops.Cep.SkipToRunner]]. Buffer size is one partial's
+    * in-window span (the window-bounded class). For expiry the state
+    * row carries c = st (idle ≡ absent — an idle run holds no buffer;
+    * a timed-out partial's buffer dies with it on the next event,
+    * indistinguishable from absent). */
+  def foldBatchSkipTo(events: DataFrame, storePath: String,
+      pattern: Seq[String], withinMs: Long, batchId: Long,
+      skipToStage: Int, numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    require(pattern.length >= 2, "skip-to-first/last needs >= 2 stages")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    require(skipToStage >= 1 && skipToStage < pattern.length,
+      s"skipToStage must be in 1..${pattern.length - 1}, got $skipToStage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    val batch = events.filter(col("ty").isin(pattern.distinct: _*))
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"), col("oid").cast("long").as("oid"),
+        col("ty").cast("string").as("ty"))
+      .localCheckpoint(true)
+    val keys = batch.select(col("k")).distinct()
+    val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = stored.flatMap(_.filter(col("kind") === "m")
+      .select(col("ver")).collect().headOption.map(_.getLong(0)))
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("st").cast("int").as("st"),
+          col("t0").cast("long").as("t0"),
+          col("buf").cast("string").as("buf")))
+      .getOrElse(spark.range(0).select(col("id").as("k"), lit(0).as("st"),
+        lit(0L).as("t0"), lit(null).cast("string").as("buf")))
+      .as[SkipToState]
+    val within = withinMs
+    val sk = skipToStage
+    val folded = batch.as[SkipEv]
+      .groupByKey(_.k)
+      .cogroupSorted(state.groupByKey(_.k))(
+        col("tms"), col("oid"), col("ty"))() { (k, evs, sts) =>
+        val runner = new graft.ops.Cep.SkipToRunner(pat, within, sk)
+        sts.toSeq.headOption.foreach { s =>
+          runner.st = s.st; runner.t0 = s.t0
+          decodeBuf(s.buf).foreach(runner.buf.append)
+        }
+        val out = scala.collection.mutable.ListBuffer.empty[SkipToOut]
+        evs.foreach { e =>
+          runner.feed(e.tms, e.oid, e.ty,
+            (s, en) => out += SkipToOut("m", k, s, en, 0, 0, 0L, null))
+        }
+        out += SkipToOut("v", k, 0L, 0L, runner.st, runner.st, runner.t0,
+          encodeBuf(runner.buf))
+        out
+      }
+      .toDF("kind", "k", "s", "e", "st", "c", "t0", "buf")
+      .localCheckpoint(true) // pin BEFORE the merge GCs the read generation
+    val stateRows = folded.filter(col("kind") === "v")
+      .select(col("kind"), col("k"), col("st"), col("c"), col("t0"),
+        col("buf"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("st"), lit(-1).as("c"),
+      lit(0L).as("t0"), lit(null).cast("string").as("buf"),
+      lit(batchId).as("ver"), lit("put").as("op_type"))
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some("cep-skipto-v1"))
+    val out = folded.filter(col("kind") === "m")
+      .select(col("k"), col("s").as("start_tms"), col("e").as("end_tms"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
+    out
+  }
+
   /** State EXPIRY — the Flink state-TTL analog for the CEP store, closing
     * its one unbounded-growth axis (one row per key EVER seen). Two row
     * classes are provably dead under the per-key event-time-order

@@ -410,6 +410,111 @@ class IncrementalCepSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(ev)
   }
 
+  test("consecutive loops (foldBatchConsec): adjacency and the closed flag span folds") {
+    val store = Files.createTempDirectory("inc_cep_cs").toString + "/cep"
+    val pat = Seq(("view", 2, graft.ops.Cep.Unbounded), ("purchase", 1, 1))
+    def cs(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchConsec(df, store, pat, 1000,
+        batchId = id, consecutive = Set(0)))
+    // two views + a closing error in fold 1; the fold-2 view cannot
+    // extend the CLOSED loop, the purchase completes from the original
+    // start — the cl flag crossed the fold boundary
+    assert(cs(evDf((1, 10, 1, "view"), (1, 15, 2, "view"),
+      (1, 20, 3, "error")), 1).isEmpty)
+    assert(cs(evDf((1, 25, 4, "view"), (1, 30, 5, "purchase")), 2) ==
+      Seq((1L, 10L, 30L)))
+    // a break right AFTER a below-floor fold kills the carried partial
+    assert(cs(evDf((2, 40, 6, "view")), 3).isEmpty)
+    assert(cs(evDf((2, 45, 7, "error"), (2, 50, 8, "view"),
+      (2, 55, 9, "view"), (2, 60, 10, "purchase")), 4) ==
+      Seq((2L, 50L, 60L)))
+    // replay behind the mark is a no-op
+    assert(cs(evDf((1, 70, 11, "view")), 2).isEmpty)
+    // fixture parity: three time-cut folds equal the batch operator
+    val s = spark
+    val store2 = Files.createTempDirectory("inc_cep_csfx").toString + "/cep"
+    val w = 604800000L
+    val ev = graft.model.Envelopes.events(s, sfDir())
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .localCheckpoint(true)
+    val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val folds = Seq(
+      ev.filter(col("tms") <= cut1),
+      ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+      ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+      IncrementalCep.foldBatchConsec(p, store2, pat, w, batchId = i + 1L,
+        consecutive = Set(0))
+    }
+    val gotAll = folds.map(got).reduce(_ ++ _).sortBy(identity)
+    val want = graft.ops.Cep.patternMatchesTimesConsecutive(ev, col("k"),
+        col("tms"), col("oid"), col("ty"), pat, w, Set(0))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(want.nonEmpty && gotAll == want)
+    folds.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(ev)
+  }
+
+  test("skip-to-first/last (foldBatchSkipTo): the rewind buffer spans folds") {
+    val store = Files.createTempDirectory("inc_cep_st").toString + "/cep"
+    val pat = Seq("view", "click", "purchase")
+    def sk(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchSkipTo(df, store, pat, 1000,
+        batchId = id, skipToStage = 1))
+    // the click buffered in fold 1 replays when the match completes in
+    // fold 2, and the rewound run (opened by the buffered view) closes
+    // in fold 3 — buffer and mid-replay partial cross both cuts
+    assert(sk(evDf((1, 10, 1, "view"), (1, 20, 2, "click")), 1).isEmpty)
+    assert(sk(evDf((1, 25, 3, "view"), (1, 30, 4, "purchase")), 2) ==
+      Seq((1L, 10L, 30L)))
+    assert(sk(evDf((1, 35, 5, "click"), (1, 40, 6, "purchase")), 3) ==
+      Seq((1L, 25L, 40L)))
+    // replay behind the mark is a no-op
+    assert(sk(evDf((1, 50, 7, "view")), 3).isEmpty)
+    // percent-escaping round-trips hostile event-type strings through
+    // the buffer (a ty containing the encoding's own separators)
+    val store2 = Files.createTempDirectory("inc_cep_st2").toString + "/cep"
+    val hostile = Seq("a:b;c%d", "e;f", "g:h")
+    def sk2(df: org.apache.spark.sql.DataFrame, id: Long) =
+      got(IncrementalCep.foldBatchSkipTo(df, store2, hostile, 1000,
+        batchId = id, skipToStage = 1))
+    assert(sk2(evDf((3, 10, 1, "a:b;c%d"), (3, 20, 2, "e;f")), 1).isEmpty)
+    assert(sk2(evDf((3, 25, 3, "a:b;c%d"), (3, 30, 4, "g:h")), 2) ==
+      Seq((3L, 10L, 30L)))
+    assert(sk2(evDf((3, 35, 5, "e;f"), (3, 40, 6, "g:h")), 3) ==
+      Seq((3L, 25L, 40L)))
+    // fixture parity: three time-cut folds equal the batch operator
+    val s = spark
+    val store3 = Files.createTempDirectory("inc_cep_stfx").toString + "/cep"
+    val w = 604800000L
+    val ev = graft.model.Envelopes.events(s, sfDir())
+      .filter(col("event_type").isin(pat: _*))
+      .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+        col("event_id").as("oid"), col("event_type").as("ty"))
+      .localCheckpoint(true)
+    val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    val folds = Seq(
+      ev.filter(col("tms") <= cut1),
+      ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+      ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+      IncrementalCep.foldBatchSkipTo(p, store3, pat, w, batchId = i + 1L,
+        skipToStage = 1)
+    }
+    val gotAll = folds.map(got).reduce(_ ++ _).sortBy(identity)
+    val want = graft.ops.Cep.patternMatchesSkipTo(ev, col("k"), col("tms"),
+        col("oid"), col("ty"), pat, w, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(want.nonEmpty && gotAll == want)
+    folds.foreach(graft.util.Blocks.freeCheckpoint)
+    graft.util.Blocks.freeCheckpoint(ev)
+  }
+
   test("expiry-enabled folds emit byte-identical matches on every layout (dead ≡ absent)") {
     // VERDICT r11 item 8: drive each store layout (times/where, iter,
     // next, neg, select) twice — with and without expireWatermarkMs wired
@@ -480,6 +585,16 @@ class IncrementalCepSpec extends SparkSpec {
     parity("skipnext") { (df, store, id, wm) =>
       IncrementalCep.foldBatchSkipNext(df, store,
         Seq("view", "click", "purchase"), w, id, expireWatermarkMs = wm)
+    }
+    parity("consec") { (df, store, id, wm) =>
+      IncrementalCep.foldBatchConsec(df, store,
+        Seq(("view", 1, graft.ops.Cep.Unbounded), ("purchase", 1, 1)),
+        w, id, consecutive = Set(0), expireWatermarkMs = wm)
+    }
+    parity("skipto") { (df, store, id, wm) =>
+      IncrementalCep.foldBatchSkipTo(df, store,
+        Seq("view", "click", "purchase"), w, id, skipToStage = 1,
+        expireWatermarkMs = wm)
     }
   }
 
