@@ -1596,6 +1596,53 @@ object ScaleProbe {
         withinMs = 12000L).count()
       println(s"  skipnext matches=$m keys=$nEvKeys")
     }
+    // I. CEP SKIP-TO + CONSECUTIVE STORE FOLDS (round 12 — the two new
+    // primitives' store drives, the rewind-buffer / closed-flag state
+    // shapes the other folds don't have): three time-cut folds each over
+    // copies×4k keys × 12 events (consec's stream UNFILTERED — one
+    // noise type in the rotation exercises the break rule)
+    stage("cep-skipto-fold") {
+      val nEvKeys = copies * 4000L
+      val perFold = nEvKeys * 12
+      val tyc = array(lit("view"), lit("click"), lit("purchase"), lit("view"))
+      var matches = 0L
+      for (i <- 0 until 3) {
+        val ev = spark.range(perFold).select(
+          (col("id") % nEvKeys).as("k"),
+          (lit(i * 1000000L) + (col("id") / nEvKeys) * 1000L).as("tms"),
+          (col("id") + i * perFold).as("oid"),
+          element_at(tyc, (pmod(col("id") / nEvKeys, lit(4)) + 1).cast("int"))
+            .as("ty"))
+        val m = graft.streaming.IncrementalCep.foldBatchSkipTo(ev,
+          s"$work/cepskipto", Seq("view", "click", "purchase"),
+          withinMs = 1000000000L, batchId = i + 1L, skipToStage = 1)
+        matches += m.count()
+        graft.util.Blocks.freeCheckpoint(m)
+      }
+      println(s"  skipto-fold matches=$matches keys=$nEvKeys")
+    }
+    stage("cep-consec-fold") {
+      val nEvKeys = copies * 4000L
+      val perFold = nEvKeys * 12
+      val tyc = array(lit("view"), lit("view"), lit("noise"),
+        lit("view"), lit("view"), lit("purchase"))
+      var matches = 0L
+      for (i <- 0 until 3) {
+        val ev = spark.range(perFold).select(
+          (col("id") % nEvKeys).as("k"),
+          (lit(i * 1000000L) + (col("id") / nEvKeys) * 1000L).as("tms"),
+          (col("id") + i * perFold).as("oid"),
+          element_at(tyc, (pmod(col("id") / nEvKeys, lit(6)) + 1).cast("int"))
+            .as("ty"))
+        val m = graft.streaming.IncrementalCep.foldBatchConsec(ev,
+          s"$work/cepconsec",
+          Seq(("view", 2, graft.ops.Cep.Unbounded), ("purchase", 1, 1)),
+          withinMs = 1000000000L, batchId = i + 1L, consecutive = Set(0))
+        matches += m.count()
+        graft.util.Blocks.freeCheckpoint(m)
+      }
+      println(s"  consec-fold matches=$matches keys=$nEvKeys")
+    }
     println(f"TENANCY total: shuffle=${gb(shuffleW.get)}%7.2f GB " +
       f"spillMem=${gb(spillMem.get)}%7.2f GB spillDisk=${gb(spillDisk.get)}%6.2f GB " +
       f"peakStageShuffle=${gb(peakStage.get)}%6.2f GB")
