@@ -339,21 +339,26 @@ object Cep {
         if (p(e) && !cl && (mx == Unbounded || c < mx)) {
           if (st == last && c + 1 == mn) { emit(t0, tms); (0, 0, false, 0L) }
           else (st, c + 1, cl, t0)
-        } else if (st < last && c >= mn &&
+        } else {
+          // ONE reachable-stage scan (TimesStepper's single-find shape —
+          // the r12 advisor flagged the exists+find double evaluation)
+          val advance = if (st < last && c >= mn)
             ((st + 1) to last).view
               .takeWhile(j => (st + 1 until j).forall(pattern(_)._2 == 0))
-              .exists(j => pattern(j)._1(e))) {
-          val j = ((st + 1) to last).view
-            .takeWhile(j => (st + 1 until j).forall(pattern(_)._2 == 0))
-            .find(j => pattern(j)._1(e)).get
-          if (j == last && pattern(j)._2 == 1) { emit(t0, tms); (0, 0, false, 0L) }
-          else (j, 1, false, t0)
-        } else if (consecutive.contains(st) && c >= 1) {
-          // the loop was accumulating and e neither extended nor
-          // advanced: consecutive's break rule
-          if (c < mn) enter0
-          else (st, c, true, t0)
-        } else (st, c, cl, t0)
+              .find(j => pattern(j)._1(e))
+          else None
+          advance match {
+            case Some(j) =>
+              if (j == last && pattern(j)._2 == 1) { emit(t0, tms); (0, 0, false, 0L) }
+              else (j, 1, false, t0)
+            case None if consecutive.contains(st) && c >= 1 =>
+              // the loop was accumulating and e neither extended nor
+              // advanced: consecutive's break rule
+              if (c < mn) enter0
+              else (st, c, true, t0)
+            case None => (st, c, cl, t0)
+          }
+        }
       }
     }
   }

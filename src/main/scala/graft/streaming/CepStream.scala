@@ -405,20 +405,39 @@ object CepStream {
     * the watermark proves dead are pruned and emptied state is REMOVED —
     * Flink's within-pruning, so a dormant key costs nothing forever.
     * `maxActiveRuns` > 0 additionally evicts the OLDEST runs beyond the
-    * cap after each batch (oldest = nearest its window end, the least
-    * future matching power — still a documented, loud-in-the-docs loss:
-    * an evicted run's would-be match never emits). */
+    * cap after each batch. The guarantee is ONLY a bounded run set with
+    * documented loss: by the monotone-run invariant the oldest runs are
+    * the MOST advanced (an evicted run's would-be match never emits) —
+    * but they are also nearest their window ends, i.e. the ones the
+    * watermark would prune soonest; keeping the newest runs instead
+    * preserves the fullest remaining windows under stage-0 spam. Size
+    * the cap so eviction never fires on honest traffic.
+    *
+    * REQUIRES EventTimeTimeout + a watermark on the query (the
+    * [[attachSkipNext]] wiring). Wired with `GroupStateTimeout
+    * .NoTimeout` (its pre-r12 contract) or without a watermark, the
+    * watermark/timeout calls degrade gracefully: no run pruning, no
+    * timeout — the old NoTimeout behavior, state bounded only by
+    * `maxActiveRuns`. */
   def matchGroupSkipNext(pattern: IndexedSeq[String], withinMs: Long,
       maxActiveRuns: Int = 0)(
       k: Long, events: Iterator[CepEvent],
       state: GroupState[CepSkipState]): Iterator[CepMatch] = {
+    // NoTimeout/no-watermark degradation (the r12 advisor's contract
+    // break): a caller wiring the pre-r12 GroupStateTimeout.NoTimeout —
+    // or a query with no watermark — must not crash at runtime, it just
+    // loses the pruning (Spark signals both as UnsupportedOperationException)
+    def wmOpt: Option[Long] =
+      try Some(state.getCurrentWatermarkMs())
+      catch { case _: UnsupportedOperationException => None }
     def put(runs: Vector[(Int, Long)]): Unit =
       if (runs.isEmpty) state.remove()
       else {
         state.update(CepSkipState(runs.map { case (st, t0) => CepRun(st, t0) }))
         // earliest window end still live; watermark semantics guarantee
         // min(t0) + within > watermark here (dead runs were pruned)
-        state.setTimeoutTimestamp(runs.map(_._2).min + withinMs)
+        try state.setTimeoutTimestamp(runs.map(_._2).min + withinMs)
+        catch { case _: UnsupportedOperationException => () }
       }
     var runs = state.getOption
       .map(_.runs.map(r => (r.st, r.t0)).toVector).getOrElse(Vector.empty)
@@ -435,8 +454,8 @@ object CepStream {
         (t0, en) => out += CepMatch(k, t0, en))
     }
     // watermark pruning + the documented cap (drop OLDEST beyond it)
-    val wm = state.getCurrentWatermarkMs()
-    runs = runs.filter { case (_, t0) => wm - t0 < withinMs }
+    runs = wmOpt.fold(runs)(wm =>
+      runs.filter { case (_, t0) => wm - t0 < withinMs })
     if (maxActiveRuns > 0 && runs.length > maxActiveRuns)
       runs = runs.takeRight(maxActiveRuns)
     put(runs)
@@ -455,27 +474,32 @@ object CepStream {
     * arrival count. Pre-filter to the pattern's types before calling.
     *
     * `delay` MUST BOUND CROSS-KEY EVENT-TIME SKEW, not just per-key
-    * disorder: the watermark is GLOBAL, so with the 0 ms default a key
-    * whose event times lag another key's by more than the window has its
-    * sub-watermark rows dropped as late (Spark's event-time-timeout
-    * late-row filter) and its watermark-closed runs pruned — a match the
-    * batch operator (and [[attachNeg]]'s equivalent hazard aside, a
-    * NoTimeout stream) would emit is silently lost. Same contract as
-    * [[attachNeg]], which shares the watermark structure: size `delay`
-    * to the source's cross-partition skew (e.g. "10 minutes"), exactly
-    * as Flink's bounded-out-of-orderness watermark must. Pinned by
-    * CepStreamSpec "cross-key skew inside the watermark delay". */
+    * disorder: the watermark is GLOBAL, so a key whose event times lag
+    * another key's by more than `delay` has its sub-watermark rows
+    * dropped as late (Spark's event-time-timeout late-row filter) and
+    * its watermark-closed runs pruned — a match the batch operator (and
+    * [[attachNeg]]'s equivalent hazard aside, a NoTimeout stream) would
+    * emit is silently lost. The DEFAULT (empty string) resolves to
+    * `withinMs` itself, so skew up to one pattern window is tolerated
+    * without opting in — silent match loss now requires an EXPLICIT
+    * tighter delay (the r12 advisor's finding on the earlier 0 ms
+    * default). Size an explicit `delay` to the source's cross-partition
+    * skew (e.g. "10 minutes"), exactly as Flink's bounded-out-of-
+    * orderness watermark must; tighter delays prune dormant keys'
+    * state sooner. Pinned by CepStreamSpec "cross-key skew inside the
+    * watermark delay". */
   def attachSkipNext(ds: Dataset[CepEvent], pattern: Seq[String],
       withinMs: Long, maxActiveRuns: Int = 0,
-      delay: String = "0 milliseconds"): Dataset[CepMatch] = {
+      delay: String = ""): Dataset[CepMatch] = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
     require(maxActiveRuns >= 0,
       s"maxActiveRuns must be >= 0 (0 = unbounded), got $maxActiveRuns")
+    val wmDelay = if (delay.isEmpty) s"$withinMs milliseconds" else delay
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
     ds.withColumn("__et", timestamp_millis(col("tms")))
-      .withWatermark("__et", delay)
+      .withWatermark("__et", wmDelay)
       .as[CepEvent]
       .groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append,

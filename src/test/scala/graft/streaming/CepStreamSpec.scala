@@ -522,8 +522,8 @@ class CepStreamSpec extends SparkSpec {
     // CROSS-KEY SKEW inside the watermark delay: key 4's event times lag
     // key 3's by more than the window — with the documented delay sized
     // to the skew, 4's rows are not late and its runs survive to match
-    // (with the 0 ms default they would be dropped/pruned — the delay
-    // contract on attachSkipNext)
+    // (the default delay = the 60 s window would still drop them here:
+    // the skew is 120 s — the delay contract on attachSkipNext)
     def runSkipDelay(batches: Seq[Seq[CepEvent]], w: Long,
         delay: String): Seq[(Long, Long, Long)] = {
       runNo += 1
