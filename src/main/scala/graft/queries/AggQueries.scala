@@ -148,6 +148,42 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // GROUP pattern (Flink-CEP Pattern.begin(subPattern).times(n),
+    // round 13 — the one unported Flink-CEP construct): the (view,
+    // click) sub-pattern repeated WHOLE exactly twice within seven
+    // days. Exact-count group times is semantically the UNROLLED stage
+    // list (Flink's own NFA expansion), so the operator delegates to
+    // the routed 4-stage automaton and the oracle is the generic
+    // recursive-CTE twin on the unrolled stages.
+    "q_cep_group" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesGroup(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"), group = Seq("view", "click"), times = 2,
+          withinMs = 604800000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
+    // BRANCHING-NFA opt-in (round 13 — the overlapWarnings class made
+    // usable): (view)(click optional)(click) within 7 days. The greedy
+    // reading feeds the optional stage first and loses the one-click
+    // matches Flink's branching NFA finds; the opt-in explores every
+    // branch and emits at the family's earliest completion. On THIS
+    // pattern the branch automaton provably reduces to the two-stage
+    // view→click machine (the skip branch always completes first, the
+    // optional branch never completes earlier), so the oracle is the
+    // generic CTE on (view, click) — an independent SQL derivation of
+    // the reduction.
+    "q_cep_nfa" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesTimesNfa(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"),
+          Seq(("view", 1, 1), ("click", 0, 1), ("click", 1, 1)),
+          withinMs = 604800000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP with MATCH-PAYLOAD OUTPUT (Flink-CEP select()/flatSelect()):
     // the same view→click→purchase automaton as q_cep, but returning the
     // MATCHED EVENTS per stage — which view opened, which click converted,
@@ -788,6 +824,54 @@ object AggQueries {
         |ORDER BY user_id, match_n""".stripMargin
 
   // the q_cep batch automaton oracle, shared with q_cep_stream
+  /** Recursive-CTE twin of the one-event-per-stage automaton for an
+    * ARBITRARY stage list — `cepSql`'s hand-written three-stage table,
+    * generated: same branch order (timeout, advance, emit, hold), same
+    * skip-past-last-row reset. `q_cep_group` feeds it the group pattern
+    * UNROLLED (exact-count group times ≡ concatenated stages — the
+    * Flink NFA compiler's own expansion). */
+  private def cepUnrolledSql(stages: Seq[String], w: Long): String = {
+    require(stages.length >= 2)
+    val types = stages.distinct.map(t => s"'$t'").mkString(", ")
+    val last = stages.length - 1
+    val adv = (0 until last)
+      .map(i => s"(r.st = $i AND e.ty = '${stages(i)}')").mkString(" OR ")
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, tms, ty,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+       |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+       |               event_type AS ty
+       |        FROM events WHERE event_type IN ($types))),
+       |run AS (
+       |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS st,
+       |         CAST(0 AS BIGINT) AS t0,
+       |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+       |  FROM (SELECT DISTINCT user_id FROM ev)
+       |  UNION ALL
+       |  SELECT r.user_id, e.seq,
+       |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= $w
+       |           THEN CASE WHEN e.ty = '${stages.head}' THEN 1 ELSE 0 END
+       |         WHEN $adv THEN r.st + 1
+       |         WHEN r.st = $last AND e.ty = '${stages.last}' THEN 0
+       |         ELSE r.st END AS st,
+       |    CASE WHEN r.st > 0 AND e.tms - r.t0 >= $w
+       |           THEN CASE WHEN e.ty = '${stages.head}' THEN e.tms ELSE CAST(0 AS BIGINT) END
+       |         WHEN r.st = 0 AND e.ty = '${stages.head}' THEN e.tms
+       |         WHEN r.st = $last AND e.ty = '${stages.last}' THEN CAST(0 AS BIGINT)
+       |         ELSE r.t0 END AS t0,
+       |    CASE WHEN r.st = $last AND e.ty = '${stages.last}' AND e.tms - r.t0 < $w
+       |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+       |    CASE WHEN r.st = $last AND e.ty = '${stages.last}' AND e.tms - r.t0 < $w
+       |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+       |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+       |SELECT user_id,
+       |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+       |         AS match_n,
+       |       m_s AS start_tms, m_e AS end_tms
+       |FROM run WHERE m_s IS NOT NULL
+       |ORDER BY user_id, match_n""".stripMargin
+  }
+
   private val cepSql: String =
     """WITH RECURSIVE ev AS (
         |  SELECT user_id, tms, ty,
@@ -1186,6 +1270,15 @@ object AggQueries {
     // is the batch step function seeded from storage, so three time-cut
     // folds concatenate to exactly the batch automaton's matches.
     "q_cep_stream" -> cepSql,
+
+    // group pattern = the generic CTE on the UNROLLED stage list (the
+    // operator's own delegation, independently re-derived in SQL)
+    "q_cep_group" -> cepUnrolledSql(
+      Seq("view", "click", "view", "click"), 604800000L),
+
+    // branching NFA on (view)(click opt)(click) ≡ the two-stage
+    // view→click machine (see the query comment for the reduction)
+    "q_cep_nfa" -> cepUnrolledSql(Seq("view", "click"), 604800000L),
 
 
     // The q_cep automaton with per-stage event captures: (e1, e2) hold the

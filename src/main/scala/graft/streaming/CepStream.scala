@@ -29,14 +29,16 @@ object CepStream {
   /** st = stages matched so far; t0 = partial-match start (0 when st = 0). */
   final case class CepState(st: Int, t0: Long)
 
-  /** One micro-batch group: sort, run the automaton from stored state,
-    * store the final (st, t0), emit completed matches. */
-  def matchGroup(pattern: IndexedSeq[String], withinMs: Long)(
-      k: Long, events: Iterator[CepEvent],
-      state: GroupState[CepState]): Iterator[CepMatch] = {
+  /** The basic automaton over one key's events — ONE step loop shared by
+    * the `flatMapGroupsWithState` form ([[matchGroup]]) and the
+    * `transformWithState` twin ([[CepStreamTws]]), so the two state APIs
+    * cannot drift. Sorts, folds from `init`, emits completed matches,
+    * returns the post-group state. */
+  private[streaming] def runBasic(pattern: IndexedSeq[String],
+      withinMs: Long, k: Long, events: Iterator[CepEvent], init: CepState,
+      out: ListBuffer[CepMatch]): CepState = {
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
-    var s = state.getOption.getOrElse(CepState(0, 0L))
-    val out = ListBuffer.empty[CepMatch]
+    var s = init
     sorted.foreach { e =>
       // Flink-NFA boundary: a run times out at span >= window (a match
       // whose span exactly equals the window does not complete)
@@ -48,6 +50,17 @@ object CepStream {
         } else s = CepState(s.st + 1, start)
       }
     }
+    s
+  }
+
+  /** One micro-batch group: sort, run the automaton from stored state,
+    * store the final (st, t0), emit completed matches. */
+  def matchGroup(pattern: IndexedSeq[String], withinMs: Long)(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepState]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runBasic(pattern, withinMs, k, events,
+      state.getOption.getOrElse(CepState(0, 0L)), out)
     state.update(s)
     out.iterator
   }
@@ -123,10 +136,16 @@ object CepStream {
       s"notBetween stages must be in 1..${pattern.length - 1}")
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
-    ds.withColumn("__et", timestamp_millis(col("tms")))
+    val wm = ds.withColumn("__et", timestamp_millis(col("tms")))
       .withWatermark("__et", delay)
       .as[CepEvent]
-      .groupByKey(_.k)
+    // same dispatcher as [[attach]] (r12 item 4): the tws twin runs the
+    // SAME NegStepper with explicit event-time timers over the same
+    // watermark — CepStreamTwsSpec pins record-for-record parity
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachNegWatermarked(wm, pattern, withinMs,
+        notBetween.map { case (i, ts) => i -> ts.toSet }, notAfter.toSet)
+    wm.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         matchGroupNeg(pattern.toIndexedSeq, withinMs,
@@ -615,7 +634,15 @@ object CepStream {
 
   /** Attach the automaton to a keyed event stream. Pre-filter to the
     * pattern's types before calling (the batch twin does; non-pattern
-    * events never change state, they only cost shuffle). */
+    * events never change state, they only cost shuffle).
+    *
+    * Dispatches to the `transformWithState` twin ([[CepStreamTws]])
+    * exactly when the engine's keyed-state policy says so
+    * ([[StateImpl.useTws]] — AUTO under the RocksDB provider, conf
+    * override respected): the r12 verdict's item 4, the CEP stream
+    * surface honoring the same dispatcher as IsNewFix/TtlState. The two
+    * forms share the step loop ([[runBasic]]) and are pinned
+    * record-for-record equal by CepStreamTwsSpec. */
   def attach(ds: Dataset[CepEvent], pattern: Seq[String],
       withinMs: Long): Dataset[CepMatch] = {
     require(pattern.nonEmpty, "pattern must not be empty")
@@ -623,6 +650,8 @@ object CepStream {
     // non-positive window; here it would silently abandon every
     // multi-stage partial instead
     require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attach(ds, pattern, withinMs)
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -39,12 +39,21 @@ object IncrementalBloom {
           .toDF("kind", "pos", "m", "k", "ver")
       }
 
-  private def checkParams(live: DataFrame, storePath: String, m: Int,
-      k: Int): Unit =
-    live.filter(col("kind") === "m")
-      .select(col("m"), col("k")).collect().headOption.foreach { r =>
-        require(r.getLong(0) == m && r.getLong(1) == k,
-          s"store $storePath is an (m=${r.getLong(0)}, k=${r.getLong(1)}) " +
+  /** (m, k) from the manifest note (zero Spark jobs) when present, else
+    * the legacy meta-row collect. */
+  private def checkParams(spark: SparkSession, live: DataFrame,
+      storePath: String, m: Int, k: Int): Unit =
+    KeyedStore.readNote(spark, storePath)
+      .map { n =>
+        val d = KeyedStore.Note.decode(n)
+        (d("m").toLong, d("k").toLong)
+      }
+      .orElse(live.filter(col("kind") === "m")
+        .select(col("m"), col("k")).collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1))))
+      .foreach { case (sm, sk) =>
+        require(sm == m && sk == k,
+          s"store $storePath is an (m=$sm, k=$sk) " +
             s"filter; caller passed (m=$m, k=$k) — the parameters are the " +
             "filter's identity")
       }
@@ -58,8 +67,10 @@ object IncrementalBloom {
     require(m >= 2, s"filter needs at least 2 positions, got $m")
     require(k >= 1 && k <= 4, s"md5 yields 4 32-bit slices, got k=$k")
     val spark = evalSh.sparkSession
-    val live = liveRows(spark, storePath).localCheckpoint(true)
-    checkParams(live, storePath, m, k)
+    // LAZY pin: the merge's stage write (or the legacy params collect)
+    // is the one materialization
+    val live = liveRows(spark, storePath).localCheckpoint(false)
+    checkParams(spark, live, storePath, m, k)
     val batchBits = evalSh
       .select(explode(array(posCols(m, k): _*)).as("pos")).distinct()
     val fresh = batchBits.join(
@@ -67,12 +78,15 @@ object IncrementalBloom {
         Seq("pos"), "left_anti")
       .select(lit("v").as("kind"), col("pos"), lit(m.toLong).as("m"),
         lit(k.toLong).as("k"), lit(batchId).as("ver"))
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin: the merge's own stage write is the one materialization
+      .localCheckpoint(false)
     val meta = spark.range(1).select(lit("m").as("kind"), lit(-1L).as("pos"),
       lit(m.toLong).as("m"), lit(k.toLong).as("k"), lit(batchId).as("ver"))
     KeyedStore.merge(fresh.unionByName(meta), storePath,
       keys = Seq("kind", "pos"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
+      numBuckets = numBuckets,
+      note = Some(KeyedStore.Note.encode(
+        "m" -> m.toString, "k" -> k.toString, "ver" -> batchId.toString)))
     val fill = live.filter(col("kind") === "v").count() + fresh.count()
     graft.util.Blocks.freeCheckpoint(live)
     graft.util.Blocks.freeCheckpoint(fresh)
@@ -87,7 +101,7 @@ object IncrementalBloom {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     val spark = trainSh.sparkSession
     val live = liveRows(spark, storePath)
-    checkParams(live, storePath, m, k)
+    checkParams(spark, live, storePath, m, k)
     // ≤ m rows; checkpoint so the store scan feeds the k probes once
     val bits = live.filter(col("kind") === "v").select(col("pos"))
       .localCheckpoint(true)

@@ -85,8 +85,19 @@ object IncrementalCc {
       lit("put").as("op_type"))
     KeyedStore.merge(rows.unionByName(meta), mp,
       keys = Seq("kind", "keeper_id", "doc_id"), seqCols = Seq("ver"),
-      numBuckets = numBuckets, bucketCols = Seq("keeper_id"))
+      numBuckets = numBuckets, bucketCols = Seq("keeper_id"),
+      note = Some(KeyedStore.Note.encode("ngen" -> labelGen.toString)))
   }
+
+  /** The member index's pinned label-store generation: the manifest note
+    * (zero Spark jobs) when present, else the legacy meta-row collect
+    * over a pruned read. */
+  private def memberGen(spark: SparkSession, mp: String,
+      pruned: => Option[DataFrame]): Option[Long] =
+    KeyedStore.readNote(spark, mp)
+      .map(n => KeyedStore.Note.decode(n)("ngen").toLong)
+      .orElse(pruned.flatMap(_.filter(col("kind") === "m")
+        .select(col("ngen")).collect().headOption.map(_.getLong(0))))
 
   /** Fold one batch of undirected near-dup pairs (a_id, b_id) into the
     * label store at `storePath` (created on first use) and return the
@@ -95,7 +106,8 @@ object IncrementalCc {
       numBuckets: Int = 4, autoMaintain: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val batch = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // LAZY pin: the label-store probe collect is the one materialization
+    val batch = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
     val batchNodes = batch.select(col("a_id").as("doc_id"))
       .unionByName(batch.select(col("b_id").as("doc_id"))).distinct()
     val labelGen = KeyedStore.latestGeneration(spark, storePath)
@@ -123,11 +135,11 @@ object IncrementalCc {
     val members: Option[DataFrame] = if (affKeepers.isEmpty) None else {
       val probe = (MetaKeeper +: affKeepers.toSeq).toDF("keeper_id")
       def readRaw() = KeyedStore.readPruned(spark, mp, probe)
-      val raw0 = readRaw()
-      val metaGen = raw0.flatMap(_.filter(col("kind") === "m")
-        .select(col("ngen")).collect().headOption.map(_.getLong(0)))
+      // generation handshake via the member store's note — zero jobs on
+      // the steady path (legacy: one pruned meta collect)
+      val metaGen = memberGen(spark, mp, readRaw())
       val raw =
-        if (metaGen.contains(labelGen)) raw0
+        if (metaGen.contains(labelGen)) readRaw()
         else { // first fold on a pre-index store, or a crash window
           rebuildMembers(spark, storePath, labelGen, numBuckets)
           readRaw()
@@ -135,7 +147,9 @@ object IncrementalCc {
       raw.map(_.filter(col("kind") === "v" && col("op_type") =!= "delete")
         .join(probe.filter(col("keeper_id") =!= MetaKeeper),
           Seq("keeper_id"), "left_semi")
-        .select(col("doc_id"), col("keeper_id")).localCheckpoint(true))
+        .select(col("doc_id"), col("keeper_id"))
+        // LAZY pin: the components run's first checkpoint materializes it
+        .localCheckpoint(false))
     }
     // The fold's input is O(batch + affected members), not O(all nodes):
     // the sparse-delta regime a long-running stream lives in costs per
@@ -165,7 +179,10 @@ object IncrementalCc {
         .filter(col("__old").isNull || col("__old") =!= col("keeper_id"))
         .select(col("doc_id"), col("keeper_id"), col("__old"))
       case None => labels.withColumn("__old", lit(null).cast("long"))
-    }).localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin over already-pinned inputs (labels eager, members inside
+      // it): isEmpty materializes what it needs, the merges the rest —
+      // all before either store GCs the read generation
+    }).localCheckpoint(false)
     if (!changed.isEmpty) {
       // UNCONDITIONAL handshake before re-pinning: a fold that skipped the
       // member read (no affected keepers — the sparse all-new-nodes steady
@@ -180,10 +197,10 @@ object IncrementalCc {
       // rebuild mirrors exactly the state the crashed fold left. Steady-
       // state cost: one single-bucket file read per changed fold.
       if (members.isEmpty && labelGen > 0L) {
-        val metaProbe = Seq(MetaKeeper).toDF("keeper_id")
-        val metaGen = KeyedStore.readPruned(spark, mp, metaProbe)
-          .flatMap(_.filter(col("kind") === "m")
-            .select(col("ngen")).collect().headOption.map(_.getLong(0)))
+        val metaGen = memberGen(spark, mp, {
+          val metaProbe = Seq(MetaKeeper).toDF("keeper_id")
+          KeyedStore.readPruned(spark, mp, metaProbe)
+        })
         if (!metaGen.contains(labelGen))
           rebuildMembers(spark, storePath, labelGen, numBuckets)
       }
@@ -208,7 +225,8 @@ object IncrementalCc {
         lit("put").as("op_type"))
       KeyedStore.merge(puts.unionByName(dels).unionByName(meta), mp,
         keys = Seq("kind", "keeper_id", "doc_id"), seqCols = Seq("ver"),
-        numBuckets = numBuckets, bucketCols = Seq("keeper_id"))
+        numBuckets = numBuckets, bucketCols = Seq("keeper_id"),
+        note = Some(KeyedStore.Note.encode("ngen" -> nextVer.toString)))
       // self-scheduled maintenance: member-index tombstones (labels that
       // moved cluster) are ALWAYS safe to drop — winners are resolved and
       // the meta pin is a put — so a merge-heavy stream compacts itself

@@ -42,10 +42,15 @@ object IncrementalCentroid {
   def mergeBatch(batch: DataFrame, storePath: String, labelCol: Column,
       embCol: Column, batchId: Long, numBuckets: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val live = liveRows(spark, storePath).localCheckpoint(true)
-    val meta = live.filter(col("kind") === "m").select(col("ver")).collect()
+    // LAZY pin + zero-job HWM via the manifest note (meta-row collect is
+    // the pre-note legacy fallback) — the FoldJobsSpec protocol
+    val live = liveRows(spark, storePath).localCheckpoint(false)
+    val meta: Option[Long] = KeyedStore.readNote(spark, storePath)
+      .map(n => KeyedStore.Note.decode(n)("ver").toLong)
+      .orElse(live.filter(col("kind") === "m").select(col("ver")).collect()
+        .headOption.map(_.getLong(0)))
     val cur = live.filter(col("kind") === "v")
-    if (meta.exists(m => batchId <= m.getLong(0))) {
+    if (meta.exists(batchId <= _)) {
       val out = cur.select(col("g"), col("pos"), col("s_sum"), col("n"))
         .localCheckpoint(true)
       graft.util.Blocks.freeCheckpoint(live)
@@ -63,13 +68,15 @@ object IncrementalCentroid {
         (coalesce(col("s_sum"), lit(0L)) + col("bs")).as("s_sum"),
         (coalesce(col("n"), lit(0L)) + col("bn")).as("n"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin: the merge's own stage write is the one materialization
+      .localCheckpoint(false)
     val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
       lit(-1L).as("pos"), lit(0L).as("s_sum"), lit(0L).as("n"),
       lit(batchId).as("ver"), lit("put").as("op_type"))
     KeyedStore.merge(changed.unionByName(metaRow), storePath,
       keys = Seq("kind", "g", "pos"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
+      numBuckets = numBuckets,
+      note = Some(KeyedStore.Note.encode("ver" -> batchId.toString)))
     val out = cur.select(col("g"), col("pos"), col("s_sum"), col("n"))
       .join(changed.select(col("g"), col("pos")), Seq("g", "pos"),
         "left_anti")

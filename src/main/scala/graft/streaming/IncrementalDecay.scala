@@ -54,22 +54,33 @@ object IncrementalDecay {
       batchId: Long, unit: Long = 1000000L, numBuckets: Int = 4): DataFrame = {
     require(unit >= 1, s"unit must be >= 1, got $unit")
     val spark = batch.sparkSession
-    val cur = live(spark, storePath).localCheckpoint(true)
-    val meta = cur.filter(col("kind") === "m")
-      .select(col("ver"), col("w")).collect().headOption
+    // LAZY pin: the merge's stage write (or the legacy meta collect) is
+    // the one materialization
+    val cur = live(spark, storePath).localCheckpoint(false)
+    // (HWM, unit) ride the manifest note — zero Spark jobs; the meta-row
+    // collect survives as the pre-note legacy fallback (Row-shaped to
+    // keep the guards below unchanged)
+    val meta: Option[(Long, Long)] = KeyedStore.readNote(spark, storePath)
+      .map { n =>
+        val d = KeyedStore.Note.decode(n)
+        (d("ver").toLong, d("unit").toLong)
+      }
+      .orElse(cur.filter(col("kind") === "m")
+        .select(col("ver"), col("w")).collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1))))
     // unit is part of the store's identity (the IncrementalHist frame
     // contract): a changed unit would silently mix weight scales across
     // folds — fail fast instead. Stored 0 = a pre-pin-format meta row
     // (unit was never recorded): adopt the caller's unit, this fold's
     // meta write heals it. Free the pinned read BEFORE throwing — a
     // guarded rejection must not leak store-sized blocks.
-    meta.filter(m => m.getLong(1) != 0L && m.getLong(1) != unit).foreach { m =>
+    meta.filter(m => m._2 != 0L && m._2 != unit).foreach { m =>
       graft.util.Blocks.freeCheckpoint(cur)
       throw new IllegalArgumentException(
-        s"store $storePath decays at unit ${m.getLong(1)}; fold passed " +
+        s"store $storePath decays at unit ${m._2}; fold passed " +
           s"unit = $unit — unit is part of the store's identity")
     }
-    val hwm = meta.map(_.getLong(0))
+    val hwm = meta.map(_._1)
     if (hwm.exists(batchId <= _)) {
       val out = cur.filter(col("kind") === "v").select(col("key"), col("w"))
         .localCheckpoint(true)
@@ -95,10 +106,12 @@ object IncrementalDecay {
       lit("").as("key"), lit(unit).as("w"), lit(batchId).as("ver"),
       lit("put").as("op_type"))
     val changed = puts.unionByName(dels).unionByName(metaRow)
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      .localCheckpoint(true) // pin: the returned frame derives from it
     KeyedStore.merge(changed, storePath, keys = Seq("kind", "key"),
       seqCols = Seq("ver"), numBuckets = numBuckets,
-      bucketCols = Seq("kind", "key"))
+      bucketCols = Seq("kind", "key"),
+      note = Some(KeyedStore.Note.encode(
+        "ver" -> batchId.toString, "unit" -> unit.toString)))
     val out = changed.filter(col("kind") === "v" && col("op_type") === "put")
       .select(col("key"), col("w")).localCheckpoint(true)
     graft.util.Blocks.freeCheckpoint(changed)

@@ -51,19 +51,24 @@ object IncrementalDf {
   private def metaProbe(spark: SparkSession): DataFrame =
     spark.range(1).select(lit("").as("term"))
 
-  /** (n_docs, sum_dl, n_terms, hwm) off the corpus + meta rows — one
-    * pruned bucket read, never a term-table scan. */
+  /** (n_docs, sum_dl, n_terms, hwm) — the manifest note (ZERO Spark jobs)
+    * when present, else one pruned bucket read over the corpus + meta
+    * rows, never a term-table scan. */
   private def corpusRow(spark: SparkSession,
-      storePath: String): (Long, Long, Long, Option[Long]) = {
-    val rows = prunedLive(spark, storePath, metaProbe(spark))
-      .map(_.filter(col("kind") =!= "v")
-        .select(col("kind"), col("n"), col("sdl"), col("nt"), col("ver"))
-        .collect()).getOrElse(Array.empty)
-    val c = rows.find(_.getString(0) == "c")
-    val m = rows.find(_.getString(0) == "m").map(_.getLong(4))
-    c.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), m))
-      .getOrElse((0L, 0L, 0L, m))
-  }
+      storePath: String): (Long, Long, Long, Option[Long]) =
+    KeyedStore.readNote(spark, storePath).map { nn =>
+      val d = KeyedStore.Note.decode(nn)
+      (d("n").toLong, d("sdl").toLong, d("nt").toLong, Some(d("ver").toLong))
+    }.getOrElse {
+      val rows = prunedLive(spark, storePath, metaProbe(spark))
+        .map(_.filter(col("kind") =!= "v")
+          .select(col("kind"), col("n"), col("sdl"), col("nt"), col("ver"))
+          .collect()).getOrElse(Array.empty)
+      val c = rows.find(_.getString(0) == "c")
+      val m = rows.find(_.getString(0) == "m").map(_.getLong(4))
+      c.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), m))
+        .getOrElse((0L, 0L, 0L, m))
+    }
 
   private def statsFrame(spark: SparkSession, n: Long, sdl: Long,
       nt: Long): DataFrame =
@@ -78,7 +83,9 @@ object IncrementalDf {
     val spark = batch.sparkSession
     val toks = batch.select(idCol.as("doc_id"),
         graft.ext.TextStats.toks(textCol).as("__toks"))
-      .localCheckpoint(true) // one tokenize feeds df AND the length sums
+      // LAZY pin: batchDf's eager checkpoint materializes it; one
+      // tokenize still feeds df AND the length sums
+      .localCheckpoint(false)
     val batchDf = toks
       .select(col("doc_id"), explode(col("__toks")).as("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("bdf"))
@@ -89,17 +96,28 @@ object IncrementalDf {
     val probe = batchDf.select(col("term"))
       .unionByName(metaProbe(spark))
     val pruned = prunedLive(spark, storePath, probe)
-    val cm = pruned.map(_.filter(col("kind") =!= "v")
-      .select(col("kind"), col("n"), col("sdl"), col("nt"), col("ver"))
-      .collect()).getOrElse(Array.empty[org.apache.spark.sql.Row])
-    val hwm = cm.find(_.getString(0) == "m").map(_.getLong(4))
-    val (n0, sdl0, nt0) = cm.find(_.getString(0) == "c")
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .getOrElse((0L, 0L, 0L))
+    // corpus scalars + HWM ride the manifest note (zero Spark jobs; the
+    // pruned meta-row collect survives as the pre-note legacy fallback)
+    val (n0, sdl0, nt0, hwm) = KeyedStore.readNote(spark, storePath)
+      .map { nn =>
+        val d = KeyedStore.Note.decode(nn)
+        (d("n").toLong, d("sdl").toLong, d("nt").toLong,
+          Some(d("ver").toLong): Option[Long])
+      }
+      .getOrElse {
+        val cm = pruned.map(_.filter(col("kind") =!= "v")
+          .select(col("kind"), col("n"), col("sdl"), col("nt"), col("ver"))
+          .collect()).getOrElse(Array.empty[org.apache.spark.sql.Row])
+        val m = cm.find(_.getString(0) == "m").map(_.getLong(4))
+        cm.find(_.getString(0) == "c")
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), m))
+          .getOrElse((0L, 0L, 0L, m))
+      }
     if (hwm.exists(batchId <= _)) { // replay: current stats, store untouched
       graft.util.Blocks.freeCheckpoint(batchDf)
       graft.util.Blocks.freeCheckpoint(toks)
-      return statsFrame(spark, n0, sdl0, nt0).localCheckpoint(true)
+      // literal-only frame: nothing to pin
+      return statsFrame(spark, n0, sdl0, nt0)
     }
     val cur = pruned.map(_.filter(col("kind") === "v")
         .select(col("term"), col("df")))
@@ -121,14 +139,19 @@ object IncrementalDf {
         lit(nt).as("nt"), lit(batchId).as("ver"), lit("put").as("op_type"))
     val changed = vRows.unionByName(row("c", n1, sdl1, nt1))
       .unionByName(row("m", 0L, 0L, 0L))
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin: the merge's own stage write is the one materialization
+      .localCheckpoint(false)
     KeyedStore.merge(changed, storePath,
       keys = Seq("kind", "term"), seqCols = Seq("ver"),
-      numBuckets = numBuckets, bucketCols = Seq("term"))
+      numBuckets = numBuckets, bucketCols = Seq("term"),
+      note = Some(KeyedStore.Note.encode(
+        "n" -> n1.toString, "sdl" -> sdl1.toString, "nt" -> nt1.toString,
+        "ver" -> batchId.toString)))
     graft.util.Blocks.freeCheckpoint(changed)
     graft.util.Blocks.freeCheckpoint(batchDf)
     graft.util.Blocks.freeCheckpoint(toks)
-    statsFrame(spark, n1, sdl1, nt1).localCheckpoint(true)
+    // literal-only frame: nothing to pin
+    statsFrame(spark, n1, sdl1, nt1)
   }
 
   /** The current corpus stats at `storePath` without folding. */

@@ -40,6 +40,15 @@ object IncrementalHist {
           .toDF("kind", "g", "bin", "ct", "lo", "hi", "bins", "ver")
       }
 
+  /** The store's pinned frame (+ HWM) from the manifest note — zero
+    * Spark jobs; None on legacy pre-note stores and fresh roots. */
+  private def storedFrame(spark: SparkSession,
+      storePath: String): Option[(Long, Long, Long, Long)] =
+    KeyedStore.readNote(spark, storePath).map { n =>
+      val m = KeyedStore.Note.decode(n)
+      (m("lo").toLong, m("hi").toLong, m("bins").toLong, m("ver").toLong)
+    }
+
   private def estimateOf(cur: DataFrame, lo: Long, hi: Long, bins: Int,
       qs: Seq[(Int, Int)]): DataFrame = {
     val w = (hi - lo) / bins + 1
@@ -58,17 +67,22 @@ object IncrementalHist {
     require(hi >= lo, s"frame must satisfy hi >= lo, got [$lo, $hi]")
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val spark = batch.sparkSession
-    val live = liveRows(spark, storePath).localCheckpoint(true)
-    val meta = live.filter(col("kind") === "m")
-      .select(col("lo"), col("hi"), col("bins"), col("ver")).collect()
-    meta.headOption.foreach { m =>
-      require(m.getLong(0) == lo && m.getLong(1) == hi && m.getLong(2) == bins,
-        s"store $storePath is framed [${m.getLong(0)}, ${m.getLong(1)}] x " +
-          s"${m.getLong(2)} bins; fold passed [$lo, $hi] x $bins — the frame " +
+    // LAZY store read + zero-job meta (the manifest note; meta-row collect
+    // is the legacy fallback) — the FoldJobsSpec driver-action budget
+    val live = liveRows(spark, storePath).localCheckpoint(false)
+    val meta: Option[(Long, Long, Long, Long)] = storedFrame(spark, storePath)
+      .orElse(live.filter(col("kind") === "m")
+        .select(col("lo"), col("hi"), col("bins"), col("ver")).collect()
+        .headOption
+        .map(m => (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))))
+    meta.foreach { case (mlo, mhi, mbins, _) =>
+      require(mlo == lo && mhi == hi && mbins == bins,
+        s"store $storePath is framed [$mlo, $mhi] x " +
+          s"$mbins bins; fold passed [$lo, $hi] x $bins — the frame " +
           "is part of the store's identity")
     }
     val cur = live.filter(col("kind") === "v")
-    if (meta.exists(m => batchId <= m.getLong(3))) {
+    if (meta.exists(m => batchId <= m._4)) {
       // replay: current state IS the post-batch state
       val out = estimateOf(cur, lo, hi, bins, qs).localCheckpoint(true)
       graft.util.Blocks.freeCheckpoint(live)
@@ -89,14 +103,19 @@ object IncrementalHist {
         (coalesce(col("ct"), lit(0L)) + col("bct")).as("ct"),
         lit(lo).as("lo"), lit(hi).as("hi"), lit(bins.toLong).as("bins"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin: the merge's own stage write is the one materialization
+      // (it runs before the merge GCs the read generation)
+      .localCheckpoint(false)
     val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
       lit(-1L).as("bin"), lit(0L).as("ct"), lit(lo).as("lo"),
       lit(hi).as("hi"), lit(bins.toLong).as("bins"),
       lit(batchId).as("ver"), lit("put").as("op_type"))
     KeyedStore.merge(changed.unionByName(metaRow), storePath,
       keys = Seq("kind", "g", "bin"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
+      numBuckets = numBuckets,
+      note = Some(KeyedStore.Note.encode(
+        "lo" -> lo.toString, "hi" -> hi.toString, "bins" -> bins.toString,
+        "ver" -> batchId.toString)))
     val merged = cur.select(col("g"), col("bin"), col("ct"))
       .join(changed.select(col("g"), col("bin")), Seq("g", "bin"),
         "left_anti")
@@ -127,11 +146,12 @@ object IncrementalHist {
   def tvDrift(spark: SparkSession, storePath: String, batch: DataFrame,
       groupCol: Column, valueCol: Column): DataFrame = {
     val live = liveRows(spark, storePath)
-    val meta = live.filter(col("kind") === "m")
-      .select(col("lo"), col("hi"), col("bins")).collect()
+    val meta = storedFrame(spark, storePath)
+      .orElse(live.filter(col("kind") === "m")
+        .select(col("lo"), col("hi"), col("bins")).collect()
+        .headOption.map(m => (m.getLong(0), m.getLong(1), m.getLong(2), 0L)))
     require(meta.nonEmpty, s"no frame pinned at $storePath — fold a batch first")
-    val (lo, hi, bins) =
-      (meta.head.getLong(0), meta.head.getLong(1), meta.head.getLong(2))
+    val (lo, hi, bins) = (meta.get._1, meta.get._2, meta.get._3)
     val w = (hi - lo) / bins + 1
     // null groups are dropped on BOTH sides: the bin join's equi keys
     // cannot match null = null, so a null cohort would silently compare
@@ -168,10 +188,12 @@ object IncrementalHist {
   def readEstimate(spark: SparkSession, storePath: String,
       qs: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
     val live = liveRows(spark, storePath)
-    val meta = live.filter(col("kind") === "m")
-      .select(col("lo"), col("hi"), col("bins")).collect()
-    val (lo, hi, bins) = meta.headOption
-      .map(m => (m.getLong(0), m.getLong(1), m.getLong(2).toInt))
+    val meta = storedFrame(spark, storePath)
+      .orElse(live.filter(col("kind") === "m")
+        .select(col("lo"), col("hi"), col("bins")).collect()
+        .headOption.map(m => (m.getLong(0), m.getLong(1), m.getLong(2), 0L)))
+    val (lo, hi, bins) = meta
+      .map(m => (m._1, m._2, m._3.toInt))
       .getOrElse((0L, 0L, 1))
     estimateOf(live.filter(col("kind") === "v"), lo, hi, bins, qs)
   }

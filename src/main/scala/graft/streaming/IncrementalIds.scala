@@ -50,7 +50,8 @@ object IncrementalIds {
     val spark = batch.sparkSession
     val keys = batch.select(keyCol.cast("string").as("key"))
       .filter(col("key").isNotNull).distinct()
-      .localCheckpoint(true)
+      // LAZY pin: the pruned read's bucket-probe collect materializes it
+      .localCheckpoint(false)
     // ONE bucket-pruned read covers everything the fold needs: the meta
     // row (probed via its fixed key = "" bucket) carries the running max
     // id/version, and the batch keys' buckets hold every stored row an
@@ -63,10 +64,18 @@ object IncrementalIds {
     // whole touched buckets per fold
     val pruned = KeyedStore.readPruned(spark, storePath, probe)
       .map(_.select(col("kind"), col("key"), col("id"), col("ver")))
-    val metaRow = pruned.flatMap(_.filter(col("kind") === "m")
-      .select(col("id"), col("ver")).collect().headOption)
-    val nextId = metaRow.map(_.getLong(0) + 1L).getOrElse(0L)
-    val nextVer = metaRow.map(_.getLong(1) + 1L).getOrElse(0L)
+    // running max id / version ride the manifest note (zero Spark jobs;
+    // the meta-row collect survives as the pre-note legacy fallback)
+    val metaIds: Option[(Long, Long)] = KeyedStore.readNote(spark, storePath)
+      .map { n =>
+        val m = KeyedStore.Note.decode(n)
+        (m("id").toLong, m("ver").toLong)
+      }
+      .orElse(pruned.flatMap(_.filter(col("kind") === "m")
+        .select(col("id"), col("ver")).collect().headOption
+        .map(r => (r.getLong(0), r.getLong(1)))))
+    val nextId = metaIds.map(_._1 + 1L).getOrElse(0L)
+    val nextVer = metaIds.map(_._2 + 1L).getOrElse(0L)
     val freshKeys = pruned match {
       case Some(p) => keys.join(
         p.filter(col("kind") === "v").select(col("key")),
@@ -80,7 +89,9 @@ object IncrementalIds {
         substring(col("key"), 1, 4), Seq(col("key")), as = "__rk")
       .select(lit("v").as("kind"), col("key"),
         (lit(nextId) + col("__rk")).as("id"), lit(nextVer).as("ver"))
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin: the count below is the one materialization (it computes
+      // every partition), still before the merge mutates the store
+      .localCheckpoint(false)
     val minted = fresh.count()
     if (minted > 0L) {
       val meta = spark.range(1).select(lit("m").as("kind"),
@@ -89,7 +100,10 @@ object IncrementalIds {
       KeyedStore.merge(
         fresh.unionByName(meta).withColumn("op_type", lit("put")), storePath,
         keys = Seq("kind", "key"), seqCols = Seq("ver"),
-        numBuckets = numBuckets, bucketCols = Seq("key"))
+        numBuckets = numBuckets, bucketCols = Seq("key"),
+        note = Some(KeyedStore.Note.encode(
+          "id" -> (nextId + minted - 1L).toString,
+          "ver" -> nextVer.toString)))
     }
     graft.util.Blocks.freeCheckpoint(fresh)
     graft.util.Blocks.freeCheckpoint(keys)

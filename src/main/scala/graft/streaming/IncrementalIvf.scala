@@ -131,11 +131,18 @@ object IncrementalIvf {
       batchId: Long, m: Int = 4, numBuckets: Int = 4,
       guardIds: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
-    val live = statsLive(spark, s"$storePath/stats").localCheckpoint(true)
-    val meta = live.filter(col("kind") === "m").select(col("ver")).collect()
+    // LAZY pin: the stats merge's stage write is the one materialization
+    // (the ids/codes merges before it never touch the stats store)
+    val live = statsLive(spark, s"$storePath/stats").localCheckpoint(false)
+    // replay HWM rides the stats store's manifest note (zero Spark jobs;
+    // the meta-row collect survives as the pre-note legacy fallback)
+    val meta: Option[Long] = KeyedStore.readNote(spark, s"$storePath/stats")
+      .map(n => KeyedStore.Note.decode(n)("ver").toLong)
+      .orElse(live.filter(col("kind") === "m").select(col("ver")).collect()
+        .headOption.map(_.getLong(0)))
     val curS = live.filter(col("kind") === "s")
     val curC = live.filter(col("kind") === "c")
-    if (meta.exists(mr => batchId <= mr.getLong(0))) {
+    if (meta.exists(batchId <= _)) {
       val out = directoryOf(curC).localCheckpoint(true)
       graft.util.Blocks.freeCheckpoint(live)
       return out
@@ -206,10 +213,13 @@ object IncrementalIvf {
       lit(-2L).as("pos"), lit(null).cast("decimal(38,10)").as("csum"),
       lit(0L).as("n"), lit(batchId).as("ver"), lit("put").as("op_type"))
     val changed = sumRows.unionByName(countRows).unionByName(metaRow)
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin: the stats merge's own stage write is the one
+      // materialization, before it GCs the read generation
+      .localCheckpoint(false)
     KeyedStore.merge(changed, s"$storePath/stats",
       keys = Seq("kind", "g", "pos"), seqCols = Seq("ver"),
-      numBuckets = numBuckets, layoutId = Some("ivf-stats-v1"))
+      numBuckets = numBuckets, layoutId = Some("ivf-stats-v1"),
+      note = Some(KeyedStore.Note.encode("ver" -> batchId.toString)))
     val out = directoryOf(
         curC.select(col("g"), col("n"))
           .join(changed.filter(col("kind") === "c").select(col("g")),

@@ -56,10 +56,17 @@ object IncrementalKmv {
       .getOrElse {
         import spark.implicits._
         Seq.empty[(String, String, Long, Long)].toDF("kind", "g", "h", "ver")
-      }.localCheckpoint(true)
+      // LAZY pin: the merge's stage write (or the legacy HWM aggregate)
+      // is the one materialization
+      }.localCheckpoint(false)
     val cur = live.filter(col("kind") === "v").select(col("g"), col("h"))
-    val maxVer = live.agg(max(col("ver"))).head().get(0)
-    if (maxVer != null && batchId <= maxVer.asInstanceOf[Long]) {
+    // replay HWM rides the manifest note (zero Spark jobs; the aggregate
+    // survives as the pre-note legacy fallback)
+    val maxVer: Option[Long] = KeyedStore.readNote(spark, storePath)
+      .map(n => KeyedStore.Note.decode(n)("ver").toLong)
+      .orElse(Option(live.agg(max(col("ver"))).head().get(0))
+        .map(_.asInstanceOf[Long]))
+    if (maxVer.exists(batchId <= _)) {
       // replay: current state IS the post-batch state. Materialize the
       // (group-sized) estimate so the store-sized `live` checkpoint can be
       // freed here too — the early return must not leak what the fold path
@@ -74,7 +81,8 @@ object IncrementalKmv {
       batch.select(groupCol.cast("string").as("g"), bh.as("h"))
         .filter(col("h").isNotNull).distinct(), k)
     val merged = kMins(cur.unionByName(batchMins).distinct(), k)
-      .localCheckpoint(true)
+      // LAZY pin: the merge's own stage write is the one materialization
+      .localCheckpoint(false)
     val next = merged
       .select(lit("v").as("kind"), col("g"), col("h"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
@@ -85,7 +93,8 @@ object IncrementalKmv {
       lit(0L).as("h"), lit(batchId).as("ver"), lit("put").as("op_type"))
     KeyedStore.merge(next.unionByName(dropped).unionByName(meta), storePath,
       keys = Seq("kind", "g", "h"), seqCols = Seq("ver"),
-      numBuckets = numBuckets)
+      numBuckets = numBuckets,
+      note = Some(KeyedStore.Note.encode("ver" -> batchId.toString)))
     graft.util.Blocks.freeCheckpoint(live)
     val out = estimateOf(merged, k).localCheckpoint(true)
     graft.util.Blocks.freeCheckpoint(merged)

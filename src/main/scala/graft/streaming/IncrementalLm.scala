@@ -71,8 +71,10 @@ object IncrementalLm {
         struct(lit("c").as("k"), col("b1").as("b")),
         struct(lit("g").as("k"), col("b2").as("b")))).as("e"))
       .groupBy(col("e.k").as("k"), col("e.b").as("b"))
+      // LAZY pin: the first push's merge materializes it; the second
+      // reads the cached blocks — still one tokenize for both stores
       .agg(count(lit(1)).as("ct"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def push(kind: String, path: String): Unit = {
       val delta = counts.filter(col("k") === kind)
         .select(col("b"), col("ct"))

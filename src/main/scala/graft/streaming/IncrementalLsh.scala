@@ -65,7 +65,8 @@ object IncrementalLsh {
     val spark = batch.sparkSession
     val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
     val sh = Dedup.shingles(docs, col("doc_id"), col("__text"))
-    val sig = Dedup.minhashSignatures(sh, k).localCheckpoint(true)
+    // LAZY pin: the pruned read's bucket-probe collect materializes it
+    val sig = Dedup.minhashSignatures(sh, k).localCheckpoint(false)
     val sigArr = sig.select(col("doc_id"),
       array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
     val buckets = Dedup.bandBuckets(sig, k, bands)

@@ -83,15 +83,26 @@ object IncrementalRank {
     val stored = KeyedStore.read(spark, rankPath(storeRoot))
       .map(_.filter(col("op_type") =!= "delete")
         .select(col("kind"), col("node"), col("rank_fp"),
-          col("unit"), col("dn"), col("dd"), col("ver")).localCheckpoint(true))
-    val metaRow = stored.flatMap(_.filter(col("kind") === "m")
-      .select(col("unit"), col("dn"), col("dd"), col("ver"))
-      .collect().headOption)
+          col("unit"), col("dn"), col("dd"), col("ver"))
+        // LAZY pin: the converge run's first iteration (or the legacy
+        // meta collect) is the one materialization
+        .localCheckpoint(false))
+    // (unit, damp, ver) ride the manifest note — zero Spark jobs; the
+    // meta-row collect survives as the pre-note legacy fallback
+    val metaRow: Option[(Long, Long, Long, Long)] =
+      KeyedStore.readNote(spark, rankPath(storeRoot))
+        .map { n =>
+          val d = KeyedStore.Note.decode(n)
+          (d("unit").toLong, d("dn").toLong, d("dd").toLong, d("ver").toLong)
+        }
+        .orElse(stored.flatMap(_.filter(col("kind") === "m")
+          .select(col("unit"), col("dn"), col("dd"), col("ver"))
+          .collect().headOption
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))))
     metaRow.foreach { m =>
-      require(m.getLong(0) == unit && m.getLong(1) == dampNum &&
-          m.getLong(2) == dampDen,
-        s"store $storeRoot holds a (unit=${m.getLong(0)}, " +
-          s"damp=${m.getLong(1)}/${m.getLong(2)}) vector; caller passed " +
+      require(m._1 == unit && m._2 == dampNum && m._3 == dampDen,
+        s"store $storeRoot holds a (unit=${m._1}, " +
+          s"damp=${m._2}/${m._3}) vector; caller passed " +
           s"(unit=$unit, damp=$dampNum/$dampDen) — the arithmetic " +
           "parameters are the store's identity")
     }
@@ -100,7 +111,7 @@ object IncrementalRank {
     // the store's seq must be a TOTAL order over re-written keys (same
     // node, new rank): the meta row pins the last version (every update
     // rewrites it), so the next version never needs a store-wide max scan
-    val nextVer = metaRow.map(_.getLong(3) + 1L).getOrElse(0L)
+    val nextVer = metaRow.map(_._4 + 1L).getOrElse(0L)
     // ranks is already backed by the converge run's own final checkpoint
     // and shares nothing with the rank store, so it is returned as-is —
     // a second checkpoint here would copy a node-sized block set per
@@ -126,7 +137,10 @@ object IncrementalRank {
     if (!ranks.isEmpty || departed.exists(!_.isEmpty))
       KeyedStore.merge(upsert.unionByName(meta), rankPath(storeRoot),
         keys = Seq("kind", "node"), seqCols = Seq("ver"),
-        numBuckets = numBuckets, bucketCols = Seq("kind", "node"))
+        numBuckets = numBuckets, bucketCols = Seq("kind", "node"),
+        note = Some(KeyedStore.Note.encode(
+          "unit" -> unit.toString, "dn" -> dampNum.toString,
+          "dd" -> dampDen.toString, "ver" -> nextVer.toString)))
     stored.foreach(graft.util.Blocks.freeCheckpoint)
     (ranks, iters)
   }

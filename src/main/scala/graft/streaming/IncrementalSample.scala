@@ -49,18 +49,25 @@ object IncrementalSample {
     val storedAll = KeyedStore.read(spark, storePath)
       .map(_.filter(col("op_type") =!= "delete")
         .select(col("kind"), col("g"), col("id"), col("h"), col("ver"))
-        .localCheckpoint(true))
-    storedAll.foreach { s =>
-      s.filter(col("kind") === "m").select(col("id")).collect()
-        .headOption.filter(_.getLong(0) != k.toLong).foreach { m =>
-          // free the pinned read BEFORE throwing — a guarded rejection
-          // must not leak store-sized blocks
-          graft.util.Blocks.freeCheckpoint(s)
-          throw new IllegalArgumentException(
-            s"store $storePath holds a bottom-${m.getLong(0)} sample; fold " +
-              s"passed k = $k — k is part of the store's identity (a smaller " +
-              "k would irrecoverably truncate it)")
-        }
+        // LAZY pin: the returned frame's eager checkpoint (or the legacy
+        // meta collect) is the one materialization
+        .localCheckpoint(false))
+    // (k, ver) ride the manifest note — zero Spark jobs; the meta-row
+    // collect / ver aggregate survive as the pre-note legacy fallback
+    val noted = KeyedStore.readNote(spark, storePath)
+      .map(KeyedStore.Note.decode)
+    val storedK: Option[Long] = noted.map(_("k").toLong)
+      .orElse(storedAll.flatMap(
+        _.filter(col("kind") === "m").select(col("id")).collect()
+          .headOption.map(_.getLong(0))))
+    storedK.filter(_ != k.toLong).foreach { sk =>
+      // free the pinned read BEFORE throwing — a guarded rejection
+      // must not leak store-sized blocks
+      storedAll.foreach(graft.util.Blocks.freeCheckpoint)
+      throw new IllegalArgumentException(
+        s"store $storePath holds a bottom-$sk sample; fold " +
+          s"passed k = $k — k is part of the store's identity (a smaller " +
+          "k would irrecoverably truncate it)")
     }
     val stored = storedAll.map(_.filter(col("kind") === "v"))
     val local = graft.ext.Curation.bottomKSample(batch, idCol, stratumCol, k)
@@ -76,9 +83,11 @@ object IncrementalSample {
       .filter(col("__rk") <= k)
       .select(col("g"), col("id"), col("h"))
       .localCheckpoint(true)
-    val nextVer = stored
-      .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
-      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    val nextVer = noted.map(_("ver").toLong + 1L)
+      .orElse(stored
+        .flatMap(s => Option(s.agg(max(col("ver"))).head().get(0)))
+        .map(_.asInstanceOf[Long] + 1L))
+      .getOrElse(0L)
     val delta = stored match {
       case Some(s) =>
         val cur = s.select(col("g"), col("id"), col("h"))
@@ -98,11 +107,15 @@ object IncrementalSample {
       .select(col("kind"), col("g"), col("id"), col("h"), col("op_type"))
     val changed = metaRow.map(deltaK.unionByName(_)).getOrElse(deltaK)
       .withColumn("ver", lit(nextVer))
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin over pinned inputs (next eager, stored lazy-pinned by
+      // it): isEmpty materializes what it needs, the merge the rest
+      .localCheckpoint(false)
     if (!changed.isEmpty)
       KeyedStore.merge(changed, storePath, keys = Seq("kind", "g", "id"),
         seqCols = Seq("ver"), numBuckets = numBuckets,
-        bucketCols = Seq("kind", "g", "id"))
+        bucketCols = Seq("kind", "g", "id"),
+        note = Some(KeyedStore.Note.encode(
+          "k" -> k.toString, "ver" -> nextVer.toString)))
     graft.util.Blocks.freeCheckpoint(changed)
     storedAll.foreach(graft.util.Blocks.freeCheckpoint)
     next

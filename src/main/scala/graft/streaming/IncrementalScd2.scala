@@ -74,7 +74,8 @@ object IncrementalScd2 {
     val spark = batch.sparkSession
     val kExpr = concat_ws(Sep, keys.map(k => col(k).cast("string")): _*)
     val batchKeys = batch.select(kExpr.as("__k")).distinct()
-      .localCheckpoint(true)
+      // LAZY pin: the pruned read's bucket-probe collect materializes it
+      .localCheckpoint(false)
     // ONE bucket-pruned read covers everything the fold needs from the
     // store: the meta rows (probed via their fixed __k = "" bucket) and
     // the TOUCHED keys' version rows. The former full-store eager
@@ -85,9 +86,13 @@ object IncrementalScd2 {
       spark.range(1).select(lit("").as("__k")))
     val pruned = KeyedStore.readPruned(spark, storePath, probe)
       .map(_.filter(col("op_type") =!= "delete"))
-    val hwm = pruned.flatMap(l =>
-      Option(l.filter(col("kind") === "m").agg(max(col("bver"))).head().get(0)))
-      .map(_.asInstanceOf[Long])
+    // replay HWM rides the manifest note (zero Spark jobs; the meta-row
+    // aggregate survives as the pre-note legacy fallback)
+    val hwm = KeyedStore.readNote(spark, storePath)
+      .map(n => KeyedStore.Note.decode(n)("bver").toLong)
+      .orElse(pruned.flatMap(l =>
+        Option(l.filter(col("kind") === "m").agg(max(col("bver"))).head().get(0)))
+        .map(_.asInstanceOf[Long]))
     if (hwm.exists(batchId <= _)) {
       // replay: current state IS the post-batch state
       val out = readHistory(spark, storePath, batch, keys, attrNames)
@@ -97,7 +102,10 @@ object IncrementalScd2 {
     // the touched keys' full version lists, pinned ONCE (seeds and the
     // version offsets both fold over it)
     val live = pruned.map(_.filter(col("kind") === "v")
-      .join(batchKeys, Seq("__k"), "left_semi").localCheckpoint(true))
+      .join(batchKeys, Seq("__k"), "left_semi")
+      // LAZY pin: one materialization inside the merge's stage write,
+      // still before the merge GCs the read generation
+      .localCheckpoint(false))
     val storedV = live
     // working-frame columns keep their batch names (ordCols may overlap
     // keys/attrs/ts/typ); "ts"/"typ" are reserved by the contract
@@ -145,7 +153,8 @@ object IncrementalScd2 {
         col("effective_from"), col("effective_to"), col("is_current"),
         (col("ver").cast("long") + col("__off")).as("ver"),
         lit(batchId).as("bver"), lit("put").as("op_type")): _*)
-      .localCheckpoint(true) // pin BEFORE the merge mutates the store
+      // LAZY pin: the merge's own stage write is the one materialization
+      .localCheckpoint(false)
     val metaRow = spark.range(1).select(Seq(lit("m").as("kind"),
       lit("").as("__k")) ++
       (keys ++ attrNames).map(n =>
@@ -157,7 +166,8 @@ object IncrementalScd2 {
       lit("put").as("op_type")): _*)
     KeyedStore.merge(changed.unionByName(metaRow), storePath,
       keys = Seq("kind", "__k", "ver"), seqCols = Seq("bver"),
-      numBuckets = numBuckets, bucketCols = Seq("__k"))
+      numBuckets = numBuckets, bucketCols = Seq("__k"),
+      note = Some(KeyedStore.Note.encode("bver" -> batchId.toString)))
     graft.util.Blocks.freeCheckpoint(changed)
     live.foreach(graft.util.Blocks.freeCheckpoint)
     graft.util.Blocks.freeCheckpoint(batchKeys)

@@ -55,7 +55,8 @@ object IncrementalSimhash {
     val spark = batch.sparkSession
     val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
     val fps = Dedup.simhash32(docs, col("doc_id"), col("__text"))
-      .localCheckpoint(true)
+      // LAZY pin: the pruned read's bucket-probe collect materializes it
+      .localCheckpoint(false)
     val buckets = Dedup.simhashBandBuckets(fps, bands)
 
     // (1) cross-batch screen — pruned read: only store buckets the

@@ -70,16 +70,27 @@ object IncrementalTopK {
         import spark.implicits._
         Seq.empty[(String, String, Long, Long, Long)]
           .toDF("kind", "item", "ct", "n_total", "ver")
-      }.localCheckpoint(true)
+      // LAZY pin: the legacy scalar aggregate (or the merge's stage
+      // write) is the one materialization
+      }.localCheckpoint(false)
     val cur = live.filter(col("kind") === "c")
-    // one driver action over the <= k+1 stored rows for both scalars
-    val curRow = live.agg(max(col("ver")), coalesce(max(col("n_total")), lit(0L))).head()
-    val maxVer = curRow.get(0)
-    if (maxVer != null && batchId <= maxVer.asInstanceOf[Long])
+    // (HWM, n_total) ride the manifest note — zero Spark jobs; the scalar
+    // aggregate over the <= k+1 stored rows is the legacy fallback
+    val scalars: Option[(Long, Long)] = KeyedStore.readNote(spark, storePath)
+      .map { n =>
+        val d = KeyedStore.Note.decode(n)
+        (d("ver").toLong, d("n") .toLong)
+      }
+      .orElse {
+        val curRow = live.agg(max(col("ver")),
+          coalesce(max(col("n_total")), lit(0L))).head()
+        Option(curRow.get(0)).map(v => (v.asInstanceOf[Long], curRow.getLong(1)))
+      }
+    if (scalars.exists(batchId <= _._1))
       // replay: current state IS the post-batch state; `live` backs the
       // returned frame, so its checkpoint must stay pinned on this path
       return summaryOf(cur, k)
-    val nPrev = curRow.getLong(1)
+    val nPrev = scalars.map(_._2).getOrElse(0L)
     val bc = batch.select(itemCol.cast("string").as("item"))
       .filter(col("item").isNotNull)
       .groupBy("item").agg(count(lit(1)).as("bct"))
@@ -109,7 +120,9 @@ object IncrementalTopK {
       lit("put").as("op_type"))
     val writes = next.unionByName(dropped).unionByName(meta).localCheckpoint(true)
     KeyedStore.merge(writes, storePath,
-      keys = Seq("kind", "item"), seqCols = Seq("ver"), numBuckets = numBuckets)
+      keys = Seq("kind", "item"), seqCols = Seq("ver"), numBuckets = numBuckets,
+      note = Some(KeyedStore.Note.encode(
+        "ver" -> batchId.toString, "n" -> nTotal.toString)))
     // the returned summary derives from the checkpointed `writes` alone —
     // the working frames are dead here and must not pin blocks for the
     // session/stream lifetime (Dataset.unpersist no-ops on checkpoints)

@@ -59,13 +59,16 @@ object IncrementalTriangles {
         .select(col("kind"), col("node"), col("tri_ct"), col("ver")))
   }
 
-  /** The count store's high-water mark, a pruned one-bucket read. */
+  /** The count store's high-water mark: the manifest note (ZERO Spark
+    * jobs) when present, else the legacy pruned one-bucket read. */
   private def hwm(spark: SparkSession, root: String): Option[Long] = {
     import spark.implicits._
-    KeyedStore.readPruned(spark, countPath(root),
-        Seq(MetaNode).toDF("node"))
-      .flatMap(_.filter(col("kind") === "m").select(col("ver"))
-        .collect().headOption.map(_.getLong(0)))
+    KeyedStore.readNote(spark, countPath(root))
+      .map(n => KeyedStore.Note.decode(n)("ver").toLong)
+      .orElse(KeyedStore.readPruned(spark, countPath(root),
+          Seq(MetaNode).toDF("node"))
+        .flatMap(_.filter(col("kind") === "m").select(col("ver"))
+          .collect().headOption.map(_.getLong(0))))
   }
 
   private def canonical(batch: DataFrame): DataFrame = batch.select(
@@ -88,7 +91,8 @@ object IncrementalTriangles {
       lit("put").as("op_type"))
     KeyedStore.merge(changed.unionByName(metaRow), countPath(root),
       keys = Seq("kind", "node"), seqCols = Seq("ver"),
-      numBuckets = numBuckets, bucketCols = Seq("node"))
+      numBuckets = numBuckets, bucketCols = Seq("node"),
+      note = Some(KeyedStore.Note.encode("ver" -> batchId.toString)))
     readCounts(spark, root)
   }
 
@@ -100,7 +104,8 @@ object IncrementalTriangles {
     val spark = batch.sparkSession
     if (hwm(spark, storeRoot).exists(batchId <= _))
       return readCounts(spark, storeRoot) // replay: counts are post-batch
-    val canon = canonical(batch).localCheckpoint(true)
+    // LAZY pin: the edge store's bucket-probe collect materializes it
+    val canon = canonical(batch).localCheckpoint(false)
     // CRASH SAFETY across the two stores: adjacency rows carry their
     // fold's ver, and `fresh` is derived against STRICTLY-OLDER rows
     // only. A crash between the adjacency merge and the count merge
@@ -116,13 +121,15 @@ object IncrementalTriangles {
     val probe = bothDirs(canon).select(col("u")).distinct()
     val stored = KeyedStore.readPruned(spark, edgePath(storeRoot), probe)
       .map(_.filter(col("ver") < batchId && col("op_type") =!= "delete")
-        .select(col("u"), col("v")).localCheckpoint(true))
+        // LAZY pin: the credits checkpoint below materializes it, before
+        // either store's merge GCs the read generation
+        .select(col("u"), col("v")).localCheckpoint(false))
     // only edges the graph lacks can close new triangles
     val fresh = (stored match {
       case Some(s) => canon.join(s.filter(col("u") < col("v")),
         Seq("u", "v"), "left_anti")
       case None => canon
-    }).localCheckpoint(true)
+    }).localCheckpoint(false) // LAZY: materialized with `credits`
     // adjacency of the GROWN graph restricted to the batch endpoints —
     // exactly the rows the wedge legs can touch — with each edge's
     // (new?, canonical key) for the largest-new-edge assignment
@@ -159,7 +166,9 @@ object IncrementalTriangles {
     }).select(lit("v").as("kind"), col("node"),
         (coalesce(col("tri_ct"), lit(0L)) + col("credit")).as("tri_ct"),
         lit(batchId).as("ver"), lit("put").as("op_type"))
-      .localCheckpoint(true) // pin BEFORE the merges mutate the stores
+      // LAZY pin over pinned inputs (credits eager, cur's buckets still
+      // committed): the count merge's stage write materializes it
+      .localCheckpoint(false)
     KeyedStore.merge(
       bothDirs(fresh).withColumn("ver", lit(batchId))
         .withColumn("op_type", lit("put")),
@@ -202,19 +211,21 @@ object IncrementalTriangles {
     val spark = batch.sparkSession
     if (hwm(spark, storeRoot).exists(batchId <= _))
       return readCounts(spark, storeRoot)
-    val canon = canonical(batch).localCheckpoint(true)
+    // LAZY pin: the edge store's bucket-probe collect materializes it
+    val canon = canonical(batch).localCheckpoint(false)
     val probe = bothDirs(canon).select(col("u")).distinct()
     val pre = KeyedStore.readPruned(spark, edgePath(storeRoot), probe)
       .map(_.filter(
           (col("ver") < batchId && col("op_type") =!= "delete") ||
           (col("ver") === batchId && col("op_type") === "delete"))
-        .select(col("u"), col("v")).localCheckpoint(true))
+        // LAZY pin: materialized with `debits`
+        .select(col("u"), col("v")).localCheckpoint(false))
     // only live edges can be removed (and thus destroy triangles)
     val rm = (pre match {
       case Some(p) => canon.join(p.filter(col("u") < col("v")),
         Seq("u", "v"), "left_semi")
       case None => canon.limit(0)
-    }).localCheckpoint(true)
+    }).localCheckpoint(false) // LAZY: materialized with `debits`
     // pre-deletion adjacency around the removed endpoints, each edge
     // flagged removed-or-surviving via its canonical key
     val rmKeys = rm.select(struct(col("u"), col("v")).as("key"))
@@ -252,7 +263,8 @@ object IncrementalTriangles {
         lit(batchId).as("ver"),
         when(coalesce(col("tri_ct"), lit(0L)) - col("debit") <= 0,
           lit("delete")).otherwise(lit("put")).as("op_type"))
-      .localCheckpoint(true) // pin BEFORE the merges mutate the stores
+      // LAZY pin: the count merge's stage write materializes it
+      .localCheckpoint(false)
     KeyedStore.merge(
       bothDirs(rm).withColumn("ver", lit(batchId))
         .withColumn("op_type", lit("delete")),

@@ -264,6 +264,51 @@ class CepSpec extends SparkSpec {
     assert(matchesTimes(one, pat, 1000).isEmpty)
   }
 
+  private def matchesTimesNfa(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[(String, Int, Int)], w: Long): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesTimesNfa(df, col("k"), col("tms"), col("oid"),
+        col("ty"), pattern, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("patternMatchesTimesNfa: the branching opt-in finds Flink's skip-branch matches") {
+    val pat = Seq(("view", 1, 1), ("click", 0, 1), ("click", 1, 1))
+    // the pinned greedy NO-MATCH (the overlapWarnings fixture): one click
+    // fills the optional slot greedily; the NFA's skip branch completes
+    val one = ev((2, 10, "view"), (2, 20, "click"))
+    assert(matchesTimes(one, pat, 1000).isEmpty)
+    assert(matchesTimesNfa(one, pat, 1000) == Seq((2L, 1, 10L, 20L)))
+    // two clicks: greedy emits at the second (optional filled first); the
+    // NFA family's EARLIEST completion is the first click's skip branch
+    val two = ev((1, 10, "view"), (1, 20, "click"), (1, 30, "click"))
+    assert(matchesTimes(two, pat, 1000) == Seq((1L, 1, 10L, 30L)))
+    assert(matchesTimesNfa(two, pat, 1000) == Seq((1L, 1, 10L, 20L)))
+    // flexible loop into the same type (the other warned shape): greedy
+    // extends forever and never matches; the NFA advance branch emits
+    val loopPat = Seq(("view", 1, U), ("view", 1, 1))
+    val vv = ev((3, 10, "view"), (3, 20, "view"))
+    assert(matchesTimes(vv, loopPat, 1000).isEmpty)
+    assert(matchesTimesNfa(vv, loopPat, 1000) == Seq((3L, 1, 10L, 20L)))
+    // choice-free pattern: NFA ≡ greedy, timeouts included
+    val vcp = Seq(("view", 1, 1), ("click", 1, 1), ("purchase", 1, 1))
+    val free = ev((4, 10, "view"), (4, 20, "click"), (4, 30, "purchase"),
+      (4, 40, "view"), (4, 2000, "click"), (4, 2010, "view"),
+      (4, 2020, "click"), (4, 2030, "purchase"),
+      (5, 10, "view"), (5, 20, "purchase"))
+    assert(matchesTimesNfa(free, vcp, 1000) == matchesTimes(free, vcp, 1000))
+    assert(matchesTimesNfa(free, vcp, 1000).nonEmpty)
+    // per-run window: the family resets past the window and reopens
+    val late = ev((6, 10, "view"), (6, 2000, "click"),
+      (6, 2010, "view"), (6, 2020, "click"))
+    assert(matchesTimesNfa(late, pat, 1000) == Seq((6L, 1, 2010L, 2020L)))
+    // exotic keys are rejected loudly (no branching SQL fold)
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesTimesNfa(one.withColumn("k", col("k").cast("double")),
+        col("k"), col("tms"), col("oid"), col("ty"), pat, 1000)
+    }
+  }
+
   test("quantifier validation: unbounded last stage and zero min are rejected") {
     val df = ev((1, 10, "view"))
     intercept[IllegalArgumentException] {
@@ -834,5 +879,76 @@ class CepSpec extends SparkSpec {
     // distinct adjacent types: no warning
     assert(Cep.overlapWarnings(
       Seq(("view", 0, U), ("click", 1, 1))).isEmpty)
+  }
+
+  test("patternMatchesGroup: exact-count group times IS the unrolled stage list") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // key 1: view click view click -> one (10, 40) match
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "view"), (1L, 40L, 4L, "click"),
+      // key 2: one full group only -> no match (needs two repetitions)
+      (2L, 10L, 1L, "view"), (2L, 20L, 2L, "click"),
+      // key 3: second repetition outside the window -> no match
+      (3L, 10L, 1L, "view"), (3L, 20L, 2L, "click"),
+      (3L, 2000L, 3L, "view"), (3L, 2010L, 4L, "click")
+    ).toDF("k", "tms", "oid", "ty")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .sortBy(identity).toSeq
+    val grouped = run(Cep.patternMatchesGroup(df, col("k"), col("tms"),
+      col("oid"), col("ty"), group = Seq("view", "click"), times = 2,
+      withinMs = 1000))
+    assert(grouped == Seq((1L, 10L, 40L)))
+    // delegation parity: identical to patternMatches on the unrolled list
+    assert(grouped == run(Cep.patternMatches(df, col("k"), col("tms"),
+      col("oid"), col("ty"), Seq("view", "click", "view", "click"), 1000)))
+    // guards: empty group, zero times, 1x1 degenerate
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesGroup(df, col("k"), col("tms"), col("oid"),
+        col("ty"), Seq.empty, 2, 1000)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesGroup(df, col("k"), col("tms"), col("oid"),
+        col("ty"), Seq("view"), 0, 1000)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesGroup(df, col("k"), col("tms"), col("oid"),
+        col("ty"), Seq("view"), 1, 1000)
+    }
+  }
+
+  test("keyRouteWarning: exotic key types fall back LOUDLY to the quadratic fold") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    // the warning names the type and the remedy (cast to a routed key)
+    for (dt <- Seq(DoubleType, DecimalType(10, 2))) {
+      val w = Cep.keyRouteWarning(dt)
+      assert(w.contains(dt.catalogString) && w.contains("QUADRATIC") &&
+        w.contains("BIGINT/STRING"))
+    }
+    // routing table: integral + string route; double/decimal do not (the
+    // typedCep None case logs keyRouteWarning — same code path)
+    def proj(c: org.apache.spark.sql.Column) = {
+      import s.implicits._
+      Seq((1L, 10L, 1L, "view")).toDF("k", "tms", "oid", "ty")
+        .withColumn("k", c)
+    }
+    assert(Cep.typedCep(proj(col("k"))).isDefined)
+    assert(Cep.typedCep(proj(col("k").cast("int"))).isDefined)
+    assert(Cep.typedCep(proj(col("k").cast("string"))).isDefined)
+    assert(Cep.typedCep(proj(col("k").cast("double"))).isEmpty)
+    assert(Cep.typedCep(proj(col("k").cast("decimal(10,2)"))).isEmpty)
+    // and the fallback still computes (parity with the routed plan is
+    // pinned by "double keys have no typed route..." above)
+    val got = Cep.patternMatches(
+      proj(col("k").cast("double"))
+        .unionByName(proj(col("k").cast("double"))
+          .withColumn("tms", lit(20L)).withColumn("oid", lit(2L))
+          .withColumn("ty", lit("purchase"))),
+      col("k"), col("tms"), col("oid"), col("ty"),
+      Seq("view", "purchase"), 1000).collect()
+    assert(got.length == 1)
   }
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.streaming.CepStream.CepEvent
+
+/** CEP on the modern state API: the `transformWithState` twins of
+  * attach/attachNeg over the RocksDB provider must reproduce the
+  * `flatMapGroupsWithState` forms record for record across micro-batches
+  * (the IsNewFixTws discipline), and the CepStream entry points must
+  * DISPATCH to them under the engine's keyed-state policy (StateImpl). */
+class CepStreamTwsSpec extends SparkSpec {
+
+  private val rocksdb = StateImpl.RocksDbProvider
+  private val provider = "spark.sql.streaming.stateStore.providerClass"
+  private var runNo = 0
+
+  private def withProvider[A](body: => A): A = {
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider, rocksdb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
+  private def drive(batches: Seq[Seq[CepEvent]])(
+      mk: org.apache.spark.sql.Dataset[CepEvent] =>
+        org.apache.spark.sql.Dataset[CepStream.CepMatch])
+      : Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    runNo += 1
+    val tbl = s"cep_tws_out_$runNo"
+    val mem = MemoryStream[CepEvent]
+    val q = mk(mem.toDS()).writeStream
+      .format("memory").queryName(tbl).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cep_tws_ckpt").toString)
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      s.table(tbl).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+          r.getAs[Long]("match_end")))
+        .sortBy(identity).toSeq
+    } finally q.stop()
+  }
+
+  private val vcp = Seq("view", "click", "purchase")
+
+  test("attach: tws twin ≡ fMGWS record for record across batches (incl. timeout reopen)") {
+    // partial spans the boundary; a second run times out mid-stream
+    val batches = Seq(
+      Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "click"),
+        CepEvent(2, 10, 3, "view")),
+      Seq(CepEvent(1, 30, 4, "purchase"), // completes across the boundary
+        CepEvent(2, 2000, 5, "click")), // key 2's partial timed out
+      Seq(CepEvent(2, 2010, 6, "view"), CepEvent(2, 2020, 7, "click"),
+        CepEvent(2, 2030, 8, "purchase")))
+    withProvider {
+      val tws = drive(batches)(ds => CepStreamTws.attach(ds, vcp, 1000))
+      assert(tws == Seq((1L, 10L, 30L), (2L, 2010L, 2030L)))
+      // the fMGWS form, forced via the dispatcher override
+      spark.conf.set("spark.graft.state.impl", "fmgws")
+      try assert(tws == drive(batches)(ds => CepStream.attach(ds, vcp, 1000)))
+      finally spark.conf.unset("spark.graft.state.impl")
+      // and the AUTO dispatch (RocksDB provider) lands on the tws twin
+      // with identical output
+      assert(tws == drive(batches)(ds => CepStream.attach(ds, vcp, 1000)))
+    }
+  }
+
+  test("attachNeg: tws timers ≡ fMGWS event-time timeout (watch emit, ban kill, stale timer)") {
+    // key 1: watch opens (view click), watermark later passes the window
+    //   end with the key SILENT -> the timer emits the pending match
+    // key 2: watch opens, then a banned refund arrives -> killed; the
+    //   superseded timer must NOT emit (tws deletes it; fMGWS's stale
+    //   timeout hits the st-guard)
+    // key 9: watermark mover
+    val batches = Seq(
+      Seq(CepEvent(1, 100, 1, "view"), CepEvent(1, 110, 2, "click"),
+        CepEvent(2, 100, 3, "view"), CepEvent(2, 120, 4, "click")),
+      Seq(CepEvent(2, 130, 5, "refund")),
+      Seq(CepEvent(9, 5000, 6, "view"))) // watermark past both windows
+    def run(f: org.apache.spark.sql.Dataset[CepEvent] =>
+        org.apache.spark.sql.Dataset[CepStream.CepMatch]) = drive(batches)(f)
+    withProvider {
+      val want = Seq((1L, 100L, 110L))
+      val tws = run(ds => CepStream.attachNeg(ds, Seq("view", "click"),
+        1000, notAfter = Seq("refund"))) // AUTO -> tws under RocksDB
+      assert(tws == want)
+      spark.conf.set("spark.graft.state.impl", "fmgws")
+      try assert(want == run(ds => CepStream.attachNeg(ds,
+        Seq("view", "click"), 1000, notAfter = Seq("refund"))))
+      finally spark.conf.unset("spark.graft.state.impl")
+    }
+  }
+
+  test("attachNeg: notBetween kill and cross-batch partial parity on both APIs") {
+    val batches = Seq(
+      Seq(CepEvent(1, 10, 1, "view"), CepEvent(2, 10, 2, "view")),
+      Seq(CepEvent(1, 20, 3, "spam"), // kills key 1's partial
+        CepEvent(2, 20, 4, "click")),
+      Seq(CepEvent(1, 30, 5, "click"), // no live partial -> no match
+        CepEvent(2, 30, 6, "purchase")))
+    def run(f: org.apache.spark.sql.Dataset[CepEvent] =>
+        org.apache.spark.sql.Dataset[CepStream.CepMatch]) = drive(batches)(f)
+    withProvider {
+      val want = Seq((2L, 10L, 30L))
+      assert(run(ds => CepStream.attachNeg(ds, vcp, 1000,
+        notBetween = Map(1 -> Seq("spam")))) == want) // AUTO -> tws
+      spark.conf.set("spark.graft.state.impl", "fmgws")
+      try assert(run(ds => CepStream.attachNeg(ds, vcp, 1000,
+        notBetween = Map(1 -> Seq("spam")))) == want)
+      finally spark.conf.unset("spark.graft.state.impl")
+    }
+  }
+}
