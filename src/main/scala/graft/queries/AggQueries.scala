@@ -164,6 +164,84 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // Cross-batch GROUP-pattern CEP over the persistent store: the
+    // (view, click) × 2 group driven through three time-cut folds of
+    // IncrementalCep.foldBatchGroup — the unroll delegation inherits
+    // foldBatch's replay protocol and seeded state, so the store drive
+    // and the batch operator are one automaton. Oracle = q_cep_group's
+    // generated CTE verbatim.
+    "q_cep_group_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepg_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchGroup(p, s"$root/cep",
+          group = Seq("view", "click"), times = 2,
+          withinMs = 604800000L, batchId = i + 1L)
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
+    // Cross-batch BRANCHING-NFA CEP over the persistent store: q_cep_nfa's
+    // choice-point pattern driven through three time-cut folds of
+    // IncrementalCep.foldBatchNfa — the branch FAMILY (stage, count pairs
+    // sharing one start) crosses batch boundaries through the store's br
+    // column, so a family forked in one fold completes in a later one.
+    // Oracle = q_cep_nfa's two-stage-reduction CTE verbatim.
+    "q_cep_nfa_stream" -> { (s, dir) =>
+      val ev = Envelopes.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("k"), expr("unix_millis(ts)").as("tms"),
+          col("event_id").as("oid"), col("event_type").as("ty"))
+        .localCheckpoint(true)
+      val bounds = ev.agg(min(col("tms")), max(col("tms"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      val root = java.nio.file.Files.createTempDirectory("graft_cepn_q")
+      val folds = Seq(
+        ev.filter(col("tms") <= cut1),
+        ev.filter(col("tms") > cut1 && col("tms") <= cut2),
+        ev.filter(col("tms") > cut2)).zipWithIndex.map { case (p, i) =>
+        graft.streaming.IncrementalCep.foldBatchNfa(p, s"$root/cep",
+          Seq(("view", 1, 1), ("click", 0, 1), ("click", 1, 1)),
+          withinMs = 604800000L, batchId = i + 1L)
+      }
+      val res = folds.reduce(_ unionByName _)
+        .withColumnRenamed("k", "user_id")
+        .withColumn("match_n", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("start_tms"), col("end_tms"))))
+        .select(col("user_id"), col("match_n"), col("start_tms"),
+          col("end_tms"))
+        .orderBy(col("user_id"), col("match_n"))
+        .localCheckpoint(true)
+      folds.foreach(graft.util.Blocks.freeCheckpoint)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(ev)
+      res
+    },
+
     // BRANCHING-NFA opt-in (round 13 — the overlapWarnings class made
     // usable): (view)(click optional)(click) within 7 days. The greedy
     // reading feeds the optional stage first and loses the one-click
@@ -1279,6 +1357,12 @@ object AggQueries {
     // branching NFA on (view)(click opt)(click) ≡ the two-stage
     // view→click machine (see the query comment for the reduction)
     "q_cep_nfa" -> cepUnrolledSql(Seq("view", "click"), 604800000L),
+
+    // the store drives share the batch oracles VERBATIM: the folds are
+    // the batch step functions seeded from storage
+    "q_cep_group_stream" -> cepUnrolledSql(
+      Seq("view", "click", "view", "click"), 604800000L),
+    "q_cep_nfa_stream" -> cepUnrolledSql(Seq("view", "click"), 604800000L),
 
 
     // The q_cep automaton with per-stage event captures: (e1, e2) hold the

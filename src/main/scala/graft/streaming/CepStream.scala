@@ -632,6 +632,70 @@ object CepStream {
         matchGroupSelect(pattern.toIndexedSeq, withinMs))
   }
 
+  /** [[graft.ops.Cep.patternMatchesGroup]]'s stream twin — the group
+    * repeats whole, exactly `times` times, within one window: the same
+    * lossless unroll delegation as the batch operator (`Seq.fill(times)
+    * (group).flatten` through [[attach]]), so the stream form inherits
+    * the batch semantics, the tws dispatch, AND the unroll argument —
+    * the three drive forms cannot drift because they are one operator. */
+  def attachGroup(ds: Dataset[CepEvent], group: Seq[String], times: Int,
+      withinMs: Long): Dataset[CepMatch] = {
+    require(group.nonEmpty, "group must not be empty")
+    require(times >= 1, s"times must be >= 1, got $times")
+    require(group.length * times >= 2,
+      "unrolled pattern needs >= 2 stages (a 1x1 group is just a filter)")
+    attach(ds, Seq.fill(times)(group).flatten, withinMs)
+  }
+
+  /** Keyed state for [[attachTimesNfa]]: the branch family —
+    * (stage, count) pairs sharing one start (see
+    * [[graft.ops.Cep.NfaStepper]]); empty = the key is idle (state
+    * removed). */
+  final case class CepNfaBranch(st: Int, c: Int)
+  final case class CepNfaState(branches: Seq[CepNfaBranch], t0: Long)
+
+  /** One micro-batch group for the BRANCHING-NFA opt-in
+    * ([[graft.ops.Cep.patternMatchesTimesNfa]]'s contract): the branch
+    * family persists across micro-batches through keyed state, per-event
+    * semantics are the shared [[graft.ops.Cep.NfaStepper]] — one step
+    * object with the batch sorted plan, so stream and batch cannot
+    * drift. */
+  def matchGroupTimesNfa(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long)(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepNfaState]): Iterator[CepMatch] = {
+    val preds = pattern.map { case (t, mn, mx) =>
+      (((e: CepEvent) => e.ty == t), mn, mx) }
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    var br = state.getOption
+      .map(_.branches.map(b => (b.st, b.c)).toSet).getOrElse(Set.empty[(Int, Int)])
+    var t0 = state.getOption.map(_.t0).getOrElse(0L)
+    val out = ListBuffer.empty[CepMatch]
+    val stepper = new graft.ops.Cep.NfaStepper[CepEvent](preds, withinMs, _.tms)
+    sorted.foreach { e =>
+      val next = stepper.step(br, t0, e, (s, en) => out += CepMatch(k, s, en))
+      br = next._1; t0 = next._2
+    }
+    if (br.isEmpty) state.remove()
+    else state.update(CepNfaState(
+      br.toSeq.sorted.map { case (st, c) => CepNfaBranch(st, c) }, t0))
+    out.iterator
+  }
+
+  /** [[graft.ops.Cep.patternMatchesTimesNfa]]'s stream twin — the
+    * branching opt-in with the branch family carried across
+    * micro-batches. State is bounded by Σ stage max-counts per key (the
+    * batch operator's bound), idle keys hold nothing. Pre-filter to the
+    * pattern's types before calling. */
+  def attachTimesNfa(ds: Dataset[CepEvent],
+      pattern: Seq[(String, Int, Int)], withinMs: Long): Dataset[CepMatch] = {
+    graft.ops.Cep.validateTimes(pattern, withinMs, warnOverlap = false)
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupTimesNfa(pattern.toIndexedSeq, withinMs))
+  }
+
   /** Attach the automaton to a keyed event stream. Pre-filter to the
     * pattern's types before calling (the batch twin does; non-pattern
     * events never change state, they only cost shuffle).

@@ -104,6 +104,128 @@ object IncrementalCep {
       capture = Nil, expireWatermarkMs = expireWatermarkMs)
   }
 
+  /** [[graft.ops.Cep.patternMatchesGroup]]'s store-backed form — the
+    * same lossless unroll delegation as the batch and stream twins
+    * (`Seq.fill(times)(group).flatten` through [[foldBatch]]), so the
+    * store drive inherits the batch semantics, the replay protocol, and
+    * the unroll argument in one line: the three drive forms ARE one
+    * operator. */
+  def foldBatchGroup(events: DataFrame, storePath: String,
+      group: Seq[String], times: Int, withinMs: Long, batchId: Long,
+      numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    require(group.nonEmpty, "group must not be empty")
+    require(times >= 1, s"times must be >= 1, got $times")
+    require(group.length * times >= 2,
+      "unrolled pattern needs >= 2 stages (a 1x1 group is just a filter)")
+    foldBatch(events, storePath,
+      Seq.fill(times)(group).flatten.map((_, 1, 1)), withinMs, batchId,
+      numBuckets, expireWatermarkMs)
+  }
+
+  /** Branch-set row of [[foldBatchNfa]]'s cogroup. */
+  private[streaming] final case class NfaState(k: Long, br: String, t0: Long)
+
+  /** Encode/decode the branch family — "st:c;…" sorted (part of the
+    * "cep-nfa-v1" layout; stages and counts are small ints, no escaping
+    * needed). */
+  private def encodeBr(br: Set[(Int, Int)]): String =
+    br.toSeq.sorted.map { case (st, c) => s"$st:$c" }.mkString(";")
+  private def decodeBr(s: String): Set[(Int, Int)] =
+    if (s == null || s.isEmpty) Set.empty
+    else s.split(';').iterator.map { p =>
+      val i = p.indexOf(':')
+      (p.substring(0, i).toInt, p.substring(i + 1).toInt)
+    }.toSet
+
+  /** [[graft.ops.Cep.patternMatchesTimesNfa]]'s store-backed form (the
+    * branching opt-in, drive-form matrix member three): the branch
+    * family and its shared start persist across folds (layout
+    * "cep-nfa-v1" — branches encoded "st:c;…", c = branch count so
+    * [[expire]]/[[maintainExpire]] work unchanged: idle (no branches) ≡
+    * absent, and all branches share t0, so a timed-out family prunes
+    * exactly when its every branch is dead). The fold is a typed sorted
+    * cogroup running the shared [[graft.ops.Cep.NfaStepper]] — one step
+    * object across batch, stream, and store. Pre-filters to the
+    * pattern's types (relaxed contiguity, the batch operator's scan). */
+  def foldBatchNfa(events: DataFrame, storePath: String,
+      pattern: Seq[(String, Int, Int)], withinMs: Long, batchId: Long,
+      numBuckets: Int = 4,
+      expireWatermarkMs: Option[Long] = None): DataFrame = {
+    graft.ops.Cep.validateTimes(pattern, withinMs, warnOverlap = false)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = pattern.toIndexedSeq
+    val batch = events.filter(col("ty").isin(pattern.map(_._1).distinct: _*))
+      .select(col("k").cast("long").as("k"),
+        col("tms").cast("long").as("tms"), col("oid").cast("long").as("oid"),
+        col("ty").cast("string").as("ty"))
+      // LAZY pin: the pruned read's bucket-probe collect is the one
+      // materialization (fresh store: the merge's stage write is)
+      .localCheckpoint(false)
+    val keys = batch.select(col("k")).distinct()
+    // LAZY pruned read: a note-rejected replay never probes the store
+    lazy val stored = KeyedStore.readPruned(spark, storePath,
+      keys.unionByName(Seq(MetaKey).toDF("k")))
+    val hwm = hwmOf(spark, storePath, stored)
+    if (hwm.exists(batchId <= _)) {
+      graft.util.Blocks.freeCheckpoint(batch)
+      return Seq.empty[(Long, Long, Long)].toDF("k", "start_tms", "end_tms")
+    }
+    val state = stored
+      .map(_.filter(col("kind") === "v")
+        .join(keys, Seq("k"), "left_semi")
+        .select(col("k"), col("br").cast("string").as("br"),
+          col("t0").cast("long").as("t0")))
+      .getOrElse(spark.range(0).select(col("id").as("k"),
+        lit(null).cast("string").as("br"), lit(0L).as("t0")))
+      .as[NfaState]
+    val within = withinMs
+    val folded = batch.as[SkipEv]
+      .groupByKey(_.k)
+      .cogroupSorted(state.groupByKey(_.k))(
+        col("tms"), col("oid"), col("ty"))() { (k, evs, sts) =>
+        val preds = pat.map { case (t, mn, mx) =>
+          (((e: SkipEv) => e.ty == t), mn, mx) }
+        val stepper = new graft.ops.Cep.NfaStepper[SkipEv](preds,
+          within, _.tms)
+        var (br, t0) = sts.toSeq.headOption
+          .map(s => (decodeBr(s.br), s.t0)).getOrElse((Set.empty[(Int, Int)], 0L))
+        val out = scala.collection.mutable.ListBuffer.empty[SkipOut]
+        evs.foreach { e =>
+          val next = stepper.step(br, t0, e,
+            (s, en) => out += SkipOut("m", k, s, en, 0, 0L, null))
+          br = next._1; t0 = next._2
+        }
+        out += SkipOut("v", k, 0L, 0L, br.size, if (br.isEmpty) 0L else t0,
+          encodeBr(br))
+        out
+      }
+      .toDF("kind", "k", "s", "e", "c", "t0", "br")
+      // LAZY pin: the merge's own stage write is the one materialization —
+      // it still runs BEFORE the merge GCs the read generation
+      .localCheckpoint(false)
+    val stateRows = folded.filter(col("kind") === "v")
+      .select(col("kind"), col("k"), col("c"), col("t0"), col("br"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKey).as("k"), lit(-1).as("c"), lit(0L).as("t0"),
+      lit(null).cast("string").as("br"), lit(batchId).as("ver"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(stateRows.unionByName(metaRow), storePath,
+      keys = Seq("kind", "k"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("k"),
+      layoutId = Some("cep-nfa-v1"), note = hwmNote(batchId))
+    val out = folded.filter(col("kind") === "m")
+      .select(col("k"), col("s").as("start_tms"), col("e").as("end_tms"))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(folded)
+    graft.util.Blocks.freeCheckpoint(batch)
+    expireWatermarkMs.foreach(w =>
+      maintainExpire(spark, storePath, w, withinMs))
+    out
+  }
+
   /** [[foldBatch]] with PREDICATE stages ([[graft.ops.Cep
     * .patternMatchesWhere]]'s contract): stages are SQL booleans over the
     * event struct `e` carrying `tms`, `oid`, and the declared payload

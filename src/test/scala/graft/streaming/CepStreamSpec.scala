@@ -740,6 +740,52 @@ class CepStreamSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("attachGroup / attachTimesNfa: group unroll and branch family cross batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    var runNo = 500
+    def run(batches: Seq[Seq[CepEvent]])(
+        mk: org.apache.spark.sql.Dataset[CepEvent] =>
+          org.apache.spark.sql.Dataset[CepStream.CepMatch]) = {
+      runNo += 1
+      val tbl = s"cep_gn_out_$runNo"
+      val mem = MemoryStream[CepEvent]
+      val q = mk(mem.toDS()).writeStream
+        .format("memory").queryName(tbl).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table(tbl).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+            r.getAs[Long]("match_end")))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    // group (view click) x 2 spanning three batches = the batch operator
+    val gb = Seq(
+      Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "click")),
+      Seq(CepEvent(1, 30, 3, "view")),
+      Seq(CepEvent(1, 40, 4, "click")))
+    assert(run(gb)(ds => CepStream.attachGroup(ds, Seq("view", "click"),
+      2, 1000)) == Seq((1L, 10L, 40L)))
+    // NFA: the family opened in batch 1 completes via the skip branch in
+    // batch 2 (the greedy stream would park the click in the optional
+    // slot and emit nothing)
+    val pat = Seq(("view", 1, 1), ("click", 0, 1), ("click", 1, 1))
+    val nb = Seq(
+      Seq(CepEvent(1, 10, 1, "view")),
+      Seq(CepEvent(1, 20, 2, "click")))
+    assert(run(nb)(ds => CepStream.attachTimesNfa(ds, pat, 1000)) ==
+      Seq((1L, 10L, 20L)))
+    assert(run(nb)(ds => CepStream.attachTimes(ds, pat, 1000)).isEmpty)
+    // timeout across the boundary, then a fresh family matches
+    val tb = Seq(
+      Seq(CepEvent(2, 10, 1, "view")),
+      Seq(CepEvent(2, 2000, 2, "view"), CepEvent(2, 2010, 3, "click")))
+    assert(run(tb)(ds => CepStream.attachTimesNfa(ds, pat, 1000)) ==
+      Seq((2L, 2000L, 2010L)))
+  }
 }
 
 /** Payload-carrying event for the attachWhere/attachIter specs (top level:

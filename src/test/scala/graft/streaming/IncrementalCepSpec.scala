@@ -38,6 +38,68 @@ class IncrementalCepSpec extends SparkSpec {
     assert(KeyedStore.read(spark, store).get.count() == 3)
   }
 
+  test("foldBatchGroup: the unroll delegation spans folds and replays safely") {
+    val store = Files.createTempDirectory("inc_cep_g").toString + "/cep"
+    // (view click) x 2: the second repetition arrives in later folds
+    val b1 = evDf((1, 10, 1, "view"), (1, 20, 2, "click"))
+    val b2 = evDf((1, 30, 3, "view"))
+    val b3 = evDf((1, 40, 4, "click"), (2, 45, 5, "view"))
+    val m1 = got(IncrementalCep.foldBatchGroup(b1, store,
+      Seq("view", "click"), 2, 1000, batchId = 1))
+    val m2 = got(IncrementalCep.foldBatchGroup(b2, store,
+      Seq("view", "click"), 2, 1000, batchId = 2))
+    val m3 = got(IncrementalCep.foldBatchGroup(b3, store,
+      Seq("view", "click"), 2, 1000, batchId = 3))
+    assert(m1.isEmpty && m2.isEmpty)
+    assert(m3 == Seq((1L, 10L, 40L)))
+    // equals the batch operator over the concatenation
+    val all = evDf((1, 10, 1, "view"), (1, 20, 2, "click"),
+      (1, 30, 3, "view"), (1, 40, 4, "click"), (2, 45, 5, "view"))
+    val batchGot = graft.ops.Cep.patternMatchesGroup(all, col("k"),
+        col("tms"), col("oid"), col("ty"), Seq("view", "click"), 2, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert(m3 == batchGot)
+    // replay no-op
+    assert(got(IncrementalCep.foldBatchGroup(b3, store,
+      Seq("view", "click"), 2, 1000, batchId = 3)).isEmpty)
+  }
+
+  test("foldBatchNfa: the branch family spans folds; equals the batch opt-in") {
+    val store = Files.createTempDirectory("inc_cep_n").toString + "/cep"
+    val pat = Seq(("view", 1, 1), ("click", 0, 1), ("click", 1, 1))
+    // fold 1 opens the family; fold 2's click completes via the skip
+    // branch (the greedy fold would have parked it in the optional slot)
+    val b1 = evDf((1, 10, 1, "view"), (2, 15, 2, "view"))
+    val b2 = evDf((1, 20, 3, "click"), (2, 2000, 4, "click")) // key 2 timed out
+    val b3 = evDf((2, 2010, 5, "view"), (2, 2020, 6, "click"))
+    val m1 = got(IncrementalCep.foldBatchNfa(b1, store, pat, 1000, batchId = 1))
+    val m2 = got(IncrementalCep.foldBatchNfa(b2, store, pat, 1000, batchId = 2))
+    val m3 = got(IncrementalCep.foldBatchNfa(b3, store, pat, 1000, batchId = 3))
+    assert(m1.isEmpty)
+    assert(m2 == Seq((1L, 10L, 20L)))
+    assert(m3 == Seq((2L, 2010L, 2020L)))
+    // equals the batch opt-in over the concatenation
+    val all = evDf((1, 10, 1, "view"), (2, 15, 2, "view"),
+      (1, 20, 3, "click"), (2, 2000, 4, "click"),
+      (2, 2010, 5, "view"), (2, 2020, 6, "click"))
+    val batchGot = graft.ops.Cep.patternMatchesTimesNfa(all, col("k"),
+        col("tms"), col("oid"), col("ty"), pat, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    assert((m1 ++ m2 ++ m3).sorted == batchGot)
+    // replay no-op; then expiry parity on the new layout: idle rows prune
+    assert(got(IncrementalCep.foldBatchNfa(b3, store, pat, 1000,
+      batchId = 3)).isEmpty)
+    val expired = IncrementalCep.expire(spark, store,
+      watermarkMs = 10000, withinMs = 1000)
+    assert(expired >= 1) // both keys idle after their emits
+    // a fresh run on the expired store still works
+    assert(got(IncrementalCep.foldBatchNfa(
+      evDf((3, 10000, 7, "view"), (3, 10010, 8, "click")), store, pat,
+      1000, batchId = 4)) == Seq((3L, 10000L, 10010L)))
+  }
+
   test("replayed fold (batchId <= mark) emits nothing and touches nothing") {
     val store = Files.createTempDirectory("inc_cep_rp").toString + "/cep"
     val b1 = evDf((1, 10, 1, "view"), (1, 20, 2, "click"))
