@@ -1086,6 +1086,35 @@ object ExtQueries {
       res
     },
 
+    // The CDC DELETE half of the persistent ANN index (round 13 — the
+    // right-to-erasure pass): fold the corpus in three batches, DELETE
+    // the vec_id % 5 == 0 slice (the CDC shape — delete events carry
+    // the full row), then search. Exact decimal subtraction makes the
+    // stored centroid sums bit-identical to the one-pass aggregate over
+    // the SURVIVORS, so the post-delete search hash-equals the batch
+    // IVFADC chain over the surviving corpus — which is the oracle
+    // (same frozen books, same query set, survivor-filtered corpus).
+    "q_ann_delta" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val books = pqBooksCodes(s, dir)._1
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfd_q")
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalIvf.mergeBatch(
+          e.filter(col("vec_id") % 3 === i), s"$root/ix", books,
+          batchId = i.toLong)
+      graft.streaming.IncrementalIvf.deleteBatch(
+        e.filter(col("vec_id") % 5 === 0), s"$root/ix", books,
+        batchId = 3L)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val res = graft.streaming.IncrementalIvf
+        .search(s, s"$root/ix", qs, books, m = 4, topK = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // Top-3 TF-IDF terms per document (reciprocal-df idf — IEEE-exact ops
     // only; see Ranking's scaladoc).
     "q_tfidf_top" -> { (s, dir) =>
@@ -2041,12 +2070,16 @@ object ExtQueries {
   /** The IVFADC chain (coarse probe + ADC lookup sum) through `prk2`,
     * shared by q_ann_ivf_pq and q_ann_rerank — the re-rank twin reads
     * its shortlist straight off the proven chain. */
-  private val IvfPqCtes: String =
+  /** The IVFADC chain over an arbitrary CORPUS cte/table (the queries and
+    * the frozen codebooks always come from the FULL `embeddings` —
+    * deletion freezes neither): `q_ann_delta`'s oracle passes a survivor
+    * CTE, everything else the table itself. */
+  private def ivfPqCtesFor(corpus: String): String =
     s"""${PqTrainCtes},
          |icent AS (
          |  SELECT label, d.i AS pos,
          |         CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
-         |  FROM embeddings CROSS JOIN (
+         |  FROM $corpus CROSS JOIN (
          |    SELECT unnest(generate_series(1,
          |             (SELECT MAX(len(embedding)) FROM embeddings))) AS i) d
          |  GROUP BY 1, 2),
@@ -2074,7 +2107,7 @@ object ExtQueries {
          |         FROM pl2 GROUP BY 1),
          |cand AS (SELECT p.query_id, w.vec_id, w.c0, w.c1, w.c2, w.c3
          |         FROM iprob p
-         |         JOIN embeddings e ON e.label = p.label
+         |         JOIN $corpus e ON e.label = p.label
          |         JOIN pcw2 w ON w.vec_id = e.vec_id),
          |psc2 AS (SELECT c.query_id, c.vec_id,
          |           ((d0.d + d1.d) + d2.d) + d3.d AS dist
@@ -2092,6 +2125,8 @@ object ExtQueries {
          |             ORDER BY dist ASC, vec_id) AS rk
          |         FROM psc2)
          """.stripMargin
+
+  private val IvfPqCtes: String = ivfPqCtesFor("embeddings")
 
 
   /** The feature-hashing vector build shared by q_hash_embed and
@@ -2838,6 +2873,15 @@ object ExtQueries {
     // (shared core, exact decimal sum folds) — batch twin verbatim.
     "q_ann_stream" ->
       s"""WITH ${IvfPqCtes}
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // post-delete search == the batch chain over SURVIVORS: same frozen
+    // books (PqTrainCtes stays on the full corpus), same query set,
+    // survivor-filtered centroid sums and candidates.
+    "q_ann_delta" ->
+      s"""WITH surv AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+         |${ivfPqCtesFor("surv")}
          |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 

@@ -175,7 +175,10 @@ object IncrementalIvf {
         rejectStaged =
           Some((col("cnt") > 1, "folds more than once in this batch")),
         rejectStored =
-          Some((col("ver") < batchId, "already indexed by an earlier fold")),
+          // deleted ids are exempt: an id removed by [[deleteBatch]] may
+          // be re-indexed — its tombstone is not "already indexed"
+          Some((col("ver") < batchId && col("op_type") =!= "delete",
+            "already indexed by an earlier fold")),
         rejectMsg = "IVF fold-once contract violated — a re-encoded vec " +
           "whose cell moved would leave the old cell's code rows live, " +
           "and a within-batch duplicate double-adds centroid sums; route " +
@@ -229,6 +232,157 @@ object IncrementalIvf {
       .localCheckpoint(true)
     graft.util.Blocks.freeCheckpoint(live)
     graft.util.Blocks.freeCheckpoint(changed)
+    out
+  }
+
+  /** CDC DELETE half for the persistent ANN index (round 13 — the
+    * [[IncrementalTriangles.deleteEdges]] symmetry, closing the one
+    * append-only store in the CDC-delete family; the production case is
+    * the right-to-erasure pass over a vector index): remove indexed
+    * vectors, exactly.
+    *
+    * Contract: `batch` must carry the SAME (vec_id, embedding, label)
+    * rows the original fold indexed — a CDC delete event carries the
+    * full row, and the exact decimal centroid sums can only be
+    * decremented by the components that were added. Enforced, not
+    * assumed: every delete id must be LIVE in the ids store (a crashed
+    * attempt's own `ver == batchId` tombstones are exempt, the
+    * [[mergeBatch]] replay stance), and a within-batch duplicate id —
+    * which would double-subtract — aborts inside the ids merge's own
+    * bucket IO (`rejectStaged cnt > 1`), before anything publishes.
+    *
+    * Effects, in the crash-ordered sequence (stats meta is the commit
+    * point, exactly [[mergeBatch]]'s): ids rows TOMBSTONE (and
+    * [[mergeBatch]]'s fold-once guard exempts deleted rows, so an
+    * erased id may be re-indexed later); code rows tombstone at
+    * (label, vec_id, sub 0..m-1) — [[search]]'s live filter hides them
+    * with zero search-side changes; stats sums SUBTRACT at (37,10)
+    * exact operands. Exact fixed-scale subtraction is order-free, so
+    * after ANY interleaving of folds and deletes the stored sums are
+    * bit-identical to the one-pass aggregate over the SURVIVORS —
+    * which is what makes search-after-delete hash-equal the batch
+    * operator over the surviving corpus (`q_ann_delta`). A cell whose
+    * count reaches 0 tombstones its sum AND count rows (a zero-sum
+    * centroid would otherwise feed NaN cosines into the probe
+    * ranking); re-adding to that cell later reseeds from zero through
+    * the fold's `coalesce`, still the survivor aggregate.
+    *
+    * Returns the updated cell directory (label, n_vecs), emptied cells
+    * absent. */
+  def deleteBatch(batch: DataFrame, storePath: String, books: DataFrame,
+      batchId: Long, m: Int = 4, numBuckets: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // LAZY pin + zero-job HWM via the stats note (the FoldJobsSpec
+    // protocol; legacy stores collect the meta row)
+    val live = statsLive(spark, s"$storePath/stats").localCheckpoint(false)
+    val meta: Option[Long] = KeyedStore.readNote(spark, s"$storePath/stats")
+      .map(n => KeyedStore.Note.decode(n)("ver").toLong)
+      .orElse(live.filter(col("kind") === "m").select(col("ver")).collect()
+        .headOption.map(_.getLong(0)))
+    val curS = live.filter(col("kind") === "s")
+    val curC = live.filter(col("kind") === "c")
+    if (meta.exists(batchId <= _)) {
+      val out = directoryOf(curC).localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(live)
+      return out
+    }
+    val idsPath = s"$storePath/ids"
+    // liveness: every delete id must be indexed and not already deleted
+    // (crashed-attempt tombstones at ver == batchId exempt). One pruned
+    // probe of the batch ids' buckets — O(batch) at any index size.
+    val delIds = batch.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+      // LAZY pin: the pruned read's bucket-probe collect materializes it
+      .localCheckpoint(false)
+    val idRows = KeyedStore.readPruned(spark, idsPath, delIds)
+      .getOrElse(spark.range(0).select(col("id").as("vec_id"),
+        lit(0L).as("cnt"), lit(0L).as("ver"), lit("put").as("op_type")))
+    val dead = delIds.join(
+      idRows.filter(col("op_type") =!= "delete" ||
+          col("ver") === batchId)
+        .select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val badIds = dead.limit(3).collect().map(_.getLong(0))
+    require(badIds.isEmpty,
+      s"deleteBatch: ids ${badIds.mkString(", ")}… are not live in the " +
+        s"index at $storePath — a delete can only subtract components " +
+        "that were added (wrong id, double delete, or a batch that was " +
+        "never folded)")
+    // ids tombstones FIRST (the crash ordering): dup ids abort in-merge
+    KeyedStore.merge(
+      batch.select(col("vec_id").cast("long").as("vec_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("ver", lit(batchId))
+        .withColumn("op_type", lit("delete")),
+      idsPath, keys = Seq("vec_id"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("vec_id"),
+      layoutId = Some("ivf-ids-v2"),
+      rejectStaged =
+        Some((col("cnt") > 1, "deleted more than once in this batch")),
+      rejectMsg = "IVF delete-once contract violated — a within-batch " +
+        "duplicate would double-subtract centroid sums")
+    // code tombstones: (label, vec_id, sub 0..m-1) — values irrelevant,
+    // the key is what dies
+    val codeDels = batch
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("long").as("label"))
+      .withColumn("sub", explode(expr(s"sequence(0L, ${m - 1}L)")))
+      .select(col("label"), col("vec_id"), col("sub"), lit(0L).as("code"),
+        lit(batchId).as("ver"), lit("delete").as("op_type"))
+    KeyedStore.merge(codeDels, s"$storePath/codes",
+      keys = Seq("label", "vec_id", "sub"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("label"),
+      layoutId = Some("ivf-codes-v1"))
+    // stats: exact subtraction; emptied cells tombstone sum + count rows
+    val batchSums = graft.ext.Similarity.coarseCentroidSums(
+      batch.select(col("label").cast("string").as("label"),
+        col("embedding")))
+      .select(col("label").as("g"), col("pos").cast("long").as("pos"),
+        col("cv").as("bs"))
+    val batchCounts = batch.groupBy(col("label").cast("string").as("g"))
+      .agg(count(lit(1)).as("bn"))
+    val nAfter = batchCounts
+      .join(curC.select(col("g"), col("n")), Seq("g"), "left_outer")
+      .select(col("g"), (coalesce(col("n"), lit(0L)) - col("bn")).as("n1"))
+    val sumRows = batchSums
+      .join(curS.select(col("g"), col("pos"), col("csum")),
+        Seq("g", "pos"), "left_outer")
+      .join(nAfter, Seq("g"))
+      .select(lit("s").as("kind"), col("g"), col("pos"),
+        (coalesce(col("csum"), lit(0).cast("decimal(37,10)"))
+            .cast("decimal(37,10)") - col("bs").cast("decimal(37,10)"))
+          .cast("decimal(38,10)").as("csum"),
+        lit(0L).as("n"), lit(batchId).as("ver"),
+        when(col("n1") <= 0, lit("delete")).otherwise(lit("put"))
+          .as("op_type"))
+    val countRows = nAfter
+      .select(lit("c").as("kind"), col("g"), lit(-1L).as("pos"),
+        lit(null).cast("decimal(38,10)").as("csum"),
+        greatest(col("n1"), lit(0L)).as("n"), lit(batchId).as("ver"),
+        when(col("n1") <= 0, lit("delete")).otherwise(lit("put"))
+          .as("op_type"))
+    val metaRow = spark.range(1).select(lit("m").as("kind"), lit("").as("g"),
+      lit(-2L).as("pos"), lit(null).cast("decimal(38,10)").as("csum"),
+      lit(0L).as("n"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val changed = sumRows.unionByName(countRows).unionByName(metaRow)
+      // LAZY pin: the stats merge's own stage write materializes it
+      .localCheckpoint(false)
+    KeyedStore.merge(changed, s"$storePath/stats",
+      keys = Seq("kind", "g", "pos"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, layoutId = Some("ivf-stats-v1"),
+      note = Some(KeyedStore.Note.encode("ver" -> batchId.toString)))
+    val out = directoryOf(
+        curC.select(col("g"), col("n"))
+          .join(changed.filter(col("kind") === "c").select(col("g")),
+            Seq("g"), "left_anti")
+          .unionByName(
+            changed.filter(col("kind") === "c" && col("op_type") === "put")
+              .select(col("g"), col("n"))))
+      .localCheckpoint(true)
+    graft.util.Blocks.freeCheckpoint(live)
+    graft.util.Blocks.freeCheckpoint(changed)
+    graft.util.Blocks.freeCheckpoint(delIds)
     out
   }
 

@@ -119,6 +119,85 @@ class IncrementalIvfSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(e)
   }
 
+  test("deleteBatch: post-delete search equals the batch chain over survivors") {
+    val e = emb.localCheckpoint(true)
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val qs = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val store = Files.createTempDirectory("inc_ivf_del").toString + "/ix"
+    for (i <- 0 until 3)
+      IncrementalIvf.mergeBatch(e.filter(col("vec_id") % 3 === i), store,
+        books, batchId = i.toLong)
+    val dels = e.filter(col("vec_id") % 5 === 0)
+    IncrementalIvf.deleteBatch(dels, store, books, batchId = 3L)
+    val surv = e.filter(col("vec_id") % 5 =!= 0)
+    val got = IncrementalIvf.search(spark, store, qs, books, m = 4,
+      topK = 5, nProbe = 2)
+    val want = Similarity.ivfPqTopK(qs, surv, books,
+      Similarity.pqEncode(surv, books, m = 4), m = 4, topK = 5, nProbe = 2)
+    assert(sameRows(got, want), "post-delete search != batch over survivors")
+    // the directory counts survivors only
+    val total = IncrementalIvf.search(spark, store, qs, books, m = 4,
+      topK = 5, nProbe = 2) // touch the store once more (read-only)
+    val dirN = KeyedStore.readActive(spark, s"$store/stats").get
+      .filter(col("kind") === "c")
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    assert(dirN == surv.count(), s"directory $dirN != survivors")
+    assert(total.count() >= 0) // consume
+    // replay of the delete is a no-op
+    val gen = KeyedStore.latestGeneration(spark, s"$store/stats")
+    IncrementalIvf.deleteBatch(dels, store, books, batchId = 3L)
+    assert(KeyedStore.latestGeneration(spark, s"$store/stats") == gen)
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Blocks.freeCheckpoint(e)
+  }
+
+  test("deleteBatch guards: unknown id rejected; double delete rejected; re-index allowed") {
+    val e = emb.localCheckpoint(true)
+    val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
+    val store = Files.createTempDirectory("inc_ivf_delg").toString + "/ix"
+    IncrementalIvf.mergeBatch(e.filter(col("vec_id") < 100), store, books,
+      batchId = 0L)
+    // an id never indexed
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.deleteBatch(e.filter(col("vec_id") === 200), store,
+        books, batchId = 1L)
+    }
+    // a within-batch duplicate would double-subtract
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.deleteBatch(
+        e.filter(col("vec_id") === 10)
+          .unionByName(e.filter(col("vec_id") === 10)),
+        store, books, batchId = 1L)
+    }
+    // legit delete, then deleting it AGAIN is rejected (not live)
+    IncrementalIvf.deleteBatch(e.filter(col("vec_id") === 10), store,
+      books, batchId = 1L)
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.deleteBatch(e.filter(col("vec_id") === 10), store,
+        books, batchId = 2L)
+    }
+    // and RE-INDEXING the erased id is allowed (the fold-once guard
+    // exempts tombstones) — the index then equals the batch chain over
+    // the restored corpus (ADC is approximate, so parity with the batch
+    // operator is the check, not self-retrieval)
+    IncrementalIvf.mergeBatch(e.filter(col("vec_id") === 10), store, books,
+      batchId = 2L)
+    val q10 = e.filter(col("vec_id") === 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val restored = e.filter(col("vec_id") < 100)
+    val got10 = IncrementalIvf.search(spark, store, q10, books, m = 4,
+      topK = 5, nProbe = 2)
+    val want10 = Similarity.ivfPqTopK(q10, restored, books,
+      Similarity.pqEncode(restored, books, m = 4), m = 4, topK = 5,
+      nProbe = 2)
+    assert(sameRows(got10, want10),
+      "post-re-index search != batch over the restored corpus")
+    assert(got10.count() == 5)
+    graft.util.Blocks.freeCheckpoint(books)
+    graft.util.Blocks.freeCheckpoint(e)
+  }
+
   test("crash between the code merge and the stats commit replays clean") {
     val e = emb.localCheckpoint(true)
     val books = Similarity.pqCodebooks(e, m = 4, k = 16, iters = 2)
