@@ -1243,6 +1243,33 @@ object ExtQueries {
       res
     },
 
+    // The CDC DELETE half of the BM25 index (round 13): fold the corpus
+    // in three batches, DELETE the doc_id % 5 == 0 slice (CDC deletes
+    // carry the full row), then score the SURVIVOR candidates against
+    // the store's post-delete statistics. Integer-exact decrements make
+    // the stored (df, n, sum_dl) equal the survivor aggregate, so the
+    // ranking hash-equals the batch bm25 over the surviving corpus —
+    // the oracle (the two-term twin, survivor-filtered).
+    "q_bm25_delta" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_dfd_q")
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalDf.mergeBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/df",
+          col("doc_id"), col("text"), batchId = i.toLong)
+      graft.streaming.IncrementalDf.deleteBatch(
+        d.filter(col("doc_id") % 5 === 0), s"$root/df",
+        col("doc_id"), col("text"), batchId = 3L)
+      val res = graft.streaming.IncrementalDf.bm25Store(s, s"$root/df",
+          d.filter(col("doc_id") % 5 =!= 0),
+          col("doc_id"), col("text"), terms = Seq("spark", "window"),
+          topK = 20)
+        .orderBy(col("rk"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
     // Hybrid retrieval: reciprocal-rank fusion of the LEXICAL bm25 top-20
     // (terms "spark window") with the SEMANTIC cosine top-20 of query
     // vector 0 — the fusion stage of a hybrid RAG retrieval stack, in
@@ -2194,8 +2221,10 @@ object ExtQueries {
     * stat adds are exact, so the cross-batch drive's twin is the batch
     * twin verbatim. Score expression mirrors Ranking.bm25Score
     * token-for-token (raw idf, k1=1.25, b=0.75 — binary-exact literals). */
-  private val Bm25Sql =
-    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  /** The two-term bm25 twin over an arbitrary corpus cte/table —
+    * q_bm25_delta passes a survivor filter. */
+  private def bm25SqlFor(corpus: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $corpus),
       |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
       |        CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf_0,
       |        CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf_1 FROM d),
@@ -2216,6 +2245,8 @@ object ExtQueries {
       |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
       |       doc_id, dl, tf_0, tf_1
       |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  private val Bm25Sql = bm25SqlFor("documents")
 
   /** Shared by q_bloom_decon and q_bloom_stream: the bit table is a set
     * union, so the cross-batch drive's twin is the batch twin verbatim. */
@@ -3359,6 +3390,10 @@ object ExtQueries {
     // (integer stat adds through the same score tree) — batch twin
     // verbatim (the q_bloom_stream precedent).
     "q_bm25_stream" -> Bm25Sql,
+
+    // post-delete scoring == the two-term twin over survivors
+    "q_bm25_delta" -> bm25SqlFor(
+      "(SELECT * FROM documents WHERE doc_id % 5 <> 0)"),
 
     // Score expression mirrors bm25Batch token-for-token; the FLOOR to
     // 1e-9 fixed point happens per (query, doc, term) BEFORE the sum, so

@@ -154,6 +154,112 @@ object IncrementalDf {
     statsFrame(spark, n1, sdl1, nt1)
   }
 
+  /** CDC DELETE half for the BM25 index (round 13 — the
+    * [[IncrementalIvf.deleteBatch]] family member for lexical
+    * retrieval; the production case is the right-to-erasure pass over a
+    * search index): remove documents' contributions from the term
+    * frequencies and corpus statistics.
+    *
+    * Contract: each deleted doc must have been folded exactly ONCE,
+    * with the SAME text (a CDC delete carries the full row) — the store
+    * records TERMS, not doc ids, so full liveness cannot be enforced
+    * the way [[IncrementalIvf]]'s ids store allows; route document
+    * identity through [[IncrementalDedup]] upstream where re-delivery
+    * is possible. PARTIALLY enforced here: a batch term missing from
+    * the store, or with stored df smaller than the batch's, aborts
+    * loudly BEFORE anything writes (it proves a never-folded doc or
+    * drifted text).
+    *
+    * All decrements are integer-exact, so after any fold/delete
+    * interleaving the stored (df, n_docs, sum_dl) equal the one-pass
+    * aggregate over the SURVIVING corpus — [[bm25Store]] over survivor
+    * candidates is then bit-identical to the batch
+    * [[graft.ext.Ranking.bm25]] over survivors (`q_bm25_delta`). Terms
+    * whose df reaches 0 TOMBSTONE (and n_terms decrements — the live
+    * vocabulary, matching the fold's fresh-term increments); a later
+    * re-fold reseeds them through the fold's coalesce. Returns the
+    * updated (n_docs, sum_dl, n_terms). */
+  def deleteBatch(batch: DataFrame, storePath: String, idCol: Column,
+      textCol: Column, batchId: Long, numBuckets: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val toks = batch.select(idCol.as("doc_id"),
+        graft.ext.TextStats.toks(textCol).as("__toks"))
+      // LAZY pin: batchDf's eager checkpoint materializes it
+      .localCheckpoint(false)
+    val batchDf = toks
+      .select(col("doc_id"), explode(col("__toks")).as("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("bdf"))
+      .localCheckpoint(true) // feeds the probe, the guard, and the decrement
+    val probe = batchDf.select(col("term"))
+      .unionByName(metaProbe(spark))
+    val pruned = prunedLive(spark, storePath, probe)
+    val (n0, sdl0, nt0, hwm) = KeyedStore.readNote(spark, storePath)
+      .map { nn =>
+        val d = KeyedStore.Note.decode(nn)
+        (d("n").toLong, d("sdl").toLong, d("nt").toLong,
+          Some(d("ver").toLong): Option[Long])
+      }
+      .getOrElse {
+        val cm = pruned.map(_.filter(col("kind") =!= "v")
+          .select(col("kind"), col("n"), col("sdl"), col("nt"), col("ver"))
+          .collect()).getOrElse(Array.empty[org.apache.spark.sql.Row])
+        val m = cm.find(_.getString(0) == "m").map(_.getLong(4))
+        cm.find(_.getString(0) == "c")
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), m))
+          .getOrElse((0L, 0L, 0L, m))
+      }
+    if (hwm.exists(batchId <= _)) { // replay: current stats, store untouched
+      graft.util.Blocks.freeCheckpoint(batchDf)
+      graft.util.Blocks.freeCheckpoint(toks)
+      return statsFrame(spark, n0, sdl0, nt0)
+    }
+    val cur = pruned.map(_.filter(col("kind") === "v")
+        .select(col("term"), col("df")))
+      .getOrElse(batchDf.select(col("term"), lit(0L).as("df")).limit(0))
+    val dec = batchDf.join(cur, Seq("term"), "left_outer")
+    // the enforceable half of the contract: a term the store lacks (or
+    // holds fewer docs of) proves an unfolded doc or drifted text
+    val bad = dec.filter(col("df").isNull || col("df") < col("bdf"))
+      .select(col("term")).limit(3).collect().map(_.getString(0))
+    require(bad.isEmpty,
+      s"deleteBatch: terms ${bad.mkString(", ")}… are not in the index at " +
+        s"$storePath with df >= the batch's — a delete can only subtract " +
+        "documents that were folded (unfolded doc, drifted text, or a " +
+        "double delete)")
+    val vRows = dec
+      .select(lit("v").as("kind"), col("term"),
+        (col("df") - col("bdf")).as("df"),
+        lit(0L).as("n"), lit(0L).as("sdl"), lit(0L).as("nt"),
+        lit(batchId).as("ver"),
+        when(col("df") === col("bdf"), lit("delete")).otherwise(lit("put"))
+          .as("op_type"))
+    val zeroed = dec.filter(col("df") === col("bdf")).count()
+    val bStats = toks.agg(count(lit(1)).as("bn"),
+      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("bsdl"))
+      .head()
+    val (n1, sdl1, nt1) = (n0 - bStats.getLong(0), sdl0 - bStats.getLong(1),
+      nt0 - zeroed)
+    def row(kind: String, n: Long, sdl: Long, nt: Long) =
+      spark.range(1).select(lit(kind).as("kind"), lit("").as("term"),
+        lit(0L).as("df"), lit(n).as("n"), lit(sdl).as("sdl"),
+        lit(nt).as("nt"), lit(batchId).as("ver"), lit("put").as("op_type"))
+    val changed = vRows.unionByName(row("c", n1, sdl1, nt1))
+      .unionByName(row("m", 0L, 0L, 0L))
+      // LAZY pin: the merge's own stage write is the one materialization
+      .localCheckpoint(false)
+    KeyedStore.merge(changed, storePath,
+      keys = Seq("kind", "term"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("term"),
+      note = Some(KeyedStore.Note.encode(
+        "n" -> n1.toString, "sdl" -> sdl1.toString, "nt" -> nt1.toString,
+        "ver" -> batchId.toString)))
+    graft.util.Blocks.freeCheckpoint(changed)
+    graft.util.Blocks.freeCheckpoint(batchDf)
+    graft.util.Blocks.freeCheckpoint(toks)
+    // literal-only frame: nothing to pin
+    statsFrame(spark, n1, sdl1, nt1)
+  }
+
   /** The current corpus stats at `storePath` without folding. */
   def readStats(spark: SparkSession, storePath: String): DataFrame = {
     val (n, sdl, nt, _) = corpusRow(spark, storePath)

@@ -66,6 +66,65 @@ class IncrementalDfSpec extends SparkSpec {
     graft.util.Blocks.freeCheckpoint(d)
   }
 
+  test("deleteBatch: post-delete scoring equals batch bm25 over survivors; guards fire") {
+    val d = docs.localCheckpoint(true)
+    val store = Files.createTempDirectory("inc_df_del").toString + "/df"
+    val terms = Seq("spark", "window")
+    for (i <- 0 until 3)
+      IncrementalDf.mergeBatch(d.filter(col("doc_id") % 3 === i), store,
+        col("doc_id"), col("text"), batchId = i.toLong)
+    IncrementalDf.deleteBatch(d.filter(col("doc_id") % 5 === 0), store,
+      col("doc_id"), col("text"), batchId = 3L)
+    val surv = d.filter(col("doc_id") % 5 =!= 0)
+    // stats == survivor aggregates, integer-exact
+    val st = IncrementalDf.readStats(spark, store).head()
+    val wantN = surv.count()
+    val wantSdl = surv.select(
+      coalesce(sum(size(graft.ext.TextStats.toks(col("text"))).cast("long")),
+        lit(0L))).head().getLong(0)
+    assert(st.getLong(0) == wantN && st.getLong(1) == wantSdl,
+      s"stats (${st.getLong(0)}, ${st.getLong(1)}) != ($wantN, $wantSdl)")
+    // ranking == the batch operator over survivors
+    val got = IncrementalDf.bm25Store(spark, store, surv, col("doc_id"),
+      col("text"), terms, topK = 20)
+    val want = Ranking.bm25(surv, col("doc_id"), col("text"), terms, topK = 20)
+    assert(sameRows(got, want), "post-delete scoring != batch over survivors")
+    // replay is a no-op
+    val gen = KeyedStore.latestGeneration(spark, store)
+    IncrementalDf.deleteBatch(d.filter(col("doc_id") % 5 === 0), store,
+      col("doc_id"), col("text"), batchId = 3L)
+    assert(KeyedStore.latestGeneration(spark, store) == gen)
+    graft.util.Blocks.freeCheckpoint(d)
+  }
+
+  test("deleteBatch: unfolded text aborts before writing; zeroed terms reseed on re-fold") {
+    val s2 = spark
+    import s2.implicits._
+    val store = Files.createTempDirectory("inc_df_delg").toString + "/df"
+    val a = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    IncrementalDf.mergeBatch(a, store, col("doc_id"), col("text"), batchId = 0L)
+    // a doc that was never folded (term 'delta' absent) aborts loudly
+    val gen = KeyedStore.latestGeneration(spark, store)
+    intercept[IllegalArgumentException] {
+      IncrementalDf.deleteBatch(Seq((9L, "alpha delta")).toDF("doc_id", "text"),
+        store, col("doc_id"), col("text"), batchId = 1L)
+    }
+    assert(KeyedStore.latestGeneration(spark, store) == gen, "store mutated")
+    // delete doc 1: beta's df reaches 0 and tombstones; n_terms drops
+    IncrementalDf.deleteBatch(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      store, col("doc_id"), col("text"), batchId = 1L)
+    assert(IncrementalDf.readDf(spark, store, Seq("alpha", "beta"))
+      == Map("alpha" -> 1L, "beta" -> 0L))
+    val st = IncrementalDf.readStats(spark, store).head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((1L, 2L, 2L)))
+    // re-folding a doc with the zeroed term reseeds it from zero
+    IncrementalDf.mergeBatch(Seq((3L, "beta beta")).toDF("doc_id", "text"),
+      store, col("doc_id"), col("text"), batchId = 2L)
+    assert(IncrementalDf.readDf(spark, store, Seq("beta")) == Map("beta" -> 1L))
+    val st2 = IncrementalDf.readStats(spark, store).head()
+    assert((st2.getLong(0), st2.getLong(1), st2.getLong(2)) == ((2L, 4L, 3L)))
+  }
+
   test("unseen query terms are dropped, never NaN-poison; all-unseen fails fast") {
     val s = spark
     import s.implicits._
