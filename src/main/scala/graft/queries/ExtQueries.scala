@@ -115,6 +115,60 @@ object ExtQueries {
         .localCheckpoint(true))
     }
 
+  /** Frozen PRE-DELETE store builds for the `*_delta` drives (VERDICT r13
+    * item 3, the q_join_lookup_big precedent): the 3-fold index build is
+    * SETUP the `_stream` twins already price — the delta queries price
+    * the PRODUCTION operation, the delete fold + survivor read. Build
+    * each pre-delete index ONCE per (session, corpus) and let every delta
+    * invocation clone it (a driver-local recursive file copy — ms at
+    * bench SF) so the delete fold mutates a throwaway copy while the
+    * timed window holds only clone + delete + search. Hashes unchanged:
+    * the cloned store is bit-identical to the inline build it replaces. */
+  private val ivfPreMemo = new CorpusCache[String](p => graft.util.Tmp.deleteRecursively(p))
+  private def ivfPreDelete(s: SparkSession, dir: String): String =
+    ivfPreMemo.get(s, dir) {
+      val books = pqBooksCodes(s, dir)._1
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_pre")
+      val e = embs(s, dir)
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalIvf.mergeBatch(
+          e.filter(col("vec_id") % 3 === i), s"$root/ix", books,
+          batchId = i.toLong)
+      root.toString
+    }
+  private val dfPreMemo = new CorpusCache[String](p => graft.util.Tmp.deleteRecursively(p))
+  private def dfPreDelete(s: SparkSession, dir: String): String =
+    dfPreMemo.get(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_df_pre")
+      val d = docs(s, dir)
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalDf.mergeBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/df",
+          col("doc_id"), col("text"), batchId = i.toLong)
+      root.toString
+    }
+  /** Pre-build the `*_delta` drives' frozen pre-delete indexes — SETUP,
+    * not the measured operation (see [[ivfPreDelete]]): `graft.Bench`
+    * calls this from its untimed warm-up block so the single-pass driver
+    * bench prices q_ann_delta/q_bm25_delta/q_ann_recluster as
+    * clone + delete fold + read, not the 3-fold build the `_stream`
+    * twins already price (VERDICT r13 item 3). Verify does NOT call it —
+    * correctness runs pay the build on first access, hashes unchanged. */
+  def warmDeltaSetup(s: SparkSession, dir: String): Unit = {
+    ivfPreDelete(s, dir)
+    dfPreDelete(s, dir)
+  }
+
+  /** Recursive store copy (driver-local FS metadata walk — the clone the
+    * delta drives mutate instead of the frozen build). */
+  private def cloneStore(s: SparkSession, src: String, dst: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
+  }
+
   /** The index-vs-truth eval lists the three list metrics share
     * (q_ann_recall / q_rank_corr / q_ndcg): test = IVFADC top-5 per probe
     * query, ref = exact cosine top-5 (self included on both sides).
@@ -1087,21 +1141,22 @@ object ExtQueries {
     },
 
     // The CDC DELETE half of the persistent ANN index (round 13 — the
-    // right-to-erasure pass): fold the corpus in three batches, DELETE
-    // the vec_id % 5 == 0 slice (the CDC shape — delete events carry
-    // the full row), then search. Exact decimal subtraction makes the
-    // stored centroid sums bit-identical to the one-pass aggregate over
-    // the SURVIVORS, so the post-delete search hash-equals the batch
-    // IVFADC chain over the surviving corpus — which is the oracle
-    // (same frozen books, same query set, survivor-filtered corpus).
+    // right-to-erasure pass): DELETE the vec_id % 5 == 0 slice (the CDC
+    // shape — delete events carry the full row) from the folded index,
+    // then search. Exact decimal subtraction makes the stored centroid
+    // sums bit-identical to the one-pass aggregate over the SURVIVORS,
+    // so the post-delete search hash-equals the batch IVFADC chain over
+    // the surviving corpus — which is the oracle (same frozen books,
+    // same query set, survivor-filtered corpus). The 3-fold pre-delete
+    // build is memoized SETUP ([[ivfPreDelete]], VERDICT r13 item 3 —
+    // q_ann_stream already prices the fold chain); the timed window here
+    // is clone + delete fold + search, the production operation.
     "q_ann_delta" -> { (s, dir) =>
       val e = embs(s, dir)
       val books = pqBooksCodes(s, dir)._1
+      val pre = ivfPreDelete(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft_ivfd_q")
-      for (i <- 0 until 3)
-        graft.streaming.IncrementalIvf.mergeBatch(
-          e.filter(col("vec_id") % 3 === i), s"$root/ix", books,
-          batchId = i.toLong)
+      cloneStore(s, s"$pre/ix", s"$root/ix")
       graft.streaming.IncrementalIvf.deleteBatch(
         e.filter(col("vec_id") % 5 === 0), s"$root/ix", books,
         batchId = 3L)
@@ -1109,6 +1164,37 @@ object ExtQueries {
         .select(col("vec_id").as("query_id"), col("embedding"))
       val res = graft.streaming.IncrementalIvf
         .search(s, s"$root/ix", qs, books, m = 4, topK = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rk"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      res
+    },
+
+    // RECLUSTER after deletion drift (round 14): delete the vec_id % 5
+    // != 0 slice (80 % erased — the drift case), then rebuild the coarse
+    // layer over the survivors with deterministic k-means (frozen PQ
+    // books survive — codes depend only on the books) and search the
+    // rebuilt index. Equals the batch IVFADC chain over the
+    // kmeans-relabeled survivors (shared core + the q_ann_ivf_kmeans
+    // unroll discipline), which is the oracle.
+    "q_ann_recluster" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val books = pqBooksCodes(s, dir)._1
+      val pre = ivfPreDelete(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfrc_q")
+      cloneStore(s, s"$pre/ix", s"$root/ix")
+      graft.streaming.IncrementalIvf.deleteBatch(
+        e.filter(col("vec_id") % 5 =!= 0), s"$root/ix", books,
+        batchId = 3L)
+      require(graft.streaming.IncrementalIvf.needsRecluster(s, s"$root/ix"),
+        "80 % deletion must trip the drift gauge")
+      graft.streaming.IncrementalIvf.reclusterRebuild(
+        e.filter(col("vec_id") % 5 === 0), s"$root/ix2", books,
+        k = 8, iters = 3)
+      val qs = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val res = graft.streaming.IncrementalIvf
+        .search(s, s"$root/ix2", qs, books, m = 4, topK = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rk"))
         .localCheckpoint(true)
       graft.util.Tmp.deleteRecursively(root)
@@ -1243,20 +1329,21 @@ object ExtQueries {
       res
     },
 
-    // The CDC DELETE half of the BM25 index (round 13): fold the corpus
-    // in three batches, DELETE the doc_id % 5 == 0 slice (CDC deletes
-    // carry the full row), then score the SURVIVOR candidates against
-    // the store's post-delete statistics. Integer-exact decrements make
+    // The CDC DELETE half of the BM25 index (round 13): DELETE the
+    // doc_id % 5 == 0 slice (CDC deletes carry the full row) from the
+    // folded index, then score the SURVIVOR candidates against the
+    // store's post-delete statistics. Integer-exact decrements make
     // the stored (df, n, sum_dl) equal the survivor aggregate, so the
     // ranking hash-equals the batch bm25 over the surviving corpus —
-    // the oracle (the two-term twin, survivor-filtered).
+    // the oracle (the two-term twin, survivor-filtered). The 3-fold
+    // pre-delete build is memoized SETUP ([[dfPreDelete]], VERDICT r13
+    // item 3 — q_bm25_stream already prices the fold chain); the timed
+    // window here is clone + delete fold + survivor scoring.
     "q_bm25_delta" -> { (s, dir) =>
       val d = docs(s, dir)
+      val pre = dfPreDelete(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft_dfd_q")
-      for (i <- 0 until 3)
-        graft.streaming.IncrementalDf.mergeBatch(
-          d.filter(col("doc_id") % 3 === i), s"$root/df",
-          col("doc_id"), col("text"), batchId = i.toLong)
+      cloneStore(s, s"$pre/df", s"$root/df")
       graft.streaming.IncrementalDf.deleteBatch(
         d.filter(col("doc_id") % 5 === 0), s"$root/df",
         col("doc_id"), col("text"), batchId = 3L)
@@ -2915,6 +3002,44 @@ object ExtQueries {
          |${ivfPqCtesFor("surv")}
          |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Recluster-after-drift twin: the q_ann_ivf_kmeans Lloyd unroll run
+    // over the vec_id % 5 == 0 SURVIVORS (init = vec_id % 8, 3 chained
+    // iterations, label-asc argmax ties — exactly kmeansLabels), its
+    // final labels relabel the survivor corpus, and the standard IVFADC
+    // chain runs against that corpus (books/codes stay the full-corpus
+    // PqTrainCtes — frozen books survive a recluster by construction).
+    "q_ann_recluster" -> {
+      def kiter(i: Int, prev: String): String =
+        s"""kcent$i AS (
+           |  SELECT l.label, d.i AS pos,
+           |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,10))) AS FLOAT) AS cv
+           |  FROM surv e JOIN $prev l ON e.vec_id = l.vec_id CROSS JOIN kdims d
+           |  GROUP BY 1, 2),
+           |kcentv$i AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
+           |             FROM kcent$i GROUP BY 1),
+           |kl$i AS (
+           |  SELECT vec_id, c_label AS label FROM (
+           |    SELECT e.vec_id, c.c_label,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC,
+           |                      c.c_label) AS rk
+           |    FROM surv e CROSS JOIN kcentv$i c)
+           |  WHERE rk = 1)""".stripMargin
+      s"""WITH surv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |kdims AS (
+         |  SELECT unnest(generate_series(1,
+         |           (SELECT MAX(len(embedding)) FROM embeddings))) AS i),
+         |kl0 AS (SELECT vec_id, vec_id % 8 AS label FROM surv),
+         |${kiter(1, "kl0")},
+         |${kiter(2, "kl1")},
+         |${kiter(3, "kl2")},
+         |rsurv AS (SELECT e.vec_id, e.embedding, l.label
+         |          FROM surv e JOIN kl3 l ON e.vec_id = l.vec_id),
+         |${ivfPqCtesFor("rsurv")}
+         |SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM prk2 WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
 
     // Two-stage twin: the IVFADC chain shortlists rk <= 40, the exact
     // cosine re-rank runs only on those candidates.

@@ -163,13 +163,15 @@ object CepStream {
     * (and may re-open a stage-0 run). Feed it the UNFILTERED keyed
     * stream: strict adjacency makes every event state-relevant, so
     * unlike [[matchGroup]] there is no type pre-filter contract. */
-  def matchGroupNext(pattern: IndexedSeq[String], withinMs: Long,
-      nextStages: Set[Int], notNext: Map[Int, Set[String]])(
-      k: Long, events: Iterator[CepEvent],
-      state: GroupState[CepNextState]): Iterator[CepMatch] = {
+  /** The strict-contiguity step loop — ONE body shared by the fMGWS
+    * wrapper below and the tws twin ([[CepStreamTws.attachNext]]). */
+  private[streaming] def runNext(pattern: IndexedSeq[String],
+      withinMs: Long, nextStages: Set[Int],
+      notNext: Map[Int, Set[String]])(
+      k: Long, events: Iterator[CepEvent], init: CepNextState,
+      out: ListBuffer[CepMatch]): CepNextState = {
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
-    var s = state.getOption.getOrElse(CepNextState(0, 0L, fr = false))
-    val out = ListBuffer.empty[CepMatch]
+    var s = init
     // shared StrictStepper — one step object with the batch sorted plan
     val stepper = new graft.ops.Cep.StrictStepper(pattern, withinMs,
       nextStages, notNext)
@@ -178,6 +180,16 @@ object CepStream {
         (st0, en) => out += CepMatch(k, st0, en))
       s = CepNextState(next._1, next._2, next._3)
     }
+    s
+  }
+
+  def matchGroupNext(pattern: IndexedSeq[String], withinMs: Long,
+      nextStages: Set[Int], notNext: Map[Int, Set[String]])(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepNextState]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runNext(pattern, withinMs, nextStages, notNext)(k, events,
+      state.getOption.getOrElse(CepNextState(0, 0L, fr = false)), out)
     state.update(s)
     out.iterator
   }
@@ -198,6 +210,11 @@ object CepStream {
       s"notNext stages must be in 1..${pattern.length - 1}")
     require(notNext.keySet.intersect(nextStages).isEmpty,
       "a stage cannot be both strict and notNext-banned")
+    // same dispatcher as [[attach]] (r13 item 4): the tws twin runs the
+    // SAME runNext body — CepStreamTwsSpec pins record-for-record parity
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachNext(ds, pattern, withinMs, nextStages,
+        notNext.map { case (i, ts) => i -> ts.toSet })
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -227,24 +244,47 @@ object CepStream {
       withinMs, _.tms, _.oid)(
       k, events.toSeq.sortBy(e => (e.tms, e.oid, e.ty)).iterator, state)
 
+  /** [[matchGroupTimes]]'s run body for the tws twin — the same ty
+    * pre-sort feeding [[runPred]]. */
+  private[streaming] def runTimes(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long)(k: Long, events: Iterator[CepEvent],
+      init: CepTimesState, out: ListBuffer[CepMatch]): CepTimesState =
+    runPred[CepEvent](
+      pattern.map { case (t, mn, mx) => (((e: CepEvent) => e.ty == t), mn, mx) },
+      withinMs, _.tms, _.oid)(
+      k, events.toSeq.sortBy(e => (e.tms, e.oid, e.ty)).iterator, init, out)
+
   /** [[matchGroupTimes]] generalized to PREDICATE stages — the step
     * semantics are [[graft.ops.Cep.TimesStepper]]'s (shared with the batch
     * sorted-iterator plan, so batch and stream cannot drift). Sorts the
     * batch's group by (tms, oid) and runs the stepper from stored state. */
-  def matchGroupPred[E](pattern: IndexedSeq[(E => Boolean, Int, Int)],
-      withinMs: Long, tmsOf: E => Long, oidOf: E => Long)(
-      k: Long, events: Iterator[E],
-      state: GroupState[CepTimesState]): Iterator[CepMatch] = {
+  /** The quantified/predicate step loop — ONE body shared by the fMGWS
+    * wrapper below and the tws twins ([[CepStreamTws.attachTimes]] /
+    * [[CepStreamTws.attachWhere]]). */
+  private[streaming] def runPred[E](
+      pattern: IndexedSeq[(E => Boolean, Int, Int)], withinMs: Long,
+      tmsOf: E => Long, oidOf: E => Long)(
+      k: Long, events: Iterator[E], init: CepTimesState,
+      out: ListBuffer[CepMatch]): CepTimesState = {
     val stepper =
       new graft.ops.Cep.TimesStepper[E](pattern, withinMs, tmsOf)
     val sorted = events.toSeq.sortBy(e => (tmsOf(e), oidOf(e)))
-    var s = state.getOption.getOrElse(CepTimesState(0, 0, 0L))
-    val out = ListBuffer.empty[CepMatch]
+    var s = init
     sorted.foreach { e =>
       val next = stepper.step(s.st, s.c, s.t0, e,
         (st0, en) => out += CepMatch(k, st0, en))
       s = CepTimesState(next._1, next._2, next._3)
     }
+    s
+  }
+
+  def matchGroupPred[E](pattern: IndexedSeq[(E => Boolean, Int, Int)],
+      withinMs: Long, tmsOf: E => Long, oidOf: E => Long)(
+      k: Long, events: Iterator[E],
+      state: GroupState[CepTimesState]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runPred(pattern, withinMs, tmsOf, oidOf)(k, events,
+      state.getOption.getOrElse(CepTimesState(0, 0, 0L)), out)
     state.update(s)
     out.iterator
   }
@@ -256,6 +296,8 @@ object CepStream {
   def attachTimes(ds: Dataset[CepEvent], pattern: Seq[(String, Int, Int)],
       withinMs: Long): Dataset[CepMatch] = {
     graft.ops.Cep.validateTimes(pattern, withinMs)
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachTimes(ds, pattern, withinMs)
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -274,22 +316,33 @@ object CepStream {
     * carry over the boundary: the end of batch N and the start of batch
     * N+1 are adjacent in the concatenation. Feed it the UNFILTERED keyed
     * stream — any event can break a loop. */
-  def matchGroupTimesConsecutive(pattern: IndexedSeq[(String, Int, Int)],
+  /** The consecutive-loop step loop — ONE body shared by the fMGWS
+    * wrapper below and the tws twin ([[CepStreamTws.attachTimesConsecutive]]). */
+  private[streaming] def runConsec(pattern: IndexedSeq[(String, Int, Int)],
       withinMs: Long, consecutive: Set[Int])(
-      k: Long, events: Iterator[CepEvent],
-      state: GroupState[CepConsecState]): Iterator[CepMatch] = {
+      k: Long, events: Iterator[CepEvent], init: CepConsecState,
+      out: ListBuffer[CepMatch]): CepConsecState = {
     val preds = pattern.map { case (t, mn, mx) =>
       (((e: CepEvent) => e.ty == t), mn, mx) }.toIndexedSeq
     val stepper = new graft.ops.Cep.ConsecStepper[CepEvent](preds,
       withinMs, consecutive, _.tms)
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
-    var s = state.getOption.getOrElse(CepConsecState(0, 0, cl = false, 0L))
-    val out = ListBuffer.empty[CepMatch]
+    var s = init
     sorted.foreach { e =>
       val next = stepper.step(s.st, s.c, s.cl, s.t0, e,
         (st0, en) => out += CepMatch(k, st0, en))
       s = CepConsecState(next._1, next._2, next._3, next._4)
     }
+    s
+  }
+
+  def matchGroupTimesConsecutive(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long, consecutive: Set[Int])(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepConsecState]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runConsec(pattern, withinMs, consecutive)(k, events,
+      state.getOption.getOrElse(CepConsecState(0, 0, cl = false, 0L)), out)
     state.update(s)
     out.iterator
   }
@@ -305,6 +358,9 @@ object CepStream {
       "no consecutive stages — use attachTimes (pre-filtered scan)")
     require(consecutive.forall(i => i >= 0 && i < pattern.length),
       s"consecutive stages must be in 0..${pattern.length - 1}")
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachTimesConsecutive(ds, pattern, withinMs,
+        consecutive)
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -333,6 +389,8 @@ object CepStream {
     graft.ops.Cep.validateTimes(
       stages.zipWithIndex.map { case ((_, mn, mx), i) => (s"stage$i", mn, mx) },
       withinMs)
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachWhere(ds, key, tms, oid, stages, withinMs)
     import ds.sparkSession.implicits._
     ds.groupByKey(key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -349,12 +407,14 @@ object CepStream {
   /** One micro-batch group for the ITERATIVE automaton — the shared
     * stepper with each stage predicate receiving (event, captured opener).
     * The capture persists in state across batches. */
-  def matchGroupIter[E](stages: IndexedSeq[((E, E) => Boolean, Int, Int)],
-      withinMs: Long, tmsOf: E => Long, oidOf: E => Long)(
-      k: Long, events: Iterator[E],
-      state: GroupState[CepIterState[E]]): Iterator[CepMatch] = {
-    var s = state.getOption.getOrElse(CepIterState[E](0, 0, 0L, None))
-    var f0 = s.f0
+  /** The iterative-condition step loop — ONE body shared by the fMGWS
+    * wrapper below and the tws twin ([[CepStreamTws.attachIter]]). */
+  private[streaming] def runIter[E](
+      stages: IndexedSeq[((E, E) => Boolean, Int, Int)], withinMs: Long,
+      tmsOf: E => Long, oidOf: E => Long)(
+      k: Long, events: Iterator[E], init: CepIterState[E],
+      out: ListBuffer[CepMatch]): CepIterState[E] = {
+    var f0 = init.f0
     // stage 0's predicate receives the event ITSELF as the opener (it IS
     // first if it opens — the batch API rejects first.* at stage 0, here
     // the second argument is simply self); later stages read the capture
@@ -365,14 +425,23 @@ object CepStream {
     val stepper = new graft.ops.Cep.TimesStepper[E](preds, withinMs, tmsOf,
       onOpen = e => f0 = Some(e))
     val sorted = events.toSeq.sortBy(e => (tmsOf(e), oidOf(e)))
-    val out = ListBuffer.empty[CepMatch]
-    var st = s.st; var c = s.c; var t0 = s.t0
+    var st = init.st; var c = init.c; var t0 = init.t0
     sorted.foreach { e =>
       val next = stepper.step(st, c, t0, e,
         (st0, en) => out += CepMatch(k, st0, en))
       st = next._1; c = next._2; t0 = next._3
     }
-    state.update(CepIterState[E](st, c, t0, f0))
+    CepIterState[E](st, c, t0, f0)
+  }
+
+  def matchGroupIter[E](stages: IndexedSeq[((E, E) => Boolean, Int, Int)],
+      withinMs: Long, tmsOf: E => Long, oidOf: E => Long)(
+      k: Long, events: Iterator[E],
+      state: GroupState[CepIterState[E]]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runIter(stages, withinMs, tmsOf, oidOf)(k, events,
+      state.getOption.getOrElse(CepIterState[E](0, 0, 0L, None)), out)
+    state.update(s)
     out.iterator
   }
 
@@ -391,6 +460,8 @@ object CepStream {
     graft.ops.Cep.validateTimes(
       stages.zipWithIndex.map { case ((_, mn, mx), i) => (s"stage$i", mn, mx) },
       withinMs)
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachIter(ds, key, tms, oid, stages, withinMs)
     import ds.sparkSession.implicits._
     implicit val stateEnc: org.apache.spark.sql.Encoder[CepIterState[E]] =
       org.apache.spark.sql.Encoders.product[CepIterState[E]]
@@ -517,10 +588,15 @@ object CepStream {
     val wmDelay = if (delay.isEmpty) s"$withinMs milliseconds" else delay
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
-    ds.withColumn("__et", timestamp_millis(col("tms")))
+    val wm = ds.withColumn("__et", timestamp_millis(col("tms")))
       .withWatermark("__et", wmDelay)
       .as[CepEvent]
-      .groupByKey(_.k)
+    // tws twin: the run set on named state, pruning via explicit
+    // event-time timers over the same watermark
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachSkipNextWatermarked(wm, pattern, withinMs,
+        maxActiveRuns)
+    wm.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         matchGroupSkipNext(pattern.toIndexedSeq, withinMs, maxActiveRuns))
@@ -541,21 +617,30 @@ object CepStream {
     * still rewinds into its buffered stage-`skipTo` segment, so the
     * concatenation of per-batch runs equals the batch operator under
     * the per-key event-time-order contract. */
-  def matchGroupSkipTo(pattern: IndexedSeq[String], withinMs: Long,
-      skipTo: Int)(k: Long, events: Iterator[CepEvent],
-      state: GroupState[CepSkipToState]): Iterator[CepMatch] = {
+  /** The skip-to-first/last step loop — ONE body shared by the fMGWS
+    * wrapper below and the tws twin ([[CepStreamTws.attachSkipTo]]). */
+  private[streaming] def runSkipTo(pattern: IndexedSeq[String],
+      withinMs: Long, skipTo: Int)(
+      k: Long, events: Iterator[CepEvent], init: CepSkipToState,
+      out: ListBuffer[CepMatch]): CepSkipToState = {
     val runner = new graft.ops.Cep.SkipToRunner(pattern, withinMs, skipTo)
-    state.getOption.foreach { s =>
-      runner.st = s.st; runner.t0 = s.t0
-      s.buf.foreach(b => runner.buf.append((b.tms, b.oid, b.ty)))
-    }
-    val out = ListBuffer.empty[CepMatch]
+    runner.st = init.st; runner.t0 = init.t0
+    init.buf.foreach(b => runner.buf.append((b.tms, b.oid, b.ty)))
     events.toSeq.sortBy(e => (e.tms, e.oid, e.ty)).foreach { e =>
       runner.feed(e.tms, e.oid, e.ty,
         (s, en) => out += CepMatch(k, s, en))
     }
-    state.update(CepSkipToState(runner.st, runner.t0,
-      runner.buf.toSeq.map { case (t, o, ty) => CepEvBuf(t, o, ty) }))
+    CepSkipToState(runner.st, runner.t0,
+      runner.buf.toSeq.map { case (t, o, ty) => CepEvBuf(t, o, ty) })
+  }
+
+  def matchGroupSkipTo(pattern: IndexedSeq[String], withinMs: Long,
+      skipTo: Int)(k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepSkipToState]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runSkipTo(pattern, withinMs, skipTo)(k, events,
+      state.getOption.getOrElse(CepSkipToState(0, 0L, Nil)), out)
+    state.update(s)
     out.iterator
   }
 
@@ -569,6 +654,8 @@ object CepStream {
     require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
     require(skipTo >= 1 && skipTo < pattern.length,
       s"skipTo must be in 1..${pattern.length - 1}, got $skipTo")
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachSkipTo(ds, pattern, withinMs, skipTo)
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -592,16 +679,16 @@ object CepStream {
   /** One micro-batch group for the MATCH-PAYLOAD automaton — the shared
     * [[graft.ops.Cep.SelectStepper]] with the per-stage event buffer
     * persisted in keyed state across batches. */
-  def matchGroupSelect(pattern: IndexedSeq[String], withinMs: Long)(
-      k: Long, events: Iterator[CepEvent],
-      state: GroupState[CepSelState]): Iterator[CepSelMatch] = {
+  /** The match-payload step loop — ONE body shared by the fMGWS wrapper
+    * below and the tws twin ([[CepStreamTws.attachSelect]]). */
+  private[streaming] def runSelect(pattern: IndexedSeq[String],
+      withinMs: Long)(k: Long, events: Iterator[CepEvent],
+      init: CepSelState, out: ListBuffer[CepSelMatch]): CepSelState = {
     val stepper = new graft.ops.Cep.SelectStepper(pattern, withinMs)
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
-    val s0 = state.getOption.getOrElse(CepSelState(0, 0L, 0, Nil))
     val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    s0.es.foreach(r => es += ((r.tms, r.oid)))
-    var st = s0.st; var t0 = s0.t0; var n = s0.n
-    val out = ListBuffer.empty[CepSelMatch]
+    init.es.foreach(r => es += ((r.tms, r.oid)))
+    var st = init.st; var t0 = init.t0; var n = init.n
     sorted.foreach { e =>
       val next = stepper.step(st, t0, es, e.tms, e.oid, e.ty, evs => {
         n += 1
@@ -611,8 +698,16 @@ object CepStream {
       })
       st = next._1; t0 = next._2
     }
-    state.update(CepSelState(st, t0, n,
-      es.map { case (t, o) => CepEvRef(t, o) }.toSeq))
+    CepSelState(st, t0, n, es.map { case (t, o) => CepEvRef(t, o) }.toSeq)
+  }
+
+  def matchGroupSelect(pattern: IndexedSeq[String], withinMs: Long)(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepSelState]): Iterator[CepSelMatch] = {
+    val out = ListBuffer.empty[CepSelMatch]
+    val s = runSelect(pattern, withinMs)(k, events,
+      state.getOption.getOrElse(CepSelState(0, 0L, 0, Nil)), out)
+    state.update(s)
     out.iterator
   }
 
@@ -626,6 +721,8 @@ object CepStream {
       withinMs: Long): Dataset[CepSelMatch] = {
     require(pattern.nonEmpty, "pattern must not be empty")
     require(withinMs > 0, s"withinMs must be > 0, got $withinMs")
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachSelect(ds, pattern, withinMs)
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -660,25 +757,34 @@ object CepStream {
     * semantics are the shared [[graft.ops.Cep.NfaStepper]] — one step
     * object with the batch sorted plan, so stream and batch cannot
     * drift. */
-  def matchGroupTimesNfa(pattern: IndexedSeq[(String, Int, Int)],
-      withinMs: Long)(
-      k: Long, events: Iterator[CepEvent],
-      state: GroupState[CepNfaState]): Iterator[CepMatch] = {
+  /** The branching-NFA step loop — ONE body shared by the fMGWS wrapper
+    * below and the tws twin ([[CepStreamTws.attachTimesNfa]]); an empty
+    * branch family returns an EMPTY state (the caller removes it). */
+  private[streaming] def runNfa(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long)(k: Long, events: Iterator[CepEvent],
+      init: CepNfaState, out: ListBuffer[CepMatch]): CepNfaState = {
     val preds = pattern.map { case (t, mn, mx) =>
       (((e: CepEvent) => e.ty == t), mn, mx) }
     val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
-    var br = state.getOption
-      .map(_.branches.map(b => (b.st, b.c)).toSet).getOrElse(Set.empty[(Int, Int)])
-    var t0 = state.getOption.map(_.t0).getOrElse(0L)
-    val out = ListBuffer.empty[CepMatch]
+    var br = init.branches.map(b => (b.st, b.c)).toSet
+    var t0 = init.t0
     val stepper = new graft.ops.Cep.NfaStepper[CepEvent](preds, withinMs, _.tms)
     sorted.foreach { e =>
       val next = stepper.step(br, t0, e, (s, en) => out += CepMatch(k, s, en))
       br = next._1; t0 = next._2
     }
-    if (br.isEmpty) state.remove()
-    else state.update(CepNfaState(
-      br.toSeq.sorted.map { case (st, c) => CepNfaBranch(st, c) }, t0))
+    CepNfaState(br.toSeq.sorted.map { case (st, c) => CepNfaBranch(st, c) }, t0)
+  }
+
+  def matchGroupTimesNfa(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long)(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepNfaState]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runNfa(pattern, withinMs)(k, events,
+      state.getOption.getOrElse(CepNfaState(Nil, 0L)), out)
+    if (s.branches.isEmpty) { if (state.exists) state.remove() }
+    else state.update(s)
     out.iterator
   }
 
@@ -690,6 +796,8 @@ object CepStream {
   def attachTimesNfa(ds: Dataset[CepEvent],
       pattern: Seq[(String, Int, Int)], withinMs: Long): Dataset[CepMatch] = {
     graft.ops.Cep.validateTimes(pattern, withinMs, warnOverlap = false)
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachTimesNfa(ds, pattern, withinMs)
     import ds.sparkSession.implicits._
     ds.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -134,15 +134,18 @@ object IncrementalCc {
     val mp = memberPath(storePath)
     val members: Option[DataFrame] = if (affKeepers.isEmpty) None else {
       val probe = (MetaKeeper +: affKeepers.toSeq).toDF("keeper_id")
-      def readRaw() = KeyedStore.readPruned(spark, mp, probe)
+      // one pruned read serves both the legacy meta fallback and the
+      // matched branch (lazy: a note-carrying store never forces it for
+      // the generation check at all)
+      lazy val raw0 = KeyedStore.readPruned(spark, mp, probe)
       // generation handshake via the member store's note — zero jobs on
       // the steady path (legacy: one pruned meta collect)
-      val metaGen = memberGen(spark, mp, readRaw())
+      val metaGen = memberGen(spark, mp, raw0)
       val raw =
-        if (metaGen.contains(labelGen)) readRaw()
+        if (metaGen.contains(labelGen)) raw0
         else { // first fold on a pre-index store, or a crash window
           rebuildMembers(spark, storePath, labelGen, numBuckets)
-          readRaw()
+          KeyedStore.readPruned(spark, mp, probe) // fresh post-rebuild view
         }
       raw.map(_.filter(col("kind") === "v" && col("op_type") =!= "delete")
         .join(probe.filter(col("keeper_id") =!= MetaKeeper),

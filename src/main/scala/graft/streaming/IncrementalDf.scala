@@ -129,9 +129,18 @@ object IncrementalDf {
         lit(batchId).as("ver"), lit("put").as("op_type"))
     val freshTerms = batchDf.join(cur, Seq("term"), "left_anti").count()
     val bStats = toks.agg(count(lit(1)).as("bn"),
+      count_distinct(col("doc_id")).as("bnd"),
       coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("bsdl"))
       .head()
-    val (n1, sdl1, nt1) = (n0 + bStats.getLong(0), sdl0 + bStats.getLong(1),
+    // within-batch duplicate guard (the IncrementalIvf.mergeBatch stance):
+    // batchDf distincts (doc, term) so df would count a repeated doc ONCE
+    // while the raw-row n_docs/sum_dl sums below would count it TWICE —
+    // silently corrupting the corpus stats. Abort before anything writes.
+    require(bStats.getLong(0) == bStats.getLong(1),
+      s"mergeBatch: batch holds duplicate doc ids (${bStats.getLong(0)} rows" +
+        s", ${bStats.getLong(1)} distinct) — each doc id folds once; route " +
+        "re-ingested docs through IncrementalDedup upstream")
+    val (n1, sdl1, nt1) = (n0 + bStats.getLong(0), sdl0 + bStats.getLong(2),
       nt0 + freshTerms)
     def row(kind: String, n: Long, sdl: Long, nt: Long) =
       spark.range(1).select(lit(kind).as("kind"), lit("").as("term"),
@@ -223,9 +232,12 @@ object IncrementalDf {
       .select(col("term")).limit(3).collect().map(_.getString(0))
     require(bad.isEmpty,
       s"deleteBatch: terms ${bad.mkString(", ")}… are not in the index at " +
-        s"$storePath with df >= the batch's — a delete can only subtract " +
-        "documents that were folded (unfolded doc, drifted text, or a " +
-        "double delete)")
+        s"$storePath with df >= the batch's — the batch holds a doc that " +
+        "was never folded or whose text drifted since folding. (A " +
+        "cross-batch double delete is caught only when it happens to push " +
+        "some term's df below the batch's — the store records terms, not " +
+        "doc ids; route document identity through IncrementalDedup " +
+        "upstream for full enforcement.)")
     val vRows = dec
       .select(lit("v").as("kind"), col("term"),
         (col("df") - col("bdf")).as("df"),
@@ -235,9 +247,18 @@ object IncrementalDf {
           .as("op_type"))
     val zeroed = dec.filter(col("df") === col("bdf")).count()
     val bStats = toks.agg(count(lit(1)).as("bn"),
+      count_distinct(col("doc_id")).as("bnd"),
       coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("bsdl"))
       .head()
-    val (n1, sdl1, nt1) = (n0 - bStats.getLong(0), sdl0 - bStats.getLong(1),
+    // within-batch duplicate guard (mirrors IncrementalIvf.deleteBatch's
+    // delete-once check): batchDf distincts (doc, term) so df decrements a
+    // repeated doc ONCE while the raw-row sums would decrement n_docs and
+    // sum_dl TWICE — the df >= bdf guard above cannot see that asymmetry.
+    require(bStats.getLong(0) == bStats.getLong(1),
+      s"deleteBatch: batch holds duplicate doc ids (${bStats.getLong(0)} " +
+        s"rows, ${bStats.getLong(1)} distinct) — each folded doc deletes " +
+        "once; dedup the delete batch by doc id")
+    val (n1, sdl1, nt1) = (n0 - bStats.getLong(0), sdl0 - bStats.getLong(2),
       nt0 - zeroed)
     def row(kind: String, n: Long, sdl: Long, nt: Long) =
       spark.range(1).select(lit(kind).as("kind"), lit("").as("term"),
@@ -253,6 +274,13 @@ object IncrementalDf {
       note = Some(KeyedStore.Note.encode(
         "n" -> n1.toString, "sdl" -> sdl1.toString, "nt" -> nt1.toString,
         "ver" -> batchId.toString)))
+    // self-scheduled tombstone maintenance (round 14, VERDICT r13 item 6):
+    // a df-reached-0 tombstone is safe to drop — the HWM serializes folds
+    // (no late lower-seq put to resurrect), and an absent term reads
+    // exactly as a tombstoned one on every path (the fold's coalesce
+    // reseeds from 0, readDf returns 0) — so a delete-heavy index
+    // compacts itself and reads stay O(live terms).
+    KeyedStore.maintain(spark, storePath)
     graft.util.Blocks.freeCheckpoint(changed)
     graft.util.Blocks.freeCheckpoint(batchDf)
     graft.util.Blocks.freeCheckpoint(toks)

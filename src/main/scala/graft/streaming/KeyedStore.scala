@@ -131,16 +131,35 @@ object KeyedStore {
           "rewrite the store (read old layout, merge into a fresh root)")
   }
 
+  /** Generation parsed from a commit file name, or None for non-commit
+    * entries. Two accepted shapes: legacy `_graft_commit_g<gen>` and
+    * `_graft_commit_g<gen>_<hex-nonce>` — new commits carry a random
+    * per-commit nonce so the file PATH is unique across store
+    * delete/re-create cycles: the [[manifestCache]] key (path, modTime,
+    * len) can then never serve a manifest from a previous incarnation of
+    * the store, even when the re-creation lands inside the filesystem's
+    * mtime granularity (1 s on some stores) with a same-length manifest. */
+  private def commitGen(name: String): Option[Long] = {
+    if (!name.startsWith(CommitPrefix)) return None
+    val rest = name.drop(CommitPrefix.length)
+    val digits = rest.takeWhile(_.isDigit)
+    val tail = rest.drop(digits.length)
+    val nonceOk = tail.isEmpty || (tail.length > 1 && tail.head == '_' &&
+      tail.tail.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+    if (digits.nonEmpty && nonceOk) Some(digits.toLong) else None
+  }
+
+  private def commitName(gen: Long): String = {
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
+    s"$CommitPrefix${gen}_$nonce"
+  }
+
   /** All committed manifest files as (generation, status), unsorted. */
   private def commitFiles(f: FileSystem, root: Path): Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     if (!f.exists(root)) return Nil
     f.listStatus(root).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        n.startsWith(CommitPrefix) && n.drop(CommitPrefix.length).forall(_.isDigit) &&
-          n.length > CommitPrefix.length
-      }
-      .map(s => s.getPath.getName.drop(CommitPrefix.length).toLong -> s)
+      .flatMap(s => commitGen(s.getPath.getName).map(_ -> s))
   }
 
   /** Parsed manifest: the bucket map plus the writer's NOTE (an opaque
@@ -457,8 +476,7 @@ object KeyedStore {
     val live = retained.flatMap { case (_, s) => parseManifestCached(f, s).dirs.values }.toSet
     f.listStatus(root).map(_.getPath).foreach { p =>
       val name = p.getName
-      val oldCommit = name.startsWith(CommitPrefix) && !keepCommits.contains(name) &&
-        name.drop(CommitPrefix.length).forall(_.isDigit)
+      val oldCommit = commitGen(name).isDefined && !keepCommits.contains(name)
       val deadDir = name.startsWith(BucketPrefix) && !live.contains(name)
       // a writeAtomic crashed between create and rename leaves a __tmp
       // file whose generation is never retried — collect it here so crash
@@ -538,7 +556,7 @@ object KeyedStore {
         // (HWM / sketch identity), not a per-merge delta
         val manifest = note.map(NotePrefix + _ + "\n").getOrElse("") + staged
           .map(b => s"$b $BucketPrefix${b}__g$newGen").mkString("\n")
-        writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
+        writeAtomic(f, root, new Path(root, commitName(newGen)), manifest)
         gc(f, root, keepGenerations)
       }
     }
@@ -952,7 +970,7 @@ object KeyedStore {
     val manifest = note.map(NotePrefix + _ + "\n").getOrElse("") +
       newMap.toSeq.sortBy(_._1)
         .map { case (i, d) => s"$i $d" }.mkString("\n")
-    writeAtomic(f, root, new Path(root, CommitPrefix + newGen), manifest)
+    writeAtomic(f, root, new Path(root, commitName(newGen)), manifest)
     gc(f, root, keepGenerations)
   }
 }

@@ -1029,6 +1029,55 @@ object ScaleProbe {
     * linearly) and the document-frequency index (fold wall rides the
     * BATCH vocabulary; state rides the Heaps-law corpus vocabulary).
     * Search/scoring walls at the end price the read path at full size. */
+  /** Recluster-rebuild scaling probe (round 14, VERDICT r13 item 5): an
+    * N× embedding corpus, one-fold index build, an 80 % CDC delete, then
+    * the [[graft.streaming.IncrementalIvf.reclusterRebuild]] maintenance
+    * pass. The rebuild is one deterministic Lloyd run (3 iterations, each
+    * a posexplode centroid sum + a broadcast-centroid argmax — linear
+    * scans, no pairwise work) plus one index fold, so wall must track N
+    * linearly with zero spill; the drift gauge read is one ids-store scan.
+    *
+    * Usage: runMain graft.tools.ScaleProbe recluster [copies] [outDir] */
+  def reclusterProbe(copies: Int, outDir: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(outDir))
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb = (0 until copies)
+      .map(c => base.withColumn("vec_id", col("vec_id") + lit(c * KeyShift)))
+      .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+    val n = emb.count()
+    // frozen books: trained once on the base corpus (the production
+    // posture — a recluster never retrains the PQ layer)
+    val books = graft.ext.Similarity.pqCodebooks(base, m = 4, k = 16,
+      iters = 2)
+    var t = System.nanoTime()
+    graft.streaming.IncrementalIvf.mergeBatch(emb, s"$outDir/ix", books,
+      batchId = 0L).count()
+    val build = (System.nanoTime - t) / 1e9
+    t = System.nanoTime()
+    graft.streaming.IncrementalIvf.deleteBatch(
+      emb.filter(col("vec_id") % 5 =!= 0), s"$outDir/ix", books,
+      batchId = 1L).count()
+    val del = (System.nanoTime - t) / 1e9
+    t = System.nanoTime()
+    val needs = graft.streaming.IncrementalIvf.needsRecluster(
+      spark, s"$outDir/ix")
+    val gauge = (System.nanoTime - t) / 1e9
+    val surv = emb.filter(col("vec_id") % 5 === 0)
+    t = System.nanoTime()
+    val dir = graft.streaming.IncrementalIvf.reclusterRebuild(
+      surv, s"$outDir/ix2", books, k = 8, iters = 3)
+    val cnt = dir.agg(sum(col("n_vecs"))).head().getLong(0)
+    val rw = (System.nanoTime - t) / 1e9
+    println(f"RECLUSTER copies=$copies%d vecs=$n%d build=$build%.2f s " +
+      f"delete=$del%.2f s gauge=$gauge%.2f s (needs=$needs) " +
+      f"rebuild=$rw%.2f s survivors=$cnt%d")
+    graft.util.Blocks.freeCheckpoint(emb)
+    spark.stop()
+  }
+
   def indexFoldProbe(batches: Int, storeRoot: String): Unit = {
     val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -1951,6 +2000,11 @@ object ScaleProbe {
     if (args.headOption.contains("linkpred")) {
       linkpredProbe(args.lift(1).map(_.toInt).getOrElse(10),
         args.lift(2).getOrElse("/tmp/graft_scale_lp"))
+      return
+    }
+    if (args.headOption.contains("recluster")) {
+      reclusterProbe(args.lift(1).map(_.toInt).getOrElse(1),
+        args.lift(2).getOrElse("/tmp/graft_scale_recluster"))
       return
     }
     if (args.headOption.contains("indexfold")) {

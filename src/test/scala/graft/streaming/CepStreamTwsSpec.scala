@@ -118,4 +118,87 @@ class CepStreamTwsSpec extends SparkSpec {
       finally spark.conf.unset("spark.graft.state.impl")
     }
   }
+
+  test("round-14 twins: every remaining CEP stream form ≡ fMGWS record for record") {
+    import CepStream.CepMatch
+    // loops (view x2), strictness, skips, a cross-batch partial, a second
+    // key with noise between stages, and a far-future batch that moves the
+    // watermark for the skip-next timer path
+    val batches = Seq(
+      Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "view"),
+        CepEvent(1, 30, 3, "click"), CepEvent(2, 10, 4, "view")),
+      Seq(CepEvent(1, 40, 5, "purchase"), CepEvent(2, 15, 6, "spam"),
+        CepEvent(2, 20, 7, "click")),
+      Seq(CepEvent(2, 2000, 8, "view"), CepEvent(2, 2010, 9, "click"),
+        CepEvent(2, 2020, 10, "purchase")))
+    val loopPat = Seq(("view", 1, 2), ("click", 1, 1))
+    val forms: Seq[(String,
+        org.apache.spark.sql.Dataset[CepEvent] =>
+          org.apache.spark.sql.Dataset[CepMatch])] = Seq(
+      "times" -> (ds => CepStream.attachTimes(ds,
+        loopPat :+ (("purchase", 1, 1)), 1000)),
+      "next" -> (ds => CepStream.attachNext(ds, vcp, 1000,
+        nextStages = Set(2))),
+      "consec" -> (ds => CepStream.attachTimesConsecutive(ds, loopPat,
+        1000, consecutive = Set(0))),
+      "where" -> (ds => CepStream.attachWhere[CepEvent](ds, _.k, _.tms,
+        _.oid,
+        Seq((((e: CepEvent) => e.ty == "view"), 1, 2),
+          (((e: CepEvent) => e.ty == "click"), 1, 1)), 1000)),
+      "iter" -> (ds => CepStream.attachIter[CepEvent](ds, _.k, _.tms,
+        _.oid,
+        Seq((((e: CepEvent, _: CepEvent) => e.ty == "view"), 1, 2),
+          (((e: CepEvent, f: CepEvent) =>
+            e.ty == "click" && e.tms >= f.tms), 1, 1)), 1000)),
+      "skipto" -> (ds => CepStream.attachSkipTo(ds, vcp, 1000, skipTo = 1)),
+      "nfa" -> (ds => CepStream.attachTimesNfa(ds, loopPat, 1000)),
+      "skipnext" -> (ds => CepStream.attachSkipNext(ds, vcp, 1000)))
+    withProvider {
+      forms.foreach { case (name, f) =>
+        val tws = drive(batches)(f) // AUTO -> tws under RocksDB
+        assert(tws.nonEmpty, s"form $name emitted nothing — fixture too weak")
+        spark.conf.set("spark.graft.state.impl", "fmgws")
+        val fm =
+          try drive(batches)(f)
+          finally spark.conf.unset("spark.graft.state.impl")
+        assert(tws == fm, s"form $name diverged:\n  tws  $tws\n  fmgws $fm")
+      }
+    }
+  }
+
+  test("attachSelect tws twin: per-stage payload parity across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batches = Seq(
+      Seq(CepEvent(1, 10, 1, "view"), CepEvent(1, 20, 2, "click")),
+      Seq(CepEvent(1, 30, 3, "purchase"), CepEvent(2, 10, 4, "view")),
+      Seq(CepEvent(2, 20, 5, "click"), CepEvent(2, 30, 6, "purchase")))
+    def driveSel(): Seq[(Long, Int, Int, Long, Long)] = {
+      runNo += 1
+      val tbl = s"cep_tws_sel_$runNo"
+      val mem = MemoryStream[CepEvent]
+      val q = CepStream.attachSelect(mem.toDS(), vcp, 1000).writeStream
+        .format("memory").queryName(tbl).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cep_tws_sel").toString)
+        .start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        s.table(tbl).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Int]("match_n"),
+            r.getAs[Int]("stage_n"), r.getAs[Long]("ev_tms"),
+            r.getAs[Long]("ev_oid")))
+          .sortBy(identity).toSeq
+      } finally q.stop()
+    }
+    withProvider {
+      val tws = driveSel() // AUTO -> tws under RocksDB
+      assert(tws.nonEmpty)
+      spark.conf.set("spark.graft.state.impl", "fmgws")
+      val fm = try driveSel()
+        finally spark.conf.unset("spark.graft.state.impl")
+      assert(tws == fm, s"select diverged:\n  tws  $tws\n  fmgws $fm")
+    }
+  }
 }

@@ -36,7 +36,14 @@ class FoldJobsSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       body
-      Thread.sleep(700) // drain the async listener bus
+      // drain the async listener bus DETERMINISTICALLY — a fixed sleep is
+      // flaky on a loaded box (late-posted job-start events undercount or
+      // leak into the next measurement). waitUntilEmpty is private[spark]
+      // in Scala but public bytecode, so reflect.
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(30000L))
     } finally spark.sparkContext.removeSparkListener(l)
     info("job sites: " + sites.toArray.mkString(" | "))
     n.get()
@@ -117,5 +124,38 @@ class FoldJobsSpec extends SparkSpec {
     // measured r13: 0 — the note check precedes the pruned read entirely
     assert(replayJobs <= 1,
       s"replay cost $replayJobs jobs — the HWM check must ride the manifest note")
+  }
+
+  test("CC fold (mergePairs): colliding and sparse folds stay inside the job budget") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("ccjobs").toString + "/cc"
+    // fold 0 creates the store; fold 1 merges two stored clusters through a
+    // bridge pair (the member-read + components path); fold 2 is all-new
+    // nodes (the sparse steady state — no member read at all)
+    IncrementalCc.mergePairs(
+      Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id"), store).count()
+    val colliding = jobsDuring {
+      IncrementalCc.mergePairs(
+        Seq((2L, 3L)).toDF("a_id", "b_id"), store).count()
+    }
+    info(s"IncrementalCc colliding fold: $colliding jobs")
+    // measured r14: ~45 — the components loop's AQE stage jobs dominate
+    // (per-iteration repartition/join/rollup), around the two store merges.
+    // The ceiling catches protocol regressions (an O(store) read or an
+    // extra per-fold meta collect adds a visible step), not loop tuning.
+    assert(colliding <= 55, s"CC colliding fold launched $colliding jobs — " +
+      "protocol regression (eager store scan or duplicate pruned read?)")
+    val sparse = jobsDuring {
+      IncrementalCc.mergePairs(
+        Seq((10L, 11L)).toDF("a_id", "b_id"), store).count()
+    }
+    info(s"IncrementalCc sparse fold: $sparse jobs")
+    // the sparse fold must skip the member read entirely: only the label
+    // probe, the batch-only components run, the meta audit, two merges
+    assert(sparse <= colliding,
+      s"sparse fold ($sparse jobs) costs more than a colliding one ($colliding)")
+    assert(sparse <= 45, s"CC sparse fold launched $sparse jobs — " +
+      "the all-new-nodes path must not read the member index")
   }
 }

@@ -17,8 +17,30 @@ Prints per-query ratios (worst first), the median ratio (the "box
 factor"), and flags queries whose ratio exceeds 3x the median.
 """
 import json
+import re
 import statistics
 import sys
+
+
+def bench_queries(bench: dict) -> dict:
+    """Per-query seconds from any bench artifact shape.
+
+    Three shapes exist in the wild:
+    - BENCH_SELF.json: a top-level {"queries": {...}} dict;
+    - a driver BENCH_rN.json whose "parsed" field holds the bench JSON;
+    - a driver BENCH_rN.json with parsed=null and only a TRUNCATED "tail"
+      of sbt stdout (2000 chars) — the r13 adjudication gap. The tail
+      still preserves the last ~65 '"q_name":secs' pairs of the per-query
+      line, which is plenty for a median, so regex them out.
+    """
+    bq = bench.get("queries")
+    if isinstance(bq, dict) and bq:
+        return bq
+    parsed = bench.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed["queries"]
+    pairs = re.findall(r'"(q\w*)":([0-9]+(?:\.[0-9]+)?)', bench.get("tail", ""))
+    return {name: float(sec) for name, sec in pairs}
 
 
 def main() -> int:
@@ -28,7 +50,7 @@ def main() -> int:
         anchors = json.load(f)
     with open(bench_path) as f:
         bench = json.load(f)
-    bq = bench.get("queries", {})
+    bq = bench_queries(bench)
     rows = []
     missing = []
     for name, a in sorted(anchors["anchors"].items()):

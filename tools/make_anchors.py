@@ -30,9 +30,19 @@ def main() -> int:
     bench = json.loads(m.group(0))
     p1 = bench["queries"]
     p2 = bench["queries_p2"]
+    # Per-query variance notes that survive regeneration: queries whose wall
+    # time is driver-scheduling/FS-bound at sf0.1 (many tiny jobs, little
+    # data work) swing 2-3x run to run — a single reading above its anchor
+    # is only a regression if the run's other anchors held (the shape rule).
+    NOTES = {
+        "q_cc_stream": ("driver/FS-bound: ~137 jobs over 3 store folds; "
+                        "r14 A/B measured 16-39 s spread on one tree — "
+                        "judge the shape, not this absolute"),
+    }
     anchors = {
         name: {"steady_sec": round(sec, 3), "cold_sec": round(p1[name], 3),
-               "round": rnd}
+               "round": rnd,
+               **({"note": NOTES[name]} if name in NOTES else {})}
         for name, sec in sorted(p2.items()) if sec > 2.0
     }
     out = {
