@@ -166,6 +166,35 @@ class CepStreamTwsSpec extends SparkSpec {
     }
   }
 
+  test("late rows: the event-time twins drop sub-watermark rows exactly like fMGWS") {
+    // batch 1 opens a partial for key 1 and moves the GLOBAL watermark far
+    // past it via key 9; batch 2 delivers key 1's completing event LATE
+    // (tms < watermark). fMGWS's EventTimeTimeout drops the late row AND
+    // prunes the window-closed run — no match. The tws twins must agree:
+    // a twin that fed the late row to the stepper would emit (8000, 8400)
+    // during the step, BEFORE its own watermark pruning ran.
+    val batches = Seq(
+      Seq(CepEvent(1, 8000, 1, "view"), CepEvent(9, 20000, 2, "view")),
+      Seq(CepEvent(1, 8400, 3, "click")),
+      Seq(CepEvent(9, 30000, 4, "view"))) // flush timers
+    def runBoth(name: String,
+        f: org.apache.spark.sql.Dataset[CepEvent] =>
+          org.apache.spark.sql.Dataset[CepStream.CepMatch]): Unit = {
+      val tws = drive(batches)(f) // AUTO -> tws under RocksDB
+      spark.conf.set("spark.graft.state.impl", "fmgws")
+      val fm = try drive(batches)(f)
+        finally spark.conf.unset("spark.graft.state.impl")
+      assert(tws == fm, s"$name late-row divergence:\n  tws  $tws\n  fmgws $fm")
+    }
+    withProvider {
+      runBoth("skipnext",
+        ds => CepStream.attachSkipNext(ds, Seq("view", "click"), 1000))
+      runBoth("neg",
+        ds => CepStream.attachNeg(ds, Seq("view", "click"), 1000,
+          notAfter = Seq("refund")))
+    }
+  }
+
   test("attachSelect tws twin: per-stage payload parity across batches") {
     val s = spark
     import s.implicits._
