@@ -147,6 +147,23 @@ object ExtQueries {
           col("doc_id"), col("text"), batchId = i.toLong)
       root.toString
     }
+  /** Frozen post-fold components store for [[q_cc_erase]] — the same
+    * setup split as [[ivfPreDelete]]: the 3-fold pair chain is what
+    * q_cc_stream prices; the erasure query prices deleteNodes. The memo
+    * root holds BOTH stores (labels + member index). */
+  private val ccPreMemo = new CorpusCache[String](p => graft.util.Tmp.deleteRecursively(p))
+  private def ccPreDelete(s: SparkSession, dir: String): String =
+    ccPreMemo.get(s, dir) {
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_cc_pre")
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalCc.mergePairs(
+          pairs.filter((col("a_id") + col("b_id")) % 3 === i), s"$root/cc")
+      graft.util.Blocks.freeCheckpoint(pairs)
+      root.toString
+    }
+
   /** Pre-build the `*_delta` drives' frozen pre-delete indexes — SETUP,
     * not the measured operation (see [[ivfPreDelete]]): `graft.Bench`
     * calls this from its untimed warm-up block so the single-pass driver
@@ -157,6 +174,7 @@ object ExtQueries {
   def warmDeltaSetup(s: SparkSession, dir: String): Unit = {
     ivfPreDelete(s, dir)
     dfPreDelete(s, dir)
+    ccPreDelete(s, dir)
   }
 
   /** Recursive store copy (driver-local FS metadata walk — the clone the
@@ -391,6 +409,36 @@ object ExtQueries {
         out = graft.streaming.IncrementalCc.mergePairs(
           pairs.filter((col("a_id") + col("b_id")) % 3 === i), s"$root/cc")
       // mergePairs returns a LAZY store read — pin before deleting it
+      val res = out.orderBy(col("doc_id")).localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      graft.util.Blocks.freeCheckpoint(pairs)
+      res
+    },
+
+    // ERASURE from the components store (round 14): fold the pair history
+    // in three spines, then DELETE every doc_id % 7 == 0 node — clusters
+    // split where connectivity ran through an erased node, and keepers
+    // move where the erased node WAS the minimum. The surviving pair set
+    // (re-derived from the pair source, the production posture) repairs
+    // exactly the affected clusters; the oracle is batch connected
+    // components over the surviving pairs plus singletons for surviving
+    // nodes the erasure isolated.
+    "q_cc_erase" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(shingleTable(s, dir), 1, 2)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      // the 3-fold chain is memoized SETUP ([[ccPreDelete]] — q_cc_stream
+      // prices it); the timed window is clone + the erasure fold
+      val pre = ccPreDelete(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_cce_q")
+      cloneStore(s, s"$pre/cc", s"$root/cc")
+      cloneStore(s, s"$pre/cc__members", s"$root/cc__members")
+      val delNodes = pairs.select(col("a_id").as("doc_id"))
+        .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+        .filter(col("doc_id") % 7 === 0)
+      val surviving = pairs
+        .filter(col("a_id") % 7 =!= 0 && col("b_id") % 7 =!= 0)
+      val out = graft.streaming.IncrementalCc.deleteNodes(
+        delNodes, surviving, s"$root/cc")
       val res = out.orderBy(col("doc_id")).localCheckpoint(true)
       graft.util.Tmp.deleteRecursively(root)
       graft.util.Blocks.freeCheckpoint(pairs)
@@ -2623,6 +2671,28 @@ object ExtQueries {
     // Star-edge folding is lossless, so the three-fold drive's twin is the
     // batch keeper oracle verbatim.
     "q_cc_stream" -> clustersSql,
+
+    // Post-erasure labels == batch components over the SURVIVING pairs,
+    // with singletons for surviving ever-seen nodes the erasure isolated
+    // (every node entered the store as a pair endpoint, so "ever seen" =
+    // endpoint of some original pair).
+    "q_cc_erase" ->
+      s"""WITH RECURSIVE $JAC,
+         |pairsx AS (SELECT a_id, b_id FROM jac WHERE inter_ct * 2 >= union_ct * 1),
+         |survp AS (SELECT a_id, b_id FROM pairsx
+         |          WHERE a_id % 7 <> 0 AND b_id % 7 <> 0),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM survp
+         |          UNION SELECT b_id, a_id FROM survp),
+         |verts AS (SELECT DISTINCT id FROM (
+         |            SELECT a_id AS id FROM pairsx
+         |            UNION SELECT b_id FROM pairsx)
+         |          WHERE id % 7 <> 0),
+         |reach AS (
+         |  SELECT id AS src, id AS node FROM verts
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x)
+         |SELECT src AS doc_id, MIN(node) AS keeper_id FROM reach
+         |GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_clusters_lsh" -> clustersSql,
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cross-batch connected components — the missing link of the continuous
@@ -71,7 +71,7 @@ object IncrementalCc {
     val mp = memberPath(storePath)
     val f = KeyedStore.fs(spark, mp)
     f.delete(new org.apache.hadoop.fs.Path(mp), true)
-    val rows = KeyedStore.read(spark, storePath) match {
+    val rows = KeyedStore.read(spark, storePath).map(liveLabels) match {
       case Some(s) => s.select(lit("v").as("kind"),
         col("keeper_id"), col("doc_id"), col("ver"),
         lit(null).cast("long").as("ngen"), lit("put").as("op_type"))
@@ -99,6 +99,15 @@ object IncrementalCc {
       .orElse(pruned.flatMap(_.filter(col("kind") === "m")
         .select(col("ngen")).collect().headOption.map(_.getLong(0))))
 
+  /** Live label rows — erased nodes (op_type = delete, written by
+    * [[deleteNodes]]) are hidden; rows from stores written before the
+    * erasure surface carry a NULL op_type through the persisted-schema
+    * read and are live. */
+  private def liveLabels(df: DataFrame): DataFrame =
+    if (df.columns.contains("op_type"))
+      df.filter(col("op_type").isNull || col("op_type") =!= "delete")
+    else df
+
   /** Fold one batch of undirected near-dup pairs (a_id, b_id) into the
     * label store at `storePath` (created on first use) and return the
     * FULL updated label table. */
@@ -123,7 +132,7 @@ object IncrementalCc {
     // member read entirely.
     val affKeepers: Array[Long] = KeyedStore.readPruned(
         spark, storePath, batchNodes)
-      .map(_.join(batchNodes, Seq("doc_id"), "left_semi")
+      .map(df => liveLabels(df).join(batchNodes, Seq("doc_id"), "left_semi")
         .select(col("keeper_id")).distinct()
         .collect().map(_.getLong(0)))
       .getOrElse(Array.empty)
@@ -208,7 +217,8 @@ object IncrementalCc {
           rebuildMembers(spark, storePath, labelGen, numBuckets)
       }
       KeyedStore.merge(changed.select(col("doc_id"), col("keeper_id"))
-          .withColumn("ver", lit(nextVer)), storePath,
+          .withColumn("ver", lit(nextVer))
+          .withColumn("op_type", lit("put")), storePath,
         keys = Seq("doc_id"), seqCols = Seq("ver"), numBuckets = numBuckets,
         bucketCols = Seq("doc_id"))
       // mirror into the member index: a put under the new keeper, a
@@ -248,10 +258,144 @@ object IncrementalCc {
     readLabels(spark, storePath)
   }
 
-  /** The stored label table without folding (empty frame if never run). */
+  /** CDC DELETE half for the components store (round 14 — the erasure
+    * pass over the DEDUP CHAIN's transitive closure, completing the
+    * family [[IncrementalIvf.deleteBatch]]/[[IncrementalDf.deleteBatch]]
+    * opened in round 13): remove nodes from the label table and REPAIR
+    * the connectivity their removal breaks.
+    *
+    * Erasing a node can SPLIT its cluster (connectivity may have run
+    * through it) and can MOVE keepers (the erased node may have been the
+    * cluster minimum) — neither is derivable from the label table alone,
+    * which stores the closure, not the edges. The op therefore takes the
+    * SURVIVING PAIRS: the caller re-derives them from its pair source
+    * (the [[IncrementalLsh]] signature index, or the pair log) — the
+    * production posture, exactly like [[IncrementalIvf.reclusterRebuild]]
+    * taking the surviving vectors. A SUPERSET is fine: pairs are filtered
+    * to both-endpoints-surviving members of the AFFECTED clusters, so
+    * passing the full surviving pair table costs one semi-join, not a
+    * recompute.
+    *
+    * Cost is O(deleted + affected-cluster members + their surviving
+    * pairs), bucket-pruned end to end like [[mergePairs]] — clusters no
+    * deleted node touches are never read. Keepers are recomputed as the
+    * MIN SURVIVING member per connected component (an erased id must not
+    * linger as anyone's keeper); members isolated by the deletion become
+    * singletons. IDEMPOTENT set-removal: nodes already erased (or never
+    * seen) are skipped silently, so replay after a crash re-runs clean —
+    * the [[mergePairs]] stance, not the counting sketches'. The
+    * label-store generation handshake with the member index is verified
+    * on the member read exactly as folds do.
+    *
+    * Returns the FULL post-erasure label table (lazy store read). Label
+    * stores written before round 14 lack the op_type column and need a
+    * one-time rewrite before erasing (the merge fails loudly on the
+    * schema union). */
+  def deleteNodes(nodes: DataFrame, survivingPairs: DataFrame,
+      storePath: String, numBuckets: Int = 4,
+      autoMaintain: Boolean = true): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // LAZY pin: the label-probe collect below is the one materialization
+    val del = nodes.select(col("doc_id")).distinct().localCheckpoint(false)
+    val labelGen = KeyedStore.latestGeneration(spark, storePath)
+    // which stored clusters the erasure touches (live rows only —
+    // re-deleting an erased node is a silent no-op, the idempotence)
+    val affKeepers: Array[Long] = KeyedStore.readPruned(spark, storePath, del)
+      .map(df => liveLabels(df).join(del, Seq("doc_id"), "left_semi")
+        .select(col("keeper_id")).distinct()
+        .collect().map(_.getLong(0)))
+      .getOrElse(Array.empty)
+    if (affKeepers.isEmpty) {
+      graft.util.Blocks.freeCheckpoint(del)
+      return readLabels(spark, storePath)
+    }
+    // affected clusters' member lists, with the generation handshake
+    // (the mergePairs read-2 discipline; rebuild heals a crash window)
+    val mp = memberPath(storePath)
+    val probe = (MetaKeeper +: affKeepers.toSeq).toDF("keeper_id")
+    lazy val raw0 = KeyedStore.readPruned(spark, mp, probe)
+    val metaGen = memberGen(spark, mp, raw0)
+    val raw =
+      if (metaGen.contains(labelGen)) raw0
+      else {
+        rebuildMembers(spark, storePath, labelGen, numBuckets)
+        KeyedStore.readPruned(spark, mp, probe)
+      }
+    val members = raw.get
+      .filter(col("kind") === "v" && col("op_type") =!= "delete")
+      .join(probe.filter(col("keeper_id") =!= MetaKeeper),
+        Seq("keeper_id"), "left_semi")
+      .select(col("doc_id"), col("keeper_id"))
+      .localCheckpoint(true) // feeds dead, survivors, and both diffs
+    val dead = members.join(del, Seq("doc_id"), "left_semi")
+    val survivors = members.join(del, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("keeper_id").as("__old"))
+      .localCheckpoint(true) // read on both sides of the repair diff
+    // connectivity repair: components over the CALLER's surviving pairs,
+    // restricted to surviving members of the affected clusters (the
+    // superset filter); members no surviving pair reaches are singletons
+    val edges = survivingPairs.select(col("a_id"), col("b_id"))
+      .join(survivors.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(survivors.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+    val cc = graft.ext.Dedup.connectedComponents(edges)
+    // every survivor keeps a label: its component's keeper when some
+    // surviving pair reaches it, itself otherwise (a singleton) — one
+    // outer join, no union (a cc-lineage union trips Spark's union
+    // constraint rewrite on shared attribute ids)
+    val repaired = survivors.select(col("doc_id"))
+      .join(cc.select(col("doc_id"), col("keeper_id").as("__cck")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("__cck"), col("doc_id")).as("keeper_id"))
+      .localCheckpoint(true)
+    val nextVer = labelGen + 1L
+    // label store: tombstone the dead; re-label survivors whose keeper
+    // moved (split, or the erased node WAS the minimum)
+    val moved = repaired
+      .join(survivors, Seq("doc_id"))
+      .filter(col("__old") =!= col("keeper_id"))
+      .localCheckpoint(true) // feeds the label merge AND the member diff
+    KeyedStore.merge(
+      moved.select(col("doc_id"), col("keeper_id"))
+        .withColumn("op_type", lit("put"))
+        .unionByName(dead.select(col("doc_id"), col("keeper_id"))
+          .withColumn("op_type", lit("delete")))
+        .withColumn("ver", lit(nextVer)),
+      storePath, keys = Seq("doc_id"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("doc_id"))
+    // member-index mirror: dead rows leave their keeper's bucket; moved
+    // rows put under the new keeper and tombstone under the old
+    def mrow(d: DataFrame, keeper: Column, op: String) =
+      d.select(lit("v").as("kind"), keeper.as("keeper_id"), col("doc_id"),
+        lit(nextVer).as("ver"), lit(null).cast("long").as("ngen"),
+        lit(op).as("op_type"))
+    val meta = spark.range(1).select(lit("m").as("kind"),
+      lit(MetaKeeper).as("keeper_id"), lit(-1L).as("doc_id"),
+      lit(nextVer).as("ver"), lit(nextVer).as("ngen"),
+      lit("put").as("op_type"))
+    KeyedStore.merge(
+      mrow(moved, col("keeper_id"), "put")
+        .unionByName(mrow(moved, col("__old"), "delete"))
+        .unionByName(mrow(dead, col("keeper_id"), "delete"))
+        .unionByName(meta),
+      mp, keys = Seq("kind", "keeper_id", "doc_id"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("keeper_id"),
+      note = Some(KeyedStore.Note.encode("ngen" -> nextVer.toString)))
+    if (autoMaintain) KeyedStore.maintain(spark, mp)
+    graft.util.Blocks.freeCheckpoint(moved)
+    graft.util.Blocks.freeCheckpoint(repaired)
+    graft.util.Blocks.freeCheckpoint(survivors)
+    graft.util.Blocks.freeCheckpoint(members)
+    graft.util.Blocks.freeCheckpoint(del)
+    readLabels(spark, storePath)
+  }
+
+  /** The stored label table without folding (empty frame if never run);
+    * erased nodes are hidden. */
   def readLabels(spark: SparkSession, storePath: String): DataFrame =
     KeyedStore.read(spark, storePath)
-      .map(_.select(col("doc_id"), col("keeper_id")))
+      .map(df => liveLabels(df).select(col("doc_id"), col("keeper_id")))
       .getOrElse {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("doc_id", "keeper_id")

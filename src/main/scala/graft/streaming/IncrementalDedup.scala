@@ -43,20 +43,88 @@ object IncrementalDedup {
       .filter(col("__rk") === 1).drop("__rk")
     // PRUNED read: only the store buckets the batch's fingerprints hash
     // into are opened (the store is created with bucketCols = fp below), so
-    // the screen is O(batch) file IO at any index size.
+    // the screen is O(batch) file IO at any index size. Erased
+    // fingerprints ([[deleteBatch]] tombstones) are NOT seen — their
+    // content reads as new again, which is the erasure contract.
     val fresh = (KeyedStore.readPruned(spark, storePath,
         firsts.select(col("__fp").as("fp"))) match {
-      case Some(seen) => firsts.join(seen.select(col("fp").as("__fp")),
-        Seq("__fp"), "left_anti")
+      case Some(seen) => firsts.join(
+        liveFps(seen).select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       case None => firsts
     }).localCheckpoint(true)
     val newFps = fresh.select(col("__fp").as("fp"))
       .withColumn("batch_id", lit(batchId))
+      .withColumn("op_type", lit("put"))
     if (!newFps.isEmpty)
       KeyedStore.merge(newFps, storePath, keys = Seq("fp"),
         seqCols = Seq("batch_id"), numBuckets = numBuckets,
         bucketCols = Seq("fp"))
     fresh.drop("__fp")
+  }
+
+  /** Live fingerprint rows — tombstones hidden; rows from stores written
+    * before the erasure surface read op_type as NULL and are live. */
+  private def liveFps(df: DataFrame): DataFrame =
+    if (df.columns.contains("op_type"))
+      df.filter(col("op_type").isNull || col("op_type") =!= "delete")
+    else df
+
+  /** CDC DELETE half for the fingerprint store (round 14 — erasure at
+    * the exact-dedup screen, completing the deletion family across the
+    * dedup chain with [[IncrementalLsh.deleteBatch]] and
+    * [[IncrementalCc.deleteNodes]]): remove ACCEPTED documents'
+    * fingerprints so their content reads as never-seen — a later
+    * re-arrival of the same bytes is accepted again, which is what
+    * erasure must mean at a dedup screen (keeping the fingerprint would
+    * silently drop the re-crawled replacement of an erased document).
+    *
+    * Contract: erase ACCEPTED documents only (rows [[dedupBatch]]
+    * RETURNED) — a rejected duplicate's fingerprint belongs to the
+    * accepted copy and must survive its copies' erasure. ENFORCED: a
+    * batch fingerprint that is missing or already erased aborts loudly
+    * BEFORE anything writes (wrong rows, or a double delete) — except
+    * tombstones this very batchId wrote, so a crashed attempt replays
+    * clean (the [[IncrementalIvf.deleteBatch]] stance). Erase-then-
+    * re-accept interleavings resolve correctly because batchId is the
+    * seq: the re-accepting put outranks the tombstone. Stores written
+    * before round 14 lack op_type and need a one-time rewrite (the
+    * merge fails loudly on the schema union).
+    *
+    * Returns the number of fingerprints erased. */
+  def deleteBatch(batch: DataFrame, storePath: String, fpCol: Column,
+      batchId: Long, numBuckets: Int = 16): Long = {
+    val spark = batch.sparkSession
+    // set semantics: the same content listed twice erases once
+    val fps = batch.select(fpCol.as("fp")).distinct()
+      // LAZY pin: the pruned read's bucket-probe collect materializes it
+      .localCheckpoint(false)
+    val live = KeyedStore.readPruned(spark, storePath, fps)
+      .map { df =>
+        // crashed-attempt replay exemption: tombstones THIS batch wrote
+        val own = if (df.columns.contains("op_type"))
+          df.filter(col("op_type") === "delete" &&
+            col("batch_id") === batchId)
+        else df.limit(0)
+        liveFps(df).unionByName(own).select(col("fp"))
+      }
+      .getOrElse(fps.limit(0))
+    val missing = fps.join(live, Seq("fp"), "left_anti")
+      .limit(3).collect().map(_.get(0))
+    require(missing.isEmpty,
+      s"deleteBatch: fingerprints ${missing.mkString(", ")}… are not live " +
+        s"in the store at $storePath — erasure can only remove accepted " +
+        "documents (wrong rows, a rejected duplicate, or a double delete)")
+    val n = fps.count()
+    KeyedStore.merge(
+      fps.withColumn("batch_id", lit(batchId))
+        .withColumn("op_type", lit("delete")),
+      storePath, keys = Seq("fp"), seqCols = Seq("batch_id"),
+      numBuckets = numBuckets, bucketCols = Seq("fp"))
+    // tombstones are safe to compact away on the amortized cadence: an
+    // absent fingerprint reads exactly as a tombstoned one (not seen)
+    KeyedStore.maintain(spark, storePath)
+    graft.util.Blocks.freeCheckpoint(fps)
+    n
   }
 }
 

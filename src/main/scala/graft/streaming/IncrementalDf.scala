@@ -48,8 +48,13 @@ object IncrementalDf {
     KeyedStore.readPruned(spark, storePath, probe)
       .map(_.filter(col("op_type") =!= "delete").select(Cols.map(col): _*))
 
-  private def metaProbe(spark: SparkSession): DataFrame =
-    spark.range(1).select(lit("").as("term"))
+  private def metaProbe(spark: SparkSession): DataFrame = {
+    // LocalRelation on purpose (not range(1).select): readPruned's
+    // driver-local fast path then resolves the probe's bucket with ZERO
+    // Spark jobs (Range does not fold to a LocalRelation)
+    import spark.implicits._
+    Seq("").toDF("term")
+  }
 
   /** (n_docs, sum_dl, n_terms, hwm) — the manifest note (ZERO Spark jobs)
     * when present, else one pruned bucket read over the corpus + meta

@@ -78,7 +78,8 @@ object IncrementalLsh {
       case Some(stored) =>
         val hits = buckets.join(
           cappedStored(
-            stored.select(col("band"), col("bkey"), col("sig").as("__ssig")),
+            liveRows(stored)
+              .select(col("band"), col("bkey"), col("sig").as("__ssig")),
             maxBandDf),
           Seq("band", "bkey"))
         hits.join(sigArr, Seq("doc_id"))
@@ -110,6 +111,7 @@ object IncrementalLsh {
         k, bands)
       .join(sigArr, Seq("doc_id"))
       .withColumn("batch_id", lit(batchId))
+      .withColumn("op_type", lit("put"))
     if (!newRows.isEmpty)
       KeyedStore.merge(newRows, storePath,
         keys = Seq("band", "bkey", "doc_id"), seqCols = Seq("batch_id"),
@@ -122,5 +124,80 @@ object IncrementalLsh {
     // signature table for the stream's lifetime
     graft.util.Blocks.freeCheckpoint(sig)
     accepted.select(col("doc_id"), col("__text").as("text"))
+  }
+
+  /** Live index rows — tombstones ([[deleteBatch]]) hidden; rows from
+    * stores written before the erasure surface read op_type as NULL and
+    * are live. */
+  private def liveRows(df: DataFrame): DataFrame =
+    if (df.columns.contains("op_type"))
+      df.filter(col("op_type").isNull || col("op_type") =!= "delete")
+    else df
+
+  /** CDC DELETE half for the signature index (round 14 — erasure at the
+    * NEAR-dup screen; with [[IncrementalDedup.deleteBatch]] and
+    * [[IncrementalCc.deleteNodes]] this completes right-to-erasure
+    * through the whole dedup chain): remove accepted documents' band and
+    * signature rows so near-duplicates of the erased content pass the
+    * screen again — erasure at a near-dup index means the index may no
+    * longer "remember" the erased text through its signature.
+    *
+    * A CDC delete carries the full row, so the signatures are RECOMPUTED
+    * from the text (the index stores per-band rows keyed
+    * (band, bkey, doc_id) — recomputation reaches exactly the original
+    * fold's keys because minhash is a pure function of the text).
+    * ENFORCED: every recomputed band row must be live in the index (a
+    * missing one proves a never-accepted doc, drifted text, or a double
+    * delete) — except tombstones this very batchId wrote, so a crashed
+    * attempt replays clean. Documents too short to shingle were never
+    * indexed and erase as a no-op. Stores written before round 14 lack
+    * op_type and need a one-time rewrite (the merge fails loudly on the
+    * schema union).
+    *
+    * Returns the number of documents whose signatures were erased. */
+  def deleteBatch(batch: DataFrame, storePath: String, idCol: Column,
+      textCol: Column, batchId: Long, k: Int = 32, bands: Int = 16,
+      numBuckets: Int = 16): Long = {
+    val spark = batch.sparkSession
+    val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
+    val sh = Dedup.shingles(docs, col("doc_id"), col("__text"))
+    // LAZY pin: the pruned read's bucket-probe collect materializes it
+    val sig = Dedup.minhashSignatures(sh, k).localCheckpoint(false)
+    val rows = Dedup.bandBuckets(sig, k, bands)
+      .localCheckpoint(true) // feeds the probe, the guard, the tombstones
+    val live = KeyedStore.readPruned(spark, storePath, rows)
+      .map { df =>
+        val own = if (df.columns.contains("op_type"))
+          df.filter(col("op_type") === "delete" &&
+            col("batch_id") === batchId)
+        else df.limit(0)
+        liveRows(df).unionByName(own)
+          .select(col("band"), col("bkey"), col("doc_id"))
+      }
+      .getOrElse(rows.select(col("band"), col("bkey"), col("doc_id"))
+        .limit(0))
+    val missing = rows.join(live, Seq("band", "bkey", "doc_id"), "left_anti")
+      .select(col("doc_id")).distinct().limit(3).collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"deleteBatch: docs ${missing.mkString(", ")}… have band rows not " +
+        s"live in the index at $storePath — erasure can only remove " +
+        "ACCEPTED documents with their ORIGINAL text (rejected duplicate, " +
+        "drifted text, or a double delete)")
+    val n = rows.select(col("doc_id")).distinct().count()
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    KeyedStore.merge(
+      rows.join(sigArr, Seq("doc_id"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("op_type", lit("delete")),
+      storePath, keys = Seq("band", "bkey", "doc_id"),
+      seqCols = Seq("batch_id"), numBuckets = numBuckets,
+      bucketCols = Seq("band", "bkey"))
+    // an absent band row reads exactly as a tombstoned one (no screen
+    // hit), so the cadence may drop tombstones whenever it fires
+    KeyedStore.maintain(spark, storePath)
+    graft.util.Blocks.freeCheckpoint(rows)
+    graft.util.Blocks.freeCheckpoint(sig)
+    n
   }
 }

@@ -444,9 +444,20 @@ object KeyedStore {
         throw new IllegalStateException(s"$path: committed state but no bucket count"))
       meta.cols match {
         case Some(bcols) =>
-          val needed = probe.select(bucketOf(bcols, meta.n, meta.types).as("__b"))
-            .distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted.filter(dirs.contains)
+          val sel = probe.select(bucketOf(bcols, meta.n, meta.types).as("__b"))
+          // DRIVER-LOCAL fast path (round 14): a probe built from driver
+          // rows (Seq.toDF — the collected-keeper and meta probes the
+          // store folds build) optimizes to a LocalRelation whose bucket
+          // hashes ConvertToLocalRelation has ALREADY evaluated — read
+          // them directly for ZERO Spark jobs where the general path pays
+          // a distinct shuffle. Batch-derived probes keep the cluster
+          // path (a batch can be bigger than the driver).
+          val ids = sel.queryExecution.optimizedPlan match {
+            case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+              lr.data.map(_.getInt(0)).distinct
+            case _ => sel.distinct().collect().map(_.getInt(0)).toSeq
+          }
+          val needed = ids.sorted.filter(dirs.contains)
           if (needed.isEmpty)
             // schema-correct empty frame; with a persisted schema it never
             // touches a file (no inference job for a no-hit probe)

@@ -126,6 +126,26 @@ class FoldJobsSpec extends SparkSpec {
       s"replay cost $replayJobs jobs — the HWM check must ride the manifest note")
   }
 
+  test("readPruned with a driver-local probe costs ZERO bucket-selection jobs") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("prjobs").toString + "/st"
+    KeyedStore.merge(
+      Seq(("a", 1L, 1L, "put"), ("b", 2L, 1L, "put"))
+        .toDF("k", "v", "ver", "op_type"),
+      store, keys = Seq("k"), seqCols = Seq("ver"), numBuckets = 4,
+      bucketCols = Seq("k"))
+    val jobs = jobsDuring {
+      // a Seq.toDF probe is a LocalRelation — ConvertToLocalRelation has
+      // already evaluated its bucket hashes, so selecting the buckets to
+      // read must launch nothing (the returned frame is lazy)
+      assert(KeyedStore.readPruned(s, store, Seq("a").toDF("k")).isDefined)
+    }
+    info(s"local-probe readPruned: $jobs jobs")
+    assert(jobs == 0, s"local-probe readPruned launched $jobs jobs — the " +
+      "LocalRelation fast path regressed to the distinct-shuffle collect")
+  }
+
   test("CC fold (mergePairs): colliding and sparse folds stay inside the job budget") {
     val s = spark
     import s.implicits._

@@ -59,8 +59,8 @@ class IncrementalCcSpec extends SparkSpec {
     // merge is lost — written here straight to the label store with the
     // ver the crashed fold would have used (nextVer = labelGen + 1 = 2)
     KeyedStore.merge(
-      Seq((1L, 1L, 2L), (5L, 1L, 2L), (9L, 1L, 2L))
-        .toDF("doc_id", "keeper_id", "ver"),
+      Seq((1L, 1L, 2L, "put"), (5L, 1L, 2L, "put"), (9L, 1L, 2L, "put"))
+        .toDF("doc_id", "keeper_id", "ver", "op_type"),
       store, keys = Seq("doc_id"), seqCols = Seq("ver"),
       numBuckets = 4, bucketCols = Seq("doc_id"))
     // next fold touches the stale cluster with a smaller node: without the
@@ -84,8 +84,8 @@ class IncrementalCcSpec extends SparkSpec {
     // crash window: a label merge COMMITS (node 1 joins {5,9}, relabeling
     // to keeper 1) but the member-index merge is lost
     KeyedStore.merge(
-      Seq((1L, 1L, 2L), (5L, 1L, 2L), (9L, 1L, 2L))
-        .toDF("doc_id", "keeper_id", "ver"),
+      Seq((1L, 1L, 2L, "put"), (5L, 1L, 2L, "put"), (9L, 1L, 2L, "put"))
+        .toDF("doc_id", "keeper_id", "ver", "op_type"),
       store, keys = Seq("doc_id"), seqCols = Seq("ver"),
       numBuckets = 4, bucketCols = Seq("doc_id"))
     // the dangerous interleaving: an ALL-NEW-NODES fold (no affected
@@ -151,6 +151,45 @@ class IncrementalCcSpec extends SparkSpec {
     val want = labs(Dedup.connectedComponents(
       ((50L, 84L) +: history).toDF("a_id", "b_id")))
     assert(got == want, s"$got vs $want")
+  }
+
+  test("deleteNodes: splits, keeper moves, singletons, idempotence, and later folds stay exact") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_cc_del").toString + "/store"
+    // one chain cluster 1-2-3-4-5 (keeper 1), one pair cluster 10-11,
+    // and one untouched cluster 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L))
+    IncrementalCc.mergePairs(pairs.toDF("a_id", "b_id"), store).count()
+    // erase 3 (splits the chain: {1,2} and {4,5}), 10 (keeper of {10,11}
+    // moves to 11), and 21 (isolates 20 as a singleton)
+    val del = Seq(3L, 10L, 21L).toDF("doc_id")
+    val surv = pairs.toDF("a_id", "b_id")
+      .filter(!col("a_id").isin(3L, 10L, 21L) &&
+        !col("b_id").isin(3L, 10L, 21L))
+    val got = labs(IncrementalCc.deleteNodes(del, surv, store))
+    val want = Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 11L -> 11L,
+      20L -> 20L)
+    assert(got == want, s"$got vs $want")
+    // IDEMPOTENT set-removal: re-deleting the same nodes is a silent no-op
+    val again = labs(IncrementalCc.deleteNodes(del, surv, store))
+    assert(again == got)
+    // the repaired store keeps folding exactly: a new pair re-bridges the
+    // split halves, and the result equals batch components over the FULL
+    // surviving history plus the new pair
+    val got2 = labs(IncrementalCc.mergePairs(
+      Seq((2L, 4L)).toDF("a_id", "b_id"), store))
+    // batch components over the full surviving history plus the new
+    // pair, plus the singletons the new pair does not reach
+    val want2 = labs(Dedup.connectedComponents(
+      surv.unionByName(Seq((2L, 4L)).toDF("a_id", "b_id")))) ++
+      Map(11L -> 11L, 20L -> 20L)
+    assert(got2 == want2, s"$got2 vs $want2")
+    // an erased node may be re-ingested later: it rejoins as a new node
+    val got3 = labs(IncrementalCc.mergePairs(
+      Seq((3L, 5L)).toDF("a_id", "b_id"), store))
+    assert(got3(3L) == got3(5L))
   }
 
   test("a no-merge fold writes nothing new for existing nodes") {

@@ -41,6 +41,42 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(fps.count() == 4) // x, y, z, w
   }
 
+  test("deleteBatch: erased content reads as never-seen; guards and replay hold") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_dedup_del").toString + "/store"
+    val b0 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "text")
+    assert(IncrementalDedup.dedupBatch(b0, store, fp, col("id"), 0L)
+      .count() == 3)
+    // "x" re-arrives pre-erasure: rejected
+    assert(IncrementalDedup.dedupBatch(
+      Seq((4L, "x")).toDF("id", "text"), store, fp, col("id"), 1L)
+      .count() == 0)
+    // erase the accepted "x" (right-to-erasure): its fingerprint dies
+    assert(IncrementalDedup.deleteBatch(
+      Seq((1L, "x")).toDF("id", "text"), store, fp, 2L) == 1L)
+    // the re-crawled replacement is ACCEPTED again — erasure means the
+    // screen no longer remembers the content
+    assert(IncrementalDedup.dedupBatch(
+      Seq((5L, "x")).toDF("id", "text"), store, fp, col("id"), 3L)
+      .count() == 1)
+    // and re-erasing content that is no longer live aborts loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.deleteBatch(
+        Seq((9L, "w")).toDF("id", "text"), store, fp, 4L)
+    }
+    assert(e.getMessage.contains("not live"))
+    // same-batchId replay (crashed attempt) is exempt and idempotent
+    assert(IncrementalDedup.deleteBatch(
+      Seq((5L, "x")).toDF("id", "text"), store, fp, 5L) == 1L)
+    assert(IncrementalDedup.deleteBatch(
+      Seq((5L, "x")).toDF("id", "text"), store, fp, 5L) == 1L)
+    // the store's live view holds y, z (x erased twice, re-accepted once)
+    val live = KeyedStore.read(s, store).get
+      .filter(col("op_type") =!= "delete").count()
+    assert(live == 2)
+  }
+
   test("drives a foreachBatch stream end-to-end") {
     val s = spark
     import s.implicits._

@@ -73,7 +73,7 @@ class IncrementalLshSpec extends SparkSpec {
     def saturatedRows = oneBucket.join(sigArr.select(col("sig")))
       .crossJoin(s.range(100, 100 + cap + 1))
       .select(col("band"), col("bkey"), col("id").as("doc_id"),
-        col("sig"), lit(0L).as("batch_id"))
+        col("sig"), lit(0L).as("batch_id"), lit("put").as("op_type"))
 
     // capped: the hot bucket is excluded, every other band misses (empty
     // store there) — the doc is ACCEPTED
@@ -106,5 +106,46 @@ class IncrementalLshSpec extends SparkSpec {
       IncrementalLsh.cappedStored(stored, cap), Seq("band", "bkey")).count()
     assert(uncapped >= cap + 1 && capped <= uncapped - (cap + 1),
       s"expected the saturated bucket's $uncapped candidates capped away, got $capped")
+  }
+
+  test("deleteBatch: erased signatures stop screening their near-dups; guards hold") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_lsh_del").toString + "/store"
+    val b0 = Seq(
+      (1L, text("alpha", "alpha_w12")),
+      (3L, text("beta", "beta_w12"))).toDF("doc_id", "text")
+    assert(IncrementalLsh.dedupBatch(b0, store, col("doc_id"), col("text"), 0L)
+      .count() == 2)
+    // a near-dup variant of doc 1 is rejected pre-erasure
+    val v = Seq((4L, text("alpha", "alpha_x12"))).toDF("doc_id", "text")
+    assert(IncrementalLsh.dedupBatch(v, store, col("doc_id"), col("text"), 1L)
+      .count() == 0)
+    // erase doc 1 (CDC delete carries the full original row)
+    assert(IncrementalLsh.deleteBatch(
+      Seq((1L, text("alpha", "alpha_w12"))).toDF("doc_id", "text"),
+      store, col("doc_id"), col("text"), 2L) == 1L)
+    // the SAME variant is now ACCEPTED — the index no longer remembers
+    // the erased text through its signature
+    assert(IncrementalLsh.dedupBatch(v, store, col("doc_id"), col("text"), 3L)
+      .count() == 1)
+    // erasing with drifted text (or a doc never accepted) aborts loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalLsh.deleteBatch(
+        Seq((3L, text("beta", "beta_DRIFTED"))).toDF("doc_id", "text"),
+        store, col("doc_id"), col("text"), 4L)
+    }
+    assert(e.getMessage.contains("not"))
+    // same-batchId replay of an erase is exempt and idempotent
+    assert(IncrementalLsh.deleteBatch(
+      Seq((4L, text("alpha", "alpha_x12"))).toDF("doc_id", "text"),
+      store, col("doc_id"), col("text"), 5L) == 1L)
+    assert(IncrementalLsh.deleteBatch(
+      Seq((4L, text("alpha", "alpha_x12"))).toDF("doc_id", "text"),
+      store, col("doc_id"), col("text"), 5L) == 1L)
+    // a doc too short to shingle erases as a no-op
+    assert(IncrementalLsh.deleteBatch(
+      Seq((7L, "too short")).toDF("doc_id", "text"),
+      store, col("doc_id"), col("text"), 6L) == 0L)
   }
 }
