@@ -104,9 +104,7 @@ object IncrementalCc {
     * erasure surface carry a NULL op_type through the persisted-schema
     * read and are live. */
   private def liveLabels(df: DataFrame): DataFrame =
-    if (df.columns.contains("op_type"))
-      df.filter(col("op_type").isNull || col("op_type") =!= "delete")
-    else df
+    KeyedStore.liveView(df)
 
   /** Fold one batch of undirected near-dup pairs (a_id, b_id) into the
     * label store at `storePath` (created on first use) and return the

@@ -65,9 +65,7 @@ object IncrementalDedup {
   /** Live fingerprint rows — tombstones hidden; rows from stores written
     * before the erasure surface read op_type as NULL and are live. */
   private def liveFps(df: DataFrame): DataFrame =
-    if (df.columns.contains("op_type"))
-      df.filter(col("op_type").isNull || col("op_type") =!= "delete")
-    else df
+    KeyedStore.liveView(df)
 
   /** CDC DELETE half for the fingerprint store (round 14 — erasure at
     * the exact-dedup screen, completing the deletion family across the
@@ -82,31 +80,37 @@ object IncrementalDedup {
     * RETURNED) — a rejected duplicate's fingerprint belongs to the
     * accepted copy and must survive its copies' erasure. ENFORCED: a
     * batch fingerprint that is missing or already erased aborts loudly
-    * BEFORE anything writes (wrong rows, or a double delete) — except
-    * tombstones this very batchId wrote, so a crashed attempt replays
-    * clean (the [[IncrementalIvf.deleteBatch]] stance). Erase-then-
-    * re-accept interleavings resolve correctly because batchId is the
-    * seq: the re-accepting put outranks the tombstone. Stores written
-    * before round 14 lack op_type and need a one-time rewrite (the
-    * merge fails loudly on the schema union).
+    * BEFORE anything writes (wrong rows, or a double delete).
+    * Crashed-attempt replay rides a manifest-note HIGH-WATER MARK
+    * (`delver`/`deln`, committed atomically with the tombstones): a
+    * replayed erase returns its recorded count without touching the
+    * store or the guard — NOT a tombstone-presence exemption, which the
+    * maintenance compaction below could erase out from under a retry
+    * (the round-14 review's wedged-stream finding). The note only needs
+    * to survive until the caller's checkpoint commits this batch, and
+    * the serialized-caller contract means no other fold (whose
+    * note-less merge would drop it) runs in that window; compaction
+    * carries notes forward. Erase-then-re-accept interleavings resolve
+    * correctly because batchId is the seq: the re-accepting put
+    * outranks the tombstone. Stores written before round 14 lack
+    * op_type and need a one-time rewrite (the merge fails loudly on the
+    * schema union).
     *
     * Returns the number of fingerprints erased. */
   def deleteBatch(batch: DataFrame, storePath: String, fpCol: Column,
       batchId: Long, numBuckets: Int = 16): Long = {
     val spark = batch.sparkSession
+    // replay HWM: a re-delivered erase is a zero-job no-op
+    val replayed = KeyedStore.readNote(spark, storePath)
+      .map(KeyedStore.Note.decode)
+      .filter(d => d.contains("delver") && batchId <= d("delver").toLong)
+    if (replayed.isDefined) return replayed.get("deln").toLong
     // set semantics: the same content listed twice erases once
     val fps = batch.select(fpCol.as("fp")).distinct()
       // LAZY pin: the pruned read's bucket-probe collect materializes it
       .localCheckpoint(false)
     val live = KeyedStore.readPruned(spark, storePath, fps)
-      .map { df =>
-        // crashed-attempt replay exemption: tombstones THIS batch wrote
-        val own = if (df.columns.contains("op_type"))
-          df.filter(col("op_type") === "delete" &&
-            col("batch_id") === batchId)
-        else df.limit(0)
-        liveFps(df).unionByName(own).select(col("fp"))
-      }
+      .map(df => liveFps(df).select(col("fp")))
       .getOrElse(fps.limit(0))
     val missing = fps.join(live, Seq("fp"), "left_anti")
       .limit(3).collect().map(_.get(0))
@@ -119,9 +123,12 @@ object IncrementalDedup {
       fps.withColumn("batch_id", lit(batchId))
         .withColumn("op_type", lit("delete")),
       storePath, keys = Seq("fp"), seqCols = Seq("batch_id"),
-      numBuckets = numBuckets, bucketCols = Seq("fp"))
+      numBuckets = numBuckets, bucketCols = Seq("fp"),
+      note = Some(KeyedStore.Note.encode(
+        "delver" -> batchId.toString, "deln" -> n.toString)))
     // tombstones are safe to compact away on the amortized cadence: an
-    // absent fingerprint reads exactly as a tombstoned one (not seen)
+    // absent fingerprint reads exactly as a tombstoned one (not seen),
+    // and replay safety rides the note, which compaction preserves
     KeyedStore.maintain(spark, storePath)
     graft.util.Blocks.freeCheckpoint(fps)
     n

@@ -381,14 +381,17 @@ object IncrementalIvf {
               .select(col("g"), col("n"))))
       .localCheckpoint(true)
     // self-scheduled tombstone maintenance (round 14, VERDICT r13 item 6):
-    // delete tombstones in ids and codes are ALWAYS safe to drop — the
-    // stats HWM serializes folds, so no late lower-seq put can resurrect
-    // a dropped key (an absent id reads exactly as a tombstoned one on
-    // every path: liveness abort, fold-once exemption, search's live
-    // filter) — so a delete-heavy stream compacts itself on the amortized
-    // cadence and store reads stay O(live), not O(live + deletes)
-    // (IvfTombstoneSpec measures the bound).
-    KeyedStore.maintain(spark, idsPath)
+    // CODE tombstones are safe to drop — the stats HWM serializes folds
+    // (no late lower-seq put to resurrect a dropped key, and a crashed
+    // attempt's replay re-upserts identical tombstones), so a
+    // delete-heavy stream compacts its code store on the amortized
+    // cadence and search reads stay O(live), not O(live + deletes)
+    // (DeleteCompactionSpec measures the bound). The IDS store is
+    // deliberately NOT maintained here: its delete tombstones are the
+    // deletion-drift gauge's MEMORY — compacting them would zero
+    // [[idLiveness]] and silently defeat [[needsRecluster]] (the
+    // round-14 review's finding). Its rows are three longs per id ever
+    // indexed; [[reclusterRebuild]]'s blue/green root is what resets it.
     KeyedStore.maintain(spark, s"$storePath/codes")
     graft.util.Blocks.freeCheckpoint(live)
     graft.util.Blocks.freeCheckpoint(changed)

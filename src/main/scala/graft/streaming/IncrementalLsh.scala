@@ -130,9 +130,7 @@ object IncrementalLsh {
     * stores written before the erasure surface read op_type as NULL and
     * are live. */
   private def liveRows(df: DataFrame): DataFrame =
-    if (df.columns.contains("op_type"))
-      df.filter(col("op_type").isNull || col("op_type") =!= "delete")
-    else df
+    KeyedStore.liveView(df)
 
   /** CDC DELETE half for the signature index (round 14 — erasure at the
     * NEAR-dup screen; with [[IncrementalDedup.deleteBatch]] and
@@ -148,17 +146,25 @@ object IncrementalLsh {
     * fold's keys because minhash is a pure function of the text).
     * ENFORCED: every recomputed band row must be live in the index (a
     * missing one proves a never-accepted doc, drifted text, or a double
-    * delete) — except tombstones this very batchId wrote, so a crashed
-    * attempt replays clean. Documents too short to shingle were never
-    * indexed and erase as a no-op. Stores written before round 14 lack
-    * op_type and need a one-time rewrite (the merge fails loudly on the
-    * schema union).
+    * delete). Crashed-attempt replay rides a manifest-note HIGH-WATER
+    * MARK (`delver`/`deln`, committed atomically with the tombstones —
+    * the [[IncrementalDedup.deleteBatch]] stance; a tombstone-presence
+    * exemption would break the moment the maintenance compaction below
+    * dropped this batch's own tombstones). Documents too short to
+    * shingle were never indexed and erase as a no-op. Stores written
+    * before round 14 lack op_type and need a one-time rewrite (the
+    * merge fails loudly on the schema union).
     *
     * Returns the number of documents whose signatures were erased. */
   def deleteBatch(batch: DataFrame, storePath: String, idCol: Column,
       textCol: Column, batchId: Long, k: Int = 32, bands: Int = 16,
       numBuckets: Int = 16): Long = {
     val spark = batch.sparkSession
+    // replay HWM: a re-delivered erase is a zero-job no-op
+    val replayed = KeyedStore.readNote(spark, storePath)
+      .map(KeyedStore.Note.decode)
+      .filter(d => d.contains("delver") && batchId <= d("delver").toLong)
+    if (replayed.isDefined) return replayed.get("deln").toLong
     val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
     val sh = Dedup.shingles(docs, col("doc_id"), col("__text"))
     // LAZY pin: the pruned read's bucket-probe collect materializes it
@@ -166,14 +172,8 @@ object IncrementalLsh {
     val rows = Dedup.bandBuckets(sig, k, bands)
       .localCheckpoint(true) // feeds the probe, the guard, the tombstones
     val live = KeyedStore.readPruned(spark, storePath, rows)
-      .map { df =>
-        val own = if (df.columns.contains("op_type"))
-          df.filter(col("op_type") === "delete" &&
-            col("batch_id") === batchId)
-        else df.limit(0)
-        liveRows(df).unionByName(own)
-          .select(col("band"), col("bkey"), col("doc_id"))
-      }
+      .map(df => liveRows(df)
+        .select(col("band"), col("bkey"), col("doc_id")))
       .getOrElse(rows.select(col("band"), col("bkey"), col("doc_id"))
         .limit(0))
     val missing = rows.join(live, Seq("band", "bkey", "doc_id"), "left_anti")
@@ -192,9 +192,12 @@ object IncrementalLsh {
         .withColumn("op_type", lit("delete")),
       storePath, keys = Seq("band", "bkey", "doc_id"),
       seqCols = Seq("batch_id"), numBuckets = numBuckets,
-      bucketCols = Seq("band", "bkey"))
+      bucketCols = Seq("band", "bkey"),
+      note = Some(KeyedStore.Note.encode(
+        "delver" -> batchId.toString, "deln" -> n.toString)))
     // an absent band row reads exactly as a tombstoned one (no screen
-    // hit), so the cadence may drop tombstones whenever it fires
+    // hit), so the cadence may drop tombstones whenever it fires —
+    // replay safety rides the note, which compaction preserves
     KeyedStore.maintain(spark, storePath)
     graft.util.Blocks.freeCheckpoint(rows)
     graft.util.Blocks.freeCheckpoint(sig)

@@ -131,6 +131,17 @@ object KeyedStore {
           "rewrite the store (read old layout, merge into a fresh root)")
   }
 
+  /** Null-safe LIVE view of stored rows: delete tombstones hidden; rows
+    * read from pre-erasure stores (no op_type column, or NULL through a
+    * persisted-schema read of older files) are live. ONE definition for
+    * every erasure-aware reader (Dedup fingerprints, LSH signatures, CC
+    * labels) — [[readActive]] stays the strict non-null variant for
+    * stores that always wrote op_type. */
+  def liveView(df: DataFrame, opCol: String = "op_type"): DataFrame =
+    if (df.columns.contains(opCol))
+      df.filter(col(opCol).isNull || col(opCol) =!= "delete")
+    else df
+
   /** Generation parsed from a commit file name, or None for non-commit
     * entries. Two accepted shapes: legacy `_graft_commit_g<gen>` and
     * `_graft_commit_g<gen>_<hex-nonce>` — new commits carry a random

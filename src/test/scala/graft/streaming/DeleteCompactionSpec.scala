@@ -71,14 +71,21 @@ class DeleteCompactionSpec extends SparkSpec {
     val codesRaw = KeyedStore.read(spark, s"$store/codes").get.count()
     info(s"ids raw $idsRaw (live ${surv.count()}); codes raw $codesRaw " +
       s"(live ${surv.count() * 4})")
-    // without compaction ids would hold one row per vector EVER indexed
-    // (live puts + delete tombstones = `total` rows); the cadence must
-    // keep it strictly below that, bounded near the live set
-    assert(idsRaw < total,
-      s"ids store holds $idsRaw rows for ${surv.count()} live vectors — " +
-        "delete tombstones are accumulating")
+    // CODES compact on the cadence: without it the store would hold one
+    // row per (vector EVER indexed × m) — live puts + delete tombstones
     assert(codesRaw < total * 4,
       s"codes store holds $codesRaw rows for ${surv.count() * 4} live codes")
+    // the IDS store deliberately KEEPS its delete tombstones — they are
+    // the deletion-drift gauge's memory (one row per id ever indexed);
+    // compacting them would zero idLiveness and silently defeat
+    // needsRecluster (the round-14 review's finding)
+    assert(idsRaw == total,
+      s"ids store holds $idsRaw rows — expected one per id ever indexed")
+    val (live, dead) = IncrementalIvf.idLiveness(spark, store)
+    assert(live == surv.count() && dead == total - surv.count(),
+      s"drift gauge corrupted: ($live, $dead)")
+    assert(IncrementalIvf.needsRecluster(spark, store),
+      "80% deletion must still trip the gauge after the delete folds")
     // the compacted index still answers bit-exactly: search == the batch
     // chain over the survivors
     val qs = e.filter(col("vec_id") % 97 === 0)
