@@ -171,11 +171,21 @@ object ExtQueries {
     * clone + delete fold + read, not the 3-fold build the `_stream`
     * twins already price (VERDICT r13 item 3). Verify does NOT call it —
     * correctness runs pay the build on first access, hashes unchanged. */
-  def warmDeltaSetup(s: SparkSession, dir: String): Unit = {
-    ivfPreDelete(s, dir)
-    dfPreDelete(s, dir)
-    ccPreDelete(s, dir)
+  def warmDeltaSetup(s: SparkSession, dir: String,
+      selected: Set[String] = deltaQueries): Unit = {
+    // build ONLY the stores the selected delta queries read — a
+    // SPARK_GRAFT_ONLY=q_bm25_delta iteration must not pay the IVF and
+    // CC index builds it never touches (ADVICE r14)
+    if (selected("q_ann_delta") || selected("q_ann_recluster"))
+      ivfPreDelete(s, dir)
+    if (selected("q_bm25_delta")) dfPreDelete(s, dir)
+    if (selected("q_cc_erase")) ccPreDelete(s, dir)
   }
+
+  /** The queries [[warmDeltaSetup]] prices setup for — ONE definition, so
+    * Bench's warm gate and the per-store dispatch above cannot drift. */
+  val deltaQueries: Set[String] =
+    Set("q_ann_delta", "q_bm25_delta", "q_ann_recluster", "q_cc_erase")
 
   /** Recursive store copy (driver-local FS metadata walk — the clone the
     * delta drives mutate instead of the frozen build). */

@@ -83,8 +83,10 @@ object IncrementalDedup {
     * BEFORE anything writes (wrong rows, or a double delete).
     * Crashed-attempt replay rides a manifest-note HIGH-WATER MARK
     * (`delver`/`deln`, committed atomically with the tombstones): a
-    * replayed erase returns its recorded count without touching the
-    * store or the guard — NOT a tombstone-presence exemption, which the
+    * replay of the LATEST erase returns its recorded count, a replay of
+    * an OLDER one returns 0 (no-op; the single slot cannot recover that
+    * batch's count), neither touching the store or the guard — NOT a
+    * tombstone-presence exemption, which the
     * maintenance compaction below could erase out from under a retry
     * (the round-14 review's wedged-stream finding). The note only needs
     * to survive until the caller's checkpoint commits this batch, and
@@ -100,11 +102,19 @@ object IncrementalDedup {
   def deleteBatch(batch: DataFrame, storePath: String, fpCol: Column,
       batchId: Long, numBuckets: Int = 16): Long = {
     val spark = batch.sparkSession
-    // replay HWM: a re-delivered erase is a zero-job no-op
-    val replayed = KeyedStore.readNote(spark, storePath)
-      .map(KeyedStore.Note.decode)
-      .filter(d => d.contains("delver") && batchId <= d("delver").toLong)
-    if (replayed.isDefined) return replayed.get("deln").toLong
+    // replay HWM: a re-delivered erase is a zero-job no-op. The note is a
+    // single slot holding the LATEST erase's count, so only a replay of
+    // THAT batch can echo its recorded count; a strictly-older replay
+    // (batchId < delver) no-ops with 0 — its own count is unrecoverable
+    // from the slot, and reporting the newest batch's count for it would
+    // lie (ADVICE r14).
+    val noted = KeyedStore.readNote(spark, storePath)
+      .map(KeyedStore.Note.decode).filter(_.contains("delver"))
+    noted.foreach { d =>
+      val hwm = d("delver").toLong
+      if (batchId == hwm) return d("deln").toLong
+      if (batchId < hwm) return 0L
+    }
     // set semantics: the same content listed twice erases once
     val fps = batch.select(fpCol.as("fp")).distinct()
       // LAZY pin: the pruned read's bucket-probe collect materializes it

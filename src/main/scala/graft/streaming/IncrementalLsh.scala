@@ -160,11 +160,18 @@ object IncrementalLsh {
       textCol: Column, batchId: Long, k: Int = 32, bands: Int = 16,
       numBuckets: Int = 16): Long = {
     val spark = batch.sparkSession
-    // replay HWM: a re-delivered erase is a zero-job no-op
-    val replayed = KeyedStore.readNote(spark, storePath)
-      .map(KeyedStore.Note.decode)
-      .filter(d => d.contains("delver") && batchId <= d("delver").toLong)
-    if (replayed.isDefined) return replayed.get("deln").toLong
+    // replay HWM: a re-delivered erase is a zero-job no-op. Only a replay
+    // of the LATEST erase can echo the note's recorded count; a
+    // strictly-older replay no-ops with 0 — the single note slot cannot
+    // recover its count, and echoing the newest batch's would lie
+    // (ADVICE r14; the [[IncrementalDedup.deleteBatch]] stance).
+    val noted = KeyedStore.readNote(spark, storePath)
+      .map(KeyedStore.Note.decode).filter(_.contains("delver"))
+    noted.foreach { d =>
+      val hwm = d("delver").toLong
+      if (batchId == hwm) return d("deln").toLong
+      if (batchId < hwm) return 0L
+    }
     val docs = batch.select(idCol.as("doc_id"), textCol.as("__text"))
     val sh = Dedup.shingles(docs, col("doc_id"), col("__text"))
     // LAZY pin: the pruned read's bucket-probe collect materializes it

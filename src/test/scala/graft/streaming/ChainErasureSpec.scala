@@ -52,21 +52,30 @@ class ChainErasureSpec extends SparkSpec {
     IncrementalCc.mergePairs(Seq((1L, 5L)).toDF("a_id", "b_id"), ccStore)
       .count()
 
-    // ERASURE REQUEST for doc 1 ("alpha"): all three stores
-    assert(IncrementalDedup.deleteBatch(
+    // ERASURE REQUEST for doc 1 ("alpha"): ONE composite call erases all
+    // three stores (round 15 — callers no longer hand-sequence the ops)
+    val erased = ChainErasure.eraseDocuments(
       Seq((1L, text("alpha", "alpha_w12"))).toDF("doc_id", "text"),
-      fpStore, fp, 1L) == 1L)
-    assert(IncrementalLsh.deleteBatch(
-      Seq((1L, text("alpha", "alpha_w12"))).toDF("doc_id", "text"),
-      lshStore, col("doc_id"), col("text"), 1L) == 1L)
-    val labels = IncrementalCc.deleteNodes(
-      Seq(1L).toDF("doc_id"),
+      fpStore, lshStore, ccStore,
       // surviving pairs among the affected cluster: none (the only pair
       // involved the erased doc)
-      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), ccStore)
+      survivingPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+      batchId = 1L)
+    assert(erased.fingerprints == 1L && erased.signatures == 1L)
+    val labels = erased.labels
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // 5 was clustered under keeper 1; the erasure makes it a singleton
     assert(labels == Map(5L -> 5L), s"got $labels")
+    // a REPLAY of the whole composite (crash-recovery) no-ops cleanly:
+    // each store's HWM/idempotence absorbs its half
+    val replay = ChainErasure.eraseDocuments(
+      Seq((1L, text("alpha", "alpha_w12"))).toDF("doc_id", "text"),
+      fpStore, lshStore, ccStore,
+      survivingPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+      batchId = 1L)
+    assert(replay.fingerprints == 1L && replay.signatures == 1L)
+    assert(replay.labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap == Map(5L -> 5L))
 
     // the RE-CRAWL: doc 9 carries the exact erased bytes, doc 10 a
     // near-dup of them — both pass every screen (the chain no longer

@@ -143,6 +143,14 @@ class IncrementalLshSpec extends SparkSpec {
     assert(IncrementalLsh.deleteBatch(
       Seq((4L, text("alpha", "alpha_x12"))).toDF("doc_id", "text"),
       store, col("doc_id"), col("text"), 5L) == 1L)
+    // a replay of an OLDER erase no-ops with 0 (single note slot: its own
+    // count is unrecoverable, echoing the newest batch's would lie —
+    // ADVICE r14); the store is untouched
+    val genBefore = KeyedStore.latestGeneration(s, store)
+    assert(IncrementalLsh.deleteBatch(
+      Seq((1L, text("alpha", "alpha_w12"))).toDF("doc_id", "text"),
+      store, col("doc_id"), col("text"), 2L) == 0L)
+    assert(KeyedStore.latestGeneration(s, store) == genBefore)
     // a doc too short to shingle erases as a no-op
     assert(IncrementalLsh.deleteBatch(
       Seq((7L, "too short")).toDF("doc_id", "text"),

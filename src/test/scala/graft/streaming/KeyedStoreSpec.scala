@@ -594,4 +594,104 @@ class KeyedStoreSpec extends SparkSpec {
     assert(KeyedStore.read(s, dir).get.agg(max(col("ver"))).head().getLong(0)
       == 30L)
   }
+
+  test("compact dropTombstones is null-safe: NULL-op rows are LIVE and survive") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_nullop").toString + "/t"
+    // rows whose op reads NULL (a pre-erasure file read through a unioned
+    // schema, or a caller that never set op on puts) are LIVE per liveView;
+    // the tombstone drop must agree — a bare =!= would silently drop them
+    val rows = Seq(
+      ("a", "v1", 1L, Option.empty[String]),
+      ("b", "v1", 1L, Some("put")),
+      ("c", "v1", 1L, Some("delete"))).toDF("k", "v", "seq", "op_type")
+    KeyedStore.merge(rows, dir, keys = Seq("k"), seqCols = Seq("seq"),
+      numBuckets = 4)
+    KeyedStore.compact(s, dir, dropTombstones = true)
+    val kept = KeyedStore.read(s, dir).get
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a", "b"),
+      s"NULL-op live rows must survive the tombstone drop, kept: $kept")
+  }
+
+  test("adoptOpType migrates a pre-erasure store: tombstone merges work after, no-op when present") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("keyedstore_mig").toString + "/t"
+    // pre-r14 layout: committed rows carry NO op column
+    KeyedStore.merge((1 to 6).map(i => (s"k$i", i.toLong)).toDF("k", "seq"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"), numBuckets = 4)
+    // an erase on the old layout fails loudly on the schema union
+    intercept[Exception] {
+      KeyedStore.merge(Seq(("k1", 9L, "delete")).toDF("k", "seq", "op_type"),
+        dir, keys = Seq("k"), seqCols = Seq("seq"))
+    }
+    assert(KeyedStore.adoptOpType(s, dir))
+    // every committed winner became an explicit put at a fresh generation
+    val migrated = KeyedStore.read(s, dir).get
+    assert(migrated.filter(col("op_type") === "put").count() == 6)
+    // and the erase that failed above now lands; readActive hides it
+    KeyedStore.merge(Seq(("k1", 9L, "delete")).toDF("k", "seq", "op_type"),
+      dir, keys = Seq("k"), seqCols = Seq("seq"))
+    assert(KeyedStore.readActive(s, dir).get
+      .select("k").collect().map(_.getString(0)).toSet
+      == (2 to 6).map(i => s"k$i").toSet)
+    // already-migrated store: no-op, no new generation
+    val gen = KeyedStore.latestGeneration(s, dir)
+    assert(!KeyedStore.adoptOpType(s, dir))
+    assert(KeyedStore.latestGeneration(s, dir) == gen)
+  }
+
+  test("duplicate-generation commit twins: deterministic winner, whole-generation gc") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("keyedstore_twin").toString + "/t"
+    def merge(rows: Seq[(String, Long)], keep: Int): Unit =
+      KeyedStore.merge(rows.toDF("k", "seq"), dir, keys = Seq("k"),
+        seqCols = Seq("seq"), numBuckets = 4, keepGenerations = keep)
+    merge((0 until 8).map(i => (s"k$i", 1L)), 3)
+    merge((0 until 8).map(i => (s"m$i", 2L)), 3)
+    assert(KeyedStore.read(s, dir).get.count() == 16)
+
+    // Forge a SAME-GENERATION twin of the latest commit (a violated
+    // single-writer contract — nonce'd names make it representable):
+    // name-maximal nonce so the forged twin must win the tie, content
+    // missing the last bucket line so the winner is observable.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val commits = f.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_commit_g")).sorted
+    val latest = commits.max
+    val content = {
+      val in = f.open(new org.apache.hadoop.fs.Path(root, latest))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val bucketLines = content.split("\n").filter(_.nonEmpty)
+    assert(bucketLines.length >= 2, "need >= 2 buckets to drop one")
+    val droppedDir = bucketLines.last.split(" ", 2)(1)
+    val droppedRows = s.read.parquet(
+      new org.apache.hadoop.fs.Path(root, droppedDir).toString).count()
+    val gen = latest.stripPrefix("_graft_commit_g").takeWhile(_.isDigit)
+    val twinName = s"_graft_commit_g${gen}_ffffffff"
+    val out = f.create(new org.apache.hadoop.fs.Path(root, twinName), false)
+    try out.write(bucketLines.dropRight(1).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+
+    // deterministic tie-break: every reader resolves the NAME-max twin,
+    // never filesystem listing order
+    assert(KeyedStore.read(s, dir).get.count() == 16 - droppedRows)
+
+    // gc retains WHOLE generations: after the next merge, both twins of
+    // the superseded generation survive (keepGenerations = 3), so the
+    // bucket dir only the losing twin references is still pinned
+    merge(Seq(("z9", 3L)), 3)
+    val gens = KeyedStore.generations(s, dir)
+    assert(gens.count(_ == gen.toLong) == 2,
+      s"both twins of generation $gen must survive gc, got $gens")
+    assert(f.exists(new org.apache.hadoop.fs.Path(root, droppedDir)),
+      "a dir referenced only by the losing twin must be retained")
+  }
 }

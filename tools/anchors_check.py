@@ -25,13 +25,17 @@ import sys
 def bench_queries(bench: dict) -> dict:
     """Per-query seconds from any bench artifact shape.
 
-    Three shapes exist in the wild:
+    Four shapes exist in the wild:
     - BENCH_SELF.json: a top-level {"queries": {...}} dict;
     - a driver BENCH_rN.json whose "parsed" field holds the bench JSON;
-    - a driver BENCH_rN.json with parsed=null and only a TRUNCATED "tail"
-      of sbt stdout (2000 chars) — the r13 adjudication gap. The tail
-      still preserves the last ~65 '"q_name":secs' pairs of the per-query
-      line, which is plenty for a median, so regex them out.
+    - a driver BENCH_rN.json whose truncated "tail" carries the compact
+      {"hot": {...}} top-50-by-cost line graft.Bench prints inside the
+      tail window (round 15) — PREFERRED over tail fragments: it is the
+      full hot set, not whatever the alphabetical suffix happened to keep;
+    - an older driver BENCH_rN.json with parsed=null and only a TRUNCATED
+      "tail" (2000 chars) — the r13 adjudication gap. The tail still
+      preserves the last ~65 '"q_name":secs' pairs of the per-query line,
+      so regex them out.
     """
     bq = bench.get("queries")
     if isinstance(bq, dict) and bq:
@@ -39,7 +43,17 @@ def bench_queries(bench: dict) -> dict:
     parsed = bench.get("parsed")
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
         return parsed["queries"]
-    pairs = re.findall(r'"(q\w*)":([0-9]+(?:\.[0-9]+)?)', bench.get("tail", ""))
+    tail = bench.get("tail", "")
+    m = re.search(r'\{"hot":\{([^}]*)\}\}', tail)
+    if m:
+        pairs = re.findall(r'"(q\w*)":([0-9]+(?:\.[0-9]+)?)', m.group(1))
+        # the hot line is cost-truncated, not tail-truncated: merge in any
+        # extra pairs the tail fragment also preserved (hot values win)
+        extra = re.findall(r'"(q\w*)":([0-9]+(?:\.[0-9]+)?)', tail[: m.start()])
+        out = {name: float(sec) for name, sec in extra}
+        out.update({name: float(sec) for name, sec in pairs})
+        return out
+    pairs = re.findall(r'"(q\w*)":([0-9]+(?:\.[0-9]+)?)', tail)
     return {name: float(sec) for name, sec in pairs}
 
 
