@@ -297,6 +297,64 @@ object Cep {
     }
   }
 
+  /** The UNTIL-CLOSED loop automaton's step semantics — Flink-CEP's
+    * `until(condition)` on the one class that genuinely NEEDS it: a
+    * GREEDY UNBOUNDED FINAL loop, which "never knows it is done"
+    * ([[validateTimes]]' final-exact-count rule) until a stop-condition
+    * event closes it. [[TimesStepper]]'s branches for the leading
+    * stages, plus:
+    *
+    *   - the final stage is a (type, min, Unbounded) loop tracking `te`,
+    *     the last ACCEPTED loop event's tms — no emission on count;
+    *   - an `untilPred` event while the final loop holds ≥ min events
+    *     EMITS (t0, te) — the until event is NOT part of the match,
+    *     exactly Flink's stop-condition semantics — and resets (skip
+    *     past last row); below the floor it KILLS the partial. Either
+    *     way the until event itself falls through to the stage-0 test
+    *     (it may reopen a run when the types allow it);
+    *   - window expiry DISCARDS a partial (no until arrived in time),
+    *     and so does end-of-input — the every-stepper timeout stance;
+    *     Flink without a timeout handler does the same.
+    *
+    * At stages BEFORE the final loop the until event is an ordinary
+    * non-matching event (relaxed contiguity — ignored); requiring the
+    * until type to differ from every stage type keeps that
+    * unambiguous. State is (st, c, t0, te) — one long beyond the
+    * quantified automaton; a separate stepper so the five shipped
+    * [[TimesStepper]] paths' pinned semantics cannot be disturbed. */
+  private[graft] final class UntilStepper[E](
+      pattern: IndexedSeq[(E => Boolean, Int, Int)], withinMs: Long,
+      untilPred: E => Boolean, tmsOf: E => Long) {
+    private val last = pattern.length - 1
+
+    /** One event: (st, c, t0, te) -> next; emit on an until-close. */
+    def step(st: Int, c: Int, t0: Long, te: Long, e: E,
+        emit: (Long, Long) => Unit): (Int, Int, Long, Long) = {
+      val tms = tmsOf(e)
+      def enter0: (Int, Int, Long, Long) =
+        if (pattern.head._1(e)) (0, 1, tms, if (last == 0) tms else 0L)
+        else (0, 0, 0L, 0L)
+      if (c > 0 && tms - t0 >= withinMs) enter0
+      else if (c == 0) enter0
+      else if (st == last && untilPred(e)) {
+        if (c >= pattern(st)._2) emit(t0, te)
+        enter0
+      } else {
+        val (p, mn, mx) = pattern(st)
+        if (p(e) && (mx == Unbounded || c < mx))
+          (st, c + 1, t0, if (st == last) tms else te)
+        else if (st < last && c >= mn) {
+          ((st + 1) to last).view
+            .takeWhile(j => (st + 1 until j).forall(pattern(_)._2 == 0))
+            .find(j => pattern(j)._1(e)) match {
+            case Some(j) => (j, 1, t0, if (j == last) tms else te)
+            case None => (st, c, t0, te)
+          }
+        } else (st, c, t0, te)
+      }
+    }
+  }
+
   /** The CONSECUTIVE-LOOP automaton's step semantics (Flink-CEP's
     * `consecutive()` on `times`/`oneOrMore` loops — strict contiguity
     * WITHIN a loop, while the stages themselves stay `followedBy`):
@@ -580,6 +638,8 @@ object Cep {
     def timesNfa(pattern: Seq[(String, Int, Int)], withinMs: Long): DataFrame
     def timesConsecutive(pattern: Seq[(String, Int, Int)], withinMs: Long,
         consecutive: Set[Int]): DataFrame
+    def timesUntil(pattern: Seq[(String, Int, Int)], withinMs: Long,
+        untilType: String): DataFrame
     def pred(quant: Seq[(Int, Int)], withinMs: Long): DataFrame
     def strict(pattern: Seq[String], withinMs: Long, nextStages: Set[Int],
         notNext: Map[Int, Seq[String]]): DataFrame
@@ -663,6 +723,29 @@ object Cep {
                 n += 1; out += CepMatchK(k, n, s, en)
               })
               st = next._1; c = next._2; cl = next._3; t0 = next._4
+            }
+            out
+        }(mEnc)
+        .toDF("k", "match_n", "start_tms", "end_tms"))
+    }
+
+    def timesUntil(pattern: Seq[(String, Int, Int)], withinMs: Long,
+        untilType: String): DataFrame = {
+      val preds = pattern.map { case (t, mn, mx) =>
+        (((e: CepEvK[K]) => e.ty == t), mn, mx) }.toIndexedSeq
+      restore(proj.as[CepEvK[K]](evEnc)
+        .groupByKey(_.k)(kEnc)
+        .flatMapSortedGroups(col("tms"), col("oid"), col("ty")) {
+          (k: K, it: Iterator[CepEvK[K]]) =>
+            val stepper = new UntilStepper[CepEvK[K]](preds, withinMs,
+              _.ty == untilType, _.tms)
+            val out = ListBuffer.empty[CepMatchK[K]]
+            var st = 0; var c = 0; var t0 = 0L; var te = 0L; var n = 0
+            it.foreach { e =>
+              val next = stepper.step(st, c, t0, te, e, (s, en) => {
+                n += 1; out += CepMatchK(k, n, s, en)
+              })
+              st = next._1; c = next._2; t0 = next._3; te = next._4
             }
             out
         }(mEnc)
@@ -921,12 +1004,14 @@ object Cep {
     * `Seq.fill(times)(group).flatten` and inherits its routed
     * sorted-iterator plan, skip-past-last-row semantics, and oracle
     * (`q_cep_group`). VARIABLE group loops (`times(min, max)` /
-    * `oneOrMore()` over a sub-pattern) are deliberately absent: each
-    * repetition count forks a run in Flink's branching NFA, which the
-    * deterministic greedy plans here do not express — the documented
-    * `until()` stance (COVERAGE.md §flink-cep). Per-stage quantifiers
-    * INSIDE a match ([[patternMatchesTimes]]) cover the loop use cases
-    * that do determinize. */
+    * `oneOrMore()` over a sub-pattern) are PERMANENTLY absent (round-15
+    * policy, COVERAGE.md §flink-cep): each repetition count forks a run
+    * in Flink's branching NFA, which the deterministic greedy plans here
+    * do not express. Per-stage quantifiers INSIDE a match
+    * ([[patternMatchesTimes]]) cover the loop use cases that do
+    * determinize, and `until()`-closed unbounded loops — the one Flink
+    * idiom that genuinely needed a stop condition — are shipped as
+    * [[patternMatchesUntil]]. */
   def patternMatchesGroup(df: DataFrame, keyCol: Column, tsMsCol: Column,
       ordCol: Column, typeCol: Column, group: Seq[String], times: Int,
       withinMs: Long): DataFrame = {
@@ -1249,6 +1334,67 @@ object Cep {
       s"patternMatchesTimesNfa needs an integral or string key; " +
         s"got ${proj.schema("k").dataType.catalogString} — cast to a " +
         "BIGINT/STRING surrogate")).timesNfa(pattern, withinMs)
+  }
+
+  /** Flink-CEP `until(condition)` on the class that needs it — a GREEDY
+    * UNBOUNDED FINAL loop closed by a stop-condition event
+    * ([[UntilStepper]]): the final stage is `(type, min, Unbounded)` and
+    * a match EMITS when an `untilType` event arrives with the loop at or
+    * above its floor; the until event is NOT part of the match (end =
+    * the last accepted loop event), below-floor partials die, window
+    * expiry and end-of-input discard (no stop event arrived — Flink
+    * without a timeout handler does the same). This lifts exactly the
+    * restriction [[validateTimes]] names ("a greedy unbounded last stage
+    * never knows it is done; bound it or add a terminal stage") for
+    * pipelines whose terminator must NOT be part of the match.
+    * VARIABLE GROUP LOOPS (`times(min,max)` over a sub-pattern) remain
+    * deliberately absent — each repetition count forks a run in Flink's
+    * branching NFA, which the deterministic plans do not express; with
+    * until-closed loops shipped, no remaining reference idiom needs them
+    * (COVERAGE.md §flink-cep policy).
+    *
+    * Scale shape identical to [[patternMatchesTimes]]: type-IN pushed
+    * scan (pattern types + the until type), one key shuffle, the routed
+    * sorted-iterator plan. Routable keys only (integral/string — the
+    * [[patternMatchesTimesNfa]] stance). Streaming twin:
+    * [[graft.streaming.CepStream.attachUntil]] (the (st, c, t0, te)
+    * state crosses micro-batch boundaries, both state APIs).
+    *
+    * @param pattern leading stages quantified as in
+    *                [[patternMatchesTimes]]; the FINAL stage must be
+    *                (type, min >= 1, [[Unbounded]])
+    * @param untilType the stop-condition event type; must differ from
+    *                every stage type
+    * @return (k, match_n, start_tms, end_tms) */
+  def patternMatchesUntil(df: DataFrame, keyCol: Column, tsMsCol: Column,
+      ordCol: Column, typeCol: Column, pattern: Seq[(String, Int, Int)],
+      untilType: String, withinMs: Long): DataFrame = {
+    validateUntil(pattern, untilType, withinMs)
+    val types = (pattern.map(_._1) :+ untilType).distinct
+    val proj = projEvents(df.filter(typeCol.isin(types: _*)),
+      keyCol, tsMsCol, ordCol, typeCol)
+    typedCep(proj).getOrElse(throw new IllegalArgumentException(
+      s"patternMatchesUntil needs an integral or string key; " +
+        s"got ${proj.schema("k").dataType.catalogString} — cast to a " +
+        "BIGINT/STRING surrogate")).timesUntil(pattern, withinMs, untilType)
+  }
+
+  private[graft] def validateUntil(pattern: Seq[(String, Int, Int)],
+      untilType: String, withinMs: Long): Unit = {
+    require(pattern.nonEmpty, "pattern must not be empty")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    pattern.zipWithIndex.foreach { case ((t, mn, mx), i) =>
+      val floor = if (i == 0 || i == pattern.length - 1) 1 else 0
+      require(mn >= floor && (mx == Unbounded || mx >= math.max(mn, 1)),
+        s"stage '$t' needs $floor <= min <= max (max >= 1), got ($mn, $mx)")
+    }
+    require(pattern.last._3 == Unbounded,
+      "the final stage must be an UNBOUNDED loop (max = Unbounded) — " +
+        "that is the class until() exists for; a bounded final stage " +
+        "belongs to patternMatchesTimes")
+    require(!pattern.exists(_._1 == untilType),
+      s"until type '$untilType' must differ from every stage type — an " +
+        "event cannot both extend a loop and close it")
   }
 
   /** [[patternMatchesTimes]] with CONSECUTIVE loops — Flink-CEP's

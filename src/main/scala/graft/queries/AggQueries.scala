@@ -406,6 +406,23 @@ object AggQueries {
         .orderBy(col("user_id"), col("match_n"))
     },
 
+    // CEP until() — Flink's stop condition on a GREEDY UNBOUNDED FINAL
+    // loop (round 15, VERDICT r14 item 6): at least TWO clicks
+    // accumulating until a purchase CLOSES the loop within seven days of
+    // the first click; the purchase is NOT part of the match (end = the
+    // last accepted click). Oracle = recursive-CTE automaton over
+    // (c, t0, te) — te (last loop event) is the only state beyond
+    // q_cep_times', revealed as the match end by the stop event.
+    "q_cep_until" -> { (s, dir) =>
+      graft.ops.Cep.patternMatchesUntil(Envelopes.events(s, dir),
+          col("user_id"), expr("unix_millis(ts)"), col("event_id"),
+          col("event_type"),
+          Seq(("click", 2, graft.ops.Cep.Unbounded)),
+          untilType = "purchase", withinMs = 604800000L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id"), col("match_n"))
+    },
+
     // CEP under AFTER MATCH SKIP TO NEXT ROW: overlapping runs — EVERY
     // view starts its own view→click→purchase run and emits its earliest
     // completion within seven days. Oracle = the static stage unroll
@@ -1464,6 +1481,51 @@ object AggQueries {
         |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
         |    CASE WHEN r.c >= 3 AND e.ty = 'purchase' AND e.tms - r.t0 < 604800000
         |           THEN e.tms ELSE CAST(NULL AS BIGINT) END AS m_e
+        |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
+        |SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)
+        |         AS match_n,
+        |       m_s AS start_tms, m_e AS end_tms
+        |FROM run WHERE m_s IS NOT NULL
+        |ORDER BY user_id, match_n""".stripMargin,
+
+    // The until-closed loop automaton: state (c, t0, te); branch order
+    // mirrors UntilStepper — timeout/idle/stop-event all route through
+    // the reset group (a click re-opens, anything else idles), a live
+    // click extends and stamps te, and the in-window purchase with
+    // c >= 2 emits (t0, te) — the purchase itself is NOT in the match.
+    "q_cep_until" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, tms, ty,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY tms, oid, ty) AS seq
+        |  FROM (SELECT user_id, epoch_ms(ts) AS tms, event_id AS oid,
+        |               event_type AS ty
+        |        FROM events WHERE event_type IN ('click', 'purchase'))),
+        |run AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS seq, 0 AS c,
+        |         CAST(0 AS BIGINT) AS t0, CAST(0 AS BIGINT) AS te,
+        |         CAST(NULL AS BIGINT) AS m_s, CAST(NULL AS BIGINT) AS m_e
+        |  FROM (SELECT DISTINCT user_id FROM ev)
+        |  UNION ALL
+        |  SELECT r.user_id, e.seq,
+        |    CASE WHEN (r.c > 0 AND e.tms - r.t0 >= 604800000) OR r.c = 0
+        |              OR e.ty = 'purchase'
+        |           THEN CASE WHEN e.ty = 'click' THEN 1 ELSE 0 END
+        |         ELSE r.c + 1 END AS c,
+        |    CASE WHEN (r.c > 0 AND e.tms - r.t0 >= 604800000) OR r.c = 0
+        |              OR e.ty = 'purchase'
+        |           THEN CASE WHEN e.ty = 'click' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         ELSE r.t0 END AS t0,
+        |    CASE WHEN (r.c > 0 AND e.tms - r.t0 >= 604800000) OR r.c = 0
+        |              OR e.ty = 'purchase'
+        |           THEN CASE WHEN e.ty = 'click' THEN e.tms ELSE CAST(0 AS BIGINT) END
+        |         ELSE e.tms END AS te,
+        |    CASE WHEN e.ty = 'purchase' AND r.c >= 2
+        |              AND e.tms - r.t0 < 604800000
+        |           THEN r.t0 ELSE CAST(NULL AS BIGINT) END AS m_s,
+        |    CASE WHEN e.ty = 'purchase' AND r.c >= 2
+        |              AND e.tms - r.t0 < 604800000
+        |           THEN r.te ELSE CAST(NULL AS BIGINT) END AS m_e
         |  FROM run r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1)
         |SELECT user_id,
         |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY seq) AS INT)

@@ -368,6 +368,60 @@ object CepStream {
           consecutive))
   }
 
+  /** State for the UNTIL-closed loop automaton: [[CepTimesState]] plus
+    * `te`, the last accepted final-loop event's tms (the match end the
+    * stop event reveals). */
+  final case class CepUntilState(st: Int, c: Int, t0: Long, te: Long)
+
+  /** The until-closed step loop — ONE body shared by the fMGWS wrapper
+    * below and the tws twin ([[CepStreamTws.attachUntil]]); the stepper
+    * is [[graft.ops.Cep.UntilStepper]], shared with the batch sorted
+    * plan, so the three forms cannot drift. */
+  private[streaming] def runUntil(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long, untilType: String)(
+      k: Long, events: Iterator[CepEvent], init: CepUntilState,
+      out: ListBuffer[CepMatch]): CepUntilState = {
+    val preds = pattern.map { case (t, mn, mx) =>
+      (((e: CepEvent) => e.ty == t), mn, mx) }.toIndexedSeq
+    val stepper = new graft.ops.Cep.UntilStepper[CepEvent](preds,
+      withinMs, _.ty == untilType, _.tms)
+    val sorted = events.toSeq.sortBy(e => (e.tms, e.oid, e.ty))
+    var s = init
+    sorted.foreach { e =>
+      val next = stepper.step(s.st, s.c, s.t0, s.te, e,
+        (st0, en) => out += CepMatch(k, st0, en))
+      s = CepUntilState(next._1, next._2, next._3, next._4)
+    }
+    s
+  }
+
+  def matchGroupUntil(pattern: IndexedSeq[(String, Int, Int)],
+      withinMs: Long, untilType: String)(
+      k: Long, events: Iterator[CepEvent],
+      state: GroupState[CepUntilState]): Iterator[CepMatch] = {
+    val out = ListBuffer.empty[CepMatch]
+    val s = runUntil(pattern, withinMs, untilType)(k, events,
+      state.getOption.getOrElse(CepUntilState(0, 0, 0L, 0L)), out)
+    state.update(s)
+    out.iterator
+  }
+
+  /** Attach the UNTIL-closed loop automaton
+    * ([[graft.ops.Cep.patternMatchesUntil]]) to a keyed event stream —
+    * the unbounded final loop's (st, c, t0, te) state crosses micro-batch
+    * boundaries, so a loop accumulating in batch N closes on a stop event
+    * in batch N+k. Pre-filter to the pattern types PLUS the until type. */
+  def attachUntil(ds: Dataset[CepEvent], pattern: Seq[(String, Int, Int)],
+      untilType: String, withinMs: Long): Dataset[CepMatch] = {
+    graft.ops.Cep.validateUntil(pattern, untilType, withinMs)
+    if (StateImpl.useTws(ds.sparkSession))
+      return CepStreamTws.attachUntil(ds, pattern, untilType, withinMs)
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchGroupUntil(pattern.toIndexedSeq, withinMs, untilType))
+  }
+
   /** Attach the PREDICATE-STAGE automaton ([[graft.ops.Cep
     * .patternMatchesWhere]]'s contract, Flink's `where()` conditions) to a
     * keyed stream of ANY event type `E` — the watermark-driven low-latency

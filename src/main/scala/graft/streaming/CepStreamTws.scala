@@ -156,6 +156,19 @@ object CepStreamTws {
       TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[CepStream.attachUntil]]'s tws twin. */
+  def attachUntil(ds: Dataset[CepEvent], pattern: Seq[(String, Int, Int)],
+      untilType: String, withinMs: Long): Dataset[CepMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k).transformWithState(
+      new StepProcessor[CepEvent, CepStream.CepUntilState, CepMatch](
+        "cep_until_state", Encoders.product[CepStream.CepUntilState],
+        CepStream.CepUntilState(0, 0, 0L, 0L),
+        CepStream.runUntil(pattern.toIndexedSeq, withinMs,
+          untilType)(_, _, _, _)),
+      TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[CepStream.attachTimesConsecutive]]'s tws twin. */
   def attachTimesConsecutive(ds: Dataset[CepEvent],
       pattern: Seq[(String, Int, Int)], withinMs: Long,

@@ -951,4 +951,70 @@ class CepSpec extends SparkSpec {
       Seq("view", "purchase"), 1000).collect()
     assert(got.length == 1)
   }
+
+  private def matchesUntil(df: org.apache.spark.sql.DataFrame,
+      pattern: Seq[(String, Int, Int)], untilType: String,
+      w: Long): Seq[(Long, Int, Long, Long)] =
+    Cep.patternMatchesUntil(df, col("k"), col("tms"), col("oid"),
+        col("ty"), pattern, untilType, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("until(): the stop event closes the unbounded loop and is NOT in the match") {
+    // 3 clicks then a purchase: one match, end = the LAST click (30),
+    // not the purchase (40)
+    val df = ev((1L, 10L, "click"), (1L, 20L, "click"), (1L, 30L, "click"),
+      (1L, 40L, "purchase"))
+    assert(matchesUntil(df, Seq(("click", 2, Cep.Unbounded)), "purchase",
+      1000) == Seq((1L, 1, 10L, 30L)))
+    // relaxed contiguity: an interleaved non-pattern event changes nothing
+    // (the scan pre-filters it away)
+    val df2 = ev((2L, 10L, "click"), (2L, 15L, "error"), (2L, 20L, "click"),
+      (2L, 40L, "purchase"))
+    assert(matchesUntil(df2, Seq(("click", 2, Cep.Unbounded)), "purchase",
+      1000) == Seq((2L, 1, 10L, 20L)))
+  }
+
+  test("until(): below-floor partials die; no stop event means no match") {
+    // one click then purchase: below the floor of 2 — the partial dies
+    val df = ev((1L, 10L, "click"), (1L, 20L, "purchase"),
+      // a fresh run after: two clicks, closed in-window
+      (1L, 30L, "click"), (1L, 40L, "click"), (1L, 50L, "purchase"))
+    assert(matchesUntil(df, Seq(("click", 2, Cep.Unbounded)), "purchase",
+      1000) == Seq((1L, 1, 30L, 40L)))
+    // loop never closed (no purchase): end-of-input discards
+    val df2 = ev((2L, 10L, "click"), (2L, 20L, "click"), (2L, 30L, "click"))
+    assert(matchesUntil(df2, Seq(("click", 2, Cep.Unbounded)), "purchase",
+      1000).isEmpty)
+  }
+
+  test("until(): window expiry discards; leading stages and the loop compose") {
+    // the purchase lands past the window of the first click: no match,
+    // and the late clicks open a new run that closes in-window
+    val df = ev((1L, 10L, "click"), (1L, 20L, "click"),
+      (1L, 2000L, "purchase"), // timed out vs t0=10
+      (1L, 2010L, "click"), (1L, 2020L, "click"), (1L, 2030L, "purchase"))
+    assert(matchesUntil(df, Seq(("click", 2, Cep.Unbounded)), "purchase",
+      1000) == Seq((1L, 1, 2010L, 2020L)))
+    // a leading exact stage before the unbounded loop: view then >= 2
+    // clicks until purchase; start = the view
+    val df2 = ev((3L, 10L, "view"), (3L, 20L, "click"), (3L, 30L, "click"),
+      (3L, 40L, "click"), (3L, 50L, "purchase"))
+    assert(matchesUntil(df2,
+      Seq(("view", 1, 1), ("click", 2, Cep.Unbounded)), "purchase",
+      1000) == Seq((3L, 1, 10L, 40L)))
+  }
+
+  test("until(): validation — bounded final stage, clashing until type rejected") {
+    val df = ev((1L, 10L, "click"))
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesUntil(df, col("k"), col("tms"), col("oid"),
+        col("ty"), Seq(("click", 2, 5)), "purchase", 1000)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.patternMatchesUntil(df, col("k"), col("tms"), col("oid"),
+        col("ty"), Seq(("click", 2, Cep.Unbounded)), "click", 1000)
+    }
+  }
 }

@@ -324,6 +324,40 @@ class CepStreamSpec extends SparkSpec {
     assert(got == batchTimes(b1 ++ b2 ++ b3, timesPat, 1000))
   }
 
+  test("until(): the loop accumulates across batches; the stop event in a later batch closes it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pat = Seq(("click", 2, Int.MaxValue))
+    val mem = MemoryStream[CepEvent]
+    val q = CepStream.attachUntil(mem.toDS(), pat, "purchase", 1000)
+      .writeStream.format("memory").queryName("cep_until_out")
+      .outputMode("append").start()
+    try {
+      // clicks split across two batches, the closing purchase in a third
+      mem.addData(CepEvent(1, 10, 1, "click"))
+      q.processAllAvailable()
+      mem.addData(CepEvent(1, 20, 2, "click"), CepEvent(1, 30, 3, "click"))
+      q.processAllAvailable()
+      assert(s.table("cep_until_out").isEmpty) // loop still open
+      mem.addData(CepEvent(1, 40, 4, "purchase"))
+      q.processAllAvailable()
+      val got = s.table("cep_until_out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("match_start"),
+          r.getAs[Long]("match_end"))).toSeq
+      // end = the LAST click (30), not the purchase — and it equals the
+      // batch operator over the concatenation
+      assert(got == Seq((1L, 10L, 30L)))
+      val batch = graft.ops.Cep.patternMatchesUntil(
+        Seq((1L, 10L, 1L, "click"), (1L, 20L, 2L, "click"),
+          (1L, 30L, 3L, "click"), (1L, 40L, 4L, "purchase"))
+          .toDF("k", "tms", "oid", "ty"),
+        col("k"), col("tms"), col("oid"), col("ty"), pat, "purchase", 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("optional stage skipped across a micro-batch boundary") {
     val pat = Seq(("view", 1, 1), ("click", 0, Int.MaxValue),
       ("purchase", 1, 1))

@@ -152,6 +152,8 @@ class CepStreamTwsSpec extends SparkSpec {
             e.ty == "click" && e.tms >= f.tms), 1, 1)), 1000)),
       "skipto" -> (ds => CepStream.attachSkipTo(ds, vcp, 1000, skipTo = 1)),
       "nfa" -> (ds => CepStream.attachTimesNfa(ds, loopPat, 1000)),
+      "until" -> (ds => CepStream.attachUntil(ds,
+        Seq(("view", 1, 2), ("click", 1, Int.MaxValue)), "purchase", 1000)),
       "skipnext" -> (ds => CepStream.attachSkipNext(ds, vcp, 1000)))
     withProvider {
       forms.foreach { case (name, f) =>
