@@ -555,7 +555,8 @@ object Dedup {
     *         rounds, so the default bound is far beyond any real graph —
     *         silently returning a split cluster would corrupt keeper
     *         assignment) */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      driverLocalMaxEdges: Long = 200000L): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the pair set ONCE before mirroring it: `pairs` is usually an
     // expensive lazy plan (an LSH or inverted-index join), and a union of two
@@ -566,6 +567,64 @@ object Dedup {
       .distinct().localCheckpoint(true)
     graft.util.Blocks.freeCheckpoint(p)
     val edgeCt = edges0.count() // cached-block scan, no shuffle
+    // DRIVER-LOCAL fast path (round 15, VERDICT r14 item 5 — the
+    // store-fold driver-job floor): the incremental folds feed
+    // BATCH-sized edge sets (batch pairs + affected clusters' star
+    // edges), where the distributed loop's wall is pure driver latency —
+    // ~6 AQE stage jobs PER pointer-jump round over a few hundred rows,
+    // the reason the CC drives swing 2–3× with box state. At or below
+    // the gate, the identical min-label components come out of ONE
+    // cached-block collect + a union-find + a LocalRelation — two driver
+    // actions total instead of O(rounds × stages) jobs. The gate is the
+    // EDGE COUNT, not corpus size: a 100 TB corpus-wide pair graph blows
+    // past it and keeps the full distributed loop below, and a long
+    // stream's fold stays under it exactly when its delta does — the
+    // sparse-delta regime the fold protocol is built for. Result parity
+    // is definitional (components and min-labels are unique) and pinned
+    // by CcPropertySpec across the gate.
+    if (edgeCt > 0 && edgeCt <= driverLocalMaxEdges &&
+        edges0.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val rows = edges0.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val idx = new java.util.HashMap[Long, Integer](rows.length * 2)
+        val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
+        def idOf(v: Long): Int = {
+          val got = idx.get(v)
+          if (got != null) got.intValue()
+          else { val i = ids.length; ids += v; idx.put(v, i); i }
+        }
+        val parent = new Array[Int](rows.length * 2)
+        var n = 0
+        def find(x0: Int): Int = {
+          var r = x0
+          while (parent(r) != r) r = parent(r)
+          var c = x0
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        rows.foreach { r =>
+          val a = idOf(r.getLong(0)); val b = idOf(r.getLong(1))
+          while (n < ids.length) { parent(n) = n; n += 1 }
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        // keeper = component MINIMUM doc_id — the distributed loop's
+        // min-label fixpoint, computed in one pass over the id table
+        val minOf = new Array[Long](ids.length)
+        java.util.Arrays.fill(minOf, Long.MaxValue)
+        var i = 0
+        while (i < ids.length) {
+          val r = find(i)
+          if (ids(i) < minOf(r)) minOf(r) = ids(i)
+          i += 1
+        }
+        import spark.implicits._
+        graft.util.Blocks.freeCheckpoint(edges0)
+        return ids.indices.map(j => (ids(j), minOf(find(j)))).toSeq
+          .toDF("doc_id", "keeper_id")
+      }
+    }
     // Loop shuffle width ∝ data: ~1M narrow edge rows (two longs) per
     // partition stays far under executor memory at any scale while collapsing
     // a near-dup graph at test scale to a single partition, where per-round

@@ -17,7 +17,7 @@ class CcConcurrencySpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fut = Future(Dedup.connectedComponents(pairs))
+    val fut = Future(Dedup.connectedComponents(pairs, driverLocalMaxEdges = 0L))
     // Poll the session conf the whole time the loop is live: with plan-local
     // width control the value can never change, not even transiently.
     var observed = Set.empty[String]
@@ -39,7 +39,7 @@ class CcConcurrencySpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fut = Future(Dedup.connectedComponents(pairs))
+    val fut = Future(Dedup.connectedComponents(pairs, driverLocalMaxEdges = 0L))
     // Plan (don't execute) an unrelated aggregation while the loop runs and
     // read the exchange width out of its physical plan: AQE coalescing acts
     // at runtime, so the PLANNED width is the session conf verbatim.

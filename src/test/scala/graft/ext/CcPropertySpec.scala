@@ -20,7 +20,7 @@ class CcPropertySpec extends SparkSpec {
     byRoot.values.flatMap(c => { val m = c.min; c.map(_ -> m) }).toMap
   }
 
-  test("random graphs match a union-find oracle") {
+  test("random graphs match a union-find oracle on BOTH sides of the driver-local gate") {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(7)
@@ -28,9 +28,17 @@ class CcPropertySpec extends SparkSpec {
       val n = 40
       val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(p => p._1 != p._2)
-      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id")).collect()
+      val want = unionFindKeepers(edges)
+      // default gate: the driver-local union-find path (round 15)
+      val local = Dedup.connectedComponents(edges.toDF("a_id", "b_id")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == unionFindKeepers(edges), s"trial $trial")
+      assert(local == want, s"trial $trial (driver-local)")
+      // gate forced shut: the distributed pointer-jumping loop — the two
+      // paths must be indistinguishable (min-label components are unique)
+      val dist = Dedup.connectedComponents(edges.toDF("a_id", "b_id"),
+          driverLocalMaxEdges = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == want, s"trial $trial (distributed)")
     }
   }
 
@@ -39,8 +47,10 @@ class CcPropertySpec extends SparkSpec {
     import s.implicits._
     val chain = (1L to 31L).sliding(2).map(w => (w.head, w.last)).toSeq
     // log2(30) ≈ 5; pointer jumping must land well under 10 rounds where
-    // plain propagation would need ~30
-    val got = Dedup.connectedComponents(chain.toDF("a_id", "b_id"), maxIter = 10)
+    // plain propagation would need ~30 — gate forced shut so the
+    // DISTRIBUTED loop is what converges here
+    val got = Dedup.connectedComponents(chain.toDF("a_id", "b_id"),
+        maxIter = 10, driverLocalMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(1L) && got.size == 31)
   }

@@ -160,12 +160,16 @@ class FoldJobsSpec extends SparkSpec {
         Seq((2L, 3L)).toDF("a_id", "b_id"), store).count()
     }
     info(s"IncrementalCc colliding fold: $colliding jobs")
-    // measured r14: ~45 — the components loop's AQE stage jobs dominate
-    // (per-iteration repartition/join/rollup), around the two store merges.
-    // The ceiling catches protocol regressions (an O(store) read or an
-    // extra per-fold meta collect adds a visible step), not loop tuning.
-    assert(colliding <= 55, s"CC colliding fold launched $colliding jobs — " +
-      "protocol regression (eager store scan or duplicate pruned read?)")
+    // measured r15: 26 (was ~45) — the components run now takes the
+    // driver-local union-find path at fold-sized edge sets (one
+    // cached-block collect + a LocalRelation instead of the distributed
+    // loop's ~6 AQE stage jobs per pointer-jump round), leaving the two
+    // store merges + probes as the cost. The ceiling catches protocol
+    // regressions (an O(store) read, a duplicate pruned read, or the
+    // distributed loop re-engaging at fold scale).
+    assert(colliding <= 32, s"CC colliding fold launched $colliding jobs — " +
+      "protocol regression (eager store scan, duplicate pruned read, or " +
+      "the driver-local components gate regressed?)")
     val sparse = jobsDuring {
       IncrementalCc.mergePairs(
         Seq((10L, 11L)).toDF("a_id", "b_id"), store).count()
@@ -175,7 +179,8 @@ class FoldJobsSpec extends SparkSpec {
     // probe, the batch-only components run, the meta audit, two merges
     assert(sparse <= colliding,
       s"sparse fold ($sparse jobs) costs more than a colliding one ($colliding)")
-    assert(sparse <= 45, s"CC sparse fold launched $sparse jobs — " +
-      "the all-new-nodes path must not read the member index")
+    assert(sparse <= 28, s"CC sparse fold launched $sparse jobs — " +
+      "the all-new-nodes path must not read the member index (measured " +
+      "r15: 23)")
   }
 }
