@@ -1798,6 +1798,32 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // Chunk-store ERASURE (round 15 — the deletion-family member for the
+    // content-addressed chunk store): fold the corpus in three spines
+    // through the refcounted chunk index, erase the doc_id % 7 == 0
+    // slice, and read the surviving (fp, cnt) table. Chunks are SHARED
+    // across documents, so erasure is reference counting, not presence
+    // tombstoning — a chunk survives its co-holders' erasure at a
+    // decremented count, and only last-reference chunks die. Oracle =
+    // the one-pass chunk-reference count over the SURVIVING corpus
+    // (integer-exact adds/subtracts make the fold chain equal it).
+    "q_chunk_erase" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_chke_q")
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalChunkDedup.dedupBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/ch",
+          col("doc_id"), col("text"), i.toLong).count()
+      graft.streaming.IncrementalChunkDedup.deleteBatch(
+        d.filter(col("doc_id") % 7 === 0), s"$root/ch",
+        col("doc_id"), col("text"), 3L)
+      val out = graft.streaming.KeyedStore.readActive(s, s"$root/ch").get
+        .select(col("fp"), col("cnt")).orderBy(col("fp"))
+        .localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      out
+    },
+
     // FLAGSHIP LM-curation composite wiring this round's model-bounded
     // screens end to end: bigram-LM surprise gate (keep ⇔ mean inverse
     // probability ≤ 820) → Bloom decontamination vs the %97 eval suite
@@ -4368,6 +4394,34 @@ object ExtQueries {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) = 1
         |            AS INT) AS is_first
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q_cdc_chunk's CTEs restricted to the SURVIVING corpus, then the
+    // per-fingerprint reference count — the fold/erase chain's
+    // integer-exact arithmetic must land on exactly this table.
+    "q_chunk_erase" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |           FROM documents WHERE doc_id % 7 <> 0),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |          unnest(generate_series(1, len(ts))) AS pos
+        |        FROM t),
+        |g AS (SELECT doc_id, w, pos,
+        |        pos >= 3 AND
+        |        ('0x' || substr(md5(concat_ws(' ',
+        |           lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           w)), 1, 8))::BIGINT % 16 = 0 AS cut
+        |      FROM tok),
+        |c AS (SELECT doc_id, w, pos,
+        |        CAST(COALESCE(SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+        |          PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS chunk_id
+        |      FROM g),
+        |ch AS (SELECT doc_id, chunk_id,
+        |         ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 8))::BIGINT AS fp
+        |       FROM c GROUP BY 1, 2)
+        |SELECT fp, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM ch GROUP BY fp ORDER BY fp""".stripMargin,
 
     // Flagship twin stitched from the proven q_lm_surprise / q_bloom_decon /
     // q_wordpiece CTEs (LM raw spine = the %97 train corpus here), exact

@@ -150,35 +150,63 @@ object IncrementalDedup {
   * [[graft.ext.TextStats.cdcChunks]] cuts each document at content-defined
   * boundaries (insertion-robust: an early edit perturbs only the chunks it
   * touches, every later chunk re-synchronizes to an identical fingerprint),
-  * and the [[IncrementalDedup]] persistent fingerprint store decides which
+  * and a persistent REFERENCE-COUNTED fingerprint store decides which
   * chunk CONTENTS the batch must physically store vs merely reference. A
   * re-ingested document with an early insertion therefore stores only its
   * touched chunks — across micro-batches, restarts, and different queries.
   *
-  * Per-batch cost is [[IncrementalDedup.dedupBatch]]'s, on chunk rows
-  * instead of doc rows: the chunking window passes, one batch-sized rank
-  * window for within-batch firsts, a bucket-PRUNED store read sized by the
-  * batch's fingerprints, and a KeyedStore merge touching only the buckets
-  * the new fingerprints hash into. Fingerprint identity IS content
-  * identity here (the [[IncrementalDedup]] stance — documented 32-bit fp
-  * collision exposure, widen the fp slice where that matters). */
+  * Round 15: the store is REFCOUNTED — one row per live fingerprint
+  * holding (cnt = live (doc, chunk) references, fb = the batch that
+  * stored the bytes, ver) under layout `chunk-rc-v1` — because chunk
+  * erasure is NOT presence erasure: a chunk's bytes are SHARED by every
+  * document that references them (that is the point of storage dedup),
+  * so erasing one document may only reclaim the chunks whose last
+  * reference it held. The counting protocol is [[IncrementalDf]]'s:
+  * integer-exact adds/subtracts under a manifest-note high-water mark,
+  * so after any fold/delete interleaving the stored (fp → cnt) table
+  * equals the one-pass chunk-reference count over the SURVIVING corpus
+  * (oracle `q_chunk_erase`). Stores written before round 15 carry the
+  * old presence layout and fail loudly with the rebuild instruction
+  * (the KeyedStore layout-stamp policy).
+  *
+  * Per-batch cost: the chunking window passes, one batch-sized rank
+  * window for within-batch firsts, a bucket-PRUNED store read sized by
+  * the batch's fingerprints, and a KeyedStore merge touching only the
+  * buckets the batch's fingerprints hash into. Fingerprint identity IS
+  * content identity here (the [[IncrementalDedup]] stance — documented
+  * 32-bit fp collision exposure; a collision would alias two different
+  * chunks onto one refcount — widen the fp slice where that matters). */
 object IncrementalChunkDedup {
 
+  private val Layout = Some("chunk-rc-v1")
+
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, probe: DataFrame): Option[DataFrame] =
+    KeyedStore.readPruned(spark, storePath, probe)
+      .map(_.filter(col("op_type") =!= "delete")
+        .select(col("fp"), col("cnt"), col("fb")))
+
+  private def hwmNote(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Map[String, String] =
+    KeyedStore.readNote(spark, storePath)
+      .map(KeyedStore.Note.decode).getOrElse(Map.empty)
+
   /** Chunk one micro-batch, screen the chunk fingerprints against the
-    * store at `storePath` (creating it on first use), persist the new
-    * fingerprints, and return the batch's full chunk layout with
-    * `stored = 1` on exactly the rows whose content this batch must write
-    * (the canonical first (doc_id, chunk_id) occurrence of a fingerprint
-    * the store had never seen); every other row is a reference to an
-    * already-stored chunk.
+    * store at `storePath` (creating it on first use), add the batch's
+    * references (new fingerprints seed cnt, seen ones increment it), and
+    * return the batch's full chunk layout with `stored = 1` on exactly
+    * the rows whose content this batch must write (the canonical first
+    * (doc_id, chunk_id) occurrence of a fingerprint the store had never
+    * seen — or had seen only from THIS batch, the replay case); every
+    * other row is a reference to an already-stored chunk.
     *
-    * REPLAY-idempotent under a unique, per-batch `batchId`: the store
-    * records which batch first stored each fingerprint, and the screen
-    * counts a fingerprint whose recorded batch is THIS batch as unstored —
-    * so a re-delivered batch (at-least-once upstream, crash between the
-    * fingerprint merge and the caller's physical content write) gets
-    * `stored = 1` for its own fingerprints again and re-writes the bytes,
-    * instead of silently dropping them as already-seen.
+    * REPLAY-idempotent under the serialized-caller contract (monotone
+    * batchIds across folds AND deletes, the [[IncrementalDf]] stance): a
+    * re-delivered batch (batchId ≤ the note HWM) recomputes its output
+    * from the committed store — `stored = 1` exactly where fb records
+    * this batch — WITHOUT touching the counts, so at-least-once upstream
+    * delivery can neither double-count references nor skip the physical
+    * byte write after a crash.
     *
     * @return (doc_id, chunk_id, n_toks, fp, stored) */
   def dedupBatch(batch: DataFrame, storePath: String, idCol: Column,
@@ -196,33 +224,135 @@ object IncrementalChunkDedup {
       .localCheckpoint(true)
     // pruned read: only the store buckets this batch's fingerprints hash
     // into are opened — O(batch) file IO at any store size
-    val seen = KeyedStore.readPruned(spark, storePath,
-      chunks.select(col("fp")).distinct())
-    val out = (seen match {
-      case Some(s) => chunks.join(
-        s.select(col("fp"), col("batch_id").as("__seen_bid")),
-        Seq("fp"), "left_outer")
-      case None => chunks.withColumn("__seen_bid", lit(null).cast("long"))
-    })
-      // a fingerprint this very batch stored counts as UNSEEN: on replay
-      // the rows re-mark stored = 1 (idempotent output); on first delivery
-      // the store cannot hold this batchId yet, so the clause is inert
+    val seen = liveRows(spark, storePath, chunks.select(col("fp")).distinct())
+    val hwm = hwmNote(spark, storePath).get("ver").map(_.toLong)
+    if (hwm.exists(batchId <= _)) {
+      // replay: output from the committed store, counts untouched — fb
+      // marks the fingerprints THIS batch stored (their bytes must be
+      // re-written by the caller); fingerprints a LATER erase dropped
+      // read as unseen-but-unstored (erasure must not resurrect here)
+      val s = seen.getOrElse(chunks.select(col("fp")).limit(0)
+        .withColumn("cnt", lit(0L)).withColumn("fb", lit(0L)))
+      val out = chunks.join(s.select(col("fp"), col("fb")), Seq("fp"), "left_outer")
+        .withColumn("stored",
+          (coalesce(col("fb"), lit(Long.MinValue)) === batchId &&
+            col("__rk") === 1).cast("int"))
+        .select(col("doc_id"), col("chunk_id"), col("n_toks"), col("fp"),
+          col("stored"))
+        .localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(chunks)
+      return out
+    }
+    val s = seen.getOrElse(chunks.select(col("fp")).limit(0)
+      .withColumn("cnt", lit(0L)).withColumn("fb", lit(0L)))
+    val out = chunks
+      .join(s.select(col("fp"), lit(1).as("__seen")), Seq("fp"), "left_outer")
       .withColumn("stored",
-        ((col("__seen_bid").isNull || col("__seen_bid") === batchId) &&
-          col("__rk") === 1).cast("int"))
+        (col("__seen").isNull && col("__rk") === 1).cast("int"))
       .select(col("doc_id"), col("chunk_id"), col("n_toks"), col("fp"),
         col("stored"))
       // pin BEFORE the store merge: without it the caller's consumption
       // would re-run the screen against the already-updated store and mark
       // nothing as stored (the dedupBatch discipline)
       .localCheckpoint(true)
+    // reference upsert: EVERY batch fingerprint's count grows by its
+    // (doc, chunk) row count — new fps seed from 0 (incl. reseeding a
+    // fingerprint a past erase tombstoned: the put at ver = batchId
+    // outranks the older tombstone), seen ones increment
+    val upserts = chunks.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__refs"))
+      .join(s, Seq("fp"), "left_outer")
+      .select(col("fp"),
+        (coalesce(col("cnt"), lit(0L)) + col("__refs")).as("cnt"),
+        coalesce(col("fb"), lit(batchId)).as("fb"),
+        lit(batchId).as("ver"), lit("put").as("op_type"))
+      // LAZY pin: the merge's own stage write is the one materialization
+      .localCheckpoint(false)
+    if (!upserts.isEmpty)
+      KeyedStore.merge(upserts, storePath, keys = Seq("fp"),
+        seqCols = Seq("ver"), numBuckets = numBuckets,
+        bucketCols = Seq("fp"), layoutId = Layout,
+        note = Some(KeyedStore.Note.encode("ver" -> batchId.toString)))
+    graft.util.Blocks.freeCheckpoint(upserts)
     graft.util.Blocks.freeCheckpoint(chunks)
-    val newFps = out.filter(col("stored") === 1)
-      .select(col("fp")).withColumn("batch_id", lit(batchId))
-    if (!newFps.isEmpty)
-      KeyedStore.merge(newFps, storePath, keys = Seq("fp"),
-        seqCols = Seq("batch_id"), numBuckets = numBuckets,
-        bucketCols = Seq("fp"))
     out
+  }
+
+  /** CDC DELETE half for the chunk store (round 15 — completing the
+    * deletion family across every persistent index: chunks were the one
+    * store without it): subtract the erased documents' references and
+    * TOMBSTONE fingerprints whose count reaches zero — exactly those
+    * chunks' bytes are reclaimable by the content-addressed store, and
+    * ONLY those (a chunk another document still references must survive
+    * its co-holders' erasure — presence tombstoning would corrupt the
+    * survivors' references, which is why this store refcounts).
+    *
+    * The documents' chunk layouts are RECOMPUTED from the CDC delete
+    * pre-image text ([[IncrementalLsh.deleteBatch]]'s ordering contract:
+    * erase the chunk index BEFORE the corpus drops the bytes; cdcChunks
+    * is a pure function of the text, so recomputation reaches exactly
+    * the folded fingerprints). ENFORCED where the store allows: a batch
+    * fingerprint that is missing, or holds fewer live references than
+    * the batch subtracts, aborts loudly BEFORE anything writes (a
+    * never-folded doc, drifted text, or a double delete caught by
+    * arithmetic); like [[IncrementalDf.deleteBatch]], the store records
+    * fingerprints, not doc ids, so a cross-batch double delete that
+    * happens to leave every count ≥ the batch's is NOT detectable here —
+    * route document identity through [[IncrementalDedup]] upstream.
+    * Replay rides the shared note HWM: a replay of the LATEST erase
+    * returns its recorded drop count, an older one returns 0 (the
+    * [[IncrementalDedup.deleteBatch]] contract).
+    *
+    * Returns the number of fingerprints whose count reached zero (the
+    * reclaimable chunk set). */
+  def deleteBatch(batch: DataFrame, storePath: String, idCol: Column,
+      textCol: Column, batchId: Long, window: Int = 3, divisor: Int = 16,
+      numBuckets: Int = 16): Long = {
+    val spark = batch.sparkSession
+    val d = hwmNote(spark, storePath)
+    d.get("ver").map(_.toLong).foreach { hwm =>
+      if (batchId <= hwm)
+        return if (d.get("delver").map(_.toLong).contains(batchId))
+          d("deln").toLong else 0L
+    }
+    val chunks = graft.ext.TextStats
+      .cdcChunks(batch, idCol, textCol, window, divisor)
+      .localCheckpoint(true) // feeds the refs agg + nothing else re-runs
+    val refs = chunks.groupBy(col("fp")).agg(count(lit(1)).as("__refs"))
+      // LAZY pin: the pruned read's bucket-probe collect materializes it
+      .localCheckpoint(false)
+    val s = liveRows(spark, storePath, refs)
+      .getOrElse(refs.select(col("fp")).limit(0)
+        .withColumn("cnt", lit(0L)).withColumn("fb", lit(0L)))
+    val dec = refs.join(s, Seq("fp"), "left_outer")
+      .localCheckpoint(true) // feeds the guard, the drop count, the merge
+    val bad = dec.filter(col("cnt").isNull || col("cnt") < col("__refs"))
+      .select(col("fp")).limit(3).collect().map(_.get(0))
+    require(bad.isEmpty,
+      s"deleteBatch: chunk fingerprints ${bad.mkString(", ")}… are missing " +
+        s"or under-referenced in the store at $storePath — the batch holds " +
+        "a doc that was never folded, whose text drifted since folding, or " +
+        "a double delete (erase the chunk index BEFORE the corpus drops " +
+        "the text)")
+    val dropped = dec.filter(col("cnt") === col("__refs")).count()
+    KeyedStore.merge(
+      dec.select(col("fp"),
+        (col("cnt") - col("__refs")).as("cnt"), col("fb"),
+        lit(batchId).as("ver"),
+        when(col("cnt") === col("__refs"), lit("delete"))
+          .otherwise(lit("put")).as("op_type")),
+      storePath, keys = Seq("fp"), seqCols = Seq("ver"),
+      numBuckets = numBuckets, bucketCols = Seq("fp"), layoutId = Layout,
+      note = Some(KeyedStore.Note.encode("ver" -> batchId.toString,
+        "delver" -> batchId.toString, "deln" -> dropped.toString)))
+    // zero-count tombstones compact on the amortized cadence: an absent
+    // fingerprint reads exactly as a tombstoned one (unseen — a re-ingest
+    // reseeds it), and replay safety rides the note, which compaction
+    // preserves
+    KeyedStore.maintain(spark, storePath)
+    graft.util.Blocks.freeCheckpoint(dec)
+    graft.util.Blocks.freeCheckpoint(refs)
+    graft.util.Blocks.freeCheckpoint(chunks)
+    dropped
   }
 }

@@ -150,6 +150,101 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deleteBatch: refcounts keep shared chunks alive; the last holder's erase reclaims") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk_del").toString + "/store"
+    val t1 = words(41, 300).mkString(" ")
+    val b0 = Seq((1L, t1), (2L, t1)).toDF("doc_id", "text") // full sharers
+    IncrementalChunkDedup.dedupBatch(b0, store, col("doc_id"), col("text"), 0L)
+      .count()
+    val nFps = KeyedStore.readActive(s, store).get.count()
+    assert(nFps > 0)
+    // every chunk is referenced twice
+    assert(KeyedStore.readActive(s, store).get
+      .agg(min(col("cnt"))).head().getLong(0) == 2L)
+    // erasing ONE sharer reclaims NOTHING — doc 2 still references every
+    // chunk; counts drop to 1
+    assert(IncrementalChunkDedup.deleteBatch(
+      Seq((1L, t1)).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 1L) == 0L)
+    assert(KeyedStore.readActive(s, store).get
+      .agg(max(col("cnt")), count(lit(1))).head().toSeq == Seq(1L, nFps))
+    // erasing the LAST holder reclaims every chunk
+    assert(IncrementalChunkDedup.deleteBatch(
+      Seq((2L, t1)).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 2L) == nFps)
+    // ... and a re-ingest of the erased content stores everything again
+    val re = IncrementalChunkDedup.dedupBatch(
+      Seq((9L, t1)).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 3L)
+    assert(re.filter(col("stored") === 1).count() == nFps)
+  }
+
+  test("deleteBatch: fold/delete interleaving equals the reference count over survivors") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk_par").toString + "/store"
+    val docs = Seq(
+      (1L, words(51, 260).mkString(" ")), (2L, words(52, 220).mkString(" ")),
+      (3L, words(53, 240).mkString(" ")), (4L, words(51, 260).mkString(" ")))
+    IncrementalChunkDedup.dedupBatch(
+      docs.take(2).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 0L).count()
+    IncrementalChunkDedup.dedupBatch(
+      docs.drop(2).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 1L).count()
+    IncrementalChunkDedup.deleteBatch(
+      docs.filter(_._1 == 1L).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 2L)
+    val got = KeyedStore.readActive(s, store).get
+      .select("fp", "cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: one-pass chunk-reference count over the SURVIVING corpus
+    val want = TextStats.cdcChunks(
+        docs.filterNot(_._1 == 1L).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .groupBy("fp").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("deleteBatch: guards (never-folded, drifted text) and note-HWM replay") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk_grd").toString + "/store"
+    val t = words(61, 250).mkString(" ")
+    IncrementalChunkDedup.dedupBatch(
+      Seq((1L, t)).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 0L).count()
+    // a doc that was never folded aborts loudly (its chunks are missing)
+    intercept[IllegalArgumentException] {
+      IncrementalChunkDedup.deleteBatch(
+        Seq((5L, words(62, 250).mkString(" "))).toDF("doc_id", "text"),
+        store, col("doc_id"), col("text"), 1L)
+    }
+    // drifted text likewise (some recomputed chunk is unknown)
+    intercept[IllegalArgumentException] {
+      IncrementalChunkDedup.deleteBatch(
+        Seq((1L, t + " drifted tail tokens")).toDF("doc_id", "text"),
+        store, col("doc_id"), col("text"), 1L)
+    }
+    val n = IncrementalChunkDedup.deleteBatch(
+      Seq((1L, t)).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 1L)
+    assert(n > 0L)
+    // replay of the LATEST erase returns its recorded count, untouched
+    val gen = KeyedStore.latestGeneration(s, store)
+    assert(IncrementalChunkDedup.deleteBatch(
+      Seq((1L, t)).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 1L) == n)
+    // a replayed OLDER batch id no-ops with 0
+    assert(IncrementalChunkDedup.deleteBatch(
+      Seq((1L, t)).toDF("doc_id", "text"), store,
+      col("doc_id"), col("text"), 0L) == 0L)
+    assert(KeyedStore.latestGeneration(s, store) == gen)
+  }
+
   test("restart: a fresh caller over the same store keeps referencing") {
     val s = spark
     import s.implicits._
