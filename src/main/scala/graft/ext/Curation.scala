@@ -591,4 +591,51 @@ object Curation {
       .select(col("doc_id"), col("n_toks"), col("tgt_mass"), col("raw_mass"),
         col("keep"))
   }
+
+  /** Longest-match URL policy screen — the robots.txt / ban-list decision
+    * (RFC 9309 §2.2.2) evaluated corpus-side: for each document URL, the
+    * most specific matching rule for its canonical host decides, with the
+    * RFC's two tie rules — the LONGEST matching path prefix wins, and at
+    * equal length Allow beats Disallow (least-restrictive). No matching
+    * rule, or a host with no rules at all, defaults to allowed. Matching
+    * runs on the CANONICAL path+query ([[TextStats.canonicalizeUrl]]'s
+    * output after the authority; the root path matches as `/`), so two
+    * surface forms of one page always get one verdict.
+    *
+    * Scale shape: the rule set (small — ban lists and robots snapshots are
+    * KB-scale per host) is grouped into ONE array row per host and
+    * broadcast, so the corpus never shuffles: the decision is a row-local
+    * fold over the host's rules. The fold is max-by-(prefix length, allow)
+    * — commutative and associative, so the undefined `collect_list` order
+    * cannot change the verdict; `aggregate`/`filter` run interpreted
+    * (CodegenFallback) but touch only the ≤ |rules-per-host| array, not
+    * the text. A SQL engine replays the same decision relationally
+    * (join + rank by length desc, allow desc) — equal because both sides
+    * compute the same argmax under a total preference order.
+    *
+    * @param rules (domain, prefix, allow) — domain matches
+    *              [[TextStats.urlHost]]'s canonical form
+    * @return input + (domain, path, allowed) */
+  def robotsScreen(df: DataFrame, urlCol: Column, rules: DataFrame): DataFrame = {
+    val ragg = rules.groupBy(col("domain")).agg(
+      collect_list(struct(col("prefix").as("p"),
+        col("allow").cast("boolean").as("a"))).as("__rules"))
+    val canon = TextStats.canonicalizeUrl(urlCol)
+    val path0 = regexp_extract(canon,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val init = struct(lit(-1).as("len"), lit(true).as("a"))
+    df.withColumn("domain", TextStats.urlHost(urlCol))
+      .withColumn("path", when(path0 === "", lit("/")).otherwise(path0))
+      .join(broadcast(ragg), Seq("domain"), "left_outer")
+      .withColumn("allowed", when(col("__rules").isNull, lit(true))
+        .otherwise(aggregate(
+          filter(col("__rules"), r => startswith(col("path"), r("p"))),
+          init,
+          (acc, r) => when(
+            length(r("p")) > acc("len") ||
+              (length(r("p")) === acc("len") && r("a")),
+            struct(length(r("p")).as("len"), r("a").as("a"))).otherwise(acc),
+          acc => acc("a"))))
+      .drop("__rules")
+  }
 }

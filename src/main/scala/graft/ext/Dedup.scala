@@ -550,11 +550,13 @@ object Dedup {
     *
     * @param pairs (a_id, b_id) undirected near-dup edges
     * @return (doc_id, keeper_id) for every doc appearing in any pair
-    * @throws IllegalStateException if propagation hasn't converged after
-    *         maxIter rounds (double pointer jumping needs ~log3(diameter)
-    *         rounds, so the default bound is far beyond any real graph —
-    *         silently returning a split cluster would corrupt keeper
-    *         assignment) */
+    * @throws IllegalStateException if DISTRIBUTED propagation hasn't
+    *         converged after maxIter rounds (double pointer jumping needs
+    *         ~log3(diameter) rounds, so the default bound is far beyond
+    *         any real graph — silently returning a split cluster would
+    *         corrupt keeper assignment). The driver-local fast path below
+    *         is a direct union-find — exact at any diameter, so maxIter
+    *         never applies to graphs at or under `driverLocalMaxEdges`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       driverLocalMaxEdges: Long = 200000L): DataFrame = {
     val spark = pairs.sparkSession

@@ -190,6 +190,76 @@ object TextStats {
     regexp_replace(ip, "\\+?[0-9][0-9() -]{6,}[0-9]", "[PHONE]")
   }
 
+  /** URL canonicalization for crawl-scale dedup (the CC-Net / CCNet-style
+    * URL-level screen that runs BEFORE content dedup in web-corpus
+    * pipelines): two surface forms of the same page must map to one key so
+    * the cheap exact-dedup pass can collapse re-crawls without touching
+    * the text. Normalizations, in order:
+    *
+    *   - scheme and host lowercased (RFC 3986 §6.2.2.1 — only these parts
+    *     are case-insensitive; path and query case is preserved),
+    *   - leading `www.` dropped, scheme-default ports (`:80` http,
+    *     `:443` https) dropped,
+    *   - fragment dropped (never sent to the server),
+    *   - duplicate path slashes collapsed, trailing slashes stripped
+    *     (`/p/` ≡ `/p`; the root path renders as bare authority),
+    *   - tracking query params removed (`utm_*`, `fbclid`, `gclid`,
+    *     `ref`), the surviving params SORTED (param order is
+    *     server-insignificant for the overwhelming majority of pages —
+    *     the standard aggressive-canonicalizer trade-off, documented).
+    *
+    * Deliberately NOT done: percent-decoding and `/../` resolution (both
+    * can change semantics on exotic servers; a canonicalizer that only
+    * deletes provable noise never merges two genuinely different pages
+    * beyond the documented param-order assumption).
+    *
+    * Pure regexp/column chain (codegen'd except the final `sort_array`,
+    * which is eval'd per-row on a tiny params array), patterns restricted
+    * to Java-regex/RE2 shared syntax so a DuckDB oracle can replay them.
+    * Inputs without a `scheme://` prefix pass through trimmed (relative
+    * refs have no authority to normalize). */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    // tail = path + query; the fragment is excluded by the [^#]* capture
+    val tail = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(tail, "^([^?]*)", 1), "/{2,}", "/"),
+      "/+$", "")
+    // strip tracking params (each match eats its leading '&' when it has
+    // one), then repair separator runs the removals left behind
+    val q = regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(tail, "^[^?]*\\?(.*)$", 1),
+      "(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*", ""),
+      "&{2,}", "&"), "^&+|&+$", "")
+    val query = array_join(sort_array(split(q, "&")), "&")
+    when(scheme === "", u).otherwise(concat(
+      scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit(""))))
+  }
+
+  /** The canonical host of a URL — [[canonicalizeUrl]]'s authority rules
+    * (lowercase, `www.`-less, default-port-less) as a standalone column,
+    * for per-domain corpus statistics and domain-level quality screens.
+    * Non-absolute inputs yield the empty string. */
+  def urlHost(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+  }
+
   /** Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,
     * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash every character k-gram, slide a w-wide window over

@@ -147,6 +147,17 @@ object ExtQueries {
           col("doc_id"), col("text"), batchId = i.toLong)
       root.toString
     }
+  private val chunkPreMemo = new CorpusCache[String](p => graft.util.Tmp.deleteRecursively(p))
+  private def chunkPreDelete(s: SparkSession, dir: String): String =
+    chunkPreMemo.get(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_chk_pre")
+      val d = docs(s, dir)
+      for (i <- 0 until 3)
+        graft.streaming.IncrementalChunkDedup.dedupBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/ch",
+          col("doc_id"), col("text"), i.toLong).count()
+      root.toString
+    }
   /** Frozen post-fold components store for [[q_cc_erase]] — the same
     * setup split as [[ivfPreDelete]]: the 3-fold pair chain is what
     * q_cc_stream prices; the erasure query prices deleteNodes. The memo
@@ -180,12 +191,14 @@ object ExtQueries {
       ivfPreDelete(s, dir)
     if (selected("q_bm25_delta")) dfPreDelete(s, dir)
     if (selected("q_cc_erase")) ccPreDelete(s, dir)
+    if (selected("q_chunk_erase")) chunkPreDelete(s, dir)
   }
 
   /** The queries [[warmDeltaSetup]] prices setup for — ONE definition, so
     * Bench's warm gate and the per-store dispatch above cannot drift. */
   val deltaQueries: Set[String] =
-    Set("q_ann_delta", "q_bm25_delta", "q_ann_recluster", "q_cc_erase")
+    Set("q_ann_delta", "q_bm25_delta", "q_ann_recluster", "q_cc_erase",
+      "q_chunk_erase")
 
   /** Recursive store copy (driver-local FS metadata walk — the clone the
     * delta drives mutate instead of the frozen build). */
@@ -196,6 +209,84 @@ object ExtQueries {
     org.apache.hadoop.fs.FileUtil.copy(
       sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, false, conf)
   }
+
+  /** Deterministically constructed DIRTY URLs for the q_url_* family —
+    * the corpus has no URL column, so (the q_pii_scrub precedent) every
+    * document gets a surface form derived from its doc_id with injected
+    * noise on each axis [[graft.ext.TextStats.canonicalizeUrl]]
+    * normalizes: scheme/host case, `www.`, default port, duplicate and
+    * trailing slashes, tracking params, param order, fragment. All
+    * variants of one (doc_id % 25, % 10, % 5) triple canonicalize to the
+    * same `http://siteA.com/p/B?a=C&b=2` key, so URL-level dedup has real
+    * collision groups to collapse. */
+  private def dirtyUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    docs(s, dir).select(d, col("n_chars"), concat(
+      when(d % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(d % 7 === 0, lit("SiTe")).otherwise(lit("site")),
+      (d % 25).cast("string"), lit(".com"),
+      when(d % 4 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p"), when(d % 9 === 0, lit("//")).otherwise(lit("/")),
+      (d % 10).cast("string"),
+      when(d % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(d % 2 === 0,
+        concat(lit("b=2&utm_source=x&a="), (d % 5).cast("string")))
+        .otherwise(concat(lit("a="), (d % 5).cast("string"), lit("&b=2"))),
+      when(d % 6 === 0, lit("#sec")).otherwise(lit(""))).as("url"))
+  }
+
+  /** The DuckDB CTE constructing EXACTLY [[dirtyUrls]]' surface forms —
+    * shared prefix of the three q_url_* oracles. */
+  private val DirtyUrlsSql: String =
+    """u AS (SELECT doc_id, n_chars, concat(
+      |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END, '://',
+      |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'SiTe' ELSE 'site' END,
+      |  CAST(doc_id % 25 AS VARCHAR), '.com',
+      |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+      |  '/p', CASE WHEN doc_id % 9 = 0 THEN '//' ELSE '/' END,
+      |  CAST(doc_id % 10 AS VARCHAR),
+      |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      |  '?',
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN concat('b=2&utm_source=x&a=', CAST(doc_id % 5 AS VARCHAR))
+      |       ELSE concat('a=', CAST(doc_id % 5 AS VARCHAR), '&b=2') END,
+      |  CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      |FROM documents)""".stripMargin
+
+  /** The DuckDB replay of [[graft.ext.TextStats.canonicalizeUrl]] over
+    * CTE `u` (regex syntax restricted to the Java/RE2 shared subset;
+    * DuckDB regexp_replace needs the explicit 'g' flag Spark implies) —
+    * yields CTE `c3(doc_id, n_chars, url, canon)`. */
+  private val CanonUrlSql: String =
+    """c AS (SELECT doc_id, n_chars, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  regexp_replace(lower(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS host0,
+      |  regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS tail
+      |FROM u),
+      |c2 AS (SELECT doc_id, n_chars, url, scheme,
+      |  CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+      |       WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+      |       ELSE host0 END AS host,
+      |  regexp_replace(regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+      |    '/{2,}', '/', 'g'), '/+$', '', 'g') AS path,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_extract(tail, '^[^?]*\?(.*)$', 1),
+      |    '(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*', '', 'g'),
+      |    '&{2,}', '&', 'g'), '^&+|&+$', '', 'g') AS q
+      |FROM c),
+      |c3 AS (SELECT doc_id, n_chars, url,
+      |  CASE WHEN scheme = '' THEN trim(url) ELSE concat(
+      |    scheme, '://', host, path,
+      |    CASE WHEN length(array_to_string(list_sort(string_split(q, '&')), '&')) > 0
+      |         THEN concat('?', array_to_string(list_sort(string_split(q, '&')), '&'))
+      |         ELSE '' END) END AS canon,
+      |  host
+      |FROM c2)""".stripMargin
 
   /** The index-vs-truth eval lists the three list metrics share
     * (q_ann_recall / q_rank_corr / q_ndcg): test = IVFADC top-5 per probe
@@ -1034,6 +1125,101 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // URL canonicalization (round 15 — the URL-level screen crawl
+    // pipelines run BEFORE content dedup): every doc gets a
+    // deterministically dirtied surface form ([[dirtyUrls]] — case, www,
+    // default port, slash runs, tracking params, param order, fragment),
+    // and the canonicalizer must collapse each to its one normal form.
+    "q_url_canon" -> { (s, dir) =>
+      dirtyUrls(s, dir)
+        .select(col("doc_id"), col("url"),
+          TextStats.canonicalizeUrl(col("url")).as("canon"))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL-level exact dedup over the canonical key — the cheap re-crawl
+    // collapse that runs before any content pass (no text touched): one
+    // hash-partitioned groupBy on the canonical URL, keeper = min doc_id
+    // (the crawl keep-first rule), with the collapse count per key.
+    "q_url_dedup" -> { (s, dir) =>
+      dirtyUrls(s, dir)
+        .groupBy(TextStats.canonicalizeUrl(col("url")).as("canon"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("canon"))
+    },
+
+    // Per-domain corpus statistics over the canonical host — the
+    // domain-level view quality screens act on (a domain's doc share and
+    // byte share decide boost/demote/ban lists in web-corpus curation).
+    // One scan, one hash aggregation on the host.
+    "q_domain_stats" -> { (s, dir) =>
+      dirtyUrls(s, dir)
+        .groupBy(TextStats.urlHost(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("domain"))
+    },
+
+    // Cross-batch URL-seen screen — the crawl-frontier question ("have we
+    // crawled this page under ANY surface form?") as a composition of the
+    // canonicalizer with the persistent exact-dedup store: fold the corpus
+    // in three spines keyed by the CANONICAL url, accept only
+    // first-arrivals. The store holds canonical keys, so a re-crawl under
+    // a different dirty form (tracking params, www, case) is rejected
+    // without touching content — the screen that runs before fetch/parse
+    // at crawl scale, O(batch) per fold via the bucket-pruned store read.
+    "q_url_seen" -> { (s, dir) =>
+      val u = dirtyUrls(s, dir).select(col("doc_id"),
+        graft.ext.TextStats.canonicalizeUrl(col("url")).as("canon"))
+      val root = java.nio.file.Files.createTempDirectory("graft_urlseen_q")
+      val parts = (0 until 3).map { i =>
+        graft.streaming.IncrementalDedup.dedupBatch(
+          u.filter(col("doc_id") % 3 === i), s"$root/seen",
+          col("canon"), col("doc_id"), i.toLong)
+      }
+      val out = parts.reduce(_ unionByName _)
+        .select(col("doc_id"), col("canon"))
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      out
+    },
+
+    // RFC 9309 longest-match robots/ban-list screen over the dirty URLs:
+    // every domain gets a deterministic rule set (an allow-page override
+    // on all, a /p disallow on even domains, a root disallow on %5
+    // domains), so the verdicts exercise longest-match override, default
+    // allow, and the root-rule fallthrough. Rules broadcast as one array
+    // row per host; the corpus never shuffles.
+    "q_robots_screen" -> { (s, dir) =>
+      import s.implicits._
+      val rules = (0 until 25).flatMap { k =>
+        val dom = s"site$k.com"
+        Seq((dom, "/p/" + ((k * 3) % 10), true)) ++
+          (if (k % 2 == 0) Seq((dom, "/p", false)) else Nil) ++
+          (if (k % 5 == 0) Seq((dom, "/", false)) else Nil)
+      }.toDF("domain", "prefix", "allow")
+      Curation.robotsScreen(dirtyUrls(s, dir), col("url"), rules)
+        .select(col("doc_id"), col("domain"), col("path"), col("allowed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-domain quota cap — crawl-side domain balancing (no domain may
+    // flood the corpus): keep the 4 largest docs per canonical host,
+    // ties to lower doc_id. [[Curation.quotaCap]] over [[TextStats
+    // .urlHost]]; at scale the rank window rides WindowGroupLimit's
+    // map-side top-k pre-prune, so the shuffle carries ≤ 4 rows per
+    // domain per map partition.
+    "q_domain_cap" -> { (s, dir) =>
+      Curation.quotaCap(
+          dirtyUrls(s, dir).withColumn("domain",
+            graft.ext.TextStats.urlHost(col("url"))),
+          col("domain"), 4,
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("domain"), col("rk"))
+        .orderBy(col("doc_id"))
+    },
+
     // ONE Lloyd iteration, fully hash-checked: init labels vec_id % 8,
     // exact-decimal centroid sums, argmax-cosine reassignment — the
     // per-iteration building block of the k-means index build, provable
@@ -1809,11 +1995,12 @@ object ExtQueries {
     // (integer-exact adds/subtracts make the fold chain equal it).
     "q_chunk_erase" -> { (s, dir) =>
       val d = docs(s, dir)
+      // the 3-fold build is memoized SETUP ([[chunkPreDelete]] — the
+      // *_delta posture: the timed window prices clone + the refcount
+      // delete fold + the survivor read, the production erase operation)
+      val pre = chunkPreDelete(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft_chke_q")
-      for (i <- 0 until 3)
-        graft.streaming.IncrementalChunkDedup.dedupBatch(
-          d.filter(col("doc_id") % 3 === i), s"$root/ch",
-          col("doc_id"), col("text"), i.toLong).count()
+      cloneStore(s, s"$pre/ch", s"$root/ch")
       graft.streaming.IncrementalChunkDedup.deleteBatch(
         d.filter(col("doc_id") % 7 === 0), s"$root/ch",
         col("doc_id"), col("text"), 3L)
@@ -3599,6 +3786,76 @@ object ExtQueries {
         |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |    '\+?[0-9][0-9() -]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_url_canon" ->
+      s"""WITH $DirtyUrlsSql,
+         |$CanonUrlSql
+         |SELECT doc_id, url, canon FROM c3 ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      s"""WITH $DirtyUrlsSql,
+         |$CanonUrlSql
+         |SELECT canon, min(doc_id) AS keeper_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM c3 GROUP BY canon ORDER BY canon""".stripMargin,
+
+    "q_domain_stats" ->
+      s"""WITH $DirtyUrlsSql,
+         |$CanonUrlSql
+         |SELECT host AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM c3 GROUP BY host ORDER BY domain""".stripMargin,
+
+    // fold order = (spine asc, doc_id asc): batch i holds doc_id % 3 == i,
+    // and within a batch the IncrementalDedup rank window orders by doc_id
+    // — so the accepted row per canonical key is exactly rank 1 here.
+    "q_url_seen" ->
+      s"""WITH $DirtyUrlsSql,
+         |$CanonUrlSql,
+         |r AS (SELECT doc_id, canon, row_number() OVER (
+         |        PARTITION BY canon ORDER BY doc_id % 3, doc_id) AS rk
+         |      FROM c3)
+         |SELECT doc_id, canon FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH $DirtyUrlsSql,
+         |$CanonUrlSql,
+         |r AS (SELECT doc_id, host AS domain, CAST(row_number() OVER (
+         |        PARTITION BY host ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+         |      FROM c3)
+         |SELECT doc_id, domain, rk FROM r WHERE rk <= 4 ORDER BY doc_id""".stripMargin,
+
+    // the relational replay of the broadcast rule fold: join matching
+    // rules, rank by (prefix length desc, allow desc) — the same argmax
+    // the row-local fold computes; unmatched/ruleless docs default allow.
+    "q_robots_screen" ->
+      s"""WITH $DirtyUrlsSql,
+         |$CanonUrlSql,
+         |ks AS (SELECT unnest(generate_series(0, 24)) AS k),
+         |rules AS (
+         |  SELECT concat('site', k, '.com') AS domain,
+         |         concat('/p/', CAST((k * 3) % 10 AS VARCHAR)) AS prefix,
+         |         true AS allow FROM ks
+         |  UNION ALL
+         |  SELECT concat('site', k, '.com'), '/p', false FROM ks WHERE k % 2 = 0
+         |  UNION ALL
+         |  SELECT concat('site', k, '.com'), '/', false FROM ks WHERE k % 5 = 0),
+         |p AS (SELECT doc_id, host AS domain,
+         |        CASE WHEN regexp_extract(canon,
+         |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) = ''
+         |             THEN '/' ELSE regexp_extract(canon,
+         |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) END AS path
+         |      FROM c3),
+         |m AS (SELECT p.doc_id, r.allow, row_number() OVER (
+         |        PARTITION BY p.doc_id
+         |        ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+         |      FROM p JOIN rules r ON r.domain = p.domain
+         |        AND starts_with(p.path, r.prefix))
+         |SELECT p.doc_id, p.domain, p.path,
+         |       COALESCE(m.allow, true) AS allowed
+         |FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rk = 1) m
+         |  USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

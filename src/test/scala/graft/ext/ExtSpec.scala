@@ -97,13 +97,22 @@ class ExtSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val chain = (1L to 6L).sliding(2).map(w => (w.head, w.last)).toSeq.toDF("a_id", "b_id")
+    // the guard is a DISTRIBUTED-loop convergence check (a split cluster
+    // must never return silently); force that path — the driver-local
+    // union-find fast path is exact at any diameter and never throws
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2).collect()
+      Dedup.connectedComponents(chain, maxIter = 2, driverLocalMaxEdges = 0L)
+        .collect()
     }
     // and converge fine when given room
-    val ok = Dedup.connectedComponents(chain, maxIter = 10).collect()
+    val ok = Dedup.connectedComponents(chain, maxIter = 10,
+        driverLocalMaxEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok.values.toSet == Set(1L))
+    // the fast path returns the same components regardless of maxIter
+    val fp = Dedup.connectedComponents(chain, maxIter = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == ok)
   }
 
   test("SRP-LSH near-dup pairs: precision 1 and near-total recall vs brute force") {
