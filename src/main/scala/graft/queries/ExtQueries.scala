@@ -256,6 +256,115 @@ object ExtQueries {
       |  CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
       |FROM documents)""".stripMargin
 
+  /** The q_robots_screen rule fixture: every domain an allow-page
+    * override, even domains a /p disallow, %5 domains a root disallow —
+    * longest-match override, default allow, and root fallthrough all
+    * exercised. */
+  private def robotsRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 25).flatMap { k =>
+      val dom = s"site$k.com"
+      Seq((dom, "/p/" + ((k * 3) % 10), true)) ++
+        (if (k % 2 == 0) Seq((dom, "/p", false)) else Nil) ++
+        (if (k % 5 == 0) Seq((dom, "/", false)) else Nil)
+    }.toDF("domain", "prefix", "allow")
+  }
+
+  /** The crawl flagship's MILDER rule set — only %5 domains carry rules
+    * (a root disallow + a /p/<k> allow override), so 80 % of the corpus
+    * flows through to the dedup stages and every pipeline stage has real
+    * survivors to act on. */
+  private def crawlRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 25).filter(_ % 5 == 0).flatMap { k =>
+      Seq((s"site$k.com", "/", false), (s"site$k.com", s"/p/$k", true))
+    }.toDF("domain", "prefix", "allow")
+  }
+
+  /** The injected byte-identical boilerplate the crawl flagship's exact
+    * stage collapses (the fixture corpus carries no natural byte dups —
+    * checked; the PII-injection precedent). */
+  private val CrawlBoiler =
+    "subscribe to our newsletter all rights reserved terms of service apply"
+
+  /** The crawl flagship's fixture: (doc_id, url, text). The canonical
+    * identity is keyed ENTIRELY off `page` (host = site(page%25), path =
+    * /p/page, param a = page%5), with the surface noise axes keyed off
+    * doc_id as in [[dirtyUrls]] — so two docs share a canonical URL iff
+    * they share a page. Pages are doc-unique except the d%100<10 band,
+    * where 2k and 2k+1 collapse (the re-crawl pairs the URL stage
+    * collapses); text is the corpus text except the d%97==3 group, which
+    * shares [[CrawlBoiler]] (the exact stage's work). */
+  private def crawlFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val page = when(d % 100 < 10, d - (d % 2)).otherwise(d)
+    docs(s, dir).select(d, concat(
+      when(d % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
+      when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when(d % 7 === 0, lit("SiTe")).otherwise(lit("site")),
+      (page % 25).cast("string"), lit(".com"),
+      when(d % 4 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p"), when(d % 9 === 0, lit("//")).otherwise(lit("/")),
+      page.cast("string"),
+      when(d % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(d % 2 === 0,
+        concat(lit("b=2&utm_source=x&a="), (page % 5).cast("string")))
+        .otherwise(concat(lit("a="), (page % 5).cast("string"), lit("&b=2"))),
+      when(d % 6 === 0, lit("#sec")).otherwise(lit(""))).as("url"),
+      when(d % 97 === 3, lit(CrawlBoiler)).otherwise(col("text")).as("text"))
+  }
+
+  /** The DuckDB CTE constructing [[crawlFixture]]'s surface forms —
+    * yields `pg(doc_id, n_chars, text, page)` and `u(doc_id, n_chars,
+    * url)` for [[CanonUrlSql]] to consume. */
+  private val CrawlUrlsSql: String =
+    """pg AS (SELECT doc_id, n_chars, text,
+      |  CASE WHEN doc_id % 100 < 10 THEN doc_id - doc_id % 2
+      |       ELSE doc_id END AS page
+      |FROM documents),
+      |u AS (SELECT doc_id, n_chars, concat(
+      |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END, '://',
+      |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'SiTe' ELSE 'site' END,
+      |  CAST(page % 25 AS VARCHAR), '.com',
+      |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+      |  '/p', CASE WHEN doc_id % 9 = 0 THEN '//' ELSE '/' END,
+      |  CAST(page AS VARCHAR),
+      |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+      |  '?',
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN concat('b=2&utm_source=x&a=', CAST(page % 5 AS VARCHAR))
+      |       ELSE concat('a=', CAST(page % 5 AS VARCHAR), '&b=2') END,
+      |  CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      |FROM pg)""".stripMargin
+
+  /** The DuckDB replay of [[robotsRules]] + the longest-match decision
+    * over CTE `c3` — yields `p(doc_id, domain, path)` and
+    * `m(doc_id, allow, rk)` (rk 1 = the deciding rule); consumers COALESCE
+    * the rk-1 allow with the default-allow TRUE. */
+  private val RobotsCtes: String =
+    """ks AS (SELECT unnest(generate_series(0, 24)) AS k),
+      |rules AS (
+      |  SELECT concat('site', k, '.com') AS domain,
+      |         concat('/p/', CAST((k * 3) % 10 AS VARCHAR)) AS prefix,
+      |         true AS allow FROM ks
+      |  UNION ALL
+      |  SELECT concat('site', k, '.com'), '/p', false FROM ks WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT concat('site', k, '.com'), '/', false FROM ks WHERE k % 5 = 0),
+      |p AS (SELECT doc_id, host AS domain,
+      |        CASE WHEN regexp_extract(canon,
+      |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) = ''
+      |             THEN '/' ELSE regexp_extract(canon,
+      |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) END AS path
+      |      FROM c3),
+      |m AS (SELECT p.doc_id, r.allow, row_number() OVER (
+      |        PARTITION BY p.doc_id
+      |        ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+      |      FROM p JOIN rules r ON r.domain = p.domain
+      |        AND starts_with(p.path, r.prefix))""".stripMargin
+
   /** The DuckDB replay of [[graft.ext.TextStats.canonicalizeUrl]] over
     * CTE `u` (regex syntax restricted to the Java/RE2 shared subset;
     * DuckDB regexp_replace needs the explicit 'g' flag Spark implies) —
@@ -1192,16 +1301,58 @@ object ExtQueries {
     // allow, and the root-rule fallthrough. Rules broadcast as one array
     // row per host; the corpus never shuffles.
     "q_robots_screen" -> { (s, dir) =>
-      import s.implicits._
-      val rules = (0 until 25).flatMap { k =>
-        val dom = s"site$k.com"
-        Seq((dom, "/p/" + ((k * 3) % 10), true)) ++
-          (if (k % 2 == 0) Seq((dom, "/p", false)) else Nil) ++
-          (if (k % 5 == 0) Seq((dom, "/", false)) else Nil)
-      }.toDF("domain", "prefix", "allow")
-      Curation.robotsScreen(dirtyUrls(s, dir), col("url"), rules)
+      Curation.robotsScreen(dirtyUrls(s, dir), col("url"), robotsRules(s))
         .select(col("doc_id"), col("domain"), col("path"), col("allowed"))
         .orderBy(col("doc_id"))
+    },
+
+    // FLAGSHIP crawl-curation composite — this round's URL family wired
+    // end to end the way a web-corpus intake actually runs, each doc
+    // stamped with its FIRST failing stage: robots screen → canonical-URL
+    // re-crawl collapse (keep-first) → exact content dedup (md5, over URL
+    // keepers only) → near-dup cluster keep (Jaccard ≥ 0.5 components
+    // over exact keepers — restricting the corpus pair table to surviving
+    // endpoints IS the subset's pair table, since Jaccard is pairwise).
+    // Each stage only touches the previous stage's survivors, the order
+    // cheap-to-expensive — URLs before hashes before shingles.
+    "q_pipeline_crawl" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val scr = Curation.robotsScreen(crawlFixture(s, dir), col("url"),
+          crawlRules(s))
+        .select(col("doc_id"), col("url"), col("text"), col("allowed"))
+      val urlRk = scr.filter(col("allowed"))
+        .withColumn("canon", TextStats.canonicalizeUrl(col("url")))
+        .withColumn("__ur", row_number().over(
+          w.partitionBy(col("canon")).orderBy(col("doc_id"))))
+      val exRk = urlRk.filter(col("__ur") === 1)
+        .withColumn("__fp", md5(col("text")))
+        .withColumn("__er", row_number().over(
+          w.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+      val exKeep = exRk.filter(col("__er") === 1)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      // the near stage shingles only the exact keepers' EFFECTIVE text —
+      // the survivors-shrink-the-work shape of a staged intake
+      val pairs = Dedup.ngramJaccardPairs(
+          Dedup.shingles(exKeep, col("doc_id"), col("text")), 1, 2)
+        .select(col("a_id"), col("b_id"))
+      val labels = Dedup.connectedComponents(pairs)
+      val res = scr.select(col("doc_id"), col("allowed"))
+        .join(urlRk.select(col("doc_id"), col("__ur")), Seq("doc_id"),
+          "left_outer")
+        .join(exRk.select(col("doc_id"), col("__er")), Seq("doc_id"),
+          "left_outer")
+        .join(labels.withColumnRenamed("keeper_id", "__keep"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(!col("allowed"), lit("robots"))
+            .when(col("__ur") =!= 1, lit("url_dup"))
+            .when(col("__er") =!= 1, lit("exact_dup"))
+            .when(col("__keep").isNotNull && col("__keep") =!= col("doc_id"),
+              lit("near_dup"))
+            .otherwise(lit("kept")).as("verdict"))
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      graft.util.Blocks.freeCheckpoint(exKeep)
+      res
     },
 
     // Per-domain quota cap — crawl-side domain balancing (no domain may
@@ -3831,31 +3982,80 @@ object ExtQueries {
     "q_robots_screen" ->
       s"""WITH $DirtyUrlsSql,
          |$CanonUrlSql,
-         |ks AS (SELECT unnest(generate_series(0, 24)) AS k),
-         |rules AS (
-         |  SELECT concat('site', k, '.com') AS domain,
-         |         concat('/p/', CAST((k * 3) % 10 AS VARCHAR)) AS prefix,
-         |         true AS allow FROM ks
-         |  UNION ALL
-         |  SELECT concat('site', k, '.com'), '/p', false FROM ks WHERE k % 2 = 0
-         |  UNION ALL
-         |  SELECT concat('site', k, '.com'), '/', false FROM ks WHERE k % 5 = 0),
-         |p AS (SELECT doc_id, host AS domain,
-         |        CASE WHEN regexp_extract(canon,
-         |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) = ''
-         |             THEN '/' ELSE regexp_extract(canon,
-         |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) END AS path
-         |      FROM c3),
-         |m AS (SELECT p.doc_id, r.allow, row_number() OVER (
-         |        PARTITION BY p.doc_id
-         |        ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
-         |      FROM p JOIN rules r ON r.domain = p.domain
-         |        AND starts_with(p.path, r.prefix))
+         |$RobotsCtes
          |SELECT p.doc_id, p.domain, p.path,
          |       COALESCE(m.allow, true) AS allowed
          |FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rk = 1) m
          |  USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
+
+    // the crawl flagship's first-failing-stage verdicts: crawl-rule
+    // robots replay → url rank over allowed → md5 rank (effective text,
+    // boiler injected) over url keepers → recursive CC over the exact
+    // keepers' OWN pair table (JAC re-pointed at the effective-text
+    // survivors — Jaccard is pairwise, so the subset's pair table is
+    // self-contained).
+    "q_pipeline_crawl" ->
+      s"""WITH RECURSIVE $CrawlUrlsSql,
+         |$CanonUrlSql,
+         |ks AS (SELECT unnest(generate_series(0, 24)) AS k),
+         |crules AS (
+         |  SELECT concat('site', k, '.com') AS domain, '/' AS prefix,
+         |         false AS allow FROM ks WHERE k % 5 = 0
+         |  UNION ALL
+         |  SELECT concat('site', k, '.com'), concat('/p/', CAST(k AS VARCHAR)),
+         |         true FROM ks WHERE k % 5 = 0),
+         |cp AS (SELECT doc_id, host AS domain,
+         |        CASE WHEN regexp_extract(canon,
+         |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) = ''
+         |             THEN '/' ELSE regexp_extract(canon,
+         |               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1) END AS path
+         |       FROM c3),
+         |cm AS (SELECT cp.doc_id, r.allow, row_number() OVER (
+         |         PARTITION BY cp.doc_id
+         |         ORDER BY length(r.prefix) DESC, r.allow DESC) AS rk
+         |       FROM cp JOIN crules r ON r.domain = cp.domain
+         |         AND starts_with(cp.path, r.prefix)),
+         |scr AS (SELECT cp.doc_id, c3.canon, COALESCE(cm2.allow, true) AS allowed
+         |        FROM cp LEFT JOIN (SELECT doc_id, allow FROM cm WHERE rk = 1) cm2
+         |          USING (doc_id)
+         |        JOIN c3 ON c3.doc_id = cp.doc_id),
+         |ur AS (SELECT doc_id, row_number() OVER (
+         |         PARTITION BY canon ORDER BY doc_id) AS ur
+         |       FROM scr WHERE allowed),
+         |efftext AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 97 = 3 THEN '$CrawlBoiler'
+         |              ELSE text END AS text
+         |       FROM pg),
+         |ex AS (SELECT e.doc_id, row_number() OVER (
+         |         PARTITION BY md5(e.text) ORDER BY e.doc_id) AS er
+         |       FROM efftext e JOIN ur ON e.doc_id = ur.doc_id AND ur.ur = 1),
+         |eff AS (SELECT e.doc_id, e.text FROM efftext e
+         |        JOIN ex ON e.doc_id = ex.doc_id AND ex.er = 1),
+         |${JAC.replace("FROM documents", "FROM eff")},
+         |pairsx AS (SELECT a_id, b_id FROM jac
+         |           WHERE inter_ct * 2 >= union_ct * 1),
+         |edges AS (SELECT a_id AS x, b_id AS y FROM pairsx
+         |          UNION SELECT b_id, a_id FROM pairsx),
+         |verts AS (SELECT DISTINCT x AS id FROM edges),
+         |reach AS (
+         |  SELECT id AS src, id AS node FROM verts
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x),
+         |lab AS (SELECT src AS doc_id, MIN(node) AS keeper FROM reach
+         |        GROUP BY src)
+         |SELECT s.doc_id,
+         |  CASE WHEN NOT s.allowed THEN 'robots'
+         |       WHEN u2.ur <> 1 THEN 'url_dup'
+         |       WHEN e2.er <> 1 THEN 'exact_dup'
+         |       WHEN l.keeper IS NOT NULL AND l.keeper <> s.doc_id
+         |            THEN 'near_dup'
+         |       ELSE 'kept' END AS verdict
+         |FROM scr s
+         |LEFT JOIN ur u2 USING (doc_id)
+         |LEFT JOIN ex e2 USING (doc_id)
+         |LEFT JOIN lab l USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
