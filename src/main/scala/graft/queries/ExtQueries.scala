@@ -2135,6 +2135,27 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // Chunk-store FOLD chain (round 15 — the `_stream` drive pricing the
+    // refcounted store's ingest path, as q_cc_stream prices the CC fold):
+    // three spines through a fresh store, output = the union of the
+    // batches' full chunk layouts with `stored` on exactly the canonical
+    // first holder of each fingerprint in fold order. The oracle is the
+    // one-pass chunk table plus a cross-batch first-holder rank — the
+    // screen's store reads must reproduce it exactly.
+    "q_chunk_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_chks_q")
+      val parts = (0 until 3).map { i =>
+        graft.streaming.IncrementalChunkDedup.dedupBatch(
+          d.filter(col("doc_id") % 3 === i), s"$root/ch",
+          col("doc_id"), col("text"), i.toLong)
+      }
+      val out = parts.reduce(_ unionByName _)
+        .orderBy(col("doc_id"), col("chunk_id")).localCheckpoint(true)
+      graft.util.Tmp.deleteRecursively(root)
+      out
+    },
+
     // Chunk-store ERASURE (round 15 — the deletion-family member for the
     // content-addressed chunk store): fold the corpus in three spines
     // through the refcounted chunk index, erase the doc_id % 7 == 0
@@ -4850,6 +4871,36 @@ object ExtQueries {
         |SELECT doc_id, chunk_id, n_toks, fp,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) = 1
         |            AS INT) AS is_first
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q_cdc_chunk's CTEs + the CROSS-BATCH first-holder rank (fold order =
+    // (spine, doc, chunk): batch i holds doc_id % 3 == i, within a batch
+    // the screen's rank window orders by (doc_id, chunk_id)).
+    "q_chunk_stream" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |          unnest(generate_series(1, len(ts))) AS pos
+        |        FROM t),
+        |g AS (SELECT doc_id, w, pos,
+        |        pos >= 3 AND
+        |        ('0x' || substr(md5(concat_ws(' ',
+        |           lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |           w)), 1, 8))::BIGINT % 16 = 0 AS cut
+        |      FROM tok),
+        |c AS (SELECT doc_id, w, pos,
+        |        CAST(COALESCE(SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+        |          PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS chunk_id
+        |      FROM g),
+        |ch AS (SELECT doc_id, chunk_id, COUNT(*) AS n_toks,
+        |         ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 8))::BIGINT AS fp
+        |       FROM c GROUP BY 1, 2)
+        |SELECT doc_id, chunk_id, n_toks, fp,
+        |       CAST(CASE WHEN row_number() OVER (PARTITION BY fp
+        |              ORDER BY doc_id % 3, doc_id, chunk_id) = 1
+        |            THEN 1 ELSE 0 END AS INT) AS stored
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     // q_cdc_chunk's CTEs restricted to the SURVIVING corpus, then the
