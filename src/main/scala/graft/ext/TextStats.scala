@@ -218,15 +218,27 @@ object TextStats {
     * to Java-regex/RE2 shared syntax so a DuckDB oracle can replay them.
     * Inputs without a `scheme://` prefix pass through trimmed (relative
     * refs have no authority to normalize). */
-  def canonicalizeUrl(url: Column): Column = {
-    val u = trim(url)
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+  /** Scheme (lowercased) of a trimmed absolute URL; "" when not absolute. */
+  private def urlScheme(u: Column): Column =
+    lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Canonical authority of a trimmed URL given its scheme — ONE
+    * definition of the lowercase / `www.`-strip / default-port rules so
+    * [[canonicalizeUrl]]'s groups and [[urlHost]]'s domains can never
+    * disagree. */
+  private def urlAuthority(u: Column, scheme: Column): Column = {
     val host0 = regexp_replace(
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
       "^www\\.", "")
-    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+    when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)
+  }
+
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = urlScheme(u)
+    val host = urlAuthority(u, scheme)
     // tail = path + query; the fragment is excluded by the [^#]* capture
     val tail = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
@@ -251,13 +263,7 @@ object TextStats {
     * Non-absolute inputs yield the empty string. */
   def urlHost(url: Column): Column = {
     val u = trim(url)
-    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host0 = regexp_replace(
-      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
-      "^www\\.", "")
-    when(scheme === "http", regexp_replace(host0, ":80$", ""))
-      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
-      .otherwise(host0)
+    urlAuthority(u, urlScheme(u))
   }
 
   /** Rolling-hash document fingerprints by winnowing (Schleimer, Wilkerson,

@@ -1290,6 +1290,7 @@ object ExtQueries {
       val out = parts.reduce(_ unionByName _)
         .select(col("doc_id"), col("canon"))
         .orderBy(col("doc_id")).localCheckpoint(true)
+      parts.foreach(graft.util.Blocks.freeCheckpoint)
       graft.util.Tmp.deleteRecursively(root)
       out
     },
@@ -2152,6 +2153,7 @@ object ExtQueries {
       }
       val out = parts.reduce(_ unionByName _)
         .orderBy(col("doc_id"), col("chunk_id")).localCheckpoint(true)
+      parts.foreach(graft.util.Blocks.freeCheckpoint)
       graft.util.Tmp.deleteRecursively(root)
       out
     },

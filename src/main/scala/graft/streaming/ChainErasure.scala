@@ -58,8 +58,10 @@ object ChainErasure {
     * the cluster label store, repairing affected clusters from
     * `survivingPairs`.
     *
-    * @param fpCol  fingerprint expression; None = the chain default,
-    *               [[graft.ext.TextStats.fingerprint]] over `textCol`
+    * @param fpCol  fingerprint expression, resolved against the RENAMED
+    *               pre-image (columns `doc_id`, `text` — not the batch's
+    *               original names); None = the chain default,
+    *               [[graft.ext.TextStats.fingerprint]] over `text`
     *               (must match what the ingest chain used)
     * @param k, bands  the LSH parameters the ingest chain indexed with
     * @param survivingPairs  (a_id, b_id) pairs among SURVIVING docs from
@@ -69,7 +71,10 @@ object ChainErasure {
       idCol: Column = col("doc_id"), textCol: Column = col("text"),
       fpCol: Option[Column] = None, k: Int = 32, bands: Int = 16,
       numBuckets: Int = 16, ccNumBuckets: Int = 4): Erased = {
-    val fp = fpCol.getOrElse(graft.ext.TextStats.fingerprint(textCol))
+    // the default fingerprint resolves against the RENAMED pre-image:
+    // deriving it from `textCol` would carry the batch's original column
+    // name into selects over `rows`, which only has doc_id/text
+    val fp = fpCol.getOrElse(graft.ext.TextStats.fingerprint(col("text")))
     // the CDC pre-image feeds three derivations — pin it once (LAZY: the
     // first store's probe collect materializes it)
     val rows = batch.select(idCol.as("doc_id"), textCol.as("text"))

@@ -182,9 +182,21 @@ object IncrementalChunkDedup {
 
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
       storePath: String, probe: DataFrame): Option[DataFrame] =
-    KeyedStore.readPruned(spark, storePath, probe)
-      .map(_.filter(col("op_type") =!= "delete")
-        .select(col("fp"), col("cnt"), col("fb")))
+    KeyedStore.readPruned(spark, storePath, probe).map { df =>
+      // read-path layout guard: the merge-time stamp check never runs if
+      // the caller only ever probes a pre-r15 presence-layout store, and
+      // the filter below would then fail with a cryptic unresolved-column
+      // error instead of the documented rebuild instruction
+      if (!Seq("op_type", "cnt", "fb").forall(df.columns.contains))
+        throw new IllegalStateException(
+          s"$storePath predates the refcounted chunk layout " +
+            s"'${Layout.get}' (rows carry ${df.columns.mkString(", ")}) — " +
+            "its presence rows cannot back reference counting. Rebuild " +
+            "the store: re-fold the source history into a fresh root " +
+            "with the current code.")
+      df.filter(col("op_type") =!= "delete")
+        .select(col("fp"), col("cnt"), col("fb"))
+    }
 
   private def hwmNote(spark: org.apache.spark.sql.SparkSession,
       storePath: String): Map[String, String] =

@@ -95,5 +95,16 @@ class ChainErasureSpec extends SparkSpec {
       Seq((9L, 10L)).toDF("a_id", "b_id"), ccStore)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels2 == Map(5L -> 5L, 9L -> 9L, 10L -> 9L), s"got $labels2")
+
+    // NON-DEFAULT column names: the composite renames the pre-image to
+    // (doc_id, text) internally, and the default fingerprint must resolve
+    // against the RENAMED frame (a defaulted-fp erase of doc 9's bytes
+    // delivered under CDC envelope names) — the self-review r15 fix
+    val erased2 = ChainErasure.eraseDocuments(
+      Seq((9L, text("alpha", "alpha_w12"))).toDF("id", "body"),
+      fpStore, lshStore, ccStore,
+      survivingPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+      batchId = 4L, idCol = col("id"), textCol = col("body"))
+    assert(erased2.fingerprints == 1L && erased2.signatures == 1L)
   }
 }

@@ -245,6 +245,24 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     assert(KeyedStore.latestGeneration(s, store) == gen)
   }
 
+  test("pre-r15 presence-layout store fails loudly with the rebuild instruction") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("inc_chunk_old").toString + "/store"
+    // the round-14 layout: one (fp, batch_id) presence row per stored
+    // fingerprint, no op_type/cnt/fb, no layout stamp
+    KeyedStore.merge(
+      Seq((7L, 0L)).toDF("fp", "batch_id"), store,
+      keys = Seq("fp"), seqCols = Seq("batch_id"), bucketCols = Seq("fp"))
+    val e = intercept[IllegalStateException] {
+      IncrementalChunkDedup.dedupBatch(
+        Seq((1L, words(71, 250).mkString(" "))).toDF("doc_id", "text"),
+        store, col("doc_id"), col("text"), 1L)
+    }
+    assert(e.getMessage.contains("chunk-rc-v1") &&
+      e.getMessage.contains("Rebuild the store"), e.getMessage)
+  }
+
   test("restart: a fresh caller over the same store keeps referencing") {
     val s = spark
     import s.implicits._
