@@ -1123,6 +1123,48 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Chunk-store fold/erase flatness probe (round 15): fold N vocabulary-
+    * grown corpus copies into the refcounted chunk store — each fold is
+    * batch-sized (one copy of the sf0.1 doc table) while the store grows
+    * ~N× — then erase a %7 slice of copy 0 at FULL store size. The fold
+    * wall must stay FLAT as the store grows (the bucket-pruned probe is
+    * O(batch) file IO, and the reference upsert touches only the batch's
+    * buckets), and the erase at max size must read delta-class, not
+    * scan-class.
+    *
+    * Usage: runMain graft.tools.ScaleProbe chunkfold [copies] [storeRoot] */
+  def chunkfoldProbe(copies: Int, storeRoot: String): Unit = {
+    val spark = graft.GraftSession.builder(Some("local[32]"), Some(32))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Tmp.deleteRecursively(java.nio.file.Paths.get(storeRoot))
+    val srcDir = "/root/testdata/sf0.1"
+    def live(): Long = graft.streaming.KeyedStore.read(spark, s"$storeRoot/ch")
+      .map(_.filter(col("op_type") =!= "delete").count()).getOrElse(0L)
+    for (c <- 0 until copies) {
+      val batch = replicatedDocs(spark, srcDir, c).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = graft.streaming.IncrementalChunkDedup.dedupBatch(
+        batch, s"$storeRoot/ch", col("doc_id"), col("text"), c.toLong)
+      val stored = out.filter(col("stored") === 1).count()
+      val w = (System.nanoTime - t0) / 1e9
+      graft.util.Blocks.freeCheckpoint(out)
+      if (c < 3 || (c + 1) % 5 == 0 || c == copies - 1)
+        println(f"CHUNKFOLD fold=$c%3d wall=$w%5.2f s stored=$stored%d " +
+          f"live=${live()}%d")
+      graft.util.Blocks.freeCheckpoint(batch)
+    }
+    val del = replicatedDocs(spark, srcDir, 0)
+      .filter(col("doc_id") % 7 === 0).localCheckpoint(true)
+    val t1 = System.nanoTime()
+    val dropped = graft.streaming.IncrementalChunkDedup.deleteBatch(
+      del, s"$storeRoot/ch", col("doc_id"), col("text"), copies.toLong)
+    println(f"CHUNKFOLD erase wall=${(System.nanoTime - t1) / 1e9}%5.2f s " +
+      f"reclaimed=$dropped%d live=${live()}%d")
+    graft.util.Blocks.freeCheckpoint(del)
+    spark.stop()
+  }
+
   /** IncrementalTriangles sparse-fold flatness probe: single-edge add and
     * delete folds against a SMALL (30 k-edge) and a LARGE (1 M-edge, 64
     * buckets) adjacency store. The round-9 endpoint-bucketed layout reads
@@ -1981,6 +2023,11 @@ object ScaleProbe {
     if (args.headOption.contains("cepnext")) {
       cepnextProbe(args.lift(1).map(_.toLong).getOrElse(16000000L),
         args.lift(2).map(_.toInt).getOrElse(200000))
+      return
+    }
+    if (args.headOption.contains("chunkfold")) {
+      chunkfoldProbe(args.lift(1).map(_.toInt).getOrElse(10),
+        args.lift(2).getOrElse("/tmp/graft_scale_chunkfold"))
       return
     }
     if (args.headOption.contains("trifold")) {
