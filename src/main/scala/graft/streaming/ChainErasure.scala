@@ -48,10 +48,13 @@ import org.apache.spark.sql.functions._
 object ChainErasure {
 
   /** What one erasure pass removed: exact fingerprints, LSH-indexed
-    * documents, and the post-repair label table (a LAZY store read —
-    * callers that outlive or delete the store checkpoint it). */
+    * documents, the post-repair label table (a LAZY store read — callers
+    * that outlive or delete the store checkpoint it), and — when a chunk
+    * store was passed — the reclaimable chunk fingerprints (references
+    * whose count reached zero; shared chunks survive at decremented
+    * counts). */
   final case class Erased(fingerprints: Long, signatures: Long,
-      labels: DataFrame)
+      labels: DataFrame, chunks: Long = 0L)
 
   /** Erase `batch`'s documents ((id, text) rows — the CDC delete
     * pre-image) from the fingerprint store, the LSH signature index, and
@@ -65,12 +68,18 @@ object ChainErasure {
     *               (must match what the ingest chain used)
     * @param k, bands  the LSH parameters the ingest chain indexed with
     * @param survivingPairs  (a_id, b_id) pairs among SURVIVING docs from
-    *               the caller's pair source; a superset is fine */
+    *               the caller's pair source; a superset is fine
+    * @param chunkStore  optional [[IncrementalChunkDedup]] root: when the
+    *               pipeline also runs content-defined chunk storage, the
+    *               same pass decrements the erased docs' chunk references
+    *               and reports the reclaimable (last-reference) set —
+    *               erasure everywhere, one call */
   def eraseDocuments(batch: DataFrame, fpStore: String, lshStore: String,
       ccStore: String, survivingPairs: DataFrame, batchId: Long,
       idCol: Column = col("doc_id"), textCol: Column = col("text"),
       fpCol: Option[Column] = None, k: Int = 32, bands: Int = 16,
-      numBuckets: Int = 16, ccNumBuckets: Int = 4): Erased = {
+      numBuckets: Int = 16, ccNumBuckets: Int = 4,
+      chunkStore: Option[String] = None): Erased = {
     // the default fingerprint resolves against the RENAMED pre-image:
     // deriving it from `textCol` would carry the batch's original column
     // name into selects over `rows`, which only has doc_id/text
@@ -85,7 +94,10 @@ object ChainErasure {
       col("text"), batchId, k, bands, numBuckets)
     val labels = IncrementalCc.deleteNodes(rows.select(col("doc_id")),
       survivingPairs, ccStore, ccNumBuckets)
+    val nChunks = chunkStore.map(IncrementalChunkDedup.deleteBatch(
+      rows, _, col("doc_id"), col("text"), batchId,
+      numBuckets = numBuckets)).getOrElse(0L)
     graft.util.Blocks.freeCheckpoint(rows)
-    Erased(nFp, nSig, labels)
+    Erased(nFp, nSig, labels, nChunks)
   }
 }

@@ -107,4 +107,30 @@ class ChainErasureSpec extends SparkSpec {
       batchId = 4L, idCol = col("id"), textCol = col("body"))
     assert(erased2.fingerprints == 1L && erased2.signatures == 1L)
   }
+
+  test("wiring a chunk store into the composite erases it in the same pass") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("chain_erase4").toString
+    val (fpStore, lshStore, ccStore, chStore) =
+      (s"$root/fp", s"$root/lsh", s"$root/cc", s"$root/ch")
+    val b = Seq((1L, text("gamma", "gamma_w12"))).toDF("doc_id", "text")
+    IncrementalDedup.dedupBatch(b, fpStore, fp, col("doc_id"), 0L).count()
+    IncrementalLsh.dedupBatch(b, lshStore, col("doc_id"), col("text"), 0L)
+      .count()
+    IncrementalChunkDedup.dedupBatch(b, chStore, col("doc_id"), col("text"),
+      0L).count()
+    IncrementalCc.mergePairs(Seq((1L, 2L)).toDF("a_id", "b_id"), ccStore)
+      .count()
+    val erased = ChainErasure.eraseDocuments(b, fpStore, lshStore, ccStore,
+      survivingPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+      batchId = 1L, chunkStore = Some(chStore))
+    // sole holder: every chunk reference was the last one — all reclaimed,
+    // and the store's live view is empty
+    assert(erased.fingerprints == 1L && erased.signatures == 1L &&
+      erased.chunks > 0L)
+    assert(KeyedStore.readActive(s, chStore).forall(_.isEmpty))
+    // the default (no chunk store) path reports 0 without touching one
+    assert(erased.labels.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }
