@@ -47,12 +47,33 @@ class OrderDetailView(root: String) {
   private def active(spark: SparkSession, path: String, fallback: DataFrame): DataFrame =
     KeyedStore.readActive(spark, path, opCol = "op").getOrElse(fallback.limit(0))
 
-  /** Apply one micro-batch. Every input must carry its natural columns plus
-    * an `op` column (put | delete); pass empty frames for quiet streams.
+  /** Apply one micro-batch and return its RETRACT-STREAM CHANGELOG — the
+    * Flink changelog the reference's J2→K3 path emits, closing the one
+    * previously documented semantic gap (SURVEY §7.3 "retraction
+    * intermediates not observable"): per affected key, the batch's
+    * visible view transition as `op` rows over the view columns —
+    *
+    *   - `+I` the key entered the view,
+    *   - `-U` followed by `+U` the key's row changed (old, then new —
+    *     Flink's UPDATE_BEFORE/UPDATE_AFTER pair),
+    *   - `-D` the key left the view (carrying the retracted row),
+    *   - NOTHING when a recompute reproduced the identical row (an
+    *     affected-but-unchanged key — e.g. an upstream update to a
+    *     non-projected column — is invisible downstream, exactly as
+    *     Flink suppresses no-op updates on a keyed upsert sink).
+    *
+    * The changelog is eagerly pinned (later batches move the stores under
+    * a lazy plan) and FOLDS BACK to the table: applying each key's ops in
+    * order (insert on +I/+U, drop on -D) reproduces [[current]] after
+    * every batch — the constructive retract-stream parity, pinned by
+    * `ViewMaintainerSpec`.
+    *
+    * Every input must carry its natural columns plus an `op` column
+    * (put | delete); pass empty frames for quiet streams.
     * @param batchId strictly increasing; versions the RESULT rows (a later
     *                recompute of the same id supersedes an earlier one). */
   def applyBatch(batchId: Long, odIn: DataFrame, oiIn: DataFrame,
-      odaIn: DataFrame, odcIn: DataFrame): Unit = {
+      odaIn: DataFrame, odcIn: DataFrame): DataFrame = {
     val spark = odIn.sparkSession
     // Pin every input for the batch's MULTIPLE actions (emptiness probe,
     // store merge, affected-id derivation): a non-deterministic or
@@ -113,6 +134,10 @@ class OrderDetailView(root: String) {
         case f if f.name == "op" => lit("delete").as("op")
         case f => lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
+    // PRE-image for the changelog: the affected keys' CURRENT view rows,
+    // pinned BEFORE the merge moves the result store (affected-sized)
+    val prev = current(spark).join(affected, Seq("id"), "left_semi")
+      .localCheckpoint(true)
     // keepGenerations=2: a reader of current() racing this merge resolves
     // the PREVIOUS generation's manifest; retaining one superseded
     // generation gives that scan a GC grace window instead of a
@@ -120,6 +145,27 @@ class OrderDetailView(root: String) {
     KeyedStore.merge(
       joined.unionByName(tomb).withColumn("batch_id", lit(batchId)),
       resP, keys = Seq("id"), seqCols = Seq("batch_id"), keepGenerations = 2)
+    // POST-image from the committed store (not the lazy `joined` plan —
+    // the store is the authority the next batch will read)
+    val nxt = current(spark).join(affected, Seq("id"), "left_semi")
+    val cols = prev.columns.toIndexedSeq
+    val p = prev.select(cols.map(c => col(c).as(s"p_$c")): _*)
+    val n = nxt.select(cols.map(c => col(c).as(s"n_$c")): _*)
+    val pv = struct(cols.map(c => col(s"p_$c")): _*)
+    val nv = struct(cols.map(c => col(s"n_$c")): _*)
+    val j = p.join(n, col("p_id") === col("n_id"), "full_outer")
+    def emit(side: String, op: String)(df: DataFrame): DataFrame =
+      df.select(cols.map(c => col(s"${side}_$c").as(c)) :+ lit(op).as("op"): _*)
+    val changed = j.filter(col("p_id").isNotNull && col("n_id").isNotNull &&
+      !(pv <=> nv)).localCheckpoint(false) // feeds both halves of the pair
+    val changelog = emit("n", "+I")(j.filter(col("p_id").isNull))
+      .unionByName(emit("p", "-U")(changed))
+      .unionByName(emit("n", "+U")(changed))
+      .unionByName(emit("p", "-D")(j.filter(col("n_id").isNull)))
+      .localCheckpoint(true) // later batches move every store read above
+    graft.util.Blocks.freeCheckpoint(changed)
+    graft.util.Blocks.freeCheckpoint(prev)
+    changelog
     } finally ins.foreach(_.unpersist())
   }
 
