@@ -93,6 +93,32 @@ class UrlSpec extends SparkSpec {
     assert(got == Seq(false, false))
   }
 
+  test("crawl-frontier erasure: forgetting a canonical URL re-admits any surface form") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("url_seen_del")
+      .toString + "/seen"
+    def screen(batch: Seq[(Long, String)], bid: Long): Set[Long] =
+      graft.streaming.IncrementalDedup.dedupBatch(
+          batch.toDF("doc_id", "url")
+            .withColumn("canon", TextStats.canonicalizeUrl(col("url"))),
+          store, col("canon"), col("doc_id"), bid)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // first crawl admits; a re-crawl under ANY dirty surface form is
+    // rejected (the q_url_seen composition)
+    assert(screen(Seq((1L, "http://a.com/p?x=1")), 0L) == Set(1L))
+    assert(screen(Seq((2L, "HTTP://WWW.A.com:80/p?x=1&utm_s=9")), 1L) == Set.empty)
+    // ERASURE (a takedown/right-to-erasure on the frontier): forget the
+    // canonical key — IncrementalDedup.deleteBatch keyed by the canon,
+    // the generic store erase composing with the canonicalizer
+    assert(graft.streaming.IncrementalDedup.deleteBatch(
+      Seq((1L, "http://a.com/p?x=1")).toDF("doc_id", "url")
+        .withColumn("canon", TextStats.canonicalizeUrl(col("url"))),
+      store, col("canon"), 2L) == 1L)
+    // the re-crawl — under a different surface form — is ACCEPTED again
+    assert(screen(Seq((3L, "http://A.com/p/?x=1")), 3L) == Set(3L))
+  }
+
   test("urlHost matches the canonical authority") {
     val s = spark
     import s.implicits._
