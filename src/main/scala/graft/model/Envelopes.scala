@@ -23,6 +23,35 @@ object Envelopes {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scale-adaptive scan widening (optimization guide §2.5, "input skew:
+    * one huge unsplittable file ... repartition immediately after the
+    * read"): the bench corpora are single-file, SINGLE-ROW-GROUP parquet,
+    * so a scan can never exceed one task no matter the split config, and
+    * every per-row derivation Spark fuses into the scan stage (the Maxwell
+    * envelope maps, log structs, shingling, vector ops) runs on one core
+    * while the rest idle. When the scan plans FEWER partitions than the
+    * session's parallelism, repartition to it by a hash of the source's
+    * KEY columns — hash (not round-robin) because a round-robin
+    * repartition first locally sorts its input for retry determinism
+    * (SPARK-23207), a cost landing on exactly the single-task scan side
+    * this exchange exists to relieve; key columns (not the whole row) so
+    * the exchange references nothing the consumer didn't already need and
+    * column pruning reaches the scan untouched. At production scale the
+    * inputs are many files / row groups, the planned partition count
+    * already meets or exceeds the core count, and this is the identity —
+    * no shuffle is added. Decided per-plan from the scan's own partition
+    * count, not a tuned constant. Applied at the HEAVY-DERIVATION entry
+    * points (Maxwell envelope, log records, corpus text/vector readers) —
+    * not inside [[table]], where it would tax consumers that do their own
+    * placement (colocate) or prune to a column subset. */
+  private[graft] def widen(spark: SparkSession, df: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p)
+      df.repartition(p, xxhash64(keyCols.map(col): _*))
+    else df
+  }
+
   /** `events` with `ts` normalized to a micros TimestampType, whatever the
     * physical parquet type of the generated data:
     *   - TIMESTAMP(NANOS) (early driver drops; unreadable by Spark's
@@ -52,7 +81,10 @@ object Envelopes {
   // ---------------------------------------------------------------------------
 
   def maxwell(spark: SparkSession, sfDir: String): DataFrame = {
-    val li  = table(spark, sfDir, "lineitem")
+    // the envelope's map/typ derivations are the heavy per-row work — widen
+    // the single-row-group scan so they run on every core, not one
+    val li  = widen(spark, table(spark, sfDir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"))
     val typ = when(col("l_orderkey") % 97 === 0, "bootstrap-start")
       .when(col("l_orderkey") % 50 === 0, "bootstrap-insert")
       .when(col("l_orderkey") % 17 === 0, "delete")
@@ -119,7 +151,9 @@ object Envelopes {
   // ---------------------------------------------------------------------------
 
   def logRecords(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev   = events(spark, sfDir)
+    // same widening as [[maxwell]]: the struct/array envelope derivation
+    // below is per-row CPU fused into a single-task scan otherwise
+    val ev   = widen(spark, events(spark, sfDir), Seq("event_id"))
     val mid  = when(col("user_id") % 13 === 0, lit(null).cast("string"))
       .otherwise(concat(lit("mid_"), col("user_id")))
     val isPage = col("event_type").isin("view", "click", "purchase")

@@ -10,10 +10,16 @@ import graft.model.Envelopes
 object ExtQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  // docs stays the raw scan: every tokenizing consumer already widens via
+  // Dedup.spread (which would double-shuffle a pre-widened input — its
+  // file-count gate cannot see an upstream exchange). embs IS widened
+  // (Envelopes.widen — scale-adaptive, identity at production partition
+  // counts): the vector paths have no spread and their per-row math is
+  // heavy relative to a single-task scan.
   private def docs(s: SparkSession, dir: String): DataFrame =
     Envelopes.table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Envelopes.table(s, dir, "embeddings")
+    Envelopes.widen(s, Envelopes.table(s, dir, "embeddings"), Seq("vec_id"))
 
   /** ONE vocabulary definition feeds the Spark query AND the generated SQL
     * twin (the [[TradeGraphCte]] discipline): frequent English 2-3-grams
@@ -221,7 +227,10 @@ object ExtQueries {
     * collision groups to collapse. */
   private def dirtyUrls(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    docs(s, dir).select(d, col("n_chars"), concat(
+    // widened: the URL family's regex canonicalization downstream is heavy
+    // per-row work with no spread() on its path
+    Envelopes.widen(s, docs(s, dir), Seq("doc_id"))
+      .select(d, col("n_chars"), concat(
       when(d % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
       when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
       when(d % 7 === 0, lit("SiTe")).otherwise(lit("site")),
@@ -746,8 +755,9 @@ object ExtQueries {
     // component). Output exploded to (vec_id, pos, comp) scalars — the
     // checker's column sort cannot order raw arrays (the q_embed_quant
     // fingerprint precedent), and per-component doubles compare exactly.
+    // scan-stage class (PlanSpec) — raw table, see q_embed_quant
     "q_embed_matryoshka" -> { (s, dir) =>
-      Similarity.matryoshka(embs(s, dir), 16)
+      Similarity.matryoshka(Envelopes.table(s, dir, "embeddings"), 16)
         .select(col("vec_id"), posexplode(col("emb_k")).as(Seq("pos", "comp")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
           col("comp").cast("double").as("comp"))
@@ -1100,8 +1110,11 @@ object ExtQueries {
     // Symmetric int8 embedding quantization (4x ANN-index compression);
     // codes dumped as an md5 content digest (arrays don't survive the
     // oracle's pandas sort), scale exact by IEEE-exact ops only.
+    // scan-stage class (PlanSpec: "no shuffle beyond the dump sort"): cheap
+    // per-row arithmetic where the widened reader's exchange would cost more
+    // than it parallelizes — read the raw table
     "q_embed_quant" -> { (s, dir) =>
-      Similarity.quantizeInt8(embs(s, dir))
+      Similarity.quantizeInt8(Envelopes.table(s, dir, "embeddings"))
         .select(col("vec_id"), col("dim").cast("long").as("dim"), col("scale"),
           md5(concat_ws(",", transform(col("q"), x => x.cast("string")))).as("q_fp"),
           aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"))
@@ -1225,12 +1238,14 @@ object ExtQueries {
     },
 
     // PII redaction over deterministically injected e-mail/phone/IP text.
+    // scan-stage class (PlanSpec) — raw table, see q_embed_quant
     "q_pii_scrub" -> { (s, dir) =>
       val dirty = concat(col("text"),
         lit(" contact user"), (col("doc_id") % 50).cast("string"),
         lit("@example.com or +1-555-01"), (col("doc_id") % 10).cast("string"),
         lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
-      docs(s, dir).select(col("doc_id"), TextStats.scrubPii(dirty).as("scrubbed"))
+      Envelopes.table(s, dir, "documents")
+        .select(col("doc_id"), TextStats.scrubPii(dirty).as("scrubbed"))
         .orderBy(col("doc_id"))
     },
 

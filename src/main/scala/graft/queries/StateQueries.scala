@@ -107,7 +107,14 @@ object StateQueries {
         out = graft.streaming.IncrementalScd2.mergeBatch(b, s"$root/h",
           keys = Seq("order_id"),
           ordCols = Seq("ts", "id", "sku_num", "pay_st", "typ"),
-          attrNames = Seq("sku_num", "pay_st"), batchId = i.toLong)
+          attrNames = Seq("sku_num", "pay_st"), batchId = i.toLong,
+          // bucket count = the store's write/read parallelism unit: this
+          // history holds ~130k keys spread over every bucket, so each fold
+          // rewrites all buckets and the default 4 capped the merge sort at
+          // 4 of the session's cores. Scale with the session, not a constant
+          // (optimization guide §2.2 "fewer, larger" cuts the other way when
+          // the store is parallelism-starved).
+          numBuckets = s.sparkContext.defaultParallelism)
       // the fold returns a lazy store read — pin it before the temp store
       // is deleted (the q_topk_stream lifecycle)
       val res = out
