@@ -151,12 +151,10 @@ object Dedup {
     }
   }
 
-  /** Driver-side counter of `.rdd` physical-planning probes taken by
-    * [[spread]] — instrumentation for the scale guard, asserted by
-    * `SpreadSpec` (a file-backed input must never plan physically). */
-  private[ext] object SpreadProbe {
-    val hits = new java.util.concurrent.atomic.AtomicLong(0L)
-  }
+  /** The shared probe counter ([[graft.util.SpreadProbe]]) — both wideners
+    * ([[spread]] here and `Envelopes.widen`) count their `.rdd` probes in
+    * one place so the scale-guard specs cover every entry point. */
+  private[graft] val SpreadProbe = graft.util.SpreadProbe
 
   /** Shingle-set sizes per doc. */
   private def sizes(sh: DataFrame): DataFrame =

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * vals) that flattens the same derivation for DuckDB. KEEP THE TWO IN LOCKSTEP:
   * every CASE arm here has a twin in the CTE.
   *
-  * Scale note: shapers are narrow projections over the parquet scan — no shuffle,
-  * no UDFs, fully codegen'd; at 100 TB they stay embedded in the scan stage.
+  * Scale note: shapers are narrow column expressions — no UDFs, fully
+  * codegen'd. The heavy-derivation entry points (maxwell, logRecords, and the
+  * ext readers that opt in) conditionally insert ONE [[widen]] exchange above
+  * the scan when the input is narrower than the session's parallelism; at
+  * production partition counts the condition never fires and the shapers stay
+  * embedded in the scan stage.
   */
 object Envelopes {
 
@@ -43,13 +47,31 @@ object Envelopes {
     * count, not a tuned constant. Applied at the HEAVY-DERIVATION entry
     * points (Maxwell envelope, log records, corpus text/vector readers) —
     * not inside [[table]], where it would tax consumers that do their own
-    * placement (colocate) or prune to a column subset. */
+    * placement (colocate) or prune to a column subset.
+    *
+    * Width decision = the [[graft.ext.Dedup.spread]] discipline (ADVICE
+    * r15): a FILE-BACKED frame decides on metadata alone (`inputFiles`
+    * walks the logical plan — no physical planning); ≥ parallelism files
+    * pass through, fewer widen. The few-giant-files trade is explicit and
+    * bounded: one narrow exchange the plan may not have strictly needed,
+    * instead of the unbounded `.rdd` cost of physically planning a 100 TB
+    * lineage on the driver. Only a NON-file input still pays the `.rdd`
+    * probe for an accurate split count, gated behind
+    * `spark.graft.spread.probe` and counted in [[graft.util.SpreadProbe]]
+    * so the scale-guard specs (`WidenSpec`) cover this entry point too. */
   private[graft] def widen(spark: SparkSession, df: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p)
-      df.repartition(p, xxhash64(keyCols.map(col): _*))
-    else df
+    val nFiles = df.inputFiles.length
+    val narrow =
+      if (nFiles > 0) nFiles < p
+      else if (!spark.conf.get("spark.graft.spread.probe", "true").toBoolean)
+        false
+      else {
+        graft.util.SpreadProbe.hits.incrementAndGet()
+        df.rdd.getNumPartitions < p
+      }
+    if (narrow) df.repartition(p, xxhash64(keyCols.map(col): _*)) else df
   }
 
   /** `events` with `ts` normalized to a micros TimestampType, whatever the

@@ -1238,7 +1238,10 @@ object ExtQueries {
     },
 
     // PII redaction over deterministically injected e-mail/phone/IP text.
-    // scan-stage class (PlanSpec) — raw table, see q_embed_quant
+    // scan-stage class (PlanSpec): reads the raw table EXPLICITLY — today
+    // docs() is the same raw scan (no behavioral change, unlike
+    // q_embed_quant's real revert of a widened embs()); the explicit form
+    // just pins this query's scan-stage class against docs() ever widening
     "q_pii_scrub" -> { (s, dir) =>
       val dirty = concat(col("text"),
         lit(" contact user"), (col("doc_id") % 50).cast("string"),

@@ -111,10 +111,13 @@ object StateQueries {
           // bucket count = the store's write/read parallelism unit: this
           // history holds ~130k keys spread over every bucket, so each fold
           // rewrites all buckets and the default 4 capped the merge sort at
-          // 4 of the session's cores. Scale with the session, not a constant
-          // (optimization guide §2.2 "fewer, larger" cuts the other way when
-          // the store is parallelism-starved).
-          numBuckets = s.sparkContext.defaultParallelism)
+          // 4 of the session's cores. Scale with the session but CAP it
+          // (ADVICE r15): unbounded defaultParallelism fragments a ~130k-key
+          // temp store into one tiny file per bucket per generation on a
+          // high-core session, inflating commit/GC metadata work. The value
+          // only takes effect at store creation (KeyedStore meta pins it);
+          // a reused store keeps the count it was created with.
+          numBuckets = math.min(s.sparkContext.defaultParallelism, 64))
       // the fold returns a lazy store read — pin it before the temp store
       // is deleted (the q_topk_stream lifecycle)
       val res = out

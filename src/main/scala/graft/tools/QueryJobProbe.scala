@@ -20,6 +20,7 @@ import graft.SparkEntry
   *   SPARK_GRAFT_SF_DIR  data dir (default sf0.1)
   *   SPARK_GRAFT_CPUS    cores (default 32)
   *   SPARK_GRAFT_AQE     "0" disables AQE for the whole run (A/B lever)
+  *   SPARK_GRAFT_CONF    extra session confs, "k=v;k=v" (A/B lever)
   *
   * Run: sbt -batch "runMain graft.tools.QueryJobProbe q_scd2_stream ..."
   */
@@ -28,13 +29,18 @@ object QueryJobProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0"
-    val spark = SparkSession.builder()
+    val extra = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(";")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe.toString)
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -71,14 +77,23 @@ object QueryJobProbe {
       .filter("rn <= 2").count()
 
     println(s"PROBE aqe=$aqe cpus=$cpus sf=$sfDir")
+    // deterministic listener drain (ADVICE r15): spin until every job the
+    // probe saw START has delivered its END event (the bus is async; a fixed
+    // sleep could race a straggling job end into the next query), then one
+    // settle beat for events not yet dequeued at all. listenerBus
+    // .waitUntilEmpty is private[spark], hence the own-counter form.
+    def drain(): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!starts.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+      Thread.sleep(100)
+    }
     for (pass <- 1 to 2; q <- args) {
-      // let the listener bus drain so counts attribute to the right query
-      Thread.sleep(300)
+      drain()
       val j0 = jobs.get(); val m0 = inJobMs.get(); val g0 = gcMs
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
+      drain()
       val nj = jobs.get() - j0
       val inJob = (inJobMs.get() - m0) / 1e3
       println(f"PROBE p$pass $q%-26s wall=$wall%7.2f s jobs=$nj%-4d " +
