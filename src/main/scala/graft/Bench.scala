@@ -11,6 +11,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Whole-stage-codegen class cache (static conf, default 100 entries):
+      // a 245-query session — and even ONE store-fold drive, whose chain
+      // compiles 100+ generated classes — evicts the default cache before
+      // any reuse, so every fold re-runs Janino on identical source
+      // (measured r16: q_scd2_stream 13.0 -> 8.2 s, q_ann_stream 18.8 ->
+      // 11.0 s steady once sources survive). Scale-independent JVM tuning:
+      // entries are keyed by generated source, not data or core count.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session so the first measured query doesn't absorb one-time

@@ -21,6 +21,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // generated-class cache (static conf, default 100): a store-fold
+      // chain alone compiles 100+ classes, so the default evicts before any
+      // cross-fold reuse and every fold re-runs Janino on identical source.
+      // Scale-independent JVM tuning (keyed by source, not data width);
+      // measured r16: q_scd2_stream 13.0 -> 8.2 s steady.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     val withMaster = master.fold(b)(b.master)
     shufflePartitions.fold(withMaster)(p =>
       withMaster.config("spark.sql.shuffle.partitions", p.toString))

@@ -307,7 +307,11 @@ object ExtQueries {
   private def crawlFixture(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val page = when(d % 100 < 10, d - (d % 2)).otherwise(d)
-    docs(s, dir).select(d, concat(
+    // widened like [[dirtyUrls]]: the robots screen + regex canonicalization
+    // downstream is heavy per-row work (and the flagship's final join tree
+    // re-derives it per branch) — single-task otherwise (r16: 1-task 0.4-0.8 s
+    // jobs measured on every branch of q_pipeline_crawl)
+    Envelopes.widen(s, docs(s, dir), Seq("doc_id")).select(d, concat(
       when(d % 2 === 0, lit("HTTP")).otherwise(lit("http")), lit("://"),
       when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
       when(d % 7 === 0, lit("SiTe")).otherwise(lit("site")),
@@ -1504,8 +1508,14 @@ object ExtQueries {
       val v = TextStats.hashEmbed(docs(s, dir), col("doc_id"), col("text"))
         .withColumn("n2", Similarity.dot(col("embedding"), col("embedding")))
         .localCheckpoint(true)
+      // spread the STREAMED side of the quadratic stage (r16: hashEmbed is
+      // row-local over the 1-partition doc scan, so the checkpoint pins ONE
+      // partition and the n² pair filter ran on one core — measured 6.6 s of
+      // an 8 s query; guide §2.5). n rows of exchange before n² compute is
+      // scale-free: any side feeding a cross product should span the cluster.
       val a = v.select(col("doc_id").as("a_id"), col("embedding").as("ae"),
-        col("n2").as("an"))
+          col("n2").as("an"))
+        .repartition(s.sparkContext.defaultParallelism, col("a_id"))
       val b = v.select(col("doc_id").as("b_id"), col("embedding").as("be"),
         col("n2").as("bn"))
       a.crossJoin(b).filter(col("a_id") < col("b_id"))

@@ -69,6 +69,15 @@ object QueryJobProbe {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // whole-stage-codegen cache misses: classes compiled + Janino wall —
+    // a fold chain whose per-fold plans differ only by a batchId literal
+    // recompiles every stage per fold if literals end up inlined
+    def codegen: (Long, Long) = {
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      (m.METRIC_SOURCE_CODE_SIZE.getCount,
+        m.METRIC_COMPILATION_TIME.getCount *
+          m.METRIC_COMPILATION_TIME.getSnapshot.getMean.toLong)
+    }
 
     // same warm-up family as Bench so pass-1 numbers aren't pure JIT
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
@@ -90,14 +99,17 @@ object QueryJobProbe {
     for (pass <- 1 to 2; q <- args) {
       drain()
       val j0 = jobs.get(); val m0 = inJobMs.get(); val g0 = gcMs
+      val (c0, ct0) = codegen
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       drain()
       val nj = jobs.get() - j0
       val inJob = (inJobMs.get() - m0) / 1e3
+      val (c1, ct1) = codegen
       println(f"PROBE p$pass $q%-26s wall=$wall%7.2f s jobs=$nj%-4d " +
-        f"inJob=$inJob%7.2f s gap=${wall - inJob}%7.2f s gc=${gcMs - g0}%5d ms rows=$n")
+        f"inJob=$inJob%7.2f s gap=${wall - inJob}%7.2f s gc=${gcMs - g0}%5d ms " +
+        f"cg=${c1 - c0}%-4d cgMs~${ct1 - ct0}%-6d rows=$n")
       if (pass == 2) { slow.forEach(println(_)) }
       slow.clear()
     }

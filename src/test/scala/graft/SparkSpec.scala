@@ -37,6 +37,7 @@ object SparkSpec {
     // match the production sessions (Bench/Verify/GraftSession): plans the
     // suite asserts on must be the plans the engine ships with
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
