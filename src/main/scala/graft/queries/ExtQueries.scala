@@ -1911,7 +1911,10 @@ object ExtQueries {
     // collision-free at this key density). The crossJoin is a 3x20 probe
     // spine, not a data join.
     "q_cms_freq" -> { (s, dir) =>
-      val l = Envelopes.table(s, dir, "lineitem")
+      // widened (r16): cmsCells explodes ×d and hashes per row — that work
+      // fuses into the single-row-group lineitem scan (≤3 tasks) otherwise
+      val l = Envelopes.widen(s, Envelopes.table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"))
       val cells = Profile.cmsCells(l, Seq("l_returnflag"), col("l_partkey"))
       val probes = l.select(col("l_returnflag")).distinct()
         .crossJoin(s.range(1, 21).select(col("id").cast("string").as("key")))
@@ -1934,7 +1937,11 @@ object ExtQueries {
     // test is parameter-independent and the narrower table quarters the
     // per-fold upsert volume this verification composite pays 3×.
     "q_cms_stream" -> { (s, dir) =>
-      val l = Envelopes.table(s, dir, "lineitem")
+      // widened (r16): each fold's cmsCells pass (explode ×d + hash over a
+      // 200k-row batch) ran on the ≤3-task scan — measured 1.3 s/fold, ~0.3 s
+      // widened
+      val l = Envelopes.widen(s, Envelopes.table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"))
       val probes = l.select(col("l_returnflag").as("g")).distinct()
         .crossJoin(s.range(1, 21).select(col("id").cast("string").as("key")))
         .localCheckpoint(true)
