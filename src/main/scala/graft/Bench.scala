@@ -123,7 +123,13 @@ object Bench {
       "q_pipeline_embed", "q_pipeline_model", "q_ann_ivf_kmeans",
       "q_ann_recall", "q_ann_stream", "q_ann_delta", "q_ann_recluster",
       "q_cep_consec_stream", "q_cep_group_stream", "q_cep_nfa_stream",
-      "q_cep_neg_stream")
+      "q_cep_neg_stream",
+      // second sweep (residual >= ~0.5 s pass-1 gaps after the first list)
+      "q_cep_iter_stream", "q_cep_next_stream", "q_cep_select_stream",
+      "q_cep_skipto_stream", "q_cep_skipnext_stream", "q_cep_stream",
+      "q_scd2", "q_pipeline_lm", "q_pipeline_crawl", "q_dedup_simhash",
+      "q_hits", "q_prf", "q_join_preflight", "q_join_lookup_big",
+      "q_url_seen", "q_embed_dup_lsh", "q_sample_stream", "q_bipartite_proj")
     val warmSelected = only.fold(warmFamilies)(names =>
       warmFamilies.filter(names.contains))
     if (warmSelected.nonEmpty) warm("mini-corpus") {

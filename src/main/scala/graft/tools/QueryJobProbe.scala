@@ -40,6 +40,9 @@ object QueryJobProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe.toString)
+      // match the production sessions (see Bench) so probe walls are the
+      // walls the bench pays
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
